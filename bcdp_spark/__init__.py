@@ -1,0 +1,19 @@
+"""bcdp_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference bcdp/bcdp climate pipeline,
+re-expressed Spark-first (DataFrame/SQL/Catalyst/Structured Streaming),
+plus the LLM-data-pipeline operator set (dedup, similarity search,
+multimodal columns, text analysis) designed for 100 TB scale.
+
+Reference provenance: /root/reference was empty at survey time (see
+SURVEY.md §0); behavior parity targets the public bcdp/bcdp surface as
+documented module-level in SURVEY.md (`bcdp/core.py`, `bcdp/io.py`,
+`bcdp/regridder.py`, `bcdp/utils.py` — all [UNVERIFIED]).
+"""
+
+from bcdp_spark.session import get_spark
+from bcdp_spark.tables import TABLES, load_tables, table
+from bcdp_spark.ensemble import Ensemble
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "TABLES", "load_tables", "table", "Ensemble"]

@@ -1,0 +1,195 @@
+"""Ensemble facade — the reference's fluent API re-expressed over one long
+DataFrame (SURVEY.md §1.3): members are rows tagged by a ``name`` column,
+not N separate arrays. Every verb compiles to a declarative DataFrame
+transform, so Catalyst sees the whole plan (predicate pushdown, join
+planning, partial aggregation) — nothing executes until an action.
+
+Reference surface mirrored (bcdp/core.py [UNVERIFIED], see SURVEY.md §0):
+``subset``, ``select_season``, ``normalize_times``, ``resample``,
+``regrid``, ``climatology``, ``anomaly``, ``bundle``, ``apply``,
+``persist``. Column contract: (name, time, <space keys...>, value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEASONS = {
+    "DJF": (12, 1, 2),
+    "MAM": (3, 4, 5),
+    "JJA": (6, 7, 8),
+    "SON": (9, 10, 11),
+}
+
+
+class Bounds:
+    """Spatio-temporal bounding box (ref: bcdp/utils.py Bounds)."""
+
+    def __init__(
+        self,
+        lat_bnds: tuple[float, float] | None = None,
+        lon_bnds: tuple[float, float] | None = None,
+        time_bnds: tuple[str, str] | None = None,
+    ):
+        self.lat_bnds = lat_bnds
+        self.lon_bnds = lon_bnds
+        self.time_bnds = time_bnds
+
+    def predicate(
+        self, lat: str = "lat", lon: str = "lon", time: str = "time"
+    ) -> Column:
+        p = F.lit(True)
+        if self.lat_bnds:
+            p = p & F.col(lat).between(*self.lat_bnds)
+        if self.lon_bnds:
+            p = p & F.col(lon).between(*self.lon_bnds)
+        if self.time_bnds:
+            lo, hi = self.time_bnds
+            p = (
+                p
+                & (F.col(time) >= F.lit(lo).cast("timestamp"))
+                & (F.col(time) <= F.lit(hi).cast("timestamp"))
+            )
+        return p
+
+
+class Ensemble:
+    """A labeled collection of long-form members in one DataFrame."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        name_col: str = "name",
+        time_col: str = "time",
+        value_col: str = "value",
+        space_cols: Sequence[str] = ("lat", "lon"),
+    ):
+        self.df = df
+        self.name_col = name_col
+        self.time_col = time_col
+        self.value_col = value_col
+        self.space_cols = tuple(space_cols)
+
+    def _with(self, df: DataFrame) -> "Ensemble":
+        return Ensemble(
+            df, self.name_col, self.time_col, self.value_col, self.space_cols
+        )
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def from_members(
+        cls, members: dict[str, DataFrame], name_col: str = "name", **kw
+    ) -> "Ensemble":
+        """Bundle N member DataFrames into one tagged long DataFrame
+        (ref: bcdp bundle/stack along a new 'names' dimension)."""
+        tagged = [
+            df.withColumn(name_col, F.lit(name)) for name, df in members.items()
+        ]
+        out = tagged[0]
+        for t in tagged[1:]:
+            out = out.unionByName(t)
+        return cls(out, name_col=name_col, **kw)
+
+    # -- reference verbs ----------------------------------------------
+    def subset(self, bounds: Bounds) -> "Ensemble":
+        """Spatio-temporal subset (P2+P3). Conjunctive range predicates —
+        pushed down to the parquet scan by Catalyst."""
+        lat, lon = (self.space_cols + ("lat", "lon"))[:2]
+        return self._with(
+            self.df.filter(bounds.predicate(lat, lon, self.time_col))
+        )
+
+    def select_season(self, season: str) -> "Ensemble":
+        """Keep months of a season, incl. year-wrapping DJF (P4)."""
+        months = SEASONS[season.upper()]
+        return self._with(self.df.filter(F.month(self.time_col).isin(*months)))
+
+    def normalize_times(self, granularity: str = "hour") -> "Ensemble":
+        """Truncate the time axis to a shared granularity (J6 prereq;
+        ref: bcdp normalize_times)."""
+        return self._with(
+            self.df.withColumn(
+                self.time_col, F.date_trunc(granularity, F.col(self.time_col))
+            )
+        )
+
+    def resample(self, granularity: str = "month") -> "Ensemble":
+        """Downsample along time via tumbling buckets + mean (A3)."""
+        keys = [self.name_col, *self.space_cols]
+        out = (
+            self.df.groupBy(
+                F.date_trunc(granularity, F.col(self.time_col)).alias(
+                    self.time_col
+                ),
+                *keys,
+            )
+            .agg(F.avg(self.value_col).alias(self.value_col))
+        )
+        return self._with(out)
+
+    def regrid(self, lat_res: float, lon_res: float) -> "Ensemble":
+        """Bin-average regrid onto a coarser grid (A5); the weights-join
+        variant is operators/regrid.py:regrid_weighted."""
+        from bcdp_spark.operators.regrid import regrid_bin_average
+
+        lat, lon = (self.space_cols + ("lat", "lon"))[:2]
+        out = regrid_bin_average(
+            self.df,
+            lat_col=lat,
+            lon_col=lon,
+            value_col=self.value_col,
+            lat_res=lat_res,
+            lon_res=lon_res,
+            extra_keys=[self.name_col, self.time_col],
+        )
+        return self._with(out)
+
+    def climatology(self, bucket: str = "month") -> DataFrame:
+        """Calendar-bucket mean across years (A2)."""
+        bucket_fn = {"month": F.month, "dayofyear": F.dayofyear}[bucket]
+        keys = [self.name_col, *self.space_cols]
+        return self.df.groupBy(
+            bucket_fn(self.time_col).alias(bucket), *keys
+        ).agg(F.avg(self.value_col).alias("clim"))
+
+    def anomaly(self, bucket: str = "month") -> "Ensemble":
+        """value − climatological mean, window form (W2) — no self-join."""
+        from pyspark.sql import Window
+
+        bucket_fn = {"month": F.month, "dayofyear": F.dayofyear}[bucket]
+        w = Window.partitionBy(
+            self.name_col, *self.space_cols, bucket_fn(self.time_col)
+        )
+        out = self.df.withColumn(
+            self.value_col,
+            F.col(self.value_col) - F.avg(self.value_col).over(w),
+        )
+        return self._with(out)
+
+    def bundle(self) -> DataFrame:
+        """Cross-member stats at each (time, cell): mean + spread (A4)."""
+        keys = [self.time_col, *self.space_cols]
+        return self.df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.avg(self.value_col).alias("ens_mean"),
+            F.stddev_samp(self.value_col).alias("ens_spread"),
+        )
+
+    def apply(
+        self, fn: Callable, schema: str, by: Sequence[str] | None = None
+    ) -> "Ensemble":
+        """Per-member arbitrary pandas transform (U3): grouped-map pandas
+        UDF over Arrow batches — the sanctioned slow path."""
+        keys = list(by) if by else [self.name_col]
+        return self._with(self.df.groupBy(*keys).applyInPandas(fn, schema))
+
+    def persist(self) -> "Ensemble":
+        return self._with(self.df.persist())
+
+    def to_parquet(self, path: str, partition_by: Sequence[str] | None = None):
+        """Sink (S6): partition by member name (+ time bucket at scale)."""
+        cols = list(partition_by) if partition_by else [self.name_col]
+        self.df.write.partitionBy(*cols).mode("overwrite").parquet(path)

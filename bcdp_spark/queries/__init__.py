@@ -1,0 +1,71 @@
+"""Query registry — the driver-graded surface.
+
+Every operator from SURVEY.md §2 that declares a *query key* registers
+here twice: a PySpark callable ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) a DuckDB oracle SQL string over the pre-registered views
+``region nation customer supplier part orders lineitem events documents
+embeddings``. ``__spark_entry__.py`` re-exports these dicts verbatim.
+
+Determinism contract (SURVEY.md §2 + §7):
+- alias every computed column identically on both sides;
+- float aggregates go through exact DECIMAL(28,10) sums (``dsum``/``davg``
+  helpers) so partial-aggregation order cannot change the result;
+- non-associative stats (stddev/corr/median) are ROUND()ed on both sides
+  at a scale far coarser than engine ulp drift;
+- time buckets are emitted as BIGINT epoch seconds (or µs) — never raw
+  timestamps — via date_trunc-then-epoch on both sides;
+- window orderings always carry a unique tiebreak column (event_id /
+  o_orderkey).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+_LOADED = False
+
+_MODULES = (
+    "bcdp_spark.queries.relational",
+    "bcdp_spark.queries.timeseries",
+    "bcdp_spark.queries.text",
+    "bcdp_spark.queries.similarity",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query key (and its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query key {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if not _LOADED:
+        for mod in _MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)

@@ -1,0 +1,58 @@
+"""Shared determinism helpers for the oracle-matched queries.
+
+Why DECIMAL(28,10): double sums are order-dependent, and Spark's partial
+aggregation order differs from DuckDB's. Casting each addend to an exact
+decimal makes the sum associative and bit-identical in both engines; the
+true data values live ~5e-14 from a 4-decimal grid point, i.e. 0.5e-10
+away from any DECIMAL(…,10) rounding boundary, so the double→decimal cast
+itself is also engine-agnostic. Casting the exact decimal sum back to
+DOUBLE is a single, identical rounding in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,10)"
+DEC_SQL = "DECIMAL(28,10)"
+
+
+def utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Exact (decimal-routed) sum of a double expression, as double."""
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(c: Column, alias: str) -> Column:
+    """Exact-sum average: decimal sum / non-null count, as double."""
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+# DuckDB's DECIMAL→DOUBLE cast double-rounds (int128→double, then ÷10^scale)
+# while Spark's BigDecimal→double is correctly rounded; routing DuckDB's
+# conversion through VARCHAR (exact digits → strtod) matches Spark bit-for-bit.
+def dsum_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {DEC_SQL})) AS VARCHAR) AS DOUBLE) AS {alias}"
+    )
+
+
+def davg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def hour_epoch(c: Column) -> Column:
+    """Hour bucket as BIGINT epoch seconds (UTC). Oracle twin:
+    CAST(epoch(date_trunc('hour', ts)) AS BIGINT)."""
+    return F.unix_timestamp(F.date_trunc("hour", c))
+
+
+HOUR_EPOCH_SQL = "CAST(epoch(date_trunc('hour', {c})) AS BIGINT)"

@@ -1,0 +1,603 @@
+"""Relational core (SURVEY.md §2.1–§2.8): scans, predicates, joins,
+aggregations, windows, sorts, set ops, scalar functions.
+
+Each query key maps a reference behavior (bcdp module cited in SURVEY.md,
+[UNVERIFIED] — /root/reference was empty, see SURVEY.md §0) or CORE
+relational machinery onto idiomatic Catalyst-optimizable DataFrame plans:
+filters/projections reach the parquet scan (PushedFilters/ReadSchema),
+small dims broadcast, large joins shuffle on their keys, aggregations use
+map-side partials automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import davg, davg_sql, dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# S1 + P1 — scan + projection (ref: bcdp/io.py load_local + variable select,
+# SURVEY §2.1 S1 / §2.2 P1). Column pruning: ReadSchema shows only 3 cols.
+# ---------------------------------------------------------------------------
+@register(
+    "q_scan_project",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 + P3 — conjunctive range predicates on value + time (ref: bcdp Bounds
+# spatial subset + temporal subset, bcdp/core.py). Pushed to parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q_range_filter",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {dsum_sql('l_quantity', 'sum_qty')},
+       {dsum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — mask / fill-value handling (ref: NaN/_FillValue → missing at scan,
+# bcdp io path). Values in [100, 200] masked to NULL, then null-aware aggs.
+# ---------------------------------------------------------------------------
+@register(
+    "q_null_handling",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_total,
+       COUNT(*) - COUNT(CASE WHEN value BETWEEN 100 AND 200 THEN NULL ELSE value END) AS n_masked,
+       {dsum_sql("COALESCE(CASE WHEN value BETWEEN 100 AND 200 THEN NULL ELSE value END, 0.0)", 'sum_filled')},
+       {davg_sql("CASE WHEN value BETWEEN 100 AND 200 THEN NULL ELSE value END", 'avg_masked')}
+FROM events
+GROUP BY event_type
+""",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    masked = F.when(F.col("value").between(100, 200), F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        (F.count(F.lit(1)) - F.count(masked)).alias("n_masked"),
+        dsum(F.coalesce(masked, F.lit(0.0)), "sum_filled"),
+        davg(masked, "avg_masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + A1 — broadcast-dim star join + hash agg (TPC-H Q5 shape). This is the
+# flagship query (entry()). Ref analog: coordinate alignment joins,
+# bcdp/core.py. nation/region broadcast explicitly; customer is left to AQE
+# (at 100 TB customer is a fact-sized table — broadcasting it would be wrong).
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_agg",
+    oracle=f"""
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 'revenue')}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — large-large equi join (shuffle/sort-merge at scale; AQE may pick
+# broadcast at small SF — correct either way, Catalyst's call).
+# ---------------------------------------------------------------------------
+@register(
+    "q_bigjoin",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       {dsum_sql('l_extendedprice', 'sum_price')},
+       {dsum_sql('l_quantity', 'sum_qty')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def q_bigjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — left outer join, null-aware counting on the right side.
+# ---------------------------------------------------------------------------
+@register(
+    "q_left_join",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_orders,
+       {dsum_sql('COALESCE(o_totalprice, 0.0)', 'sum_price')}
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — left semi join (existence filter): customers with a >400k order.
+# ---------------------------------------------------------------------------
+@register(
+    "q_semi_join",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    customer = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# J5 — left anti join (non-existence): customers with no order since 2000.
+# ---------------------------------------------------------------------------
+@register(
+    "q_anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    customer = table(spark, sf_dir, "customer")
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# J7 — theta (non-equi) join: l_quantity < p_size on pre-filtered inputs.
+# Physical plan: broadcast nested loop on the small filtered dim — the
+# correct strategy for a bounded non-equi predicate; at scale the binning-
+# to-equi rewrite in operators/regrid.py applies instead.
+# ---------------------------------------------------------------------------
+@register(
+    "q_theta_join",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_pairs,
+       {dsum_sql('l_quantity', 'sum_qty')},
+       {dsum_sql('p_retailprice', 'sum_retail')}
+FROM lineitem JOIN part ON l_quantity < p_size
+WHERE l_quantity <= 3 AND p_size <= 5
+GROUP BY p_brand
+""",
+)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 3)
+    pt = table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return (
+        li.join(F.broadcast(pt), F.col("l_quantity") < F.col("p_size"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("p_retailprice"), "sum_retail"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — TPC-H Q1 pricing summary: the canonical partial+final hash aggregate.
+# All money sums routed through exact decimals (see _helpers).
+# ---------------------------------------------------------------------------
+@register(
+    "q_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 'sum_qty')},
+       {dsum_sql('l_extendedprice', 'sum_base_price')},
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {dsum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+       {davg_sql('l_quantity', 'avg_qty')},
+       {davg_sql('l_extendedprice', 'avg_price')},
+       {davg_sql('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (
+        1 + F.col("l_tax")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct cardinalities (exact). approx_count_distinct is exposed via
+# operators but not oracle-declared (HLL estimates are not hash-stable).
+# ---------------------------------------------------------------------------
+@register(
+    "q_distinct",
+    oracle="""
+SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderstatus) AS n_status,
+       COUNT(DISTINCT o_orderpriority) AS n_prio
+FROM orders
+""",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — ROLLUP subtotals. COALESCE the grouping nulls to 'ALL' on both sides
+# (fixture group keys are never NULL, so no ambiguity).
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       n, sum_price
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         COUNT(*) AS n,
+         {dsum_sql('o_totalprice', 'sum_price')}
+  FROM orders
+  GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — statistical aggregates (model-vs-obs stats in the reference metric
+# layer). Non-associative — rounded on both sides, far above ulp drift.
+# ---------------------------------------------------------------------------
+@register(
+    "q_stats",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+       ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "cov_qty_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — exact median (both engines interpolate the even-count midpoint;
+# rounded to absorb a+(b-a)/2 vs (a+b)/2 ulp differences).
+# ---------------------------------------------------------------------------
+@register(
+    "q_median",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       ROUND(MEDIAN(o_totalprice), 4) AS med_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/O2 — per-group top-k via row_number (also the reference's dedup-keep-
+# first building block). Unique tiebreak: o_orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — cumulative sum along time (running total per customer). Exact via
+# decimal window sum; explicit ROWS frame on both sides (default RANGE
+# frame would group orderdate peers).
+# ---------------------------------------------------------------------------
+@register(
+    "q_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_total
+FROM orders
+""",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("run_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — global top-k (TakeOrderedAndProject: no full sort materialization).
+# ---------------------------------------------------------------------------
+@register(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — union/bundle (the reference's member stacking: unionByName + agg).
+# ---------------------------------------------------------------------------
+@register(
+    "q_union",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'sum_value')}
+FROM (
+  SELECT * FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT * FROM events WHERE event_type = 'view'
+)
+GROUP BY event_type
+""",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return (
+        clicks.unionByName(views)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2a — INTERSECT: hour buckets present for both 'click' and 'view'
+# (the reference's shared-time-steps alignment check).
+# ---------------------------------------------------------------------------
+@register(
+    "q_intersect",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s
+FROM events WHERE event_type = 'view'
+""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    hours = lambda t: ev.filter(F.col("event_type") == t).select(  # noqa: E731
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s")
+    )
+    return hours("click").intersect(hours("view"))
+
+
+# ---------------------------------------------------------------------------
+# U2b — EXCEPT: customers minus customers with a recent order.
+# ---------------------------------------------------------------------------
+@register(
+    "q_except",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(recent)

@@ -1,0 +1,106 @@
+"""Similarity-search queries (SURVEY.md §2.11 X2/X3, §2.8 F5).
+
+Brute-force cosine top-k is the oracle-checked baseline; the scale paths
+(LSH-bucketed near-dedup and IVF-style ANN) live in
+``bcdp_spark.operators.similarity`` / ``operators.dedup`` and are declared
+rows-only (no-oracle) where estimates are not hash-stable.
+
+All vector math stays JVM-side via higher-order functions
+(transform / zip_with / aggregate) — no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import davg, davg_sql, utc
+from bcdp_spark.tables import table
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (matches DuckDB's loop order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sqnorm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — brute-force cosine top-k: broadcast the query vector, JVM-side fold,
+# TakeOrderedAndProject for the global top-10. Scale path: IVF/LSH bucketing
+# in operators/similarity.py prunes candidates before this exact rerank.
+# ---------------------------------------------------------------------------
+@register(
+    "q_sim_knn",
+    oracle="""
+SELECT vec_id, ROUND(sim_raw, 6) AS sim
+FROM (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS sim_raw
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+)
+ORDER BY sim_raw DESC, vec_id
+LIMIT 10
+""",
+)
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = emb.crossJoin(F.broadcast(q))
+    a = _to_double(F.col("embedding"))
+    b = _to_double(F.col("qe"))
+    sim_raw = dot(a, b) / (F.sqrt(sqnorm(a)) * F.sqrt(sqnorm(b)))
+    return (
+        joined.select("vec_id", sim_raw.alias("sim_raw"))
+        .orderBy(F.col("sim_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — array/vector column stats: element access + norms per label class.
+# ---------------------------------------------------------------------------
+@register(
+    "q_embed_stats",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n,
+       {davg_sql('CAST(embedding[1] AS DOUBLE)', 'avg_c0')},
+       ROUND(AVG(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    a = _to_double(F.col("embedding"))
+    norm = F.sqrt(sqnorm(a))
+    c0 = F.element_at("embedding", 1).cast("double")
+    return (
+        emb.select("label", c0.alias("c0"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("c0"), "avg_c0"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,257 @@
+"""Text-pipeline queries (SURVEY.md §2.8 F3/F4, §2.10 U6, §2.11 X1/X4):
+string functions, JSON extraction, tokenization, exact dedup, language
+stats, quality scoring, fingerprinting, heuristic language-ID.
+
+These are the EXT LLM-data-pipeline operators mandated beyond the
+reference surface. The generic, reusable column builders live in
+``bcdp_spark.operators.text`` and ``bcdp_spark.operators.dedup``; the
+query keys here instantiate them on the ``documents`` fixture with DuckDB
+oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# F3 — string functions over documents, grouped by language.
+# ---------------------------------------------------------------------------
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS n_spark
+FROM documents
+GROUP BY lang
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.sum(words).cast("long").alias("sum_words"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("text").contains("spark").cast("int"))
+        .cast("long")
+        .alias("n_spark"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — JSON field extraction from events.props (verified shape {"k": 87}).
+# ---------------------------------------------------------------------------
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U6 — tokenize → rows (UDTF-shaped, expressed as explode(split()) so it
+# stays JVM-side; a real BPE tokenizer would be a @udtf / mapInPandas).
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_explode",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup, keep-first by doc_id (hash-groupBy at scale: shuffle on
+# text hash, not text itself — see operators/dedup.py). Checksum output.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_docs",
+    oracle="""
+SELECT COUNT(*) AS n_unique_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS keeper_id_sum
+FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+""",
+)
+def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_docs"),
+            F.sum("doc_id").cast("long").alias("keeper_id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — language distribution stats over the documents table.
+# ---------------------------------------------------------------------------
+@register(
+    "q_lang_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4b — document fingerprinting: md5 content fingerprint (identical hex in
+# both engines). Generic rolling-hash fingerprint: operators/text.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4c — quality scoring: word count, stopword ratio, avg word length —
+# all JVM-side higher-order functions (no Python in the hot path).
+# ---------------------------------------------------------------------------
+@register(
+    "q_quality_score",
+    oracle="""
+SELECT doc_id,
+       n_words,
+       n_stop,
+       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       CAST(LENGTH(text) - n_words + 1 AS DOUBLE) / n_words AS avg_word_len
+FROM (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w = 'the' OR w = 'a')) AS INTEGER) AS n_stop
+  FROM documents
+)
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("int")
+    n_stop = F.size(
+        F.filter(toks, lambda w: (w == "the") | (w == "a"))
+    ).cast("int")
+    out = docs.select(
+        "doc_id",
+        F.col("text"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_stop",
+        (F.col("n_stop").cast("double") / F.col("n_words")).alias("stop_ratio"),
+        (
+            (F.length("text") - F.col("n_words") + 1).cast("double")
+            / F.col("n_words")
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4d — heuristic language-ID (stopword-frequency n-gram heuristic): a toy
+# but deterministic classifier, identical in SQL, so it is oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "q_lang_id",
+    oracle="""
+SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w = 'the' OR w = 'a')) AS DOUBLE)
+              / len(string_split(text, ' ')) > 0.08
+            THEN 'en_like' ELSE 'other' END AS lang_pred,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ratio = F.size(
+        F.filter(toks, lambda w: (w == "the") | (w == "a"))
+    ).cast("double") / F.size(toks)
+    pred = F.when(ratio > 0.08, "en_like").otherwise("other").alias("lang_pred")
+    return docs.select(pred).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,463 @@
+"""Time-series / climate-semantics queries (SURVEY.md §2.3 J6, §2.4 A2–A5,
+§2.5 W1–W4, §2.8 F1–F2, §2.9 batch twins, §2.10 U3).
+
+The ``events`` table is the long-form proxy for the reference's
+(time, space-key, value) grid cells (SURVEY.md §1.3): ``user_id`` plays
+the spatial key, ``ts`` the time axis, ``value`` the field. Every bcdp
+analytic (climatology, resample, ensemble mean/spread, rolling smooth,
+anomaly, nearest-time alignment — bcdp/core.py + bcdp/utils.py,
+[UNVERIFIED] per SURVEY.md §0) maps onto these relational plans.
+
+Time buckets are emitted as BIGINT epoch seconds (date_trunc → epoch on
+both engines) so the value-hash cannot be perturbed by timestamp-unit
+differences (events.ts is parquet timestamp[ns]; both Spark and DuckDB
+floor-truncate to µs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import davg, davg_sql, dsum, dsum_sql, hour_epoch, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# P4 — select_season (DJF month filter, year-wrap handled by month IN list;
+# ref: bcdp/utils.py select_season).
+# ---------------------------------------------------------------------------
+@register(
+    "q_season_filter",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {davg_sql('value', 'avg_value')}
+FROM events
+WHERE month(ts) IN (12, 1, 2)
+GROUP BY event_type
+""",
+)
+def q_season_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.month("ts").isin(12, 1, 2))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("value"), "avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — climatology: calendar-bucket mean (month × hour-of-day diurnal cycle
+# per event_type; ref: bcdp groupby('time.month').mean()).
+# ---------------------------------------------------------------------------
+@register(
+    "q_climatology",
+    oracle=f"""
+SELECT CAST(month(ts) AS INTEGER) AS m,
+       CAST(hour(ts) AS INTEGER) AS h,
+       event_type,
+       COUNT(*) AS n,
+       {davg_sql('value', 'avg_value')}
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.month("ts").cast("int").alias("m"),
+        F.hour("ts").cast("int").alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), davg(F.col("value"), "avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# A3 — temporal resample: tumbling hourly aggregate (ref: .resample()).
+# Batch twin of streaming ST1 (see bcdp_spark.streaming).
+# ---------------------------------------------------------------------------
+@register(
+    "q_tumbling_events",
+    oracle=f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+       event_type,
+       COUNT(*) AS n,
+       {davg_sql('value', 'avg_value')},
+       {dsum_sql('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        hour_epoch(F.col("ts")).alias("hour_s"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("value"), "avg_value"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — ensemble aggregate: mean/spread ACROSS members at each time bucket.
+# Two-level: member (user_id) mean per hour via exact decimal avg, then
+# cross-member mean/stddev. Spread guarded to >1 members (Spark returns NaN,
+# DuckDB NULL for n=1 sample stddev — the guard makes both NULL).
+# ---------------------------------------------------------------------------
+@register(
+    "q_ensemble_mean",
+    oracle=f"""
+WITH member AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+         user_id,
+         {davg_sql('value', 'm')}
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour_s,
+       COUNT(*) AS n_members,
+       {davg_sql('m', 'ens_mean')},
+       CASE WHEN COUNT(*) > 1 THEN ROUND(STDDEV_SAMP(m), 6) END AS ens_spread
+FROM member
+GROUP BY hour_s
+""",
+)
+def q_ensemble_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    member = ev.groupBy(
+        hour_epoch(F.col("ts")).alias("hour_s"), "user_id"
+    ).agg(davg(F.col("value"), "m"))
+    return member.groupBy("hour_s").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        davg(F.col("m"), "ens_mean"),
+        F.when(F.count(F.lit(1)) > 1, F.round(F.stddev_samp("m"), 6)).alias(
+            "ens_spread"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — bin-average regrid (coarsen): average fine cells into coarse boxes.
+# Spatial axis = user_id/5 buckets, temporal axis = 10-minute bins.
+# Ref: bcdp/regridder.py conservative-ish coarsening. The generic operator
+# lives in operators/regrid.py; this is its fixture instantiation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_bin_regrid",
+    oracle=f"""
+SELECT user_id // 5 AS ubin,
+       CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS bin_s,
+       COUNT(*) AS n,
+       {davg_sql('value', 'avg_value')}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_bin_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("user_id div 5").alias("ubin"),
+        (F.floor(F.unix_timestamp("ts") / 600) * 600).alias("bin_s"),
+    ).agg(F.count(F.lit(1)).alias("n"), davg(F.col("value"), "avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# J6 — as-of / nearest-time alignment: first event per (user, hour bucket),
+# deterministic tiebreak by event_id. Ref: bcdp normalize_times + reindex-
+# nearest. Generic operator: operators/asof.py (asof_join).
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_bucket",
+    oracle="""
+SELECT user_id, hour_s, event_id, value
+FROM (
+  SELECT user_id,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+         event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_asof_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "hour_s", hour_epoch(F.col("ts"))
+    )
+    w = Window.partitionBy("user_id", "hour_s").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_s", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — rolling temporal mean (5-row window per member; ref:
+# .rolling(time=k).mean()). Rounded: sliding-frame sums are order-sensitive
+# and DuckDB uses segment trees vs Spark's sequential frame scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rolling_mean",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll5
+FROM events
+""",
+)
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("roll5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — anomaly vs. group mean (value − climatological mean), window form —
+# avoids the self-join the reference's anomaly workflow implies.
+# ---------------------------------------------------------------------------
+@register(
+    "q_anomaly",
+    oracle="""
+SELECT event_id, event_type,
+       ROUND(value - AVG(value) OVER (PARTITION BY event_type), 6) AS anomaly
+FROM events
+""",
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    w = Window.partitionBy("event_type")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.avg("value").over(w), 6).alias("anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — lag/lead deltas (temporal Δvalue per member). Exact doubles: single
+# subtraction, deterministic ordering (ts, event_id).
+# ---------------------------------------------------------------------------
+@register(
+    "q_lag_delta",
+    oracle="""
+SELECT event_id, user_id, value,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+""",
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — date/time extraction functions (the reference's hardest surface:
+# calendar handling; ref bcdp/utils.py). INT-cast on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(dayofmonth(ts) AS INTEGER) AS d,
+       CAST(dayofyear(ts) AS INTEGER) AS doy,
+       CAST(hour(ts) AS INTEGER) AS h,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.dayofyear("ts").cast("int").alias("doy"),
+        F.hour("ts").cast("int").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# F2 — unit conversion (linear a·x + b, e.g. K→°C): per-row double math is
+# IEEE-identical in both engines; aggregates routed through exact decimals.
+# No per-row round(…, 2): Spark rounds doubles via shortest-string BigDecimal
+# while DuckDB rounds the binary value — they disagree on x.xx5 reprs.
+# ---------------------------------------------------------------------------
+@register(
+    "q_unit_convert",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value * 0.1 - 2.5', 'sum_conv')},
+       {davg_sql('value * 0.1 - 2.5', 'avg_conv')},
+       MIN(value * 0.1 - 2.5) AS min_conv,
+       MAX(value * 0.1 - 2.5) AS max_conv
+FROM events
+GROUP BY event_type
+""",
+)
+def q_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    conv = F.col("value") * 0.1 - 2.5
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(conv, "sum_conv"),
+            davg(conv, "avg_conv"),
+            F.min(conv).alias("min_conv"),
+            F.max(conv).alias("max_conv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3 batch twin — session windows via gaps-and-islands (30-min gap).
+# Streaming form: session_window(ts, '30 minutes') in bcdp_spark.streaming.
+# Epoch-µs arithmetic: both engines floor-truncate the ns fixture to µs.
+# ---------------------------------------------------------------------------
+@register(
+    "q_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(wc).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST5 batch twin — dedup by event_id (streaming dropDuplicates twin).
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_events",
+    oracle="""
+SELECT COUNT(DISTINCT event_id) AS n_unique, COUNT(*) AS n_rows FROM events
+""",
+)
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return table(spark, sf_dir, "events").agg(
+        F.countDistinct("event_id").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3 — per-member arbitrary transform (ens.apply(func), bcdp/core.py):
+# grouped-map pandas UDF (Arrow-batched applyInPandas) computing a per-user
+# z-score, then a relational reduction. Oracle expresses the same z-score
+# via window SQL. NaN/inf z (constant member) is dropped on the pandas side
+# to match SQL NULL-skipping — cannot trigger on this fixture, but guarded.
+# ---------------------------------------------------------------------------
+@register(
+    "q_grouped_apply",
+    oracle="""
+WITH z AS (
+  SELECT user_id,
+         (value - AVG(value) OVER (PARTITION BY user_id))
+           / STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS z
+  FROM events
+)
+SELECT user_id, COUNT(z) AS n_z, ROUND(AVG(ABS(z)), 4) AS avg_abs_z
+FROM z
+GROUP BY user_id
+""",
+)
+def q_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame({"user_id": [], "z": []})
+        mean = v.mean()
+        # ddof=1 == STDDEV_SAMP
+        std = v.std(ddof=1)
+        if not np.isfinite(std) or std == 0.0:
+            return pd.DataFrame({"user_id": [], "z": []})
+        z = (v - mean) / std
+        return pd.DataFrame({"user_id": pdf["user_id"], "z": z})
+
+    zdf = ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id bigint, z double"
+    )
+    return zdf.groupBy("user_id").agg(
+        F.count("z").alias("n_z"),
+        F.round(F.avg(F.abs(F.col("z"))), 4).alias("avg_abs_z"),
+    )

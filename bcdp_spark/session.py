@@ -1,0 +1,45 @@
+"""SparkSession construction tuned for this engine.
+
+Scale notes (100 TB design intent): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), broadcast threshold left to AQE,
+shuffle partitions sized by env for local runs but irrelevant on a real
+cluster where AQE coalesces. Session timezone pinned to UTC so timestamp
+semantics are deterministic and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "bcdp_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (else 32) to mirror the
+    driver's bench environment.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin session timezone to UTC (safe to call on a driver-provided
+    session; timeZone is runtime-settable). All oracle comparisons assume
+    UTC wall-clock == stored instant."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

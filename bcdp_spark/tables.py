@@ -1,0 +1,54 @@
+"""Table loading for the driver fixtures.
+
+The driver supplies parquet tables at ``{sf_dir}/{name}.parquet``
+(TESTDATA.md). At 100 TB these would be partitioned directories; the
+reader below is agnostic (``spark.read.parquet`` handles files or
+partitioned dirs, with predicate pushdown + column pruning for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning / filter pushdown happen in
+    the caller's plan — do not collect or cache here."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it as a
+        # timestamp, so read the raw int64 nanos and floor-truncate to µs —
+        # exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP read does, keeping
+        # both engines' view of ts identical (SURVEY.md §7 determinism).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables as a dict (and register temp views so
+    ``spark.sql`` queries can reference them by name)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

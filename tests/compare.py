@@ -1,0 +1,59 @@
+"""Differential comparison utilities — a local replica of the driver's
+duckdb-oracle gate (row-count + column names + order-insensitive values).
+
+Stricter than the driver on values: exact equality (bit-for-bit for
+floats) after normalization, because the driver hashes values — any
+nondeterminism we tolerate here could flake there.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_integer_dtype(s) or s.dtype == object and all(
+            isinstance(v, int) for v in s.dropna().head(5)
+        ):
+            try:
+                pdf[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+            except (TypeError, ValueError):
+                pass
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    return pdf
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str):
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{key}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{key}: row count spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = pd.isna(av) & pd.isna(bv)
+            eq = (av == bv) | both_nan
+        else:
+            eq = np.array(
+                [x == y or (pd.isna(x) and pd.isna(y)) for x, y in zip(av, bv)]
+            )
+        if not eq.all():
+            idx = np.nonzero(~eq)[0][:5]
+            raise AssertionError(
+                f"{key}: value mismatch in column {c!r} at sorted rows {idx.tolist()}: "
+                f"spark={av[idx].tolist()} duck={bv[idx].tolist()}"
+            )

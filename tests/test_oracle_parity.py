@@ -1,0 +1,40 @@
+"""The primary gate: every oracle-declared query key must match DuckDB
+exactly at the driver's correctness scale factor (sf0.01 by default)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.compare import assert_frames_match
+from tests.conftest import SF_ORACLE
+
+
+def _keys():
+    import bcdp_spark.queries as q
+
+    return sorted(q.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("key", _keys())
+def test_oracle_parity(key, spark, duck):
+    import bcdp_spark.queries as q
+
+    sdf = q.queries()[key](spark, SF_ORACLE)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = duck.execute(q.oracle_sql()[key]).df()
+    assert_frames_match(spark_pdf, duck_pdf, key)
+
+
+def test_all_queries_have_fn():
+    import bcdp_spark.queries as q
+
+    qs, os_ = q.queries(), q.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 40, f"expected >=40 query keys, got {len(qs)}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0

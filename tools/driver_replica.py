@@ -1,0 +1,63 @@
+"""Driver replica: vanilla SparkSession (no engine-side configs), import
+__spark_entry__ the way the driver does, smoke entry(), then hash-compare
+every queries() key against oracle_sql() via DuckDB at sf0.01."""
+import hashlib, json, sys, time
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false")
+         # deliberately NO nanosAsLong, NO UTC tz, NO AQE tweaks: driver defaults
+         .getOrCreate())
+
+import __spark_entry__ as e
+import duckdb
+
+# --- t1 smoke ---
+df = e.entry(spark)
+rows = df.collect()
+print("SMOKE entry(): rows =", len(rows), "schema =", [f.name for f in df.schema])
+assert len(rows) >= 0 and len(df.schema) > 0
+
+# --- t2 oracle ---
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def value_hash(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    recs = []
+    for row in pdf.itertuples(index=False):
+        recs.append(tuple(repr(v) for v in row))
+    recs.sort()
+    return hashlib.sha256(json.dumps(recs).encode()).hexdigest()
+
+import pandas as pd
+def norm(pdf):
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+    return pdf
+
+qs, osql = e.queries(), e.oracle_sql()
+print(f"{len(qs)} queries, {len(osql)} oracles")
+fails = []
+for k in sorted(qs):
+    t0 = time.time()
+    spdf = norm(qs[k](spark, SF).toPandas())
+    if k not in osql:
+        print(f"  {k}: rows-only, {len(spdf)} rows"); continue
+    dpdf = norm(con.execute(osql[k]).df())
+    hs, hd = value_hash(spdf), value_hash(dpdf)
+    ok = (len(spdf) == len(dpdf)) and sorted(spdf.columns) == sorted(dpdf.columns) and hs == hd
+    print(f"  {k}: rows {len(spdf)}/{len(dpdf)} cols_ok={sorted(spdf.columns)==sorted(dpdf.columns)} hash_ok={hs==hd} ({time.time()-t0:.1f}s)")
+    if not ok: fails.append(k)
+print("FAILURES:", fails if fails else "none")
+sys.exit(1 if fails else 0)
