@@ -123,7 +123,9 @@ GROUP BY n_name
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
+    # customer/nation/region are dimensions of the orders fact — broadcast
+    # all three (classic star-join strategy; one shuffle-free stage + agg).
+    customer = F.broadcast(table(spark, sf_dir, "customer"))
     nation = F.broadcast(table(spark, sf_dir, "nation"))
     region = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
@@ -213,8 +215,9 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     customer = table(spark, sf_dir, "customer")
     big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    # broadcast the filtered key set: semi join reduces to a map-side probe
     return customer.join(
-        big, customer.c_custkey == big.o_custkey, "left_semi"
+        F.broadcast(big), customer.c_custkey == big.o_custkey, "left_semi"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
@@ -237,8 +240,9 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
+    # broadcast the filtered key set: anti join reduces to a map-side probe
     return customer.join(
-        recent, customer.c_custkey == recent.o_custkey, "left_anti"
+        F.broadcast(recent), customer.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment", "c_acctbal")
 
 
@@ -462,8 +466,15 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    # Explicit hash repartition on the window key: satisfies the window's
+    # required distribution (no second shuffle) and pins parallelism — AQE
+    # would otherwise coalesce this small shuffle to 1 partition and sort
+    # serially; at 100 TB the same explicit key distribution is what you
+    # want for per-group windows.
+    n_part = spark.sparkContext.defaultParallelism
     return (
         table(spark, sf_dir, "orders")
+        .repartition(n_part, "o_custkey")
         .select(
             "o_custkey",
             "o_orderkey",

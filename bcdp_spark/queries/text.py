@@ -110,25 +110,23 @@ def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_docs",
     oracle="""
 SELECT COUNT(*) AS n_unique_docs,
-       CAST(SUM(doc_id) AS BIGINT) AS keeper_id_sum
-FROM (
-  SELECT doc_id,
-         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-  FROM documents
-)
-WHERE rn = 1
+       CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum
+FROM (SELECT MIN(doc_id) AS keeper FROM documents GROUP BY text)
 """,
 )
 def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
+    # keep-first == min(doc_id) per text group: a partial-aggregatable
+    # hash agg (map-side combine) instead of a window sort — the shape
+    # that scales; at 100 TB you'd group by sha2(text) to shuffle 32-byte
+    # keys instead of documents (operators/dedup.py does exactly that).
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"))
         .agg(
             F.count(F.lit(1)).alias("n_unique_docs"),
-            F.sum("doc_id").cast("long").alias("keeper_id_sum"),
+            F.sum("keeper").cast("long").alias("keeper_id_sum"),
         )
     )
 
