@@ -1,0 +1,64 @@
+"""Scalar function layer (SURVEY.md §2.8): unit conversions, season
+derivation, calendar normalization — the reference's physics/time
+helpers (bcdp/utils.py [UNVERIFIED]) as pure column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SECONDS_PER_DAY = 86400.0
+
+
+def kelvin_to_celsius(c: Column | str) -> Column:
+    return F.col(c) - 273.15 if isinstance(c, str) else c - 273.15
+
+
+def celsius_to_kelvin(c: Column | str) -> Column:
+    return F.col(c) + 273.15 if isinstance(c, str) else c + 273.15
+
+
+def precip_flux_to_mm_day(c: Column | str) -> Column:
+    """kg m⁻² s⁻¹ → mm/day (linear a·x: 1 kg/m² == 1 mm of water)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col * SECONDS_PER_DAY
+
+
+def linear_convert(c: Column | str, a: float = 1.0, b: float = 0.0) -> Column:
+    """Generic a·x + b unit conversion."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col * a + b
+
+
+def season_of(time_col: Column | str) -> Column:
+    """Meteorological season label from the month (DJF wraps the year)."""
+    m = F.month(time_col)
+    return (
+        F.when(m.isin(12, 1, 2), "DJF")
+        .when(m.isin(3, 4, 5), "MAM")
+        .when(m.isin(6, 7, 8), "JJA")
+        .otherwise("SON")
+    )
+
+
+def season_year(time_col: Column | str) -> Column:
+    """Year a season belongs to: December counts toward the following
+    year's DJF (the year-wrap the reference's select_season handles)."""
+    return F.when(
+        F.month(time_col) == 12, F.year(time_col) + 1
+    ).otherwise(F.year(time_col))
+
+
+def normalize_time(time_col: Column | str, granularity: str = "hour") -> Column:
+    """Calendar normalization: truncate to a shared granularity (the
+    cheap half of bcdp's normalize_times; non-Gregorian calendars are
+    normalized at ingest by the NetCDF decode seam)."""
+    return F.date_trunc(granularity, time_col)
+
+
+def mask_fill_value(c: Column | str, fill_value: float) -> Column:
+    """_FillValue → NULL (P5). NaN is also mapped to NULL so downstream
+    aggregates skip it, matching the reference's masked-array semantics."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(col.eqNullSafe(float("nan")) | (col == fill_value), None).otherwise(col)

@@ -1,0 +1,116 @@
+"""As-of (nearest-time) join — the reference's time-alignment primitive
+(bcdp normalize_times + reindex-nearest, bcdp/core.py [UNVERIFIED]).
+
+Spark has no native as-of join. The scalable pattern used here is the
+union-and-carry trick: tag both sides, union on (key, time), sort within
+key, and carry the most recent right-side row forward with
+``last(..., ignorenulls=True)`` over an unbounded-preceding window. One
+shuffle + one sort per side — no range join, no per-row probe; works at
+any scale because the window is partitioned by the join key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the nearest right row with
+    right.on <= left.on (backward) or >= (forward), per ``by`` keys.
+
+    Ties on the time column are broken by preferring the right row that
+    appears later in its own input order of (on,) — deterministic because
+    the carry window orders by (on, _tag) with right rows sorted before
+    left rows at equal timestamps (a right row AT the left timestamp
+    matches, mirroring pandas.merge_asof allow_exact_matches=True).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    by = list(by)
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in by and c != on]
+
+    payload = F.struct(
+        F.col(on).alias("__r_on"), *[F.col(c) for c in rcols]
+    ).alias("__payload")
+    r = right.select(*by, F.col(on).alias("__t"), F.lit(0).alias("__tag"), payload)
+    l = left.select(
+        *lcols, F.col(on).alias("__t"), F.lit(1).alias("__tag"), F.lit(None).cast(
+            r.schema["__payload"].dataType
+        ).alias("__payload")
+    )
+    # align column sets for the union (right rows carry NULL left columns,
+    # including the left's own `on` column — they are filtered out at the
+    # end; ordering uses __t)
+    ltypes = dict(left.dtypes)
+    for c in lcols:
+        if c not in by:
+            r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+    r = r.select(*lcols, "__t", "__tag", "__payload")
+
+    u = l.unionByName(r)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = u.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__tag") == 1)
+
+    out = carried
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(on)) - F.unix_micros(F.col("__match.__r_on"))
+        )
+        out = out.withColumn(
+            "__match",
+            F.when(gap <= tolerance_us, F.col("__match")),
+        )
+    for c in rcols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__match.{c}"))
+    return out.withColumn(f"{on}{suffix}", F.col("__match.__r_on")).drop(
+        "__t", "__tag", "__payload", "__match"
+    )
+
+
+def nearest_bucket_pick(
+    df: DataFrame,
+    ts_col: str,
+    by: Sequence[str],
+    bucket: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Bucket-align variant (SURVEY.md J6 / q_asof_bucket): truncate time
+    to a bucket and keep the earliest row per (by, bucket) — the
+    reference's reindex-to-grid with 'nearest from below' semantics."""
+    order = [F.col(ts_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(
+        *by, F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,277 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2 — LLM-data-pipeline
+surface): exact, MinHash-LSH, SimHash, and n-gram Jaccard.
+
+Scale design notes (100 TB):
+- exact dedup shuffles a 32-byte sha2 fingerprint, never the document
+  payload; the keeper id comes back via a second lightweight shuffle.
+- MinHash-LSH: shingling, hashing, and banding are all JVM-side
+  (higher-order functions over arrays); the only shuffle key is the
+  (band_idx, band_hash) bucket. Bucket skew (e.g. boilerplate docs) is
+  handled by AQE skew-join splitting; pathological buckets can be capped
+  with a count filter before the self-join.
+- SimHash is a vectorized Arrow-batched pandas UDF (numpy bit ops) —
+  the sanctioned slow path, one pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep-first exact dedup: one row per distinct ``text_col``, keeping
+    the smallest ``id_col``. Shuffles (fingerprint, id) pairs only."""
+    fp = F.sha2(F.col(text_col), 256)
+    keepers = (
+        df.select(fp.alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups with >1 identical text: (fingerprint, n_dups, min_id)."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+def _shingles_expr(col: str, k: int) -> F.Column:
+    """Array of character k-grams (JVM-side; no Python)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> substring({col}, i, {k}))"
+    )
+
+
+def minhash_signature(col: str, num_perm: int = 64, k: int = 5) -> F.Column:
+    """num_perm-wide MinHash signature over character k-shingles.
+    Permutation j = murmur3 hash salted by the extra literal j; min over
+    shingles. All JVM-side array expressions.
+
+    NB: the transform lambda must be single-arg — a `j=j` default would
+    make PySpark bind it as the (element, index) two-arg variant and
+    silently ignore the permutation salt. Hence the factory closure.
+    """
+    sh = _shingles_expr(col, k)
+
+    def perm_min(j: int) -> F.Column:
+        return F.array_min(F.transform(sh, lambda s: F.hash(s, F.lit(j))))
+
+    return F.array(*[perm_min(j) for j in range(num_perm)])
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share at least
+    one LSH band bucket. rows_per_band = num_perm / bands controls the
+    similarity threshold (~(1/bands)^(1/rows_per_band))."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sig = minhash_signature(text_col, num_perm, shingle_k)
+    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(
+                            F.slice(F.col("__sig"), b * r + 1, r).cast(
+                                "array<int>"
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__band.band_idx", "__band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Greedy near-dedup: drop any doc that shares a band bucket with a
+    smaller-id doc (single-pass min-id propagation; a full transitive
+    closure would iterate bucket→min until fixpoint)."""
+    pairs = lsh_bucket_pairs(df, text_col, id_col, num_perm, bands, shingle_k)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# X2b — SimHash (64-bit) via vectorized pandas UDF
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (deterministic: blake2b-based
+    token hashes). Arrow-batched; numpy bit accumulation."""
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in str(t).split():
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+            )
+            bits = (h >> shifts) & one
+            acc += np.where(bits == one, 1, -1)
+        out[i] = np.uint64(sum(1 << j for j in range(64) if acc[j] > 0))
+    return pd.Series(out.view(np.int64))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: block on 4 × 16-bit chunks (two
+    signatures within hamming distance 3 must agree on ≥1 chunk), then
+    exact hamming filter via bit_count(xor)."""
+    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    chunks = h.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("__sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select(id_col, "__sh", "__c.chunk_idx", "__c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c — n-gram Jaccard verification (exact, for candidate pairs)
+# ---------------------------------------------------------------------------
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for candidate (id_a, id_b) pairs;
+    keeps pairs with similarity >= threshold. Join payload is the distinct
+    shingle set, computed once per doc."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles_expr(text_col, k)).alias("__sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH blocking (docs in
+    the same nbits-bucket are candidates) + exact cosine filter. See
+    operators/similarity.py for the shared hyperplane machinery."""
+    from bcdp_spark.operators.similarity import hyperplane_bucket, cosine_expr
+
+    h = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, dim, nbits, seed).alias("__b")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__b") == F.col("b.__b"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    sim = cosine_expr(f"a.{vec_col}", f"b.{vec_col}", dim)
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 X5): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(NotImplementedError) behind a clearly-marked seam, and a deterministic
+fake extractor exercises the real Spark plumbing — schema, batching,
+partitioning, UDF signatures — end to end (tested in
+tests/test_operators.py).
+
+Scale notes: binary payloads ride a normal columnar shuffle; keep
+``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs fits
+executor memory, and push metadata-only predicates BEFORE any decode
+(mapInPandas sees already-pruned batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media row contract: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw files as binary rows (path, modificationTime, length,
+    content) — Spark's binaryFile source; partition-parallel."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """REAL decode seam — requires an image codec (PIL/cv2), which this
+    container does not ship. Wire your codec here; everything downstream
+    (batching, schema, partitioning) is already exercised by the fake
+    extractor below."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 (not available in this container); "
+        "use fake_feature_extract for plumbing tests"
+    )
+
+
+def fake_feature_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in for decode→embed: maps each binary payload
+    to a FEATURE_DIM float vector derived from payload bytes (stable
+    blake2b-seeded). Real extractors swap the inner function only — the
+    mapInPandas contract (schema, Arrow batches) is identical."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+    other_cols = df.columns
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                seed = int.from_bytes(
+                    hashlib.blake2b(bytes(payload), digest_size=8).digest(),
+                    "big",
+                ) % (2**32)
+                rng = np.random.RandomState(seed)
+                feats.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf[other_cols + ["features"]]
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """Video frame-sampling plumbing: explodes per-media frame indices
+    (metadata-driven; decode stubbed). Demonstrates the fan-out schema —
+    one row per sampled frame — without a codec."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), F.lit("n_frames")).cast("int"), F.lit(0)
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return df.withColumn("frame_idx", F.explode(idx))

@@ -1,0 +1,48 @@
+"""Sessionization (gaps-and-islands) — batch twin of Structured
+Streaming's session_window (SURVEY.md ST3). One shuffle+sort per key;
+session ids are per-key cumulative counters, deterministic given a
+unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a ``session_id`` (1-based per user) that increments whenever
+    the gap to the previous event exceeds ``gap_seconds``."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(ts_us).over(w)
+    new_s = F.when(
+        prev.isNull() | ((ts_us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(new_s).over(wc).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates: event count, start/end, duration."""
+    s = sessionize(df, user_col, ts_col, gap_seconds, tiebreak)
+    ts_us = F.unix_micros(F.col(ts_col))
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_us).alias("start_us"),
+        F.max(ts_us).alias("end_us"),
+        ((F.max(ts_us) - F.min(ts_us)) / 1_000_000.0).alias("duration_s"),
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators (SURVEY.md §2.11 X4): language-ID heuristic,
+quality scoring, token counting, document fingerprinting. All pure
+column expressions (whole-stage codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword profiles for the n-gram/stopword language heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "un", "est"),
+}
+
+
+def tokens(col: str) -> Column:
+    return F.split(F.col(col), r"\s+")
+
+
+def word_count(col: str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_regex(col: str, pattern: str = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]") -> Column:
+    """BPE-ish token count: letter runs, digit runs, and single symbols —
+    the standard pre-tokenization regex shape."""
+    return F.regexp_count(F.col(col), F.lit(pattern))
+
+
+def stopword_ratio(col: str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    stops = F.size(F.filter(toks, lambda w: _isin(w, stopwords)))
+    return stops.cast("double") / F.size(toks)
+
+
+def _isin(w: Column, values: tuple[str, ...]) -> Column:
+    out = w == values[0]
+    for v in values[1:]:
+        out = out | (w == v)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: n_words, n_chars, avg_word_len,
+    stopword_ratio (en), punct_ratio, digit_ratio."""
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(text_col)
+    return (
+        df.withColumn("n_words_q", n_words)
+        .withColumn("n_chars_q", n_chars)
+        .withColumn(
+            "avg_word_len",
+            (n_chars - n_words + 1).cast("double") / n_words,
+        )
+        .withColumn(
+            "stop_ratio", stopword_ratio(text_col, LANG_PROFILES["en"])
+        )
+        .withColumn(
+            "punct_ratio",
+            F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+            / n_chars,
+        )
+        .withColumn(
+            "digit_ratio",
+            F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).cast("double")
+            / n_chars,
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit ratio
+    (n-gram-frequency heuristic, SURVEY.md X4). Appends ``lang_pred`` and
+    ``lang_score``; 'und' when no profile scores above zero."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+
+    # NB: the filter lambda must be single-arg — PySpark interprets a
+    # two-arg lambda (e.g. the `sw=sw` default-capture idiom) as the
+    # (element, index) variant. Use a factory closure instead.
+    def score(sw: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda w: _isin(w, sw))) / n
+
+    scored = F.array(
+        *[
+            F.struct(
+                score(sw).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in LANG_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_score", best["score"])
+
+
+def fingerprint_minsample(
+    col: str, k: int = 5, n_keep: int = 8
+) -> Column:
+    """Winnowing-style document fingerprint: hash all character k-grams,
+    keep the n smallest hashes (order-insensitive, locality-robust).
+    Rolling-hash analog that stays in whole-stage codegen."""
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> hash(substring({col}, i, {k})))"
+    )
+    return F.slice(F.array_sort(shingles), 1, n_keep)
+
+
+def content_fingerprint(col: str) -> Column:
+    """Exact content fingerprint (md5 hex — stable across engines)."""
+    return F.md5(F.col(col))

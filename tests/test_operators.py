@@ -1,0 +1,319 @@
+"""Unit tests for the operator library on small hand-built DataFrames
+(SURVEY.md §5.3 edge cases: NULLs, ties, duplicates, tolerance)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- asof
+def test_asof_join_backward(spark):
+    from bcdp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 00:10:00"), ("u1", "2024-01-01 01:00:00"),
+         ("u2", "2024-01-01 00:05:00")],
+        "k string, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 1.0), ("u1", "2024-01-01 00:30:00", 2.0),
+         ("u2", "2024-01-01 00:06:00", 9.0)],
+        "k string, t string, v double",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+    out = asof_join(left, right, on="t", by=["k"]).orderBy("k", "t")
+    rows = out.collect()
+    # u1@00:10 -> v=1.0 (00:00), u1@01:00 -> v=2.0 (00:30), u2@00:05 -> none
+    assert rows[0]["v_right"] == 1.0
+    assert rows[1]["v_right"] == 2.0
+    assert rows[2]["v_right"] is None
+
+
+def test_asof_join_tolerance_and_forward(spark):
+    from bcdp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 02:00:00")], "k string, t string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 1.0), ("u1", "2024-01-01 02:30:00", 5.0)],
+        "k string, t string, v double",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+    tol = asof_join(left, right, on="t", by=["k"], tolerance_us=60 * 60 * 1_000_000)
+    assert tol.collect()[0]["v_right"] is None  # 2h gap > 1h tolerance
+
+    fwd = asof_join(left, right, on="t", by=["k"], direction="forward")
+    assert fwd.collect()[0]["v_right"] == 5.0
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_dedup_keep_first(spark):
+    from bcdp_spark.operators.dedup import duplicate_groups, exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 5]
+    groups = duplicate_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 3 and groups[0]["min_id"] == 1
+
+
+def test_minhash_dedup_finds_near_duplicates(spark):
+    from bcdp_spark.operators.dedup import lsh_bucket_pairs, minhash_dedup, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "very lazy")  # near-duplicate
+    far = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = lsh_bucket_pairs(df, "text", "doc_id", num_perm=32, bands=16, shingle_k=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+    verified = ngram_jaccard(df, pairs, "text", "doc_id", k=4, threshold=0.5)
+    assert {(r["id_a"], r["id_b"]) for r in verified.collect()} == {(1, 2)}
+
+    deduped = minhash_dedup(df, "text", "doc_id", num_perm=32, bands=16, shingle_k=4)
+    assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 3]
+
+
+def test_simhash_near_pairs(spark):
+    from bcdp_spark.operators.dedup import simhash_near_pairs
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word7", "word7x")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+# ----------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark):
+    from bcdp_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expect = list(np.argsort(-sims)[:5])
+    got = [r["vec_id"] for r in cosine_topk(df, [float(x) for x in q], k=5).collect()]
+    assert got == expect
+
+
+def test_ann_topk_recall(spark):
+    """LSH recall on planted clusters (random gaussian 'neighbors' are
+    near-orthogonal, so plant genuinely-close vectors instead)."""
+    from bcdp_spark.operators.similarity import ann_topk, cosine_topk
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(16)
+    planted = [base + 0.15 * rng.standard_normal(16) for _ in range(12)]
+    noise = [rng.standard_normal(16) for _ in range(300)]
+    vecs = [v.astype(np.float32) for v in planted + noise]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in base]
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ann_topk(df, q, k=10, nbits=8, multiprobe=2).collect()
+    }
+    assert exact == set(range(12)) - {10, 11} or exact <= set(range(12))
+    assert len(exact & approx) >= 8  # high recall on genuinely-near vectors
+
+
+def test_ivf_assign(spark):
+    from bcdp_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [5.0, 5.1]), (3, [0.0, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_assign(df, centroids=[[0.0, 0.0], [5.0, 5.0]])
+    cells = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
+    assert cells == {1: 0, 2: 1, 3: 0}
+
+
+# ---------------------------------------------------------------- regrid
+def test_regrid_bin_average(spark):
+    from bcdp_spark.operators.regrid import regrid_bin_average
+
+    df = spark.createDataFrame(
+        [(0.25, 0.25, 1.0), (0.75, 0.75, 3.0), (1.25, 0.25, 10.0)],
+        "lat double, lon double, value double",
+    )
+    out = regrid_bin_average(df, lat_res=1.0, lon_res=1.0).collect()
+    by_cell = {(r["lat"], r["lon"]): (r["value"], r["n_cells"]) for r in out}
+    assert by_cell[(0.5, 0.5)] == (2.0, 2)
+    assert by_cell[(1.5, 0.5)] == (10.0, 1)
+
+
+def test_regrid_weighted_mask_aware(spark):
+    from bcdp_spark.operators.regrid import regrid_weighted
+
+    cells = spark.createDataFrame(
+        [(0.0, 0.0, 2.0), (0.0, 1.0, None), (1.0, 0.0, 6.0)],
+        "lat double, lon double, value double",
+    )
+    weights = spark.createDataFrame(
+        [(0.0, 0.0, 0.5, 0.5, 0.5), (0.0, 1.0, 0.5, 0.5, 0.25),
+         (1.0, 0.0, 0.5, 0.5, 0.25)],
+        "src_lat double, src_lon double, dst_lat double, dst_lon double, w double",
+    )
+    out = regrid_weighted(cells, weights).collect()
+    assert len(out) == 1
+    # NULL source cell drops from numerator and denominator:
+    # (0.5*2 + 0.25*6) / (0.5 + 0.25) = 2.5/0.75
+    assert out[0]["value"] == pytest.approx(2.5 / 0.75)
+
+
+# ------------------------------------------------------------- sessionize
+def test_sessionize_gap(spark):
+    from bcdp_spark.operators.sessionize import session_stats, sessionize
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (1, "2024-01-01 01:00:00"), (2, "2024-01-01 00:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize(df, gap_seconds=1800)
+    got = {
+        (r["user_id"], r["ts"].hour, r["ts"].minute, r["session_id"])
+        for r in s.collect()
+    }
+    # 00:00 and 00:10 share session 1; 01:00 (50-min gap) opens session 2
+    assert got == {(1, 0, 0, 1), (1, 0, 10, 1), (1, 1, 0, 2), (2, 0, 0, 1)}
+    stats = session_stats(df, gap_seconds=1800)
+    per = {(r["user_id"], r["session_id"]): r["n_events"] for r in stats.collect()}
+    assert per == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+# ------------------------------------------------------------------ text
+def test_lang_id_heuristic(spark):
+    from bcdp_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat and the dog is in the house"),
+         (2, "el gato y la casa de un perro que es grande en madrid"),
+         (3, "zzz qqq xxx www")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_quality_features_and_fingerprint(spark):
+    from bcdp_spark.operators.text import (
+        content_fingerprint,
+        fingerprint_minsample,
+        quality_features,
+        token_count_regex,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox! 42 jumps."), (2, "the quick fox! 42 jumps.")],
+        "doc_id long, text string",
+    )
+    q = quality_features(df).collect()[0]
+    assert q["n_words_q"] == 5
+    assert 0 < q["stop_ratio"] < 1
+    assert q["punct_ratio"] > 0 and q["digit_ratio"] > 0
+
+    toks = df.select(token_count_regex("text").alias("n")).collect()[0]["n"]
+    assert toks == 7  # the/quick/fox/!/42/jumps/.
+
+    fps = df.select(content_fingerprint("text").alias("fp"),
+                    fingerprint_minsample("text").alias("ms")).collect()
+    assert fps[0]["fp"] == fps[1]["fp"]
+    assert fps[0]["ms"] == fps[1]["ms"] and len(fps[0]["ms"]) == 8
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_fake_extract_and_frame_sample(spark):
+    from bcdp_spark.operators.multimodal import (
+        FEATURE_DIM,
+        fake_feature_extract,
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-a"), {"n_frames": "25"}),
+         (2, "video", bytearray(b"payload-b"), {"n_frames": "30"}),
+         (3, "image", None, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = fake_feature_extract(df).collect()
+    by_id = {r["media_id"]: r["features"] for r in out}
+    assert len(by_id[1]) == FEATURE_DIM
+    assert by_id[3] is None
+    # determinism: same payload → same features
+    out2 = fake_feature_extract(df).collect()
+    assert [r["features"] for r in out] == [r["features"] for r in out2]
+
+    frames = frame_sample_plan(df.filter("media_id = 2"), every_n=10).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 10, 20]
+
+
+# --------------------------------------------------------------- sources
+def test_source_registry_csv_roundtrip(spark, tmp_path):
+    from bcdp_spark.sources import list_sources, load
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = load("csv", spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+    assert {"parquet", "csv", "json", "binary", "netcdf"} <= set(list_sources())
+
+
+def test_netcdf_source_stub_gates_cleanly(spark, tmp_path):
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    f = tmp_path / "x.nc"
+    f.write_bytes(b"not-a-real-netcdf")
+    df = load_netcdf(spark, str(tmp_path / "*.nc"))
+    assert df.schema.fieldNames() == ["name", "time", "lat", "lon", "value"]
+    with pytest.raises(Exception, match="NetCDF decode requires|netCDF4"):
+        df.collect()
+
+
+# -------------------------------------------------------------- functions
+def test_unit_functions(spark):
+    from bcdp_spark.functions import (
+        kelvin_to_celsius,
+        precip_flux_to_mm_day,
+        season_of,
+        season_year,
+    )
+
+    df = spark.createDataFrame(
+        [(273.15, 1.0 / 86400.0, "2023-12-15"), (300.0, 2.0 / 86400.0, "2024-06-01")],
+        "t double, p double, d string",
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    r = df.select(
+        kelvin_to_celsius("t").alias("c"),
+        precip_flux_to_mm_day("p").alias("mm"),
+        season_of("d").alias("season"),
+        season_year("d").alias("sy"),
+    ).collect()
+    assert r[0]["c"] == 0.0 and r[0]["mm"] == pytest.approx(1.0)
+    assert r[0]["season"] == "DJF" and r[0]["sy"] == 2024  # Dec → next year
+    assert r[1]["season"] == "JJA" and r[1]["sy"] == 2024

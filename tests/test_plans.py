@@ -1,0 +1,78 @@
+"""Physical-plan quality gates (SURVEY.md §4): the scale story as
+executable assertions — pushdown reaches parquet, projection prunes
+columns, dims broadcast, aggregates stay in whole-stage codegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def test_range_filter_pushdown(spark):
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import has_pushed_filters
+
+    df = q.queries()["q_range_filter"](spark, SF_ORACLE)
+    assert has_pushed_filters(df), "range predicates must reach the parquet scan"
+
+
+def test_scan_project_prunes_columns(spark):
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import read_schema_columns
+
+    df = q.queries()["q_scan_project"](spark, SF_ORACLE)
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity"}, (
+        f"scan must read only projected columns, got {cols}"
+    )
+
+
+def test_star_join_broadcasts(spark):
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import uses_broadcast_join
+
+    df = q.queries()["q_join_agg"](spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_agg_in_codegen(spark):
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import codegen_stages
+
+    df = q.queries()["q_pricing_summary"](spark, SF_ORACLE)
+    assert codegen_stages(df) >= 1
+
+
+def test_window_topk_single_shuffle(spark):
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import count_exchanges
+
+    df = q.queries()["q_window_topk"](spark, SF_ORACLE)
+    # explicit repartition satisfies the window's distribution: exactly one
+    # hash exchange, no second shuffle for the sort
+    assert count_exchanges(df) == 1
+
+
+def test_partial_aggregation_order_insensitive(spark):
+    """Property check (SURVEY.md §5.4): shuffling input partitioning does
+    not change decimal-routed aggregates."""
+    import bcdp_spark.queries as q
+
+    a = q.queries()["q_pricing_summary"](spark, SF_ORACLE).toPandas()
+    from bcdp_spark.tables import table
+    from bcdp_spark.queries._helpers import dsum, davg
+    from pyspark.sql import functions as F
+
+    li = table(spark, SF_ORACLE, "lineitem").repartition(13)
+    b = (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .toPandas()
+    )
+    a2 = a[["l_returnflag", "l_linestatus", "sum_qty"]].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+    b2 = b.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert a2.equals(b2)

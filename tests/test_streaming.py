@@ -1,0 +1,87 @@
+"""Structured Streaming tests: replay the events fixture with
+availableNow and check batch equivalence (SURVEY.md §2.9 strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    from bcdp_spark.streaming import events_stream
+
+    return events_stream(spark, SF_SMOKE)
+
+
+def test_tumbling_matches_batch(spark, stream):
+    from bcdp_spark.streaming import run_available_now, tumbling_counts
+    import bcdp_spark.queries as q
+
+    got = run_available_now(tumbling_counts(stream), "t_tumbling").select(
+        "hour_s", "event_type", "n"
+    )
+    want = q.queries()["q_tumbling_events"](spark, SF_SMOKE).select(
+        "hour_s", "event_type", "n"
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_session_window_stream(spark, stream):
+    from bcdp_spark.streaming import run_available_now, session_counts
+    from bcdp_spark.operators.sessionize import session_stats
+    from bcdp_spark.tables import table
+
+    got = run_available_now(session_counts(stream, gap="30 minutes"), "t_sess")
+    batch = session_stats(
+        table(spark, SF_SMOKE, "events"), gap_seconds=1800, tiebreak="event_id"
+    )
+    # same number of sessions and same total events per user
+    g = got.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    b = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    assert g.subtract(b).count() == 0 and b.subtract(g).count() == 0
+
+
+def test_dedup_stream(spark, stream):
+    from bcdp_spark.streaming import dedup_stream, run_available_now
+    from bcdp_spark.tables import table
+
+    got = run_available_now(
+        dedup_stream(stream).select("event_id"), "t_dedup", mode="append"
+    )
+    n_batch = table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert got.count() == n_batch
+
+
+def test_stateful_running_mean(spark, stream):
+    from bcdp_spark.streaming import run_available_now, running_user_state
+    from bcdp_spark.tables import table
+
+    got = run_available_now(running_user_state(stream), "t_state", mode="update")
+    # update-mode memory sink keeps the latest row per user for one batch
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert final.subtract(want).count() == 0 and want.subtract(final).count() == 0
+
+
+def test_sliding_counts_runs(spark, stream):
+    from bcdp_spark.streaming import run_available_now, sliding_counts
+
+    got = run_available_now(sliding_counts(stream), "t_sliding")
+    assert got.count() > 0
+    # every event lands in width/slide = 4 windows (hour window, 15-min slide)
+    total = got.agg(F.sum("n")).collect()[0][0]
+    from bcdp_spark.tables import table
+
+    n_events = table(stream.sparkSession, SF_SMOKE, "events").count()
+    assert total == 4 * n_events
