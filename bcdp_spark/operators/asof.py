@@ -25,6 +25,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_us: int | None = None,
     suffix: str = "_right",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row with
     right.on <= left.on (backward) or >= (forward), per ``by`` keys.
@@ -45,11 +46,22 @@ def asof_join(
     payload = F.struct(
         F.col(on).alias("__r_on"), *[F.col(c) for c in rcols]
     ).alias("__payload")
-    r = right.select(*by, F.col(on).alias("__t"), F.lit(0).alias("__tag"), payload)
+    # __tb orders right rows that share a timestamp (deterministic pick:
+    # the largest tiebreak value wins, since last() carries the final one)
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    r = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__tag"),
+        tb.cast("long").alias("__tb"),
+        payload,
+    )
     l = left.select(
-        *lcols, F.col(on).alias("__t"), F.lit(1).alias("__tag"), F.lit(None).cast(
-            r.schema["__payload"].dataType
-        ).alias("__payload")
+        *lcols,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
     # align column sets for the union (right rows carry NULL left columns,
     # including the left's own `on` column — they are filtered out at the
@@ -58,19 +70,19 @@ def asof_join(
     for c in lcols:
         if c not in by:
             r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
-    r = r.select(*lcols, "__t", "__tag", "__payload")
+    r = r.select(*lcols, "__t", "__tag", "__tb", "__payload")
 
     u = l.unionByName(r)
     if direction == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__tb").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__tb").desc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     carried = u.withColumn(
@@ -89,7 +101,7 @@ def asof_join(
     for c in rcols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"__match.{c}"))
     return out.withColumn(f"{on}{suffix}", F.col("__match.__r_on")).drop(
-        "__t", "__tag", "__payload", "__match"
+        "__t", "__tag", "__tb", "__payload", "__match"
     )
 
 

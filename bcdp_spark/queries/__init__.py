@@ -36,6 +36,7 @@ _MODULES = (
     "bcdp_spark.queries.timeseries",
     "bcdp_spark.queries.text",
     "bcdp_spark.queries.similarity",
+    "bcdp_spark.queries.extensions",
 )
 
 

@@ -1,0 +1,239 @@
+"""Extension query keys beyond SURVEY.md §2's 40-key core: operator-
+library instantiations with oracles where SQL-expressible, rows-only
+declarations otherwise (the driver records a weaker check; the judge sees
+which — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import davg_sql, dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# J6 via the real as-of operator: latest event at-or-before each hourly
+# mark per user (union-and-carry asof_join; oracle = range join + rank).
+# ---------------------------------------------------------------------------
+@register(
+    "q_asof_align",
+    oracle="""
+WITH marks AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+cand AS (
+  SELECT m.user_id,
+         CAST(epoch(m.h) AS BIGINT) AS hour_s,
+         e.event_id, e.value,
+         ROW_NUMBER() OVER (PARTITION BY m.user_id, m.h
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM marks m JOIN events e ON e.user_id = m.user_id AND e.ts <= m.h
+)
+SELECT user_id, hour_s, event_id, value FROM cand WHERE rn = 1
+""",
+)
+def q_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.asof import asof_join
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    marks = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).distinct()
+    aligned = asof_join(
+        marks,
+        ev.select("user_id", "ts", "event_id", "value"),
+        on="ts",
+        by=["user_id"],
+        direction="backward",
+        right_tiebreak="event_id",
+    )
+    return aligned.filter(F.col("event_id_right").isNotNull()).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("hour_s"),
+        F.col("event_id_right").alias("event_id"),
+        F.col("value_right").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7+A5 — weights-table regrid (the ESMF-style conservative pattern):
+# deterministic 1-D weights over the user_id axis, weighted hour averages.
+# ---------------------------------------------------------------------------
+def _weights_rows(n_users: int = 200) -> list[tuple[int, int, float]]:
+    # (src_user, dst_bin, w): weight varies deterministically with user
+    return [(u, u // 10, 1.0 + (u % 3)) for u in range(n_users)]
+
+
+def _weights_values_sql(n_users: int = 200) -> str:
+    rows = ", ".join(f"({u}, {b}, {w!r})" for u, b, w in _weights_rows(n_users))
+    return f"(VALUES {rows}) AS wts(src_user, dst_bin, w)"
+
+
+@register(
+    "q_regrid_weighted",
+    oracle=f"""
+SELECT dst_bin,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+       COUNT(*) AS n,
+       {dsum_sql('w * value', 'wsum')},
+       {dsum_sql('w', 'wtot')}
+FROM events JOIN {_weights_values_sql()} ON user_id = src_user
+GROUP BY 1, 2
+""",
+)
+def q_regrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    wts = spark.createDataFrame(
+        _weights_rows(), "src_user long, dst_bin long, w double"
+    )
+    joined = ev.join(F.broadcast(wts), ev.user_id == wts.src_user)
+    return joined.groupBy(
+        "dst_bin",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("w") * F.col("value"), "wsum"),
+        dsum(F.col("w"), "wtot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 batch twin — sliding windows (1h width, 15m slide) via offset explode;
+# oracle: UNNEST over the 4 offsets.
+# ---------------------------------------------------------------------------
+@register(
+    "q_sliding",
+    oracle="""
+SELECT CAST(FLOOR(epoch(ts) / 900) * 900 - k * 900 AS BIGINT) AS win_s,
+       event_type,
+       COUNT(*) AS n
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2
+""",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    base = F.floor(F.unix_timestamp("ts") / 900) * 900
+    starts = F.array(*[base - k * 900 for k in range(4)])
+    return (
+        ev.select("event_type", F.explode(starts).alias("win_s"))
+        .groupBy("win_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — BPE-ish regex token counting (operators/text.token_count_regex).
+# Both engines RE2-compatible for this ASCII pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_count",
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
+    return docs.groupBy("lang").agg(
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only keys (no SQL-expressible oracle; driver records row counts).
+# ---------------------------------------------------------------------------
+@register("q_minhash_dedup")
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash-LSH near-dedup of documents (deterministic: seeded
+    murmur3 permutations). Rows-only: hashes differ from any SQL oracle."""
+    from bcdp_spark.operators.dedup import minhash_dedup
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    kept = minhash_dedup(docs, "text", "doc_id", num_perm=32, bands=8, shingle_k=5)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
+
+
+@register("q_simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — SimHash near-pair count (pandas-UDF signature + chunk blocking)."""
+    from bcdp_spark.operators.dedup import simhash_near_pairs
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register("q_ann_knn")
+def q_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — hyperplane-LSH ANN top-10 (seeded, deterministic;
+    rows-only because the oracle cannot share the hyperplanes)."""
+    from bcdp_spark.operators.similarity import ann_topk
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ann_topk(
+        emb, [float(x) for x in q], k=10, nbits=8, multiprobe=2
+    ).select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@register("q_embed_neardup")
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding-cosine near-dup pair count via LSH blocking."""
+    from bcdp_spark.operators.dedup import embedding_near_dup
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, "vec_id", "embedding", dim=64, threshold=0.25, nbits=8
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — HLL approx_count_distinct (estimate: not hash-stable vs any
+    exact oracle, so rows-only)."""
+    utc(spark)
+    return table(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("n_custs_approx")
+    )
+
+
+@register("q_grouped_agg_udf")
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — grouped-agg pandas UDF: per-type trimmed mean (drop top/bottom
+    5%) of value; a custom ensemble statistic."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    utc(spark)
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints, which breaks pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        a = np.sort(v.to_numpy(dtype=np.float64))
+        k = int(len(a) * 0.05)
+        return float(a[k : len(a) - k].mean()) if len(a) > 2 * k else float(a.mean())
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(trimmed_mean(F.col("value")), 6).alias("trimmed_mean_value")
+    )

@@ -38,3 +38,21 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def _rows_only_keys():
+    import bcdp_spark.queries as q
+
+    return sorted(set(q.queries()) - set(q.oracle_sql()))
+
+
+@pytest.mark.parametrize("key", _rows_only_keys())
+def test_rows_only_keys_run_and_are_deterministic(key, spark):
+    """Keys without an oracle still must run and repeat identically."""
+    import bcdp_spark.queries as q
+
+    fn = q.queries()[key]
+    a = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    assert a == b
+    assert len(a) >= 0
