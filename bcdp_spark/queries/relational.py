@@ -383,6 +383,81 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A7b — CUBE subtotals (all grouping combinations).
+# ---------------------------------------------------------------------------
+@register(
+    "q_cube",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       n, sum_price
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         COUNT(*) AS n,
+         {dsum_sql('o_totalprice', 'sum_price')}
+  FROM orders
+  GROUP BY CUBE (o_orderstatus, o_orderpriority)
+)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7c — GROUPING SETS via the spark.sql interface (the engine's SQL front
+# door: temp views + ANSI SQL, same Catalyst plan as the DataFrame API).
+# ---------------------------------------------------------------------------
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       n, sum_price
+FROM (
+  SELECT o_orderstatus, c_mktsegment,
+         COUNT(*) AS n,
+         {dsum_sql('o_totalprice', 'sum_price')}
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment))
+)
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       n, sum_price
+FROM (
+  SELECT o_orderstatus, c_mktsegment,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_price
+  FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+  GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment))
+)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # A8 — statistical aggregates (model-vs-obs stats in the reference metric
 # layer). Non-associative — rounded on both sides, far above ulp drift.
 # ---------------------------------------------------------------------------
@@ -470,8 +545,9 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # required distribution (no second shuffle) and pins parallelism — AQE
     # would otherwise coalesce this small shuffle to 1 partition and sort
     # serially; at 100 TB the same explicit key distribution is what you
-    # want for per-group windows.
-    n_part = spark.sparkContext.defaultParallelism
+    # want for per-group windows. Half the cores measured fastest locally
+    # (per-task overhead vs parallelism tradeoff at this row count).
+    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
     return (
         table(spark, sf_dir, "orders")
         .repartition(n_part, "o_custkey")

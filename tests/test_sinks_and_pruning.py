@@ -1,0 +1,59 @@
+"""Sink (S6) + partition-layout tests: partitionBy write, partition
+pruning on read (SURVEY.md §4), and the binaryFile source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    from bcdp_spark.ensemble import Ensemble
+    from bcdp_spark.plans import formatted
+    from bcdp_spark.tables import table
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            F.col("event_type").alias("name"),
+            F.col("ts").alias("time"),
+            (F.col("user_id") % 10).cast("double").alias("lat"),
+            (F.col("user_id") % 7).cast("double").alias("lon"),
+            "value",
+        )
+    )
+    out = str(tmp_path / "bundle")
+    Ensemble(ev).to_parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    pruned = back.filter(F.col("name") == "click")
+    plan = formatted(pruned)
+    # partition filter must prune at the file index, not post-scan
+    assert "PartitionFilters" in plan and "name" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == ev.filter(F.col("name") == "click").count()
+
+
+def test_binary_source_roundtrip(spark, tmp_path):
+    from bcdp_spark.sources import load
+
+    (tmp_path / "a.bin").write_bytes(b"hello")
+    (tmp_path / "b.bin").write_bytes(b"world!")
+    df = load("binary", spark, str(tmp_path), pathGlobFilter="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {"a.bin": b"hello", "b.bin": b"world!"}
+
+
+def test_union_then_agg_equals_agg(spark):
+    """Property (SURVEY.md §5.4): bundling members then aggregating equals
+    aggregating the whole — partial-agg merge safety."""
+    from bcdp_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    parts = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    a = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    b = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
