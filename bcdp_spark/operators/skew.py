@@ -1,0 +1,62 @@
+"""Skew mitigation (SURVEY.md §4 / BASELINE scale mandate): salting for
+hot keys. AQE's skew-join splitting handles joins automatically; salted
+two-phase aggregation is the manual counterpart for aggregations whose
+group keys are pathologically hot (a handful of keys holding most rows —
+at 100 TB a single hot key would otherwise pin one reducer).
+
+Phase 1 shuffles on (key, salt) — spreading each hot key over ``buckets``
+reducers — and partially aggregates; phase 2 re-shuffles the (tiny)
+partial results on the key alone and merges. Works for any decomposable
+aggregate (sum/count/min/max, and avg via sum+count).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    buckets: int = 16,
+    sum_alias: str = "sum_value",
+    count_alias: str = "n",
+) -> DataFrame:
+    """Two-phase salted sum+count of ``value`` grouped by ``keys``.
+    Decimal-routed, so the result is bit-identical to the unsalted
+    aggregate regardless of how rows spread over salts."""
+    salt = (F.rand(seed=42) * buckets).cast("int")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.sum(value.cast("decimal(28,10)")).alias("__psum"),
+            F.count(value).alias("__pcnt"),
+        )
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(
+            F.sum("__psum").cast("double").alias(sum_alias),
+            F.sum("__pcnt").alias(count_alias),
+        )
+    )
+
+
+def salted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    buckets: int = 16,
+    alias: str = "avg_value",
+) -> DataFrame:
+    """Salted average: merge sums and counts, divide at the end (the
+    decomposition that makes avg salt-safe)."""
+    sc = salted_sum_count(df, keys, value, buckets, "__sum", "__cnt")
+    return sc.select(
+        *keys, (F.col("__sum") / F.col("__cnt")).alias(alias)
+    )

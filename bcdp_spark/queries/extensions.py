@@ -153,6 +153,84 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rows-only keys (no SQL-expressible oracle; driver records row counts).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Skew-safe salted aggregation: two-phase (key, salt) → key merge. The
+# decimal routing makes the result bit-identical to the plain aggregate,
+# so the ORACLE IS THE PLAIN AGGREGATE — the strongest possible check that
+# salting preserves semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "q_salted_agg",
+    oracle=f"""
+SELECT event_type,
+       {dsum_sql('value', 'sum_value')},
+       COUNT(value) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.skew import salted_sum_count
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev, ["event_type"], F.col("value"), buckets=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide summary tables — common analytics verb; oracle: conditional
+# aggregation, the portable PIVOT encoding).
+# ---------------------------------------------------------------------------
+@register(
+    "q_pivot",
+    oracle=f"""
+SELECT o_orderpriority,
+       {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 'F')},
+       {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 'O')},
+       {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 'P')}
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            .cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: orders above the global average price (spark.sql front
+# door — Catalyst plans the subquery as a broadcast scalar).
+# ---------------------------------------------------------------------------
+@register(
+    "q_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+SELECT o_orderkey, o_totalprice
+FROM orders_sq
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_sq)
+"""
+    )
+
+
 @register("q_minhash_dedup")
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — MinHash-LSH near-dedup of documents (deterministic: seeded

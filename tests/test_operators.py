@@ -273,6 +273,35 @@ def test_multimodal_fake_extract_and_frame_sample(spark):
     assert [r["frame_idx"] for r in frames] == [0, 10, 20]
 
 
+# ------------------------------------------------------------------ skew
+def test_salted_agg_equals_plain(spark):
+    """Salting must not change results — skewed key distribution (90% of
+    rows on one key), decimal-routed, compared against the plain agg."""
+    from bcdp_spark.operators.skew import salted_avg, salted_sum_count
+
+    rows = [("hot", float(i) * 0.1) for i in range(900)] + [
+        (f"k{i % 7}", float(i) * 0.3) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,10)")).cast("double").alias("s"),
+            F.count("v").alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["sum_value"], r["n"])
+        for r in salted_sum_count(df, ["k"], F.col("v"), buckets=8).collect()
+    }
+    assert salted == plain
+
+    avg = {r["k"]: r["avg_value"] for r in salted_avg(df, ["k"], F.col("v")).collect()}
+    assert avg["hot"] == plain["hot"][0] / plain["hot"][1]
+
+
 # --------------------------------------------------------------- sources
 def test_source_registry_csv_roundtrip(spark, tmp_path):
     from bcdp_spark.sources import list_sources, load

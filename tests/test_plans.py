@@ -54,6 +54,44 @@ def test_window_topk_single_shuffle(spark):
     assert count_exchanges(df) == 1
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located join via bucketing (SURVEY.md §4 partitioning story):
+    two tables bucketed+sorted on the join key sort-merge-join with ZERO
+    shuffle exchanges."""
+    from bcdp_spark.plans import count_exchanges, physical_plan
+    from bcdp_spark.tables import table
+
+    orders = table(spark, SF_ORACLE, "orders")
+    customer = table(spark, SF_ORACLE, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # the in-memory catalog forgets tables across sessions but their files
+    # survive in the warehouse dir — remove orphans or saveAsTable errors
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        customer.withColumnRenamed("c_custkey", "o_custkey")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        j.collect()
+        assert count_exchanges(j) == 0, physical_plan(j)[:2000]
+        assert "SortMergeJoin" in physical_plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_partial_aggregation_order_insensitive(spark):
     """Property check (SURVEY.md §5.4): shuffling input partitioning does
     not change decimal-routed aggregates."""

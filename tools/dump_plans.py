@@ -1,0 +1,42 @@
+"""Dump formatted physical plans for the headline queries into
+docs/plans/ — reviewable evidence that each query gets the plan it was
+designed for (pushdown, broadcast, codegen; SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bcdp_spark.plans import formatted
+from bcdp_spark.session import get_spark
+import bcdp_spark.queries as q
+
+HEADLINE = (
+    "q_pricing_summary",
+    "q_join_agg",
+    "q_window_topk",
+    "q_tumbling_events",
+    "q_dedup_docs",
+    "q_anti_join",
+    "q_rollup",
+    "q_sim_knn",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "plans")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("dump_plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for key in HEADLINE:
+        df = q.queries()[key](spark, sf_dir)
+        with open(os.path.join(out_dir, f"{key}.txt"), "w") as f:
+            f.write(formatted(df))
+        print(f"wrote docs/plans/{key}.txt")
+
+
+if __name__ == "__main__":
+    main()
