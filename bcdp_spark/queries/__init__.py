@@ -37,6 +37,7 @@ _MODULES = (
     "bcdp_spark.queries.text",
     "bcdp_spark.queries.similarity",
     "bcdp_spark.queries.extensions",
+    "bcdp_spark.queries.advanced",
 )
 
 

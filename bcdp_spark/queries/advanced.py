@@ -1,0 +1,355 @@
+"""Advanced relational surface (SURVEY.md §2 widening): subqueries
+(EXISTS / IN / correlated scalar), unpivot/melt, conditional aggregation,
+ntile bucketing, histogram binning, first/last window frames, map-typed
+columns, and a TPC-H Q3-shaped shipping-priority query.
+
+Reference analog: bcdp exposes these shapes through pandas/xarray verbs
+(`bcdp/core.py` [UNVERIFIED] — /root/reference was empty, SURVEY.md §0);
+here each is the idiomatic Catalyst plan: subqueries go through the
+`spark.sql` front door so Catalyst rewrites them to semi/anti/broadcast
+joins, unpivot uses the native `DataFrame.unpivot` (a generate, no
+shuffle), and conditional aggregation stays in whole-stage codegen.
+
+Scale notes (100 TB): EXISTS/IN compile to left-semi joins — shuffle on
+the key, or broadcast when the subquery side is small (Catalyst + AQE
+decide). The correlated scalar MAX compiles to an aggregate + re-join on
+the correlation key: one shuffle each side, no per-row subquery
+execution. Global NTILE is inherently a single total order — fine for
+bucket *summaries* (the output is 4 rows); at scale swap in
+approxQuantile edges and a map-side bucket classifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS — customers having at least one finished order.
+# Catalyst rewrites to a left-semi join (check: .explain shows LeftSemi).
+# ---------------------------------------------------------------------------
+@register(
+    "q_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_adv")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_adv")
+    return spark.sql(
+        """
+SELECT c_custkey, c_mktsegment
+FROM customer_adv c
+WHERE EXISTS (
+  SELECT 1 FROM orders_adv o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN subquery — parts ever shipped at near-max quantity. Left-semi join
+# after Catalyst's RewritePredicateSubquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q_in_subquery",
+    oracle="""
+SELECT p_partkey, p_brand, p_size
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+""",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_adv")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_adv")
+    return spark.sql(
+        """
+SELECT p_partkey, p_brand, p_size
+FROM part_adv
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem_adv WHERE l_quantity >= 49)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — orders at the maximum price within their
+# priority class. MAX carries exact stored doubles (no summation), so the
+# equality is engine-agnostic. Catalyst de-correlates to agg + join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_correlated_scalar",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders o
+WHERE o_totalprice = (
+  SELECT MAX(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_orderpriority = o.o_orderpriority
+)
+""",
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_adv2")
+    return spark.sql(
+        """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders_adv2 o
+WHERE o_totalprice = (
+  SELECT MAX(o2.o_totalprice) FROM orders_adv2 o2
+  WHERE o2.o_orderpriority = o.o_orderpriority
+)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide→long reshaping (bcdp's stack/bundle analog). Native
+# DataFrame.unpivot is a generator expression: no shuffle until the agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q_unpivot",
+    oracle=f"""
+SELECT measure, COUNT(*) AS n, {dsum_sql('val', 'sum_val')}
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+GROUP BY measure
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("val"), "sum_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation — FILTER/CASE aggregates in one pass (no
+# self-join, no second scan). Stays inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "q_conditional_agg",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+       {dsum_sql("CASE WHEN c_acctbal > 0 THEN c_acctbal END", 'sum_positive')}
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        dsum(
+            F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")), "sum_positive"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles — equal-frequency bucketing over a total order
+# (c_acctbal, c_custkey tiebreak). Output is the 4-row bucket summary.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ntile",
+    oracle="""
+SELECT bucket, COUNT(*) AS n, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM (
+  SELECT NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket, c_custkey
+  FROM customer
+)
+GROUP BY bucket
+""",
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cu.select(F.ntile(4).over(w).alias("bucket"), "c_custkey")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram — fixed-width binning via FLOOR (exact on doubles), fully
+# map-side-combinable: one shuffle of (bin → partial count/sum).
+# ---------------------------------------------------------------------------
+@register(
+    "q_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       {dsum_sql('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), "sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE over an explicit full frame — per-user session
+# endpoints. event_id tiebreak gives a total order per partition.
+# ---------------------------------------------------------------------------
+@register(
+    "q_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value) OVER w AS last_v,
+       COUNT(*) OVER w AS n
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns (F6) — pivot counts into a map, extract by key. The
+# map stays JVM-side (map_from_entries / element_at); output is scalar so
+# the oracle is plain conditional aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q_map_lookup",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    od = table(spark, sf_dir, "orders")
+    counts = od.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "cnt"))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.element_at("m", "P"), F.lit(0)).alias("n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority: 3-way join, revenue agg, top 10.
+# Revenue is decimal-routed so the DESC order (and thus the LIMIT cut) is
+# bit-identical across engines; l_orderkey breaks ties. At 100 TB: the
+# two date filters push to the scans, customer broadcasts under AQE, and
+# the top-10 is a TakeOrdered (per-partition heap, no full sort).
+# ---------------------------------------------------------------------------
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_s,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

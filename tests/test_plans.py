@@ -114,3 +114,23 @@ def test_partial_aggregation_order_insensitive(spark):
     ).reset_index(drop=True)
     b2 = b.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     assert a2.equals(b2)
+
+
+def test_exists_subquery_compiles_to_semi_join(spark):
+    """Catalyst must rewrite the correlated EXISTS into a left-semi join —
+    no per-row subquery execution (the 100 TB story for q_exists_subquery)."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_exists_subquery"](spark, SF_ORACLE)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_shipping_priority_uses_takeordered(spark):
+    """Top-10 by revenue must plan as TakeOrderedAndProject (per-partition
+    heap), never a global sort of the full aggregate."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_shipping_priority"](spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in physical_plan(df)
