@@ -231,6 +231,46 @@ WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_sq)
     )
 
 
+@register("q_multimodal_pipeline")
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — end-to-end multimodal plumbing over the documents fixture:
+    text bytes stand in for media payloads (no codecs in this container;
+    the decode seam is `operators/multimodal.decode_image`), the
+    deterministic fake extractor runs the REAL mapInPandas path (Arrow
+    batches, binary column, appended array<float> features), and frame
+    sampling explodes metadata-declared frame indices. Rows-only: the
+    blake2b-seeded features are not SQL-expressible; determinism comes
+    from seeded extraction + decimal-routed sums."""
+    from bcdp_spark.operators.multimodal import (
+        fake_feature_extract,
+        frame_sample_plan,
+    )
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("n_frames"), (F.col("doc_id") % 30 + 1).cast("string")
+        ).alias("meta"),
+        "source",
+    )
+    feats = fake_feature_extract(media)
+    frames = frame_sample_plan(feats, every_n=10)
+    return (
+        frames.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.count_distinct("media_id").alias("n_media"),
+            F.sum(F.element_at("features", 1).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_feat0"),
+        )
+    )
+
+
 @register("q_minhash_dedup")
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — MinHash-LSH near-dedup of documents (deterministic: seeded
