@@ -353,3 +353,62 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible content-hash sampling — the training-pipeline pattern for
+# stable holdouts: membership depends only on the key's md5, never on
+# partitioning, executor count, or run order, so the SAME rows are
+# sampled on a laptop and on a 1000-executor cluster. Fully
+# oracle-checkable (md5 is engine-identical), unlike rand()-based
+# Bernoulli sampling. Embarrassingly parallel: a pushed-down-able filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hash_sample",
+    oracle=f"""
+SELECT COUNT(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+""",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    od = table(spark, sf_dir, "orders")
+    bucket = F.md5(F.col("o_orderkey").cast("string").cast("binary")).substr(1, 2)
+    return od.filter(bucket <= "19").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified reproducible sampling — per-stratum rates (20% F / 5% O /
+# 40% P) via per-stratum hash thresholds; deterministic and rebalancing-
+# safe for exactly the same reason as q_hash_sample.
+# ---------------------------------------------------------------------------
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <=
+      CASE o_orderstatus WHEN 'F' THEN '33' WHEN 'O' THEN '0c' ELSE '66' END
+GROUP BY o_orderstatus
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    od = table(spark, sf_dir, "orders")
+    bucket = F.md5(F.col("o_orderkey").cast("string").cast("binary")).substr(1, 2)
+    threshold = (
+        F.when(F.col("o_orderstatus") == "F", "33")
+        .when(F.col("o_orderstatus") == "O", "0c")
+        .otherwise("66")
+    )
+    return (
+        od.filter(bucket <= threshold)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )

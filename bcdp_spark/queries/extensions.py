@@ -334,10 +334,32 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_grouped_agg_udf")
+@register(
+    "q_grouped_agg_udf",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS trimmed_mean_value
+FROM ranked
+WHERE n <= 2 * CAST(FLOOR(n * 0.05) AS BIGINT)
+   OR (rn > CAST(FLOOR(n * 0.05) AS BIGINT)
+       AND rn <= n - CAST(FLOOR(n * 0.05) AS BIGINT))
+GROUP BY event_type
+""",
+)
 def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5 — grouped-agg pandas UDF: per-type trimmed mean (drop top/bottom
-    5%) of value; a custom ensemble statistic."""
+    5%) of value. Oracle-checked bit-exactly: the UDF emulates the engine
+    decimal routing (each addend quantized to DECIMAL(28,10) half-up,
+    exact decimal sum, one final rounding to double), which is precisely
+    what the SQL twin computes — a grouped-agg UDF held to the same
+    determinism bar as the built-ins."""
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -347,11 +369,19 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type hints, which breaks pandas_udf's signature inference
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def trimmed_mean(v):
+        from decimal import ROUND_HALF_UP, Decimal
+
         a = np.sort(v.to_numpy(dtype=np.float64))
         k = int(len(a) * 0.05)
-        return float(a[k : len(a) - k].mean()) if len(a) > 2 * k else float(a.mean())
+        if len(a) > 2 * k:
+            a = a[k : len(a) - k]
+        q = Decimal("1e-10")
+        total = sum(
+            Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP) for x in a
+        )
+        return float(total) / len(a)
 
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(trimmed_mean(F.col("value")), 6).alias("trimmed_mean_value")
+        trimmed_mean(F.col("value")).alias("trimmed_mean_value")
     )
