@@ -1,0 +1,80 @@
+"""Distributed connected components — the transitive-closure step a real
+near-dedup pipeline needs on top of LSH candidate pairs (pairs a–b and
+b–c imply cluster {a,b,c} even when a–c never shared a bucket).
+
+Algorithm: iterative min-label propagation. Each node starts labeled
+with itself; every round each node takes the min label over itself and
+its neighbors; converges in O(graph diameter) rounds. Each round is one
+shuffle (join edges×labels) + one aggregate — pure DataFrame ops, no
+driver-side adjacency. Lineage is truncated with ``localCheckpoint``
+every few rounds, otherwise the iterated plan grows without bound (the
+classic iterative-Spark failure mode).
+
+Scale notes (100 TB): dedup graphs are overwhelmingly tiny components
+(dup clusters of 2–50 docs), so diameter — and the round count — stays
+small. For adversarially long chains, swap in the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) which converges in O(log n) rounds with the same
+join+min building blocks. The convergence check is a scalar count per
+round — the only driver-visible value, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Labels every node reachable through ``edges`` with the minimum
+    node id of its component. Returns (node, label). Undirected: edges
+    are symmetrized internally; self-loops and duplicates are fine."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for i in range(max_iter):
+        # each node's new label: min over (own label, neighbors' labels)
+        from_nbrs = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+        )
+        new_labels = (
+            from_nbrs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_summary(labels: DataFrame) -> DataFrame:
+    """Per-component rollup: (label, n_members, min/max member)."""
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

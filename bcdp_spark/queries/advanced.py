@@ -412,3 +412,132 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — reconciliation shape: classify rows by side. At scale
+# this is one shuffle per side on the key; AQE handles the skew.
+# ---------------------------------------------------------------------------
+@register(
+    "q_full_join",
+    oracle="""
+SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+            WHEN o_orderkey IS NULL THEN 'customer_only'
+            ELSE 'matched' END AS side,
+       COUNT(*) AS n
+FROM customer FULL JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+""",
+)
+def q_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    j = cu.join(od, cu.c_custkey == od.o_custkey, "full")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MODE — most frequent event_type per user, ties broken
+# lexicographically (Spark's/DuckDB's native mode() leaves ties
+# unspecified, so we build the deterministic one: count + ranked window).
+# ---------------------------------------------------------------------------
+@register(
+    "q_mode",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, cnt AS n
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type
+  ) AS rn FROM c
+)
+WHERE rn = 1
+""",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted string aggregation — collect_list → array_sort → array_join is
+# the order-insensitive (thus shuffle-safe) way to build a LISTAGG.
+# ---------------------------------------------------------------------------
+@register(
+    "q_string_agg",
+    oracle="""
+SELECT n_name, string_agg(seg, ',' ORDER BY seg) AS segments
+FROM (
+  SELECT DISTINCT n_name, c_mktsegment AS seg
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    pairs = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("n_name", F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return pairs.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_list("seg")), ",").alias("segments")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi join (<=> / IS NOT DISTINCT FROM) — NULL keys match each
+# other, the semantics plain '=' silently drops. Still a hash join on the
+# key (null-safe equality is a valid equi-join key in both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "q_null_safe_join",
+    oracle=f"""
+WITH a AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS k,
+         {dsum_sql('o_totalprice', 'sum_price')}
+  FROM orders GROUP BY 1
+)
+SELECT a.k AS k, n, sum_price
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    od = table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    a = od.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    b = od.groupBy(key).agg(dsum(F.col("o_totalprice"), "sum_price"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n", "sum_price"
+    )

@@ -385,3 +385,72 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         trimmed_mean(F.col("value")).alias("trimmed_mean_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components, ORACLE-CHECKED: the iterative min-label-propagation
+# operator (operators/graph.py) run on a chain graph — consecutive docs
+# (doc_id order) sharing a lang — whose ground truth is expressible as
+# gaps-and-islands SQL. The distributed iteration is hash-matched against
+# the closed-form answer: a correctness proof for the loop itself
+# (convergence, label minimality, lineage checkpointing), which then
+# carries over to the non-SQL-expressible LSH graph in q_dedup_clusters.
+# ---------------------------------------------------------------------------
+@register(
+    "q_connected_components",
+    oracle="""
+WITH flagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN LAG(lang) OVER (ORDER BY doc_id) IS DISTINCT FROM lang
+              THEN 1 ELSE 0 END AS brk
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, SUM(brk) OVER (ORDER BY doc_id) AS run_id FROM flagged
+)
+SELECT MIN(doc_id) AS label, COUNT(*) AS n_members,
+       MIN(doc_id) AS min_node, MAX(doc_id) AS max_node
+FROM runs GROUP BY run_id HAVING COUNT(*) >= 2
+""",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bcdp_spark.operators.graph import cluster_summary, connected_components
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.orderBy("doc_id")
+    edges = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.lag("doc_id").over(w).alias("prev_id"),
+            F.lag("lang").over(w).alias("prev_lang"),
+        )
+        .filter(F.col("prev_lang") == F.col("lang"))
+        .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return cluster_summary(connected_components(edges))
+
+
+@register("q_dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — FULL near-dedup clustering: MinHash-LSH candidate pairs →
+    connected components (transitive closure the greedy pass misses) →
+    cluster rollup. Rows-only (LSH hashing isn't SQL-expressible; the CC
+    loop itself is oracle-proven by q_connected_components)."""
+    from bcdp_spark.operators.dedup import lsh_bucket_pairs
+    from bcdp_spark.operators.graph import connected_components
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = lsh_bucket_pairs(
+        docs, "text", "doc_id", num_perm=32, bands=8, shingle_k=5
+    )
+    labels = connected_components(pairs)
+    return labels.groupBy().agg(
+        F.count_distinct("label").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.sum("label").cast("long").alias("label_sum"),
+    )

@@ -346,3 +346,34 @@ def test_unit_functions(spark):
     assert r[0]["c"] == 0.0 and r[0]["mm"] == pytest.approx(1.0)
     assert r[0]["season"] == "DJF" and r[0]["sy"] == 2024  # Dec → next year
     assert r[1]["season"] == "JJA" and r[1]["sy"] == 2024
+
+
+# ------------------------------------------------------------------ graph
+def test_connected_components_transitive(spark):
+    """Pairs a-b and b-c must yield one component {a,b,c} even though a-c
+    never appears — the closure the greedy dedup pass misses."""
+    from bcdp_spark.operators.graph import cluster_summary, connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 9)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9, 10: 9}
+    summary = {
+        r["label"]: (r["n_members"], r["min_node"], r["max_node"])
+        for r in cluster_summary(connected_components(edges)).collect()
+    }
+    assert summary == {1: (3, 1, 3), 7: (2, 7, 8), 9: (2, 9, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node chain needs ~diameter rounds: exercises the iteration +
+    lineage checkpointing, not just one propagation step."""
+    from bcdp_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges, max_iter=50).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == 41
