@@ -461,3 +461,166 @@ def q_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("z").alias("n_z"),
         F.round(F.avg(F.abs(F.col("z"))), 4).alias("avg_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill — per-user hourly date spine (sequence+explode ≙ the reference's
+# normalize_times grid, bcdp/utils.py [UNVERIFIED]) left-joined to counts,
+# missing hours as 0. At scale the spine is generated, never materialized
+# on the driver; explode is a map-side generate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_gap_fill",
+    oracle="""
+WITH hr AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h FROM events
+),
+bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hr GROUP BY 1),
+spine AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS h FROM bounds),
+counts AS (SELECT user_id, h, COUNT(*) AS c FROM hr GROUP BY 1, 2)
+SELECT s.user_id, s.h * 3600 AS hour_s, COALESCE(c.c, 0) AS n
+FROM spine s LEFT JOIN counts c ON s.user_id = c.user_id AND s.h = c.h
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    hr = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    )
+    bounds = hr.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    counts = hr.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spine.join(counts, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            (F.col("h") * 3600).alias("hour_s"),
+            F.coalesce("c", F.lit(0)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF forward fill — masked readings (the fixture's [100,200] band plays
+# the _FillValue role) carried forward within each user's timeline:
+# last(ignorenulls) over a running frame, the distributed forward-fill.
+# ---------------------------------------------------------------------------
+@register(
+    "q_locf",
+    oracle="""
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN value BETWEEN 100 AND 200 THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+""",
+)
+def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    masked = F.when(F.col("value").between(100, 200), F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(masked, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear time interpolation — masked readings reconstructed from the
+# nearest valid neighbors: v0 + (v1-v0)·(t-t0)/(t1-t0). All-IEEE double
+# arithmetic on identical operands is bit-identical across engines, so
+# this needs NO rounding to hash-match. Two window passes (backward carry,
+# forward carry) — the distributed equivalent of xarray interpolate_na
+# (bcdp/utils.py [UNVERIFIED]).
+# ---------------------------------------------------------------------------
+@register(
+    "q_interp",
+    oracle="""
+WITH m AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t, ts,
+         CASE WHEN value BETWEEN 100 AND 200 THEN NULL ELSE value END AS v
+  FROM events
+),
+ctx AS (
+  SELECT event_id, user_id, t, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+  FROM m
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+              THEN pv + (nv - pv) * ((CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
+                                     / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+            ELSE COALESCE(pv, nv) END AS v_interp
+FROM ctx
+""",
+)
+def q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "t", F.unix_micros(F.col("ts"))
+    )
+    v = F.when(F.col("value").between(100, 200), F.lit(None)).otherwise(
+        F.col("value")
+    )
+    m = ev.select("event_id", "user_id", "t", "ts", v.alias("v"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = m.select(
+        "event_id",
+        "user_id",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True)
+        .over(wb)
+        .alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True)
+        .over(wf)
+        .alias("nt"),
+    )
+    frac = (F.col("t").cast("double") - F.col("pt").cast("double")) / (
+        F.col("nt").cast("double") - F.col("pt").cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt")),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return ctx.select("event_id", "user_id", interp.alias("v_interp"))
