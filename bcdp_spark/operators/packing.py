@@ -1,0 +1,97 @@
+"""Document packing — concatenating short documents into fixed-budget
+context windows, the standard LLM pre-training batching step (greedy
+first-fit over a deterministic order).
+
+Spark shape: packing is inherently sequential WITHIN a bin, but bins are
+independent ACROSS groups, so we shard by a grouping column (source,
+language, date bucket — anything with enough cardinality), sort each
+shard deterministically, and run greedy first-fit per shard inside
+``applyInPandas``. One shuffle (the groupBy), Arrow-batched Python, no
+driver involvement.
+
+Scale notes (100 TB): shard count = parallelism; choose a shard key with
+≥10× executor-count cardinality (date × source works at corpus scale).
+Greedy-by-sorted-order is the industry default (exact bin packing is
+NP-hard and irrelevant at this granularity). Packing quality (fill
+ratio) is measured, not assumed — see ``packing_stats``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+
+def pack_documents(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Assign each doc of ``df`` to a (shard, bin_id) so that each bin's
+    total ``size_col`` ≤ ``budget`` (docs larger than the budget get a
+    bin of their own). Deterministic: docs are packed in (size desc,
+    id asc) order — first-fit-decreasing — independent of partitioning."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for sz in pdf[size_col]:
+            placed = -1
+            for i, rem in enumerate(bins):
+                if sz <= rem:
+                    placed = i
+                    break
+            if placed < 0:
+                bins.append(max(int(budget) - int(sz), 0))
+                placed = len(bins) - 1
+            else:
+                bins[placed] -= int(sz)
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                "shard": pdf[shard_col].astype(str),
+                "bin_id": pd.Series(assign, dtype="int64"),
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_tokens": pdf[size_col].astype("int64"),
+            }
+        )
+
+    return (
+        df.select(shard_col, id_col, size_col)
+        .groupBy(shard_col)
+        .applyInPandas(pack, schema=PACK_SCHEMA)
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Fill-ratio rollup per shard: bins used, docs packed, mean fill."""
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_bin.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(F.least(F.col("bin_tokens"), F.lit(budget)))
+            .cast("double")
+            / (F.count(F.lit(1)) * budget)
+        ).alias("fill_ratio"),
+    )

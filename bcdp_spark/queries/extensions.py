@@ -454,3 +454,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clustered_docs"),
         F.sum("label").cast("long").alias("label_sum"),
     )
+
+
+@register("q_doc_packing")
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-EXT — context-window document packing (operators/packing.py):
+    first-fit-decreasing per source shard, budget 1024 chars. Rows-only
+    (bin packing isn't SQL-expressible); deterministic by construction
+    (size-desc, id-asc pack order, partitioning-independent)."""
+    from bcdp_spark.operators.packing import pack_documents, packing_stats
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    packed = pack_documents(
+        docs, shard_col="source", id_col="doc_id",
+        size_col="n_chars", budget=1024,
+    )
+    return packing_stats(packed, budget=1024)

@@ -253,3 +253,99 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(pred).groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — top-20 most frequent whitespace tokens corpus-wide.
+# explode→count→TakeOrdered: map-side partial counts make the shuffle
+# carry (token, partial) not raw tokens; ties broken lexicographically.
+# ---------------------------------------------------------------------------
+@register(
+    "q_heavy_hitters",
+    oracle="""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — distinct (doc, term) term frequencies joined to document
+# frequencies; idf = ln(N/df). ln() is the one non-IEEE-identical step
+# (libm vs JVM StrictMath), so scores are ROUND()ed to 6 on both sides —
+# far above any ulp drift. Output: top score per doc (deterministic
+# tie-break on term).
+# ---------------------------------------------------------------------------
+@register(
+    "q_tfidf",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens WHERE term <> ''
+  GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rn FROM scored
+)
+WHERE rn = 1
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    # corpus size as a broadcast 1-row frame, not a driver count(): keeps
+    # the whole pipeline one lazy plan
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "score")
+    )

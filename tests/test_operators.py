@@ -377,3 +377,23 @@ def test_connected_components_long_chain_converges(spark):
     labels = connected_components(edges, max_iter=50).collect()
     assert {r["label"] for r in labels} == {0}
     assert len(labels) == 41
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_documents_respects_budget_and_is_deterministic(spark):
+    from bcdp_spark.operators.packing import pack_documents
+
+    rows = [(f"s{i % 3}", i, 100 + (i * 37) % 900) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    packed = pack_documents(df, "source", budget=1000)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, pack_documents(df.repartition(7), "source", budget=1000).collect()))
+    assert a == b, "packing must not depend on input partitioning"
+    import collections
+
+    fill = collections.Counter()
+    for shard, bin_id, doc_id, n in a:
+        fill[(shard, bin_id)] += n
+    for (shard, bin_id), tot in fill.items():
+        assert tot <= 1000 or sum(1 for s, b2, d, n in a if (s, b2) == (shard, bin_id)) == 1
+    assert len(a) == 60  # every doc packed exactly once
