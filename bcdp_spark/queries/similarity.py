@@ -132,3 +132,40 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("norm"), 6).alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X3-adjacent — per-label centroids: element-wise mean of embeddings via
+# posexplode → (label, dim) decimal-routed averages. The distributed way
+# to compute k centroids over a 100 TB corpus: one generate (map-side),
+# one shuffle of (label, dim) partials — never a collect of vectors.
+# IVF training (operators/similarity.py) uses exactly this shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q_centroids",
+    oracle=f"""
+SELECT label, u.i AS i, COUNT(*) AS n,
+       ROUND(CAST(CAST(SUM(CAST(CAST(embedding[u.i + 1] AS DOUBLE)
+                                AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS c
+FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+GROUP BY label, u.i
+""",
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("i", "x")
+        )
+        .select("label", F.col("i").cast("bigint").alias("i"), "x")
+        .groupBy("label", "i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # arbitrary float32 inputs sit ON decimal quantization
+            # boundaries (unlike the grid-aligned fixture doubles), so one
+            # final round(6) absorbs the engines' tie-breaking drift
+            F.round(davg(F.col("x").cast("double"), "c"), 6).alias("c"),
+        )
+    )
