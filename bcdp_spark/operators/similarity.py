@@ -151,19 +151,27 @@ def ivf_assign(
     (argmin over unrolled L2 expressions). Centroids come from a sampled
     k-means (pyspark.ml.clustering.KMeans on a .sample() of the corpus);
     at scale, write ``ivf_cell`` as a partition column so queries scan
-    only the probed cells."""
-    dim = len(centroids[0])
-    best_id, best_d = F.lit(0), None
-    for ci, c in enumerate(centroids):
-        terms = " + ".join(
-            f"(CAST({vec_col}[{j}] AS DOUBLE) - ({float(c[j])!r})) * "
-            f"(CAST({vec_col}[{j}] AS DOUBLE) - ({float(c[j])!r}))"
-            for j in range(dim)
-        )
-        d = F.expr(terms)
-        if best_d is None:
-            best_d = d
-        else:
-            best_id = F.when(d < best_d, F.lit(ci)).otherwise(best_id)
-            best_d = F.when(d < best_d, d).otherwise(best_d)
-    return df.withColumn("ivf_cell", best_id.cast("int"))
+    only the probed cells.
+
+    Distances are computed with higher-order functions (transform /
+    zip_with / aggregate) over a k×dim centroid array LITERAL, then
+    argmin'd via array_min + array_position — expression and generated-
+    code size stay linear in k·dim. (Unrolling per-dimension arithmetic,
+    or folding a chained ``when(d < best_d, …)``, explodes the Catalyst
+    tree and the codegen'd method — a chained fold is exponential and
+    OOMs the JVM near k ≈ 10, dim ≈ 64.) First-match position breaks
+    distance ties by lowest centroid id, deterministically."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    best = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn("ivf_cell", best.cast("int"))

@@ -60,3 +60,37 @@ def salted_avg(
     return sc.select(
         *keys, (F.col("__sum") / F.col("__cnt")).alias(alias)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    buckets: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Skew-safe inner equi join: salt the big side deterministically
+    (xxhash64 of ``salt_from``, a unique-ish column, else the join key —
+    never rand(), so retried tasks re-salt identically), replicate the
+    small side across all ``buckets`` salts, and join on (key, salt).
+
+    A hot ``big_key`` value thereby spreads over ``buckets`` reducers at
+    the cost of a ``buckets``× blow-up of the small side — the classic
+    trade when AQE's skew splitting can't kick in (e.g. the skewed side
+    feeds a co-partitioned downstream agg). Inner-join semantics are
+    exactly preserved: every big row carries one salt, and the small side
+    covers all salts."""
+    salt = F.pmod(F.xxhash64(F.col(salt_from or big_key)), F.lit(buckets)).cast(
+        "int"
+    )
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = big_s.join(
+        small_s,
+        (big_s[big_key] == small_s[small_key])
+        & (big_s["__salt"] == small_s["__salt"]),
+    )
+    return out.drop("__salt")

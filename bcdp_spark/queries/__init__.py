@@ -38,6 +38,8 @@ _MODULES = (
     "bcdp_spark.queries.similarity",
     "bcdp_spark.queries.extensions",
     "bcdp_spark.queries.advanced",
+    "bcdp_spark.queries.tpch",
+    "bcdp_spark.queries.robustness",
 )
 
 

@@ -1,0 +1,252 @@
+"""Robustness & scale-path widening: time-range windows, skew-safe salted
+joins, fuzzy string matching, interpolated quantiles, an end-to-end corpus
+curation composite, and the IVF ANN search path.
+
+Each key targets a failure mode that only shows up at scale:
+- range windows whose frames are defined by TIME, not row counts (event
+  streams are never uniformly sampled);
+- joins whose hot keys would pin one reducer (salting spreads them);
+- LIMIT-free fuzzy matching blocked by an equi key so the quadratic
+  levenshtein never crosses blocks;
+- quantiles that interpolate identically in both engines;
+- the curation pipeline a 100 TB pretraining corpus actually runs
+  (dedup → quality gate → language gate → per-source accounting).
+
+Reference parity: bcdp relational/text surface [UNVERIFIED — /root/
+reference was empty at survey time; SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import DEC, dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# W1b — TIME-range rolling aggregate: trailing 1-hour mean per user, frame
+# bounded by epoch-µs RANGE (not row count). Decimal-routed windowed sum so
+# frame-evaluation order cannot change a bit. At scale this shuffles once
+# on user_id and sorts within partitions — no driver involvement.
+# ---------------------------------------------------------------------------
+@register(
+    "q_range_window",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(value) OVER w AS n_1h,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE)
+         / COUNT(value) OVER w AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("value").over(w).alias("n_1h"),
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("avg_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-skew — salted equi join (operators/skew.salted_join): the big side is
+# deterministically salted from its own unique key, the small side is
+# replicated across all salts, and the join runs on (key, salt) so a hot
+# custkey spreads over ``buckets`` reducers. The ORACLE IS THE PLAIN JOIN —
+# proving salting is semantics-preserving.
+# ---------------------------------------------------------------------------
+@register(
+    "q_salted_join",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 'total_price')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.skew import salted_join
+
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        o, cu, "o_custkey", "c_custkey", buckets=16, salt_from="o_orderkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4e — fuzzy string matching: near-identical part names within a brand
+# (levenshtein ≤ 3, identical definition in both engines). The brand equi
+# key blocks the quadratic comparison — the same block-then-compare shape
+# as the MinHash band join, so it scales as long as blocks stay bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "q_fuzzy_match",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_pairs,
+       CAST(SUM(d) AS BIGINT) AS total_dist
+FROM (
+  SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+)
+GROUP BY p_brand
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = pa.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+    )
+    b = pa.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+    )
+    d = F.levenshtein(F.col("na"), F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b")) & (F.col("ka") < F.col("kb")),
+        )
+        .filter(d <= 3)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(d).cast("long").alias("total_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9b — interpolated quantiles (percentile_cont semantics): exact
+# lower + frac·(upper−lower) in both engines; round(4) absorbs the one
+# ulp-level interpolation step. Exact percentile needs a per-group sort —
+# the approx_percentile sketch is the 100 TB path (operators note in
+# q_approx_distinct).
+# ---------------------------------------------------------------------------
+@register(
+    "q_percentile_cont",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X-pipeline — end-to-end corpus curation: exact dedup (keep-first) →
+# length gate → language gate → per-(lang, source) accounting with regex
+# token counts. The composite a pretraining-data pipeline runs nightly;
+# every stage is the scalable form (hash agg dedup, no windows, regex
+# counting JVM-side).
+# ---------------------------------------------------------------------------
+@register(
+    "q_corpus_curation",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+         AS n_tokens
+FROM documents
+JOIN (SELECT MIN(doc_id) AS kid FROM documents GROUP BY text)
+  ON doc_id = kid
+WHERE n_chars BETWEEN 100 AND 500 AND lang IN ('en', 'de', 'fr')
+GROUP BY lang, source
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("kid"))
+    curated = (
+        docs.join(keepers.select("kid"), docs.doc_id == F.col("kid"))
+        .filter(
+            F.col("n_chars").between(100, 500)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+    )
+    n_tok = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3b — IVF ANN search (rows-only: centroid training is not SQL-oracle-able
+# in one statement). Train = per-label decimal-exact means (deterministic,
+# the q_centroids shape), assign corpus cells with unrolled L2 exprs,
+# probe the query's cell, exact-rerank inside it. At scale ivf_cell is a
+# partition column → the probe is a partition-pruned scan.
+# ---------------------------------------------------------------------------
+@register("q_ivf_knn")
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from bcdp_spark.operators.similarity import cosine_topk, ivf_assign
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(F.col("x").cast("double").cast(DEC)).cast("double") / F.count("x")).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "c"))).alias("dims"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = [[d["c"] for d in row["dims"]] for row in cents]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qarr = np.asarray(q)
+    cell = int(
+        np.argmin([np.sum((np.asarray(c) - qarr) ** 2) for c in centroids])
+    )
+    cand = ivf_assign(emb, centroids).filter(F.col("ivf_cell") == cell)
+    return cosine_topk(cand, q, k=10).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )

@@ -1,0 +1,489 @@
+"""Classic decision-support query shapes (TPC-H Q4/Q5/Q7/Q8/Q10/Q14/Q18/
+Q19/Q22), adapted to the fixture schema (no partsupp / commitdate /
+receiptdate / shipmode / phone / container columns).
+
+These widen SURVEY.md §2.3/§2.4 join+agg coverage with the multi-join
+composites a warehouse engine is actually judged on: star joins over the
+region→nation→(customer|supplier) hierarchy, semi-join existence tests,
+disjunctive scan predicates, having-filtered join-backs, and
+anti-join + scalar-subquery composites.
+
+Scale notes (100 TB): every query keeps dimension joins broadcastable
+(region/nation always; part/supplier explicitly marked), fact-fact joins
+shuffle on their natural keys, and aggregates are expressed so Catalyst
+emits partial (map-side) aggregation before the shuffle. Revenue sums
+route through DECIMAL(28,10) (see _helpers) so partial-agg order cannot
+change a bit of the result; final ratios divide bit-identical doubles.
+
+Reference parity: bcdp's relational surface [UNVERIFIED — /root/reference
+was empty at survey time; SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — order-priority checking via EXISTS semi join: orders with at
+# least one line shipped after the order date (no commitdate in fixture).
+# Catalyst plans the IN/EXISTS as a LeftSemi shuffle join on l_orderkey;
+# at scale the semi join's build side is the distinct-pruned lineitem keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — local supplier volume: revenue per nation where customer and
+# supplier share the nation, within one region and one order-year. The
+# region→nation dimension chain broadcasts; orders⨝lineitem shuffles on
+# orderkey; the c_nationkey = s_nationkey condition rides the join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {dsum_sql(REVENUE, 'revenue')}
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — volume shipping between two nations, both directions, per
+# ship-year. supplier→nation and customer→nation both broadcast; the pair
+# filter ((A,B) or (B,A)) prunes before the aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {dsum_sql('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         {REVENUE} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(_revenue(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — market share: fraction of ASIA-region customers' revenue
+# supplied by NATION_5, per order-year. Both sums are DECIMAL-exact, so
+# the final double division is bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                          THEN CAST(volume AS DECIMAL(28,10))
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         {REVENUE} AS volume, n1.n_name AS supp_nation
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+) allsales
+GROUP BY o_year
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_keys = F.broadcast(
+        na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey).select(
+            F.col("n_nationkey").alias("cust_nkey")
+        )
+    )
+    dec = "decimal(28,10)"
+    vol = _revenue().cast(dec)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(asia_keys, F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        F.lit(0).cast(dec)
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — returned-item report: top 20 customers by revenue lost to
+# returns in one quarter. Deterministic LIMIT: revenue is DECIMAL-exact
+# (identical ordering in both engines) with c_custkey as tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "q_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name, {dsum_sql(REVENUE, 'revenue')}
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — promo revenue ratio for one ship-month. p_type is a single
+# word in the fixture, so PROMO is an exact match. part broadcasts (2 k
+# rows here; at 100 TB part is ~10^8 rows → shuffle join on partkey, which
+# this plan degrades to automatically once the broadcast threshold trips).
+# ---------------------------------------------------------------------------
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST({REVENUE} AS DECIMAL(28,10))
+                  ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST({REVENUE} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = "decimal(28,10)"
+    vol = _revenue().cast(dec)
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast(dec)
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — large-volume orders: HAVING-filtered join-back. The inner
+# aggregate is a map-side-combinable sum on the fact's own key (orderkey),
+# so at scale it rides the same partitioning as the join back to lineitem's
+# parent order — one shuffle, reused.
+# ---------------------------------------------------------------------------
+@register(
+    "q_large_orders",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+       o_totalprice, {dsum_sql('l_quantity', 'sum_qty')}
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 160
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("q"))
+        .filter(F.col("q") > 160)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, li.l_orderkey == big.big_key)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_date"),
+            "o_totalprice",
+        )
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive predicates across a join: three OR'd
+# (brand × size-range × quantity-range) branches. Catalyst extracts the
+# common l_partkey = p_partkey conjunct so the join stays an equi join and
+# the branch predicates evaluate post-join (not a nested-loop theta join).
+# ---------------------------------------------------------------------------
+@register(
+    "q_disjunctive_scan",
+    oracle=f"""
+SELECT {dsum_sql(REVENUE, 'revenue')}, COUNT(*) AS n
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#33' AND p_size BETWEEN 25 AND 50
+        AND l_quantity BETWEEN 20 AND 40))
+""",
+)
+def q_disjunctive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(branch)
+        .agg(dsum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — idle rich customers: above-global-average balance who never
+# placed a high-value order (every fixture customer has *some* orders, so
+# the plain "no orders" form is empty at every SF — the filtered anti join
+# keeps the result non-trivial while preserving the Q22 plan shape).
+# Scalar subquery (one-row broadcast) + left anti join + aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_idle_customers",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {dsum_sql('c_acctbal', 'totacctbal')}
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+GROUP BY c_mktsegment
+""",
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("v")
+        )
+    )
+    rich = cu.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("v")).drop("v")
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
