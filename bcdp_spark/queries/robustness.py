@@ -250,3 +250,99 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(cand, q, k=10).select(
         "vec_id", F.round("sim", 6).alias("sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# A8b — built-in linear regression aggregates (regr_* family): slope /
+# intercept / r² of extendedprice on quantity per returnflag. Moment sums
+# are double (not decimal-routable inside the builtin), so both sides
+# ROUND far coarser than partial-order ulp drift.
+# ---------------------------------------------------------------------------
+@register(
+    "q_regression",
+    oracle="""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5b — array higher-order functions end-to-end: filter/transform/aggregate
+# lambdas evaluated JVM-side. Per-row HOF folds run left-to-right in BOTH
+# engines (identical double sums per row); only the cross-row group sum
+# needs the decimal route.
+# ---------------------------------------------------------------------------
+@register(
+    "q_array_ops",
+    oracle=f"""
+SELECT label,
+       CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS n_pos,
+       {dsum_sql(
+           "list_sum(list_transform(embedding,"
+           " x -> greatest(CAST(x AS DOUBLE), 0.0)))",
+           'clipped_sum',
+       )}
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    n_pos = F.size(F.filter(vec, lambda x: x > 0))
+    clipped = F.aggregate(
+        F.transform(vec, lambda x: F.greatest(x, F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.groupBy("label").agg(
+        F.sum(n_pos).cast("long").alias("n_pos"),
+        dsum(clipped, "clipped_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8c — Shannon entropy of the event-type distribution: exact counts →
+# −Σ p·ln p. The outer sum crosses ~8 rows (engine-order-dependent double
+# adds) and ln is one libm step — round(6) absorbs both.
+# ---------------------------------------------------------------------------
+@register(
+    "q_entropy",
+    oracle="""
+SELECT ROUND(-SUM(p * ln(p)), 6) AS entropy_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM (
+  SELECT CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM events) AS p
+  FROM events GROUP BY event_type
+)
+""",
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    total = ev.count()
+    per_type = ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p")
+    )
+    return per_type.agg(
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy_nats"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )

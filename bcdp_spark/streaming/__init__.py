@@ -150,3 +150,24 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def enriched_counts(
+    stream: DataFrame, dim: DataFrame, width: str = "1 hour"
+) -> DataFrame:
+    """Stream–static join: enrich each event with a static dimension
+    (joined on event_type) before the windowed aggregation. Spark plans
+    the static side as a broadcast against every micro-batch — the
+    standard pattern for joining a stream against slowly-changing
+    reference data without any stateful join machinery."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", width), "category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("hour_s"),
+            "category",
+            "n",
+        )
+    )

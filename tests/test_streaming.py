@@ -85,3 +85,24 @@ def test_sliding_counts_runs(spark, stream):
 
     n_events = table(stream.sparkSession, SF_SMOKE, "events").count()
     assert total == 4 * n_events
+
+
+def test_stream_static_join_matches_batch(spark, stream):
+    from bcdp_spark.streaming import enriched_counts, run_available_now
+    from bcdp_spark.tables import table
+
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce")],
+        ["event_type", "category"],
+    )
+    got = run_available_now(enriched_counts(stream, dim), "t_enrich")
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .join(dim, "event_type")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+            "category",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.subtract(batch).count() == 0 and batch.subtract(got).count() == 0
