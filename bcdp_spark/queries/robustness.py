@@ -346,3 +346,69 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy_nats"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6b — several COUNT(DISTINCT …) in one aggregate: Catalyst plans this
+# with an Expand (one row replica per distinct column) + two-phase agg —
+# the scalable form of multi-distinct (no per-group sets in memory).
+# ---------------------------------------------------------------------------
+@register(
+    "q_multi_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderstatus) AS n_status,
+       COUNT(DISTINCT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT))
+         AS n_months
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct(F.month("o_orderdate").cast("bigint")).alias("n_months"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4f — bigram mining (shingle generation, the MinHash front end, surfaced
+# as its own key): regex tokenize → zip_with adjacent pairs → explode →
+# count → top-20 with lexicographic tie-break. All JVM-side; the explode
+# is map-side and the count is a partial-aggregated shuffle on the bigram.
+# ---------------------------------------------------------------------------
+@register(
+    "q_bigrams",
+    oracle="""
+SELECT toks[i + 1] || ' ' || toks[i + 2] AS bigram, COUNT(*) AS n
+FROM (SELECT regexp_extract_all(text, '[a-z]+|[0-9]+') AS toks
+      FROM documents),
+     UNNEST(range(len(toks) - 1)) AS u(i)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), F.lit(0))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )

@@ -57,3 +57,60 @@ def test_union_then_agg_equals_agg(spark):
     a = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     b = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed co-located join (SURVEY.md §4 scale path): two tables
+    bucketed by the join key join WITHOUT a shuffle — the plan the 100 TB
+    fact-fact join needs (bucket pruning replaces both Exchanges)."""
+    import shutil
+
+    from bcdp_spark.plans import formatted
+    from bcdp_spark.tables import table
+
+    # a previous session may have left the managed-table locations behind
+    # (catalog is in-memory, the warehouse dir is not)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    o = table(spark, SF_SMOKE, "orders")
+    li = table(spark, SF_SMOKE, "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("b_lineitem")
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted(joined)
+        # bucketing must eliminate both join-side shuffles: the only
+        # hashpartitioning left is the aggregate's (on o_orderstatus)
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "hashpartitioning(o_orderkey" not in plan
+        assert "hashpartitioning(o_orderstatus" in plan
+        got = {r["o_orderstatus"]: r["n"] for r in joined.collect()}
+        want = {
+            r["o_orderstatus"]: r["n"]
+            for r in li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
