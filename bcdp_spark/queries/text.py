@@ -349,3 +349,58 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "term", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 — n-gram Jaccard similarity, oracle-checked: character-trigram
+# Jaccard between consecutive doc_id pairs. The LSH keys (q_minhash_dedup
+# etc.) are rows-only checked because banding is implementation-defined;
+# this key pins the underlying SET-SIMILARITY math against DuckDB exactly.
+# Linear pair count (doc_id+1 self-join, shuffle on doc_id) — the all-pairs
+# version is what MinHash/LSH approximates at scale, never materialized.
+# Grams cap at the first 256 chars so the shingle arrays stay O(1) per row.
+# Jaccard = |∩|/|∪| of two small ints: one identical IEEE division.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, length(s) - 1),
+                          i -> substr(s, CAST(i AS INT), 3))
+         ) AS grams
+  FROM (SELECT doc_id, lower(substr(text, 1, 256)) AS s FROM documents)
+  WHERE length(s) >= 3
+)
+SELECT a.doc_id AS left_id,
+       b.doc_id AS right_id,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 256)).alias("s")
+    )
+    g = d.filter(F.length("s") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("grams"),
+    )
+    a = g.select(F.col("doc_id").alias("left_id"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("right_id"), F.col("grams").alias("gb"))
+    return (
+        a.join(b, F.col("right_id") == F.col("left_id") + 1)
+        .select(
+            "left_id",
+            "right_id",
+            (
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("jaccard"),
+        )
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bcdp_spark.queries import register
-from bcdp_spark.queries._helpers import dsum, dsum_sql, utc
+from bcdp_spark.queries._helpers import DEC, dsum, dsum_sql, utc
 from bcdp_spark.tables import table
 
 REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -486,4 +486,238 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum(F.col("c_acctbal"), "totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — forecasting revenue change: a pure scan-aggregate with three
+# range predicates and NO join. The point at 100 TB is pushdown: all three
+# predicates reach the parquet reader (PushedFilters), the scan reads two
+# columns beyond the filters (ReadSchema), and the single global sum is a
+# partial-agg → 1-row exchange. price·discount is an IEEE double product
+# identical in both engines; the sum routes through DECIMAL(28,10).
+# ---------------------------------------------------------------------------
+@register(
+    "q_revenue_forecast",
+    oracle=f"""
+SELECT {dsum_sql("l_extendedprice * l_discount", "revenue")}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape — customer order distribution: LEFT OUTER join with the filter
+# in the ON clause (the defining subtlety — zero-order customers must
+# survive), then a two-level aggregate: orders per customer, customers per
+# order-count. Both aggs shuffle on keys whose cardinality shrinks at each
+# level (customers → distinct counts), so the second agg is nearly free.
+# Fixture has no o_comment; the excluded class is '1-URGENT' priority.
+# ---------------------------------------------------------------------------
+@register(
+    "q_custdist",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    cu = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (
+        cu.join(
+            o,
+            (cu.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — top supplier(s): revenue per supplier over one quarter, keep
+# every supplier tied at the maximum. The per-supplier aggregate keeps its
+# EXACT decimal sum for the max-equality test (floating max ties would be
+# engine-dependent; decimal ties are not), and only the surviving rows
+# cast to double. The 1-row max broadcasts back — no second shuffle of the
+# aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(r AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE r = (SELECT MAX(r) FROM rev)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("r")
+    )
+    top = rev.agg(F.max("r").alias("rmax"))
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("r") == F.col("rmax"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — small-quantity-order revenue: a correlated AVG subquery
+# de-correlated into a per-part aggregate joined back to the fact. The
+# brand filter prunes part FIRST and the surviving ~1/25 of partkeys
+# semi-drive both the fact scan and the threshold aggregate (broadcast at
+# any scale: part/25 rows of (key, avg)). l_quantity is integer-valued, so
+# the inner AVG (exact int sum / count) is bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+       / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#13'
+  AND l_quantity < 0.2 * (
+    SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    pa = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).drop(
+        "p_partkey"
+    )
+    thr = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers who kept orders waiting: the EXISTS / NOT-EXISTS
+# double-correlation, planned as a semi join then an anti join on the same
+# orderkey shuffle (fixture has no receipt/commit dates, so "waiting" =
+# strictly-latest ship date in a multi-supplier finished order). All three
+# lineitem references shuffle on l_orderkey — AQE reuses the exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "q_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+""",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    cand = l1.join(o, l1.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    cand = cand.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    cand = cand.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey"))
+        & (F.col("x_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -1,0 +1,214 @@
+"""Property-based tests (SURVEY.md §5.4): the invariants that make the
+engine safe at 100 TB, checked over hypothesis-generated inputs instead
+of fixtures — partition-count invariance, partial-agg mergeability,
+salting transparency, and operator-vs-bruteforce equivalence.
+
+Each property uses few, small examples: every example runs Spark jobs,
+so the value is in the adversarial shapes (hot keys, ties, empty sides),
+not in example count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# values on a 0.01 grid: exact in decimal(28,10) on both paths
+grid_vals = st.integers(min_value=-10_000, max_value=10_000).map(
+    lambda n: n / 100.0
+)
+# few distinct keys → guaranteed hot keys and empty-group edges
+keyed_rows = st.lists(
+    st.tuples(st.integers(0, 3), grid_vals), min_size=0, max_size=60
+)
+
+
+@given(rows=keyed_rows, nparts=st.integers(1, 7))
+@PROP
+def test_decimal_sum_is_partition_invariant(spark, rows, nparts):
+    """dsum must be bit-identical no matter how rows land in partitions —
+    the property that makes the oracle hash-compare survive any cluster
+    layout."""
+    from bcdp_spark.queries._helpers import dsum
+
+    df = spark.createDataFrame(rows or [(0, 0.0)], ["k", "v"])
+    if not rows:
+        df = df.limit(0)
+    a = df.groupBy("k").agg(dsum(F.col("v"), "s")).collect()
+    b = (
+        df.repartition(nparts)
+        .groupBy("k")
+        .agg(dsum(F.col("v"), "s"))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@given(rows=keyed_rows)
+@PROP
+def test_union_then_agg_equals_agg_then_merge(spark, rows):
+    """Partial-agg mergeability: aggregating the union equals merging
+    per-shard partial (sum, count) — the contract map-side combine and
+    AQE stage re-use both rely on."""
+    half = len(rows) // 2
+    d1 = spark.createDataFrame(rows[:half] or [(0, 0.0)], ["k", "v"])
+    d2 = spark.createDataFrame(rows[half:] or [(0, 0.0)], ["k", "v"])
+    if not rows[:half]:
+        d1 = d1.limit(0)
+    if not rows[half:]:
+        d2 = d2.limit(0)
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.sum(F.col("v").cast("decimal(28,10)")).alias("s"),
+            F.count("v").alias("n"),
+        )
+
+    whole = partial(d1.unionAll(d2)).collect()
+    merged = (
+        partial(d1)
+        .unionAll(partial(d2))
+        .groupBy("k")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 2), grid_vals), min_size=0, max_size=50
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["x", "y", "z"])),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    buckets=st.integers(2, 5),
+)
+@PROP
+def test_salted_join_equals_plain_join(spark, big, small, buckets):
+    """salted_join must be invisible to semantics: same multiset of rows
+    as the plain inner join, for any salt bucket count, including hot
+    keys (3 distinct keys over 50 rows) and unmatched keys."""
+    from bcdp_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(big)] or [(0, 0, 0.0)],
+        ["rid", "k", "v"],
+    )
+    sdf = spark.createDataFrame(small or [(0, "x")], ["k2", "tag"])
+    if not big:
+        bdf = bdf.limit(0)
+    if not small:
+        sdf = sdf.limit(0)
+    got = salted_join(bdf, sdf, "k", "k2", buckets=buckets, salt_from="rid")
+    want = bdf.join(sdf, bdf.k == sdf.k2)
+    cols = ["rid", "k", "v", "k2", "tag"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=18,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation must match a driver-side
+    union-find on any small undirected graph (cycles, self-loops,
+    duplicate edges, isolated pairs)."""
+    from bcdp_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges or [(0, 0)], ["id_a", "id_b"])
+    if not edges:
+        df = df.limit(0)
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+@given(
+    left=st.lists(st.integers(0, 1000), min_size=0, max_size=25),
+    right=st.lists(st.integers(0, 1000), min_size=0, max_size=25),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas(spark, left, right):
+    """asof_join (union-and-carry) must agree with pandas.merge_asof
+    (backward, exact matches allowed) on arbitrary integer timelines,
+    including duplicate timestamps on the left and empty sides."""
+    import pandas as pd
+
+    from bcdp_spark.operators.asof import asof_join
+
+    # unique right timestamps: with duplicates, "which right row wins a
+    # tie" is a policy choice pandas and we make differently — uniqueness
+    # keeps the property about TIME semantics, not tie policy
+    right = sorted(set(right))
+    ldf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(left)] or [(0, 0)], ["lid", "t"]
+    )
+    rdf = spark.createDataFrame(
+        [(t, f"r{t}") for t in right] or [(0, "r")], ["t", "tag"]
+    )
+    if not left:
+        ldf = ldf.limit(0)
+    if not right:
+        rdf = rdf.limit(0)
+    # asof_join suffixes every right column (contract: suffix="_right")
+    got = {
+        (r["lid"], r["tag_right"])
+        for r in asof_join(ldf, rdf, on="t")
+        .select("lid", "tag_right")
+        .collect()
+    }
+    lpd = pd.DataFrame({"lid": range(len(left)), "t": left}).sort_values(
+        ["t", "lid"]
+    )
+    rpd = pd.DataFrame({"t": right, "tag": [f"r{t}" for t in right]})
+    if len(lpd) and len(rpd):
+        m = pd.merge_asof(lpd, rpd, on="t", direction="backward")
+        want = {
+            (int(r.lid), None if pd.isna(r.tag) else r.tag)
+            for r in m.itertuples()
+        }
+    else:
+        want = {(int(r.lid), None) for r in lpd.itertuples()}
+    assert got == want
