@@ -40,6 +40,7 @@ _MODULES = (
     "bcdp_spark.queries.advanced",
     "bcdp_spark.queries.tpch",
     "bcdp_spark.queries.robustness",
+    "bcdp_spark.queries.warehouse",
 )
 
 

@@ -1,0 +1,157 @@
+"""Warehouse maintenance & sequential-analytics widening: changeset
+upsert (MERGE INTO semantics), distribution ranks, and per-key
+exponentially-weighted means (the canonical "inherently sequential"
+fold, expressed as an ordered higher-order-function reduction).
+
+Scale notes (100 TB):
+- q_upsert is the CDC-apply shape: one shuffle join on the merge key;
+  the delta side is usually ≪ base and broadcasts. No window, no sort.
+- q_percent_rank ranks WITHIN partitions (per event_type), so each
+  group sorts independently — no global sort.
+- q_ewma bounds state by per-key event count (collect_list per user).
+  For unbounded keys the streaming twin is applyInPandasWithState
+  (streaming.running_user_state); this batch form is the oracle-checked
+  semantics anchor: both engines left-fold the SAME ordered list with
+  the SAME IEEE ops, so the result is bit-exact with no rounding.
+
+Reference parity: bcdp sequential/maintenance surface [UNVERIFIED —
+/root/reference was empty at survey time; SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / changeset apply: base = even event_ids, delta = every
+# third event with a bumped value. Delta wins on key collision; base rows
+# without a delta survive; delta-only rows insert. One full outer join on
+# the merge key (broadcast when delta is small), then per-type integrity
+# accounting so the output stays compact at any SF.
+# ---------------------------------------------------------------------------
+@register(
+    "q_upsert",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+),
+delta AS (
+  SELECT event_id, event_type, value + 1000.0 AS value
+  FROM events WHERE event_id % 3 = 0
+),
+merged AS (
+  SELECT COALESCE(d.event_id, b.event_id) AS event_id,
+         COALESCE(d.event_type, b.event_type) AS event_type,
+         COALESCE(d.value, b.value) AS value
+  FROM base b FULL OUTER JOIN delta d USING (event_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       {dsum_sql("value", "sum_value")}
+FROM merged
+GROUP BY event_type
+""",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    delta = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("d_event_id"),
+        F.col("event_type").alias("d_event_type"),
+        (F.col("value") + 1000.0).alias("d_value"),
+    )
+    merged = base.join(
+        delta, base.event_id == delta.d_event_id, "full_outer"
+    ).select(
+        F.coalesce("d_event_type", "event_type").alias("event_type"),
+        F.coalesce("d_value", "value").alias("value"),
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution ranks: percent_rank and cume_dist per event_type over
+# value, reported at each type's min/median/max probe rows only (top-1 /
+# bottom-1 by rank keeps the output O(groups), not O(rows)). Both ranks
+# are ratios of small integers — one identical IEEE division per row.
+# event_id tiebreak makes row selection deterministic under value ties.
+# ---------------------------------------------------------------------------
+@register(
+    "q_percent_rank",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS pr,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS cd
+  FROM events
+)
+SELECT event_type, event_id, value, pr, cd
+FROM ranked
+WHERE pr = 0.0 OR pr = 1.0
+""",
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.filter((F.col("pr") == 0.0) | (F.col("pr") == 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA (α = 0.1): collect each user's values in (ts, event_id)
+# order and left-fold acc·0.9 + x·0.1. Spark's aggregate() and DuckDB's
+# list_reduce() both fold strictly left-to-right with the same double
+# arithmetic → bit-exact, no rounding. The fold seeds with the first
+# element (DuckDB list_reduce semantics), folding the tail.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ewma",
+    oracle="""
+SELECT user_id,
+       CAST(list_reduce(list(value ORDER BY ts, event_id),
+                        (acc, x) -> acc * 0.9 + x * 0.1) AS DOUBLE) AS ewma,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(seq, 2, size(seq) - 1),"
+                " seq[0].value,"
+                " (acc, x) -> acc * 0.9D + x.value * 0.1D)"
+            ).alias("ewma"),
+            "n",
+        )
+    )

@@ -171,3 +171,38 @@ def enriched_counts(
             "n",
         )
     )
+
+
+def click_error_correlation(
+    stream: DataFrame, tolerance: str = "10 minutes"
+) -> DataFrame:
+    """ST8 — stream–stream interval join: pair each user's click with the
+    errors that follow it within ``tolerance``. Both sides carry
+    watermarks and the join condition bounds event time on BOTH ends, so
+    Spark can expire join state (the unbounded-state trap of stream-stream
+    joins is exactly this missing range bound). Append output mode.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("err_ts"),
+            F.col("event_id").alias("err_id"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    return clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("err_ts") > F.col("click_ts"))
+        & (F.col("err_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {tolerance}")),
+    ).select("c_user", "click_id", "err_id")

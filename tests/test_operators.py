@@ -313,6 +313,26 @@ def test_source_registry_csv_roundtrip(spark, tmp_path):
     assert {"parquet", "csv", "json", "binary", "netcdf"} <= set(list_sources())
 
 
+def test_source_registry_jsonl_roundtrip(spark, tmp_path):
+    """JSONL (one object per line) is the interchange format most raw
+    text-corpus dumps arrive in; schema comes from the data, nested
+    fields survive, and a partitioned directory reads as one frame."""
+    from bcdp_spark.sources import load
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello", "meta": {"lang": "en"}}\n'
+        '{"doc_id": 2, "text": "welt", "meta": {"lang": "de"}}\n'
+    )
+    (d / "part-1.jsonl").write_text(
+        '{"doc_id": 3, "text": "monde", "meta": {"lang": "fr"}}\n'
+    )
+    df = load("json", spark, str(d))
+    assert df.count() == 3
+    assert df.filter(F.col("meta.lang") == "de").count() == 1
+
+
 def test_netcdf_source_stub_gates_cleanly(spark, tmp_path):
     from bcdp_spark.sources.netcdf import load_netcdf
 

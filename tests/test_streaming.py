@@ -106,3 +106,31 @@ def test_stream_static_join_matches_batch(spark, stream):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got.subtract(batch).count() == 0 and batch.subtract(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    from bcdp_spark.streaming import click_error_correlation, run_available_now
+    from bcdp_spark.tables import table
+
+    got = run_available_now(
+        click_error_correlation(stream), "t_ss_join", mode="append"
+    )
+    ev = table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_id"),
+    )
+    want = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("err_ts") > F.col("click_ts"))
+        & (F.col("err_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+    ).select("c_user", "click_id", "err_id")
+    assert want.count() > 0
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
