@@ -41,6 +41,7 @@ _MODULES = (
     "bcdp_spark.queries.tpch",
     "bcdp_spark.queries.robustness",
     "bcdp_spark.queries.warehouse",
+    "bcdp_spark.queries.analytics",
 )
 
 

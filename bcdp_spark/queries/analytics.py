@@ -1,0 +1,279 @@
+"""Product-analytics composites: the query shapes an events warehouse
+actually serves — deterministic argmax, weighted means, share-of-total,
+year-over-year growth, sequential funnels, and cohort retention.
+
+Scale notes (100 TB):
+- q_argmax is one window per group ordered (value DESC, event_id) — the
+  tiebreak makes it deterministic under any partitioning; at scale this
+  is the W3 top-k pattern, not a global sort.
+- q_ratio_to_report reduces to ONE aggregate row per group before the
+  share division, so the window-over-all runs on |groups| rows, not on
+  the fact table.
+- q_funnel is three conditional min-aggregates per user + one reduce —
+  no self-joins; the per-user shuffle happens once and every funnel
+  stage rides it.
+- q_cohort_retention keys cohorts by ABSOLUTE epoch week (integer
+  division) so cohort assignment is partition- and session-tz-free.
+
+Reference parity: bcdp analytics surface [UNVERIFIED — /root/reference
+was empty at survey time; SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import DEC, DEC_SQL, dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# Deterministic argmax: the row holding each group's maximum, tiebroken
+# by event_id so engines cannot disagree on which of several max rows
+# survives (the trap in naive max_by/arg_max).
+# ---------------------------------------------------------------------------
+@register(
+    "q_argmax",
+    oracle="""
+SELECT event_type, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted average: Σ(w·x)/Σ(w), both sums decimal-routed. The w·x
+# product is one IEEE multiply, identical in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+         AS w_avg_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+        ).alias("w_avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of global revenue. The fact table
+# aggregates FIRST (decimal-exact, per nation); the share division runs
+# over the |nations|-row aggregate via an unpartitioned window — cheap
+# because its input is already tiny.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ratio_to_report",
+    oracle=f"""
+WITH per_nation AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC_SQL})) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE) AS share
+FROM per_nation
+""",
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth: yearly decimal-exact revenue + lag. The lag
+# window runs on |years| rows. Growth = one double division on two
+# identically-rounded doubles; first year yields NULL in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_yoy_growth",
+    oracle=f"""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         SUM(CAST(o_totalprice AS {DEC_SQL})) AS rev
+  FROM orders
+  GROUP BY 1
+)
+SELECT order_year,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(lag(rev) OVER (ORDER BY order_year) AS VARCHAR) AS DOUBLE)
+         - 1.0 AS yoy
+FROM yearly
+""",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    w = Window.orderBy("order_year")
+    return yearly.select(
+        "order_year",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double")
+            - 1.0
+        ).alias("yoy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel signup → click → purchase: per-user conditional
+# min-timestamps in ONE aggregate pass (no self-joins), then stage
+# membership tests that respect event ORDER, then one global reduce.
+# ---------------------------------------------------------------------------
+@register(
+    "q_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'signup') AS s_ts,
+         MIN(ts) FILTER (WHERE event_type = 'click') AS any_click,
+         MIN(ts) FILTER (WHERE event_type = 'purchase') AS any_purchase
+  FROM events
+  GROUP BY user_id
+),
+staged AS (
+  SELECT user_id, s_ts,
+         CASE WHEN s_ts IS NOT NULL AND any_click > s_ts
+              THEN any_click END AS c_ts,
+         any_purchase
+  FROM per_user
+)
+SELECT COUNT(s_ts) AS n_signup,
+       COUNT(c_ts) AS n_click_after,
+       COUNT(CASE WHEN any_purchase > c_ts THEN 1 END) AS n_purchase_after
+FROM staged
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "any_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "any_purchase"
+        ),
+    )
+    staged = per_user.select(
+        "s_ts",
+        F.when(
+            F.col("s_ts").isNotNull() & (F.col("any_click") > F.col("s_ts")),
+            F.col("any_click"),
+        ).alias("c_ts"),
+        "any_purchase",
+    )
+    return staged.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count(
+            F.when(F.col("any_purchase") > F.col("c_ts"), F.lit(1))
+        ).alias("n_purchase_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = each user's first ABSOLUTE epoch-week
+# (floor(epoch/604800) — integer math, immune to session timezone and
+# week-start conventions), offset = active week − cohort week. Two
+# aggregates whose keys shrink at each level.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(w) AS cohort_w FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_w AS cohort_week,
+       weeks.w - c.cohort_w AS week_offset,
+       COUNT(DISTINCT weeks.user_id) AS n_users
+FROM weeks JOIN cohorts c ON weeks.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    weeks = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("w"),
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cohort_w").alias("cohort_week"),
+            (F.col("w") - F.col("cohort_w")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
