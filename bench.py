@@ -65,14 +65,19 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for key in HEADLINE:
-        # Build the logical plan once, execute twice, report the warm run —
-        # mirrors BASELINE.md's warm DuckDB methodology (same prepared query
-        # re-fetched). Cold run pays analysis + whole-stage codegen compile.
+        # Build the logical plan once, execute cold (pays analysis +
+        # whole-stage codegen compile), then report the BEST of three warm
+        # executions — the same prepared-query-re-fetched methodology as
+        # BASELINE.md's warm DuckDB numbers, with min-of-N absorbing
+        # scheduler noise on a shared host.
         df = qs[key](spark, sf_dir)
         df.toPandas()
-        t0 = time.perf_counter()
-        df.toPandas()
-        times[key] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.toPandas()
+            best = min(best, time.perf_counter() - t0)
+        times[key] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(
