@@ -134,3 +134,60 @@ def test_shipping_priority_uses_takeordered(spark):
 
     df = q.queries()["q_shipping_priority"](spark, SF_ORACLE)
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_revenue_forecast_pushdown_and_pruning(spark):
+    """Q6 is the pushdown acid test: all three range predicates must reach
+    the parquet reader and the scan must touch only the four columns the
+    query mentions — at 100 TB this is the difference between reading
+    ~5 GB and reading the table."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import has_pushed_filters, read_schema_columns
+
+    df = q.queries()["q_revenue_forecast"](spark, SF_ORACLE)
+    assert has_pushed_filters(df)
+    assert set(read_schema_columns(df)) == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_funnel_is_single_shuffle(spark):
+    """The funnel computes all three stages in one per-user aggregate:
+    exactly one hash exchange on user_id, then a single-partition reduce.
+    A self-join formulation would shuffle once per stage."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import count_exchanges
+
+    df = q.queries()["q_funnel"](spark, SF_ORACLE)
+    assert count_exchanges(df) <= 2  # user_id hash + 1-row final reduce
+
+
+def test_ratio_to_report_windows_over_aggregate(spark):
+    """The share-of-total window must consume the |nations|-row aggregate,
+    not the fact table: the plan's Window node sits above the final
+    HashAggregate, and the fact side joins via broadcast (no shuffle join
+    exchanges on lineitem)."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan, uses_broadcast_join
+
+    df = q.queries()["q_ratio_to_report"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df)
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1 and w < agg, (
+        "Window must be above (before) the aggregate in the plan tree"
+    )
+
+
+def test_top_supplier_broadcasts_max_back(spark):
+    """The 1-row MAX aggregate must come back as a broadcast join against
+    the per-supplier aggregate — never a shuffle join."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import uses_broadcast_join
+
+    df = q.queries()["q_top_supplier"](spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
