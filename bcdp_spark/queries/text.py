@@ -404,3 +404,71 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — per-language top tokens: the partitioned heavy-hitters shape
+# (q_heavy_hitters is global). Count per (lang, token) — partial agg
+# collapses before the shuffle — then a per-lang top-5 window with
+# (count DESC, token ASC) tiebreak so engines agree on every winner.
+# ---------------------------------------------------------------------------
+@register(
+    "q_top_tokens_per_lang",
+    oracle="""
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM tok
+  WHERE token <> '' GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+  FROM counts
+)
+SELECT lang, token, n, rn FROM ranked WHERE rn <= 5
+""",
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    counts = (
+        tok.filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — corpus length profile: 500-char bins over n_chars (integer
+# division — no float binning drift), per-bin doc count, char mass, and
+# source diversity. The curation dashboard query.
+# ---------------------------------------------------------------------------
+@register(
+    "q_doc_length_histogram",
+    oracle="""
+SELECT CAST(n_chars // 500 AS BIGINT) AS len_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY 1
+""",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    d = table(spark, sf_dir, "documents").select("n_chars", "source")
+    return d.groupBy(
+        F.floor(F.col("n_chars") / 500).cast("long").alias("len_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

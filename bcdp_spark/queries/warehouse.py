@@ -155,3 +155,107 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlier gate (3σ rule) with BIT-EXACT membership: mean and variance are
+# derived from decimal-routed Σv and Σv² with the identical explicit
+# formula in both engines ((Σv² − n·mean²)/(n−1)), so every double op —
+# and therefore every |v−mean| > 3σ membership decision — is the same
+# IEEE computation on both sides. No rounding, no boundary flakiness.
+# Two passes over the fact (stats, then gate) but the stats side is one
+# row per group and broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "q_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
+  FROM events
+  GROUP BY event_type
+),
+thr AS (
+  SELECT event_type, n, s1 / n AS mean,
+         sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS std
+  FROM stats
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN abs(e.value - t.mean) > 3.0 * t.std THEN 1 END)
+         AS n_outliers
+FROM events e JOIN thr t ON e.event_type = t.event_type
+GROUP BY e.event_type
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    thr = stats.select(
+        F.col("event_type").alias("t_type"),
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s2")
+                - F.col("n") * (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            )
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(thr), F.col("event_type") == F.col("t_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("std"),
+                    F.lit(1),
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed dedup: keep the first event per (user, 5-minute bucket) — the
+# batch twin of streaming dropDuplicates-within-watermark, and the
+# standard "collapse bursts" cleanup. row_number with (ts, event_id)
+# tiebreak → deterministic winner under any partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "q_windowed_dedup",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(FLOOR(epoch(ts) / 300) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT COUNT(*) AS n_kept, {dsum_sql("value", "sum_value")}
+FROM ranked WHERE rn = 1
+""",
+)
+def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
+    w = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
