@@ -277,3 +277,146 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (Markov bigrams): per user, pair each
+# event with its successor via lag — one window per user ordered
+# (ts, event_id) — then count (from → to) transitions. Pure integer
+# counts; the sequence shuffle happens once on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "q_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# User lifetime & cadence: per-user span (last − first event, seconds,
+# exact epoch-µs integer math) and median inter-event gap. The gap median
+# interpolates identically in both engines (mean of two integer middles).
+# One user_id shuffle serves both the lag window and the aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_user_lifetime",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) AS t_us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST((MAX(t_us) - MIN(t_us)) // 1000000 AS BIGINT) AS lifetime_s,
+       COUNT(gap_us) AS n_gaps,
+       CAST(median(gap_us) AS DOUBLE) AS median_gap_us
+FROM gaps
+GROUP BY user_id
+""",
+)
+def q_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    return g.groupBy("user_id").agg(
+        F.floor((F.max("t_us") - F.min("t_us")) / 1000000)
+        .cast("long")
+        .alias("lifetime_s"),
+        F.count("gap_us").alias("n_gaps"),
+        F.median("gap_us").cast("double").alias("median_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation: corr of hourly click-counts vs view-counts
+# across days. The hourly pre-aggregate collapses the fact table first.
+# Native corr() merges per-partition moments in PARTITION ORDER — not
+# reproducible across engines or even runs — so the Pearson coefficient
+# is assembled from exact INTEGER sums (counts and their products fit
+# bigint) with one identical double formula on both sides: bit-exact,
+# no rounding.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rolling_corr",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views
+  FROM events
+  GROUP BY 1
+),
+sums AS (
+  SELECT CAST(h // 24 AS BIGINT) AS day_idx,
+         COUNT(*) AS n_hours,
+         SUM(clicks) AS sx, SUM(views) AS sy,
+         SUM(clicks * views) AS sxy,
+         SUM(clicks * clicks) AS sxx, SUM(views * views) AS syy
+  FROM hourly
+  GROUP BY 1
+)
+SELECT day_idx, n_hours,
+       CAST(n_hours * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE)))
+         AS click_view_corr
+FROM sums
+""",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias("views"),
+    )
+    sums = hourly.groupBy(
+        F.floor(F.col("h") / 24).cast("long").alias("day_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("clicks").alias("sx"),
+        F.sum("views").alias("sy"),
+        F.sum(F.col("clicks") * F.col("views")).alias("sxy"),
+        F.sum(F.col("clicks") * F.col("clicks")).alias("sxx"),
+        F.sum(F.col("views") * F.col("views")).alias("syy"),
+    )
+    return sums.select(
+        "day_idx",
+        "n_hours",
+        (
+            (F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("click_view_corr"),
+    )
