@@ -134,3 +134,86 @@ def test_stream_stream_join_matches_batch(spark, stream):
     ).select("c_user", "click_id", "err_id")
     assert want.count() > 0
     assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST4 — the watermark CONTRACT, not just the API: the watermark
+    gates state EVICTION (a late row merging into still-live state is
+    legal and desired), so a drop is only observable once the window has
+    been emitted and evicted. Three mtime-ordered files → three
+    micro-batches (maxFilesPerTrigger=1): batch 0 fills hour 0, batch 1
+    advances the watermark past it (emits + evicts), batch 2 delivers a
+    late hour-0 echo that must now be DROPPED — the emitted hour-0 count
+    stays at batch-0's 2 and append never re-emits the window."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    d = tmp_path / "wm_stream"
+    d.mkdir()
+    tstype = pa.timestamp("us", tz="UTC")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array([ts(0, 10), ts(0, 20), ts(3, 0)], tstype),
+            }
+        ),
+        d / "f1.parquet",
+    )
+    os.utime(d / "f1.parquet", (1_700_000_000, 1_700_000_000))
+    # batch 1: watermark (from batch 0) = 02:00 > hour-0 window end →
+    # hour 0 emits and its state evicts at this batch's end
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([4], pa.int64()),
+                "ts": pa.array([ts(6, 0)], tstype),
+            }
+        ),
+        d / "f2.parquet",
+    )
+    os.utime(d / "f2.parquet", (1_700_000_100, 1_700_000_100))
+    # batch 2: a 5h-late echo of hour 0 — state is gone, row must drop
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([5], pa.int64()),
+                "ts": pa.array([ts(0, 30)], tstype),
+            }
+        ),
+        d / "f3.parquet",
+    )
+    os.utime(d / "f3.parquet", (1_700_000_200, 1_700_000_200))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.hour("window.start").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_watermark")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["h"]: r["n"] for r in spark.table("t_watermark").collect()}
+    # hour 0 closed before the late row arrived: 2, not 3
+    assert got.get(0) == 2, f"late row must be dropped, got {got}"
+    assert got.get(3) == 1
+    # hour 6's window is still open at end-of-stream (append emits only
+    # watermark-closed windows)
+    assert 6 not in got
