@@ -420,3 +420,230 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("click_view_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / stickiness: daily active users per day plus each day's share of
+# the month's active base. Day keys are absolute epoch days (integer
+# division — tz-free); the per-month distinct is computed once and
+# broadcast back, so the fact shuffles once on (day) and once on (month).
+# ---------------------------------------------------------------------------
+@register(
+    "q_dau_mau",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_idx
+  FROM events
+),
+dau AS (
+  SELECT day_idx, COUNT(*) AS dau FROM days GROUP BY day_idx
+),
+mau AS (
+  SELECT CAST(day_idx // 30 AS BIGINT) AS month_idx,
+         COUNT(DISTINCT user_id) AS mau
+  FROM days GROUP BY 1
+)
+SELECT d.day_idx, d.dau, m.mau,
+       CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+FROM dau d JOIN mau m ON d.day_idx // 30 = m.month_idx
+""",
+)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).distinct()
+    dau = days.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
+    mau = days.groupBy(
+        F.floor(F.col("day_idx") / 30).cast("long").alias("month_idx")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.floor(F.col("day_idx") / 30).cast("long") == F.col("month_idx"),
+        )
+        .select(
+            "day_idx",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning: classify each (user, day) against the user's first
+# day. The first-day aggregate is tiny (|users| rows) and broadcasts;
+# the day-level rollup then needs no second pass over the fact.
+# ---------------------------------------------------------------------------
+@register(
+    "q_new_vs_returning",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_idx
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(day_idx) AS first_day FROM days GROUP BY user_id
+)
+SELECT d.day_idx,
+       COUNT(CASE WHEN d.day_idx = f.first_day THEN 1 END) AS new_users,
+       COUNT(CASE WHEN d.day_idx > f.first_day THEN 1 END) AS returning_users
+FROM days d JOIN firsts f ON d.user_id = f.user_id
+GROUP BY d.day_idx
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_idx"),
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    return (
+        days.join(F.broadcast(firsts), "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.count(
+                F.when(F.col("day_idx") == F.col("first_day"), F.lit(1))
+            ).alias("new_users"),
+            F.count(
+                F.when(F.col("day_idx") > F.col("first_day"), F.lit(1))
+            ).alias("returning_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session abandonment: sessionize per user (30-min gap, gaps-and-islands)
+# and count sessions that contain a purchase vs not. The island id is a
+# running sum of gap flags — one user_id shuffle drives the lag window,
+# the session rollup, and the outcome rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q_abandonment",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id,
+         event_type
+  FROM flagged
+),
+rolled AS (
+  SELECT user_id, sess_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sess_id
+)
+SELECT converted, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM rolled GROUP BY converted
+""",
+)
+def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 1_800_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_sess").over(wrun).alias("sess_id"),
+        "event_type",
+    )
+    rolled = sessions.groupBy("user_id", "sess_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("converted"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return rolled.groupBy("converted").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment lag: days from order date to first and last shipment, per
+# order priority. Integer day arithmetic (datediff of timestamps at
+# day granularity) — exact in both engines; averages are exact-int-sum
+# over count.
+# ---------------------------------------------------------------------------
+@register(
+    "q_fulfillment_lag",
+    oracle="""
+WITH per_order AS (
+  SELECT o_orderkey, o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(MIN(l_shipdate) AS DATE)) AS first_lag,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(MAX(l_shipdate) AS DATE)) AS last_lag
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(first_lag) AS DOUBLE) / COUNT(*) AS avg_first_lag,
+       CAST(SUM(last_lag) AS DOUBLE) / COUNT(*) AS avg_last_lag
+FROM per_order
+GROUP BY o_orderpriority
+""",
+)
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.min("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("first_lag"),
+            F.datediff(
+                F.max("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("last_lag"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("first_lag").cast("double") / F.count(F.lit(1))).alias(
+            "avg_first_lag"
+        ),
+        (F.sum("last_lag").cast("double") / F.count(F.lit(1))).alias(
+            "avg_last_lag"
+        ),
+    )
