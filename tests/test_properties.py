@@ -212,3 +212,94 @@ def test_asof_join_matches_pandas(spark, left, right):
     else:
         want = {(int(r.lid), None) for r in lpd.itertuples()}
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000).map(
+            lambda n: n / 100.0
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ewma_fold_matches_pandas_ewm(spark, vals):
+    """The q_ewma HOF left-fold must equal pandas ewm(alpha=0.1,
+    adjust=False) — the recursive definition s_i = 0.9·s_{i-1} + 0.1·x_i
+    seeded with x_0 — to within float tolerance (pandas evaluates the
+    same recurrence with compensated arithmetic internally)."""
+    import math
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(0, i, float(v)) for i, v in enumerate(vals)], ["k", "i", "v"]
+    )
+    got = (
+        df.groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("seq"))
+        .select(
+            F.expr(
+                "aggregate(slice(seq, 2, size(seq) - 1), seq[0].v,"
+                " (acc, x) -> acc * 0.9D + x.v * 0.1D)"
+            ).alias("ewma")
+        )
+        .collect()[0]["ewma"]
+    )
+    want = (
+        pd.Series(vals).ewm(alpha=0.1, adjust=False).mean().iloc[-1]
+    )
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    left=st.lists(st.integers(0, 1000), min_size=0, max_size=20),
+    right=st.lists(st.integers(0, 1000), min_size=0, max_size=20),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_forward_matches_pandas(spark, left, right):
+    """Forward direction: nearest right row with r.t >= l.t, vs
+    pandas.merge_asof(direction='forward')."""
+    import pandas as pd
+
+    from bcdp_spark.operators.asof import asof_join
+
+    right = sorted(set(right))
+    ldf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(left)] or [(0, 0)], ["lid", "t"]
+    )
+    rdf = spark.createDataFrame(
+        [(t, f"r{t}") for t in right] or [(0, "r")], ["t", "tag"]
+    )
+    if not left:
+        ldf = ldf.limit(0)
+    if not right:
+        rdf = rdf.limit(0)
+    got = {
+        (r["lid"], r["tag_right"])
+        for r in asof_join(ldf, rdf, on="t", direction="forward")
+        .select("lid", "tag_right")
+        .collect()
+    }
+    lpd = pd.DataFrame({"lid": range(len(left)), "t": left}).sort_values(
+        ["t", "lid"]
+    )
+    rpd = pd.DataFrame({"t": right, "tag": [f"r{t}" for t in right]})
+    if len(lpd) and len(rpd):
+        m = pd.merge_asof(lpd, rpd, on="t", direction="forward")
+        want = {
+            (int(r.lid), None if pd.isna(r.tag) else r.tag)
+            for r in m.itertuples()
+        }
+    else:
+        want = {(int(r.lid), None) for r in lpd.itertuples()}
+    assert got == want
