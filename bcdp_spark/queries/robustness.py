@@ -412,3 +412,71 @@ def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# R12 — scalable interval join: revenue per promo window (28 fourteen-day
+# windows every 90 days from 1995-01-01), matched to lineitem ship-days
+# via operators/rangejoin.bin_interval_join — interval→bin explosion +
+# bin EQUI-join + exact containment, never a nested-loop. The oracle runs
+# the plain BETWEEN join (fine at sf0.01; the binned form is the one that
+# survives 100 TB). Both engines generate the identical promo spine.
+# ---------------------------------------------------------------------------
+@register(
+    "q_promo_window_join",
+    oracle=f"""
+WITH promos AS (
+  SELECT k AS promo_id,
+         CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT) // 86400 + 90 * k AS lo_day,
+         CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT) // 86400 + 90 * k + 14 AS hi_day
+  FROM range(28) t(k)
+),
+pts AS (
+  SELECT CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS ship_day,
+         l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT promo_id, COUNT(*) AS n_shipments,
+       {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM pts JOIN promos
+  ON ship_day >= lo_day AND ship_day < hi_day
+GROUP BY promo_id
+""",
+)
+def q_promo_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.rangejoin import bin_interval_join
+
+    utc(spark)
+    day0 = F.floor(
+        F.unix_timestamp(F.lit("1995-01-01").cast("timestamp")) / 86400
+    ).cast("long")
+    promos = (
+        spark.range(28)
+        .select(
+            F.col("id").alias("promo_id"),
+            (day0 + 90 * F.col("id")).alias("lo_day"),
+            (day0 + 90 * F.col("id") + 14).alias("hi_day"),
+        )
+    )
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.unix_timestamp("l_shipdate") / 86400)
+        .cast("long")
+        .alias("ship_day"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    joined = bin_interval_join(
+        pts,
+        promos,
+        point_col="ship_day",
+        lo_col="lo_day",
+        hi_col="hi_day",
+        bin_width=7,
+        broadcast_intervals=True,
+    )
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )

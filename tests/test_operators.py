@@ -417,3 +417,34 @@ def test_pack_documents_respects_budget_and_is_deterministic(spark):
     for (shard, bin_id), tot in fill.items():
         assert tot <= 1000 or sum(1 for s, b2, d, n in a if (s, b2) == (shard, bin_id)) == 1
     assert len(a) == 60  # every doc packed exactly once
+
+
+def test_bin_interval_join_matches_nested_loop(spark):
+    """bin_interval_join must return exactly the BETWEEN-join rows for
+    any bin width, including intervals narrower/wider than a bin,
+    bin-straddling intervals, and points on interval endpoints
+    (end-exclusive)."""
+    from bcdp_spark.operators.rangejoin import bin_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 5, 9, 10, 11, 29, 30, 99])],
+        ["pid", "t"],
+    )
+    iv = spark.createDataFrame(
+        [(0, 0, 10), (1, 9, 12), (2, 10, 30), (3, 95, 200), (4, 40, 41)],
+        ["iid", "lo", "hi"],
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (pts.t >= iv.lo) & (pts.t < iv.hi)
+        ).collect()
+    )
+    for width in (1, 3, 7, 50, 1000):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in bin_interval_join(
+                pts, iv, "t", "lo", "hi", bin_width=width
+            ).collect()
+        )
+        assert got == want, f"width={width}: {got} != {want}"
