@@ -647,3 +647,54 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_last_lag"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern match (MATCH_RECOGNIZE-lite): per user, fold the
+# time-ordered event stream into a signature string (one letter per type —
+# the five fixture types start with distinct letters) and regex-match
+# "signup, then purchase, with no error between" as 's[^e]*p'. This is the
+# classic sequence-pattern operator (SQL:2016 MATCH_RECOGNIZE / Flink CEP)
+# expressed as ordered-fold + regex — one shuffle on user_id, per-user
+# state bounded by sequence length. The struct sort (ts, event_id) makes
+# the fold order unique, so the signature is partition-independent.
+# Scale: at 100 TB, cap the collected sequence with a time window slice
+# (e.g. 90 days) before the fold; the shuffle key (user_id) is unskewed.
+# Reference parity: bcdp event-sequence analysis [UNVERIFIED — /root/
+# reference was empty at survey time; SURVEY.md §0].
+# ---------------------------------------------------------------------------
+@register(
+    "q_sequence_match",
+    oracle="""
+WITH sig AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       regexp_matches(seq, 's[^e]*p') AS funnel_clean
+FROM sig
+""",
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    sig = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sig.select(
+        "user_id", "n_events", F.col("seq").rlike("s[^e]*p").alias("funnel_clean")
+    )

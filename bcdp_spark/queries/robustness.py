@@ -480,3 +480,39 @@ def q_promo_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (A6b): per-source Apache DataSketches HLL of
+# distinct document texts, plus the corpus-wide count obtained by MERGING
+# the per-source sketches (hll_union_agg) — never re-scanning the rows.
+# This is THE 100 TB cardinality pattern: partial sketches are a few KB,
+# associative, and re-aggregable along any hierarchy (source → corpus,
+# day → month), so the second level costs |groups| not |rows|.
+# Rows-only key (DuckDB's approx_count_distinct uses a different sketch
+# family, so cross-engine hash equality is impossible by construction);
+# the estimate-vs-exact tolerance is unit-tested in test_operators.py.
+# Reference parity: bcdp distinct-count surface [UNVERIFIED — /root/
+# reference was empty at survey time; SURVEY.md §0].
+# ---------------------------------------------------------------------------
+@register("q_hll_rollup")
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    d = table(spark, sf_dir, "documents").select("source", "text")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg("text", 12).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    detail = per_source.select(
+        "source",
+        "n_rows",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_distinct_texts"),
+    )
+    total = per_source.agg(
+        F.lit("__all__").alias("source"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_distinct_texts"),
+    )
+    return detail.unionByName(total).orderBy("source")

@@ -472,3 +472,58 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (X4d — the Gopher/C4 quality rule): fraction
+# of word trigrams that are duplicates within the SAME document. All
+# integer math (trigram count, distinct count, 10·dup > total threshold)
+# so membership is bit-exact. Trigrams are built with a per-row HOF over
+# the token array — no explode, no shuffle: this is a pure map, and at
+# 100 TB it runs scan-local at whatever parallelism the files give.
+# Reference parity: corpus quality filtering, bcdp text surface
+# [UNVERIFIED — /root/reference was empty at survey time; SURVEY.md §0].
+# ---------------------------------------------------------------------------
+@register(
+    "q_repetition_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          FOR i IN generate_series(1, len(t) - 2)] AS g
+  FROM toks
+  WHERE len(t) >= 3
+)
+SELECT doc_id,
+       len(g) AS n_tri,
+       len(list_distinct(g)) AS n_uniq,
+       len(g) - len(list_distinct(g)) AS n_dup,
+       10 * (len(g) - len(list_distinct(g))) > len(g) AS repetitive
+FROM tri
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split("text", " ")
+    g = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    out = d.filter(F.size(t) >= 3).select(
+        "doc_id",
+        F.size(g).alias("n_tri"),
+        F.size(F.array_distinct(g)).alias("n_uniq"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tri",
+        "n_uniq",
+        (F.col("n_tri") - F.col("n_uniq")).alias("n_dup"),
+        (10 * (F.col("n_tri") - F.col("n_uniq")) > F.col("n_tri")).alias("repetitive"),
+    )

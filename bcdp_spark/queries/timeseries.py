@@ -624,3 +624,54 @@ def q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.coalesce("pv", "nv"))
     )
     return ctx.select("event_id", "user_id", interp.alias("v_interp"))
+
+
+# ---------------------------------------------------------------------------
+# Moving median (W1b): trailing-5-row median of l_quantity per part — the
+# robust-smoothing twin of q_rolling_mean (median filters shrug off the
+# spikes that wreck a mean). Spark has no median window function, so the
+# frame is materialized with collect_list over ROWS BETWEEN 4 PRECEDING
+# AND CURRENT ROW (bounded: ≤5 elements/row regardless of scale), sorted,
+# and indexed. Quantities are integer-valued doubles, so the even-count
+# midpoint mean (a+b)/2 is exact in binary — bit-identical to DuckDB's
+# interpolating median. Ordering (l_shipdate, l_orderkey, l_linenumber)
+# is unique per part → deterministic frames under any partitioning.
+# Scale: one shuffle on l_partkey (~200M distinct at 100 TB — even spread),
+# constant-size frame state; no global sort.
+# Reference parity: rolling median smoothing, bcdp/utils.py temporal ops
+# [UNVERIFIED — /root/reference was empty at survey time; SURVEY.md §0].
+# ---------------------------------------------------------------------------
+@register(
+    "q_moving_median",
+    oracle="""
+SELECT l_partkey, l_orderkey, l_linenumber,
+       median(l_quantity) OVER (
+         PARTITION BY l_partkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med_qty
+FROM lineitem
+""",
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("l_quantity").over(w))
+    n = F.size(frame)
+    odd = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(frame, (n / 2).cast("int"))
+        + F.element_at(frame, (n / 2 + 1).cast("int"))
+    ) / 2
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("med_qty"),
+    )

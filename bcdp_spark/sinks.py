@@ -1,0 +1,64 @@
+"""Write-path data layout — the half of scan performance that lives in
+the SINK. Parquet readers (Spark, DuckDB, Trino…) skip row groups whose
+min/max statistics exclude the predicate; those statistics are only
+tight when rows arrive sorted by the columns queries filter on. At
+100 TB, writing events clustered by (user_id) turns a per-user scan
+from "read everything, filter" into "read the handful of row groups
+whose stats admit the key".
+
+Reference parity: bcdp sink surface (to_netcdf bundle output,
+bcdp/core.py [UNVERIFIED — /root/reference was empty at survey time;
+SURVEY.md §0]); the clustering idea is the standard warehouse
+sort-on-write (linear order ≈ 1-D Z-order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by ``sort_cols``: range-repartition so each
+    output file owns a disjoint key range, then sort within partitions so
+    every ROW GROUP's min/max is tight. ``repartitionByRange`` samples
+    ranges distributively — no driver materialization.
+
+    ``partition_by`` layers directory-level pruning on top (coarse keys:
+    date, source); ``sort_cols`` handles the fine-grained keys that would
+    explode a directory scheme.
+    """
+    out = df
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, *sort_cols)
+    else:
+        out = out.repartitionByRange(*sort_cols)
+    out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact(
+    df: DataFrame,
+    path: str,
+    target_partitions: int,
+    mode: str = "overwrite",
+) -> None:
+    """Small-files compaction: coalesce (no shuffle) to ``target_partitions``
+    outputs. Use after incremental appends produce many tiny files; at
+    scale, schedule per partition-directory so one straggler directory
+    doesn't serialize the job."""
+    df.coalesce(target_partitions).write.mode(mode).parquet(path)
