@@ -47,8 +47,14 @@ def asof_join(
         F.col(on).alias("__r_on"), *[F.col(c) for c in rcols]
     ).alias("__payload")
     # __tb orders right rows that share a timestamp (deterministic pick:
-    # the largest tiebreak value wins, since last() carries the final one)
-    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    # the largest tiebreak value wins, since last() carries the final one).
+    # Without an explicit tiebreak, derive a content hash so colliding
+    # right timestamps still resolve deterministically (input order is
+    # not stable across shuffles; a hash of the row is).
+    if right_tiebreak:
+        tb = F.col(right_tiebreak)
+    else:
+        tb = F.xxhash64(F.col(on), *[F.col(c) for c in rcols])
     r = right.select(
         *by,
         F.col(on).alias("__t"),
@@ -80,9 +86,12 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
+        # __tb stays ascending even though __t flips to descending: last()
+        # carries the FINAL row of the frame, so ascending __tb makes the
+        # largest tiebreak win in both directions.
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__tb").desc())
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__tb").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     carried = u.withColumn(

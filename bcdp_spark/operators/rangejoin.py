@@ -38,7 +38,17 @@ def bin_interval_join(
     numbers…). ``bin_width`` is in the same unit. Interval explosion is
     a map-side ``sequence``+``explode`` — never materialized on the
     driver.
+
+    Only inner semantics are implemented: the post-join containment
+    filter would silently drop null-matched outer rows, so outer ``how``
+    values are rejected rather than returning a wrong subset. (A left
+    variant would re-union the unmatched points after the filter.)
     """
+    if how != "inner":
+        raise ValueError(
+            "bin_interval_join implements inner semantics only; "
+            f"got how={how!r}"
+        )
     b_pts = points.withColumn(
         "__bin", F.floor(F.col(point_col) / bin_width).cast("long")
     )

