@@ -42,6 +42,7 @@ _MODULES = (
     "bcdp_spark.queries.robustness",
     "bcdp_spark.queries.warehouse",
     "bcdp_spark.queries.analytics",
+    "bcdp_spark.queries.netcdf_io",
 )
 
 

@@ -62,3 +62,88 @@ def compact(
     scale, schedule per partition-directory so one straggler directory
     doesn't serialize the job."""
     df.coalesce(target_partitions).write.mode(mode).parquet(path)
+
+
+def to_netcdf(
+    df: DataFrame,
+    out_dir: str,
+    by: str = "name",
+    var_name: str = "value",
+    fill_value: float = -9.96921e36,
+) -> DataFrame:
+    """NetCDF export (reference `to_netcdf`, bcdp/core.py [UNVERIFIED]):
+    write one classic-format .nc file per ``by`` group from long-form
+    rows (name, time, lat, lon, value), using the vendored pure-Python
+    writer (bcdp_spark.sources.netcdf3) — no codec dependency.
+
+    Distributed: one applyInPandas task per group pivots that member's
+    rows back to the (time, lat, lon) grid and writes its file from the
+    executor; the returned DataFrame (one row per file: path, n_rows,
+    n_times) is the write manifest. Missing grid cells and NULL values
+    are encoded as the CF _FillValue. File size = one member's grid —
+    the natural NetCDF granularity (a 100 TB ensemble exports as many
+    member-files in parallel, never through the driver).
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401 (API symmetry)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+        member = str(pdf[by].iloc[0])
+        times = np.sort(pdf["time"].unique())
+        lats = np.sort(pdf["lat"].unique())
+        lons = np.sort(pdf["lon"].unique())
+        t_idx = {v: i for i, v in enumerate(times)}
+        a_idx = {v: i for i, v in enumerate(lats)}
+        o_idx = {v: i for i, v in enumerate(lons)}
+        grid = np.full((len(times), len(lats), len(lons)), fill_value)
+        vals = pdf[var_name].to_numpy(dtype=float)
+        ti = pdf["time"].map(t_idx).to_numpy()
+        ai = pdf["lat"].map(a_idx).to_numpy()
+        oi = pdf["lon"].map(o_idx).to_numpy()
+        ok = ~np.isnan(vals)
+        grid[ti[ok], ai[ok], oi[ok]] = vals[ok]
+        epoch = pd.Timestamp("1970-01-01")
+        tnum = (
+            (pd.DatetimeIndex(times) - epoch) / pd.Timedelta(seconds=1)
+        ).to_numpy()
+        raw = write_netcdf3(
+            dims={"time": len(times), "lat": len(lats), "lon": len(lons)},
+            variables={
+                "time": (
+                    ["time"],
+                    tnum,
+                    {"units": "seconds since 1970-01-01", "calendar": "standard"},
+                ),
+                "lat": (["lat"], np.asarray(lats, dtype=float), {}),
+                "lon": (["lon"], np.asarray(lons, dtype=float), {}),
+                var_name: (
+                    ["time", "lat", "lon"],
+                    grid,
+                    {"_FillValue": fill_value},
+                ),
+            },
+            record_dim="time",
+        )
+        path = os.path.join(out_dir, f"{member}.nc")
+        with open(path, "wb") as fh:
+            fh.write(raw)
+        return pd.DataFrame(
+            {
+                by: [member],
+                "path": [path],
+                "n_rows": [len(pdf)],
+                "n_times": [len(times)],
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.groupBy(by).applyInPandas(
+        write_group,
+        schema=f"{by} string, path string, n_rows long, n_times long",
+    )

@@ -1,0 +1,174 @@
+"""CF calendar arithmetic (no cftime dependency).
+
+The reference normalizes model time axes that use non-Gregorian
+calendars — 360_day (twelve 30-day months), noleap/365_day,
+all_leap/366_day — where dates like Feb 30 exist and
+``pd.to_datetime`` must never be round-tripped through (it raises, or
+silently shifts). Decoding is pure integer arithmetic on "units since
+epoch" (CF units string, e.g. ``days since 2000-01-01 00:00:00``).
+
+Canonical timestamp mapping (for the long-form ``time`` column, which is
+a real Spark TimestampType): a calendar date maps to
+``Jan 1 of its year + (day_of_year - 1) days + time-of-day`` in the
+proleptic Gregorian calendar. Day-of-year in any supported calendar is
+≤ 366, so the mapping is always valid, injective within a year, and
+order-preserving — 360_day Feb 30 (doy 60) lands on Gregorian Mar 1.
+Use ``components`` columns when the analysis needs true calendar
+month/day semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "sec": 1,
+    "s": 1,
+    "minute": 60,
+    "minutes": 60,
+    "min": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "h": 3600,
+    "day": 86400,
+    "days": 86400,
+    "d": 86400,
+}
+
+_360 = [30] * 12
+_365 = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+_366 = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def _is_gregorian(calendar: str) -> bool:
+    return calendar.lower() in (
+        "standard",
+        "gregorian",
+        "proleptic_gregorian",
+        "",
+    )
+
+
+def _month_lengths(calendar: str, year: int) -> list[int]:
+    c = calendar.lower()
+    if c in ("360_day",):
+        return _360
+    if c in ("noleap", "365_day"):
+        return _365
+    if c in ("all_leap", "366_day"):
+        return _366
+    # proleptic gregorian leap rule
+    leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+    return _366 if leap else _365
+
+
+def _year_length(calendar: str, year: int) -> int:
+    return sum(_month_lengths(calendar, year))
+
+
+@dataclass(frozen=True)
+class CFDate:
+    year: int
+    month: int
+    day: int
+    hour: int
+    minute: int
+    second: int
+    calendar: str
+
+    @property
+    def dayofyear(self) -> int:
+        ml = _month_lengths(self.calendar, self.year)
+        return sum(ml[: self.month - 1]) + self.day
+
+    def to_timestamp(self) -> pd.Timestamp:
+        """Canonical proleptic-Gregorian timestamp (module doc)."""
+        base = pd.Timestamp(year=self.year, month=1, day=1)
+        return base + pd.Timedelta(
+            days=self.dayofyear - 1,
+            hours=self.hour,
+            minutes=self.minute,
+            seconds=self.second,
+        )
+
+
+_UNITS_RE = re.compile(
+    r"^\s*(\w+)\s+since\s+(-?\d{1,5})-(\d{1,2})-(\d{1,2})"
+    r"(?:[T ](\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?))?",
+    re.IGNORECASE,
+)
+
+
+def parse_units(units: str) -> tuple[int, tuple[int, int, int, int, int, int]]:
+    """CF units string → (seconds per unit, epoch ymdhms)."""
+    m = _UNITS_RE.match(units)
+    if not m:
+        raise ValueError(f"unparseable CF time units: {units!r}")
+    unit = m.group(1).lower()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported CF time unit {unit!r}")
+    epoch = (
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+        int(m.group(5) or 0),
+        int(m.group(6) or 0),
+        int(float(m.group(7) or 0)),
+    )
+    return _UNIT_SECONDS[unit], epoch
+
+
+def num2date(
+    values: np.ndarray | list[float], units: str, calendar: str = "standard"
+) -> list[CFDate]:
+    """CF numeric time → calendar dates, by integer day/second walking.
+    Works for negative offsets (before the epoch) too."""
+    per_unit, (ey, em, ed, eh, emin, es) = parse_units(units)
+    out: list[CFDate] = []
+    for v in np.asarray(values, dtype="float64"):
+        total_s = int(round(float(v) * per_unit))
+        # seconds within the epoch day plus offset
+        day_off, sec = divmod(
+            eh * 3600 + emin * 60 + es + total_s, 86400
+        )
+        hour, rem = divmod(sec, 3600)
+        minute, second = divmod(rem, 60)
+        # walk days from the epoch date
+        y, mo, d = ey, em, ed
+        doy = sum(_month_lengths(calendar, y)[: mo - 1]) + d + day_off
+        while doy > _year_length(calendar, y):
+            doy -= _year_length(calendar, y)
+            y += 1
+        while doy < 1:
+            y -= 1
+            doy += _year_length(calendar, y)
+        ml = _month_lengths(calendar, y)
+        mo = 1
+        while doy > ml[mo - 1]:
+            doy -= ml[mo - 1]
+            mo += 1
+        out.append(CFDate(y, mo, int(doy), int(hour), int(minute), int(second), calendar))
+    return out
+
+
+def times_to_timestamps(
+    values: np.ndarray | list[float], units: str, calendar: str = "standard"
+) -> pd.DatetimeIndex:
+    """Vector decode straight to canonical timestamps. For Gregorian
+    calendars this is exact epoch arithmetic (vectorized, no walking)."""
+    if _is_gregorian(calendar):
+        per_unit, (ey, em, ed, eh, emin, es) = parse_units(units)
+        base = pd.Timestamp(
+            year=ey, month=em, day=ed, hour=eh, minute=emin, second=es
+        )
+        secs = np.round(np.asarray(values, dtype="float64") * per_unit)
+        return base + pd.to_timedelta(secs, unit="s")
+    return pd.DatetimeIndex(
+        [d.to_timestamp() for d in num2date(values, units, calendar)]
+    )

@@ -1,15 +1,26 @@
 """NetCDF source (SURVEY.md S1): the reference ingests CF-convention
-NetCDF via xarray.open_mfdataset (bcdp/io.py [UNVERIFIED]); this engine's
-equivalent is a per-file Python reader fanned out with mapInPandas over a
-file manifest, emitting the long form (name, time, lat, lon[, lev],
-value) of SURVEY.md §1.3.
+NetCDF via xarray.open_mfdataset (bcdp/io.py [UNVERIFIED — reference
+checkout empty, SURVEY.md §0]); this engine's equivalent is a per-file
+decode fanned out with mapInPandas over a file manifest, emitting the
+long form (name, time, lat, lon, value) of SURVEY.md §1.3.
 
-Neither xarray nor netCDF4/h5py ship in this container, so the decode
-seam is import-gated: the manifest fan-out, schema, and CF normalization
-(fill-value → NULL, calendar → timestamp) are real; the byte-level
-decode raises with a clear message until a codec is present. A v2
-upgrade path is a PySpark 4 Python DataSource (spark.dataSource.register)
-with predicate pushdown mapped to hyperslab slices (SURVEY.md §4).
+The decode itself needs NO third-party codec: classic-format (CDF-1/2)
+bytes are parsed by the vendored pure-Python reader
+(``bcdp_spark.sources.netcdf3``, written from the public format spec),
+including CF time decode for non-Gregorian calendars
+(``bcdp_spark.sources.cfcal`` — 360_day/noleap axes with dates like
+Feb 30 are mapped through the canonical day-of-year-preserving
+timestamp, never through ``pd.to_datetime(str(...))``). NetCDF-4/HDF5
+files fall back to netCDF4/h5py when importable and raise a clear
+message otherwise. A v2 upgrade path is a PySpark 4 Python DataSource
+(spark.dataSource.register) with predicate pushdown mapped to hyperslab
+slices (SURVEY.md §4).
+
+Scale: one manifest row per file, one task per file — the natural unit
+of parallelism for multi-file model output; at 100 TB the manifest is
+thousands of files and the decode scales linearly with executors. Rows
+leave the decoder in long form so every downstream operator (subset,
+climatology, regrid) is plain DataFrame algebra with pushdown.
 """
 
 from __future__ import annotations
@@ -17,6 +28,7 @@ from __future__ import annotations
 import glob as _glob
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -32,20 +44,6 @@ LONG_FORM_SCHEMA = T.StructType(
 )
 
 
-def _have_codec() -> bool:
-    try:
-        import netCDF4  # noqa: F401
-
-        return True
-    except ImportError:
-        try:
-            import h5py  # noqa: F401
-
-            return True
-        except ImportError:
-            return False
-
-
 def load_netcdf(
     spark: SparkSession, path: str, var: str | None = None, **_options
 ) -> DataFrame:
@@ -59,55 +57,139 @@ def load_netcdf(
         [(f,) for f in files], schema="path string"
     ).repartition(len(files))
 
-    have_codec = _have_codec()
-
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath in pdf["path"]:
-                if not have_codec:
-                    raise NotImplementedError(
-                        "NetCDF decode requires netCDF4 or h5py (not in this "
-                        "container). The manifest fan-out and long-form "
-                        "schema are exercised by tests with a fake decoder."
-                    )
                 yield _decode_one(fpath, var)
 
     return manifest.mapInPandas(decode, schema=LONG_FORM_SCHEMA)
 
 
 def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
-    """Decode one NetCDF file to long form: CF time decode, _FillValue →
-    NaN (→ SQL NULL), (time, lat, lon) mesh flattened."""
-    import numpy as np
+    """Decode one NetCDF file to long form: CF time decode (calendar
+    attr honored), _FillValue/missing_value → NaN (→ SQL NULL),
+    (time, lat, lon) mesh flattened. Classic files use the vendored
+    pure-Python codec; HDF5-backed files require netCDF4."""
+    with open(fpath, "rb") as fh:
+        head = fh.read(4)
+    if head[:3] == b"CDF":
+        return _decode_classic(fpath, var)
+    try:
+        import netCDF4  # type: ignore  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"{fpath}: NetCDF-4/HDF5 decode requires netCDF4 (not in this "
+            "container); classic-format files decode without it"
+        ) from None
+    return _decode_nc4(fpath, var)
+
+
+def _pick_var(names_ndim: dict[str, int], dims: set[str], var: str | None) -> str:
+    if var is not None:
+        return var
+    # exactly 3-D (time, lat, lon) data variables only: 4-D (lev) data
+    # must be selected explicitly (its flattening needs a lev column)
+    candidates = [
+        k for k, nd in names_ndim.items() if nd == 3 and k not in dims
+    ]
+    if not candidates:
+        raise ValueError(
+            "no 3-D (time, lat, lon) data variable found; pass var= "
+            f"explicitly (variables: {sorted(names_ndim)})"
+        )
+    return candidates[0]
+
+
+def _long_form(
+    fname: str,
+    times: pd.DatetimeIndex,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    data: np.ndarray,
+) -> pd.DataFrame:
+    if data.shape != (len(times), len(lats), len(lons)):
+        raise ValueError(
+            f"variable shape {data.shape} does not match "
+            f"(time={len(times)}, lat={len(lats)}, lon={len(lons)})"
+        )
+    tt, la, lo = np.meshgrid(
+        np.arange(len(times)), lats, lons, indexing="ij"
+    )
+    return pd.DataFrame(
+        {
+            "name": fname,
+            "time": times[tt.ravel()],
+            "lat": la.ravel(),
+            "lon": lo.ravel(),
+            "value": data.ravel(),
+        }
+    )
+
+
+def _apply_fill(data: np.ndarray, attrs: dict) -> np.ndarray:
+    out = np.asarray(data, dtype=float)
+    for key in ("_FillValue", "missing_value"):
+        fv = attrs.get(key)
+        if fv is not None:
+            out = np.where(out == float(fv), np.nan, out)
+    # CF scale/offset decode
+    sf, ao = attrs.get("scale_factor"), attrs.get("add_offset")
+    if sf is not None:
+        out = out * float(sf)
+    if ao is not None:
+        out = out + float(ao)
+    return out
+
+
+def _decode_classic(fpath: str, var: str | None) -> pd.DataFrame:
+    from bcdp_spark.sources.cfcal import times_to_timestamps
+    from bcdp_spark.sources.netcdf3 import read_netcdf3
+
+    with open(fpath, "rb") as fh:
+        nc = read_netcdf3(fh.read())
+    var = _pick_var(
+        {k: len(v.shape) for k, v in nc.variables.items()},
+        set(nc.dims),
+        var,
+    )
+    v = nc.variables[var]
+    tvar = nc.variables["time"]
+    times = times_to_timestamps(
+        np.asarray(tvar.data, dtype=float),
+        str(tvar.attrs.get("units", "days since 1970-01-01")),
+        str(tvar.attrs.get("calendar", "standard")),
+    )
+    lats = np.asarray(nc.variables["lat"].data, dtype=float)
+    lons = np.asarray(nc.variables["lon"].data, dtype=float)
+    data = _apply_fill(v.data, v.attrs)
+    return _long_form(fpath.rsplit("/", 1)[-1], times, lats, lons, data)
+
+
+def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
+    """netCDF4-backed decode (HDF5 files, when the codec is present).
+    Time conversion goes through cfcal (NOT pd.to_datetime(str(...)))
+    so non-Gregorian calendars behave identically to the classic path."""
     import netCDF4  # type: ignore
+
+    from bcdp_spark.sources.cfcal import times_to_timestamps
 
     ds = netCDF4.Dataset(fpath)
     try:
-        if var is None:
-            var = next(
-                k
-                for k, v in ds.variables.items()
-                if v.ndim >= 3 and k not in ds.dimensions
-            )
+        var = _pick_var(
+            {k: v.ndim for k, v in ds.variables.items()},
+            set(ds.dimensions),
+            var,
+        )
         v = ds.variables[var]
         tvar = ds.variables["time"]
-        times = netCDF4.num2date(
-            tvar[:], tvar.units, getattr(tvar, "calendar", "standard")
+        times = times_to_timestamps(
+            np.asarray(tvar[:], dtype=float),
+            tvar.units,
+            getattr(tvar, "calendar", "standard"),
         )
         lats = np.asarray(ds.variables["lat"][:], dtype=float)
         lons = np.asarray(ds.variables["lon"][:], dtype=float)
         data = np.ma.filled(v[:], np.nan).astype(float)
-        tt, la, lo = np.meshgrid(
-            np.arange(len(times)), lats, lons, indexing="ij"
-        )
-        return pd.DataFrame(
-            {
-                "name": fpath.rsplit("/", 1)[-1],
-                "time": pd.to_datetime([str(times[i]) for i in tt.ravel()]),
-                "lat": la.ravel(),
-                "lon": lo.ravel(),
-                "value": data.ravel(),
-            }
-        )
+        return _long_form(fpath.rsplit("/", 1)[-1], times, lats, lons, data)
     finally:
         ds.close()

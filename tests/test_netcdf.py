@@ -1,0 +1,298 @@
+"""NetCDF classic codec + CF calendar tests (SURVEY.md S1, VERDICT r1
+item 2): real .nc bytes written and read by the vendored pure-Python
+codec — no netCDF4/h5py — through to a DuckDB-checked aggregate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_ORACLE  # noqa: F401  (session fixtures)
+
+
+# ------------------------------------------------------------- codec
+def test_netcdf3_roundtrip_fixed_and_record(tmp_path):
+    from bcdp_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    lat = np.array([-30.0, 0.0, 30.0])
+    lon = np.array([0.0, 90.0, 180.0, 270.0])
+    time = np.arange(5, dtype=np.float64)
+    data = np.arange(5 * 3 * 4, dtype=np.float64).reshape(5, 3, 4)
+
+    raw = write_netcdf3(
+        dims={"time": 5, "lat": 3, "lon": 4},
+        variables={
+            "time": (["time"], time, {"units": "days since 2000-01-01"}),
+            "lat": (["lat"], lat, {"units": "degrees_north"}),
+            "lon": (["lon"], lon, {"units": "degrees_east"}),
+            "tas": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+        },
+        attrs={"title": "roundtrip"},
+        record_dim="time",
+    )
+    assert raw[:3] == b"CDF"
+    nc = read_netcdf3(raw)
+    assert nc.dims == {"time": 0, "lat": 3, "lon": 4}
+    assert nc.numrecs == 5
+    assert nc.attrs["title"] == "roundtrip"
+    np.testing.assert_array_equal(nc.variables["lat"].data, lat)
+    np.testing.assert_array_equal(nc.variables["time"].data, time)
+    np.testing.assert_array_equal(nc.variables["tas"].data, data)
+    assert nc.variables["tas"].attrs["_FillValue"] == -999.0
+
+
+def test_netcdf3_multiple_record_vars_interleaved():
+    from bcdp_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    a = np.arange(6, dtype=np.float64).reshape(3, 2)
+    b = np.arange(100, 112, dtype=np.float64).reshape(3, 4)
+    raw = write_netcdf3(
+        dims={"time": 3, "x": 2, "y": 4},
+        variables={
+            "a": (["time", "x"], a, {}),
+            "b": (["time", "y"], b, {}),
+        },
+        record_dim="time",
+    )
+    nc = read_netcdf3(raw)
+    np.testing.assert_array_equal(nc.variables["a"].data, a)
+    np.testing.assert_array_equal(nc.variables["b"].data, b)
+
+
+def test_netcdf3_int_types_roundtrip():
+    from bcdp_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    iv = np.array([[1, 2], [3, 4]], dtype=np.int32)
+    sv = np.array([5, -6], dtype=np.int16)
+    raw = write_netcdf3(
+        dims={"x": 2, "y": 2},
+        variables={"iv": (["x", "y"], iv, {}), "sv": (["x"], sv, {})},
+    )
+    nc = read_netcdf3(raw)
+    np.testing.assert_array_equal(nc.variables["iv"].data, iv)
+    np.testing.assert_array_equal(nc.variables["sv"].data, sv)
+
+
+def test_netcdf3_rejects_hdf5_with_clear_message():
+    from bcdp_spark.sources.netcdf3 import read_netcdf3
+
+    with pytest.raises(ValueError, match="classic"):
+        read_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+
+
+# ------------------------------------------------------------ calendars
+def test_cf_360_day_calendar_decodes_feb30():
+    from bcdp_spark.sources.cfcal import num2date
+
+    # 360_day: every month has 30 days → day 59 since Jan 1 is Feb 30
+    dates = num2date([59], "days since 2001-01-01", "360_day")
+    d = dates[0]
+    assert (d.year, d.month, d.day) == (2001, 2, 30)
+    # canonical doy-preserving mapping: doy 60 → Gregorian Mar 1 (2001
+    # is not a leap year, so Gregorian doy 60 = Mar 1)
+    assert d.dayofyear == 60
+    ts = d.to_timestamp()
+    assert (ts.year, ts.month, ts.day) == (2001, 3, 1)
+
+
+def test_cf_noleap_calendar_skips_feb29():
+    from bcdp_spark.sources.cfcal import num2date
+
+    # noleap: Feb has 28 days even in 2000 → day 59 is Mar 1
+    d = num2date([59], "days since 2000-01-01", "noleap")[0]
+    assert (d.year, d.month, d.day) == (2000, 3, 1)
+    # a full noleap year is 365 days
+    d2 = num2date([365], "days since 2000-01-01", "noleap")[0]
+    assert (d2.year, d2.month, d2.day) == (2001, 1, 1)
+
+
+def test_cf_360_day_year_arithmetic():
+    from bcdp_spark.sources.cfcal import num2date
+
+    d = num2date([360 * 3 + 45], "days since 1999-01-01", "360_day")[0]
+    assert (d.year, d.month, d.day) == (2002, 2, 16)
+
+
+def test_cf_gregorian_vectorized_matches_pandas():
+    from bcdp_spark.sources.cfcal import times_to_timestamps
+
+    ts = times_to_timestamps(
+        [0, 1.5, 48], "hours since 2001-06-01 06:00:00", "standard"
+    )
+    assert list(ts) == [
+        pd.Timestamp("2001-06-01 06:00:00"),
+        pd.Timestamp("2001-06-01 07:30:00"),
+        pd.Timestamp("2001-06-03 06:00:00"),
+    ]
+
+
+def test_cf_negative_offsets_before_epoch():
+    from bcdp_spark.sources.cfcal import num2date
+
+    d = num2date([-1], "days since 2000-01-01", "noleap")[0]
+    assert (d.year, d.month, d.day) == (1999, 12, 31)
+
+
+# ----------------------------------------------------- spark end-to-end
+def _write_fixture(tmp_path, calendar="standard"):
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    lat = np.array([-45.0, 0.0, 45.0])
+    lon = np.array([0.0, 120.0, 240.0])
+    files = []
+    for i, t0 in enumerate((0, 4)):
+        time = np.arange(t0, t0 + 4, dtype=np.float64)
+        data = np.zeros((4, 3, 3))
+        for t in range(4):
+            for a in range(3):
+                for o in range(3):
+                    data[t, a, o] = 0.25 * ((t0 + t) * 100 + a * 10 + o)
+        data[0, 0, 0] = -999.0  # fill in each file
+        raw = write_netcdf3(
+            dims={"time": 4, "lat": 3, "lon": 3},
+            variables={
+                "time": (
+                    ["time"],
+                    time,
+                    {"units": "days since 2001-01-01", "calendar": calendar},
+                ),
+                "lat": (["lat"], lat, {}),
+                "lon": (["lon"], lon, {}),
+                "pr": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+            },
+            record_dim="time",
+        )
+        f = tmp_path / f"member{i}.nc"
+        f.write_bytes(raw)
+        files.append(f)
+    return files
+
+
+def test_load_netcdf_end_to_end_oracle(spark, duck, tmp_path):
+    """Real .nc bytes → manifest fan-out decode → long form → aggregate,
+    hash-compared against DuckDB recomputing the closed-form grid."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from tests.compare import assert_frames_match
+
+    _write_fixture(tmp_path)
+    df = load_netcdf(spark, str(tmp_path / "*.nc"))
+    from pyspark.sql import functions as F
+
+    got = (
+        df.groupBy("lat")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("value").alias("n_valid"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("time").alias("first_time"),
+        )
+        .orderBy("lat")
+    )
+    oracle = duck.execute(
+        """
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         CASE WHEN (t.g % 4 = 0) AND a.g = 0 AND o.g = 0 THEN NULL
+              ELSE 0.25 * (t.g * 100 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, 7) t(g), generate_series(0, 2) a(g),
+       generate_series(0, 2) o(g)
+)
+SELECT CASE a WHEN 0 THEN -45.0 WHEN 1 THEN 0.0 ELSE 45.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       TIMESTAMP '2001-01-01' AS first_time
+FROM grid GROUP BY a ORDER BY lat
+"""
+    ).df()
+    assert_frames_match(got.toPandas(), oracle, "netcdf_end_to_end")
+
+
+def test_load_netcdf_360day_axis(spark, tmp_path):
+    """A 360_day time axis (Feb 30 present) decodes through the canonical
+    mapping without raising — the r1 VERDICT bug."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    time = np.array([58.0, 59.0, 60.0])  # Feb 29, Feb 30, Mar 1 (360_day)
+    data = np.ones((3, 1, 1))
+    raw = write_netcdf3(
+        dims={"time": 3, "lat": 1, "lon": 1},
+        variables={
+            "time": (
+                ["time"],
+                time,
+                {"units": "days since 2000-01-01", "calendar": "360_day"},
+            ),
+            "lat": (["lat"], np.array([0.0]), {}),
+            "lon": (["lon"], np.array([0.0]), {}),
+            "x": (["time", "lat", "lon"], data, {}),
+        },
+        record_dim="time",
+    )
+    (tmp_path / "m.nc").write_bytes(raw)
+    rows = (
+        load_netcdf(spark, str(tmp_path / "*.nc"))
+        .select(F.date_format("time", "yyyy-MM-dd").alias("d"))
+        .orderBy("d")
+        .collect()
+    )
+    # canonical doy-preserving mapping keeps the three dates distinct
+    # and ordered (2000 is a Gregorian leap year, so doys 59/60/61 map
+    # to Feb 28 / Feb 29 / Mar 1)
+    assert [r["d"] for r in rows] == ["2000-02-28", "2000-02-29", "2000-03-01"]
+
+
+def test_load_netcdf_4d_requires_explicit_var(spark, tmp_path):
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    raw = write_netcdf3(
+        dims={"time": 2, "lev": 2, "lat": 1, "lon": 1},
+        variables={
+            "time": (["time"], np.arange(2.0), {"units": "days since 2000-01-01"}),
+            "lat": (["lat"], np.zeros(1), {}),
+            "lon": (["lon"], np.zeros(1), {}),
+            "ta4": (["time", "lev", "lat", "lon"], np.ones((2, 2, 1, 1)), {}),
+        },
+        record_dim="time",
+    )
+    (tmp_path / "m.nc").write_bytes(raw)
+    with pytest.raises(Exception, match="3-D|explicit"):
+        load_netcdf(spark, str(tmp_path / "*.nc")).collect()
+
+
+def test_to_netcdf_export_roundtrip(spark, tmp_path):
+    """S6 export seam: long form → per-member .nc (distributed
+    applyInPandas) → re-ingest through load_netcdf → identical rows."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.sinks import to_netcdf
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    _write_fixture(tmp_path)
+    df = load_netcdf(spark, str(tmp_path / "*.nc"))
+    out = tmp_path / "export"
+    manifest = to_netcdf(df, str(out), by="name").collect()
+    assert len(manifest) == 2 and all(m["n_times"] == 4 for m in manifest)
+
+    back = load_netcdf(spark, str(out / "*.nc"))
+    a = df.select("name", "time", "lat", "lon", "value").orderBy(
+        "name", "time", "lat", "lon"
+    )
+    b = back.select("name", "time", "lat", "lon", "value").orderBy(
+        "name", "time", "lat", "lon"
+    )
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb) == 72  # 2 members × 4 times × 3×3 grid
+    for x, y in zip(ra, rb):
+        assert (x["time"], x["lat"], x["lon"]) == (y["time"], y["lat"], y["lon"])
+        assert (x["value"] is None) == (y["value"] is None)
+        if x["value"] is not None:
+            assert x["value"] == y["value"]
