@@ -2,11 +2,13 @@
 opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(NotImplementedError) behind a clearly-marked seam, and a deterministic
-fake extractor exercises the real Spark plumbing — schema, batching,
-partitioning, UDF signatures — end to end (tested in
-tests/test_operators.py).
+Codec-free formats decode FOR REAL here: PPM (P6) images and PCM WAV
+audio need only the stdlib + numpy, so ``decode_ppm`` / ``decode_wav``
+parse actual bytes on the executor (exercised in CI —
+tests/test_multimodal.py). Compressed formats (JPEG/PNG/MP3/H.264) stay
+behind the clearly-marked ``decode_image`` seam that raises until a
+codec (PIL/cv2/ffmpeg) is wired in; everything downstream — batching,
+schema, partitioning, UDF signature — is identical either way.
 
 Scale notes: binary payloads ride a normal columnar shuffle; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs fits
@@ -48,14 +50,147 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """REAL decode seam — requires an image codec (PIL/cv2), which this
-    container does not ship. Wire your codec here; everything downstream
-    (batching, schema, partitioning) is already exercised by the fake
-    extractor below."""
+    """Decode an image payload to an (h, w, 3) uint8 array. PPM (P6)
+    decodes with the vendored parser; compressed formats require a codec
+    (PIL/cv2) this container does not ship."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image decode requires PIL/cv2 (not available in this container); "
-        "use fake_feature_extract for plumbing tests"
+        "compressed-image decode requires PIL/cv2 (not available in this "
+        "container); PPM (P6) payloads decode via decode_ppm"
     )
+
+
+# ------------------------------------------------------------------ PPM
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "PPM is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Parse binary PPM (P6): header of three whitespace-separated
+    tokens (width, height, maxval; ``#`` comments allowed), then raw RGB
+    bytes. Real byte-level decode, stdlib-only."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raw = payload[pos : pos + w * h * 3]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbour resize with pure numpy indexing (no codec)."""
+    h, w = arr.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ri][:, ci]
+
+
+# ------------------------------------------------------------------ WAV
+def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """PCM WAV bytes → (sample_rate, int16 samples). stdlib ``wave``."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        samples = np.frombuffer(raw, dtype="<i2")
+        if wf.getnchannels() > 1:
+            samples = samples.reshape(-1, wf.getnchannels()).mean(axis=1)
+            samples = samples.astype(np.int16)
+    return rate, samples
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode each PPM payload (REAL bytes) and emit exact integer pixel
+    statistics — mapInPandas, Arrow-batched, decode on executors."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                a = decode_ppm(bytes(payload))
+                s = a.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (int(mid), a.shape[1], a.shape[0], int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(stats, schema=out_schema)
+
+
+def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode each WAV payload (REAL bytes) and emit exact sample stats."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                rate, samples = decode_wav(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                rows.append(
+                    (int(mid), rate, len(samples), int(a.sum()), int(a.max(initial=0)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "sum_abs", "peak"],
+            )
+
+    return df.mapInPandas(stats, schema=out_schema)
 
 
 def fake_feature_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
