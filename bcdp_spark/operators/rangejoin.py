@@ -69,3 +69,53 @@ def bin_interval_join(
         & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    overlap_alias: str = "overlap",
+) -> DataFrame:
+    """Pair every left interval with every right interval it overlaps
+    (positive-measure intersection), attaching the exact overlap length.
+
+    Scale pattern: explode BOTH sides into the fixed-width bins they
+    cover and equi-join on the bin (shuffle hash join, fully parallel);
+    a pair sharing k bins appears k times, so dedup with distinct before
+    computing the exact overlap. Cost is O(|intervals| · span/bin_width)
+    replication — pick bin_width near the typical interval length. The
+    conservative-regrid weight generator builds on this per axis.
+    """
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / bin_width).cast("long"),
+                F.floor(F.col(left_hi) / bin_width).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bin_width).cast("long"),
+                F.floor(F.col(right_hi) / bin_width).cast("long"),
+            )
+        ),
+    )
+    overlap = F.least(F.col(left_hi), F.col(right_hi)) - F.greatest(
+        F.col(left_lo), F.col(right_lo)
+    )
+    return (
+        lb.join(rb, "__bin")
+        .drop("__bin")
+        .distinct()
+        .filter(overlap > 0)
+        .withColumn(overlap_alias, overlap)
+    )
