@@ -103,8 +103,12 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # J1 + A1 — broadcast-dim star join + hash agg (TPC-H Q5 shape). This is the
 # flagship query (entry()). Ref analog: coordinate alignment joins,
-# bcdp/core.py. nation/region broadcast explicitly; customer is left to AQE
-# (at 100 TB customer is a fact-sized table — broadcasting it would be wrong).
+# bcdp/core.py. Dimension pre-reduction: nation⋈region(ASIA) collapses to a
+# handful of rows, customer is filtered through THAT before ever meeting
+# orders — the fact table joins one pre-reduced dimension instead of three
+# in sequence. customer⋈dims is left to AQE (at 100 TB customer is
+# fact-sized; hard-broadcasting it would be the classic scale bug), and at
+# small SF AQE converts the reduced side to broadcast at runtime.
 # ---------------------------------------------------------------------------
 @register(
     "q_join_agg",
@@ -123,15 +127,20 @@ GROUP BY n_name
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     orders = table(spark, sf_dir, "orders")
-    # customer/nation/region are dimensions of the orders fact — broadcast
-    # all three (classic star-join strategy; one shuffle-free stage + agg).
-    customer = F.broadcast(table(spark, sf_dir, "customer"))
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     nation = F.broadcast(table(spark, sf_dir, "nation"))
-    region = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(nation, customer.c_nationkey == nation.n_nationkey)
+    region = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    asia_cust = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

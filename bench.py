@@ -72,8 +72,9 @@ def main() -> None:
         # scheduler noise on a shared host.
         df = qs[key](spark, sf_dir)
         df.toPandas()
+        df.toPandas()  # second warmup lets JIT finish on the hot paths
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.toPandas()
             best = min(best, time.perf_counter() - t0)

@@ -448,3 +448,46 @@ def test_bin_interval_join_matches_nested_loop(spark):
             ).collect()
         )
         assert got == want, f"width={width}: {got} != {want}"
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    from bcdp_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 2.0), (2, 5.0, 9.0)], "lid long, lo double, hi double"
+    )
+    right = spark.createDataFrame(
+        [(10, 1.0, 3.0), (11, 8.5, 12.0), (12, 3.0, 5.0)],
+        "rid long, rlo double, rhi double",
+    )
+    rows = {
+        (r["lid"], r["rid"]): r["overlap"]
+        for r in interval_overlap_join(
+            left, right, "lo", "hi", "rlo", "rhi", bin_width=2.0
+        ).collect()
+    }
+    # (1,10): [1,2] -> 1.0 ; (2,11): [8.5,9] -> 0.5 ; no other positive overlap
+    assert rows == {(1, 10): 1.0, (2, 11): 0.5}
+
+
+def test_conservative_weights_sum_to_dst_area(spark):
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.regrid import conservative_weights
+
+    def axis(n, width):
+        return spark.range(n).select(
+            (F.col("id") * width + width / 2).alias("c"),
+            (F.col("id") * width).cast("double").alias("lo"),
+            ((F.col("id") + 1) * width).cast("double").alias("hi"),
+        )
+
+    # src 1x1 cells covering [0,6]x[0,6]; dst 3x3 cells, fully covered
+    w = conservative_weights(axis(6, 1.0), axis(6, 1.0), axis(2, 3.0), axis(2, 3.0))
+    sums = {
+        (r["dst_lat"], r["dst_lon"]): r["s"]
+        for r in w.groupBy("dst_lat", "dst_lon")
+        .agg(F.sum("w").alias("s"))
+        .collect()
+    }
+    assert len(sums) == 4 and all(abs(s - 9.0) < 1e-12 for s in sums.values())
