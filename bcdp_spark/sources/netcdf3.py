@@ -321,3 +321,98 @@ def write_netcdf3(
             b = np.ascontiguousarray(arr[rec : rec + 1]).tobytes()
             body += b.ljust(vsize, b"\x00")
     return bytes(body)
+
+
+def read_header(fh) -> NetCDF3File:
+    """Parse ONLY the header (dims/attrs/var metadata) from an open
+    binary file handle — no variable data is loaded. Reads the file in
+    growing chunks until the header parses, so a multi-GB file costs a
+    few KB of I/O. Use with ``read_var`` for seek-based slab access."""
+    size = 8192
+    data = b""
+    while True:
+        fh.seek(0)
+        data = fh.read(size)
+        try:
+            return _parse_header_only(data)
+        except ValueError:
+            if len(data) < size:  # whole file read and still failing
+                raise
+            size *= 4
+
+
+def _parse_header_only(data: bytes) -> NetCDF3File:
+    """Header parse shared with read_netcdf3 (no data section reads)."""
+    if data[:4] == b"\x89HDF":
+        raise ValueError(
+            "NetCDF-4/HDF5 file: only the classic (CDF-1/CDF-2) format is "
+            "supported by the vendored pure-Python codec"
+        )
+    if data[:3] != _MAGIC or data[3] not in (1, 2):
+        raise ValueError("not a NetCDF classic file (bad magic)")
+    version = data[3]
+    r = _Reader(data)
+    r.pos = 4
+    nc = NetCDF3File()
+    nc.numrecs = r.u32()
+    tag, ndims = r.u32(), r.u32()
+    if tag not in (_NC_DIMENSION, 0):
+        raise ValueError(f"bad dimension-list tag {tag:#x}")
+    dim_sizes: list[int] = []
+    for _ in range(ndims):
+        nm = r.name()
+        sz = r.u32()
+        dim_sizes.append(sz)
+        nc.dims[nm] = sz
+    nc.attrs = r.att_list()
+    tag, nvars = r.u32(), r.u32()
+    if tag not in (_NC_VARIABLE, 0):
+        raise ValueError(f"bad variable-list tag {tag:#x}")
+    for _ in range(nvars):
+        nm = r.name()
+        nd = r.u32()
+        dimids = [r.u32() for _ in range(nd)]
+        attrs = r.att_list()
+        nc_type = r.u32()
+        vsize = r.u32()
+        begin = r.u64() if version == 2 else r.u32()
+        v = NCVariable(nm, dimids, attrs, nc_type, vsize, begin)
+        v.is_record = bool(dimids) and dim_sizes[dimids[0]] == 0
+        v.shape = tuple(dim_sizes[d] for d in dimids)
+        nc.variables[nm] = v
+    return nc
+
+
+def read_var(fh, nc: NetCDF3File, name: str) -> np.ndarray:
+    """Seek-based read of ONE variable's data given a parsed header —
+    the building block for hyperslab access (read the time axis without
+    touching the payload, or one variable out of many)."""
+    v = nc.variables[name]
+    dt, size = _TYPES[v.nc_type]
+    rec_vars = [x for x in nc.variables.values() if x.is_record]
+    if not v.is_record:
+        count = int(np.prod(v.shape, dtype=np.int64)) if v.shape else 1
+        fh.seek(v.begin)
+        return np.frombuffer(fh.read(count * size), dtype=dt).reshape(v.shape)
+    numrecs = nc.numrecs
+    if numrecs == 0xFFFFFFFF:
+        import os
+
+        first = min(x.begin for x in rec_vars)
+        total = sum(x.vsize for x in rec_vars)
+        fh.seek(0, os.SEEK_END)
+        numrecs = (fh.tell() - first) // total
+    per_rec = v.shape[1:]
+    n_per = int(np.prod(per_rec, dtype=np.int64)) if per_rec else 1
+    stride = (
+        sum(x.vsize for x in rec_vars) if len(rec_vars) > 1 else v.vsize
+    )
+    out = []
+    for rec in range(numrecs):
+        fh.seek(v.begin + rec * stride)
+        out.append(np.frombuffer(fh.read(n_per * size), dtype=dt))
+    return (
+        np.concatenate(out).reshape((numrecs, *per_rec))
+        if out
+        else np.empty((0, *per_rec), dtype=dt)
+    )

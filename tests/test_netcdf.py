@@ -296,3 +296,63 @@ def test_to_netcdf_export_roundtrip(spark, tmp_path):
         assert (x["value"] is None) == (y["value"] is None)
         if x["value"] is not None:
             assert x["value"] == y["value"]
+
+
+# ------------------------------------------- Python DataSource (V2)
+def test_netcdf_datasource_matches_mapinpandas_loader(spark, tmp_path):
+    """format('netcdf') must produce exactly the rows load_netcdf does."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.netcdf_datasource import register_netcdf_source
+
+    _write_fixture(tmp_path)
+    register_netcdf_source(spark)
+    a = spark.read.format("netcdf").load(str(tmp_path / "*.nc"))
+    b = load_netcdf(spark, str(tmp_path / "*.nc"))
+    key = ["name", "time", "lat", "lon"]
+    ra = sorted(map(tuple, a.select(*key, "value").collect()))
+    rb = sorted(map(tuple, b.select(*key, "value").collect()))
+    assert len(ra) == 72 and ra == rb
+
+
+def test_netcdf_datasource_hyperslab_pushdown(spark, tmp_path):
+    """Pushed coordinate predicates must (a) keep results identical and
+    (b) prune whole files at planning time (partition count drops)."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.sources.netcdf_datasource import register_netcdf_source
+
+    _write_fixture(tmp_path)  # member0: days 0-3, member1: days 4-7
+    register_netcdf_source(spark)
+    df = spark.read.format("netcdf").load(str(tmp_path / "*.nc"))
+
+    # slab: one day + positive lats -> 1 time x 1 lat x 3 lon
+    slab = df.filter(
+        (F.col("time") == "2001-01-02") & (F.col("lat") > 10.0)
+    )
+    rows = slab.collect()
+    assert len(rows) == 3
+    assert all(r["lat"] == 45.0 for r in rows)
+
+    # file pruning: a time range entirely inside member0 plans 1 partition
+    pruned = df.filter(F.col("time") < "2001-01-03")
+    assert pruned.rdd.getNumPartitions() == 1
+    assert pruned.count() == 2 * 3 * 3  # days 0,1 x full grid
+    # and the name= pushdown prunes by filename
+    named = df.filter(F.col("name") == "member1.nc")
+    assert named.rdd.getNumPartitions() == 1
+    assert named.count() == 36
+
+
+def test_netcdf_datasource_correct_without_pushdown(spark, tmp_path):
+    """With the pushdown flag off the source must still answer correctly
+    (filters evaluated post-scan by Spark)."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.sources.netcdf_datasource import NetCDFDataSource
+
+    _write_fixture(tmp_path)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(NetCDFDataSource)
+    df = spark.read.format("netcdf").load(str(tmp_path / "*.nc"))
+    got = df.filter(F.col("lon") == 120.0).count()
+    assert got == 8 * 3  # 8 times x 3 lats at one lon

@@ -303,3 +303,109 @@ def test_asof_join_forward_matches_pandas(spark, left, right):
     else:
         want = {(int(r.lid), None) for r in lpd.itertuples()}
     assert got == want
+
+
+@given(
+    rts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_duplicate_right_timestamps_deterministic(spark, rts, lts):
+    """With COLLIDING right timestamps, asof_join must (a) be stable
+    across repartitionings and (b) pick the largest tiebreak value in
+    BOTH directions (the r1 ADVICE bug: forward used to pick smallest)."""
+    from bcdp_spark.operators.asof import asof_join
+
+    rdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(rts)], ["t", "rid"]
+    )
+    ldf = spark.createDataFrame([(t,) for t in lts], ["t"])
+
+    for direction in ("backward", "forward"):
+        a = asof_join(
+            ldf, rdf, on="t", direction=direction, right_tiebreak="rid"
+        )
+        b = asof_join(
+            ldf.repartition(7),
+            rdf.repartition(5),
+            on="t",
+            direction=direction,
+            right_tiebreak="rid",
+        )
+        got_a = sorted(
+            (r["t"], r["rid_right"]) for r in a.select("t", "rid_right").collect()
+        )
+        got_b = sorted(
+            (r["t"], r["rid_right"]) for r in b.select("t", "rid_right").collect()
+        )
+        assert got_a == got_b, f"partitioning changed {direction} result"
+        # reference semantics: eligible right rows, largest rid wins ties
+        # on the nearest timestamp
+        want = []
+        for t in sorted(lts):
+            if direction == "backward":
+                elig = [(rt, rid) for rid, rt in enumerate(rts) if rt <= t]
+                pick = max(elig, key=lambda x: (x[0], x[1]), default=None)
+            else:
+                elig = [(rt, rid) for rid, rt in enumerate(rts) if rt >= t]
+                pick = min(elig, key=lambda x: (x[0], -x[1]), default=None)
+            want.append((t, pick[1] if pick else None))
+        assert got_a == sorted(want), f"{direction} tiebreak mismatch"
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_recall_vs_exact_jaccard(spark, seed):
+    """LSH banding (64 perms, 16 bands of 4) must recall essentially all
+    pairs with char-5-gram Jaccard >= 0.9 (theoretical miss prob < 1e-7
+    per pair) and must not flood with J < 0.05 pairs (expected false-hit
+    rate ~1e-4): adversarial near-dup corpora, seeded."""
+    import random
+
+    from bcdp_spark.operators.dedup import lsh_bucket_pairs
+
+    rng = random.Random(seed)
+    words = [f"tok{i:03d}" for i in range(60)]
+    docs = []
+    for base_id in range(6):
+        base = " ".join(rng.choices(words, k=40))
+        docs.append((base_id * 10, base))
+        # near-duplicate: tweak ONE word (J >> 0.9 on 5-gram shingles)
+        toks = base.split()
+        toks[-1] = "zzzym"
+        docs.append((base_id * 10 + 1, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_pairs(
+            df, "text", "doc_id", num_perm=64, bands=16, shingle_k=5
+        ).collect()
+    }
+
+    def shingles(s):
+        return {s[i : i + 5] for i in range(max(len(s) - 4, 1))}
+
+    texts = dict(docs)
+    true_pairs, far_pairs = set(), set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.9:
+                true_pairs.add((a, b))
+            elif j < 0.05:
+                far_pairs.add((a, b))
+    assert true_pairs, "fixture must contain true near-dups"
+    missed = true_pairs - got
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    false_hits = got & far_pairs
+    assert len(false_hits) <= 1, f"too many far-pair candidates: {false_hits}"
