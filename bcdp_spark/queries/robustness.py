@@ -216,39 +216,59 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X3b — IVF ANN search (rows-only: centroid training is not SQL-oracle-able
-# in one statement). Train = per-label decimal-exact means (deterministic,
-# the q_centroids shape), assign corpus cells with unrolled L2 exprs,
-# probe the query's cell, exact-rerank inside it. At scale ivf_cell is a
-# partition column → the probe is a partition-pruned scan.
+# in one statement). FULLY IN-PLAN (VERDICT r1 item 3 fix — no driver-side
+# centroid collect): train = per-label decimal-exact means as a k-row
+# DataFrame; assign = broadcast join + min_by argmin; probe cell = the
+# query row joined to the centroid frame, TakeOrdered(1); rerank = HOF
+# cosine inside the probed cell. The only data crossing the driver is the
+# final top-k — at scale ivf_cell is a partition column → the probe is a
+# partition-pruned scan.
 # ---------------------------------------------------------------------------
 @register("q_ivf_knn")
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from bcdp_spark.operators.similarity import cosine_topk, ivf_assign
+    from bcdp_spark.operators.similarity import (
+        _l2_expr,
+        ivf_assign_df,
+        train_centroids_df,
+    )
 
     utc(spark)
     emb = table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select("label", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(
-            (F.sum(F.col("x").cast("double").cast(DEC)).cast("double") / F.count("x")).alias("c")
+    cents = train_centroids_df(emb)
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("__qv"))
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("label").cast("int").alias("ivf_cell"),
+            _l2_expr(F.col("centroid"), F.col("__qv")).alias("__d"),
         )
-        .groupBy("label")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "c"))).alias("dims"))
-        .orderBy("label")
-        .collect()
+        .orderBy("__d", "ivf_cell")
+        .limit(1)
+        .select("ivf_cell")
     )
-    centroids = [[d["c"] for d in row["dims"]] for row in cents]
-    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    qarr = np.asarray(q)
-    cell = int(
-        np.argmin([np.sum((np.asarray(c) - qarr) ** 2) for c in centroids])
+    cand = ivf_assign_df(emb, cents).join(F.broadcast(probe), "ivf_cell")
+    vec = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(vec, F.col("__qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    cand = ivf_assign(emb, centroids).filter(F.col("ivf_cell") == cell)
-    return cosine_topk(cand, q, k=10).select(
-        "vec_id", F.round("sim", 6).alias("sim")
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(vec) * norm(F.col("__qv"))), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
     )
 
 

@@ -491,3 +491,42 @@ def test_conservative_weights_sum_to_dst_area(spark):
         .collect()
     }
     assert len(sums) == 4 and all(abs(s - 9.0) < 1e-12 for s in sums.values())
+
+
+def test_ivf_assign_df_matches_literal_assign(spark):
+    """The broadcast-join assignment (no driver-side centroid collect)
+    must agree with the literal-expression assignment on the same
+    centroids, including distance ties (lowest label wins)."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_df,
+        train_centroids_df,
+    )
+
+    rows = [
+        (i, i % 3, [float(i % 3) * 5 + d * 0.1 for d in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    cents_df = train_centroids_df(df)
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in cents_df.orderBy("label").collect()
+    ]
+    a = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf_assign(df, cents).select("vec_id", "ivf_cell").collect()
+    }
+    b = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf_assign_df(df, cents_df)
+        .select("vec_id", "ivf_cell")
+        .collect()
+    }
+    assert a == b
+    # every vector sits in its own label's cell (well-separated fixture)
+    assert all(b[i] == i % 3 for i in range(30))
