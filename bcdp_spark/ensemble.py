@@ -193,3 +193,48 @@ class Ensemble:
         """Sink (S6): partition by member name (+ time bucket at scale)."""
         cols = list(partition_by) if partition_by else [self.name_col]
         self.df.write.partitionBy(*cols).mode("overwrite").parquet(path)
+
+    def to_netcdf(self, out_dir: str) -> DataFrame:
+        """Sink (S6): one classic-format .nc file per member, written
+        from executors (sinks.to_netcdf; vendored pure-Python writer)."""
+        from bcdp_spark.sinks import to_netcdf
+
+        return to_netcdf(
+            self.df, out_dir, by=self.name_col, var_name=self.value_col
+        )
+
+    def homogenize(
+        self,
+        bounds: "Bounds | None" = None,
+        time_granularity: str = "hour",
+        lat_res: float | None = None,
+        lon_res: float | None = None,
+        season: str | None = None,
+        scale: float = 1.0,
+        offset: float = 0.0,
+    ) -> "Ensemble":
+        """The reference's one-shot pipeline verb (bcdp `homogenize`
+        composes subset → normalize_times → regrid → unit conversion so
+        every member lands on a common spatio-temporal grid,
+        bcdp/core.py [UNVERIFIED — empty checkout, SURVEY.md §0]).
+
+        Pure composition of the member verbs — Catalyst fuses the whole
+        chain into one scan-side pipeline per member (filters push to the
+        scan, the regrid groupBy is the only shuffle), so the one-shot
+        form costs exactly what the fused steps cost."""
+        out = self
+        if bounds is not None:
+            out = out.subset(bounds)
+        if season is not None:
+            out = out.select_season(season)
+        out = out.normalize_times(time_granularity)
+        if lat_res is not None and lon_res is not None:
+            out = out.regrid(lat_res, lon_res)
+        if scale != 1.0 or offset != 0.0:
+            out = out._with(
+                out.df.withColumn(
+                    out.value_col,
+                    F.col(out.value_col) * F.lit(scale) + F.lit(offset),
+                )
+            )
+        return out

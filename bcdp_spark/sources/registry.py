@@ -64,3 +64,10 @@ def _netcdf(spark: SparkSession, path: str, **options) -> DataFrame:
     from bcdp_spark.sources.netcdf import load_netcdf
 
     return load_netcdf(spark, path, **options)
+
+
+@register_data_source("opendap")
+def _opendap(spark: SparkSession, path: str, **options) -> DataFrame:
+    from bcdp_spark.sources.opendap import load_opendap
+
+    return load_opendap(spark, path, **options)

@@ -108,3 +108,70 @@ def test_from_members_union(spark, grid):
     ens = Ensemble.from_members({"a": a, "b": b})
     names = {r[0] for r in ens.df.select("name").distinct().collect()}
     assert names == {"a", "b"}
+
+
+def test_homogenize_one_shot_composition(spark):
+    """homogenize == subset . normalize_times . regrid . convert, and the
+    composed plan keeps the subset predicates pushed at the scan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.ensemble import Bounds, Ensemble
+
+    rows = []
+    for name in ("m0", "m1"):
+        for h in range(6):
+            for lat in (-10.0, 10.0, 30.0):
+                for lon in (0.0, 20.0):
+                    rows.append(
+                        (
+                            name,
+                            (pd.Timestamp("2001-06-01") + pd.Timedelta(hours=h, minutes=7)).to_pydatetime(),
+                            lat,
+                            lon,
+                            float(h * 10 + lat / 10 + lon / 20),
+                        )
+                    )
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    ens = Ensemble(df)
+    b = Bounds(lat_bnds=(-20.0, 20.0))
+    got = ens.homogenize(
+        bounds=b, time_granularity="hour", lat_res=20.0, lon_res=40.0,
+        scale=2.0, offset=1.0,
+    )
+    manual = (
+        ens.subset(b).normalize_times("hour").regrid(20.0, 40.0)
+    )
+    manual = manual._with(
+        manual.df.withColumn("value", F.col("value") * 2.0 + 1.0)
+    )
+    key = ["name", "time", "lat", "lon"]
+    a = sorted(map(tuple, got.df.select(*key, "value").collect()))
+    c = sorted(map(tuple, manual.df.select(*key, "value").collect()))
+    assert a == c and len(a) > 0
+    # no lat=30 rows survive the bounds
+    assert all(r[2] < 25.0 for r in a)
+
+
+def test_ensemble_to_netcdf_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    rows = []
+    for name in ("a", "b"):
+        for d in range(3):
+            for lat in (0.0, 10.0):
+                rows.append(
+                    (name, (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime(), lat, 5.0, float(d + lat))
+                )
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    manifest = Ensemble(df).to_netcdf(str(tmp_path / "nc")).collect()
+    assert {m["name"] for m in manifest} == {"a", "b"}
+    back = load_netcdf(spark, str(tmp_path / "nc" / "*.nc"))
+    assert back.count() == 2 * 3 * 2 * 1

@@ -356,3 +356,60 @@ def test_netcdf_datasource_correct_without_pushdown(spark, tmp_path):
     df = spark.read.format("netcdf").load(str(tmp_path / "*.nc"))
     got = df.filter(F.col("lon") == 120.0).count()
     assert got == 8 * 3  # 8 times x 3 lats at one lon
+
+
+# --------------------------------------------------- OPeNDAP (DAP2)
+def test_dap2_dods_roundtrip(tmp_path):
+    """encode_dods → parse_dods roundtrip, incl. XDR double length
+    prefix, 4-byte padding, and int16 padding behavior."""
+    import numpy as np
+
+    from bcdp_spark.sources.opendap import encode_dods, parse_dods
+
+    time = np.arange(3.0)
+    lat = np.array([-10.0, 10.0])
+    lon = np.array([0.0, 90.0, 180.0])
+    tas = np.arange(18.0).reshape(3, 2, 3)
+    sv = np.array([1, -2, 3], dtype=np.int16)
+    raw = encode_dods(
+        [
+            ("time", "float64", [("time", 3)], time),
+            ("lat", "float64", [("lat", 2)], lat),
+            ("lon", "float64", [("lon", 3)], lon),
+            ("tas", "float64", [("time", 3), ("lat", 2), ("lon", 3)], tas),
+            ("flags", "int16", [("time", 3)], sv),
+        ]
+    )
+    got = parse_dods(raw)
+    np.testing.assert_array_equal(got["time"], time)
+    np.testing.assert_array_equal(got["tas"], tas)
+    np.testing.assert_array_equal(got["flags"], sv)
+
+
+def test_dap2_load_opendap_long_form(spark, tmp_path):
+    import numpy as np
+
+    from bcdp_spark.sources.opendap import encode_dods, load_opendap
+
+    time = np.array([0.0, 1.0])
+    lat = np.array([0.0, 45.0])
+    lon = np.array([10.0, 20.0])
+    pr = np.arange(8.0).reshape(2, 2, 2)
+    raw = encode_dods(
+        [
+            ("time", "float64", [("time", 2)], time),
+            ("lat", "float64", [("lat", 2)], lat),
+            ("lon", "float64", [("lon", 2)], lon),
+            ("pr", "float64", [("time", 2), ("lat", 2), ("lon", 2)], pr),
+        ]
+    )
+    f = tmp_path / "resp.dods"
+    f.write_bytes(raw)
+    df = load_opendap(spark, str(f))
+    assert df.count() == 8
+    row = df.filter("lat = 45.0 AND lon = 20.0").orderBy("time").collect()
+    assert [r["value"] for r in row] == [3.0, 7.0]
+
+    # transport injection: fetch callable instead of file read
+    df2 = load_opendap(spark, "http://example.invalid/ds", fetch=lambda u: raw)
+    assert df2.count() == 8
