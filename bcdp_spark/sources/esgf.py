@@ -1,0 +1,128 @@
+"""ESGF search client (SURVEY.md S4 — the reference's dataset discovery,
+`bcdp/esgf.py` [UNVERIFIED — empty checkout, SURVEY.md §0]).
+
+The ESGF search API is a public HTTP/JSON contract (Solr-backed:
+``{node}/esg-search/search?...&format=application%2Fsolr%2Bjson``,
+documented at esgf.github.io): a response carries
+``response.numFound`` and ``response.docs[]`` where each doc has
+``id``, ``title``, ``url`` (list of "href|mime|service" strings),
+``variable``, ``experiment_id`` …
+
+The sandbox has no network, so the TRANSPORT is injectable — callers
+pass ``fetch(url) -> bytes`` (urllib/requests in a real deployment;
+fixture bytes in tests). Parsing, facet handling, pagination, and the
+handoff to ``load_opendap`` are fully implemented and tested offline.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from urllib.parse import urlencode
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_FACETS = (
+    "project",
+    "experiment_id",
+    "variable",
+    "frequency",
+    "source_id",
+)
+
+
+def build_search_url(
+    base: str,
+    limit: int = 100,
+    offset: int = 0,
+    **facets: str,
+) -> str:
+    """``{base}/esg-search/search`` URL with Solr-JSON format pinned."""
+    params = {
+        "format": "application/solr+json",
+        "limit": str(limit),
+        "offset": str(offset),
+        **{k: v for k, v in facets.items() if v is not None},
+    }
+    return f"{base.rstrip('/')}/esg-search/search?{urlencode(params)}"
+
+
+def parse_search_response(raw: bytes) -> tuple[int, list[dict]]:
+    """Solr-JSON → (numFound, docs). Multi-valued Solr fields arrive as
+    lists; scalarize the common ones for a flat DataFrame."""
+    body = json.loads(raw)
+    resp = body["response"]
+    docs = []
+    for d in resp.get("docs", []):
+        urls = d.get("url", [])
+        opendap = next(
+            (u.split("|")[0] for u in urls if "OPENDAP" in u.upper()), None
+        )
+        http = next(
+            (u.split("|")[0] for u in urls if "HTTPSERVER" in u.upper()), None
+        )
+
+        def one(key):
+            v = d.get(key)
+            return v[0] if isinstance(v, list) and v else v
+
+        docs.append(
+            {
+                "id": d.get("id"),
+                "title": d.get("title"),
+                "variable": one("variable"),
+                "experiment_id": one("experiment_id"),
+                "source_id": one("source_id"),
+                "frequency": one("frequency"),
+                "size": int(d.get("size") or 0),
+                "opendap_url": opendap,
+                "http_url": http,
+            }
+        )
+    return int(resp.get("numFound", len(docs))), docs
+
+
+def esgf_search(
+    spark: SparkSession,
+    base: str,
+    fetch: Callable[[str], bytes],
+    limit: int = 100,
+    max_results: int | None = None,
+    **facets: str,
+) -> DataFrame:
+    """Paginated ESGF search → DataFrame of dataset records. ``fetch``
+    is the injected transport; pagination walks ``offset`` until
+    numFound (or ``max_results``) is covered."""
+    offset, rows = 0, []
+    while True:
+        raw = fetch(build_search_url(base, limit, offset, **facets))
+        total, docs = parse_search_response(raw)
+        rows.extend(docs)
+        offset += limit
+        if not docs or offset >= total:
+            break
+        if max_results is not None and len(rows) >= max_results:
+            rows = rows[:max_results]
+            break
+    return spark.createDataFrame(
+        rows,
+        "id string, title string, variable string, experiment_id string, "
+        "source_id string, frequency string, size long, "
+        "opendap_url string, http_url string",
+    )
+
+
+def open_dataset(
+    spark: SparkSession,
+    record: dict,
+    fetch: Callable[[str], bytes],
+    var: str | None = None,
+) -> DataFrame:
+    """Search-hit → long-form data: fetch the record's OPeNDAP endpoint
+    through the DAP2 codec (sources/opendap.py)."""
+    from bcdp_spark.sources.opendap import load_opendap
+
+    url = record.get("opendap_url")
+    if not url:
+        raise ValueError(f"record {record.get('id')!r} has no OPeNDAP url")
+    return load_opendap(spark, url, var=var, fetch=fetch)

@@ -1,0 +1,95 @@
+"""RCMED client (SURVEY.md S5 — the reference's observational-data
+source, `bcdp/rcmed.py` [UNVERIFIED — empty checkout, SURVEY.md §0]).
+
+RCMED (Regional Climate Model Evaluation Database, NASA JPL) serves
+point observations over a public HTTP query API returning CSV rows of
+``lat, lon, lev, time, value`` for a (datasetId, parameterId,
+bounding-box, time-range) request. As with the other remote sources,
+the TRANSPORT is injectable (``fetch(url) -> bytes``); URL building and
+CSV → long-form parsing are implemented and tested offline.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from collections.abc import Callable
+from urllib.parse import urlencode
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def build_query_url(
+    base: str,
+    dataset_id: int,
+    parameter_id: int,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    time_start: str,
+    time_end: str,
+) -> str:
+    params = {
+        "datasetId": dataset_id,
+        "parameterId": parameter_id,
+        "latMin": lat_min,
+        "latMax": lat_max,
+        "lonMin": lon_min,
+        "lonMax": lon_max,
+        "timeStart": time_start,
+        "timeEnd": time_end,
+    }
+    return f"{base.rstrip('/')}/query-api/query.csv?{urlencode(params)}"
+
+
+def parse_query_csv(raw: bytes, name: str = "rcmed") -> pd.DataFrame:
+    """CSV body (lat, lon, lev, time, value — header optional) →
+    long-form pandas frame matching the engine's (name, time, lat, lon,
+    value) contract. ``lev`` is carried when present and non-constant."""
+    text = raw.decode("utf-8", "replace").strip()
+    rdr = csv.reader(io.StringIO(text))
+    rows = [r for r in rdr if r and any(c.strip() for c in r)]
+    if not rows:
+        return pd.DataFrame(
+            columns=["name", "time", "lat", "lon", "value"]
+        )
+    # header row detection: first row non-numeric
+    def _is_num(s):
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    header = [c.strip().lower() for c in rows[0]]
+    if not _is_num(rows[0][0]):
+        data = rows[1:]
+    else:
+        header = ["lat", "lon", "lev", "time", "value"][: len(rows[0])]
+        data = rows
+    idx = {c: i for i, c in enumerate(header)}
+    out = pd.DataFrame(
+        {
+            "name": name,
+            "time": pd.to_datetime(
+                [r[idx["time"]] for r in data], utc=True
+            ).tz_localize(None),
+            "lat": [float(r[idx["lat"]]) for r in data],
+            "lon": [float(r[idx["lon"]]) for r in data],
+            "value": [float(r[idx["value"]]) for r in data],
+        }
+    )
+    return out
+
+
+def load_rcmed(
+    spark: SparkSession,
+    fetch: Callable[[str], bytes],
+    base: str = "https://rcmed.jpl.nasa.gov",
+    **query,
+) -> DataFrame:
+    """Query → long-form DataFrame via the injected transport."""
+    url = build_query_url(base, **query)
+    return spark.createDataFrame(parse_query_csv(fetch(url)))

@@ -1,0 +1,131 @@
+"""Offline tests for the remote-source clients (S3/S4/S5): protocol
+parsing + transport injection, no network."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+
+def _solr_response(docs, num_found=None):
+    return json.dumps(
+        {"response": {"numFound": num_found or len(docs), "docs": docs}}
+    ).encode()
+
+
+def test_esgf_search_pagination_and_parsing(spark):
+    from bcdp_spark.sources.esgf import esgf_search
+
+    page1 = [
+        {
+            "id": f"ds{i}",
+            "title": f"Dataset {i}",
+            "variable": ["tas"],
+            "experiment_id": ["historical"],
+            "source_id": ["MODEL-X"],
+            "frequency": ["mon"],
+            "size": 100 + i,
+            "url": [
+                f"http://n/thredds/dodsC/ds{i}|application/opendap|OPENDAP",
+                f"http://n/fileServer/ds{i}.nc|application/netcdf|HTTPServer",
+            ],
+        }
+        for i in range(2)
+    ]
+    page2 = [dict(page1[0], id="ds2", title="Dataset 2")]
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        if "offset=0" in url:
+            return _solr_response(page1, num_found=3)
+        return _solr_response(page2, num_found=3)
+
+    df = esgf_search(
+        spark,
+        "http://node.example/esg",
+        fetch,
+        limit=2,
+        project="CMIP6",
+        variable="tas",
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert len(calls) == 2 and "project=CMIP6" in calls[0]
+    r = {x["id"]: x for x in rows}
+    assert r["ds0"]["opendap_url"] == "http://n/thredds/dodsC/ds0"
+    assert r["ds0"]["http_url"] == "http://n/fileServer/ds0.nc"
+    assert r["ds0"]["variable"] == "tas"
+
+
+def test_esgf_open_dataset_through_dap2(spark):
+    from bcdp_spark.sources.esgf import open_dataset
+    from bcdp_spark.sources.opendap import encode_dods
+
+    raw = encode_dods(
+        [
+            ("time", "float64", [("time", 2)], np.array([0.0, 1.0])),
+            ("lat", "float64", [("lat", 1)], np.array([0.0])),
+            ("lon", "float64", [("lon", 2)], np.array([0.0, 90.0])),
+            (
+                "tas",
+                "float64",
+                [("time", 2), ("lat", 1), ("lon", 2)],
+                np.arange(4.0).reshape(2, 1, 2),
+            ),
+        ]
+    )
+    rec = {"id": "ds0", "opendap_url": "http://n/dodsC/ds0"}
+    df = open_dataset(spark, rec, fetch=lambda u: raw)
+    assert df.count() == 4
+    with pytest.raises(ValueError, match="OPeNDAP"):
+        open_dataset(spark, {"id": "x"}, fetch=lambda u: raw)
+
+
+def test_rcmed_query_csv_parsing(spark):
+    from bcdp_spark.sources.rcmed import build_query_url, load_rcmed
+
+    csv_body = (
+        b"lat,lon,lev,time,value\n"
+        b"34.2,-118.2,0,2001-01-01T00:00:00Z,280.5\n"
+        b"34.2,-118.0,0,2001-01-01T00:00:00Z,281.0\n"
+        b"34.4,-118.2,0,2001-02-01T00:00:00Z,279.25\n"
+    )
+    urls = []
+
+    def fetch(url):
+        urls.append(url)
+        return csv_body
+
+    df = load_rcmed(
+        spark,
+        fetch,
+        dataset_id=3,
+        parameter_id=36,
+        lat_min=30.0,
+        lat_max=40.0,
+        lon_min=-120.0,
+        lon_max=-115.0,
+        time_start="20010101T0000Z",
+        time_end="20011231T0000Z",
+    )
+    rows = df.orderBy("time", "lon").collect()
+    assert len(rows) == 3
+    assert rows[0]["value"] == 280.5 and rows[0]["lat"] == 34.2
+    assert "datasetId=3" in urls[0] and "query.csv" in urls[0]
+    # headerless variant parses by positional convention
+    df2 = load_rcmed(
+        spark,
+        lambda u: b"34.0,-118.0,0,2001-01-01T00:00:00Z,1.5\n",
+        dataset_id=1,
+        parameter_id=2,
+        lat_min=0,
+        lat_max=90,
+        lon_min=-180,
+        lon_max=0,
+        time_start="a",
+        time_end="b",
+    )
+    assert df2.collect()[0]["value"] == 1.5
