@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -252,3 +253,78 @@ def register_netcdf_source(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(NetCDFDataSource)
+
+
+# --------------------------------------------------------------- stream
+class NetCDFStreamDataSource(DataSource):
+    """format("netcdf-stream"): micro-batch ingestion of a GROWING
+    directory of classic NetCDF files — the streaming twin of the batch
+    source (ST-surface meets S1). Offsets are the sorted set of files
+    already emitted, so each file is delivered exactly once and new
+    drops are picked up on the next trigger. Late/duplicate file
+    delivery is handled downstream by the engine's watermarked dedup
+    (streaming/__init__.py) keyed on (name, time, lat, lon)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "netcdf-stream"
+
+    def schema(self) -> str:
+        return (
+            "name string, time timestamp, lat double, lon double, "
+            "value double"
+        )
+
+    def simpleStreamReader(self, schema: StructType):
+        return NetCDFStreamReader(self.options)
+
+
+class NetCDFStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("netcdf-stream source requires a path glob")
+        self._glob = path
+        self._var = options.get("var")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _decode_file(self, path: str):
+        import pandas as pd
+
+        from bcdp_spark.sources.netcdf import _decode_one
+
+        pdf = _decode_one(path, self._var)
+        for row in pdf.itertuples(index=False):
+            t = row.time
+            yield (
+                row.name,
+                t.to_pydatetime() if hasattr(t, "to_pydatetime") else t,
+                float(row.lat),
+                float(row.lon),
+                None if pd.isna(row.value) else float(row.value),
+            )
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        current = sorted(_glob.glob(self._glob))
+        new = [f for f in current if f not in seen]
+        # a concrete list, not a generator: the simple-reader contract
+        # prefetches on the driver and ships the batch (picklable) to
+        # executors — micro-batch sized data by definition
+        rows = [r for f in new for r in self._decode_file(f)]
+        return rows, {"files": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay (failure recovery): exactly the files added in (start, end]
+        seen = set(start.get("files", []))
+        for f in sorted(set(end.get("files", [])) - seen):
+            yield from self._decode_file(f)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained (file lists); nothing to clean
+
+
+def register_netcdf_stream_source(spark) -> None:
+    spark.dataSource.register(NetCDFStreamDataSource)

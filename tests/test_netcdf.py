@@ -413,3 +413,65 @@ def test_dap2_load_opendap_long_form(spark, tmp_path):
     # transport injection: fetch callable instead of file read
     df2 = load_opendap(spark, "http://example.invalid/ds", fetch=lambda u: raw)
     assert df2.count() == 8
+
+
+def test_netcdf_stream_source_picks_up_new_files(spark, tmp_path):
+    """netcdf-stream: availableNow over existing files, then a new file
+    lands and the next run delivers ONLY the new rows (offset = file
+    set; exactly-once per file)."""
+    import numpy as np
+
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+    from bcdp_spark.sources.netcdf_datasource import (
+        register_netcdf_stream_source,
+    )
+
+    def write_member(i, t0):
+        raw = write_netcdf3(
+            dims={"time": 2, "lat": 1, "lon": 2},
+            variables={
+                "time": (
+                    ["time"],
+                    np.arange(t0, t0 + 2, dtype=float),
+                    {"units": "days since 2001-01-01"},
+                ),
+                "lat": (["lat"], np.zeros(1), {}),
+                "lon": (["lon"], np.array([0.0, 90.0]), {}),
+                "pr": (
+                    ["time", "lat", "lon"],
+                    np.arange(4.0).reshape(2, 1, 2) + 100 * i,
+                    {},
+                ),
+            },
+            record_dim="time",
+        )
+        (tmp_path / f"s{i}.nc").write_bytes(raw)
+
+    register_netcdf_stream_source(spark)
+    write_member(0, 0)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("netcdf-stream")
+            .load(str(tmp_path / "*.nc"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 4 and all(r["value"] < 100 for r in first)
+
+    write_member(1, 2)
+    run_once()
+    both = spark.read.parquet(out).collect()
+    # exactly-once per file: old rows not re-emitted, new file delivered
+    assert len(both) == 8
+    assert sum(1 for r in both if r["value"] >= 100) == 4
