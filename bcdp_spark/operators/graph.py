@@ -2,21 +2,26 @@
 near-dedup pipeline needs on top of LSH candidate pairs (pairs a–b and
 b–c imply cluster {a,b,c} even when a–c never shared a bucket).
 
-Algorithm: iterative min-label propagation. Each node starts labeled
-with itself; every round each node takes the min label over itself and
-its neighbors; converges in O(graph diameter) rounds. Each round is one
-shuffle (join edges×labels) + one aggregate — pure DataFrame ops, no
-driver-side adjacency. Lineage is truncated with ``localCheckpoint``
-every few rounds, otherwise the iterated plan grows without bound (the
-classic iterative-Spark failure mode).
+Algorithm: iterative min-label propagation WITH POINTER DOUBLING. Each
+node starts labeled with itself; every round each node takes the min
+label over itself and its neighbors (one edge join + aggregate), then
+shortcuts through its label's own label (one self-join) — the classic
+path-halving step, so a chain of length L converges in O(log L) rounds
+instead of O(L). Pure DataFrame ops, no driver-side adjacency. Lineage
+is truncated with ``localCheckpoint`` every round by default: the label
+frame is one narrow (node, label) row per node — materializing it is
+cheap, while an uncheckpointed iterated plan re-executes every earlier
+round at each action (the classic iterative-Spark failure mode; the
+convergence-count action would otherwise recompute the whole history).
 
 Scale notes (100 TB): dedup graphs are overwhelmingly tiny components
-(dup clusters of 2–50 docs), so diameter — and the round count — stays
-small. For adversarially long chains, swap in the large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) which converges in O(log n) rounds with the same
-join+min building blocks. The convergence check is a scalar count per
-round — the only driver-visible value, not a data collect.
+(dup clusters of 2–50 docs), so round counts stay tiny; pointer
+doubling keeps even adversarial chains logarithmic. The full
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) additionally bounds per-round edge
+blow-up for power-law graphs — same join+min building blocks if needed.
+The convergence check is a scalar count every other round — the only
+driver-visible value, not a data collect.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Labels every node reachable through ``edges`` with the minimum
     node id of its component. Returns (node, label). Undirected: edges
@@ -56,18 +61,32 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
+        # pointer doubling: follow label → label(label). Labels are
+        # always node ids (mins over initial self-labels), so the inner
+        # self-join is total; labels only decrease, so taking the
+        # looked-up label is the min.
+        hop = new_labels.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            new_labels.join(hop, new_labels["label"] == hop["__ln"])
+            .select("node", F.col("__ll").alias("label"))
+        )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # doubling makes rounds logarithmic; check convergence every
+        # other round to halve the count-job overhead
+        if i % 2 == 1 or i == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return new_labels
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 

@@ -22,6 +22,13 @@ HEADLINE = (
     "q_anti_join",
     "q_rollup",
     "q_sim_knn",
+    # round-2 scale rewrites — plans are the evidence
+    "q_ntile",
+    "q_connected_components",
+    "q_regrid_weights_gen",
+    "q_netcdf_climatology",
+    "q_multimodal_pipeline",
+    "q_ivf_knn",
 )
 
 
