@@ -527,3 +527,79 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tri") - F.col("n_uniq")).alias("n_dup"),
         (10 * (F.col("n_tri") - F.col("n_uniq")) > F.col("n_tri")).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4/EXT — benchmark contamination detection: flag corpus documents whose
+# character-8-gram sets overlap a held-out "benchmark" slice (doc_id %
+# 19 == 0 — deterministic, partition-independent membership). The
+# decontamination pass every training pipeline runs before a data
+# release. Plan shape at 100 TB: the benchmark gram set is tiny relative
+# to the corpus, so it broadcasts; the corpus side explodes grams ONCE
+# and joins without shuffling the documents themselves; the per-doc
+# aggregate carries only (doc_id, n_grams, hit count). The >=5%% overlap
+# gate is integer arithmetic (n_hit * 20 >= n_grams) so no float
+# threshold can disagree between engines; the reported ratio is one
+# int/int IEEE division.
+# ---------------------------------------------------------------------------
+@register(
+    "q_contamination",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, length(s) - 6),
+                          i -> substr(s, CAST(i AS INT), 8))
+         ) AS grams
+  FROM (SELECT doc_id, lower(substr(text, 1, 256)) AS s FROM documents)
+  WHERE length(s) >= 8
+),
+bench AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 19 = 0
+),
+cg AS (
+  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         UNNEST(grams) AS gram
+  FROM g WHERE doc_id % 19 <> 0
+),
+hits AS (
+  SELECT doc_id, n_grams, COUNT(*) AS n_hit
+  FROM cg JOIN bench USING (gram)
+  GROUP BY doc_id, n_grams
+)
+SELECT doc_id, n_grams, n_hit,
+       CAST(n_hit AS DOUBLE) / n_grams AS contamination
+FROM hits
+WHERE n_hit * 20 >= n_grams
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 256)).alias("s")
+    )
+    g = d.filter(F.length("s") >= 8).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(s) - 7), i -> substring(s, i, 8))")
+        ).alias("grams"),
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 19 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    cg = g.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    hits = cg.join(F.broadcast(bench), "gram").groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return hits.filter(F.col("n_hit") * 20 >= F.col("n_grams")).select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+    )
