@@ -215,3 +215,27 @@ def test_connected_components_edges_have_no_single_partition(spark):
     df = q.queries()["q_connected_components"](spark, SF_ORACLE)
     plan = physical_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """q_contamination must broadcast the (small) benchmark gram set
+    against the exploded corpus side — a shuffle of the full corpus gram
+    stream on gram value would be the 100-TB bottleneck."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan, uses_broadcast_join
+
+    df = q.queries()["q_contamination"](spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_model_metrics_broadcasts_reference(spark):
+    """q_model_metrics joins the per-hour ensemble reference (|hours|
+    rows) back to the member series via broadcast — the member frame must
+    not re-shuffle on hour for the join."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan, uses_broadcast_join
+
+    df = q.queries()["q_model_metrics"](spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+    assert "SinglePartition" not in physical_plan(df)
