@@ -1,0 +1,121 @@
+"""Distributed Bloom-filter semi join — explicit runtime-filter pushdown.
+
+Spark's own runtime filters (DPP / InjectRuntimeFilter) cover some of
+this, but an explicit operator makes the 100 TB story controllable: the
+build side is reduced to an ``m``-bit bitmap with a distributed
+``bit_or`` aggregation (shuffles at most ``m/64`` longs, never keys),
+the bitmap is embedded in the plan as an array *literal* (data, not
+code — whole-stage codegen stays small, cf. the janino method-size
+limit), and the probe side evaluates ``k`` hash probes entirely
+map-side: no shuffle, no explode, rows that cannot join are dropped
+before they ever reach the join exchange.
+
+False positives are possible by construction, so ``bloom_semi_join``
+always finishes with an exact semi join on the (now much smaller)
+surviving subset — the bloom stage only reduces shuffle input, it never
+changes the answer. With the default m=2**17 / k=5 the bitmap is 16 KiB;
+at 1% build-side load the false-positive rate is ~3e-7.
+
+The single driver materialization is the collected bitmap: bounded at
+``m/64`` longs (2 048 for the default), the same bounded-collect shape
+the IVF centroid table uses — never data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_build", "bloom_probe_condition", "bloom_semi_join"]
+
+
+def _shl1(bits: Column) -> Column:
+    """1L << bits with a *column* shift amount — the typed PySpark
+    wrapper only takes a Python int, so call the SQL function directly."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), bits.cast("int"))
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k independent bit positions via xxhash64(key, probe_index)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    build: DataFrame,
+    key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Aggregate the build side into an m-bit bloom bitmap (list of longs).
+
+    Fully distributed: each row contributes k (word_index, bit_mask)
+    pairs; a groupBy(word).bit_or(mask) reduces them map-side first, so
+    the shuffle carries at most m/64 rows regardless of build-side size.
+    The final collect is bounded at m/64 longs (16 KiB default).
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = F.explode(F.array(*_positions(F.col(key), num_bits, num_hashes)))
+    words = (
+        build.select(pos.alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__word"),
+            _shl1(F.col("__pos") % 64).alias("__mask"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for row in words:
+        bitmap[row["__word"]] = row["__bits"]
+    return bitmap
+
+
+def bloom_probe_condition(
+    bitmap: list[int],
+    key: Column,
+    num_hashes: int = 5,
+) -> Column:
+    """Map-side membership test: AND over k bit probes of the literal bitmap.
+
+    The bitmap enters the plan as an array literal — constant data, so
+    Catalyst folds ``element_at`` lookups into cheap array indexing and
+    the filter runs inside whole-stage codegen before any exchange.
+    """
+    num_bits = len(bitmap) * 64
+    arr = F.lit(bitmap)
+    cond = F.lit(True)
+    for pos in _positions(key, num_bits, num_hashes):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(_shl1(pos % 64)) != 0)
+    return cond
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT left-semi join with a bloom pre-filter on the probe side.
+
+    Plan shape: probe rows failing the bitmap test die map-side (no
+    shuffle, no join); survivors go through a normal left-semi join for
+    exactness. At 100 TB with a selective build side this turns the semi
+    join's probe-side exchange from "all of probe" into "matches plus
+    ~fp-rate noise".
+    """
+    build_key = build_key or probe_key
+    bitmap = bloom_build(build, build_key, num_bits, num_hashes)
+    pre = probe.filter(bloom_probe_condition(bitmap, F.col(probe_key), num_hashes))
+    return pre.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        on=probe_key,
+        how="left_semi",
+    )

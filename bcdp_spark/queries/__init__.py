@@ -43,6 +43,7 @@ _MODULES = (
     "bcdp_spark.queries.warehouse",
     "bcdp_spark.queries.analytics",
     "bcdp_spark.queries.netcdf_io",
+    "bcdp_spark.queries.corpus",
 )
 
 

@@ -1,0 +1,388 @@
+"""Corpus-curation extensions (SURVEY.md §2.11 X4 family, round 2):
+blocklist redaction, boilerplate n-gram detection, vocabulary growth,
+inverted-index construction, co-occurrence PMI, bloom-filter semi join,
+and embedding scalar quantization.
+
+These extend the mandated LLM-data-pipeline surface with the ops a
+production corpus pipeline runs between "raw crawl" and "training
+shards": safety scrubbing, template/boilerplate removal, index building,
+association mining, and vector compression. All hot paths are JVM
+built-ins (split / higher-order functions / hash aggregates); the only
+driver materialization is the bloom bitmap (bounded at m/64 longs, see
+``operators/bloom.py``).
+
+Scale notes (100 TB): every key here aggregates on a token / n-gram /
+(word-index) key — shuffles carry short strings or longs, never document
+payloads. The PMI pair join is per-doc-bounded (distinct tokens per doc
+is capped by doc length, so the self-join fan-out is O(docs * k²) with
+small k, not O(docs²)). The vocabulary-growth cumulative sum windows
+over the |buckets|-row aggregate, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.operators.bloom import bloom_semi_join
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import DEC, dsum, dsum_sql, utc
+from bcdp_spark.tables import table
+
+# Redaction blocklist — terms present in the fixture's vocabulary so the
+# scrub actually fires (word-soup fixture has no real PII; the operator
+# is the same regexp/token gate a PII pass would run with better regexes).
+_BLOCK = ("customer", "spark", "vector")
+_BLOCK_SQL = "('customer', 'spark', 'vector')"
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# X4e — blocklist redaction with per-source accounting. The rewrite is a
+# pure map (no shuffle); only the per-source counters aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_redact_terms",
+    oracle=f"""
+WITH r AS (
+    SELECT source,
+           text,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN {_BLOCK_SQL})) AS hits,
+           array_to_string(
+               list_transform(string_split(text, ' '),
+                              t -> CASE WHEN t IN {_BLOCK_SQL}
+                                        THEN '[X]' ELSE t END),
+               ' ') AS red
+    FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(hits) AS BIGINT) AS n_redactions,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       CAST(SUM(LENGTH(text) - LENGTH(red)) AS BIGINT) AS chars_removed
+FROM r
+GROUP BY source
+""",
+)
+def q_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = _toks()
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_BLOCK)))
+    red = F.concat_ws(
+        " ",
+        F.transform(
+            toks, lambda t: F.when(t.isin(*_BLOCK), F.lit("[X]")).otherwise(t)
+        ),
+    )
+    return (
+        docs.select(
+            "source",
+            hits.alias("hits"),
+            (F.length("text") - F.length(red)).alias("removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hits").cast("long").alias("n_redactions"),
+            F.sum((F.col("hits") > 0).cast("int")).cast("long").alias("docs_affected"),
+            F.sum("removed").cast("long").alias("chars_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4f — boilerplate detection: trigrams shared by many distinct documents
+# (doc frequency, not term frequency — a template phrase counts once per
+# doc no matter how often it repeats inside). Shuffle key = the trigram.
+# ---------------------------------------------------------------------------
+@register(
+    "q_boilerplate",
+    oracle="""
+WITH g AS (
+    SELECT DISTINCT doc_id, source, gram
+    FROM (SELECT doc_id, source,
+                 toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS gram
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                FROM documents),
+               UNNEST(range(len(toks) - 2)) AS u(i)))
+SELECT gram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources
+FROM g
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_sources DESC, gram
+LIMIT 20
+""",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    w = F.greatest(n - 2, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, w),
+        F.zip_with(
+            F.slice(toks, 2, w),
+            F.slice(toks, 3, w),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    return (
+        docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_sources").desc(), "gram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4g — vocabulary growth (Heaps-law curve) WITHOUT a quadratic
+# cumulative-distinct: each token contributes only its FIRST-seen doc_id
+# (one min-agg), buckets count first-occurrences, and the cumulative sum
+# windows over the |buckets|-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_vocab_growth",
+    oracle="""
+WITH f AS (
+    SELECT token, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token),
+b AS (
+    SELECT CAST(first_doc // 100 AS BIGINT) AS bucket, COUNT(*) AS new_tokens
+    FROM f GROUP BY bucket)
+SELECT bucket,
+       CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM b
+""",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    buckets = (
+        first.select(F.floor(F.col("first_doc") / 100).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    # cumulative sum over the tiny bucket aggregate (|buckets| rows),
+    # not the corpus — a global window here is O(buckets), safe at scale.
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        "bucket",
+        F.col("new_tokens").cast("long").alias("new_tokens"),
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4h — inverted index: token → document-frequency + first-10 posting
+# list. collect_list is bounded per token by df; the emitted posting
+# string is capped at 10 ids. Shuffle key = token.
+# ---------------------------------------------------------------------------
+@register(
+    "q_inverted_index",
+    oracle="""
+WITH p AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)),
+a AS (
+    SELECT token, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS ids
+    FROM p GROUP BY token)
+SELECT token,
+       CAST(df AS BIGINT) AS df,
+       array_to_string(list_transform(ids[1:10], x -> CAST(x AS VARCHAR)),
+                       ',') AS postings
+FROM a
+ORDER BY df DESC, token
+LIMIT 20
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(_toks()).alias("token")).distinct()
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"), postings.alias("postings"))
+        .select("token", F.col("df").cast("long").alias("df"), "postings")
+        .orderBy(F.col("df").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4i — token co-occurrence PMI. The pair generator self-joins the
+# DISTINCT (doc, token) set on doc_id with tok_a < tok_b: fan-out is
+# O(docs × k²) where k = distinct tokens per doc (bounded by doc length),
+# never O(docs²). df lookups broadcast (|vocab| rows).
+# ---------------------------------------------------------------------------
+@register(
+    "q_cooccurrence",
+    oracle="""
+WITH p AS (
+    SELECT DISTINCT doc_id, token
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)),
+d AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+    SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS pair_docs
+    FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY tok_a, tok_b)
+SELECT tok_a, tok_b,
+       CAST(pair_docs AS BIGINT) AS pair_docs,
+       ROUND(LN(CAST(pair_docs AS DOUBLE) * n_docs / (da.df * db.df)), 6) AS pmi
+FROM pairs
+JOIN d da ON tok_a = da.token
+JOIN d db ON tok_b = db.token
+CROSS JOIN n
+ORDER BY pair_docs DESC, tok_a, tok_b
+LIMIT 20
+""",
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select("doc_id", F.explode(_toks()).alias("token")).distinct()
+    d = p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = p.select("doc_id", F.col("token").alias("tok_a"))
+    b = p.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+    )
+    return (
+        pairs.join(F.broadcast(d.withColumnRenamed("df", "df_a")),
+                   pairs.tok_a == F.col("token")).drop("token")
+        .join(F.broadcast(d.withColumnRenamed("df", "df_b")),
+              F.col("tok_b") == F.col("token")).drop("token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("pair_docs").cast("long").alias("pair_docs"),
+            F.round(
+                F.log(
+                    F.col("pair_docs").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pair_docs").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — bloom-filter semi join: orders kept only if their customer clears
+# a selective balance gate. The bloom bitmap kills non-matching orders
+# map-side BEFORE the join exchange; the exact semi join then guarantees
+# the answer (oracle = plain IN-subquery semi join).
+# ---------------------------------------------------------------------------
+@register(
+    "q_bloom_semi_join",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 'revenue')}
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderstatus
+""",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    orders = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    kept = bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    return kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3b — scalar quantization (PQ-lite): per-dimension symmetric int8
+# codes with max-abs scaling. Per-dim stats are a 64-row aggregate,
+# broadcast back; the code assignment is a pure map. code_mass is an
+# exact integer invariant; avg_err routes through DECIMAL so partial-agg
+# order cannot move it.
+# ---------------------------------------------------------------------------
+@register(
+    "q_vec_quantize",
+    oracle="""
+WITH ex AS (
+    SELECT label, u.i AS pos, CAST(embedding[u.i + 1] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(range(len(embedding))) AS u(i)),
+s AS (SELECT pos, MAX(ABS(val)) AS max_abs FROM ex GROUP BY pos),
+q AS (
+    SELECT label, val, max_abs,
+           CAST(ROUND(val * 127.0 / max_abs) AS INTEGER) AS code
+    FROM ex JOIN s USING (pos))
+SELECT label,
+       COUNT(*) AS n_values,
+       CAST(SUM(ABS(code)) AS BIGINT) AS code_mass,
+       ROUND(CAST(CAST(SUM(CAST(ABS(val - code * max_abs / 127.0)
+                                AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 9) AS avg_err
+FROM q
+GROUP BY label
+""",
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").alias("val"))
+    stats = ex.groupBy("pos").agg(F.max(F.abs(F.col("val"))).alias("max_abs"))
+    code = F.round(F.col("val") * 127.0 / F.col("max_abs")).cast("int")
+    q = ex.join(F.broadcast(stats), "pos").select(
+        "label",
+        "val",
+        "max_abs",
+        code.alias("code"),
+    )
+    err = F.abs(F.col("val") - F.col("code") * F.col("max_abs") / 127.0)
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.abs(F.col("code"))).cast("long").alias("code_mass"),
+        F.round(
+            (F.sum(err.cast(DEC)).cast("double") / F.count(F.lit(1))), 9
+        ).alias("avg_err"),
+    )

@@ -1,0 +1,78 @@
+"""Bloom-filter semi join (operators/bloom.py): exactness, pre-filter
+containment, bounded bitmap, and the no-extra-shuffle plan property."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bcdp_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe_condition,
+    bloom_semi_join,
+)
+from bcdp_spark.tables import table
+from tests.conftest import SF_ORACLE
+
+
+def _sides(spark):
+    orders = table(spark, SF_ORACLE, "orders")
+    rich = table(spark, SF_ORACLE, "customer").filter(F.col("c_acctbal") > 9000)
+    return orders, rich
+
+
+def test_bloom_semi_equals_plain_semi(spark):
+    orders, rich = _sides(spark)
+    plain = orders.join(
+        rich.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    got = bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    assert sorted(r["o_orderkey"] for r in got.select("o_orderkey").collect()) == sorted(
+        r["o_orderkey"] for r in plain.select("o_orderkey").collect()
+    )
+
+
+def test_prefilter_superset_of_matches_and_selective(spark):
+    orders, rich = _sides(spark)
+    bitmap = bloom_build(rich, "c_custkey")
+    pre = orders.filter(bloom_probe_condition(bitmap, F.col("o_custkey")))
+    exact = orders.join(
+        rich.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "left_semi",
+    ).count()
+    n_pre, n_all = pre.count(), orders.count()
+    # never drops a true match, and actually filters (build side is ~10%)
+    assert exact <= n_pre < n_all
+    assert n_pre < n_all * 0.5
+
+
+def test_bitmap_bounded_and_deterministic(spark):
+    _, rich = _sides(spark)
+    m, k = 1 << 12, 3
+    b1 = bloom_build(rich, "c_custkey", num_bits=m, num_hashes=k)
+    b2 = bloom_build(rich, "c_custkey", num_bits=m, num_hashes=k)
+    assert len(b1) == m // 64  # bounded driver materialization
+    assert b1 == b2  # xxhash64 salting — retry-deterministic, never rand()
+
+
+def test_probe_filter_runs_before_join_exchange(spark):
+    """The bloom condition must sit under the probe-side scan/filter,
+    BEFORE any Exchange — that is the whole point (map-side kill)."""
+    orders, rich = _sides(spark)
+    got = bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    filt = plan.find("shiftleft")  # the bloom probe expression
+    exch = plan.find("Exchange")
+    assert filt != -1, "bloom probe condition missing from physical plan"
+    # physical plans print top-down: the probe filter must appear BELOW
+    # (after) the first Exchange line if one exists at all, i.e. closer
+    # to the scan; equivalently no Exchange may appear below the filter
+    # on the probe branch. Cheap proxy: the filter is present and the
+    # fragment below it contains the parquet scan with no Exchange
+    # between filter and scan.
+    below = plan[filt:]
+    scan = below.find("Scan parquet")
+    assert scan != -1, "probe filter not attached above the parquet scan"
+    assert "Exchange" not in below[:scan], "shuffle between bloom filter and scan"

@@ -1,0 +1,58 @@
+"""Driver-contract robustness probes as permanent gates (the verify
+recipe's manual probes, codified):
+
+1. Every registry key must RUN at sf0.001 — the empty-/tiny-group edge
+   (whole languages, dup groups, and event hours vanish at this SF; a
+   query that divides by a group count or indexes into a collected
+   array finds out here, not in the driver).
+2. Hostile session timezone — the driver provides a VANILLA session and
+   may run with any local tz. Epoch-emitting queries must set UTC
+   themselves (``utc(spark)``); this gate runs the time-bucketing keys
+   under America/New_York and still demands bit-exact parity with the
+   UTC DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.compare import assert_frames_match
+from tests.conftest import SF_SMOKE
+
+
+def test_every_key_runs_at_sf0001(spark):
+    import bcdp_spark.queries as q
+
+    failures = []
+    for key, fn in q.queries().items():
+        try:
+            fn(spark, SF_SMOKE).count()
+        except Exception as exc:  # noqa: BLE001 — collecting a report
+            failures.append(f"{key}: {type(exc).__name__}: {exc}")
+    assert not failures, "keys crashed at sf0.001:\n" + "\n".join(failures)
+
+
+TIME_KEYS = (
+    "q_tumbling_events",
+    "q_climatology",
+    "q_season_filter",
+    "q_date_funcs",
+    "q_ensemble_mean",
+    "q_model_metrics",
+    "q_session",
+    "q_dau_mau",
+)
+
+
+@pytest.mark.parametrize("key", TIME_KEYS)
+def test_hostile_timezone_oracle_parity(key, spark, duck):
+    import bcdp_spark.queries as q
+    from tests.conftest import SF_ORACLE
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sdf = q.queries()[key](spark, SF_ORACLE).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    odf = duck.execute(q.oracle_sql()[key]).df()
+    assert_frames_match(sdf, odf, key)
