@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from bcdp_spark.operators.bloom import bloom_semi_join
 from bcdp_spark.queries import register
-from bcdp_spark.queries._helpers import DEC, dsum, dsum_sql, utc
+from bcdp_spark.queries._helpers import DEC, davg, davg_sql, dsum, dsum_sql, utc
 from bcdp_spark.tables import table
 
 # Redaction blocklist — terms present in the fixture's vocabulary so the
@@ -385,4 +385,171 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.sum(err.cast(DEC)).cast("double") / F.count(F.lit(1))), 9
         ).alias("avg_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2f — semantic dedup (SemDeDup-shape): block vectors into sign-bit
+# cells, compute exact pairwise cosine ONLY within a cell, drop every
+# vector that has a smaller-id neighbor above the similarity threshold.
+# The public SemDeDup recipe (Abbas et al. 2023) clusters with k-means
+# and deduplicates within clusters; the cell here is the cheapest
+# deterministic stand-in (sign bits of the leading dimensions — a
+# random-hyperplane LSH with axis-aligned planes), which keeps the
+# oracle SQL exact. operators/similarity.py holds the trained-centroid
+# (IVF) assignment for the k-means-faithful variant.
+#
+# Scale (100 TB): the self-join key is the cell id — with b sign bits
+# there are 2^b cells, so the pair count per cell is (n/2^b)^2/2, not
+# n^2/2. At fixture scale b=4; at corpus scale you raise b (16-24 bits)
+# so cells stay ~1k vectors, and AQE skew-split handles hot cells.
+# Shuffle payload is (vec_id, 64 floats) — no document text moves.
+# Cosine stays in whole-stage codegen via the unrolled flat_dot
+# (queries/similarity.py); threshold 0.42 sits >2.7e-3 from every
+# fixture pair's cosine, so the float boundary cannot flip a decision.
+# ---------------------------------------------------------------------------
+_CELL_SQL = """
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+"""
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           {_CELL_SQL} AS cell
+    FROM embeddings),
+cells AS (SELECT cell, COUNT(*) AS n_vectors FROM e GROUP BY cell),
+dups AS (
+    SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS drop_id
+    FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.42),
+d AS (
+    SELECT cell, COUNT(*) AS n_dup_pairs,
+           COUNT(DISTINCT drop_id) AS n_dropped
+    FROM dups GROUP BY cell)
+SELECT c.cell, c.n_vectors,
+       COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       c.n_vectors - COALESCE(d.n_dropped, 0) AS n_kept
+FROM cells c LEFT JOIN d ON c.cell = d.cell
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.queries.similarity import flat_dot, flat_sqnorm
+
+    utc(spark)
+    dim = 64  # fixture embedding width (FIXTURES.md)
+    cell = (
+        F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 4) > 0, 8).otherwise(0)
+    )
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", cell.alias("cell"))
+    )
+    cells = e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    a = e.select("cell", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    b = e.select("cell", F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    cos = flat_dot("ea", "eb", dim) / (
+        F.sqrt(flat_sqnorm("ea", dim)) * F.sqrt(flat_sqnorm("eb", dim))
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cos >= 0.42)
+    )
+    d = dups.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("idb").alias("n_dropped"),
+    )
+    return (
+        cells.join(d, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4f — quality classifier: an in-plan linear model over cheap text
+# features, squashed with the algebraic "fast sigmoid" x/(1+|x|)
+# (pure +,*,/,| | arithmetic — bit-identical across engines, unlike
+# exp(), whose libm ulp drift could flip a decile at the boundary).
+# Weights are illustrative constants; a trained model would broadcast
+# its coefficient row and compute the same expression. The whole
+# classifier is a narrow map — zero shuffles before the decile rollup.
+# ---------------------------------------------------------------------------
+_QC_Z = (
+    "(-1.5 + 2.5 * stop_ratio + 0.02 * avg_tok_len + 0.001 * n_tok)"
+)
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+           length(replace(text, ' ', '')) AS n_alpha
+    FROM documents),
+z AS (
+    SELECT doc_id,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           CAST(n_alpha AS DOUBLE) / n_tok AS avg_tok_len,
+           n_tok
+    FROM f WHERE n_tok > 0),
+s AS (
+    SELECT doc_id,
+           0.5 * (1 + {_QC_Z} / (1 + abs({_QC_Z}))) AS score
+    FROM z)
+SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs,
+       {davg_sql('score', 'avg_score')}
+FROM s
+GROUP BY bucket
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+        ).alias("n_stop"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_alpha"
+        ),
+    ).filter(F.col("n_tok") > 0)
+    z = (
+        F.lit(-1.5)
+        + F.lit(2.5) * (F.col("n_stop").cast("double") / F.col("n_tok"))
+        + F.lit(0.02) * (F.col("n_alpha").cast("double") / F.col("n_tok"))
+        + F.lit(0.001) * F.col("n_tok")
+    )
+    score = F.lit(0.5) * (F.lit(1) + z / (F.lit(1) + F.abs(z)))
+    return (
+        f.select(
+            F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("bucket"),
+            score.alias("score"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg(F.col("score"), "avg_score"))
     )

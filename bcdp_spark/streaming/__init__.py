@@ -15,28 +15,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw int64 nanos (see tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a stream (file source, one-shot with
-    availableNow, continuous if new files land). ns → µs as in batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    availableNow, continuous if new files land).
+
+    The fixture's physical ts type has varied across driver generations
+    (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS, NTZ)); a streaming source
+    needs the schema up front, so sniff the parquet footer once on the
+    driver (metadata-only, no data read) and normalize to session-UTC
+    TimestampType exactly as tables.table() does for batch."""
+    import pyarrow.parquet as pq
+
+    phys = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if phys == "timestamp[ns]":
+        # Spark 4 rejects nanos as timestamp: read raw int64, floor to µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ → session-UTC instant: pure relabeling under a UTC session TZ.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -50,16 +50,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _tune_session(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it as a
-        # timestamp, so read the raw int64 nanos and floor-truncate to µs —
-        # exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP read does, keeping
-        # both engines' view of ts identical (SURVEY.md §7 determinism).
+        # events.ts has varied across driver fixture generations:
+        # TIMESTAMP(NANOS) (Spark 4 rejects it → read raw int64 nanos and
+        # floor-truncate to µs) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # (Spark reads TIMESTAMP_NTZ, which unix_micros/window exprs
+        # reject). Normalize both to session-UTC TimestampType — exactly
+        # DuckDB's naive-TIMESTAMP view of the same bytes (SURVEY.md §7
+        # determinism: session TZ is pinned UTC, so NTZ wall clock ==
+        # stored instant).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _ntz_to_utc(df)
+    return _ntz_to_utc(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-UTC TimestampType.
+
+    Driver fixtures write parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    which Spark 4 reads as TIMESTAMP_NTZ — a type unix_micros()/
+    window() reject. With the session TZ pinned to UTC the cast is a
+    pure relabeling (wall clock == instant), identical to DuckDB's
+    naive-TIMESTAMP view of the same bytes. Column pruning still reaches
+    the scan: the cast is a Project Catalyst pushes past."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
