@@ -553,3 +553,70 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), davg(F.col("score"), "avg_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X4g — training-data mixture planning: per-source token accounting, then
+# a budgeted allocation (here: half the corpus tokens, split uniformly
+# across sources, capped at what each source actually has) and the
+# per-source sampling rate that realizes it. This is the planning half of
+# data mixing (the sampling half is q_hash_sample / q_stratified_sample:
+# apply rate r to source s by keeping docs with hash(doc_id) mod M < r*M).
+#
+# Determinism: token counts are BIGINT; the budget and per-source target
+# use integer division only (total div 2 div n_sources), so the sole
+# float ops are two BIGINT/BIGINT divisions — single correctly-rounded
+# IEEE ops, bit-identical across engines. No decimal routing needed.
+#
+# Scale (100 TB): the fact-table work is one narrow map (regexp count)
+# with map-side partial aggregation into |sources| groups; the totals row
+# is a broadcast 1-row cross join (same pattern as q_ratio_to_report —
+# the window is over the aggregate, never the fact table). Zero extra
+# fact shuffles; the plan survives 1000 executors unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "q_data_mixture",
+    oracle="""
+WITH tok AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY source),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_sources
+    FROM tok)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       least(CAST(1 AS DOUBLE),
+             CAST((total_tokens // 2) // n_sources AS DOUBLE) / n_tokens)
+           AS sample_rate,
+       least(n_tokens, (total_tokens // 2) // n_sources) AS alloc_tokens
+FROM tok, tot
+""",
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
+    tok = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = F.expr("(total_tokens div 2) div n_sources")
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+            "token_share"
+        ),
+        F.least(
+            F.lit(1.0), target.cast("double") / F.col("n_tokens")
+        ).alias("sample_rate"),
+        F.least(F.col("n_tokens"), target).alias("alloc_tokens"),
+    )

@@ -1,14 +1,18 @@
 """Driver replica: vanilla SparkSession (no engine-side configs), import
 __spark_entry__ the way the driver does, smoke entry(), then hash-compare
 every queries() key against oracle_sql() via DuckDB at sf0.01."""
-import hashlib, json, sys, time
+import hashlib, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.ui.enabled", "false")
-         # deliberately NO nanosAsLong, NO UTC tz, NO AQE tweaks: driver defaults
-         .getOrCreate())
+builder = (SparkSession.builder.master("local[8]")
+           .config("spark.ui.enabled", "false"))
+# deliberately NO nanosAsLong, NO UTC tz, NO AQE tweaks: driver defaults.
+# Probes (verify skill): REPLICA_TZ sets a hostile session timezone the
+# queries must override internally; REPLICA_SF_DIR swaps the fixture scale.
+if os.environ.get("REPLICA_TZ"):
+    builder = builder.config("spark.sql.session.timeZone", os.environ["REPLICA_TZ"])
+spark = builder.getOrCreate()
 
 import __spark_entry__ as e
 import duckdb
@@ -21,7 +25,7 @@ assert len(rows) >= 0 and len(df.schema) > 0
 
 # --- t2 oracle ---
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("REPLICA_SF_DIR", "/root/testdata/sf0.01")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
