@@ -569,10 +569,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE ops, bit-identical across engines. No decimal routing needed.
 #
 # Scale (100 TB): the fact-table work is one narrow map (regexp count)
-# with map-side partial aggregation into |sources| groups; the totals row
-# is a broadcast 1-row cross join (same pattern as q_ratio_to_report —
-# the window is over the aggregate, never the fact table). Zero extra
-# fact shuffles; the plan survives 1000 executors unchanged.
+# with map-side partial aggregation into |sources| groups — documents is
+# scanned exactly ONCE (plan-gated). The corpus totals come from an
+# unpartitioned window over the |sources|-row AGGREGATE, never the fact
+# table (the q_ratio_to_report pattern); a broadcast-cross of a separate
+# totals aggregate would recompute the scan. The plan survives 1000
+# executors unchanged.
 # ---------------------------------------------------------------------------
 @register(
     "q_data_mixture",
@@ -596,6 +598,8 @@ FROM tok, tot
 """,
 )
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     utc(spark)
     docs = table(spark, sf_dir, "documents")
     n_tok = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
@@ -603,16 +607,16 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("long").alias("n_tokens"),
     )
-    tot = tok.agg(
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
+    w = Window.partitionBy()  # over the |sources|-row aggregate only
+    tot = F.sum("n_tokens").over(w).cast("long")
+    target = F.expr(
+        "(CAST(sum(n_tokens) OVER () AS BIGINT) div 2) div count(1) OVER ()"
     )
-    target = F.expr("(total_tokens div 2) div n_sources")
-    return tok.crossJoin(F.broadcast(tot)).select(
+    return tok.select(
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+        (F.col("n_tokens").cast("double") / tot.cast("double")).alias(
             "token_share"
         ),
         F.least(

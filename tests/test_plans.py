@@ -239,3 +239,27 @@ def test_model_metrics_broadcasts_reference(spark):
     df = q.queries()["q_model_metrics"](spark, SF_ORACLE)
     assert uses_broadcast_join(df)
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_semantic_dedup_pairs_via_cell_equi_join(spark):
+    """q_semantic_dedup's pair generation must be an equi join on the
+    sign-bit cell (hash-shuffled or broadcast) — a cartesian/BNLJ plan
+    would materialize all O(n^2) vector pairs and die at corpus scale."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_semantic_dedup"](spark, SF_ORACLE)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_data_mixture_scans_documents_once(spark):
+    """q_data_mixture's corpus totals come from a window over the
+    |sources|-row aggregate — a second scan of documents (the naive
+    agg-then-cross-join shape) would double the 100-TB read."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_data_mixture"](spark, SF_ORACLE)
+    assert physical_plan(df).count("FileScan") == 1
