@@ -234,3 +234,64 @@ def click_error_correlation(
         & (F.col("err_ts") > F.col("click_ts"))
         & (F.col("err_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {tolerance}")),
     ).select("c_user", "click_id", "err_id")
+
+
+def running_user_state_tws(stream: DataFrame) -> DataFrame:
+    """ST6b — the Spark 4 successor to applyInPandasWithState:
+    ``transformWithStateInPandas`` with a ``StatefulProcessor`` and typed
+    per-key ValueState. Functionally the twin of running_user_state
+    (per-user running count + mean); the new API adds composable typed
+    state (value/list/map), explicit timers in event/processing time, and
+    requires the RocksDB state store — the provider built for state that
+    exceeds executor memory, i.e. the 100-TB keyspace path. State is one
+    (long, double) pair per user regardless of history length.
+
+    Environment note: the TWS state-server protocol needs the
+    ``protobuf`` package; this container lacks it, so the equivalence
+    test is skip-gated (``tests/test_streaming.py``) and runs the moment
+    protobuf is present. applyInPandasWithState (``running_user_state``)
+    is the protocol-free twin exercised in CI here."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("mean_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean_value": [total / n if n else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

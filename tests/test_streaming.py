@@ -217,3 +217,56 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # hour 6's window is still open at end-of-stream (append emits only
     # watermark-closed windows)
     assert 6 not in got
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs the protobuf "
+    "package, absent in this container (operator code is exercised the "
+    "moment protobuf is installed)",
+)
+def test_transform_with_state_matches_batch(spark, stream):
+    """ST6b — transformWithStateInPandas (Spark 4 typed-state API,
+    RocksDB-backed) final per-user state must equal the batch aggregate."""
+    from bcdp_spark.streaming import running_user_state_tws, run_available_now
+    from bcdp_spark.tables import table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_available_now(
+            running_user_state_tws(stream), "t_tws", mode="update"
+        )
+        # update mode re-emits per micro-batch; keep each user's final row
+        final = (
+            got.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("mean_value", "n_events").alias("mean_value"),
+            )
+        )
+        batch = (
+            table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.avg("value").alias("mean_value"),
+            )
+        )
+        g = {r["user_id"]: (r["n_events"], round(r["mean_value"], 9)) for r in final.collect()}
+        b = {r["user_id"]: (r["n_events"], round(r["mean_value"], 9)) for r in batch.collect()}
+        assert g == b
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
