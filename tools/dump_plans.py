@@ -29,6 +29,10 @@ HEADLINE = (
     "q_netcdf_climatology",
     "q_multimodal_pipeline",
     "q_ivf_knn",
+    # round-2 additions
+    "q_semantic_dedup",
+    "q_data_mixture",
+    "q_quality_classifier",
 )
 
 
