@@ -175,3 +175,81 @@ def test_ensemble_to_netcdf_roundtrip(spark, tmp_path):
     assert {m["name"] for m in manifest} == {"a", "b"}
     back = load_netcdf(spark, str(tmp_path / "nc" / "*.nc"))
     assert back.count() == 2 * 3 * 2 * 1
+
+
+def test_reference_user_journey_nc_to_nc(spark, tmp_path):
+    """The reference's canonical pipeline end to end on REAL NetCDF bytes:
+    load .nc ensemble -> homogenize (spatial bounds + time normalize +
+    regrid + unit convert) -> select_season -> anomaly -> export .nc ->
+    reingest. This is the workflow a bcdp user would port wholesale
+    (load_local -> homogenize -> analysis -> to_netcdf, bcdp/core.py
+    [UNVERIFIED - empty checkout, SURVEY.md S0])."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.ensemble import Bounds, Ensemble
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    lat = np.array([-30.0, 0.0, 30.0])
+    lon = np.array([0.0, 90.0, 180.0, 270.0])
+    # daily data across Jun-Aug so JJA selection bites
+    time = np.arange(0, 92, dtype=np.float64)
+    for m, base in (("m0", 270.0), ("m1", 280.0)):
+        data = np.fromfunction(
+            lambda t, a, o: base + t * 0.1 + a * 2.0 + o * 0.5, (92, 3, 4)
+        )
+        raw = write_netcdf3(
+            dims={"time": 92, "lat": 3, "lon": 4},
+            variables={
+                "time": (["time"], time,
+                         {"units": "days since 2001-06-01", "calendar": "standard"}),
+                "lat": (["lat"], lat, {}),
+                "lon": (["lon"], lon, {}),
+                "tas": (["time", "lat", "lon"], data, {}),
+            },
+            record_dim="time",
+        )
+        (tmp_path / f"{m}.nc").write_bytes(raw)
+
+    ens = Ensemble(load_netcdf(spark, str(tmp_path / "*.nc")))
+    homog = ens.homogenize(
+        bounds=Bounds(lat_bnds=(-10.0, 40.0), lon_bnds=(-1.0, 200.0)),
+        time_granularity="day",
+        lat_res=30.0, lon_res=90.0,
+        scale=1.0, offset=-273.15,  # K -> degC
+    ).select_season("JJA")
+    anom = homog.anomaly(bucket="month")
+
+    # anomaly (kept in `value`) is zero-mean within each (name, month,
+    # cell) group
+    resid = (
+        anom.df.groupBy("name", F.month("time").alias("m"), "lat", "lon")
+        .agg(F.avg("value").alias("mean_anom"))
+        .agg(F.max(F.abs("mean_anom")).alias("worst"))
+        .head()["worst"]
+    )
+    assert resid < 1e-9
+
+    # export the homogenized ensemble and reingest: same grid, same rows
+    out = str(tmp_path / "out_nc")
+    homog.to_netcdf(out).collect()
+    back = load_netcdf(spark, out + "/*.nc")
+    assert back.count() == homog.df.count()
+    # member name is derived from the file name on each ingest, so the
+    # export leg appends another ".nc" — normalize before comparing
+    def base(n: str) -> str:
+        while n.endswith(".nc"):
+            n = n[:-3]
+        return n
+
+    a = sorted(
+        (base(r["name"]), r["time"], r["lat"], r["lon"])
+        for r in homog.df.select("name", "time", "lat", "lon").collect()
+    )
+    b = sorted(
+        (base(r["name"]), r["time"], r["lat"], r["lon"])
+        for r in back.select("name", "time", "lat", "lon").collect()
+    )
+    assert a == b
