@@ -1,4 +1,4 @@
-"""Classic decision-support query shapes (TPC-H Q4/Q5/Q7/Q8/Q10/Q14/Q18/
+"""Classic decision-support query shapes (TPC-H Q2/Q4/Q5/Q7/Q8/Q9/Q10/Q11/Q14/Q16/Q18/
 Q19/Q22), adapted to the fixture schema (no partsupp / commitdate /
 receiptdate / shipmode / phone / container columns).
 
@@ -720,4 +720,246 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# The four partsupp-dependent classics (Q2/Q9/Q11/Q16), adapted: the
+# fixture has no partsupp table, but lineitem's DISTINCT (l_partkey,
+# l_suppkey) pairs are the de-facto part-supplier relation, and a
+# deterministic integer formula stands in for ps_supplycost:
+# cost(p,s) = ((p*31 + s*17) % 1000) / 10.0 — pure BIGINT arithmetic then
+# one IEEE division, bit-identical across engines by construction.
+# ---------------------------------------------------------------------------
+_COST_SQL = "CAST((l_partkey * 31 + l_suppkey * 17) % 1000 AS DOUBLE) / 10.0"
+
+
+def _cost() -> F.Column:
+    return (
+        (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 1000
+    ).cast("double") / 10.0
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — min-cost supplier per part: for SMALL mid-size parts, the
+# supplier offering the lowest synthetic cost (ties → smallest suppkey),
+# enriched with supplier/nation and ranked by account balance.
+# Scale: part filter broadcasts into the pair derivation, the distinct
+# pair aggregate shuffles (partkey, suppkey) only, and the per-part min
+# is a partitioned window — no global sort until the final top-20
+# (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@register(
+    "q_min_cost_supplier",
+    oracle=f"""
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+    SELECT p_partkey, p_brand, l_suppkey,
+           {_COST_SQL} AS cost,
+           ROW_NUMBER() OVER (PARTITION BY p_partkey
+                              ORDER BY {_COST_SQL}, l_suppkey) AS rn
+    FROM pairs JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 25)
+SELECT p_partkey, p_brand, s_name, n_name, cost,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM cand
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY s_acctbal DESC, p_partkey
+LIMIT 20
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pa = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "SMALL")
+            & F.col("p_size").between(10, 25)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .select("p_partkey", "p_brand", "l_partkey", "l_suppkey")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        _cost().asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        pairs.withColumn("cost", _cost())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(su), best.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name", "cost",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — product-type profit by nation and year: profit = revenue
+# minus synthetic supply cost × quantity, for parts matching a name
+# token. Scale: part (filtered) / supplier / nation broadcast; the only
+# fact-fact shuffle is lineitem⋈orders on orderkey; sums are
+# decimal-routed behind map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "q_product_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {dsum_sql(f"l_extendedprice * (1 - l_discount) - ({_COST_SQL}) * l_quantity", "profit")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%blue%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pa = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - _cost() * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — important stock: per-part inventory value (synthetic cost ×
+# quantity) restricted to one region's suppliers, keeping parts whose
+# value exceeds a fraction of the total. Scale: the threshold comes from
+# a window over the |parts|-row AGGREGATE (never the fact table), the
+# same single-scan shape plan-gated for q_data_mixture.
+# ---------------------------------------------------------------------------
+@register(
+    "q_important_stock",
+    oracle=f"""
+WITH v AS (
+    SELECT l_partkey,
+           SUM(CAST(({_COST_SQL}) * l_quantity AS DECIMAL(28,10))) AS val
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('UNITED STATES', 'CANADA', 'BRAZIL')
+    GROUP BY l_partkey)
+SELECT l_partkey,
+       CAST(CAST(val AS VARCHAR) AS DOUBLE) AS stock_value
+FROM v
+WHERE val > 0.001 * (SELECT SUM(val) FROM v)
+ORDER BY stock_value DESC, l_partkey
+LIMIT 25
+""",
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("UNITED STATES", "CANADA", "BRAZIL"))
+        .select("n_nationkey")
+    )
+    v = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum((_cost() * F.col("l_quantity")).cast(DEC)).alias("val"))
+    )
+    w = Window.partitionBy()  # over the per-part aggregate only
+    return (
+        v.withColumn("total", F.sum("val").over(w))
+        .filter(F.col("val") > F.lit(0.001) * F.col("total"))
+        .select(
+            "l_partkey", F.col("val").cast("double").alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), F.col("l_partkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — supplier diversity per part attribute: distinct suppliers
+# able to provide each (brand, type, size-bucket), excluding one brand
+# and a deterministic supplier blocklist. Scale: the pair dedup and the
+# count-distinct both shuffle small key tuples; part broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "q_supplier_cnt",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    WHERE l_suppkey % 10 <> 7)
+SELECT p_brand, p_type, CAST(p_size // 10 AS BIGINT) AS size_bucket,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+GROUP BY p_brand, p_type, size_bucket
+ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+LIMIT 30
+""",
+)
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 10 != 7)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pa = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#9")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.floor(F.col("p_size") / 10).alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket"
+        )
+        .limit(30)
     )
