@@ -1,5 +1,5 @@
-"""Classic decision-support query shapes (TPC-H Q2/Q4/Q5/Q7/Q8/Q9/Q10/Q11/Q14/Q16/Q18/
-Q19/Q22), adapted to the fixture schema (no partsupp / commitdate /
+"""Classic decision-support query shapes (TPC-H Q2/Q4/Q5/Q7/Q8/Q9/Q10/Q11/Q12/Q14/Q16/Q18/
+Q19/Q20/Q22), adapted to the fixture schema (no partsupp / commitdate /
 receiptdate / shipmode / phone / container columns).
 
 These widen SURVEY.md §2.3/§2.4 join+agg coverage with the multi-join
@@ -877,7 +877,7 @@ WITH v AS (
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name IN ('UNITED STATES', 'CANADA', 'BRAZIL')
+    WHERE n_name IN ('NATION_3', 'NATION_6', 'NATION_9')
     GROUP BY l_partkey)
 SELECT l_partkey,
        CAST(CAST(val AS VARCHAR) AS DOUBLE) AS stock_value
@@ -895,7 +895,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     na = (
         table(spark, sf_dir, "nation")
-        .filter(F.col("n_name").isin("UNITED STATES", "CANADA", "BRAZIL"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_6", "NATION_9"))
         .select("n_nationkey")
     )
     v = (
@@ -962,4 +962,107 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket"
         )
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — shipping-class priority split: per line class (returnflag ×
+# linestatus standing in for the absent l_shipmode), count lines from
+# high- vs low-priority orders shipped in one year. Scale: one orderkey
+# shuffle; the CASE split is a map-side conditional aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_shipmode_priority",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_linestatus")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — promotion-candidate suppliers: suppliers who shipped more
+# than a threshold quantity of name-matched parts, listed for one set of
+# nations. The part filter broadcasts into the fact scan, the per
+# (supplier, part) HAVING reduces before the supplier semi join — the
+# original's nested EXISTS chain de-correlated into aggregates+semi.
+# ---------------------------------------------------------------------------
+@register(
+    "q_promo_suppliers",
+    oracle="""
+WITH shipped AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%blue%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 25)
+SELECT s_name, n_name, COUNT(*) AS n_promo_parts
+FROM (SELECT DISTINCT l_suppkey, l_partkey FROM shipped) sp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_6', 'NATION_9')
+GROUP BY s_name, n_name
+ORDER BY n_promo_parts DESC, s_name
+LIMIT 25
+""",
+)
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    pa = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    na = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_6", "NATION_9"))
+        .select("n_nationkey", "n_name")
+    )
+    shipped = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 25)
+    )
+    return (
+        shipped.select("l_suppkey", "l_partkey")
+        .distinct()
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_promo_parts"))
+        .orderBy(F.col("n_promo_parts").desc(), "s_name")
+        .limit(25)
     )
