@@ -624,3 +624,54 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sample_rate"),
         F.least(F.col("n_tokens"), target).alias("alloc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4h2 — fixed-size per-stratum sampling (reservoir semantics, made
+# deterministic): exactly k documents per language, selected by md5 rank
+# with doc_id tiebreak. Unlike the rate-based q_hash_sample this
+# guarantees the sample SIZE — the shape used to fill a fixed token
+# budget per language/domain in a training mix.
+#
+# Scale (100 TB): one shuffle on the stratum key, per-stratum window
+# over md5 order (strata are language buckets — thousands at most, each
+# internally parallel after AQE skew-split; for pathological single-hot
+# strata the two-phase top-k in operators/totalorder.py is the escape
+# hatch). The md5 rank makes the sample invariant to partitioning,
+# file order, and cluster size — re-runs on different layouts pick the
+# SAME documents, which is what makes holdout reproducible.
+# ---------------------------------------------------------------------------
+@register(
+    "q_reservoir_sample",
+    oracle="""
+WITH ranked AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM ranked WHERE rn <= 40
+GROUP BY lang
+""",
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sample_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
