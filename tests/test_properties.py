@@ -409,3 +409,35 @@ def test_lsh_recall_vs_exact_jaccard(spark, seed):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
     false_hits = got & far_pairs
     assert len(false_hits) <= 1, f"too many far-pair candidates: {false_hits}"
+
+
+def test_reservoir_sample_is_partition_invariant(spark):
+    """q_reservoir_sample's md5-rank selection must pick the SAME
+    documents regardless of physical layout — the property that makes
+    holdouts reproducible when the corpus is rewritten/re-partitioned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from bcdp_spark.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents").select("lang", "doc_id")
+    rank_key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id"))
+
+    def pick(df):
+        return sorted(
+            map(
+                tuple,
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 40)
+                .select("lang", "doc_id")
+                .collect(),
+            )
+        )
+
+    assert (
+        pick(docs.repartition(1))
+        == pick(docs.repartition(16, "doc_id"))
+        == pick(docs.orderBy(F.col("doc_id").desc()))
+    )
