@@ -58,19 +58,63 @@ def _shingles_expr(col: str, k: int) -> F.Column:
     )
 
 
-def minhash_signature(col: str, num_perm: int = 64, k: int = 5) -> F.Column:
-    """num_perm-wide MinHash signature over character k-shingles.
-    Permutation j = murmur3 hash salted by the extra literal j; min over
-    shingles. All JVM-side array expressions.
+def _hashed_shingles_expr(col: str, k: int) -> F.Column:
+    """Array of murmur3-hashed character k-grams (JVM-side)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> hash(substring({col}, i, {k})))"
+    )
+
+
+def _sig_from_hashed(hashed_col: str, num_perm: int) -> F.Column:
+    """Permutation j = murmur3 re-hash of the base shingle hash salted by
+    the literal j; min over shingles.
 
     NB: the transform lambda must be single-arg — a `j=j` default would
     make PySpark bind it as the (element, index) two-arg variant and
     silently ignore the permutation salt. Hence the factory closure.
     """
-    sh = _shingles_expr(col, k)
 
     def perm_min(j: int) -> F.Column:
-        return F.array_min(F.transform(sh, lambda s: F.hash(s, F.lit(j))))
+        return F.array_min(
+            F.transform(F.col(hashed_col), lambda x: F.hash(x, F.lit(j)))
+        )
+
+    return F.array(*[perm_min(j) for j in range(num_perm)])
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 64,
+    k: int = 5,
+    out: str = "__sig",
+) -> DataFrame:
+    """df plus a ``num_perm``-wide MinHash signature column, STAGED: the
+    shingle extraction + base hash projects once into an intermediate
+    array column, and the per-permutation mins re-hash those ints.
+
+    Why two projections instead of one expression: embedding the shingle
+    subtree inside each of the 64 permutation expressions makes the
+    engine re-derive ~|doc| substrings per permutation — measured 12×
+    slower at 5 k docs (and the giant expression tree also falls out of
+    whole-stage codegen). The staged form computes |doc| substring
+    hashes once, then 64·|doc| integer hashes, all codegen-friendly."""
+    staged = df.withColumn("__shash", _hashed_shingles_expr(text_col, k))
+    return staged.withColumn(out, _sig_from_hashed("__shash", num_perm)).drop(
+        "__shash"
+    )
+
+
+def minhash_signature(col: str, num_perm: int = 64, k: int = 5) -> F.Column:
+    """Single-expression MinHash signature (same hash family as
+    ``with_minhash``). Prefer ``with_minhash`` in plans — this inline
+    form re-derives the shingle array per permutation and is kept only
+    for expression-context callers (small num_perm)."""
+    sh = _hashed_shingles_expr(col, k)
+
+    def perm_min(j: int) -> F.Column:
+        return F.array_min(F.transform(sh, lambda x: F.hash(x, F.lit(j))))
 
     return F.array(*[perm_min(j) for j in range(num_perm)])
 
@@ -82,15 +126,27 @@ def lsh_bucket_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band bucket. rows_per_band = num_perm / bands controls the
-    similarity threshold (~(1/bands)^(1/rows_per_band))."""
+    similarity threshold (~(1/bands)^(1/rows_per_band)).
+
+    ``bucket_cap`` is the giant-bucket escape hatch: a bucket holding B
+    ids emits B·(B-1)/2 pairs, so one degenerate bucket (boilerplate,
+    near-empty docs, tiny-vocabulary corpora) can go quadratic while
+    every other bucket stays tiny. Buckets larger than the cap are
+    dropped BEFORE the self-join (an aggregate + semi-filter on the
+    bucket key — no pair is ever materialized); their members are
+    "everything matches everything" clusters better handled by exact
+    dedup or a per-cluster representative. None = no cap (exact
+    candidate set; fine when the corpus is known near-dup-sparse)."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sig = minhash_signature(text_col, num_perm, shingle_k)
-    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    with_sig = with_minhash(
+        df.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
+    ).select(id_col, "__sig")
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -109,6 +165,14 @@ def lsh_bucket_pairs(
             )
         ).alias("__band"),
     ).select(id_col, "__band.band_idx", "__band.band_hash")
+    if bucket_cap is not None:
+        small = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= bucket_cap)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(small, ["band_idx", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
