@@ -196,11 +196,15 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Greedy near-dedup: drop any doc that shares a band bucket with a
     smaller-id doc (single-pass min-id propagation; a full transitive
-    closure would iterate bucket→min until fixpoint)."""
-    pairs = lsh_bucket_pairs(df, text_col, id_col, num_perm, bands, shingle_k)
+    closure would iterate bucket→min until fixpoint). ``bucket_cap``
+    passes through to the candidate generation (see lsh_bucket_pairs)."""
+    pairs = lsh_bucket_pairs(
+        df, text_col, id_col, num_perm, bands, shingle_k, bucket_cap
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -100,6 +100,11 @@ _PRIORITY = (
     "q_cube", "q_grouping_sets", "q_tfidf", "q_lang_id", "q_quality_score",
     "q_fingerprint", "q_heavy_hitters", "q_interp", "q_moving_median",
     "q_locf", "q_gap_fill",
+    # (e) round-2 flagship additions (graded next if the cap allows)
+    "q_semantic_dedup", "q_quality_classifier", "q_data_mixture",
+    "q_reservoir_sample", "q_product_profit", "q_min_cost_supplier",
+    "q_important_stock", "q_supplier_cnt", "q_shipmode_priority",
+    "q_promo_suppliers", "q_contamination", "q_model_metrics",
 )
 
 
