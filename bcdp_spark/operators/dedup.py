@@ -166,13 +166,17 @@ def lsh_bucket_pairs(
         ).alias("__band"),
     ).select(id_col, "__band.band_idx", "__band.band_hash")
     if bucket_cap is not None:
-        small = (
-            banded.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__n"))
+        # windowed count over the bucket key: one pass, one shuffle —
+        # an aggregate + semi-join back would recompute the (expensive)
+        # signature lineage a second time
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(wb))
             .filter(F.col("__n") <= bucket_cap)
-            .select("band_idx", "band_hash")
+            .drop("__n")
         )
-        banded = banded.join(small, ["band_idx", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
