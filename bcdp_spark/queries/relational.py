@@ -550,16 +550,12 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    # Explicit hash repartition on the window key: satisfies the window's
-    # required distribution (no second shuffle) and pins parallelism — AQE
-    # would otherwise coalesce this small shuffle to 1 partition and sort
-    # serially; at 100 TB the same explicit key distribution is what you
-    # want for per-group windows. Half the cores measured fastest locally
-    # (per-task overhead vs parallelism tradeoff at this row count).
-    n_part = max(2, spark.sparkContext.defaultParallelism // 2)
+    # No explicit repartition: the window's required distribution inserts
+    # exactly one hashpartitioning(o_custkey) exchange and AQE sizes the
+    # reducer count — scale-safe at 100 TB and fastest locally (a pinned
+    # numeric repartition was a 3.55x regression in round 2's driver run).
     return (
         table(spark, sf_dir, "orders")
-        .repartition(n_part, "o_custkey")
         .select(
             "o_custkey",
             "o_orderkey",

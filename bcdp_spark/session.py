@@ -30,12 +30,6 @@ def get_spark(app_name: str = "bcdp_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # honor the advisory partition size when coalescing instead of
-        # keeping max parallelism: small shuffles collapse to few reducers
-        # (measured ~2x on the tiny-SF bench); at scale the advisory size
-        # (64 MB default) keeps reducers right-sized rather than pinned to
-        # the static shuffle-partition count
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
