@@ -358,11 +358,12 @@ FROM (
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     ev = table(spark, sf_dir, "events")
-    total = ev.count()
-    per_type = ev.groupBy("event_type").agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p")
-    )
-    return per_type.agg(
+    # Window-over-aggregate: the global total comes from SUM(n) OVER ()
+    # on the |event_types|-row aggregate — one scan of events, no action
+    # at plan-build time (a prior eager ev.count() here scanned twice).
+    per_type = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    p = (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias("p")
+    return per_type.select(p).agg(
         F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy_nats"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )

@@ -49,9 +49,43 @@ def test_window_topk_single_shuffle(spark):
     from bcdp_spark.plans import count_exchanges
 
     df = q.queries()["q_window_topk"](spark, SF_ORACLE)
-    # explicit repartition satisfies the window's distribution: exactly one
-    # hash exchange, no second shuffle for the sort
+    # the window's required distribution inserts exactly one hash
+    # exchange; no second shuffle for the sort
     assert count_exchanges(df) == 1
+
+
+def test_entropy_builds_without_jobs(spark):
+    """q_entropy must be lazy: constructing the DataFrame schedules zero
+    Spark jobs (a prior version called .count() eagerly, scanning events
+    twice per invocation)."""
+    import bcdp_spark.queries as q
+
+    from bcdp_spark.tables import table
+
+    sc = spark.sparkContext
+    # Baseline: a bare scan build (spark.read.parquet footer inference may
+    # itself schedule a tiny job; that is not an eager action).
+    sc.setJobGroup("entropy-gate-baseline", "bare events scan build")
+    try:
+        table(spark, SF_ORACLE, "events").select("event_type")
+    finally:
+        sc.setJobGroup("", "")
+    baseline = len(sc.statusTracker().getJobIdsForGroup("entropy-gate-baseline"))
+
+    sc.setJobGroup("entropy-build-gate", "q_entropy plan construction")
+    try:
+        df = q.queries()["q_entropy"](spark, SF_ORACLE)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("entropy-build-gate")
+    assert len(jobs) <= baseline, (
+        f"building q_entropy ran {len(jobs)} jobs vs {baseline} for a bare "
+        f"scan — an eager action is hiding in the callable"
+    )
+    # and the plan scans events exactly once (window-over-aggregate total)
+    from bcdp_spark.plans import physical_plan
+
+    assert physical_plan(df).count("FileScan") == 1
 
 
 def test_bucketed_join_is_shuffle_free(spark):
