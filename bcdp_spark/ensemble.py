@@ -26,20 +26,27 @@ SEASONS = {
 
 
 class Bounds:
-    """Spatio-temporal bounding box (ref: bcdp/utils.py Bounds)."""
+    """Spatio-temporal bounding box (ref: bcdp/utils.py Bounds), with an
+    optional vertical (lev) range for 4-D pressure/height-level data."""
 
     def __init__(
         self,
         lat_bnds: tuple[float, float] | None = None,
         lon_bnds: tuple[float, float] | None = None,
         time_bnds: tuple[str, str] | None = None,
+        lev_bnds: tuple[float, float] | None = None,
     ):
         self.lat_bnds = lat_bnds
         self.lon_bnds = lon_bnds
         self.time_bnds = time_bnds
+        self.lev_bnds = lev_bnds
 
     def predicate(
-        self, lat: str = "lat", lon: str = "lon", time: str = "time"
+        self,
+        lat: str = "lat",
+        lon: str = "lon",
+        time: str = "time",
+        lev: str | None = None,
     ) -> Column:
         p = F.lit(True)
         if self.lat_bnds:
@@ -53,6 +60,13 @@ class Bounds:
                 & (F.col(time) >= F.lit(lo).cast("timestamp"))
                 & (F.col(time) <= F.lit(hi).cast("timestamp"))
             )
+        if self.lev_bnds:
+            if lev is None:
+                raise ValueError(
+                    "lev_bnds given but the data has no lev column "
+                    "(4-D long form only)"
+                )
+            p = p & F.col(lev).between(*self.lev_bnds)
         return p
 
 
@@ -78,6 +92,16 @@ class Ensemble:
             df, self.name_col, self.time_col, self.value_col, self.space_cols
         )
 
+    def _latlon(self) -> tuple[str, str]:
+        """Horizontal coordinate columns by NAME (a 4-D ensemble's
+        space_cols may be ("lev", "lat", "lon") — position is not
+        enough), falling back to the first two space cols."""
+        named = [c for c in self.space_cols if c in ("lat", "lon")]
+        if len(named) == 2:
+            return named[0], named[1]
+        pair = (self.space_cols + ("lat", "lon"))[:2]
+        return pair[0], pair[1]
+
     # -- construction -------------------------------------------------
     @classmethod
     def from_members(
@@ -95,11 +119,13 @@ class Ensemble:
 
     # -- reference verbs ----------------------------------------------
     def subset(self, bounds: Bounds) -> "Ensemble":
-        """Spatio-temporal subset (P2+P3). Conjunctive range predicates —
-        pushed down to the parquet scan by Catalyst."""
-        lat, lon = (self.space_cols + ("lat", "lon"))[:2]
+        """Spatio-temporal(-vertical) subset (P2+P3). Conjunctive range
+        predicates — pushed down to the parquet scan by Catalyst. A lev
+        range applies when the long form carries a lev column (4-D)."""
+        lat, lon = self._latlon()
+        lev = "lev" if "lev" in self.df.columns else None
         return self._with(
-            self.df.filter(bounds.predicate(lat, lon, self.time_col))
+            self.df.filter(bounds.predicate(lat, lon, self.time_col, lev))
         )
 
     def select_season(self, season: str) -> "Ensemble":
@@ -135,7 +161,12 @@ class Ensemble:
         variant is operators/regrid.py:regrid_weighted."""
         from bcdp_spark.operators.regrid import regrid_bin_average
 
-        lat, lon = (self.space_cols + ("lat", "lon"))[:2]
+        lat, lon = self._latlon()
+        # any vertical coordinate stays a grouping key: regridding is
+        # horizontal, levels never mix
+        extra = [self.name_col, self.time_col] + [
+            c for c in self.space_cols if c not in (lat, lon)
+        ]
         out = regrid_bin_average(
             self.df,
             lat_col=lat,
@@ -143,7 +174,7 @@ class Ensemble:
             value_col=self.value_col,
             lat_res=lat_res,
             lon_res=lon_res,
-            extra_keys=[self.name_col, self.time_col],
+            extra_keys=extra,
         )
         return self._with(out)
 

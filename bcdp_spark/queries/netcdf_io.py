@@ -115,3 +115,106 @@ def q_netcdf_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 (4-D): pressure-level variable (time, lev, lat, lon) — the CMIP/
+# CORDEX ta/ua/zg shape. Certifies the lev-column long form end-to-end.
+# ---------------------------------------------------------------------------
+_FIX4_DIR = "/tmp/bcdp_spark_nc4d_fixture_v1"
+_L_T, _L_L, _L_A, _L_O = 30, 3, 4, 6  # days, levels, lats, lons
+_LEVS = (850.0, 500.0, 250.0)
+
+
+def _ensure_fixture_4d() -> str:
+    """Write the 4-D (time, lev, lat, lon) .nc fixture once."""
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    done = os.path.join(_FIX4_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIX4_DIR
+    os.makedirs(_FIX4_DIR, exist_ok=True)
+    lats = np.array([-60.0, -20.0, 20.0, 60.0])
+    lons = np.arange(_L_O) * 60.0
+    time = np.arange(_L_T, dtype=np.float64)
+    t = np.arange(_L_T)[:, None, None, None]
+    l = np.arange(_L_L)[None, :, None, None]
+    a = np.arange(_L_A)[None, None, :, None]
+    o = np.arange(_L_O)[None, None, None, :]
+    data = 0.25 * (t * 1000 + l * 100 + a * 10 + o)
+    data = np.where((t + l + a + o) % 13 == 0, -999.0, data)
+    raw = write_netcdf3(
+        dims={"time": _L_T, "lev": _L_L, "lat": _L_A, "lon": _L_O},
+        variables={
+            "time": (
+                ["time"],
+                time,
+                {"units": "days since 2001-01-01", "calendar": "standard"},
+            ),
+            "lev": (["lev"], np.array(_LEVS), {"units": "hPa"}),
+            "lat": (["lat"], lats, {}),
+            "lon": (["lon"], lons, {}),
+            "ta": (
+                ["time", "lev", "lat", "lon"],
+                data,
+                {"_FillValue": -999.0},
+            ),
+        },
+        record_dim="time",
+    )
+    tmp = os.path.join(_FIX4_DIR, ".member0.nc.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, os.path.join(_FIX4_DIR, "member0.nc"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIX4_DIR
+
+
+@register(
+    "q_netcdf_lev_climatology",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, l.g AS l, a.g AS a, o.g AS o,
+         DATE '2001-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + l.g + a.g + o.g) % 13 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 1000 + l.g * 100 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, {_L_T - 1}) t(g),
+       generate_series(0, {_L_L - 1}) l(g),
+       generate_series(0, {_L_A - 1}) a(g),
+       generate_series(0, {_L_O - 1}) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE l WHEN 0 THEN 850.0 WHEN 1 THEN 500.0 ELSE 250.0 END AS lev,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE l <= 1
+GROUP BY 1, 2
+""",
+)
+def q_netcdf_lev_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 4-D end-to-end: real .nc bytes with a lev axis → distributed
+    decode (6-column long form) → Ensemble lev-range subset → monthly
+    per-level climatology. ``sf_dir`` unused (synthetic decode fixture)."""
+    from bcdp_spark.ensemble import Bounds, Ensemble
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    utc(spark)
+    fix = _ensure_fixture_4d()
+    df = load_netcdf(spark, os.path.join(fix, "*.nc"))
+    ens = Ensemble(df, space_cols=("lev", "lat", "lon"))
+    # keep the two lower levels (850/500 hPa) via the Bounds lev range
+    sub = ens.subset(Bounds(lev_bnds=(400.0, 900.0))).df
+    return sub.groupBy(
+        F.month("time").cast("int").alias("month"), "lev"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

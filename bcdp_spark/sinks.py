@@ -95,38 +95,57 @@ def to_netcdf(
         from bcdp_spark.sources.netcdf3 import write_netcdf3
 
         member = str(pdf[by].iloc[0])
+        has_lev = "lev" in pdf.columns
         times = np.sort(pdf["time"].unique())
         lats = np.sort(pdf["lat"].unique())
         lons = np.sort(pdf["lon"].unique())
         t_idx = {v: i for i, v in enumerate(times)}
         a_idx = {v: i for i, v in enumerate(lats)}
         o_idx = {v: i for i, v in enumerate(lons)}
-        grid = np.full((len(times), len(lats), len(lons)), fill_value)
         vals = pdf[var_name].to_numpy(dtype=float)
         ti = pdf["time"].map(t_idx).to_numpy()
         ai = pdf["lat"].map(a_idx).to_numpy()
         oi = pdf["lon"].map(o_idx).to_numpy()
         ok = ~np.isnan(vals)
-        grid[ti[ok], ai[ok], oi[ok]] = vals[ok]
         epoch = pd.Timestamp("1970-01-01")
         tnum = (
             (pd.DatetimeIndex(times) - epoch) / pd.Timedelta(seconds=1)
         ).to_numpy()
+        coord_vars = {
+            "time": (
+                ["time"],
+                tnum,
+                {"units": "seconds since 1970-01-01", "calendar": "standard"},
+            ),
+            "lat": (["lat"], np.asarray(lats, dtype=float), {}),
+            "lon": (["lon"], np.asarray(lons, dtype=float), {}),
+        }
+        if has_lev:
+            levs = np.sort(pdf["lev"].unique())
+            l_idx = {v: i for i, v in enumerate(levs)}
+            li = pdf["lev"].map(l_idx).to_numpy()
+            grid = np.full(
+                (len(times), len(levs), len(lats), len(lons)), fill_value
+            )
+            grid[ti[ok], li[ok], ai[ok], oi[ok]] = vals[ok]
+            coord_vars["lev"] = (["lev"], np.asarray(levs, dtype=float), {})
+            dims = {
+                "time": len(times),
+                "lev": len(levs),
+                "lat": len(lats),
+                "lon": len(lons),
+            }
+            var_dims = ["time", "lev", "lat", "lon"]
+        else:
+            grid = np.full((len(times), len(lats), len(lons)), fill_value)
+            grid[ti[ok], ai[ok], oi[ok]] = vals[ok]
+            dims = {"time": len(times), "lat": len(lats), "lon": len(lons)}
+            var_dims = ["time", "lat", "lon"]
         raw = write_netcdf3(
-            dims={"time": len(times), "lat": len(lats), "lon": len(lons)},
+            dims=dims,
             variables={
-                "time": (
-                    ["time"],
-                    tnum,
-                    {"units": "seconds since 1970-01-01", "calendar": "standard"},
-                ),
-                "lat": (["lat"], np.asarray(lats, dtype=float), {}),
-                "lon": (["lon"], np.asarray(lons, dtype=float), {}),
-                var_name: (
-                    ["time", "lat", "lon"],
-                    grid,
-                    {"_FillValue": fill_value},
-                ),
+                **coord_vars,
+                var_name: (var_dims, grid, {"_FillValue": fill_value}),
             },
             record_dim="time",
         )

@@ -43,16 +43,69 @@ LONG_FORM_SCHEMA = T.StructType(
     ]
 )
 
+# 4-D variables (time, lev, lat, lon) — pressure/height/depth-level data
+# (CMIP/CORDEX ta/ua/zg …) — add one `lev` coordinate column.
+LONG_FORM_SCHEMA_4D = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("lev", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _var_ndim(fpath: str, var: str | None) -> int:
+    """Header-only peek at the FIRST manifest file to fix the output
+    schema (3-D vs 4-D long form) before the distributed decode. Costs a
+    few KB of I/O regardless of file size (netcdf3.read_header grows its
+    read window until the header parses); HDF5 files fall back to
+    netCDF4 when importable."""
+    with open(fpath, "rb") as fh:
+        head = fh.read(4)
+        if head[:3] == b"CDF":
+            from bcdp_spark.sources.netcdf3 import read_header
+
+            nc = read_header(fh)
+            picked = _pick_var(
+                {k: len(v.shape) for k, v in nc.variables.items()},
+                set(nc.dims),
+                var,
+            )
+            return len(nc.variables[picked].shape)
+    try:
+        import netCDF4  # type: ignore
+    except ImportError:
+        raise NotImplementedError(
+            f"{fpath}: NetCDF-4/HDF5 decode requires netCDF4 (not in this "
+            "container); classic-format files decode without it"
+        ) from None
+    ds = netCDF4.Dataset(fpath)
+    try:
+        picked = _pick_var(
+            {k: v.ndim for k, v in ds.variables.items()}, set(ds.dimensions), var
+        )
+        return ds.variables[picked].ndim
+    finally:
+        ds.close()
+
 
 def load_netcdf(
     spark: SparkSession, path: str, var: str | None = None, **_options
 ) -> DataFrame:
     """Glob NetCDF files and decode each to long-form rows, in parallel
     over the manifest (one task per file — the multi-file concat the
-    reference does with open_mfdataset)."""
+    reference does with open_mfdataset). A 4-D (time, lev, lat, lon)
+    variable — selected explicitly or auto-picked when no 3-D data
+    variable exists — emits the 6-column long form with a `lev` column;
+    the schema is fixed by a header-only peek at the first file."""
     files = sorted(_glob.glob(path))
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
+    ndim = _var_ndim(files[0], var)
+    schema = LONG_FORM_SCHEMA_4D if ndim == 4 else LONG_FORM_SCHEMA
     manifest = spark.createDataFrame(
         [(f,) for f in files], schema="path string"
     ).repartition(len(files))
@@ -62,7 +115,7 @@ def load_netcdf(
             for fpath in pdf["path"]:
                 yield _decode_one(fpath, var)
 
-    return manifest.mapInPandas(decode, schema=LONG_FORM_SCHEMA)
+    return manifest.mapInPandas(decode, schema=schema)
 
 
 def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
@@ -87,17 +140,18 @@ def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
 def _pick_var(names_ndim: dict[str, int], dims: set[str], var: str | None) -> str:
     if var is not None:
         return var
-    # exactly 3-D (time, lat, lon) data variables only: 4-D (lev) data
-    # must be selected explicitly (its flattening needs a lev column)
-    candidates = [
-        k for k, nd in names_ndim.items() if nd == 3 and k not in dims
-    ]
-    if not candidates:
-        raise ValueError(
-            "no 3-D (time, lat, lon) data variable found; pass var= "
-            f"explicitly (variables: {sorted(names_ndim)})"
-        )
-    return candidates[0]
+    # prefer 3-D (time, lat, lon) data variables; fall back to 4-D
+    # (time, lev, lat, lon), which flattens with a lev column
+    for nd in (3, 4):
+        candidates = [
+            k for k, n in names_ndim.items() if n == nd and k not in dims
+        ]
+        if candidates:
+            return candidates[0]
+    raise ValueError(
+        "no 3-D (time, lat, lon) or 4-D (time, lev, lat, lon) data "
+        f"variable found; pass var= explicitly (variables: {sorted(names_ndim)})"
+    )
 
 
 def _long_form(
@@ -106,7 +160,30 @@ def _long_form(
     lats: np.ndarray,
     lons: np.ndarray,
     data: np.ndarray,
+    levs: np.ndarray | None = None,
 ) -> pd.DataFrame:
+    """Flatten a (time, lat, lon) or — when ``levs`` is given — a
+    (time, lev, lat, lon) grid to long-form rows."""
+    if levs is not None:
+        if data.shape != (len(times), len(levs), len(lats), len(lons)):
+            raise ValueError(
+                f"variable shape {data.shape} does not match "
+                f"(time={len(times)}, lev={len(levs)}, lat={len(lats)}, "
+                f"lon={len(lons)})"
+            )
+        tt, lv, la, lo = np.meshgrid(
+            np.arange(len(times)), levs, lats, lons, indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "name": fname,
+                "time": times[tt.ravel()],
+                "lev": lv.ravel(),
+                "lat": la.ravel(),
+                "lon": lo.ravel(),
+                "value": data.ravel(),
+            }
+        )
     if data.shape != (len(times), len(lats), len(lons)):
         raise ValueError(
             f"variable shape {data.shape} does not match "
@@ -162,7 +239,21 @@ def _decode_classic(fpath: str, var: str | None) -> pd.DataFrame:
     lats = np.asarray(nc.variables["lat"].data, dtype=float)
     lons = np.asarray(nc.variables["lon"].data, dtype=float)
     data = _apply_fill(v.data, v.attrs)
-    return _long_form(fpath.rsplit("/", 1)[-1], times, lats, lons, data)
+    levs = None
+    if len(v.shape) == 4:
+        # CF order (time, lev, lat, lon): dim index 1 is the level axis;
+        # its coordinate variable (same name) supplies the values, else
+        # plain level indices
+        dim_names = list(nc.dims)
+        lev_name = dim_names[v.dimids[1]]
+        levs = (
+            np.asarray(nc.variables[lev_name].data, dtype=float)
+            if lev_name in nc.variables
+            else np.arange(v.shape[1], dtype=float)
+        )
+    return _long_form(
+        fpath.rsplit("/", 1)[-1], times, lats, lons, data, levs
+    )
 
 
 def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
@@ -190,6 +281,16 @@ def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
         lats = np.asarray(ds.variables["lat"][:], dtype=float)
         lons = np.asarray(ds.variables["lon"][:], dtype=float)
         data = np.ma.filled(v[:], np.nan).astype(float)
-        return _long_form(fpath.rsplit("/", 1)[-1], times, lats, lons, data)
+        levs = None
+        if v.ndim == 4:
+            lev_name = v.dimensions[1]
+            levs = (
+                np.asarray(ds.variables[lev_name][:], dtype=float)
+                if lev_name in ds.variables
+                else np.arange(v.shape[1], dtype=float)
+            )
+        return _long_form(
+            fpath.rsplit("/", 1)[-1], times, lats, lons, data, levs
+        )
     finally:
         ds.close()

@@ -249,23 +249,92 @@ def test_load_netcdf_360day_axis(spark, tmp_path):
     assert [r["d"] for r in rows] == ["2000-02-28", "2000-02-29", "2000-03-01"]
 
 
-def test_load_netcdf_4d_requires_explicit_var(spark, tmp_path):
-    from bcdp_spark.sources.netcdf import load_netcdf
+def _write_4d_fixture(tmp_path, n_t=3, levs=(850.0, 500.0), fill_at=None):
     from bcdp_spark.sources.netcdf3 import write_netcdf3
 
+    n_l, n_a, n_o = len(levs), 2, 3
+    t = np.arange(n_t)[:, None, None, None]
+    l = np.arange(n_l)[None, :, None, None]
+    a = np.arange(n_a)[None, None, :, None]
+    o = np.arange(n_o)[None, None, None, :]
+    data = 1.0 * (t * 1000 + l * 100 + a * 10 + o)
+    if fill_at is not None:
+        data = np.where((t + l + a + o) % fill_at == 0, -999.0, data)
     raw = write_netcdf3(
-        dims={"time": 2, "lev": 2, "lat": 1, "lon": 1},
+        dims={"time": n_t, "lev": n_l, "lat": n_a, "lon": n_o},
         variables={
-            "time": (["time"], np.arange(2.0), {"units": "days since 2000-01-01"}),
-            "lat": (["lat"], np.zeros(1), {}),
-            "lon": (["lon"], np.zeros(1), {}),
-            "ta4": (["time", "lev", "lat", "lon"], np.ones((2, 2, 1, 1)), {}),
+            "time": (
+                ["time"],
+                np.arange(float(n_t)),
+                {"units": "days since 2000-01-01"},
+            ),
+            "lev": (["lev"], np.array(levs), {"units": "hPa"}),
+            "lat": (["lat"], np.array([0.0, 10.0]), {}),
+            "lon": (["lon"], np.array([0.0, 5.0, 10.0]), {}),
+            "ta4": (
+                ["time", "lev", "lat", "lon"],
+                data,
+                {"_FillValue": -999.0},
+            ),
         },
         record_dim="time",
     )
-    (tmp_path / "m.nc").write_bytes(raw)
-    with pytest.raises(Exception, match="3-D|explicit"):
-        load_netcdf(spark, str(tmp_path / "*.nc")).collect()
+    (tmp_path / "m4.nc").write_bytes(raw)
+    return data
+
+
+def test_load_netcdf_4d_emits_lev_column(spark, tmp_path):
+    """A 4-D (time, lev, lat, lon) variable decodes to the 6-column long
+    form — auto-picked when no 3-D data variable exists."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    data = _write_4d_fixture(tmp_path)
+    df = load_netcdf(spark, str(tmp_path / "*.nc"))
+    assert df.columns == ["name", "time", "lev", "lat", "lon", "value"]
+    rows = df.orderBy("time", "lev", "lat", "lon").collect()
+    assert len(rows) == data.size
+    # lev carries the coordinate VALUES (not indices): ascending sort puts
+    # 500 hPa (file index l=1 → value offset 100) first
+    assert rows[0]["lev"] == 500.0 and rows[0]["value"] == 100.0
+    # lev=500 (l=1), lat idx 1, lon idx 2, t=2 → 2*1000+1*100+1*10+2
+    assert any(
+        r["lev"] == 500.0 and r["value"] == 2112.0 for r in rows
+    )
+
+
+def test_ensemble_lev_subset_and_4d_roundtrip(spark, tmp_path):
+    """Bounds(lev_bnds=…) filters the vertical axis; to_netcdf writes the
+    4-D grid back and load_netcdf reingests it identically."""
+    from bcdp_spark.ensemble import Bounds, Ensemble
+    from bcdp_spark.sinks import to_netcdf
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    _write_4d_fixture(tmp_path, fill_at=7)
+    df = load_netcdf(spark, str(tmp_path / "*.nc"))
+    ens = Ensemble(df, space_cols=("lev", "lat", "lon"))
+    only_850 = ens.subset(Bounds(lev_bnds=(600.0, 900.0))).df
+    assert only_850.select("lev").distinct().collect()[0]["lev"] == 850.0
+    assert only_850.count() == 3 * 1 * 2 * 3
+
+    out = tmp_path / "export4d"
+    manifest = to_netcdf(df, str(out), by="name").collect()
+    assert len(manifest) == 1
+    back = load_netcdf(spark, str(out / "*.nc"))
+    cols = ["time", "lev", "lat", "lon", "value"]
+    a = [tuple(r) for r in df.select(*cols).orderBy(*cols[:4]).collect()]
+    b = [tuple(r) for r in back.select(*cols).orderBy(*cols[:4]).collect()]
+    assert a == b
+
+
+def test_bounds_lev_without_lev_column_raises(spark):
+    from bcdp_spark.ensemble import Bounds, Ensemble
+
+    df = spark.createDataFrame(
+        [("m", None, 0.0, 0.0, 1.0)],
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    with pytest.raises(ValueError, match="lev"):
+        Ensemble(df).subset(Bounds(lev_bnds=(1.0, 2.0)))
 
 
 def test_to_netcdf_export_roundtrip(spark, tmp_path):
