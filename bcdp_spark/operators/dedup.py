@@ -323,15 +323,33 @@ def embedding_near_dup(
     threshold: float = 0.95,
     nbits: int = 16,
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH blocking (docs in
     the same nbits-bucket are candidates) + exact cosine filter. See
-    operators/similarity.py for the shared hyperplane machinery."""
+    operators/similarity.py for the shared hyperplane machinery.
+
+    ``bucket_cap`` is the same giant-bucket defense as
+    ``lsh_bucket_pairs``: a degenerate bucket (all-zero embeddings, a
+    template vector repeated across the corpus) holding B vectors emits
+    B·(B-1)/2 candidate pairs. Buckets over the cap are dropped before
+    the self-join via one windowed count — their members are
+    everything-matches-everything clusters better handled by exact
+    dedup on the raw vector bytes."""
     from bcdp_spark.operators.similarity import hyperplane_bucket, cosine_expr
 
     h = df.select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, dim, nbits, seed).alias("__b")
     )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("__b")
+        h = (
+            h.withColumn("__n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__n") <= bucket_cap)
+            .drop("__n")
+        )
     a, b = h.alias("a"), h.alias("b")
     cand = a.join(
         b,

@@ -530,3 +530,27 @@ def test_ivf_assign_df_matches_literal_assign(spark):
     assert a == b
     # every vector sits in its own label's cell (well-separated fixture)
     assert all(b[i] == i % 3 for i in range(30))
+
+
+def test_embedding_near_dup_bucket_cap_drops_degenerate_bucket(spark):
+    """The giant-bucket cap: a template vector repeated B times emits
+    B*(B-1)/2 pairs uncapped; with bucket_cap below B the degenerate
+    bucket is dropped BEFORE the self-join while distinct-vector pairs
+    elsewhere survive."""
+    from bcdp_spark.operators.dedup import embedding_near_dup
+
+    template = [1.0, 0.0, 0.0, 0.0]
+    near_a = [0.0, 1.0, 0.0, 0.001]
+    near_b = [0.0, 1.0, 0.0, 0.002]
+    rows = [(i, template) for i in range(20)] + [(100, near_a), (101, near_b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = embedding_near_dup(df, "vec_id", "embedding", 4, threshold=0.99)
+    n_un = uncapped.count()
+    assert n_un == 20 * 19 // 2 + 1  # template clique + the near pair
+
+    capped = embedding_near_dup(
+        df, "vec_id", "embedding", 4, threshold=0.99, bucket_cap=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
