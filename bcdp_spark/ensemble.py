@@ -117,6 +117,72 @@ class Ensemble:
             out = out.unionByName(t)
         return cls(out, name_col=name_col, **kw)
 
+    @classmethod
+    def from_xarray(
+        cls,
+        spark,
+        obj,
+        value_col: str = "value",
+        name_col: str = "name",
+        default_name: str = "member0",
+        **kw,
+    ) -> "Ensemble":
+        """Build an Ensemble from an xarray Dataset/DataArray (reference
+        S2: ``bcdp.load_dataset`` wraps a live xarray object).
+
+        Duck-typed on ``to_dataframe()`` — no xarray import here, so the
+        adapter works with any object exposing the xarray pandas bridge
+        (and stays testable where xarray isn't installed). Dims beyond
+        (time, lev, lat, lon) ride along as extra columns. This is the
+        DRIVER-SIDE entry (an in-memory object by definition); file-backed
+        data goes through load_netcdf's distributed decode instead.
+        """
+        data_vars = getattr(obj, "data_vars", None)
+        if data_vars is not None:  # Dataset: one member per data variable
+            frames = []
+            for vname in data_vars:
+                pdf = obj[vname].to_dataframe(name=value_col).reset_index()
+                pdf[name_col] = str(vname)
+                frames.append(pdf)
+            import pandas as pd
+
+            long = pd.concat(frames, ignore_index=True)
+        else:  # DataArray
+            long = obj.to_dataframe(name=value_col).reset_index()
+            long[name_col] = str(getattr(obj, "name", None) or default_name)
+        space = tuple(
+            c for c in ("lev", "lat", "lon") if c in long.columns
+        ) or ("lat", "lon")
+        cols = [name_col, "time", *space, value_col] + [
+            c
+            for c in long.columns
+            if c not in (name_col, "time", *space, value_col)
+        ]
+        df = spark.createDataFrame(long[cols])
+        kw.setdefault("space_cols", space)
+        return cls(df, name_col=name_col, value_col=value_col, **kw)
+
+    def to_xarray(self):
+        """Collect the ensemble into an xarray Dataset (one data variable
+        per member, dims = (time, [lev,] lat, lon)). Import-gated: needs
+        xarray installed. Driver-side by definition — use to_netcdf for
+        the distributed export path."""
+        try:
+            import xarray  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                "to_xarray requires xarray; use to_netcdf for the "
+                "distributed file export"
+            ) from None
+        pdf = self.df.toPandas()
+        idx = ["time", *self.space_cols]
+        das = {}
+        for member, g in pdf.groupby(self.name_col):
+            das[str(member)] = (
+                g.set_index(idx)[self.value_col].to_xarray()
+            )
+        return xarray.Dataset(das)
+
     # -- reference verbs ----------------------------------------------
     def subset(self, bounds: Bounds) -> "Ensemble":
         """Spatio-temporal(-vertical) subset (P2+P3). Conjunctive range

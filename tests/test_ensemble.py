@@ -253,3 +253,103 @@ def test_reference_user_journey_nc_to_nc(spark, tmp_path):
         for r in back.select("name", "time", "lat", "lon").collect()
     )
     assert a == b
+
+
+class _FakeDataArray:
+    """Minimal xarray.DataArray stand-in: exposes the to_dataframe()
+    pandas bridge the adapter duck-types on."""
+
+    def __init__(self, pdf, name=None):
+        self._pdf = pdf
+        self.name = name
+
+    def to_dataframe(self, name="value"):
+        import pandas as pd
+
+        out = self._pdf.rename(columns={"value": name})
+        idx_cols = [c for c in out.columns if c != name]
+        return out.set_index(idx_cols)
+
+
+class _FakeDataset:
+    def __init__(self, das):
+        self.data_vars = dict(das)
+
+    def __getitem__(self, k):
+        return self.data_vars[k]
+
+
+def _grid_pdf(offset=0.0, lev=False):
+    import itertools
+
+    import pandas as pd
+
+    times = pd.date_range("2001-01-01", periods=3, freq="D")
+    levs = [850.0, 500.0] if lev else [None]
+    rows = [
+        {
+            "time": t,
+            **({"lev": l} if lev else {}),
+            "lat": la,
+            "lon": lo,
+            "value": offset + la + lo + (l or 0.0) / 100,
+        }
+        for t, l, la, lo in itertools.product(
+            times, levs, [0.0, 10.0], [0.0, 5.0]
+        )
+    ]
+    return pd.DataFrame(rows)
+
+
+def test_from_xarray_dataarray_shim(spark):
+    from bcdp_spark.ensemble import Ensemble
+
+    ens = Ensemble.from_xarray(spark, _FakeDataArray(_grid_pdf(), name="tas"))
+    assert ens.df.columns == ["name", "time", "lat", "lon", "value"]
+    assert ens.space_cols == ("lat", "lon")
+    rows = ens.df.collect()
+    assert len(rows) == 12 and all(r["name"] == "tas" for r in rows)
+
+
+def test_from_xarray_dataset_members_and_lev(spark):
+    from bcdp_spark.ensemble import Bounds, Ensemble
+
+    ds = _FakeDataset(
+        {
+            "m0": _FakeDataArray(_grid_pdf(0.0, lev=True)),
+            "m1": _FakeDataArray(_grid_pdf(100.0, lev=True)),
+        }
+    )
+    ens = Ensemble.from_xarray(spark, ds)
+    assert ens.df.columns == ["name", "time", "lev", "lat", "lon", "value"]
+    assert ens.space_cols == ("lev", "lat", "lon")
+    assert ens.df.count() == 2 * 3 * 2 * 2 * 2
+    only_850 = ens.subset(Bounds(lev_bnds=(600.0, 900.0)))
+    assert only_850.df.select("lev").distinct().count() == 1
+    # the verb surface composes: per-member climatology keeps lev as a key
+    clim = ens.climatology("month")
+    assert set(clim.columns) == {"month", "name", "lev", "lat", "lon", "clim"}
+
+
+def test_to_xarray_roundtrip_skipgated(spark):
+    xr = pytest.importorskip("xarray")
+    from bcdp_spark.ensemble import Ensemble
+
+    ens = Ensemble.from_xarray(spark, _FakeDataArray(_grid_pdf(), name="tas"))
+    ds = ens.to_xarray()
+    assert "tas" in ds.data_vars
+    assert dict(ds["tas"].sizes) == {"time": 3, "lat": 2, "lon": 2}
+
+
+def test_to_xarray_importerror_without_xarray(spark):
+    try:
+        import xarray  # noqa: F401
+
+        pytest.skip("xarray installed; gate untestable here")
+    except ImportError:
+        pass
+    from bcdp_spark.ensemble import Ensemble
+
+    ens = Ensemble.from_xarray(spark, _FakeDataArray(_grid_pdf(), name="t"))
+    with pytest.raises(ImportError, match="to_netcdf"):
+        ens.to_xarray()
