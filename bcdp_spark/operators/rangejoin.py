@@ -39,14 +39,18 @@ def bin_interval_join(
     a map-side ``sequence``+``explode`` — never materialized on the
     driver.
 
-    Only inner semantics are implemented: the post-join containment
-    filter would silently drop null-matched outer rows, so outer ``how``
-    values are rejected rather than returning a wrong subset. (A left
-    variant would re-union the unmatched points after the filter.)
+    ``how='inner'`` (default) or ``how='left'``. Left semantics cannot
+    reuse the join's own outer mode (the post-join containment filter
+    would drop null-extended rows AND points whose bin matched but whose
+    exact range did not): matched rows come from the inner path, then
+    unmatched points re-enter via an anti join on the matched point set
+    with null interval columns — exactly a nested-loop left join's
+    output. Other ``how`` values are rejected rather than returning a
+    wrong subset.
     """
-    if how != "inner":
+    if how not in ("inner", "left"):
         raise ValueError(
-            "bin_interval_join implements inner semantics only; "
+            "bin_interval_join implements inner and left semantics; "
             f"got how={how!r}"
         )
     b_pts = points.withColumn(
@@ -64,11 +68,28 @@ def bin_interval_join(
     )
     if broadcast_intervals:
         b_iv = F.broadcast(b_iv)
-    joined = b_pts.join(b_iv, "__bin", how).filter(
+    matched = b_pts.join(b_iv, "__bin", "inner").filter(
         (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) < F.col(hi_col))
+    ).drop("__bin")
+    if how == "inner":
+        return matched
+    # left: re-union the points with no containing interval, null-extended
+    # over the interval columns. Anti-joining on the bin alone would
+    # wrongly drop bin-matched-but-range-missed points, so the anti join
+    # runs against the distinct matched point rows (full-column key —
+    # duplicate point rows stay correct: every copy either matches in the
+    # inner branch or survives the anti join).
+    iv_cols = [c for c in intervals.columns if c not in points.columns]
+    null_iv = [
+        F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+        for c in iv_cols
+    ]
+    matched_pts = matched.select(*points.columns).distinct()
+    unmatched = points.join(
+        matched_pts, on=list(points.columns), how="left_anti"
     )
-    return joined.drop("__bin")
+    return matched.unionByName(unmatched.select("*", *null_iv))
 
 
 def interval_overlap_join(

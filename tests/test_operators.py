@@ -554,3 +554,73 @@ def test_embedding_near_dup_bucket_cap_drops_degenerate_bucket(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(100, 101)}
+
+
+def test_bin_interval_join_left_matches_nested_loop(spark):
+    """how='left' must match a nested-loop LEFT join exactly on a width
+    sweep: matched rows identical to inner, unmatched points present
+    once with null interval columns — including the bin-matched-but-
+    range-missed case (point 31 shares a bin with [10,30) at width 50
+    yet must surface as unmatched)."""
+    from bcdp_spark.operators.rangejoin import bin_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 5, 9, 10, 11, 29, 30, 31, 99, 500])],
+        ["pid", "t"],
+    )
+    iv = spark.createDataFrame(
+        [(0, 0, 10), (1, 9, 12), (2, 10, 30), (3, 95, 200), (4, 40, 41)],
+        ["iid", "lo", "hi"],
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (pts.t >= iv.lo) & (pts.t < iv.hi), "left"
+        ).collect()
+    )
+    assert (7, None) in want and (9, None) in want  # fixture sanity
+    for width in (1, 3, 7, 50, 1000):
+        out = bin_interval_join(
+            pts, iv, "t", "lo", "hi", bin_width=width, how="left"
+        )
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        assert got == want, f"width={width}: {got} != {want}"
+        # null-extension covers every interval column
+        nulls = out.filter(F.col("iid").isNull()).collect()
+        assert all(r["lo"] is None and r["hi"] is None for r in nulls)
+
+
+def test_bin_interval_join_rejects_other_outer(spark):
+    import pytest as _pytest
+
+    from bcdp_spark.operators.rangejoin import bin_interval_join
+
+    pts = spark.createDataFrame([(1, 1)], ["pid", "t"])
+    iv = spark.createDataFrame([(1, 0, 2)], ["iid", "lo", "hi"])
+    with _pytest.raises(ValueError, match="inner and left"):
+        bin_interval_join(pts, iv, "t", "lo", "hi", 10, how="full")
+
+
+def test_dedup_reserved_column_guard(spark):
+    """A caller column colliding with a reserved intermediate name must
+    raise instead of being silently clobbered/dropped."""
+    from bcdp_spark.operators.dedup import (
+        embedding_near_dup,
+        lsh_bucket_pairs,
+        with_minhash,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "hello world text", [1.0, 0.0])],
+        "doc_id long, text string, embedding array<double>",
+    )
+    for bad in ("__sig", "__shash", "__band", "__n"):
+        df = base.withColumn(bad, F.lit(0))
+        with pytest.raises(ValueError, match="reserved"):
+            lsh_bucket_pairs(df, "text", "doc_id")
+    with pytest.raises(ValueError, match="reserved"):
+        with_minhash(base.withColumn("__shash", F.lit(0)), "text")
+    with pytest.raises(ValueError, match="reserved"):
+        embedding_near_dup(
+            base.withColumn("__b", F.lit(0)), "doc_id", "embedding", 2
+        )
