@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _guard_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """Reserved intermediate column names must be absent from the input —
+    a caller column named __sig/__band/__n/__shash would be silently
+    clobbered or dropped by the staged projections."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input DataFrame already has reserved column(s) {clash}; "
+            "rename them before calling the dedup operators"
+        )
+
+
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
 # ---------------------------------------------------------------------------
@@ -100,6 +112,7 @@ def with_minhash(
     slower at 5 k docs (and the giant expression tree also falls out of
     whole-stage codegen). The staged form computes |doc| substring
     hashes once, then 64·|doc| integer hashes, all codegen-friendly."""
+    _guard_reserved(df, ("__shash", out))
     staged = df.withColumn("__shash", _hashed_shingles_expr(text_col, k))
     return staged.withColumn(out, _sig_from_hashed("__shash", num_perm)).drop(
         "__shash"
@@ -143,6 +156,7 @@ def lsh_bucket_pairs(
     candidate set; fine when the corpus is known near-dup-sparse)."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    _guard_reserved(df, ("__sig", "__band", "__n", "__shash"))
     r = num_perm // bands
     with_sig = with_minhash(
         df.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
@@ -338,6 +352,7 @@ def embedding_near_dup(
     dedup on the raw vector bytes."""
     from bcdp_spark.operators.similarity import hyperplane_bucket, cosine_expr
 
+    _guard_reserved(df, ("__b", "__n"))
     h = df.select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, dim, nbits, seed).alias("__b")
     )

@@ -907,7 +907,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()  # over the per-part aggregate only
     return (
         v.withColumn("total", F.sum("val").over(w))
-        .filter(F.col("val") > F.lit(0.001) * F.col("total"))
+        # decimal-typed fraction: a double literal would route the
+        # comparison through double on the Spark side while DuckDB
+        # multiplies in decimal — identical today, fragile if DEC
+        # precision or the fraction changes
+        .filter(F.col("val") > F.expr("CAST(0.001 AS DECIMAL(4,3))") * F.col("total"))
         .select(
             "l_partkey", F.col("val").cast("double").alias("stock_value")
         )

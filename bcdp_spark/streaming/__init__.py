@@ -49,13 +49,30 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = (
-        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    if phys == "timestamp[us]":
+        # NTZ → session-UTC instant: pure relabeling under a UTC session TZ.
+        raw = (
+            spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if phys in ("timestamp[us, tz=UTC]", "timestamp[ms, tz=UTC]"):
+        # isAdjustedToUTC=true reads directly as TimestampType.
+        raw = (
+            spark.readStream.schema(_events_schema(T.TimestampType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw
+    # any new physical variant must fail LOUDLY: silently taking a
+    # default branch with a mismatched declared schema shifts or breaks
+    # ts semantics for every downstream window
+    raise ValueError(
+        f"events.parquet ts has unrecognized physical type {phys!r}; "
+        "known: timestamp[ns], timestamp[us], timestamp[us, tz=UTC], "
+        "timestamp[ms, tz=UTC] — extend events_stream for the new fixture"
     )
-    # NTZ → session-UTC instant: pure relabeling under a UTC session TZ.
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(stream: DataFrame, width: str = "1 hour") -> DataFrame:
