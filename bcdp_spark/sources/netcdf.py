@@ -104,7 +104,13 @@ def load_netcdf(
     files = sorted(_glob.glob(path))
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
-    ndim = _var_ndim(files[0], var)
+    try:
+        ndim = _var_ndim(files[0], var)
+    except NotImplementedError:
+        # Undecodable header (HDF5 without netCDF4, or corrupt bytes):
+        # keep the load lazy — default to the 3-D schema and let the
+        # distributed decode raise the clear error at action time.
+        ndim = 3
     schema = LONG_FORM_SCHEMA_4D if ndim == 4 else LONG_FORM_SCHEMA
     manifest = spark.createDataFrame(
         [(f,) for f in files], schema="path string"

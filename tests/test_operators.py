@@ -624,3 +624,119 @@ def test_dedup_reserved_column_guard(spark):
         embedding_near_dup(
             base.withColumn("__b", F.lit(0)), "doc_id", "embedding", 2
         )
+
+
+# -------------------------------------------------------- curvilinear regrid
+def _regrid_fixture(spark, seed=7, n_src=300, n_dst=25):
+    """Deterministic pseudo-random point sets: a curvilinear-ish source
+    cloud and a destination set, plus one dst far outside the domain."""
+    rng = np.random.RandomState(seed)
+    src_pdf = pd.DataFrame(
+        {
+            "sid": np.arange(n_src),
+            "slat": rng.uniform(0.0, 10.0, n_src),
+            "slon": rng.uniform(0.0, 10.0, n_src),
+            "sval": rng.uniform(-5.0, 5.0, n_src),
+        }
+    )
+    dst_pdf = pd.DataFrame(
+        {
+            "did": np.arange(n_dst + 1),
+            "dlat": np.append(rng.uniform(1.0, 9.0, n_dst), 500.0),
+            "dlon": np.append(rng.uniform(1.0, 9.0, n_dst), 500.0),
+        }
+    )
+    return (
+        src_pdf,
+        dst_pdf,
+        spark.createDataFrame(src_pdf),
+        spark.createDataFrame(dst_pdf),
+    )
+
+
+def test_idw_regrid_matches_bruteforce(spark):
+    from bcdp_spark.operators.regrid import idw_regrid
+
+    radius, k, eps = 1.2, 5, 1e-6
+    src_pdf, dst_pdf, src, dst = _regrid_fixture(spark)
+    got = {
+        r["did"]: (r["sval"], r["n_src"])
+        for r in idw_regrid(
+            src,
+            dst,
+            radius=radius,
+            k=k,
+            eps=eps,
+            src_lat="slat",
+            src_lon="slon",
+            value_col="sval",
+            dst_lat="dlat",
+            dst_lon="dlon",
+            dst_keys=("did",),
+            tiebreak=("sid",),
+        ).collect()
+    }
+    # far-away destination has no neighbors -> absent from output
+    assert dst_pdf["did"].iloc[-1] not in got
+    n_checked = 0
+    for _, d in dst_pdf.iterrows():
+        d2 = (src_pdf["slat"] - d["dlat"]) ** 2 + (
+            src_pdf["slon"] - d["dlon"]
+        ) ** 2
+        cand = src_pdf.assign(d2=d2)[d2 <= radius * radius]
+        if cand.empty:
+            assert d["did"] not in got
+            continue
+        top = cand.sort_values(["d2", "sid"]).head(k)
+        w = 1.0 / (eps + top["d2"])
+        exp = float((top["sval"] * w).sum() / w.sum())
+        val, n = got[d["did"]]
+        assert n == len(top)
+        assert val == pytest.approx(exp, rel=1e-9)
+        n_checked += 1
+    assert n_checked >= 20
+
+
+def test_nearest_regrid_is_exact_source_value(spark):
+    from bcdp_spark.operators.regrid import nearest_regrid
+
+    radius = 1.2
+    src_pdf, dst_pdf, src, dst = _regrid_fixture(spark, seed=11)
+    got = {
+        r["did"]: r["sval"]
+        for r in nearest_regrid(
+            src,
+            dst,
+            radius=radius,
+            src_lat="slat",
+            src_lon="slon",
+            value_col="sval",
+            dst_lat="dlat",
+            dst_lon="dlon",
+            dst_keys=("did",),
+            tiebreak=("sid",),
+        ).collect()
+    }
+    for _, d in dst_pdf.iterrows():
+        d2 = (src_pdf["slat"] - d["dlat"]) ** 2 + (
+            src_pdf["slon"] - d["dlon"]
+        ) ** 2
+        cand = src_pdf.assign(d2=d2)[d2 <= radius * radius]
+        if cand.empty:
+            assert d["did"] not in got
+        else:
+            nearest = cand.sort_values(["d2", "sid"]).iloc[0]
+            # the exact source value, no arithmetic on it
+            assert got[d["did"]] == nearest["sval"]
+
+
+def test_binned_neighbor_pairs_collision_guard(spark):
+    from bcdp_spark.operators.regrid import binned_neighbor_pairs
+
+    src = spark.createDataFrame([(0.0, 0.0, 1.0)], ["lat", "lon", "v"])
+    dst_clash = spark.createDataFrame([(0.0, 0.0)], ["lat", "dlon"])
+    with pytest.raises(ValueError, match="collision"):
+        binned_neighbor_pairs(src, dst_clash, 1.0, dst_lat="lat")
+    dst_reserved = spark.createDataFrame([(0.0, 0.0, 1)], ["dlat", "dlon", "__d2"])
+    with pytest.raises(ValueError, match="reserved"):
+        binned_neighbor_pairs(src, dst_reserved, 1.0)

@@ -297,3 +297,16 @@ def test_data_mixture_scans_documents_once(spark):
 
     df = q.queries()["q_data_mixture"](spark, SF_ORACLE)
     assert physical_plan(df).count("FileScan") == 1
+
+
+def test_curvilinear_regrid_no_cartesian(spark):
+    """The curvilinear IDW regrid must candidate-join via the binned
+    3x3-neighborhood EQUI join — never a cartesian/nested-loop pairing
+    of source x destination points."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_curvilinear_regrid"](spark, SF_ORACLE)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

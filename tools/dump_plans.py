@@ -33,6 +33,9 @@ HEADLINE = (
     "q_semantic_dedup",
     "q_data_mixture",
     "q_quality_classifier",
+    # round-3 additions — curvilinear regrid (binned-neighbor equi-join)
+    "q_curvilinear_regrid",
+    "q_nearest_regrid",
 )
 
 
