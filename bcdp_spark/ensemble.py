@@ -244,6 +244,54 @@ class Ensemble:
         )
         return self._with(out)
 
+    def regrid_to_points(
+        self,
+        dst: DataFrame,
+        radius: float,
+        k: int = 4,
+        method: str = "idw",
+        dst_lat: str = "dst_lat",
+        dst_lon: str = "dst_lon",
+        dst_keys: Sequence[str] | None = None,
+        tiebreak: Sequence[str] = (),
+    ) -> "Ensemble":
+        """Regrid onto an ARBITRARY destination point set — the
+        curvilinear/unstructured-grid path (the reference delegates
+        these to ESMF nearest_s2d/patch; bcdp/regridder.py
+        [UNVERIFIED]). method='idw' (inverse-distance k-nearest) or
+        'nearest'. Each (member, time, level) slice regrids
+        independently: the k-nearest window partitions on those keys,
+        so times/levels never mix even though the spatial neighbor
+        join is computed once against the full long form."""
+        from bcdp_spark.operators.regrid import idw_regrid, nearest_regrid
+
+        lat, lon = self._latlon()
+        slice_keys = [self.name_col, self.time_col] + [
+            c for c in self.space_cols if c not in (lat, lon)
+        ]
+        point_keys = list(dst_keys) if dst_keys is not None else [dst_lat, dst_lon]
+        fn = {"idw": idw_regrid, "nearest": nearest_regrid}[method]
+        kw = {"k": k} if method == "idw" else {}
+        out = fn(
+            self.df,
+            dst,
+            radius=radius,
+            src_lat=lat,
+            src_lon=lon,
+            value_col=self.value_col,
+            dst_lat=dst_lat,
+            dst_lon=dst_lon,
+            dst_keys=slice_keys + point_keys,
+            tiebreak=tuple(tiebreak) or (lat, lon),
+            **kw,
+        )
+        renamed = out
+        if dst_lat in out.columns and dst_lon in out.columns:
+            renamed = out.withColumnRenamed(dst_lat, lat).withColumnRenamed(
+                dst_lon, lon
+            )
+        return self._with(renamed)
+
     def climatology(self, bucket: str = "month") -> DataFrame:
         """Calendar-bucket mean across years (A2)."""
         bucket_fn = {"month": F.month, "dayofyear": F.dayofyear}[bucket]

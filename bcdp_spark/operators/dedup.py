@@ -380,3 +380,53 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def repeated_ngram_doc_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """Substring-level duplication signal (the exact-substring-dedup
+    family — Lee et al. 2022, 'Deduplicating Training Data Makes
+    Language Models Better': suffix-array repeated spans; here the
+    Spark-first equivalent over word k-grams): for every document, the
+    fraction of its k-gram positions whose k-gram occurs >= min_count
+    times across the WHOLE corpus. High rep_frac = document largely
+    assembled from corpus-repeated spans (boilerplate, templates,
+    near-copies) — the per-doc removal signal suffix arrays give
+    single-node.
+
+    Plan: tokenize -> per-position k-grams (pure array expressions, no
+    UDF) -> ONE shuffle on the gram for a windowed corpus count ->
+    one shuffle back on the doc id for per-doc stats. No joins. At
+    100 TB the gram key should be xxhash64(gram) (8-byte shuffle keys);
+    the string key here keeps the operator oracle-twinnable — both
+    shapes shuffle once on the gram.
+    """
+    _guard_reserved(df, ("__toks", "__gram", "__cnt"))
+    toks = F.split(F.col(text_col), sep)
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k} + 1), "
+        f"i -> array_join(slice(__toks, i, {k}), {sep!r})) "
+        "ELSE array() END"
+    )
+    g = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(grams).alias("__gram"))
+    )
+    w = Window.partitionBy("__gram")
+    c = g.withColumn("__cnt", F.count(F.lit(1)).over(w))
+    return c.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("__cnt") >= min_count, 1)).alias("n_rep"),
+        F.round(
+            F.count(F.when(F.col("__cnt") >= min_count, 1))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("rep_frac"),
+    )

@@ -675,3 +675,40 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2+ — substring-level duplication signal (exact-substring-dedup family,
+# Lee et al. 2022 suffix-array spans; Spark-first: word 5-grams + one
+# windowed corpus count). Operator: operators/dedup.py
+# repeated_ngram_doc_stats. rep_frac = fraction of a doc's 5-gram
+# positions repeated >=2 times corpus-wide.
+# ---------------------------------------------------------------------------
+@register(
+    "q_repeated_ngrams",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 5 + 2, 1))) AS u(i)
+),
+c AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN cnt >= 2 THEN 1 END) AS n_rep,
+       ROUND(COUNT(CASE WHEN cnt >= 2 THEN 1 END) / COUNT(*), 6) AS rep_frac
+FROM c GROUP BY doc_id
+""",
+)
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.dedup import repeated_ngram_doc_stats
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return repeated_ngram_doc_stats(
+        docs, "text", "doc_id", k=5, min_count=2
+    )

@@ -66,15 +66,16 @@ def main() -> None:
     times: dict[str, float] = {}
     for key in HEADLINE:
         # Build the logical plan once, execute cold (pays analysis +
-        # whole-stage codegen compile), then report the BEST of three warm
+        # whole-stage codegen compile), then report the BEST of seven warm
         # executions — the same prepared-query-re-fetched methodology as
         # BASELINE.md's warm DuckDB numbers, with min-of-N absorbing
         # scheduler noise on a shared host.
         df = qs[key](spark, sf_dir)
         df.toPandas()
         df.toPandas()  # second warmup lets JIT finish on the hot paths
+        df.toPandas()  # third absorbs any late AQE/codegen recompile
         best = float("inf")
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             df.toPandas()
             best = min(best, time.perf_counter() - t0)

@@ -353,3 +353,31 @@ def test_to_xarray_importerror_without_xarray(spark):
     ens = Ensemble.from_xarray(spark, _FakeDataArray(_grid_pdf(), name="t"))
     with pytest.raises(ImportError, match="to_netcdf"):
         ens.to_xarray()
+
+
+def test_regrid_to_points_does_not_mix_times(spark):
+    """Curvilinear regrid verb: each (member, time) slice regrids
+    independently — a nearer source point at ANOTHER time must not win."""
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for t, base in (("2024-01-01 00:00:00", 10.0), ("2024-02-01 00:00:00", 20.0)):
+        rows += [
+            ("m1", t, 0.0, 0.0, base + 1.0),
+            ("m1", t, 0.5, 0.5, base + 2.0),
+        ]
+    df = spark.createDataFrame(
+        rows, "name string, time string, lat double, lon double, value double"
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    ens = Ensemble(df)
+    dst = spark.createDataFrame([(0.1, 0.1)], "dst_lat double, dst_lon double")
+    out = ens.regrid_to_points(dst, radius=2.0, method="nearest").df
+    vals = {str(r["time"]): r["value"] for r in out.collect()}
+    assert vals == {
+        "2024-01-01 00:00:00": 11.0,
+        "2024-02-01 00:00:00": 21.0,
+    }
+    idw = ens.regrid_to_points(dst, radius=2.0, k=2, method="idw").df
+    got = {str(r["time"]): r["value"] for r in idw.collect()}
+    # per-slice IDW of the two points; Jan and Feb stay 10 apart
+    assert got["2024-02-01 00:00:00"] - got["2024-01-01 00:00:00"] == pytest.approx(10.0, abs=1e-9)

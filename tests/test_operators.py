@@ -740,3 +740,29 @@ def test_binned_neighbor_pairs_collision_guard(spark):
     dst_reserved = spark.createDataFrame([(0.0, 0.0, 1)], ["dlat", "dlon", "__d2"])
     with pytest.raises(ValueError, match="reserved"):
         binned_neighbor_pairs(src, dst_reserved, 1.0)
+
+
+def test_repeated_ngram_doc_stats(spark):
+    from bcdp_spark.operators.dedup import repeated_ngram_doc_stats
+
+    # doc 1 and 2 share the span "a b c"; doc 3 is unique; doc 4 too short
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "q a b c z"),
+            (3, "p q r s t"),
+            (4, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_rep"], r["rep_frac"])
+        for r in repeated_ngram_doc_stats(
+            df, "text", "doc_id", k=3, min_count=2
+        ).collect()
+    }
+    # doc1 grams: "a b c","b c x","c x y" -> 1 repeated of 3
+    assert out[1] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[2] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[3] == (3, 0, 0.0)
+    assert 4 not in out  # no k-grams at all -> absent (explode drops it)

@@ -115,6 +115,27 @@ def ops(spark, sf_dir):
             F.col("s").desc(), "vec_id"
         ).limit(10).collect()
 
+    def _curvi_idw(ev):
+        from bcdp_spark.operators.regrid import idw_regrid
+
+        src = ev.select(
+            (F.col("user_id") * 0.001).alias("slat"),
+            ((F.col("event_id") % 2000) * 0.01).alias("slon"),
+            F.col("value").alias("sval"),
+            F.col("event_id").alias("sid"),
+        )
+        dst = ev.filter(F.col("event_id") % 50 == 0).select(
+            (F.col("user_id") * 0.001 + 0.0005).alias("dlat"),
+            ((F.col("event_id") % 2000) * 0.01 + 0.005).alias("dlon"),
+            F.col("event_id").alias("did"),
+        )
+        idw_regrid(
+            src, dst, radius=0.1, k=4,
+            src_lat="slat", src_lon="slon", value_col="sval",
+            dst_lat="dlat", dst_lon="dlon", dst_keys=("did",),
+            tiebreak=("sid",),
+        ).count()
+
     return {
         "bigjoin_agg": t(lambda: li.join(od, li.l_orderkey == od.o_orderkey)
                          .groupBy("o_orderstatus")
@@ -147,6 +168,16 @@ def ops(spark, sf_dir):
         "minhash_lsh_pairs": t(lambda: lsh_bucket_pairs(
             docs, "text", "doc_id", bucket_cap=200).count()),
         "sim_knn": t(sim_knn),
+        # curvilinear IDW regrid: src = every event as a point (lat
+        # domain grows with the shifted user_ids, so DENSITY stays
+        # constant and area scales linearly); dst = 1/50 sample of the
+        # same cloud, slightly offset. Both sides scale with rows.
+        "curvi_idw": t(lambda: _curvi_idw(ev)),
+        # substring-level dup signal: one windowed gram count + per-doc
+        # agg; gram rows scale linearly with documents
+        "repeated_ngrams": t(lambda: __import__(
+            "bcdp_spark.operators.dedup", fromlist=["x"]
+        ).repeated_ngram_doc_stats(docs, "text", "doc_id").count()),
         # 16-bit hyperplane blocking + giant-bucket cap: bucket count >>
         # occupancy for spread vectors, and the cap bounds any degenerate
         # bucket before the self-join
@@ -206,6 +237,12 @@ def main():
             "  3.2x for 10x rows after making synthetic copies genuinely",
             "  distinct (identical copies would be a quadratic TRUE pair",
             "  set, measuring the data rather than the operator).",
+            "- **curvi_idw**: src AND dst point clouds both scale with",
+            "  rows while density stays constant (shifted ids extend the",
+            "  coordinate domain), so candidate pairs per destination are",
+            "  bounded and total work is linear by construction.",
+            "- **repeated_ngrams**: gram rows are linear in corpus size;",
+            "  one shuffle on the gram (windowed count), one on doc_id.",
             "",
         ]
         body = "\n".join(lines)
