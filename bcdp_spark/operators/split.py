@@ -1,0 +1,104 @@
+"""Deterministic dataset splitting — the train/val/test assignment a
+training-data pipeline needs (no reference analog; EXT, same family as
+the sampling/mixture ops in queries/corpus.py).
+
+Design: the split label is a pure expression of the row's id —
+``md5(id)`` first byte against cumulative thresholds over 256 buckets.
+That makes the assignment (a) deterministic across runs, engines and
+partitionings (no rand(), no zipWithIndex), (b) stable under data
+growth (a row keeps its split when the corpus changes — the property
+that prevents train/test leakage across dataset versions), and
+(c) free at 100 TB: no shuffle, no join, just a projected column that
+whole-stage codegen evaluates inline. Lexicographic comparison on
+lowercase hex equals numeric comparison, so the same CASE works
+verbatim in any SQL engine (the DuckDB oracle twin keys on the same
+``substr(md5(...), 1, 2)``).
+
+Granularity is 256 buckets (one hex byte): requested weights round to
+the nearest 1/256 — documented, and asserted to stay within 1/128 of
+the request.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _thresholds(weights: Sequence[tuple[str, float]]) -> list[tuple[str, str]]:
+    """(name, weight) -> (name, exclusive-upper hex threshold) with
+    cumulative rounding to 1/256 granularity."""
+    total = sum(w for _, w in weights)
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    cum = 0.0
+    out: list[tuple[str, str]] = []
+    prev = 0
+    for name, w in weights:
+        if w < 0:
+            raise ValueError(f"negative weight for {name!r}")
+        cum += w / total
+        hi = min(256, round(cum * 256))
+        if hi <= prev and w > 0:
+            raise ValueError(
+                f"weight for {name!r} rounds to zero buckets (min 1/256)"
+            )
+        out.append((name, format(hi, "02x")))
+        prev = hi
+    # last threshold covers the full space regardless of rounding drift
+    out[-1] = (out[-1][0], "g")  # 'g' > 'ff' lexicographically
+    return out
+
+
+def split_column(
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> Column:
+    """The split label as a pure column expression (see module doc)."""
+    pref = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2
+    )
+    expr = None
+    for name, hi in _thresholds(weights):
+        cond = pref < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def split_sql(
+    id_expr: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> str:
+    """The identical CASE in ANSI SQL (DuckDB oracle twin)."""
+    parts = ["CASE"]
+    for name, hi in _thresholds(weights):
+        parts.append(
+            f"WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 2) < '{hi}'"
+            f" THEN '{name}'"
+        )
+    parts.append("END")
+    return " ".join(parts)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach the deterministic split label."""
+    return df.withColumn(out_col, split_column(id_col, weights))

@@ -712,3 +712,91 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_doc_stats(
         docs, "text", "doc_id", k=5, min_count=2
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT sampling — deterministic train/val/test hash split (operators/
+# split.py): label is a pure expression of md5(doc_id), so assignment is
+# partition-invariant, engine-identical, and stable under corpus growth
+# (no train/test leakage across dataset versions). No shuffle, no join.
+# ---------------------------------------------------------------------------
+def _hash_split_oracle() -> str:
+    from bcdp_spark.operators.split import split_sql
+
+    return f"""
+SELECT {split_sql('doc_id')} AS split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("q_hash_split", oracle=_hash_split_oracle())
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.split import hash_split
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT sampling — token-budget corpus selection: per source, take docs in
+# (quality-proxy, tiebreak) order until a cumulative size budget is hit.
+# One window over the source partition (running sum), no joins; at scale
+# the cumsum shuffles once on source — the standard "data selection
+# under a token budget" step of a training-data pipeline.
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_budget_select",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_sel,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sel,
+       CAST(MAX(cum_chars) AS BIGINT) AS budget_used,
+       MIN(doc_id) AS min_doc_id
+FROM scored
+WHERE cum_chars <= 20000
+GROUP BY source
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= 20000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("n_chars").alias("chars_sel"),
+            F.max("cum_chars").alias("budget_used"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

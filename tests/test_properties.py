@@ -441,3 +441,47 @@ def test_reservoir_sample_is_partition_invariant(spark):
         == pick(docs.repartition(16, "doc_id"))
         == pick(docs.orderBy(F.col("doc_id").desc()))
     )
+
+
+def test_hash_split_partition_invariant_and_stable(spark):
+    """Split labels are a pure function of the id: identical across
+    partitionings, and rows keep their label when the corpus grows."""
+    from bcdp_spark.operators.split import hash_split
+
+    ids = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+
+    def labels(df):
+        return {
+            r["doc_id"]: r["split"]
+            for r in hash_split(df, "doc_id").collect()
+        }
+
+    a = labels(ids.repartition(1))
+    b = labels(ids.repartition(16, "doc_id"))
+    assert a == b
+    # growth stability: the first 500 ids keep their labels in a 5000-row corpus
+    big = labels(spark.range(0, 5000).withColumnRenamed("id", "doc_id"))
+    assert all(big[k] == v for k, v in a.items())
+    # coverage + disjointness (CASE yields exactly one non-null label)
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert None not in a.values()
+    # ratio tolerance: 80/10/10 within 1/128 + sampling noise
+    from collections import Counter
+
+    c = Counter(big.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.03
+    assert abs(c["test"] / 5000 - 0.1) < 0.03
+
+
+def test_hash_split_threshold_validation():
+    from bcdp_spark.operators.split import _thresholds
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        _thresholds([("a", 0.0)])
+    with _pytest.raises(ValueError, match="rounds to zero"):
+        _thresholds([("a", 1.0), ("b", 0.0001)])
+    ts = _thresholds([("train", 0.5), ("test", 0.5)])
+    assert ts[0] == ("train", "80") and ts[1][1] == "g"
