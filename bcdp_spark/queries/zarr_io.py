@@ -1,0 +1,106 @@
+"""Zarr ingestion query key (SURVEY.md S1 sibling — cloud-native climate
+store): driver-gradable proof that the engine decodes REAL Zarr v2 chunk
+bytes end-to-end with no codec dependency.
+
+Same contract as ``netcdf_io``: the callable writes a deterministic
+chunked+zlib store with the vendored writer (closed-form grid values),
+decodes it through ``load_zarr`` (chunk manifest → pruning → mapInPandas
+→ long form), and aggregates a climatology with a spatial subset that
+EXERCISES the chunk-pruning path. The DuckDB oracle recomputes the
+identical closed form with ``generate_series`` — a hash match certifies
+the byte-level chunk decode, CF time path, and pruning correctness in
+one go. Values use 0.25 steps (exact in binary) and decimal-routed sums.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import utc
+
+_FIX_STORE = "/tmp/bcdp_spark_zarr_fixture_v1"
+_Z_T, _Z_A, _Z_O = 90, 6, 8  # days, lats, lons
+_Z_LATS = (-75.0, -45.0, -15.0, 15.0, 45.0, 75.0)
+
+
+def _ensure_fixture() -> str:
+    """Write the chunked Zarr v2 fixture once (deterministic bytes:
+    zlib level 1, C order, 30×3×4 chunks → 3×2×2 chunk grid)."""
+    from bcdp_spark.sources.zarr import write_zarr
+
+    done = os.path.join(_FIX_STORE, ".complete")
+    if os.path.exists(done):
+        return _FIX_STORE
+    t = np.arange(_Z_T)[:, None, None]
+    a = np.arange(_Z_A)[None, :, None]
+    o = np.arange(_Z_O)[None, None, :]
+    data = 0.25 * (t * 1000 + a * 10 + o)
+    data = np.where((t + a + o) % 11 == 0, -999.0, data)
+    write_zarr(
+        _FIX_STORE,
+        dims={"time": _Z_T, "lat": _Z_A, "lon": _Z_O},
+        variables={
+            "time": (
+                ["time"],
+                np.arange(_Z_T, dtype="float64"),
+                {"units": "days since 2001-01-01", "calendar": "standard"},
+            ),
+            "lat": (["lat"], np.array(_Z_LATS), {}),
+            "lon": (["lon"], np.arange(_Z_O) * 45.0, {}),
+            "pr": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+        },
+        chunks={"pr": (30, 3, 4), "time": (30,), "lat": (3,), "lon": (4,)},
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIX_STORE
+
+
+@register(
+    "q_zarr_climatology",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2001-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 11 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 1000 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {_Z_T - 1}) t(g),
+       generate_series(0, {_Z_A - 1}) a(g),
+       generate_series(0, {_Z_O - 1}) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE a WHEN 3 THEN 15.0 WHEN 4 THEN 45.0 ELSE 75.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE a >= 3
+GROUP BY 1, 2
+""",
+)
+def q_zarr_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (Zarr) end-to-end: real chunked v2 store → pruned distributed
+    chunk decode (northern hemisphere only: the lat bound prunes half the
+    chunk grid before any byte loads) → monthly per-latitude climatology.
+    ``sf_dir`` unused (synthetic decode fixture — the key certifies the
+    DECODE+PRUNE path; parquet-scan keys cover sf scaling)."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    store = _ensure_fixture()
+    df = load_zarr(spark, store, lat_bnds=(0.0, 90.0))
+    return df.groupBy(
+        F.month("time").cast("int").alias("month"), "lat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -1,0 +1,427 @@
+"""Zarr v2 store source (SURVEY.md S1 sibling): the modern cloud-native
+climate format the reference's xarray stack reads via ``open_zarr``
+(bcdp/io.py [UNVERIFIED — reference checkout empty, SURVEY.md §0]).
+
+Implements the PUBLIC Zarr v2 storage spec from scratch — a store is a
+directory tree where each array holds a ``.zarray`` JSON (shape, chunks,
+dtype, compressor, fill_value, order) plus chunk files named by
+dot-separated grid indices — with NO third-party codec: ``null``,
+``zlib`` and ``gzip`` compressors decode with the stdlib. Coordinate
+arrays follow the xarray convention (``_ARRAY_DIMENSIONS`` in
+``.zattrs``); CF time units/calendars decode through
+``bcdp_spark.sources.cfcal`` exactly like the NetCDF path.
+
+Scale design (the reason Zarr exists): the chunk grid IS the unit of
+parallelism — one task per chunk, linear scaling with executors at
+100 TB. Bounds predicates are pushed down to CHUNK PRUNING: the tiny
+1-D coordinate arrays are decoded driver-side, each chunk's coordinate
+span is computed in closed form, and chunks wholly outside the request
+never leave object storage (the same hyperslab pushdown the NetCDF
+DataSource does, but native to the format's layout). An exact
+DataFrame filter re-applies the bounds after decode, so pruning is an
+optimization, never a semantics change.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import json
+import os
+import zlib as _zlib
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from bcdp_spark.sources.netcdf import (
+    LONG_FORM_SCHEMA,
+    LONG_FORM_SCHEMA_4D,
+    _apply_fill,
+    _long_form,
+)
+from bcdp_spark.sources.registry import register_data_source
+
+_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip")
+
+
+@dataclass
+class ZArrayMeta:
+    """Parsed ``.zarray`` + ``.zattrs`` for one array."""
+
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    dtype: np.dtype
+    order: str
+    fill_value: object
+    compressor: dict | None
+    separator: str
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def dims(self) -> list[str]:
+        return list(self.attrs.get("_ARRAY_DIMENSIONS", []))
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_array_meta(store: str, name: str) -> ZArrayMeta:
+    adir = os.path.join(store, name)
+    za = _read_json(os.path.join(adir, ".zarray"))
+    if int(za.get("zarr_format", 2)) != 2:
+        raise NotImplementedError(
+            f"{name}: only Zarr v2 stores are supported "
+            f"(zarr_format={za.get('zarr_format')})"
+        )
+    if za.get("filters"):
+        raise NotImplementedError(
+            f"{name}: Zarr filters are not supported (found {za['filters']})"
+        )
+    comp = za.get("compressor")
+    if comp is not None and comp.get("id") not in _SUPPORTED_COMPRESSORS:
+        raise NotImplementedError(
+            f"{name}: compressor {comp.get('id')!r} needs a codec not in "
+            "this container (supported: null, zlib, gzip)"
+        )
+    attrs_path = os.path.join(adir, ".zattrs")
+    attrs = _read_json(attrs_path) if os.path.exists(attrs_path) else {}
+    return ZArrayMeta(
+        shape=tuple(za["shape"]),
+        chunks=tuple(za["chunks"]),
+        dtype=np.dtype(za["dtype"]),
+        order=za.get("order", "C"),
+        fill_value=za.get("fill_value"),
+        compressor=comp,
+        separator=za.get("dimension_separator", "."),
+        attrs=attrs,
+    )
+
+
+def _chunk_path(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -> str:
+    return os.path.join(store, name, meta.separator.join(str(i) for i in idx))
+
+
+def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
+    """Raw chunk file bytes → full-chunk-shaped ndarray (edge trimming is
+    the caller's job — the spec stores edge chunks at full chunk shape)."""
+    if meta.compressor is not None:
+        cid = meta.compressor["id"]
+        raw = _gzip.decompress(raw) if cid == "gzip" else _zlib.decompress(raw)
+    arr = np.frombuffer(raw, dtype=meta.dtype)
+    return arr.reshape(meta.chunks, order=meta.order)
+
+
+def _read_chunk(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -> np.ndarray:
+    """One chunk, trimmed to its in-bounds extent; an absent chunk file is
+    fill_value per the spec."""
+    path = _chunk_path(store, name, idx, meta)
+    trim = tuple(
+        slice(0, min((i + 1) * c, s) - i * c)
+        for i, c, s in zip(idx, meta.chunks, meta.shape)
+    )
+    if not os.path.exists(path):
+        if meta.fill_value is None:
+            raise FileNotFoundError(
+                f"missing chunk {path} and fill_value is null"
+            )
+        full = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
+        return full[trim]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    return decode_chunk_bytes(raw, meta)[trim]
+
+
+def read_array(store: str, name: str) -> tuple[np.ndarray, dict]:
+    """Whole-array read (driver-side; used for the SMALL 1-D coordinate
+    arrays only — the data variable goes through the distributed path)."""
+    meta = read_array_meta(store, name)
+    grid = [range((s + c - 1) // c) for s, c in zip(meta.shape, meta.chunks)]
+    out = np.empty(meta.shape, dtype=meta.dtype)
+    idxs = [()]
+    for g in grid:
+        idxs = [i + (j,) for i in idxs for j in g]
+    for idx in idxs:
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, meta.chunks, meta.shape)
+        )
+        out[sl] = _read_chunk(store, name, idx, meta)
+    return out, meta.attrs
+
+
+def _list_arrays(store: str) -> list[str]:
+    return sorted(
+        d
+        for d in os.listdir(store)
+        if os.path.isdir(os.path.join(store, d))
+        and os.path.exists(os.path.join(store, d, ".zarray"))
+    )
+
+
+def _pick_data_var(store: str, var: str | None) -> tuple[str, ZArrayMeta]:
+    names = _list_arrays(store)
+    metas = {n: read_array_meta(store, n) for n in names}
+    if var is not None:
+        if var not in metas:
+            raise KeyError(f"no array {var!r} in {store} (arrays: {names})")
+        return var, metas[var]
+    for want in (3, 4):  # prefer (time, lat, lon); then pressure-level 4-D
+        for n in names:
+            m = metas[n]
+            # a data variable is one whose dims are not just itself
+            if len(m.shape) == want and m.dims != [n]:
+                return n, m
+    raise ValueError(
+        f"no 3-D/4-D data variable in {store}; pass var= (arrays: {names})"
+    )
+
+
+def _decode_time(values: np.ndarray, attrs: dict) -> pd.DatetimeIndex:
+    units = attrs.get("units")
+    if units and "since" in str(units):
+        from bcdp_spark.sources.cfcal import times_to_timestamps
+
+        return times_to_timestamps(
+            values, str(units), str(attrs.get("calendar", "standard"))
+        )
+    # already epoch-like or datetime64 on disk
+    return pd.DatetimeIndex(pd.to_datetime(values))
+
+
+def _span_overlaps(vals: np.ndarray, bnds: tuple[float, float] | None) -> bool:
+    if bnds is None or len(vals) == 0:
+        return True
+    lo, hi = bnds
+    return float(vals.max()) >= lo and float(vals.min()) <= hi
+
+
+def _plan_chunks(
+    store: str,
+    var: str | None,
+    time_bnds: tuple | None,
+    lev_bnds: tuple[float, float] | None,
+    lat_bnds: tuple[float, float] | None,
+    lon_bnds: tuple[float, float] | None,
+):
+    """Driver-side chunk planning: decode the tiny coordinate arrays,
+    enumerate the chunk grid, and prune chunks whose coordinate span is
+    wholly outside the requested bounds. Returns
+    (name, meta, coords, kept_idxs, total_chunks)."""
+    name, meta = _pick_data_var(store, var)
+    dims = meta.dims
+    if len(meta.shape) not in (3, 4) or not dims:
+        raise ValueError(
+            f"{name}: need a 3-D or 4-D array with _ARRAY_DIMENSIONS "
+            f"(shape={meta.shape}, dims={dims})"
+        )
+    has_lev = len(meta.shape) == 4
+
+    # tiny 1-D coordinate arrays, decoded once on the driver
+    coords: dict[str, np.ndarray] = {}
+    for d in dims:
+        vals, cattrs = read_array(store, d)
+        coords[d] = (
+            np.asarray(_decode_time(vals, cattrs).values)
+            if d == dims[0]
+            else np.asarray(vals, dtype="float64")
+        )
+    tname, latname, lonname = dims[0], dims[-2], dims[-1]
+    levname = dims[1] if has_lev else None
+
+    tb = None
+    if time_bnds is not None:
+        tb = (
+            np.datetime64(pd.Timestamp(time_bnds[0])),
+            np.datetime64(pd.Timestamp(time_bnds[1])),
+        )
+
+    # chunk manifest with pruning: a chunk's coordinate span is a closed
+    # form of its grid index — chunks wholly outside any bound never load
+    ngrid = [(s + c - 1) // c for s, c in zip(meta.shape, meta.chunks)]
+    idxs: list[tuple[int, ...]] = [()]
+    for g in ngrid:
+        idxs = [i + (j,) for i in idxs for j in range(g)]
+
+    def _chunk_coord(d_pos: int, dname: str, i: int) -> np.ndarray:
+        c = meta.chunks[d_pos]
+        return coords[dname][i * c : min((i + 1) * c, meta.shape[d_pos])]
+
+    kept: list[tuple[int, ...]] = []
+    for idx in idxs:
+        t_vals = _chunk_coord(0, tname, idx[0])
+        if tb is not None and not (
+            t_vals.max() >= tb[0] and t_vals.min() <= tb[1]
+        ):
+            continue
+        if has_lev and not _span_overlaps(
+            _chunk_coord(1, levname, idx[1]), lev_bnds
+        ):
+            continue
+        if not _span_overlaps(
+            _chunk_coord(len(idx) - 2, latname, idx[-2]), lat_bnds
+        ):
+            continue
+        if not _span_overlaps(
+            _chunk_coord(len(idx) - 1, lonname, idx[-1]), lon_bnds
+        ):
+            continue
+        kept.append(idx)
+    return name, meta, coords, kept, len(idxs)
+
+
+def load_zarr(
+    spark: SparkSession,
+    store: str,
+    var: str | None = None,
+    time_bnds: tuple | None = None,
+    lev_bnds: tuple[float, float] | None = None,
+    lat_bnds: tuple[float, float] | None = None,
+    lon_bnds: tuple[float, float] | None = None,
+    **_options,
+) -> DataFrame:
+    """Zarr v2 store → long form (name, time[, lev], lat, lon, value),
+    one task per data-variable chunk, with bounds pushed down to chunk
+    pruning (see module docstring)."""
+    name, meta, coords, kept, _total = _plan_chunks(
+        store, var, time_bnds, lev_bnds, lat_bnds, lon_bnds
+    )
+    dims = meta.dims
+    has_lev = len(meta.shape) == 4
+    tname, latname, lonname = dims[0], dims[-2], dims[-1]
+    levname = dims[1] if has_lev else None
+
+    def _chunk_coord(d_pos: int, dname: str, i: int) -> np.ndarray:
+        c = meta.chunks[d_pos]
+        return coords[dname][i * c : min((i + 1) * c, meta.shape[d_pos])]
+
+    schema = LONG_FORM_SCHEMA_4D if has_lev else LONG_FORM_SCHEMA
+    if not kept:
+        return spark.createDataFrame([], schema)
+
+    manifest = spark.createDataFrame(
+        [(",".join(map(str, idx)),) for idx in kept], schema="chunk string"
+    ).repartition(len(kept))
+    var_attrs = dict(meta.attrs)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for chunk_key in pdf["chunk"]:
+                idx = tuple(int(x) for x in chunk_key.split(","))
+                data = _apply_fill(
+                    np.asarray(_read_chunk(store, name, idx, meta), dtype=float),
+                    var_attrs,
+                )
+                times = pd.DatetimeIndex(_chunk_coord(0, tname, idx[0]))
+                lats = _chunk_coord(len(idx) - 2, latname, idx[-2])
+                lons = _chunk_coord(len(idx) - 1, lonname, idx[-1])
+                levs = _chunk_coord(1, levname, idx[1]) if has_lev else None
+                yield _long_form(name, times, lats, lons, data, levs=levs)
+
+    df = manifest.mapInPandas(decode, schema=schema)
+    # exact bounds re-applied in-plan (pruning is an optimization only)
+    if time_bnds is not None:
+        df = df.filter(
+            (df.time >= pd.Timestamp(time_bnds[0]))
+            & (df.time <= pd.Timestamp(time_bnds[1]))
+        )
+    if lev_bnds is not None and has_lev:
+        df = df.filter((df.lev >= lev_bnds[0]) & (df.lev <= lev_bnds[1]))
+    if lat_bnds is not None:
+        df = df.filter((df.lat >= lat_bnds[0]) & (df.lat <= lat_bnds[1]))
+    if lon_bnds is not None:
+        df = df.filter((df.lon >= lon_bnds[0]) & (df.lon <= lon_bnds[1]))
+    return df
+
+
+def pruned_chunk_count(
+    store: str,
+    var: str | None = None,
+    time_bnds: tuple | None = None,
+    lev_bnds: tuple[float, float] | None = None,
+    lat_bnds: tuple[float, float] | None = None,
+    lon_bnds: tuple[float, float] | None = None,
+) -> tuple[int, int]:
+    """(kept, total) chunk counts for the given bounds — the pushdown
+    observability hook the pruning tests assert on. Pure driver math, no
+    Spark session needed."""
+    _name, _meta, _coords, kept, total = _plan_chunks(
+        store, var, time_bnds, lev_bnds, lat_bnds, lon_bnds
+    )
+    return len(kept), total
+
+
+# -- writer (fixture generation + S6 sink parity: Ensemble.to_zarr) -----
+
+
+def write_zarr(
+    store: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[list[str], np.ndarray, dict]],
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    compressor: dict | None = None,
+) -> None:
+    """Write a Zarr v2 group — deterministic bytes (zlib is deterministic
+    for a fixed level), xarray-convention ``_ARRAY_DIMENSIONS``."""
+    if compressor is None:
+        compressor = {"id": "zlib", "level": 1}
+    if compressor and compressor.get("id") not in _SUPPORTED_COMPRESSORS:
+        raise NotImplementedError(f"unsupported compressor {compressor}")
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": 2}, fh)
+    for name, (vdims, arr, attrs) in variables.items():
+        arr = np.ascontiguousarray(arr)
+        vchunks = (chunks or {}).get(name, arr.shape)
+        adir = os.path.join(store, name)
+        os.makedirs(adir, exist_ok=True)
+        za = {
+            "zarr_format": 2,
+            "shape": list(arr.shape),
+            "chunks": list(vchunks),
+            "dtype": arr.dtype.str,
+            "compressor": compressor if compressor else None,
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+        }
+        with open(os.path.join(adir, ".zarray"), "w") as fh:
+            json.dump(za, fh)
+        with open(os.path.join(adir, ".zattrs"), "w") as fh:
+            json.dump({"_ARRAY_DIMENSIONS": vdims, **attrs}, fh)
+        ngrid = [
+            (s + c - 1) // c for s, c in zip(arr.shape, vchunks)
+        ]
+        idxs: list[tuple[int, ...]] = [()]
+        for g in ngrid:
+            idxs = [i + (j,) for i in idxs for j in range(g)]
+        for idx in idxs:
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, vchunks, arr.shape)
+            )
+            block = arr[sl]
+            # spec: edge chunks are stored at FULL chunk shape
+            if block.shape != tuple(vchunks):
+                full = np.zeros(vchunks, dtype=arr.dtype)
+                full[tuple(slice(0, e) for e in block.shape)] = block
+                block = full
+            raw = block.tobytes(order="C")
+            if compressor:
+                raw = (
+                    _gzip.compress(raw, compresslevel=compressor.get("level", 1))
+                    if compressor["id"] == "gzip"
+                    else _zlib.compress(raw, compressor.get("level", 1))
+                )
+            with open(
+                os.path.join(adir, ".".join(str(i) for i in idx)), "wb"
+            ) as fh:
+                fh.write(raw)
+
+
+@register_data_source("zarr")
+def _zarr(spark: SparkSession, path: str, **options) -> DataFrame:
+    return load_zarr(spark, path, **options)

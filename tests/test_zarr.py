@@ -1,0 +1,236 @@
+"""Zarr v2 source: byte-level decode, chunk pruning, compressors, spec
+edge cases (missing chunks, F order, edge-chunk padding)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bcdp_spark.sources.zarr import (
+    load_zarr,
+    pruned_chunk_count,
+    read_array,
+    read_array_meta,
+    write_zarr,
+)
+
+
+def _write_store(tmp_path, nt=20, na=4, no=6, chunks=(8, 2, 3), compressor=None):
+    store = str(tmp_path / "store.zarr")
+    t = np.arange(nt)[:, None, None]
+    a = np.arange(na)[None, :, None]
+    o = np.arange(no)[None, None, :]
+    data = 0.25 * (t * 1000 + a * 10 + o)
+    data = np.where((t + a + o) % 7 == 0, -999.0, data)
+    kw = {} if compressor is None else {"compressor": compressor}
+    write_zarr(
+        store,
+        dims={"time": nt, "lat": na, "lon": no},
+        variables={
+            "time": (
+                ["time"],
+                np.arange(nt, dtype="float64"),
+                {"units": "days since 2001-01-01"},
+            ),
+            "lat": (["lat"], np.linspace(-60, 60, na), {}),
+            "lon": (["lon"], np.arange(no) * 60.0, {}),
+            "pr": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+        },
+        chunks={"pr": chunks},
+        **kw,
+    )
+    expect = np.where((t + a + o) % 7 == 0, np.nan, 0.25 * (t * 1000 + a * 10 + o))
+    return store, expect
+
+
+def test_roundtrip_values_and_fill(spark, tmp_path):
+    store, expect = _write_store(tmp_path)
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == expect.size
+    assert int(pdf.value.isna().sum()) == int(np.isnan(expect).sum())
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+    # CF time decoded
+    assert pdf.time.min() == pd.Timestamp("2001-01-01")
+
+
+@pytest.mark.parametrize(
+    "compressor", [None, {"id": "zlib", "level": 5}, {"id": "gzip", "level": 3}]
+)
+def test_compressors(spark, tmp_path, compressor):
+    # "None" here means write uncompressed (compressor=False path)
+    store, expect = _write_store(
+        tmp_path, compressor=compressor if compressor else {}
+    )
+    if not compressor:
+        # rewrite .zarray with null compressor + raw chunks
+        store2 = str(tmp_path / "raw.zarr")
+        nt, na, no = 20, 4, 6
+        t = np.arange(nt)[:, None, None]
+        a = np.arange(na)[None, :, None]
+        o = np.arange(no)[None, None, :]
+        data = 0.25 * (t * 1000 + a * 10 + o)
+        write_zarr(
+            store2,
+            dims={"time": nt, "lat": na, "lon": no},
+            variables={
+                "time": (["time"], np.arange(nt, dtype="float64"),
+                         {"units": "days since 2001-01-01"}),
+                "lat": (["lat"], np.linspace(-60, 60, na), {}),
+                "lon": (["lon"], np.arange(no) * 60.0, {}),
+                "pr": (["time", "lat", "lon"], data, {}),
+            },
+            chunks={"pr": (8, 2, 3)},
+            compressor=None,
+        )
+        # write_zarr(compressor=None) defaults to zlib; force truly-null:
+        meta = json.load(open(os.path.join(store2, "pr", ".zarray")))
+        assert meta["compressor"] is not None  # default applied
+        pdf = load_zarr(spark, store2).toPandas()
+        assert pdf.value.sum() == pytest.approx(np.nansum(data))
+        return
+    pdf = load_zarr(spark, store).toPandas()
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+
+
+def test_null_compressor_raw_chunks(spark, tmp_path):
+    """Hand-written store with compressor:null — raw little-endian bytes."""
+    store = str(tmp_path / "null.zarr")
+    os.makedirs(os.path.join(store, "x"))
+    data = np.arange(12, dtype="<f8").reshape(3, 4)
+    json.dump({"zarr_format": 2}, open(os.path.join(store, ".zgroup"), "w"))
+    json.dump(
+        {
+            "zarr_format": 2,
+            "shape": [3, 4],
+            "chunks": [3, 4],
+            "dtype": "<f8",
+            "compressor": None,
+            "fill_value": 0.0,
+            "order": "C",
+            "filters": None,
+        },
+        open(os.path.join(store, "x", ".zarray"), "w"),
+    )
+    with open(os.path.join(store, "x", "0.0"), "wb") as fh:
+        fh.write(data.tobytes())
+    vals, _ = read_array(store, "x")
+    np.testing.assert_array_equal(vals, data)
+
+
+def test_fortran_order_chunk(tmp_path):
+    """order:'F' chunks decode per spec."""
+    store = str(tmp_path / "f.zarr")
+    os.makedirs(os.path.join(store, "x"))
+    data = np.arange(12, dtype="<i4").reshape(3, 4)
+    json.dump(
+        {
+            "zarr_format": 2,
+            "shape": [3, 4],
+            "chunks": [3, 4],
+            "dtype": "<i4",
+            "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0,
+            "order": "F",
+            "filters": None,
+        },
+        open(os.path.join(store, "x", ".zarray"), "w"),
+    )
+    with open(os.path.join(store, "x", "0.0"), "wb") as fh:
+        fh.write(zlib.compress(data.tobytes(order="F"), 1))
+    vals, _ = read_array(store, "x")
+    np.testing.assert_array_equal(vals, data)
+
+
+def test_missing_chunk_is_fill_value(tmp_path):
+    """Per spec, an absent chunk file reads as fill_value."""
+    store = str(tmp_path / "m.zarr")
+    os.makedirs(os.path.join(store, "x"))
+    json.dump(
+        {
+            "zarr_format": 2,
+            "shape": [4],
+            "chunks": [2],
+            "dtype": "<f8",
+            "compressor": None,
+            "fill_value": 7.5,
+            "order": "C",
+            "filters": None,
+        },
+        open(os.path.join(store, "x", ".zarray"), "w"),
+    )
+    with open(os.path.join(store, "x", "0"), "wb") as fh:
+        fh.write(np.array([1.0, 2.0]).tobytes())
+    vals, _ = read_array(store, "x")
+    np.testing.assert_array_equal(vals, [1.0, 2.0, 7.5, 7.5])
+
+
+def test_chunk_pruning_counts_and_equivalence(spark, tmp_path):
+    store, expect = _write_store(tmp_path, chunks=(8, 2, 3))
+    kept, total = pruned_chunk_count(store, lat_bnds=(0.0, 90.0))
+    assert total == 3 * 2 * 2
+    assert kept < total  # southern-lat chunks pruned
+    full = load_zarr(spark, store).filter("lat >= 0").toPandas()
+    pruned = load_zarr(spark, store, lat_bnds=(0.0, 90.0)).toPandas()
+    key = ["time", "lat", "lon"]
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        pruned.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_time_pruning(spark, tmp_path):
+    store, _ = _write_store(tmp_path, chunks=(8, 2, 3))
+    kept, total = pruned_chunk_count(
+        store, time_bnds=("2001-01-01", "2001-01-05")
+    )
+    assert kept == 1 * 2 * 2  # only the first time-chunk row survives
+    pdf = load_zarr(
+        spark, store, time_bnds=("2001-01-01", "2001-01-05")
+    ).toPandas()
+    assert pdf.time.max() == pd.Timestamp("2001-01-05")
+    assert pdf.time.nunique() == 5
+
+
+def test_4d_lev_store(spark, tmp_path):
+    store = str(tmp_path / "lev.zarr")
+    nt, nl, na, no = 6, 3, 2, 4
+    data = np.arange(nt * nl * na * no, dtype="float64").reshape(nt, nl, na, no)
+    write_zarr(
+        store,
+        dims={"time": nt, "lev": nl, "lat": na, "lon": no},
+        variables={
+            "time": (["time"], np.arange(nt, dtype="float64"),
+                     {"units": "days since 2001-01-01"}),
+            "lev": (["lev"], np.array([850.0, 500.0, 250.0]), {}),
+            "lat": (["lat"], np.array([-30.0, 30.0]), {}),
+            "lon": (["lon"], np.arange(no) * 90.0, {}),
+            "ta": (["time", "lev", "lat", "lon"], data, {}),
+        },
+        chunks={"ta": (3, 2, 2, 2)},
+    )
+    df = load_zarr(spark, store, lev_bnds=(400.0, 900.0))
+    pdf = df.toPandas()
+    assert "lev" in pdf.columns
+    assert sorted(pdf.lev.unique()) == [500.0, 850.0]
+    want = data[:, :2].sum()  # levels 850+500 are axis positions 0,1
+    assert pdf.value.sum() == pytest.approx(want)
+
+
+def test_registry_and_unsupported(tmp_path, spark):
+    from bcdp_spark.sources.registry import load as reg_load
+
+    store, expect = _write_store(tmp_path)
+    pdf = reg_load("zarr", spark, store).toPandas()
+    assert len(pdf) == expect.size
+    # unsupported compressor fails loudly at meta-read time
+    meta_path = os.path.join(store, "pr", ".zarray")
+    za = json.load(open(meta_path))
+    za["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(za, open(meta_path, "w"))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        read_array_meta(store, "pr")
