@@ -800,3 +800,94 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ — doc-INTERNAL repetition signals (the Gopher/MassiveText repetition
+# filter family, Rae et al. 2021 §A1.1): duplicate-word fraction, top-1-gram
+# coverage, top-2-gram coverage — computed per document, unlike
+# q_repeated_ngrams' corpus-wide spans. Plan: explode → per-(doc, gram)
+# hash agg → per-doc agg with max(struct(cnt, gram)) for a DETERMINISTIC
+# argmax (largest count, ties broken by largest gram — identical ordering
+# on both engines). Shuffles carry (doc_id, short-gram) keys only; the
+# per-doc aggregate is map-side combinable. No windows over the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q_doc_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+wr AS (SELECT doc_id, word, cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, word DESC) AS rn
+       FROM wc),
+ws AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct
+       FROM wc GROUP BY 1),
+g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+      FROM t, UNNEST(range(1, GREATEST(len(toks), 1))) AS u(i)
+      WHERE len(toks) >= 2),
+gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+gr AS (SELECT doc_id, gram, cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram DESC) AS rn
+       FROM gc),
+gs AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_2grams FROM gc GROUP BY 1)
+SELECT ws.doc_id,
+       ws.n_words,
+       ROUND((ws.n_words - ws.n_distinct) / ws.n_words, 6) AS dup_word_frac,
+       wr.word AS top_word,
+       ROUND(wr.cnt / ws.n_words, 6) AS top_word_frac,
+       COALESCE(gr.gram, '') AS top_2gram,
+       COALESCE(ROUND(gr.cnt / gs.n_2grams, 6), 0.0) AS top_2gram_frac
+FROM ws
+JOIN (SELECT * FROM wr WHERE rn = 1) wr USING (doc_id)
+LEFT JOIN gs USING (doc_id)
+LEFT JOIN (SELECT * FROM gr WHERE rn = 1) gr USING (doc_id)
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok_df = docs.select("doc_id", _toks().alias("toks"))
+
+    words = tok_df.select("doc_id", F.explode("toks").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.struct(F.col("cnt"), F.col("word"))).alias("top"),
+    )
+
+    g2 = (
+        tok_df.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    gc = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gs = gc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top2"),
+    )
+
+    return ws.join(gs, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            (F.col("n_words") - F.col("n_distinct")) / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.col("top.word").alias("top_word"),
+        F.round(F.col("top.cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.coalesce(F.col("top2.gram"), F.lit("")).alias("top_2gram"),
+        F.coalesce(
+            F.round(F.col("top2.cnt") / F.col("n_2grams"), 6), F.lit(0.0)
+        ).alias("top_2gram_frac"),
+    )
