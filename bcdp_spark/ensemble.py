@@ -348,6 +348,20 @@ class Ensemble:
             self.df, out_dir, by=self.name_col, var_name=self.value_col
         )
 
+    def to_zarr(self, out_dir: str, time_chunk: int = 512) -> DataFrame:
+        """Sink (S6): one chunked Zarr v2 store per member, written from
+        executors (sinks.to_zarr; vendored spec-level writer), reingestable
+        by ``sources.zarr.load_zarr`` with chunk-pruned reads."""
+        from bcdp_spark.sinks import to_zarr
+
+        return to_zarr(
+            self.df,
+            out_dir,
+            by=self.name_col,
+            var_name=self.value_col,
+            time_chunk=time_chunk,
+        )
+
     def homogenize(
         self,
         bounds: "Bounds | None" = None,

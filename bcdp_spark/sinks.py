@@ -166,3 +166,110 @@ def to_netcdf(
         write_group,
         schema=f"{by} string, path string, n_rows long, n_times long",
     )
+
+
+def to_zarr(
+    df: DataFrame,
+    out_dir: str,
+    by: str = "name",
+    var_name: str = "value",
+    time_chunk: int = 512,
+) -> DataFrame:
+    """Zarr v2 export (S6 sibling of ``to_netcdf``): one chunked store
+    per ``by`` group, written from executors via the vendored writer
+    (``bcdp_spark.sources.zarr.write_zarr`` — stdlib zlib chunks,
+    xarray-convention ``_ARRAY_DIMENSIONS``), so ``load_zarr`` and any
+    public Zarr v2 reader can reingest it.
+
+    Distributed: one applyInPandas task per member pivots that member's
+    long-form rows back to the (time[, lev], lat, lon) grid and writes
+    its store; chunking is along time (``time_chunk`` steps per chunk)
+    — the axis a 100 TB ensemble appends and subsets on, so downstream
+    time-bounded reads prune chunks. NULL values are encoded as NaN
+    (float fill), round-tripping to NULL on read.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bcdp_spark.sources.zarr import write_zarr
+
+        member = str(pdf[by].iloc[0])
+        has_lev = "lev" in pdf.columns
+        times = np.sort(pdf["time"].unique())
+        lats = np.sort(pdf["lat"].unique())
+        lons = np.sort(pdf["lon"].unique())
+        t_idx = {v: i for i, v in enumerate(times)}
+        a_idx = {v: i for i, v in enumerate(lats)}
+        o_idx = {v: i for i, v in enumerate(lons)}
+        vals = pdf[var_name].to_numpy(dtype=float)
+        ti = pdf["time"].map(t_idx).to_numpy()
+        ai = pdf["lat"].map(a_idx).to_numpy()
+        oi = pdf["lon"].map(o_idx).to_numpy()
+        epoch = pd.Timestamp("1970-01-01")
+        tnum = (
+            (pd.DatetimeIndex(times) - epoch) / pd.Timedelta(seconds=1)
+        ).to_numpy()
+        coord_vars = {
+            "time": (
+                ["time"],
+                np.asarray(tnum, dtype="float64"),
+                {"units": "seconds since 1970-01-01", "calendar": "standard"},
+            ),
+            "lat": (["lat"], np.asarray(lats, dtype=float), {}),
+            "lon": (["lon"], np.asarray(lons, dtype=float), {}),
+        }
+        if has_lev:
+            levs = np.sort(pdf["lev"].unique())
+            l_idx = {v: i for i, v in enumerate(levs)}
+            li = pdf["lev"].map(l_idx).to_numpy()
+            grid = np.full(
+                (len(times), len(levs), len(lats), len(lons)), np.nan
+            )
+            grid[ti, li, ai, oi] = vals
+            coord_vars["lev"] = (["lev"], np.asarray(levs, dtype=float), {})
+            dims = {
+                "time": len(times),
+                "lev": len(levs),
+                "lat": len(lats),
+                "lon": len(lons),
+            }
+            var_dims = ["time", "lev", "lat", "lon"]
+            chunks = (
+                min(time_chunk, len(times)),
+                len(levs),
+                len(lats),
+                len(lons),
+            )
+        else:
+            grid = np.full((len(times), len(lats), len(lons)), np.nan)
+            grid[ti, ai, oi] = vals
+            dims = {"time": len(times), "lat": len(lats), "lon": len(lons)}
+            var_dims = ["time", "lat", "lon"]
+            chunks = (min(time_chunk, len(times)), len(lats), len(lons))
+        store = os.path.join(out_dir, f"{member}.zarr")
+        write_zarr(
+            store,
+            dims=dims,
+            variables={
+                **coord_vars,
+                var_name: (var_dims, grid, {}),
+            },
+            chunks={var_name: chunks},
+        )
+        return pd.DataFrame(
+            {
+                by: [member],
+                "path": [store],
+                "n_rows": [len(pdf)],
+                "n_times": [len(times)],
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.groupBy(by).applyInPandas(
+        write_group,
+        schema=f"{by} string, path string, n_rows long, n_times long",
+    )

@@ -234,3 +234,49 @@ def test_registry_and_unsupported(tmp_path, spark):
     json.dump(za, open(meta_path, "w"))
     with pytest.raises(NotImplementedError, match="blosc"):
         read_array_meta(store, "pr")
+
+
+def test_ensemble_to_zarr_roundtrip(spark, tmp_path):
+    """S6 sink parity: Ensemble → to_zarr (one store per member, executor
+    writes) → load_zarr reingest with values + NULLs intact."""
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for name in ("a", "b"):
+        for d in range(5):
+            for lat in (0.0, 10.0):
+                for lon in (0.0, 90.0):
+                    v = None if (d + int(lat)) % 7 == 3 else float(d * 10 + lat + lon)
+                    rows.append(
+                        (
+                            name,
+                            (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime(),
+                            lat,
+                            lon,
+                            v,
+                        )
+                    )
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    manifest = Ensemble(df).to_zarr(str(tmp_path / "z"), time_chunk=2).collect()
+    assert {m["name"] for m in manifest} == {"a", "b"}
+    for m in manifest:
+        back = load_zarr(spark, m["path"]).toPandas()
+        want = (
+            df.filter(df.name == m["name"])
+            .toPandas()
+            .sort_values(["time", "lat", "lon"])
+            .reset_index(drop=True)
+        )
+        got = back.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got.value.isna().equals(want.value.isna())
+        np.testing.assert_allclose(
+            got.value.dropna().to_numpy(), want.value.dropna().to_numpy()
+        )
+        # time chunking honored: 5 times / chunk 2 → 3 time-chunks
+        kept, total = pruned_chunk_count(
+            m["path"], time_bnds=("2001-01-01", "2001-01-02")
+        )
+        assert total == 3 and kept == 1
