@@ -45,6 +45,7 @@ _MODULES = (
     "bcdp_spark.queries.netcdf_io",
     "bcdp_spark.queries.corpus",
     "bcdp_spark.queries.zarr_io",
+    "bcdp_spark.queries.warc_io",
 )
 
 
@@ -81,7 +82,7 @@ def _load() -> None:
 _PRIORITY = (
     # (a) SURVEY §2 declared keys still in the graded window (29)
     "q_scan_project", "q_range_filter", "q_null_handling",
-    "q_join_agg", "q_bigjoin", "q_semi_join", "q_anti_join",
+    "q_join_agg", "q_bigjoin", "q_anti_join",
     "q_theta_join", "q_pricing_summary", "q_climatology",
     "q_tumbling_events", "q_ensemble_mean", "q_bin_regrid",
     "q_rollup", "q_stats", "q_rolling_mean", "q_anomaly",
@@ -98,12 +99,12 @@ _PRIORITY = (
     "q_netcdf_climatology", "q_multimodal_pipeline", "q_semantic_dedup",
     "q_ann_knn", "q_ivf_knn", "q_connected_components", "q_dedup_clusters",
     "q_corpus_curation", "q_doc_packing", "q_regrid_weights_gen",
-    "q_curvilinear_regrid", "q_zarr_climatology",
+    "q_curvilinear_regrid", "q_zarr_climatology", "q_warc_ingest",
     # --- 50-key window boundary ---
     # (d) rotated-out §2 keys (r1+r2 driver-green; graded again if the
-    # cap allows; q_left_join rotated out r3 for q_zarr_climatology —
-    # J3 keeps r1+r2 driver-green evidence)
-    "q_left_join", "q_season_filter", "q_nearest_regrid",
+    # cap allows; q_left_join/q_semi_join rotated out r3 for the new
+    # S8/EXT ingest flagships — J3/J4 keep r1+r2 driver-green evidence)
+    "q_left_join", "q_semi_join", "q_season_filter", "q_nearest_regrid",
     "q_asof_bucket", "q_distinct", "q_median", "q_topk", "q_union",
     "q_intersect", "q_except", "q_date_funcs", "q_string_funcs",
     "q_json_extract",

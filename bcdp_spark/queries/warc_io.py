@@ -1,0 +1,133 @@
+"""WARC ingestion query key (EXT — web-crawl ingest, the canonical
+100 TB LLM-data source; no bcdp analog): driver-gradable proof that the
+engine parses REAL spec-compliant .warc.gz bytes end-to-end — gzip
+member walk, WARC record grammar, HTTP response split, HTML tag strip,
+host extraction — with a closed-form DuckDB oracle.
+
+The callable writes a deterministic two-file .warc.gz fixture (each a
+warcinfo record + 30 response records whose HTML bodies are closed-form
+token sequences), ingests it with ``load_warc``, extracts visible text
+with JVM regexp built-ins (no Python in the per-record hot path beyond
+the Arrow-batched file decode), and aggregates per host. The oracle
+recomputes token/char counts from the same closed form via
+``generate_series`` — a hash match certifies the whole byte path.
+
+Fixture closed form (record i of 60, all widths FIXED so char counts
+are exact): uri ``https://site{i%3}.example.org/page/{i:03d}``, title
+``t{i:03d}`` (4 chars), body = ``n = i%5+3`` tokens ``w{(i+k)%13:02d}``
+(3 chars each). Visible text after tag-strip = title + body tokens →
+``n+1`` tokens, ``4 + 4n`` chars single-space-joined.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import utc
+
+_FIX_DIR = "/tmp/bcdp_spark_warc_fixture_v1"
+_N = 60  # response records across 2 files
+
+
+def _record_html(i: int) -> str:
+    n = i % 5 + 3
+    text = " ".join(f"w{(i + k) % 13:02d}" for k in range(n))
+    return (
+        f"<html><head><title>t{i:03d}</title></head>"
+        f"<body><p>{text}</p></body></html>"
+    )
+
+
+def _ensure_fixture() -> str:
+    from bcdp_spark.sources.warc import (
+        http_response_bytes,
+        write_warc,
+    )
+
+    done = os.path.join(_FIX_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIX_DIR
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    per_file = _N // 2
+    for j in range(2):
+        records = [
+            {
+                "warc_type": "warcinfo",
+                "record_id": f"<urn:uuid:info-{j}>",
+                "content_type": "application/warc-fields",
+                "content": b"software: bcdp_spark fixture\r\n",
+            }
+        ]
+        for i in range(j * per_file, (j + 1) * per_file):
+            body = _record_html(i).encode("ascii")
+            records.append(
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:uuid:{i:08d}>",
+                    "target_uri": (
+                        f"https://site{i % 3}.example.org/page/{i:03d}"
+                    ),
+                    "content_type": "application/http;msgtype=response",
+                    "content": http_response_bytes(body),
+                }
+            )
+        tmp = os.path.join(_FIX_DIR, f".crawl{j}.warc.gz.tmp")
+        write_warc(tmp, records, compress=True)
+        os.replace(tmp, os.path.join(_FIX_DIR, f"crawl{j}.warc.gz"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIX_DIR
+
+
+@register(
+    "q_warc_ingest",
+    oracle=f"""
+WITH r AS (SELECT g AS i, g % 5 + 3 AS n FROM generate_series(0, {_N - 1}) t(g))
+SELECT 'site' || CAST(i % 3 AS VARCHAR) || '.example.org' AS host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(n + 1) AS BIGINT) AS n_tokens,
+       CAST(SUM(4 + 4 * n) AS BIGINT) AS text_chars,
+       MIN('https://site' || CAST(i % 3 AS VARCHAR) || '.example.org/page/'
+           || lpad(CAST(i AS VARCHAR), 3, '0')) AS min_uri
+FROM r GROUP BY 1
+""",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT end-to-end: real .warc.gz bytes → per-file decode tasks →
+    HTTP/HTML text extraction (JVM regexp) → per-host corpus stats.
+    ``sf_dir`` unused (synthetic decode fixture — the key certifies the
+    PARSE path; parquet-scan keys cover sf scaling)."""
+    from bcdp_spark.sources.warc import load_warc
+
+    utc(spark)
+    fix = _ensure_fixture()
+    df = load_warc(spark, os.path.join(fix, "*.warc.gz"))
+    pages = df.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"https://([^/]+)/", 1).alias("host"),
+        F.col("target_uri"),
+        F.trim(
+            F.regexp_replace(F.col("payload").cast("string"), r"<[^>]+>", " ")
+        ).alias("raw_text"),
+    )
+    toks = F.split("raw_text", r"\s+")
+    return (
+        pages.select(
+            "host",
+            "target_uri",
+            F.size(toks).alias("n_toks"),
+            F.length(F.concat_ws(" ", toks)).alias("n_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("text_chars"),
+            F.min("target_uri").alias("min_uri"),
+        )
+    )

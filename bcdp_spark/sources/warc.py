@@ -1,0 +1,211 @@
+"""WARC web-archive source (EXT: the canonical 100 TB training-data
+ingest — Common Crawl ships as per-record-gzipped WARC, the PUBLIC
+ISO 28500 format; no reference analog, bcdp is climate-only).
+
+Implements the spec from scratch with stdlib only:
+
+- record grammar: ``WARC/1.x CRLF`` + header fields + CRLF + exactly
+  ``Content-Length`` content octets + CRLF CRLF;
+- ``.warc.gz`` = concatenated gzip MEMBERS, one per record (the layout
+  that makes records independently seekable) — decoded by looping
+  ``zlib.decompressobj(wbits=31)`` over ``unused_data``;
+- ``response`` records carry an HTTP/1.1 message: status line + headers
+  + CRLF CRLF + body, split out into typed columns so downstream text
+  extraction never re-parses bytes.
+
+Scale design: one manifest row per WARC file, one task per file —
+exactly how production crawl pipelines shard (thousands of ~1 GB
+.warc.gz files). Record iteration within a file is stream-sequential
+(inherent: gzip members must be walked), payloads ride Spark binary
+columns through columnar shuffle, and header-only predicates
+(warc_type, content_type) filter before any HTML parsing. A writer is
+included for deterministic fixtures; it emits byte-identical archives
+any compliant WARC reader accepts.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip as _gzip
+import io
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bcdp_spark.sources.registry import register_data_source
+
+_CRLF = b"\r\n"
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout)."""
+    out = io.BytesIO()
+    buf = raw
+    while buf:
+        d = zlib.decompressobj(wbits=31)
+        out.write(d.decompress(buf))
+        out.write(d.flush())
+        buf = d.unused_data
+    return out.getvalue()
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, content) per record from plain WARC bytes."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while raw.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        if not raw.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"malformed WARC: expected version line at offset {pos}, "
+                f"got {raw[pos:pos + 16]!r}"
+            )
+        hdr_end = raw.index(_CRLF + _CRLF, pos)
+        lines = raw[pos:hdr_end].split(_CRLF)
+        headers: dict[str, str] = {"__version__": lines[0].decode("ascii")}
+        for ln in lines[1:]:
+            k, _, v = ln.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        yield headers, raw[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def _split_http(content: bytes) -> tuple[int | None, str | None, bytes]:
+    """HTTP response message → (status, content-type, body)."""
+    sep = content.find(_CRLF + _CRLF)
+    if sep < 0 or not content.startswith(b"HTTP/"):
+        return None, None, content
+    head = content[:sep].decode("utf-8", "replace").split("\r\n")
+    try:
+        status = int(head[0].split(" ", 2)[1])
+    except (IndexError, ValueError):
+        return None, None, content
+    ctype = None
+    for ln in head[1:]:
+        k, _, v = ln.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, content[sep + 4 :]
+
+
+def decode_warc_file(fpath: str) -> pd.DataFrame:
+    with open(fpath, "rb") as fh:
+        raw = fh.read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gunzip_members(raw)
+    rows = []
+    for headers, content in iter_warc_records(raw):
+        wtype = headers.get("warc-type", "")
+        status, http_ctype, body = (
+            _split_http(content) if wtype == "response" else (None, None, content)
+        )
+        rows.append(
+            {
+                "file": fpath,
+                "record_id": headers.get("warc-record-id", ""),
+                "warc_type": wtype,
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": int(headers["content-length"]),
+                "http_status": status,
+                "http_content_type": http_ctype,
+                "payload": body,
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=[f.name for f in WARC_SCHEMA.fields]
+    )
+
+
+def load_warc(spark: SparkSession, path: str, **_options) -> DataFrame:
+    """Glob WARC / .warc.gz files → one decode task per file → typed
+    record rows (see module docstring for the scale contract)."""
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                yield decode_warc_file(fpath)
+
+    return manifest.mapInPandas(decode, schema=WARC_SCHEMA)
+
+
+# -- writer (fixtures; spec-compliant bytes) ---------------------------
+
+
+def write_warc(
+    path: str,
+    records: list[dict],
+    compress: bool = True,
+) -> None:
+    """Write records (dicts with warc_type, record_id, target_uri, date,
+    content_type, content: bytes) as a spec-compliant WARC file — one
+    gzip member per record when ``compress`` (the .warc.gz layout)."""
+    out = io.BytesIO()
+    for r in records:
+        content = r["content"]
+        hdr = [f"WARC/1.0"]
+        hdr.append(f"WARC-Type: {r['warc_type']}")
+        hdr.append(f"WARC-Record-ID: {r['record_id']}")
+        hdr.append(f"WARC-Date: {r.get('date', '2001-01-01T00:00:00Z')}")
+        if r.get("target_uri"):
+            hdr.append(f"WARC-Target-URI: {r['target_uri']}")
+        hdr.append(f"Content-Type: {r.get('content_type', 'application/octet-stream')}")
+        hdr.append(f"Content-Length: {len(content)}")
+        rec = (
+            ("\r\n".join(hdr)).encode("ascii")
+            + _CRLF
+            + _CRLF
+            + content
+            + _CRLF
+            + _CRLF
+        )
+        if compress:
+            out.write(_gzip.compress(rec, compresslevel=1, mtime=0))
+        else:
+            out.write(rec)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+
+
+def http_response_bytes(body: bytes, content_type: str = "text/html") -> bytes:
+    """Assemble the HTTP/1.1 message a ``response`` record carries."""
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+
+
+@register_data_source("warc")
+def _warc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return load_warc(spark, path, **options)

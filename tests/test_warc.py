@@ -1,0 +1,124 @@
+"""WARC source: record grammar, gzip member walk, HTTP split, registry."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from bcdp_spark.sources.warc import (
+    decode_warc_file,
+    http_response_bytes,
+    iter_warc_records,
+    load_warc,
+    write_warc,
+)
+
+
+def _records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "<urn:uuid:info>",
+            "content_type": "application/warc-fields",
+            "content": b"software: test\r\n",
+        },
+        {
+            "warc_type": "response",
+            "record_id": "<urn:uuid:1>",
+            "target_uri": "https://a.example.org/x",
+            "content_type": "application/http;msgtype=response",
+            "content": http_response_bytes(b"<html><body>hi there</body></html>"),
+        },
+        {
+            "warc_type": "request",
+            "record_id": "<urn:uuid:2>",
+            "target_uri": "https://a.example.org/x",
+            "content_type": "application/http;msgtype=request",
+            "content": b"GET /x HTTP/1.1\r\nHost: a.example.org\r\n\r\n",
+        },
+    ]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip(tmp_path, compress):
+    path = str(tmp_path / ("a.warc.gz" if compress else "a.warc"))
+    write_warc(path, _records(), compress=compress)
+    pdf = decode_warc_file(path)
+    assert list(pdf.warc_type) == ["warcinfo", "response", "request"]
+    resp = pdf[pdf.warc_type == "response"].iloc[0]
+    assert resp.http_status == 200
+    assert resp.http_content_type == "text/html"
+    assert resp.payload == b"<html><body>hi there</body></html>"
+    assert resp.target_uri == "https://a.example.org/x"
+    # non-response content is NOT http-split
+    req = pdf[pdf.warc_type == "request"].iloc[0]
+    assert req.http_status is None or req.http_status != req.http_status  # NaN
+    assert req.payload.startswith(b"GET /x")
+
+
+def test_gzip_members_are_independent(tmp_path):
+    """Each record is its own gzip member (the seekable .warc.gz layout):
+    the FIRST member alone must decompress to the first record."""
+    path = str(tmp_path / "a.warc.gz")
+    write_warc(path, _records(), compress=True)
+    raw = open(path, "rb").read()
+    # find the second member's magic after the first
+    second = raw.index(b"\x1f\x8b", 2)
+    first = gzip.decompress(raw[:second])
+    recs = list(iter_warc_records(first))
+    assert len(recs) == 1
+    assert recs[0][0]["warc-type"] == "warcinfo"
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError, match="malformed WARC"):
+        list(iter_warc_records(b"NOT A WARC\r\n\r\n"))
+
+
+def test_content_length_is_binary_safe():
+    """Content may contain CRLF CRLF — only Content-Length delimits."""
+    body = b"a\r\n\r\nb" * 3
+    recs = [
+        {
+            "warc_type": "resource",
+            "record_id": "<urn:uuid:3>",
+            "content_type": "application/octet-stream",
+            "content": body,
+        },
+        {
+            "warc_type": "resource",
+            "record_id": "<urn:uuid:4>",
+            "content_type": "application/octet-stream",
+            "content": b"tail",
+        },
+    ]
+    import io
+
+    buf = io.BytesIO()
+    # write uncompressed through the writer to a temp path-less buffer
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.warc")
+        write_warc(p, recs, compress=False)
+        got = list(iter_warc_records(open(p, "rb").read()))
+    assert got[0][1] == body
+    assert got[1][1] == b"tail"
+
+
+def test_load_warc_distributed(spark, tmp_path):
+    for j in range(3):
+        write_warc(str(tmp_path / f"c{j}.warc.gz"), _records(), compress=True)
+    df = load_warc(spark, str(tmp_path / "*.warc.gz"))
+    assert df.rdd.getNumPartitions() == 3  # one task per file
+    pdf = df.toPandas()
+    assert len(pdf) == 9
+    assert (pdf.warc_type == "response").sum() == 3
+
+
+def test_registry(spark, tmp_path):
+    from bcdp_spark.sources.registry import load as reg_load
+
+    write_warc(str(tmp_path / "c.warc.gz"), _records(), compress=True)
+    assert reg_load("warc", spark, str(tmp_path / "*.warc.gz")).count() == 3
