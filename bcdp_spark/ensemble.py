@@ -162,6 +162,43 @@ class Ensemble:
         kw.setdefault("space_cols", space)
         return cls(df, name_col=name_col, value_col=value_col, **kw)
 
+    @classmethod
+    def from_zarr(
+        cls,
+        spark,
+        pattern: str,
+        var: str | None = None,
+        name_col: str = "name",
+        **bounds,
+    ) -> "Ensemble":
+        """Build an Ensemble from one-or-many Zarr v2 stores (glob
+        pattern; the inverse of ``to_zarr``'s one-store-per-member
+        layout). Each store's rows are tagged with the store basename as
+        the member name; bounds kwargs (time_bnds/lev_bnds/lat_bnds/
+        lon_bnds) push down to per-store CHUNK PRUNING before any chunk
+        byte loads (sources/zarr.py)."""
+        import glob as _glob
+        import os as _os
+
+        from bcdp_spark.sources.zarr import load_zarr
+
+        stores = sorted(_glob.glob(pattern))
+        if not stores:
+            raise FileNotFoundError(f"no stores match {pattern!r}")
+        out = None
+        space: tuple[str, ...] = ("lat", "lon")
+        for store in stores:
+            member = _os.path.basename(store.rstrip("/"))
+            if member.endswith(".zarr"):
+                member = member[: -len(".zarr")]
+            df = load_zarr(spark, store, var=var, **bounds).withColumn(
+                name_col, F.lit(member)
+            )
+            if "lev" in df.columns:
+                space = ("lev", "lat", "lon")
+            out = df if out is None else out.unionByName(df)
+        return cls(out, name_col=name_col, space_cols=space)
+
     def to_xarray(self):
         """Collect the ensemble into an xarray Dataset (one data variable
         per member, dims = (time, [lev,] lat, lon)). Import-gated: needs

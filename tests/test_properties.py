@@ -485,3 +485,69 @@ def test_hash_split_threshold_validation():
         _thresholds([("a", 1.0), ("b", 0.0001)])
     ts = _thresholds([("train", 0.5), ("test", 0.5)])
     assert ts[0] == ("train", "80") and ts[1][1] == "g"
+
+
+# -- r3 codec properties: the vendored Zarr/WARC byte codecs must be
+# total inverses of their writers for arbitrary payloads ----------------
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    shape=st.tuples(
+        st.integers(1, 6), st.integers(1, 5), st.integers(1, 4)
+    ),
+    chunk=st.tuples(
+        st.integers(1, 6), st.integers(1, 5), st.integers(1, 4)
+    ),
+    seed=st.integers(0, 2**31 - 1),
+    comp=st.sampled_from([{"id": "zlib", "level": 1}, {"id": "gzip", "level": 1}, {}]),
+)
+def test_zarr_write_read_inverse(tmp_path_factory, shape, chunk, seed, comp):
+    import numpy as np
+
+    from bcdp_spark.sources.zarr import read_array, write_zarr
+
+    store = str(tmp_path_factory.mktemp("zprop") / "s.zarr")
+    rng = np.random.default_rng(seed)
+    arr = rng.normal(size=shape)
+    write_zarr(
+        store,
+        dims={"time": shape[0], "lat": shape[1], "lon": shape[2]},
+        variables={"v": (["time", "lat", "lon"], arr, {})},
+        chunks={"v": chunk},
+        compressor=comp,
+    )
+    back, attrs = read_array(store, "v")
+    np.testing.assert_array_equal(back, arr)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["time", "lat", "lon"]
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    contents=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+    compress=st.booleans(),
+)
+def test_warc_write_read_inverse(tmp_path_factory, contents, compress):
+    from bcdp_spark.sources.warc import iter_warc_records, write_warc
+
+    path = str(tmp_path_factory.mktemp("wprop") / "x.warc")
+    recs = [
+        {
+            "warc_type": "resource",
+            "record_id": f"<urn:uuid:{i}>",
+            "content_type": "application/octet-stream",
+            "content": c,
+        }
+        for i, c in enumerate(contents)
+    ]
+    write_warc(path, recs, compress=compress)
+    got = list(iter_warc_records(_read_warc_bytes(path)))
+    assert [g[1] for g in got] == contents
+    assert [g[0]["warc-record-id"] for g in got] == [r["record_id"] for r in recs]
+
+
+def _read_warc_bytes(path: str) -> bytes:
+    from bcdp_spark.sources.warc import _gunzip_members
+
+    raw = open(path, "rb").read()
+    return _gunzip_members(raw) if raw[:2] == b"\x1f\x8b" else raw

@@ -280,3 +280,38 @@ def test_ensemble_to_zarr_roundtrip(spark, tmp_path):
             m["path"], time_bnds=("2001-01-01", "2001-01-02")
         )
         assert total == 3 and kept == 1
+
+
+def test_ensemble_zarr_roundtrip_from_zarr(spark, tmp_path):
+    """to_zarr → from_zarr closes the loop: member names survive via
+    store basenames, values and schema identical."""
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for name in ("m0", "m1"):
+        for d in range(4):
+            for lat in (-10.0, 10.0):
+                rows.append(
+                    (
+                        name,
+                        (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime(),
+                        lat,
+                        0.0,
+                        float(d + lat),
+                    )
+                )
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    Ensemble(df).to_zarr(str(tmp_path / "z")).collect()
+    ens = Ensemble.from_zarr(spark, str(tmp_path / "z" / "*.zarr"))
+    back = ens.df.toPandas().sort_values(["name", "time", "lat", "lon"]).reset_index(drop=True)
+    want = df.toPandas().sort_values(["name", "time", "lat", "lon"]).reset_index(drop=True)
+    assert list(back.name.unique()) == ["m0", "m1"]
+    np.testing.assert_allclose(back.value.to_numpy(), want.value.to_numpy())
+    # bounds push down per store
+    sub = Ensemble.from_zarr(
+        spark, str(tmp_path / "z" / "*.zarr"), lat_bnds=(0.0, 90.0)
+    )
+    assert sub.df.filter("lat < 0").count() == 0
+    assert sub.df.count() == 2 * 4 * 1
