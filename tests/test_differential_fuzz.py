@@ -1,0 +1,115 @@
+"""Differential plan fuzzing: seeded-random filter/join/agg queries in
+the ANSI subset BOTH engines parse identically, executed by Spark and
+DuckDB on the same parquet and compared exactly.
+
+This extends the fixed-oracle suite with generative coverage: every
+seed is a new plan shape (predicate mix × join × grouping × aggregate
+mix × having), so dialect or semantics drift between the engines — or
+nondeterminism sneaking into our session defaults (timezone, decimal
+routing, shuffle-order sensitivity) — surfaces on plans nobody
+hand-wrote. Float sums route through DECIMAL(28,10) + STRING exactly
+like the registered oracles (`queries/__init__` determinism contract),
+so partial-aggregation order cannot flip a bit.
+
+Determinism: `random.Random(seed)` only — no time, no global RNG.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.compare import assert_frames_match
+from tests.conftest import SF_ORACLE
+
+_SUM_QTY = (
+    "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS STRING) AS DOUBLE)"
+)
+_SUM_PRICE = (
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS STRING)"
+    " AS DOUBLE)"
+)
+
+
+def _gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+
+    preds = []
+    pool = [
+        lambda: f"l_quantity {rng.choice(['<', '<=', '>', '>=', '='])} {rng.randint(1, 50)}",
+        lambda: (
+            f"l_shipdate >= TIMESTAMP '{rng.randint(1992, 1997)}-"
+            f"{rng.randint(1, 12):02d}-01 00:00:00'"
+        ),
+        lambda: (
+            "l_returnflag IN ("
+            + ", ".join(
+                f"'{v}'"
+                for v in rng.sample(["A", "N", "R"], rng.randint(1, 3))
+            )
+            + ")"
+        ),
+        lambda: f"l_linestatus = '{rng.choice(['O', 'F'])}'",
+        lambda: f"l_discount >= 0.0{rng.randint(1, 9)}",
+        lambda: f"l_orderkey % {rng.randint(2, 7)} = {rng.randint(0, 1)}",
+    ]
+    for fn in rng.sample(pool, rng.randint(1, 3)):
+        preds.append(fn())
+
+    join = rng.random() < 0.4
+    if join:
+        preds.append(
+            f"o_orderstatus {rng.choice(['=', '<>'])} "
+            f"'{rng.choice(['O', 'F', 'P'])}'"
+        )
+
+    group_pool = [
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+        ("YEAR(l_shipdate)", "yr"),
+        ("CAST(l_quantity AS INT) % 5", "qmod"),
+    ]
+    if join:
+        group_pool.append(("o_orderstatus", "o_orderstatus"))
+    groups = rng.sample(group_pool, rng.randint(0, 2))
+
+    agg_pool = [
+        ("COUNT(*)", "cnt"),
+        (_SUM_QTY, "sum_qty"),
+        (_SUM_PRICE, "sum_price"),
+        ("MIN(l_orderkey)", "min_ok"),
+        ("MAX(l_orderkey)", "max_ok"),
+        ("COUNT(DISTINCT l_orderkey)", "n_orders"),
+        ("MIN(l_shipdate)", "min_ship"),
+    ]
+    aggs = rng.sample(agg_pool, rng.randint(1, 3))
+    if ("COUNT(*)", "cnt") not in aggs:
+        aggs.append(("COUNT(*)", "cnt"))  # anchor for HAVING
+
+    select = [f"{expr} AS {alias}" for expr, alias in groups] + [
+        f"{expr} AS {alias}" for expr, alias in aggs
+    ]
+    sql = "SELECT " + ", ".join(select) + " FROM lineitem"
+    if join:
+        sql += " JOIN orders ON l_orderkey = o_orderkey"
+    sql += " WHERE " + " AND ".join(preds)
+    if groups:
+        sql += " GROUP BY " + ", ".join(expr for expr, _ in groups)
+        if rng.random() < 0.3:
+            sql += f" HAVING COUNT(*) > {rng.randint(0, 3)}"
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_differential_fuzz(seed, spark, duck):
+    from bcdp_spark.queries._helpers import utc
+    from bcdp_spark.tables import table
+
+    utc(spark)
+    for t in ("lineitem", "orders"):
+        table(spark, SF_ORACLE, t).createOrReplaceTempView(t)
+    sql = _gen_query(seed)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, f"fuzz[{seed}]: {sql}")
