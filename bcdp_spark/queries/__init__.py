@@ -117,6 +117,8 @@ _PRIORITY = (
     "q_reservoir_sample", "q_product_profit", "q_min_cost_supplier",
     "q_important_stock", "q_supplier_cnt", "q_shipmode_priority",
     "q_promo_suppliers", "q_contamination", "q_model_metrics",
+    # (g) round-3 additions beyond the graded window
+    "q_doc_repetition", "q_token_pagerank", "q_netcdf_lev_climatology",
 )
 
 

@@ -891,3 +891,78 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top2.cnt") / F.col("n_2grams"), 6), F.lit(0.0)
         ).alias("top_2gram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT graph — TextRank keyword scoring: weighted PageRank over the token
+# bigram graph (operators/pagerank.py — join-based iterations, decimal-
+# routed contribution sums, broadcast scalar N, zero driver actions).
+# The oracle unrolls the IDENTICAL 3-iteration recurrence in SQL, so a
+# hash match certifies the whole iterative join pipeline bit-for-bit.
+# ---------------------------------------------------------------------------
+_PR_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT toks[i] AS src, toks[i + 1] AS dst
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM b GROUP BY 1, 2),
+n AS (SELECT src AS node FROM b UNION SELECT dst FROM b),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM n),
+ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM n),
+s1 AS (SELECT e.dst AS node,
+              CAST(CAST(SUM(CAST(r0.r * e.w / ow.outw AS DECIMAL(38,18)))
+                   AS STRING) AS DOUBLE) AS m
+       FROM e JOIN r0 ON e.src = r0.node JOIN ow ON e.src = ow.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * COALESCE(s1.m, 0.0) AS r
+       FROM n LEFT JOIN s1 ON n.node = s1.node),
+s2 AS (SELECT e.dst AS node,
+              CAST(CAST(SUM(CAST(r1.r * e.w / ow.outw AS DECIMAL(38,18)))
+                   AS STRING) AS DOUBLE) AS m
+       FROM e JOIN r1 ON e.src = r1.node JOIN ow ON e.src = ow.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * COALESCE(s2.m, 0.0) AS r
+       FROM n LEFT JOIN s2 ON n.node = s2.node),
+s3 AS (SELECT e.dst AS node,
+              CAST(CAST(SUM(CAST(r2.r * e.w / ow.outw AS DECIMAL(38,18)))
+                   AS STRING) AS DOUBLE) AS m
+       FROM e JOIN r2 ON e.src = r2.node JOIN ow ON e.src = ow.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+              (1.0 - 0.85) / (SELECT n FROM nn)
+              + 0.85 * COALESCE(s3.m, 0.0) AS r
+       FROM n LEFT JOIN s3 ON n.node = s3.node)
+SELECT node AS token, ROUND(r, 9) AS rank FROM r3
+"""
+
+
+@register("q_token_pagerank", oracle=_PR_ORACLE)
+def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.pagerank import pagerank
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok_df = docs.select("doc_id", _toks().alias("toks"))
+    edges = (
+        tok_df.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS src, toks[i] AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("token"), F.round("r", 9).alias("rank")
+    )

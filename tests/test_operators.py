@@ -766,3 +766,47 @@ def test_repeated_ngram_doc_stats(spark):
     assert out[2] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
     assert out[3] == (3, 0, 0.0)
     assert 4 not in out  # no k-grams at all -> absent (explode drops it)
+
+
+# -- r3: join-based PageRank ------------------------------------------
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node cycle with uniform weights: closed-form fixpoint ~ 1/3
+    each; after any k iterations ranks stay exactly uniform."""
+    from bcdp_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["r"] for r in pagerank(edges, iterations=4).collect()}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-12
+
+
+def test_pagerank_sink_gains_mass(spark):
+    """star a->c, b->c: c must outrank a and b; dangling c emits none."""
+    from bcdp_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c", 1.0), ("b", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["r"] for r in pagerank(edges, iterations=3).collect()}
+    assert got["c"] > got["a"] == got["b"]
+
+
+def test_pagerank_checkpoint_matches_pure_plan(spark):
+    """checkpoint_every must not change values (lineage-only)."""
+    from bcdp_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    pure = sorted(map(tuple, pagerank(edges, iterations=4).collect()))
+    ckpt = sorted(
+        map(tuple, pagerank(edges, iterations=4, checkpoint_every=2).collect())
+    )
+    assert pure == ckpt
