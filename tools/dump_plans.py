@@ -36,6 +36,11 @@ HEADLINE = (
     # round-3 additions — curvilinear regrid (binned-neighbor equi-join)
     "q_curvilinear_regrid",
     "q_nearest_regrid",
+    # round-3 ingest + graph flagships
+    "q_zarr_climatology",
+    "q_warc_ingest",
+    "q_doc_repetition",
+    "q_token_pagerank",
 )
 
 
