@@ -46,6 +46,7 @@ _MODULES = (
     "bcdp_spark.queries.corpus",
     "bcdp_spark.queries.zarr_io",
     "bcdp_spark.queries.warc_io",
+    "bcdp_spark.queries.jsonl_io",
 )
 
 
@@ -119,6 +120,7 @@ _PRIORITY = (
     "q_promo_suppliers", "q_contamination", "q_model_metrics",
     # (g) round-3 additions beyond the graded window
     "q_doc_repetition", "q_token_pagerank", "q_netcdf_lev_climatology",
+    "q_jsonl_ingest",
 )
 
 

@@ -1,0 +1,123 @@
+"""JSONL ingestion query key (EXT S10 — the interchange format LLM
+corpora actually ship as): driver-gradable proof of schema-on-read with
+MALFORMED-LINE handling, the first real-world failure mode of corpus
+ingest.
+
+The callable writes a deterministic .jsonl fixture where every 7th-ish
+line is broken mid-token, reads it with Spark's native JSON source in
+PERMISSIVE mode (explicit schema + ``columnNameOfCorruptRecord`` — the
+100 TB posture: never infer schema over a corpus, never die on one bad
+line), buckets corrupt lines under ``__corrupt``, and aggregates per
+language. The DuckDB oracle recomputes the identical closed form via
+``generate_series``. Decimal-routed sums keep the hash exact.
+
+Scale: Spark's JSON reader splits uncompressed JSONL by byte ranges
+(line-aligned) — parallelism within a file, not just across files; the
+explicit schema prunes parsing to the referenced fields.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import utc
+
+_FIX_DIR = "/tmp/bcdp_spark_jsonl_fixture_v1"
+_N = 120  # lines across 2 files
+
+
+def _line(i: int) -> str:
+    if i % 7 == 3:
+        return '{"id": ' + str(i) + ', "lang": "l'  # truncated mid-string
+    return (
+        f'{{"id": {i}, "lang": "l{i % 3}", "score": {i * 25}e-2, '
+        f'"text": "t{i:03d}"}}'
+    )
+
+
+def _ensure_fixture() -> str:
+    done = os.path.join(_FIX_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIX_DIR
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    half = _N // 2
+    for j in range(2):
+        tmp = os.path.join(_FIX_DIR, f".part{j}.jsonl.tmp")
+        with open(tmp, "w") as fh:
+            for i in range(j * half, (j + 1) * half):
+                fh.write(_line(i) + "\n")
+        os.replace(tmp, os.path.join(_FIX_DIR, f"part{j}.jsonl"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIX_DIR
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+@register(
+    "q_jsonl_ingest",
+    oracle=f"""
+WITH r AS (
+  SELECT g AS i,
+         CASE WHEN g % 7 = 3 THEN '__corrupt'
+              ELSE 'l' || CAST(g % 3 AS VARCHAR) END AS lang,
+         CASE WHEN g % 7 = 3 THEN NULL ELSE g * 0.25 END AS score,
+         CASE WHEN g % 7 = 3 THEN NULL ELSE g END AS id
+  FROM generate_series(0, {_N - 1}) t(g)
+)
+SELECT lang,
+       COUNT(*) AS n_lines,
+       CAST(COUNT(id) AS BIGINT) AS n_parsed,
+       CAST(CAST(SUM(CAST(score AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_score,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM r GROUP BY lang
+""",
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 end-to-end: real .jsonl bytes (with broken lines) →
+    PERMISSIVE schema-on-read → corrupt-bucketed per-language stats.
+    ``sf_dir`` unused (synthetic parse fixture)."""
+    utc(spark)
+    fix = _ensure_fixture()
+    df = (
+        spark.read.schema(_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(os.path.join(fix, "*.jsonl"))
+    )
+    # Bucket strictly on the corrupt marker and NULL every field of a
+    # corrupt row: Spark 3.4+ keeps PARTIAL results for fields parsed
+    # before the syntax error (spark.sql.json.enablePartialResults), so
+    # trusting field-nullness would leak half-parsed values into stats.
+    valid = F.col("_corrupt").isNull()
+    return (
+        df.select(
+            F.when(valid, F.col("lang")).otherwise(F.lit("__corrupt")).alias("lang"),
+            F.when(valid, F.col("id")).alias("id"),
+            F.when(valid, F.col("score")).alias("score"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count("id").alias("n_parsed"),
+            F.sum(F.col("score").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_score"),
+            F.max("id").alias("max_id"),
+        )
+    )
