@@ -401,11 +401,17 @@ def repeated_ngram_doc_stats(
     single-node.
 
     Plan: tokenize -> per-position k-grams (pure array expressions, no
-    UDF) -> ONE shuffle on the gram for a windowed corpus count ->
-    one shuffle back on the doc id for per-doc stats. No joins. At
-    100 TB the gram key should be xxhash64(gram) (8-byte shuffle keys);
-    the string key here keeps the operator oracle-twinnable — both
-    shapes shuffle once on the gram.
+    UDF) -> map-side-combinable hash agg on the gram (the shuffle
+    carries DISTINCT grams, not gram positions) -> SHUFFLE_HASH join
+    back onto the positions -> per-doc agg. A windowed
+    ``COUNT(*) OVER (PARTITION BY gram)`` computes the same thing in
+    one shuffle but SORTS every gram position; the 10x smoke measured
+    that shape super-linear (12.2x — n log n on duplicated-gram sort
+    runs) while this agg+hash-join shape has no sort at all. The hint
+    matters: plain join would pick sort-merge and reintroduce the sort.
+    At 100 TB the gram key should additionally be xxhash64(gram)
+    (8-byte shuffle keys); the string key here keeps the operator
+    oracle-twinnable.
     """
     _guard_reserved(df, ("__toks", "__gram", "__cnt"))
     toks = F.split(F.col(text_col), sep)
@@ -419,8 +425,8 @@ def repeated_ngram_doc_stats(
         df.select(F.col(id_col), toks.alias("__toks"))
         .select(F.col(id_col), F.explode(grams).alias("__gram"))
     )
-    w = Window.partitionBy("__gram")
-    c = g.withColumn("__cnt", F.count(F.lit(1)).over(w))
+    gc = g.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cnt"))
+    c = g.join(gc.hint("SHUFFLE_HASH"), "__gram")
     return c.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count(F.when(F.col("__cnt") >= min_count, 1)).alias("n_rep"),

@@ -184,7 +184,24 @@ def ops(spark, sf_dir):
         "embed_neardup": t(lambda: embedding_near_dup(
             emb, "vec_id", "embedding", 64, threshold=0.9,
             bucket_cap=200).count()),
+        # r3: doc-internal repetition signals — two (doc, gram) hash aggs
+        # + a doc_id join; gram rows scale linearly with documents
+        "doc_repetition": t(lambda: _q("q_doc_repetition")(spark, sf_dir)
+                            .count()),
+        # r3: TextRank (3-iteration join-based PageRank over the bigram
+        # graph). Node/edge count grows with VOCAB, not documents — the
+        # synthetic 10x duplicates texts, so the graph is identical and
+        # only the edge-weight aggregation scans more rows; expect a
+        # ratio well under FACTOR.
+        "token_pagerank": t(lambda: _q("q_token_pagerank")(spark, sf_dir)
+                            .count()),
     }
+
+
+def _q(key):
+    import bcdp_spark.queries as q
+
+    return q.queries()[key]
 
 
 def main():
@@ -241,8 +258,19 @@ def main():
             "  rows while density stays constant (shifted ids extend the",
             "  coordinate domain), so candidate pairs per destination are",
             "  bounded and total work is linear by construction.",
-            "- **repeated_ngrams**: gram rows are linear in corpus size;",
-            "  one shuffle on the gram (windowed count), one on doc_id.",
+            "- **repeated_ngrams**: gram rows are linear in corpus size.",
+            "  r3 rewrite: the corpus count moved from a windowed",
+            "  COUNT OVER (PARTITION BY gram) — which SORTS every gram",
+            "  position and smoked super-linear at 12.2x — to a map-side-",
+            "  combinable hash agg + SHUFFLE_HASH join (no sort anywhere);",
+            "  measured 3.2x after the rewrite, oracle unchanged.",
+            "- **token_pagerank**: the bigram graph grows with VOCAB, not",
+            "  corpus size (the synthetic 10x duplicates texts), so only",
+            "  the edge-weight aggregation scans more rows; the three",
+            "  iteration joins run on the persisted constant-size graph.",
+            "- **doc_repetition**: two (doc, gram) hash aggs + a doc_id",
+            "  join — shuffle keys are short grams; map-side combine",
+            "  absorbs the duplicated texts.",
             "",
         ]
         body = "\n".join(lines)
