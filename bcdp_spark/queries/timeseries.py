@@ -791,3 +791,100 @@ def q_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(varx) * F.sqrt(vary)),
         ).alias("pattern_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4c — Taylor-diagram statistics (the OCW/bcdp model-evaluation plot:
+# Taylor 2001): per member vs the ensemble-mean reference — stddev RATIO,
+# CENTERED RMS, and the same pattern_corr family as q_model_metrics. All
+# three derive from exact quantized-INTEGER sums (sx/sxx/syy/d_sum/sq_sum),
+# so both engines do the identical double arithmetic on identical
+# integers — bit-exact without rounding; ROUND(9) is belt-and-braces.
+# Members = event_type (the compact Taylor table); the fact table
+# shuffles once per keyed aggregation, reference join is broadcast-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "q_taylor_stats",
+    oracle=f"""
+WITH member AS (
+  SELECT {HOUR_EPOCH_SQL.format(c='ts')} AS hour_s, event_type,
+         {davg_sql('value', 'm')}
+  FROM events GROUP BY 1, 2
+),
+ref AS (
+  SELECT hour_s, {davg_sql('m', 'ref_m')} FROM member GROUP BY 1
+),
+q AS (
+  SELECT event_type,
+         CAST(FLOOR(m * 100000 + 0.5) AS BIGINT) AS mq,
+         CAST(FLOOR(ref_m * 100000 + 0.5) AS BIGINT) AS rq
+  FROM member JOIN ref USING (hour_s)
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(mq - rq) AS BIGINT) AS d_sum,
+         CAST(SUM((mq - rq) * (mq - rq)) AS BIGINT) AS sq_sum,
+         CAST(SUM(mq) AS BIGINT) AS sx, CAST(SUM(rq) AS BIGINT) AS sy,
+         CAST(SUM(mq * mq) AS BIGINT) AS sxx,
+         CAST(SUM(rq * rq) AS BIGINT) AS syy
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       CASE WHEN CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN ROUND(sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / sqrt(CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 9)
+       END AS stddev_ratio,
+       ROUND(sqrt(CAST(n_hours AS DOUBLE) * CAST(sq_sum AS DOUBLE)
+                    - CAST(d_sum AS DOUBLE) * CAST(d_sum AS DOUBLE))
+             / CAST(n_hours AS DOUBLE) / 100000.0, 9) AS centered_rms
+FROM sums
+""",
+)
+def q_taylor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    member = ev.groupBy(
+        hour_epoch(F.col("ts")).alias("hour_s"), "event_type"
+    ).agg(davg(F.col("value"), "m"))
+    ref = member.groupBy("hour_s").agg(davg(F.col("m"), "ref_m"))
+    j = member.join(F.broadcast(ref), "hour_s").select(
+        "event_type",
+        F.floor(F.col("m") * 100000 + 0.5).alias("mq"),
+        F.floor(F.col("ref_m") * 100000 + 0.5).alias("rq"),
+    )
+    d = F.col("mq") - F.col("rq")
+    sums = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(d).alias("d_sum"),
+        F.sum(d * d).alias("sq_sum"),
+        F.sum("mq").alias("sx"),
+        F.sum("rq").alias("sy"),
+        F.sum(F.col("mq") * F.col("mq")).alias("sxx"),
+        F.sum(F.col("rq") * F.col("rq")).alias("syy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary = nd * F.col("syy").cast("double") - syd * syd
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(F.sqrt(varx) / F.sqrt(vary), 9),
+        ).alias("stddev_ratio"),
+        F.round(
+            F.sqrt(
+                nd * F.col("sq_sum").cast("double")
+                - F.col("d_sum").cast("double") * F.col("d_sum").cast("double")
+            )
+            / nd
+            / 100000.0,
+            9,
+        ).alias("centered_rms"),
+    )

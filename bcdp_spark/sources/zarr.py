@@ -69,9 +69,33 @@ def _read_json(path: str) -> dict:
         return json.load(fh)
 
 
-def read_array_meta(store: str, name: str) -> ZArrayMeta:
+def read_consolidated(store: str) -> dict | None:
+    """Consolidated metadata (``.zmetadata``, zarr v2 convention written
+    by ``zarr.consolidate_metadata`` / xarray): every array's .zarray +
+    .zattrs in ONE json document. On object storage this turns O(arrays)
+    metadata round-trips into one GET — the difference between opening a
+    million-chunk store in milliseconds vs seconds. Returns the
+    ``metadata`` mapping or None when absent (fall back to per-file)."""
+    path = os.path.join(store, ".zmetadata")
+    if not os.path.exists(path):
+        return None
+    doc = _read_json(path)
+    if int(doc.get("zarr_consolidated_format", 1)) != 1:
+        raise NotImplementedError(
+            f".zmetadata format {doc.get('zarr_consolidated_format')} "
+            "not supported (expected 1)"
+        )
+    return doc["metadata"]
+
+
+def read_array_meta(
+    store: str, name: str, consolidated: dict | None = None
+) -> ZArrayMeta:
     adir = os.path.join(store, name)
-    za = _read_json(os.path.join(adir, ".zarray"))
+    if consolidated is not None and f"{name}/.zarray" in consolidated:
+        za = consolidated[f"{name}/.zarray"]
+    else:
+        za = _read_json(os.path.join(adir, ".zarray"))
     if int(za.get("zarr_format", 2)) != 2:
         raise NotImplementedError(
             f"{name}: only Zarr v2 stores are supported "
@@ -87,8 +111,11 @@ def read_array_meta(store: str, name: str) -> ZArrayMeta:
             f"{name}: compressor {comp.get('id')!r} needs a codec not in "
             "this container (supported: null, zlib, gzip)"
         )
-    attrs_path = os.path.join(adir, ".zattrs")
-    attrs = _read_json(attrs_path) if os.path.exists(attrs_path) else {}
+    if consolidated is not None and f"{name}/.zattrs" in consolidated:
+        attrs = consolidated[f"{name}/.zattrs"]
+    else:
+        attrs_path = os.path.join(adir, ".zattrs")
+        attrs = _read_json(attrs_path) if os.path.exists(attrs_path) else {}
     return ZArrayMeta(
         shape=tuple(za["shape"]),
         chunks=tuple(za["chunks"]),
@@ -135,10 +162,12 @@ def _read_chunk(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -
     return decode_chunk_bytes(raw, meta)[trim]
 
 
-def read_array(store: str, name: str) -> tuple[np.ndarray, dict]:
+def read_array(
+    store: str, name: str, consolidated: dict | None = None
+) -> tuple[np.ndarray, dict]:
     """Whole-array read (driver-side; used for the SMALL 1-D coordinate
     arrays only — the data variable goes through the distributed path)."""
-    meta = read_array_meta(store, name)
+    meta = read_array_meta(store, name, consolidated)
     grid = [range((s + c - 1) // c) for s, c in zip(meta.shape, meta.chunks)]
     out = np.empty(meta.shape, dtype=meta.dtype)
     idxs = [()]
@@ -153,7 +182,13 @@ def read_array(store: str, name: str) -> tuple[np.ndarray, dict]:
     return out, meta.attrs
 
 
-def _list_arrays(store: str) -> list[str]:
+def _list_arrays(store: str, consolidated: dict | None = None) -> list[str]:
+    if consolidated is not None:
+        return sorted(
+            k[: -len("/.zarray")]
+            for k in consolidated
+            if k.endswith("/.zarray")
+        )
     return sorted(
         d
         for d in os.listdir(store)
@@ -162,9 +197,11 @@ def _list_arrays(store: str) -> list[str]:
     )
 
 
-def _pick_data_var(store: str, var: str | None) -> tuple[str, ZArrayMeta]:
-    names = _list_arrays(store)
-    metas = {n: read_array_meta(store, n) for n in names}
+def _pick_data_var(
+    store: str, var: str | None, consolidated: dict | None = None
+) -> tuple[str, ZArrayMeta]:
+    names = _list_arrays(store, consolidated)
+    metas = {n: read_array_meta(store, n, consolidated) for n in names}
     if var is not None:
         if var not in metas:
             raise KeyError(f"no array {var!r} in {store} (arrays: {names})")
@@ -211,7 +248,8 @@ def _plan_chunks(
     enumerate the chunk grid, and prune chunks whose coordinate span is
     wholly outside the requested bounds. Returns
     (name, meta, coords, kept_idxs, total_chunks)."""
-    name, meta = _pick_data_var(store, var)
+    consolidated = read_consolidated(store)
+    name, meta = _pick_data_var(store, var, consolidated)
     dims = meta.dims
     if len(meta.shape) not in (3, 4) or not dims:
         raise ValueError(
@@ -223,7 +261,7 @@ def _plan_chunks(
     # tiny 1-D coordinate arrays, decoded once on the driver
     coords: dict[str, np.ndarray] = {}
     for d in dims:
-        vals, cattrs = read_array(store, d)
+        vals, cattrs = read_array(store, d, consolidated)
         coords[d] = (
             np.asarray(_decode_time(vals, cattrs).values)
             if d == dims[0]
@@ -373,6 +411,7 @@ def write_zarr(
     os.makedirs(store, exist_ok=True)
     with open(os.path.join(store, ".zgroup"), "w") as fh:
         json.dump({"zarr_format": 2}, fh)
+    consolidated: dict[str, dict] = {".zgroup": {"zarr_format": 2}}
     for name, (vdims, arr, attrs) in variables.items():
         arr = np.ascontiguousarray(arr)
         vchunks = (chunks or {}).get(name, arr.shape)
@@ -388,10 +427,13 @@ def write_zarr(
             "order": "C",
             "filters": None,
         }
+        zattrs = {"_ARRAY_DIMENSIONS": vdims, **attrs}
         with open(os.path.join(adir, ".zarray"), "w") as fh:
             json.dump(za, fh)
         with open(os.path.join(adir, ".zattrs"), "w") as fh:
-            json.dump({"_ARRAY_DIMENSIONS": vdims, **attrs}, fh)
+            json.dump(zattrs, fh)
+        consolidated[f"{name}/.zarray"] = za
+        consolidated[f"{name}/.zattrs"] = zattrs
         ngrid = [
             (s + c - 1) // c for s, c in zip(arr.shape, vchunks)
         ]
@@ -420,6 +462,11 @@ def write_zarr(
                 os.path.join(adir, ".".join(str(i) for i in idx)), "wb"
             ) as fh:
                 fh.write(raw)
+    # consolidated metadata (one GET opens the store on object storage)
+    with open(os.path.join(store, ".zmetadata"), "w") as fh:
+        json.dump(
+            {"zarr_consolidated_format": 1, "metadata": consolidated}, fh
+        )
 
 
 @register_data_source("zarr")

@@ -315,3 +315,25 @@ def test_ensemble_zarr_roundtrip_from_zarr(spark, tmp_path):
     )
     assert sub.df.filter("lat < 0").count() == 0
     assert sub.df.count() == 2 * 4 * 1
+
+
+def test_consolidated_metadata(spark, tmp_path):
+    """.zmetadata is written by the writer and is SUFFICIENT for reads:
+    delete every per-array .zarray/.zattrs and the store still loads."""
+    from bcdp_spark.sources.zarr import read_consolidated
+
+    store, expect = _write_store(tmp_path)
+    meta = read_consolidated(store)
+    assert meta is not None
+    assert "pr/.zarray" in meta and "pr/.zattrs" in meta
+    # remove per-array metadata; only chunk files + .zmetadata remain
+    for name in ("pr", "time", "lat", "lon"):
+        os.remove(os.path.join(store, name, ".zarray"))
+        for f in (".zattrs",):
+            p = os.path.join(store, name, f)
+            if os.path.exists(p):
+                os.remove(p)
+    pdf = load_zarr(spark, store).toPandas()
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+    kept, total = pruned_chunk_count(store, lat_bnds=(0.0, 90.0))
+    assert kept < total
