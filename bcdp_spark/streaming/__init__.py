@@ -312,3 +312,53 @@ def running_user_state_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def jsonl_corpus_stream(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """ST — continuous corpus ingest: file-source stream over a JSONL
+    drop directory (the arrival pattern of crawl deliveries). Explicit
+    schema (never infer on a stream), PERMISSIVE corrupt bucketing to a
+    `_corrupt` column; each micro-batch processes newly arrived files.
+    Scale: file-source streaming tracks seen files in the checkpoint and
+    parallelizes a batch by byte-range splits, same as the batch reader.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def corpus_quality_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    min_chars: int = 10,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST — streaming corpus-quality gate + windowed per-language intake
+    stats: drop corrupt rows and too-short docs, then count + volume per
+    (event-time window, lang). Watermarked tumbling window → state is
+    bounded and late deliveries beyond the watermark are dropped — the
+    continuous twin of the batch quality gate (q_quality_score family).
+    Works identically on a batch DataFrame (window() is the same
+    expression), which is what the equivalence test asserts."""
+    good = stream.filter(
+        F.col("_corrupt").isNull() & (F.length("text") >= min_chars)
+    )
+    if isinstance(stream.schema, T.StructType) and stream.isStreaming:
+        good = good.withWatermark(ts_col, watermark)
+    return good.groupBy(
+        F.window(F.col(ts_col), width).alias("win"), "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    ).select(
+        F.unix_timestamp(F.col("win.start")).alias("win_s"),
+        "lang",
+        "n_docs",
+        "sum_chars",
+    )

@@ -270,3 +270,73 @@ def test_transform_with_state_matches_batch(spark, stream):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_jsonl_corpus_stream_matches_batch(spark, tmp_path):
+    """ST: file-source JSONL corpus stream (quality gate + windowed
+    per-lang intake) produces exactly the batch result over the same
+    files, including corrupt-line exclusion."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from bcdp_spark.streaming import (
+        corpus_quality_counts,
+        jsonl_corpus_stream,
+        run_available_now,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    d = tmp_path / "drop"
+    d.mkdir()
+    for j in range(2):
+        with open(d / f"f{j}.jsonl", "w") as fh:
+            for i in range(j * 30, (j + 1) * 30):
+                if i % 9 == 4:
+                    fh.write('{"doc_id": ' + str(i) + ', "lang": "x\n')
+                else:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": i,
+                                "lang": f"l{i % 2}",
+                                "text": ("t" * (5 if i % 11 == 0 else 20)),
+                                "ts": f"2001-01-01 {i % 24:02d}:30:00",
+                            }
+                        )
+                        + "\n"
+                    )
+    stream = jsonl_corpus_stream(spark, str(d / "*.jsonl"), schema)
+    assert stream.isStreaming
+    # complete mode: append would withhold windows the final watermark
+    # has not closed (the last 2h of event time), which is exactly the
+    # semantics difference this equivalence test must not depend on
+    got = run_available_now(
+        corpus_quality_counts(stream), "corpus_intake", mode="complete"
+    ).toPandas()
+    batch = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(d / "*.jsonl"))
+    )
+    want = corpus_quality_counts(batch).toPandas()
+    key = ["win_s", "lang"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True),
+    )
+    # the quality gate actually fired: corrupt + short docs excluded
+    assert int(want.n_docs.sum()) == 60 - (60 // 9 + 1) - len(
+        [i for i in range(60) if i % 9 != 4 and i % 11 == 0]
+    )
