@@ -321,3 +321,150 @@ def nearest_regrid(
         .filter(F.col("__rn") == 1)
         .select(*keys, value_col, F.col("__d2").alias("d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Great-circle (haversine) variants — the spherical distance real climate
+# grids need (ESMF computes on the sphere; planar distance distorts badly
+# poleward). Binning stays an equi-join: lat bins are radius_km worth of
+# degrees; lon bins widen by 1/cos(lat_cap) so a 3x3 neighborhood still
+# covers radius_km at every latitude up to |lat| <= lat_cap (guarded —
+# poleward of the cap the bin math would under-cover and we refuse
+# rather than silently drop neighbors).
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+_KM_PER_DEG = 111.19492664455873  # pi/180 * R
+
+
+def haversine_km(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Great-circle distance in km, pure JVM expressions (radians/sin/
+    cos/asin — whole-stage codegen, no UDF)."""
+    p1, l1 = F.radians(F.col(lat1) if isinstance(lat1, str) else lat1), F.radians(
+        F.col(lon1) if isinstance(lon1, str) else lon1
+    )
+    p2, l2 = F.radians(F.col(lat2) if isinstance(lat2, str) else lat2), F.radians(
+        F.col(lon2) if isinstance(lon2, str) else lon2
+    )
+    dphi, dlmb = p2 - p1, l2 - l1
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def binned_neighbor_pairs_haversine(
+    src: DataFrame,
+    dst: DataFrame,
+    radius_km: float,
+    lat_cap: float = 80.0,
+    src_lat: str = "lat",
+    src_lon: str = "lon",
+    dst_lat: str = "dst_lat",
+    dst_lon: str = "dst_lon",
+) -> DataFrame:
+    """All (src, dst) pairs with great-circle distance <= radius_km via
+    the 3x3 degree-bin equi-join; output adds ``__km``. Inputs beyond
+    |lat| > lat_cap raise (see module note)."""
+    import math
+
+    overlap = set(src.columns) & set(dst.columns)
+    if overlap:
+        raise ValueError(f"src/dst column collision: {sorted(overlap)}")
+    lat_bin = radius_km / _KM_PER_DEG
+    lon_bin = lat_bin / math.cos(math.radians(lat_cap))
+    # lon bins wrap at the dateline: index mod n_lon, so a pair straddling
+    # +-180 still lands in adjacent (mod) bins. The remainder bin being
+    # narrower than lon_bin never breaks the 3x3 cover (any two points
+    # within lon_bin degrees of wrapped longitude differ by <= 1 mod-bin).
+    n_lon = max(int(math.ceil(360.0 / lon_bin)), 3)
+
+    def _lon_bin(lon_col: str) -> Column:
+        return F.pmod(F.floor(F.col(lon_col) / lon_bin), F.lit(n_lon))
+
+    def _binned(df: DataFrame, lat: str, lon: str, probe: bool) -> DataFrame:
+        guard = F.when(
+            F.abs(F.col(lat)) > lat_cap,
+            F.raise_error(
+                F.lit(
+                    f"latitude beyond lat_cap={lat_cap}: haversine binning "
+                    "would under-cover; raise lat_cap or pre-filter"
+                )
+            ),
+        ).otherwise(F.col(lat))
+        df = df.withColumn(lat, guard)
+        out = df.withColumn("__blat", F.floor(F.col(lat) / lat_bin)).withColumn(
+            "__blon", _lon_bin(lon)
+        )
+        if not probe:
+            return out
+        nb = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a in (-1, 0, 1)
+                    for b in (-1, 0, 1)
+                ]
+            )
+        )
+        return (
+            df.withColumn("__nb", nb)
+            .withColumn(
+                "__blat", F.floor(F.col(lat) / lat_bin) + F.col("__nb.a")
+            )
+            .withColumn(
+                "__blon",
+                F.pmod(_lon_bin(lon) + F.col("__nb.b"), F.lit(n_lon)),
+            )
+            .drop("__nb")
+        )
+
+    s = _binned(src, src_lat, src_lon, probe=False)
+    d = _binned(dst, dst_lat, dst_lon, probe=True)
+    km = haversine_km(src_lat, src_lon, dst_lat, dst_lon)
+    return (
+        s.join(d, ["__blat", "__blon"])
+        .withColumn("__km", km)
+        .filter(F.col("__km") <= radius_km)
+        .drop("__blat", "__blon")
+    )
+
+
+def nearest_regrid_haversine(
+    src: DataFrame,
+    dst: DataFrame,
+    radius_km: float,
+    src_lat: str = "lat",
+    src_lon: str = "lon",
+    value_col: str = "value",
+    dst_lat: str = "dst_lat",
+    dst_lon: str = "dst_lon",
+    dst_keys: Sequence[str] | None = None,
+    tiebreak: Sequence[str] = (),
+    lat_cap: float = 80.0,
+) -> DataFrame:
+    """Spherical nearest-source regrid (ESMF 'nearest_s2d' on the
+    sphere): each destination takes its great-circle-nearest source
+    value within radius_km."""
+    from pyspark.sql import Window
+
+    keys = list(dst_keys) if dst_keys is not None else [dst_lat, dst_lon]
+    pairs = binned_neighbor_pairs_haversine(
+        src.filter(F.col(value_col).isNotNull()),
+        dst,
+        radius_km,
+        lat_cap,
+        src_lat,
+        src_lon,
+        dst_lat,
+        dst_lon,
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__km"), *tiebreak)
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, value_col, F.col("__km").alias("km"))
+    )

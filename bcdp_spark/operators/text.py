@@ -5,6 +5,7 @@ column expressions (whole-stage codegen); no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -118,3 +119,29 @@ def fingerprint_minsample(
 def content_fingerprint(col: str) -> Column:
     """Exact content fingerprint (md5 hex — stable across engines)."""
     return F.md5(F.col(col))
+
+
+def compression_ratio(col: str = "text", level: int = 6) -> Column:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    classic cheap repetitiveness signal (highly repetitive or templated
+    text compresses far below ~0.4; high-entropy gibberish stays near
+    1.0). Arrow-batched pandas UDF (U4 family): zlib is CPU-bound C
+    code, so the Python tax is one Arrow copy per batch, not per row.
+    Deterministic for a fixed level (zlib output is fully specified by
+    input+level+strategy), so rows-only keys repeat bit-identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(F.col(col))

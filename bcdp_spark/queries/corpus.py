@@ -966,3 +966,31 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("token"), F.round("r", 9).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ — compression-ratio quality signal (zlib bytes-out/bytes-in per
+# doc; Arrow-batched pandas UDF — operators/text.py compression_ratio).
+# No SQL oracle (DuckDB has no zlib): rows-only, repeat-run determinism
+# guaranteed by zlib's fully-specified output for a fixed level.
+# ---------------------------------------------------------------------------
+@register("q_compress_ratio")
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import compression_ratio
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", compression_ratio("text").alias("ratio"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(28,10)"))
+                .cast("double"),
+                9,
+            ).alias("sum_ratio"),
+            F.round(F.min("ratio"), 9).alias("min_ratio"),
+            F.round(F.max("ratio"), 9).alias("max_ratio"),
+        )
+    )

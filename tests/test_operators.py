@@ -810,3 +810,85 @@ def test_pagerank_checkpoint_matches_pure_plan(spark):
         map(tuple, pagerank(edges, iterations=4, checkpoint_every=2).collect())
     )
     assert pure == ckpt
+
+
+# -- r3: haversine (great-circle) neighbor ops ------------------------
+
+
+def _brute_haversine_nearest(src_rows, dst_rows, radius_km):
+    import math
+
+    R = 6371.0088
+
+    def hav(a, b):
+        p1, l1, p2, l2 = map(math.radians, (a[0], a[1], b[0], b[1]))
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(h))
+
+    out = {}
+    for did, dlat, dlon in dst_rows:
+        best = None
+        for slat, slon, v, sid in src_rows:
+            d = hav((slat, slon), (dlat, dlon))
+            if d <= radius_km and (
+                best is None or (d, sid) < (best[0], best[2])
+            ):
+                best = (d, v, sid)
+        if best is not None:
+            out[did] = (round(best[0], 6), best[1])
+    return out
+
+
+def test_haversine_nearest_matches_bruteforce(spark):
+    """Spherical nearest-regrid == O(n*m) brute force on a seeded cloud
+    spanning high latitudes (where planar distance would get it wrong)."""
+    import random
+
+    from bcdp_spark.operators.regrid import nearest_regrid_haversine
+
+    rng = random.Random(7)
+    src_rows = [
+        (rng.uniform(-75, 75), rng.uniform(-180, 180), float(i), i)
+        for i in range(300)
+    ]
+    dst_rows = [
+        (j, rng.uniform(-75, 75), rng.uniform(-180, 180)) for j in range(80)
+    ]
+    src = spark.createDataFrame(
+        src_rows, "slat double, slon double, sval double, sid long"
+    )
+    dst = spark.createDataFrame(dst_rows, "did long, dlat double, dlon double")
+    got = {
+        r["did"]: (round(r["km"], 6), r["sval"])
+        for r in nearest_regrid_haversine(
+            src, dst, radius_km=800.0,
+            src_lat="slat", src_lon="slon", value_col="sval",
+            dst_lat="dlat", dst_lon="dlon", dst_keys=("did",),
+            tiebreak=("sid",),
+        ).collect()
+    }
+    want = _brute_haversine_nearest(
+        [(a, b, v, i) for a, b, v, i in src_rows], dst_rows, 800.0
+    )
+    assert got == want
+    assert len(want) > 10  # the radius actually matches many points
+
+
+def test_haversine_lat_cap_guard(spark):
+    from bcdp_spark.operators.regrid import nearest_regrid_haversine
+
+    src = spark.createDataFrame(
+        [(85.0, 0.0, 1.0, 1)], "slat double, slon double, sval double, sid long"
+    )
+    dst = spark.createDataFrame([(1, 84.0, 0.0)], "did long, dlat double, dlon double")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lat_cap"):
+        nearest_regrid_haversine(
+            src, dst, radius_km=500.0,
+            src_lat="slat", src_lon="slon", value_col="sval",
+            dst_lat="dlat", dst_lon="dlon", dst_keys=("did",),
+        ).collect()
