@@ -1,0 +1,133 @@
+"""The LLM-data-pipeline user journey end to end on REAL bytes: raw
+.warc.gz crawl → HTML text extraction → quality gate →
+exact + near dedup → deterministic split → token-budget packing →
+partitioned parquet shards → reingest. This is the workflow a
+training-data engineer would run wholesale; every stage is an operator
+the registry also grades in isolation. The fixture plants EXACT
+duplicates, NEAR duplicates, and junk pages, and the assertions check
+each stage removed exactly what it should.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcdp_spark.operators.dedup import exact_dedup, minhash_dedup
+from bcdp_spark.operators.packing import pack_documents
+from bcdp_spark.operators.split import hash_split
+from bcdp_spark.sources.warc import http_response_bytes, write_warc
+
+
+def _page(body_text: str) -> bytes:
+    return http_response_bytes(
+        f"<html><head><title>p</title></head><body><p>{body_text}</p>"
+        f"</body></html>".encode("ascii")
+    )
+
+
+@pytest.fixture()
+def crawl_dir(tmp_path):
+    records = []
+    texts = {}
+    for i in range(40):
+        if i in (7, 13):  # exact duplicates of page 3
+            text = texts[3]
+        elif i == 21:  # near duplicate of page 5 (one word changed)
+            text = texts[5].replace("tok5000", "changed", 1)
+        elif i % 10 == 9:  # junk: too short
+            text = "ok"
+        else:
+            # 60 mostly-distinct words per doc (different stride per doc)
+            text = "tok5000 " + " ".join(
+                f"tok{(i * 101 + k * 7) % 4000}" for k in range(60)
+            )
+        texts[i] = text
+        records.append(
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:uuid:{i:08d}>",
+                "target_uri": f"https://site{i % 4}.example.org/p/{i}",
+                "content_type": "application/http;msgtype=response",
+                "content": _page(text),
+            }
+        )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    half = len(records) // 2
+    write_warc(str(d / "a.warc.gz"), records[:half])
+    write_warc(str(d / "b.warc.gz"), records[half:])
+    return str(d)
+
+
+def test_corpus_pipeline_end_to_end(spark, crawl_dir, tmp_path):
+    from bcdp_spark.sources.warc import load_warc
+
+    # 1. ingest + text extraction (JVM regexp, no Python per record)
+    pages = (
+        load_warc(spark, crawl_dir + "/*.warc.gz")
+        .filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+        .select(
+            F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.trim(
+                F.regexp_replace(
+                    F.col("payload").cast("string"), r"<[^>]+>", " "
+                )
+            ).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("raw", r"\s+", " ").alias("text"),
+        )
+    )
+    assert pages.count() == 40
+
+    # 2. quality gate (length) — junk pages drop
+    docs = pages.filter(F.length("text") >= 50)
+    assert docs.count() == 36  # 4 junk pages (i % 10 == 9)
+
+    # 3. exact dedup keeps the smallest doc_id of each duplicate group
+    exact = exact_dedup(docs, "text", "doc_id")
+    kept_ids = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    assert 3 in kept_ids and 7 not in kept_ids and 13 not in kept_ids
+    assert len(kept_ids) == 34
+
+    # 4. near dedup (MinHash-LSH) removes the one-word-changed copy too
+    near = minhash_dedup(exact, "text", "doc_id", bucket_cap=50)
+    near_ids = {r["doc_id"] for r in near.select("doc_id").collect()}
+    assert 5 in near_ids and 21 not in near_ids
+    assert len(near_ids) == 33
+
+    # 5. deterministic split — partition-invariant, total preserved
+    split = hash_split(near, "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 33
+    resplit = hash_split(near.repartition(7), "doc_id")
+    assert sorted(map(tuple, resplit.select("doc_id", "split").collect())) == sorted(
+        map(tuple, split.select("doc_id", "split").collect())
+    )
+
+    # 6. token-budget packing per split — every bin within budget
+    sized = split.withColumn("n_tokens", F.size(F.split("text", " ")))
+    packed = pack_documents(
+        sized, shard_col="split", size_col="n_tokens", budget=400
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    )
+    # multi-doc bins never exceed the budget (single oversized docs may)
+    assert bins.filter((F.col("n") > 1) & (F.col("tot") > 400)).count() == 0
+
+    # 7. shard out + reingest: nothing lost, nothing duplicated
+    out = str(tmp_path / "shards")
+    packed.join(sized.select("doc_id", "text"), "doc_id").write.partitionBy(
+        "shard"
+    ).mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 33
+    assert back.select("doc_id").distinct().count() == 33

@@ -10,6 +10,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from bcdp_spark.sources.zarr import (
     load_zarr,
@@ -337,3 +338,63 @@ def test_consolidated_metadata(spark, tmp_path):
     assert pdf.value.sum() == pytest.approx(np.nansum(expect))
     kept, total = pruned_chunk_count(store, lat_bnds=(0.0, 90.0))
     assert kept < total
+
+
+def test_reference_user_journey_zarr_to_zarr(spark, tmp_path):
+    """The reference's canonical climate pipeline on REAL Zarr bytes:
+    two heterogeneous member stores → from_zarr (chunk-pruned ingest) →
+    homogenize (bounds subset + time normalize + regrid + unit convert)
+    → anomaly → to_zarr export → reingest. The bcdp load → homogenize →
+    analyze → save loop, zarr-native end to end."""
+    from bcdp_spark.ensemble import Bounds, Ensemble
+    from bcdp_spark.sources.zarr import write_zarr
+
+    nt = 48
+    for m, (na, no, step) in enumerate(
+        {0: (6, 8, 30.0), 1: (4, 6, 45.0)}.values()
+    ):
+        t = np.arange(nt)[:, None, None]
+        a = np.arange(na)[None, :, None]
+        o = np.arange(no)[None, None, :]
+        data = 0.5 * t + 0.25 * a + 0.125 * o + m
+        write_zarr(
+            str(tmp_path / f"member{m}.zarr"),
+            dims={"time": nt, "lat": na, "lon": no},
+            variables={
+                "time": (
+                    ["time"],
+                    np.arange(nt, dtype="float64") * 6.0,
+                    {"units": "hours since 2001-01-01"},
+                ),
+                "lat": (["lat"], np.linspace(-50, 50, na), {}),
+                "lon": (["lon"], np.arange(no) * step, {}),
+                "pr": (["time", "lat", "lon"], data, {}),
+            },
+            chunks={"pr": (24, na, no)},
+        )
+    ens = Ensemble.from_zarr(spark, str(tmp_path / "member*.zarr"))
+    assert sorted(
+        r["name"] for r in ens.df.select("name").distinct().collect()
+    ) == ["member0", "member1"]
+
+    homog = ens.homogenize(
+        bounds=Bounds(lat_bnds=(-40.0, 40.0), lon_bnds=(0.0, 250.0)),
+        time_granularity="day",
+        lat_res=20.0,
+        lon_res=60.0,
+        scale=86400.0,  # the classic kg m-2 s-1 -> mm/day conversion
+    )
+    anom = homog.anomaly(bucket="month")
+    # anomaly definition: per-member-cell monthly mean removed exactly
+    chk = anom.df.groupBy("name").agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 6).alias("s")
+    )
+    for r in chk.collect():
+        assert abs(float(r["s"])) < 1e-6  # anomalies sum to ~0 per member
+
+    manifest = anom.to_zarr(str(tmp_path / "out"), time_chunk=16).collect()
+    assert {m["name"] for m in manifest} == {"member0", "member1"}
+    back = Ensemble.from_zarr(spark, str(tmp_path / "out" / "*.zarr"))
+    a = back.df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    b = anom.df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    assert tuple(a) == tuple(b)
