@@ -57,8 +57,8 @@ def _gen_query(seed: int) -> str:
     for fn in rng.sample(pool, rng.randint(1, 3)):
         preds.append(fn())
 
-    join = rng.random() < 0.4
-    if join:
+    join = rng.choice([None, "JOIN", "JOIN", "LEFT JOIN"])
+    if join == "JOIN":
         preds.append(
             f"o_orderstatus {rng.choice(['=', '<>'])} "
             f"'{rng.choice(['O', 'F', 'P'])}'"
@@ -69,9 +69,19 @@ def _gen_query(seed: int) -> str:
         ("l_linestatus", "l_linestatus"),
         ("YEAR(l_shipdate)", "yr"),
         ("CAST(l_quantity AS INT) % 5", "qmod"),
+        (
+            "CASE WHEN l_quantity < 25 THEN 'small' ELSE 'large' END",
+            "qband",
+        ),
     ]
-    if join:
+    if join == "JOIN":
         group_pool.append(("o_orderstatus", "o_orderstatus"))
+    if join == "LEFT JOIN":
+        # null-extended side: group on whether the (always-matching in
+        # TPC-H, but the ENGINE must not know that) right side matched
+        group_pool.append(
+            ("CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END", "matched")
+        )
     groups = rng.sample(group_pool, rng.randint(0, 2))
 
     agg_pool = [
@@ -92,12 +102,19 @@ def _gen_query(seed: int) -> str:
     ]
     sql = "SELECT " + ", ".join(select) + " FROM lineitem"
     if join:
-        sql += " JOIN orders ON l_orderkey = o_orderkey"
+        sql += f" {join} orders ON l_orderkey = o_orderkey"
     sql += " WHERE " + " AND ".join(preds)
     if groups:
         sql += " GROUP BY " + ", ".join(expr for expr, _ in groups)
         if rng.random() < 0.3:
             sql += f" HAVING COUNT(*) > {rng.randint(0, 3)}"
+        if rng.random() < 0.3:
+            # global top-k: deterministic only under a TOTAL order, so
+            # order by every output column as the tiebreak chain
+            order = ", ".join(
+                [f"{a} DESC" for _, a in aggs] + [a for _, a in groups]
+            )
+            sql += f" ORDER BY {order} LIMIT {rng.randint(1, 4)}"
     return sql
 
 
