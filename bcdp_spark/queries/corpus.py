@@ -994,3 +994,62 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ratio"), 9).alias("max_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ — unigram language-model scoring (the perplexity-filter shape of a
+# corpus pipeline — CCNet/KenLM's role, with the LM trained IN-PLAN):
+# corpus unigram probabilities from one token hash-agg, then each doc
+# scored by mean -ln p(token). ln() is libm on both engines, so each
+# per-token logprob is cast to DECIMAL(38,18) BEFORE the sum (exact,
+# order-independent) and the final mean is ROUND(6)ed on both sides.
+# Shuffles: one on token (count), one broadcast-sized join back (vocab
+# is tiny vs corpus), one on doc_id — no sorts, no windows over tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "q_unigram_logprob",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+),
+total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+scored AS (
+  SELECT w.doc_id,
+         CAST(-ln(vocab.cnt / (SELECT n FROM total)) AS DECIMAL(38,18))
+           AS nll
+  FROM w JOIN vocab USING (word)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(CAST(SUM(nll) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+         AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(_toks()).alias("word")
+    )
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = (
+        w.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt") / F.col("n")))
+            .cast("decimal(38,18)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("nll").cast("string").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
+    )
