@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -196,3 +197,134 @@ def register_zarr_source(spark) -> None:
     pushFilters reader)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ZarrDataSource)
+
+
+# --------------------------------------------------------------- stream
+
+
+class ZarrStreamDataSource(DataSource):
+    """format("zarr-stream"): micro-batch ingestion of a Zarr store that
+    GROWS along the time axis (the simulation-append / satellite-feed
+    pattern: new time chunks land, coordinate metadata is rewritten).
+    Offsets are the count of TIME STEPS already emitted, so each
+    append is delivered exactly once; rows inside one time step are
+    atomic per micro-batch. The streaming twin of format('zarr')."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zarr-stream"
+
+    def schema(self) -> str:
+        store = self.options.get("path")
+        if not store:
+            raise ValueError("zarr-stream source requires a path")
+        _name, meta, _coords = _open(store, self.options.get("var"))
+        if len(meta.shape) == 4:
+            return (
+                "name string, time timestamp, lev double, lat double, "
+                "lon double, value double"
+            )
+        return (
+            "name string, time timestamp, lat double, lon double, "
+            "value double"
+        )
+
+    def simpleStreamReader(self, schema: StructType):
+        return ZarrStreamReader(self.options)
+
+
+class ZarrStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        store = options.get("path")
+        if not store:
+            raise ValueError("zarr-stream source requires a path")
+        self._store = store
+        self._var = options.get("var")
+
+    def initialOffset(self) -> dict:
+        return {"n_time": 0}
+
+    def _rows_between(self, t0: int, t1: int):
+        import pandas as pd
+
+        from bcdp_spark.sources.netcdf import _apply_fill, _long_form
+        from bcdp_spark.sources.zarr import _read_chunk
+
+        if t1 <= t0:
+            return
+        name, meta, coords = _open(self._store, self._var)
+        dims = meta.dims
+        has_lev = len(meta.shape) == 4
+        tc = meta.chunks[0]
+        ngrid = [(s + c - 1) // c for s, c in zip(meta.shape, meta.chunks)]
+        rest = [()]
+        for g in ngrid[1:]:
+            rest = [i + (j,) for i in rest for j in range(g)]
+        for ti in range(t0 // tc, (min(t1, meta.shape[0]) + tc - 1) // tc):
+            t_lo, t_hi = ti * tc, min((ti + 1) * tc, meta.shape[0])
+            sel = slice(max(t0, t_lo) - t_lo, min(t1, t_hi) - t_lo)
+            if sel.start >= sel.stop:
+                continue
+            times = pd.DatetimeIndex(
+                coords[dims[0]][t_lo:t_hi][sel]
+            )
+            for ridx in rest:
+                idx = (ti, *ridx)
+                data = _apply_fill(
+                    np.asarray(
+                        _read_chunk(self._store, name, idx, meta), dtype=float
+                    ),
+                    dict(meta.attrs),
+                )[sel]
+                axes = {
+                    d: coords[d][
+                        idx[p] * meta.chunks[p] : min(
+                            (idx[p] + 1) * meta.chunks[p], meta.shape[p]
+                        )
+                    ]
+                    for p, d in enumerate(dims)
+                    if p > 0
+                }
+                pdf = _long_form(
+                    name,
+                    times,
+                    axes[dims[-2]],
+                    axes[dims[-1]],
+                    data,
+                    levs=axes[dims[1]] if has_lev else None,
+                )
+                for row in pdf.itertuples(index=False):
+                    t = row.time
+                    vals = [
+                        row.name,
+                        t.to_pydatetime() if hasattr(t, "to_pydatetime") else t,
+                    ]
+                    if has_lev:
+                        vals.append(float(row.lev))
+                    vals.extend(
+                        [
+                            float(row.lat),
+                            float(row.lon),
+                            None if pd.isna(row.value) else float(row.value),
+                        ]
+                    )
+                    yield tuple(vals)
+
+    def read(self, start: dict):
+        _name, meta, _coords = _open(self._store, self._var)
+        n_now = meta.shape[0]
+        t0 = int(start.get("n_time", 0))
+        rows = list(self._rows_between(t0, n_now))
+        return rows, {"n_time": n_now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        yield from self._rows_between(
+            int(start.get("n_time", 0)), int(end.get("n_time", 0))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_zarr_stream_source(spark) -> None:
+    spark.dataSource.register(ZarrStreamDataSource)

@@ -464,3 +464,61 @@ def test_zarr_datasource_v2_4d(spark, tmp_path):
     )
     assert sorted(pdf.lev.unique()) == [500.0, 850.0]
     assert pdf.value.sum() == pytest.approx(data[:, :2].sum())
+
+
+def test_zarr_stream_source_picks_up_appended_time(spark, tmp_path):
+    """zarr-stream: availableNow over the initial store, then APPEND
+    along time (rewrite time coord + add chunks) and a second pass
+    delivers exactly the new time steps."""
+    import json
+
+    from bcdp_spark.sources.zarr_datasource import register_zarr_stream_source
+
+    store = str(tmp_path / "grow.zarr")
+    na, no = 2, 3
+
+    def build(nt):
+        data = (
+            np.arange(nt * na * no, dtype="float64").reshape(nt, na, no)
+        )
+        write_zarr(
+            store,
+            dims={"time": nt, "lat": na, "lon": no},
+            variables={
+                "time": (["time"], np.arange(nt, dtype="float64"),
+                         {"units": "days since 2001-01-01"}),
+                "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+                "lon": (["lon"], np.arange(no) * 10.0, {}),
+                "pr": (["time", "lat", "lon"], data, {}),
+            },
+            chunks={"pr": (2, na, no), "time": (8,)},
+        )
+
+    build(4)
+    register_zarr_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("zarr-stream")
+            .load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 4 * na * no
+
+    build(6)  # append 2 time steps (coords + chunks rewritten)
+    run_once()
+    both = spark.read.parquet(out).toPandas()
+    # exactly-once per time step: old rows not re-emitted, delta delivered
+    assert len(both) == 6 * na * no
+    assert both.time.max() == pd.Timestamp("2001-01-06")
