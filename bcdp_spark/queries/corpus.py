@@ -1053,3 +1053,87 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll").cast("string").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT graph — triangle counting over the token co-occurrence graph: the
+# classic distributed multi-way self-join workload. The ORIENTATION
+# trick (undirected edges stored once as u < v, then joined in strictly
+# increasing order a < b < c) counts each triangle exactly once and cuts
+# the join fan-out — the standard MapReduce/Spark formulation. Shuffles:
+# the bigram agg + two equi-joins on node ids; no windows, no sorts.
+# Degree distribution rides in the same key (one extra hash agg).
+# ---------------------------------------------------------------------------
+_TRI_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT toks[i] AS src, toks[i + 1] AS dst
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+e AS (  -- undirected, deduped, oriented u < v, self-loops dropped
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM b WHERE src <> dst
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u            -- a<b join b<c
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v  -- close a<c
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+)
+SELECT (SELECT n_triangles FROM tri) AS n_triangles,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(CAST(SUM(d) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+       CAST(MAX(d) AS BIGINT) AS max_degree
+FROM deg
+"""
+
+
+@register("q_triangle_count", oracle=_TRI_ORACLE)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok_df = docs.select("doc_id", _toks().alias("toks"))
+    b = (
+        tok_df.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS src, toks[i] AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e = b.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.max("d").alias("max_degree"),
+    )
+    return tri.crossJoin(F.broadcast(stats)).select(
+        "n_triangles", "n_nodes", "n_edges", "max_degree"
+    )
