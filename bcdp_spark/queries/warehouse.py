@@ -259,3 +259,71 @@ def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W+ — SCD Type-2 dimension build (the history-keeping complement of
+# q_upsert's Type-1 overwrite): collapse each user's event_type stream
+# to its CHANGE points, then derive [valid_from, valid_to) intervals
+# with LEAD and flag the open (current) version. Two windows over the
+# same (user) partitioning — Spark reuses the exchange; no joins.
+# At 100 TB this is the standard CDC→dimension-history materialization:
+# one shuffle on the business key, per-key sorts only.
+# ---------------------------------------------------------------------------
+@register(
+    "q_scd2",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type
+),
+scd AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us,
+         LEAD(ts_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+         ) AS valid_to_us
+  FROM chg
+)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(valid_to_us, -1) AS valid_to_us,
+       CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+FROM scd
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    chg = o.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    scd = chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+    return scd.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.coalesce("valid_to_us", F.lit(-1)).alias("valid_to_us"),
+        F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).alias("is_current"),
+    )

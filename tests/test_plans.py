@@ -310,3 +310,45 @@ def test_curvilinear_regrid_no_cartesian(spark):
     p = physical_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scd2_reuses_one_exchange(spark):
+    """q_scd2's two windows share the user_id partitioning — exactly ONE
+    hash exchange in the plan (the CDC-history shape's scale contract)."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import count_exchanges
+
+    df = q.queries()["q_scd2"](spark, SF_ORACLE)
+    assert count_exchanges(df) == 1
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocab join must broadcast (tiny vs the token stream) — a
+    shuffled join here would reshuffle every token position."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import uses_broadcast_join
+
+    df = q.queries()["q_unigram_logprob"](spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_triangle_count_no_cartesian(spark):
+    """The oriented three-way self-join must plan as equi-joins; the only
+    nested-loop allowed is the 1-row degree-stats broadcast."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_triangle_count"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin appears once: the bounded 1-row stats join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pagerank_iteration_joins_are_equi(spark):
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_token_pagerank"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
