@@ -209,3 +209,81 @@ def http_response_bytes(body: bytes, content_type: str = "text/html") -> bytes:
 @register_data_source("warc")
 def _warc(spark: SparkSession, path: str, **options) -> DataFrame:
     return load_warc(spark, path, **options)
+
+
+# --------------------------------------------------------------- stream
+
+from pyspark.sql.datasource import (  # noqa: E402 (stream twin below)
+    DataSource as _DataSource,
+    SimpleDataSourceStreamReader as _SimpleStreamReader,
+)
+
+
+class WarcStreamDataSource(_DataSource):
+    """format("warc-stream"): micro-batch ingestion of a GROWING crawl
+    drop directory — the arrival pattern of Common Crawl-style
+    deliveries (new .warc.gz files land per crawl segment). Offsets are
+    the sorted set of files already emitted → exactly-once per archive.
+    The streaming twin of ``load_warc``; same typed record schema."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc-stream"
+
+    def schema(self) -> str:
+        return (
+            "file string, record_id string, warc_type string, "
+            "target_uri string, warc_date string, content_type string, "
+            "content_length long, http_status int, "
+            "http_content_type string, payload binary"
+        )
+
+    def simpleStreamReader(self, schema):
+        return WarcStreamReader(self.options)
+
+
+class WarcStreamReader(_SimpleStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc-stream source requires a path glob")
+        self._glob = path
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows(self, path: str):
+        pdf = decode_warc_file(path)
+        for row in pdf.itertuples(index=False):
+            status = row.http_status
+            yield (
+                row.file,
+                row.record_id,
+                row.warc_type,
+                row.target_uri,
+                row.warc_date,
+                row.content_type,
+                int(row.content_length),
+                None if status is None or status != status else int(status),
+                row.http_content_type,
+                bytes(row.payload) if row.payload is not None else None,
+            )
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        current = sorted(_glob.glob(self._glob))
+        new = [f for f in current if f not in seen]
+        rows = [r for f in new for r in self._rows(f)]
+        return rows, {"files": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        for f in sorted(set(end.get("files", [])) - seen):
+            yield from self._rows(f)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_warc_stream_source(spark) -> None:
+    spark.dataSource.register(WarcStreamDataSource)

@@ -122,3 +122,42 @@ def test_registry(spark, tmp_path):
 
     write_warc(str(tmp_path / "c.warc.gz"), _records(), compress=True)
     assert reg_load("warc", spark, str(tmp_path / "*.warc.gz")).count() == 3
+
+
+def test_warc_stream_source_picks_up_new_archives(spark, tmp_path):
+    """warc-stream: availableNow over the initial drop, a new .warc.gz
+    lands, the next pass delivers ONLY the new records (exactly-once
+    per archive file)."""
+    from bcdp_spark.sources.warc import register_warc_stream_source
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    write_warc(str(d / "seg0.warc.gz"), _records(), compress=True)
+    register_warc_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("warc-stream")
+            .load(str(d / "*.warc.gz"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 3
+
+    write_warc(str(d / "seg1.warc.gz"), _records(), compress=True)
+    run_once()
+    both = spark.read.parquet(out).toPandas()
+    assert len(both) == 6
+    resp = both[both.warc_type == "response"]
+    assert len(resp) == 2
+    assert all(p == b"<html><body>hi there</body></html>" for p in resp.payload)
