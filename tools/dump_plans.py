@@ -41,6 +41,9 @@ HEADLINE = (
     "q_warc_ingest",
     "q_doc_repetition",
     "q_token_pagerank",
+    "q_scd2",
+    "q_triangle_count",
+    "q_unigram_logprob",
 )
 
 
