@@ -351,6 +351,39 @@ class Ensemble:
         )
         return self._with(out)
 
+    def evaluate(self, reference: str | None = None) -> DataFrame:
+        """Model-evaluation verb (the OCW metrics loop bcdp feeds,
+        ocw/metrics [UNVERIFIED]): per-member bias, RMSE and pattern
+        correlation against a reference — either a named member
+        (obs dataset) or, when ``reference is None``, the ensemble mean
+        at each cell. One cell-keyed join + one member-keyed aggregation;
+        both sides scale with the ensemble, nothing collects. For the
+        bit-exact oracle-checked formulation see ``q_model_metrics`` /
+        ``q_taylor_stats`` (quantized-integer sums)."""
+        keys = ["time", *self.space_cols]
+        v = F.col(self.value_col)
+        if reference is None:
+            ref = self.df.groupBy(*keys).agg(
+                F.avg(self.value_col).alias("__ref")
+            )
+            mem = self.df
+        else:
+            ref = self.df.filter(
+                F.col(self.name_col) == reference
+            ).select(*keys, v.alias("__ref"))
+            mem = self.df.filter(F.col(self.name_col) != reference)
+        d = v - F.col("__ref")
+        return (
+            mem.join(ref, keys)
+            .groupBy(self.name_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.avg(d).alias("bias"),
+                F.sqrt(F.avg(d * d)).alias("rmse"),
+                F.corr(v, F.col("__ref")).alias("pattern_corr"),
+            )
+        )
+
     def bundle(self) -> DataFrame:
         """Cross-member stats at each (time, cell): mean + spread (A4)."""
         keys = [self.time_col, *self.space_cols]

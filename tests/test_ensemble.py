@@ -381,3 +381,50 @@ def test_regrid_to_points_does_not_mix_times(spark):
     got = {str(r["time"]): r["value"] for r in idw.collect()}
     # per-slice IDW of the two points; Jan and Feb stay 10 apart
     assert got["2024-02-01 00:00:00"] - got["2024-01-01 00:00:00"] == pytest.approx(10.0, abs=1e-9)
+
+
+def test_ensemble_evaluate_against_named_reference(spark):
+    """evaluate('obs'): member shifted by +2 from obs → bias exactly 2,
+    RMSE exactly 2, pattern_corr 1 (perfect linear relation)."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for d in range(6):
+        for lat in (0.0, 10.0):
+            base = float(d * 3 + lat)
+            t = (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime()
+            rows.append(("obs", t, lat, 0.0, base))
+            rows.append(("model", t, lat, 0.0, base + 2.0))
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    out = {r["name"]: r for r in Ensemble(df).evaluate("obs").collect()}
+    assert set(out) == {"model"}
+    m = out["model"]
+    assert m["n_cells"] == 12
+    assert abs(m["bias"] - 2.0) < 1e-12
+    assert abs(m["rmse"] - 2.0) < 1e-12
+    assert abs(m["pattern_corr"] - 1.0) < 1e-12
+
+
+def test_ensemble_evaluate_against_ensemble_mean(spark):
+    """evaluate(None): two members symmetric about the mean → opposite
+    biases, equal RMSE."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for d in range(5):
+        t = (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("a", t, 0.0, 0.0, float(d)))
+        rows.append(("b", t, 0.0, 0.0, float(d + 4)))
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    out = {r["name"]: r for r in Ensemble(df).evaluate().collect()}
+    assert abs(out["a"]["bias"] + 2.0) < 1e-12
+    assert abs(out["b"]["bias"] - 2.0) < 1e-12
+    assert abs(out["a"]["rmse"] - out["b"]["rmse"]) < 1e-12
