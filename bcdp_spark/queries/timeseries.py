@@ -888,3 +888,92 @@ def q_taylor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("centered_rms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A2b — seasonal-cycle extraction (the decomposition step of the
+# reference's climatology/anomaly workflow, classical STL shape): daily
+# member means → centered 7-day rolling TREND → detrended series →
+# mean cycle per day-of-week. All arithmetic is exact-integer until the
+# final division (quantized BIGINT daily means; detrended = 7*q - Σ7 so
+# no division happens inside the windows), making the rolling windows
+# bit-reproducible across engines and partitionings. Two window passes
+# over the same (member, day) ordering — one exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "q_seasonal_cycle",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         {davg_sql('value', 'm')}
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT event_type, day_s,
+         CAST(FLOOR(m * 100000 + 0.5) AS BIGINT) AS mq
+  FROM daily
+),
+t AS (
+  SELECT event_type, day_s, mq,
+         SUM(mq) OVER (PARTITION BY event_type ORDER BY day_s
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day_s
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM q
+)
+SELECT event_type,
+       CAST(dayofweek(to_timestamp(day_s)) AS INT) AS dow,
+       COUNT(*) AS n_days,
+       ROUND(CAST(SUM(7 * mq - s7) AS DOUBLE)
+             / COUNT(*) / 7.0 / 100000.0, 6) AS seasonal
+FROM t
+WHERE n7 = 7
+GROUP BY 1, 2
+""",
+)
+def q_seasonal_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+    ).agg(davg(F.col("value"), "m"))
+    q = daily.select(
+        "event_type",
+        "day_s",
+        F.floor(F.col("m") * 100000 + 0.5).alias("mq"),
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day_s")
+        .rowsBetween(-3, 3)
+    )
+    t = q.select(
+        "event_type",
+        "day_s",
+        "mq",
+        F.sum("mq").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    detr = 7 * F.col("mq") - F.col("s7")
+    return (
+        t.select(
+            "event_type",
+            # Spark dayofweek is 1..7 (Sun=1); DuckDB's is 0..6 (Sun=0)
+            (F.dayofweek(F.to_timestamp(F.col("day_s"))) - 1)
+            .cast("int")
+            .alias("dow"),
+            detr.alias("detr"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("detr").cast("double")
+                / F.count(F.lit(1))
+                / 7.0
+                / 100000.0,
+                6,
+            ).alias("seasonal"),
+        )
+    )
