@@ -977,3 +977,222 @@ def q_seasonal_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A2c — harmonic (first-Fourier-mode) fit of the diurnal cycle: the
+# classic climate decomposition (amplitude + phase of the 24 h harmonic
+# per member) via regression on cos/sin of the hour angle. Sums of
+# value*cos(theta) route through DECIMAL(38,12) so partial-agg order is
+# irrelevant; cos/sin are libm 1-ulp on both engines, absorbed by
+# ROUND(6) (diffs ~1e-12 vs the 0.5e-6 rounding bucket). One hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q_harmonic_fit",
+    oracle="""
+WITH h AS (
+  SELECT event_type, value,
+         2 * pi() * CAST(hour(ts) AS DOUBLE) / 24.0 AS th
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(value * cos(th) AS DECIMAL(38,12))) AS VARCHAR)
+              AS DOUBLE) AS sc,
+         CAST(CAST(SUM(CAST(value * sin(th) AS DECIMAL(38,12))) AS VARCHAR)
+              AS DOUBLE) AS ss
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(2.0 * sqrt((sc / n) * (sc / n) + (ss / n) * (ss / n)), 6)
+         AS amplitude,
+       ROUND(atan2(ss / n, sc / n), 6) AS phase
+FROM s
+""",
+)
+def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    th = 2 * math.pi * F.hour("ts").cast("double") / 24.0
+    s = ev.select(
+        "event_type",
+        (F.col("value") * F.cos(th)).cast("decimal(38,12)").alias("vc"),
+        (F.col("value") * F.sin(th)).cast("decimal(38,12)").alias("vs"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").cast("string").cast("double").alias("sc"),
+        F.sum("vs").cast("string").cast("double").alias("ss"),
+    )
+    a, b = F.col("sc") / F.col("n"), F.col("ss") / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(2.0 * F.sqrt(a * a + b * b), 6).alias("amplitude"),
+        F.round(F.atan2(b, a), 6).alias("phase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2d — autocorrelation at fixed lags (per-member ACF, the persistence
+# diagnostic of the reference's time-series toolbox): daily means
+# quantized to BIGINT, lagged integer products — EXACT sums, only the
+# final Pearson division is floating (identical expression both sides).
+# One exchange (member partitioning) shared by the LAG windows.
+# ---------------------------------------------------------------------------
+@register(
+    "q_autocorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+         {{davg}}
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT event_type, day_s,
+         CAST(FLOOR(m * 100000 + 0.5) AS BIGINT) AS x
+  FROM daily
+),
+l AS (
+  SELECT event_type, x,
+         LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day_s) AS x1,
+         LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day_s) AS x7
+  FROM q
+),
+s AS (
+  SELECT event_type, COUNT(x1) AS n1, COUNT(x7) AS n7,
+         CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS sx1,
+         CAST(SUM(x1) AS BIGINT) AS sy1,
+         CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx1,
+         CAST(SUM(x1 * x1) AS BIGINT) AS syy1,
+         CAST(SUM(x * x1) AS BIGINT) AS sxy1,
+         CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x END) AS BIGINT) AS sx7,
+         CAST(SUM(x7) AS BIGINT) AS sy7,
+         CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx7,
+         CAST(SUM(x7 * x7) AS BIGINT) AS syy7,
+         CAST(SUM(x * x7) AS BIGINT) AS sxy7
+  FROM l GROUP BY event_type
+)
+SELECT event_type, n1, n7,
+       ROUND((CAST(n1 AS DOUBLE) * sxy1 - CAST(sx1 AS DOUBLE) * sy1)
+             / (sqrt(CAST(n1 AS DOUBLE) * sxx1 - CAST(sx1 AS DOUBLE) * sx1)
+                * sqrt(CAST(n1 AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy1)),
+             6) AS acf_lag1,
+       ROUND((CAST(n7 AS DOUBLE) * sxy7 - CAST(sx7 AS DOUBLE) * sy7)
+             / (sqrt(CAST(n7 AS DOUBLE) * sxx7 - CAST(sx7 AS DOUBLE) * sx7)
+                * sqrt(CAST(n7 AS DOUBLE) * syy7 - CAST(sy7 AS DOUBLE) * sy7)),
+             6) AS acf_lag7
+FROM s
+""".format(davg=davg_sql('value', 'm')),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+    ).agg(davg(F.col("value"), "m"))
+    q = daily.select(
+        "event_type",
+        "day_s",
+        F.floor(F.col("m") * 100000 + 0.5).alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_s")
+    l = q.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+
+    def corr_cols(xcol, tag):
+        xc = F.col(xcol)
+        present = xc.isNotNull()
+        return [
+            F.count(xc).alias(f"n{tag}"),
+            F.sum(F.when(present, F.col("x"))).alias(f"sx{tag}"),
+            F.sum(xc).alias(f"sy{tag}"),
+            F.sum(F.when(present, F.col("x") * F.col("x"))).alias(f"sxx{tag}"),
+            F.sum(xc * xc).alias(f"syy{tag}"),
+            F.sum(F.col("x") * xc).alias(f"sxy{tag}"),
+        ]
+
+    s = l.groupBy("event_type").agg(
+        *corr_cols("x1", "1"), *corr_cols("x7", "7")
+    )
+
+    def acf(tag):
+        n = F.col(f"n{tag}").cast("double")
+        sx, sy = F.col(f"sx{tag}").cast("double"), F.col(f"sy{tag}").cast("double")
+        sxx, syy = F.col(f"sxx{tag}").cast("double"), F.col(f"syy{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        )
+
+    return s.select(
+        "event_type",
+        "n1",
+        "n7",
+        acf("1").alias("acf_lag1"),
+        acf("7").alias("acf_lag7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9b — block extremes (the GEV-prep step of climate extreme-value
+# analysis: monthly block maxima + peaks-over-threshold counts per
+# member). MAX is order-exact on doubles (no summation), the block-max
+# sum routes through DECIMAL — the whole key is bit-exact. Two hash
+# aggs (events→blocks→member) + one broadcast-sized exceedance join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_extremes",
+    oracle="""
+WITH mm AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS mon_s,
+         MAX(value) AS block_max
+  FROM events GROUP BY 1, 2
+),
+pot AS (
+  SELECT event_type, COUNT(*) AS n_exceed
+  FROM events WHERE value > 400.0 GROUP BY event_type
+)
+SELECT mm.event_type,
+       COUNT(*) AS n_blocks,
+       MAX(block_max) AS max_of_max,
+       CAST(CAST(SUM(CAST(block_max AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS sum_block_max,
+       COALESCE(MAX(pot.n_exceed), 0) AS n_exceed
+FROM mm LEFT JOIN pot ON mm.event_type = pot.event_type
+GROUP BY mm.event_type
+""",
+)
+def q_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    mm = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("month", "ts")).alias("mon_s"),
+    ).agg(F.max("value").alias("block_max"))
+    pot = (
+        ev.filter(F.col("value") > 400.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exceed"))
+    )
+    return (
+        mm.join(F.broadcast(pot), "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("block_max").alias("max_of_max"),
+            F.sum(F.col("block_max").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_block_max"),
+            F.coalesce(F.max("n_exceed"), F.lit(0)).alias("n_exceed"),
+        )
+    )
