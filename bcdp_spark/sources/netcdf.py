@@ -300,3 +300,28 @@ def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
         )
     finally:
         ds.close()
+
+
+def load_netcdf_vars(
+    spark: SparkSession,
+    path: str,
+    variables: "list[str]",
+    var_col: str = "name",
+) -> DataFrame:
+    """Multi-variable dataset load (the reference's multi-var xarray
+    Dataset, bcdp/core.py [UNVERIFIED]): union the long forms of several
+    data variables from the same file set, tagged by variable name in
+    ``var_col`` — so P1 variable-select downstream is a plain filter.
+    Each variable is an independent manifest fan-out (payload reads are
+    per-variable anyway in the classic format: contiguous per-variable
+    blocks); headers re-parse per variable at KB cost."""
+    if not variables:
+        raise ValueError("variables must be a non-empty list")
+    out = None
+    for v in variables:
+        df = load_netcdf(spark, path, var=v)
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(var_col, F.lit(v))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -472,3 +472,26 @@ def write_zarr(
 @register_data_source("zarr")
 def _zarr(spark: SparkSession, path: str, **options) -> DataFrame:
     return load_zarr(spark, path, **options)
+
+
+def load_zarr_vars(
+    spark: SparkSession,
+    store: str,
+    variables: "list[str]",
+    var_col: str = "name",
+    **bounds,
+) -> DataFrame:
+    """Multi-variable store load (xarray multi-var Dataset parity): union
+    the long forms of several data variables, tagged by variable name.
+    Bounds kwargs push down to per-variable chunk pruning."""
+    if not variables:
+        raise ValueError("variables must be a non-empty list")
+    from pyspark.sql import functions as F
+
+    out = None
+    for v in variables:
+        df = load_zarr(spark, store, var=v, **bounds).withColumn(
+            var_col, F.lit(v)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

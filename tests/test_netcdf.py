@@ -544,3 +544,33 @@ def test_netcdf_stream_source_picks_up_new_files(spark, tmp_path):
     # exactly-once per file: old rows not re-emitted, new file delivered
     assert len(both) == 8
     assert sum(1 for r in both if r["value"] >= 100) == 4
+
+
+def test_load_netcdf_vars_multi_variable(spark, tmp_path):
+    """Multi-var .nc → union tagged by variable name (P1 select is then
+    a plain filter)."""
+    import numpy as np
+
+    from bcdp_spark.sources.netcdf import load_netcdf_vars
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    base = np.arange(12.0).reshape(3, 2, 2)
+    raw = write_netcdf3(
+        dims={"time": 3, "lat": 2, "lon": 2},
+        variables={
+            "time": (["time"], np.arange(3.0),
+                     {"units": "days since 2001-01-01"}),
+            "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+            "lon": (["lon"], np.array([0.0, 90.0]), {}),
+            "pr": (["time", "lat", "lon"], base, {}),
+            "tas": (["time", "lat", "lon"], base * 3.0, {}),
+        },
+        record_dim="time",
+    )
+    (tmp_path / "m.nc").write_bytes(raw)
+    pdf = load_netcdf_vars(
+        spark, str(tmp_path / "*.nc"), ["pr", "tas"]
+    ).toPandas()
+    assert sorted(pdf.name.unique()) == ["pr", "tas"]
+    assert len(pdf) == 24
+    assert pdf[pdf.name == "tas"].value.sum() == 3 * pdf[pdf.name == "pr"].value.sum()

@@ -522,3 +522,36 @@ def test_zarr_stream_source_picks_up_appended_time(spark, tmp_path):
     # exactly-once per time step: old rows not re-emitted, delta delivered
     assert len(both) == 6 * na * no
     assert both.time.max() == pd.Timestamp("2001-01-06")
+
+
+def test_load_zarr_vars_multi_variable(spark, tmp_path):
+    """Multi-var store → union tagged by variable name; per-var pruning."""
+    from bcdp_spark.sources.zarr import load_zarr_vars
+
+    store = str(tmp_path / "multi.zarr")
+    nt, na, no = 6, 2, 3
+    base = np.arange(nt * na * no, dtype="float64").reshape(nt, na, no)
+    write_zarr(
+        store,
+        dims={"time": nt, "lat": na, "lon": no},
+        variables={
+            "time": (["time"], np.arange(nt, dtype="float64"),
+                     {"units": "days since 2001-01-01"}),
+            "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+            "lon": (["lon"], np.arange(no) * 10.0, {}),
+            "pr": (["time", "lat", "lon"], base, {}),
+            "tas": (["time", "lat", "lon"], base * 2.0, {}),
+        },
+        chunks={"pr": (3, na, no), "tas": (3, na, no)},
+    )
+    pdf = load_zarr_vars(spark, store, ["pr", "tas"]).toPandas()
+    assert sorted(pdf.name.unique()) == ["pr", "tas"]
+    assert len(pdf) == 2 * nt * na * no
+    pr = pdf[pdf.name == "pr"].value.sum()
+    tas = pdf[pdf.name == "tas"].value.sum()
+    assert tas == pytest.approx(2 * pr)
+    # bounds prune per variable
+    sub = load_zarr_vars(
+        spark, store, ["pr", "tas"], lat_bnds=(0.0, 90.0)
+    ).toPandas()
+    assert len(sub) == 2 * nt * 1 * no
