@@ -351,6 +351,28 @@ class Ensemble:
         )
         return self._with(out)
 
+    def spatial_mean(self, weighted: bool = True) -> DataFrame:
+        """Area-weighted spatial mean per (member, time) — THE standard
+        climate global/regional mean, weighting each cell by cos(lat)
+        (cell area on a regular lat-lon grid shrinks poleward; an
+        unweighted mean over-counts high latitudes —
+        bcdp/utils.py [UNVERIFIED], OCW convention). NULL cells drop
+        from numerator and denominator. One keyed hash agg; the
+        oracle-exact formulation is ``q_area_weighted_mean``."""
+        v = F.col(self.value_col)
+        w = (
+            F.cos(F.radians("lat"))
+            if weighted and "lat" in self.df.columns
+            else F.lit(1.0)
+        )
+        ok = v.isNotNull()
+        return self.df.groupBy(self.name_col, "time").agg(
+            F.count(v).alias("n_valid"),
+            (
+                F.sum(F.when(ok, v * w)) / F.sum(F.when(ok, w))
+            ).alias("mean"),
+        )
+
     def evaluate(self, reference: str | None = None) -> DataFrame:
         """Model-evaluation verb (the OCW metrics loop bcdp feeds,
         ocw/metrics [UNVERIFIED]): per-member bias, RMSE and pattern

@@ -121,7 +121,7 @@ _PRIORITY = (
     # (g) round-3 additions beyond the graded window
     "q_doc_repetition", "q_token_pagerank", "q_netcdf_lev_climatology",
     "q_jsonl_ingest", "q_taylor_stats", "q_unigram_logprob", "q_compress_ratio", "q_triangle_count", "q_scd2", "q_weighted_sample", "q_seasonal_cycle", "q_harmonic_fit",
-    "q_autocorr", "q_extremes",
+    "q_autocorr", "q_extremes", "q_area_weighted_mean",
 )
 
 

@@ -104,3 +104,56 @@ def q_zarr_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "q_area_weighted_mean",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2001-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 11 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 1000 + a.g * 10 + o.g) END AS value,
+         CASE a.g WHEN 0 THEN -75.0 WHEN 1 THEN -45.0 WHEN 2 THEN -15.0
+                  WHEN 3 THEN 15.0 WHEN 4 THEN 45.0 ELSE 75.0 END AS lat
+  FROM generate_series(0, {_Z_T - 1}) t(g),
+       generate_series(0, {_Z_A - 1}) a(g),
+       generate_series(0, {_Z_O - 1}) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CAST(COUNT(value) AS BIGINT) AS n_valid,
+       ROUND(
+         CAST(CAST(SUM(CASE WHEN value IS NOT NULL THEN
+                CAST(value * cos(radians(lat)) AS DECIMAL(38,12)) END)
+              AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CASE WHEN value IS NOT NULL THEN
+                CAST(cos(radians(lat)) AS DECIMAL(38,18)) END)
+              AS VARCHAR) AS DOUBLE),
+         6) AS aw_mean
+FROM grid
+GROUP BY 1
+""",
+)
+def q_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1b — cos(lat) area-weighted monthly global mean over the real
+    chunked Zarr fixture (the OCW/bcdp spatial-mean convention). Both
+    weighted sums route through DECIMAL so partial-agg order is
+    irrelevant; cos/radians are 1-ulp libm on both engines, absorbed by
+    ROUND(6). ``Ensemble.spatial_mean`` is the verb form."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    store = _ensure_fixture()
+    df = load_zarr(spark, store)
+    v, lat = F.col("value"), F.col("lat")
+    ok = v.isNotNull()
+    num = F.sum(
+        F.when(ok, (v * F.cos(F.radians(lat))).cast("decimal(38,12)"))
+    ).cast("string").cast("double")
+    den = F.sum(
+        F.when(ok, F.cos(F.radians(lat)).cast("decimal(38,18)"))
+    ).cast("string").cast("double")
+    return df.groupBy(F.month("time").cast("int").alias("month")).agg(
+        F.count(v).alias("n_valid"),
+        F.round(num / den, 6).alias("aw_mean"),
+    )

@@ -428,3 +428,26 @@ def test_ensemble_evaluate_against_ensemble_mean(spark):
     assert abs(out["a"]["bias"] + 2.0) < 1e-12
     assert abs(out["b"]["bias"] - 2.0) < 1e-12
     assert abs(out["a"]["rmse"] - out["b"]["rmse"]) < 1e-12
+
+
+def test_ensemble_spatial_mean_weighting(spark):
+    """cos(lat) weighting: equal values at 0° and 60° → mean equals the
+    value (weights cancel); different values → closer to the equator one."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    t = pd.Timestamp("2001-01-01").to_pydatetime()
+    df = spark.createDataFrame(
+        [("a", t, 0.0, 0.0, 10.0), ("a", t, 60.0, 0.0, 20.0)],
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    import math
+
+    got = Ensemble(df).spatial_mean().collect()[0]
+    w0, w60 = 1.0, math.cos(math.radians(60.0))
+    expect = (10.0 * w0 + 20.0 * w60) / (w0 + w60)
+    assert abs(got["mean"] - expect) < 1e-12
+    flat = Ensemble(df).spatial_mean(weighted=False).collect()[0]
+    assert abs(flat["mean"] - 15.0) < 1e-12
+    assert got["mean"] < flat["mean"]  # equator value dominates
