@@ -273,3 +273,43 @@ def to_zarr(
         write_group,
         schema=f"{by} string, path string, n_rows long, n_times long",
     )
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+    partition_by: "Sequence[str] | None" = None,
+) -> dict:
+    """Small-files compaction (the maintenance op every selective 100 TB
+    pipeline needs: a 1 %-selectivity filter over 500 k input tasks
+    writes 500 k tiny files; downstream listing + open overhead then
+    dominates). Sizes the output by MEASURED input bytes / ``target_mb``
+    — not row counts, which mispredict with compression — and writes
+    with a single AQE-planned shuffle (`repartition(n)` round-robin for
+    even file sizes). Returns {'n_files_in', 'bytes_in', 'n_out'}.
+
+    Driver work is one file listing (metadata-only); data moves executor
+    to executor. With ``partition_by`` the repartition keys on those
+    columns instead, so each output directory compacts internally."""
+    import math
+    import os
+
+    n_files = 0
+    bytes_in = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                bytes_in += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if partition_by:
+        out = df.repartition(n_out, *partition_by)
+        writer = out.write.partitionBy(*partition_by)
+    else:
+        out = df.repartition(n_out)
+        writer = out.write
+    writer.mode("overwrite").parquet(out_path)
+    return {"n_files_in": n_files, "bytes_in": bytes_in, "n_out": n_out}

@@ -156,3 +156,28 @@ def test_ann_probe_is_partition_pruned(spark, tmp_path):
     got = cosine_topk(pruned, query, k=5).select("vec_id").collect()
     want = ann_topk(emb, query, k=5, nbits=nbits).select("vec_id").collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """500 tiny files → one ~target-sized file; rows and values intact."""
+    import glob
+    import os
+
+    from bcdp_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    spark.range(0, 5000).withColumn("v", F.col("id") * 2).repartition(
+        200
+    ).write.parquet(src)
+    n_in = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_in >= 100  # genuinely fragmented
+
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, out, target_mb=256)
+    assert stats["n_files_in"] == n_in
+    assert stats["n_out"] == 1  # tiny total bytes → single file
+    n_out_files = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_out_files == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(5000))
