@@ -122,6 +122,7 @@ _PRIORITY = (
     "q_doc_repetition", "q_token_pagerank", "q_netcdf_lev_climatology",
     "q_jsonl_ingest", "q_taylor_stats", "q_unigram_logprob", "q_compress_ratio", "q_triangle_count", "q_scd2", "q_weighted_sample", "q_seasonal_cycle", "q_harmonic_fit",
     "q_autocorr", "q_extremes", "q_area_weighted_mean",
+    "q_ensemble_agreement",
 )
 
 

@@ -1196,3 +1196,64 @@ def q_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max("n_exceed"), F.lit(0)).alias("n_exceed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A4d — ensemble agreement (the IPCC-style consensus metric: at each
+# time bucket, what fraction of members sits on the majority side of
+# the ensemble mean). Member-vs-mean comparisons happen on QUANTIZED
+# INTEGERS (1e-5 grid), so the sign is bit-identical across engines and
+# partitionings; only the final fraction divides. Two keyed hash aggs +
+# one broadcast-sized mean join — same plan family as q_ensemble_mean.
+# ---------------------------------------------------------------------------
+@register(
+    "q_ensemble_agreement",
+    oracle=f"""
+WITH member AS (
+  SELECT {HOUR_EPOCH_SQL.format(c='ts')} AS hour_s, user_id,
+         {davg_sql('value', 'm')}
+  FROM events GROUP BY 1, 2
+),
+ref AS (
+  SELECT hour_s, {davg_sql('m', 'ens')} FROM member GROUP BY 1
+),
+s AS (
+  SELECT member.hour_s,
+         CASE WHEN CAST(FLOOR(m * 100000 + 0.5) AS BIGINT)
+                   > CAST(FLOOR(ens * 100000 + 0.5) AS BIGINT) THEN 1
+              WHEN CAST(FLOOR(m * 100000 + 0.5) AS BIGINT)
+                   < CAST(FLOOR(ens * 100000 + 0.5) AS BIGINT) THEN -1
+              ELSE 0 END AS sgn
+  FROM member JOIN ref USING (hour_s)
+)
+SELECT hour_s,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       ROUND(GREATEST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END),
+                      SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
+FROM s GROUP BY hour_s
+""",
+)
+def q_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    member = ev.groupBy(
+        hour_epoch(F.col("ts")).alias("hour_s"), "user_id"
+    ).agg(davg(F.col("value"), "m"))
+    ref = member.groupBy("hour_s").agg(davg(F.col("m"), "ens"))
+    mq = F.floor(F.col("m") * 100000 + 0.5)
+    eq = F.floor(F.col("ens") * 100000 + 0.5)
+    sgn = F.when(mq > eq, 1).when(mq < eq, -1).otherwise(0)
+    s = member.join(F.broadcast(ref), "hour_s").select("hour_s", sgn.alias("sgn"))
+    above = F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+    below = F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+    return s.groupBy("hour_s").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        above.cast("long").alias("n_above"),
+        below.cast("long").alias("n_below"),
+        F.round(
+            F.greatest(above, below) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("agreement"),
+    )
