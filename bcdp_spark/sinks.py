@@ -313,3 +313,49 @@ def compact_parquet(
         writer = out.write
     writer.mode("overwrite").parquet(out_path)
     return {"n_files_in": n_files, "bytes_in": bytes_in, "n_out": n_out}
+
+
+def write_audit_publish(
+    spark,
+    df: DataFrame,
+    out_path: str,
+    audit,
+    partition_by: "Sequence[str] | None" = None,
+) -> dict:
+    """Write-audit-publish (the reliability pattern behind every
+    production table publish): write to a staging directory, run
+    ``audit(staged_df) -> bool | None`` against the ACTUAL written
+    bytes (not the input plan — catches writer bugs and schema drift),
+    and only then atomically move staging into place. On audit failure
+    the staging directory is removed and the previous published data is
+    untouched — readers never observe a partial or invalid table.
+
+    ``audit`` returning False (or raising) aborts. Atomicity is the
+    filesystem rename (same-volume); on object stores the equivalent is
+    a metadata pointer swap, which this seam isolates.
+    """
+    import os
+    import shutil
+
+    staging = out_path.rstrip("/") + ".__staging__"
+    backup = out_path.rstrip("/") + ".__old__"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    try:
+        ok = audit(staged)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if ok is False:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"published": False}
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(out_path):
+        os.rename(out_path, backup)
+    os.rename(staging, out_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"published": True}

@@ -181,3 +181,40 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 5000
     assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(5000))
+
+
+def test_write_audit_publish_gates_and_swaps(spark, tmp_path):
+    """Audit failure leaves the previous publish untouched; success
+    atomically replaces it."""
+    import os
+
+    from bcdp_spark.sinks import write_audit_publish
+
+    out = str(tmp_path / "table")
+    v1 = spark.range(0, 100).withColumn("v", F.lit(1))
+    r = write_audit_publish(spark, v1, out, audit=lambda d: d.count() == 100)
+    assert r["published"] and spark.read.parquet(out).count() == 100
+
+    # failing audit: v2 is "bad" (empty) → publish refused, v1 intact
+    v2 = spark.range(0, 0).withColumn("v", F.lit(2))
+    r = write_audit_publish(spark, v2, out, audit=lambda d: d.count() > 0)
+    assert not r["published"]
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert back.agg(F.max("v")).collect()[0][0] == 1
+    assert not os.path.exists(out + ".__staging__")
+
+    # raising audit propagates and aborts
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="bad data"):
+        write_audit_publish(
+            spark, v1, out,
+            audit=lambda d: (_ for _ in ()).throw(RuntimeError("bad data")),
+        )
+    assert spark.read.parquet(out).count() == 100
+
+    # passing audit replaces atomically
+    v3 = spark.range(0, 50).withColumn("v", F.lit(3))
+    r = write_audit_publish(spark, v3, out, audit=lambda d: True)
+    assert r["published"] and spark.read.parquet(out).count() == 50
