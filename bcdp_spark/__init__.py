@@ -12,8 +12,23 @@ documented module-level in SURVEY.md (`bcdp/core.py`, `bcdp/io.py`,
 
 from bcdp_spark.session import get_spark
 from bcdp_spark.tables import TABLES, load_tables, table
-from bcdp_spark.ensemble import Ensemble
+from bcdp_spark.ensemble import Bounds, Ensemble
+from bcdp_spark.sources.registry import (
+    list_sources,
+    load as load_source,
+    register_data_source,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # round 3
 
-__all__ = ["get_spark", "TABLES", "load_tables", "table", "Ensemble"]
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_tables",
+    "table",
+    "Bounds",
+    "Ensemble",
+    "register_data_source",
+    "load_source",
+    "list_sources",
+]

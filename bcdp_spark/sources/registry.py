@@ -71,3 +71,11 @@ def _opendap(spark: SparkSession, path: str, **options) -> DataFrame:
     from bcdp_spark.sources.opendap import load_opendap
 
     return load_opendap(spark, path, **options)
+
+
+# -- self-registering format modules ----------------------------------
+# importing them IS the registration (decorator side effect); placed at
+# the bottom so the decorator exists when the circular import re-enters
+# this partially-initialized module.
+from bcdp_spark.sources import warc as _warc  # noqa: E402,F401
+from bcdp_spark.sources import zarr as _zarr  # noqa: E402,F401
