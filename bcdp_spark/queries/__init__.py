@@ -81,10 +81,10 @@ def _load() -> None:
 # (q_netcdf_climatology, q_multimodal_pipeline, q_semantic_dedup,
 # q_ann_knn, q_ivf_knn, CC/clusters, weights-gen, packing, curation).
 _PRIORITY = (
-    # (a) SURVEY §2 declared keys still in the graded window (29)
-    "q_scan_project", "q_range_filter", "q_null_handling",
-    "q_join_agg", "q_bigjoin", "q_anti_join",
-    "q_theta_join", "q_pricing_summary", "q_climatology",
+    # (a) SURVEY §2 declared keys still in the graded window
+    "q_scan_project", "q_range_filter",
+    "q_join_agg", "q_anti_join",
+    "q_pricing_summary", "q_climatology",
     "q_tumbling_events", "q_ensemble_mean", "q_bin_regrid",
     "q_rollup", "q_stats", "q_rolling_mean", "q_anomaly",
     "q_window_topk", "q_lag_delta", "q_running_sum",
@@ -101,10 +101,14 @@ _PRIORITY = (
     "q_ann_knn", "q_ivf_knn", "q_connected_components", "q_dedup_clusters",
     "q_corpus_curation", "q_doc_packing", "q_regrid_weights_gen",
     "q_curvilinear_regrid", "q_zarr_climatology", "q_warc_ingest",
+    "q_jsonl_ingest", "q_token_pagerank", "q_doc_repetition",
     # --- 50-key window boundary ---
     # (d) rotated-out §2 keys (r1+r2 driver-green; graded again if the
-    # cap allows; q_left_join/q_semi_join rotated out r3 for the new
-    # S8/EXT ingest flagships — J3/J4 keep r1+r2 driver-green evidence)
+    # cap allows). r3 rotation: q_left_join/q_semi_join/q_null_handling/
+    # q_bigjoin/q_theta_join moved out for the new S8/S9/S10/EXT
+    # flagships — J2/J3/J4/J7/P5 all keep r1+r2 driver-green evidence
+    # (and J7 keeps q_regrid_weighted IN-window).
+    "q_null_handling", "q_bigjoin", "q_theta_join",
     "q_left_join", "q_semi_join", "q_season_filter", "q_nearest_regrid",
     "q_asof_bucket", "q_distinct", "q_median", "q_topk", "q_union",
     "q_intersect", "q_except", "q_date_funcs", "q_string_funcs",
