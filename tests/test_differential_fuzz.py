@@ -130,3 +130,64 @@ def test_differential_fuzz(seed, spark, duck):
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, f"fuzz[{seed}]: {sql}")
+
+
+# -- time-series grammar over events: the temporal conventions (UTC,
+# date_trunc, epoch casts, decimal-routed float means) under random
+# composition ---------------------------------------------------------
+
+_DSUM_VAL = (
+    "CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS STRING) AS DOUBLE)"
+)
+
+
+def _gen_events_query(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    preds = []
+    pool = [
+        lambda: (
+            f"ts >= TIMESTAMP '2024-{rng.randint(1, 6):02d}-01 00:00:00'"
+        ),
+        lambda: f"event_type IN ({', '.join(sorted(repr(v) for v in rng.sample(['click', 'view', 'purchase', 'login', 'logout'], rng.randint(1, 3))))})",
+        lambda: f"user_id % {rng.randint(2, 9)} = 0",
+        lambda: f"value {rng.choice(['<', '>='])} {rng.randint(10, 400)}",
+        lambda: f"HOUR(ts) {rng.choice(['<', '>='])} {rng.randint(1, 23)}",
+    ]
+    for fn in rng.sample(pool, rng.randint(1, 3)):
+        preds.append(fn())
+    group_pool = [
+        ("event_type", "event_type"),
+        ("CAST(YEAR(ts) AS INT)", "yr"),
+        ("CAST(MONTH(ts) AS INT)", "mon"),
+        ("CAST(HOUR(ts) AS INT)", "hr"),
+        ("user_id % 10", "ubin"),
+    ]
+    groups = rng.sample(group_pool, rng.randint(0, 2))
+    agg_pool = [
+        ("COUNT(*)", "cnt"),
+        (_DSUM_VAL, "sum_value"),
+        ("MIN(event_id)", "min_eid"),
+        ("MAX(event_id)", "max_eid"),
+        ("COUNT(DISTINCT user_id)", "n_users"),
+        ("MIN(ts)", "min_ts"),
+        ("MAX(ts)", "max_ts"),
+    ]
+    aggs = rng.sample(agg_pool, rng.randint(1, 3))
+    select = [f"{e} AS {a}" for e, a in groups] + [f"{e} AS {a}" for e, a in aggs]
+    sql = "SELECT " + ", ".join(select) + " FROM events WHERE " + " AND ".join(preds)
+    if groups:
+        sql += " GROUP BY " + ", ".join(e for e, _ in groups)
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_fuzz_events(seed, spark, duck):
+    from bcdp_spark.queries._helpers import utc
+    from bcdp_spark.tables import table
+
+    utc(spark)
+    table(spark, SF_ORACLE, "events").createOrReplaceTempView("events")
+    sql = _gen_events_query(seed)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, f"events-fuzz[{seed}]: {sql}")
