@@ -1,0 +1,39 @@
+"""Partition-count invariance: the determinism contract says results
+must not depend on HOW the data is partitioned — decimal-routed sums,
+quantized-integer stats and tie-broken windows should produce identical
+bytes whether a stage runs with 3 reducers or 64. This drives
+representative float-heavy keys end-to-end under both settings (the
+hypothesis property suite covers the algebra; this covers the PLANS)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+_KEYS = (
+    "q_pricing_summary",   # decimal-routed hash agg
+    "q_ensemble_mean",     # two-level decimal means + stddev round
+    "q_token_pagerank",    # iterative joins, decimal contributions
+    "q_seasonal_cycle",    # integer-exact rolling windows
+    "q_sim_knn",           # global top-k with tiebreak
+    "q_doc_repetition",    # struct-argmax + joins
+)
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_partition_count_invariance(key, spark):
+    import bcdp_spark.queries as q
+
+    fn = q.queries()[key]
+    conf = spark.conf
+    before = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+        conf.set("spark.sql.shuffle.partitions", "64")
+        wide = sorted(map(tuple, fn(spark, SF_ORACLE).collect()))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", before)
+    assert narrow == wide, f"{key}: result depends on shuffle width"
+    assert len(narrow) > 0
