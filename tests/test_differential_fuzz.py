@@ -191,3 +191,59 @@ def test_differential_fuzz_events(seed, spark, duck):
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, f"events-fuzz[{seed}]: {sql}")
+
+
+# -- string grammar over documents: the F3 family (LIKE, SUBSTRING,
+# UPPER/LOWER, length math) under random composition ------------------
+
+
+def _gen_docs_query(seed: int) -> str:
+    rng = random.Random(20_000 + seed)
+    preds = []
+    pool = [
+        lambda: f"lang = 'l{rng.randint(0, 4)}'" if rng.random() < 0.5
+        else f"lang IN ({', '.join(sorted(repr('l' + str(i)) for i in rng.sample(range(5), 2)))})",
+        lambda: f"n_chars {rng.choice(['<', '>='])} {rng.randint(100, 400)}",
+        lambda: f"text LIKE '%{rng.choice(['table', 'spark', 'value', 'window'])}%'",
+        lambda: f"doc_id % {rng.randint(2, 5)} = 0",
+        lambda: f"LENGTH(text) - n_chars = 0",
+    ]
+    for fn in rng.sample(pool, rng.randint(1, 3)):
+        preds.append(fn())
+    group_pool = [
+        ("lang", "lang"),
+        ("source", "source"),
+        ("SUBSTRING(text, 1, 1)", "first_ch"),
+        ("CAST(n_chars AS INT) % 3", "lbin"),
+    ]
+    groups = rng.sample(group_pool, rng.randint(0, 2))
+    agg_pool = [
+        ("COUNT(*)", "cnt"),
+        ("CAST(SUM(n_chars) AS BIGINT)", "sum_chars"),
+        ("MIN(doc_id)", "min_id"),
+        ("MAX(LENGTH(text))", "max_len"),
+        ("MIN(UPPER(SUBSTRING(text, 1, 3)))", "min_pre"),
+        ("COUNT(DISTINCT lang)", "n_langs"),
+    ]
+    aggs = rng.sample(agg_pool, rng.randint(1, 3))
+    select = [f"{e} AS {a}" for e, a in groups] + [f"{e} AS {a}" for e, a in aggs]
+    sql = (
+        "SELECT " + ", ".join(select) + " FROM documents WHERE "
+        + " AND ".join(preds)
+    )
+    if groups:
+        sql += " GROUP BY " + ", ".join(e for e, _ in groups)
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_fuzz_documents(seed, spark, duck):
+    from bcdp_spark.queries._helpers import utc
+    from bcdp_spark.tables import table
+
+    utc(spark)
+    table(spark, SF_ORACLE, "documents").createOrReplaceTempView("documents")
+    sql = _gen_docs_query(seed)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, f"docs-fuzz[{seed}]: {sql}")
