@@ -221,6 +221,13 @@ class Ensemble:
         return xarray.Dataset(das)
 
     # -- reference verbs ----------------------------------------------
+    def select_var(self, var: str) -> "Ensemble":
+        """P1 variable select on a multi-variable long form (the
+        ``load_netcdf_vars``/``load_zarr_vars`` output tags variables in
+        the name column): keep one variable's rows — a pushdown-able
+        filter, the reference's ``ds[var]`` (bcdp/core.py [UNVERIFIED])."""
+        return self._with(self.df.filter(F.col(self.name_col) == var))
+
     def subset(self, bounds: Bounds) -> "Ensemble":
         """Spatio-temporal(-vertical) subset (P2+P3). Conjunctive range
         predicates — pushed down to the parquet scan by Catalyst. A lev

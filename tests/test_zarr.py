@@ -555,3 +555,30 @@ def test_load_zarr_vars_multi_variable(spark, tmp_path):
         spark, store, ["pr", "tas"], lat_bnds=(0.0, 90.0)
     ).toPandas()
     assert len(sub) == 2 * nt * 1 * no
+
+
+def test_select_var_on_multi_var_ensemble(spark, tmp_path):
+    from bcdp_spark.ensemble import Ensemble
+    from bcdp_spark.sources.zarr import load_zarr_vars, write_zarr
+
+    store = str(tmp_path / "mv.zarr")
+    nt, na, no = 4, 2, 2
+    base = np.arange(nt * na * no, dtype="float64").reshape(nt, na, no)
+    write_zarr(
+        store,
+        dims={"time": nt, "lat": na, "lon": no},
+        variables={
+            "time": (["time"], np.arange(nt, dtype="float64"),
+                     {"units": "days since 2001-01-01"}),
+            "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+            "lon": (["lon"], np.array([0.0, 90.0]), {}),
+            "pr": (["time", "lat", "lon"], base, {}),
+            "tas": (["time", "lat", "lon"], base + 100.0, {}),
+        },
+    )
+    ens = Ensemble(load_zarr_vars(spark, store, ["pr", "tas"]))
+    pr = ens.select_var("pr")
+    assert pr.df.count() == nt * na * no
+    assert pr.df.filter("value >= 100").count() == 0
+    # downstream verbs still compose: per-cell monthly climatology
+    assert pr.climatology(bucket="month").count() == na * no
