@@ -1,0 +1,51 @@
+"""One-shot verification ladder (the .claude/skills/verify recipe as a
+script): driver replica at sf0.01, sf0.1 and hostile-timezone variants,
+then bench. Exits nonzero on the first failing rung. Run before any
+commit that touches engine code:
+
+    python tools/verify_all.py            # ~10 min
+    python tools/verify_all.py --quick    # sf0.01 replica + bench only
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _run(name: str, env_extra: dict | None = None, cmd: list | None = None) -> None:
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    cmd = cmd or [sys.executable, os.path.join(HERE, "driver_replica.py")]
+    print(f"== {name} ==", flush=True)
+    p = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    tail = "\n".join((p.stdout + p.stderr).replace("\r", "\n").splitlines()[-3:])
+    print(tail, flush=True)
+    ok = p.returncode == 0 and (
+        "FAILURES: none" in p.stdout or cmd[-1].endswith("bench.py")
+    )
+    if not ok:
+        print(f"FAILED: {name}", flush=True)
+        sys.exit(1)
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    _run("replica sf0.01 (driver contract)")
+    if not quick:
+        _run("replica sf0.1 (scale-dependence)", {"REPLICA_SF_DIR": "/root/testdata/sf0.1"})
+        _run("replica hostile timezone", {"REPLICA_TZ": "America/New_York"})
+    _run(
+        "bench (one JSON line)",
+        {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
+        [sys.executable, os.path.join(REPO, "bench.py")],
+    )
+    print("ALL VERIFICATION RUNGS GREEN", flush=True)
+
+
+if __name__ == "__main__":
+    main()
