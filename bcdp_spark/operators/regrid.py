@@ -376,14 +376,22 @@ def binned_neighbor_pairs_haversine(
         raise ValueError(f"src/dst column collision: {sorted(overlap)}")
     lat_bin = radius_km / _KM_PER_DEG
     lon_bin = lat_bin / math.cos(math.radians(lat_cap))
-    # lon bins wrap at the dateline: index mod n_lon, so a pair straddling
-    # +-180 still lands in adjacent (mod) bins. The remainder bin being
-    # narrower than lon_bin never breaks the 3x3 cover (any two points
-    # within lon_bin degrees of wrapped longitude differ by <= 1 mod-bin).
-    n_lon = max(int(math.ceil(360.0 / lon_bin)), 3)
+    # lon bins tile the circle EXACTLY: n_lon = floor(360/lon_bin) bins of
+    # effective width 360/n_lon >= lon_bin each (never a narrower seam
+    # bin), indexed by floor(pmod(lon,360) * n_lon / 360). Two points
+    # within lon_bin wrapped degrees therefore differ by <= 1 mod-bin,
+    # including pairs straddling +-180 — a ceil()-based n_lon would leave
+    # a sub-width remainder bin at the seam that puts such pairs 2 bins
+    # apart, outside the 3x3 probe.
+    n_lon = max(int(math.floor(360.0 / lon_bin)), 3)
 
     def _lon_bin(lon_col: str) -> Column:
-        return F.pmod(F.floor(F.col(lon_col) / lon_bin), F.lit(n_lon))
+        # outer pmod guards the fp edge where pmod(lon,360) rounds to
+        # exactly 360.0 and floor() would yield n_lon
+        return F.pmod(
+            F.floor(F.pmod(F.col(lon_col), F.lit(360.0)) * n_lon / F.lit(360.0)),
+            F.lit(n_lon),
+        )
 
     def _binned(df: DataFrame, lat: str, lon: str, probe: bool) -> DataFrame:
         guard = F.when(

@@ -80,53 +80,73 @@ def _load() -> None:
 # room for the EXT/scale flagships that have never received a driver row
 # (q_netcdf_climatology, q_multimodal_pipeline, q_semantic_dedup,
 # q_ann_knn, q_ivf_knn, CC/clusters, weights-gen, packing, curation).
+# Round-4 rotation (VERDICT r3 item 1): every §2 component already
+# carries driver-green evidence across r2∪r3 (CORRECTNESS_r02/r03), so
+# the whole 50-key window is given to never-graded keys — 103 of 180
+# registry keys have no driver row yet. q_zarr_climatology stays
+# in-window because r4 re-routes it through the DSv2 format('zarr')
+# pushFilters path (VERDICT item 4): its green row must now cover the
+# pushdown machinery. All rotated-out keys keep r2/r3 green evidence.
 _PRIORITY = (
-    # (a) SURVEY §2 declared keys still in the graded window
-    "q_scan_project", "q_range_filter",
-    "q_join_agg", "q_anti_join",
-    "q_pricing_summary", "q_climatology",
-    "q_tumbling_events", "q_ensemble_mean", "q_bin_regrid",
-    "q_rollup", "q_stats", "q_rolling_mean", "q_anomaly",
-    "q_window_topk", "q_lag_delta", "q_running_sum",
-    "q_unit_convert", "q_session", "q_dedup_events",
-    "q_grouped_apply", "q_token_explode", "q_dedup_docs", "q_sim_knn",
-    "q_lang_stats",
-    # (b) sole-evidence component keys (10)
-    "q_embed_stats", "q_map_lookup", "q_sliding", "q_grouped_agg_udf",
-    "q_asof_align", "q_regrid_weighted", "q_minhash_dedup", "q_simhash_pairs",
-    "q_ngram_jaccard", "q_embed_neardup",
-    # (c) scale/EXT flagships promoted into the window (11) — includes
-    # the r3 curvilinear-grid regrid (VERDICT r2 missing #3 closed)
-    "q_netcdf_climatology", "q_multimodal_pipeline", "q_semantic_dedup",
-    "q_ann_knn", "q_ivf_knn", "q_connected_components", "q_dedup_clusters",
-    "q_corpus_curation", "q_doc_packing", "q_regrid_weights_gen",
-    "q_curvilinear_regrid", "q_zarr_climatology", "q_warc_ingest",
-    "q_jsonl_ingest", "q_token_pagerank", "q_doc_repetition",
+    # (a) verdict-named never-graded flagships
+    "q_triangle_count", "q_scd2", "q_data_mixture", "q_unigram_logprob",
+    "q_nearest_regrid", "q_repeated_ngrams", "q_quality_classifier",
+    "q_contamination",
+    # (b) climate/ensemble family (never graded)
+    "q_taylor_stats", "q_seasonal_cycle", "q_harmonic_fit", "q_autocorr",
+    "q_extremes", "q_ensemble_agreement", "q_area_weighted_mean",
+    "q_netcdf_lev_climatology", "q_model_metrics", "q_centroids",
+    # (c) relational/subquery family (never graded)
+    "q_pivot", "q_unpivot", "q_scalar_subquery", "q_exists_subquery",
+    "q_in_subquery", "q_correlated_scalar", "q_conditional_agg",
+    "q_full_join", "q_null_safe_join", "q_mode", "q_string_agg",
+    "q_multi_distinct", "q_salted_agg", "q_salted_join", "q_range_window",
+    "q_percent_rank", "q_argmax",
+    # (d) warehouse/analytics family (never graded)
+    "q_shipping_priority", "q_market_share", "q_promo_revenue",
+    "q_custdist", "q_funnel", "q_cohort_retention", "q_markov_transitions",
+    "q_dau_mau", "q_sequence_match", "q_ewma", "q_windowed_dedup",
+    # (e) corpus/text family (never graded)
+    "q_top_tokens_per_lang", "q_inverted_index", "q_cooccurrence",
+    # (f) r4 re-route: DSv2 zarr scan with pushed filters (see above)
+    "q_zarr_climatology",
     # --- 50-key window boundary ---
-    # (d) rotated-out §2 keys (r1+r2 driver-green; graded again if the
-    # cap allows). r3 rotation: q_left_join/q_semi_join/q_null_handling/
-    # q_bigjoin/q_theta_join moved out for the new S8/S9/S10/EXT
-    # flagships — J2/J3/J4/J7/P5 all keep r1+r2 driver-green evidence
-    # (and J7 keeps q_regrid_weighted IN-window).
-    "q_null_handling", "q_bigjoin", "q_theta_join",
-    "q_left_join", "q_semi_join", "q_season_filter", "q_nearest_regrid",
-    "q_asof_bucket", "q_distinct", "q_median", "q_topk", "q_union",
-    "q_intersect", "q_except", "q_date_funcs", "q_string_funcs",
-    "q_json_extract",
-    # (e) round-1 graded extras
-    "q_ntile", "q_cube", "q_grouping_sets", "q_tfidf", "q_lang_id",
-    "q_quality_score", "q_fingerprint", "q_heavy_hitters", "q_interp",
-    "q_moving_median", "q_locf", "q_gap_fill",
-    # (f) round-2 flagship additions
-    "q_quality_classifier", "q_data_mixture",
-    "q_reservoir_sample", "q_product_profit", "q_min_cost_supplier",
+    # (g) remaining never-graded keys, next in line if the cap allows
+    "q_bloom_semi_join", "q_token_budget_select", "q_hash_split",
+    "q_vocab_growth", "q_boilerplate", "q_redact_terms", "q_vec_quantize",
+    "q_doc_length_histogram", "q_repetition_ratio", "q_token_count",
+    "q_bigrams", "q_fuzzy_match", "q_percentile_cont", "q_regression",
+    "q_array_ops", "q_entropy", "q_promo_window_join", "q_upsert",
+    "q_weighted_avg", "q_ratio_to_report", "q_yoy_growth",
+    "q_revenue_forecast", "q_zscore_outliers", "q_user_lifetime",
+    "q_rolling_corr", "q_new_vs_returning", "q_abandonment",
+    "q_fulfillment_lag", "q_idle_customers", "q_top_supplier",
+    "q_small_qty_revenue", "q_waiting_suppliers", "q_order_priority",
+    "q_local_supplier_volume", "q_volume_shipping", "q_returned_items",
+    "q_large_orders", "q_disjunctive_scan", "q_ntile", "q_histogram",
+    "q_first_last", "q_hash_sample", "q_stratified_sample",
+    "q_reservoir_sample", "q_min_cost_supplier", "q_product_profit",
     "q_important_stock", "q_supplier_cnt", "q_shipmode_priority",
-    "q_promo_suppliers", "q_contamination", "q_model_metrics",
-    # (g) round-3 additions beyond the graded window
-    "q_doc_repetition", "q_token_pagerank", "q_netcdf_lev_climatology",
-    "q_jsonl_ingest", "q_taylor_stats", "q_unigram_logprob", "q_compress_ratio", "q_triangle_count", "q_scd2", "q_weighted_sample", "q_seasonal_cycle", "q_harmonic_fit",
-    "q_autocorr", "q_extremes", "q_area_weighted_mean",
-    "q_ensemble_agreement",
+    "q_promo_suppliers",
+    # (h) rotated-out §2/EXT keys — all r2/r3 driver-green
+    "q_scan_project", "q_range_filter", "q_join_agg", "q_anti_join",
+    "q_pricing_summary", "q_climatology", "q_tumbling_events",
+    "q_ensemble_mean", "q_bin_regrid", "q_rollup", "q_stats",
+    "q_rolling_mean", "q_anomaly", "q_window_topk", "q_lag_delta",
+    "q_running_sum", "q_unit_convert", "q_session", "q_dedup_events",
+    "q_grouped_apply", "q_token_explode", "q_dedup_docs", "q_sim_knn",
+    "q_lang_stats", "q_embed_stats", "q_map_lookup", "q_sliding",
+    "q_grouped_agg_udf", "q_asof_align", "q_regrid_weighted",
+    "q_minhash_dedup", "q_simhash_pairs", "q_ngram_jaccard",
+    "q_embed_neardup", "q_netcdf_climatology", "q_multimodal_pipeline",
+    "q_semantic_dedup", "q_ann_knn", "q_ivf_knn",
+    "q_connected_components", "q_dedup_clusters", "q_corpus_curation",
+    "q_doc_packing", "q_regrid_weights_gen", "q_curvilinear_regrid",
+    "q_warc_ingest", "q_jsonl_ingest", "q_token_pagerank",
+    "q_doc_repetition", "q_null_handling", "q_bigjoin", "q_theta_join",
+    "q_left_join", "q_semi_join", "q_season_filter", "q_asof_bucket",
+    "q_distinct", "q_median", "q_topk", "q_union", "q_intersect",
+    "q_except", "q_date_funcs", "q_string_funcs", "q_json_extract",
 )
 
 

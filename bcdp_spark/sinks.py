@@ -323,22 +323,39 @@ def write_audit_publish(
     partition_by: "Sequence[str] | None" = None,
 ) -> dict:
     """Write-audit-publish (the reliability pattern behind every
-    production table publish): write to a staging directory, run
-    ``audit(staged_df) -> bool | None`` against the ACTUAL written
-    bytes (not the input plan — catches writer bugs and schema drift),
-    and only then atomically move staging into place. On audit failure
-    the staging directory is removed and the previous published data is
-    untouched — readers never observe a partial or invalid table.
+    production table publish): write to a fresh VERSIONED directory
+    ``<out>.__vN__``, run ``audit(staged_df) -> bool | None`` against
+    the ACTUAL written bytes (not the input plan — catches writer bugs
+    and schema drift), and only then publish by atomically swapping the
+    ``out_path`` symlink onto the new version (``symlink`` + ``rename``
+    over the old link, one atomic syscall on POSIX). ``out_path``
+    therefore ALWAYS resolves to a complete, audited table — there is
+    no missing-table window, and a crash mid-publish leaves the old
+    version still live (ADVICE r3). The previous version directory is
+    kept (in-flight readers holding it stay valid); older ones are
+    pruned.
 
-    ``audit`` returning False (or raising) aborts. Atomicity is the
-    filesystem rename (same-volume); on object stores the equivalent is
-    a metadata pointer swap, which this seam isolates.
+    One documented exception: the FIRST publish over a legacy layout
+    where ``out_path`` is a real directory (not a symlink) must rename
+    it aside before the link can exist — that one migration has the old
+    rename-window. ``audit`` returning False (or raising) aborts with
+    the staging version removed. On object stores the equivalent of the
+    link swap is a metadata pointer swap, which this seam isolates.
     """
     import os
+    import re
     import shutil
 
-    staging = out_path.rstrip("/") + ".__staging__"
-    backup = out_path.rstrip("/") + ".__old__"
+    base = out_path.rstrip("/")
+    parent, leaf = os.path.dirname(base) or ".", os.path.basename(base)
+    vre = re.compile(re.escape(leaf) + r"\.__v(\d+)__$")
+    existing = sorted(
+        int(m.group(1))
+        for name in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if (m := vre.match(name))
+    )
+    v = (existing[-1] + 1) if existing else 1
+    staging = f"{base}.__v{v}__"
     shutil.rmtree(staging, ignore_errors=True)
     writer = df.write
     if partition_by:
@@ -353,9 +370,20 @@ def write_audit_publish(
     if ok is False:
         shutil.rmtree(staging, ignore_errors=True)
         return {"published": False}
-    shutil.rmtree(backup, ignore_errors=True)
-    if os.path.exists(out_path):
-        os.rename(out_path, backup)
-    os.rename(staging, out_path)
-    shutil.rmtree(backup, ignore_errors=True)
-    return {"published": True}
+    if os.path.exists(base) and not os.path.islink(base):
+        # legacy real-directory layout: adopt it as version 0 (the one
+        # non-atomic migration, see docstring)
+        legacy = f"{base}.__v0__"
+        shutil.rmtree(legacy, ignore_errors=True)
+        os.rename(base, legacy)
+        existing = [0] + existing
+    tmp_link = f"{base}.__ptr__"
+    try:
+        os.remove(tmp_link)
+    except FileNotFoundError:
+        pass
+    os.symlink(f"{leaf}.__v{v}__", tmp_link)
+    os.replace(tmp_link, base)  # atomic: base always resolves
+    for old in existing[:-1]:  # keep current + immediately previous
+        shutil.rmtree(f"{base}.__v{old}__", ignore_errors=True)
+    return {"published": True, "version": v}

@@ -90,6 +90,15 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
             headers[k.strip().lower()] = v.strip()
         clen = int(headers["content-length"])
         body_start = hdr_end + 4
+        if body_start + clen > n:
+            # truncated archive: Content-Length promises more octets than
+            # exist — fail loudly instead of yielding a silently clipped
+            # payload that looks valid downstream (ADVICE r3)
+            raise ValueError(
+                f"truncated WARC: record at offset {pos} declares "
+                f"Content-Length {clen} but only {n - body_start} octets "
+                "remain"
+            )
         yield headers, raw[body_start : body_start + clen]
         pos = body_start + clen
 

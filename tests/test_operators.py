@@ -894,6 +894,66 @@ def test_haversine_lat_cap_guard(spark):
         ).collect()
 
 
+def test_haversine_dateline_seam_near_cap(spark):
+    """Regression (ADVICE r3, high): near-cap-latitude pair straddling
+    +-180 that the old ceil()-based lon binning put 2 mod-bins apart
+    (radius=150, lat=79.99, lons +-178.67 are ~51 km apart yet fell in
+    bins 22 and 24 of 47). Exact tiling must recover it."""
+    from bcdp_spark.operators.regrid import (
+        binned_neighbor_pairs_haversine,
+        nearest_regrid_haversine,
+    )
+
+    src = spark.createDataFrame(
+        [(79.99, -178.67, 42.0, 1)],
+        "slat double, slon double, sval double, sid long",
+    )
+    dst = spark.createDataFrame(
+        [(1, 79.99, 178.67)], "did long, dlat double, dlon double"
+    )
+    pairs = binned_neighbor_pairs_haversine(
+        src, dst, radius_km=150.0,
+        src_lat="slat", src_lon="slon", dst_lat="dlat", dst_lon="dlon",
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["__km"] < 60.0
+    got = nearest_regrid_haversine(
+        src, dst, radius_km=150.0,
+        src_lat="slat", src_lon="slon", value_col="sval",
+        dst_lat="dlat", dst_lon="dlon", dst_keys=("did",), tiebreak=("sid",),
+    ).collect()
+    assert len(got) == 1 and got[0]["sval"] == 42.0
+
+
+def test_haversine_seam_sweep_matches_bruteforce(spark):
+    """Exact-tiling cover property: dense sweep of pairs hugging +-180
+    at several latitudes == brute force (no silently dropped neighbors)."""
+    from bcdp_spark.operators.regrid import nearest_regrid_haversine
+
+    src_rows, dst_rows = [], []
+    i = 0
+    for lat in (-79.9, -45.0, 0.0, 45.0, 79.9):
+        for eps in (0.05, 0.4, 1.3, 2.6):
+            src_rows.append((lat, -180.0 + eps, float(i), i))
+            dst_rows.append((i, lat, 180.0 - eps))
+            i += 1
+    src = spark.createDataFrame(
+        src_rows, "slat double, slon double, sval double, sid long"
+    )
+    dst = spark.createDataFrame(dst_rows, "did long, dlat double, dlon double")
+    got = {
+        r["did"]: (round(r["km"], 6), r["sval"])
+        for r in nearest_regrid_haversine(
+            src, dst, radius_km=200.0,
+            src_lat="slat", src_lon="slon", value_col="sval",
+            dst_lat="dlat", dst_lon="dlon", dst_keys=("did",),
+            tiebreak=("sid",),
+        ).collect()
+    }
+    want = _brute_haversine_nearest(src_rows, dst_rows, 200.0)
+    assert got == want
+    assert len(want) >= 10
+
+
 def test_ivf_topk_recall(spark):
     """IVF recall: with planted clusters as cells, the probe-then-rerank
     pipeline recovers the exact top-10 (assignment, probe and in-cell

@@ -214,7 +214,25 @@ def test_write_audit_publish_gates_and_swaps(spark, tmp_path):
         )
     assert spark.read.parquet(out).count() == 100
 
-    # passing audit replaces atomically
+    # passing audit replaces atomically: out is a symlink swapped onto
+    # the new version dir, previous version kept, older pruned
     v3 = spark.range(0, 50).withColumn("v", F.lit(3))
     r = write_audit_publish(spark, v3, out, audit=lambda d: True)
     assert r["published"] and spark.read.parquet(out).count() == 50
+    assert os.path.islink(out)
+    vers = sorted(
+        p for p in os.listdir(os.path.dirname(out))
+        if p.startswith("table.__v")
+    )
+    assert len(vers) == 2  # current + previous only
+    assert os.readlink(out) == vers[-1]
+
+    # one more publish: the oldest version is pruned, link re-swapped
+    v4 = spark.range(0, 7).withColumn("v", F.lit(4))
+    r = write_audit_publish(spark, v4, out, audit=lambda d: True)
+    assert r["published"] and spark.read.parquet(out).count() == 7
+    vers2 = sorted(
+        p for p in os.listdir(os.path.dirname(out))
+        if p.startswith("table.__v")
+    )
+    assert len(vers2) == 2 and os.readlink(out) == vers2[-1]

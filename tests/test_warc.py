@@ -76,6 +76,19 @@ def test_malformed_raises():
         list(iter_warc_records(b"NOT A WARC\r\n\r\n"))
 
 
+def test_truncated_archive_raises(tmp_path):
+    """Regression (ADVICE r3): a record whose Content-Length promises
+    more octets than the file holds must raise, not yield a silently
+    clipped payload."""
+    path = str(tmp_path / "a.warc")
+    write_warc(path, _records(), compress=False)
+    raw = open(path, "rb").read()
+    with pytest.raises(ValueError, match="truncated WARC"):
+        list(iter_warc_records(raw[: len(raw) - 10]))
+    # intact bytes still parse
+    assert len(list(iter_warc_records(raw))) == 3
+
+
 def test_content_length_is_binary_safe():
     """Content may contain CRLF CRLF — only Content-Length delimits."""
     body = b"a\r\n\r\nb" * 3
