@@ -118,6 +118,109 @@ def q_netcdf_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1 (NetCDF-4/HDF5): the SAME closed-form grid serialized as real HDF5
+# bytes by the vendored writer — one member in the classic superblock-v0
+# / object-header-v1 / old-style-group layout with contiguous data, the
+# other in superblock-v2 / header-v2 / compact-link layout with
+# chunked + shuffle + deflate data. A green driver row certifies the
+# whole from-scratch HDF5 read path (bcdp_spark.sources.hdf5): B-tree
+# chunk walk, filter pipeline, attribute decode, CF time, fill values.
+# ---------------------------------------------------------------------------
+_FIXH5_DIR = "/tmp/bcdp_spark_nc4_fixture_v1"
+
+
+def _ensure_fixture_h5() -> str:
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXH5_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXH5_DIR
+    os.makedirs(_FIXH5_DIR, exist_ok=True)
+    lats = np.array([-60.0, -20.0, 20.0, 60.0])
+    lons = np.arange(_N_O) * 60.0
+    half = _N_T // 2
+    profiles = (
+        dict(profile="v0"),
+        dict(profile="v2", chunk={"pr": (7, 2, _N_O)}, gzip_level=6,
+             shuffle=True),
+    )
+    for i, (t0, kw) in enumerate(zip((0, half), profiles)):
+        time = np.arange(t0, t0 + half, dtype=np.float64)
+        t = np.arange(t0, t0 + half)[:, None, None]
+        a = np.arange(_N_A)[None, :, None]
+        o = np.arange(_N_O)[None, None, :]
+        data = np.where(
+            (t + a + o) % 11 == 0, -999.0, 0.25 * (t * 1000 + a * 10 + o)
+        ).astype("<f8")
+        raw = write_hdf5(
+            {
+                "time": (
+                    ["time"],
+                    time,
+                    {"units": "days since 2001-01-01", "calendar": "standard"},
+                ),
+                "lat": (["lat"], lats, {"CLASS": "DIMENSION_SCALE"}),
+                "lon": (["lon"], lons, {"CLASS": "DIMENSION_SCALE"}),
+                "pr": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+            },
+            attrs={"Conventions": "CF-1.8"},
+            **kw,
+        )
+        tmp = os.path.join(_FIXH5_DIR, f".member{i}.nc.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        os.replace(tmp, os.path.join(_FIXH5_DIR, f"member{i}.nc"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXH5_DIR
+
+
+@register(
+    "q_netcdf4_climatology",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2001-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 11 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 1000 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {_N_T - 1}) t(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0 WHEN 2 THEN 20.0
+              ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_netcdf4_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 NetCDF-4: real HDF5 bytes (both on-disk generations, chunked
+    + shuffle + deflate member included) → vendored stdlib decode →
+    monthly climatology per latitude band. Same closed-form oracle as
+    q_netcdf_climatology, so a hash match isolates the HDF5 codec as
+    the only new moving part. ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    utc(spark)
+    fix = _ensure_fixture_h5()
+    df = load_netcdf(spark, os.path.join(fix, "*.nc"))
+    return df.groupBy(
+        F.month("time").cast("int").alias("month"), "lat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S1 (4-D): pressure-level variable (time, lev, lat, lon) — the CMIP/
 # CORDEX ta/ua/zg shape. Certifies the lev-column long form end-to-end.
 # ---------------------------------------------------------------------------

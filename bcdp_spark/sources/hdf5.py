@@ -1,0 +1,894 @@
+"""Pure-Python read-only HDF5 subset codec + deterministic writer.
+
+NetCDF-4 — the dominant on-disk format of modern climate archives
+(CMIP6, ERA5) and the reference's real-world input (bcdp/io.py via
+xarray/netCDF4 [UNVERIFIED — /root/reference empty, SURVEY.md §0]) — is
+HDF5 underneath. The container ships neither h5py nor netCDF4, so this
+module implements the subset of the public HDF5 File Format
+Specification (v3, https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html)
+that NetCDF-4 files actually use:
+
+READ (``H5File``):
+- superblock v0/v1 (symbol-table root) and v2/v3 (direct root header)
+- object headers v1 (with continuation blocks) and v2 (``OHDR``)
+- old-style groups (B-tree v1 + local heap + SNOD) and new-style
+  compact groups (inline Link messages); dense (fractal-heap) link
+  storage raises loudly — netCDF-4 only produces it past ~8 vars with
+  the "latest" libver, which climate files don't use
+- dataspace v1/v2, datatype classes 0/1/3/9 (fixed, float, string,
+  vlen-string via global heap), fill value v2/v3, attributes v1/v3
+- data layouts: compact, contiguous, chunked (B-tree v1 any depth)
+- filter pipeline v1/v2: deflate (id 1), shuffle (id 2), fletcher32
+  (id 3, checksum stripped); anything else raises with the filter id
+
+WRITE (``write_hdf5``): deterministic fixture generator with two
+profiles so tests exercise both reader generations —
+- ``profile="v0"``: superblock v0, object headers v1, old-style root
+  group (B-tree v1 + heap + SNOD) — the layout classic libhdf5 emits
+- ``profile="v2"``: superblock v2 (lookup3-checksummed), object
+  headers v2, compact Link messages in the root group
+Data layout per call: contiguous, or chunked with optional
+shuffle+deflate — matching h5py's filter order.
+
+Everything decodes via ``numpy.frombuffer`` on whole-chunk slabs — no
+per-value Python loops.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# ---------------------------------------------------------------------------
+# Jenkins lookup3 (public-domain hash; HDF5 metadata checksum)
+# ---------------------------------------------------------------------------
+
+
+def _rot(x: int, k: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def lookup3(data: bytes, init: int = 0) -> int:
+    """Jenkins hashlittle() over bytes — the checksum HDF5 v2 metadata
+    blocks carry."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & 0xFFFFFFFF
+    pos = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[pos : pos + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[pos + 4 : pos + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[pos + 8 : pos + 12], "little")) & 0xFFFFFFFF
+        # mix
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        pos += 12
+        length -= 12
+    tail = data[pos:] + b"\x00" * (12 - length)
+    if length > 0:
+        a = (a + int.from_bytes(tail[0:4], "little")) & 0xFFFFFFFF
+        if length > 4:
+            b = (b + int.from_bytes(tail[4:8], "little")) & 0xFFFFFFFF
+        if length > 8:
+            c = (c + int.from_bytes(tail[8:12], "little")) & 0xFFFFFFFF
+        # final
+        c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+        a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+        b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+        c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Datatype <-> numpy
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _DType:
+    cls: int
+    size: int
+    little: bool = True
+    signed: bool = True
+    vlen_string: bool = False
+
+    @property
+    def np_dtype(self) -> np.dtype:
+        order = "<" if self.little else ">"
+        if self.cls == 0:
+            return np.dtype(f"{order}{'i' if self.signed else 'u'}{self.size}")
+        if self.cls == 1:
+            return np.dtype(f"{order}f{self.size}")
+        if self.cls == 3:
+            return np.dtype(f"S{self.size}")
+        raise NotImplementedError(f"HDF5 datatype class {self.cls} as array")
+
+
+def _parse_datatype(body: bytes) -> _DType:
+    cv = body[0]
+    cls, ver = cv & 0x0F, cv >> 4
+    if ver not in (1, 2, 3):
+        raise NotImplementedError(f"HDF5 datatype version {ver}")
+    b0 = body[1]
+    size = struct.unpack_from("<I", body, 4)[0]
+    if cls in (0, 1):  # fixed-point / float
+        return _DType(
+            cls=cls, size=size, little=(b0 & 1) == 0,
+            signed=bool(b0 & 0x08) if cls == 0 else True,
+        )
+    if cls == 3:  # fixed-length string
+        return _DType(cls=3, size=size)
+    if cls == 9:  # variable-length
+        vtype = b0 & 0x0F
+        if vtype == 1:  # vlen string
+            return _DType(cls=9, size=size, vlen_string=True)
+        raise NotImplementedError("HDF5 vlen non-string datatype")
+    raise NotImplementedError(f"HDF5 datatype class {cls}")
+
+
+def _parse_dataspace(body: bytes, lsize: int = 8) -> tuple[int, ...]:
+    ver = body[0]
+    rank = body[1]
+    if ver == 1:
+        off = 8
+    elif ver == 2:
+        if body[3] == 2:  # null dataspace
+            return (0,)
+        off = 4
+    else:
+        raise NotImplementedError(f"HDF5 dataspace version {ver}")
+    fmt = "<Q" if lsize == 8 else "<I"
+    return tuple(
+        struct.unpack_from(fmt, body, off + i * lsize)[0] for i in range(rank)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class H5Dataset:
+    name: str
+    shape: tuple
+    dtype: _DType
+    attrs: dict[str, object] = field(default_factory=dict)
+    layout: str = "contiguous"
+    data_addr: int = _UNDEF
+    data_size: int = 0
+    chunk_shape: tuple = ()
+    btree_addr: int = _UNDEF
+    filters: list = field(default_factory=list)  # (id, flags, client_vals)
+    compact: bytes = b""
+    fill: object = None
+
+
+class H5File:
+    """Parse an in-memory HDF5 byte buffer into named datasets.
+
+    ``datasets`` maps slash-joined paths (root children are bare names)
+    to :class:`H5Dataset`; ``read(name)`` materializes the array.
+    """
+
+    def __init__(self, buf: bytes):
+        if buf[:8] != _SIG:
+            raise ValueError(
+                "not an HDF5 file (bad signature); CDF-classic files are "
+                "handled by bcdp_spark.sources.netcdf3"
+            )
+        self.buf = buf
+        self.datasets: dict[str, H5Dataset] = {}
+        self.attrs: dict[str, object] = {}
+        sb_ver = buf[8]
+        if sb_ver in (0, 1):
+            self._osize = buf[13]
+            self._lsize = buf[14]
+            if (self._osize, self._lsize) != (8, 8):
+                raise NotImplementedError(
+                    f"offset/length sizes {self._osize}/{self._lsize}"
+                )
+            # root group symbol-table entry:
+            # v0: fixed part ends at 24 + 4*osize; v1 adds 4 bytes
+            fixed = 24 + (4 if sb_ver == 1 else 0) + 4 * 8
+            root_ohdr = struct.unpack_from("<Q", buf, fixed + 8)[0]
+        elif sb_ver in (2, 3):
+            self._osize = buf[9]
+            self._lsize = buf[10]
+            if (self._osize, self._lsize) != (8, 8):
+                raise NotImplementedError(
+                    f"offset/length sizes {self._osize}/{self._lsize}"
+                )
+            root_ohdr = struct.unpack_from("<Q", buf, 12 + 3 * 8)[0]
+        else:
+            raise NotImplementedError(f"HDF5 superblock version {sb_ver}")
+        self._walk_group(root_ohdr, prefix="", out_attrs=self.attrs)
+
+    # ----------------------------------------------------- object headers
+    def _messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (msg_type, body) of an object header, v1 or v2, following
+        continuation blocks."""
+        buf = self.buf
+        msgs: list[tuple[int, bytes]] = []
+        if buf[addr : addr + 4] == b"OHDR":
+            ver = buf[addr + 4]
+            if ver != 2:
+                raise NotImplementedError(f"OHDR version {ver}")
+            flags = buf[addr + 5]
+            pos = addr + 6
+            if flags & 0x20:
+                pos += 8  # times
+            if flags & 0x10:
+                pos += 4  # max compact/dense attrs
+            csize_bytes = 1 << (flags & 0x03)
+            chunk0 = int.from_bytes(buf[pos : pos + csize_bytes], "little")
+            pos += csize_bytes
+            track_order = bool(flags & 0x04)
+            todo = [(pos, pos + chunk0)]
+            while todo:
+                p, end = todo.pop(0)
+                while p + 4 <= end:
+                    mtype = buf[p]
+                    msize = struct.unpack_from("<H", buf, p + 1)[0]
+                    p += 4
+                    if track_order:
+                        p += 2
+                    body = buf[p : p + msize]
+                    p += msize
+                    if mtype == 0x10:  # continuation
+                        caddr, clen = struct.unpack_from("<QQ", body, 0)
+                        # v2 continuation blocks: OCHK sig + payload + csum
+                        todo.append((caddr + 4, caddr + clen - 4))
+                    elif mtype != 0:
+                        msgs.append((mtype, body))
+            return msgs
+        ver = buf[addr]
+        if ver != 1:
+            raise NotImplementedError(f"object header version {ver}")
+        nmsgs = struct.unpack_from("<H", buf, addr + 2)[0]
+        hsize = struct.unpack_from("<I", buf, addr + 8)[0]
+        todo = [(addr + 16, addr + 16 + hsize)]
+        got = 0
+        while todo and got < nmsgs:
+            p, end = todo.pop(0)
+            while p + 8 <= end and got < nmsgs:
+                mtype, msize = struct.unpack_from("<HH", buf, p)
+                body = buf[p + 8 : p + 8 + msize]
+                p += 8 + msize
+                got += 1
+                if mtype == 0x10:
+                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    todo.append((caddr, caddr + clen))
+                elif mtype != 0:
+                    msgs.append((mtype, body))
+        return msgs
+
+    # ----------------------------------------------------------- groups
+    def _walk_group(self, addr: int, prefix: str, out_attrs: dict) -> None:
+        links: list[tuple[str, int]] = []
+        is_dataset = False
+        msgs = self._messages(addr)
+        for mtype, body in msgs:
+            if mtype == 0x08:
+                is_dataset = True
+        if is_dataset:
+            name = prefix.rstrip("/") or "/"
+            self.datasets[name] = self._dataset(name, msgs)
+            return
+        for mtype, body in msgs:
+            if mtype == 0x11:  # symbol table (old-style group)
+                bt, heap = struct.unpack_from("<QQ", body, 0)
+                links.extend(self._old_links(bt, heap))
+            elif mtype == 0x06:  # link message (new-style compact)
+                links.append(self._link(body))
+            elif mtype == 0x02:  # link info: dense storage check
+                flags = body[1]
+                off = 2 + (8 if flags & 1 else 0)
+                fheap = struct.unpack_from("<Q", body, off)[0]
+                if fheap != _UNDEF:
+                    raise NotImplementedError(
+                        "HDF5 dense (fractal-heap) link storage"
+                    )
+            elif mtype == 0x0C:
+                k, v = self._attr(body)
+                out_attrs[k] = v
+        for name, child in links:
+            path = f"{prefix}{name}"
+            cm = self._messages(child)
+            if any(t == 0x08 for t, _ in cm):
+                self.datasets[path] = self._dataset(path, cm)
+            else:
+                sub_attrs: dict[str, object] = {}
+                self._walk_group(child, prefix=path + "/", out_attrs=sub_attrs)
+
+    def _link(self, body: bytes) -> tuple[str, int]:
+        ver, flags = body[0], body[1]
+        if ver != 1:
+            raise NotImplementedError(f"link message version {ver}")
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]; pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        nlen_bytes = 1 << (flags & 0x03)
+        nlen = int.from_bytes(body[pos : pos + nlen_bytes], "little")
+        pos += nlen_bytes
+        name = body[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+        if ltype != 0:
+            raise NotImplementedError(f"non-hard link type {ltype}")
+        return name, struct.unpack_from("<Q", body, pos)[0]
+
+    def _old_links(self, btree_addr: int, heap_addr: int) -> list:
+        buf = self.buf
+        if buf[heap_addr : heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        heap_data = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
+
+        out = []
+
+        def walk(addr: int) -> None:
+            if buf[addr : addr + 4] != b"TREE":
+                raise ValueError("bad B-tree v1 signature")
+            level = buf[addr + 5]
+            used = struct.unpack_from("<H", buf, addr + 6)[0]
+            pos = addr + 8 + 16  # skip siblings
+            # key0, child0, key1, child1 ... (group keys are heap offsets)
+            pos += 8  # key0
+            for _ in range(used):
+                child = struct.unpack_from("<Q", buf, pos)[0]
+                pos += 16  # child + next key
+                if level > 0:
+                    walk(child)
+                else:
+                    snod(child)
+
+        def snod(addr: int) -> None:
+            if buf[addr : addr + 4] != b"SNOD":
+                raise ValueError("bad SNOD signature")
+            nsyms = struct.unpack_from("<H", buf, addr + 6)[0]
+            p = addr + 8
+            for _ in range(nsyms):
+                name_off, ohdr = struct.unpack_from("<QQ", buf, p)
+                p += 40
+                nstart = heap_data + name_off
+                nend = buf.find(b"\x00", nstart)  # mmap-safe (no .index)
+                if nend < 0:
+                    raise ValueError("unterminated link name in local heap")
+                out.append((buf[nstart:nend].decode("utf-8"), ohdr))
+
+        walk(btree_addr)
+        return out
+
+    # --------------------------------------------------------- attributes
+    def _attr(self, body: bytes) -> tuple[str, object]:
+        ver = body[0]
+        if ver == 1:
+            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            pos = 8
+            name = body[pos : pos + name_size].split(b"\x00")[0].decode("utf-8")
+            pos += (name_size + 7) & ~7
+            dt = _parse_datatype(body[pos : pos + dt_size])
+            pos += (dt_size + 7) & ~7
+            shape = _parse_dataspace(body[pos : pos + ds_size])
+            pos += (ds_size + 7) & ~7
+        elif ver == 3:
+            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            pos = 9  # ver, flags, sizes(6), charset
+            name = body[pos : pos + name_size].split(b"\x00")[0].decode("utf-8")
+            pos += name_size
+            dt = _parse_datatype(body[pos : pos + dt_size])
+            pos += dt_size
+            shape = _parse_dataspace(body[pos : pos + ds_size])
+            pos += ds_size
+        else:
+            raise NotImplementedError(f"attribute message version {ver}")
+        n = int(np.prod(shape)) if shape else 1
+        raw = body[pos:]
+        if dt.vlen_string:
+            vals = [
+                self._gheap_str(raw[i * 16 : (i + 1) * 16]) for i in range(n)
+            ]
+            return name, vals[0] if not shape else vals
+        if dt.cls == 3:
+            vals = [
+                raw[i * dt.size : (i + 1) * dt.size]
+                .split(b"\x00")[0]
+                .decode("utf-8", "replace")
+                for i in range(n)
+            ]
+            return name, vals[0] if not shape else vals
+        arr = np.frombuffer(raw[: n * dt.size], dtype=dt.np_dtype)
+        if not shape:
+            return name, arr[0].item()
+        return name, arr.reshape(shape)
+
+    def _gheap_str(self, ref: bytes) -> str:
+        _length, addr, idx = struct.unpack("<IQI", ref)
+        buf = self.buf
+        if buf[addr : addr + 4] != b"GCOL":
+            raise ValueError("bad global heap signature")
+        p = addr + 16
+        end = addr + struct.unpack_from("<Q", buf, addr + 8)[0]
+        while p < end:
+            oidx, _rc = struct.unpack_from("<HH", buf, p)
+            osize = struct.unpack_from("<Q", buf, p + 8)[0]
+            if oidx == 0:
+                break
+            if oidx == idx:
+                return buf[p + 16 : p + 16 + osize].decode("utf-8", "replace")
+            p += 16 + ((osize + 7) & ~7)
+        raise ValueError(f"global heap object {idx} not found")
+
+    # ----------------------------------------------------------- datasets
+    def _dataset(self, name: str, msgs: list) -> H5Dataset:
+        ds = H5Dataset(name=name, shape=(), dtype=_DType(cls=1, size=8))
+        for mtype, body in msgs:
+            if mtype == 0x01:
+                ds.shape = _parse_dataspace(body)
+            elif mtype == 0x03:
+                ds.dtype = _parse_datatype(body)
+            elif mtype == 0x05:
+                ds.fill = self._fill(body)
+            elif mtype == 0x08:
+                self._layout(ds, body)
+            elif mtype == 0x0B:
+                ds.filters = self._filters(body)
+            elif mtype == 0x0C:
+                k, v = self._attr(body)
+                ds.attrs[k] = v
+        return ds
+
+    def _fill(self, body: bytes):
+        ver = body[0]
+        if ver in (1, 2):
+            defined = body[3]
+            if not defined:
+                return None
+            size = struct.unpack_from("<I", body, 4)[0]
+            return body[8 : 8 + size] or None
+        if ver == 3:
+            flags = body[1]
+            if not (flags & 0x20):
+                return None
+            size = struct.unpack_from("<I", body, 2)[0]
+            return body[6 : 6 + size] or None
+        raise NotImplementedError(f"fill value version {ver}")
+
+    def _layout(self, ds: H5Dataset, body: bytes) -> None:
+        ver = body[0]
+        if ver != 3:
+            raise NotImplementedError(f"data layout version {ver}")
+        cls = body[1]
+        if cls == 0:  # compact
+            size = struct.unpack_from("<H", body, 2)[0]
+            ds.layout, ds.compact = "compact", body[4 : 4 + size]
+        elif cls == 1:  # contiguous
+            ds.layout = "contiguous"
+            ds.data_addr, ds.data_size = struct.unpack_from("<QQ", body, 2)
+        elif cls == 2:  # chunked
+            ndim = body[2]  # = rank + 1
+            ds.layout = "chunked"
+            ds.btree_addr = struct.unpack_from("<Q", body, 3)[0]
+            dims = struct.unpack_from(f"<{ndim}I", body, 11)
+            ds.chunk_shape = tuple(dims[:-1])  # last entry = element size
+        else:
+            raise NotImplementedError(f"data layout class {cls}")
+
+    def _filters(self, body: bytes) -> list:
+        ver = body[0]
+        nf = body[1]
+        out = []
+        pos = 8 if ver == 1 else 2
+        for _ in range(nf):
+            fid = struct.unpack_from("<H", body, pos)[0]
+            pos += 2
+            if ver == 1 or fid >= 256:
+                name_len = struct.unpack_from("<H", body, pos)[0]
+                pos += 2
+            else:
+                name_len = 0
+            flags, ncv = struct.unpack_from("<HH", body, pos)
+            pos += 4
+            pos += (name_len + 7) & ~7 if ver == 1 else name_len
+            cvals = struct.unpack_from(f"<{ncv}I", body, pos)
+            pos += 4 * ncv
+            if ver == 1 and ncv % 2:
+                pos += 4
+            out.append((fid, flags, cvals))
+        return out
+
+    # --------------------------------------------------------------- read
+    def read(self, name: str) -> np.ndarray:
+        ds = self.datasets[name]
+        dt = ds.dtype.np_dtype
+        if ds.layout == "compact":
+            return np.frombuffer(ds.compact, dtype=dt).reshape(ds.shape).copy()
+        if ds.layout == "contiguous":
+            if ds.data_addr == _UNDEF:
+                return self._fill_array(ds, dt)
+            raw = self.buf[ds.data_addr : ds.data_addr + ds.data_size]
+            return np.frombuffer(raw, dtype=dt).reshape(ds.shape).copy()
+        out = self._fill_array(ds, dt)
+        if ds.btree_addr == _UNDEF:
+            return out
+        rank = len(ds.shape)
+        for offsets, addr, nbytes, fmask in self._chunks(ds, rank):
+            raw = self.buf[addr : addr + nbytes]
+            for i in range(len(ds.filters) - 1, -1, -1):
+                fid, _flags, cvals = ds.filters[i]
+                if fmask & (1 << i):
+                    continue  # filter skipped for this chunk
+                if fid == 1:
+                    raw = zlib.decompress(raw)
+                elif fid == 2:
+                    esz = cvals[0] if cvals else dt.itemsize
+                    a = np.frombuffer(raw, dtype=np.uint8)
+                    raw = (
+                        a.reshape(esz, len(a) // esz).T.tobytes()
+                    )
+                elif fid == 3:
+                    raw = raw[:-4]  # fletcher32 checksum suffix
+                else:
+                    raise NotImplementedError(f"HDF5 filter id {fid}")
+            chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
+            sel_out, sel_in = [], []
+            skip = False
+            for d in range(rank):
+                start = offsets[d]
+                if start >= ds.shape[d]:
+                    skip = True
+                    break
+                stop = min(start + ds.chunk_shape[d], ds.shape[d])
+                sel_out.append(slice(start, stop))
+                sel_in.append(slice(0, stop - start))
+            if not skip:
+                out[tuple(sel_out)] = chunk[tuple(sel_in)]
+        return out
+
+    def _fill_array(self, ds: H5Dataset, dt: np.dtype) -> np.ndarray:
+        if ds.fill is not None:
+            fv = np.frombuffer(ds.fill, dtype=dt)[0]
+            return np.full(ds.shape, fv, dtype=dt)
+        if dt.kind == "f":
+            return np.full(ds.shape, np.nan, dtype=dt)
+        return np.zeros(ds.shape, dtype=dt)
+
+    def _chunks(self, ds: H5Dataset, rank: int):
+        buf = self.buf
+        keylen = 8 + 8 * (rank + 1)
+
+        def walk(addr: int):
+            if buf[addr : addr + 4] != b"TREE":
+                raise ValueError("bad chunk B-tree signature")
+            level = buf[addr + 5]
+            used = struct.unpack_from("<H", buf, addr + 6)[0]
+            pos = addr + 24  # sig+type+level+used + 2 sibling addrs
+            for _ in range(used):
+                nbytes, fmask = struct.unpack_from("<II", buf, pos)
+                offsets = struct.unpack_from(f"<{rank}Q", buf, pos + 8)
+                child = struct.unpack_from("<Q", buf, pos + keylen)[0]
+                pos += keylen + 8
+                if level > 0:
+                    yield from walk(child)
+                else:
+                    yield offsets, child, nbytes, fmask
+
+        yield from walk(ds.btree_addr)
+
+
+def read_hdf5(data: bytes) -> H5File:
+    return H5File(data)
+
+
+# ---------------------------------------------------------------------------
+# Writer (deterministic fixtures; two on-disk profiles)
+# ---------------------------------------------------------------------------
+
+
+def _dt_body(arr_dtype: np.dtype) -> bytes:
+    """Datatype message body for a little-endian numpy dtype."""
+    dt = np.dtype(arr_dtype)
+    if dt.kind == "f":
+        if dt.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        elif dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            raise NotImplementedError(f"float size {dt.itemsize}")
+        sign_loc = dt.itemsize * 8 - 1
+        head = struct.pack(
+            "<BBBBI", 0x11, 0x20, sign_loc, 0, dt.itemsize
+        )
+        return head + props
+    if dt.kind in ("i", "u"):
+        b0 = 0x08 if dt.kind == "i" else 0x00
+        head = struct.pack("<BBBBI", 0x10, b0, 0, 0, dt.itemsize)
+        return head + struct.pack("<HH", 0, dt.itemsize * 8)
+    if dt.kind == "S":
+        return struct.pack("<BBBBI", 0x13, 0x00, 0, 0, dt.itemsize)
+    raise NotImplementedError(f"write dtype {dt}")
+
+
+def _ds_body(shape: tuple) -> bytes:
+    body = struct.pack("<BBBxxxxx", 1, len(shape), 0)
+    for s in shape:
+        body += struct.pack("<Q", s)
+    return body
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _attr_body(name: str, val: object) -> bytes:
+    """Attribute message v1 body."""
+    if isinstance(val, str):
+        data = val.encode("utf-8")
+        dt = _dt_body(np.dtype(f"S{max(len(data), 1)}"))
+        ds = _ds_body(())
+        if not data:
+            data = b"\x00"
+    else:
+        arr = np.asarray(val)
+        if arr.dtype.kind == "f":
+            arr = arr.astype("<f8")
+        elif arr.dtype.kind in ("i", "u"):
+            arr = arr.astype("<i8")
+        dt = _dt_body(arr.dtype)
+        ds = _ds_body(arr.shape)
+        data = arr.tobytes()
+    nameb = name.encode("utf-8") + b"\x00"
+    return (
+        struct.pack("<BxHHH", 1, len(nameb), len(dt), len(ds))
+        + _pad8(nameb)
+        + _pad8(dt)
+        + _pad8(ds)
+        + data
+    )
+
+
+class _Alloc:
+    """Trivial bump allocator over an output bytearray."""
+
+    def __init__(self):
+        self.chunks: list[tuple[int, bytes]] = []
+        self.pos = 0
+
+    def reserve(self, n: int) -> int:
+        self.pos = (self.pos + 7) & ~7  # 8-align every block
+        addr = self.pos
+        self.pos += n
+        return addr
+
+    def put(self, data: bytes, addr: int | None = None) -> int:
+        if addr is None:
+            addr = self.reserve(len(data))
+        self.chunks.append((addr, data))
+        return addr
+
+    def render(self) -> bytes:
+        out = bytearray(self.pos)
+        for addr, data in self.chunks:
+            out[addr : addr + len(data)] = data
+        return bytes(out)
+
+
+def _split_chunks(shape: tuple, chunk: tuple):
+    grids = [range(0, s, c) for s, c in zip(shape, chunk)]
+    idxs = [()]
+    for g in grids:
+        idxs = [i + (j,) for i in idxs for j in g]
+    return idxs
+
+
+def write_hdf5(
+    variables: dict[str, tuple[list[str], np.ndarray, dict]],
+    attrs: dict | None = None,
+    profile: str = "v0",
+    chunk: dict[str, tuple] | None = None,
+    gzip_level: int | None = 4,
+    shuffle: bool = False,
+) -> bytes:
+    """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
+
+    ``profile='v0'`` emits superblock v0 + v1 object headers + an
+    old-style root group; ``'v2'`` emits superblock v2 + v2 object
+    headers + compact links. Variables listed in ``chunk`` are stored
+    chunked (optionally shuffled + deflated); others contiguous. The
+    ``dims`` lists are advisory (name-based readers don't need linked
+    dimension scales).
+    """
+    if profile not in ("v0", "v2"):
+        raise ValueError(f"unknown profile {profile!r}")
+    chunk = chunk or {}
+    alloc = _Alloc()
+    sb_size = 96 if profile == "v0" else 48
+    alloc.reserve(sb_size)
+
+    # ---- per-variable object headers (addresses resolved in 2 passes)
+    var_hdr_addr: dict[str, int] = {}
+    deferred: list = []
+    for name, (dims, arr, vattrs) in variables.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.kind == "f" and arr.dtype.itemsize not in (4, 8):
+            arr = arr.astype("<f8")
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        msgs: list[tuple[int, bytes]] = [
+            (0x01, _ds_body(arr.shape)),
+            (0x03, _dt_body(arr.dtype)),
+            # fill value v2: defined, same-typed zero
+            (
+                0x05,
+                struct.pack("<BBBBI", 2, 2, 0, 1, arr.dtype.itemsize)
+                + np.zeros(1, arr.dtype).tobytes(),
+            ),
+        ]
+        if name in chunk:
+            cshape = tuple(chunk[name])
+            if len(cshape) != arr.ndim:
+                raise ValueError(f"chunk rank mismatch for {name}")
+            filters: list[tuple[int, tuple]] = []
+            if shuffle:
+                filters.append((2, (arr.dtype.itemsize,)))
+            if gzip_level is not None:
+                filters.append((1, (gzip_level,)))
+            chunk_entries = []
+            for idx in _split_chunks(arr.shape, cshape):
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(idx, cshape, arr.shape)
+                )
+                block = np.zeros(cshape, dtype=arr.dtype)
+                block[
+                    tuple(slice(0, sl.stop - sl.start) for sl in sel)
+                ] = arr[sel]
+                raw = block.tobytes()
+                for fid, cv in filters:
+                    if fid == 2:
+                        a = np.frombuffer(raw, dtype=np.uint8)
+                        esz = cv[0]
+                        raw = a.reshape(len(a) // esz, esz).T.tobytes()
+                    elif fid == 1:
+                        raw = zlib.compress(raw, cv[0])
+                caddr = alloc.put(raw)
+                chunk_entries.append((idx, caddr, len(raw)))
+            rank = arr.ndim
+            keylen = 8 + 8 * (rank + 1)
+            nodesz = 24 + len(chunk_entries) * (keylen + 8) + keylen
+            node = bytearray()
+            node += b"TREE" + struct.pack(
+                "<BBHQQ", 1, 0, len(chunk_entries), _UNDEF, _UNDEF
+            )
+            for idx, caddr, nbytes in chunk_entries:
+                node += struct.pack("<II", nbytes, 0)
+                node += struct.pack(f"<{rank}Q", *idx) + struct.pack("<Q", 0)
+                node += struct.pack("<Q", caddr)
+            node += struct.pack("<II", 0, 0)
+            node += struct.pack(f"<{rank}Q", *arr.shape) + struct.pack("<Q", 0)
+            assert len(node) == nodesz
+            bt_addr = alloc.put(bytes(node))
+            lay = struct.pack("<BBB", 3, 2, rank + 1)
+            lay += struct.pack("<Q", bt_addr)
+            lay += struct.pack(f"<{rank}I", *cshape)
+            lay += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append((0x08, lay))
+            if filters:
+                fp = struct.pack("<BBxxxxxx", 1, len(filters))
+                for fid, cv in filters:
+                    fp += struct.pack("<HHHH", fid, 0, 0, len(cv))
+                    fp += struct.pack(f"<{len(cv)}I", *cv)
+                    if len(cv) % 2:
+                        fp += b"\x00\x00\x00\x00"
+                msgs.append((0x0B, fp))
+        else:
+            data_addr = alloc.put(arr.tobytes())
+            msgs.append(
+                (0x08, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
+            )
+        for k, v in vattrs.items():
+            msgs.append((0x0C, _attr_body(k, v)))
+        hdr = _object_header(msgs, profile)
+        var_hdr_addr[name] = alloc.put(hdr)
+
+    # ---- root group
+    names = sorted(variables)
+    root_attr_msgs = [(0x0C, _attr_body(k, v)) for k, v in (attrs or {}).items()]
+    if profile == "v2":
+        link_msgs: list[tuple[int, bytes]] = [
+            # link info: no creation tracking, no fractal heap
+            (0x02, struct.pack("<BBQQ", 0, 0, _UNDEF, _UNDEF)),
+            # group info: defaults
+            (0x0A, struct.pack("<BB", 0, 0)),
+        ]
+        for n in names:
+            nb = n.encode("utf-8")
+            body = struct.pack("<BBB", 1, 0, len(nb)) + nb
+            body += struct.pack("<Q", var_hdr_addr[n])
+            link_msgs.append((0x06, body))
+        root = _object_header(link_msgs + root_attr_msgs, "v2")
+        root_addr = alloc.put(root)
+    else:
+        # local heap: reserve offset 0 for "", then names padded to 8
+        heap_data = bytearray(8)
+        name_off = {}
+        for n in names:
+            name_off[n] = len(heap_data)
+            nb = n.encode("utf-8") + b"\x00"
+            heap_data += nb + b"\x00" * (-len(nb) % 8)
+        heap_data_addr = alloc.put(bytes(heap_data))
+        heap_hdr = (
+            b"HEAP"
+            + struct.pack("<Bxxx", 0)
+            + struct.pack("<QQQ", len(heap_data), 1, heap_data_addr)
+        )
+        heap_addr = alloc.put(heap_hdr)
+        snames = sorted(names)  # SNOD entries sorted by link name
+        snod = bytearray()
+        snod += b"SNOD" + struct.pack("<BxH", 1, len(snames))
+        for n in snames:
+            snod += struct.pack("<QQ", name_off[n], var_hdr_addr[n])
+            snod += struct.pack("<I", 0) + b"\x00" * 20
+        snod_addr = alloc.put(bytes(snod))
+        bt = bytearray()
+        bt += b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF)
+        bt += struct.pack("<Q", 0)  # key0: "" (heap offset 0)
+        bt += struct.pack("<Q", snod_addr)
+        bt += struct.pack("<Q", name_off[snames[-1]])  # key1: largest name
+        bt_addr = alloc.put(bytes(bt))
+        root = _object_header(
+            [(0x11, struct.pack("<QQ", bt_addr, heap_addr))] + root_attr_msgs,
+            "v0",
+        )
+        root_addr = alloc.put(root)
+
+    # ---- superblock
+    eof = alloc.pos
+    if profile == "v2":
+        sb = _SIG + struct.pack("<BBBB", 2, 8, 8, 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, eof, root_addr)
+        sb += struct.pack("<I", lookup3(sb))
+        alloc.put(sb, addr=0)
+    else:
+        sb = _SIG + struct.pack("<BBBxBBBx", 0, 0, 0, 0, 8, 8)
+        sb += struct.pack("<HHI", 32, 16, 0)  # leaf k, internal k, flags
+        sb += struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
+        # root symbol table entry
+        sb += struct.pack("<QQI", 0, root_addr, 0) + b"\x00" * 20
+        alloc.put(sb, addr=0)
+    return alloc.render()
+
+
+def _object_header(msgs: list[tuple[int, bytes]], profile: str) -> bytes:
+    if profile == "v2":
+        body = b""
+        for mtype, mbody in msgs:
+            body += struct.pack("<BHB", mtype, len(mbody), 0) + mbody
+        head = b"OHDR" + struct.pack("<BB", 2, 0x01)  # 2-byte chunk0 size
+        head += struct.pack("<H", len(body))  # excludes prefix + checksum
+        blob = head + body
+        return blob + struct.pack("<I", lookup3(blob))
+    body = b""
+    for mtype, mbody in msgs:
+        padded = _pad8(mbody)
+        body += struct.pack("<HHBxxx", mtype, len(padded), 0) + padded
+    return (
+        struct.pack("<BxHIIxxxx", 1, len(msgs), 1, len(body)) + body
+    )

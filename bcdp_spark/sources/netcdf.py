@@ -11,8 +11,11 @@ including CF time decode for non-Gregorian calendars
 (``bcdp_spark.sources.cfcal`` — 360_day/noleap axes with dates like
 Feb 30 are mapped through the canonical day-of-year-preserving
 timestamp, never through ``pd.to_datetime(str(...))``). NetCDF-4/HDF5
-files fall back to netCDF4/h5py when importable and raise a clear
-message otherwise. A v2 upgrade path is a PySpark 4 Python DataSource
+files use netCDF4 when importable and otherwise decode through the
+vendored pure-Python HDF5 subset reader (``bcdp_spark.sources.hdf5``:
+superblock v0/v2, object headers v1/v2, contiguous + chunked B-tree
+layouts, deflate/shuffle filters — the subset NetCDF-4 climate archives
+actually use). A v2 upgrade path is a PySpark 4 Python DataSource
 (spark.dataSource.register) with predicate pushdown mapped to hyperslab
 slices (SURVEY.md §4).
 
@@ -59,10 +62,10 @@ LONG_FORM_SCHEMA_4D = T.StructType(
 
 def _var_ndim(fpath: str, var: str | None) -> int:
     """Header-only peek at the FIRST manifest file to fix the output
-    schema (3-D vs 4-D long form) before the distributed decode. Costs a
-    few KB of I/O regardless of file size (netcdf3.read_header grows its
-    read window until the header parses); HDF5 files fall back to
-    netCDF4 when importable."""
+    schema (3-D vs 4-D long form) before the distributed decode. Classic
+    files cost a few KB of I/O regardless of file size
+    (netcdf3.read_header grows its read window until the header parses);
+    HDF5 files are mmap'd, so only the touched metadata pages fault in."""
     with open(fpath, "rb") as fh:
         head = fh.read(4)
         if head[:3] == b"CDF":
@@ -78,10 +81,10 @@ def _var_ndim(fpath: str, var: str | None) -> int:
     try:
         import netCDF4  # type: ignore
     except ImportError:
-        raise NotImplementedError(
-            f"{fpath}: NetCDF-4/HDF5 decode requires netCDF4 (not in this "
-            "container); classic-format files decode without it"
-        ) from None
+        h5 = _open_hdf5(fpath)
+        names_ndim = {k: len(d.shape) for k, d in h5.datasets.items()}
+        picked = _pick_var(names_ndim, _h5_dims(h5), var)
+        return names_ndim[picked]
     ds = netCDF4.Dataset(fpath)
     try:
         picked = _pick_var(
@@ -136,10 +139,7 @@ def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
     try:
         import netCDF4  # type: ignore  # noqa: F401
     except ImportError:
-        raise NotImplementedError(
-            f"{fpath}: NetCDF-4/HDF5 decode requires netCDF4 (not in this "
-            "container); classic-format files decode without it"
-        ) from None
+        return _decode_hdf5(fpath, var)
     return _decode_nc4(fpath, var)
 
 
@@ -255,6 +255,66 @@ def _decode_classic(fpath: str, var: str | None) -> pd.DataFrame:
         levs = (
             np.asarray(nc.variables[lev_name].data, dtype=float)
             if lev_name in nc.variables
+            else np.arange(v.shape[1], dtype=float)
+        )
+    return _long_form(
+        fpath.rsplit("/", 1)[-1], times, lats, lons, data, levs
+    )
+
+
+def _open_hdf5(fpath: str):
+    """mmap-backed vendored HDF5 parse: metadata walks fault in only the
+    touched pages, so the driver-side schema peek stays cheap even on
+    multi-GB archive files."""
+    import mmap
+
+    from bcdp_spark.sources.hdf5 import H5File
+
+    with open(fpath, "rb") as fh:
+        buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    return H5File(buf)
+
+
+def _h5_dims(h5) -> set:
+    """Names acting as coordinate/dimension variables: netCDF-4 marks
+    them CLASS='DIMENSION_SCALE'; files from other writers fall back to
+    the CF coordinate names."""
+    dims = {
+        n
+        for n, d in h5.datasets.items()
+        if d.attrs.get("CLASS") == "DIMENSION_SCALE"
+    }
+    return dims | ({"time", "lev", "lat", "lon"} & set(h5.datasets))
+
+
+def _decode_hdf5(fpath: str, var: str | None) -> pd.DataFrame:
+    """NetCDF-4/HDF5 decode via the vendored stdlib codec
+    (bcdp_spark.sources.hdf5) — the no-dependency path the container
+    needs. Same semantics as the classic path: CF calendar-aware time
+    decode, _FillValue → NaN, name-based coordinates."""
+    from bcdp_spark.sources.cfcal import times_to_timestamps
+
+    h5 = _open_hdf5(fpath)
+    var = _pick_var(
+        {k: len(d.shape) for k, d in h5.datasets.items()},
+        _h5_dims(h5),
+        var,
+    )
+    v = h5.datasets[var]
+    tattrs = h5.datasets["time"].attrs
+    times = times_to_timestamps(
+        np.asarray(h5.read("time"), dtype=float),
+        str(tattrs.get("units", "days since 1970-01-01")),
+        str(tattrs.get("calendar", "standard")),
+    )
+    lats = np.asarray(h5.read("lat"), dtype=float)
+    lons = np.asarray(h5.read("lon"), dtype=float)
+    data = _apply_fill(np.asarray(h5.read(var), dtype=float), v.attrs)
+    levs = None
+    if len(v.shape) == 4:
+        levs = (
+            np.asarray(h5.read("lev"), dtype=float)
+            if "lev" in h5.datasets and h5.datasets["lev"].shape[0] == v.shape[1]
             else np.arange(v.shape[1], dtype=float)
         )
     return _long_form(

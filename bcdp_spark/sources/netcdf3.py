@@ -10,9 +10,10 @@ row-major fixed data and interleaved record data. This module implements
 it from that spec: enough to read and write real .nc bytes for CF
 long-form ingestion, with no third-party codec.
 
-Scope: CDF-1 and CDF-2 (64-bit offset); all six classic types; one
-optional record dimension; no HDF5 (NetCDF-4) — files starting with
-\\x89HDF raise with a clear message.
+Scope: CDF-1, CDF-2 (64-bit offset) and CDF-5 (PnetCDF 64-bit data:
+INT64 header fields + the five 64-bit/unsigned types); one optional
+record dimension; no HDF5 (NetCDF-4) here — files starting with
+\\x89HDF are decoded by ``bcdp_spark.sources.hdf5`` instead.
 
 Everything is driven by ``numpy.frombuffer`` on whole-variable slabs —
 no per-value Python loop on the read path.
@@ -30,7 +31,8 @@ _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 
-# nc_type → (numpy dtype (big-endian), element size)
+# nc_type → (numpy dtype (big-endian), element size). Types 7-11 are the
+# CDF-5 additions (PnetCDF 64-bit data extension).
 _TYPES: dict[int, tuple[str, int]] = {
     1: (">i1", 1),  # NC_BYTE
     2: ("S1", 1),  # NC_CHAR
@@ -38,7 +40,14 @@ _TYPES: dict[int, tuple[str, int]] = {
     4: (">i4", 4),  # NC_INT
     5: (">f4", 4),  # NC_FLOAT
     6: (">f8", 8),  # NC_DOUBLE
+    7: (">u1", 1),  # NC_UBYTE (CDF-5)
+    8: (">u2", 2),  # NC_USHORT (CDF-5)
+    9: (">u4", 4),  # NC_UINT (CDF-5)
+    10: (">i8", 8),  # NC_INT64 (CDF-5)
+    11: (">u8", 8),  # NC_UINT64 (CDF-5)
 }
+_STREAMING32 = 0xFFFFFFFF
+_STREAMING64 = 0xFFFFFFFFFFFFFFFF
 _DTYPE_TO_NC: dict[str, int] = {
     "int8": 1,
     "bytes8": 2,
@@ -75,9 +84,12 @@ class NetCDF3File:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, v5: bool = False):
         self.buf = buf
         self.pos = 0
+        # CDF-5: every NON_NEG field (counts, name lengths, dim sizes,
+        # dimids, vsize) widens to INT64 per the PnetCDF BNF
+        self.v5 = v5
 
     def take(self, n: int) -> bytes:
         b = self.buf[self.pos : self.pos + n]
@@ -92,8 +104,11 @@ class _Reader:
     def u64(self) -> int:
         return struct.unpack(">Q", self.take(8))[0]
 
+    def nonneg(self) -> int:
+        return self.u64() if self.v5 else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nonneg()
         raw = self.take(_pad4(n))[:n]
         return raw.decode("utf-8")
 
@@ -106,13 +121,13 @@ class _Reader:
         return arr.tolist() if nelems > 1 else arr[0].item()
 
     def att_list(self) -> dict[str, object]:
-        tag, nelems = self.u32(), self.u32()
+        tag, nelems = self.u32(), self.nonneg()
         if tag not in (_NC_ATTRIBUTE, 0):
             raise ValueError(f"bad attribute-list tag {tag:#x}")
         out: dict[str, object] = {}
         for _ in range(nelems):
             nm = self.name()
-            out[nm] = self.values(self.u32(), self.u32())
+            out[nm] = self.values(self.u32(), self.nonneg())
         return out
 
 
@@ -123,41 +138,42 @@ def read_netcdf3(data: bytes) -> NetCDF3File:
             "NetCDF-4/HDF5 file: only the classic (CDF-1/CDF-2) format is "
             "supported by the vendored pure-Python codec"
         )
-    if data[:3] != _MAGIC or data[3] not in (1, 2):
+    if data[:3] != _MAGIC or data[3] not in (1, 2, 5):
         raise ValueError("not a NetCDF classic file (bad magic)")
     version = data[3]
-    r = _Reader(data)
+    r = _Reader(data, v5=(version == 5))
     r.pos = 4
     nc = NetCDF3File()
-    nc.numrecs = r.u32()  # 0xFFFFFFFF = streaming; treated as "infer below"
+    nc.numrecs = r.nonneg()  # all-ones = streaming; treated as "infer below"
+    streaming = _STREAMING64 if version == 5 else _STREAMING32
 
-    tag, ndims = r.u32(), r.u32()
+    tag, ndims = r.u32(), r.nonneg()
     if tag not in (_NC_DIMENSION, 0):
         raise ValueError(f"bad dimension-list tag {tag:#x}")
     dim_names: list[str] = []
     dim_sizes: list[int] = []
     for _ in range(ndims):
         nm = r.name()
-        sz = r.u32()
+        sz = r.nonneg()
         dim_names.append(nm)
         dim_sizes.append(sz)
         nc.dims[nm] = sz
 
     nc.attrs = r.att_list()
 
-    tag, nvars = r.u32(), r.u32()
+    tag, nvars = r.u32(), r.nonneg()
     if tag not in (_NC_VARIABLE, 0):
         raise ValueError(f"bad variable-list tag {tag:#x}")
     rec_vsizes = 0
     rec_vars: list[NCVariable] = []
     for _ in range(nvars):
         nm = r.name()
-        nd = r.u32()
-        dimids = [r.u32() for _ in range(nd)]
+        nd = r.nonneg()
+        dimids = [r.nonneg() for _ in range(nd)]
         attrs = r.att_list()
         nc_type = r.u32()
-        vsize = r.u32()
-        begin = r.u64() if version == 2 else r.u32()
+        vsize = r.nonneg()
+        begin = r.u64() if version in (2, 5) else r.u32()
         v = NCVariable(nm, dimids, attrs, nc_type, vsize, begin)
         v.is_record = bool(dimids) and dim_sizes[dimids[0]] == 0
         v.shape = tuple(dim_sizes[d] for d in dimids)
@@ -166,7 +182,7 @@ def read_netcdf3(data: bytes) -> NetCDF3File:
             rec_vars.append(v)
             rec_vsizes += v.vsize
 
-    if nc.numrecs == 0xFFFFFFFF and rec_vars:
+    if nc.numrecs == streaming and rec_vars:
         first = min(v.begin for v in rec_vars)
         nc.numrecs = (len(data) - first) // rec_vsizes
 
@@ -203,20 +219,30 @@ def write_netcdf3(
     variables: dict[str, tuple[list[str], np.ndarray, dict[str, object]]],
     attrs: dict[str, object] | None = None,
     record_dim: str | None = None,
+    version: int = 1,
 ) -> bytes:
-    """Serialize to classic CDF-1 bytes.
+    """Serialize to classic CDF bytes.
 
     ``variables`` maps name → (dim_names, ndarray, attrs). If
     ``record_dim`` is given it must be the FIRST dim of every variable
     that uses it, and its entry in ``dims`` is the record count.
+    ``version`` 1 = CDF-1, 5 = CDF-5 (PnetCDF 64-bit data: every
+    NON_NEG header field widens to INT64, begin offsets are 64-bit, and
+    the 64-bit integer types NC_INT64/NC_UINT64 become available).
     """
+    if version not in (1, 5):
+        raise ValueError(f"write_netcdf3 supports CDF-1/CDF-5, not {version}")
     attrs = attrs or {}
     dim_names = list(dims)
     numrecs = dims[record_dim] if record_dim else 0
+    NN = ">Q" if version == 5 else ">I"  # NON_NEG field
+    nn = 8 if version == 5 else 4
+    begin_fmt = ">Q" if version == 5 else ">I"
+    begin_sz = 8 if version == 5 else 4
 
     def enc_name(s: str) -> bytes:
         b = s.encode("utf-8")
-        return struct.pack(">I", len(b)) + b.ljust(_pad4(len(b)), b"\x00")
+        return struct.pack(NN, len(b)) + b.ljust(_pad4(len(b)), b"\x00")
 
     def enc_values(val: object) -> tuple[int, int, bytes]:
         if isinstance(val, str):
@@ -229,6 +255,9 @@ def write_netcdf3(
         elif arr.dtype == np.int16:
             arr = arr.astype(">i2")
             nct = 3
+        elif arr.dtype == np.int64 and version == 5:
+            arr = arr.astype(">i8")
+            nct = 10
         else:
             arr = arr.astype(">i4")
             nct = 4
@@ -237,11 +266,16 @@ def write_netcdf3(
 
     def enc_attrs(a: dict[str, object]) -> bytes:
         if not a:
-            return struct.pack(">II", 0, 0)
-        out = struct.pack(">II", _NC_ATTRIBUTE, len(a))
+            return struct.pack(">I", 0) + struct.pack(NN, 0)
+        out = struct.pack(">I", _NC_ATTRIBUTE) + struct.pack(NN, len(a))
         for k, v in a.items():
             nct, n, payload = enc_values(v)
-            out += enc_name(k) + struct.pack(">II", nct, n) + payload
+            out += (
+                enc_name(k)
+                + struct.pack(">I", nct)
+                + struct.pack(NN, n)
+                + payload
+            )
         return out
 
     # variable headers need begins: compute sizes first
@@ -256,6 +290,10 @@ def write_netcdf3(
             nct, dt = 3, ">i2"
         elif arr.dtype == np.int8:
             nct, dt = 1, ">i1"
+        elif arr.dtype == np.int64 and version == 5:
+            nct, dt = 10, ">i8"
+        elif arr.dtype == np.uint64 and version == 5:
+            nct, dt = 11, ">u8"
         else:
             nct, dt = 4, ">i4"
         arr = arr.astype(dt)
@@ -266,21 +304,21 @@ def write_netcdf3(
         vsize = _pad4(per_rec_count * _TYPES[nct][1])
         var_entries.append((name, vdims, arr, vattrs, nct, vsize, is_rec))
 
-    header = _MAGIC + b"\x01" + struct.pack(">I", numrecs)
-    header += struct.pack(">II", _NC_DIMENSION, len(dim_names))
+    header = _MAGIC + bytes([version]) + struct.pack(NN, numrecs)
+    header += struct.pack(">I", _NC_DIMENSION) + struct.pack(NN, len(dim_names))
     for d in dim_names:
         header += enc_name(d) + struct.pack(
-            ">I", 0 if d == record_dim else dims[d]
+            NN, 0 if d == record_dim else dims[d]
         )
     header += enc_attrs(attrs)
 
     # size the var-list block to know where data starts
     def var_header_len(name: str, vdims: list[str], vattrs: dict) -> int:
-        n = len(enc_name(name)) + 4 + 4 * len(vdims)
-        n += len(enc_attrs(vattrs)) + 4 + 4 + 4  # nc_type vsize begin(u32)
+        n = len(enc_name(name)) + nn + nn * len(vdims)
+        n += len(enc_attrs(vattrs)) + 4 + nn + begin_sz  # nc_type vsize begin
         return n
 
-    fixed_start = len(header) + 8 + sum(
+    fixed_start = len(header) + 4 + nn + sum(
         var_header_len(n, d, a) for n, d, a, *_ in [
             (e[0], e[1], e[3]) for e in var_entries
         ]
@@ -298,13 +336,16 @@ def write_netcdf3(
             begins[name] = pos
             pos += vsize  # record 0 layout; later records follow at stride
 
-    out = header + struct.pack(">II", _NC_VARIABLE, len(var_entries))
+    out = header + struct.pack(">I", _NC_VARIABLE) + struct.pack(
+        NN, len(var_entries)
+    )
     for name, vdims, arr, vattrs, nct, vsize, is_rec in var_entries:
-        out += enc_name(name) + struct.pack(">I", len(vdims))
+        out += enc_name(name) + struct.pack(NN, len(vdims))
         for d in vdims:
-            out += struct.pack(">I", dim_names.index(d))
+            out += struct.pack(NN, dim_names.index(d))
         out += enc_attrs(vattrs)
-        out += struct.pack(">III", nct, vsize, begins[name])
+        out += struct.pack(">I", nct) + struct.pack(NN, vsize)
+        out += struct.pack(begin_fmt, begins[name])
 
     assert len(out) == fixed_start, (len(out), fixed_start)
     body = bytearray(out)
@@ -348,34 +389,34 @@ def _parse_header_only(data: bytes) -> NetCDF3File:
             "NetCDF-4/HDF5 file: only the classic (CDF-1/CDF-2) format is "
             "supported by the vendored pure-Python codec"
         )
-    if data[:3] != _MAGIC or data[3] not in (1, 2):
+    if data[:3] != _MAGIC or data[3] not in (1, 2, 5):
         raise ValueError("not a NetCDF classic file (bad magic)")
     version = data[3]
-    r = _Reader(data)
+    r = _Reader(data, v5=(version == 5))
     r.pos = 4
     nc = NetCDF3File()
-    nc.numrecs = r.u32()
-    tag, ndims = r.u32(), r.u32()
+    nc.numrecs = r.nonneg()
+    tag, ndims = r.u32(), r.nonneg()
     if tag not in (_NC_DIMENSION, 0):
         raise ValueError(f"bad dimension-list tag {tag:#x}")
     dim_sizes: list[int] = []
     for _ in range(ndims):
         nm = r.name()
-        sz = r.u32()
+        sz = r.nonneg()
         dim_sizes.append(sz)
         nc.dims[nm] = sz
     nc.attrs = r.att_list()
-    tag, nvars = r.u32(), r.u32()
+    tag, nvars = r.u32(), r.nonneg()
     if tag not in (_NC_VARIABLE, 0):
         raise ValueError(f"bad variable-list tag {tag:#x}")
     for _ in range(nvars):
         nm = r.name()
-        nd = r.u32()
-        dimids = [r.u32() for _ in range(nd)]
+        nd = r.nonneg()
+        dimids = [r.nonneg() for _ in range(nd)]
         attrs = r.att_list()
         nc_type = r.u32()
-        vsize = r.u32()
-        begin = r.u64() if version == 2 else r.u32()
+        vsize = r.nonneg()
+        begin = r.u64() if version in (2, 5) else r.u32()
         v = NCVariable(nm, dimids, attrs, nc_type, vsize, begin)
         v.is_record = bool(dimids) and dim_sizes[dimids[0]] == 0
         v.shape = tuple(dim_sizes[d] for d in dimids)
@@ -395,7 +436,7 @@ def read_var(fh, nc: NetCDF3File, name: str) -> np.ndarray:
         fh.seek(v.begin)
         return np.frombuffer(fh.read(count * size), dtype=dt).reshape(v.shape)
     numrecs = nc.numrecs
-    if numrecs == 0xFFFFFFFF:
+    if numrecs in (_STREAMING32, _STREAMING64):
         import os
 
         first = min(x.begin for x in rec_vars)

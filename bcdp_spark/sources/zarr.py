@@ -48,7 +48,11 @@ _SUPPORTED_COMPRESSORS = (None, "zlib", "gzip")
 
 @dataclass
 class ZArrayMeta:
-    """Parsed ``.zarray`` + ``.zattrs`` for one array."""
+    """Parsed array metadata — ``.zarray`` + ``.zattrs`` (v2) or
+    ``zarr.json`` (v3). ``chunks`` is always the TASK grid: for a
+    sharded v3 array it is the OUTER shard shape (one task per shard
+    file) and ``shard_chunk``/``shard_codecs`` describe the inner
+    layout decoded within the task."""
 
     shape: tuple[int, ...]
     chunks: tuple[int, ...]
@@ -58,6 +62,13 @@ class ZArrayMeta:
     compressor: dict | None
     separator: str
     attrs: dict = field(default_factory=dict)
+    v3: bool = False
+    codecs: list = field(default_factory=list)  # v3 codec chain (outer)
+    key_prefix: str = ""  # "c" for v3 default chunk-key encoding
+    shard_chunk: tuple[int, ...] | None = None  # v3 inner chunk shape
+    shard_codecs: list = field(default_factory=list)  # v3 inner chain
+    shard_index_location: str = "end"
+    shard_index_crc: bool = False
 
     @property
     def dims(self) -> list[str]:
@@ -88,17 +99,102 @@ def read_consolidated(store: str) -> dict | None:
     return doc["metadata"]
 
 
+# v3 abstract data types → numpy base kinds (endianness comes from the
+# "bytes" codec configuration, not the type name)
+_V3_DTYPES = {
+    "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
+    "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
+    "float32": "f4", "float64": "f8", "bool": "b1",
+}
+
+
+def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
+    """zarr.json (v3 core spec) → ZArrayMeta. Codecs supported: bytes
+    (endian), gzip, crc32c (stripped), sharding_indexed; transpose or
+    anything else raises with the codec name."""
+    if doc.get("node_type") != "array":
+        raise ValueError(f"{name}: zarr.json node_type is not 'array'")
+    base = _V3_DTYPES.get(doc["data_type"])
+    if base is None:
+        raise NotImplementedError(f"{name}: v3 data_type {doc['data_type']}")
+    grid = doc["chunk_grid"]
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"{name}: chunk grid {grid.get('name')}")
+    chunks = tuple(grid["configuration"]["chunk_shape"])
+    cke = doc.get("chunk_key_encoding", {"name": "default"})
+    if cke["name"] == "default":
+        sep = cke.get("configuration", {}).get("separator", "/")
+        prefix = "c"
+    elif cke["name"] == "v2":
+        sep = cke.get("configuration", {}).get("separator", ".")
+        prefix = ""
+    else:
+        raise NotImplementedError(f"{name}: chunk key encoding {cke['name']}")
+
+    def _endian(chain: list) -> str:
+        for c in chain:
+            if c.get("name") == "bytes":
+                return "<" if c.get("configuration", {}).get(
+                    "endian", "little"
+                ) == "little" else ">"
+        return "<"
+
+    codecs = list(doc.get("codecs", []))
+    shard_chunk = None
+    shard_codecs: list = []
+    shard_loc, shard_crc = "end", False
+    for c in codecs:
+        if c.get("name") == "sharding_indexed":
+            cfg = c["configuration"]
+            shard_chunk = tuple(cfg["chunk_shape"])
+            shard_codecs = list(cfg.get("codecs", []))
+            shard_loc = cfg.get("index_location", "end")
+            shard_crc = any(
+                ic.get("name") == "crc32c"
+                for ic in cfg.get("index_codecs", [])
+            )
+            codecs = shard_codecs  # endianness of the actual data
+            break
+    for c in codecs:
+        if c.get("name") not in ("bytes", "gzip", "crc32c"):
+            raise NotImplementedError(f"{name}: v3 codec {c.get('name')!r}")
+    attrs = dict(doc.get("attributes", {}))
+    if "dimension_names" in doc and "_ARRAY_DIMENSIONS" not in attrs:
+        attrs["_ARRAY_DIMENSIONS"] = list(doc["dimension_names"])
+    return ZArrayMeta(
+        shape=tuple(doc["shape"]),
+        chunks=chunks,
+        dtype=np.dtype(_endian(codecs) + base),
+        order="C",
+        fill_value=doc.get("fill_value", 0),
+        compressor=None,
+        separator=sep,
+        attrs=attrs,
+        v3=True,
+        codecs=list(doc.get("codecs", [])),
+        key_prefix=prefix,
+        shard_chunk=shard_chunk,
+        shard_codecs=shard_codecs,
+        shard_index_location=shard_loc,
+        shard_index_crc=shard_crc,
+    )
+
+
 def read_array_meta(
     store: str, name: str, consolidated: dict | None = None
 ) -> ZArrayMeta:
     adir = os.path.join(store, name)
+    if consolidated is not None and f"{name}/zarr.json" in consolidated:
+        return _v3_meta(consolidated[f"{name}/zarr.json"], name)
     if consolidated is not None and f"{name}/.zarray" in consolidated:
         za = consolidated[f"{name}/.zarray"]
+    elif os.path.exists(os.path.join(adir, "zarr.json")):
+        return _v3_meta(_read_json(os.path.join(adir, "zarr.json")), name)
     else:
         za = _read_json(os.path.join(adir, ".zarray"))
     if int(za.get("zarr_format", 2)) != 2:
         raise NotImplementedError(
-            f"{name}: only Zarr v2 stores are supported "
+            f"{name}: only Zarr v2/v3 stores are supported "
             f"(zarr_format={za.get('zarr_format')})"
         )
     if za.get("filters"):
@@ -129,17 +225,76 @@ def read_array_meta(
 
 
 def _chunk_path(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -> str:
-    return os.path.join(store, name, meta.separator.join(str(i) for i in idx))
+    key = meta.separator.join(str(i) for i in idx)
+    if meta.key_prefix:  # v3 default encoding: c/0/1/2
+        key = meta.key_prefix + (meta.separator + key if key else "")
+        return os.path.join(store, name, *key.split("/"))
+    return os.path.join(store, name, key)
+
+
+def _bb_decode(raw: bytes, chain: list) -> bytes:
+    """v3 bytes→bytes codecs applied in reverse (gzip, crc32c strip)."""
+    for c in reversed(chain):
+        n = c.get("name")
+        if n == "gzip":
+            raw = _gzip.decompress(raw)
+        elif n == "crc32c":
+            raw = raw[:-4]
+        # "bytes" handled by the dtype's endianness
+    return raw
 
 
 def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
     """Raw chunk file bytes → full-chunk-shaped ndarray (edge trimming is
     the caller's job — the spec stores edge chunks at full chunk shape)."""
+    if meta.v3:
+        if meta.shard_chunk is not None:
+            return _decode_shard(raw, meta)
+        raw = _bb_decode(raw, meta.codecs)
+        return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
         raw = _gzip.decompress(raw) if cid == "gzip" else _zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=meta.dtype)
     return arr.reshape(meta.chunks, order=meta.order)
+
+
+def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
+    """v3 sharding_indexed: the shard file holds inner chunks plus an
+    (offset, nbytes) u64-pair index at index_location; a pair of
+    all-ones marks an absent inner chunk (fill_value)."""
+    inner = meta.shard_chunk
+    grid = [
+        (o + i - 1) // i for o, i in zip(meta.chunks, inner)
+    ]
+    n_inner = int(np.prod(grid))
+    idx_len = n_inner * 16 + (4 if meta.shard_index_crc else 0)
+    if meta.shard_index_location == "start":
+        idx_bytes = raw[:idx_len]
+    else:
+        idx_bytes = raw[-idx_len:]
+    if meta.shard_index_crc:
+        idx_bytes = idx_bytes[:-4]
+    pairs = np.frombuffer(idx_bytes, dtype="<u8").reshape(n_inner, 2)
+    out = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    idxs = [()]
+    for g in grid:
+        idxs = [t + (j,) for t in idxs for j in range(g)]
+    for k, iidx in enumerate(idxs):
+        off, nb = pairs[k]
+        if off == missing and nb == missing:
+            continue
+        blob = _bb_decode(raw[int(off) : int(off) + int(nb)], meta.shard_codecs)
+        block = np.frombuffer(blob, dtype=meta.dtype).reshape(inner)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, o))
+            for i, c, o in zip(iidx, inner, meta.chunks)
+        )
+        out[sel] = block[
+            tuple(slice(0, s.stop - s.start) for s in sel)
+        ]
+    return out
 
 
 def _read_chunk(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -> np.ndarray:
@@ -189,11 +344,18 @@ def _list_arrays(store: str, consolidated: dict | None = None) -> list[str]:
             for k in consolidated
             if k.endswith("/.zarray")
         )
+    def _is_array(d: str) -> bool:
+        if os.path.exists(os.path.join(store, d, ".zarray")):
+            return True
+        zj = os.path.join(store, d, "zarr.json")
+        if os.path.exists(zj):
+            return _read_json(zj).get("node_type") == "array"
+        return False
+
     return sorted(
         d
         for d in os.listdir(store)
-        if os.path.isdir(os.path.join(store, d))
-        and os.path.exists(os.path.join(store, d, ".zarray"))
+        if os.path.isdir(os.path.join(store, d)) and _is_array(d)
     )
 
 
@@ -467,6 +629,140 @@ def write_zarr(
         json.dump(
             {"zarr_consolidated_format": 1, "metadata": consolidated}, fh
         )
+
+
+def write_zarr_v3(
+    store: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[list[str], np.ndarray, dict]],
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    shards: dict[str, tuple[int, ...]] | None = None,
+    gzip_level: int | None = 1,
+    key_encoding: str = "default",
+) -> None:
+    """Write a Zarr v3 group (fixture generator for the v3 read path).
+
+    ``chunks`` gives the task-grid chunk shape per variable; a variable
+    also present in ``shards`` is written with the sharding_indexed
+    codec — ``chunks`` is then the OUTER shard shape and ``shards`` the
+    inner chunk shape, with an end-located u64-pair index. Codec chain:
+    bytes(little) [+ gzip]. ``key_encoding``: 'default' (c/0/1) or 'v2'
+    (dot-separated)."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "zarr.json"), "w") as fh:
+        json.dump({"zarr_format": 3, "node_type": "group"}, fh)
+
+    def _bb(raw: bytes) -> bytes:
+        return (
+            _gzip.compress(raw, compresslevel=gzip_level)
+            if gzip_level is not None
+            else raw
+        )
+
+    inner_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if gzip_level is not None:
+        inner_codecs.append(
+            {"name": "gzip", "configuration": {"level": gzip_level}}
+        )
+    for name, (vdims, arr, attrs) in variables.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        vchunks = tuple((chunks or {}).get(name, arr.shape))
+        vinner = (shards or {}).get(name)
+        base = {v: k for k, v in _V3_DTYPES.items()}[
+            arr.dtype.str.lstrip("<>=|")
+        ]
+        codecs: list = list(inner_codecs)
+        if vinner is not None:
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(vinner),
+                        "codecs": inner_codecs,
+                        "index_codecs": [
+                            {
+                                "name": "bytes",
+                                "configuration": {"endian": "little"},
+                            }
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
+        doc = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(arr.shape),
+            "data_type": base,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(vchunks)},
+            },
+            "chunk_key_encoding": (
+                {"name": "default", "configuration": {"separator": "/"}}
+                if key_encoding == "default"
+                else {"name": "v2", "configuration": {"separator": "."}}
+            ),
+            "fill_value": 0,
+            "codecs": codecs,
+            "attributes": dict(attrs),
+            "dimension_names": list(vdims),
+        }
+        adir = os.path.join(store, name)
+        os.makedirs(adir, exist_ok=True)
+        with open(os.path.join(adir, "zarr.json"), "w") as fh:
+            json.dump(doc, fh)
+        ngrid = [(s + c - 1) // c for s, c in zip(arr.shape, vchunks)]
+        idxs: list[tuple[int, ...]] = [()]
+        for g in ngrid:
+            idxs = [i + (j,) for i in idxs for j in range(g)]
+        for idx in idxs:
+            sl = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, vchunks, arr.shape)
+            )
+            block = arr[sl]
+            if block.shape != vchunks:
+                full = np.zeros(vchunks, dtype=arr.dtype)
+                full[tuple(slice(0, e) for e in block.shape)] = block
+                block = full
+            if key_encoding == "default":
+                key = "c" + "".join(f"/{i}" for i in idx)
+                path = os.path.join(adir, *key.split("/"))
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+            else:
+                path = os.path.join(adir, ".".join(str(i) for i in idx))
+            if vinner is None:
+                payload = _bb(block.tobytes())
+            else:
+                igrid = [
+                    (o + i - 1) // i for o, i in zip(vchunks, vinner)
+                ]
+                iidxs: list[tuple[int, ...]] = [()]
+                for g in igrid:
+                    iidxs = [t + (j,) for t in iidxs for j in range(g)]
+                blobs, pairs = [], []
+                off = 0
+                for iidx in iidxs:
+                    isl = tuple(
+                        slice(i * c, min((i + 1) * c, o))
+                        for i, c, o in zip(iidx, vinner, vchunks)
+                    )
+                    ib = block[isl]
+                    if ib.shape != vinner:
+                        ifull = np.zeros(vinner, dtype=arr.dtype)
+                        ifull[tuple(slice(0, e) for e in ib.shape)] = ib
+                        ib = ifull
+                    blob = _bb(ib.tobytes())
+                    blobs.append(blob)
+                    pairs.extend((off, len(blob)))
+                    off += len(blob)
+                index = np.asarray(pairs, dtype="<u8").tobytes()
+                payload = b"".join(blobs) + index
+            with open(path, "wb") as fh:
+                fh.write(payload)
 
 
 @register_data_source("zarr")

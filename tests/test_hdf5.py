@@ -1,0 +1,184 @@
+"""Vendored HDF5 subset codec: writer↔reader roundtrips across both
+on-disk profiles, layouts, filters; decode path into long form."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bcdp_spark.sources.hdf5 import H5File, lookup3, read_hdf5, write_hdf5
+
+
+def _vars(dtype="<f8"):
+    rng = np.random.RandomState(7)
+    data = rng.randn(13, 5, 7).astype(dtype)
+    return {
+        "time": (
+            ["time"],
+            np.arange(13, dtype="<f8"),
+            {"units": "days since 2001-01-01", "calendar": "standard"},
+        ),
+        "lat": (["lat"], np.linspace(-60, 60, 5), {"CLASS": "DIMENSION_SCALE"}),
+        "lon": (["lon"], np.arange(7) * 51.4, {}),
+        "pr": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+    }
+
+
+@pytest.mark.parametrize("profile", ["v0", "v2"])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"chunk": {"pr": (4, 3, 7)}, "gzip_level": 4},
+        {"chunk": {"pr": (4, 3, 7)}, "gzip_level": 6, "shuffle": True},
+        {"chunk": {"pr": (13, 5, 7)}, "gzip_level": None},
+    ],
+    ids=["contiguous", "chunked-gzip", "chunked-shuffle-gzip", "chunked-raw"],
+)
+def test_roundtrip(profile, kw):
+    vars_ = _vars()
+    raw = write_hdf5(vars_, attrs={"Conventions": "CF-1.8"},
+                     profile=profile, **kw)
+    h5 = read_hdf5(raw)
+    assert set(h5.datasets) == set(vars_)
+    for name, (_dims, arr, attrs) in vars_.items():
+        np.testing.assert_array_equal(h5.read(name), arr)
+        for k, v in attrs.items():
+            assert h5.datasets[name].attrs[k] == v
+    assert h5.attrs["Conventions"] == "CF-1.8"
+
+
+@pytest.mark.parametrize("profile", ["v0", "v2"])
+def test_int_and_float32_dtypes(profile):
+    vars_ = {
+        "i32": (["x"], np.arange(11, dtype="<i4"), {}),
+        "i64": (["x"], np.arange(11, dtype="<i8") * 10, {}),
+        "f32": (["x"], np.linspace(0, 1, 11, dtype="<f4"), {}),
+        "u16": (["x"], np.arange(11, dtype="<u2"), {}),
+    }
+    h5 = read_hdf5(write_hdf5(vars_, profile=profile))
+    for name, (_d, arr, _a) in vars_.items():
+        got = h5.read(name)
+        assert got.dtype == arr.dtype
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_partial_edge_chunks():
+    """Chunk grid not dividing the shape: edge chunks are trimmed."""
+    arr = np.arange(10 * 7, dtype="<f8").reshape(10, 7)
+    raw = write_hdf5(
+        {"v": (["a", "b"], arr, {})}, chunk={"v": (4, 3)}, gzip_level=4
+    )
+    np.testing.assert_array_equal(read_hdf5(raw).read("v"), arr)
+
+
+def test_big_endian_input_normalized():
+    arr = np.arange(6, dtype=">f8")
+    h5 = read_hdf5(write_hdf5({"v": (["x"], arr, {})}))
+    np.testing.assert_array_equal(h5.read("v"), arr.astype("<f8"))
+
+
+def test_bad_signature_raises():
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        H5File(b"CDF\x01" + b"\x00" * 100)
+
+
+def test_unknown_filter_raises():
+    raw = bytearray(
+        write_hdf5(
+            {"v": (["x"], np.arange(8, dtype="<f8"), {})},
+            chunk={"v": (4,)},
+            gzip_level=4,
+        )
+    )
+    # corrupt the deflate filter id (1) into an unsupported id (42):
+    # v1 pipeline body = ver=1, nf=1, 6 reserved, then id u16
+    body = b"\x01\x01\x00\x00\x00\x00\x00\x00\x01\x00"
+    idx = bytes(raw).find(body)
+    assert idx > 0
+    fid_off = idx + 8
+    assert raw[fid_off] == 1
+    raw[fid_off] = 42
+    with pytest.raises(NotImplementedError, match="filter id 42"):
+        read_hdf5(bytes(raw)).read("v")
+
+
+def test_lookup3_known_vectors():
+    """Jenkins lookup3 reference values (public test vectors)."""
+    assert lookup3(b"", 0) == 0xDEADBEEF
+    assert lookup3(b"", 0xDEADBEEF) == 0xBD5B7DDE
+    assert lookup3(b"Four score and seven years ago", 0) == 0x17770551
+
+
+def test_scalar_and_array_attrs():
+    h5 = read_hdf5(
+        write_hdf5(
+            {
+                "v": (
+                    ["x"],
+                    np.arange(4, dtype="<f8"),
+                    {
+                        "s": "hello",
+                        "f": 2.5,
+                        "i": 7,
+                        "arr": np.array([1.0, 2.0, 3.0]),
+                    },
+                )
+            }
+        )
+    )
+    a = h5.datasets["v"].attrs
+    assert a["s"] == "hello" and a["f"] == 2.5 and a["i"] == 7
+    np.testing.assert_array_equal(a["arr"], [1.0, 2.0, 3.0])
+
+
+def test_netcdf_dispatch_decodes_hdf5(tmp_path):
+    """load_netcdf-level decode: HDF5 member files flow through the
+    vendored codec into the long form (netCDF4 absent in container)."""
+    from bcdp_spark.sources.netcdf import _decode_one, _var_ndim
+
+    vars_ = _vars()
+    p = str(tmp_path / "m0.nc")
+    with open(p, "wb") as fh:
+        fh.write(write_hdf5(vars_, profile="v0",
+                            chunk={"pr": (5, 5, 7)}, gzip_level=4))
+    assert _var_ndim(p, None) == 3
+    pdf = _decode_one(p, None)
+    assert list(pdf.columns) == ["name", "time", "lat", "lon", "value"]
+    assert len(pdf) == 13 * 5 * 7
+    # spot value: row ordering is C-order over (time, lat, lon)
+    arr = vars_["pr"][1]
+    assert pdf.iloc[1].value == pytest.approx(arr[0, 0, 1])
+
+
+def test_mixed_classic_and_hdf5_manifest(spark, tmp_path):
+    """One glob with a CDF-2 member AND an HDF5 member: both decode to
+    the same long form through the manifest fan-out."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    time = np.arange(3, dtype=np.float64)
+    lats = np.array([-10.0, 10.0])
+    lons = np.array([0.0, 90.0])
+    data = np.arange(3 * 2 * 2, dtype=np.float64).reshape(3, 2, 2)
+    common = {
+        "time": (["time"], time, {"units": "days since 2001-01-01"}),
+        "lat": (["lat"], lats, {}),
+        "lon": (["lon"], lons, {}),
+        "pr": (["time", "lat", "lon"], data, {}),
+    }
+    with open(tmp_path / "a.nc", "wb") as fh:
+        fh.write(
+            write_netcdf3(
+                dims={"time": 3, "lat": 2, "lon": 2},
+                variables=common,
+                record_dim="time",
+            )
+        )
+    with open(tmp_path / "b.nc", "wb") as fh:
+        fh.write(write_hdf5(common, profile="v2"))
+    df = load_netcdf(spark, str(tmp_path / "*.nc"))
+    rows = df.groupBy("name").count().collect()
+    assert {r["name"]: r["count"] for r in rows} == {"a.nc": 12, "b.nc": 12}
+    s = df.groupBy("name").sum("value").collect()
+    assert {r[0]: r[1] for r in s} == {"a.nc": 66.0, "b.nc": 66.0}

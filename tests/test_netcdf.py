@@ -74,6 +74,86 @@ def test_netcdf3_int_types_roundtrip():
     np.testing.assert_array_equal(nc.variables["sv"].data, sv)
 
 
+def test_cdf5_roundtrip_fixed_and_record():
+    """CDF-5 (PnetCDF 64-bit data): INT64 header fields, 64-bit begins,
+    NC_INT64 data — full roundtrip incl. record interleaving."""
+    from bcdp_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    time = np.arange(4, dtype=np.float64)
+    lat = np.array([-45.0, 45.0])
+    big = np.array([2**40, -(2**41), 7, 0, 2**33, -1, 5, 9], dtype=np.int64)
+    data = np.arange(4 * 2, dtype=np.float64).reshape(4, 2)
+    raw = write_netcdf3(
+        dims={"time": 4, "lat": 2},
+        variables={
+            "time": (["time"], time, {"units": "days since 2001-01-01"}),
+            "lat": (["lat"], lat, {}),
+            "tas": (["time", "lat"], data, {"_FillValue": -999.0}),
+            "counts": (["time", "lat"], big.reshape(4, 2), {"big": 2**50}),
+        },
+        attrs={"title": "cdf5"},
+        record_dim="time",
+        version=5,
+    )
+    assert raw[:4] == b"CDF\x05"
+    nc = read_netcdf3(raw)
+    assert nc.numrecs == 4 and nc.attrs["title"] == "cdf5"
+    np.testing.assert_array_equal(nc.variables["tas"].data, data)
+    np.testing.assert_array_equal(
+        nc.variables["counts"].data, big.reshape(4, 2)
+    )
+    assert nc.variables["counts"].attrs["big"] == 2**50
+    assert nc.variables["tas"].attrs["_FillValue"] == -999.0
+
+
+def test_cdf5_header_only_and_read_var(tmp_path):
+    from bcdp_spark.sources.netcdf3 import (
+        read_header,
+        read_var,
+        write_netcdf3,
+    )
+
+    data = np.arange(3 * 2, dtype=np.float64).reshape(3, 2)
+    raw = write_netcdf3(
+        dims={"t": 3, "x": 2},
+        variables={
+            "t": (["t"], np.arange(3, dtype=np.float64), {}),
+            "v": (["t", "x"], data, {}),
+        },
+        record_dim="t",
+        version=5,
+    )
+    p = tmp_path / "c5.nc"
+    p.write_bytes(raw)
+    with open(p, "rb") as fh:
+        nc = read_header(fh)
+        assert set(nc.variables) == {"t", "v"}
+        np.testing.assert_array_equal(read_var(fh, nc, "v"), data)
+
+
+def test_cdf5_climatology_through_decode(tmp_path):
+    """CDF-5 member decodes through the same load path as CDF-1."""
+    from bcdp_spark.sources.netcdf import _decode_one
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    time = np.arange(3, dtype=np.float64)
+    data = np.arange(3 * 2 * 2, dtype=np.float64).reshape(3, 2, 2)
+    raw = write_netcdf3(
+        dims={"time": 3, "lat": 2, "lon": 2},
+        variables={
+            "time": (["time"], time, {"units": "days since 2001-01-01"}),
+            "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+            "lon": (["lon"], np.array([0.0, 90.0]), {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        version=5,
+    )
+    p = tmp_path / "m.nc"
+    p.write_bytes(raw)
+    pdf = _decode_one(str(p), None)
+    assert len(pdf) == 12 and pdf.value.sum() == data.sum()
+
+
 def test_netcdf3_rejects_hdf5_with_clear_message():
     from bcdp_spark.sources.netcdf3 import read_netcdf3
 

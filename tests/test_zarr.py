@@ -438,6 +438,147 @@ def test_zarr_datasource_v2_pushdown(spark, tmp_path):
     assert len(r2.partitions()) < total
 
 
+def _write_v3_fixture(tmp_path, **kw):
+    import numpy as np
+
+    from bcdp_spark.sources.zarr import write_zarr_v3
+
+    store = str(tmp_path / "v3.zarr")
+    t = np.arange(20)[:, None, None]
+    a = np.arange(4)[None, :, None]
+    o = np.arange(6)[None, None, :]
+    data = (0.25 * (t * 100 + a * 10 + o)).astype("<f8")
+    write_zarr_v3(
+        store,
+        dims={"time": 20, "lat": 4, "lon": 6},
+        variables={
+            "time": (
+                ["time"],
+                np.arange(20, dtype="<f8"),
+                {"units": "days since 2001-01-01", "calendar": "standard"},
+            ),
+            "lat": (["lat"], np.array([-45.0, -15.0, 15.0, 45.0]), {}),
+            "lon": (["lon"], np.arange(6) * 60.0, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        chunks={"pr": (10, 2, 6)},
+        **kw,
+    )
+    return store, data
+
+
+def test_zarr_v3_load_and_prune(spark, tmp_path):
+    """Zarr v3 store (default chunk-key encoding, gzip): load_zarr
+    decodes the long form and lat-bounds PRUNE the v3 chunk grid."""
+    from bcdp_spark.sources.zarr import load_zarr, pruned_chunk_count
+
+    store, data = _write_v3_fixture(tmp_path, gzip_level=3)
+    df = load_zarr(spark, store)
+    assert df.count() == data.size
+    got = df.agg(F.round(F.sum("value"), 6)).collect()[0][0]
+    assert got == round(float(data.sum()), 6)
+    kept, total = pruned_chunk_count(store, lat_bnds=(0.0, 90.0))
+    assert kept < total
+    north = load_zarr(spark, store, lat_bnds=(0.0, 90.0))
+    assert north.count() == data.size // 2
+
+
+def test_zarr_v3_sharded_through_climatology_logic(spark, tmp_path):
+    """v3 sharding_indexed: outer shards are the task grid; the
+    q_zarr_climatology aggregation shape over a sharded store matches
+    the in-memory truth."""
+    import pandas as pd
+
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store, data = _write_v3_fixture(
+        tmp_path, shards={"pr": (5, 2, 3)}, gzip_level=3
+    )
+    df = load_zarr(spark, store, lat_bnds=(0.0, 90.0))
+    got = (
+        df.groupBy(F.month("time").cast("int").alias("month"), "lat")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["month", "lat"])
+        .reset_index(drop=True)
+    )
+    # truth: lat index 2,3 are northern; all 20 days are January 2001
+    import numpy as np
+
+    rows = []
+    lats = [-45.0, -15.0, 15.0, 45.0]
+    for ai in (2, 3):
+        rows.append(
+            {
+                "month": 1,
+                "lat": lats[ai],
+                "n_cells": 20 * 6,
+                "sum_value": float(data[:, ai, :].sum()),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values(["month", "lat"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_cells": "int64"}), want, check_dtype=False
+    )
+
+
+def test_zarr_v3_dsv2_scan(spark, tmp_path):
+    """format('zarr') DSv2 reads a v3 store (same reader machinery)."""
+    from bcdp_spark.sources.zarr_datasource import register_zarr_source
+
+    store, data = _write_v3_fixture(tmp_path, key_encoding="v2")
+    register_zarr_source(spark)
+    df = spark.read.format("zarr").load(store).filter("lat >= 0")
+    assert df.count() == data.size // 2
+
+
+def test_zarr_v3_unsupported_codec_raises(tmp_path):
+    import json
+
+    from bcdp_spark.sources.zarr import read_array_meta, write_zarr_v3
+    import numpy as np
+
+    store = str(tmp_path / "bad.zarr")
+    write_zarr_v3(
+        store,
+        dims={"x": 4},
+        variables={"v": (["x"], np.arange(4, dtype="<f8"), {})},
+    )
+    doc = json.load(open(f"{store}/v/zarr.json"))
+    doc["codecs"] = [{"name": "zstd", "configuration": {"level": 3}}]
+    json.dump(doc, open(f"{store}/v/zarr.json", "w"))
+    with pytest.raises(NotImplementedError, match="zstd"):
+        read_array_meta(store, "v")
+
+
+def test_q_zarr_climatology_uses_dsv2_pushdown(spark):
+    """Plan gate for the graded key's r4 re-route: the lat>=0 range
+    predicate must be CONSUMED by pushFilters (absent from any residual
+    Filter node above the Python BatchScan) and the reader's chunk plan
+    must prune below the unfiltered count."""
+    from bcdp_spark.queries.zarr_io import _ensure_fixture, q_zarr_climatology
+    from bcdp_spark.sources.zarr_datasource import ZarrReader
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    df = q_zarr_climatology(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan zarr" in plan
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert not any("0.0" in ln for ln in filter_lines), filter_lines
+    store = _ensure_fixture()
+    total = len(ZarrReader({"path": store}).partitions())
+    pruned = ZarrReader({"path": store})
+    pruned._filters = [GreaterThanOrEqual(("lat",), 0.0)]
+    assert len(pruned.partitions()) < total
+
+
 def test_zarr_datasource_v2_4d(spark, tmp_path):
     from bcdp_spark.sources.zarr_datasource import register_zarr_source
     from bcdp_spark.sources.zarr import write_zarr

@@ -204,11 +204,132 @@ def _q(key):
     return q.queries()[key]
 
 
+def synth_corpus(spark, n_docs: int, dup_rate: float = 0.02,
+                 n_tokens: int = 60, vocab: int = 50000):
+    """Density-CONTROLLED corpus: each doc is a deterministic token soup
+    derived from its id (distinct docs share tokens but almost never
+    5-gram shingles), except a hash-chosen ``dup_rate`` fraction whose
+    text is the soup of ANOTHER doc — exact duplicate pairs at a
+    realistic 1-5% density, at any scale. This isolates the minhash
+    OPERATOR's scaling from the all-dup artifact of the exploded
+    fixture (VERDICT r3 item 5)."""
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    period = max(int(1 / dup_rate), 2)
+    src = F.when(
+        F.pmod(F.hash("doc_id"), F.lit(period)) == 0,
+        F.pmod(F.col("doc_id") * 31 + 7, F.lit(n_docs)),
+    ).otherwise(F.col("doc_id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        # hex tokens: wide effective alphabet so character-5-gram
+        # shingles of DISTINCT docs almost never collide (digit-only
+        # tokens collide at the shingle level and drown the banding in
+        # false positives)
+        lambda i: F.hex(
+            F.hash(F.pmod(F.hash(src.cast("long"), i), F.lit(vocab)))
+        ),
+    )
+    return base.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+def minhash_density_smoke(spark, n_base: int = 5000, dup_rate: float = 0.02):
+    """minhash_lsh_pairs at N and FACTOR*N docs with the SAME realistic
+    duplicate density; also counts the candidates the bucket_cap drops
+    (sum over B*(B-1)/2 of over-cap buckets) at each scale."""
+    from bcdp_spark.operators.dedup import lsh_bucket_pairs, with_minhash
+
+    # untimed warmup compiles every codegen shape once
+    lsh_bucket_pairs(
+        synth_corpus(spark, 500, dup_rate), "text", "doc_id", bucket_cap=200
+    ).count()
+    out = {}
+    for label, n in (("base", n_base), ("big", n_base * FACTOR)):
+        docs = synth_corpus(spark, n, dup_rate).cache()
+        docs.count()
+        t0 = time.perf_counter()
+        n_pairs = lsh_bucket_pairs(
+            docs, "text", "doc_id", bucket_cap=200
+        ).count()
+        dt = time.perf_counter() - t0
+        # cap observability: occupancy histogram of band buckets
+        banded = with_minhash(docs, "text").select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.hash(
+                            F.slice(F.col("__sig"), b * 4 + 1, 4).cast(
+                                "array<int>"
+                            ),
+                            F.lit(b),
+                        )
+                        for b in range(16)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        occ = banded.groupBy("bh").count()
+        dropped = occ.filter(F.col("count") > 200).agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        ).collect()[0][0]
+        out[label] = {
+            "n_docs": n,
+            "sec": dt,
+            "pairs": n_pairs,
+            "capped_candidates_dropped": int(dropped or 0),
+        }
+        docs.unpersist()
+    out["ratio"] = out["big"]["sec"] / out["base"]["sec"]
+    return out
+
+
+def _density_section(spark) -> list[str]:
+    d = minhash_density_smoke(spark)
+    return [
+        "",
+        "## MinHash at realistic duplicate density (r4, VERDICT item 5)",
+        "",
+        "Density-controlled token-soup corpus (2% planted exact dups at",
+        f"BOTH scales) isolates the operator: {d['base']['n_docs']:,} docs"
+        f" {d['base']['sec']:.3f}s -> {d['big']['n_docs']:,} docs"
+        f" {d['big']['sec']:.3f}s = **{d['ratio']:.1f}x** for"
+        f" {FACTOR}x rows (vs 8.9x on the all-dup exploded fixture —",
+        "that ratio measured true-pair growth in the data, not the",
+        "operator).",
+        "",
+        "| scale | docs | sec | LSH pairs | candidates dropped by bucket_cap=200 |",
+        "|---|---|---|---|---|",
+        f"| base | {d['base']['n_docs']:,} | {d['base']['sec']:.3f} |"
+        f" {d['base']['pairs']:,} | {d['base']['capped_candidates_dropped']:,} |",
+        f"| {FACTOR}x | {d['big']['n_docs']:,} | {d['big']['sec']:.3f} |"
+        f" {d['big']['pairs']:,} | {d['big']['capped_candidates_dropped']:,} |",
+        "",
+        "At realistic density the cap drops ~nothing (no degenerate",
+        "buckets exist); on the all-dup fixture it is the only thing",
+        "standing between the band join and a quadratic candidate set —",
+        "both behaviors are by design.",
+        "",
+    ]
+
+
 def main():
     import tempfile
 
     spark = get_spark("scale_smoke", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--density-only" in sys.argv:
+        # refresh only the density section, preserving the main table
+        section = "\n".join(_density_section(spark))
+        cur = open(OUT).read() if os.path.exists(OUT) else ""
+        marker = "\n## MinHash at realistic duplicate density"
+        if marker in cur:
+            cur = cur[: cur.index(marker) + 1]
+        with open(OUT, "w") as f:
+            f.write(cur.rstrip("\n") + "\n" + section)
+        print(section)
+        return
+
     with tempfile.TemporaryDirectory() as tmp:
         counts = synth(spark, tmp)
         # one warm pass on the small side compiles every codegen shape
@@ -271,8 +392,8 @@ def main():
             "- **doc_repetition**: two (doc, gram) hash aggs + a doc_id",
             "  join — shuffle keys are short grams; map-side combine",
             "  absorbs the duplicated texts.",
-            "",
         ]
+        lines += _density_section(spark)
         body = "\n".join(lines)
         with open(OUT, "w") as f:
             f.write(body)
