@@ -436,3 +436,96 @@ def repeated_ngram_doc_stats(
             6,
         ).alias("rep_frac"),
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """Exact-substring dedup with ACTUAL span removal (Lee et al. 2022's
+    remove-all-copies variant): every token position covered by a word
+    ``k``-gram that occurs in >= ``min_docs`` DISTINCT documents is
+    dropped, and the surviving tokens are re-joined in order. Returns
+    one row per input doc: ``(id, n_tokens, n_removed, cleaned_text)``
+    — ``repeated_ngram_doc_stats`` is the scoring half of this family;
+    this is the surgery half that training pipelines actually apply.
+
+    Plan (all built-ins, no UDF): positioned grams via array
+    expressions -> distinct-doc count per gram (map-side-combinable
+    agg; the shuffle carries distinct grams) -> SHUFFLE_HASH join back
+    to positions -> covered positions via sequence-explode + distinct
+    -> left_anti against token positions -> ordered re-assembly with
+    array_sort(collect_list(struct(pos, tok))) (positions are unique
+    per doc, so the sort is deterministic). Three shuffles, no sort on
+    the gram path. At 100 TB hash the gram to xxhash64 for 8-byte
+    shuffle keys (string keys kept here for oracle twinning)."""
+    _guard_reserved(
+        df, ("__toks", "__g", "__gram", "__i", "__nd", "__pos", "__tok")
+    )
+    t = df.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__toks"))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k} + 1), "
+        f"i -> struct(i AS __i, array_join(slice(__toks, i, {k}), {sep!r})"
+        " AS __gram)) ELSE array() END"
+    )
+    g = t.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col, "__g.__i", "__g.__gram"
+    )
+    dup = (
+        g.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    covered = (
+        g.join(dup.hint("SHUFFLE_HASH"), "__gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    tok_pos = t.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.expr(
+            "explode(transform(sequence(1, size(__toks)), "
+            "i -> struct(i AS __pos, __toks[i-1] AS __tok)))"
+        ).alias("__t"),
+    ).select(id_col, "n_tokens", "__t.__pos", "__t.__tok")
+    kept = tok_pos.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__tok"))
+                ),
+                lambda x: x["__tok"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+    # docs whose every position was covered drop out of `kept` — restore
+    # them with empty cleaned text
+    base = t.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    return (
+        base.join(rebuilt, [id_col, "n_tokens"], "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+    )

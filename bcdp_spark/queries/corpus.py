@@ -715,6 +715,59 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2+ (r4) — span-REMOVAL half of exact-substring dedup (Lee et al.
+# 2022, remove-all-copies variant): token positions covered by a word
+# 5-gram present in >= 2 distinct docs are stripped and the text
+# re-assembled. Operator: operators/dedup.py strip_duplicated_spans.
+# ---------------------------------------------------------------------------
+@register(
+    "q_span_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 5 + 2, 1))) AS u(i)
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.i + v.d AS pos
+  FROM g JOIN dup USING (gram), UNNEST(range(0, 5)) AS v(d)
+),
+tok AS (
+  SELECT t.doc_id, len(t.toks) AS n_tokens, r.i AS pos, t.toks[r.i] AS tok
+  FROM t, UNNEST(range(1, len(t.toks) + 1)) AS r(i)
+),
+kept AS (
+  SELECT tok.* FROM tok
+  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+  WHERE cov.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, n_tokens, COUNT(*) AS n_kept,
+         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned_text
+  FROM kept GROUP BY doc_id, n_tokens
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM (SELECT doc_id, len(toks) AS n_tokens FROM t) b
+LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.dedup import strip_duplicated_spans
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return strip_duplicated_spans(docs, "text", "doc_id", k=5, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # EXT sampling — deterministic train/val/test hash split (operators/
 # split.py): label is a pure expression of md5(doc_id), so assignment is
 # partition-invariant, engine-identical, and stable under corpus growth

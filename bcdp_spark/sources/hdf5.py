@@ -515,21 +515,55 @@ class H5File:
         return out
 
     # --------------------------------------------------------------- read
-    def read(self, name: str) -> np.ndarray:
+    def read(self, name: str, sel: tuple | None = None) -> np.ndarray:
+        """Materialize a dataset, optionally restricted to a hyperslab
+        ``sel`` (one ``slice`` per dimension, or None). For chunked
+        layouts only the intersecting chunks are decoded; for a
+        contiguous layout restricted on the FIRST axis only, just that
+        byte range is touched — both make a time-partitioned scan of
+        one huge archive file read O(slab), not O(file)."""
         ds = self.datasets[name]
         dt = ds.dtype.np_dtype
+        rank = len(ds.shape)
+        if sel is not None:
+            sel = tuple(
+                slice(*s.indices(ds.shape[d])) for d, s in enumerate(sel)
+            )
+            out_shape = tuple(s.stop - s.start for s in sel)
+        else:
+            out_shape = ds.shape
         if ds.layout == "compact":
-            return np.frombuffer(ds.compact, dtype=dt).reshape(ds.shape).copy()
+            full = np.frombuffer(ds.compact, dtype=dt).reshape(ds.shape)
+            return (full[sel] if sel else full).copy()
         if ds.layout == "contiguous":
             if ds.data_addr == _UNDEF:
-                return self._fill_array(ds, dt)
+                return self._fill_array(ds, dt, out_shape)
+            if sel is not None and all(
+                s.start == 0 and s.stop == ds.shape[d]
+                for d, s in enumerate(sel)
+                if d > 0
+            ):
+                # axis-0 slab = one contiguous byte range (row-major)
+                row = int(np.prod(ds.shape[1:], dtype=np.int64)) if rank > 1 else 1
+                start = ds.data_addr + sel[0].start * row * dt.itemsize
+                nb = (sel[0].stop - sel[0].start) * row * dt.itemsize
+                raw = self.buf[start : start + nb]
+                return np.frombuffer(raw, dtype=dt).reshape(out_shape).copy()
             raw = self.buf[ds.data_addr : ds.data_addr + ds.data_size]
-            return np.frombuffer(raw, dtype=dt).reshape(ds.shape).copy()
-        out = self._fill_array(ds, dt)
+            full = np.frombuffer(raw, dtype=dt).reshape(ds.shape)
+            return (full[sel] if sel else full).copy()
+        out = self._fill_array(ds, dt, out_shape)
         if ds.btree_addr == _UNDEF:
             return out
-        rank = len(ds.shape)
+        base = tuple(s.start for s in sel) if sel else (0,) * rank
+        bound = tuple(s.stop for s in sel) if sel else ds.shape
         for offsets, addr, nbytes, fmask in self._chunks(ds, rank):
+            if any(
+                offsets[d] >= bound[d]
+                or offsets[d] + ds.chunk_shape[d] <= base[d]
+                for d in range(rank)
+            ):
+                continue  # chunk wholly outside the slab: never decoded
             raw = self.buf[addr : addr + nbytes]
             for i in range(len(ds.filters) - 1, -1, -1):
                 fid, _flags, cvals = ds.filters[i]
@@ -551,24 +585,27 @@ class H5File:
             sel_out, sel_in = [], []
             skip = False
             for d in range(rank):
-                start = offsets[d]
-                if start >= ds.shape[d]:
+                lo = max(offsets[d], base[d])
+                hi = min(offsets[d] + ds.chunk_shape[d], bound[d])
+                if lo >= hi:
                     skip = True
                     break
-                stop = min(start + ds.chunk_shape[d], ds.shape[d])
-                sel_out.append(slice(start, stop))
-                sel_in.append(slice(0, stop - start))
+                sel_out.append(slice(lo - base[d], hi - base[d]))
+                sel_in.append(slice(lo - offsets[d], hi - offsets[d]))
             if not skip:
                 out[tuple(sel_out)] = chunk[tuple(sel_in)]
         return out
 
-    def _fill_array(self, ds: H5Dataset, dt: np.dtype) -> np.ndarray:
+    def _fill_array(
+        self, ds: H5Dataset, dt: np.dtype, shape: tuple | None = None
+    ) -> np.ndarray:
+        shape = ds.shape if shape is None else shape
         if ds.fill is not None:
             fv = np.frombuffer(ds.fill, dtype=dt)[0]
-            return np.full(ds.shape, fv, dtype=dt)
+            return np.full(shape, fv, dtype=dt)
         if dt.kind == "f":
-            return np.full(ds.shape, np.nan, dtype=dt)
-        return np.zeros(ds.shape, dtype=dt)
+            return np.full(shape, np.nan, dtype=dt)
+        return np.zeros(shape, dtype=dt)
 
     def _chunks(self, ds: H5Dataset, rank: int):
         buf = self.buf

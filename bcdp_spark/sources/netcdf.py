@@ -78,6 +78,11 @@ def _var_ndim(fpath: str, var: str | None) -> int:
                 var,
             )
             return len(nc.variables[picked].shape)
+    if head != b"\x89HDF":
+        raise ValueError(
+            f"{fpath}: not a NetCDF file (neither classic CDF nor "
+            "NetCDF-4/HDF5 magic)"
+        )
     try:
         import netCDF4  # type: ignore
     except ImportError:
@@ -109,10 +114,10 @@ def load_netcdf(
         raise FileNotFoundError(f"no files match {path!r}")
     try:
         ndim = _var_ndim(files[0], var)
-    except NotImplementedError:
-        # Undecodable header (HDF5 without netCDF4, or corrupt bytes):
-        # keep the load lazy — default to the 3-D schema and let the
-        # distributed decode raise the clear error at action time.
+    except (NotImplementedError, ValueError):
+        # Undecodable header (unsupported HDF5 feature, or corrupt
+        # bytes): keep the load lazy — default to the 3-D schema and let
+        # the distributed decode raise the clear error at action time.
         ndim = 3
     schema = LONG_FORM_SCHEMA_4D if ndim == 4 else LONG_FORM_SCHEMA
     manifest = spark.createDataFrame(
@@ -136,6 +141,11 @@ def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
         head = fh.read(4)
     if head[:3] == b"CDF":
         return _decode_classic(fpath, var)
+    if head != b"\x89HDF":
+        raise ValueError(
+            f"{fpath}: not a NetCDF file (neither classic CDF nor "
+            "NetCDF-4/HDF5 magic)"
+        )
     try:
         import netCDF4  # type: ignore  # noqa: F401
     except ImportError:

@@ -4,8 +4,11 @@ subsume; VERDICT r1 "What's missing" item 2).
 
 ``spark.read.format("netcdf").load("/path/*.nc")`` plans:
 
-- **one InputPartition per file** — executor-parallel decode, the same
-  granularity as the reference's multi-file open;
+- **one InputPartition per file** for classic (CDF) members, and one
+  per TIME CHUNK for chunked NetCDF-4/HDF5 members (r4) — so a store
+  made of a handful of huge archive files still decodes with
+  executor-level parallelism, each task touching only its slab's
+  chunks via the vendored ``H5File.read(sel=...)``;
 - **driver-side partition pruning**: with filter pushdown enabled
   (``spark.sql.python.filterPushdown.enabled=true``, Spark 4.1+) pushed
   ``time`` range predicates are checked against each file's time AXIS,
@@ -59,6 +62,10 @@ _RANGE_OPS = (
 @dataclass
 class _NcPartition(InputPartition):
     path: str
+    # time-index slab [t0, t1) for chunk-parallel HDF5 scans; (-1, -1)
+    # means "whole file" (classic files and contiguous-layout HDF5)
+    t0: int = -1
+    t1: int = -1
 
 
 def _norm_value(v):
@@ -158,6 +165,11 @@ class NetCDFReader(DataSourceReader):
         for path in files:
             if name_eq and os.path.basename(path) not in name_eq:
                 continue
+            with open(path, "rb") as fh:
+                magic = fh.read(4)
+            if magic == b"\x89HDF":
+                out.extend(self._hdf5_partitions(path, time_filters))
+                continue
             if time_filters:
                 # header + time axis only (KBs), never the payload
                 with open(path, "rb") as fh:
@@ -181,6 +193,49 @@ class NetCDFReader(DataSourceReader):
             out.append(_NcPartition(path))
         return out
 
+    def _hdf5_partitions(self, path, time_filters) -> "list[_NcPartition]":
+        """HDF5 member: one partition per TIME CHUNK of the data
+        variable — executor-parallel decode WITHIN one archive file
+        (climate stores are often a handful of huge NetCDF-4 files, so
+        per-file granularity alone under-parallelizes). Contiguous
+        layouts stay one partition (a slab read is a byte range; the
+        win there is pruning, not splitting). Pushed time predicates
+        prune whole slabs against the time axis, read once via mmap."""
+        from bcdp_spark.sources.cfcal import times_to_timestamps
+        from bcdp_spark.sources.netcdf import _h5_dims, _open_hdf5, _pick_var
+
+        h5 = _open_hdf5(path)
+        var = _pick_var(
+            {k: len(d.shape) for k, d in h5.datasets.items()},
+            _h5_dims(h5),
+            self._var,
+        )
+        ds = h5.datasets[var]
+        n_t = ds.shape[0]
+        times = None
+        if time_filters and "time" in h5.datasets:
+            tattrs = h5.datasets["time"].attrs
+            times = times_to_timestamps(
+                np.asarray(h5.read("time"), dtype=float),
+                str(tattrs.get("units", "days since 1970-01-01")),
+                str(tattrs.get("calendar", "standard")),
+            ).to_numpy()
+        if ds.layout == "chunked" and ds.chunk_shape and n_t > ds.chunk_shape[0]:
+            step = ds.chunk_shape[0]
+            slabs = [
+                (t0, min(t0 + step, n_t)) for t0 in range(0, n_t, step)
+            ]
+        else:
+            slabs = [(0, n_t)]
+        out = []
+        for t0, t1 in slabs:
+            if times is not None and not _axis_mask(
+                times[t0:t1], time_filters, "time"
+            ).any():
+                continue  # slab pruned before any payload chunk loads
+            out.append(_NcPartition(path, t0=t0, t1=t1))
+        return out
+
     # ----------------------------------------------------------- read
     def read(self, partition: _NcPartition) -> Iterator[tuple]:
         import pandas as pd
@@ -189,6 +244,11 @@ class NetCDFReader(DataSourceReader):
         from bcdp_spark.sources.netcdf import _apply_fill, _pick_var
         from bcdp_spark.sources.netcdf3 import read_netcdf3
 
+        with open(partition.path, "rb") as fh:
+            magic = fh.read(4)
+        if magic == b"\x89HDF":
+            yield from self._read_hdf5(partition)
+            return
         with open(partition.path, "rb") as fh:
             nc = read_netcdf3(fh.read())
         var = _pick_var(
@@ -242,6 +302,75 @@ class NetCDFReader(DataSourceReader):
             names=["name", "time", "lat", "lon", "value"],
         )
         yield batch
+
+
+    def _read_hdf5(self, partition: _NcPartition) -> Iterator:
+        """Slab decode of an HDF5 member: only the chunks intersecting
+        [t0, t1) are read and decompressed (H5File.read(sel=...)), then
+        the same axis-mask hyperslab as the classic path."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from bcdp_spark.sources.cfcal import times_to_timestamps
+        from bcdp_spark.sources.netcdf import (
+            _apply_fill,
+            _h5_dims,
+            _open_hdf5,
+            _pick_var,
+        )
+
+        h5 = _open_hdf5(partition.path)
+        var = _pick_var(
+            {k: len(d.shape) for k, d in h5.datasets.items()},
+            _h5_dims(h5),
+            self._var,
+        )
+        ds = h5.datasets[var]
+        t0 = 0 if partition.t0 < 0 else partition.t0
+        t1 = ds.shape[0] if partition.t1 < 0 else partition.t1
+        tattrs = h5.datasets["time"].attrs
+        times = times_to_timestamps(
+            np.asarray(h5.read("time", sel=(slice(t0, t1),)), dtype=float),
+            str(tattrs.get("units", "days since 1970-01-01")),
+            str(tattrs.get("calendar", "standard")),
+        )
+        lats = np.asarray(h5.read("lat"), dtype=float)
+        lons = np.asarray(h5.read("lon"), dtype=float)
+        sel = (slice(t0, t1),) + tuple(
+            slice(0, s) for s in ds.shape[1:]
+        )
+        data = _apply_fill(
+            np.asarray(h5.read(var, sel=sel), dtype=float), ds.attrs
+        )
+
+        tmask = _axis_mask(times.to_numpy(), self._filters, "time")
+        amask = _axis_mask(lats, self._filters, "lat")
+        omask = _axis_mask(lons, self._filters, "lon")
+        if not (tmask.any() and amask.any() and omask.any()):
+            return
+        times = times[tmask]
+        lats = lats[amask]
+        lons = lons[omask]
+        data = data[np.ix_(tmask, amask, omask)]
+
+        name = os.path.basename(partition.path)
+        tt, la, lo = np.meshgrid(
+            np.arange(len(times)), lats, lons, indexing="ij"
+        )
+        flat_v = data.ravel()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([name] * flat_v.size, type=pa.string()),
+                pa.array(
+                    pd.DatetimeIndex(times.to_numpy()[tt.ravel()]),
+                    type=pa.timestamp("us"),
+                ),
+                pa.array(la.ravel(), type=pa.float64()),
+                pa.array(lo.ravel(), type=pa.float64()),
+                pa.array(flat_v, type=pa.float64(), from_pandas=True),
+            ],
+            names=["name", "time", "lat", "lon", "value"],
+        )
 
 
 def register_netcdf_source(spark) -> None:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bcdp_spark.sources.hdf5 import H5File, lookup3, read_hdf5, write_hdf5
 
@@ -149,6 +150,81 @@ def test_netcdf_dispatch_decodes_hdf5(tmp_path):
     # spot value: row ordering is C-order over (time, lat, lon)
     arr = vars_["pr"][1]
     assert pdf.iloc[1].value == pytest.approx(arr[0, 0, 1])
+
+
+def test_hdf5_slab_reads_match_numpy():
+    rng = np.random.RandomState(3)
+    data = rng.randn(24, 5, 7)
+    for kw in (
+        {},
+        {"chunk": {"pr": (7, 3, 4)}, "gzip_level": 4, "shuffle": True},
+    ):
+        h5 = read_hdf5(write_hdf5({"pr": (["t", "a", "o"], data, {})}, **kw))
+        for sel in [
+            (slice(3, 11), slice(None), slice(None)),
+            (slice(0, 24), slice(1, 4), slice(2, 7)),
+            (slice(20, 24), slice(0, 5), slice(0, 7)),
+            (slice(5, 6), slice(2, 3), slice(3, 5)),
+        ]:
+            np.testing.assert_array_equal(h5.read("pr", sel=sel), data[sel])
+
+
+def test_netcdf_dsv2_chunk_parallel_hdf5(spark, tmp_path):
+    """format('netcdf') over one chunked HDF5 file: one partition per
+    time chunk, slab-pruned by pushed time predicates, values exact."""
+    from bcdp_spark.sources.netcdf_datasource import (
+        NetCDFReader,
+        register_netcdf_source,
+    )
+
+    t = np.arange(30)[:, None, None]
+    a = np.arange(3)[None, :, None]
+    o = np.arange(4)[None, None, :]
+    data = (1.0 * (t * 100 + a * 10 + o)).astype("<f8")
+    p = str(tmp_path / "big.nc")
+    with open(p, "wb") as fh:
+        fh.write(
+            write_hdf5(
+                {
+                    "time": (
+                        ["time"],
+                        np.arange(30, dtype="<f8"),
+                        {"units": "days since 2001-01-01"},
+                    ),
+                    "lat": (["lat"], np.array([-30.0, 0.0, 30.0]), {}),
+                    "lon": (["lon"], np.arange(4) * 90.0, {}),
+                    "pr": (["time", "lat", "lon"], data, {}),
+                },
+                chunk={"pr": (10, 3, 4)},
+                gzip_level=4,
+            )
+        )
+    r = NetCDFReader({"path": p})
+    parts = r.partitions()
+    assert len(parts) == 3  # 30 timesteps / 10-chunk
+    assert {(q.t0, q.t1) for q in parts} == {(0, 10), (10, 20), (20, 30)}
+
+    register_netcdf_source(spark)
+    df = spark.read.format("netcdf").load(p)
+    assert df.rdd.getNumPartitions() == 3
+    got = df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    assert tuple(got) == (data.size, round(float(data.sum()), 6))
+
+    # pushed time bound prunes whole slabs before any payload chunk
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    import datetime as dt
+
+    r2 = NetCDFReader({"path": p})
+    r2._filters = [
+        GreaterThanOrEqual(("time",), dt.datetime(2001, 1, 25))
+    ]
+    assert {(q.t0, q.t1) for q in r2.partitions()} == {(20, 30)}
+    filtered = (
+        spark.read.format("netcdf")
+        .load(p)
+        .filter("time >= timestamp'2001-01-25'")
+    )
+    assert filtered.count() == 6 * 3 * 4  # days 24..29
 
 
 def test_mixed_classic_and_hdf5_manifest(spark, tmp_path):

@@ -340,7 +340,7 @@ def test_netcdf_source_stub_gates_cleanly(spark, tmp_path):
     f.write_bytes(b"not-a-real-netcdf")
     df = load_netcdf(spark, str(tmp_path / "*.nc"))
     assert df.schema.fieldNames() == ["name", "time", "lat", "lon", "value"]
-    with pytest.raises(Exception, match="NetCDF decode requires|netCDF4"):
+    with pytest.raises(Exception, match="not a NetCDF file"):
         df.collect()
 
 
@@ -766,6 +766,37 @@ def test_repeated_ngram_doc_stats(spark):
     assert out[2] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
     assert out[3] == (3, 0, 0.0)
     assert 4 not in out  # no k-grams at all -> absent (explode drops it)
+
+
+def test_strip_duplicated_spans_hand_computed(spark):
+    """Span-removal half of exact-substring dedup: shared 3-gram
+    positions are stripped on BOTH docs, unique docs untouched, short
+    docs untouched, a fully-duplicated doc becomes empty."""
+    from bcdp_spark.operators.dedup import strip_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y"),  # shares "a b c" with doc 2
+            (2, "q a b c z"),
+            (3, "p q r s t"),  # unique
+            (4, "u v"),  # too short for any gram
+            (5, "m n o"),  # exact dup of doc 6 -> fully covered
+            (6, "m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in strip_duplicated_spans(
+            df, "text", "doc_id", k=3, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (5, 3, "x y")
+    assert out[2] == (5, 3, "q z")
+    assert out[3] == (5, 0, "p q r s t")
+    assert out[4] == (2, 0, "u v")
+    assert out[5] == (3, 3, "")
+    assert out[6] == (3, 3, "")
 
 
 # -- r3: join-based PageRank ------------------------------------------

@@ -44,6 +44,10 @@ HEADLINE = (
     "q_scd2",
     "q_triangle_count",
     "q_unigram_logprob",
+    # round-4 additions — HDF5 decode, DSv2 zarr pushdown re-route,
+    # span-removal dedup
+    "q_netcdf4_climatology",
+    "q_span_dedup",
 )
 
 
