@@ -551,3 +551,122 @@ def _read_warc_bytes(path: str) -> bytes:
 
     raw = open(path, "rb").read()
     return _gunzip_members(raw) if raw[:2] == b"\x1f\x8b" else raw
+
+
+# -- r4: HDF5 codec roundtrip (random shapes, dtypes, chunking) --------
+@given(
+    shape=st.lists(st.integers(1, 9), min_size=1, max_size=3).map(tuple),
+    dtype=st.sampled_from(["<f8", "<f4", "<i4", "<i8", "<u2"]),
+    profile=st.sampled_from(["v0", "v2"]),
+    chunked=st.booleans(),
+    gz=st.sampled_from([None, 1, 6]),
+    shuffle=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hdf5_roundtrip_property(
+    shape, dtype, profile, chunked, gz, shuffle, seed
+):
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import read_hdf5, write_hdf5
+
+    rng = np.random.RandomState(seed)
+    if dtype.startswith("<f"):
+        arr = rng.randn(*shape).astype(dtype)
+    else:
+        arr = rng.randint(0, 100, size=shape).astype(dtype)
+    kw = {}
+    if chunked:
+        chunk = tuple(max(1, s // 2) for s in shape)
+        kw = {"chunk": {"v": chunk}, "gzip_level": gz, "shuffle": shuffle}
+    raw = write_hdf5({"v": (["d%d" % i for i in range(len(shape))], arr, {})},
+                     profile=profile, **kw)
+    h5 = read_hdf5(raw)
+    got = h5.read("v")
+    assert got.dtype == arr.dtype
+    np.testing.assert_array_equal(got, arr)
+    # hyperslab: random slab equals numpy slicing
+    sel = tuple(
+        slice(rng.randint(0, s), rng.randint(1, s + 1) or 1) for s in shape
+    )
+    sel = tuple(slice(a.start, max(a.stop, a.start + 1)) for a in sel)
+    np.testing.assert_array_equal(h5.read("v", sel=sel), arr[sel])
+
+
+# -- r4: Zarr v3 roundtrip incl. sharding ------------------------------
+@given(
+    shape=st.lists(st.integers(1, 10), min_size=1, max_size=3).map(tuple),
+    enc=st.sampled_from(["default", "v2"]),
+    shard=st.booleans(),
+    gz=st.sampled_from([None, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zarr_v3_roundtrip_property(tmp_path_factory, shape, enc, shard, gz, seed):
+    import numpy as np
+
+    from bcdp_spark.sources.zarr import read_array, write_zarr_v3
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randn(*shape).astype("<f8")
+    store = str(tmp_path_factory.mktemp("z3"))
+    chunk = tuple(max(1, s // 2 + 1) for s in shape)
+    kw = dict(chunks={"v": chunk}, gzip_level=gz, key_encoding=enc)
+    if shard:
+        kw["shards"] = {"v": tuple(max(1, c // 2) for c in chunk)}
+    write_zarr_v3(
+        store,
+        dims={f"d{i}": s for i, s in enumerate(shape)},
+        variables={"v": ([f"d{i}" for i in range(len(shape))], arr, {})},
+        **kw,
+    )
+    got, _attrs = read_array(store, "v")
+    np.testing.assert_array_equal(got, arr)
+
+
+# -- r4: CDF-5 roundtrip -----------------------------------------------
+@given(
+    n_rec=st.integers(0, 6),
+    width=st.integers(1, 5),
+    use_i64=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cdf5_roundtrip_property(n_rec, width, use_i64, seed):
+    import numpy as np
+
+    from bcdp_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    rng = np.random.RandomState(seed)
+    data = rng.randn(n_rec, width)
+    big = rng.randint(-(2**40), 2**40, size=(n_rec, width)).astype(np.int64)
+    variables = {
+        "t": (["t"], np.arange(n_rec, dtype=np.float64), {}),
+        "v": (["t", "x"], data, {"a": 1.5}),
+    }
+    if use_i64:
+        variables["c"] = (["t", "x"], big, {})
+    raw = write_netcdf3(
+        dims={"t": n_rec, "x": width},
+        variables=variables,
+        record_dim="t",
+        version=5,
+    )
+    nc = read_netcdf3(raw)
+    np.testing.assert_array_equal(nc.variables["v"].data, data)
+    if use_i64:
+        np.testing.assert_array_equal(nc.variables["c"].data, big)
+    assert nc.variables["v"].attrs["a"] == 1.5
