@@ -195,6 +195,16 @@ def ops(spark, sf_dir):
         # ratio well under FACTOR.
         "token_pagerank": t(lambda: _q("q_token_pagerank")(spark, sf_dir)
                             .count()),
+        # r4: span-removal dedup — gram rows linear in corpus size;
+        # sort-free (hash agg + SHUFFLE_HASH + left_anti + array_sort
+        # only within each doc's collected row). Aggregate over the
+        # cleaned text so column pruning can't skip the re-assembly
+        # (a bare count() measures a plan with the surgery pruned out).
+        "span_dedup": t(lambda: __import__(
+            "bcdp_spark.operators.dedup", fromlist=["x"]
+        ).strip_duplicated_spans(docs, "text", "doc_id")
+            .agg(F.sum(F.length("cleaned_text")), F.sum("n_removed"))
+            .collect()),
     }
 
 
@@ -392,6 +402,11 @@ def main():
             "- **doc_repetition**: two (doc, gram) hash aggs + a doc_id",
             "  join — shuffle keys are short grams; map-side combine",
             "  absorbs the duplicated texts.",
+            "- **span_dedup**: the 10x corpus duplicates every doc, so",
+            "  EVERY gram becomes corpus-duplicated and every position",
+            "  is covered — the covered-position set and the left_anti",
+            "  survivors both stay linear in rows; no sort on the gram",
+            "  path (array_sort only re-orders each doc's kept tokens).",
         ]
         lines += _density_section(spark)
         body = "\n".join(lines)
