@@ -199,6 +199,28 @@ class Ensemble:
             out = df if out is None else out.unionByName(df)
         return cls(out, name_col=name_col, space_cols=space)
 
+    @classmethod
+    def from_netcdf(
+        cls,
+        spark,
+        pattern: str,
+        var: str | None = None,
+        name_col: str = "name",
+    ) -> "Ensemble":
+        """Build an Ensemble from a NetCDF file glob — the reference's
+        ``bcdp.load_local`` entry point (bcdp/io.py [UNVERIFIED]): one
+        decode task per file (classic CDF-1/2/5 via the vendored codec,
+        NetCDF-4/HDF5 via the vendored stdlib HDF5 reader), members
+        tagged by file basename in ``name_col``. 4-D files yield the
+        lev-column long form and ``space_cols`` follow automatically."""
+        from bcdp_spark.sources.netcdf import load_netcdf
+
+        df = load_netcdf(spark, pattern, var=var)
+        space = (
+            ("lev", "lat", "lon") if "lev" in df.columns else ("lat", "lon")
+        )
+        return cls(df, name_col=name_col, space_cols=space)
+
     def to_xarray(self):
         """Collect the ensemble into an xarray Dataset (one data variable
         per member, dims = (time, [lev,] lat, lon)). Import-gated: needs

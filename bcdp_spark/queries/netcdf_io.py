@@ -126,7 +126,7 @@ def q_netcdf_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole from-scratch HDF5 read path (bcdp_spark.sources.hdf5): B-tree
 # chunk walk, filter pipeline, attribute decode, CF time, fill values.
 # ---------------------------------------------------------------------------
-_FIXH5_DIR = "/tmp/bcdp_spark_nc4_fixture_v1"
+_FIXH5_DIR = "/tmp/bcdp_spark_nc4_fixture_v2"
 
 
 def _ensure_fixture_h5() -> str:
@@ -139,10 +139,16 @@ def _ensure_fixture_h5() -> str:
     lats = np.array([-60.0, -20.0, 20.0, 60.0])
     lons = np.arange(_N_O) * 60.0
     half = _N_T // 2
+    # member0: classic generation (superblock v0, header v1, chunked v3
+    # message + v1 B-tree, shuffle+deflate); member1: 'latest'
+    # generation (superblock v2, header v2, layout v4 fixed-array
+    # index, deflate) — one green driver row covers BOTH on-disk
+    # generations end to end.
     profiles = (
-        dict(profile="v0"),
-        dict(profile="v2", chunk={"pr": (7, 2, _N_O)}, gzip_level=6,
+        dict(profile="v0", chunk={"pr": (7, 2, _N_O)}, gzip_level=6,
              shuffle=True),
+        dict(profile="v2", chunk={"pr": (7, 2, _N_O)}, gzip_level=6,
+             v4_index={"pr": "fixed_array"}),
     )
     for i, (t0, kw) in enumerate(zip((0, half), profiles)):
         time = np.arange(t0, t0 + half, dtype=np.float64)

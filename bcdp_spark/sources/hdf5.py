@@ -17,7 +17,11 @@ READ (``H5File``):
   the "latest" libver, which climate files don't use
 - dataspace v1/v2, datatype classes 0/1/3/9 (fixed, float, string,
   vlen-string via global heap), fill value v2/v3, attributes v1/v3
-- data layouts: compact, contiguous, chunked (B-tree v1 any depth)
+- data layouts: compact, contiguous, chunked — v3 messages with
+  B-tree v1 (any depth) AND v4 messages (the 1.10 'latest' format)
+  with single-chunk, implicit and fixed-array (paged or not) chunk
+  indexes; extensible-array / v2-B-tree indexes (appendable dims)
+  raise loudly
 - filter pipeline v1/v2: deflate (id 1), shuffle (id 2), fletcher32
   (id 3, checksum stripped); anything else raises with the filter id
 
@@ -175,6 +179,11 @@ class H5Dataset:
     filters: list = field(default_factory=list)  # (id, flags, client_vals)
     compact: bytes = b""
     fill: object = None
+    # layout-v4 chunk indexing (libver 'latest'): 'btree1' (v3 message),
+    # 'single', 'implicit', 'fixed_array'
+    chunk_index: str = "btree1"
+    single_nbytes: int = 0  # v4 single-chunk: filtered size (0 = unfiltered)
+    single_fmask: int = 0
 
 
 class H5File:
@@ -473,6 +482,9 @@ class H5File:
 
     def _layout(self, ds: H5Dataset, body: bytes) -> None:
         ver = body[0]
+        if ver == 4:
+            self._layout_v4(ds, body)
+            return
         if ver != 3:
             raise NotImplementedError(f"data layout version {ver}")
         cls = body[1]
@@ -490,6 +502,55 @@ class H5File:
             ds.chunk_shape = tuple(dims[:-1])  # last entry = element size
         else:
             raise NotImplementedError(f"data layout class {cls}")
+
+    def _layout_v4(self, ds: H5Dataset, body: bytes) -> None:
+        """Data Layout v4 (HDF5 1.10 'latest' format). Chunked storage
+        stores RANK dims in element units plus a chunk-index type:
+        1=single chunk, 2=implicit (unfiltered address arithmetic),
+        3=fixed array, 4=extensible array, 5=v2 B-tree. The first three
+        are what fixed-shape datasets get; the last two (appendable
+        dims) raise loudly."""
+        cls = body[1]
+        if cls == 0:
+            size = struct.unpack_from("<H", body, 2)[0]
+            ds.layout, ds.compact = "compact", body[4 : 4 + size]
+            return
+        if cls == 1:
+            ds.layout = "contiguous"
+            ds.data_addr, ds.data_size = struct.unpack_from("<QQ", body, 2)
+            return
+        if cls != 2:
+            raise NotImplementedError(f"layout v4 class {cls}")
+        flags = body[2]
+        rank = body[3]
+        enc = body[4]
+        pos = 5
+        dims = tuple(
+            int.from_bytes(body[pos + i * enc : pos + (i + 1) * enc], "little")
+            for i in range(rank)
+        )
+        pos += rank * enc
+        itype = body[pos]
+        pos += 1
+        ds.layout = "chunked"
+        ds.chunk_shape = dims
+        if itype == 1:  # single chunk
+            ds.chunk_index = "single"
+            if flags & 0x02:  # filtered single chunk
+                ds.single_nbytes = struct.unpack_from("<Q", body, pos)[0]
+                ds.single_fmask = struct.unpack_from("<I", body, pos + 8)[0]
+                pos += 12
+        elif itype == 2:
+            ds.chunk_index = "implicit"
+        elif itype == 3:
+            ds.chunk_index = "fixed_array"
+            pos += 1  # page bits (re-read from the FA header)
+        else:
+            raise NotImplementedError(
+                f"layout v4 chunk index type {itype} (extensible array / "
+                "v2 B-tree — appendable datasets)"
+            )
+        ds.btree_addr = struct.unpack_from("<Q", body, pos)[0]
 
     def _filters(self, body: bytes) -> list:
         ver = body[0]
@@ -608,6 +669,20 @@ class H5File:
         return np.zeros(shape, dtype=dt)
 
     def _chunks(self, ds: H5Dataset, rank: int):
+        if ds.chunk_index == "single":
+            raw_bytes = (
+                int(np.prod(ds.chunk_shape, dtype=np.int64))
+                * ds.dtype.np_dtype.itemsize
+            )
+            nbytes = ds.single_nbytes or raw_bytes
+            yield (0,) * rank, ds.btree_addr, nbytes, ds.single_fmask
+            return
+        if ds.chunk_index == "implicit":
+            yield from self._implicit_chunks(ds, rank)
+            return
+        if ds.chunk_index == "fixed_array":
+            yield from self._fixed_array_chunks(ds, rank)
+            return
         buf = self.buf
         keylen = 8 + 8 * (rank + 1)
 
@@ -628,6 +703,82 @@ class H5File:
                     yield offsets, child, nbytes, fmask
 
         yield from walk(ds.btree_addr)
+
+
+    def _chunk_grid(self, ds: H5Dataset):
+        grid = [
+            (s + c - 1) // c for s, c in zip(ds.shape, ds.chunk_shape)
+        ]
+        idxs = [()]
+        for g in grid:
+            idxs = [i + (j,) for i in idxs for j in range(g)]
+        return [
+            tuple(i * c for i, c in zip(idx, ds.chunk_shape)) for idx in idxs
+        ]
+
+    def _implicit_chunks(self, ds: H5Dataset, rank: int):
+        """v4 implicit index: unfiltered chunks contiguous in C order of
+        the chunk grid starting at the index address."""
+        nb = (
+            int(np.prod(ds.chunk_shape, dtype=np.int64))
+            * ds.dtype.np_dtype.itemsize
+        )
+        for k, offsets in enumerate(self._chunk_grid(ds)):
+            yield offsets, ds.btree_addr + k * nb, nb, 0
+
+    def _fixed_array_chunks(self, ds: H5Dataset, rank: int):
+        """v4 fixed-array index: FAHD header -> FADB data block holding
+        one element per chunk in C grid order. Client 0 = plain chunk
+        addresses; client 1 = (address, size, filter mask). Data blocks
+        page when the element count exceeds 2^page_bits (each page
+        carries its own trailing checksum)."""
+        buf = self.buf
+        hdr = ds.btree_addr
+        if buf[hdr : hdr + 4] != b"FAHD":
+            raise ValueError("bad fixed-array header signature")
+        client = buf[hdr + 5]
+        entry_size = buf[hdr + 6]
+        page_bits = buf[hdr + 7]
+        nelmts = struct.unpack_from("<Q", buf, hdr + 8)[0]
+        dblk = struct.unpack_from("<Q", buf, hdr + 16)[0]
+        if dblk == _UNDEF:
+            return
+        if buf[dblk : dblk + 4] != b"FADB":
+            raise ValueError("bad fixed-array data block signature")
+        pos = dblk + 6 + 8  # sig, version, client id, header address
+        page_n = 1 << page_bits
+        offsets = self._chunk_grid(ds)
+        raw_nb = (
+            int(np.prod(ds.chunk_shape, dtype=np.int64))
+            * ds.dtype.np_dtype.itemsize
+        )
+
+        def element(p: int):
+            addr = struct.unpack_from("<Q", buf, p)[0]
+            if client == 0:
+                return addr, raw_nb, 0
+            size_len = entry_size - 8 - 4
+            nb = int.from_bytes(buf[p + 8 : p + 8 + size_len], "little")
+            fmask = struct.unpack_from("<I", buf, p + 8 + size_len)[0]
+            return addr, nb, fmask
+
+        if nelmts > page_n:  # paged data block
+            npages = (nelmts + page_n - 1) // page_n
+            pos += (npages + 7) // 8  # page-init bitmask
+            k = 0
+            for pg in range(npages):
+                in_page = min(page_n, nelmts - pg * page_n)
+                for e in range(in_page):
+                    addr, nb, fmask = element(pos + e * entry_size)
+                    if addr != _UNDEF:
+                        yield offsets[k], addr, nb, fmask
+                    k += 1
+                pos += in_page * entry_size + 4  # + page checksum
+        else:
+            for k in range(nelmts):
+                addr, nb, fmask = element(pos + k * entry_size)
+                if addr != _UNDEF:
+                    yield offsets[k], addr, nb, fmask
 
 
 def read_hdf5(data: bytes) -> H5File:
@@ -701,6 +852,78 @@ def _attr_body(name: str, val: object) -> bytes:
     )
 
 
+def _v4_chunked_layout(
+    alloc: "_Alloc",
+    itype: str,
+    chunk_blobs: list,
+    cshape: tuple,
+    arr: np.ndarray,
+    filtered: bool,
+    fa_page_bits: int,
+) -> tuple[int, bytes]:
+    """Emit the chunk payloads + index structure for a Data Layout v4
+    message and return the (0x08, body) message tuple."""
+    rank = len(cshape)
+    head = struct.pack("<BBBBB", 4, 2, 0x02 if (itype == "single" and filtered) else 0, rank, 4)
+    head += struct.pack(f"<{rank}I", *cshape)
+    if itype == "single":
+        if len(chunk_blobs) != 1:
+            raise ValueError("single-chunk index requires exactly one chunk")
+        _idx, raw = chunk_blobs[0]
+        addr = alloc.put(raw)
+        body = head + struct.pack("<B", 1)
+        if filtered:
+            body += struct.pack("<QI", len(raw), 0)
+        return 0x08, body + struct.pack("<Q", addr)
+    if itype == "implicit":
+        blob = b"".join(raw for _idx, raw in chunk_blobs)
+        base = alloc.put(blob)
+        return 0x08, head + struct.pack("<BQ", 2, base)
+    if itype != "fixed_array":
+        raise ValueError(f"unknown v4 index type {itype!r}")
+    entries = [(alloc.put(raw), len(raw)) for _idx, raw in chunk_blobs]
+    client = 1 if filtered else 0
+    entry_size = 8 if client == 0 else 8 + 8 + 4
+    n = len(entries)
+    page_n = 1 << fa_page_bits
+
+    def elem(addr: int, nb: int) -> bytes:
+        if client == 0:
+            return struct.pack("<Q", addr)
+        return struct.pack("<QQI", addr, nb, 0)
+
+    dblk = bytearray()
+    dblk += b"FADB" + struct.pack("<BB", 0, client)
+    hdr_addr_pos = len(dblk)
+    dblk += struct.pack("<Q", 0)  # header address (patched below)
+    if n > page_n:
+        npages = (n + page_n - 1) // page_n
+        dblk += b"\xff" * ((npages + 7) // 8)  # all pages initialized
+        k = 0
+        for pg in range(npages):
+            in_page = min(page_n, n - pg * page_n)
+            page = bytearray()
+            for _ in range(in_page):
+                page += elem(*entries[k])
+                k += 1
+            dblk += page + struct.pack("<I", lookup3(bytes(page)))
+    else:
+        for addr, nb in entries:
+            dblk += elem(addr, nb)
+        dblk += struct.pack("<I", lookup3(bytes(dblk)))
+    dblk_addr = alloc.reserve(len(dblk))
+    hdr = bytearray()
+    hdr += b"FAHD" + struct.pack(
+        "<BBBB", 0, client, entry_size, fa_page_bits
+    )
+    hdr += struct.pack("<QQ", n, dblk_addr)
+    hdr += struct.pack("<I", lookup3(bytes(hdr)))
+    hdr_addr = alloc.put(bytes(hdr))
+    dblk[hdr_addr_pos : hdr_addr_pos + 8] = struct.pack("<Q", hdr_addr)
+    alloc.put(bytes(dblk), addr=dblk_addr)
+    return 0x08, head + struct.pack("<BBQ", 3, fa_page_bits, hdr_addr)
+
+
 class _Alloc:
     """Trivial bump allocator over an output bytearray."""
 
@@ -742,6 +965,8 @@ def write_hdf5(
     chunk: dict[str, tuple] | None = None,
     gzip_level: int | None = 4,
     shuffle: bool = False,
+    v4_index: dict[str, str] | None = None,
+    fa_page_bits: int = 10,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
 
@@ -751,10 +976,19 @@ def write_hdf5(
     chunked (optionally shuffled + deflated); others contiguous. The
     ``dims`` lists are advisory (name-based readers don't need linked
     dimension scales).
+
+    ``v4_index`` maps a chunked variable to a Data Layout v4 chunk
+    index ('single' | 'implicit' | 'fixed_array' — the HDF5 1.10
+    'latest' on-disk generation); unlisted chunked variables use the
+    classic v3 message + v1 B-tree. 'implicit' requires no filters;
+    'single' requires the chunk to cover the whole shape. A fixed
+    array pages its data block when the chunk count exceeds
+    ``2**fa_page_bits``.
     """
     if profile not in ("v0", "v2"):
         raise ValueError(f"unknown profile {profile!r}")
     chunk = chunk or {}
+    v4_index = v4_index or {}
     alloc = _Alloc()
     sb_size = 96 if profile == "v0" else 48
     alloc.reserve(sb_size)
@@ -787,7 +1021,10 @@ def write_hdf5(
                 filters.append((2, (arr.dtype.itemsize,)))
             if gzip_level is not None:
                 filters.append((1, (gzip_level,)))
-            chunk_entries = []
+            itype = v4_index.get(name)
+            if itype == "implicit" and filters:
+                raise ValueError("implicit index requires unfiltered chunks")
+            chunk_blobs = []
             for idx in _split_chunks(arr.shape, cshape):
                 sel = tuple(
                     slice(o, min(o + c, s))
@@ -805,28 +1042,43 @@ def write_hdf5(
                         raw = a.reshape(len(a) // esz, esz).T.tobytes()
                     elif fid == 1:
                         raw = zlib.compress(raw, cv[0])
-                caddr = alloc.put(raw)
-                chunk_entries.append((idx, caddr, len(raw)))
+                chunk_blobs.append((idx, raw))
             rank = arr.ndim
-            keylen = 8 + 8 * (rank + 1)
-            nodesz = 24 + len(chunk_entries) * (keylen + 8) + keylen
-            node = bytearray()
-            node += b"TREE" + struct.pack(
-                "<BBHQQ", 1, 0, len(chunk_entries), _UNDEF, _UNDEF
-            )
-            for idx, caddr, nbytes in chunk_entries:
-                node += struct.pack("<II", nbytes, 0)
-                node += struct.pack(f"<{rank}Q", *idx) + struct.pack("<Q", 0)
-                node += struct.pack("<Q", caddr)
-            node += struct.pack("<II", 0, 0)
-            node += struct.pack(f"<{rank}Q", *arr.shape) + struct.pack("<Q", 0)
-            assert len(node) == nodesz
-            bt_addr = alloc.put(bytes(node))
-            lay = struct.pack("<BBB", 3, 2, rank + 1)
-            lay += struct.pack("<Q", bt_addr)
-            lay += struct.pack(f"<{rank}I", *cshape)
-            lay += struct.pack("<I", arr.dtype.itemsize)
-            msgs.append((0x08, lay))
+            if itype is not None:
+                msgs.append(
+                    _v4_chunked_layout(
+                        alloc, itype, chunk_blobs, cshape, arr,
+                        bool(filters), fa_page_bits,
+                    )
+                )
+            else:
+                chunk_entries = [
+                    (idx, alloc.put(raw), len(raw))
+                    for idx, raw in chunk_blobs
+                ]
+                keylen = 8 + 8 * (rank + 1)
+                nodesz = 24 + len(chunk_entries) * (keylen + 8) + keylen
+                node = bytearray()
+                node += b"TREE" + struct.pack(
+                    "<BBHQQ", 1, 0, len(chunk_entries), _UNDEF, _UNDEF
+                )
+                for idx, caddr, nbytes in chunk_entries:
+                    node += struct.pack("<II", nbytes, 0)
+                    node += struct.pack(f"<{rank}Q", *idx) + struct.pack(
+                        "<Q", 0
+                    )
+                    node += struct.pack("<Q", caddr)
+                node += struct.pack("<II", 0, 0)
+                node += struct.pack(f"<{rank}Q", *arr.shape) + struct.pack(
+                    "<Q", 0
+                )
+                assert len(node) == nodesz
+                bt_addr = alloc.put(bytes(node))
+                lay = struct.pack("<BBB", 3, 2, rank + 1)
+                lay += struct.pack("<Q", bt_addr)
+                lay += struct.pack(f"<{rank}I", *cshape)
+                lay += struct.pack("<I", arr.dtype.itemsize)
+                msgs.append((0x08, lay))
             if filters:
                 fp = struct.pack("<BBxxxxxx", 1, len(filters))
                 for fid, cv in filters:

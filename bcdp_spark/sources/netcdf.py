@@ -153,6 +153,56 @@ def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
     return _decode_nc4(fpath, var)
 
 
+# CF coordinate-name aliases (ERA5 writes latitude/longitude, ocean
+# models write depth, CMIP pressure levels write plev, …). Resolution
+# is by name first, then by CF units attribute when available.
+_COORD_ALIASES = {
+    "time": ("time", "t", "valid_time"),
+    "lat": ("lat", "latitude", "y", "rlat", "nav_lat"),
+    "lon": ("lon", "longitude", "x", "rlon", "nav_lon"),
+    "lev": ("lev", "plev", "level", "levels", "depth", "height", "z",
+            "pressure", "isobaricInhPa"),
+}
+_COORD_UNITS = {
+    "lat": ("degrees_north", "degree_north", "degrees_N", "degreeN"),
+    "lon": ("degrees_east", "degree_east", "degrees_E", "degreeE"),
+}
+
+
+def _resolve_coord(
+    logical: str, names: "list[str]", attrs_of=None
+) -> str | None:
+    """Map a logical coordinate (time/lat/lon/lev) to the actual
+    variable name present in the file: exact alias match
+    (case-insensitive), then CF units sniff via ``attrs_of(name)``."""
+    by_lower = {n.lower(): n for n in names}
+    for alias in _COORD_ALIASES[logical]:
+        if alias.lower() in by_lower:
+            return by_lower[alias.lower()]
+    if attrs_of is not None and logical in _COORD_UNITS:
+        for n in names:
+            units = str((attrs_of(n) or {}).get("units", ""))
+            if units in _COORD_UNITS[logical]:
+                return n
+    if attrs_of is not None and logical == "time":
+        for n in names:
+            units = str((attrs_of(n) or {}).get("units", ""))
+            if " since " in units:
+                return n
+    return None
+
+
+def _coord_or_raise(logical: str, names, attrs_of=None) -> str:
+    got = _resolve_coord(logical, list(names), attrs_of)
+    if got is None:
+        raise ValueError(
+            f"no {logical!r} coordinate variable found (looked for "
+            f"{_COORD_ALIASES[logical]} and CF units); variables: "
+            f"{sorted(names)}"
+        )
+    return got
+
+
 def _pick_var(names_ndim: dict[str, int], dims: set[str], var: str | None) -> str:
     if var is not None:
         return var
@@ -246,14 +296,20 @@ def _decode_classic(fpath: str, var: str | None) -> pd.DataFrame:
         var,
     )
     v = nc.variables[var]
-    tvar = nc.variables["time"]
+    names = list(nc.variables)
+    av = lambda n: nc.variables[n].attrs  # noqa: E731
+    tvar = nc.variables[_coord_or_raise("time", names, av)]
     times = times_to_timestamps(
         np.asarray(tvar.data, dtype=float),
         str(tvar.attrs.get("units", "days since 1970-01-01")),
         str(tvar.attrs.get("calendar", "standard")),
     )
-    lats = np.asarray(nc.variables["lat"].data, dtype=float)
-    lons = np.asarray(nc.variables["lon"].data, dtype=float)
+    lats = np.asarray(
+        nc.variables[_coord_or_raise("lat", names, av)].data, dtype=float
+    )
+    lons = np.asarray(
+        nc.variables[_coord_or_raise("lon", names, av)].data, dtype=float
+    )
     data = _apply_fill(v.data, v.attrs)
     levs = None
     if len(v.shape) == 4:
@@ -288,13 +344,19 @@ def _open_hdf5(fpath: str):
 def _h5_dims(h5) -> set:
     """Names acting as coordinate/dimension variables: netCDF-4 marks
     them CLASS='DIMENSION_SCALE'; files from other writers fall back to
-    the CF coordinate names."""
+    the CF coordinate-name aliases."""
     dims = {
         n
         for n, d in h5.datasets.items()
         if d.attrs.get("CLASS") == "DIMENSION_SCALE"
     }
-    return dims | ({"time", "lev", "lat", "lon"} & set(h5.datasets))
+    names = list(h5.datasets)
+    av = lambda n: h5.datasets[n].attrs  # noqa: E731
+    for logical in _COORD_ALIASES:
+        got = _resolve_coord(logical, names, av)
+        if got is not None:
+            dims.add(got)
+    return dims
 
 
 def _decode_hdf5(fpath: str, var: str | None) -> pd.DataFrame:
@@ -311,20 +373,29 @@ def _decode_hdf5(fpath: str, var: str | None) -> pd.DataFrame:
         var,
     )
     v = h5.datasets[var]
-    tattrs = h5.datasets["time"].attrs
+    names = list(h5.datasets)
+    av = lambda n: h5.datasets[n].attrs  # noqa: E731
+    tname = _coord_or_raise("time", names, av)
+    tattrs = h5.datasets[tname].attrs
     times = times_to_timestamps(
-        np.asarray(h5.read("time"), dtype=float),
+        np.asarray(h5.read(tname), dtype=float),
         str(tattrs.get("units", "days since 1970-01-01")),
         str(tattrs.get("calendar", "standard")),
     )
-    lats = np.asarray(h5.read("lat"), dtype=float)
-    lons = np.asarray(h5.read("lon"), dtype=float)
+    lats = np.asarray(
+        h5.read(_coord_or_raise("lat", names, av)), dtype=float
+    )
+    lons = np.asarray(
+        h5.read(_coord_or_raise("lon", names, av)), dtype=float
+    )
     data = _apply_fill(np.asarray(h5.read(var), dtype=float), v.attrs)
     levs = None
     if len(v.shape) == 4:
+        lname = _resolve_coord("lev", names, av)
         levs = (
-            np.asarray(h5.read("lev"), dtype=float)
-            if "lev" in h5.datasets and h5.datasets["lev"].shape[0] == v.shape[1]
+            np.asarray(h5.read(lname), dtype=float)
+            if lname is not None
+            and h5.datasets[lname].shape[0] == v.shape[1]
             else np.arange(v.shape[1], dtype=float)
         )
     return _long_form(
@@ -348,14 +419,23 @@ def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
             var,
         )
         v = ds.variables[var]
-        tvar = ds.variables["time"]
+        names = list(ds.variables)
+        av = lambda n: {  # noqa: E731
+            k: getattr(ds.variables[n], k)
+            for k in ds.variables[n].ncattrs()
+        }
+        tvar = ds.variables[_coord_or_raise("time", names, av)]
         times = times_to_timestamps(
             np.asarray(tvar[:], dtype=float),
             tvar.units,
             getattr(tvar, "calendar", "standard"),
         )
-        lats = np.asarray(ds.variables["lat"][:], dtype=float)
-        lons = np.asarray(ds.variables["lon"][:], dtype=float)
+        lats = np.asarray(
+            ds.variables[_coord_or_raise("lat", names, av)][:], dtype=float
+        )
+        lons = np.asarray(
+            ds.variables[_coord_or_raise("lon", names, av)][:], dtype=float
+        )
         data = np.ma.filled(v[:], np.nan).astype(float)
         levs = None
         if v.ndim == 4:

@@ -172,12 +172,19 @@ class NetCDFReader(DataSourceReader):
                 continue
             if time_filters:
                 # header + time axis only (KBs), never the payload
+                from bcdp_spark.sources.netcdf import _resolve_coord
+
                 with open(path, "rb") as fh:
                     nc = read_header(fh)
-                    tvar = nc.variables.get("time")
+                    tname = _resolve_coord(
+                        "time",
+                        list(nc.variables),
+                        lambda n: nc.variables[n].attrs,
+                    )
+                    tvar = nc.variables.get(tname) if tname else None
                     if tvar is not None:
                         tnum = np.asarray(
-                            read_var(fh, nc, "time"), dtype=float
+                            read_var(fh, nc, tname), dtype=float
                         )
                         times = times_to_timestamps(
                             tnum,
@@ -213,10 +220,15 @@ class NetCDFReader(DataSourceReader):
         ds = h5.datasets[var]
         n_t = ds.shape[0]
         times = None
-        if time_filters and "time" in h5.datasets:
-            tattrs = h5.datasets["time"].attrs
+        from bcdp_spark.sources.netcdf import _resolve_coord
+
+        tname = _resolve_coord(
+            "time", list(h5.datasets), lambda n: h5.datasets[n].attrs
+        )
+        if time_filters and tname is not None:
+            tattrs = h5.datasets[tname].attrs
             times = times_to_timestamps(
-                np.asarray(h5.read("time"), dtype=float),
+                np.asarray(h5.read(tname), dtype=float),
                 str(tattrs.get("units", "days since 1970-01-01")),
                 str(tattrs.get("calendar", "standard")),
             ).to_numpy()
@@ -256,15 +268,23 @@ class NetCDFReader(DataSourceReader):
             set(nc.dims),
             self._var,
         )
+        from bcdp_spark.sources.netcdf import _coord_or_raise
+
         v = nc.variables[var]
-        tvar = nc.variables["time"]
+        names = list(nc.variables)
+        av = lambda n: nc.variables[n].attrs  # noqa: E731
+        tvar = nc.variables[_coord_or_raise("time", names, av)]
         times = times_to_timestamps(
             np.asarray(tvar.data, dtype=float),
             str(tvar.attrs.get("units", "days since 1970-01-01")),
             str(tvar.attrs.get("calendar", "standard")),
         )
-        lats = np.asarray(nc.variables["lat"].data, dtype=float)
-        lons = np.asarray(nc.variables["lon"].data, dtype=float)
+        lats = np.asarray(
+            nc.variables[_coord_or_raise("lat", names, av)].data, dtype=float
+        )
+        lons = np.asarray(
+            nc.variables[_coord_or_raise("lon", names, av)].data, dtype=float
+        )
         data = _apply_fill(v.data, v.attrs)
 
         # hyperslab: mask each axis BEFORE the mesh exists

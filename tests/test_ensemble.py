@@ -451,3 +451,44 @@ def test_ensemble_spatial_mean_weighting(spark):
     flat = Ensemble(df).spatial_mean(weighted=False).collect()[0]
     assert abs(flat["mean"] - 15.0) < 1e-12
     assert got["mean"] < flat["mean"]  # equator value dominates
+
+
+def test_ensemble_from_netcdf_mixed_formats(spark, tmp_path):
+    """from_netcdf: classic + HDF5 members in one glob, member names
+    from basenames, climatology runs over the bundle."""
+    import numpy as np
+
+    from bcdp_spark.ensemble import Ensemble
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    time = np.arange(4, dtype=np.float64)
+    data = np.arange(4 * 2 * 2, dtype=np.float64).reshape(4, 2, 2)
+    common = {
+        "time": (["time"], time, {"units": "days since 2001-01-01"}),
+        "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+        "lon": (["lon"], np.array([0.0, 90.0]), {}),
+        "pr": (["time", "lat", "lon"], data, {}),
+    }
+    with open(tmp_path / "m0.nc", "wb") as fh:
+        fh.write(
+            write_netcdf3(
+                dims={"time": 4, "lat": 2, "lon": 2},
+                variables=common,
+                record_dim="time",
+            )
+        )
+    with open(tmp_path / "m1.nc", "wb") as fh:
+        fh.write(write_hdf5(common, profile="v2",
+                            chunk={"pr": (2, 2, 2)}, gzip_level=4))
+    ens = Ensemble.from_netcdf(spark, str(tmp_path / "*.nc"))
+    assert ens.space_cols == ("lat", "lon")
+    names = {r["name"] for r in ens.df.select("name").distinct().collect()}
+    assert names == {"m0.nc", "m1.nc"}
+    clim = ens.climatology("month").collect()
+    # both members identical -> per-member climatology values equal
+    by_name = {}
+    for r in clim:
+        by_name.setdefault(r["name"], []).append(r["clim"])
+    a, b = (sorted(v) for v in by_name.values())
+    assert a == b and len(a) == 4

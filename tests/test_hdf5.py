@@ -133,6 +133,61 @@ def test_scalar_and_array_attrs():
     np.testing.assert_array_equal(a["arr"], [1.0, 2.0, 3.0])
 
 
+@pytest.mark.parametrize(
+    "itype,chunk,kw,fa_bits",
+    [
+        ("single", (12, 4, 6), {"gzip_level": 4}, 10),
+        ("single", (12, 4, 6), {"gzip_level": None}, 10),
+        ("implicit", (5, 4, 6), {"gzip_level": None}, 10),
+        ("fixed_array", (5, 2, 3), {"gzip_level": 4, "shuffle": True}, 10),
+        ("fixed_array", (5, 2, 3), {"gzip_level": None}, 10),
+        # 72 chunks with 2^2-element pages: exercises the paged FADB
+        ("fixed_array", (2, 1, 2), {"gzip_level": 4}, 2),
+    ],
+    ids=[
+        "single-gzip", "single-raw", "implicit",
+        "fa-shuffle-gzip", "fa-raw", "fa-paged",
+    ],
+)
+def test_layout_v4_chunk_indexes(itype, chunk, kw, fa_bits):
+    """Data Layout v4 (HDF5 1.10 'latest'): single-chunk, implicit and
+    fixed-array indexes roundtrip, full reads and hyperslabs."""
+    rng = np.random.RandomState(11)
+    data = rng.randn(12, 4, 6)
+    raw = write_hdf5(
+        {"pr": (["t", "a", "o"], data, {"u": "x"})},
+        chunk={"pr": chunk},
+        v4_index={"pr": itype},
+        fa_page_bits=fa_bits,
+        **kw,
+    )
+    h5 = read_hdf5(raw)
+    assert h5.datasets["pr"].chunk_index == itype
+    np.testing.assert_array_equal(h5.read("pr"), data)
+    np.testing.assert_array_equal(
+        h5.read("pr", sel=(slice(3, 9), slice(1, 4), slice(0, 6))),
+        data[3:9, 1:4, 0:6],
+    )
+
+
+def test_layout_v4_guards():
+    data = np.arange(8, dtype="<f8").reshape(2, 4)
+    with pytest.raises(ValueError, match="implicit index requires"):
+        write_hdf5(
+            {"v": (["a", "b"], data, {})},
+            chunk={"v": (1, 4)},
+            v4_index={"v": "implicit"},
+            gzip_level=4,
+        )
+    with pytest.raises(ValueError, match="exactly one chunk"):
+        write_hdf5(
+            {"v": (["a", "b"], data, {})},
+            chunk={"v": (1, 4)},
+            v4_index={"v": "single"},
+            gzip_level=None,
+        )
+
+
 def test_netcdf_dispatch_decodes_hdf5(tmp_path):
     """load_netcdf-level decode: HDF5 member files flow through the
     vendored codec into the long form (netCDF4 absent in container)."""

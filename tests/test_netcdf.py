@@ -154,6 +154,74 @@ def test_cdf5_climatology_through_decode(tmp_path):
     assert len(pdf) == 12 and pdf.value.sum() == data.sum()
 
 
+def test_era5_style_coordinate_names(spark, tmp_path):
+    """ERA5 writes latitude/longitude (not lat/lon): alias resolution
+    must decode both classic and HDF5 members; unresolvable coords
+    raise with the alias list."""
+    import pytest as _pytest
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.netcdf import _decode_one
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    time = np.arange(3, dtype=np.float64)
+    data = np.arange(3 * 2 * 2, dtype=np.float64).reshape(3, 2, 2)
+    vars_era = {
+        "valid_time": (
+            ["valid_time"],
+            time,
+            {"units": "hours since 2001-01-01"},
+        ),
+        "latitude": (["latitude"], np.array([-10.0, 10.0]),
+                     {"units": "degrees_north"}),
+        "longitude": (["longitude"], np.array([0.0, 90.0]),
+                      {"units": "degrees_east"}),
+        "t2m": (["valid_time", "latitude", "longitude"], data, {}),
+    }
+    p1 = str(tmp_path / "classic.nc")
+    with open(p1, "wb") as fh:
+        fh.write(
+            write_netcdf3(
+                dims={"valid_time": 3, "latitude": 2, "longitude": 2},
+                variables=vars_era,
+            )
+        )
+    p2 = str(tmp_path / "h5.nc")
+    with open(p2, "wb") as fh:
+        fh.write(write_hdf5(vars_era, profile="v0"))
+    for p in (p1, p2):
+        pdf = _decode_one(p, None)
+        assert list(pdf.columns) == ["name", "time", "lat", "lon", "value"]
+        assert len(pdf) == 12 and pdf.value.sum() == data.sum()
+        assert str(pdf.time.iloc[0]).startswith("2001-01-01")
+
+    # units-only resolution (weird names, CF units attrs)
+    vars_units = {
+        "tax": (["tax"], time, {"units": "days since 2001-01-01"}),
+        "yy": (["yy"], np.array([-10.0, 10.0]), {"units": "degrees_north"}),
+        "xx": (["xx"], np.array([0.0, 90.0]), {"units": "degrees_east"}),
+        "pr": (["tax", "yy", "xx"], data, {}),
+    }
+    p3 = str(tmp_path / "units.nc")
+    with open(p3, "wb") as fh:
+        fh.write(write_hdf5(vars_units, profile="v2"))
+    pdf = _decode_one(p3, None)
+    assert len(pdf) == 12
+
+    # missing lat entirely -> loud error naming the aliases
+    vars_bad = {
+        "time": (["time"], time, {"units": "days since 2001-01-01"}),
+        "q": (["q"], np.array([0.0, 90.0]), {}),
+        "w": (["w"], np.array([1.0, 2.0]), {}),
+        "pr": (["time", "q", "w"], data, {}),
+    }
+    p4 = str(tmp_path / "bad.nc")
+    with open(p4, "wb") as fh:
+        fh.write(write_hdf5(vars_bad, profile="v0"))
+    with _pytest.raises(ValueError, match="no 'lat' coordinate"):
+        _decode_one(p4, None)
+
+
 def test_netcdf3_rejects_hdf5_with_clear_message():
     from bcdp_spark.sources.netcdf3 import read_netcdf3
 
