@@ -101,17 +101,34 @@ def _var_ndim(fpath: str, var: str | None) -> int:
 
 
 def load_netcdf(
-    spark: SparkSession, path: str, var: str | None = None, **_options
+    spark: SparkSession,
+    path: str,
+    var: str | None = None,
+    time_bnds: tuple | None = None,
+    lev_bnds: tuple | None = None,
+    lat_bnds: tuple | None = None,
+    lon_bnds: tuple | None = None,
+    **_options,
 ) -> DataFrame:
     """Glob NetCDF files and decode each to long-form rows, in parallel
     over the manifest (one task per file — the multi-file concat the
     reference does with open_mfdataset). A 4-D (time, lev, lat, lon)
     variable — selected explicitly or auto-picked when no 3-D data
     variable exists — emits the 6-column long form with a `lev` column;
-    the schema is fixed by a header-only peek at the first file."""
+    the schema is fixed by a header-only peek at the first file.
+
+    ``*_bnds`` push a hyperslab into the decode itself (the load_zarr
+    contract): axes are masked BEFORE the mesh exists, so a 1 %
+    selection materializes 1 % of the rows; on chunked HDF5 members the
+    bounds additionally become an index-slab read that skips whole
+    chunks before decompression (classic files hold one contiguous
+    payload slab, so there the win is materialization, not IO)."""
     files = sorted(_glob.glob(path))
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
+    bounds = {
+        "time": time_bnds, "lev": lev_bnds, "lat": lat_bnds, "lon": lon_bnds,
+    }
     try:
         ndim = _var_ndim(files[0], var)
     except (NotImplementedError, ValueError):
@@ -127,20 +144,47 @@ def load_netcdf(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath in pdf["path"]:
-                yield _decode_one(fpath, var)
+                yield _decode_one(fpath, var, bounds)
 
     return manifest.mapInPandas(decode, schema=schema)
 
 
-def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
+def _bounds_mask(vals: np.ndarray, bnds) -> np.ndarray:
+    """Inclusive-range mask over one coordinate axis (None = all)."""
+    if bnds is None:
+        return np.ones(len(vals), dtype=bool)
+    lo, hi = bnds
+    if np.issubdtype(np.asarray(vals).dtype, np.datetime64):
+        lo = np.datetime64(pd.Timestamp(lo), "us")
+        hi = np.datetime64(pd.Timestamp(hi), "us")
+    return (vals >= lo) & (vals <= hi)
+
+
+def _mask_cube(times, lats, lons, data, levs, bounds):
+    """Apply bounds masks to all axes + the data cube (before the
+    mesh); returns the masked quintet."""
+    tmask = _bounds_mask(np.asarray(times.values), bounds.get("time"))
+    amask = _bounds_mask(lats, bounds.get("lat"))
+    omask = _bounds_mask(lons, bounds.get("lon"))
+    if levs is not None:
+        lmask = _bounds_mask(levs, bounds.get("lev"))
+        data = data[np.ix_(tmask, lmask, amask, omask)]
+        levs = levs[lmask]
+    else:
+        data = data[np.ix_(tmask, amask, omask)]
+    return times[tmask], lats[amask], lons[omask], data, levs
+
+
+def _decode_one(fpath: str, var: str | None, bounds: dict | None = None) -> pd.DataFrame:
     """Decode one NetCDF file to long form: CF time decode (calendar
     attr honored), _FillValue/missing_value → NaN (→ SQL NULL),
     (time, lat, lon) mesh flattened. Classic files use the vendored
     pure-Python codec; HDF5-backed files require netCDF4."""
     with open(fpath, "rb") as fh:
         head = fh.read(4)
+    bounds = bounds or {}
     if head[:3] == b"CDF":
-        return _decode_classic(fpath, var)
+        return _decode_classic(fpath, var, bounds)
     if head != b"\x89HDF":
         raise ValueError(
             f"{fpath}: not a NetCDF file (neither classic CDF nor "
@@ -149,8 +193,8 @@ def _decode_one(fpath: str, var: str | None) -> pd.DataFrame:
     try:
         import netCDF4  # type: ignore  # noqa: F401
     except ImportError:
-        return _decode_hdf5(fpath, var)
-    return _decode_nc4(fpath, var)
+        return _decode_hdf5(fpath, var, bounds)
+    return _decode_nc4(fpath, var, bounds)
 
 
 # CF coordinate-name aliases (ERA5 writes latitude/longitude, ocean
@@ -284,7 +328,9 @@ def _apply_fill(data: np.ndarray, attrs: dict) -> np.ndarray:
     return out
 
 
-def _decode_classic(fpath: str, var: str | None) -> pd.DataFrame:
+def _decode_classic(
+    fpath: str, var: str | None, bounds: dict | None = None
+) -> pd.DataFrame:
     from bcdp_spark.sources.cfcal import times_to_timestamps
     from bcdp_spark.sources.netcdf3 import read_netcdf3
 
@@ -323,6 +369,10 @@ def _decode_classic(fpath: str, var: str | None) -> pd.DataFrame:
             if lev_name in nc.variables
             else np.arange(v.shape[1], dtype=float)
         )
+    if bounds and any(b is not None for b in bounds.values()):
+        times, lats, lons, data, levs = _mask_cube(
+            times, lats, lons, data, levs, bounds
+        )
     return _long_form(
         fpath.rsplit("/", 1)[-1], times, lats, lons, data, levs
     )
@@ -359,11 +409,15 @@ def _h5_dims(h5) -> set:
     return dims
 
 
-def _decode_hdf5(fpath: str, var: str | None) -> pd.DataFrame:
+def _decode_hdf5(
+    fpath: str, var: str | None, bounds: dict | None = None
+) -> pd.DataFrame:
     """NetCDF-4/HDF5 decode via the vendored stdlib codec
     (bcdp_spark.sources.hdf5) — the no-dependency path the container
     needs. Same semantics as the classic path: CF calendar-aware time
-    decode, _FillValue → NaN, name-based coordinates."""
+    decode, _FillValue → NaN, name-based coordinates. Bounds become an
+    index-slab ``H5File.read(sel=...)`` — chunks wholly outside the
+    request are never decompressed."""
     from bcdp_spark.sources.cfcal import times_to_timestamps
 
     h5 = _open_hdf5(fpath)
@@ -388,7 +442,6 @@ def _decode_hdf5(fpath: str, var: str | None) -> pd.DataFrame:
     lons = np.asarray(
         h5.read(_coord_or_raise("lon", names, av)), dtype=float
     )
-    data = _apply_fill(np.asarray(h5.read(var), dtype=float), v.attrs)
     levs = None
     if len(v.shape) == 4:
         lname = _resolve_coord("lev", names, av)
@@ -398,12 +451,44 @@ def _decode_hdf5(fpath: str, var: str | None) -> pd.DataFrame:
             and h5.datasets[lname].shape[0] == v.shape[1]
             else np.arange(v.shape[1], dtype=float)
         )
+    bounds = bounds or {}
+    if any(b is not None for b in bounds.values()):
+        axes = [np.asarray(times.values), lats, lons]
+        keys = ["time", "lat", "lon"]
+        if levs is not None:
+            axes.insert(1, levs)
+            keys.insert(1, "lev")
+        sels = []
+        for ax, key in zip(axes, keys):
+            idx = np.flatnonzero(_bounds_mask(ax, bounds.get(key)))
+            sels.append(
+                slice(int(idx[0]), int(idx[-1]) + 1)
+                if len(idx)
+                else slice(0, 0)
+            )
+        data = _apply_fill(
+            np.asarray(h5.read(var, sel=tuple(sels)), dtype=float), v.attrs
+        )
+        times = times[sels[0]]
+        lats = lats[sels[-2]]
+        lons = lons[sels[-1]]
+        if levs is not None:
+            levs = levs[sels[1]]
+        # exact mask inside the (index-contiguous) slab — handles
+        # unsorted axes where the slab over-covers
+        times, lats, lons, data, levs = _mask_cube(
+            times, lats, lons, data, levs, bounds
+        )
+    else:
+        data = _apply_fill(np.asarray(h5.read(var), dtype=float), v.attrs)
     return _long_form(
         fpath.rsplit("/", 1)[-1], times, lats, lons, data, levs
     )
 
 
-def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
+def _decode_nc4(
+    fpath: str, var: str | None, bounds: dict | None = None
+) -> pd.DataFrame:
     """netCDF4-backed decode (HDF5 files, when the codec is present).
     Time conversion goes through cfcal (NOT pd.to_datetime(str(...)))
     so non-Gregorian calendars behave identically to the classic path."""
@@ -444,6 +529,10 @@ def _decode_nc4(fpath: str, var: str | None) -> pd.DataFrame:
                 np.asarray(ds.variables[lev_name][:], dtype=float)
                 if lev_name in ds.variables
                 else np.arange(v.shape[1], dtype=float)
+            )
+        if bounds and any(b is not None for b in bounds.values()):
+            times, lats, lons, data, levs = _mask_cube(
+                times, lats, lons, data, levs, bounds
             )
         return _long_form(
             fpath.rsplit("/", 1)[-1], times, lats, lons, data, levs

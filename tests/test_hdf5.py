@@ -282,6 +282,48 @@ def test_netcdf_dsv2_chunk_parallel_hdf5(spark, tmp_path):
     assert filtered.count() == 6 * 3 * 4  # days 24..29
 
 
+def test_load_netcdf_bounds_hyperslab(spark, tmp_path):
+    """*_bnds on load_netcdf: same hyperslab semantics on classic AND
+    HDF5 members (mask-before-mesh; chunk-skipping slab on HDF5)."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    time = np.arange(30, dtype=np.float64)
+    lats = np.array([-60.0, -20.0, 20.0, 60.0])
+    lons = np.arange(6) * 60.0
+    data = np.arange(30 * 4 * 6, dtype=np.float64).reshape(30, 4, 6)
+    common = {
+        "time": (["time"], time, {"units": "days since 2001-01-01"}),
+        "lat": (["lat"], lats, {}),
+        "lon": (["lon"], lons, {}),
+        "pr": (["time", "lat", "lon"], data, {}),
+    }
+    with open(tmp_path / "c.nc", "wb") as fh:
+        fh.write(
+            write_netcdf3(
+                dims={"time": 30, "lat": 4, "lon": 6},
+                variables=common,
+                record_dim="time",
+            )
+        )
+    with open(tmp_path / "h.nc", "wb") as fh:
+        fh.write(write_hdf5(common, chunk={"pr": (7, 2, 6)}, gzip_level=4))
+    df = load_netcdf(
+        spark,
+        str(tmp_path / "*.nc"),
+        time_bnds=("2001-01-05", "2001-01-10"),
+        lat_bnds=(0.0, 90.0),
+    )
+    rows = {
+        r["name"]: (r["n"], r["s"])
+        for r in df.groupBy("name")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    want = (6 * 2 * 6, float(data[4:10, 2:4, :].sum()))
+    assert rows == {"c.nc": want, "h.nc": want}
+
+
 def test_mixed_classic_and_hdf5_manifest(spark, tmp_path):
     """One glob with a CDF-2 member AND an HDF5 member: both decode to
     the same long form through the manifest fan-out."""

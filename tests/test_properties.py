@@ -670,3 +670,39 @@ def test_cdf5_roundtrip_property(n_rec, width, use_i64, seed):
     if use_i64:
         np.testing.assert_array_equal(nc.variables["c"].data, big)
     assert nc.variables["v"].attrs["a"] == 1.5
+
+
+# -- r4: HDF5 reader robustness against truncation ---------------------
+@given(
+    frac=st.floats(0.02, 0.98),
+    profile=st.sampled_from(["v0", "v2"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hdf5_truncation_never_hangs_or_miscounts(frac, profile, seed):
+    """Truncated HDF5 bytes must either raise or (when the cut only
+    removes unreferenced tail bytes) still decode EXACTLY — never a
+    silently wrong array, never a hang."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import read_hdf5, write_hdf5
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randn(9, 7)
+    raw = write_hdf5(
+        {"v": (["a", "b"], arr, {})},
+        profile=profile,
+        chunk={"v": (4, 3)},
+        gzip_level=4,
+    )
+    cut = raw[: max(8, int(len(raw) * frac))]
+    try:
+        h5 = read_hdf5(cut)
+        got = h5.read("v")
+    except Exception:
+        return  # loud failure is the expected outcome
+    np.testing.assert_array_equal(got, arr)
