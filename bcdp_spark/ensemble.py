@@ -472,10 +472,18 @@ class Ensemble:
             self.df, out_dir, by=self.name_col, var_name=self.value_col
         )
 
-    def to_zarr(self, out_dir: str, time_chunk: int = 512) -> DataFrame:
-        """Sink (S6): one chunked Zarr v2 store per member, written from
-        executors (sinks.to_zarr; vendored spec-level writer), reingestable
-        by ``sources.zarr.load_zarr`` with chunk-pruned reads."""
+    def to_zarr(
+        self,
+        out_dir: str,
+        time_chunk: int = 512,
+        zarr_format: int = 2,
+        shard_time: int | None = None,
+    ) -> DataFrame:
+        """Sink (S6): one chunked Zarr store per member, written from
+        executors (sinks.to_zarr; vendored spec-level writer),
+        reingestable by ``sources.zarr.load_zarr`` with chunk-pruned
+        reads. ``zarr_format=3`` writes the v3 layout; ``shard_time``
+        wraps shards of that many time steps (sharding_indexed)."""
         from bcdp_spark.sinks import to_zarr
 
         return to_zarr(
@@ -484,6 +492,8 @@ class Ensemble:
             by=self.name_col,
             var_name=self.value_col,
             time_chunk=time_chunk,
+            zarr_format=zarr_format,
+            shard_time=shard_time,
         )
 
     def homogenize(

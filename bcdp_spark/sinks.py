@@ -174,6 +174,8 @@ def to_zarr(
     by: str = "name",
     var_name: str = "value",
     time_chunk: int = 512,
+    zarr_format: int = 2,
+    shard_time: int | None = None,
 ) -> DataFrame:
     """Zarr v2 export (S6 sibling of ``to_netcdf``): one chunked store
     per ``by`` group, written from executors via the vendored writer
@@ -187,7 +189,16 @@ def to_zarr(
     — the axis a 100 TB ensemble appends and subsets on, so downstream
     time-bounded reads prune chunks. NULL values are encoded as NaN
     (float fill), round-tripping to NULL on read.
+
+    ``zarr_format=3`` writes the v3 layout (zarr.json metadata, default
+    chunk-key encoding, bytes+gzip codecs); ``shard_time`` additionally
+    wraps ``shard_time`` time steps per shard file with inner chunks of
+    ``time_chunk`` (sharding_indexed — one object-store GET per shard).
     """
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
+    if shard_time is not None and zarr_format != 3:
+        raise ValueError("shard_time requires zarr_format=3")
     import os
 
     import numpy as np
@@ -250,15 +261,29 @@ def to_zarr(
             var_dims = ["time", "lat", "lon"]
             chunks = (min(time_chunk, len(times)), len(lats), len(lons))
         store = os.path.join(out_dir, f"{member}.zarr")
-        write_zarr(
-            store,
-            dims=dims,
-            variables={
-                **coord_vars,
-                var_name: (var_dims, grid, {}),
-            },
-            chunks={var_name: chunks},
-        )
+        variables = {**coord_vars, var_name: (var_dims, grid, {})}
+        if zarr_format == 3:
+            from bcdp_spark.sources.zarr import write_zarr_v3
+
+            if shard_time is not None:
+                outer = (min(shard_time, len(times)),) + tuple(chunks[1:])
+                write_zarr_v3(
+                    store, dims=dims, variables=variables,
+                    chunks={var_name: outer},
+                    shards={var_name: chunks},
+                )
+            else:
+                write_zarr_v3(
+                    store, dims=dims, variables=variables,
+                    chunks={var_name: chunks},
+                )
+        else:
+            write_zarr(
+                store,
+                dims=dims,
+                variables=variables,
+                chunks={var_name: chunks},
+            )
         return pd.DataFrame(
             {
                 by: [member],

@@ -539,6 +539,53 @@ def test_zarr_v3_dsv2_scan(spark, tmp_path):
     assert df.count() == data.size // 2
 
 
+def test_ensemble_to_zarr_v3_sharded_roundtrip(spark, tmp_path):
+    """Ensemble.to_zarr(zarr_format=3, shard_time=...) writes sharded v3
+    stores that from_zarr reads back bit-equal."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for m in ("a", "b"):
+        for d in range(8):
+            for lat in (-30.0, 30.0):
+                for lon in (0.0, 120.0):
+                    rows.append(
+                        (
+                            m,
+                            (
+                                pd.Timestamp("2001-01-01")
+                                + pd.Timedelta(days=d)
+                            ).to_pydatetime(),
+                            lat,
+                            lon,
+                            float(d * 10 + lat / 30 + lon / 120),
+                        )
+                    )
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    ens = Ensemble(df)
+    manifest = ens.to_zarr(
+        str(tmp_path / "out"), time_chunk=2, zarr_format=3, shard_time=4
+    ).collect()
+    assert {m["name"] for m in manifest} == {"a", "b"}
+    import json
+    import os
+
+    zj = json.load(
+        open(os.path.join(tmp_path, "out", "a.zarr", "value", "zarr.json"))
+    )
+    assert any(
+        c.get("name") == "sharding_indexed" for c in zj["codecs"]
+    )
+    back = Ensemble.from_zarr(spark, str(tmp_path / "out" / "*.zarr"))
+    a = back.df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    b = ens.df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
 def test_zarr_v3_unsupported_codec_raises(tmp_path):
     import json
 
