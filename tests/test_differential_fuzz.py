@@ -247,3 +247,93 @@ def test_differential_fuzz_documents(seed, spark, duck):
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.execute(sql).df()
     assert_frames_match(spark_pdf, duck_pdf, f"docs-fuzz[{seed}]: {sql}")
+
+
+# -- r4: array/HOF fuzzing over embeddings ------------------------------
+# Spark and DuckDB array dialects differ (0- vs 1-based indexing,
+# size/len, filter/list_filter), so this generator emits a PAIR of
+# equivalent dialect-specific expressions per op. Every op is EXACT
+# (indexing, min/max, sort, filter-count) — no float accumulation — so
+# a mismatch is semantics drift, not rounding.
+def _gen_embed_query(seed: int) -> tuple[str, str]:
+    rng = random.Random(30_000 + seed)
+    dims = 64
+
+    def elem():
+        i = rng.randint(0, dims - 1)
+        return (
+            f"CAST(embedding[{i}] AS DOUBLE)",
+            f"CAST(embedding[{i + 1}] AS DOUBLE)",
+        )
+
+    def arr_minmax():
+        f = rng.choice([("ARRAY_MIN", "LIST_MIN"), ("ARRAY_MAX", "LIST_MAX")])
+        return (
+            f"CAST({f[0]}(embedding) AS DOUBLE)",
+            f"CAST({f[1]}(embedding) AS DOUBLE)",
+        )
+
+    def filter_count():
+        t = round(rng.uniform(-0.2, 0.2), 2)
+        return (
+            f"SIZE(FILTER(embedding, x -> x > {t}))",
+            f"LEN(LIST_FILTER(embedding, x -> x > {t}))",
+        )
+
+    def sorted_edge():
+        k = rng.randint(0, 2)
+        return (
+            f"CAST(ARRAY_SORT(embedding)[{k}] AS DOUBLE)",
+            f"CAST(LIST_SORT(embedding)[{k + 1}] AS DOUBLE)",
+        )
+
+    def arr_size():
+        return "SIZE(embedding)", "LEN(embedding)"
+
+    scalar_pool = [elem, arr_minmax, filter_count, sorted_edge, arr_size]
+    spark_sel, duck_sel = [], []
+    for i, fn in enumerate(
+        [rng.choice(scalar_pool) for _ in range(rng.randint(1, 3))]
+    ):
+        s, d = fn()
+        spark_sel.append(f"MIN({s}) AS v{i}_min")
+        duck_sel.append(f"MIN({d}) AS v{i}_min")
+        spark_sel.append(f"MAX({s}) AS v{i}_max")
+        duck_sel.append(f"MAX({d}) AS v{i}_max")
+
+    s_pred, d_pred = rng.choice(
+        [
+            (f"vec_id % {m} = 0", f"vec_id % {m} = 0")
+            for m in (2, 3, 5)
+        ]
+        + [filter_count()]
+    ) if rng.random() < 0.7 else ("TRUE", "TRUE")
+    if "FILTER" in s_pred or "LEN" in d_pred:
+        s_pred, d_pred = f"{s_pred} >= 32", f"{d_pred} >= 32"
+    group = rng.random() < 0.5
+    g = "label % 3" if group else None
+    head_s = ([f"{g} AS grp"] if group else []) + spark_sel + ["COUNT(*) AS n"]
+    head_d = ([f"{g} AS grp"] if group else []) + duck_sel + ["COUNT(*) AS n"]
+    s_sql = f"SELECT {', '.join(head_s)} FROM embeddings WHERE {s_pred}"
+    d_sql = f"SELECT {', '.join(head_d)} FROM embeddings WHERE {d_pred}"
+    if group:
+        s_sql += f" GROUP BY {g}"
+        d_sql += f" GROUP BY {g}"
+    return s_sql, d_sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_fuzz_embeddings(seed, spark, duck):
+    from bcdp_spark.queries._helpers import utc
+    from bcdp_spark.tables import table
+
+    utc(spark)
+    table(spark, SF_ORACLE, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    s_sql, d_sql = _gen_embed_query(seed)
+    spark_pdf = spark.sql(s_sql).toPandas()
+    duck_pdf = duck.execute(d_sql).df()
+    assert_frames_match(
+        spark_pdf, duck_pdf, f"embed-fuzz[{seed}]: {s_sql} | {d_sql}"
+    )

@@ -352,3 +352,33 @@ def test_pagerank_iteration_joins_are_equi(spark):
     df = q.queries()["q_token_pagerank"](spark, SF_ORACLE)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_sort_free_gram_path(spark):
+    """q_span_dedup (r4): no CartesianProduct anywhere; the gram-count
+    join is a ShuffledHashJoin (hinted — a sort-merge join would sort
+    every gram position); no global Sort node (the only re-ordering is
+    array_sort inside each doc's collected row)."""
+    import re
+
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_span_dedup"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert not re.search(r"\bSortMergeJoin\b", plan)
+    assert not re.search(r"^\s*[+:*-]*\s*Sort \[", plan, re.M)
+
+
+def test_netcdf4_and_zarr_scans_stay_arrow_batched(spark):
+    """The r4 ingest keys run their decode inside mapInPandas /
+    PythonDataSource scans (Arrow-batched) — no per-row Python UDF node
+    may appear in either plan."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    for key in ("q_netcdf4_climatology", "q_zarr_climatology"):
+        plan = physical_plan(q.queries()[key](spark, SF_ORACLE))
+        assert "BatchEvalPython" not in plan, key
