@@ -712,6 +712,59 @@ def test_zarr_stream_source_picks_up_appended_time(spark, tmp_path):
     assert both.time.max() == pd.Timestamp("2001-01-06")
 
 
+def test_zarr_stream_source_v3_store(spark, tmp_path):
+    """zarr-stream over a Zarr v3 store: same exactly-once-per-time-step
+    contract (the stream reader's metadata/chunk machinery is
+    format-agnostic through read_array_meta/_read_chunk)."""
+    from bcdp_spark.sources.zarr import write_zarr_v3
+    from bcdp_spark.sources.zarr_datasource import register_zarr_stream_source
+
+    store = str(tmp_path / "grow3.zarr")
+    na, no = 2, 3
+
+    def build(nt):
+        data = np.arange(nt * na * no, dtype="<f8").reshape(nt, na, no)
+        write_zarr_v3(
+            store,
+            dims={"time": nt, "lat": na, "lon": no},
+            variables={
+                "time": (["time"], np.arange(nt, dtype="<f8"),
+                         {"units": "days since 2001-01-01"}),
+                "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+                "lon": (["lon"], np.arange(no) * 10.0, {}),
+                "pr": (["time", "lat", "lon"], data, {}),
+            },
+            chunks={"pr": (2, na, no)},
+            gzip_level=2,
+        )
+
+    build(4)
+    register_zarr_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt3")
+    out = str(tmp_path / "out3")
+
+    def run_once():
+        q = (
+            spark.readStream.format("zarr-stream")
+            .load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert len(spark.read.parquet(out).toPandas()) == 4 * na * no
+    build(6)
+    run_once()
+    both = spark.read.parquet(out).toPandas()
+    assert len(both) == 6 * na * no
+    assert both.time.max() == pd.Timestamp("2001-01-06")
+
+
 def test_load_zarr_vars_multi_variable(spark, tmp_path):
     """Multi-var store → union tagged by variable name; per-var pruning."""
     from bcdp_spark.sources.zarr import load_zarr_vars
