@@ -441,6 +441,133 @@ def binned_neighbor_pairs_haversine(
     )
 
 
+def conservative_regrid(
+    df: DataFrame,
+    lat_res: float,
+    lon_res: float,
+    src_lat_res: float,
+    src_lon_res: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+    keys: Sequence[str] = ("name",),
+    out_lat: str = "dst_lat",
+    out_lon: str = "dst_lon",
+) -> DataFrame:
+    """First-order conservative (area-weighted overlap) regrid — the
+    ESMF ``conserve`` method, the standard for FLUX variables where
+    bin-average/bilinear would break the global budget. Source cells
+    are rectangles of ``src_lat_res x src_lon_res`` centered on the
+    (lat, lon) columns; the destination is the global grid of
+    ``lat_res x lon_res`` cells anchored at (0, 0). Each destination
+    cell's value is the overlap-AREA-weighted mean of the source cells
+    covering it, with the exact spherical area factor: the area between
+    latitudes phi0 < phi1 spanning dlon degrees of longitude is
+    proportional to dlon * (sin(phi1) - sin(phi0)).
+
+    JOIN-FREE formulation: a source cell overlaps at most
+    ceil(src_res/dst_res)+1 destination rows/cols, so the destination
+    indices come from a bounded ``sequence()`` explode (a few rows per
+    source cell), then ONE groupBy on the destination cell computes
+    sum(w*v)/sum(w). No shuffle carries anything but
+    (keys, cell-index, two decimals) — at 100 TB this is a single
+    hash aggregation over ~4x the source rows. Longitude cells that
+    straddle the 0/360 wrap are split into two segments first, so the
+    seam never drops overlap (same lesson as the haversine binning).
+    Weighted sums route through DECIMAL(38,18) so partial-agg order
+    cannot change the result; output is ROUND()ed to 6.
+    """
+    overlap = {"__la", "__l0", "__l1", "__s", "__di", "__ei", "__wlat",
+               "__wlon", "__w"} & set(df.columns)
+    if overlap:
+        raise ValueError(f"reserved column collision: {sorted(overlap)}")
+    half_lat, half_lon = src_lat_res / 2.0, src_lon_res / 2.0
+    lat0 = F.greatest(F.col(lat_col) - half_lat, F.lit(-90.0))
+    lat1 = F.least(F.col(lat_col) + half_lat, F.lit(90.0))
+    ln = F.pmod(F.col(lon_col), F.lit(360.0))
+    lon0, lon1 = ln - half_lon, ln + half_lon
+    # wrap-split: up to two [s0, s1) segments inside [0, 360)
+    segs = F.filter(
+        F.array(
+            F.struct(
+                F.greatest(lon0, F.lit(0.0)).alias("s0"),
+                F.least(lon1, F.lit(360.0)).alias("s1"),
+            ),
+            F.struct(
+                (lon0 + 360.0).alias("s0"),
+                F.when(lon0 < 0.0, F.lit(360.0)).otherwise(-1.0).alias("s1"),
+            ),
+            F.struct(
+                F.when(lon1 > 360.0, F.lit(0.0)).otherwise(1.0).alias("s0"),
+                (lon1 - 360.0).alias("s1"),
+            ),
+        ),
+        lambda s: s["s1"] > s["s0"],
+    )
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            F.col(value_col).alias("__v"),
+            lat0.alias("__l0"),
+            lat1.alias("__l1"),
+            F.explode(segs).alias("__s"),
+        )
+    )
+    dlat = (
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__l0") / lat_res).cast("int"),
+                F.ceil(F.col("__l1") / lat_res).cast("int"),
+            )
+        )
+    ).alias("__di")
+    with_lat = src.select("*", dlat).withColumn(
+        "__wlat",
+        F.sin(F.radians(F.least(F.col("__l1"), (F.col("__di") + 1) * lat_res)))
+        - F.sin(
+            F.radians(F.greatest(F.col("__l0"), F.col("__di") * lat_res))
+        ),
+    ).filter(F.col("__wlat") > 1e-12)
+    dlon = (
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s.s0") / lon_res).cast("int"),
+                F.ceil(F.col("__s.s1") / lon_res).cast("int"),
+            )
+        )
+    ).alias("__ei")
+    contrib = (
+        with_lat.select("*", dlon)
+        .withColumn(
+            "__wlon",
+            F.least(F.col("__s.s1"), (F.col("__ei") + 1) * lon_res)
+            - F.greatest(F.col("__s.s0"), F.col("__ei") * lon_res),
+        )
+        .filter(F.col("__wlon") > 1e-12)
+        .withColumn("__w", F.col("__wlat") * F.col("__wlon"))
+    )
+    dec = "decimal(38,18)"
+    return (
+        contrib.groupBy(*keys, "__di", "__ei")
+        .agg(
+            F.round(
+                F.sum((F.col("__w") * F.col("__v")).cast(dec)).cast("double")
+                / F.sum(F.col("__w").cast(dec)).cast("double"),
+                6,
+            ).alias(value_col),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+        .select(
+            *keys,
+            ((F.col("__di") + 0.5) * lat_res).alias(out_lat),
+            ((F.col("__ei") + 0.5) * lon_res).alias(out_lon),
+            value_col,
+            "n_src",
+        )
+    )
+
+
 def nearest_regrid_haversine(
     src: DataFrame,
     dst: DataFrame,

@@ -802,3 +802,72 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col="n_chars", budget=1024,
     )
     return packing_stats(packed, budget=1024)
+
+
+# ---------------------------------------------------------------------------
+# A5+ (r4) — first-order conservative (overlap-area-weighted) regrid,
+# the ESMF 'conserve' method for flux variables. Source: a synthetic
+# 1.5-degree grid derived from events (lat from user_id, lon from
+# event_id, seam-free by construction so the oracle needs no wrap
+# split; the operator's wrap handling is unit-tested separately).
+# Operator: operators/regrid.py conservative_regrid (join-free bounded
+# explode + one hash agg; weighted sums DECIMAL-routed).
+# ---------------------------------------------------------------------------
+@register(
+    "q_conservative_regrid",
+    oracle="""
+WITH src AS (
+  SELECT -89.25 + (user_id % 120) * 1.5 AS lat,
+         0.75 + (event_id % 240) * 1.5 AS lon,
+         value AS v
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT GREATEST(lat - 0.75, -90.0) AS l0, LEAST(lat + 0.75, 90.0) AS l1,
+         lon - 0.75 AS s0, lon + 0.75 AS s1, v
+  FROM src
+),
+lat_x AS (
+  SELECT c.*, d.di,
+         SIN(RADIANS(LEAST(c.l1, (d.di + 1) * 4.0)))
+           - SIN(RADIANS(GREATEST(c.l0, d.di * 4.0))) AS wlat
+  FROM cells c,
+       UNNEST(range(CAST(FLOOR(c.l0 / 4.0) AS BIGINT),
+                    CAST(CEIL(c.l1 / 4.0) AS BIGINT) + 1)) AS d(di)
+),
+lon_x AS (
+  SELECT lx.*, e.ei,
+         LEAST(lx.s1, (e.ei + 1) * 4.0)
+           - GREATEST(lx.s0, e.ei * 4.0) AS wlon
+  FROM lat_x lx,
+       UNNEST(range(CAST(FLOOR(lx.s0 / 4.0) AS BIGINT),
+                    CAST(CEIL(lx.s1 / 4.0) AS BIGINT) + 1)) AS e(ei)
+  WHERE lx.wlat > 1e-12
+),
+contrib AS (
+  SELECT di, ei, wlat * wlon AS w, v FROM lon_x WHERE wlon > 1e-12
+)
+SELECT (di + 0.5) * 4.0 AS dst_lat,
+       (ei + 0.5) * 4.0 AS dst_lon,
+       ROUND(
+         CAST(CAST(SUM(CAST(w * v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE),
+         6) AS value,
+       COUNT(*) AS n_src
+FROM contrib
+GROUP BY di, ei
+""",
+)
+def q_conservative_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.regrid import conservative_regrid
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    src = ev.select(
+        (F.lit(-89.25) + (F.col("user_id") % 120) * 1.5).alias("lat"),
+        (F.lit(0.75) + (F.col("event_id") % 240) * 1.5).alias("lon"),
+        F.col("value"),
+    )
+    return conservative_regrid(
+        src, 4.0, 4.0, 1.5, 1.5, keys=()
+    )

@@ -925,6 +925,110 @@ def test_haversine_lat_cap_guard(spark):
         ).collect()
 
 
+def test_conservative_regrid_exact_on_aligned_tiles(spark):
+    """2x2 blocks of 1-degree cells exactly tile one 2-degree dst cell:
+    result equals the hand-computed spherical-area-weighted mean."""
+    import math
+
+    from bcdp_spark.operators.regrid import conservative_regrid
+
+    rows = [
+        ("m", la + 0.5, lo + 0.5, float(la * 100 + lo))
+        for la in range(40, 44)
+        for lo in range(10, 14)
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, lat double, lon double, value double"
+    )
+    got = {
+        (r["dst_lat"], r["dst_lon"]): (r["value"], r["n_src"])
+        for r in conservative_regrid(df, 2.0, 2.0, 1.0, 1.0).collect()
+    }
+
+    def w(a, b):
+        return math.sin(math.radians(b)) - math.sin(math.radians(a))
+
+    for (dla, dlo), (v, n) in got.items():
+        d, e = int(dla - 1), int(dlo - 1)
+        num = den = 0.0
+        for la in range(d, d + 2):
+            for lo in range(e, e + 2):
+                ww = w(la, la + 1)
+                num += ww * (la * 100 + lo)
+                den += ww
+        assert n == 4
+        assert abs(v - round(num / den, 6)) < 2e-6
+
+
+def test_conservative_regrid_preserves_constant_and_budget(spark):
+    """Misaligned grids: a constant field stays constant, and the
+    global area-weighted integral is conserved (the property that
+    names the method)."""
+    import math
+
+    from bcdp_spark.operators.regrid import conservative_regrid
+
+    rows = [
+        ("m", 0.75 + 1.5 * i, 0.75 + 1.5 * j, float(1 + (i * 7 + j) % 5))
+        for i in range(8)
+        for j in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, lat double, lon double, value double"
+    )
+    out = conservative_regrid(df, 2.0, 2.0, 1.5, 1.5).collect()
+
+    def band(a, b):
+        return math.sin(math.radians(b)) - math.sin(math.radians(a))
+
+    # src integral: each src cell area x value
+    src_int = sum(
+        band(la - 0.75, la + 0.75) * 1.5 * v
+        for _m, la, lo, v in rows
+    )
+    # dst integral: each dst value x ITS OVERLAP with the source domain
+    # (edge dst cells are only partially covered; the conservative mean
+    # times covered-area, summed, must equal the source integral)
+    lat_lo, lat_hi = 0.0, 0.75 + 1.5 * 7 + 0.75
+    lon_lo, lon_hi = 0.0, lat_hi
+    dst_int = 0.0
+    for r in out:
+        d0, d1 = r["dst_lat"] - 1.0, r["dst_lat"] + 1.0
+        e0, e1 = r["dst_lon"] - 1.0, r["dst_lon"] + 1.0
+        cov = band(max(d0, lat_lo), min(d1, lat_hi)) * (
+            min(e1, lon_hi) - max(e0, lon_lo)
+        )
+        dst_int += r["value"] * cov
+    # dst values are ROUND()ed to 6 decimals, so the budget closes to
+    # ~1e-6 relative, not machine precision
+    assert abs(dst_int - src_int) / abs(src_int) < 1e-5
+
+    const = spark.createDataFrame(
+        [(m, la, lo, 3.5) for m, la, lo, _v in rows],
+        "name string, lat double, lon double, value double",
+    )
+    for r in conservative_regrid(const, 2.0, 2.0, 1.5, 1.5).collect():
+        assert r["value"] == 3.5
+
+
+def test_conservative_regrid_wrap_seam(spark):
+    """A source cell straddling lon 0/360 contributes to BOTH edge
+    destination columns (segment split, same lesson as the haversine
+    dateline fix)."""
+    from bcdp_spark.operators.regrid import conservative_regrid
+
+    df = spark.createDataFrame(
+        [("m", 10.0, 359.9, 7.0)],
+        "name string, lat double, lon double, value double",
+    )
+    got = {
+        (r["dst_lat"], r["dst_lon"]): r["value"]
+        for r in conservative_regrid(df, 2.0, 2.0, 1.0, 1.0).collect()
+    }
+    assert (11.0, 359.0) in got and (11.0, 1.0) in got
+    assert all(v == 7.0 for v in got.values())
+
+
 def test_haversine_dateline_seam_near_cap(spark):
     """Regression (ADVICE r3, high): near-cap-latitude pair straddling
     +-180 that the old ceil()-based lon binning put 2 mod-bins apart
