@@ -568,6 +568,85 @@ def conservative_regrid(
     )
 
 
+def bilinear_regrid(
+    src: DataFrame,
+    dst: DataFrame,
+    lat0: float,
+    dlat: float,
+    lon0: float,
+    dlon: float,
+    src_lat: str = "lat",
+    src_lon: str = "lon",
+    value_col: str = "value",
+    dst_lat: str = "dst_lat",
+    dst_lon: str = "dst_lon",
+    dst_keys: Sequence[str] | None = None,
+    min_corners: int = 1,
+) -> DataFrame:
+    """Bilinear interpolation from a RECTILINEAR source grid (the
+    xarray ``.interp`` / ESMF ``bilinear`` default): source points sit
+    at ``lat0 + i*dlat`` / ``lon0 + j*dlon``; each destination point
+    blends its four bracketing corners with the tensor-product weights
+    ``(1-wy)(1-wx), (1-wy)wx, wy(1-wx), wy*wx``.
+
+    JOIN-FREE index arithmetic on both sides: the destination explodes
+    into exactly four (i, j, w) corner rows, the source tags itself
+    with its own (i, j) — then ONE equi join on the integer cell key
+    and ONE groupBy per destination. Missing corners (grid edge, NaN
+    source) renormalize over the matched weights — set
+    ``min_corners=4`` for strict interior-only interpolation (fewer
+    matched corners → row dropped). Weighted sums are DECIMAL-routed,
+    output ROUND()ed to 6.
+    """
+    reserved = {"__i", "__j", "__c", "__w", "__v", "__fy", "__fx"}
+    clash = reserved & (set(src.columns) | set(dst.columns))
+    if clash:
+        raise ValueError(f"reserved column collision: {sorted(clash)}")
+    keys = list(dst_keys) if dst_keys is not None else [dst_lat, dst_lon]
+    s = src.filter(F.col(value_col).isNotNull()).select(
+        F.round((F.col(src_lat) - lat0) / dlat).cast("long").alias("__i"),
+        F.round((F.col(src_lon) - lon0) / dlon).cast("long").alias("__j"),
+        F.col(value_col).alias("__v"),
+    )
+    fy = (F.col(dst_lat) - lat0) / dlat
+    fx = (F.col(dst_lon) - lon0) / dlon
+    d = dst.withColumn("__fy", fy).withColumn("__fx", fx)
+    i0, j0 = F.floor("__fy").cast("long"), F.floor("__fx").cast("long")
+    wy, wx = F.col("__fy") - i0, F.col("__fx") - j0
+    corners = F.array(
+        *[
+            F.struct(
+                (i0 + a).alias("__i"),
+                (j0 + b).alias("__j"),
+                (
+                    (wy if a else (1.0 - wy)) * (wx if b else (1.0 - wx))
+                ).alias("__w"),
+            )
+            for a in (0, 1)
+            for b in (0, 1)
+        ]
+    )
+    exploded = (
+        d.select(*keys, F.explode(corners).alias("__c"))
+        .select(*keys, "__c.__i", "__c.__j", "__c.__w")
+        .filter(F.col("__w") > 0.0)  # on-gridline points need <4 corners
+    )
+    dec = "decimal(38,18)"
+    return (
+        exploded.join(s, ["__i", "__j"])
+        .groupBy(*keys)
+        .agg(
+            F.round(
+                F.sum((F.col("__w") * F.col("__v")).cast(dec)).cast("double")
+                / F.sum(F.col("__w").cast(dec)).cast("double"),
+                6,
+            ).alias(value_col),
+            F.count(F.lit(1)).alias("n_corners"),
+        )
+        .filter(F.col("n_corners") >= min_corners)
+    )
+
+
 def nearest_regrid_haversine(
     src: DataFrame,
     dst: DataFrame,

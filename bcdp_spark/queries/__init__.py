@@ -106,7 +106,7 @@ _PRIORITY = (
     "q_shipping_priority", "q_market_share", "q_promo_revenue",
     "q_custdist", "q_funnel", "q_cohort_retention", "q_markov_transitions",
     "q_span_dedup", "q_sequence_match", "q_conservative_regrid",
-    "q_windowed_dedup",
+    "q_bilinear_regrid",
     # (e) corpus/text family (never graded)
     "q_top_tokens_per_lang", "q_inverted_index",
     # (f) r4 new + re-routes: vendored HDF5 decode; DSv2 zarr scan with
@@ -114,7 +114,7 @@ _PRIORITY = (
     "q_netcdf4_climatology", "q_zarr_climatology",
     # --- 50-key window boundary ---
     # (g) remaining never-graded keys, next in line if the cap allows
-    "q_cooccurrence", "q_dau_mau", "q_ewma",
+    "q_cooccurrence", "q_dau_mau", "q_ewma", "q_windowed_dedup",
     "q_bloom_semi_join", "q_token_budget_select", "q_hash_split",
     "q_vocab_growth", "q_boilerplate", "q_redact_terms", "q_vec_quantize",
     "q_doc_length_histogram", "q_repetition_ratio", "q_token_count",

@@ -871,3 +871,83 @@ def q_conservative_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conservative_regrid(
         src, 4.0, 4.0, 1.5, 1.5, keys=()
     )
+
+
+# ---------------------------------------------------------------------------
+# A5++ (r4) — bilinear interpolation from a rectilinear grid (xarray
+# .interp / ESMF 'bilinear' default). Source grid pre-aggregated per
+# node from events; destinations are a deterministic interior point
+# sample. Operator: operators/regrid.py bilinear_regrid (index
+# arithmetic both sides, one equi join + one groupBy).
+# ---------------------------------------------------------------------------
+@register(
+    "q_bilinear_regrid",
+    oracle="""
+WITH node AS (
+  SELECT CAST((user_id % 100) AS BIGINT) AS i,
+         CAST((event_id % 200) AS BIGINT) AS j,
+         CAST(CAST(AVG(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+dst AS (
+  SELECT event_id AS pid,
+         -60.0 + (event_id % 160) * 0.75 AS dlat,
+         3.0 + (user_id % 380) * 0.75 AS dlon
+  FROM events WHERE event_id % 211 = 3
+),
+corner AS (
+  SELECT d.pid,
+         CAST(FLOOR((d.dlat + 74.25) / 1.5) AS BIGINT) + a.a AS i,
+         CAST(FLOOR(d.dlon / 1.5) AS BIGINT) + b.b AS j,
+         (CASE WHEN a.a = 1
+               THEN (d.dlat + 74.25) / 1.5 - FLOOR((d.dlat + 74.25) / 1.5)
+               ELSE 1.0 - ((d.dlat + 74.25) / 1.5
+                           - FLOOR((d.dlat + 74.25) / 1.5)) END)
+         * (CASE WHEN b.b = 1
+                 THEN d.dlon / 1.5 - FLOOR(d.dlon / 1.5)
+                 ELSE 1.0 - (d.dlon / 1.5 - FLOOR(d.dlon / 1.5)) END)
+           AS w
+  FROM dst d, UNNEST(range(0, 2)) AS a(a), UNNEST(range(0, 2)) AS b(b)
+)
+SELECT c.pid,
+       ROUND(
+         CAST(CAST(SUM(CAST(c.w * n.v AS DECIMAL(38,18))) AS VARCHAR)
+              AS DOUBLE)
+         / CAST(CAST(SUM(CAST(c.w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE),
+         6) AS value,
+       COUNT(*) AS n_corners
+FROM corner c JOIN node n ON c.i = n.i AND c.j = n.j
+WHERE c.w > 0.0
+GROUP BY c.pid
+""",
+)
+def q_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.regrid import bilinear_regrid
+    from bcdp_spark.queries._helpers import davg
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    src = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 100).alias("__gi"),
+            (F.col("event_id") % 200).alias("__gj"),
+        )
+        .agg(davg(F.col("value"), "value"))
+        .select(
+            (F.lit(-74.25) + F.col("__gi") * 1.5).alias("lat"),
+            (F.col("__gj") * 1.5).alias("lon"),
+            "value",
+        )
+    )
+    dst = ev.filter(F.col("event_id") % 211 == 3).select(
+        F.col("event_id").alias("pid"),
+        (F.lit(-60.0) + (F.col("event_id") % 160) * 0.75).alias("dst_lat"),
+        (F.lit(3.0) + (F.col("user_id") % 380) * 0.75).alias("dst_lon"),
+    )
+    return bilinear_regrid(
+        src, dst, lat0=-74.25, dlat=1.5, lon0=0.0, dlon=1.5,
+        dst_keys=("pid",),
+    )

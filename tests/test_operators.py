@@ -925,6 +925,60 @@ def test_haversine_lat_cap_guard(spark):
         ).collect()
 
 
+def test_bilinear_regrid_reproduces_linear_field(spark):
+    """Bilinear must be EXACT on any affine field; edge points
+    renormalize over matched corners (strict mode drops them); an
+    on-grid point collapses to a single corner."""
+    import numpy as np
+
+    from bcdp_spark.operators.regrid import bilinear_regrid
+
+    src_rows = [
+        (float(i * 2), float(j * 3), float(10 * (i * 2) + j * 3))
+        for i in range(10)
+        for j in range(10)
+    ]
+    src = spark.createDataFrame(src_rows, "lat double, lon double, value double")
+    rng = np.random.RandomState(5)
+    dst_rows = [
+        (k, float(rng.uniform(0, 18)), float(rng.uniform(0, 27)))
+        for k in range(40)
+    ]
+    dst = spark.createDataFrame(
+        dst_rows, "pid long, dst_lat double, dst_lon double"
+    )
+    out = {
+        r["pid"]: r["value"]
+        for r in bilinear_regrid(
+            src, dst, lat0=0.0, dlat=2.0, lon0=0.0, dlon=3.0,
+            dst_keys=("pid",),
+        ).collect()
+    }
+    for k, la, lo in dst_rows:
+        assert abs(out[k] - round(10 * la + lo, 6)) < 2e-6
+
+    edge = spark.createDataFrame(
+        [(0, 18.5, 1.0)], "pid long, dst_lat double, dst_lon double"
+    )
+    r = bilinear_regrid(
+        src, edge, 0.0, 2.0, 0.0, 3.0, dst_keys=("pid",)
+    ).collect()[0]
+    assert r["n_corners"] == 2
+    assert (
+        bilinear_regrid(
+            src, edge, 0.0, 2.0, 0.0, 3.0, dst_keys=("pid",), min_corners=4
+        ).count()
+        == 0
+    )
+    on_grid = spark.createDataFrame(
+        [(0, 4.0, 6.0)], "pid long, dst_lat double, dst_lon double"
+    )
+    r3 = bilinear_regrid(
+        src, on_grid, 0.0, 2.0, 0.0, 3.0, dst_keys=("pid",)
+    ).collect()[0]
+    assert r3["value"] == 46.0 and r3["n_corners"] == 1
+
+
 def test_conservative_regrid_exact_on_aligned_tiles(spark):
     """2x2 blocks of 1-degree cells exactly tile one 2-degree dst cell:
     result equals the hand-computed spherical-area-weighted mean."""
