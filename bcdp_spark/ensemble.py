@@ -291,27 +291,112 @@ class Ensemble:
         )
         return self._with(out)
 
-    def regrid(self, lat_res: float, lon_res: float) -> "Ensemble":
-        """Bin-average regrid onto a coarser grid (A5); the weights-join
-        variant is operators/regrid.py:regrid_weighted."""
-        from bcdp_spark.operators.regrid import regrid_bin_average
+    def regrid(
+        self,
+        lat_res: float,
+        lon_res: float,
+        method: str = "mean",
+        src_lat_res: float | None = None,
+        src_lon_res: float | None = None,
+    ) -> "Ensemble":
+        """Horizontal regrid onto the regular (lat_res, lon_res) grid —
+        the reference's xesmf method menu (bcdp/core.py [UNVERIFIED]):
 
+        - ``"mean"`` (default): bin-average (A5) — cheap coarsening.
+        - ``"conservative"``: first-order overlap-area weighting (the
+          ESMF ``conserve`` method; flux-safe). Requires the SOURCE
+          cell resolutions ``src_lat_res``/``src_lon_res`` (cells are
+          rectangles centered on the coordinate columns).
+        - ``"bilinear"``: 4-corner interpolation onto the destination
+          CELL CENTERS, with the source treated as a rectilinear grid
+          of spacing ``src_lat_res``/``src_lon_res`` anchored at the
+          source's minimum coordinates. Destination cells are those the
+          source domain touches (derived distributedly — no driver
+          collect).
+
+        Any vertical coordinate stays a grouping key: regridding is
+        horizontal, levels never mix.
+        """
         lat, lon = self._latlon()
-        # any vertical coordinate stays a grouping key: regridding is
-        # horizontal, levels never mix
         extra = [self.name_col, self.time_col] + [
             c for c in self.space_cols if c not in (lat, lon)
         ]
-        out = regrid_bin_average(
-            self.df,
-            lat_col=lat,
-            lon_col=lon,
-            value_col=self.value_col,
-            lat_res=lat_res,
-            lon_res=lon_res,
-            extra_keys=extra,
-        )
-        return self._with(out)
+        if method == "mean":
+            from bcdp_spark.operators.regrid import regrid_bin_average
+
+            out = regrid_bin_average(
+                self.df,
+                lat_col=lat,
+                lon_col=lon,
+                value_col=self.value_col,
+                lat_res=lat_res,
+                lon_res=lon_res,
+                extra_keys=extra,
+            )
+            return self._with(out)
+        if src_lat_res is None or src_lon_res is None:
+            raise ValueError(
+                f"method={method!r} needs src_lat_res and src_lon_res "
+                "(source cell/grid spacing)"
+            )
+        if method == "conservative":
+            from bcdp_spark.operators.regrid import conservative_regrid
+
+            out = conservative_regrid(
+                self.df,
+                lat_res,
+                lon_res,
+                src_lat_res,
+                src_lon_res,
+                lat_col=lat,
+                lon_col=lon,
+                value_col=self.value_col,
+                keys=extra,
+                out_lat=lat,
+                out_lon=lon,
+            ).drop("n_src")
+            return self._with(out)
+        if method == "bilinear":
+            from bcdp_spark.operators.regrid import bilinear_regrid
+
+            agg = self.df.agg(
+                F.min(lat).alias("la0"), F.min(lon).alias("lo0")
+            )
+            la0, lo0 = agg.collect()[0]  # 1-row bounded collect
+            dst = (
+                self.df.select(
+                    F.floor(F.col(lat) / lat_res).alias("__i"),
+                    F.floor(F.col(lon) / lon_res).alias("__j"),
+                )
+                .distinct()
+                .select(
+                    ((F.col("__i") + 0.5) * lat_res).alias("__dla"),
+                    ((F.col("__j") + 0.5) * lon_res).alias("__dlo"),
+                )
+            )
+            out = (
+                bilinear_regrid(
+                    self.df.select(
+                        *extra, F.col(lat), F.col(lon), F.col(self.value_col)
+                    ),
+                    dst,
+                    lat0=float(la0),
+                    dlat=src_lat_res,
+                    lon0=float(lo0),
+                    dlon=src_lon_res,
+                    src_lat=lat,
+                    src_lon=lon,
+                    value_col=self.value_col,
+                    dst_lat="__dla",
+                    dst_lon="__dlo",
+                    src_keys=extra,
+                )
+                .withColumnRenamed("__dla", lat)
+                .withColumnRenamed("__dlo", lon)
+                .drop("n_corners")
+            )
+            return self._with(out)
+        raise ValueError(f"unknown regrid method {method!r}")
 
     def regrid_to_points(
         self,

@@ -581,6 +581,7 @@ def bilinear_regrid(
     dst_lat: str = "dst_lat",
     dst_lon: str = "dst_lon",
     dst_keys: Sequence[str] | None = None,
+    src_keys: Sequence[str] = (),
     min_corners: int = 1,
 ) -> DataFrame:
     """Bilinear interpolation from a RECTILINEAR source grid (the
@@ -595,15 +596,19 @@ def bilinear_regrid(
     and ONE groupBy per destination. Missing corners (grid edge, NaN
     source) renormalize over the matched weights — set
     ``min_corners=4`` for strict interior-only interpolation (fewer
-    matched corners → row dropped). Weighted sums are DECIMAL-routed,
-    output ROUND()ed to 6.
+    matched corners → row dropped). ``src_keys`` (member/time columns)
+    stay grouping keys: every destination point is interpolated once
+    PER source key combination — the ensemble-homogenize shape.
+    Weighted sums are DECIMAL-routed, output ROUND()ed to 6.
     """
     reserved = {"__i", "__j", "__c", "__w", "__v", "__fy", "__fx"}
     clash = reserved & (set(src.columns) | set(dst.columns))
     if clash:
         raise ValueError(f"reserved column collision: {sorted(clash)}")
     keys = list(dst_keys) if dst_keys is not None else [dst_lat, dst_lon]
+    src_keys = list(src_keys)
     s = src.filter(F.col(value_col).isNotNull()).select(
+        *src_keys,
         F.round((F.col(src_lat) - lat0) / dlat).cast("long").alias("__i"),
         F.round((F.col(src_lon) - lon0) / dlon).cast("long").alias("__j"),
         F.col(value_col).alias("__v"),
@@ -634,7 +639,7 @@ def bilinear_regrid(
     dec = "decimal(38,18)"
     return (
         exploded.join(s, ["__i", "__j"])
-        .groupBy(*keys)
+        .groupBy(*src_keys, *keys)
         .agg(
             F.round(
                 F.sum((F.col("__w") * F.col("__v")).cast(dec)).cast("double")

@@ -492,3 +492,49 @@ def test_ensemble_from_netcdf_mixed_formats(spark, tmp_path):
         by_name.setdefault(r["name"], []).append(r["clim"])
     a, b = (sorted(v) for v in by_name.values())
     assert a == b and len(a) == 4
+
+
+def test_regrid_method_menu(spark):
+    """Ensemble.regrid(method=...): mean (default), conservative and
+    bilinear, all member/time-preserving with identical output schema."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    t = pd.Timestamp("2001-01-01").to_pydatetime()
+    rows = []
+    for m in ("a", "b"):
+        off = 0.0 if m == "a" else 100.0
+        for i in range(8):
+            for j in range(8):
+                rows.append((m, t, i * 1.0, j * 1.0, off + 2.0 * i + 3.0 * j))
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    ens = Ensemble(df)
+    cols = {"name", "time", "lat", "lon", "value"}
+
+    cons = ens.regrid(2.0, 2.0, method="conservative",
+                      src_lat_res=1.0, src_lon_res=1.0)
+    assert set(cons.df.columns) == cols
+    assert cons.df.filter("name='a'").count() == 25
+
+    bil = ens.regrid(2.0, 2.0, method="bilinear",
+                     src_lat_res=1.0, src_lon_res=1.0)
+    assert set(bil.df.columns) == cols
+    pdf = bil.df.toPandas()
+    a = pdf[pdf.name == "a"].set_index(["lat", "lon"]).value
+    b = pdf[pdf.name == "b"].set_index(["lat", "lon"]).value
+    assert ((b - a).round(6) == 100.0).all()  # members never blend
+    for (la, lo), v in a.items():  # affine field exact at centers
+        assert abs(v - (2 * la + 3 * lo)) < 2e-6
+
+    assert ens.regrid(2.0, 2.0).df.count() == 2 * 16  # mean unchanged
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="src_lat_res"):
+        ens.regrid(2.0, 2.0, method="conservative")
+    with _pytest.raises(ValueError, match="unknown regrid method"):
+        ens.regrid(2.0, 2.0, method="patch", src_lat_res=1.0,
+                   src_lon_res=1.0)
