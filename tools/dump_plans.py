@@ -48,6 +48,8 @@ HEADLINE = (
     # span-removal dedup
     "q_netcdf4_climatology",
     "q_span_dedup",
+    "q_conservative_regrid",
+    "q_bilinear_regrid",
 )
 
 
