@@ -145,3 +145,70 @@ def compression_ratio(col: str = "text", level: int = 6) -> Column:
         return s.map(one)
 
     return _ratio(F.col(col))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    round_bucket: int = 8,
+    round_out: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): per-document log importance weight under hashed
+    unigram bag-of-words features,
+
+        log w(d) = sum_{tok in d} [ ln p_target(b(tok)) - ln p_raw(b(tok)) ]
+
+    where ``b`` buckets tokens into 256 hashed features and both
+    distributions carry add-one smoothing. Documents scoring high are
+    the ones importance resampling keeps when fitting the raw corpus
+    toward the target slice (``is_target`` — e.g. a trusted-domain or
+    target-language subset).
+
+    Engine-agnostic by construction (the oracle-twin discipline of
+    ``operators/split.py``): the bucket key is the first md5 hex pair
+    of the token — identical text in any engine — and the only float
+    op is one ``ln`` per bucket, rounded to ``round_bucket`` decimals
+    (absorbing libm ulp skew) and summed EXACTLY as DECIMAL(18,8).
+
+    Scale (100 TB): token explode is a map; bucket stats shuffle 256
+    keys; the per-bucket log-ratio table (256 rows) broadcasts back
+    onto the token stream; one hash agg by document. No windows, no
+    self-joins, no driver collect.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    tb = toks.withColumn("__bucket", F.substring(F.md5("__tok"), 1, 2))
+    stats = tb.groupBy("__bucket").agg(
+        F.count_if(F.col("__is_t")).alias("__c_t"),
+        F.count(F.lit(1)).alias("__c_r"),
+    )
+    tot = stats.agg(
+        F.sum("__c_t").alias("__n_t"), F.sum("__c_r").alias("__n_r")
+    )
+    ratio = stats.join(F.broadcast(tot)).select(
+        "__bucket",
+        F.round(
+            F.log((F.col("__c_t") + 1.0) / (F.col("__n_t") + 256.0))
+            - F.log((F.col("__c_r") + 1.0) / (F.col("__n_r") + 256.0)),
+            round_bucket,
+        )
+        .cast("decimal(18,8)")
+        .alias("__lr"),
+    )
+    return (
+        tb.join(F.broadcast(ratio), "__bucket")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__lr").cast("double"), round_out).alias(
+                "log_weight"
+            ),
+        )
+    )

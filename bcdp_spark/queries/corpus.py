@@ -1225,3 +1225,91 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r4) — DSIR importance weights (Xie et al. 2023): hashed-unigram
+# log importance of every document toward the English slice of the
+# corpus. The data-selection step between "scored corpus" and
+# "resampled training mix"; operator: operators/text.py dsir_logweights
+# (256 md5-bucket features, add-one smoothing, decimal-exact log sums).
+# ---------------------------------------------------------------------------
+@register(
+    "q_dsir_weights",
+    oracle="""
+WITH tb AS (
+  SELECT doc_id, lang = 'en' AS is_t, substr(md5(u.tok), 1, 2) AS bucket
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  WHERE u.tok <> ''
+),
+stats AS (
+  SELECT bucket,
+         COUNT(CASE WHEN is_t THEN 1 END) AS c_t,
+         COUNT(*) AS c_r
+  FROM tb GROUP BY bucket
+),
+tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM stats),
+ratio AS (
+  SELECT bucket,
+         CAST(ROUND(ln((c_t + 1.0) / (n_t + 256.0))
+                    - ln((c_r + 1.0) / (n_r + 256.0)), 8)
+              AS DECIMAL(18,8)) AS lr
+  FROM stats, tot
+)
+SELECT tb.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS log_weight
+FROM tb JOIN ratio USING (bucket)
+GROUP BY tb.doc_id
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import dsir_logweights
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, "text", "doc_id", F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r4) — per-domain document caps (the RefinedWeb/C4 "no domain may
+# dominate the corpus" rule): within each source, keep the top
+# ``cap`` documents by (n_chars DESC, doc_id) and account for the rest.
+# One hash-partitioned window (WindowGroupLimit pushes the rank filter
+# below the sort at scale, same plan family as q_window_topk) plus one
+# hash agg; shuffles carry (source) keys only.
+# ---------------------------------------------------------------------------
+@register(
+    "q_domain_cap",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       COUNT(CASE WHEN rk <= 50 THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN rk > 50 THEN 1 END) AS n_dropped,
+       CAST(SUM(CASE WHEN rk <= 50 THEN n_chars END) AS BIGINT)
+         AS kept_chars,
+       MIN(CASE WHEN rk <= 50 THEN doc_id END) AS min_kept_doc
+FROM r GROUP BY source
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    r = docs.select(
+        "source", "n_chars", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    kept = F.col("rk") <= 50
+    return r.groupBy("source").agg(
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars"))).cast("long").alias("kept_chars"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("min_kept_doc"),
+    )

@@ -1183,3 +1183,45 @@ def test_ivf_topk_recall(spark):
     cand = assigned.filter(F.col("ivf_cell") == int(best)).drop("ivf_cell")
     approx = {r["vec_id"] for r in cosine_topk(cand, q, k=10).collect()}
     assert len(exact & approx) >= 9  # planted cell holds the true top-k
+
+
+def test_dsir_logweights_directionality(spark):
+    """DSIR (Xie et al. 2023) sanity: documents drawn from the target
+    slice's vocabulary get strictly higher log importance weights than
+    documents from a disjoint vocabulary, and the weight is a pure
+    function of the token multiset (dup doc -> identical weight)."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.text import dsir_logweights
+
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(8)]
+    rows += [(100 + i, "zork quux blorb fnord", "xx") for i in range(8)]
+    rows += [(200, "alpha beta gamma delta", "xx")]  # target-vocab, raw-lang
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_logweights(
+            df, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[0] > out[100]  # target vocabulary scores higher
+    assert out[200] == out[0]  # weight depends on tokens, not the label
+    assert all(out[i] == out[0] for i in range(8))
+
+
+def test_dsir_logweights_plan_is_broadcast(spark):
+    """The 256-row bucket-ratio table must broadcast back onto the token
+    stream — a shuffle join there would re-shuffle the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.text import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "de")],
+        "doc_id long, text string, lang string",
+    )
+    plan = dsir_logweights(
+        df, "text", "doc_id", F.col("lang") == "en"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
