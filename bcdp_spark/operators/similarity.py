@@ -259,3 +259,100 @@ def ivf_assign_df(
         .withColumn("ivf_cell", F.col("ivf_cell_raw").cast("int"))
         .drop("ivf_cell_raw")
     )
+
+
+def flat_sqdist(a: str, b: str, dim: int) -> Column:
+    """Unrolled left-associative squared L2 distance — same addition
+    order as a sequential fold, so the result is bit-identical to
+    DuckDB's ``list_sum(list_transform(range(...)))`` (verified) while
+    staying inside whole-stage codegen."""
+    return F.expr(
+        " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(dim)
+        )
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Join-based Lloyd k-means over an embedding column — the
+    clustering primitive behind SemDeDup-style semantic dedup and IVF
+    index training. Returns ``(assigned, centroids)``: ``assigned`` has
+    one row per vector with its final ``cell`` and squared distance
+    ``d2`` to the final centroid; ``centroids`` is the k-row centroid
+    table.
+
+    Determinism (the q_token_pagerank discipline, iterated and
+    oracle-twinnable): seeding is first-k-by-id (no rand()); every
+    assignment is an argmin over BIT-IDENTICAL doubles (unrolled
+    left-assoc squared L2 — see ``flat_sqdist``) with a lowest-cell
+    tiebreak; every centroid update is a DECIMAL(28,10)-exact
+    per-dimension sum divided by an exact count, cast back to double
+    once. Empty cells drop out of the centroid table (documented;
+    both engines agree).
+
+    Scale (100 TB): per iteration — one broadcast of the k-row centroid
+    table onto the vector stream (map-side argmin via min_by, no
+    shuffle of vectors beyond the id-grouped agg), one (cell, dim)-key
+    hash agg for the means (k*dim rows). Vectors are never all-pairs
+    joined; lineage grows O(n_iter) and iterations are few by design —
+    persist the assignment and pass ``n_iter`` in stages if you need
+    convergence loops.
+    """
+    from bcdp_spark.queries._helpers import DEC
+
+    emb = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cents = emb.filter(F.col("__vid") < k).select(
+        F.col("__vid").cast("int").alias("__cell"),
+        F.col("__v").alias("__c"),
+    )
+    assigned = None
+    for _ in range(n_iter):
+        paired = emb.join(F.broadcast(cents)).withColumn(
+            "__d", flat_sqdist("__v", "__c", dim)
+        )
+        assigned = paired.groupBy("__vid", "__v").agg(
+            F.min_by("__cell", F.struct("__d", "__cell")).alias("__cell"),
+        )
+        cents = (
+            assigned.select(
+                "__cell", F.posexplode("__v").alias("__i", "__x")
+            )
+            .groupBy("__cell", "__i")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast(DEC)).cast("double")
+                    / F.count("__x")
+                ).alias("__comp")
+            )
+            .groupBy("__cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__i", "__comp"))),
+                    lambda s: s["__comp"],
+                ).alias("__c")
+            )
+        )
+    out = (
+        assigned.join(F.broadcast(cents), "__cell")
+        .withColumn("__d2", flat_sqdist("__v", "__c", dim))
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("__cell").alias("cell"),
+            F.col("__d2").alias("d2"),
+        )
+    )
+    return out, cents.select(
+        F.col("__cell").alias("cell"), F.col("__c").alias("centroid")
+    )

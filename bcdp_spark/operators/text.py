@@ -212,3 +212,67 @@ def dsir_logweights(
             ),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed query-term set — the
+    ranking function retrieval-based curation (and contamination
+    triage) runs over a corpus. Per document d and query term t:
+
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Determinism: every per-term score is an identical double expression
+    tree in both engines (integer tf/dl/df/N inputs), rounded to 8
+    decimals and summed as DECIMAL(18,8) — the per-doc total
+    ``bm25_dec`` is EXACT, so ORDER BY it is engine-stable with no
+    float-ordering caveat.
+
+    Scale (100 TB): token explode is a map; dl and tf are hash aggs on
+    (doc) / (doc, term) keys; df and corpus stats are tiny broadcast
+    relations (|terms| rows, 1 row). No windows, no self-joins.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__tot")
+    )
+    tf = (
+        toks.filter(F.col("__tok").isin(*terms))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    j = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfq), "__tok")
+        .join(F.broadcast(st))
+    )
+    avgdl = F.col("__tot").cast("double") / F.col("__n_docs")
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        + 1.0
+    )
+    s = (
+        idf
+        * (F.col("__tf") * (k1 + 1.0))
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / avgdl))
+    )
+    return (
+        j.select(
+            F.col(id_col),
+            F.round(s, 8).cast("decimal(18,8)").alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("bm25_dec"))
+    )

@@ -169,3 +169,70 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(davg(F.col("x").cast("double"), "c"), 6).alias("c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X3+ (r4) — join-based Lloyd k-means (operators/similarity.py
+# lloyd_kmeans): the clustering step SemDeDup / IVF training runs over
+# embeddings, iterated fully in-plan and verified BIT-EXACTLY against a
+# DuckDB oracle that unrolls the same two iterations (the
+# q_token_pagerank discipline): first-k seeding, argmin over
+# bit-identical unrolled squared-L2 doubles, DECIMAL-exact mean updates.
+# ---------------------------------------------------------------------------
+def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    def sqd(va: str, cb: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({va}[i] - {cb}[i]) * ({va}[i] - {cb}[i])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e"
+        f" WHERE vec_id < {k})",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f", p{t} AS (SELECT e.vec_id, e.v, c.cell, {sqd('e.v', 'c.c')} AS d"
+            f" FROM e, c{t - 1} AS c)"
+            f", a{t} AS (SELECT vec_id, v, cell FROM"
+            f" (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cell) AS rn FROM p{t}) WHERE rn = 1)"
+            f", m{t} AS (SELECT cell, u.i AS i,"
+            f" CAST(CAST(SUM(CAST(v[u.i] AS DECIMAL(28,10))) AS VARCHAR)"
+            f" AS DOUBLE) / COUNT(*) AS comp"
+            f" FROM a{t}, UNNEST(range(1, {dim + 1})) AS u(i)"
+            f" GROUP BY cell, u.i)"
+            f", c{t} AS (SELECT cell, list(comp ORDER BY i) AS c"
+            f" FROM m{t} GROUP BY cell)"
+        )
+    n = n_iter
+    parts.append(
+        f", fin AS (SELECT a.vec_id, a.cell, {sqd('a.v', 'c.c')} AS d2"
+        f" FROM a{n} AS a JOIN c{n} AS c USING (cell))"
+        " SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id,"
+        " ROUND(CAST(CAST(SUM(CAST(d2 AS DECIMAL(28,10))) AS VARCHAR)"
+        " AS DOUBLE), 4) AS inertia"
+        " FROM fin GROUP BY cell"
+    )
+    return "".join(parts)
+
+
+@register("q_kmeans", oracle=_kmeans_oracle())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.similarity import lloyd_kmeans
+    from bcdp_spark.queries._helpers import DEC
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents = lloyd_kmeans(
+        emb, "embedding", "vec_id", k=4, n_iter=2, dim=64
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.round(F.sum(F.col("d2").cast(DEC)).cast("double"), 4).alias(
+            "inertia"
+        ),
+    )

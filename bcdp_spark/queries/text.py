@@ -603,3 +603,58 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         (F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r4) — BM25 retrieval scoring (operators/text.py bm25_scores):
+# rank the corpus against a fixed query-term set. The per-doc total is
+# an exact DECIMAL(18,8) sum of 8-dp-rounded per-term scores, so the
+# top-15 ORDER BY is engine-stable without float-ordering caveats.
+# ---------------------------------------------------------------------------
+@register(
+    "q_bm25",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, u.tok FROM documents,
+         UNNEST(string_split(text, ' ')) AS u(tok)
+  WHERE u.tok <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('hash', 'join', 'scan') GROUP BY doc_id, tok
+),
+dfq AS (SELECT tok, COUNT(*) AS dfv FROM tf GROUP BY tok),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln((st.n_docs - dfq.dfv + 0.5) / (dfq.dfv + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs))),
+         8) AS DECIMAL(18,8)) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN st
+),
+tot AS (SELECT doc_id, SUM(s) AS s_sum FROM sc GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(CAST(CAST(s_sum AS VARCHAR) AS DOUBLE), 4) AS bm25
+FROM tot ORDER BY s_sum DESC, doc_id LIMIT 15
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import bm25_scores
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    scored = bm25_scores(
+        docs, "text", "doc_id", ("hash", "join", "scan"), k1=1.2, b=0.75
+    )
+    return (
+        scored.orderBy(F.col("bm25_dec").desc(), F.col("doc_id"))
+        .limit(15)
+        .select(
+            "doc_id",
+            F.round(F.col("bm25_dec").cast("double"), 4).alias("bm25"),
+        )
+    )

@@ -1225,3 +1225,59 @@ def test_dsir_logweights_plan_is_broadcast(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lloyd_kmeans_recovers_planted_clusters(spark):
+    """Two tight planted clusters, seeds one-per-cluster: two Lloyd
+    iterations must assign every point to its plant and land centroids
+    on the exact decimal-mean of each plant."""
+    from bcdp_spark.operators.similarity import lloyd_kmeans
+
+    rows = []
+    for i in range(10):  # plant A near (0,0,...), ids 0,2,4,..
+        rows.append((2 * i, [0.0 + i * 0.01] * 8))
+    for i in range(10):  # plant B near (5,5,...), ids 1,3,5,..
+        rows.append((2 * i + 1, [5.0 + i * 0.01] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = lloyd_kmeans(
+        df, "embedding", "vec_id", k=2, n_iter=2, dim=8
+    )
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert all(got[v] == 0 for v in range(0, 20, 2))
+    assert all(got[v] == 1 for v in range(1, 20, 2))
+    c = {r["cell"]: r["centroid"] for r in cents.collect()}
+    assert abs(c[0][0] - 0.045) < 1e-9 and abs(c[1][0] - 5.045) < 1e-9
+
+
+def test_lloyd_kmeans_plan_broadcasts_centroids(spark):
+    """Centroid relations must reach the vector stream as broadcasts —
+    a shuffle join per iteration would re-shuffle the corpus k times."""
+    from bcdp_spark.operators.similarity import lloyd_kmeans
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, _ = lloyd_kmeans(df, "embedding", "vec_id", k=2, n_iter=2, dim=2)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_hand_computed(spark):
+    """Single-term query over a 2-doc corpus, hand-checked score."""
+    import math
+
+    from bcdp_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: float(r["bm25_dec"])
+        for r in bm25_scores(df, "text", "doc_id", ("x",)).collect()
+    }
+    # N=2, df=1, idf=ln((2-1+.5)/(1+.5)+1)=ln(2); tf=2, dl=3, avgdl=2.5
+    expect = math.log(2.0) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    assert out.keys() == {1}
+    assert abs(out[1] - round(expect, 8)) < 1e-8
