@@ -363,6 +363,11 @@ class Ensemble:
                 F.min(lat).alias("la0"), F.min(lon).alias("lo0")
             )
             la0, lo0 = agg.collect()[0]  # 1-row bounded collect
+            if la0 is None or lo0 is None:
+                raise ValueError(
+                    "regrid(method='bilinear') on an empty ensemble: no "
+                    "rows to derive the source grid origin from"
+                )
             dst = (
                 self.df.select(
                     F.floor(F.col(lat) / lat_res).alias("__i"),

@@ -466,6 +466,16 @@ def strip_duplicated_spans(
     _guard_reserved(
         df, ("__toks", "__g", "__gram", "__i", "__nd", "__pos", "__tok")
     )
+    # ``sep`` is used in THREE contexts: as a Java regex (F.split), as a
+    # literal join string, and inside a SQL string literal. A regex
+    # metacharacter ('|', '.', '+') or a quote would silently tokenize
+    # on the wrong boundaries (e.g. '|' splits between every character)
+    # while re-joining literally — garbage with no error. Guard loudly.
+    if len(sep) != 1 or sep in "\\.[]{}()*+?^$|'\"":
+        raise ValueError(
+            "sep must be a single literal character that is not a regex "
+            f"metacharacter or quote, got {sep!r}"
+        )
     t = df.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__toks"))
     grams = F.expr(
         f"CASE WHEN size(__toks) >= {k} THEN "

@@ -522,13 +522,22 @@ def conservative_regrid(
             )
         )
     ).alias("__di")
-    with_lat = src.select("*", dlat).withColumn(
-        "__wlat",
-        F.sin(F.radians(F.least(F.col("__l1"), (F.col("__di") + 1) * lat_res)))
-        - F.sin(
-            F.radians(F.greatest(F.col("__l0"), F.col("__di") * lat_res))
-        ),
-    ).filter(F.col("__wlat") > 1e-12)
+    # Empty-interval guard BEFORE the sin weight: the ceil() upper
+    # sequence bound over-reaches by one cell when __l1 sits on a cell
+    # boundary (e.g. clamped to 90), and sin is non-monotonic past the
+    # pole — sin(90°) - sin(92°) is POSITIVE, so without this guard a
+    # spurious beyond-the-pole destination row (dst_lat = 94 at 4°)
+    # would survive the weight filter. phi1 > phi0 is the actual
+    # overlap condition; the sin difference is then guaranteed > 0 for
+    # intervals inside [-90, 90].
+    phi1 = F.least(F.col("__l1"), (F.col("__di") + 1) * lat_res)
+    phi0 = F.greatest(F.col("__l0"), F.col("__di") * lat_res)
+    with_lat = (
+        src.select("*", dlat)
+        .filter(phi1 > phi0)
+        .withColumn("__wlat", F.sin(F.radians(phi1)) - F.sin(F.radians(phi0)))
+        .filter(F.col("__wlat") > 1e-12)
+    )
     dlon = (
         F.explode(
             F.sequence(
@@ -561,7 +570,16 @@ def conservative_regrid(
         .select(
             *keys,
             ((F.col("__di") + 0.5) * lat_res).alias(out_lat),
-            ((F.col("__ei") + 0.5) * lon_res).alias(out_lon),
+            # Canonical CF convention [-180, 180): the internal grid is
+            # anchored at 0 with wrap handling, so centers land in
+            # [0, 360); emitting them raw would silently change the
+            # longitude convention relative to the 'mean'/'bilinear'
+            # methods for the common [-180, 180) inputs. 180 maps to
+            # -180 (same meridian, canonical form).
+            (
+                F.pmod((F.col("__ei") + 0.5) * lon_res + 180.0, F.lit(360.0))
+                - 180.0
+            ).alias(out_lon),
             value_col,
             "n_src",
         )

@@ -11,7 +11,7 @@ lambdas). Hyperplanes are generated deterministically on the driver
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -313,8 +313,15 @@ def lloyd_kmeans(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    cents = emb.filter(F.col("__vid") < k).select(
-        F.col("__vid").cast("int").alias("__cell"),
+    # Seed = the k lowest-id vectors, cells numbered 0..k-1 in id order.
+    # TakeOrdered(k) then a k-row window — NOT filter(id < k), which
+    # silently under-seeds (or returns empty) on sparse / non-zero-based
+    # id spaces.
+    seeds = emb.orderBy("__vid").limit(k)
+    cents = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("__vid")) - 1
+        ).alias("__cell"),
         F.col("__v").alias("__c"),
     )
     assigned = None

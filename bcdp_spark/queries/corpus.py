@@ -1275,9 +1275,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4+ (r4) — per-domain document caps (the RefinedWeb/C4 "no domain may
 # dominate the corpus" rule): within each source, keep the top
 # ``cap`` documents by (n_chars DESC, doc_id) and account for the rest.
-# One hash-partitioned window (WindowGroupLimit pushes the rank filter
-# below the sort at scale, same plan family as q_window_topk) plus one
-# hash agg; shuffles carry (source) keys only.
+# One hash-partitioned window plus one hash agg (no WindowGroupLimit:
+# kept AND dropped rows feed the accounting, so the full ranking is
+# consumed by design). Scale caveat: domain cardinality drives the
+# partitioning — for a skewed mega-domain, pre-aggregate candidates
+# above the cap percentile (or rank only (domain, n_chars, doc_id)
+# triples, as here: the window input is 3 narrow columns, never text).
 # ---------------------------------------------------------------------------
 @register(
     "q_domain_cap",

@@ -834,6 +834,9 @@ lat_x AS (
   FROM cells c,
        UNNEST(range(CAST(FLOOR(c.l0 / 4.0) AS BIGINT),
                     CAST(CEIL(c.l1 / 4.0) AS BIGINT) + 1)) AS d(di)
+  -- empty-interval guard (sin is non-monotonic past the pole: the
+  -- clamped top band would otherwise emit a spurious dst_lat = 94 row)
+  WHERE LEAST(c.l1, (d.di + 1) * 4.0) > GREATEST(c.l0, d.di * 4.0)
 ),
 lon_x AS (
   SELECT lx.*, e.ei,
@@ -848,7 +851,9 @@ contrib AS (
   SELECT di, ei, wlat * wlon AS w, v FROM lon_x WHERE wlon > 1e-12
 )
 SELECT (di + 0.5) * 4.0 AS dst_lat,
-       (ei + 0.5) * 4.0 AS dst_lon,
+       -- canonical CF [-180, 180) longitude convention (operator
+       -- contract; 180 maps to -180)
+       ((ei + 0.5) * 4.0 + 180.0) % 360.0 - 180.0 AS dst_lon,
        ROUND(
          CAST(CAST(SUM(CAST(w * v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
          / CAST(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE),

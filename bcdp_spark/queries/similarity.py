@@ -189,8 +189,9 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
         " FROM embeddings),",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e"
-        f" WHERE vec_id < {k})",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f" AS INT) AS cell, v AS c FROM"
+        f" (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
     ]
     for t in range(1, n_iter + 1):
         parts.append(

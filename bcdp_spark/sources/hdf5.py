@@ -239,7 +239,8 @@ class H5File:
             flags = buf[addr + 5]
             pos = addr + 6
             if flags & 0x20:
-                pos += 8  # times
+                # four 4-byte times: access, modification, change, birth
+                pos += 16
             if flags & 0x10:
                 pos += 4  # max compact/dense attrs
             csize_bytes = 1 << (flags & 0x03)
@@ -967,6 +968,7 @@ def write_hdf5(
     shuffle: bool = False,
     v4_index: dict[str, str] | None = None,
     fa_page_bits: int = 10,
+    timed: bool = False,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
 
@@ -1094,7 +1096,7 @@ def write_hdf5(
             )
         for k, v in vattrs.items():
             msgs.append((0x0C, _attr_body(k, v)))
-        hdr = _object_header(msgs, profile)
+        hdr = _object_header(msgs, profile, timed=timed)
         var_hdr_addr[name] = alloc.put(hdr)
 
     # ---- root group
@@ -1165,12 +1167,20 @@ def write_hdf5(
     return alloc.render()
 
 
-def _object_header(msgs: list[tuple[int, bytes]], profile: str) -> bytes:
+def _object_header(
+    msgs: list[tuple[int, bytes]], profile: str, timed: bool = False
+) -> bytes:
     if profile == "v2":
         body = b""
         for mtype, mbody in msgs:
             body += struct.pack("<BHB", mtype, len(mbody), 0) + mbody
-        head = b"OHDR" + struct.pack("<BB", 2, 0x01)  # 2-byte chunk0 size
+        # flags: 0x01 = 2-byte chunk0 size; 0x20 adds the four 4-byte
+        # timestamps real libhdf5 emits with time tracking on (fixture
+        # knob so the reader's 16-byte skip stays regression-tested)
+        flags = 0x01 | (0x20 if timed else 0)
+        head = b"OHDR" + struct.pack("<BB", 2, flags)
+        if timed:
+            head += struct.pack("<IIII", 0, 0, 0, 0)
         head += struct.pack("<H", len(body))  # excludes prefix + checksum
         blob = head + body
         return blob + struct.pack("<I", lookup3(blob))

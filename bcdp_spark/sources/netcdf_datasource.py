@@ -334,6 +334,7 @@ class NetCDFReader(DataSourceReader):
         from bcdp_spark.sources.cfcal import times_to_timestamps
         from bcdp_spark.sources.netcdf import (
             _apply_fill,
+            _coord_or_raise,
             _h5_dims,
             _open_hdf5,
             _pick_var,
@@ -348,14 +349,24 @@ class NetCDFReader(DataSourceReader):
         ds = h5.datasets[var]
         t0 = 0 if partition.t0 < 0 else partition.t0
         t1 = ds.shape[0] if partition.t1 < 0 else partition.t1
-        tattrs = h5.datasets["time"].attrs
+        # CF alias resolution, same as the planner and the classic
+        # branch — ERA5-style valid_time/latitude/longitude names must
+        # survive the executor-side read, not just partition planning.
+        names = list(h5.datasets)
+        av = lambda n: h5.datasets[n].attrs  # noqa: E731
+        tname = _coord_or_raise("time", names, av)
+        tattrs = h5.datasets[tname].attrs
         times = times_to_timestamps(
-            np.asarray(h5.read("time", sel=(slice(t0, t1),)), dtype=float),
+            np.asarray(h5.read(tname, sel=(slice(t0, t1),)), dtype=float),
             str(tattrs.get("units", "days since 1970-01-01")),
             str(tattrs.get("calendar", "standard")),
         )
-        lats = np.asarray(h5.read("lat"), dtype=float)
-        lons = np.asarray(h5.read("lon"), dtype=float)
+        lats = np.asarray(
+            h5.read(_coord_or_raise("lat", names, av)), dtype=float
+        )
+        lons = np.asarray(
+            h5.read(_coord_or_raise("lon", names, av)), dtype=float
+        )
         sel = (slice(t0, t1),) + tuple(
             slice(0, s) for s in ds.shape[1:]
         )

@@ -355,3 +355,62 @@ def test_mixed_classic_and_hdf5_manifest(spark, tmp_path):
     assert {r["name"]: r["count"] for r in rows} == {"a.nc": 12, "b.nc": 12}
     s = df.groupBy("name").sum("value").collect()
     assert {r[0]: r[1] for r in s} == {"a.nc": 66.0, "b.nc": 66.0}
+
+
+def test_netcdf_dsv2_era5_alias_names(spark, tmp_path):
+    """Regression: the DSv2 HDF5 read path must resolve CF coordinate
+    aliases (valid_time/latitude/longitude) exactly like the planner
+    and the classic branch — previously partitions() planned fine and
+    every task then crashed on hardcoded 'time'/'lat'/'lon' lookups."""
+    from bcdp_spark.sources.netcdf_datasource import register_netcdf_source
+
+    data = np.arange(6 * 2 * 2, dtype="<f8").reshape(6, 2, 2)
+    p = str(tmp_path / "era5.nc")
+    with open(p, "wb") as fh:
+        fh.write(
+            write_hdf5(
+                {
+                    "valid_time": (
+                        ["valid_time"],
+                        np.arange(6, dtype="<f8"),
+                        {"units": "hours since 2001-01-01"},
+                    ),
+                    "latitude": (
+                        ["latitude"],
+                        np.array([-10.0, 10.0]),
+                        {"units": "degrees_north"},
+                    ),
+                    "longitude": (
+                        ["longitude"],
+                        np.array([0.0, 90.0]),
+                        {"units": "degrees_east"},
+                    ),
+                    "t2m": (["valid_time", "latitude", "longitude"], data, {}),
+                },
+                chunk={"t2m": (3, 2, 2)},
+            )
+        )
+    register_netcdf_source(spark)
+    df = spark.read.format("netcdf").load(p)
+    got = df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    assert tuple(got) == (data.size, round(float(data.sum()), 6))
+    assert set(df.columns) == {"name", "time", "lat", "lon", "value"}
+
+
+def test_ohdr_v2_timestamps_skipped(spark_noop=None):
+    """v2 object headers with the times flag carry FOUR 4-byte
+    timestamps (access/mod/change/birth = 16 bytes); the reader must
+    skip all of them — an 8-byte skip reads the chunk0 size early and
+    garbles every following message (regression)."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    data = np.arange(12, dtype="<f8").reshape(3, 4)
+    raw = write_hdf5(
+        {"x": (["a", "b"], data, {"units": "K"})},
+        profile="v2",
+        timed=True,
+    )
+    h5 = H5File(raw)
+    assert h5.datasets["x"].shape == (3, 4)
+    assert h5.datasets["x"].attrs["units"] == "K"
+    np.testing.assert_array_equal(h5.read("x"), data)

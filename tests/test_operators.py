@@ -1079,7 +1079,8 @@ def test_conservative_regrid_wrap_seam(spark):
         (r["dst_lat"], r["dst_lon"]): r["value"]
         for r in conservative_regrid(df, 2.0, 2.0, 1.0, 1.0).collect()
     }
-    assert (11.0, 359.0) in got and (11.0, 1.0) in got
+    # output longitudes are canonical [-180, 180): 359 -> -1
+    assert (11.0, -1.0) in got and (11.0, 1.0) in got
     assert all(v == 7.0 for v in got.values())
 
 
@@ -1281,3 +1282,35 @@ def test_bm25_hand_computed(spark):
     expect = math.log(2.0) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
     assert out.keys() == {1}
     assert abs(out[1] - round(expect, 8)) < 1e-8
+
+
+def test_lloyd_kmeans_sparse_ids_still_seed_k(spark):
+    """Seeding is first-k-BY-ID, not id<k: a corpus whose ids start at
+    1000 must still get k seeded cells (regression: the old filter
+    produced an empty centroid table and a silently empty result)."""
+    from bcdp_spark.operators.similarity import lloyd_kmeans
+
+    rows = [(1000 + i, [float(i % 2) * 5.0, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = lloyd_kmeans(
+        df, "embedding", "vec_id", k=2, n_iter=1, dim=2
+    )
+    assert assigned.count() == 12
+    assert {r["cell"] for r in cents.collect()} == {0, 1}
+
+
+def test_conservative_regrid_no_beyond_pole_cells(spark):
+    """Regression (r4 self-review): a source cell clamped at the pole
+    must NOT emit a beyond-the-pole destination row — sin is
+    non-monotonic past 90 deg, so sin(90)-sin(92) is positive and the
+    weight filter alone cannot catch the ceil() over-reach."""
+    from bcdp_spark.operators.regrid import conservative_regrid
+
+    df = spark.createDataFrame(
+        [("m", 89.25, 10.0, 2.0), ("m", -89.25, 10.0, 2.0)],
+        "name string, lat double, lon double, value double",
+    )
+    rows = conservative_regrid(df, 4.0, 4.0, 1.5, 1.5).collect()
+    lats = {r["dst_lat"] for r in rows}
+    assert all(-90.0 <= la <= 90.0 for la in lats), lats
+    assert all(r["value"] == 2.0 for r in rows)

@@ -18,6 +18,10 @@ _KEYS = (
     "q_seasonal_cycle",    # integer-exact rolling windows
     "q_sim_knn",           # global top-k with tiebreak
     "q_doc_repetition",    # struct-argmax + joins
+    # r4 late flagships — iterated float argmins and decimal log sums
+    "q_kmeans",            # argmin over bit-identical doubles, decimal means
+    "q_dsir_weights",      # decimal-exact log-ratio sums
+    "q_bm25",              # exact-decimal ranked top-k
 )
 
 

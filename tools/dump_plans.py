@@ -50,6 +50,11 @@ HEADLINE = (
     "q_span_dedup",
     "q_conservative_regrid",
     "q_bilinear_regrid",
+    # round-4 late — data-selection / clustering / retrieval flagships
+    "q_dsir_weights",
+    "q_kmeans",
+    "q_bm25",
+    "q_domain_cap",
 )
 
 

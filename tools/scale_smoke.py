@@ -205,6 +205,19 @@ def ops(spark, sf_dir):
         ).strip_duplicated_spans(docs, "text", "doc_id")
             .agg(F.sum(F.length("cleaned_text")), F.sum("n_removed"))
             .collect()),
+        # r4 late: DSIR importance weights — token explode (map) +
+        # 256-key bucket agg + broadcast ratio join + per-doc agg; all
+        # shuffles carry doc ids or 2-char buckets, linear in tokens.
+        "dsir_weights": t(lambda: _q("q_dsir_weights")(spark, sf_dir)
+                          .agg(F.sum("n_tokens"), F.sum("log_weight"))
+                          .collect()),
+        # r4 late: Lloyd k-means (2 iterations, k=4) — per iteration one
+        # broadcast of the k-row centroid table + one (cell, dim) agg;
+        # vector rows stream map-side, linear in vectors.
+        "kmeans": t(lambda: _q("q_kmeans")(spark, sf_dir).collect()),
+        # r4 late: BM25 — token explode + (doc)/(doc,term) hash aggs +
+        # two tiny broadcasts; linear in tokens.
+        "bm25": t(lambda: _q("q_bm25")(spark, sf_dir).collect()),
     }
 
 
