@@ -698,3 +698,46 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "user_id", "n_events", F.col("seq").rlike("s[^e]*p").alias("funnel_clean")
     )
+
+
+# V+ (r4) — one-pass data profiler: the per-column quality report every
+# ingestion pipeline runs before accepting a batch (null counts, exact
+# distincts, range, and an exact decimal mean for the numeric column).
+# One scan, one agg — multi-column profiling stays a SINGLE hash
+# aggregate (Spark evaluates the count_distincts via expand), never a
+# per-column pass. Profiled over events: the one fixture with real
+# NULLs, so the filled-count is informative.
+# ---------------------------------------------------------------------------
+@register(
+    "q_profile",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(value) AS value_filled,
+       COUNT(DISTINCT user_id) AS user_card,
+       COUNT(DISTINCT event_type) AS type_card,
+       CAST(epoch(MIN(ts)) AS BIGINT) AS min_ts_s,
+       CAST(epoch(MAX(ts)) AS BIGINT) AS max_ts_s,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(value) AS avg_value
+FROM events
+""",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("value_filled"),
+        F.count_distinct("user_id").alias("user_card"),
+        F.count_distinct("event_type").alias("type_card"),
+        F.unix_timestamp(F.min("ts")).alias("min_ts_s"),
+        F.unix_timestamp(F.max("ts")).alias("max_ts_s"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / F.count("value")
+        ).alias("avg_value"),
+    )

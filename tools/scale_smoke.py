@@ -420,6 +420,14 @@ def main():
             "  is covered — the covered-position set and the left_anti",
             "  survivors both stay linear in rows; no sort on the gram",
             "  path (array_sort only re-orders each doc's kept tokens).",
+            "- **dsir_weights**: token stream scales 10x and so do the",
+            "  (doc, bucket) join rows; the 256-row ratio table and its",
+            "  broadcast are constant-size. Near-linear is expected and",
+            "  measured; the sub-10x slack is fixed planning overhead.",
+            "- **kmeans / bm25**: centroid/stat relations are constant-",
+            "  size broadcasts; per-iteration work is one map pass over",
+            "  vectors (kmeans) or tokens (bm25) — ratios well under",
+            "  linear because fixed overhead dominates at this scale.",
         ]
         lines += _density_section(spark)
         body = "\n".join(lines)
