@@ -39,6 +39,13 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
+    # A right row with NULL `on` can never be a nearest-in-time match,
+    # but under ascending NULLS-FIRST ordering it would sort before
+    # every real row and be carried into left rows that have NO true
+    # predecessor (verified). pandas.merge_asof raises on null keys;
+    # dropping them matches its "no match" outcome.
+    right = right.filter(F.col(on).isNotNull())
+
     by = list(by)
     lcols = left.columns
     rcols = [c for c in right.columns if c not in by and c != on]

@@ -44,12 +44,23 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # loop invariant: every iteration's neighbor join (and every
+        # convergence count) re-reads this relation — persist it once,
+        # same discipline as pagerank's edge/node/out-weight frames
+        .persist()
     )
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn(
             "label", F.col("node")
         )
     )
+    try:
+        return _cc_loop(sym, labels, max_iter, checkpoint_every)
+    finally:
+        sym.unpersist()
+
+
+def _cc_loop(sym, labels, max_iter, checkpoint_every):
     for i in range(max_iter):
         # each node's new label: min over (own label, neighbors' labels)
         from_nbrs = (
@@ -72,7 +83,9 @@ def connected_components(
             new_labels.join(hop, new_labels["label"] == hop["__ln"])
             .select("node", F.col("__ll").alias("label"))
         )
-        if (i + 1) % checkpoint_every == 0:
+        # checkpoint_every=0 disables checkpointing (the pagerank
+        # convention) rather than dividing by zero
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         # doubling makes rounds logarithmic; check convergence every
         # other round to halve the count-job overhead

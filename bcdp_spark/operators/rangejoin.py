@@ -86,8 +86,17 @@ def bin_interval_join(
         for c in iv_cols
     ]
     matched_pts = matched.select(*points.columns).distinct()
-    unmatched = points.join(
-        matched_pts, on=list(points.columns), how="left_anti"
+    # NULL-SAFE anti-join condition: name-list equality is EqualTo,
+    # under which NULL = NULL is not true — a matched point row with a
+    # NULL column would survive the anti join and come back a second
+    # time null-extended (verified failure mode).
+    p, m = points.alias("__p"), matched_pts.alias("__m")
+    cond = None
+    for c in points.columns:
+        eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    unmatched = p.join(m, on=cond, how="left_anti").select(
+        *[F.col(f"__p.{c}").alias(c) for c in points.columns]
     )
     return matched.unionByName(unmatched.select("*", *null_iv))
 

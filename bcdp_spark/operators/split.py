@@ -45,7 +45,12 @@ def _thresholds(weights: Sequence[tuple[str, float]]) -> list[tuple[str, str]]:
             raise ValueError(
                 f"weight for {name!r} rounds to zero buckets (min 1/256)"
             )
-        out.append((name, format(hi, "02x")))
+        # hi == 256 has no 2-hex-char representation — format(256) would
+        # yield the 3-char '100', and '100' compared lexicographically
+        # against 2-char prefixes sorts between '0f' and '10', silently
+        # mis-assigning ~93% of rows. 256 means "everything": use the
+        # same above-'ff' sentinel the final threshold uses.
+        out.append((name, "g" if hi >= 256 else format(hi, "02x")))
         prev = hi
     # last threshold covers the full space regardless of rounding drift
     out[-1] = (out[-1][0], "g")  # 'g' > 'ff' lexicographically

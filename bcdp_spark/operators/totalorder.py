@@ -50,9 +50,18 @@ def global_row_number(
     of which must be ``range_col``, numeric within ~[lo, hi]) plus the
     total row count — one aggregate + one partitioned window, no
     single-partition exchange on the fact table."""
-    rid = F.width_bucket(
-        F.col(range_col).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_ranges)
-    ).alias("__rid")
+    # NULL range values get bucket -1 (global order = NULLS FIRST, the
+    # SQL ascending default) and NaN gets the after-last bucket (Spark
+    # sorts NaN above every double); width_bucket returns NULL for both,
+    # which would crash the driver-side sort below (None vs int) and
+    # then F.lit(None) — verified failure mode.
+    c = F.col(range_col).cast("double")
+    rid = (
+        F.when(c.isNull(), F.lit(-1))
+        .when(F.isnan(c), F.lit(n_ranges + 2))
+        .otherwise(F.width_bucket(c, F.lit(lo), F.lit(hi), F.lit(n_ranges)))
+        .alias("__rid")
+    )
     fact = df.withColumn("__rid", rid)
 
     # bounded collect: ≤ n_ranges+2 (rid, count) rows of metadata

@@ -55,6 +55,28 @@ def _is_gregorian(calendar: str) -> bool:
     )
 
 
+_KNOWN_CALENDARS = (
+    "standard", "gregorian", "proleptic_gregorian", "",
+    "360_day", "noleap", "365_day", "all_leap", "366_day",
+)
+
+
+def _check_calendar(calendar: str) -> None:
+    """Unknown calendars must raise, not silently decode as proleptic
+    Gregorian: 'julian' (leap every 4 years, no century rule) would be
+    days off per century, and a typo like 'no_leap' would silently get
+    Gregorian leap days. NOTE the documented simplification: 'standard'
+    is decoded as PROLEPTIC Gregorian — for epochs/dates before the
+    1582 Julian->Gregorian transition this differs from cftime's mixed
+    calendar by the transition gap (canonical-mapping contract, module
+    docstring)."""
+    if calendar.lower() not in _KNOWN_CALENDARS:
+        raise ValueError(
+            f"unsupported CF calendar {calendar!r} (supported: "
+            f"{[c for c in _KNOWN_CALENDARS if c]})"
+        )
+
+
 def _month_lengths(calendar: str, year: int) -> list[int]:
     c = calendar.lower()
     if c in ("360_day",):
@@ -129,6 +151,7 @@ def num2date(
 ) -> list[CFDate]:
     """CF numeric time → calendar dates, by integer day/second walking.
     Works for negative offsets (before the epoch) too."""
+    _check_calendar(calendar)
     per_unit, (ey, em, ed, eh, emin, es) = parse_units(units)
     out: list[CFDate] = []
     for v in np.asarray(values, dtype="float64"):
@@ -161,14 +184,22 @@ def times_to_timestamps(
     values: np.ndarray | list[float], units: str, calendar: str = "standard"
 ) -> pd.DatetimeIndex:
     """Vector decode straight to canonical timestamps. For Gregorian
-    calendars this is exact epoch arithmetic (vectorized, no walking)."""
+    calendars this is exact epoch arithmetic (vectorized, no walking);
+    old epochs whose intermediate Timestamp/Timedelta would overflow the
+    pandas nanosecond range (e.g. CESM's ``days since 0001-01-01``)
+    fall back to the integer-walking path, which only needs the FINAL
+    date to be representable."""
+    _check_calendar(calendar)
     if _is_gregorian(calendar):
-        per_unit, (ey, em, ed, eh, emin, es) = parse_units(units)
-        base = pd.Timestamp(
-            year=ey, month=em, day=ed, hour=eh, minute=emin, second=es
-        )
-        secs = np.round(np.asarray(values, dtype="float64") * per_unit)
-        return base + pd.to_timedelta(secs, unit="s")
+        try:
+            per_unit, (ey, em, ed, eh, emin, es) = parse_units(units)
+            base = pd.Timestamp(
+                year=ey, month=em, day=ed, hour=eh, minute=emin, second=es
+            )
+            secs = np.round(np.asarray(values, dtype="float64") * per_unit)
+            return base + pd.to_timedelta(secs, unit="s")
+        except (pd.errors.OutOfBoundsDatetime, OverflowError, ValueError):
+            pass  # epoch or offset outside ns range: walk instead
     return pd.DatetimeIndex(
         [d.to_timestamp() for d in num2date(values, units, calendar)]
     )

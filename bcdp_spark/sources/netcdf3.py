@@ -117,6 +117,8 @@ class _Reader:
         raw = self.take(_pad4(nelems * size))[: nelems * size]
         if nc_type == 2:  # NC_CHAR attr → str
             return raw.decode("utf-8", "replace")
+        if nelems == 0:  # legal per the att_list BNF
+            return []
         arr = np.frombuffer(raw, dtype=dt)
         return arr.tolist() if nelems > 1 else arr[0].item()
 
@@ -303,6 +305,23 @@ def write_netcdf3(
         )
         vsize = _pad4(per_rec_count * _TYPES[nct][1])
         var_entries.append((name, vdims, arr, vattrs, nct, vsize, is_rec))
+
+    # Classic-format special case: a SINGLE record variable of type
+    # char/byte/short uses NO padding between records — netCDF-C both
+    # writes the unpadded vsize and derives the record stride from this
+    # rule, so a padded vsize here would make real readers misread
+    # every record after the first. (Our reader's single-record-var
+    # stride comes from the header vsize, so it follows either form.)
+    rec_idx = [i for i, e in enumerate(var_entries) if e[6]]
+    if len(rec_idx) == 1:
+        i = rec_idx[0]
+        name, vdims, arr, vattrs, nct, _vs, is_rec = var_entries[i]
+        if nct in (1, 2, 3):  # NC_BYTE, NC_CHAR, NC_SHORT
+            per_rec = int(np.prod(arr.shape[1:], dtype=np.int64))
+            var_entries[i] = (
+                name, vdims, arr, vattrs, nct,
+                per_rec * _TYPES[nct][1], is_rec,
+            )
 
     header = _MAGIC + bytes([version]) + struct.pack(NN, numrecs)
     header += struct.pack(">I", _NC_DIMENSION) + struct.pack(NN, len(dim_names))

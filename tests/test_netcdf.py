@@ -722,3 +722,58 @@ def test_load_netcdf_vars_multi_variable(spark, tmp_path):
     assert sorted(pdf.name.unique()) == ["pr", "tas"]
     assert len(pdf) == 24
     assert pdf[pdf.name == "tas"].value.sum() == 3 * pdf[pdf.name == "pr"].value.sum()
+
+
+def test_netcdf3_single_short_record_var_unpadded(spark, tmp_path):
+    """Classic-format special case: a single char/byte/short record
+    variable uses NO padding between records (netCDF-C derives the
+    stride from this rule, so padded files would misread from record 1
+    on). Writer must emit the unpadded vsize; reader roundtrips."""
+    from bcdp_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    vals = np.arange(6, dtype=np.int16)  # 1 value/record -> 2 bytes/rec
+    raw = write_netcdf3(
+        dims={"t": 6},
+        variables={"x": (["t"], vals, {})},
+        record_dim="t",
+    )
+    nc = read_netcdf3(raw)
+    assert nc.variables["x"].vsize == 2  # unpadded
+    np.testing.assert_array_equal(np.asarray(nc.variables["x"].data), vals)
+
+
+def test_netcdf3_zero_element_attribute(spark):
+    """A numeric attribute with nelems=0 is legal classic NetCDF; the
+    value decoder must return an empty list, not IndexError (which the
+    header-retry loop does not catch)."""
+    from bcdp_spark.sources.netcdf3 import _Reader
+
+    r = _Reader(b"")
+    assert r.values(4, 0) == []   # NC_INT, zero elements
+    assert r.values(6, 0) == []   # NC_DOUBLE, zero elements
+
+
+def test_cfcal_old_epoch_standard_calendar(spark):
+    """CESM-style 'days since 0001-01-01' standard-calendar units used
+    to crash the vectorized Gregorian path (pandas ns-range overflow);
+    it now falls back to integer walking. Proleptic-Gregorian mapping
+    (documented canonical form)."""
+    from bcdp_spark.sources.cfcal import times_to_timestamps
+
+    ts = times_to_timestamps(
+        [730000.0], "days since 0001-01-01 00:00:00", "standard"
+    )
+    assert str(ts[0]).startswith("1999-09-04")
+
+
+def test_cfcal_unknown_calendar_raises(spark):
+    """'julian' (and typos like 'no_leap') must raise, not silently
+    decode with proleptic-Gregorian leap rules (days-off corruption)."""
+    import pytest as _pytest
+
+    from bcdp_spark.sources.cfcal import num2date, times_to_timestamps
+
+    with _pytest.raises(ValueError, match="unsupported CF calendar"):
+        num2date([59.0], "days since 1900-01-01", "julian")
+    with _pytest.raises(ValueError, match="unsupported CF calendar"):
+        times_to_timestamps([1.0], "days since 2000-01-01", "no_leap")

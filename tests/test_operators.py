@@ -1314,3 +1314,87 @@ def test_conservative_regrid_no_beyond_pole_cells(spark):
     lats = {r["dst_lat"] for r in rows}
     assert all(-90.0 <= la <= 90.0 for la in lats), lats
     assert all(r["value"] == 2.0 for r in rows)
+
+
+# ------------------------------------------------- r4 self-review batch 2
+def test_hash_split_full_weight_threshold(spark):
+    """Regression: a split whose cumulative weight rounds to 256 has no
+    2-hex-char representation — format(256,'02x')='100' compared
+    lexicographically against 2-char prefixes mis-assigned ~93% of rows
+    to the ZERO-weight split."""
+    from bcdp_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = hash_split(df, "id", (("train", 1.0), ("val", 0.0)))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"train": 500}
+
+
+def test_bin_interval_join_left_null_point_column(spark):
+    """Regression: NULL in a point column must not duplicate the
+    matched row null-extended (the anti join needs null-safe equality)."""
+    from bcdp_spark.operators.rangejoin import bin_interval_join
+
+    pts = spark.createDataFrame(
+        [(5, None), (50, "x")], "t long, note string"
+    )
+    iv = spark.createDataFrame([(0, 10, 7)], "lo long, hi long, promo long")
+    rows = bin_interval_join(
+        pts, iv, "t", "lo", "hi", bin_width=10.0, how="left"
+    ).collect()
+    assert len(rows) == 2
+    by_t = {r["t"]: r for r in rows}
+    assert by_t[5]["promo"] == 7      # matched once, not duplicated
+    assert by_t[50]["promo"] is None  # unmatched -> null-extended
+
+
+def test_global_row_number_null_and_nan_range(spark):
+    """Regression: NULL/NaN in the range column crashed the driver-side
+    offset sort; now NULLs take the first positions (SQL NULLS FIRST)
+    and NaNs the last (Spark sorts NaN above every double)."""
+    from bcdp_spark.operators.totalorder import global_row_number
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0), (4, float("nan"))],
+        "id long, x double",
+    )
+    out = {
+        r["id"]: r["rn"]
+        for r in global_row_number(
+            df, ["x", "id"], "x", 0.0, 10.0, n_ranges=4
+        ).collect()
+    }
+    assert out[2] == 1          # NULL first
+    assert out[3] == 2 and out[1] == 3
+    assert out[4] == 4          # NaN last
+
+
+def test_asof_join_null_right_timestamp(spark):
+    """Regression: a right row with NULL `on` sorted NULLS-FIRST and was
+    carried as a spurious match for left rows with no true predecessor."""
+    from bcdp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2020-01-01 00:00:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", None, 99.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert len(rows) == 1 and rows[0]["v_right"] is None
+
+
+def test_connected_components_checkpoint_disabled(spark):
+    """checkpoint_every=0 means 'disabled' (the pagerank convention),
+    not ZeroDivisionError."""
+    from bcdp_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, checkpoint_every=0).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
