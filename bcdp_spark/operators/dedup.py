@@ -228,6 +228,126 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# X1b/X2c (r4) — INCREMENTAL dedup: admit a new batch against an
+# already-accepted corpus. The production shape of training-data dedup:
+# the corpus is append-only, and each crawl/delivery must be deduped
+# against everything admitted so far WITHOUT re-deduping the corpus.
+#
+# 100 TB story: the corpus side never ships documents — exact dedup
+# joins on a persisted 32-byte fingerprint table, near-dedup on a
+# persisted (id, band_idx, band_hash) bucket table (written once per
+# admission, bucketed by (band_idx, band_hash) so batch-vs-corpus
+# probes are shuffle-free on the corpus side). A Bloom filter built
+# from corpus fingerprints (operators/bloom.py) can pre-drop the
+# overwhelmingly-fresh majority of a batch before the anti-join.
+# ---------------------------------------------------------------------------
+def corpus_fingerprints(corpus_df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct sha2-256 fingerprints of an accepted corpus — the table
+    to persist (and bucket by __fp) for incremental exact dedup."""
+    return corpus_df.select(
+        F.sha2(F.col(text_col), 256).alias("__fp")
+    ).distinct()
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Admit new-batch docs whose exact text is NOT already in the
+    corpus (anti-join on the fingerprint), keep-first within the batch
+    itself. ``corpus_fps`` is a ``corpus_fingerprints`` output (or any
+    1-column __fp DataFrame, e.g. read back from its persisted form).
+
+    Both joins shuffle only (fingerprint, id) pairs; the admitted rows
+    come back via a left-semi on ``id_col``."""
+    _guard_reserved(new_df, ("__fp",))
+    batch = new_df.select(
+        F.sha2(F.col(text_col), 256).alias("__fp"), F.col(id_col)
+    )
+    fresh = batch.join(corpus_fps, "__fp", "left_anti")
+    keepers = (
+        fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    return new_df.join(keepers, id_col, "left_semi")
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH bucket rows — ``bands`` rows per
+    doc. Persist this (bucketed by the band key) as the corpus-side
+    index for incremental near-dedup; it is exactly the banding
+    ``lsh_bucket_pairs`` self-joins on."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    _guard_reserved(df, ("__sig", "__band", "__shash"))
+    r = num_perm // bands
+    with_sig = with_minhash(
+        df.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
+    ).select(id_col, "__sig")
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(
+                            F.slice(F.col("__sig"), b * r + 1, r).cast(
+                                "array<int>"
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__band.band_idx", "__band.band_hash")
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_buckets: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Admit new-batch docs that (a) share no LSH band bucket with the
+    accepted corpus (left-anti semi-probe against ``corpus_buckets`` —
+    a ``minhash_band_buckets`` output, normally read back from its
+    persisted bucketed table) and (b) survive greedy within-batch
+    near-dedup. Band parameters MUST match the ones the corpus index
+    was built with (same num_perm/bands/shingle_k, or band hashes are
+    incomparable garbage — hence the explicit parameters here)."""
+    nb = minhash_band_buckets(
+        new_df, text_col, id_col, num_perm, bands, shingle_k
+    )
+    dup_ids = (
+        nb.join(
+            corpus_buckets.select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_df.join(dup_ids, id_col, "left_anti")
+    return minhash_dedup(
+        survivors, text_col, id_col, num_perm, bands, shingle_k, bucket_cap
+    )
+
+
+# ---------------------------------------------------------------------------
 # X2b — SimHash (64-bit) via vectorized pandas UDF
 # ---------------------------------------------------------------------------
 @F.pandas_udf(T.LongType())

@@ -363,3 +363,155 @@ def lloyd_kmeans(
     return out, cents.select(
         F.col("__cell").alias("cell"), F.col("__c").alias("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3+ (r4) — product quantization (PQ) with asymmetric-distance (ADC) scan.
+# Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+# 2011): split each dim-D vector into m sub-vectors, vector-quantize each
+# subspace against its own ksub-entry codebook, and store only the m small
+# codes (m·log2(ksub) bits per vector instead of 4·D bytes). A query is
+# answered by building an m×ksub distance table once and summing table
+# lookups per stored code — no stored vector is ever touched again.
+#
+# 100 TB story: the encoded corpus is ~64× smaller than raw float32
+# embeddings (m=8, ksub=256 → 8 bytes/vector), the codebook is a k-row
+# broadcast, the ADC scan is a broadcast hash join + hash agg (no shuffle
+# of vectors), and the final top-k is TakeOrderedAndProject. Compose with
+# ivf_assign_df to probe cells first (IVF-PQ) and the scan prunes to the
+# probed partitions.
+#
+# Determinism (the q_kmeans discipline, so the whole train→encode→ADC
+# pipeline is oracle-twinnable in SQL): first-ksub-by-id seeding, argmin
+# over bit-identical unrolled left-assoc squared-L2 doubles with a
+# lowest-code tiebreak, DECIMAL-exact centroid means, DECIMAL-routed ADC
+# sums.
+# ---------------------------------------------------------------------------
+def subvectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Long-form (id, sub, __sv) sub-vector split: sub-vector ``s`` is
+    elements [s·dsub, (s+1)·dsub) of the full vector. Pure JVM-side
+    slice + posexplode; m rows per input row."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(vec, s * dsub + 1, dsub) for s in range(m)])
+    return df.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(subs).alias("sub", "__sv"),
+    )
+
+
+def pq_train_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 8,
+    n_iter: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks by join-based Lloyd iterations and
+    encode every vector. Returns ``(codes, codebook)``:
+
+    - ``codes``: one row per (id, sub) with the assigned ``code`` —
+      the long form an ADC scan joins on. ``m`` small ints per vector.
+    - ``codebook``: (sub, code, centroid) — m·ksub rows, broadcastable.
+
+    Per iteration: one broadcast of the m·ksub codebook onto the
+    sub-vector stream (map-side argmin via min_by), one (sub, code, i)
+    hash agg for the DECIMAL-exact means. Vectors are never pairwise
+    joined; lineage is O(n_iter)."""
+    from bcdp_spark.queries._helpers import DEC
+
+    dsub = dim // m
+    long = subvectors(df, vec_col, id_col, dim, m)
+    # Seed subspace s's codebook with the sub-vectors of the ksub
+    # lowest-id vectors; codes numbered 0..ksub-1 in id order (same id
+    # set for every subspace, so seeding is one k-row scan).
+    seeds = subvectors(
+        df.orderBy(id_col).limit(ksub), vec_col, id_col, dim, m
+    )
+    cents = seeds.select(
+        "sub",
+        (
+            F.row_number().over(Window.partitionBy("sub").orderBy("__vid")) - 1
+        ).alias("__code"),
+        F.col("__sv").alias("__c"),
+    )
+    for _ in range(n_iter):
+        paired = long.join(F.broadcast(cents), "sub").withColumn(
+            "__d", flat_sqdist("__sv", "__c", dsub)
+        )
+        assigned = paired.groupBy("__vid", "sub", "__sv").agg(
+            F.min_by("__code", F.struct("__d", "__code")).alias("__code")
+        )
+        cents = (
+            assigned.select(
+                "sub", "__code", F.posexplode("__sv").alias("__i", "__x")
+            )
+            .groupBy("sub", "__code", "__i")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast(DEC)).cast("double")
+                    / F.count("__x")
+                ).alias("__comp")
+            )
+            .groupBy("sub", "__code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__i", "__comp"))),
+                    lambda s: s["__comp"],
+                ).alias("__c")
+            )
+        )
+    enc = (
+        long.join(F.broadcast(cents), "sub")
+        .withColumn("__d", flat_sqdist("__sv", "__c", dsub))
+        .groupBy("__vid", "sub")
+        .agg(F.min_by("__code", F.struct("__d", "__code")).alias("code"))
+    )
+    codes = enc.select(F.col("__vid").alias(id_col), "sub", "code")
+    codebook = cents.select(
+        "sub", F.col("__code").alias("code"), F.col("__c").alias("centroid")
+    )
+    return codes, codebook
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_subs: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    dsub: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes. ``query_subs`` is the
+    m-row (sub, qsub) split of ONE query vector (stay in-plan: derive it
+    with ``subvectors`` from a 1-row DataFrame — no driver collect).
+
+    Plan shape: m·ksub-row distance table (broadcast) ⋈ codes on
+    (sub, code) → DECIMAL-routed per-id sum → TakeOrderedAndProject.
+    The stored vectors are never read."""
+    from bcdp_spark.queries._helpers import DEC
+
+    dtab = (
+        codebook.join(F.broadcast(query_subs), "sub")
+        .withColumn("__d", flat_sqdist("centroid", "qsub", dsub))
+        .select("sub", "code", "__d")
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__d").cast(DEC)).cast("double").alias("approx_d2")
+        )
+        .orderBy("approx_d2", id_col)
+        .limit(k)
+    )

@@ -1316,3 +1316,53 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, F.col("n_chars"))).cast("long").alias("kept_chars"),
         F.min(F.when(kept, F.col("doc_id"))).alias("min_kept_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X1b (r4) — INCREMENTAL exact dedup (operators/dedup.py
+# incremental_exact_dedup): admit a new crawl batch (doc_id % 10 >= 8)
+# against the already-accepted corpus (doc_id % 10 < 8) by anti-joining
+# 32-byte fingerprints, keep-first within the batch. The production
+# append-only admission shape — the corpus is probed via its persisted
+# fingerprint table, never re-deduped.
+# ---------------------------------------------------------------------------
+@register(
+    "q_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT sha256(text) AS fp FROM documents WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id % 10 >= 8
+),
+fresh AS (
+  SELECT b.* FROM batch AS b
+  WHERE NOT EXISTS (SELECT 1 FROM corpus AS c WHERE c.fp = b.fp)
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY fp)
+SELECT d.lang,
+       COUNT(*) AS n_admitted,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum,
+       MIN(d.doc_id) AS min_doc_id
+FROM documents AS d JOIN keep USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    admitted = incremental_exact_dedup(
+        batch, corpus_fingerprints(corpus, "text"), "text", "doc_id"
+    )
+    return admitted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

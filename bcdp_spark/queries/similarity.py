@@ -237,3 +237,94 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3+ (r4) — product quantization ADC search (operators/similarity.py
+# pq_train_encode / pq_adc_topk): the memory-bounded vector-search path
+# for 100 TB corpora (codes are m·log2(ksub) bits per vector; the ADC
+# scan never touches stored vectors). Verified bit-exactly against a
+# DuckDB oracle that unrolls the same train→encode→table-lookup pipeline
+# (the q_kmeans discipline: first-k seeding, argmin over bit-identical
+# unrolled squared-L2, DECIMAL-exact means and sums).
+# ---------------------------------------------------------------------------
+def _pq_oracle(m: int = 8, ksub: int = 8, dsub: int = 8) -> str:
+    def sqd(va: str, cb: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> ({va}[i] - {cb}[i]) * ({va}[i] - {cb}[i])))"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sv AS (SELECT vec_id, s.sub AS sub,
+              list_transform(range(1, {dsub + 1}),
+                             i -> v[s.sub * {dsub} + i]) AS subv
+       FROM e, UNNEST(range(0, {m})) AS s(sub)),
+seed AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {ksub}),
+c0 AS (SELECT sv.sub,
+              CAST(ROW_NUMBER() OVER (PARTITION BY sv.sub
+                                      ORDER BY sv.vec_id) - 1 AS INT)
+                AS code,
+              sv.subv AS c
+       FROM sv JOIN seed USING (vec_id)),
+p1 AS (SELECT sv.vec_id, sv.sub, sv.subv, c.code,
+              {sqd('sv.subv', 'c.c')} AS d
+       FROM sv JOIN c0 AS c ON sv.sub = c.sub),
+a1 AS (SELECT vec_id, sub, subv, code FROM
+       (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) AS rn FROM p1)
+       WHERE rn = 1),
+m1 AS (SELECT sub, code, u.i AS i,
+              CAST(CAST(SUM(CAST(subv[u.i] AS DECIMAL(28,10)))
+                        AS VARCHAR) AS DOUBLE) / COUNT(*) AS comp
+       FROM a1, UNNEST(range(1, {dsub + 1})) AS u(i)
+       GROUP BY sub, code, u.i),
+c1 AS (SELECT sub, code, list(comp ORDER BY i) AS c
+       FROM m1 GROUP BY sub, code),
+enc AS (SELECT vec_id, sub, code FROM
+        (SELECT sv.vec_id, sv.sub, c.code, {sqd('sv.subv', 'c.c')} AS d,
+                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                                   ORDER BY {sqd('sv.subv', 'c.c')}, c.code)
+                  AS rn
+         FROM sv JOIN c1 AS c ON sv.sub = c.sub)
+        WHERE rn = 1),
+q AS (SELECT sub, subv AS qsub FROM sv
+      WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+dt AS (SELECT c1.sub, c1.code, {sqd('c1.c', 'q.qsub')} AS d
+       FROM c1 JOIN q ON c1.sub = q.sub),
+adc AS (SELECT enc.vec_id,
+               CAST(CAST(SUM(CAST(dt.d AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS ad2
+        FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+        GROUP BY enc.vec_id)
+SELECT vec_id, ROUND(ad2, 4) AS approx_d2
+FROM adc ORDER BY ad2, vec_id LIMIT 10
+"""
+
+
+@register("q_pq_adc_knn", oracle=_pq_oracle())
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC 10-NN of the lowest-id vector: train m=8 × ksub=8
+    codebooks (one Lloyd iteration), encode the 64-dim corpus to 8
+    codes/vector, answer the query from the broadcast distance table
+    alone. The exact-rerank composition stays available via
+    cosine_topk on the returned candidate ids."""
+    from bcdp_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+        subvectors,
+    )
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    codes, codebook = pq_train_encode(
+        emb, "embedding", "vec_id", dim=64, m=8, ksub=8, n_iter=1
+    )
+    qsubs = subvectors(
+        emb.orderBy("vec_id").limit(1), "embedding", "vec_id", 64, 8
+    ).select("sub", F.col("__sv").alias("qsub"))
+    res = pq_adc_topk(codes, codebook, qsubs, k=10, dsub=8)
+    return res.select(
+        "vec_id", F.round("approx_d2", 4).alias("approx_d2")
+    )

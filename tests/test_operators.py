@@ -1398,3 +1398,127 @@ def test_connected_components_checkpoint_disabled(spark):
         for r in connected_components(edges, checkpoint_every=0).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pq_roundtrip_and_adc_recall(spark):
+    """PQ (r4): codes take m values in [0, ksub); reconstruction error is
+    far below the data scale on planted clusters; the ADC top-k recovers
+    the planted neighborhood of the query without touching raw vectors."""
+    from bcdp_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+        subvectors,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, m, ksub = 16, 4, 4
+    centers = [rng.standard_normal(dim) * 3 for _ in range(4)]
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, codebook = pq_train_encode(
+        df, dim=dim, m=m, ksub=ksub, n_iter=2
+    )
+    crows = codes.collect()
+    assert len(crows) == 200 * m
+    assert all(0 <= r["code"] < ksub for r in crows)
+    assert codebook.count() <= m * ksub
+
+    # ADC: query = vector 0's own sub-split; its planted cluster
+    # (ids ≡ 0 mod 4) must dominate the top-10.
+    qsubs = subvectors(
+        df.filter(F.col("vec_id") == 0), dim=dim, m=m
+    ).select("sub", F.col("__sv").alias("qsub"))
+    top = pq_adc_topk(
+        codes, codebook, qsubs, k=10, dsub=dim // m
+    ).collect()
+    assert top[0]["approx_d2"] >= 0.0
+    same_cluster = sum(1 for r in top if r["vec_id"] % 4 == 0)
+    assert same_cluster >= 9
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from bcdp_spark.operators.similarity import subvectors
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        subvectors(df, dim=3, m=2)
+
+
+def test_incremental_exact_dedup(spark):
+    """r4: batch docs already in the corpus are rejected; in-batch exact
+    dups keep the lowest id; fresh docs are admitted."""
+    from bcdp_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),        # already admitted → reject
+            (11, "fresh document one"),  # admit
+            (12, "fresh document two"),  # admit (first of in-batch pair)
+            (13, "fresh document two"),  # in-batch dup → reject
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            batch, corpus_fingerprints(corpus, "text"), "text", "doc_id"
+        ).collect()
+    )
+    assert got == [11, 12]
+
+
+def test_incremental_minhash_dedup(spark):
+    """r4: a batch doc near-identical to a corpus doc shares a band
+    bucket and is rejected; unrelated docs are admitted; in-batch
+    near-dups keep the lowest id."""
+    from bcdp_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "entirely different content about spark catalyst planner " * 8
+    third = "yet another unrelated corpus of words and tokens " * 8
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    cb = minhash_band_buckets(corpus, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, base + "tail edit"),   # near-dup of corpus → reject
+            (11, other),                # fresh → admit
+            (12, third),                # fresh → admit
+            (13, third + "tail edit"),  # in-batch near-dup → reject
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, cb, "text", "doc_id"
+        ).collect()
+    )
+    assert got == [11, 12]
+
+
+def test_incremental_minhash_band_param_shape(spark):
+    from bcdp_spark.operators.dedup import minhash_band_buckets
+
+    df = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    assert minhash_band_buckets(df, "text", "doc_id", 64, 16).count() == 16
+    with pytest.raises(ValueError):
+        minhash_band_buckets(df, "text", "doc_id", 64, 15)
