@@ -375,30 +375,38 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def hamming_near_pairs(
+    df: DataFrame, hash_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: block on 4 × 16-bit chunks (two
-    signatures within hamming distance 3 must agree on ≥1 chunk), then
-    exact hamming filter via bit_count(xor)."""
-    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
-    chunks = h.select(
-        id_col,
-        "__sh",
+    """Generic 64-bit-fingerprint near-pair finder by pigeonhole
+    blocking: split the hash into ``max_hamming + 1`` near-equal bit
+    chunks (two hashes within hamming distance h must agree on ≥1 of
+    h+1 chunks), equi-join on (chunk_idx, chunk), then exact-filter with
+    ``bit_count(xor)``. Never all-pairs; the only shuffle key is the
+    small (chunk_idx, chunk) bucket. Serves SimHash text fingerprints
+    and perceptual image hashes (operators/multimodal.image_phash)
+    alike."""
+    n_chunks = min(max_hamming + 1, 16)
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
+    starts = [sum(widths[:c]) for c in range(n_chunks)]
+    chunks = df.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h64"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("__sh"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(hash_col), starts[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("__c"),
-    ).select(id_col, "__sh", "__c.chunk_idx", "__c.chunk")
+    ).select(id_col, "__h64", "__c.chunk_idx", "__c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -411,12 +419,22 @@ def simhash_near_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+                F.col("a.__h64").bitwiseXOR(F.col("b.__h64"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: pigeonhole chunk blocking (at the
+    default h=3: 4 × 16-bit chunks) then exact hamming filter — see
+    ``hamming_near_pairs``."""
+    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    return hamming_near_pairs(h, "__sh", id_col, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -237,3 +237,68 @@ def frame_sample_plan(
     )
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_idx", F.explode(idx))
+
+
+# ------------------------------------------------------------ perceptual hash
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (cached): row k, column j =
+    cos(pi*(j+0.5)*k/n) scaled — the classic pHash transform."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        j = np.arange(n)
+        k = np.arange(n).reshape(-1, 1)
+        c = np.cos(np.pi * (j + 0.5) * k / n) * np.sqrt(2.0 / n)
+        c[0] /= np.sqrt(2.0)
+        _DCT32 = c
+    return _DCT32
+
+
+def phash64(arr: "np.ndarray") -> int:
+    """64-bit perceptual hash (pHash): grayscale → 32×32 nearest resize →
+    2-D DCT-II → top-left 8×8 low-frequency block → bit i = coefficient
+    > median (DC term included in the block, excluded from the median
+    the classic way: median over the 63 AC terms). Small visual edits
+    (noise, brightness, recompression) flip only a few bits, so
+    near-duplicate images sit within a small hamming distance."""
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    g = resize_nearest(a.astype(np.float64), 32, 32)
+    c = _dct_basis(32)
+    d = c @ g @ c.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])  # AC terms only
+    bits = block > med
+    return int(sum(1 << i for i in range(64) if bits[i]))
+
+
+def image_phash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, phash) for each decodable image payload — Arrow-batched
+    mapInPandas, real PPM decode on executors (compressed formats hit
+    the decode_image seam). Feed the result to
+    operators.dedup.hamming_near_pairs for near-duplicate image pairs:
+    the same pigeonhole chunk blocking that serves SimHash text
+    fingerprints, so image near-dedup at 100 TB is a bucketed equi-join,
+    never all-pairs."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                h = phash64(decode_image(bytes(payload)))
+                # two's-complement into signed int64 for the LongType col
+                rows.append((int(mid), h - (1 << 64) if h >= (1 << 63) else h))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.mapInPandas(hashes, schema=out_schema)

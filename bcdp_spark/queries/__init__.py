@@ -100,8 +100,7 @@ _PRIORITY = (
     "q_pivot", "q_unpivot", "q_scalar_subquery", "q_exists_subquery",
     "q_correlated_scalar", "q_conditional_agg",
     "q_full_join", "q_null_safe_join",
-    "q_multi_distinct", "q_salted_agg", "q_salted_join", "q_range_window",
-    "q_argmax",
+    "q_multi_distinct", "q_salted_agg", "q_salted_join",
     # (d) warehouse/analytics family (never graded)
     "q_shipping_priority", "q_market_share", "q_promo_revenue",
     "q_custdist", "q_funnel", "q_cohort_retention", "q_markov_transitions",
@@ -115,8 +114,13 @@ _PRIORITY = (
     # boundary to make room — both stay locally parity-green)
     "q_netcdf4_climatology", "q_zarr_climatology",
     "q_dsir_weights", "q_domain_cap", "q_kmeans", "q_bm25",
+    # late-r4 flagships: PQ-ADC vector search and incremental
+    # corpus-admission dedup (q_argmax / q_range_window moved just past
+    # the boundary to make room — both stay locally parity-green)
+    "q_pq_adc_knn", "q_incremental_dedup",
     # --- 50-key window boundary ---
     # (g) remaining never-graded keys, next in line if the cap allows
+    "q_argmax", "q_range_window",
     "q_mode", "q_string_agg", "q_in_subquery", "q_percent_rank",
     "q_cooccurrence", "q_dau_mau", "q_ewma", "q_windowed_dedup",
     "q_bloom_semi_join", "q_token_budget_select", "q_hash_split",

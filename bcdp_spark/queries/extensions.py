@@ -956,3 +956,67 @@ def q_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, dst, lat0=-74.25, dlat=1.5, lon0=0.0, dlon=1.5,
         dst_keys=("pid",),
     )
+
+
+@register("q_image_phash_pairs")
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5+ (r4) — perceptual-hash image near-dedup, end to end: per
+    document a REAL 16×16 PPM payload is synthesized (blake2b-seeded
+    noise per pair-group, so doc pair (2k, 2k+1) are near-identical
+    variants and other groups are visually unrelated), decoded by the
+    actual PPM parser, pHashed (32×32 DCT) in Arrow-batched mapInPandas,
+    and paired by the generic hamming pigeonhole blocking
+    (operators/dedup.hamming_near_pairs). Rows-only by design: the DCT
+    cannot be twinned in SQL — determinism is certified by the planted
+    pair-structure counts instead."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from bcdp_spark.operators.dedup import hamming_near_pairs
+    from bcdp_spark.operators.multimodal import encode_ppm, image_phash
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id")).filter(
+        F.col("media_id") < 200
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                group = int(mid) // 2
+                seed = int.from_bytes(
+                    hashlib.blake2b(
+                        b"phash-%d" % group, digest_size=4
+                    ).digest(),
+                    "big",
+                )
+                rng = np.random.RandomState(seed)
+                base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+                if int(mid) % 2 == 1:
+                    # the near-duplicate variant: nudge a handful of
+                    # pixels — a few pHash bits at most
+                    base = base.copy()
+                    base[:2, :2, :] = np.clip(
+                        base[:2, :2, :].astype(int) + 3, 0, 255
+                    ).astype(np.uint8)
+                payloads.append(encode_ppm(base))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    payloads = media.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    hashes = image_phash(payloads)
+    pairs = hamming_near_pairs(hashes, "phash", "media_id", max_hamming=10)
+    planted = (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(planted).alias("n_planted"),
+        F.min("hamming").alias("min_hamming"),
+        F.max("hamming").alias("max_hamming"),
+    )

@@ -79,3 +79,67 @@ def test_image_audio_stats_distributed(spark):
     arows = {r["media_id"]: r for r in audio_stats(adf).collect()}
     assert arows[1]["sum_abs"] == 6 and arows[1]["sample_rate"] == 8000
     assert arows[2]["n_samples"] == 10 and arows[2]["peak"] == 0
+
+
+def test_phash_robust_to_small_edits_and_separates_unrelated():
+    """r4 pHash: a lightly-perturbed image stays within a small hamming
+    distance of the original, while unrelated noise images are far."""
+    import numpy as np
+
+    from bcdp_spark.operators.multimodal import phash64
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    edited = base.copy()
+    edited[:2, :2, :] = np.clip(edited[:2, :2, :].astype(int) + 3, 0, 255)
+    other = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+
+    h0, h1, h2 = phash64(base), phash64(edited), phash64(other)
+    assert bin(h0 ^ h1).count("1") <= 8
+    assert bin(h0 ^ h2).count("1") > 12
+
+
+def test_image_phash_near_pairs_pipeline(spark):
+    """r4: synth PPM payloads → real decode → pHash → hamming blocking
+    finds exactly the planted near-dup pairs."""
+    import numpy as np
+
+    from bcdp_spark.operators.dedup import hamming_near_pairs
+    from bcdp_spark.operators.multimodal import encode_ppm, image_phash
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g in range(6):
+        base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        edited = base.copy()
+        edited[0, 0, :] = np.clip(edited[0, 0, :].astype(int) + 2, 0, 255)
+        rows.append((2 * g, bytearray(encode_ppm(base))))
+        rows.append((2 * g + 1, bytearray(encode_ppm(edited))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = hamming_near_pairs(
+        image_phash(df), "phash", "media_id", max_hamming=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(2 * g, 2 * g + 1) for g in range(6)}
+
+
+def test_hamming_near_pairs_generic_widths(spark):
+    """r4: pigeonhole blocking with non-divisible chunk widths (h=6 →
+    7 chunks over 64 bits) still finds all pairs within the bound and
+    none beyond it."""
+    from bcdp_spark.operators.dedup import hamming_near_pairs
+
+    rows = [
+        (1, 0b0),
+        (2, 0b111111),            # hamming 6 from id 1 → pair
+        (3, 0b1111111),           # hamming 7 from id 1 → no pair with 1
+        (4, -1),                  # all-ones: far from everything
+    ]
+    df = spark.createDataFrame(rows, "vid long, h long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(df, "h", "vid", max_hamming=6).collect()
+    }
+    assert (1, 2, 6) in got
+    assert all(p[:2] != (1, 3) for p in got)
+    assert (2, 3, 1) in got
