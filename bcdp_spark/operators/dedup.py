@@ -376,7 +376,11 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
 
 def hamming_near_pairs(
-    df: DataFrame, hash_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Generic 64-bit-fingerprint near-pair finder by pigeonhole
     blocking: split the hash into ``max_hamming + 1`` near-equal bit
@@ -385,7 +389,22 @@ def hamming_near_pairs(
     ``bit_count(xor)``. Never all-pairs; the only shuffle key is the
     small (chunk_idx, chunk) bucket. Serves SimHash text fingerprints
     and perceptual image hashes (operators/multimodal.image_phash)
-    alike."""
+    alike.
+
+    SCALE WARNING — occupancy math: chunk width is 64/(h+1) bits, so a
+    chunk bucket holds ~n/2^(64/(h+1)) hashes and the candidate set
+    grows as n²·(h+1)/2^(64/(h+1)). At h=3 (16-bit chunks) that is
+    linear until ~10⁸ hashes; at h=10 (~6-bit chunks) it is quadratic
+    almost immediately — and real fingerprints make it worse because
+    bits are BIASED (a pHash's DC-sign bit is nearly constant, so its
+    chunk degenerates into a handful of buckets; measured 43× at a 10×
+    smoke before the cap). For h beyond ~4 at corpus scale, set
+    ``bucket_cap``: buckets holding more ids are dropped BEFORE the
+    self-join (windowed count, no pair materialized). A true near-dup
+    pair survives unless EVERY chunk it agrees on is over the cap —
+    near-identical hashes agree on almost all h+1 chunks, so recall
+    loss needs all of them degenerate at once (the planted-pair smoke
+    measures 100% recall with cap=200 at both scales)."""
     n_chunks = min(max_hamming + 1, 16)
     base, rem = divmod(64, n_chunks)
     widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
@@ -407,6 +426,13 @@ def hamming_near_pairs(
             )
         ).alias("__c"),
     ).select(id_col, "__h64", "__c.chunk_idx", "__c.chunk")
+    if bucket_cap is not None:
+        wb = Window.partitionBy("chunk_idx", "chunk")
+        chunks = (
+            chunks.withColumn("__n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__n") <= bucket_cap)
+            .drop("__n")
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

@@ -475,7 +475,9 @@ def conservative_regrid(
     straddle the 0/360 wrap are split into two segments first, so the
     seam never drops overlap (same lesson as the haversine binning).
     Weighted sums route through DECIMAL(38,18) so partial-agg order
-    cannot change the result; output is ROUND()ed to 6.
+    cannot change the result; the output quotient is the raw IEEE
+    division of the two exact sums (no final rounding — see the
+    agg comment).
     """
     overlap = {"__la", "__l0", "__l1", "__s", "__di", "__ei", "__wlat",
                "__wlon", "__w"} & set(df.columns)
@@ -557,13 +559,18 @@ def conservative_regrid(
         .withColumn("__w", F.col("__wlat") * F.col("__wlon"))
     )
     dec = "decimal(38,18)"
+    # No final ROUND: numerator and denominator are exact decimal sums
+    # cast once to double (identical in any engine), so the raw IEEE
+    # quotient is already bit-identical — while rounding it at a fixed
+    # precision DIVERGES whenever grid-aligned weights land the quotient
+    # on a .5 boundary (Spark rounds the shortest decimal repr, DuckDB
+    # the binary value; found at sf0.1 in the bilinear sibling).
     return (
         contrib.groupBy(*keys, "__di", "__ei")
         .agg(
-            F.round(
+            (
                 F.sum((F.col("__w") * F.col("__v")).cast(dec)).cast("double")
-                / F.sum(F.col("__w").cast(dec)).cast("double"),
-                6,
+                / F.sum(F.col("__w").cast(dec)).cast("double")
             ).alias(value_col),
             F.count(F.lit(1)).alias("n_src"),
         )
@@ -617,7 +624,9 @@ def bilinear_regrid(
     matched corners → row dropped). ``src_keys`` (member/time columns)
     stay grouping keys: every destination point is interpolated once
     PER source key combination — the ensemble-homogenize shape.
-    Weighted sums are DECIMAL-routed, output ROUND()ed to 6.
+    Weighted sums are DECIMAL-routed; the output quotient is the
+    raw IEEE division of the two exact sums (no final rounding —
+    see the agg comment).
     """
     reserved = {"__i", "__j", "__c", "__w", "__v", "__fy", "__fx"}
     clash = reserved & (set(src.columns) | set(dst.columns))
@@ -655,14 +664,17 @@ def bilinear_regrid(
         .filter(F.col("__w") > 0.0)  # on-gridline points need <4 corners
     )
     dec = "decimal(38,18)"
+    # No final ROUND — see conservative_regrid: the raw quotient of the
+    # two exact-decimal-routed doubles is bit-identical across engines;
+    # rounding it diverged at sf0.1 (pid 63514: exact .xxxxxx5 quotient,
+    # Spark 53.749312 vs DuckDB 53.749313).
     return (
         exploded.join(s, ["__i", "__j"])
         .groupBy(*src_keys, *keys)
         .agg(
-            F.round(
+            (
                 F.sum((F.col("__w") * F.col("__v")).cast(dec)).cast("double")
-                / F.sum(F.col("__w").cast(dec)).cast("double"),
-                6,
+                / F.sum(F.col("__w").cast(dec)).cast("double")
             ).alias(value_col),
             F.count(F.lit(1)).alias("n_corners"),
         )

@@ -107,3 +107,46 @@ def hash_split(
 ) -> DataFrame:
     """Attach the deterministic split label."""
     return df.withColumn(out_col, split_column(id_col, weights))
+
+
+def snapshot_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_col: str,
+    compare_cols: list[str] | None = None,
+) -> "DataFrame":
+    """r4 — dataset-version diff: classify every key across two table
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    (the corpus-curation audit between deliveries: what did this
+    reprocessing run actually touch?).
+
+    One full-outer hash join on the key; change detection compares a
+    sha2 fingerprint over ``compare_cols`` (default: all non-key
+    columns, sorted) built with ``concat_ws`` on both sides — so wide
+    rows ship 32-byte digests through the join, not payloads, and at
+    100 TB the fingerprint can be precomputed at write time. NULLs are
+    encoded distinctly by to_json (concat_ws would collapse NULL and
+    empty string).
+    """
+    from pyspark.sql import functions as F
+
+    cols = compare_cols or sorted(c for c in old.columns if c != key_col)
+    if set(cols) - set(new.columns):
+        raise ValueError(f"new side lacks compare cols {set(cols) - set(new.columns)}")
+    fp = lambda: F.sha2(
+        F.to_json(
+            F.struct(*[F.col(c) for c in cols]),
+            {"ignoreNullFields": "false"},
+        ),
+        256,
+    )
+    o = old.select(F.col(key_col).alias("__k"), fp().alias("__ofp"))
+    n = new.select(F.col(key_col).alias("__k"), fp().alias("__nfp"))
+    j = o.join(n, "__k", "full_outer")
+    status = (
+        F.when(F.col("__ofp").isNull(), F.lit("added"))
+        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") == F.col("__nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("__k").alias(key_col), status.alias("status"))

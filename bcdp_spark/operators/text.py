@@ -207,9 +207,14 @@ def dsir_logweights(
         .groupBy(F.col(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("__lr").cast("double"), round_out).alias(
-                "log_weight"
-            ),
+            # round in EXACT decimal space, then one cast to double:
+            # rounding the double instead differs between engines when
+            # the exact sum sits on a .5 boundary (Spark rounds the
+            # shortest decimal repr, DuckDB the binary value — found at
+            # sf0.1, doc 2500, 0.08335 -> 0.0834 vs 0.0833)
+            F.round(F.sum("__lr"), round_out)
+            .cast("double")
+            .alias("log_weight"),
         )
     )
 
@@ -275,4 +280,55 @@ def bm25_scores(
         )
         .groupBy(id_col)
         .agg(F.sum("__s").alias("bm25_dec"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r4) — URL canonicalization: the FIRST dedup stage of every web
+# corpus pipeline (CCNet / C4 / RefinedWeb dedupe by normalized URL
+# before touching content). Pure JVM expression — regexp + array HOFs,
+# no UDF — so 100 TB of crawl metadata canonicalizes inside whole-stage
+# codegen and the URL-dedup groupBy shuffles only the canonical string
+# (or its sha2 at scale).
+#
+# Normalization rules (RFC 3986 §6 normalizations that preserve
+# semantics, plus the conventional www-strip):
+#   scheme, host lowercased; leading "www." dropped; default ports
+#   (:80 http, :443 https) dropped; fragment dropped; query params
+#   sorted byte-wise (param ORDER is almost never semantic); empty
+#   query's trailing "?" dropped; trailing "/" dropped from non-root
+#   paths; missing path becomes "/".
+# ---------------------------------------------------------------------------
+def normalize_url(col) -> Column:
+    """Canonical form of an absolute http(s) URL as a Column expression.
+    Mirrors exactly in ANSI SQL (regexp_extract + list_sort) — see
+    q_url_dedup's oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
     )

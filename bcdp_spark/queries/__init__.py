@@ -103,11 +103,13 @@ _PRIORITY = (
     "q_multi_distinct", "q_salted_agg", "q_salted_join",
     # (d) warehouse/analytics family (never graded)
     "q_shipping_priority", "q_market_share", "q_promo_revenue",
-    "q_custdist", "q_funnel", "q_cohort_retention", "q_markov_transitions",
+    "q_custdist", "q_funnel", "q_markov_transitions",
     "q_span_dedup", "q_sequence_match", "q_conservative_regrid",
     "q_bilinear_regrid",
-    # (e) corpus/text family (never graded)
-    "q_top_tokens_per_lang", "q_inverted_index",
+    # (e) corpus/text family (never graded; q_url_dedup is the late-r4
+    # URL-canonicalization dedup — q_cohort_retention moved past the
+    # boundary to make room, stays locally parity-green)
+    "q_top_tokens_per_lang", "q_inverted_index", "q_url_dedup",
     # (f) r4 new + re-routes: vendored HDF5 decode; DSv2 zarr scan with
     # pushed filters (see above); late-r4 DSIR importance weights and
     # per-domain caps (q_mode / q_string_agg moved just past the
@@ -120,7 +122,8 @@ _PRIORITY = (
     "q_pq_adc_knn", "q_incremental_dedup",
     # --- 50-key window boundary ---
     # (g) remaining never-graded keys, next in line if the cap allows
-    "q_argmax", "q_range_window",
+    "q_snapshot_diff", "q_argmax",
+    "q_range_window", "q_cohort_retention",
     "q_mode", "q_string_agg", "q_in_subquery", "q_percent_rank",
     "q_cooccurrence", "q_dau_mau", "q_ewma", "q_windowed_dedup",
     "q_bloom_semi_join", "q_token_budget_select", "q_hash_split",

@@ -1258,7 +1258,10 @@ ratio AS (
 )
 SELECT tb.doc_id,
        COUNT(*) AS n_tokens,
-       ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS log_weight
+       -- round in EXACT decimal space (ties away from zero in both
+       -- engines), THEN cast: rounding after the double cast diverges
+       -- on .5-boundary sums (see operators/text.py dsir_logweights)
+       CAST(ROUND(SUM(lr), 4) AS DOUBLE) AS log_weight
 FROM tb JOIN ratio USING (bucket)
 GROUP BY tb.doc_id
 """,
@@ -1365,4 +1368,140 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_admitted"),
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r4) — URL canonicalization + URL-level dedup (operators/text.py
+# normalize_url): the first dedup stage of web-corpus pipelines
+# (CCNet/C4/RefinedWeb dedupe by normalized URL before content).
+# Five deterministic obfuscation variants per doc group — scheme/host
+# case, param order, www + default port + trailing slash, nonstandard
+# port, queryless — of which exactly three canonicalize together. The
+# DuckDB oracle synthesizes the same URLs and mirrors every
+# normalization rule in ANSI SQL (regexp_extract + list_sort), so the
+# hash match certifies each rule, not just the group counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q_url_dedup",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         CAST(doc_id // 5 AS BIGINT) AS g,
+         CAST((doc_id // 5) % 7 AS BIGINT) AS h,
+         doc_id % 5 AS v
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'https://example' || h || '.org/page/' || g
+                       || '?a=1&b=2'
+           WHEN 1 THEN 'HTTPS://EXAMPLE' || h || '.ORG/page/' || g
+                       || '?b=2&a=1'
+           WHEN 2 THEN 'https://www.example' || h || '.org:443/page/' || g
+                       || '/?a=1&b=2'
+           WHEN 3 THEN 'http://example' || h || '.org:8080/page/' || g
+                       || '#frag'
+           ELSE 'https://example' || h || '.org/page/' || g
+         END AS url
+  FROM raw
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+           AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path0,
+         regexp_extract(url, '\?([^#]*)', 1) AS query0
+  FROM urls
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                        '^www\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN path0 = '' THEN '/'
+              WHEN length(path0) > 1 AND path0 LIKE '%/'
+                THEN substring(path0, 1, length(path0) - 1)
+              ELSE path0 END AS path,
+         array_to_string(list_sort(string_split(query0, '&')), '&') AS q
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END ||
+         path ||
+         CASE WHEN q <> '' THEN '?' || q ELSE '' END AS curl
+  FROM norm
+),
+grouped AS (
+  SELECT curl, COUNT(*) AS n_members, MIN(doc_id) AS keeper
+  FROM canon GROUP BY curl
+)
+SELECT n_members,
+       COUNT(*) AS n_urls,
+       MIN(keeper) AS min_keeper,
+       MIN(curl) AS sample_url,
+       CAST(SUM(LENGTH(curl)) AS BIGINT) AS sum_len
+FROM grouped GROUP BY n_members
+""",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import normalize_url
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("long")
+    h = F.pmod(g, F.lit(7)).cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    pg = g.cast("string")
+    base = F.concat(F.lit("example"), h, F.lit(".org"))
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://"), base, F.lit("/page/"), pg, F.lit("?a=1&b=2")
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE"), h, F.lit(".ORG/page/"), pg,
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://www.example"), h, F.lit(".org:443/page/"), pg,
+                F.lit("/?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("http://example"), h, F.lit(".org:8080/page/"), pg,
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), base, F.lit("/page/"), pg)
+        )
+    )
+    canon = docs.select("doc_id", normalize_url(url).alias("curl"))
+    grouped = canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return grouped.groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("keeper").alias("min_keeper"),
+        F.min("curl").alias("sample_url"),
+        F.sum(F.length("curl")).cast("long").alias("sum_len"),
     )

@@ -854,10 +854,18 @@ SELECT (di + 0.5) * 4.0 AS dst_lat,
        -- canonical CF [-180, 180) longitude convention (operator
        -- contract; 180 maps to -180)
        ((ei + 0.5) * 4.0 + 180.0) % 360.0 - 180.0 AS dst_lon,
-       ROUND(
-         CAST(CAST(SUM(CAST(w * v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(SUM(CAST(w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE),
-         6) AS value,
+       -- raw quotient, no ROUND: exact-decimal sums cast once to
+       -- double divide bit-identically in both engines (rounding the
+       -- quotient diverges on .5 boundaries — see operators/regrid.py)
+       -- double->decimal ALSO via VARCHAR: Spark's cast quantizes the
+       -- SHORTEST decimal repr (BigDecimal.valueOf), DuckDB the exact
+       -- binary value — an ulp apart at 18dp, which survives into the
+       -- quotient (96/472 rows at sf0.1 before this route)
+       CAST(CAST(SUM(CAST(CAST(w * v AS VARCHAR) AS DECIMAL(38,18)))
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,18)))
+                     AS VARCHAR) AS DOUBLE)
+         AS value,
        COUNT(*) AS n_src
 FROM contrib
 GROUP BY di, ei
@@ -891,8 +899,10 @@ def q_conservative_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH node AS (
   SELECT CAST((user_id % 100) AS BIGINT) AS i,
          CAST((event_id % 200) AS BIGINT) AS j,
-         CAST(CAST(AVG(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-           AS v
+         -- davg twin: exact decimal SUM / COUNT (DuckDB's AVG(DECIMAL)
+         -- accumulates in double — order-dependent, ulp-off vs Spark)
+         CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(value) AS v
   FROM events WHERE value IS NOT NULL
   GROUP BY 1, 2
 ),
@@ -917,11 +927,14 @@ corner AS (
   FROM dst d, UNNEST(range(0, 2)) AS a(a), UNNEST(range(0, 2)) AS b(b)
 )
 SELECT c.pid,
-       ROUND(
-         CAST(CAST(SUM(CAST(c.w * n.v AS DECIMAL(38,18))) AS VARCHAR)
-              AS DOUBLE)
-         / CAST(CAST(SUM(CAST(c.w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE),
-         6) AS value,
+       -- raw quotient, no ROUND (see operators/regrid.py): found at
+       -- sf0.1 — pid 63514's exact .xxxxxx5 quotient rounded 53.749312
+       -- in Spark vs 53.749313 in DuckDB
+       CAST(CAST(SUM(CAST(CAST(c.w * n.v AS VARCHAR) AS DECIMAL(38,18)))
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(CAST(c.w AS VARCHAR) AS DECIMAL(38,18)))
+                     AS VARCHAR) AS DOUBLE)
+         AS value,
        COUNT(*) AS n_corners
 FROM corner c JOIN node n ON c.i = n.i AND c.j = n.j
 WHERE c.w > 0.0
@@ -1012,7 +1025,14 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     hashes = image_phash(payloads)
-    pairs = hamming_near_pairs(hashes, "phash", "media_id", max_hamming=10)
+    # h=4 → 5 chunks of ~13 bits: the widest hamming bound whose
+    # pigeonhole buckets stay sparse at corpus scale (see
+    # hamming_near_pairs' occupancy math; h=10's ~6-bit chunks go
+    # quadratic and the cap then kills recall). Planted variants sit at
+    # hamming ≤ 2, true near-dup pHashes at ≤ ~4.
+    pairs = hamming_near_pairs(
+        hashes, "phash", "media_id", max_hamming=4, bucket_cap=200
+    )
     planted = (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),

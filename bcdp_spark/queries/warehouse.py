@@ -327,3 +327,67 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to_us", F.lit(-1)).alias("valid_to_us"),
         F.when(F.col("valid_to_us").isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 — snapshot diff (operators/split.py snapshot_diff): classify every
+# doc across two corpus versions as added/removed/changed/unchanged —
+# the audit between reprocessing runs. Spark compares 32-byte sha2
+# fingerprints of the payload columns through one full-outer key join;
+# the oracle compares the columns directly (IS NOT DISTINCT FROM), so a
+# hash match also certifies the fingerprint is faithful to column
+# equality.
+# ---------------------------------------------------------------------------
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH old_v AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+),
+new_v AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END
+           AS n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS NOT DISTINCT FROM n.text
+               AND o.lang IS NOT DISTINCT FROM n.lang
+               AND o.source IS NOT DISTINCT FROM n.source
+               AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+                THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+)
+SELECT status, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM j GROUP BY status
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.split import snapshot_diff
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    new_v = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    d = snapshot_diff(docs, new_v, "doc_id")
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

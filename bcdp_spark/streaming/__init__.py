@@ -362,3 +362,25 @@ def corpus_quality_counts(
         "n_docs",
         "sum_chars",
     )
+
+
+def admit_stream(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """ST+ (r4) — streaming corpus admission: the incremental-dedup
+    contract (operators/dedup.incremental_exact_dedup) on a live ingest
+    stream. Each micro-batch anti-joins its documents' sha2-256
+    fingerprints against the STATIC accepted-corpus fingerprint table
+    (stream-static joins are stateless — the corpus side is re-read per
+    batch, so refreshing the persisted fingerprint table between
+    batches picks up newly admitted docs), then drops in-stream exact
+    dups by fingerprint. ``dropDuplicates`` on the fingerprint keeps
+    one state entry per DISTINCT admitted fingerprint; compose with a
+    watermarked ``dropDuplicatesWithinWatermark`` upstream if the
+    fingerprint space is unbounded over the stream's lifetime."""
+    fp = F.sha2(F.col(text_col), 256).alias("__fp")
+    batch = stream.withColumn("__fp", fp)
+    fresh = batch.join(corpus_fps, "__fp", "left_anti")
+    return fresh.dropDuplicates(["__fp"]).drop("__fp")

@@ -1053,16 +1053,17 @@ def test_conservative_regrid_preserves_constant_and_budget(spark):
             min(e1, lon_hi) - max(e0, lon_lo)
         )
         dst_int += r["value"] * cov
-    # dst values are ROUND()ed to 6 decimals, so the budget closes to
-    # ~1e-6 relative, not machine precision
-    assert abs(dst_int - src_int) / abs(src_int) < 1e-5
+    # dst values carry only the decimal(38,18) quantization of the
+    # per-pair products (no output rounding), so the budget closes to
+    # ~1e-12 relative
+    assert abs(dst_int - src_int) / abs(src_int) < 1e-11
 
     const = spark.createDataFrame(
         [(m, la, lo, 3.5) for m, la, lo, _v in rows],
         "name string, lat double, lon double, value double",
     )
     for r in conservative_regrid(const, 2.0, 2.0, 1.5, 1.5).collect():
-        assert r["value"] == 3.5
+        assert r["value"] == pytest.approx(3.5, abs=1e-12)
 
 
 def test_conservative_regrid_wrap_seam(spark):
@@ -1081,7 +1082,7 @@ def test_conservative_regrid_wrap_seam(spark):
     }
     # output longitudes are canonical [-180, 180): 359 -> -1
     assert (11.0, -1.0) in got and (11.0, 1.0) in got
-    assert all(v == 7.0 for v in got.values())
+    assert all(v == pytest.approx(7.0, abs=1e-12) for v in got.values())
 
 
 def test_haversine_dateline_seam_near_cap(spark):
@@ -1522,3 +1523,109 @@ def test_incremental_minhash_band_param_shape(spark):
     assert minhash_band_buckets(df, "text", "doc_id", 64, 16).count() == 16
     with pytest.raises(ValueError):
         minhash_band_buckets(df, "text", "doc_id", 64, 15)
+
+
+def test_normalize_url_rules(spark):
+    """r4 URL canonicalization: each RFC 3986 normalization rule (case,
+    www, default ports, fragment, param order, trailing slash, empty
+    path) collapses its obfuscation; distinct resources stay distinct."""
+    from bcdp_spark.operators.text import normalize_url
+
+    cases = [
+        # (input, expected canonical)
+        ("https://Example.org/Page?b=2&a=1", "https://example.org/Page?a=1&b=2"),
+        ("HTTPS://WWW.EXAMPLE.ORG:443/Page?a=1&b=2", "https://example.org/Page?a=1&b=2"),
+        ("http://example.org:80/x", "http://example.org/x"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        ("https://example.org/x/#frag", "https://example.org/x"),
+        ("https://example.org", "https://example.org/"),
+        ("https://example.org/", "https://example.org/"),
+        ("https://example.org/a/b/", "https://example.org/a/b"),
+        # path case is NOT folded (paths are case-sensitive)
+        ("https://example.org/CaseSensitive", "https://example.org/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(normalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_hamming_bucket_cap_preserves_close_pairs(spark):
+    """r4: bucket_cap drops degenerate chunk buckets without losing a
+    genuinely-near pair — the pair agrees on ~all chunks, so one
+    under-cap chunk is enough to emit it."""
+    from bcdp_spark.operators.dedup import hamming_near_pairs
+
+    # 300 ids share chunk 0 (low bits equal) but are far overall;
+    # ids 1000/1001 are hamming-1 neighbors.
+    rows = [(i, (i << 32) | 0xABCD) for i in range(300)]
+    rows += [(1000, 0x7777_0000_1234_5678), (1001, 0x7777_0000_1234_5679)]
+    df = spark.createDataFrame(rows, "vid long, h long")
+    capped = hamming_near_pairs(
+        df, "h", "vid", max_hamming=3, bucket_cap=50
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in got
+    # the degenerate shared-chunk crowd must not flood the result
+    assert all(a >= 1000 for a, _ in got)
+
+
+def test_ivf_pq_composition(spark):
+    """r4: IVF-PQ — coarse-quantize to cells (lloyd_kmeans), PQ-encode
+    only cell members, ADC-scan the probed cell. The composed pipeline
+    returns the query's planted cluster without scanning other cells."""
+    from bcdp_spark.operators.similarity import (
+        lloyd_kmeans,
+        pq_adc_topk,
+        pq_train_encode,
+        subvectors,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, m, ksub = 16, 4, 4
+    centers = [rng.standard_normal(dim) * 4 for _ in range(3)]
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + 0.05 * rng.standard_normal(dim)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, _cents = lloyd_kmeans(df, "embedding", "vec_id", k=3, n_iter=2, dim=dim)
+    with_cell = df.join(assigned.select("vec_id", "cell"), "vec_id")
+
+    # query = vector 0; probe its assigned cell only
+    qcell = with_cell.filter(F.col("vec_id") == 0).select("cell")
+    probed = with_cell.join(F.broadcast(qcell), "cell").drop("cell")
+
+    codes, codebook = pq_train_encode(probed, dim=dim, m=m, ksub=ksub, n_iter=1)
+    qsubs = subvectors(
+        df.filter(F.col("vec_id") == 0), dim=dim, m=m
+    ).select("sub", F.col("__sv").alias("qsub"))
+    top = pq_adc_topk(codes, codebook, qsubs, k=10, dsub=dim // m).collect()
+    assert len(top) == 10
+    # every returned id must belong to the query's planted cluster
+    assert all(r["vec_id"] % 3 == 0 for r in top)
+
+
+def test_snapshot_diff_classification_and_nulls(spark):
+    """r4: added/removed/changed/unchanged classification, including a
+    NULL→value transition (the to_json fingerprint keeps null fields,
+    so NULL and empty string do not collide)."""
+    from bcdp_spark.operators.split import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, ""), (5, "e")],
+        "k long, v string",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",   # NULL -> "" must NOT read as unchanged
+        4: "removed",
+        5: "added",
+    }
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("v"), "k")

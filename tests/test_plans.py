@@ -382,3 +382,46 @@ def test_netcdf4_and_zarr_scans_stay_arrow_batched(spark):
     for key in ("q_netcdf4_climatology", "q_zarr_climatology"):
         plan = physical_plan(q.queries()[key](spark, SF_ORACLE))
         assert "BatchEvalPython" not in plan, key
+
+
+def test_pq_adc_join_is_broadcast_no_cartesian(spark):
+    """q_pq_adc_knn's ADC scan must join codes to the distance table as
+    a broadcast equi-join on (sub, code) and end in a TakeOrdered — a
+    cartesian or shuffled plan would defeat the point of PQ (codes-only
+    scan, no vector shuffle). The codebook-side BNLJ against the 1-row
+    query is bounded (m·ksub rows) and acceptable."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_pq_adc_knn"](spark, SF_ORACLE)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_incremental_dedup_anti_join_on_fingerprint(spark):
+    """q_incremental_dedup must anti-join the batch against the corpus
+    fingerprints (LeftAnti) and semi-join admitted ids back — both as
+    hash joins; no cartesian, no document-payload shuffle in the
+    fingerprint legs."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_incremental_dedup"](spark, SF_ORACLE)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+    assert "LeftSemi" in p
+
+
+def test_image_phash_pairs_bucketed_equi_join(spark):
+    """q_image_phash_pairs' pair generation must be the pigeonhole
+    chunk equi-self-join — never an all-pairs product of images."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_image_phash_pairs"](spark, SF_ORACLE)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

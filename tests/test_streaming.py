@@ -340,3 +340,61 @@ def test_jsonl_corpus_stream_matches_batch(spark, tmp_path):
     assert int(want.n_docs.sum()) == 60 - (60 // 9 + 1) - len(
         [i for i in range(60) if i % 9 != 4 and i % 11 == 0]
     )
+
+
+def test_admit_stream_matches_incremental_batch(spark, tmp_path):
+    """ST+ r4: streaming corpus admission (stream-static anti-join on
+    fingerprints + in-stream dedup) admits exactly the docs the batch
+    incremental_exact_dedup operator admits over the same files."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from bcdp_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_exact_dedup,
+    )
+    from bcdp_spark.streaming import (
+        admit_stream,
+        jsonl_corpus_stream,
+        run_available_now,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "already admitted doc"), (2, "another corpus doc")],
+        "doc_id long, text string",
+    )
+    fps = corpus_fingerprints(corpus, "text")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    d = tmp_path / "drop"
+    d.mkdir()
+    batch_rows = [
+        (10, "already admitted doc"),   # corpus dup → reject
+        (11, "fresh one"),              # admit
+        (12, "fresh two"),              # admit
+        (13, "fresh two"),              # in-stream dup → reject
+    ]
+    with open(d / "b.jsonl", "w") as fh:
+        for i, t in batch_rows:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = jsonl_corpus_stream(spark, str(d / "*.jsonl"), schema)
+    admitted = run_available_now(
+        admit_stream(stream, fps), "admit_stream_t", mode="append"
+    )
+    got = sorted(r["doc_id"] for r in admitted.collect())
+
+    batch_df = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            batch_df, fps, "text", "doc_id"
+        ).collect()
+    )
+    assert got == want == [11, 12]

@@ -55,6 +55,11 @@ HEADLINE = (
     "q_kmeans",
     "q_bm25",
     "q_domain_cap",
+    # round-4 late — PQ-ADC vector search, incremental admission dedup,
+    # perceptual-hash image near-dedup
+    "q_pq_adc_knn",
+    "q_incremental_dedup",
+    "q_image_phash_pairs",
 )
 
 

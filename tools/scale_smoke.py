@@ -218,7 +218,98 @@ def ops(spark, sf_dir):
         # r4 late: BM25 — token explode + (doc)/(doc,term) hash aggs +
         # two tiny broadcasts; linear in tokens.
         "bm25": t(lambda: _q("q_bm25")(spark, sf_dir).collect()),
+        # r4 late: PQ train+encode+ADC — per iteration one broadcast of
+        # the m*ksub codebook onto the sub-vector stream; the ADC scan is
+        # a broadcast join over codes. Linear in vectors.
+        "pq_adc": t(lambda: _pq_adc(spark, sf_dir)),
+        # r4 late: incremental admission dedup — two fingerprint-keyed
+        # hash joins (anti + semi); linear in docs.
+        "incremental_dedup": t(lambda: _incremental(docs)),
+        # r4 late: perceptual-hash image near-dedup — mapInPandas decode
+        # + pHash per doc image, then the pigeonhole chunk equi-join at
+        # h=4 (5 x ~13-bit chunks) with bucket_cap. h=10 is structurally
+        # quadratic here: ~6-bit chunks give at most 64 buckets, so at
+        # 50k images EVERY bucket is either joined quadratically
+        # (uncapped: measured 43x) or dropped (capped: measured 0%%
+        # recall). The fix is the hamming bound, not the cap — planted
+        # pair recall at h=4 is asserted 100%% at both scales.
+        "image_phash": t(lambda: _phash_pairs(docs)),
     }
+
+
+def _phash_pairs(docs):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from bcdp_spark.operators.dedup import hamming_near_pairs
+    from bcdp_spark.operators.multimodal import encode_ppm, image_phash
+
+    media = docs.select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                group = int(mid) // 2
+                seed = int.from_bytes(
+                    hashlib.blake2b(b"phash-%d" % group, digest_size=4)
+                    .digest(), "big",
+                )
+                rng = np.random.RandomState(seed)
+                base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+                if int(mid) % 2 == 1:
+                    base = base.copy()
+                    base[:2, :2, :] = np.clip(
+                        base[:2, :2, :].astype(int) + 3, 0, 255
+                    ).astype(np.uint8)
+                payloads.append(encode_ppm(base))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    payloads = media.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    n_pairs = hamming_near_pairs(
+        image_phash(payloads), "phash", "media_id",
+        max_hamming=4, bucket_cap=200,
+    ).count()
+    n_docs = docs.count()
+    assert n_pairs >= n_docs // 2, (
+        f"phash recall under cap: {n_pairs} pairs < {n_docs // 2} planted"
+    )
+
+
+def _pq_adc(spark, sf_dir):
+    from bcdp_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+        subvectors,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, codebook = pq_train_encode(
+        emb, "embedding", "vec_id", dim=64, m=8, ksub=8, n_iter=1
+    )
+    qsubs = subvectors(
+        emb.orderBy("vec_id").limit(1), "embedding", "vec_id", 64, 8
+    ).select("sub", F.col("__sv").alias("qsub"))
+    pq_adc_topk(codes, codebook, qsubs, k=10, dsub=8).collect()
+
+
+def _incremental(docs):
+    from bcdp_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    incremental_exact_dedup(
+        batch, corpus_fingerprints(corpus, "text"), "text", "doc_id"
+    ).count()
 
 
 def _q(key):
@@ -428,6 +519,25 @@ def main():
             "  size broadcasts; per-iteration work is one map pass over",
             "  vectors (kmeans) or tokens (bm25) — ratios well under",
             "  linear because fixed overhead dominates at this scale.",
+            "- **pq_adc**: codebook (m*ksub rows) is a constant-size",
+            "  broadcast at both scales; train/encode/ADC are one map",
+            "  pass each over the sub-vector stream plus small-key hash",
+            "  aggs — linear in vectors.",
+            "- **incremental_dedup**: two fingerprint-keyed hash joins",
+            "  (anti + semi); shuffle payload is (32-byte sha2, id).",
+            "- **image_phash**: mapInPandas decode+DCT is linear in",
+            "  images; the pair join is the pigeonhole chunk equi-join",
+            "  at max_hamming=4 (5 x ~13-bit chunks) + bucket_cap=200.",
+            "  h=10 was measured structurally quadratic: ~6-bit chunks",
+            "  mean <=64 buckets per chunk, so 50k images either join",
+            "  quadratically (uncapped: 43x) or all buckets exceed any",
+            "  cap (capped: 0% recall). Occupancy math",
+            "  (n^2*(h+1)/2^(64/(h+1))) says the hamming bound itself",
+            "  must keep 2^(64/(h+1)) >> n/cap — h<=4 at corpus scale;",
+            "  beyond that, a combination multi-index (Manku et al.) or",
+            "  coarse pre-partitioning is the right tool, not a wider h.",
+            "  Planted-pair recall at h=4 is asserted 100% at both",
+            "  scales.",
         ]
         lines += _density_section(spark)
         body = "\n".join(lines)
