@@ -1,0 +1,185 @@
+"""REAL HTTP transport legs for the remote sources (r4): every prior
+round could only test the OPeNDAP/ESGF/RCMED codecs offline with
+injected byte fixtures ("HTTP leg untested — no network"). A loopback
+``http.server`` closes that: the injected ``fetch`` is a genuine
+``urllib.request.urlopen`` against a live socket, so URL construction,
+request/response framing, pagination round-trips, and error propagation
+all execute for real — only the remote host is local.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+class _Srv:
+    """Loopback HTTP server serving a routes dict: path -> bytes or
+    callable(query_dict) -> bytes. Records every request path."""
+
+    def __init__(self, routes):
+        self.routes = routes
+        self.requests = []
+        srv = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                srv.requests.append(self.path)
+                parsed = urllib.parse.urlparse(self.path)
+                route = srv.routes.get(parsed.path)
+                if route is None:
+                    self.send_error(404)
+                    return
+                if callable(route):
+                    body = route(dict(urllib.parse.parse_qsl(parsed.query)))
+                else:
+                    body = route
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.base = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *a):
+        self.httpd.shutdown()
+
+
+def _http_fetch(url: str) -> bytes:
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read()
+
+
+def test_opendap_over_live_http(spark):
+    """DAP2 .dods bytes served by a live server decode through the same
+    path a real OPeNDAP endpoint would use."""
+    from bcdp_spark.sources.opendap import encode_dods, load_opendap
+
+    t, la, lo = 3, 2, 4
+    data = np.arange(t * la * lo, dtype=">f8").reshape(t, la, lo) * 0.5
+    dods = encode_dods(
+        [
+            ("time", "float64", [("time", t)], np.arange(t, dtype=float)),
+            ("lat", "float64", [("lat", la)], np.array([-10.0, 10.0])),
+            ("lon", "float64", [("lon", lo)], np.arange(lo) * 90.0),
+            (
+                "pr",
+                "float64",
+                [("time", t), ("lat", la), ("lon", lo)],
+                data,
+            ),
+        ],
+        "served",
+    )
+    with _Srv({"/thredds/dodsC/pr.dods": dods}) as srv:
+        df = load_opendap(
+            spark, f"{srv.base}/thredds/dodsC/pr.dods", fetch=_http_fetch
+        )
+        rows = df.collect()
+    assert len(rows) == t * la * lo
+    got = {(r["time"].day, r["lat"], r["lon"]): r["value"] for r in rows}
+    assert got[(1, -10.0, 0.0)] == 0.0
+    assert got[(3, 10.0, 270.0)] == (t * la * lo - 1) * 0.5
+    assert srv.requests == ["/thredds/dodsC/pr.dods"]
+
+
+def test_esgf_search_pagination_over_live_http(spark):
+    """Solr-JSON pagination: the client walks offset= across real HTTP
+    round-trips until numFound is exhausted."""
+    from bcdp_spark.sources.esgf import esgf_search
+
+    def page(docs, num_found):
+        return json.dumps(
+            {"response": {"numFound": num_found, "docs": docs}}
+        ).encode()
+
+    def doc(i):
+        return {
+            "id": f"ds{i}",
+            "title": f"Dataset {i}",
+            "variable": ["tas"],
+            "experiment_id": ["historical"],
+            "source_id": ["MODEL-X"],
+            "frequency": ["mon"],
+            "size": 100 + i,
+            "url": [
+                f"http://n/dodsC/ds{i}|application/opendap|OPENDAP",
+                f"http://n/file/ds{i}.nc|application/netcdf|HTTPServer",
+            ],
+        }
+
+    def search(q):
+        assert q["format"] == "application/solr+json"
+        assert q["project"] == "CMIP6"
+        off = int(q["offset"])
+        return page([doc(off), doc(off + 1)][: max(0, 3 - off)], 3)
+
+    with _Srv({"/esg-search/search": search}) as srv:
+        df = esgf_search(
+            spark, srv.base, _http_fetch, limit=2, project="CMIP6"
+        )
+        rows = df.collect()
+    assert {r["id"] for r in rows} == {"ds0", "ds1", "ds2"}
+    assert len(srv.requests) == 2  # offset=0, offset=2
+    assert all("project=CMIP6" in r for r in srv.requests)
+
+
+def test_rcmed_over_live_http(spark):
+    from bcdp_spark.sources.rcmed import load_rcmed
+
+    csv_body = (
+        b"lat,lon,lev,time,value\n"
+        b"34.2,-118.2,0,2001-01-01T00:00:00Z,280.5\n"
+        b"34.4,-118.0,0,2001-02-01T00:00:00Z,281.0\n"
+    )
+
+    def q(params):
+        assert params["datasetId"] == "3" and params["parameterId"] == "36"
+        return csv_body
+
+    with _Srv({"/query-api/query.csv": q}) as srv:
+        df = load_rcmed(
+            spark,
+            _http_fetch,
+            base=srv.base,
+            dataset_id=3,
+            parameter_id=36,
+            lat_min=30.0,
+            lat_max=40.0,
+            lon_min=-120.0,
+            lon_max=-115.0,
+            time_start="20010101T0000Z",
+            time_end="20011231T0000Z",
+        )
+        rows = df.orderBy("time").collect()
+    assert len(rows) == 2 and rows[0]["value"] == 280.5
+
+
+def test_http_error_propagates(spark):
+    """A 404 from the live server surfaces as HTTPError — no silent
+    empty result."""
+    from bcdp_spark.sources.opendap import load_opendap
+
+    with _Srv({}) as srv:
+        with pytest.raises(urllib.error.HTTPError):
+            load_opendap(
+                spark, f"{srv.base}/missing.dods", fetch=_http_fetch
+            )

@@ -5,13 +5,20 @@ import hashlib, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
-builder = (SparkSession.builder.master("local[8]")
+builder = (SparkSession.builder
+           .master(os.environ.get("REPLICA_MASTER", "local[8]"))
            .config("spark.ui.enabled", "false"))
 # deliberately NO nanosAsLong, NO UTC tz, NO AQE tweaks: driver defaults.
 # Probes (verify skill): REPLICA_TZ sets a hostile session timezone the
-# queries must override internally; REPLICA_SF_DIR swaps the fixture scale.
+# queries must override internally; REPLICA_SF_DIR swaps the fixture
+# scale; REPLICA_MASTER + REPLICA_SHUFFLE force hostile parallelism
+# (catches partition-count-dependent collect_list/window bugs).
 if os.environ.get("REPLICA_TZ"):
     builder = builder.config("spark.sql.session.timeZone", os.environ["REPLICA_TZ"])
+if os.environ.get("REPLICA_SHUFFLE"):
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", os.environ["REPLICA_SHUFFLE"]
+    )
 spark = builder.getOrCreate()
 
 import __spark_entry__ as e

@@ -39,6 +39,10 @@ def main() -> None:
     if not quick:
         _run("replica sf0.1 (scale-dependence)", {"REPLICA_SF_DIR": "/root/testdata/sf0.1"})
         _run("replica hostile timezone", {"REPLICA_TZ": "America/New_York"})
+        _run(
+            "replica hostile partitioning (local[3], shuffle=7)",
+            {"REPLICA_MASTER": "local[3]", "REPLICA_SHUFFLE": "7"},
+        )
     _run(
         "bench (one JSON line)",
         {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
