@@ -515,3 +515,95 @@ def pq_adc_topk(
         .orderBy("approx_d2", id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# X3++ (r4) — BATCH kNN join: top-k corpus neighbors for EVERY query row
+# (retrieval augmentation, cross-corpus SemDeDup, eval-contamination
+# lookup — the multi-query shape; the earlier cosine_topk family answers
+# ONE query vector).
+# ---------------------------------------------------------------------------
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """EXACT batch kNN: broadcast the corpus onto the query stream,
+    unrolled-codegen cosine per pair, per-query top-k via a row_number
+    window (WindowGroupLimit pushes the limit below the sort). Output:
+    (q_id, c_id, sim, rank).
+
+    Scale contract: the corpus side MUST be broadcast-sized (it is the
+    index, not the data — e.g. an eval set for contamination lookup, a
+    centroid-pruned candidate set). For corpus-scale both sides, block
+    first with knn_join_ivf and use this as the in-cell rerank."""
+    paired = queries.select(q_id, q_vec).join(
+        F.broadcast(corpus.select(c_id, c_vec))
+    )
+    sim = flat_dot(q_vec, c_vec, dim) / (
+        F.sqrt(flat_sqnorm(q_vec, dim)) * F.sqrt(flat_sqnorm(c_vec, dim))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return (
+        paired.select(q_id, c_id, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Scalable batch kNN: train n_cells IVF centroids on the corpus
+    (join-based Lloyd), assign every corpus vector its cell, explode
+    every query into its ``nprobe`` nearest cells, EQUI-join on the
+    cell id, exact-rerank per query. No cross join anywhere: the only
+    join keys are the k-row broadcast centroid table and the integer
+    cell id, so both sides stream at corpus scale (store ``cell`` as a
+    partition column and the probe prunes partitions)."""
+    assigned, cents = lloyd_kmeans(
+        corpus.select(F.col(c_id).alias("__kid"), F.col(c_vec).alias("__kv")),
+        "__kv",
+        "__kid",
+        k=n_cells,
+        n_iter=n_iter,
+        dim=dim,
+    )
+    c_cells = corpus.join(
+        assigned.select(F.col("__kid").alias(c_id), "cell"), c_id
+    )
+    # query → nprobe nearest centroids: broadcast join + per-query rank
+    qd = queries.join(F.broadcast(cents)).withColumn(
+        "__d", flat_sqdist(q_vec, "centroid", dim)
+    )
+    wq = Window.partitionBy(q_id).orderBy("__d", "cell")
+    q_cells = (
+        qd.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(q_id, q_vec, "cell")
+    )
+    paired = q_cells.join(c_cells.select(c_id, c_vec, "cell"), "cell")
+    sim = flat_dot(q_vec, c_vec, dim) / (
+        F.sqrt(flat_sqnorm(q_vec, dim)) * F.sqrt(flat_sqnorm(c_vec, dim))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
+    return (
+        paired.select(q_id, c_id, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -328,3 +328,72 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "vec_id", F.round("approx_d2", 4).alias("approx_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3++ (r4) — batch kNN join (operators/similarity.py knn_join): top-3
+# corpus neighbors for EVERY query vector — the retrieval/contamination
+# lookup shape. Exact oracle: full pairwise cosine + window rank in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q_knn_join",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 50 <> 0),
+p AS (
+  SELECT q.q_id, c.c_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                CAST(c.cv AS DOUBLE[])) AS sim_raw
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT q_id, c_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_raw DESC, c_id) AS rank
+  FROM p
+)
+SELECT q_id, c_id, ROUND(sim_raw, 6) AS sim, rank
+FROM r WHERE rank <= 3
+""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.similarity import knn_join
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    res = knn_join(queries, corpus, k=3, dim=64)
+    return res.select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+@register("q_knn_join_ivf")
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3++ scale path — IVF-probed batch kNN join (rows-only: probing
+    is approximate by design; tests/test_operators.py proves lossless
+    recall on separated clusters). No cross join: centroid broadcast +
+    cell equi-join only (plan-gated)."""
+    from bcdp_spark.operators.similarity import knn_join_ivf
+
+    utc(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    res = knn_join_ivf(
+        queries, corpus, k=3, dim=64, n_cells=4, nprobe=2
+    )
+    return res.select(
+        "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
+    )

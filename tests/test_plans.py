@@ -425,3 +425,16 @@ def test_image_phash_pairs_bucketed_equi_join(spark):
     p = physical_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_join_ivf_no_cartesian(spark):
+    """q_knn_join_ivf must pair queries and corpus ONLY through the
+    integer cell equi-join (centroid table is a bounded broadcast);
+    a cartesian pairing would be the quadratic shape IVF exists to
+    avoid. The k-row centroid BNLJ is bounded and acceptable."""
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import physical_plan
+
+    df = q.queries()["q_knn_join_ivf"](spark, SF_ORACLE)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p

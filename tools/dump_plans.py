@@ -60,6 +60,8 @@ HEADLINE = (
     "q_pq_adc_knn",
     "q_incremental_dedup",
     "q_image_phash_pairs",
+    "q_knn_join",
+    "q_knn_join_ivf",
 )
 
 
