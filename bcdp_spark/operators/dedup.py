@@ -404,8 +404,21 @@ def hamming_near_pairs(
     pair survives unless EVERY chunk it agrees on is over the cap —
     near-identical hashes agree on almost all h+1 chunks, so recall
     loss needs all of them degenerate at once (the planted-pair smoke
-    measures 100% recall with cap=200 at both scales)."""
-    n_chunks = min(max_hamming + 1, 16)
+    measures 100% recall with cap=200 at both scales).
+
+    ``max_hamming`` must be in [0, 15]: the pigeonhole guarantee needs
+    h+1 chunks, and beyond 16 chunks of a 64-bit hash the chunks are
+    ≤3 bits — structurally degenerate (occupancy math above). For
+    larger h use a combination multi-index (Manku et al., WWW'07) or
+    coarse pre-partitioning; silently capping the chunk count would
+    silently drop true pairs."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 15]; the "
+            "h+1-chunk pigeonhole guarantee cannot be kept for larger "
+            "h on a 64-bit hash (use a combination multi-index)"
+        )
+    n_chunks = max_hamming + 1
     base, rem = divmod(64, n_chunks)
     widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
     starts = [sum(widths[:c]) for c in range(n_chunks)]
@@ -417,8 +430,16 @@ def hamming_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
+                        # width-64 chunk (max_hamming=0): mask is all
+                        # ones, which only fits a signed long as -1
                         F.shiftrightunsigned(F.col(hash_col), starts[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .bitwiseAND(
+                            F.lit(
+                                -1
+                                if widths[c] == 64
+                                else (1 << widths[c]) - 1
+                            )
+                        )
                         .alias("chunk"),
                     )
                     for c in range(n_chunks)

@@ -296,9 +296,56 @@ def image_phash(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                h = phash64(decode_image(bytes(payload)))
+                # undecodable payloads (compressed format, truncation,
+                # None) are SKIPPED, not fatal: one corrupt image in a
+                # crawl batch must not kill a corpus-scale job — the
+                # "each decodable payload" contract
+                if payload is None:
+                    continue
+                try:
+                    h = phash64(decode_image(bytes(payload)))
+                except (NotImplementedError, ValueError, IndexError):
+                    continue
                 # two's-complement into signed int64 for the LongType col
                 rows.append((int(mid), h - (1 << 64) if h >= (1 << 63) else h))
             yield pd.DataFrame(rows, columns=[id_col, "phash"])
 
     return df.mapInPandas(hashes, schema=out_schema)
+
+
+def planted_pair_ppm_synth(
+    id_col: str = "media_id", payload_col: str = "payload"
+):
+    """mapInPandas generator synthesizing REAL 16×16 PPM payloads with
+    planted near-duplicate structure: ids 2k and 2k+1 share a
+    blake2b-seeded noise image (the odd one lightly perturbed — a few
+    pHash bits at most), other groups are visually unrelated. The ONE
+    definition shared by the q_image_phash_pairs query key and the
+    scale smoke, so the smoke certifies the same pipeline the key
+    grades."""
+    import hashlib
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                group = int(mid) // 2
+                seed = int.from_bytes(
+                    hashlib.blake2b(
+                        b"phash-%d" % group, digest_size=4
+                    ).digest(),
+                    "big",
+                )
+                rng = np.random.RandomState(seed)
+                base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+                if int(mid) % 2 == 1:
+                    base = base.copy()
+                    base[:2, :2, :] = np.clip(
+                        base[:2, :2, :].astype(int) + 3, 0, 255
+                    ).astype(np.uint8)
+                payloads.append(encode_ppm(base))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], payload_col: payloads}
+            )
+
+    return synth

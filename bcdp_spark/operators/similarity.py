@@ -523,6 +523,20 @@ def pq_adc_topk(
 # lookup — the multi-query shape; the earlier cosine_topk family answers
 # ONE query vector).
 # ---------------------------------------------------------------------------
+def flat_cosine_guarded(a: str, b: str, dim: int) -> Column:
+    """Unrolled-codegen cosine with a zero-norm guard: a zero vector
+    (padding row, failed encoder) yields NULL instead of NaN. This
+    matters for ranking — Spark orders NaN ABOVE every real double in
+    a descending sort, so an unguarded zero vector would outrank every
+    true neighbor; NULLs sort last (desc default) and callers filter
+    them out entirely."""
+    na, nb = flat_sqnorm(a, dim), flat_sqnorm(b, dim)
+    return F.when(
+        (na > 0) & (nb > 0),
+        flat_dot(a, b, dim) / (F.sqrt(na) * F.sqrt(nb)),
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -545,12 +559,12 @@ def knn_join(
     paired = queries.select(q_id, q_vec).join(
         F.broadcast(corpus.select(c_id, c_vec))
     )
-    sim = flat_dot(q_vec, c_vec, dim) / (
-        F.sqrt(flat_sqnorm(q_vec, dim)) * F.sqrt(flat_sqnorm(c_vec, dim))
-    )
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return (
-        paired.select(q_id, c_id, sim.alias("sim"))
+        paired.select(
+            q_id, c_id, flat_cosine_guarded(q_vec, c_vec, dim).alias("sim")
+        )
+        .filter(F.col("sim").isNotNull())  # zero-norm rows never rank
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -598,12 +612,12 @@ def knn_join_ivf(
         .select(q_id, q_vec, "cell")
     )
     paired = q_cells.join(c_cells.select(c_id, c_vec, "cell"), "cell")
-    sim = flat_dot(q_vec, c_vec, dim) / (
-        F.sqrt(flat_sqnorm(q_vec, dim)) * F.sqrt(flat_sqnorm(c_vec, dim))
-    )
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return (
-        paired.select(q_id, c_id, sim.alias("sim"))
+        paired.select(
+            q_id, c_id, flat_cosine_guarded(q_vec, c_vec, dim).alias("sim")
+        )
+        .filter(F.col("sim").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

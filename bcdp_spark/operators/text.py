@@ -303,7 +303,11 @@ def normalize_url(col) -> Column:
     """Canonical form of an absolute http(s) URL as a Column expression.
     Mirrors exactly in ANSI SQL (regexp_extract + list_sort) — see
     q_url_dedup's oracle."""
-    c = F.col(col) if isinstance(col, str) else col
+    raw = F.col(col) if isinstance(col, str) else col
+    # Drop the fragment FIRST: every later extraction works on the
+    # pre-fragment prefix, so a '?' inside the fragment (SPA-style
+    # '#/route?x=1') cannot resurrect a bogus query string.
+    c = F.regexp_replace(raw, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
@@ -320,7 +324,7 @@ def normalize_url(col) -> Column:
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, 1, F.length(path) - 1),
     ).otherwise(path)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    query = F.regexp_extract(c, r"\?(.*)$", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         scheme,

@@ -1407,6 +1407,11 @@ urls AS (
          END AS url
   FROM raw
 ),
+defrag AS (
+  -- fragment dropped FIRST (mirrors normalize_url): a '?' inside the
+  -- fragment must not resurrect a query
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM urls
+),
 parts AS (
   SELECT doc_id, url,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -1415,8 +1420,8 @@ parts AS (
            AS hostport,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
            AS path0,
-         regexp_extract(url, '\?([^#]*)', 1) AS query0
-  FROM urls
+         regexp_extract(url, '\?(.*)$', 1) AS query0
+  FROM defrag
 ),
 norm AS (
   SELECT doc_id, scheme,

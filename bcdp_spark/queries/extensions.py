@@ -982,13 +982,11 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.hamming_near_pairs). Rows-only by design: the DCT
     cannot be twinned in SQL — determinism is certified by the planted
     pair-structure counts instead."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
     from bcdp_spark.operators.dedup import hamming_near_pairs
-    from bcdp_spark.operators.multimodal import encode_ppm, image_phash
+    from bcdp_spark.operators.multimodal import (
+        image_phash,
+        planted_pair_ppm_synth,
+    )
 
     utc(spark)
     docs = table(spark, sf_dir, "documents")
@@ -996,33 +994,8 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id") < 200
     )
 
-    def synth(batches):
-        for pdf in batches:
-            payloads = []
-            for mid in pdf["media_id"]:
-                group = int(mid) // 2
-                seed = int.from_bytes(
-                    hashlib.blake2b(
-                        b"phash-%d" % group, digest_size=4
-                    ).digest(),
-                    "big",
-                )
-                rng = np.random.RandomState(seed)
-                base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
-                if int(mid) % 2 == 1:
-                    # the near-duplicate variant: nudge a handful of
-                    # pixels — a few pHash bits at most
-                    base = base.copy()
-                    base[:2, :2, :] = np.clip(
-                        base[:2, :2, :].astype(int) + 3, 0, 255
-                    ).astype(np.uint8)
-                payloads.append(encode_ppm(base))
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "payload": payloads}
-            )
-
     payloads = media.mapInPandas(
-        synth, schema="media_id long, payload binary"
+        planted_pair_ppm_synth(), schema="media_id long, payload binary"
     )
     hashes = image_phash(payloads)
     # h=4 → 5 chunks of ~13 bits: the widest hamming bound whose

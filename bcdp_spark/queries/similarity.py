@@ -338,14 +338,22 @@ def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_knn_join",
     oracle="""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-      WHERE vec_id % 50 <> 0),
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 <> 0),
+c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 50 = 0),
 p AS (
+  -- term-by-term cosine twin of flat_dot/flat_sqnorm (list_sum's
+  -- sequential fold == the unrolled left-assoc sum, verified at dim
+  -- 64) — list_cosine_similarity's internal formulation is not
+  -- guaranteed bit-identical and rank ties break on exact equality
   SELECT q.q_id, c.c_id,
-         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-                                CAST(c.cv AS DOUBLE[])) AS sim_raw
+         list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                                         i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, 65),
+                                         i -> c.cv[i] * c.cv[i]))))
+           AS sim_raw
   FROM q CROSS JOIN c
 ),
 r AS (
@@ -359,17 +367,21 @@ FROM r WHERE rank <= 3
 """,
 )
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval with the broadcast side being the INDEX (the 2%
+    vec_id % 50 == 0 slice — e.g. an eval set for contamination
+    lookup), per knn_join's scale contract: the query stream is the
+    big side and is never collected or broadcast."""
     from bcdp_spark.operators.similarity import knn_join
 
     utc(spark)
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+    queries = emb.filter(F.col("vec_id") % 50 != 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+    index = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    res = knn_join(queries, corpus, k=3, dim=64)
+    res = knn_join(queries, index, k=3, dim=64)
     return res.select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
     )

@@ -379,7 +379,16 @@ def admit_stream(
     dups by fingerprint. ``dropDuplicates`` on the fingerprint keeps
     one state entry per DISTINCT admitted fingerprint; compose with a
     watermarked ``dropDuplicatesWithinWatermark`` upstream if the
-    fingerprint space is unbounded over the stream's lifetime."""
+    fingerprint space is unbounded over the stream's lifetime.
+
+    Contract difference vs the batch operator, by design: the ADMITTED
+    FINGERPRINT SET is identical to ``incremental_exact_dedup``'s, but
+    which row represents a duplicated fingerprint is arrival-order
+    (partition-scheduling) dependent — streaming ``dropDuplicates``
+    keeps the first row SEEN, not the minimum id (a per-key min would
+    need an update-mode stateful agg that can't emit rows). If exact
+    keep-first-by-id matters, run the batch operator over the admitted
+    output."""
     fp = F.sha2(F.col(text_col), 256).alias("__fp")
     batch = stream.withColumn("__fp", fp)
     fresh = batch.join(corpus_fps, "__fp", "left_anti")

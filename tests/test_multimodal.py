@@ -143,3 +143,24 @@ def test_hamming_near_pairs_generic_widths(spark):
     assert (1, 2, 6) in got
     assert all(p[:2] != (1, 3) for p in got)
     assert (2, 3, 1) in got
+
+
+def test_image_phash_skips_undecodable_payloads(spark):
+    """r4 review fix: a JPEG/truncated/None payload is skipped, not
+    fatal — one corrupt image must not kill a corpus-scale job."""
+    import numpy as np
+
+    from bcdp_spark.operators.multimodal import encode_ppm, image_phash
+
+    good = encode_ppm(
+        np.zeros((4, 4, 3), dtype=np.uint8) + 7
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"\xff\xd8\xff\xe0 fake jpeg")),  # wrong magic
+        (3, None),
+        (4, bytearray(b"P6\n4 4\n255\n\x00")),  # truncated raster
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = image_phash(df).collect()
+    assert [r["media_id"] for r in got] == [1]

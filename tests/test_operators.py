@@ -1543,6 +1543,9 @@ def test_normalize_url_rules(spark):
         ("https://example.org/a/b/", "https://example.org/a/b"),
         # path case is NOT folded (paths are case-sensitive)
         ("https://example.org/CaseSensitive", "https://example.org/CaseSensitive"),
+        # a '?' inside the fragment must NOT resurrect a query
+        ("https://example.org/x#/route?b=1", "https://example.org/x"),
+        ("https://example.org/x?a=1#frag?b=2", "https://example.org/x?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(normalize_url("url").alias("c")).collect()]
@@ -1664,3 +1667,21 @@ def test_knn_join_ivf_recall_on_planted_clusters(spark):
         ).collect()
     }
     assert approx == exact  # separated clusters: nprobe=1 is lossless
+
+
+def test_hamming_near_pairs_bounds(spark):
+    """r4 review fixes: h=0 (exact-match bucketing, full-width mask)
+    works; h>15 raises instead of silently breaking the pigeonhole
+    guarantee."""
+    from bcdp_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43), (4, -1)], "vid long, h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(df, "h", "vid", max_hamming=0).collect()
+    }
+    assert got == {(1, 2)}
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, "h", "vid", max_hamming=16)

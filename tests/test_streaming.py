@@ -388,13 +388,17 @@ def test_admit_stream_matches_incremental_batch(spark, tmp_path):
     admitted = run_available_now(
         admit_stream(stream, fps), "admit_stream_t", mode="append"
     )
-    got = sorted(r["doc_id"] for r in admitted.collect())
+    # Contract: the admitted TEXT (fingerprint) set matches the batch
+    # operator exactly; the representative row per duplicated
+    # fingerprint is arrival-order dependent in streaming (documented),
+    # so compare texts, not ids.
+    got = sorted(r["text"] for r in admitted.collect())
 
     batch_df = spark.createDataFrame(batch_rows, "doc_id long, text string")
     want = sorted(
-        r["doc_id"]
+        r["text"]
         for r in incremental_exact_dedup(
             batch_df, fps, "text", "doc_id"
         ).collect()
     )
-    assert got == want == [11, 12]
+    assert got == want == ["fresh one", "fresh two"]

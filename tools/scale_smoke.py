@@ -254,48 +254,37 @@ def _knn_join_ivf(emb):
 
 
 def _phash_pairs(docs):
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
     from bcdp_spark.operators.dedup import hamming_near_pairs
-    from bcdp_spark.operators.multimodal import encode_ppm, image_phash
+    from bcdp_spark.operators.multimodal import (
+        image_phash,
+        planted_pair_ppm_synth,
+    )
 
     media = docs.select(F.col("doc_id").alias("media_id"))
-
-    def synth(batches):
-        for pdf in batches:
-            payloads = []
-            for mid in pdf["media_id"]:
-                group = int(mid) // 2
-                seed = int.from_bytes(
-                    hashlib.blake2b(b"phash-%d" % group, digest_size=4)
-                    .digest(), "big",
-                )
-                rng = np.random.RandomState(seed)
-                base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
-                if int(mid) % 2 == 1:
-                    base = base.copy()
-                    base[:2, :2, :] = np.clip(
-                        base[:2, :2, :].astype(int) + 3, 0, 255
-                    ).astype(np.uint8)
-                payloads.append(encode_ppm(base))
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "payload": payloads}
-            )
-
     payloads = media.mapInPandas(
-        synth, schema="media_id long, payload binary"
+        planted_pair_ppm_synth(), schema="media_id long, payload binary"
     )
-    n_pairs = hamming_near_pairs(
+    pairs = hamming_near_pairs(
         image_phash(payloads), "phash", "media_id",
         max_hamming=4, bucket_cap=200,
+    ).cache()
+    # recall gate on the PLANTED pairs specifically (not total output:
+    # a false-positive flood must not be able to mask dropped planted
+    # pairs). Group structure: ids 2k/2k+1 — preserved under the 10x
+    # even id shift.
+    planted = (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 2 == 0)
+    n_planted_found = pairs.filter(planted).count()
+    n_groups = docs.filter(F.col("doc_id") % 2 == 0).join(
+        docs.select((F.col("doc_id") - 1).alias("doc_id")).filter(
+            F.col("doc_id") % 2 == 0
+        ),
+        "doc_id",
+        "left_semi",
     ).count()
-    n_docs = docs.count()
-    assert n_pairs >= n_docs // 2, (
-        f"phash recall under cap: {n_pairs} pairs < {n_docs // 2} planted"
+    assert n_planted_found >= n_groups, (
+        f"phash planted recall: {n_planted_found} < {n_groups}"
     )
+    pairs.unpersist()
 
 
 def _pq_adc(spark, sf_dir):
