@@ -336,3 +336,52 @@ def normalize_url(col) -> Column:
             F.lit("")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4++ (r4) — document chunking: overlapping token windows with stable
+# (doc, chunk_idx) identity — the preprocessing step between a corpus
+# and its embedding index (RAG) or fixed-context training windows.
+# Pure JVM expressions: split → sequence → slice → array_join, all
+# inside whole-stage codegen; one explode, no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Explode each document into whitespace-token windows of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap``:
+    chunk i covers tokens [i·stride, i·stride + chunk_size). The chunk
+    count is ceil(max(n_tokens - overlap, 1) / stride) — short docs
+    yield exactly one chunk, and no chunk starts beyond the text.
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens). Deterministic
+    and engine-agnostic (integer arithmetic only) — oracle-twinnable.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < chunk_size ({chunk_size})"
+        )
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.expr(
+        f"CAST((GREATEST(size(split({text_col}, ' ')) - {overlap}, 1)"
+        f" + {stride - 1}) DIV {stride} AS INT)"
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).alias("n_chunk_tokens"),
+    )

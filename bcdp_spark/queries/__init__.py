@@ -122,7 +122,8 @@ _PRIORITY = (
     "q_pq_adc_knn", "q_incremental_dedup",
     # --- 50-key window boundary ---
     # (g) remaining never-graded keys, next in line if the cap allows
-    "q_snapshot_diff", "q_knn_join", "q_knn_join_ivf", "q_argmax",
+    "q_snapshot_diff", "q_knn_join", "q_knn_join_ivf", "q_doc_chunking",
+    "q_argmax",
     "q_range_window", "q_cohort_retention",
     "q_mode", "q_string_agg", "q_in_subquery", "q_percent_rank",
     "q_cooccurrence", "q_dau_mau", "q_ewma", "q_windowed_dedup",

@@ -1510,3 +1510,46 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("curl").alias("sample_url"),
         F.sum(F.length("curl")).cast("long").alias("sum_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4++ (r4) — document chunking (operators/text.py chunk_documents):
+# overlapping 40-token windows with 10-token overlap over the corpus —
+# the RAG/embedding-prep and fixed-context-window step. Oracle rebuilds
+# the identical windows with list_slice over generate_series; md5 of
+# each chunk text certifies the window content exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q_doc_chunking",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         (GREATEST(len(toks) - 10, 1) + 29) // 30 AS n_chunks
+  FROM t
+),
+ch AS (
+  SELECT doc_id, CAST(g.g AS INT) AS chunk_idx,
+         list_slice(toks, g.g * 30 + 1, g.g * 30 + 40) AS win
+  FROM n, UNNEST(range(0, CAST(n_chunks AS BIGINT))) AS g(g)
+)
+SELECT doc_id, chunk_idx,
+       len(win) AS n_chunk_tokens,
+       md5(array_to_string(win, ' ')) AS chunk_md5
+FROM ch
+""",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import chunk_documents
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "text", "doc_id", chunk_size=40, overlap=10)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

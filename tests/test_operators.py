@@ -1685,3 +1685,33 @@ def test_hamming_near_pairs_bounds(spark):
     assert got == {(1, 2)}
     with pytest.raises(ValueError):
         hamming_near_pairs(df, "h", "vid", max_hamming=16)
+
+
+def test_chunk_documents_windows(spark):
+    """r4 chunking: window boundaries, overlap, short-doc single chunk,
+    and the no-chunk-past-end rule."""
+    from bcdp_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(str(i) for i in range(10))),  # 10 toks
+            (2, "a b"),                                 # short → 1 chunk
+            (3, " ".join(str(i) for i in range(13))),  # 13 toks → 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            df, "text", "doc_id", chunk_size=6, overlap=2
+        ).collect()
+    }
+    # doc 1: stride 4 → chunks at 0,4,8 (ceil((10-2)/4)=2 → 0,4)
+    assert got[(1, 0)] == ("0 1 2 3 4 5", 6)
+    assert got[(1, 1)] == ("4 5 6 7 8 9", 6)
+    assert (1, 2) not in got
+    assert got[(2, 0)] == ("a b", 2)
+    # doc 3: ceil((13-2)/4)=3 chunks at 0,4,8; last is 5 tokens
+    assert got[(3, 2)] == ("8 9 10 11 12", 5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=4)
