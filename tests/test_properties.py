@@ -706,3 +706,78 @@ def test_hdf5_truncation_never_hangs_or_miscounts(frac, profile, seed):
     except Exception:
         return  # loud failure is the expected outcome
     np.testing.assert_array_equal(got, arr)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_toks=st.integers(min_value=1, max_value=60),
+    chunk_size=st.integers(min_value=2, max_value=16),
+    data=st.data(),
+)
+def test_chunk_documents_coverage_invariants(spark, n_toks, chunk_size, data):
+    """r4 chunking properties, any (n, chunk_size, overlap): every token
+    position is covered by >=1 chunk; chunk i starts at i*stride; only
+    the last chunk may be short; no chunk is empty."""
+    from bcdp_spark.operators.text import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_size - 1))
+    stride = chunk_size - overlap
+    text = " ".join(f"t{i}" for i in range(n_toks))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(
+            df, "text", "doc_id", chunk_size=chunk_size, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    covered = set()
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert toks, "empty chunk"
+        start = r["chunk_idx"] * stride
+        assert toks[0] == f"t{start}"
+        assert len(toks) == r["n_chunk_tokens"]
+        if r["chunk_idx"] < len(rows) - 1:
+            assert len(toks) == chunk_size
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n_toks))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_normalize_url_idempotent(spark, seed):
+    """r4: canonicalization is idempotent — normalizing an already
+    canonical URL is the identity (the dedup-key property)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.text import normalize_url
+
+    rng = random.Random(seed)
+    urls = []
+    for _ in range(8):
+        scheme = rng.choice(["http", "HTTPS", "https"])
+        host = rng.choice(
+            ["Example.org", "www.data.example.net", "A.B.ORG:8080",
+             "x.org:443", "y.org:80"]
+        )
+        path = rng.choice(["", "/", "/a/b/", "/Case/path"])
+        q = rng.choice(["", "?b=2&a=1", "?z=9"])
+        frag = rng.choice(["", "#frag", "#/route?x=1"])
+        urls.append(f"{scheme}://{host}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(normalize_url("url").alias("c1"))
+    twice = once.select(
+        F.col("c1"), normalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c2"] == r["c1"], (r["c1"], r["c2"])
