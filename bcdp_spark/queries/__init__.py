@@ -47,6 +47,7 @@ _MODULES = (
     "bcdp_spark.queries.zarr_io",
     "bcdp_spark.queries.warc_io",
     "bcdp_spark.queries.jsonl_io",
+    "bcdp_spark.queries.grib_io",
 )
 
 
@@ -99,7 +100,7 @@ _PRIORITY = (
     # (c) relational/subquery family (never graded)
     "q_pivot", "q_unpivot", "q_scalar_subquery", "q_exists_subquery",
     "q_correlated_scalar", "q_conditional_agg",
-    "q_full_join", "q_null_safe_join",
+    "q_full_join",
     "q_multi_distinct", "q_salted_agg", "q_salted_join",
     # (d) warehouse/analytics family (never graded)
     "q_shipping_priority", "q_market_share", "q_promo_revenue",
@@ -120,7 +121,12 @@ _PRIORITY = (
     # corpus-admission dedup (q_argmax / q_range_window moved just past
     # the boundary to make room — both stay locally parity-green)
     "q_pq_adc_knn", "q_incremental_dedup",
+    # late-r4 GRIB2 source flagship (S12, brand-new component — needs its
+    # first driver row; q_null_safe_join moved just past the boundary to
+    # make room — the join family keeps r2∪r3 driver-green evidence)
+    "q_grib2_climatology",
     # --- 50-key window boundary ---
+    "q_null_safe_join",
     # (g) remaining never-graded keys, next in line if the cap allows
     "q_snapshot_diff", "q_knn_join", "q_knn_join_ivf", "q_doc_chunking",
     "q_argmax",

@@ -1,0 +1,122 @@
+"""GRIB2 ingestion query key (SURVEY.md S12) — driver-gradable proof
+that the engine decodes REAL GRIB2 bytes end-to-end with no codec
+dependency, the same contract as ``q_netcdf_climatology`` /
+``q_zarr_climatology``.
+
+The callable writes a deterministic two-cycle GRIB2 fixture (six
+messages across two files: three forecast steps per cycle, simple
+packing with a power-of-two binary scale so every value is exact in
+binary, a bitmap masking a closed-form NaN pattern), ingests it through
+``load_grib2`` (header-only message index → Catalyst-filtered manifest
+→ per-message decode), and aggregates a per-(hour, lat) climatology.
+The DuckDB oracle regenerates the identical closed-form grid with
+``generate_series`` — a hash match certifies the whole byte-level
+path: section framing, sign-magnitude scale factors, bitstream
+unpacking, bitmap→NULL, valid-time arithmetic.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import utc
+
+_FIX_DIR = "/tmp/bcdp_spark_grib2_fixture_v1"
+_N_C, _N_H, _N_A, _N_O = 2, 3, 4, 6  # cycles, steps, lats, lons
+_LATS = (-60.0, -20.0, 20.0, 60.0)
+
+
+def _ensure_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_FIX_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIX_DIR
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    for c in range(_N_C):
+        msgs = b""
+        for s in range(_N_H):
+            h = s * 6
+            vals = np.empty((_N_A, _N_O))
+            for a in range(_N_A):
+                for o in range(_N_O):
+                    if (c + h + a + o) % 7 == 0:
+                        vals[a, o] = np.nan
+                    else:
+                        vals[a, o] = 0.25 * (
+                            c * 10000 + h * 100 + a * 10 + o
+                        )
+            msgs += write_grib2_message(
+                vals,
+                lats,
+                lons,
+                _dt.datetime(2001, 1, 1 + c),
+                forecast_hours=h,
+                discipline=0,
+                category=0,
+                number=0,
+                level_type=103,
+                level=2,
+                binary_scale=-2,
+                nbits=16,
+            )
+        tmp = os.path.join(_FIX_DIR, f".cycle{c}.grib2.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(msgs)
+        os.replace(tmp, os.path.join(_FIX_DIR, f"cycle{c}.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIX_DIR
+
+
+@register(
+    "q_grib2_climatology",
+    oracle=f"""
+WITH grid AS (
+  SELECT c.g AS c, s.g * 6 AS h, a.g AS a, o.g AS o,
+         CASE WHEN (c.g + s.g * 6 + a.g + o.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (c.g * 10000 + s.g * 6 * 100 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, {_N_C - 1}) c(g),
+       generate_series(0, {_N_H - 1}) s(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT CAST(h AS INT) AS hour,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0 WHEN 2 THEN 20.0
+              ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_grib2_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 end-to-end: real GRIB2 bytes → indexed, pruned, distributed
+    decode → per-(forecast-hour, latitude) climatology. ``sf_dir`` is
+    unused (the fixture is synthetic — this key certifies the DECODE
+    path; parquet-scan keys cover sf scaling)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"), param="t")
+    return df.groupBy(
+        F.hour("time").cast("int").alias("hour"), "lat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

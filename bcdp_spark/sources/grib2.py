@@ -1,0 +1,598 @@
+"""Pure-Python GRIB2 codec (WMO FM 92 GRIB Edition 2).
+
+GRIB2 is the other dominant real-world climate format next to NetCDF —
+ECMWF (ERA5 as distributed by MARS/CDS), NOAA GFS/HRRR, and most NWP
+archives ship it. The reference reads such archives through xarray
+engines (`bcdp/io.py` [UNVERIFIED — /root/reference empty at survey,
+SURVEY.md §0]); the container ships no GRIB codec, so this module
+implements the public specification from scratch (WMO Manual on Codes
+FM 92, the same tables NCEP documents publicly), the way
+``sources/netcdf3.py`` / ``sources/hdf5.py`` / ``sources/zarr.py`` do
+for their formats.
+
+Scope (the subset NWP surface archives actually use):
+
+- messages: Section 0 indicator → "7777" trailer, any number of
+  messages concatenated per file (the standard layout — one 2-D field
+  per message, one file per cycle);
+- Section 3 grid template 3.0 (regular latitude/longitude grid),
+  scanning modes +i/-j (0x00, the GFS default) and +i/+j (0x40);
+- Section 4 product template 4.0 (analysis/forecast at a horizontal
+  level), forecast-time units minute/hour/day;
+- Section 5 data template 5.0 (simple packing), any bit width 0..32,
+  IEEE-float32 reference value, sign-and-magnitude binary/decimal
+  scale factors — decoded value = (R + X·2^E) / 10^D;
+- Section 6 bit-map indicator 255 (none) and 0 (bitmap present →
+  masked points become NULL);
+- loud failure on truncated messages, missing "7777", or any
+  template this subset does not cover (the WARC truncation lesson:
+  never emit silently-clipped fields).
+
+Everything is numpy-vectorized: bit-unpacking is one ``unpackbits`` +
+matrix product per field, never a per-value Python loop.
+
+Distributed shape (``load_grib2``): stage 1 maps the file manifest to a
+per-MESSAGE index (header-only scan — section 7 is never touched), so
+message metadata (param, valid time, level) lands in a real DataFrame
+where Catalyst evaluates pruning predicates; stage 2 decodes only the
+surviving (path, offset) pairs, one task per message. Big archive
+files therefore scan executor-parallel at message granularity, and a
+time/param subset never decompresses the fields it drops.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+_TRAILER = b"7777"
+
+# (discipline, category, number) → conventional short name for the
+# params the fixtures and common surface archives use; anything else
+# falls back to "d{D}c{C}n{N}" (still filterable, never an error).
+_PARAM_NAMES = {
+    (0, 0, 0): "t",       # temperature [K]
+    (0, 1, 8): "apcp",    # total precipitation [kg m-2]
+    (0, 2, 2): "u",       # u-wind [m s-1]
+    (0, 2, 3): "v",       # v-wind [m s-1]
+    (0, 3, 0): "pres",    # pressure [Pa]
+    (0, 3, 1): "prmsl",   # MSL pressure [Pa]
+    (0, 1, 1): "rh",      # relative humidity [%]
+    (2, 0, 0): "lsm",     # land-sea mask
+}
+# forecast-time unit code → minutes (WMO table 4.4 subset)
+_TIME_UNIT_MIN = {0: 1, 1: 60, 2: 1440}
+
+
+def param_name(discipline: int, category: int, number: int) -> str:
+    return _PARAM_NAMES.get(
+        (discipline, category, number),
+        f"d{discipline}c{category}n{number}",
+    )
+
+
+# -- sign-and-magnitude integers (GRIB2 negative-number convention) ----
+
+
+def _sm_decode(u: int, bits: int) -> int:
+    sign_bit = 1 << (bits - 1)
+    return -(u & (sign_bit - 1)) if u & sign_bit else u
+
+
+def _sm_encode(v: int, bits: int) -> int:
+    sign_bit = 1 << (bits - 1)
+    if v < 0:
+        if -v >= sign_bit:
+            raise ValueError(f"magnitude {v} does not fit in {bits} bits")
+        return sign_bit | (-v)
+    if v >= sign_bit:
+        raise ValueError(f"value {v} does not fit in {bits} bits")
+    return v
+
+
+def _unpack_bits(buf: bytes, nbits: int, n: int) -> np.ndarray:
+    """n big-endian nbits-wide unsigned ints from a packed bitstream."""
+    if nbits == 0:
+        return np.zeros(n, dtype=np.uint64)
+    need = (n * nbits + 7) // 8
+    if len(buf) < need:
+        raise ValueError(
+            f"GRIB2 data section truncated: need {need} bytes for "
+            f"{n}x{nbits}-bit values, have {len(buf)}"
+        )
+    bits = np.unpackbits(np.frombuffer(buf[:need], dtype=np.uint8))
+    bits = bits[: n * nbits].reshape(n, nbits).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(nbits - 1, -1, -1, dtype=np.uint64))
+    return bits @ weights
+
+
+def _pack_bits(vals: np.ndarray, nbits: int) -> bytes:
+    if nbits == 0:
+        return b""
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None].astype(np.uint64) >> shifts) & np.uint64(1))
+    return np.packbits(bits.astype(np.uint8).ravel()).tobytes()
+
+
+# -- message model -----------------------------------------------------
+
+
+@dataclass
+class Grib2Index:
+    """Header-only metadata for one message (section 7 untouched)."""
+
+    offset: int
+    length: int
+    discipline: int
+    category: int
+    number: int
+    name: str
+    ref_time: _dt.datetime
+    valid_time: _dt.datetime
+    level_type: int
+    level: float | None
+    ni: int
+    nj: int
+    lat0: float
+    lat1: float
+    lon0: float
+    lon1: float
+
+
+@dataclass
+class Grib2Field:
+    index: Grib2Index
+    lats: np.ndarray  # (nj,)
+    lons: np.ndarray  # (ni,)
+    values: np.ndarray  # (nj, ni) float64, NaN where bitmapped out
+
+
+def _sections(raw: bytes, offset: int):
+    """Split one message into {section_number: (start, body bytes)}.
+
+    Validates the declared total length and the "7777" trailer up
+    front — a truncated archive fails loudly here, before any field
+    looks plausibly decoded.
+    """
+    if raw[offset : offset + 4] != b"GRIB":
+        raise ValueError(f"no GRIB indicator at offset {offset}")
+    if len(raw) < offset + 16:
+        raise ValueError("GRIB2 message truncated inside section 0")
+    discipline = raw[offset + 6]
+    edition = raw[offset + 7]
+    if edition != 2:
+        raise NotImplementedError(
+            f"GRIB edition {edition} not supported (GRIB2 only)"
+        )
+    (total_len,) = struct.unpack_from(">Q", raw, offset + 8)
+    end = offset + total_len
+    if end > len(raw):
+        raise ValueError(
+            f"GRIB2 message at offset {offset} declares {total_len} bytes "
+            f"but only {len(raw) - offset} remain (truncated archive)"
+        )
+    if raw[end - 4 : end] != _TRAILER:
+        raise ValueError(
+            f"GRIB2 message at offset {offset} does not end with 7777"
+        )
+    secs: dict[int, bytes] = {}
+    pos = offset + 16
+    while pos < end - 4:
+        (sec_len,) = struct.unpack_from(">I", raw, pos)
+        sec_num = raw[pos + 4]
+        if sec_len < 5 or pos + sec_len > end - 4:
+            raise ValueError(
+                f"GRIB2 section {sec_num} at {pos} has bad length {sec_len}"
+            )
+        secs[sec_num] = raw[pos : pos + sec_len]
+        pos += sec_len
+    return discipline, total_len, secs
+
+
+def _parse_grid(sec3: bytes):
+    """Template 3.0 regular lat/lon → (lats, lons) axes."""
+    (template,) = struct.unpack_from(">H", sec3, 12)
+    if template != 0:
+        raise NotImplementedError(
+            f"GRIB2 grid template 3.{template} not supported "
+            "(regular lat/lon 3.0 only)"
+        )
+    ni, nj = struct.unpack_from(">II", sec3, 30)
+    la1u, lo1u = struct.unpack_from(">II", sec3, 46)
+    la2u, lo2u = struct.unpack_from(">II", sec3, 55)
+    scan = sec3[71]
+    la1 = _sm_decode(la1u, 32) / 1e6
+    lo1 = _sm_decode(lo1u, 32) / 1e6
+    la2 = _sm_decode(la2u, 32) / 1e6
+    lo2 = _sm_decode(lo2u, 32) / 1e6
+    if scan & 0x80:
+        raise NotImplementedError("GRIB2 -i scanning not supported")
+    if scan & 0x20:
+        raise NotImplementedError("GRIB2 j-consecutive scanning not supported")
+    # rows run la1 → la2 in storage order regardless of direction;
+    # +j (0x40) means la1 is the southernmost row, -j the northernmost.
+    lats = np.linspace(la1, la2, nj)
+    lons = np.linspace(lo1, lo2, ni)
+    return lats, lons
+
+
+def _parse_product(sec4: bytes, ref_time: _dt.datetime):
+    (template,) = struct.unpack_from(">H", sec4, 7)
+    if template != 0:
+        raise NotImplementedError(
+            f"GRIB2 product template 4.{template} not supported (4.0 only)"
+        )
+    category, number = sec4[9], sec4[10]
+    time_unit = sec4[17]
+    (fcst,) = struct.unpack_from(">I", sec4, 18)
+    fcst = _sm_decode(fcst, 32)
+    if time_unit not in _TIME_UNIT_MIN:
+        raise NotImplementedError(
+            f"GRIB2 forecast-time unit {time_unit} not supported"
+        )
+    valid = ref_time + _dt.timedelta(minutes=fcst * _TIME_UNIT_MIN[time_unit])
+    lev_type = sec4[22]
+    lev_scale = sec4[23]
+    (lev_val,) = struct.unpack_from(">I", sec4, 24)
+    if lev_type == 255 or lev_val == 0xFFFFFFFF:
+        level = None
+    else:
+        level = _sm_decode(lev_val, 32) / (10.0 ** _sm_decode(lev_scale, 8))
+    return category, number, valid, lev_type, level
+
+
+def _parse_ref_time(sec1: bytes) -> _dt.datetime:
+    year, = struct.unpack_from(">H", sec1, 12)
+    month, day, hour, minute, second = sec1[14:19]
+    return _dt.datetime(year, month, day, hour, minute, second)
+
+
+def scan_grib2(raw: bytes) -> list[Grib2Index]:
+    """Header-only index of every message (never reads section 7)."""
+    out: list[Grib2Index] = []
+    pos = 0
+    while pos < len(raw):
+        if raw[pos : pos + 4] != b"GRIB":
+            raise ValueError(
+                f"garbage between GRIB2 messages at offset {pos}"
+            )
+        discipline, total_len, secs = _sections(raw, pos)
+        ref_time = _parse_ref_time(secs[1])
+        lats, lons = _parse_grid(secs[3])
+        category, number, valid, lev_type, level = _parse_product(
+            secs[4], ref_time
+        )
+        out.append(
+            Grib2Index(
+                offset=pos,
+                length=total_len,
+                discipline=discipline,
+                category=category,
+                number=number,
+                name=param_name(discipline, category, number),
+                ref_time=ref_time,
+                valid_time=valid,
+                level_type=lev_type,
+                level=level,
+                ni=len(lons),
+                nj=len(lats),
+                lat0=float(min(lats[0], lats[-1])),
+                lat1=float(max(lats[0], lats[-1])),
+                lon0=float(lons[0]),
+                lon1=float(lons[-1]),
+            )
+        )
+        pos += total_len
+    return out
+
+
+def decode_message(raw: bytes, offset: int = 0) -> Grib2Field:
+    """Fully decode the message starting at ``offset``."""
+    discipline, total_len, secs = _sections(raw, offset)
+    ref_time = _parse_ref_time(secs[1])
+    lats, lons = _parse_grid(secs[3])
+    category, number, valid, lev_type, level = _parse_product(
+        secs[4], ref_time
+    )
+    sec5 = secs[5]
+    (n_points,) = struct.unpack_from(">I", sec5, 5)
+    (template5,) = struct.unpack_from(">H", sec5, 9)
+    if template5 != 0:
+        raise NotImplementedError(
+            f"GRIB2 data template 5.{template5} not supported "
+            "(simple packing 5.0 only)"
+        )
+    (ref_val,) = struct.unpack_from(">f", sec5, 11)
+    (e_raw,) = struct.unpack_from(">H", sec5, 15)
+    (d_raw,) = struct.unpack_from(">H", sec5, 17)
+    nbits = sec5[19]
+    e_scale = _sm_decode(e_raw, 16)
+    d_scale = _sm_decode(d_raw, 16)
+
+    sec6 = secs[6]
+    bitmap_ind = sec6[5]
+    ni, nj = len(lons), len(lats)
+    n_grid = ni * nj
+    if bitmap_ind == 255:
+        mask = None
+        if n_points != n_grid:
+            raise ValueError(
+                f"GRIB2 point count {n_points} != grid {nj}x{ni} "
+                "with no bitmap"
+            )
+    elif bitmap_ind == 0:
+        bm = np.unpackbits(np.frombuffer(sec6[6:], dtype=np.uint8))[:n_grid]
+        mask = bm.astype(bool)
+        if int(mask.sum()) != n_points:
+            raise ValueError(
+                f"GRIB2 bitmap has {int(mask.sum())} set bits but section 5 "
+                f"declares {n_points} packed values"
+            )
+    else:
+        raise NotImplementedError(
+            f"GRIB2 bitmap indicator {bitmap_ind} not supported"
+        )
+
+    x = _unpack_bits(secs[7][5:], nbits, n_points).astype(np.float64)
+    y = (ref_val + x * (2.0 ** e_scale)) / (10.0 ** d_scale)
+    if mask is None:
+        grid = y
+    else:
+        grid = np.full(n_grid, np.nan)
+        grid[mask] = y
+    idx = Grib2Index(
+        offset=offset,
+        length=total_len,
+        discipline=discipline,
+        category=category,
+        number=number,
+        name=param_name(discipline, category, number),
+        ref_time=ref_time,
+        valid_time=valid,
+        level_type=lev_type,
+        level=level,
+        ni=ni,
+        nj=nj,
+        lat0=float(min(lats[0], lats[-1])),
+        lat1=float(max(lats[0], lats[-1])),
+        lon0=float(lons[0]),
+        lon1=float(lons[-1]),
+    )
+    return Grib2Field(
+        index=idx, lats=lats, lons=lons, values=grid.reshape(nj, ni)
+    )
+
+
+def iter_grib2(raw: bytes):
+    for idx in scan_grib2(raw):
+        yield decode_message(raw, idx.offset)
+
+
+# -- writer (deterministic, for fixtures and to_grib2 parity) ----------
+
+
+def write_grib2_message(
+    values: np.ndarray,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    ref_time: _dt.datetime,
+    forecast_hours: int = 0,
+    discipline: int = 0,
+    category: int = 0,
+    number: int = 0,
+    level_type: int = 1,
+    level: float | None = None,
+    ref_value: float = 0.0,
+    binary_scale: int = 0,
+    decimal_scale: int = 0,
+    nbits: int = 16,
+) -> bytes:
+    """Serialize one (nj, ni) field with simple packing.
+
+    The caller picks the packing parameters; values must satisfy
+    X = (value·10^D − R) / 2^E exactly representable as an unsigned
+    ``nbits`` integer (fixtures use power-of-two scales so the
+    round-trip is bit-exact). NaNs become bitmap-masked points.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    nj, ni = values.shape
+    if len(lats) != nj or len(lons) != ni:
+        raise ValueError("axis lengths do not match values shape")
+    flat = values.ravel()
+    present = ~np.isnan(flat)
+    packed_vals = flat[present]
+    x_float = (packed_vals * (10.0 ** decimal_scale) - ref_value) / (
+        2.0 ** binary_scale
+    )
+    if np.any(x_float < -0.5):
+        raise ValueError(
+            "values below the reference value cannot be simple-packed; "
+            "lower ref_value"
+        )
+    x = np.rint(x_float).astype(np.uint64)
+    if nbits and np.any(x >= (1 << nbits)):
+        raise ValueError(f"values do not fit in {nbits} bits after scaling")
+
+    def s32(v: float) -> int:
+        return _sm_encode(int(round(v * 1e6)), 32)
+
+    sec1 = struct.pack(
+        ">IBHHBBBHBBBBBBB",
+        21, 1, 0, 0, 2, 1, 1,
+        ref_time.year, ref_time.month, ref_time.day,
+        ref_time.hour, ref_time.minute, ref_time.second,
+        0, 1,
+    )
+    # grid template 3.0; +j scan when lats ascend, -j when they descend
+    scan = 0x40 if lats[-1] >= lats[0] else 0x00
+    di = abs(lons[-1] - lons[0]) / max(ni - 1, 1)
+    dj = abs(lats[-1] - lats[0]) / max(nj - 1, 1)
+    sec3 = struct.pack(
+        ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
+        72, 3, 0, ni * nj, 0, 0, 0,
+        6, 0, 0, 0, 0, 0, 0,                # shape of earth: sphere 6371.229km
+        ni, nj, 0, 0xFFFFFFFF,              # basic angle / subdivisions
+        _sm_encode(int(round(lats[0] * 1e6)), 32),
+        _sm_encode(int(round(lons[0] * 1e6)), 32),
+        0x30,                               # res/component flags: Di/Dj given
+        _sm_encode(int(round(lats[-1] * 1e6)), 32),
+        _sm_encode(int(round(lons[-1] * 1e6)), 32),
+        int(round(di * 1e6)), int(round(dj * 1e6)),
+        scan,
+    )
+    if level is None:
+        lev_scale_b, lev_val = 0xFF, 0xFFFFFFFF
+        level_type = 255
+    else:
+        lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
+    sec4 = struct.pack(
+        ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
+        34, 4, 0, 0,
+        category, number, 2, 255, 255, 0, 255, 1,   # unit 1 = hours
+        _sm_encode(forecast_hours, 32),
+        level_type, lev_scale_b, lev_val,
+        255, 255, 0xFFFFFFFF,
+    )
+    sec5 = struct.pack(
+        ">IBIH" + "fHHBB",
+        21, 5, int(packed_vals.size), 0,
+        ref_value,
+        _sm_encode(binary_scale, 16),
+        _sm_encode(decimal_scale, 16),
+        nbits, 0,
+    )
+    if present.all():
+        sec6 = struct.pack(">IBB", 6, 6, 255)
+    else:
+        bm = np.packbits(present.astype(np.uint8)).tobytes()
+        sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bm
+    payload = _pack_bits(x, nbits)
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+
+    body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+    total = 16 + len(body) + 4
+    sec0 = b"GRIB" + struct.pack(">HBBQ", 0, discipline, 2, total)
+    return sec0 + body + _TRAILER
+
+
+# -- Spark loader ------------------------------------------------------
+
+_INDEX_SCHEMA = (
+    "path string, offset long, length long, name string, "
+    "discipline int, category int, number int, "
+    "ref_time timestamp, time timestamp, level_type int, level double, "
+    "ni int, nj int, lat0 double, lat1 double, lon0 double, lon1 double"
+)
+
+
+def load_grib2(
+    spark,
+    path: str,
+    param: str | None = None,
+    time_bnds: tuple | None = None,
+    lat_bnds: tuple | None = None,
+    lon_bnds: tuple | None = None,
+):
+    """Glob .grib2 files → long-form rows, two distributed stages.
+
+    Stage 1 (``mapInPandas`` over the file manifest) emits one INDEX
+    row per message — offsets plus param/time/level/bbox metadata,
+    headers only. Stage 2 filters that DataFrame (param and bounds
+    predicates run in Catalyst, so dropped messages are never read
+    again) and decodes each surviving (path, offset) in its own task —
+    message-level parallelism even when one cycle file holds thousands
+    of fields. In-field lat/lon bounds additionally mask axes before
+    the mesh materializes (the load_netcdf hyperslab contract).
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.sources.netcdf import LONG_FORM_SCHEMA, _long_form
+
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                with open(fpath, "rb") as fh:
+                    raw = fh.read()
+                idx = scan_grib2(raw)
+                yield pd.DataFrame(
+                    {
+                        "path": fpath,
+                        "offset": [i.offset for i in idx],
+                        "length": [i.length for i in idx],
+                        "name": [i.name for i in idx],
+                        "discipline": [i.discipline for i in idx],
+                        "category": [i.category for i in idx],
+                        "number": [i.number for i in idx],
+                        "ref_time": [i.ref_time for i in idx],
+                        "time": [i.valid_time for i in idx],
+                        "level_type": [i.level_type for i in idx],
+                        "level": [
+                            np.nan if i.level is None else i.level
+                            for i in idx
+                        ],
+                        "ni": [i.ni for i in idx],
+                        "nj": [i.nj for i in idx],
+                        "lat0": [i.lat0 for i in idx],
+                        "lat1": [i.lat1 for i in idx],
+                        "lon0": [i.lon0 for i in idx],
+                        "lon1": [i.lon1 for i in idx],
+                    }
+                )
+
+    index_df = manifest.mapInPandas(scan, schema=_INDEX_SCHEMA)
+    if param is not None:
+        index_df = index_df.filter(F.col("name") == param)
+    if time_bnds is not None:
+        lo, hi = time_bnds
+        if lo is not None:
+            index_df = index_df.filter(F.col("time") >= F.lit(lo))
+        if hi is not None:
+            index_df = index_df.filter(F.col("time") <= F.lit(hi))
+    if lat_bnds is not None:
+        lo, hi = lat_bnds
+        if lo is not None:
+            index_df = index_df.filter(F.col("lat1") >= F.lit(float(lo)))
+        if hi is not None:
+            index_df = index_df.filter(F.col("lat0") <= F.lit(float(hi)))
+    # one decode task per message: tiny index rows, cheap shuffle
+    index_df = index_df.repartition("path", "offset")
+    bounds = {"lat": lat_bnds, "lon": lon_bnds}
+
+    def decode(batches):
+        import pandas as pd
+
+        from bcdp_spark.sources.netcdf import _bounds_mask
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                with open(row["path"], "rb") as fh:
+                    raw = fh.read()
+                fld = decode_message(raw, int(row["offset"]))
+                lats, lons, vals = fld.lats, fld.lons, fld.values
+                la_m = _bounds_mask(lats, bounds["lat"])
+                lo_m = _bounds_mask(lons, bounds["lon"])
+                lats, lons = lats[la_m], lons[lo_m]
+                vals = vals[np.ix_(la_m, lo_m)]
+                yield _long_form(
+                    str(row["name"]),
+                    pd.DatetimeIndex([row["time"]] * 1),
+                    lats,
+                    lons,
+                    vals[np.newaxis, :, :],
+                )
+
+    return index_df.mapInPandas(decode, schema=LONG_FORM_SCHEMA)

@@ -73,6 +73,13 @@ def _opendap(spark: SparkSession, path: str, **options) -> DataFrame:
     return load_opendap(spark, path, **options)
 
 
+@register_data_source("grib2")
+def _grib2(spark: SparkSession, path: str, **options) -> DataFrame:
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    return load_grib2(spark, path, **options)
+
+
 # -- self-registering format modules ----------------------------------
 # importing them IS the registration (decorator side effect); placed at
 # the bottom so the decorator exists when the circular import re-enters

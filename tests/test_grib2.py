@@ -1,0 +1,219 @@
+"""GRIB2 codec tests (sources/grib2.py): byte-level roundtrip, scan
+orders, packing math, bitmap NULLs, loud truncation failure, Spark
+loader pruning, registry dispatch."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.sources.grib2 import (
+    Grib2Index,
+    decode_message,
+    iter_grib2,
+    load_grib2,
+    param_name,
+    scan_grib2,
+    write_grib2_message,
+)
+
+_REF = dt.datetime(2001, 1, 1)
+
+
+def _field(vals, lats=None, lons=None, **kw):
+    nj, ni = np.asarray(vals).shape
+    if lats is None:
+        lats = np.linspace(-60, 60, nj)
+    if lons is None:
+        lons = np.arange(ni) * 10.0
+    return write_grib2_message(np.asarray(vals, float), lats, lons, _REF, **kw)
+
+
+def test_roundtrip_exact_quarter_steps():
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    raw = _field(vals, binary_scale=-2, nbits=10)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    assert f.index.name == "t"
+    assert f.index.valid_time == _REF
+
+
+def test_decimal_scale_roundtrip():
+    # D=2: hundredths, packed as integers x = v*100
+    vals = np.array([[0.01, 1.23], [4.5, 0.0]])
+    raw = _field(vals, decimal_scale=2, nbits=12)
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.values, vals, rtol=0, atol=1e-12)
+
+
+def test_reference_value_offset():
+    vals = np.array([[300.0, 300.25], [301.5, 300.0]])
+    raw = _field(vals, ref_value=300.0, binary_scale=-2, nbits=4)
+    np.testing.assert_array_equal(decode_message(raw).values, vals)
+
+
+def test_constant_field_nbits0():
+    vals = np.full((3, 5), 7.5)
+    raw = _field(vals, ref_value=7.5, nbits=0)
+    np.testing.assert_array_equal(decode_message(raw).values, vals)
+
+
+def test_bitmap_nan_roundtrip():
+    vals = np.arange(12, dtype=float).reshape(3, 4)
+    vals[0, 0] = np.nan
+    vals[2, 3] = np.nan
+    raw = _field(vals, nbits=8)
+    got = decode_message(raw).values
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(vals))
+    m = ~np.isnan(vals)
+    np.testing.assert_array_equal(got[m], vals[m])
+
+
+def test_scan_order_descending_and_ascending_lats():
+    vals = np.arange(6, dtype=float).reshape(2, 3)
+    down = decode_message(_field(vals, lats=np.array([60.0, -60.0])))
+    up = decode_message(_field(vals, lats=np.array([-60.0, 60.0])))
+    # storage row 0 is always la1; axis reflects the file's ordering
+    assert down.lats[0] == 60.0 and up.lats[0] == -60.0
+    np.testing.assert_array_equal(down.values, vals)
+    np.testing.assert_array_equal(up.values, vals)
+
+
+def test_multi_message_scan_and_offsets():
+    a = _field(np.zeros((2, 2)), category=0, number=0)
+    b = _field(np.ones((2, 2)), category=1, number=8, forecast_hours=6)
+    idx = scan_grib2(a + b)
+    assert [i.name for i in idx] == ["t", "apcp"]
+    assert idx[1].offset == len(a)
+    assert idx[1].valid_time == _REF + dt.timedelta(hours=6)
+    fields = list(iter_grib2(a + b))
+    np.testing.assert_array_equal(fields[1].values, np.ones((2, 2)))
+
+
+def test_level_decode():
+    raw = _field(np.zeros((2, 2)), level_type=100, level=85000)
+    i = scan_grib2(raw)[0]
+    assert (i.level_type, i.level) == (100, 85000.0)
+    raw2 = _field(np.zeros((2, 2)))  # no level → missing markers
+    assert scan_grib2(raw2)[0].level is None
+
+
+def test_truncated_message_raises():
+    raw = _field(np.arange(100, dtype=float).reshape(10, 10), nbits=16)
+    with pytest.raises(ValueError, match="truncated|7777"):
+        scan_grib2(raw[:-8])
+    with pytest.raises(ValueError, match="truncated|7777"):
+        decode_message(raw[: len(raw) // 2])
+
+
+def test_garbage_between_messages_raises():
+    raw = _field(np.zeros((2, 2)))
+    with pytest.raises(ValueError, match="garbage"):
+        scan_grib2(raw + b"XXXX" + raw)
+
+
+def test_grib1_rejected_loudly():
+    raw = bytearray(_field(np.zeros((2, 2))))
+    raw[7] = 1  # edition byte
+    with pytest.raises(NotImplementedError, match="edition 1"):
+        scan_grib2(bytes(raw))
+
+
+def test_values_below_reference_rejected_at_write():
+    with pytest.raises(ValueError, match="reference value"):
+        _field(np.array([[-1.0, 0.0]]), ref_value=0.0)
+
+
+def test_param_name_fallback():
+    assert param_name(0, 0, 0) == "t"
+    assert param_name(9, 9, 9) == "d9c9n9"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    nj=st.integers(2, 8),
+    ni=st.integers(2, 8),
+    nbits=st.integers(1, 24),
+    e_scale=st.integers(-4, 2),
+    seed=st.integers(0, 10**6),
+)
+def test_roundtrip_property(nj, ni, nbits, e_scale, seed):
+    """Any grid of X·2^E values with X < 2^nbits round-trips exactly
+    (float64 holds every such product for nbits<=24)."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 1 << nbits, size=(nj, ni)).astype(np.float64)
+    vals = x * (2.0 ** e_scale)
+    mask = rng.random((nj, ni)) < 0.2
+    vals[mask] = np.nan
+    if np.all(mask):
+        mask[0, 0] = False
+        vals[0, 0] = 0.0
+    raw = _field(vals, binary_scale=e_scale, nbits=nbits)
+    got = decode_message(raw).values
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(vals))
+    np.testing.assert_array_equal(got[~mask], vals[~mask])
+
+
+def _write_fixture(tmpdir) -> str:
+    lats = np.array([60.0, 20.0, -20.0, -60.0])
+    lons = np.arange(6) * 60.0
+    for cyc in range(2):
+        msgs = b""
+        for h in (0, 6):
+            vals = (
+                np.arange(24, dtype=float).reshape(4, 6) + cyc * 100 + h
+            ) * 0.25
+            msgs += write_grib2_message(
+                vals, lats, lons, dt.datetime(2001, 1, 1 + cyc),
+                forecast_hours=h, binary_scale=-2, nbits=16,
+            )
+            msgs += write_grib2_message(
+                vals + 1000, lats, lons, dt.datetime(2001, 1, 1 + cyc),
+                forecast_hours=h, category=1, number=8,
+                binary_scale=-2, nbits=16,
+            )
+        with open(os.path.join(tmpdir, f"cycle{cyc}.grib2"), "wb") as fh:
+            fh.write(msgs)
+    return os.path.join(tmpdir, "*.grib2")
+
+
+def test_load_grib2_param_filter_and_values(spark, tmp_path):
+    glob = _write_fixture(str(tmp_path))
+    df = load_grib2(spark, glob, param="t")
+    rows = df.collect()
+    assert len(rows) == 2 * 2 * 24
+    by = {(r["time"].day, r["time"].hour, r["lat"], r["lon"]): r["value"]
+          for r in rows}
+    # closed form: cycle 1, h=6, row lat=60 (a=0), lon=120 (o=2)
+    assert by[(2, 6, 60.0, 120.0)] == (2 + 100 + 6) * 0.25
+    assert all(r["name"] == "t" for r in rows)
+
+
+def test_load_grib2_time_and_lat_pruning(spark, tmp_path):
+    glob = _write_fixture(str(tmp_path))
+    df = load_grib2(
+        spark, glob, param="apcp",
+        time_bnds=(dt.datetime(2001, 1, 1, 1), None),
+        lat_bnds=(0, 90),
+    )
+    rows = df.collect()
+    # 3 of 4 apcp messages survive the time bound; 2 of 4 lats survive
+    assert len(rows) == 3 * 2 * 6
+    assert {r["lat"] for r in rows} == {20.0, 60.0}
+
+
+def test_registry_dispatch(spark, tmp_path):
+    from bcdp_spark.sources.registry import load
+
+    glob = _write_fixture(str(tmp_path))
+    df = load("grib2", spark, glob, param="t")
+    assert df.count() == 96
