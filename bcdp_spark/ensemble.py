@@ -562,6 +562,19 @@ class Ensemble:
             self.df, out_dir, by=self.name_col, var_name=self.value_col
         )
 
+    def to_grib2(self, out_dir: str, nbits: int = 16) -> DataFrame:
+        """Sink (S6): one GRIB2 cycle file per member (one message per
+        time step), written from executors (sinks.to_grib2; vendored
+        WMO FM 92 writer), reingestable by ``sources.grib2.load_grib2``
+        with message-level pruning. Simple packing is GRIB's native
+        lossy contract — quantization ≤ range/(2^nbits − 1) per field."""
+        from bcdp_spark.sinks import to_grib2
+
+        return to_grib2(
+            self.df, out_dir, by=self.name_col, var_name=self.value_col,
+            nbits=nbits,
+        )
+
     def to_zarr(
         self,
         out_dir: str,

@@ -1,0 +1,187 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge
+learning) — the tokenizer-construction step of an LLM data pipeline
+(Sennrich et al. 2016, the algorithm behind GPT-2/LLaMA vocabularies).
+
+Spark-first decomposition. Classic BPE trains on the WORD-FREQUENCY
+table, not the raw corpus — so the expensive part (one pass over 100 TB
+of text) happens exactly once, as a hash aggregate:
+
+  corpus → explode(split(text)) → groupBy(word) → freq      (1 shuffle)
+
+Everything after runs on the vocabulary table (millions of rows, not
+billions). Each merge iteration is:
+
+  1. adjacent-pair counting — ``arrays_zip(slice(syms,1,n-1),
+     slice(syms,2,n-1))`` exploded and hash-aggregated with the word
+     frequency as weight (all JVM expressions, map-side combine);
+  2. argmax with a deterministic tie-break (count desc, then pair
+     lexicographic) — a 1-ROW driver collect per merge. This is
+     bounded metadata by design (``n_merges`` × ~100 bytes, the
+     ``operators/totalorder.py`` contract), and the learned pair must
+     reach the driver anyway: it IS the output artifact.
+  3. greedy left-to-right merge application as a pure ``aggregate``
+     fold: acc starts empty, each symbol arrives as a 1-element array,
+     and a matching (left, right) suffix collapses into the merged
+     token. Because the merged token is a different string, overlapping
+     runs ("aaa" under a+a) merge non-overlapping left-to-right exactly
+     like the reference algorithm — no UDF, whole-stage codegen.
+
+The symbol table is re-persisted (and lineage-cut with an eager
+``localCheckpoint``) every ``checkpoint_every`` merges, the
+``operators/pagerank.py`` loop discipline, so plans stay bounded for
+hundreds of merges.
+
+``bpe_encode`` applies a learned merge list to text as chained fold
+expressions — linear plan growth in ``len(merges)``; for
+thousand-merge production vocabularies, chunk the chain or move the
+inner loop to an Arrow-batched pandas UDF (documented seam, same
+trade-off as ``operators/multimodal.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EMPTY_SYMS = "cast(array() as array<string>)"
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", word_pattern: str = "^[a-z]+$"
+) -> DataFrame:
+    """Lower → whitespace-split → explode → filter → hash-count.
+
+    ``word_pattern`` keeps training deterministic across engines (and
+    drops punctuation noise); pass ``None`` to keep every token.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    if word_pattern is not None:
+        words = words.filter(F.col("word").rlike(word_pattern))
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _merge_fold(syms: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right application of one merge to a symbol array."""
+    return F.aggregate(
+        F.transform(syms, lambda s: F.array(s)),
+        F.expr(_EMPTY_SYMS),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == left)
+            & (F.try_element_at(x, F.lit(1)) == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, x)),
+    )
+
+
+def _pair_counts(syms_df: DataFrame) -> DataFrame:
+    z = F.arrays_zip(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("lhs"),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("rhs"),
+    )
+    return (
+        syms_df.select(F.explode(z).alias("p"), "freq")
+        .select(
+            F.col("p.lhs").alias("lhs"),
+            F.col("p.rhs").alias("rhs"),
+            "freq",
+        )
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    word_pattern: str = "^[a-z]+$",
+    checkpoint_every: int = 8,
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Learn ``n_merges`` BPE merges from a text column.
+
+    Returns ``(merge_table, merges)``: a DataFrame with one row per
+    learned merge — ``(merge_rank, lhs, rhs, merged, pair_count)`` in
+    training order — and the same pairs as a plain list for
+    ``bpe_encode``. Training stops early if no pair remains.
+    """
+    spark = df.sparkSession
+    syms_df = (
+        word_frequencies(df, text_col, word_pattern)
+        .select(F.split("word", "").alias("syms"), "freq")
+        .persist()
+    )
+    out_rows: list[tuple] = []
+    merges: list[tuple[str, str]] = []
+    try:
+        for rank in range(n_merges):
+            best = (
+                _pair_counts(syms_df)
+                .orderBy(
+                    F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+                )
+                .limit(1)
+                .collect()  # 1 row: bounded metadata (see module doc)
+            )
+            if not best:
+                break
+            row = best[0]
+            out_rows.append(
+                (rank, row["lhs"], row["rhs"], row["lhs"] + row["rhs"],
+                 row["pair_count"])
+            )
+            merges.append((row["lhs"], row["rhs"]))
+            prev = syms_df
+            syms_df = syms_df.select(
+                _merge_fold(
+                    F.col("syms"), F.lit(row["lhs"]), F.lit(row["rhs"])
+                ).alias("syms"),
+                "freq",
+            )
+            if (rank + 1) % checkpoint_every == 0:
+                syms_df = syms_df.localCheckpoint()  # eager lineage cut
+            else:
+                syms_df = syms_df.persist()
+            prev.unpersist()
+    finally:
+        syms_df.unpersist()
+    merge_table = spark.createDataFrame(
+        out_rows,
+        "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+    return merge_table, merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+    word_pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list.
+
+    Splits to words, applies every merge in rank order to each word's
+    character array (chained folds — plan grows linearly with
+    ``len(merges)``), and flattens to one token array per row.
+    """
+
+    def encode_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for left, right in merges:
+            syms = _merge_fold(syms, F.lit(left), F.lit(right))
+        return syms
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: (F.length(w) > 0)
+        & (F.lit(True) if word_pattern is None else w.rlike(word_pattern)),
+    )
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, encode_word))
+    )

@@ -100,7 +100,6 @@ _PRIORITY = (
     # (c) relational/subquery family (never graded)
     "q_pivot", "q_unpivot", "q_scalar_subquery", "q_exists_subquery",
     "q_correlated_scalar", "q_conditional_agg",
-    "q_full_join",
     "q_multi_distinct", "q_salted_agg", "q_salted_join",
     # (d) warehouse/analytics family (never graded)
     "q_shipping_priority", "q_market_share", "q_promo_revenue",
@@ -125,8 +124,12 @@ _PRIORITY = (
     # first driver row; q_null_safe_join moved just past the boundary to
     # make room — the join family keeps r2∪r3 driver-green evidence)
     "q_grib2_climatology",
+    # late-r4 BPE tokenizer training (new X4q operator — first driver
+    # row; q_full_join joins the boundary overflow, the join family
+    # keeps J1-J8 r2∪r3 driver-green evidence)
+    "q_bpe_merges",
     # --- 50-key window boundary ---
-    "q_null_safe_join",
+    "q_null_safe_join", "q_full_join",
     # (g) remaining never-graded keys, next in line if the cap allows
     "q_snapshot_diff", "q_knn_join", "q_knn_join_ivf", "q_doc_chunking",
     "q_argmax",

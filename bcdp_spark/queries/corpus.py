@@ -1553,3 +1553,74 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4q (late r4) — BPE tokenizer training (operators/bpe.py): learn the
+# first 4 byte-pair merges from the documents corpus. The oracle unrolls
+# the SAME algorithm in DuckDB — pair counting via list_zip of adjacent
+# symbols, deterministic argmax (count desc, pair lexicographic), greedy
+# left-to-right merge application as a list_reduce fold over 1-element
+# lists (DuckDB's fold seeds the accumulator with the first element,
+# which matches Spark's empty-seed aggregate because the first step is
+# always a plain concat) — so a hash match certifies every learned
+# merge AND every intermediate merge application, the pagerank-style
+# unrolled-iteration contract.
+# ---------------------------------------------------------------------------
+def _bpe_oracle(n: int) -> str:
+    pairs_t = """
+SELECT pair[1] AS lhs, pair[2] AS rhs,
+       CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM (SELECT unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                             list_slice(syms, 2, len(syms)))) AS pair, freq
+      FROM {src})
+GROUP BY 1, 2
+"""
+    best_t = (
+        "SELECT lhs, rhs, pair_count FROM {p} "
+        "ORDER BY pair_count DESC, lhs, rhs LIMIT 1"
+    )
+    merge_t = """
+SELECT list_reduce(
+         list_transform(syms, s -> [s]),
+         (acc, x) -> CASE WHEN acc[-1] = m.lhs AND x[1] = m.rhs
+            THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                             m.lhs || m.rhs)
+            ELSE list_concat(acc, x) END) AS syms, freq
+FROM {src}, {m} m
+"""
+    parts = [
+        r"""WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+), s0 AS (SELECT string_split(word, '') AS syms, freq FROM w)"""
+    ]
+    for i in range(n):
+        parts.append(f", p{i} AS ({pairs_t.format(src=f's{i}')})")
+        parts.append(f", m{i} AS ({best_t.format(p=f'p{i}')})")
+        if i < n - 1:
+            parts.append(
+                f", s{i + 1} AS "
+                f"({merge_t.format(src=f's{i}', m=f'm{i}')})"
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"pair_count FROM m{i}"
+        for i in range(n)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("q_bpe_merges", oracle=_bpe_oracle(4))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4q: first 4 BPE merges learned from the documents corpus —
+    word-frequency table (one corpus pass), then per-merge JVM pair
+    counting + greedy fold application (operators/bpe.py)."""
+    from bcdp_spark.operators.bpe import bpe_train
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    merge_table, _ = bpe_train(docs, text_col="text", n_merges=4)
+    return merge_table

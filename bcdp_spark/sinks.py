@@ -412,3 +412,101 @@ def write_audit_publish(
     for old in existing[:-1]:  # keep current + immediately previous
         shutil.rmtree(f"{base}.__v{old}__", ignore_errors=True)
     return {"published": True, "version": v}
+
+
+def to_grib2(
+    df: DataFrame,
+    out_dir: str,
+    by: str = "name",
+    var_name: str = "value",
+    nbits: int = 16,
+) -> DataFrame:
+    """GRIB2 export: one cycle file per ``by`` group, one message per
+    time step, written from executors with the vendored WMO FM 92
+    writer (bcdp_spark.sources.grib2) — the to_netcdf/to_zarr sink
+    contract, reingestable by ``load_grib2``.
+
+    Each message is simple-packed with a per-field range scaling: the
+    reference value is the field minimum (as the IEEE-float32 GRIB
+    stores), the binary scale E is the smallest power of two whose
+    ``nbits`` steps span the range — quantization error is bounded by
+    2^E/2 ≤ range/(2^nbits − 1), GRIB's native lossy contract (nbits=16
+    keeps ~4-5 significant digits; raise for more). NaNs become bitmap
+    points and reload as NULL. The returned manifest has one row per
+    file (path, n_rows, n_times, nbits).
+    """
+    import math
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bcdp_spark.sources.grib2 import write_grib2_message
+
+        member = str(pdf[by].iloc[0])
+        times = np.sort(pdf["time"].unique())
+        lats = np.sort(pdf["lat"].unique())
+        lons = np.sort(pdf["lon"].unique())
+        t_idx = {v: i for i, v in enumerate(times)}
+        a_idx = {v: i for i, v in enumerate(lats)}
+        o_idx = {v: i for i, v in enumerate(lons)}
+        vals = pdf[var_name].to_numpy(dtype=float)
+        ti = pdf["time"].map(t_idx).to_numpy()
+        ai = pdf["lat"].map(a_idx).to_numpy()
+        oi = pdf["lon"].map(o_idx).to_numpy()
+        grid = np.full((len(times), len(lats), len(lons)), np.nan)
+        ok = ~np.isnan(vals)
+        grid[ti[ok], ai[ok], oi[ok]] = vals[ok]
+        msgs = b""
+        for t in range(len(times)):
+            field = grid[t]
+            finite = field[~np.isnan(field)]
+            if finite.size == 0 or finite.max() == finite.min():
+                ref = float(finite[0]) if finite.size else 0.0
+                ref32 = float(np.float32(ref))
+                if ref32 > ref:  # float32 must not exceed the minimum
+                    ref32 = float(np.nextafter(np.float32(ref), -np.inf))
+                field = field - ref + ref32  # constant field: exact
+                e_scale, bits = 0, 0
+                ref = ref32
+            else:
+                ref = float(finite.min())
+                ref32 = float(np.float32(ref))
+                if ref32 > ref:
+                    ref32 = float(np.nextafter(np.float32(ref), -np.inf))
+                ref = ref32
+                span = float(finite.max()) - ref
+                e_scale = math.ceil(
+                    math.log2(span / (2**nbits - 1))
+                )
+                bits = nbits
+            msgs += write_grib2_message(
+                field,
+                np.asarray(lats, dtype=float),
+                np.asarray(lons, dtype=float),
+                pd.Timestamp(times[t]).to_pydatetime(),
+                forecast_hours=0,
+                ref_value=ref,
+                binary_scale=e_scale,
+                nbits=bits,
+            )
+        path = os.path.join(out_dir, f"{member}.grib2")
+        with open(path, "wb") as fh:
+            fh.write(msgs)
+        return pd.DataFrame(
+            {
+                by: [member],
+                "path": [path],
+                "n_rows": [len(pdf)],
+                "n_times": [len(times)],
+                "nbits": [nbits],
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.groupBy(by).applyInPandas(
+        write_group,
+        schema=f"{by} string, path string, n_rows long, n_times long, "
+        "nbits int",
+    )

@@ -1,0 +1,148 @@
+"""BPE training/encoding tests (operators/bpe.py): textbook merges,
+greedy overlap semantics, early stop, encode/train consistency, and a
+property test against an independent pure-Python reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.operators.bpe import bpe_encode, bpe_train, word_frequencies
+
+
+def _ref_bpe(word_freq: dict[str, int], n_merges: int):
+    """Reference BPE (independent of the Spark code): returns the merge
+    list [(lhs, rhs, count)] with count-desc / lexicographic tie-break
+    and greedy left-to-right application."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_textbook_merges(spark):
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cats eat hats",),
+         ("that hat is the best hat",)], "text string")
+    mt, merges = bpe_train(docs, n_merges=5)
+    rows = mt.orderBy("merge_rank").collect()
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    wf = {r["word"]: r["freq"]
+          for r in word_frequencies(docs).collect()}
+    exp, _ = _ref_bpe(wf, 5)
+    assert got == exp
+    assert merges == [(l, r) for l, r, _ in exp]
+    assert [r["merged"] for r in rows] == [l + r for l, r, _ in exp]
+
+
+def test_greedy_overlap_aaa(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa]; 'aaa' → [aa, a]."""
+    docs = spark.createDataFrame([("aaaa aaaa aaa",)], "text string")
+    mt, merges = bpe_train(docs, n_merges=2)
+    assert merges[0] == ("a", "a")
+    enc = bpe_encode(docs, merges[:1]).collect()[0]["tokens"]
+    assert enc == ["aa", "aa", "aa", "aa", "aa", "a"]
+
+
+def test_early_stop_no_pairs(spark):
+    docs = spark.createDataFrame([("a b c a",)], "text string")
+    mt, merges = bpe_train(docs, n_merges=5)
+    assert mt.count() == 0 and merges == []
+
+
+def test_encode_applies_in_rank_order(spark):
+    docs = spark.createDataFrame([("abab abab",)], "text string")
+    _, merges = bpe_train(docs, n_merges=2)
+    enc = bpe_encode(docs, merges).collect()[0]["tokens"]
+    wf = {r["word"]: r["freq"]
+          for r in word_frequencies(docs).collect()}
+    exp_m, vocab = _ref_bpe(wf, 2)
+    # encode of 'abab' must equal the reference's final symbols
+    (exp_syms,) = [list(k) for k in vocab]
+    assert enc == exp_syms + exp_syms
+
+
+def test_word_pattern_filters(spark):
+    docs = spark.createDataFrame([("foo BAR!! baz123 qux",)], "text string")
+    wf = {r["word"] for r in word_frequencies(docs).collect()}
+    assert wf == {"foo", "qux"}  # 'bar!!'/'baz123' fail ^[a-z]+$
+    wf_all = {r["word"] for r in
+              word_frequencies(docs, word_pattern=None).collect()}
+    assert wf_all == {"foo", "bar!!", "baz123", "qux"}
+
+
+def test_checkpoint_path(spark):
+    """checkpoint_every smaller than n_merges exercises the eager
+    localCheckpoint lineage cut without changing results."""
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat the cat",)], "text string")
+    mt1, m1 = bpe_train(docs, n_merges=4, checkpoint_every=2)
+    mt2, m2 = bpe_train(docs, n_merges=4, checkpoint_every=100)
+    assert m1 == m2
+    assert mt1.collect() == mt2.collect()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10**6),
+    n_merges=st.integers(1, 5),
+)
+def test_matches_reference_on_random_corpora(spark, seed, n_merges):
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    docs_py = [
+        " ".join(
+            "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(4)
+    ]
+    docs = spark.createDataFrame([(t,) for t in docs_py], "text string")
+    mt, merges = bpe_train(docs, n_merges=n_merges)
+    wf = {r["word"]: r["freq"]
+          for r in word_frequencies(docs).collect()}
+    exp, vocab = _ref_bpe(wf, n_merges)
+    got = [(r["lhs"], r["rhs"], r["pair_count"])
+           for r in mt.orderBy("merge_rank").collect()]
+    assert got == exp
+    # encoding any word reproduces the reference's final vocab entry
+    enc = {
+        r["word"]: r["tokens"]
+        for r in bpe_encode(
+            spark.createDataFrame(
+                [(w,) for w in wf], "word string"),
+            merges, text_col="word").collect()
+    }
+    ref_enc = {"".join(k): list(k) for k in vocab}
+    for w, toks in enc.items():
+        assert toks == ref_enc[w], (w, toks, ref_enc[w])

@@ -62,6 +62,9 @@ HEADLINE = (
     "q_image_phash_pairs",
     "q_knn_join",
     "q_knn_join_ivf",
+    # round-4 late — GRIB2 message-granular scan, BPE merge learning
+    "q_grib2_climatology",
+    "q_bpe_merges",
 )
 
 
