@@ -385,3 +385,68 @@ def chunk_documents(
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).alias("n_chunk_tokens"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020):
+    train an add-k-smoothed bigram LM on the corpus itself and score
+    every document by its average negative log-likelihood — low-ppl
+    docs are fluent, high-ppl docs are boilerplate/gibberish, and the
+    pipeline keeps/buckets by this score.
+
+    P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V), V = unigram vocab
+    size. One corpus pass builds the two count tables (hash aggs with
+    map-side combine); scoring re-joins each document's bigrams against
+    them (plain equi-joins — AQE broadcasts when the vocab is small,
+    shuffles when it is not; no collect anywhere). Per-token log terms
+    are cast to DECIMAL(38,18) before summing, the repo-wide
+    determinism contract for transcendental aggregation, and the mean
+    is rounded to 6 decimals.
+
+    Returns (id_col, n_bigrams, avg_nll). Documents with fewer than two
+    tokens have no bigrams and are absent — callers wanting them keep
+    the left side of a join against this result.
+    """
+    toks = F.split(F.col(text_col), " ")
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = df.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        big.join(pair, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c12") + F.lit(float(k)))
+                    / (F.col("c1") + F.lit(float(k)) * F.col("v"))
+                )
+            )
+            .cast("decimal(38,18)")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("nll").cast("string").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )

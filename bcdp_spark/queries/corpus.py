@@ -1624,3 +1624,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     merge_table, _ = bpe_train(docs, text_col="text", n_merges=4)
     return merge_table
+
+
+# ---------------------------------------------------------------------------
+# X4r (late r4) — CCNet-style bigram-LM perplexity filter
+# (operators/text.py bigram_lm_scores): add-1-smoothed bigram LM trained
+# on the corpus itself, every document scored by average negative
+# log-likelihood. Same determinism contract as q_unigram_logprob:
+# per-token ln cast to DECIMAL(38,18) before the sum, final mean
+# rounded to 6 decimals, so the hash certifies the full count→smooth→
+# log→aggregate path in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q_bigram_perplexity",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+                           list_slice(toks, 2, len(toks)))) AS pair
+    FROM t)
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM (
+    SELECT doc_id, unnest(toks) AS w1 FROM t) GROUP BY w1
+),
+pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+scored AS (
+  SELECT big.doc_id,
+         CAST(-ln((pair.c12 + 1.0) / (uni.c1 + (SELECT v FROM vocab)))
+              AS DECIMAL(38,18)) AS nll
+  FROM big JOIN pair USING (w1, w2) JOIN uni USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(CAST(SUM(nll) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+         AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import bigram_lm_scores
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, text_col="text", id_col="doc_id", k=1.0)

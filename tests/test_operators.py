@@ -1715,3 +1715,25 @@ def test_chunk_documents_windows(spark):
     assert got[(3, 2)] == ("8 9 10 11 12", 5)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=4)
+
+
+def test_bigram_lm_scores_closed_form(spark):
+    """Hand-computed add-1 bigram NLL on a 3-doc corpus; docs with <2
+    tokens are absent by contract."""
+    import math
+
+    from bcdp_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    # corpus: tokens a,b,a,b,a,b,x → V=3; c1(a)=3, c1(b)=3
+    # bigrams: (a,b)x3, (b,a)x1
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (3 + 3)
+    exp1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_nll"] == round(exp1, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_nll"] == round(-math.log(p_ab), 6)

@@ -238,6 +238,20 @@ def ops(spark, sf_dir):
         # nprobe cell equi-join + per-query WindowGroupLimit; queries
         # (1/50 of vectors) and corpus both scale with rows.
         "knn_join_ivf": t(lambda: _knn_join_ivf(emb)),
+        # r4 late: one BPE merge iteration — the corpus pass (explode +
+        # word hash-count) dominates; the pair count + argmax run on the
+        # VOCABULARY, which the synthetic 10x leaves identical (texts
+        # are duplicated), so the ratio isolates the corpus-pass cost.
+        "bpe_one_merge": t(lambda: __import__(
+            "bcdp_spark.operators.bpe", fromlist=["x"]
+        ).bpe_train(docs, text_col="text", n_merges=1)),
+        # r4 late: bigram-LM perplexity scoring — two count tables +
+        # equi-join scoring; bigram rows linear in tokens, count tables
+        # scale with vocab (constant under the duplicating 10x).
+        "bigram_lm": t(lambda: __import__(
+            "bcdp_spark.operators.text", fromlist=["x"]
+        ).bigram_lm_scores(docs)
+            .agg(F.sum("n_bigrams"), F.sum("avg_nll")).collect()),
     }
 
 
