@@ -1,0 +1,170 @@
+"""EOF analysis (Empirical Orthogonal Functions / PCA of a space-time
+field) — the classic climate modes-of-variability decomposition (ENSO,
+NAO indices; von Storch & Zwiers ch. 13, the `eofs` package's job in
+the reference ecosystem's stack [UNVERIFIED — /root/reference empty,
+SURVEY.md §0]).
+
+Spark-first factorization for T ≪ X (a few thousand time steps over
+billions of grid cells — the 100 TB shape):
+
+1. **anomalies**: remove each cell's time mean — one hash agg over the
+   space key + one broadcast-or-shuffle join back;
+2. **time×time Gram matrix** G[t1,t2] = Σ_x a(t1,x)·a(t2,x) — a
+   self-equi-join on the SPACE key (cells are co-partitioned by the
+   join, never enumerated driver-side) + one (t1,t2) hash agg. The
+   products route through DECIMAL(38,12) so partial-agg order cannot
+   change a single bit (the repo determinism contract);
+3. **eigendecomposition** of G on the driver — G is T×T, a BOUNDED
+   collect by design (the `operators/totalorder.py` contract: T is a
+   parameter-scale quantity, ~10⁴ rows max, while X is the data-scale
+   axis that never leaves the cluster);
+4. **spatial patterns**: EOF_k(x) = Σ_t a(t,x)·e_k(t) / √λ_k — the
+   eigenvectors broadcast back as a tiny (t, k, weight) table, one
+   equi-join on time + one (space, k) hash agg. Principal-component
+   time series are read off the eigenvectors directly (PC_k(t) =
+   e_k(t)·√λ_k for the covariance normalization).
+
+Sign convention: each eigenvector is flipped so its
+largest-|component| entry is positive — eigenvectors are only defined
+up to sign, and a deterministic convention keeps results stable across
+LAPACK builds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def anomalies(
+    df: DataFrame,
+    time_col: str = "time",
+    value_col: str = "value",
+    space_cols: Sequence[str] = ("lat", "lon"),
+) -> DataFrame:
+    """Subtract each spatial cell's time mean (the EOF preprocessing
+    step). The mean is the exact decimal sum / count, so anomalies are
+    identical under any partitioning."""
+    sp = list(space_cols)
+    means = df.groupBy(*sp).agg(
+        (F.sum(F.col(value_col).cast(_DEC)) / F.count(value_col))
+        .cast("double")
+        .alias("__mean")
+    )
+    return (
+        df.join(means, sp)
+        .select(
+            time_col,
+            *sp,
+            (F.col(value_col) - F.col("__mean")).alias(value_col),
+        )
+    )
+
+
+def gram_matrix_time(
+    df: DataFrame,
+    time_col: str = "time",
+    value_col: str = "value",
+    space_cols: Sequence[str] = ("lat", "lon"),
+) -> DataFrame:
+    """The T×T Gram matrix of anomalies as long-form rows
+    (t1, t2, g) with t1 ≤ t2 (the matrix is symmetric; emitting one
+    triangle halves the shuffle)."""
+    sp = list(space_cols)
+    a = df.select(
+        F.col(time_col).alias("t1"), *sp, F.col(value_col).alias("v1")
+    )
+    b = df.select(
+        F.col(time_col).alias("t2"), *sp, F.col(value_col).alias("v2")
+    )
+    return (
+        a.join(b, sp)
+        .filter(F.col("t1") <= F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.sum((F.col("v1") * F.col("v2")).cast(_DEC))
+            .cast("double")
+            .alias("g")
+        )
+    )
+
+
+def eof_modes(
+    df: DataFrame,
+    n_modes: int = 3,
+    time_col: str = "time",
+    value_col: str = "value",
+    space_cols: Sequence[str] = ("lat", "lon"),
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Full EOF decomposition of a (time, space, value) field.
+
+    Returns ``(patterns, pcs, explained)``: spatial patterns
+    (space_cols…, mode, eof) with unit L2 norm over space; principal
+    component time series (time, mode, pc); and the fraction of total
+    variance explained per mode. Input should already be anomalies
+    (compose with :func:`anomalies`)."""
+    import numpy as np
+
+    gram = gram_matrix_time(df, time_col, value_col, space_cols)
+    rows = gram.collect()  # T*(T+1)/2 rows: bounded by design (module doc)
+    times = sorted({r["t1"] for r in rows} | {r["t2"] for r in rows})
+    t_idx = {t: i for i, t in enumerate(times)}
+    n_t = len(times)
+    g = np.zeros((n_t, n_t))
+    for r in rows:
+        i, j = t_idx[r["t1"]], t_idx[r["t2"]]
+        g[i, j] = g[j, i] = r["g"]
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1][:n_modes]
+    lam = vals[order]
+    ev = vecs[:, order]
+    # deterministic sign: largest-|entry| positive
+    for k in range(ev.shape[1]):
+        piv = np.argmax(np.abs(ev[:, k]))
+        if ev[piv, k] < 0:
+            ev[:, k] = -ev[:, k]
+    total_var = float(np.trace(g))
+    explained = [float(v) / total_var if total_var else 0.0 for v in lam]
+
+    spark = df.sparkSession
+    sp = list(space_cols)
+    w_rows = [
+        (times[i], k, float(ev[i, k] / np.sqrt(lam[k])) if lam[k] > 0
+         else 0.0)
+        for i in range(n_t)
+        for k in range(len(order))
+    ]
+    weights = spark.createDataFrame(
+        w_rows, f"{time_col} timestamp, mode int, w double"
+    ) if _is_ts(df, time_col) else spark.createDataFrame(
+        w_rows, schema=[time_col, "mode", "w"]
+    )
+    patterns = (
+        df.join(F.broadcast(weights), time_col)
+        .groupBy(*sp, "mode")
+        .agg(
+            F.sum((F.col(value_col) * F.col("w")).cast(_DEC))
+            .cast("double")
+            .alias("eof")
+        )
+    )
+    pc_rows = [
+        (times[i], k, float(ev[i, k] * np.sqrt(lam[k])) if lam[k] > 0
+         else 0.0)
+        for i in range(n_t)
+        for k in range(len(order))
+    ]
+    pcs = spark.createDataFrame(
+        pc_rows, f"{time_col} timestamp, mode int, pc double"
+    ) if _is_ts(df, time_col) else spark.createDataFrame(
+        pc_rows, schema=[time_col, "mode", "pc"]
+    )
+    return patterns, pcs, explained
+
+
+def _is_ts(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes)[col] == "timestamp"

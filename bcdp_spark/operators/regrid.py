@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -716,4 +716,64 @@ def nearest_regrid_haversine(
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(*keys, value_col, F.col("__km").alias("km"))
+    )
+
+
+def interp_plev(
+    df: DataFrame,
+    target: float,
+    value_col: str = "value",
+    lev_col: str = "lev",
+    by: Sequence[str] = ("name", "time", "lat", "lon"),
+    log_p: bool = True,
+) -> DataFrame:
+    """Vertical interpolation to one pressure level — the plev slice
+    every CMIP/reanalysis comparison needs (xarray's ``interp(plev=…)``
+    / MetPy ``log_interpolate_1d`` shape, done as window expressions).
+
+    For each ``by`` group (a vertical profile), finds the bracketing
+    levels l1 < target < l2 and blends linearly in ln(p) —
+    ``log_p=False`` blends in p, for height-like axes. An exact-level
+    match passes its sample through untouched (and suppresses the
+    bracket that would also cover the target). Profiles whose levels
+    never reach the target emit no row — NO extrapolation, the
+    conservative convention. A NULL sample inside the chosen bracket
+    yields NULL, never a silent skip to a wider bracket.
+
+    Plan: one window (lead) over (by) ordered by lev — a single
+    hash-partitioned sort, the W4 lag/lead shape, no join — then a
+    filter keeps exactly one row per covered profile.
+    """
+    w = Window.partitionBy(*by).orderBy(F.col("__lev").asc())
+    t = F.lit(float(target))
+    lev, nlev = F.col("__lev"), F.col("__nlev")
+    frac = (
+        ((F.log(t) - F.log(lev)) / (F.log(nlev) - F.log(lev)))
+        if log_p
+        else ((t - lev) / (nlev - lev))
+    )
+    return (
+        df.select(
+            *by,
+            F.col(lev_col).alias("__lev"),
+            F.col(value_col).alias("__val"),
+        )
+        .select(
+            "*",
+            F.lead("__lev").over(w).alias("__nlev"),
+            F.lead("__val").over(w).alias("__nval"),
+        )
+        .filter(
+            (lev == t)
+            | ((lev < t) & nlev.isNotNull() & (nlev > t))
+        )
+        .select(
+            *by,
+            F.lit(float(target)).alias(lev_col),
+            F.when(lev == t, F.col("__val"))
+            .otherwise(
+                F.col("__val") + (F.col("__nval") - F.col("__val")) * frac
+            )
+            .alias(value_col),
+        )
     )

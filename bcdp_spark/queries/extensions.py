@@ -1013,3 +1013,120 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hamming").alias("min_hamming"),
         F.max("hamming").alias("max_hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A5+ (late r4) — vertical pressure-level interpolation
+# (operators/regrid.py interp_plev): the plev slice every
+# CMIP/reanalysis comparison needs. Closed-form 4-D grid generated
+# identically in both engines; profiles vary by cell — (a+o)%3==0
+# carries an exact 850 level (pass-through), (a+o)%5==0 is truncated
+# above 900 (no bracket → no row, certifying the no-extrapolation
+# contract), everything else log-p-interpolates between 800 and 900.
+# Results rounded to 6dp (the transcendental-determinism contract).
+# ---------------------------------------------------------------------------
+_PLEV_N_T, _PLEV_N_A, _PLEV_N_O = 5, 4, 5
+
+
+@register(
+    "q_plev_interp",
+    oracle=f"""
+WITH cells AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         0.25 * (t.g * 1000 + a.g * 10 + o.g) AS base
+  FROM generate_series(0, {_PLEV_N_T - 1}) t(g),
+       generate_series(0, {_PLEV_N_A - 1}) a(g),
+       generate_series(0, {_PLEV_N_O - 1}) o(g)
+)
+SELECT t, CAST(a AS DOUBLE) AS lat, CAST(o AS DOUBLE) AS lon,
+       850.0 AS lev,
+       CASE
+         WHEN (a + o) % 3 = 0 THEN ROUND(base + 8.5, 6)
+         ELSE ROUND(
+           (base + 8.0)
+           + ((base + 9.0) - (base + 8.0))
+             * (ln(850.0) - ln(800.0)) / (ln(900.0) - ln(800.0)),
+           6)
+       END AS value
+FROM cells
+WHERE NOT ((a + o) % 5 = 0 AND (a + o) % 3 <> 0)
+""",
+)
+def q_plev_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+: log-p vertical interpolation to 850 hPa over a closed-form
+    profile grid (``sf_dir`` unused — the key certifies the operator's
+    bracketing/exact/no-extrapolation semantics)."""
+    from bcdp_spark.operators.regrid import interp_plev
+
+    utc(spark)
+    rows = []
+    for t in range(_PLEV_N_T):
+        for a in range(_PLEV_N_A):
+            for o in range(_PLEV_N_O):
+                base = 0.25 * (t * 1000 + a * 10 + o)
+                levs = [900.0, 1000.0]
+                if (a + o) % 5 != 0:
+                    levs += [700.0, 800.0]
+                if (a + o) % 3 == 0:
+                    levs.append(850.0)
+                for lev in levs:
+                    rows.append(
+                        (t, float(a), float(o), lev, base + lev * 0.01)
+                    )
+    df = spark.createDataFrame(
+        rows, "t int, lat double, lon double, lev double, value double"
+    )
+    out = interp_plev(df, 850.0, by=("t", "lat", "lon"))
+    return out.select(
+        "t", "lat", "lon", "lev", F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2+ (late r4) — EOF analysis (operators/eof.py): the SQL-certifiable
+# half is the T×T Gram matrix (a space-key self-join + decimal-routed
+# product sums) — closed-form values are 0.25-grid so every product is
+# an exact multiple of 0.0625 and the DECIMAL(38,12) route is
+# bit-exact. The eigendecomposition half is certified in unit tests
+# against numpy SVD on planted orthogonal modes (not SQL-expressible).
+# ---------------------------------------------------------------------------
+_EOF_N_T, _EOF_N_A, _EOF_N_O = 6, 4, 5
+
+
+@register(
+    "q_eof_gram",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         0.25 * ((t.g * 7 + a.g * 3 + o.g * 5) % 13 - 6) AS value
+  FROM generate_series(0, {_EOF_N_T - 1}) t(g),
+       generate_series(0, {_EOF_N_A - 1}) a(g),
+       generate_series(0, {_EOF_N_O - 1}) o(g)
+),
+x AS (SELECT t AS t1, a, o, value AS v1 FROM grid),
+y AS (SELECT t AS t2, a, o, value AS v2 FROM grid)
+SELECT x.t1, y.t2,
+       CAST(CAST(SUM(CAST(x.v1 * y.v2 AS DECIMAL(38,12))) AS VARCHAR)
+            AS DOUBLE) AS g
+FROM x JOIN y USING (a, o)
+WHERE x.t1 <= y.t2
+GROUP BY x.t1, y.t2
+""",
+)
+def q_eof_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+: time×time Gram matrix of a closed-form field — the
+    distributed half of EOF analysis (``sf_dir`` unused)."""
+    from bcdp_spark.operators.eof import gram_matrix_time
+
+    utc(spark)
+    rows = [
+        (t, float(a), float(o),
+         0.25 * ((t * 7 + a * 3 + o * 5) % 13 - 6))
+        for t in range(_EOF_N_T)
+        for a in range(_EOF_N_A)
+        for o in range(_EOF_N_O)
+    ]
+    df = spark.createDataFrame(
+        rows, "t int, lat double, lon double, value double"
+    )
+    return gram_matrix_time(df, time_col="t")

@@ -1737,3 +1737,94 @@ def test_bigram_lm_scores_closed_form(spark):
     assert out[1]["avg_nll"] == round(exp1, 6)
     assert out[2]["n_bigrams"] == 1
     assert out[2]["avg_nll"] == round(-math.log(p_ab), 6)
+
+
+def test_interp_plev_null_poisons_bracket_and_linear_mode(spark):
+    from bcdp_spark.operators.regrid import interp_plev
+
+    rows = [
+        # profile 1: NULL at the upper bracket level → NULL result
+        (1, 700.0, 3.0), (1, 800.0, 4.0), (1, 900.0, None),
+        (1, 1000.0, 6.0),
+        # profile 2: clean linear-in-p bracket 800→900, target 850
+        (2, 800.0, 10.0), (2, 900.0, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "pid int, lev double, value double")
+    out = {r["pid"]: r["value"]
+           for r in interp_plev(df, 850.0, by=("pid",), log_p=False)
+           .collect()}
+    assert out[1] is None  # poisoned, not skipped to 700-1000
+    assert out[2] == 15.0  # exact midpoint in linear p
+
+
+def test_eof_modes_recover_planted_orthogonal_modes(spark):
+    """EOF via the distributed Gram matrix + driver eigh recovers the
+    same subspace as a direct numpy SVD on a planted two-mode field;
+    explained variance matches the planted amplitude split."""
+    import numpy as np
+
+    from bcdp_spark.operators.eof import anomalies, eof_modes
+
+    nt, na, no = 12, 6, 8
+    lat = np.arange(na)
+    lon = np.arange(no)
+    m1 = np.outer(np.sin(np.pi * (lat + 0.5) / na), np.ones(no))
+    m1 /= np.linalg.norm(m1)
+    m2 = np.outer(np.ones(na), np.cos(2 * np.pi * (lon + 0.5) / no))
+    m2 /= np.linalg.norm(m2)
+    pc1 = 10 * np.sin(np.arange(nt))
+    pc2 = 3 * np.cos(2 * np.arange(nt))
+    field = pc1[:, None, None] * m1[None] + pc2[:, None, None] * m2[None]
+    rows = [
+        (int(t), float(lat[a]), float(lon[o]), float(field[t, a, o]))
+        for t in range(nt) for a in range(na) for o in range(no)
+    ]
+    df = spark.createDataFrame(
+        rows, "time int, lat double, lon double, value double")
+    an = anomalies(df, time_col="time")
+    patterns, pcs, explained = eof_modes(an, n_modes=2, time_col="time")
+
+    f_an = field - field.mean(axis=0, keepdims=True)
+    u, s, vt = np.linalg.svd(f_an.reshape(nt, -1), full_matrices=False)
+    for k in range(2):
+        grid = np.zeros((na, no))
+        for r in patterns.filter(f"mode = {k}").collect():
+            grid[int(r["lat"]), int(r["lon"])] = r["eof"]
+        g = grid.ravel() / np.linalg.norm(grid)
+        ref = vt[k] / np.linalg.norm(vt[k])
+        assert abs(float(g @ ref)) > 1 - 1e-9
+        pc = np.array([
+            r["pc"] for r in pcs.filter(f"mode = {k}")
+            .orderBy("time").collect()
+        ])
+        refpc = u[:, k] * s[k]
+        cos = abs(pc @ refpc / (np.linalg.norm(pc) * np.linalg.norm(refpc)))
+        assert cos > 1 - 1e-9
+    exp_ref = (s ** 2) / (s ** 2).sum()
+    assert explained[0] == pytest.approx(float(exp_ref[0]), abs=1e-9)
+    assert explained[1] == pytest.approx(float(exp_ref[1]), abs=1e-9)
+
+
+def test_eof_sign_convention_deterministic(spark):
+    """Eigenvector sign: the largest-|entry| PC component is positive,
+    so repeated runs (and different LAPACK builds) agree."""
+    import numpy as np
+
+    from bcdp_spark.operators.eof import anomalies, eof_modes
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (t, float(a), 0.0, float(rng.normal()))
+        for t in range(6) for a in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "time int, lat double, lon double, value double")
+    an = anomalies(df, time_col="time").persist()
+    _, pcs1, _ = eof_modes(an, n_modes=2, time_col="time")
+    _, pcs2, _ = eof_modes(an, n_modes=2, time_col="time")
+    a1 = sorted(map(tuple, pcs1.collect()))
+    a2 = sorted(map(tuple, pcs2.collect()))
+    assert a1 == a2
+    for k in (0, 1):
+        vec = [v for (_, m, v) in a1 if m == k]
+        assert max(vec, key=abs) > 0
