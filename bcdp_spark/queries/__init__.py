@@ -133,6 +133,8 @@ _PRIORITY = (
     # (g) remaining never-graded keys, next in line if the cap allows
     "q_snapshot_diff", "q_knn_join", "q_knn_join_ivf", "q_doc_chunking",
     "q_bigram_perplexity",
+    "q_plev_interp",
+    "q_eof_gram",
     "q_argmax",
     "q_range_window", "q_cohort_retention",
     "q_mode", "q_string_agg", "q_in_subquery", "q_percent_rank",

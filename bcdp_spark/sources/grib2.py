@@ -596,3 +596,89 @@ def load_grib2(
                 )
 
     return index_df.mapInPandas(decode, schema=LONG_FORM_SCHEMA)
+
+
+# --------------------------------------------------------------- stream
+
+from pyspark.sql.datasource import (  # noqa: E402 (stream twin below)
+    DataSource as _DataSource,
+    SimpleDataSourceStreamReader as _SimpleStreamReader,
+)
+
+
+class Grib2StreamDataSource(_DataSource):
+    """format("grib2-stream"): micro-batch ingestion of a growing NWP
+    cycle directory — the operational arrival pattern (a new GFS/ECMWF
+    cycle file lands every 6 hours). Offsets are the sorted set of
+    files already emitted → exactly-once per cycle file. The streaming
+    twin of ``load_grib2``; long-form rows plus the source file."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "grib2-stream"
+
+    def schema(self) -> str:
+        return (
+            "file string, name string, time timestamp, "
+            "lat double, lon double, value double"
+        )
+
+    def simpleStreamReader(self, schema):
+        return Grib2StreamReader(self.options)
+
+
+class Grib2StreamReader(_SimpleStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("grib2-stream source requires a path glob")
+        self._glob = path
+        self._param = options.get("param")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows(self, path: str):
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        for idx in scan_grib2(raw):
+            if self._param is not None and idx.name != self._param:
+                continue
+            fld = decode_message(raw, idx.offset)
+            vt = idx.valid_time
+            for j, lat in enumerate(fld.lats):
+                row = fld.values[j]
+                for i, lon in enumerate(fld.lons):
+                    v = row[i]
+                    yield (
+                        path,
+                        idx.name,
+                        vt,
+                        float(lat),
+                        float(lon),
+                        None if v != v else float(v),
+                    )
+
+    def read(self, start: dict):
+        import glob as _glob
+
+        seen = set(start.get("files", []))
+        current = sorted(_glob.glob(self._glob))
+        new = [f for f in current if f not in seen]
+        rows = [r for f in new for r in self._rows(f)]
+        # iter(list): next()-able, copy.copy()-able, picklable
+        return iter(rows), {"files": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import glob as _glob  # noqa: F401 (parity with read())
+
+        seen = set(start.get("files", []))
+        for f in sorted(set(end.get("files", [])) - seen):
+            yield from self._rows(f)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_grib2_stream_source(spark) -> None:
+    spark.dataSource.register(Grib2StreamDataSource)

@@ -283,7 +283,11 @@ class WarcStreamReader(_SimpleStreamReader):
         current = sorted(_glob.glob(self._glob))
         new = [f for f in current if f not in seen]
         rows = [r for f in new for r in self._rows(f)]
-        return rows, {"files": sorted(seen | set(new))}
+        # iter(list): the prefetch wrapper calls next() on it,
+        # copy.copy()s it, and pickles it — a list_iterator
+        # supports all three; a bare list breaks on the second
+        # non-empty micro-batch, a generator on pickling
+        return iter(rows), {"files": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start.get("files", []))

@@ -324,8 +324,10 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
         _name, meta, _coords = _open(self._store, self._var)
         n_now = meta.shape[0]
         t0 = int(start.get("n_time", 0))
-        rows = list(self._rows_between(t0, n_now))
-        return rows, {"n_time": n_now}
+        # iter(list), not a bare list or generator: the prefetch
+        # wrapper calls next() on it, copy.copy()s it, and pickles it —
+        # a list_iterator supports all three, a generator none
+        return iter(list(self._rows_between(t0, n_now))), {"n_time": n_now}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         yield from self._rows_between(

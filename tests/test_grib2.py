@@ -296,3 +296,69 @@ def test_to_grib2_quantization_bound(spark, tmp_path):
     bound = (vals.max() - vals.min()) / (2 ** 12 - 1) + 1e-12
     for (name, tt, lat, lon, v) in rows:
         assert abs(got[(lat, lon)] - v) <= bound
+
+
+def test_grib2_stream_exactly_once(spark, tmp_path):
+    """grib2-stream: files arriving between micro-batches are each
+    emitted exactly once; param option filters messages."""
+    import time as _time
+
+    from bcdp_spark.sources.grib2 import register_grib2_stream_source
+
+    register_grib2_stream_source(spark)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def write_cycle(cyc: int):
+        lats = np.array([-10.0, 10.0])
+        lons = np.array([0.0, 60.0, 120.0])
+        msgs = write_grib2_message(
+            np.full((2, 3), float(cyc)), lats, lons,
+            dt.datetime(2001, 1, 1 + cyc), binary_scale=0, nbits=8)
+        msgs += write_grib2_message(
+            np.full((2, 3), 99.0), lats, lons,
+            dt.datetime(2001, 1, 1 + cyc), category=1, number=8,
+            binary_scale=0, nbits=8)
+        tmp = drop / f".cycle{cyc}.tmp"
+        tmp.write_bytes(msgs)
+        os.replace(tmp, drop / f"cycle{cyc}.grib2")
+
+    write_cycle(0)
+    q = (
+        spark.readStream.format("grib2-stream")
+        .option("path", str(drop / "*.grib2"))
+        .option("param", "t")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() >= 6:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        write_cycle(1)
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() >= 12:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(out))
+    rows = got.collect()
+    assert len(rows) == 12  # 2 cycles x 6 cells, param-filtered, no dups
+    assert {r["value"] for r in rows} == {0.0, 1.0}
+    assert all(r["name"] == "t" for r in rows)
