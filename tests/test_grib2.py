@@ -362,3 +362,39 @@ def test_grib2_stream_exactly_once(spark, tmp_path):
     assert len(rows) == 12  # 2 cycles x 6 cells, param-filtered, no dups
     assert {r["value"] for r in rows} == {0.0, 1.0}
     assert all(r["name"] == "t" for r in rows)
+
+
+def test_dsv2_grib2_pushdown_prunes_messages(spark, tmp_path):
+    """format('grib2'): name/time/lat predicates prune messages at
+    planning time and mask axes at read time; values match load_grib2."""
+    from bcdp_spark.sources.grib2_datasource import (
+        Grib2Reader,
+        register_grib2_source,
+    )
+
+    glob = _write_fixture(str(tmp_path))
+    register_grib2_source(spark)
+    df = (
+        spark.read.format("grib2").load(glob)
+        .filter("name = 'apcp'")
+        .filter("time >= timestamp'2001-01-01 01:00:00'")
+        .filter("lat >= 0")
+    )
+    rows = df.collect()
+    assert len(rows) == 3 * 2 * 6  # 3 surviving messages x 2 lats x 6 lons
+    assert {r["lat"] for r in rows} == {20.0, 60.0}
+    assert all(r["name"] == "apcp" for r in rows)
+    # planning-level pruning: the reader schedules only surviving msgs
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    import datetime as _dt
+
+    r = Grib2Reader({"path": glob})
+    kept = list(r.pushFilters([
+        EqualTo(("name",), "apcp"),
+        GreaterThanOrEqual(("time",),
+                           _dt.datetime(2001, 1, 1, 1)),
+        GreaterThanOrEqual(("lat",), 0.0),
+    ]))
+    assert kept == []  # everything accepted
+    parts = r.partitions()
+    assert len(parts) == 3  # 8 messages in the fixture, 3 survive
