@@ -4,8 +4,9 @@ dependency, the same contract as ``q_netcdf_climatology`` /
 ``q_zarr_climatology``.
 
 The callable writes a deterministic two-cycle GRIB2 fixture (six
-messages across two files: three forecast steps per cycle, simple
-packing with a power-of-two binary scale so every value is exact in
+messages across two files: three forecast steps per cycle, simple (cycle 0)
+and complex+spatial-differencing 5.3 (cycle 1) packing with a
+power-of-two binary scale so every value is exact in
 binary, a bitmap masking a closed-form NaN pattern), ingests it through
 ``load_grib2`` (header-only message index → Catalyst-filtered manifest
 → per-message decode), and aggregates a per-(hour, lat) climatology.
@@ -27,7 +28,7 @@ from pyspark.sql import functions as F
 from bcdp_spark.queries import register
 from bcdp_spark.queries._helpers import utc
 
-_FIX_DIR = "/tmp/bcdp_spark_grib2_fixture_v1"
+_FIX_DIR = "/tmp/bcdp_spark_grib2_fixture_v2"
 _N_C, _N_H, _N_A, _N_O = 2, 3, 4, 6  # cycles, steps, lats, lons
 _LATS = (-60.0, -20.0, 20.0, 60.0)
 
@@ -54,6 +55,9 @@ def _ensure_fixture() -> str:
                         vals[a, o] = 0.25 * (
                             c * 10000 + h * 100 + a * 10 + o
                         )
+            # cycle 0 simple-packed (5.0), cycle 1 complex-packed with
+            # order-2 spatial differencing (5.3) — one green driver row
+            # certifies BOTH decode paths
             msgs += write_grib2_message(
                 vals,
                 lats,
@@ -67,6 +71,8 @@ def _ensure_fixture() -> str:
                 level=2,
                 binary_scale=-2,
                 nbits=16,
+                packing=0 if c == 0 else 3,
+                spatial_order=2,
             )
         tmp = os.path.join(_FIX_DIR, f".cycle{c}.grib2.tmp")
         with open(tmp, "wb") as fh:

@@ -300,10 +300,10 @@ def decode_message(raw: bytes, offset: int = 0) -> Grib2Field:
     sec5 = secs[5]
     (n_points,) = struct.unpack_from(">I", sec5, 5)
     (template5,) = struct.unpack_from(">H", sec5, 9)
-    if template5 != 0:
+    if template5 not in (0, 2, 3):
         raise NotImplementedError(
             f"GRIB2 data template 5.{template5} not supported "
-            "(simple packing 5.0 only)"
+            "(simple 5.0 / complex 5.2 / complex+differencing 5.3 only)"
         )
     (ref_val,) = struct.unpack_from(">f", sec5, 11)
     (e_raw,) = struct.unpack_from(">H", sec5, 15)
@@ -336,7 +336,12 @@ def decode_message(raw: bytes, offset: int = 0) -> Grib2Field:
             f"GRIB2 bitmap indicator {bitmap_ind} not supported"
         )
 
-    x = _unpack_bits(secs[7][5:], nbits, n_points).astype(np.float64)
+    if template5 == 0:
+        x = _unpack_bits(secs[7][5:], nbits, n_points).astype(np.float64)
+    else:
+        x = _decode_complex(sec5, secs[7][5:], n_points, template5).astype(
+            np.float64
+        )
     y = (ref_val + x * (2.0 ** e_scale)) / (10.0 ** d_scale)
     if mask is None:
         grid = y
@@ -371,6 +376,204 @@ def iter_grib2(raw: bytes):
         yield decode_message(raw, idx.offset)
 
 
+# -- complex packing (templates 5.2 / 5.3) -----------------------------
+#
+# The packing GFS/ECMWF archives actually use: values are split into
+# groups, each group carries its own reference and bit width, and (5.3)
+# the field is first spatially differenced (order 1 or 2) so smooth
+# fields pack into very few bits. The whole of section 7 after the
+# extra descriptors is ONE continuous bitstream (the NCEP g2clib
+# convention): group references (nbits each), group widths, scaled
+# group lengths, then every group's residuals back to back.
+
+
+class _BitCursor:
+    """Sequential big-endian bit reader over a byte payload."""
+
+    def __init__(self, buf: bytes):
+        self._bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self._pos = 0
+
+    def take(self, width: int, n: int) -> np.ndarray:
+        if width == 0:
+            return np.zeros(n, dtype=np.uint64)
+        end = self._pos + width * n
+        if end > len(self._bits):
+            raise ValueError(
+                "GRIB2 complex-packed data section truncated: need "
+                f"{end} bits, have {len(self._bits)}"
+            )
+        chunk = (
+            self._bits[self._pos : end]
+            .reshape(n, width)
+            .astype(np.uint64)
+        )
+        self._pos = end
+        w = np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64)
+        return chunk @ w
+
+
+def _decode_complex(
+    sec5: bytes, payload: bytes, n_points: int, template: int
+) -> np.ndarray:
+    """Unpack a 5.2/5.3 data section to the scaled-integer X array."""
+    nbits = sec5[19]
+    mvm = sec5[22]
+    if mvm != 0:
+        raise NotImplementedError(
+            "GRIB2 complex packing with missing-value management "
+            f"{mvm} not supported (use a bitmap)"
+        )
+    (ng,) = struct.unpack_from(">I", sec5, 31)
+    ref_width = sec5[35]
+    width_bits = sec5[36]
+    (ref_len,) = struct.unpack_from(">I", sec5, 37)
+    len_inc = sec5[41]
+    (last_len,) = struct.unpack_from(">I", sec5, 42)
+    len_bits = sec5[46]
+    pos = 0
+    seeds: list[int] = []
+    gmin = 0
+    if template == 3:
+        order = sec5[47]
+        extra_octets = sec5[48]
+        if order not in (1, 2):
+            raise NotImplementedError(
+                f"GRIB2 spatial differencing order {order} not supported"
+            )
+        if n_points <= order:
+            raise ValueError(
+                f"GRIB2 5.3 field has {n_points} points but order "
+                f"{order} differencing (corrupt message)"
+            )
+        vals = []
+        for _ in range(order + 1):
+            u = int.from_bytes(payload[pos : pos + extra_octets], "big")
+            vals.append(_sm_decode(u, 8 * extra_octets))
+            pos += extra_octets
+        *seeds, gmin = vals
+    cur = _BitCursor(payload[pos:])
+    grefs = cur.take(nbits, ng).astype(np.int64)
+    widths = ref_width + cur.take(width_bits, ng).astype(np.int64)
+    lens = ref_len + len_inc * cur.take(len_bits, ng).astype(np.int64)
+    if ng:
+        lens[-1] = last_len
+    if int(lens.sum()) != n_points:
+        raise ValueError(
+            f"GRIB2 group lengths sum to {int(lens.sum())}, "
+            f"expected {n_points} points"
+        )
+    x = np.empty(n_points, dtype=np.int64)
+    off = 0
+    for g in range(ng):
+        n_g = int(lens[g])
+        res = cur.take(int(widths[g]), n_g).astype(np.int64)
+        x[off : off + n_g] = grefs[g] + res
+        off += n_g
+    if template == 3:
+        order = sec5[47]
+        x[order:] += gmin
+        # seed prefix goes into the difference domain: position k holds
+        # the k-th-order difference at the origin (f0, then Δf1 for
+        # order 2); each cumsum then integrates one order, starting one
+        # slot further left each time
+        x[:order] = seeds
+        if order == 2:
+            x[1] = seeds[1] - seeds[0]
+        for k in range(order):
+            start = order - 1 - k
+            np.cumsum(x[start:], out=x[start:])
+    return x
+
+
+def _spatial_diff(x: np.ndarray, order: int) -> tuple[np.ndarray, list[int]]:
+    """order-times differencing; returns (h, seeds) with h[:order] = 0."""
+    h = x.astype(np.int64).copy()
+    seeds = [int(v) for v in h[:order]]
+    for _ in range(order):
+        h[1:] = np.diff(h)
+    h[:order] = 0
+    return h, seeds
+
+
+def _encode_complex(
+    x: np.ndarray, template: int, order: int, group_len: int,
+    extra_octets: int = 4,
+) -> tuple[bytes, dict]:
+    """Pack scaled ints with fixed-length groups; returns (payload,
+    header fields for section 5)."""
+    x = x.astype(np.int64)
+    n = x.size
+    head = b""
+    gmin = 0
+    if template == 3:
+        h, seeds = _spatial_diff(x, order)
+        if n > order:
+            gmin = int(h[order:].min())
+            v = h - gmin
+            v[:order] = 0
+        else:
+            v = h
+        for s in seeds + [gmin]:
+            head += _sm_encode(s, 8 * extra_octets).to_bytes(
+                extra_octets, "big"
+            )
+    else:
+        v = x
+        if n and int(v.min()) < 0:
+            raise ValueError("complex packing requires non-negative X")
+    ng = max((n + group_len - 1) // group_len, 1) if n else 0
+    grefs = np.zeros(ng, dtype=np.int64)
+    widths = np.zeros(ng, dtype=np.int64)
+    lens = np.zeros(ng, dtype=np.int64)
+    residuals = []
+    for g in range(ng):
+        seg = v[g * group_len : min((g + 1) * group_len, n)]
+        lens[g] = seg.size
+        grefs[g] = int(seg.min()) if seg.size else 0
+        res = (seg - grefs[g]).astype(np.uint64)
+        widths[g] = int(res.max()).bit_length() if res.size else 0
+        residuals.append(res)
+    nbits = int(grefs.max()).bit_length() if ng else 0
+    ref_width = int(widths.min()) if ng else 0
+    width_bits = int((widths - ref_width).max()).bit_length() if ng else 0
+    ref_len = group_len
+    len_bits = 0  # all groups are ref_len long; the last is in true-last
+    bit_parts = [
+        _bits_of(grefs.astype(np.uint64), nbits),
+        _bits_of((widths - ref_width).astype(np.uint64), width_bits),
+    ]
+    for g in range(ng):
+        bit_parts.append(_bits_of(residuals[g], int(widths[g])))
+    allbits = (
+        np.concatenate(bit_parts) if bit_parts else
+        np.zeros(0, dtype=np.uint8)
+    )
+    payload = head + np.packbits(allbits).tobytes()
+    fields = {
+        "ng": ng,
+        "nbits": nbits,
+        "ref_width": ref_width,
+        "width_bits": width_bits,
+        "ref_len": ref_len,
+        "len_inc": 1,
+        "last_len": int(lens[-1]) if ng else 0,
+        "len_bits": len_bits,
+        "order": order,
+        "extra_octets": extra_octets,
+    }
+    return payload, fields
+
+
+def _bits_of(vals: np.ndarray, width: int) -> np.ndarray:
+    if width == 0 or vals.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (
+        ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8).ravel()
+    )
+
+
 # -- writer (deterministic, for fixtures and to_grib2 parity) ----------
 
 
@@ -389,13 +592,20 @@ def write_grib2_message(
     binary_scale: int = 0,
     decimal_scale: int = 0,
     nbits: int = 16,
+    packing: int = 0,
+    spatial_order: int = 2,
+    group_len: int = 32,
 ) -> bytes:
-    """Serialize one (nj, ni) field with simple packing.
+    """Serialize one (nj, ni) field.
 
-    The caller picks the packing parameters; values must satisfy
-    X = (value·10^D − R) / 2^E exactly representable as an unsigned
-    ``nbits`` integer (fixtures use power-of-two scales so the
-    round-trip is bit-exact). NaNs become bitmap-masked points.
+    ``packing`` selects the data template: 0 = simple (default), 2 =
+    complex (fixed-length groups, per-group reference + width), 3 =
+    complex + spatial differencing of ``spatial_order`` (what GFS
+    ships — smooth fields pack into very few bits per value). The
+    caller picks the scaling; values must satisfy X = (value·10^D − R)
+    / 2^E exactly representable as an unsigned integer (≤ ``nbits``
+    bits for simple packing; any magnitude for complex — group widths
+    adapt). NaNs become bitmap-masked points.
     """
     values = np.asarray(values, dtype=np.float64)
     nj, ni = values.shape
@@ -413,7 +623,7 @@ def write_grib2_message(
             "lower ref_value"
         )
     x = np.rint(x_float).astype(np.uint64)
-    if nbits and np.any(x >= (1 << nbits)):
+    if packing == 0 and nbits and np.any(x >= (1 << nbits)):
         raise ValueError(f"values do not fit in {nbits} bits after scaling")
 
     def s32(v: float) -> int:
@@ -456,20 +666,44 @@ def write_grib2_message(
         level_type, lev_scale_b, lev_val,
         255, 255, 0xFFFFFFFF,
     )
-    sec5 = struct.pack(
-        ">IBIH" + "fHHBB",
-        21, 5, int(packed_vals.size), 0,
-        ref_value,
-        _sm_encode(binary_scale, 16),
-        _sm_encode(decimal_scale, 16),
-        nbits, 0,
-    )
+    if packing == 0:
+        sec5 = struct.pack(
+            ">IBIH" + "fHHBB",
+            21, 5, int(packed_vals.size), 0,
+            ref_value,
+            _sm_encode(binary_scale, 16),
+            _sm_encode(decimal_scale, 16),
+            nbits, 0,
+        )
+        payload = _pack_bits(x, nbits)
+    elif packing in (2, 3):
+        # differencing needs order+1 points to be meaningful; clamp and
+        # fall back to plain complex (5.2) for tiny fields
+        order = spatial_order if packing == 3 else 0
+        order = min(order, max(int(packed_vals.size) - 1, 0))
+        if order == 0:
+            packing = 2
+        payload, cf = _encode_complex(x, packing, order, group_len)
+        sec5 = struct.pack(
+            ">IBIH" + "fHHBB" + "BBII" + "IBBIBIB",
+            47 if packing == 2 else 49, 5, int(packed_vals.size), packing,
+            ref_value,
+            _sm_encode(binary_scale, 16),
+            _sm_encode(decimal_scale, 16),
+            cf["nbits"], 0,
+            1, 0, 0, 0,                      # general splitting, no MVM
+            cf["ng"], cf["ref_width"], cf["width_bits"],
+            cf["ref_len"], cf["len_inc"], cf["last_len"], cf["len_bits"],
+        )
+        if packing == 3:
+            sec5 += struct.pack(">BB", order, cf["extra_octets"])
+    else:
+        raise NotImplementedError(f"packing template 5.{packing}")
     if present.all():
         sec6 = struct.pack(">IBB", 6, 6, 255)
     else:
         bm = np.packbits(present.astype(np.uint8)).tobytes()
         sec6 = struct.pack(">IBB", 6 + len(bm), 6, 0) + bm
-    payload = _pack_bits(x, nbits)
     sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
 
     body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7

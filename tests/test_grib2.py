@@ -398,3 +398,59 @@ def test_dsv2_grib2_pushdown_prunes_messages(spark, tmp_path):
     assert kept == []  # everything accepted
     parts = r.partitions()
     assert len(parts) == 3  # 8 messages in the fixture, 3 survive
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    nj=st.integers(2, 9),
+    ni=st.integers(2, 9),
+    packing=st.sampled_from([2, 3]),
+    order=st.integers(1, 2),
+    group_len=st.integers(2, 40),
+    e_scale=st.integers(-3, 1),
+    seed=st.integers(0, 10**6),
+)
+def test_complex_packing_roundtrip_property(
+    nj, ni, packing, order, group_len, e_scale, seed
+):
+    """Templates 5.2/5.3 round-trip bit-exactly for any X·2^E grid,
+    any group length, any differencing order, with random NaN holes."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 1 << 12, size=(nj, ni)).astype(np.float64)
+    vals = x * (2.0 ** e_scale)
+    mask = rng.random((nj, ni)) < 0.15
+    vals[mask] = np.nan
+    if np.all(mask):
+        mask[0, 0] = False
+        vals[0, 0] = 0.0
+    raw = _field(
+        vals, binary_scale=e_scale, packing=packing,
+        spatial_order=order, group_len=group_len,
+    )
+    got = decode_message(raw).values
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(vals))
+    np.testing.assert_array_equal(got[~mask], vals[~mask])
+
+
+def test_complex_packing_compresses_smooth_fields():
+    """The point of 5.3: a smooth field packs far smaller than simple
+    16-bit packing."""
+    a, o = np.meshgrid(np.arange(40), np.arange(50), indexing="ij")
+    vals = (a * 3 + o * 2).astype(float)
+    simple = _field(vals, nbits=16)
+    cplx = _field(vals, packing=3, spatial_order=2)
+    f = decode_message(cplx)
+    np.testing.assert_array_equal(f.values, vals)
+    assert len(cplx) < len(simple) / 2
+
+
+def test_complex_packing_single_point_and_constant():
+    c = _field(np.full((2, 3), 5.0), packing=3, spatial_order=2)
+    np.testing.assert_array_equal(
+        decode_message(c).values, np.full((2, 3), 5.0))
+    one = _field(np.array([[7.0]]), packing=2)
+    np.testing.assert_array_equal(decode_message(one).values, [[7.0]])
