@@ -220,10 +220,15 @@ def _parse_grid(sec3: bytes):
 
 
 def _parse_product(sec4: bytes, ref_time: _dt.datetime):
+    """Templates 4.0 (point-in-time) and 4.8 (statistically processed
+    over an interval — how real accumulation fields like GFS APCP
+    ship). For 4.8 the emitted valid time is the END of the overall
+    interval (octets 35-41), matching wgrib2/cfgrib convention."""
     (template,) = struct.unpack_from(">H", sec4, 7)
-    if template != 0:
+    if template not in (0, 8):
         raise NotImplementedError(
-            f"GRIB2 product template 4.{template} not supported (4.0 only)"
+            f"GRIB2 product template 4.{template} not supported "
+            "(4.0 / 4.8 only)"
         )
     category, number = sec4[9], sec4[10]
     time_unit = sec4[17]
@@ -241,6 +246,12 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
         level = None
     else:
         level = _sm_decode(lev_val, 32) / (10.0 ** _sm_decode(lev_scale, 8))
+    if template == 8:
+        if len(sec4) < 46:
+            raise ValueError("GRIB2 template 4.8 section too short")
+        (eyear,) = struct.unpack_from(">H", sec4, 34)
+        emonth, eday, ehour, eminute, esecond = sec4[36:41]
+        valid = _dt.datetime(eyear, emonth, eday, ehour, eminute, esecond)
     return category, number, valid, lev_type, level
 
 
@@ -595,6 +606,7 @@ def write_grib2_message(
     packing: int = 0,
     spatial_order: int = 2,
     group_len: int = 32,
+    stat_hours: int | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -658,14 +670,25 @@ def write_grib2_message(
         level_type = 255
     else:
         lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
+    tmpl4 = 0 if stat_hours is None else 8
     sec4 = struct.pack(
         ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
-        34, 4, 0, 0,
+        34 if tmpl4 == 0 else 58, 4, 0, tmpl4,
         category, number, 2, 255, 255, 0, 255, 1,   # unit 1 = hours
         _sm_encode(forecast_hours, 32),
         level_type, lev_scale_b, lev_val,
         255, 255, 0xFFFFFFFF,
     )
+    if tmpl4 == 8:
+        # end of overall interval = ref + forecast + accumulation span;
+        # one time-range spec: statistical process 1 (accumulation)
+        end = ref_time + _dt.timedelta(hours=forecast_hours + stat_hours)
+        sec4 += struct.pack(
+            ">HBBBBB" + "BI" + "BBBIBI",
+            end.year, end.month, end.day, end.hour, end.minute, end.second,
+            1, 0,                      # n time ranges, total missing
+            1, 2, 1, stat_hours, 255, 0,  # accum, same fcst, hours, len
+        )
     if packing == 0:
         sec5 = struct.pack(
             ">IBIH" + "fHHBB",

@@ -454,3 +454,21 @@ def test_complex_packing_single_point_and_constant():
         decode_message(c).values, np.full((2, 3), 5.0))
     one = _field(np.array([[7.0]]), packing=2)
     np.testing.assert_array_equal(decode_message(one).values, [[7.0]])
+
+
+def test_template_48_accumulation_valid_time():
+    """4.8 accumulation fields: valid time is the END of the interval
+    (ref + forecast + accumulation span), the wgrib2 convention."""
+    vals = np.arange(6, dtype=float).reshape(2, 3)
+    raw = _field(vals, category=1, number=8, forecast_hours=6,
+                 stat_hours=6, nbits=8)
+    idx = scan_grib2(raw)[0]
+    assert idx.name == "apcp"
+    assert idx.valid_time == _REF + dt.timedelta(hours=12)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    # mixing 4.0 and 4.8 messages in one file scans fine
+    both = raw + _field(vals, forecast_hours=6)
+    times = [i.valid_time for i in scan_grib2(both)]
+    assert times == [_REF + dt.timedelta(hours=12),
+                     _REF + dt.timedelta(hours=6)]
