@@ -743,7 +743,16 @@ def interp_plev(
     Plan: one window (lead) over (by) ordered by lev — a single
     hash-partitioned sort, the W4 lag/lead shape, no join — then a
     filter keeps exactly one row per covered profile.
+
+    Preconditions enforced loudly (not silent NaN): levels must be
+    distinct within a profile (duplicates are adjacent after the
+    window sort, so ``lead == lev`` catches every run), and strictly
+    positive when blending in ln(p).
     """
+    if log_p and float(target) <= 0.0:
+        raise ValueError(
+            f"interp_plev: target {target} must be > 0 with log_p=True"
+        )
     w = Window.partitionBy(*by).orderBy(F.col("__lev").asc())
     t = F.lit(float(target))
     lev, nlev = F.col("__lev"), F.col("__nlev")
@@ -752,6 +761,10 @@ def interp_plev(
         if log_p
         else ((t - lev) / (nlev - lev))
     )
+    bad = nlev.isNotNull() & (nlev == lev)
+    if log_p:
+        bad = bad | (lev <= F.lit(0.0))
+    keep = (lev == t) | ((lev < t) & nlev.isNotNull() & (nlev > t))
     return (
         df.select(
             *by,
@@ -764,8 +777,16 @@ def interp_plev(
             F.lead("__val").over(w).alias("__nval"),
         )
         .filter(
-            (lev == t)
-            | ((lev < t) & nlev.isNotNull() & (nlev > t))
+            F.when(
+                bad,
+                F.raise_error(
+                    F.format_string(
+                        "interp_plev: invalid level axis (duplicate or "
+                        "non-positive level %s) in a profile",
+                        F.col("__lev"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(keep)
         )
         .select(
             *by,

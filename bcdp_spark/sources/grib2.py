@@ -140,6 +140,7 @@ class Grib2Index:
     lat1: float
     lon0: float
     lon1: float
+    field: int = 0  # submessage index within a multi-field message
 
 
 @dataclass
@@ -151,7 +152,15 @@ class Grib2Field:
 
 
 def _sections(raw: bytes, offset: int):
-    """Split one message into {section_number: (start, body bytes)}.
+    """Split one message into a list of per-field section dicts.
+
+    GRIB2 allows sequences of sections 2-7, 3-7, or 4-7 to repeat
+    within one message ("submessages" — real NCEP products ship
+    multi-field messages this way). Each occurrence of section 7
+    closes one field; sections not repeated since the previous field
+    are inherited, per the spec. Returns
+    ``(discipline, total_len, [dict[int, bytes], ...])`` — one dict
+    per field, each containing sections 1 and 3-7 (2 when present).
 
     Validates the declared total length and the "7777" trailer up
     front — a truncated archive fails loudly here, before any field
@@ -178,7 +187,9 @@ def _sections(raw: bytes, offset: int):
         raise ValueError(
             f"GRIB2 message at offset {offset} does not end with 7777"
         )
-    secs: dict[int, bytes] = {}
+    cur: dict[int, bytes] = {}
+    fieldsets: list[dict[int, bytes]] = []
+    last_num = 0
     pos = offset + 16
     while pos < end - 4:
         (sec_len,) = struct.unpack_from(">I", raw, pos)
@@ -187,9 +198,32 @@ def _sections(raw: bytes, offset: int):
             raise ValueError(
                 f"GRIB2 section {sec_num} at {pos} has bad length {sec_len}"
             )
-        secs[sec_num] = raw[pos : pos + sec_len]
+        if last_num and sec_num <= last_num:
+            # within a field sections strictly ascend; a new field may
+            # only restart (at 2/3/4) immediately after a section 7
+            raise ValueError(
+                f"GRIB2 section {sec_num} cannot follow section "
+                f"{last_num} at offset {pos}"
+            )
+        cur[sec_num] = raw[pos : pos + sec_len]
+        if sec_num == 7:
+            fieldsets.append(dict(cur))
+            last_num = 0
+        else:
+            last_num = sec_num
         pos += sec_len
-    return discipline, total_len, secs
+    if not fieldsets:
+        raise ValueError(
+            f"GRIB2 message at offset {offset} has no data section"
+        )
+    for k, fs in enumerate(fieldsets):
+        missing = [s for s in (1, 3, 4, 5, 6) if s not in fs]
+        if missing:
+            raise ValueError(
+                f"GRIB2 field {k} at offset {offset} is missing "
+                f"section(s) {missing}"
+            )
+    return discipline, total_len, fieldsets
 
 
 def _parse_grid(sec3: bytes):
@@ -201,6 +235,16 @@ def _parse_grid(sec3: bytes):
             "(regular lat/lon 3.0 only)"
         )
     ni, nj = struct.unpack_from(">II", sec3, 30)
+    # basic angle (octets 39-42) and its subdivisions (43-46): a
+    # non-default value rescales every coordinate away from the 1e-6
+    # degree unit hard-coded below — fail loudly rather than emit a
+    # silently mis-scaled grid.
+    basic_angle, subdiv = struct.unpack_from(">II", sec3, 38)
+    if basic_angle not in (0, 0xFFFFFFFF) or subdiv not in (0, 0xFFFFFFFF):
+        raise NotImplementedError(
+            f"GRIB2 non-default basic angle {basic_angle}/{subdiv} not "
+            "supported (1e-6 degree unit only)"
+        )
     la1u, lo1u = struct.unpack_from(">II", sec3, 46)
     la2u, lo2u = struct.unpack_from(">II", sec3, 55)
     scan = sec3[71]
@@ -212,6 +256,14 @@ def _parse_grid(sec3: bytes):
         raise NotImplementedError("GRIB2 -i scanning not supported")
     if scan & 0x20:
         raise NotImplementedError("GRIB2 j-consecutive scanning not supported")
+    if lo2 < lo1:
+        # a regional grid crossing the prime meridian stores lo2 < lo1
+        # with +i scanning (wraps through 360°) — linspace would emit a
+        # descending axis with wrong coordinates
+        raise NotImplementedError(
+            f"GRIB2 longitude wrap lo1={lo1} > lo2={lo2} not supported "
+            "(prime-meridian-crossing regional grids)"
+        )
     # rows run la1 → la2 in storage order regardless of direction;
     # +j (0x40) means la1 is the southernmost row, -j the northernmost.
     lats = np.linspace(la1, la2, nj)
@@ -270,39 +322,47 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
             raise ValueError(
                 f"garbage between GRIB2 messages at offset {pos}"
             )
-        discipline, total_len, secs = _sections(raw, pos)
-        ref_time = _parse_ref_time(secs[1])
-        lats, lons = _parse_grid(secs[3])
-        category, number, valid, lev_type, level = _parse_product(
-            secs[4], ref_time
-        )
-        out.append(
-            Grib2Index(
-                offset=pos,
-                length=total_len,
-                discipline=discipline,
-                category=category,
-                number=number,
-                name=param_name(discipline, category, number),
-                ref_time=ref_time,
-                valid_time=valid,
-                level_type=lev_type,
-                level=level,
-                ni=len(lons),
-                nj=len(lats),
-                lat0=float(min(lats[0], lats[-1])),
-                lat1=float(max(lats[0], lats[-1])),
-                lon0=float(lons[0]),
-                lon1=float(lons[-1]),
+        discipline, total_len, fieldsets = _sections(raw, pos)
+        for k, secs in enumerate(fieldsets):
+            ref_time = _parse_ref_time(secs[1])
+            lats, lons = _parse_grid(secs[3])
+            category, number, valid, lev_type, level = _parse_product(
+                secs[4], ref_time
             )
-        )
+            out.append(
+                Grib2Index(
+                    offset=pos,
+                    length=total_len,
+                    discipline=discipline,
+                    category=category,
+                    number=number,
+                    name=param_name(discipline, category, number),
+                    ref_time=ref_time,
+                    valid_time=valid,
+                    level_type=lev_type,
+                    level=level,
+                    ni=len(lons),
+                    nj=len(lats),
+                    lat0=float(min(lats[0], lats[-1])),
+                    lat1=float(max(lats[0], lats[-1])),
+                    lon0=float(lons[0]),
+                    lon1=float(lons[-1]),
+                    field=k,
+                )
+            )
         pos += total_len
     return out
 
 
-def decode_message(raw: bytes, offset: int = 0) -> Grib2Field:
-    """Fully decode the message starting at ``offset``."""
-    discipline, total_len, secs = _sections(raw, offset)
+def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
+    """Fully decode field ``field`` of the message at ``offset``."""
+    discipline, total_len, fieldsets = _sections(raw, offset)
+    if field >= len(fieldsets):
+        raise ValueError(
+            f"GRIB2 message at offset {offset} has {len(fieldsets)} "
+            f"field(s); field {field} requested"
+        )
+    secs = fieldsets[field]
     ref_time = _parse_ref_time(secs[1])
     lats, lons = _parse_grid(secs[3])
     category, number, valid, lev_type, level = _parse_product(
@@ -376,6 +436,7 @@ def decode_message(raw: bytes, offset: int = 0) -> Grib2Field:
         lat1=float(max(lats[0], lats[-1])),
         lon0=float(lons[0]),
         lon1=float(lons[-1]),
+        field=field,
     )
     return Grib2Field(
         index=idx, lats=lats, lons=lons, values=grid.reshape(nj, ni)
@@ -384,7 +445,7 @@ def decode_message(raw: bytes, offset: int = 0) -> Grib2Field:
 
 def iter_grib2(raw: bytes):
     for idx in scan_grib2(raw):
-        yield decode_message(raw, idx.offset)
+        yield decode_message(raw, idx.offset, idx.field)
 
 
 # -- complex packing (templates 5.2 / 5.3) -----------------------------
@@ -635,7 +696,9 @@ def write_grib2_message(
             "lower ref_value"
         )
     x = np.rint(x_float).astype(np.uint64)
-    if packing == 0 and nbits and np.any(x >= (1 << nbits)):
+    # with nbits=0, 1 << 0 == 1 makes this exactly the loud-failure
+    # condition for any nonzero scaled value (all-constant fields only)
+    if packing == 0 and np.any(x >= (1 << nbits)):
         raise ValueError(f"values do not fit in {nbits} bits after scaling")
 
     def s32(v: float) -> int:
@@ -738,7 +801,7 @@ def write_grib2_message(
 # -- Spark loader ------------------------------------------------------
 
 _INDEX_SCHEMA = (
-    "path string, offset long, length long, name string, "
+    "path string, offset long, field int, length long, name string, "
     "discipline int, category int, number int, "
     "ref_time timestamp, time timestamp, level_type int, level double, "
     "ni int, nj int, lat0 double, lat1 double, lon0 double, lon1 double"
@@ -789,6 +852,7 @@ def load_grib2(
                     {
                         "path": fpath,
                         "offset": [i.offset for i in idx],
+                        "field": [i.field for i in idx],
                         "length": [i.length for i in idx],
                         "name": [i.name for i in idx],
                         "discipline": [i.discipline for i in idx],
@@ -825,8 +889,8 @@ def load_grib2(
             index_df = index_df.filter(F.col("lat1") >= F.lit(float(lo)))
         if hi is not None:
             index_df = index_df.filter(F.col("lat0") <= F.lit(float(hi)))
-    # one decode task per message: tiny index rows, cheap shuffle
-    index_df = index_df.repartition("path", "offset")
+    # one decode task per field: tiny index rows, cheap shuffle
+    index_df = index_df.repartition("path", "offset", "field")
     bounds = {"lat": lat_bnds, "lon": lon_bnds}
 
     def decode(batches):
@@ -838,7 +902,9 @@ def load_grib2(
             for _, row in pdf.iterrows():
                 with open(row["path"], "rb") as fh:
                     raw = fh.read()
-                fld = decode_message(raw, int(row["offset"]))
+                fld = decode_message(
+                    raw, int(row["offset"]), int(row["field"])
+                )
                 lats, lons, vals = fld.lats, fld.lons, fld.values
                 la_m = _bounds_mask(lats, bounds["lat"])
                 lo_m = _bounds_mask(lons, bounds["lon"])
@@ -901,7 +967,7 @@ class Grib2StreamReader(_SimpleStreamReader):
         for idx in scan_grib2(raw):
             if self._param is not None and idx.name != self._param:
                 continue
-            fld = decode_message(raw, idx.offset)
+            fld = decode_message(raw, idx.offset, idx.field)
             vt = idx.valid_time
             for j, lat in enumerate(fld.lats):
                 row = fld.values[j]

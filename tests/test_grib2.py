@@ -472,3 +472,120 @@ def test_template_48_accumulation_valid_time():
     times = [i.valid_time for i in scan_grib2(both)]
     assert times == [_REF + dt.timedelta(hours=12),
                      _REF + dt.timedelta(hours=6)]
+
+
+# -- multi-field (submessage) messages ---------------------------------
+
+
+def _split_sections(raw: bytes) -> list[bytes]:
+    """Raw section chunks of a single message (excluding 0 and 7777)."""
+    import struct as _st
+
+    (total,) = _st.unpack_from(">Q", raw, 8)
+    out, pos = [], 16
+    while pos < total - 4:
+        (ln,) = _st.unpack_from(">I", raw, pos)
+        out.append(raw[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def _splice_multifield(msg_a: bytes, msg_b: bytes, from_sec: int) -> bytes:
+    """One message holding A's fields plus B's sections >= from_sec
+    (the spec's repeated 3-7 / 4-7 submessage layout)."""
+    import struct as _st
+
+    secs_a = _split_sections(msg_a)
+    secs_b = [s for s in _split_sections(msg_b) if s[4] >= from_sec]
+    body = b"".join(secs_a) + b"".join(secs_b)
+    total = 16 + len(body) + 4
+    head = msg_a[:8] + _st.pack(">Q", total)
+    return head + body + b"7777"
+
+
+def test_multifield_message_scans_every_field():
+    """Repeated 4-7 submessages: both fields indexed and decoded —
+    never silently only the last (the r4 ADVICE data-loss bug)."""
+    va = np.arange(6, dtype=float).reshape(2, 3)
+    vb = va * 2.0 + 1.0
+    a = _field(va, category=0, number=0, nbits=8)
+    b = _field(vb, category=1, number=1, forecast_hours=6, nbits=8)
+    raw = _splice_multifield(a, b, from_sec=4)
+    idx = scan_grib2(raw)
+    assert [i.field for i in idx] == [0, 1]
+    assert [i.name for i in idx] == ["t", "rh"]
+    assert idx[0].offset == idx[1].offset  # same message
+    f0 = decode_message(raw, idx[0].offset, 0)
+    f1 = decode_message(raw, idx[1].offset, 1)
+    np.testing.assert_array_equal(f0.values, va)
+    np.testing.assert_array_equal(f1.values, vb)
+    assert f1.index.valid_time == _REF + dt.timedelta(hours=6)
+
+
+def test_multifield_repeated_grid_section():
+    """Repeated 3-7 sequence: the second field carries its own grid."""
+    va = np.arange(6, dtype=float).reshape(2, 3)
+    vb = np.arange(8, dtype=float).reshape(2, 4)
+    a = _field(va, nbits=8)
+    b = _field(vb, category=1, number=1, nbits=8)
+    raw = _splice_multifield(a, b, from_sec=3)
+    idx = scan_grib2(raw)
+    assert [(i.field, i.ni) for i in idx] == [(0, 3), (1, 4)]
+    np.testing.assert_array_equal(decode_message(raw, 0, 1).values, vb)
+
+
+def test_multifield_out_of_order_section_raises():
+    """A section that does not ascend (and is not a legal field
+    restart) fails loudly instead of overwriting state."""
+    import struct as _st
+
+    a = _field(np.zeros((2, 3)), nbits=8)
+    secs = _split_sections(a)
+    # duplicate section 5 immediately after itself: 1,3,4,5,5,6,7
+    s5 = [s for s in secs if s[4] == 5][0]
+    body = b"".join(
+        sum(([s, s5] if s[4] == 5 else [s] for s in secs), [])
+    )
+    total = 16 + len(body) + 4
+    raw = a[:8] + _st.pack(">Q", total) + body + b"7777"
+    with pytest.raises(ValueError, match="cannot follow"):
+        scan_grib2(raw)
+
+
+def test_field_out_of_range_raises():
+    a = _field(np.zeros((2, 3)), nbits=8)
+    with pytest.raises(ValueError, match="field 3"):
+        decode_message(a, 0, 3)
+
+
+def test_nbits0_nonconstant_rejected_at_write():
+    """ADVICE fix: nbits=0 with non-constant values must fail loudly,
+    not silently encode everything as the reference value."""
+    with pytest.raises(ValueError, match="do not fit in 0 bits"):
+        _field(np.array([[0.0, 1.0]]), nbits=0)
+
+
+def test_nondefault_basic_angle_rejected():
+    import struct as _st
+
+    a = bytearray(_field(np.zeros((2, 3)), nbits=8))
+    # find section 3 and poke a basic angle of 2
+    pos = 16
+    while True:
+        (ln,) = _st.unpack_from(">I", a, pos)
+        if a[pos + 4] == 3:
+            _st.pack_into(">I", a, pos + 38, 2)
+            break
+        pos += ln
+    with pytest.raises(NotImplementedError, match="basic angle"):
+        scan_grib2(bytes(a))
+
+
+def test_prime_meridian_wrap_rejected():
+    """lo2 < lo1 under +i scanning (regional grid crossing 0°) must
+    raise, not emit a descending longitude axis."""
+    with pytest.raises(NotImplementedError, match="longitude wrap"):
+        scan_grib2(
+            _field(np.zeros((2, 3)), lons=np.array([350.0, 0.0, 10.0]),
+                   nbits=8)
+        )

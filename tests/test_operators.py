@@ -1757,6 +1757,33 @@ def test_interp_plev_null_poisons_bracket_and_linear_mode(spark):
     assert out[2] == 15.0  # exact midpoint in linear p
 
 
+def test_interp_plev_duplicate_and_nonpositive_levels_raise(spark):
+    """ADVICE fix: duplicate levels in a profile and non-positive
+    levels under log_p fail loudly instead of emitting NaN rows."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from bcdp_spark.operators.regrid import interp_plev
+
+    dup = spark.createDataFrame(
+        [(1, 800.0, 1.0), (1, 800.0, 2.0), (1, 900.0, 3.0)],
+        "pid int, lev double, value double",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="invalid level axis"):
+        interp_plev(dup, 850.0, by=("pid",), log_p=False).collect()
+
+    neg = spark.createDataFrame(
+        [(1, -1.0, 1.0), (1, 900.0, 3.0)],
+        "pid int, lev double, value double",
+    )
+    with pytest.raises(Exception, match="invalid level axis"):
+        interp_plev(neg, 850.0, by=("pid",), log_p=True).collect()
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        interp_plev(neg, -5.0, by=("pid",), log_p=True)
+
+
 def test_eof_modes_recover_planted_orthogonal_modes(spark):
     """EOF via the distributed Gram matrix + driver eigh recovers the
     same subspace as a direct numpy SVD on a planted two-mode field;
