@@ -73,107 +73,53 @@ def _load() -> None:
         _LOADED = True
 
 
-# Driver-grading priority: the driver grades registry keys in dict order
-# (rounds 1-2 graded exactly the first 50). Round-3 rotation (VERDICT r2
-# item 2): ten twice-green, trivially-stable §2 keys moved just past the
-# 50-key window — each of their components keeps r2 driver-green evidence
-# (CORRECTNESS_r02.json) so coverage across r2∪r3 is unchanged — making
-# room for the EXT/scale flagships that have never received a driver row
-# (q_netcdf_climatology, q_multimodal_pipeline, q_semantic_dedup,
-# q_ann_knn, q_ivf_knn, CC/clusters, weights-gen, packing, curation).
-# Round-4 rotation (VERDICT r3 item 1): every §2 component already
-# carries driver-green evidence across r2∪r3 (CORRECTNESS_r02/r03), so
-# the whole 50-key window is given to never-graded keys — 103 of 180
-# registry keys have no driver row yet. q_zarr_climatology stays
-# in-window because r4 re-routes it through the DSv2 format('zarr')
-# pushFilters path (VERDICT item 4): its green row must now cover the
-# pushdown machinery. All rotated-out keys keep r2/r3 green evidence.
+# Driver-grading priority: the driver grades the first 50 registry keys
+# in dict order. Rounds 1-4 rotated the window each round so that every
+# graded slot lands on a never-before-graded key; cumulative driver
+# evidence now covers 126 of the 202 keys (CORRECTNESS_r01-r04, zero
+# failures). Round-5 rotation (VERDICT r4 item 1): all 50 slots go to
+# never-graded keys — the verdict-named flagships (EOF, plev interp,
+# bigram LM, kNN join exact+IVF, snapshot diff, image phash, doc
+# chunking), the TPC-H composite family, the robustness/window family,
+# and the corpus/text statistics family. The remaining 26 never-graded
+# keys sit immediately past the boundary for round 6, after which the
+# whole registry will carry driver rows. Every rotated-out key keeps
+# r2/r3/r4 driver-green evidence for its component.
 _PRIORITY = (
     # (a) verdict-named never-graded flagships
-    "q_triangle_count", "q_scd2", "q_data_mixture", "q_unigram_logprob",
-    "q_nearest_regrid", "q_repeated_ngrams", "q_quality_classifier",
-    "q_contamination",
-    # (b) climate/ensemble family (never graded)
-    "q_taylor_stats", "q_seasonal_cycle", "q_harmonic_fit", "q_autocorr",
-    "q_extremes", "q_ensemble_agreement", "q_area_weighted_mean",
-    "q_netcdf_lev_climatology", "q_model_metrics", "q_centroids",
-    # (c) relational/subquery family (never graded)
-    "q_pivot", "q_unpivot", "q_scalar_subquery", "q_exists_subquery",
-    "q_correlated_scalar", "q_conditional_agg",
-    "q_multi_distinct", "q_salted_agg", "q_salted_join",
-    # (d) warehouse/analytics family (never graded)
-    "q_shipping_priority", "q_market_share", "q_promo_revenue",
-    "q_custdist", "q_funnel", "q_markov_transitions",
-    "q_span_dedup", "q_sequence_match", "q_conservative_regrid",
-    "q_bilinear_regrid",
-    # (e) corpus/text family (never graded; q_url_dedup is the late-r4
-    # URL-canonicalization dedup — q_cohort_retention moved past the
-    # boundary to make room, stays locally parity-green)
-    "q_top_tokens_per_lang", "q_inverted_index", "q_url_dedup",
-    # (f) r4 new + re-routes: vendored HDF5 decode; DSv2 zarr scan with
-    # pushed filters (see above); late-r4 DSIR importance weights and
-    # per-domain caps (q_mode / q_string_agg moved just past the
-    # boundary to make room — both stay locally parity-green)
-    "q_netcdf4_climatology", "q_zarr_climatology",
-    "q_dsir_weights", "q_domain_cap", "q_kmeans", "q_bm25",
-    # late-r4 flagships: PQ-ADC vector search and incremental
-    # corpus-admission dedup (q_argmax / q_range_window moved just past
-    # the boundary to make room — both stay locally parity-green)
-    "q_pq_adc_knn", "q_incremental_dedup",
-    # late-r4 GRIB2 source flagship (S12, brand-new component — needs its
-    # first driver row; q_null_safe_join moved just past the boundary to
-    # make room — the join family keeps r2∪r3 driver-green evidence)
-    "q_grib2_climatology",
-    # late-r4 BPE tokenizer training (new X4q operator — first driver
-    # row; q_full_join joins the boundary overflow, the join family
-    # keeps J1-J8 r2∪r3 driver-green evidence)
-    "q_bpe_merges",
+    "q_eof_gram", "q_plev_interp", "q_bigram_perplexity", "q_knn_join",
+    "q_knn_join_ivf", "q_snapshot_diff", "q_image_phash_pairs",
+    "q_doc_chunking",
+    # (b) TPC-H composite family (never graded; exercises J/A/O/W
+    # compositions end-to-end on orders/lineitem/supplier)
+    "q_local_supplier_volume", "q_product_profit", "q_waiting_suppliers",
+    "q_min_cost_supplier", "q_volume_shipping", "q_shipmode_priority",
+    "q_order_priority", "q_returned_items", "q_large_orders",
+    "q_promo_suppliers", "q_small_qty_revenue", "q_top_supplier",
+    "q_supplier_cnt", "q_important_stock", "q_promo_window_join",
+    "q_idle_customers",
+    # (c) robustness / window family (never graded)
+    "q_ewma", "q_rolling_corr", "q_upsert", "q_percentile_cont",
+    "q_windowed_dedup", "q_range_window", "q_null_safe_join",
+    "q_full_join", "q_in_subquery", "q_percent_rank", "q_ntile",
+    "q_mode", "q_string_agg", "q_argmax", "q_first_last", "q_histogram",
+    # (d) corpus / text statistics family (never graded)
+    "q_token_count", "q_bigrams", "q_cooccurrence", "q_vocab_growth",
+    "q_repetition_ratio", "q_doc_length_histogram", "q_boilerplate",
+    "q_redact_terms", "q_token_budget_select", "q_entropy",
     # --- 50-key window boundary ---
-    "q_null_safe_join", "q_full_join",
-    # (g) remaining never-graded keys, next in line if the cap allows
-    "q_snapshot_diff", "q_knn_join", "q_knn_join_ivf", "q_doc_chunking",
-    "q_bigram_perplexity",
-    "q_plev_interp",
-    "q_eof_gram",
-    "q_argmax",
-    "q_range_window", "q_cohort_retention",
-    "q_mode", "q_string_agg", "q_in_subquery", "q_percent_rank",
-    "q_cooccurrence", "q_dau_mau", "q_ewma", "q_windowed_dedup",
-    "q_bloom_semi_join", "q_token_budget_select", "q_hash_split",
-    "q_vocab_growth", "q_boilerplate", "q_redact_terms", "q_vec_quantize",
-    "q_doc_length_histogram", "q_repetition_ratio", "q_token_count",
-    "q_bigrams", "q_fuzzy_match", "q_percentile_cont", "q_regression",
-    "q_array_ops", "q_entropy", "q_promo_window_join", "q_upsert",
-    "q_weighted_avg", "q_ratio_to_report", "q_yoy_growth",
-    "q_revenue_forecast", "q_zscore_outliers", "q_user_lifetime",
-    "q_rolling_corr", "q_new_vs_returning", "q_abandonment",
-    "q_fulfillment_lag", "q_idle_customers", "q_top_supplier",
-    "q_small_qty_revenue", "q_waiting_suppliers", "q_order_priority",
-    "q_local_supplier_volume", "q_volume_shipping", "q_returned_items",
-    "q_large_orders", "q_disjunctive_scan", "q_ntile", "q_histogram",
-    "q_first_last", "q_hash_sample", "q_stratified_sample",
-    "q_reservoir_sample", "q_min_cost_supplier", "q_product_profit",
-    "q_important_stock", "q_supplier_cnt", "q_shipmode_priority",
-    "q_promo_suppliers",
-    # (h) rotated-out §2/EXT keys — all r2/r3 driver-green
-    "q_scan_project", "q_range_filter", "q_join_agg", "q_anti_join",
-    "q_pricing_summary", "q_climatology", "q_tumbling_events",
-    "q_ensemble_mean", "q_bin_regrid", "q_rollup", "q_stats",
-    "q_rolling_mean", "q_anomaly", "q_window_topk", "q_lag_delta",
-    "q_running_sum", "q_unit_convert", "q_session", "q_dedup_events",
-    "q_grouped_apply", "q_token_explode", "q_dedup_docs", "q_sim_knn",
-    "q_lang_stats", "q_embed_stats", "q_map_lookup", "q_sliding",
-    "q_grouped_agg_udf", "q_asof_align", "q_regrid_weighted",
-    "q_minhash_dedup", "q_simhash_pairs", "q_ngram_jaccard",
-    "q_embed_neardup", "q_netcdf_climatology", "q_multimodal_pipeline",
-    "q_semantic_dedup", "q_ann_knn", "q_ivf_knn",
-    "q_connected_components", "q_dedup_clusters", "q_corpus_curation",
-    "q_doc_packing", "q_regrid_weights_gen", "q_curvilinear_regrid",
-    "q_warc_ingest", "q_jsonl_ingest", "q_token_pagerank",
-    "q_doc_repetition", "q_null_handling", "q_bigjoin", "q_theta_join",
-    "q_left_join", "q_semi_join", "q_season_filter", "q_asof_bucket",
-    "q_distinct", "q_median", "q_topk", "q_union", "q_intersect",
-    "q_except", "q_date_funcs", "q_string_funcs", "q_json_extract",
+    # (e) the final 26 never-graded keys — next in line, round 6
+    "q_abandonment", "q_approx_distinct", "q_array_ops",
+    "q_bloom_semi_join", "q_cohort_retention", "q_compress_ratio",
+    "q_dau_mau", "q_disjunctive_scan", "q_fulfillment_lag",
+    "q_fuzzy_match", "q_hash_sample", "q_hash_split", "q_hll_rollup",
+    "q_new_vs_returning", "q_profile", "q_ratio_to_report",
+    "q_regression", "q_reservoir_sample", "q_revenue_forecast",
+    "q_stratified_sample", "q_user_lifetime", "q_vec_quantize",
+    "q_weighted_avg", "q_weighted_sample", "q_yoy_growth",
+    "q_zscore_outliers",
+    # (f) everything else (all r1-r4 driver-green) follows in registry
+    # dict order via _ordered()'s fall-through.
 )
 
 
