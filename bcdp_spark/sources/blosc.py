@@ -1,0 +1,323 @@
+"""Blosc v1 chunk codec (decode + fixture encode) with an LZ4-block
+coder — no third-party libraries.
+
+Blosc is zarr-python's DEFAULT v2 compressor (``Blosc(cname='lz4',
+shuffle=SHUFFLE)``), so most real-world v2 stores a user points
+``format('zarr')`` at are blosc-framed. Everything here is implemented
+from the public c-blosc 1.x container format and the public LZ4 block
+format:
+
+16-byte header::
+
+    0  version   (format version, 2)
+    1  versionlz (codec format version)
+    2  flags     bit0 byte-shuffle, bit1 memcpy'ed, bit2 bit-shuffle,
+                 bits5-7 codec id (0 blosclz, 1 lz4/lz4hc, 2 snappy,
+                 3 zlib, 4 zstd)
+    3  typesize
+    4  nbytes    (uncompressed, LE int32)
+    8  blocksize (LE int32)
+    12 cbytes    (total compressed incl. header, LE int32)
+
+If the memcpy flag is set, the payload follows the header verbatim.
+Otherwise ``nblocks = ceil(nbytes / blocksize)`` LE-uint32 offsets
+(relative to the start of the frame) point at each block. A block is
+stored as ``nsplits`` independently-coded streams — c-blosc's
+"split" mode: ``nsplits = typesize`` when the codec is blosclz or lz4,
+``typesize <= 16`` and ``blocksize // typesize >= 128`` (and the block
+is not the partial leftover block), else 1. Each split is an LE int32
+compressed size followed by the stream; a size equal to the split's
+uncompressed size means the bytes are stored raw. Byte-shuffle is
+applied per block before splitting (each split is then exactly one
+byte-plane).
+
+Supported codecs: lz4/lz4hc (own block decoder below), zlib (stdlib),
+and raw/memcpy. blosclz, snappy and zstd raise loudly — implementing
+zstd from scratch is out of scope and silence would mis-decode.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib as _zlib
+
+import numpy as np
+
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
+_CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_SHUFFLE, _MEMCPY, _BITSHUFFLE = 0x1, 0x2, 0x4
+
+
+# -- LZ4 block format --------------------------------------------------
+
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one LZ4 *block* (not frame) of known decoded size."""
+    dst = bytearray(dst_size)
+    s, d, n = 0, 0, len(src)
+    while s < n:
+        token = src[s]
+        s += 1
+        # literals
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[s]
+                s += 1
+                lit += b
+                if b != 255:
+                    break
+        if lit:
+            if s + lit > n or d + lit > dst_size:
+                raise ValueError("LZ4 literal run overflows buffer")
+            dst[d : d + lit] = src[s : s + lit]
+            s += lit
+            d += lit
+        if s >= n:
+            break  # last sequence has no match
+        # match
+        off = src[s] | (src[s + 1] << 8)
+        s += 2
+        if off == 0 or off > d:
+            raise ValueError(f"LZ4 bad match offset {off} at dst {d}")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[s]
+                s += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        if d + mlen > dst_size:
+            raise ValueError("LZ4 match overflows buffer")
+        if off >= mlen:
+            dst[d : d + mlen] = dst[d - off : d - off + mlen]
+            d += mlen
+        else:  # overlapping copy replicates byte-by-byte forward
+            for _ in range(mlen):
+                dst[d] = dst[d - off]
+                d += 1
+    if d != dst_size:
+        raise ValueError(f"LZ4 block decoded {d} bytes, expected {dst_size}")
+    return bytes(dst)
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """Greedy hash-chain-free LZ4 block encoder (fixture writer).
+
+    Emits spec-valid streams: 4-byte hash-table matching, 12-byte
+    end-of-block match guard, final run all-literals.
+    """
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+
+    def _emit(lit_start: int, lit_end: int, mlen: int, off: int) -> None:
+        lit = lit_end - lit_start
+        token_lit = 15 if lit >= 15 else lit
+        token_m = 0
+        if mlen:
+            token_m = 15 if mlen - 4 >= 15 else mlen - 4
+        out.append((token_lit << 4) | token_m)
+        rem = lit - 15
+        while token_lit == 15 and rem >= 0:
+            out.append(255 if rem >= 255 else rem)
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(src[lit_start:lit_end])
+        if mlen:
+            out.append(off & 0xFF)
+            out.append(off >> 8)
+            rem = (mlen - 4) - 15
+            while token_m == 15 and rem >= 0:
+                out.append(255 if rem >= 255 else rem)
+                if rem < 255:
+                    break
+                rem -= 255
+
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    # matches may not reach into the last 5 bytes; last match must
+    # start >= 12 bytes from the end (LZ4 spec end conditions)
+    limit = n - 12
+    while i < limit:
+        key = src[i : i + 4]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF and src[j : j + 4] == key:
+            mlen = 4
+            maxm = (n - 5) - i
+            while mlen < maxm and src[j + mlen] == src[i + mlen]:
+                mlen += 1
+            _emit(anchor, i, mlen, i - j)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    _emit(anchor, n, 0, 0)
+    return bytes(out)
+
+
+# -- blosc container ---------------------------------------------------
+
+
+def _split(codec: str, typesize: int, blocksize: int, leftover: bool) -> int:
+    if (
+        not leftover
+        and codec in ("blosclz", "lz4")
+        and 0 < typesize <= _MAX_SPLITS
+        and blocksize // typesize >= _MIN_BUFFERSIZE
+    ):
+        return typesize
+    return 1
+
+
+def _unshuffle(buf: bytes, typesize: int) -> bytes:
+    if typesize <= 1 or len(buf) % typesize:
+        return buf
+    a = np.frombuffer(buf, dtype=np.uint8)
+    return a.reshape(typesize, len(buf) // typesize).T.tobytes()
+
+
+def _shuffle(buf: bytes, typesize: int) -> bytes:
+    if typesize <= 1 or len(buf) % typesize:
+        return buf
+    a = np.frombuffer(buf, dtype=np.uint8)
+    return a.reshape(len(buf) // typesize, typesize).T.tobytes()
+
+
+def blosc_decompress(raw: bytes) -> bytes:
+    if len(raw) < 16:
+        raise ValueError("blosc frame shorter than its 16-byte header")
+    flags, typesize = raw[2], raw[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", raw, 4)
+    if cbytes != len(raw):
+        raise ValueError(
+            f"blosc header cbytes {cbytes} != frame length {len(raw)}"
+        )
+    if flags & _BITSHUFFLE:
+        raise NotImplementedError(
+            "blosc bit-shuffle filter not supported (byte shuffle only)"
+        )
+    if flags & _MEMCPY:
+        if len(raw) < 16 + nbytes:
+            raise ValueError("blosc memcpy frame truncated")
+        return raw[16 : 16 + nbytes]
+    codec = _CODECS.get(flags >> 5)
+    if codec not in ("lz4", "zlib"):
+        raise NotImplementedError(
+            f"blosc codec {codec!r} needs a decoder not in this container "
+            "(supported: lz4, zlib, memcpy)"
+        )
+    if nbytes == 0:
+        return b""
+    if blocksize <= 0:
+        raise ValueError(f"blosc bad blocksize {blocksize}")
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    starts = struct.unpack_from(f"<{nblocks}I", raw, 16)
+    out = bytearray()
+    for b, start in enumerate(starts):
+        bsize = min(blocksize, nbytes - b * blocksize)
+        leftover = bsize != blocksize
+        nsplits = _split(codec, typesize, blocksize, leftover)
+        neblock = bsize // nsplits
+        if nsplits > 1 and bsize % nsplits:
+            raise ValueError("blosc split block size not divisible")
+        pos = start
+        block = bytearray()
+        for _ in range(nsplits):
+            (csize,) = struct.unpack_from("<i", raw, pos)
+            pos += 4
+            part = raw[pos : pos + csize]
+            pos += csize
+            if csize == neblock:  # stored raw
+                block += part
+            elif codec == "lz4":
+                block += lz4_block_decompress(part, neblock)
+            else:
+                block += _zlib.decompress(part)
+        if len(block) != bsize:
+            raise ValueError(
+                f"blosc block {b} decoded {len(block)} bytes, "
+                f"expected {bsize}"
+            )
+        if flags & _SHUFFLE:
+            block = bytearray(_unshuffle(bytes(block), typesize))
+        out += block
+    if len(out) != nbytes:
+        raise ValueError(f"blosc decoded {len(out)} bytes, expected {nbytes}")
+    return bytes(out)
+
+
+def blosc_compress(
+    data: bytes,
+    typesize: int,
+    cname: str = "lz4",
+    shuffle: bool = True,
+    blocksize: int = 0,
+) -> bytes:
+    """Fixture/sink encoder producing frames c-blosc would accept."""
+    codec_id = {v: k for k, v in _CODECS.items()}.get(cname)
+    if cname not in ("lz4", "zlib"):
+        raise NotImplementedError(f"blosc_compress cname {cname!r}")
+    typesize = max(1, min(typesize, 255))
+    nbytes = len(data)
+    if blocksize <= 0:
+        blocksize = min(nbytes, 1 << 16) or 1
+    blocksize -= blocksize % typesize or 0
+    blocksize = max(blocksize, typesize)
+    flags = (codec_id << 5) | (_SHUFFLE if shuffle and typesize > 1 else 0)
+    if nbytes == 0:
+        head = bytes([2, 1, flags, typesize]) + struct.pack(
+            "<iii", 0, blocksize, 16
+        )
+        return head
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    chunks: list[bytes] = []
+    for b in range(nblocks):
+        bsize = min(blocksize, nbytes - b * blocksize)
+        block = data[b * blocksize : b * blocksize + bsize]
+        if flags & _SHUFFLE:
+            block = _shuffle(block, typesize)
+        leftover = bsize != blocksize
+        nsplits = _split(cname, typesize, blocksize, leftover)
+        if nsplits > 1 and bsize % nsplits:
+            nsplits = 1
+        neblock = bsize // nsplits
+        parts = []
+        for s in range(nsplits):
+            seg = block[s * neblock : (s + 1) * neblock]
+            comp = (
+                lz4_block_compress(seg)
+                if cname == "lz4"
+                else _zlib.compress(seg)
+            )
+            if len(comp) >= neblock:  # incompressible: store raw
+                comp = seg
+            parts.append(struct.pack("<i", len(comp)) + comp)
+        chunks.append(b"".join(parts))
+    header_len = 16 + 4 * nblocks
+    starts, pos = [], header_len
+    for c in chunks:
+        starts.append(pos)
+        pos += len(c)
+    cbytes = pos
+    frame = (
+        bytes([2, 1, flags, typesize])
+        + struct.pack("<iii", nbytes, blocksize, cbytes)
+        + struct.pack(f"<{nblocks}I", *starts)
+        + b"".join(chunks)
+    )
+    if cbytes >= nbytes + 16:
+        # compression did not pay: emit the memcpy frame c-blosc would
+        frame = (
+            bytes([2, 1, (codec_id << 5) | _MEMCPY, typesize])
+            + struct.pack("<iii", nbytes, blocksize, nbytes + 16)
+            + data
+        )
+    return frame

@@ -43,7 +43,10 @@ from bcdp_spark.sources.netcdf import (
 )
 from bcdp_spark.sources.registry import register_data_source
 
-_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip")
+_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc")
+# blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
+# Blosc(cname='lz4')); zstd/snappy/blosclz stay loud seams
+_SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib")
 
 
 @dataclass
@@ -205,8 +208,19 @@ def read_array_meta(
     if comp is not None and comp.get("id") not in _SUPPORTED_COMPRESSORS:
         raise NotImplementedError(
             f"{name}: compressor {comp.get('id')!r} needs a codec not in "
-            "this container (supported: null, zlib, gzip)"
+            "this container (supported: null, zlib, gzip, blosc)"
         )
+    if comp is not None and comp.get("id") == "blosc":
+        cname = comp.get("cname", "blosclz")
+        if cname not in _SUPPORTED_BLOSC_CNAMES:
+            raise NotImplementedError(
+                f"{name}: blosc cname {cname!r} needs a codec not in "
+                f"this container (supported: {_SUPPORTED_BLOSC_CNAMES})"
+            )
+        if int(comp.get("shuffle", 0)) == 2:
+            raise NotImplementedError(
+                f"{name}: blosc bit-shuffle not supported (byte shuffle only)"
+            )
     if consolidated is not None and f"{name}/.zattrs" in consolidated:
         attrs = consolidated[f"{name}/.zattrs"]
     else:
@@ -254,7 +268,14 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
         return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
-        raw = _gzip.decompress(raw) if cid == "gzip" else _zlib.decompress(raw)
+        if cid == "gzip":
+            raw = _gzip.decompress(raw)
+        elif cid == "blosc":
+            from bcdp_spark.sources.blosc import blosc_decompress
+
+            raw = blosc_decompress(raw)
+        else:
+            raw = _zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=meta.dtype)
     return arr.reshape(meta.chunks, order=meta.order)
 
@@ -615,11 +636,22 @@ def write_zarr(
                 block = full
             raw = block.tobytes(order="C")
             if compressor:
-                raw = (
-                    _gzip.compress(raw, compresslevel=compressor.get("level", 1))
-                    if compressor["id"] == "gzip"
-                    else _zlib.compress(raw, compressor.get("level", 1))
-                )
+                if compressor["id"] == "gzip":
+                    raw = _gzip.compress(
+                        raw, compresslevel=compressor.get("level", 1)
+                    )
+                elif compressor["id"] == "blosc":
+                    from bcdp_spark.sources.blosc import blosc_compress
+
+                    raw = blosc_compress(
+                        raw,
+                        typesize=arr.dtype.itemsize,
+                        cname=compressor.get("cname", "lz4"),
+                        shuffle=int(compressor.get("shuffle", 1)) == 1,
+                        blocksize=int(compressor.get("blocksize", 0)),
+                    )
+                else:
+                    raw = _zlib.compress(raw, compressor.get("level", 1))
             with open(
                 os.path.join(adir, ".".join(str(i) for i in idx)), "wb"
             ) as fh:

@@ -1,0 +1,173 @@
+"""Blosc v1 container + LZ4 block codec (sources/blosc.py): byte-level
+roundtrips, hand-checked LZ4 vectors, split/shuffle/memcpy paths, loud
+seams, and the zarr v2 scan path over a blosc-framed store —
+zarr-python's DEFAULT v2 compressor layout."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.sources.blosc import (
+    blosc_compress,
+    blosc_decompress,
+    lz4_block_compress,
+    lz4_block_decompress,
+)
+
+
+# -- LZ4 block ---------------------------------------------------------
+
+
+def test_lz4_hand_vector_literals_only():
+    # token 0x50: 5 literals, no match (final sequence)
+    assert lz4_block_decompress(b"\x50hello", 5) == b"hello"
+
+
+def test_lz4_hand_vector_with_match():
+    # 4 literals "abcd", match offset 4 len 4+0 → "abcdabcd", then
+    # final literal run "Z"
+    src = b"\x40abcd\x04\x00" + b"\x10Z"
+    assert lz4_block_decompress(src, 9) == b"abcdabcdZ"
+
+
+def test_lz4_overlapping_match_rle():
+    # 1 literal "a", match offset 1 len 4+3=7 → RLE of "a" ×8
+    src = b"\x13a\x01\x00" + b"\x10b"
+    assert lz4_block_decompress(src, 9) == b"aaaaaaaab"
+
+
+def test_lz4_long_lengths_extension_bytes():
+    data = bytes(range(256)) * 3  # 768 incompressible-ish literals
+    comp = lz4_block_compress(data)
+    assert lz4_block_decompress(comp, len(data)) == data
+
+
+def test_lz4_bad_offset_raises():
+    with pytest.raises(ValueError, match="offset"):
+        lz4_block_decompress(b"\x10a\x05\x00", 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(min_size=0, max_size=4000),
+        # highly repetitive: exercises long matches + RLE overlap
+        st.builds(
+            lambda unit, n: (unit * n)[:4000],
+            st.binary(min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=2000),
+        ),
+    )
+)
+def test_lz4_roundtrip_property(data):
+    comp = lz4_block_compress(data)
+    assert lz4_block_decompress(comp, len(data)) == data
+
+
+def test_lz4_compresses_repetitive_input():
+    data = b"spark" * 400
+    assert len(lz4_block_compress(data)) < len(data) // 10
+
+
+# -- blosc container ---------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=3000),
+    dtype=st.sampled_from(["<f8", "<f4", "<i4", "<i2", "|u1"]),
+    cname=st.sampled_from(["lz4", "zlib"]),
+    shuffle=st.booleans(),
+    blocksize=st.sampled_from([0, 256, 1024]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_blosc_roundtrip_property(n, dtype, cname, shuffle, blocksize, seed):
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(dtype)
+    # smooth-ish data so shuffle+lz4 actually engages the match path
+    arr = np.cumsum(rng.integers(0, 3, size=n)).astype(dt)
+    raw = arr.tobytes()
+    frame = blosc_compress(
+        raw, typesize=dt.itemsize, cname=cname, shuffle=shuffle,
+        blocksize=blocksize,
+    )
+    assert blosc_decompress(frame) == raw
+
+
+def test_blosc_multiblock_split_path():
+    # > one 1 KiB block of f8 → split mode (typesize 8 ≤ 16,
+    # blocksize/typesize = 128 ≥ 128), several blocks, leftover block
+    arr = np.arange(700, dtype="<f8")
+    frame = blosc_compress(arr.tobytes(), 8, blocksize=1024)
+    flags = frame[2]
+    assert not flags & 0x2, "must not fall back to memcpy"
+    assert blosc_decompress(frame) == arr.tobytes()
+
+
+def test_blosc_memcpy_fallback_on_incompressible():
+    rng = np.random.default_rng(7)
+    raw = rng.bytes(512)
+    frame = blosc_compress(raw, 1, shuffle=False)
+    assert frame[2] & 0x2  # memcpy flag
+    assert blosc_decompress(frame) == raw
+
+
+def test_blosc_empty():
+    assert blosc_decompress(blosc_compress(b"", 8)) == b""
+
+
+def test_blosc_truncated_frame_raises():
+    frame = blosc_compress(np.arange(64, dtype="<f8").tobytes(), 8)
+    with pytest.raises(ValueError, match="cbytes"):
+        blosc_decompress(frame[:-3])
+
+
+def test_blosc_zstd_codec_raises_loudly():
+    frame = bytearray(blosc_compress(np.arange(64, dtype="<f8").tobytes(), 8))
+    frame[2] = (frame[2] & 0x1F) | (4 << 5)  # poke codec id → zstd
+    with pytest.raises(NotImplementedError, match="zstd"):
+        blosc_decompress(bytes(frame))
+
+
+def test_blosc_bitshuffle_raises_loudly():
+    frame = bytearray(blosc_compress(np.arange(64, dtype="<f8").tobytes(), 8))
+    frame[2] |= 0x4
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        blosc_decompress(bytes(frame))
+
+
+# -- zarr v2 store with blosc (the zarr-python default layout) ---------
+
+
+def test_zarr_blosc_store_roundtrip(spark, tmp_path):
+    from tests.test_zarr import _write_store
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store, expect = _write_store(
+        tmp_path,
+        compressor={"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == expect.size
+    assert int(pdf.value.isna().sum()) == int(np.isnan(expect).sum())
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+
+
+def test_zarr_blosc_zstd_cname_raises(tmp_path):
+    from tests.test_zarr import _write_store
+    from bcdp_spark.sources import zarr as z
+
+    store, _ = _write_store(tmp_path)
+    import json, os
+    p = os.path.join(store, "pr", ".zarray")
+    za = json.load(open(p))
+    za["compressor"] = {"id": "blosc", "cname": "zstd", "shuffle": 1}
+    json.dump(za, open(p, "w"))
+    os.remove(os.path.join(store, ".zmetadata"))  # force per-array meta
+    with pytest.raises(NotImplementedError, match="zstd"):
+        z.read_array_meta(store, "pr")

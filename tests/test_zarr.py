@@ -228,12 +228,14 @@ def test_registry_and_unsupported(tmp_path, spark):
     store, expect = _write_store(tmp_path)
     pdf = reg_load("zarr", spark, store).toPandas()
     assert len(pdf) == expect.size
-    # unsupported compressor fails loudly at meta-read time
+    # unsupported compressor fails loudly at meta-read time (blosc
+    # with the lz4/zlib cnames is supported since r5 — zstd is not)
     meta_path = os.path.join(store, "pr", ".zarray")
     za = json.load(open(meta_path))
-    za["compressor"] = {"id": "blosc", "cname": "lz4"}
+    za["compressor"] = {"id": "zstd", "level": 1}
     json.dump(za, open(meta_path, "w"))
-    with pytest.raises(NotImplementedError, match="blosc"):
+    os.remove(os.path.join(store, ".zmetadata"))
+    with pytest.raises(NotImplementedError, match="zstd"):
         read_array_meta(store, "pr")
 
 
