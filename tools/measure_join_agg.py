@@ -1,0 +1,89 @@
+"""Interleaved re-measurement of q_join_agg vs a fresh DuckDB baseline.
+
+VERDICT r4 item 5: q_join_agg sat at 1.80x of BASELINE.md's 0.022 s
+DuckDB number — the only headline query near the 2x gate. Before any
+tuning, re-establish BOTH sides on the same host at the same moment:
+alternate DuckDB and Spark timed batches so host noise hits both
+equally. Prints one JSON line with per-batch min/median for each
+engine and the resulting ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BATCHES = int(os.environ.get("BATCHES", "3"))
+REPS = int(os.environ.get("REPS", "7"))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def timed(fn, warmups: int = 3, reps: int = REPS) -> list[float]:
+    for _ in range(warmups):
+        fn()
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)
+
+
+def main() -> None:
+    import duckdb
+
+    import bcdp_spark.queries as q
+    from bcdp_spark.session import get_spark
+    from bcdp_spark.tables import table
+
+    sql = q.oracle_sql()["q_join_agg"]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    spark = get_spark("measure_join_agg")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in ("lineitem", "orders", "customer", "nation", "region"):
+        df = table(spark, SF_DIR, name)
+        df.cache()
+        df.count()
+    sdf = q.queries()["q_join_agg"](spark, SF_DIR)
+
+    duck_batches, spark_batches = [], []
+    for b in range(BATCHES):
+        duck_batches.append(timed(lambda: con.execute(sql).fetchall()))
+        spark_batches.append(timed(lambda: sdf.toPandas()))
+
+    duck_min = min(r[0] for r in duck_batches)
+    duck_med = sorted(r[len(r) // 2] for r in duck_batches)[BATCHES // 2]
+    spark_min = min(r[0] for r in spark_batches)
+    spark_med = sorted(r[len(r) // 2] for r in spark_batches)[BATCHES // 2]
+    print(json.dumps({
+        "duckdb_min": round(duck_min, 4),
+        "duckdb_median": round(duck_med, 4),
+        "spark_min": round(spark_min, 4),
+        "spark_median": round(spark_med, 4),
+        "ratio_min": round(spark_min / duck_min, 3),
+        "ratio_median": round(spark_med / duck_med, 3),
+        "duck_batches": [[round(x, 4) for x in r] for r in duck_batches],
+        "spark_batches": [[round(x, 4) for x in r] for r in spark_batches],
+        "baseline_md_duck": 0.022,
+    }))
+
+
+if __name__ == "__main__":
+    main()
