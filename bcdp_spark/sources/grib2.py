@@ -15,8 +15,13 @@ Scope (the subset NWP surface archives actually use):
 - messages: Section 0 indicator → "7777" trailer, any number of
   messages concatenated per file (the standard layout — one 2-D field
   per message, one file per cycle);
-- Section 3 grid template 3.0 (regular latitude/longitude grid),
-  scanning modes +i/-j (0x00, the GFS default) and +i/+j (0x40);
+- Section 3 grid templates 3.0 (regular latitude/longitude), 3.40
+  (Gaussian latitude/longitude — ERA5/GFS spectral-native; latitudes
+  recomputed from the Legendre roots and alignment-checked against
+  the stored La1/La2) and 3.30 (Lambert conformal conic — HRRR/NAM
+  native; spherical Snyder forward/inverse, per-point lat/lon
+  emitted); scanning modes +i/-j (0x00, the GFS default) and +i/+j
+  (0x40); reduced (quasi-regular) grids raise loudly;
 - Section 4 product template 4.0 (analysis/forecast at a horizontal
   level), forecast-time units minute/hour/day;
 - Section 5 data template 5.0 (simple packing), any bit width 0..32,
@@ -43,6 +48,7 @@ time/param subset never decompresses the fields it drops.
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import struct
 from dataclasses import dataclass
 
@@ -146,9 +152,11 @@ class Grib2Index:
 @dataclass
 class Grib2Field:
     index: Grib2Index
-    lats: np.ndarray  # (nj,)
-    lons: np.ndarray  # (ni,)
+    lats: np.ndarray  # (nj,) degrees — or projection y metres (Lambert)
+    lons: np.ndarray  # (ni,) degrees — or projection x metres (Lambert)
     values: np.ndarray  # (nj, ni) float64, NaN where bitmapped out
+    lats2d: np.ndarray | None = None  # (nj, ni) degrees, projected grids
+    lons2d: np.ndarray | None = None
 
 
 def _sections(raw: bytes, offset: int):
@@ -226,15 +234,97 @@ def _sections(raw: bytes, offset: int):
     return discipline, total_len, fieldsets
 
 
-def _parse_grid(sec3: bytes):
-    """Template 3.0 regular lat/lon → (lats, lons) axes."""
-    (template,) = struct.unpack_from(">H", sec3, 12)
-    if template != 0:
-        raise NotImplementedError(
-            f"GRIB2 grid template 3.{template} not supported "
-            "(regular lat/lon 3.0 only)"
+@dataclass
+class GridDef:
+    """Decoded section-3 geometry.
+
+    For rectilinear templates (3.0 regular lat/lon, 3.40 Gaussian)
+    ``lats``/``lons`` are the degree axes and the 2-D members are None.
+    For projected grids (3.30 Lambert conformal) ``lats``/``lons`` are
+    the projection y/x axes in metres and ``lats2d``/``lons2d`` carry
+    the per-point geographic coordinates, shape (nj, ni)."""
+
+    template: int
+    lats: np.ndarray
+    lons: np.ndarray
+    lats2d: np.ndarray | None = None
+    lons2d: np.ndarray | None = None
+
+
+def _gaussian_lats(n: int) -> np.ndarray:
+    """Global Gaussian latitudes (degrees, ascending) for N parallels
+    between pole and equator: arcsin of the roots of P_2N."""
+    x, _ = np.polynomial.legendre.leggauss(2 * n)
+    return np.degrees(np.arcsin(np.sort(x)))
+
+
+def _earth_radius(sec3: bytes) -> float:
+    """Spherical earth radius in metres from octets 15-20 (ellipsoids
+    are a loud seam — conformal math below is spherical)."""
+    shape = sec3[14]
+    if shape == 0:
+        return 6367470.0
+    if shape == 6:
+        return 6371229.0
+    if shape == 1:
+        scale = sec3[15]
+        (val,) = struct.unpack_from(">I", sec3, 16)
+        if val in (0, 0xFFFFFFFF):
+            raise ValueError("GRIB2 earth shape 1 with missing radius")
+        return val / (10.0 ** scale)
+    raise NotImplementedError(
+        f"GRIB2 earth shape {shape} not supported (spheres 0/1/6 only)"
+    )
+
+
+def _lcc_params(latin1: float, latin2: float, lad: float, radius: float):
+    """Lambert-conformal-conic constants (spherical; Snyder 1987
+    eqs. 15-1..15-11): cone constant n, F, and rho0 at LaD."""
+    p1, p2 = np.radians(latin1), np.radians(latin2)
+    if abs(latin1 - latin2) < 1e-9:
+        n = np.sin(p1)
+    else:
+        n = np.log(np.cos(p1) / np.cos(p2)) / np.log(
+            np.tan(np.pi / 4 + p2 / 2) / np.tan(np.pi / 4 + p1 / 2)
         )
+    if abs(n) < 1e-12:
+        raise ValueError("Lambert cone constant is zero (equatorial LCC)")
+    fc = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n
+    rho0 = radius * fc / np.tan(np.pi / 4 + np.radians(lad) / 2) ** n
+    return n, fc, rho0
+
+
+def _lcc_forward(lat, lon, latin1, latin2, lad, lov, radius):
+    """(lat, lon) degrees → (x, y) metres on the LCC plane."""
+    n, fc, rho0 = _lcc_params(latin1, latin2, lad, radius)
+    rho = radius * fc / np.tan(np.pi / 4 + np.radians(lat) / 2) ** n
+    dlon = np.radians(((lon - lov) + 180.0) % 360.0 - 180.0)
+    th = n * dlon
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def _lcc_inverse(x, y, latin1, latin2, lad, lov, radius):
+    """(x, y) metres → (lat, lon degrees in [0, 360))."""
+    n, fc, rho0 = _lcc_params(latin1, latin2, lad, radius)
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.hypot(x, rho0 - y)
+    th = np.arctan2(sgn * x, sgn * (rho0 - y))
+    lat = np.degrees(
+        2.0 * np.arctan((radius * fc / rho) ** (1.0 / n)) - np.pi / 2
+    )
+    lon = (lov + np.degrees(th / n)) % 360.0
+    return lat, lon
+
+
+def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
+    """Templates 3.0 (regular) and 3.40 (Gaussian): identical octet
+    layout except 68-71 hold Dj (3.0) vs N parallels (3.40)."""
     ni, nj = struct.unpack_from(">II", sec3, 30)
+    if ni == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "GRIB2 reduced (quasi-regular) grid not supported "
+            "(Ni is missing; points-per-row list)"
+        )
     # basic angle (octets 39-42) and its subdivisions (43-46): a
     # non-default value rescales every coordinate away from the 1e-6
     # degree unit hard-coded below — fail loudly rather than emit a
@@ -264,11 +354,104 @@ def _parse_grid(sec3: bytes):
             f"GRIB2 longitude wrap lo1={lo1} > lo2={lo2} not supported "
             "(prime-meridian-crossing regional grids)"
         )
+    lons = np.linspace(lo1, lo2, ni)
     # rows run la1 → la2 in storage order regardless of direction;
     # +j (0x40) means la1 is the southernmost row, -j the northernmost.
-    lats = np.linspace(la1, la2, nj)
-    lons = np.linspace(lo1, lo2, ni)
-    return lats, lons
+    if template == 0:
+        lats = np.linspace(la1, la2, nj)
+        return GridDef(template=0, lats=lats, lons=lons)
+    # 3.40: latitudes are the Gaussian quadrature roots, not linspace.
+    (n_par,) = struct.unpack_from(">I", sec3, 67)
+    if n_par == 0 or n_par == 0xFFFFFFFF or 2 * n_par < nj:
+        raise ValueError(f"GRIB2 Gaussian grid N={n_par} with Nj={nj}")
+    glats = _gaussian_lats(int(n_par))
+    cand = glats if la1 <= la2 else glats[::-1]
+    i0 = int(np.argmin(np.abs(cand - la1)))
+    tol = 1.5e-3  # coordinates are stored quantized to 1e-6 degrees
+    if (
+        i0 + nj > cand.size
+        or abs(cand[i0] - la1) > tol
+        or abs(cand[i0 + nj - 1] - la2) > tol
+    ):
+        raise ValueError(
+            f"GRIB2 Gaussian grid la1={la1}/la2={la2}/Nj={nj} does not "
+            f"align with the N={n_par} Gaussian latitudes"
+        )
+    return GridDef(template=40, lats=cand[i0 : i0 + nj].copy(), lons=lons)
+
+
+def _parse_grid_lambert(sec3: bytes) -> GridDef:
+    """Template 3.30 Lambert conformal (HRRR/NAM native). The grid is
+    regular in projected x/y; per-point lat/lon come from the
+    spherical inverse projection."""
+    radius = _earth_radius(sec3)
+    nx, ny = struct.unpack_from(">II", sec3, 30)
+    (la1u,) = struct.unpack_from(">I", sec3, 38)
+    (lo1u,) = struct.unpack_from(">I", sec3, 42)
+    (ladu,) = struct.unpack_from(">I", sec3, 47)
+    (lovu,) = struct.unpack_from(">I", sec3, 51)
+    dx, dy = struct.unpack_from(">II", sec3, 55)
+    proj_flag = sec3[63]
+    scan = sec3[64]
+    (latin1u,) = struct.unpack_from(">I", sec3, 65)
+    (latin2u,) = struct.unpack_from(">I", sec3, 69)
+    la1 = _sm_decode(la1u, 32) / 1e6
+    lo1 = _sm_decode(lo1u, 32) / 1e6
+    lad = _sm_decode(ladu, 32) / 1e6
+    lov = _sm_decode(lovu, 32) / 1e6
+    latin1 = _sm_decode(latin1u, 32) / 1e6
+    latin2 = _sm_decode(latin2u, 32) / 1e6
+    if proj_flag & 0x80:
+        raise NotImplementedError(
+            "GRIB2 Lambert south-pole projection not supported"
+        )
+    if proj_flag & 0x40:
+        raise NotImplementedError(
+            "GRIB2 bi-polar Lambert projection not supported"
+        )
+    if scan & 0x80:
+        raise NotImplementedError("GRIB2 -i scanning not supported")
+    if scan & 0x20:
+        raise NotImplementedError("GRIB2 j-consecutive scanning not supported")
+    dx_m, dy_m = dx / 1e3, dy / 1e3
+    x1, y1 = _lcc_forward(la1, lo1, latin1, latin2, lad, lov, radius)
+    xs = x1 + dx_m * np.arange(nx)
+    ys = y1 + (dy_m if scan & 0x40 else -dy_m) * np.arange(ny)
+    xx, yy = np.meshgrid(xs, ys)  # (ny, nx)
+    lats2d, lons2d = _lcc_inverse(
+        xx, yy, latin1, latin2, lad, lov, radius
+    )
+    return GridDef(
+        template=30, lats=ys, lons=xs, lats2d=lats2d, lons2d=lons2d
+    )
+
+
+def _parse_grid(sec3: bytes) -> GridDef:
+    """Dispatch on the section-3 grid template.
+
+    Memoized on the raw section bytes: every message in an NWP cycle
+    file shares one grid, so the (for Lambert, trig-heavy) geometry is
+    computed once per distinct grid per executor, not per message."""
+    return _parse_grid_cached(bytes(sec3))
+
+
+def _parse_grid_uncached(sec3: bytes) -> GridDef:
+    if sec3[10] != 0:
+        raise NotImplementedError(
+            "GRIB2 optional list of numbers (reduced grid) not supported"
+        )
+    (template,) = struct.unpack_from(">H", sec3, 12)
+    if template in (0, 40):
+        return _parse_grid_latlon(sec3, template)
+    if template == 30:
+        return _parse_grid_lambert(sec3)
+    raise NotImplementedError(
+        f"GRIB2 grid template 3.{template} not supported "
+        "(regular lat/lon 3.0, Lambert 3.30, Gaussian 3.40)"
+    )
+
+
+_parse_grid_cached = functools.lru_cache(maxsize=64)(_parse_grid_uncached)
 
 
 def _parse_product(sec4: bytes, ref_time: _dt.datetime):
@@ -325,10 +508,11 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
         discipline, total_len, fieldsets = _sections(raw, pos)
         for k, secs in enumerate(fieldsets):
             ref_time = _parse_ref_time(secs[1])
-            lats, lons = _parse_grid(secs[3])
+            grid = _parse_grid(secs[3])
             category, number, valid, lev_type, level = _parse_product(
                 secs[4], ref_time
             )
+            lat0, lat1, lon0, lon1 = _grid_bbox(grid)
             out.append(
                 Grib2Index(
                     offset=pos,
@@ -341,17 +525,37 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
                     valid_time=valid,
                     level_type=lev_type,
                     level=level,
-                    ni=len(lons),
-                    nj=len(lats),
-                    lat0=float(min(lats[0], lats[-1])),
-                    lat1=float(max(lats[0], lats[-1])),
-                    lon0=float(lons[0]),
-                    lon1=float(lons[-1]),
+                    ni=len(grid.lons),
+                    nj=len(grid.lats),
+                    lat0=lat0,
+                    lat1=lat1,
+                    lon0=lon0,
+                    lon1=lon1,
                     field=k,
                 )
             )
         pos += total_len
     return out
+
+
+def _grid_bbox(grid: GridDef) -> tuple[float, float, float, float]:
+    """(lat0, lat1, lon0, lon1) with lat0 <= lat1. For projected grids
+    the bbox comes from the full per-point coordinate mesh (the lat
+    extreme of a conformal grid need not sit on a corner)."""
+    if grid.lats2d is not None:
+        return (
+            float(grid.lats2d.min()),
+            float(grid.lats2d.max()),
+            float(grid.lons2d.min()),
+            float(grid.lons2d.max()),
+        )
+    lats, lons = grid.lats, grid.lons
+    return (
+        float(min(lats[0], lats[-1])),
+        float(max(lats[0], lats[-1])),
+        float(lons[0]),
+        float(lons[-1]),
+    )
 
 
 def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
@@ -364,7 +568,8 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         )
     secs = fieldsets[field]
     ref_time = _parse_ref_time(secs[1])
-    lats, lons = _parse_grid(secs[3])
+    grid = _parse_grid(secs[3])
+    lats, lons = grid.lats, grid.lons
     category, number, valid, lev_type, level = _parse_product(
         secs[4], ref_time
     )
@@ -415,10 +620,11 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         )
     y = (ref_val + x * (2.0 ** e_scale)) / (10.0 ** d_scale)
     if mask is None:
-        grid = y
+        vals = y
     else:
-        grid = np.full(n_grid, np.nan)
-        grid[mask] = y
+        vals = np.full(n_grid, np.nan)
+        vals[mask] = y
+    lat0, lat1, lon0, lon1 = _grid_bbox(grid)
     idx = Grib2Index(
         offset=offset,
         length=total_len,
@@ -432,14 +638,19 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         level=level,
         ni=ni,
         nj=nj,
-        lat0=float(min(lats[0], lats[-1])),
-        lat1=float(max(lats[0], lats[-1])),
-        lon0=float(lons[0]),
-        lon1=float(lons[-1]),
+        lat0=lat0,
+        lat1=lat1,
+        lon0=lon0,
+        lon1=lon1,
         field=field,
     )
     return Grib2Field(
-        index=idx, lats=lats, lons=lons, values=grid.reshape(nj, ni)
+        index=idx,
+        lats=lats,
+        lons=lons,
+        values=vals.reshape(nj, ni),
+        lats2d=grid.lats2d,
+        lons2d=grid.lons2d,
     )
 
 
@@ -668,6 +879,8 @@ def write_grib2_message(
     spatial_order: int = 2,
     group_len: int = 32,
     stat_hours: int | None = None,
+    grid_template: int = 0,
+    lambert: dict | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -682,8 +895,29 @@ def write_grib2_message(
     """
     values = np.asarray(values, dtype=np.float64)
     nj, ni = values.shape
-    if len(lats) != nj or len(lons) != ni:
+    if grid_template == 30:
+        if lambert is None:
+            raise ValueError("grid_template=30 requires the lambert dict")
+        if lats is not None or lons is not None:
+            raise ValueError(
+                "grid_template=30 takes geometry from the lambert dict; "
+                "pass lats=None, lons=None"
+            )
+    elif len(lats) != nj or len(lons) != ni:
         raise ValueError("axis lengths do not match values shape")
+    if grid_template == 40:
+        # fixture-author guard: the writer emits N = Nj/2 (global
+        # grid), so the latitudes must BE that grid's Gaussian
+        # latitudes or the decoder's alignment check will reject them
+        if nj % 2:
+            raise ValueError("grid_template=40 writer is global: Nj even")
+        glats = _gaussian_lats(nj // 2)
+        cand = glats if lats[0] <= lats[-1] else glats[::-1]
+        if np.max(np.abs(cand - np.asarray(lats))) > 1e-6:
+            raise ValueError(
+                f"grid_template=40: lats are not the N={nj // 2} global "
+                "Gaussian latitudes (use _gaussian_lats)"
+            )
     flat = values.ravel()
     present = ~np.isnan(flat)
     packed_vals = flat[present]
@@ -711,23 +945,52 @@ def write_grib2_message(
         ref_time.hour, ref_time.minute, ref_time.second,
         0, 1,
     )
-    # grid template 3.0; +j scan when lats ascend, -j when they descend
-    scan = 0x40 if lats[-1] >= lats[0] else 0x00
-    di = abs(lons[-1] - lons[0]) / max(ni - 1, 1)
-    dj = abs(lats[-1] - lats[0]) / max(nj - 1, 1)
-    sec3 = struct.pack(
-        ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
-        72, 3, 0, ni * nj, 0, 0, 0,
-        6, 0, 0, 0, 0, 0, 0,                # shape of earth: sphere 6371.229km
-        ni, nj, 0, 0xFFFFFFFF,              # basic angle / subdivisions
-        _sm_encode(int(round(lats[0] * 1e6)), 32),
-        _sm_encode(int(round(lons[0] * 1e6)), 32),
-        0x30,                               # res/component flags: Di/Dj given
-        _sm_encode(int(round(lats[-1] * 1e6)), 32),
-        _sm_encode(int(round(lons[-1] * 1e6)), 32),
-        int(round(di * 1e6)), int(round(dj * 1e6)),
-        scan,
-    )
+    if grid_template == 30:
+        # Lambert conformal, template 3.30: grid geometry is the
+        # projection itself; first point + Dx/Dy in metres
+        lb = lambert
+        sec3 = struct.pack(
+            ">IBBIBBH" + "BBIBIBI" + "II" + "II" + "B" + "II" + "II"
+            + "B" + "B" + "II" + "II",
+            81, 3, 0, ni * nj, 0, 0, 30,
+            6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
+            ni, nj,
+            _sm_encode(int(round(lb["la1"] * 1e6)), 32),
+            _sm_encode(int(round(lb["lo1"] * 1e6)), 32),
+            0x08,                           # resolution/component flags
+            _sm_encode(int(round(lb["lad"] * 1e6)), 32),
+            _sm_encode(int(round(lb["lov"] * 1e6)), 32),
+            int(round(lb["dx"] * 1e3)), int(round(lb["dy"] * 1e3)),
+            0,                              # projection centre: north pole
+            0x40,                           # scan: +i, +j (y ascending)
+            _sm_encode(int(round(lb["latin1"] * 1e6)), 32),
+            _sm_encode(int(round(lb["latin2"] * 1e6)), 32),
+            _sm_encode(int(round(-90 * 1e6)), 32),  # south pole of proj
+            0,
+        )
+    else:
+        # templates 3.0 / 3.40 (identical layout; octets 68-71 hold Dj
+        # for 3.0 and the Gaussian N for 3.40);
+        # +j scan when lats ascend, -j when they descend
+        scan = 0x40 if lats[-1] >= lats[0] else 0x00
+        di = abs(lons[-1] - lons[0]) / max(ni - 1, 1)
+        dj = abs(lats[-1] - lats[0]) / max(nj - 1, 1)
+        last = (
+            int(round(dj * 1e6)) if grid_template == 0 else nj // 2
+        )
+        sec3 = struct.pack(
+            ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
+            72, 3, 0, ni * nj, 0, 0, grid_template,
+            6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
+            ni, nj, 0, 0xFFFFFFFF,          # basic angle / subdivisions
+            _sm_encode(int(round(lats[0] * 1e6)), 32),
+            _sm_encode(int(round(lons[0] * 1e6)), 32),
+            0x30,                           # res/component flags: Di/Dj given
+            _sm_encode(int(round(lats[-1] * 1e6)), 32),
+            _sm_encode(int(round(lons[-1] * 1e6)), 32),
+            int(round(di * 1e6)), last,
+            scan,
+        )
     if level is None:
         lev_scale_b, lev_val = 0xFF, 0xFFFFFFFF
         level_type = 255
@@ -905,6 +1168,27 @@ def load_grib2(
                 fld = decode_message(
                     raw, int(row["offset"]), int(row["field"])
                 )
+                if fld.lats2d is not None:
+                    # projected grid (Lambert): coordinates are
+                    # per-point — emit long form directly and apply
+                    # the in-field bounds as a point mask
+                    la = fld.lats2d.ravel()
+                    lo = fld.lons2d.ravel()
+                    m = _bounds_mask(la, bounds["lat"]) & _bounds_mask(
+                        lo, bounds["lon"]
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "name": str(row["name"]),
+                            "time": pd.DatetimeIndex(
+                                [row["time"]] * int(m.sum())
+                            ),
+                            "lat": la[m],
+                            "lon": lo[m],
+                            "value": fld.values.ravel()[m],
+                        }
+                    )
+                    continue
                 lats, lons, vals = fld.lats, fld.lons, fld.values
                 la_m = _bounds_mask(lats, bounds["lat"])
                 lo_m = _bounds_mask(lons, bounds["lon"])

@@ -589,3 +589,184 @@ def test_prime_meridian_wrap_rejected():
             _field(np.zeros((2, 3)), lons=np.array([350.0, 0.0, 10.0]),
                    nbits=8)
         )
+
+
+# -- grid templates 3.40 (Gaussian) and 3.30 (Lambert conformal) -------
+
+
+def test_gaussian_latitudes_known_values():
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    # N=1 → 2 parallels at ±arcsin(1/sqrt(3)) = ±35.26439°
+    la = _gaussian_lats(1)
+    np.testing.assert_allclose(la, [-35.264390, 35.264390], atol=1e-5)
+    # symmetric about the equator, strictly ascending, none at poles
+    la = _gaussian_lats(16)
+    assert la.size == 32
+    np.testing.assert_allclose(la, -la[::-1], atol=1e-12)
+    assert np.all(np.diff(la) > 0) and la[-1] < 90.0
+
+
+def test_gaussian_grid_roundtrip():
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    lats = _gaussian_lats(8)[::-1]  # descending (-j scan, GFS order)
+    lons = np.arange(12) * 30.0
+    vals = np.arange(16 * 12, dtype=float).reshape(16, 12) * 0.25
+    raw = _field(vals, lats=lats, lons=lons, grid_template=40,
+                 binary_scale=-2, nbits=10)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    # decoder recomputes the latitudes from the Legendre roots — they
+    # must match the writer's to quadrature precision, not just 1e-6
+    np.testing.assert_allclose(f.lats, lats, atol=1e-9)
+    assert f.lats2d is None
+    idx = scan_grib2(raw)[0]
+    assert idx.nj == 16 and idx.ni == 12
+    np.testing.assert_allclose(idx.lat1, lats[0], atol=1e-5)
+
+
+def test_gaussian_misaligned_la1_rejected():
+    """A 3.40 message whose La1 is not a Gaussian latitude of the
+    declared N must fail loudly, not decode to wrong coordinates."""
+    import struct as _st
+
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    lats = _gaussian_lats(8)
+    raw = bytearray(_field(np.zeros((16, 4)), lats=lats,
+                           lons=np.arange(4) * 1.0, grid_template=40,
+                           nbits=8))
+    pos = 16
+    while True:
+        (ln,) = _st.unpack_from(">I", raw, pos)
+        if raw[pos + 4] == 3:
+            # overwrite La1 (octets 47-50) with 10° — not Gaussian
+            _st.pack_into(">I", raw, pos + 46, 10_000_000)
+            break
+        pos += ln
+    with pytest.raises(ValueError, match="does not align"):
+        scan_grib2(bytes(raw))
+
+
+def test_reduced_gaussian_rejected():
+    import struct as _st
+
+    raw = bytearray(_field(np.zeros((2, 3)), nbits=8))
+    pos = 16
+    while True:
+        (ln,) = _st.unpack_from(">I", raw, pos)
+        if raw[pos + 4] == 3:
+            raw[pos + 10] = 2  # optional list of numbers present
+            break
+        pos += ln
+    with pytest.raises(NotImplementedError, match="reduced"):
+        scan_grib2(bytes(raw))
+
+
+_HRRR_LAMBERT = dict(
+    la1=21.138123, lo1=237.280472, lad=38.5, lov=262.5,
+    latin1=38.5, latin2=38.5, dx=3000.0, dy=3000.0,
+)
+
+
+def test_lambert_forward_inverse_consistency():
+    from bcdp_spark.sources.grib2 import _lcc_forward, _lcc_inverse
+
+    R = 6371229.0
+    lat = np.array([25.0, 38.5, 47.8, 21.138123])
+    lon = np.array([250.0, 262.5, 280.0, 237.280472])
+    x, y = _lcc_forward(lat, lon, 38.5, 38.5, 38.5, 262.5, R)
+    la2, lo2 = _lcc_inverse(x, y, 38.5, 38.5, 38.5, 262.5, R)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    # two distinct standard parallels (NAM-style) as well
+    x, y = _lcc_forward(lat, lon, 30.0, 55.0, 40.0, 255.0, R)
+    la2, lo2 = _lcc_inverse(x, y, 30.0, 55.0, 40.0, 255.0, R)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+
+
+def test_lambert_grid_roundtrip():
+    from bcdp_spark.sources.grib2 import _lcc_forward
+
+    ny, nx = 6, 9
+    vals = np.arange(ny * nx, dtype=float).reshape(ny, nx)
+    raw = write_grib2_message(vals, None, None, _REF, nbits=8,
+                              grid_template=30, lambert=_HRRR_LAMBERT)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    assert f.lats2d is not None and f.lats2d.shape == (ny, nx)
+    # first grid point is exactly (La1, Lo1)
+    np.testing.assert_allclose(f.lats2d[0, 0], _HRRR_LAMBERT["la1"],
+                               atol=1e-6)
+    np.testing.assert_allclose(f.lons2d[0, 0], _HRRR_LAMBERT["lo1"],
+                               atol=1e-6)
+    # forward-projecting the decoded mesh reproduces the regular
+    # 3000 m spacing in x and y
+    x, y = _lcc_forward(f.lats2d, f.lons2d, 38.5, 38.5, 38.5, 262.5,
+                        6371229.0)
+    np.testing.assert_allclose(np.diff(x, axis=1), 3000.0, atol=1e-3)
+    np.testing.assert_allclose(np.diff(y, axis=0), 3000.0, atol=1e-3)
+    # index bbox covers the mesh
+    idx = scan_grib2(raw)[0]
+    assert idx.lat0 <= f.lats2d.min() + 1e-9
+    assert idx.lat1 >= f.lats2d.max() - 1e-9
+
+
+def test_lambert_south_pole_projection_rejected():
+    import struct as _st
+
+    raw = bytearray(write_grib2_message(
+        np.zeros((2, 3)), None, None, _REF, nbits=8,
+        grid_template=30, lambert=_HRRR_LAMBERT))
+    pos = 16
+    while True:
+        (ln,) = _st.unpack_from(">I", raw, pos)
+        if raw[pos + 4] == 3:
+            raw[pos + 63] |= 0x80  # projection centre: south pole
+            break
+        pos += ln
+    with pytest.raises(NotImplementedError, match="south-pole"):
+        scan_grib2(bytes(raw))
+
+
+def test_lambert_load_grib2_long_form(spark, tmp_path):
+    ny, nx = 5, 7
+    vals = np.arange(ny * nx, dtype=float).reshape(ny, nx)
+    raw = write_grib2_message(vals, None, None, _REF, nbits=8,
+                              grid_template=30, lambert=_HRRR_LAMBERT)
+    p = os.path.join(tmp_path, "hrrr.grib2")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    df = load_grib2(spark, p).toPandas()
+    assert len(df) == ny * nx
+    f = decode_message(raw)
+    got = df.sort_values(["lat", "lon"]).reset_index(drop=True)
+    order = np.lexsort((f.lons2d.ravel(), f.lats2d.ravel()))
+    np.testing.assert_allclose(got["lat"], f.lats2d.ravel()[order],
+                               atol=1e-9)
+    np.testing.assert_allclose(got["value"], f.values.ravel()[order],
+                               atol=0)
+    # in-field lat bounds subset the point cloud
+    lo = float(f.lats2d.ravel().min())
+    hi = float(np.median(f.lats2d))
+    sub = load_grib2(spark, p, lat_bnds=(lo, hi)).toPandas()
+    assert 0 < len(sub) < ny * nx
+    assert sub["lat"].max() <= hi + 1e-12
+
+
+def test_gaussian_load_grib2_climatology_axes(spark, tmp_path):
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    lats = _gaussian_lats(4)
+    lons = np.arange(6) * 60.0
+    vals = np.ones((8, 6))
+    raw = _field(vals, lats=lats, lons=lons, grid_template=40, nbits=8)
+    p = os.path.join(tmp_path, "gauss.grib2")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    df = load_grib2(spark, p).toPandas()
+    assert len(df) == 48
+    np.testing.assert_allclose(sorted(df["lat"].unique()), lats,
+                               atol=1e-9)
