@@ -160,6 +160,21 @@ def _parse_dataspace(body: bytes, lsize: int = 8) -> tuple[int, ...]:
     )
 
 
+def _parse_maxdims(body: bytes, lsize: int = 8) -> tuple[int, ...] | None:
+    """Maximum dimensions from a dataspace message, or None when not
+    stored. 0xFF..FF entries mean H5S_UNLIMITED."""
+    ver = body[0]
+    rank = body[1]
+    flags = body[2]
+    if not flags & 0x1:
+        return None
+    off = (8 if ver == 1 else 4) + rank * lsize
+    fmt = "<Q" if lsize == 8 else "<I"
+    return tuple(
+        struct.unpack_from(fmt, body, off + i * lsize)[0] for i in range(rank)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
@@ -184,6 +199,7 @@ class H5Dataset:
     chunk_index: str = "btree1"
     single_nbytes: int = 0  # v4 single-chunk: filtered size (0 = unfiltered)
     single_fmask: int = 0
+    maxdims: tuple | None = None  # None = not stored (all fixed)
 
 
 class H5File:
@@ -452,6 +468,7 @@ class H5File:
         for mtype, body in msgs:
             if mtype == 0x01:
                 ds.shape = _parse_dataspace(body)
+                ds.maxdims = _parse_maxdims(body)
             elif mtype == 0x03:
                 ds.dtype = _parse_datatype(body)
             elif mtype == 0x05:
@@ -546,10 +563,14 @@ class H5File:
         elif itype == 3:
             ds.chunk_index = "fixed_array"
             pos += 1  # page bits (re-read from the FA header)
+        elif itype == 4:
+            ds.chunk_index = "extensible_array"
+            # creation params (max bits, index elmts, min ptrs, min
+            # elmts, page bits) — re-read from the EAHD header
+            pos += 5
         else:
             raise NotImplementedError(
-                f"layout v4 chunk index type {itype} (extensible array / "
-                "v2 B-tree — appendable datasets)"
+                f"layout v4 chunk index type {itype} (v2 B-tree)"
             )
         ds.btree_addr = struct.unpack_from("<Q", body, pos)[0]
 
@@ -684,6 +705,9 @@ class H5File:
         if ds.chunk_index == "fixed_array":
             yield from self._fixed_array_chunks(ds, rank)
             return
+        if ds.chunk_index == "extensible_array":
+            yield from self._extensible_array_chunks(ds, rank)
+            return
         buf = self.buf
         keylen = 8 + 8 * (rank + 1)
 
@@ -781,6 +805,150 @@ class H5File:
                 if addr != _UNDEF:
                     yield offsets[k], addr, nb, fmask
 
+    def _extensible_array_chunks(self, ds: H5Dataset, rank: int):
+        """v4 extensible-array index (HDF5 1.10 'latest', ONE unlimited
+        dimension — the appendable-time-dim archive layout).
+
+        Geometry, from the public spec (III.A.3) + H5EA sources: the
+        first ``idx_blk_elmts`` elements live inline in the index
+        block (EAIB); the rest go to data blocks (EADB) organized in
+        super blocks u = 0, 1, 2, ... where super block u holds
+        ``2^(u//2)`` data blocks of ``min_elmts · 2^((u+1)//2)``
+        elements each (so capacity doubles per super block). The data
+        blocks of the first ``2·log2(min_ptrs)`` super blocks are
+        addressed directly from the index block (``2·(min_ptrs-1)``
+        addresses); later super blocks get their own EASB object
+        holding their data-block addresses. A data block whose element
+        count exceeds ``2^page_bits`` is paged: the elements move out
+        of the block into consecutive pages, each with its own
+        trailing checksum.
+
+        Element k maps to the chunk at C-order grid index k — valid
+        because the unlimited dimension is axis 0 (verified against
+        maxdims below); HDF5 swizzles a non-leading unlimited
+        dimension to the front, which this subset rejects loudly."""
+        if ds.maxdims is not None:
+            unlim = [d for d, m in enumerate(ds.maxdims) if m == _UNDEF]
+            if unlim and unlim != [0]:
+                raise NotImplementedError(
+                    f"extensible-array index with unlimited dimension(s) "
+                    f"{unlim} (element order is swizzled; axis 0 only)"
+                )
+        buf = self.buf
+        hdr = ds.btree_addr
+        if buf[hdr : hdr + 4] != b"EAHD":
+            raise ValueError("bad extensible-array header signature")
+        client = buf[hdr + 5]
+        elmt_size = buf[hdr + 6]
+        max_bits = buf[hdr + 7]
+        idx_elmts = buf[hdr + 8]
+        min_elmts = buf[hdr + 9]
+        min_ptrs = buf[hdr + 10]
+        page_bits = buf[hdr + 11]
+        max_idx_set = struct.unpack_from("<Q", buf, hdr + 12 + 32)[0]
+        iblk = struct.unpack_from("<Q", buf, hdr + 12 + 48)[0]
+        if iblk == _UNDEF or max_idx_set == 0:
+            return
+        if buf[iblk : iblk + 4] != b"EAIB":
+            raise ValueError("bad extensible-array index block signature")
+        off_size = (max_bits + 7) // 8  # block-offset field width
+        page_n = 1 << page_bits
+        raw_nb = (
+            int(np.prod(ds.chunk_shape, dtype=np.int64))
+            * ds.dtype.np_dtype.itemsize
+        )
+
+        def element(p: int):
+            addr = struct.unpack_from("<Q", buf, p)[0]
+            if client == 0:
+                return addr, raw_nb, 0
+            size_len = elmt_size - 8 - 4
+            nb = int.from_bytes(buf[p + 8 : p + 8 + size_len], "little")
+            fmask = struct.unpack_from("<I", buf, p + 8 + size_len)[0]
+            return addr, nb, fmask
+
+        def dblock_elements(dblk_addr: int, nelmts: int):
+            """Yield (addr, nb, fmask) for every element slot of one
+            data block, honoring paging."""
+            if buf[dblk_addr : dblk_addr + 4] != b"EADB":
+                raise ValueError("bad extensible-array data block")
+            pos = dblk_addr + 6 + 8 + off_size  # sig/ver/client, hdr, off
+            if nelmts > page_n:  # paged: header checksum, then pages
+                pos += 4
+                done = 0
+                while done < nelmts:
+                    in_page = min(page_n, nelmts - done)
+                    for e in range(in_page):
+                        yield element(pos + e * elmt_size)
+                    pos += in_page * elmt_size + 4  # + page checksum
+                    done += in_page
+            else:
+                for e in range(nelmts):
+                    yield element(pos + e * elmt_size)
+
+        offsets = self._chunk_grid(ds)
+        n_direct = 2 * (min_ptrs - 1)  # dblk addrs inline in the EAIB
+        iblock_nsblks = 2 * (min_ptrs.bit_length() - 1)
+        elmts_pos = iblk + 6 + 8
+        dblk_addr_pos = elmts_pos + idx_elmts * elmt_size
+        sblk_addr_pos = dblk_addr_pos + n_direct * 8
+
+        # elements past the current chunk grid (shape shrank after
+        # writing) are simply skipped
+        ngrid = len(offsets)
+        k = 0  # global element index
+        for e in range(min(idx_elmts, max_idx_set)):
+            addr, nb, fmask = element(elmts_pos + e * elmt_size)
+            if addr != _UNDEF and k < ngrid:
+                yield offsets[k], addr, nb, fmask
+            k += 1
+        u = 0
+        direct_i = 0
+        sblk_i = 0
+        while k < max_idx_set:
+            ndblks = 1 << (u // 2)
+            dblk_nelmts = min_elmts << ((u + 1) // 2)
+            if u < iblock_nsblks:
+                dblk_addrs = [
+                    struct.unpack_from(
+                        "<Q", buf, dblk_addr_pos + (direct_i + j) * 8
+                    )[0]
+                    for j in range(ndblks)
+                ]
+                direct_i += ndblks
+            else:
+                sblk = struct.unpack_from(
+                    "<Q", buf, sblk_addr_pos + sblk_i * 8
+                )[0]
+                sblk_i += 1
+                if sblk == _UNDEF:
+                    dblk_addrs = [_UNDEF] * ndblks
+                else:
+                    if buf[sblk : sblk + 4] != b"EASB":
+                        raise ValueError("bad extensible-array super block")
+                    p = sblk + 6 + 8 + off_size
+                    if dblk_nelmts > page_n:  # page-init bitmap
+                        npages = dblk_nelmts // page_n
+                        p += (ndblks * npages + 7) // 8
+                    dblk_addrs = [
+                        struct.unpack_from("<Q", buf, p + j * 8)[0]
+                        for j in range(ndblks)
+                    ]
+            for da in dblk_addrs:
+                todo = min(dblk_nelmts, max_idx_set - k)
+                if todo <= 0:
+                    break
+                if da == _UNDEF:
+                    k += todo
+                    continue
+                for addr, nb, fmask in dblock_elements(da, dblk_nelmts):
+                    if k >= max_idx_set:
+                        break
+                    if addr != _UNDEF and k < ngrid:
+                        yield offsets[k], addr, nb, fmask
+                    k += 1
+            u += 1
+
 
 def read_hdf5(data: bytes) -> H5File:
     return H5File(data)
@@ -815,10 +983,18 @@ def _dt_body(arr_dtype: np.dtype) -> bytes:
     raise NotImplementedError(f"write dtype {dt}")
 
 
-def _ds_body(shape: tuple) -> bytes:
-    body = struct.pack("<BBBxxxxx", 1, len(shape), 0)
+def _ds_body(shape: tuple, maxshape: tuple | None = None) -> bytes:
+    """Dataspace v1 body; ``maxshape`` entries of None mean
+    H5S_UNLIMITED (stored as all-ones per the spec)."""
+    flags = 0x1 if maxshape is not None else 0
+    body = struct.pack("<BBBxxxxx", 1, len(shape), flags)
     for s in shape:
         body += struct.pack("<Q", s)
+    if maxshape is not None:
+        if len(maxshape) != len(shape):
+            raise ValueError("maxshape rank mismatch")
+        for m in maxshape:
+            body += struct.pack("<Q", _UNDEF if m is None else m)
     return body
 
 
@@ -861,6 +1037,7 @@ def _v4_chunked_layout(
     arr: np.ndarray,
     filtered: bool,
     fa_page_bits: int,
+    ea_params: dict | None = None,
 ) -> tuple[int, bytes]:
     """Emit the chunk payloads + index structure for a Data Layout v4
     message and return the (0x08, body) message tuple."""
@@ -880,6 +1057,10 @@ def _v4_chunked_layout(
         blob = b"".join(raw for _idx, raw in chunk_blobs)
         base = alloc.put(blob)
         return 0x08, head + struct.pack("<BQ", 2, base)
+    if itype == "extensible_array":
+        return _ea_chunked_layout(
+            alloc, head, chunk_blobs, filtered, ea_params or {}
+        )
     if itype != "fixed_array":
         raise ValueError(f"unknown v4 index type {itype!r}")
     entries = [(alloc.put(raw), len(raw)) for _idx, raw in chunk_blobs]
@@ -925,6 +1106,146 @@ def _v4_chunked_layout(
     return 0x08, head + struct.pack("<BBQ", 3, fa_page_bits, hdr_addr)
 
 
+def _ea_chunked_layout(
+    alloc: "_Alloc",
+    head: bytes,
+    chunk_blobs: list,
+    filtered: bool,
+    ea: dict,
+) -> tuple[int, bytes]:
+    """Emit an extensible-array chunk index (v4 index type 4 — the
+    HDF5 1.10 'latest' layout for ONE unlimited dimension) mirroring
+    libhdf5's on-disk EAHD/EAIB/EADB/EASB generation: the first
+    ``idx_elmts`` elements inline in the index block, then super
+    blocks u holding ``2^(u//2)`` data blocks of ``min_elmts *
+    2^((u+1)//2)`` elements, the first ``2*log2(min_ptrs)`` super
+    blocks' data blocks addressed directly from the index block, data
+    blocks larger than ``2^page_bits`` elements paged with per-page
+    checksums. Defaults are libhdf5's creation parameters."""
+    client = 1 if filtered else 0
+    max_bits = ea.get("max_bits", 32)
+    idx_elmts = ea.get("idx_elmts", 4)
+    min_elmts = ea.get("min_elmts", 16)
+    min_ptrs = ea.get("min_ptrs", 4)
+    page_bits = ea.get("page_bits", 10)
+    if min_ptrs & (min_ptrs - 1) or min_elmts & (min_elmts - 1):
+        raise ValueError("EA min_ptrs/min_elmts must be powers of two")
+    size_len = 8
+    elmt_size = 8 if client == 0 else 8 + size_len + 4
+    off_size = (max_bits + 7) // 8
+    page_n = 1 << page_bits
+    undef_entry = (_UNDEF, 0)
+
+    def elem(addr: int, nb: int) -> bytes:
+        if client == 0:
+            return struct.pack("<Q", addr)
+        return (
+            struct.pack("<Q", addr)
+            + nb.to_bytes(size_len, "little")
+            + struct.pack("<I", 0)
+        )
+
+    entries = [(alloc.put(raw), len(raw)) for _idx, raw in chunk_blobs]
+    n = len(entries)
+    # header is fixed-size; reserve now so blocks can point back at it
+    hdr_addr = alloc.reserve(12 + 6 * 8 + 8 + 4)
+
+    def emit_dblock(blk_entries: list, blk_off: int) -> int:
+        b = bytearray()
+        b += b"EADB" + bytes([0, client])
+        b += struct.pack("<Q", hdr_addr)
+        b += blk_off.to_bytes(off_size, "little")
+        if len(blk_entries) > page_n:
+            b += struct.pack("<I", lookup3(bytes(b)))
+            for pg in range(0, len(blk_entries), page_n):
+                page = bytearray()
+                for e in blk_entries[pg : pg + page_n]:
+                    page += elem(*e)
+                b += page + struct.pack("<I", lookup3(bytes(page)))
+        else:
+            for e in blk_entries:
+                b += elem(*e)
+            b += struct.pack("<I", lookup3(bytes(b)))
+        return alloc.put(bytes(b))
+
+    # ---- distribute elements: inline, then super blocks of data blocks
+    inline = entries[: min(idx_elmts, n)]
+    inline += [undef_entry] * (idx_elmts - len(inline))
+    k = min(idx_elmts, n)
+    n_direct = 2 * (min_ptrs - 1)
+    iblock_nsblks = 2 * (min_ptrs.bit_length() - 1)
+    nsblks_total = 2 * (max_bits - (min_elmts.bit_length() - 1))
+    direct_addrs: list[int] = []
+    sblk_addrs: list[int] = []
+    ndblks_used = 0
+    u = 0
+    while k < n:
+        ndblks = 1 << (u // 2)
+        dblk_nelmts = min_elmts << ((u + 1) // 2)
+        sblk_off = k
+        blk_addrs = []
+        for _ in range(ndblks):
+            if k >= n:
+                blk_addrs.append(_UNDEF)
+                continue
+            blk_off = k
+            blk = entries[k : k + dblk_nelmts]
+            k += len(blk)
+            blk += [undef_entry] * (dblk_nelmts - len(blk))
+            blk_addrs.append(emit_dblock(blk, blk_off))
+            ndblks_used += 1
+        if u < iblock_nsblks:
+            direct_addrs.extend(blk_addrs)
+        else:
+            sb = bytearray()
+            sb += b"EASB" + bytes([0, client])
+            sb += struct.pack("<Q", hdr_addr)
+            sb += sblk_off.to_bytes(off_size, "little")
+            if dblk_nelmts > page_n:
+                npages = dblk_nelmts // page_n
+                sb += b"\xff" * ((ndblks * npages + 7) // 8)
+            for a in blk_addrs:
+                sb += struct.pack("<Q", a)
+            sb += struct.pack("<I", lookup3(bytes(sb)))
+            sblk_addrs.append(alloc.put(bytes(sb)))
+        u += 1
+    direct_addrs += [_UNDEF] * (n_direct - len(direct_addrs))
+    sblk_addrs += [_UNDEF] * max(
+        0, (nsblks_total - iblock_nsblks) - len(sblk_addrs)
+    )
+
+    # ---- index block
+    ib = bytearray()
+    ib += b"EAIB" + bytes([0, client])
+    ib += struct.pack("<Q", hdr_addr)
+    for e in inline:
+        ib += elem(*e)
+    for a in direct_addrs:
+        ib += struct.pack("<Q", a)
+    for a in sblk_addrs:
+        ib += struct.pack("<Q", a)
+    ib += struct.pack("<I", lookup3(bytes(ib)))
+    iblk_addr = alloc.put(bytes(ib))
+
+    # ---- header (EAHD): fixed fields, stats, index-block pointer
+    h = bytearray()
+    h += b"EAHD" + bytes(
+        [0, client, elmt_size, max_bits, idx_elmts, min_elmts,
+         min_ptrs, page_bits]
+    )
+    h += struct.pack(
+        "<QQQQQQ", len(sblk_addrs), 0, ndblks_used, 0, n, n
+    )
+    h += struct.pack("<Q", iblk_addr)
+    h += struct.pack("<I", lookup3(bytes(h)))
+    alloc.put(bytes(h), addr=hdr_addr)
+
+    body = head + struct.pack(
+        "<BBBBBB", 4, max_bits, idx_elmts, min_ptrs, min_elmts, page_bits
+    )
+    return 0x08, body + struct.pack("<Q", hdr_addr)
+
+
 class _Alloc:
     """Trivial bump allocator over an output bytearray."""
 
@@ -968,6 +1289,8 @@ def write_hdf5(
     shuffle: bool = False,
     v4_index: dict[str, str] | None = None,
     fa_page_bits: int = 10,
+    maxshape: dict[str, tuple] | None = None,
+    ea_params: dict | None = None,
     timed: bool = False,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
@@ -980,7 +1303,8 @@ def write_hdf5(
     dimension scales).
 
     ``v4_index`` maps a chunked variable to a Data Layout v4 chunk
-    index ('single' | 'implicit' | 'fixed_array' — the HDF5 1.10
+    index ('single' | 'implicit' | 'fixed_array' | 'extensible_array'
+    — the HDF5 1.10
     'latest' on-disk generation); unlisted chunked variables use the
     classic v3 message + v1 B-tree. 'implicit' requires no filters;
     'single' requires the chunk to cover the whole shape. A fixed
@@ -991,6 +1315,7 @@ def write_hdf5(
         raise ValueError(f"unknown profile {profile!r}")
     chunk = chunk or {}
     v4_index = v4_index or {}
+    maxshape = maxshape or {}
     alloc = _Alloc()
     sb_size = 96 if profile == "v0" else 48
     alloc.reserve(sb_size)
@@ -1005,7 +1330,7 @@ def write_hdf5(
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
         msgs: list[tuple[int, bytes]] = [
-            (0x01, _ds_body(arr.shape)),
+            (0x01, _ds_body(arr.shape, maxshape.get(name))),
             (0x03, _dt_body(arr.dtype)),
             # fill value v2: defined, same-typed zero
             (
@@ -1050,7 +1375,7 @@ def write_hdf5(
                 msgs.append(
                     _v4_chunked_layout(
                         alloc, itype, chunk_blobs, cshape, arr,
-                        bool(filters), fa_page_bits,
+                        bool(filters), fa_page_bits, ea_params,
                     )
                 )
             else:

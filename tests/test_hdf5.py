@@ -170,6 +170,62 @@ def test_layout_v4_chunk_indexes(itype, chunk, kw, fa_bits):
     )
 
 
+@pytest.mark.parametrize(
+    "kw,ea",
+    [
+        # libhdf5 default creation params: 24 chunks → inline 4 +
+        # direct data blocks (min_elmts=16 soaks the rest)
+        ({"gzip_level": 4, "shuffle": True}, {}),
+        ({"gzip_level": None}, {}),
+        # tiny params: forces super blocks (EASB) AND paged data
+        # blocks (u=3 block has 8 elements > 2^2-element pages)
+        ({"gzip_level": 4},
+         {"idx_elmts": 2, "min_elmts": 2, "min_ptrs": 2, "page_bits": 2}),
+        ({"gzip_level": None},
+         {"idx_elmts": 2, "min_elmts": 2, "min_ptrs": 2, "page_bits": 2}),
+    ],
+    ids=["ea-gzip", "ea-raw", "ea-sblk-paged-gzip", "ea-sblk-paged-raw"],
+)
+def test_layout_v4_extensible_array(kw, ea):
+    """v4 extensible-array index (appendable time dimension, HDF5
+    1.10 'latest'): inline, direct, super-block and paged data-block
+    element paths all roundtrip; hyperslabs prune correctly."""
+    rng = np.random.RandomState(13)
+    data = rng.randn(12, 4, 6)
+    raw = write_hdf5(
+        {"pr": (["t", "a", "o"], data, {"u": "x"})},
+        chunk={"pr": (2, 2, 3)},
+        v4_index={"pr": "extensible_array"},
+        maxshape={"pr": (None, 4, 6)},
+        ea_params=ea,
+        **kw,
+    )
+    h5 = read_hdf5(raw)
+    ds = h5.datasets["pr"]
+    assert ds.chunk_index == "extensible_array"
+    assert ds.maxdims is not None and ds.maxdims[1:] == (4, 6)
+    np.testing.assert_array_equal(h5.read("pr"), data)
+    np.testing.assert_array_equal(
+        h5.read("pr", sel=(slice(5, 11), slice(0, 3), slice(2, 6))),
+        data[5:11, 0:3, 2:6],
+    )
+
+
+def test_extensible_array_non_leading_unlimited_raises():
+    """HDF5 swizzles a non-leading unlimited dim to the front of the
+    EA element order — that layout must fail loudly, not misread."""
+    data = np.arange(24, dtype="<f8").reshape(4, 6)
+    raw = write_hdf5(
+        {"v": (["a", "t"], data, {})},
+        chunk={"v": (2, 2)},
+        v4_index={"v": "extensible_array"},
+        maxshape={"v": (4, None)},
+        gzip_level=None,
+    )
+    with pytest.raises(NotImplementedError, match="unlimited dimension"):
+        read_hdf5(raw).read("v")
+
+
 def test_layout_v4_guards():
     data = np.arange(8, dtype="<f8").reshape(2, 4)
     with pytest.raises(ValueError, match="implicit index requires"):
@@ -280,6 +336,60 @@ def test_netcdf_dsv2_chunk_parallel_hdf5(spark, tmp_path):
         .filter("time >= timestamp'2001-01-25'")
     )
     assert filtered.count() == 6 * 3 * 4  # days 24..29
+
+
+def test_netcdf_dsv2_extensible_array_archive(spark, tmp_path):
+    """The appendable-archive case end-to-end: an unlimited-time-dim
+    file with an extensible-array chunk index still gets per-time-chunk
+    DSv2 partitions, slab pruning, and exact values."""
+    from bcdp_spark.sources.netcdf_datasource import (
+        NetCDFReader,
+        register_netcdf_source,
+    )
+
+    t = np.arange(30)[:, None, None]
+    a = np.arange(3)[None, :, None]
+    o = np.arange(4)[None, None, :]
+    data = (1.0 * (t * 100 + a * 10 + o)).astype("<f8")
+    p = str(tmp_path / "appendable.nc")
+    with open(p, "wb") as fh:
+        fh.write(
+            write_hdf5(
+                {
+                    "time": (
+                        ["time"],
+                        np.arange(30, dtype="<f8"),
+                        {"units": "days since 2001-01-01"},
+                    ),
+                    "lat": (["lat"], np.array([-30.0, 0.0, 30.0]), {}),
+                    "lon": (["lon"], np.arange(4) * 90.0, {}),
+                    "pr": (["time", "lat", "lon"], data, {}),
+                },
+                chunk={"pr": (5, 3, 4)},
+                v4_index={"pr": "extensible_array"},
+                maxshape={"pr": (None, 3, 4)},
+                ea_params={"idx_elmts": 1, "min_elmts": 1,
+                           "min_ptrs": 2, "page_bits": 1},
+                gzip_level=4,
+            )
+        )
+    r = NetCDFReader({"path": p})
+    assert len(r.partitions()) == 6  # 30 timesteps / 5-chunk
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    import datetime as dt
+
+    r2 = NetCDFReader({"path": p})
+    r2._filters = [
+        GreaterThanOrEqual(("time",), dt.datetime(2001, 1, 21))
+    ]
+    assert {(q.t0, q.t1) for q in r2.partitions()} == {(20, 25), (25, 30)}
+
+    register_netcdf_source(spark)
+    df = spark.read.format("netcdf").load(p)
+    assert df.rdd.getNumPartitions() == 6
+    got = df.agg(F.count("*"), F.round(F.sum("value"), 6)).collect()[0]
+    assert tuple(got) == (data.size, round(float(data.sum()), 6))
 
 
 def test_load_netcdf_bounds_hyperslab(spark, tmp_path):
