@@ -70,10 +70,75 @@ def gram_matrix_time(
     time_col: str = "time",
     value_col: str = "value",
     space_cols: Sequence[str] = ("lat", "lon"),
+    n_blocks: int = 256,
 ) -> DataFrame:
     """The T×T Gram matrix of anomalies as long-form rows
     (t1, t2, g) with t1 ≤ t2 (the matrix is symmetric; emitting one
-    triangle halves the shuffle)."""
+    triangle halves the shuffle).
+
+    Space cells are hashed into ``n_blocks`` deterministic blocks;
+    each block pivots its (cell × time) slab in Arrow/numpy and emits
+    one local T×T partial Gram via a single ``m.T @ m`` — so the
+    shuffle is n_blocks·T²/2 partial rows instead of the X·T²/2 join
+    rows the naive space-key self-join materializes through partial
+    aggregation (~10× constant-cost cut at T≳10³; the join variant is
+    kept as :func:`gram_matrix_time_joined`). Partials are summed by
+    one hash agg through DECIMAL(38,12), so the cross-block reduction
+    is order- and partition-independent; block membership is a pure
+    hash of the space key, so the per-block float64 products are
+    partitioning-independent too (rows are sorted by (space, time)
+    before the matmul). Missing (cell, time) entries pivot to 0.0,
+    contributing nothing — matching the join variant's absent-pair
+    semantics.
+
+    ``n_blocks`` is a FIXED default (not derived from the cluster) so
+    results don't depend on where the job runs; at 100 TB raise it so
+    one block's slab (≈X/n_blocks · T values) fits an Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    sp = list(space_cols)
+    t_type = dict(df.dtypes)[time_col]
+
+    def block_gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        piv = pdf.pivot_table(
+            index=sp, columns=time_col, values=value_col,
+            fill_value=0.0, aggfunc="sum", sort=True,
+        )
+        m = piv.to_numpy(dtype=np.float64)
+        g = m.T @ m
+        tvals = piv.columns.to_numpy()
+        i1, i2 = np.triu_indices(len(tvals))
+        return pd.DataFrame(
+            {"t1": tvals[i1], "t2": tvals[i2], "partial": g[i1, i2]}
+        )
+
+    blocked = df.groupBy(
+        F.pmod(F.hash(*sp), F.lit(n_blocks)).alias("__blk")
+    ).applyInPandas(
+        lambda _key, pdf: block_gram(pdf),
+        schema=f"t1 {t_type}, t2 {t_type}, partial double",
+    )
+    return (
+        blocked.groupBy("t1", "t2")
+        .agg(
+            F.sum(F.col("partial").cast(_DEC)).cast("double").alias("g")
+        )
+    )
+
+
+def gram_matrix_time_joined(
+    df: DataFrame,
+    time_col: str = "time",
+    value_col: str = "value",
+    space_cols: Sequence[str] = ("lat", "lon"),
+) -> DataFrame:
+    """Join-based Gram variant: self-equi-join on the space key with
+    per-PRODUCT decimal routing — bit-exact under any summation order
+    even when products aren't float64-exact, at the cost of pushing
+    X·T²/2 join rows through partial aggregation. The blocked variant
+    above is the default; this one is the strict-decimal fallback and
+    the differential-test twin."""
     sp = list(space_cols)
     a = df.select(
         F.col(time_col).alias("t1"), *sp, F.col(value_col).alias("v1")

@@ -58,6 +58,54 @@ def test_textbook_merges(spark):
     assert [r["merged"] for r in rows] == [l + r for l, r, _ in exp]
 
 
+def test_batched_training_matches_sequential(spark):
+    """batch_size>1 (the fewer-jobs production path): on a corpus
+    whose top pairs are symbol-disjoint the batched path learns the
+    IDENTICAL merge table — same pairs, same order, same counts — as
+    strict sequential training; on an interacting corpus the
+    disjointness guard defers conflicting pairs and still converges to
+    the same merge set when no fresh token outranks a batch tail."""
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cats eat hats",),
+         ("that hat is the best hat",)], "text string")
+    seq = bpe_train(docs, n_merges=6)[0].orderBy("merge_rank").collect()
+    bat = bpe_train(docs, n_merges=6, batch_size=3)[0].orderBy(
+        "merge_rank").collect()
+    assert [tuple(r) for r in seq] == [tuple(r) for r in bat]
+
+    # interacting pairs: 'aaaa bbbb' — (a,a) and (b,b) are disjoint and
+    # batch together; the follow-ups (aa,aa)/(bb,bb) come next pass
+    docs2 = spark.createDataFrame(
+        [("aaaa bbbb",), ("aaaa bbbb aaaa",)], "text string")
+    seq2 = bpe_train(docs2, n_merges=4)[0].orderBy("merge_rank").collect()
+    bat2 = bpe_train(docs2, n_merges=4, batch_size=4)[0].orderBy(
+        "merge_rank").collect()
+    assert [tuple(r) for r in seq2] == [tuple(r) for r in bat2]
+
+
+def test_select_batch_guard():
+    """_select_batch takes the maximal disjoint PREFIX: it stops at
+    the first row sharing a symbol with an earlier pick (skipping it
+    would promote lower-ranked pairs over the one sequential BPE picks
+    next) and at merged-string collisions."""
+    from bcdp_spark.operators.bpe import _select_batch
+
+    rows = [
+        {"lhs": "a", "rhs": "b", "pair_count": 9},
+        {"lhs": "x", "rhs": "y", "pair_count": 8},   # disjoint: picked
+        {"lhs": "b", "rhs": "c", "pair_count": 7},   # shares 'b': STOP
+        {"lhs": "p", "rhs": "q", "pair_count": 6},   # not reached
+    ]
+    got = _select_batch(rows, 4)
+    assert [(r["lhs"], r["rhs"]) for r in got] == [("a", "b"), ("x", "y")]
+
+    rows2 = [
+        {"lhs": "a", "rhs": "b", "pair_count": 9},
+        {"lhs": "ab", "rhs": "c", "pair_count": 8},  # collides with merged 'ab'
+    ]
+    assert len(_select_batch(rows2, 2)) == 1
+
+
 def test_greedy_overlap_aaa(spark):
     """'aaaa' under merge (a,a) must become [aa, aa]; 'aaa' → [aa, a]."""
     docs = spark.createDataFrame([("aaaa aaaa aaa",)], "text string")

@@ -1784,6 +1784,60 @@ def test_interp_plev_duplicate_and_nonpositive_levels_raise(spark):
         interp_plev(neg, -5.0, by=("pid",), log_p=True)
 
 
+def test_gram_blocked_matches_joined_and_partitioning(spark):
+    """The blocked (applyInPandas outer-product) Gram matches the
+    strict per-product-decimal join variant — exactly on dyadic
+    values, within float tolerance on arbitrary doubles — and is
+    bit-identical under hostile repartitioning (block membership is a
+    pure hash of the space key, not of placement)."""
+    import numpy as np
+
+    from bcdp_spark.operators.eof import (
+        gram_matrix_time,
+        gram_matrix_time_joined,
+    )
+
+    rng = np.random.RandomState(7)
+    # dyadic values: every product and partial sum float64-exact
+    dyadic = [
+        (t, float(a), float(o),
+         float(rng.randint(-64, 65)) / 16.0)
+        for t in range(8) for a in range(5) for o in range(6)
+    ]
+    schema = "t int, lat double, lon double, value double"
+    df = spark.createDataFrame(dyadic, schema)
+    key = lambda r: (r["t1"], r["t2"])
+    blocked = {key(r): r["g"] for r in gram_matrix_time(df, time_col="t").collect()}
+    joined = {key(r): r["g"] for r in gram_matrix_time_joined(df, time_col="t").collect()}
+    assert blocked == joined
+
+    rep = {
+        key(r): r["g"]
+        for r in gram_matrix_time(
+            df.repartition(13, "lon"), time_col="t"
+        ).collect()
+    }
+    assert rep == blocked
+
+    # arbitrary doubles: tolerance agreement with the strict variant
+    fuzz = [
+        (t, float(a), float(o), float(rng.randn()))
+        for t in range(6) for a in range(4) for o in range(5)
+    ]
+    df2 = spark.createDataFrame(fuzz, schema)
+    b2 = {key(r): r["g"] for r in gram_matrix_time(df2, time_col="t").collect()}
+    j2 = {key(r): r["g"] for r in gram_matrix_time_joined(df2, time_col="t").collect()}
+    assert set(b2) == set(j2)
+    for k in b2:
+        assert abs(b2[k] - j2[k]) <= 1e-9 * max(1.0, abs(j2[k]))
+
+    # missing (cell, time) entries: 0-fill == absent-pair semantics
+    df3 = df.filter("not (t = 3 and lat = 2.0)")
+    b3 = {key(r): r["g"] for r in gram_matrix_time(df3, time_col="t").collect()}
+    j3 = {key(r): r["g"] for r in gram_matrix_time_joined(df3, time_col="t").collect()}
+    assert b3 == j3
+
+
 def test_eof_modes_recover_planted_orthogonal_modes(spark):
     """EOF via the distributed Gram matrix + driver eigh recovers the
     same subspace as a direct numpy SVD on a planted two-mode field;

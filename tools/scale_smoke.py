@@ -245,6 +245,17 @@ def ops(spark, sf_dir):
         "bpe_one_merge": t(lambda: __import__(
             "bcdp_spark.operators.bpe", fromlist=["x"]
         ).bpe_train(docs, text_col="text", n_merges=1)),
+        # r5: blocked EOF Gram — per-block pivot + T×T outer product
+        # via applyInPandas, shuffle carries n_blocks·T²/2 partials
+        # (constant under row growth); the scan axis (space cells =
+        # shifted user_ids) is the only thing that scales.
+        "eof_gram": t(lambda: __import__(
+            "bcdp_spark.operators.eof", fromlist=["x"]
+        ).gram_matrix_time(
+            ev.select((F.col("event_id") % 24).alias("t"),
+                      F.col("user_id").alias("cell"), "value"),
+            time_col="t", space_cols=("cell",),
+        ).collect()),
         # r4 late: bigram-LM perplexity scoring — two count tables +
         # equi-join scoring; bigram rows linear in tokens, count tables
         # scale with vocab (constant under the duplicating 10x).
