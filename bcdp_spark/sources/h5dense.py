@@ -1,0 +1,380 @@
+"""HDF5 dense link storage — fractal heap (FRHP/FHDB/FHIB) + version-2
+B-tree (BTHD/BTIN/BTLF) readers and fixture writers, from the public
+HDF5 file-format spec (III.A.2 v2 B-trees, III.G fractal heap) and the
+libhdf5 cache-serialization layouts. No reference-repo code involved
+[/root/reference is empty — SURVEY.md §0].
+
+Groups written with libver 'latest' switch from compact Link messages
+to dense storage once they exceed the 8-link compact limit — i.e. any
+real archive file with more than a handful of variables. Dense storage
+keeps the serialized Link messages as managed objects in a fractal
+heap and indexes them with a name-hash v2 B-tree; scanning a group
+walks the B-tree for heap IDs and resolves each against the heap.
+
+Scope (loud seams beyond it): managed heap objects only (huge/tiny
+heap IDs raise), unfiltered heaps, direct-block rows of the root
+indirect block (an indirect-block TREE means >max-direct-size of link
+bytes in one group — far past any real variable count).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from bcdp_spark.sources.hdf5 import lookup3
+
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _enc_size(limit: int) -> int:
+    """Bytes needed to hold values up to ``limit`` (libhdf5's
+    H5VM_limit_enc_size: log2 of the limit, divided by 8, plus 1)."""
+    return max(1, limit.bit_length() - 1) // 8 + 1 if limit > 0 else 1
+
+
+# ---------------------------------------------------------------------------
+# v2 B-tree
+# ---------------------------------------------------------------------------
+
+
+class BTree2:
+    """Read-side v2 B-tree walker; yields raw record bytes."""
+
+    def __init__(self, buf, addr: int):
+        self.buf = buf
+        if buf[addr : addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        self.btype = buf[addr + 5]
+        (self.node_size,) = struct.unpack_from("<I", buf, addr + 6)
+        (self.rec_size,) = struct.unpack_from("<H", buf, addr + 10)
+        (self.depth,) = struct.unpack_from("<H", buf, addr + 12)
+        (self.root_addr,) = struct.unpack_from("<Q", buf, addr + 16)
+        (self.root_nrec,) = struct.unpack_from("<H", buf, addr + 24)
+        # per-level capacities (H5B2hdr.c): leaf first, then internals
+        leaf_cap = (self.node_size - 10) // self.rec_size
+        self.max_nrec_size = _enc_size(leaf_cap)
+        self.cum_cap = [leaf_cap]
+        self.cum_size = [0]
+        cap = [leaf_cap]
+        for d in range(1, self.depth + 1):
+            ptr = 8 + self.max_nrec_size + self.cum_size[d - 1]
+            icap = (self.node_size - (10 + ptr)) // (self.rec_size + ptr)
+            cap.append(icap)
+            cum = (icap + 1) * self.cum_cap[d - 1] + icap
+            self.cum_cap.append(cum)
+            self.cum_size.append(_enc_size(cum))
+
+    def records(self) -> list[bytes]:
+        if self.root_addr == _UNDEF or self.root_nrec == 0:
+            return []
+        out: list[bytes] = []
+        self._node(self.root_addr, self.root_nrec, self.depth, out)
+        return out
+
+    def _node(self, addr: int, nrec: int, depth: int, out: list) -> None:
+        buf = self.buf
+        sig = buf[addr : addr + 4]
+        if depth == 0:
+            if sig != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            pos = addr + 6
+            for _ in range(nrec):
+                out.append(bytes(buf[pos : pos + self.rec_size]))
+                pos += self.rec_size
+            return
+        if sig != b"BTIN":
+            raise ValueError("bad v2 B-tree internal signature")
+        pos = addr + 6
+        recs = []
+        for _ in range(nrec):
+            recs.append(bytes(buf[pos : pos + self.rec_size]))
+            pos += self.rec_size
+        kids = []
+        for _ in range(nrec + 1):
+            (caddr,) = struct.unpack_from("<Q", buf, pos)
+            pos += 8
+            cnrec = int.from_bytes(
+                buf[pos : pos + self.max_nrec_size], "little"
+            )
+            pos += self.max_nrec_size
+            if depth > 1:  # cumulative subtree count, sized per level
+                pos += self.cum_size[depth - 1]
+            kids.append((caddr, cnrec))
+        # in-order: child0, rec0, child1, rec1, ...
+        for i in range(nrec):
+            self._node(kids[i][0], kids[i][1], depth - 1, out)
+            out.append(recs[i])
+        self._node(kids[nrec][0], kids[nrec][1], depth - 1, out)
+
+
+# ---------------------------------------------------------------------------
+# Fractal heap
+# ---------------------------------------------------------------------------
+
+
+class FractalHeap:
+    """Read-side fractal heap: resolves managed heap IDs to object
+    bytes. Handles a root DIRECT block and a root INDIRECT block with
+    direct-block rows (the doubling table: rows 0 and 1 at the
+    starting block size, row i≥2 at start << (i-1))."""
+
+    def __init__(self, buf, addr: int):
+        self.buf = buf
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap header signature")
+        (self.id_len,) = struct.unpack_from("<H", buf, addr + 5)
+        (filt_len,) = struct.unpack_from("<H", buf, addr + 7)
+        if filt_len:
+            raise NotImplementedError("filtered fractal heap (links)")
+        self.flags = buf[addr + 9]
+        pos = addr + 10 + 4  # skip max managed obj size
+        pos += 8 + 8  # next huge id, huge bt2 addr
+        pos += 8 + 8  # free space, free-space mgr addr
+        pos += 8 * 6  # managed/alloc/iter/nmanaged, huge size/n
+        pos += 8 * 2  # tiny size/n
+        (self.width,) = struct.unpack_from("<H", buf, pos)
+        pos += 2
+        (self.start_size,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+        (self.max_direct,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+        (self.max_heap_bits,) = struct.unpack_from("<H", buf, pos)
+        pos += 2
+        pos += 2  # starting # of rows in root indirect block
+        (self.root_addr,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+        (self.cur_rows,) = struct.unpack_from("<H", buf, pos)
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = _enc_size(self.max_direct)
+
+    # ---- doubling-table geometry
+    def _row_size(self, row: int) -> int:
+        return self.start_size if row < 2 else self.start_size << (row - 1)
+
+    def _locate(self, off: int) -> tuple[int, int]:
+        """(row, col) of the direct block containing heap offset."""
+        row_start = 0
+        row = 0
+        while True:
+            span = self.width * self._row_size(row)
+            if off < row_start + span:
+                col = (off - row_start) // self._row_size(row)
+                return row, col
+            row_start += span
+            row += 1
+
+    def _dblock_payload(self, addr: int, off_in_block: int, n: int) -> bytes:
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block signature")
+        # heap offsets include the block header (libhdf5 stores objects
+        # at their in-heap offset relative to the BLOCK START)
+        return bytes(buf[addr + off_in_block : addr + off_in_block + n])
+
+    def read_id(self, hid: bytes) -> bytes:
+        flags = hid[0]
+        htype = (flags >> 4) & 0x3
+        if htype != 0:
+            raise NotImplementedError(
+                f"fractal heap ID type {htype} (huge/tiny objects)"
+            )
+        off = int.from_bytes(hid[1 : 1 + self.off_size], "little")
+        n = int.from_bytes(
+            hid[1 + self.off_size : 1 + self.off_size + self.len_size],
+            "little",
+        )
+        if self.cur_rows == 0:  # root IS a direct block at offset 0
+            return self._dblock_payload(self.root_addr, off, n)
+        row, col = self._locate(off)
+        max_direct_rows = (
+            (self.max_direct // self.start_size).bit_length() + 1
+        )
+        if row >= max_direct_rows:
+            raise NotImplementedError(
+                "fractal heap indirect-block children (heap larger "
+                "than the direct-block table)"
+            )
+        buf = self.buf
+        iaddr = self.root_addr
+        if buf[iaddr : iaddr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        entry = row * self.width + col
+        p = iaddr + 4 + 1 + 8 + self.off_size + entry * 8
+        (daddr,) = struct.unpack_from("<Q", buf, p)
+        if daddr == _UNDEF:
+            raise ValueError("heap ID points into an absent direct block")
+        row_start = sum(
+            self.width * self._row_size(r) for r in range(row)
+        ) + col * self._row_size(row)
+        return self._dblock_payload(daddr, off - row_start, n)
+
+
+def dense_links(buf, fheap_addr: int, name_bt_addr: int) -> list[bytes]:
+    """All serialized Link-message bodies of a dense group: walk the
+    name-index v2 B-tree (type-5 records: 4-byte lookup3 name hash +
+    heap ID) and resolve each heap ID."""
+    heap = FractalHeap(buf, fheap_addr)
+    bt = BTree2(buf, name_bt_addr)
+    if bt.btype != 5:
+        raise ValueError(f"expected link-name B-tree (type 5), got {bt.btype}")
+    return [heap.read_id(rec[4:]) for rec in bt.records()]
+
+
+# ---------------------------------------------------------------------------
+# Fixture writers
+# ---------------------------------------------------------------------------
+
+
+def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
+                      node_size: int = 512,
+                      start_block_size: int = 512) -> tuple[int, int]:
+    """Emit a fractal heap + name-index v2 B-tree holding serialized
+    Link messages; returns (heap_header_addr, btree_header_addr) for a
+    Link Info message. ``node_size`` and ``start_block_size`` are
+    deliberately tunable so tests can force multi-leaf B-trees and
+    multi-direct-block heaps with few links."""
+    max_heap_bits = 32
+    off_size = (max_heap_bits + 7) // 8
+    max_direct = 65536
+    len_size = _enc_size(max_direct)
+    id_len = 1 + off_size + len_size
+    dblock_hdr = 4 + 1 + 8 + off_size  # unchecksummed (flags=0)
+
+    # ---- pack objects into direct blocks (doubling-table geometry)
+    width = 4
+
+    def row_size(row: int) -> int:
+        return start_block_size if row < 2 else start_block_size << (row - 1)
+
+    heap_ids: dict[str, bytes] = {}
+    blocks: list[tuple[int, bytearray]] = []  # (block_offset, payload)
+    row = col = 0
+    block_off = 0
+    cur = bytearray(b"\x00" * dblock_hdr)
+    for name, body in link_bodies:
+        if len(cur) + len(body) > row_size(row):
+            blocks.append((block_off, cur))
+            block_off += row_size(row)
+            col += 1
+            if col == width:
+                col = 0
+                row += 1
+            if len(body) + dblock_hdr > row_size(row):
+                raise ValueError("link message larger than a direct block")
+            cur = bytearray(b"\x00" * dblock_hdr)
+        obj_off = block_off + len(cur)
+        cur += body
+        heap_ids[name] = (
+            bytes([0])  # version 0, managed
+            + obj_off.to_bytes(off_size, "little")
+            + len(body).to_bytes(len_size, "little")
+        )
+    blocks.append((block_off, cur))
+
+    hdr_addr = alloc.reserve(4 + 1 + 2 + 2 + 1 + 4 + 8 * 14 + 2 + 8
+                             + 8 + 2 + 2 + 8 + 2 + 4)
+    daddrs = []
+    for boff, payload in blocks:
+        payload[0:4] = b"FHDB"
+        payload[4] = 0
+        payload[5:13] = struct.pack("<Q", hdr_addr)
+        payload[13 : 13 + off_size] = boff.to_bytes(off_size, "little")
+        daddrs.append(alloc.put(bytes(payload)))
+
+    if len(blocks) == 1:
+        root_addr, cur_rows = daddrs[0], 0
+    else:
+        nrows = row + 1
+        ib = bytearray()
+        ib += b"FHIB" + bytes([0]) + struct.pack("<Q", hdr_addr)
+        ib += (0).to_bytes(off_size, "little")
+        slots = nrows * width
+        for j in range(slots):
+            ib += struct.pack(
+                "<Q", daddrs[j] if j < len(daddrs) else _UNDEF
+            )
+        ib += struct.pack("<I", lookup3(bytes(ib)))
+        root_addr, cur_rows = alloc.put(bytes(ib)), nrows
+
+    man_space = blocks[-1][0] + row_size(row)
+    h = bytearray()
+    h += b"FRHP" + bytes([0])
+    h += struct.pack("<HH", id_len, 0)  # heap id len, no io filters
+    h += bytes([0])  # flags: no checksums, no huge-id wrap
+    h += struct.pack("<I", 4096)  # max managed object size
+    h += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge bt2
+    h += struct.pack("<QQ", 0, _UNDEF)  # free space, fs mgr
+    h += struct.pack("<QQ", man_space, man_space)  # managed, allocated
+    h += struct.pack("<QQ", man_space, len(link_bodies))  # iter, nobjs
+    h += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny size+counts
+    h += struct.pack("<H", width)
+    h += struct.pack("<QQ", start_block_size, max_direct)
+    h += struct.pack("<H", max_heap_bits)
+    h += struct.pack("<H", 1)  # starting rows in root indirect block
+    h += struct.pack("<Q", root_addr)
+    h += struct.pack("<H", cur_rows)
+    h += struct.pack("<I", lookup3(bytes(h)))
+    alloc.put(bytes(h), addr=hdr_addr)
+
+    bt_addr = _write_btree2_type5(alloc, heap_ids, node_size)
+    return hdr_addr, bt_addr
+
+
+def _write_btree2_type5(alloc, heap_ids: dict[str, bytes],
+                        node_size: int) -> int:
+    """Name-index v2 B-tree (record: lookup3(name) hash + heap ID),
+    depth 0 or 1 depending on capacity."""
+    recs = sorted(
+        struct.pack("<I", lookup3(name.encode("utf-8")))
+        + hid
+        for name, hid in heap_ids.items()
+    )
+    rec_size = len(recs[0]) if recs else 11
+    leaf_cap = (node_size - 10) // rec_size
+    max_nrec_size = _enc_size(leaf_cap)
+
+    def leaf(rows: list[bytes]) -> int:
+        b = bytearray(b"BTLF" + bytes([0, 5]))
+        for r in rows:
+            b += r
+        b += struct.pack("<I", lookup3(bytes(b)))
+        return alloc.put(bytes(b))
+
+    if len(recs) <= leaf_cap:
+        root_addr = leaf(recs)
+        depth, root_nrec = 0, len(recs)
+    else:
+        ptr = 8 + max_nrec_size
+        int_cap = (node_size - (10 + ptr)) // (rec_size + ptr)
+        # split into n_children leaves with separator records between
+        n_children = -(-len(recs) // leaf_cap)
+        if n_children > int_cap + 1:
+            raise ValueError("fixture would need a depth-2 v2 B-tree")
+        base = len(recs) - (n_children - 1)  # records living in leaves
+        per = -(-base // n_children)
+        groups, seps, i = [], [], 0
+        for c in range(n_children):
+            take = min(per, base - sum(len(g) for g in groups))
+            groups.append(recs[i : i + take])
+            i += take
+            if c < n_children - 1:
+                seps.append(recs[i])
+                i += 1
+        kids = [(leaf(g), len(g)) for g in groups]
+        b = bytearray(b"BTIN" + bytes([0, 5]))
+        for s in seps:
+            b += s
+        for addr, n in kids:
+            b += struct.pack("<Q", addr)
+            b += n.to_bytes(max_nrec_size, "little")
+        b += struct.pack("<I", lookup3(bytes(b)))
+        root_addr = alloc.put(bytes(b))
+        depth, root_nrec = 1, len(seps)
+
+    h = bytearray(b"BTHD" + bytes([0, 5]))
+    h += struct.pack("<IHH", node_size, rec_size, depth)
+    h += bytes([100, 40])  # split/merge percents (libhdf5 defaults)
+    h += struct.pack("<QH", root_addr, root_nrec)
+    h += struct.pack("<Q", len(recs))
+    h += struct.pack("<I", lookup3(bytes(h)))
+    return alloc.put(bytes(h))

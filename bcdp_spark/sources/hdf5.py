@@ -23,7 +23,8 @@ READ (``H5File``):
   indexes; extensible-array / v2-B-tree indexes (appendable dims)
   raise loudly
 - filter pipeline v1/v2: deflate (id 1), shuffle (id 2), fletcher32
-  (id 3, checksum stripped); anything else raises with the filter id
+  (id 3, checksum stripped), LZF (id 32000, h5py's bundled filter —
+  `sources/lzf.py`); anything else raises with the filter id
 
 WRITE (``write_hdf5``): deterministic fixture generator with two
 profiles so tests exercise both reader generations —
@@ -320,13 +321,16 @@ class H5File:
                 links.extend(self._old_links(bt, heap))
             elif mtype == 0x06:  # link message (new-style compact)
                 links.append(self._link(body))
-            elif mtype == 0x02:  # link info: dense storage check
+            elif mtype == 0x02:  # link info: dense storage
                 flags = body[1]
                 off = 2 + (8 if flags & 1 else 0)
-                fheap = struct.unpack_from("<Q", body, off)[0]
+                fheap, name_bt = struct.unpack_from("<QQ", body, off)
                 if fheap != _UNDEF:
-                    raise NotImplementedError(
-                        "HDF5 dense (fractal-heap) link storage"
+                    from bcdp_spark.sources.h5dense import dense_links
+
+                    links.extend(
+                        self._link(lb)
+                        for lb in dense_links(self.buf, fheap, name_bt)
                     )
             elif mtype == 0x0C:
                 k, v = self._attr(body)
@@ -662,6 +666,19 @@ class H5File:
                     )
                 elif fid == 3:
                     raw = raw[:-4]  # fletcher32 checksum suffix
+                elif fid == 32000:  # h5py's LZF filter
+                    from bcdp_spark.sources.lzf import lzf_decompress
+
+                    # expected plain size: the chunk payload, plus the
+                    # 4-byte suffix of any fletcher32 applied BEFORE
+                    # lzf on write (its checksum rides inside the
+                    # compressed stream)
+                    expect = int(
+                        np.prod(ds.chunk_shape, dtype=np.int64)
+                    ) * dt.itemsize + 4 * sum(
+                        1 for f in ds.filters[:i] if f[0] == 3
+                    )
+                    raw = lzf_decompress(raw, expect)
                 else:
                     raise NotImplementedError(f"HDF5 filter id {fid}")
             chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
@@ -1287,10 +1304,13 @@ def write_hdf5(
     chunk: dict[str, tuple] | None = None,
     gzip_level: int | None = 4,
     shuffle: bool = False,
+    lzf: bool = False,
     v4_index: dict[str, str] | None = None,
     fa_page_bits: int = 10,
     maxshape: dict[str, tuple] | None = None,
     ea_params: dict | None = None,
+    dense_links: bool = False,
+    dense_params: dict | None = None,
     timed: bool = False,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
@@ -1313,6 +1333,8 @@ def write_hdf5(
     """
     if profile not in ("v0", "v2"):
         raise ValueError(f"unknown profile {profile!r}")
+    if dense_links and profile != "v2":
+        raise ValueError("dense_links requires the v2 profile")
     chunk = chunk or {}
     v4_index = v4_index or {}
     maxshape = maxshape or {}
@@ -1346,6 +1368,8 @@ def write_hdf5(
             filters: list[tuple[int, tuple]] = []
             if shuffle:
                 filters.append((2, (arr.dtype.itemsize,)))
+            if lzf:
+                filters.append((32000, ()))
             if gzip_level is not None:
                 filters.append((1, (gzip_level,)))
             itype = v4_index.get(name)
@@ -1369,6 +1393,10 @@ def write_hdf5(
                         raw = a.reshape(len(a) // esz, esz).T.tobytes()
                     elif fid == 1:
                         raw = zlib.compress(raw, cv[0])
+                    elif fid == 32000:
+                        from bcdp_spark.sources.lzf import lzf_compress
+
+                        raw = lzf_compress(raw)
                 chunk_blobs.append((idx, raw))
             rank = arr.ndim
             if itype is not None:
@@ -1409,7 +1437,13 @@ def write_hdf5(
             if filters:
                 fp = struct.pack("<BBxxxxxx", 1, len(filters))
                 for fid, cv in filters:
-                    fp += struct.pack("<HHHH", fid, 0, 0, len(cv))
+                    # registered filters (id >= 256) carry their name,
+                    # NUL-padded to 8 (the libhdf5 convention)
+                    fname = b"lzf\x00\x00\x00\x00\x00" if fid >= 256 else b""
+                    fp += struct.pack(
+                        "<HHHH", fid, len(fname), 0, len(cv)
+                    )
+                    fp += fname
                     fp += struct.pack(f"<{len(cv)}I", *cv)
                     if len(cv) % 2:
                         fp += b"\x00\x00\x00\x00"
@@ -1434,11 +1468,27 @@ def write_hdf5(
             # group info: defaults
             (0x0A, struct.pack("<BB", 0, 0)),
         ]
-        for n in names:
-            nb = n.encode("utf-8")
-            body = struct.pack("<BBB", 1, 0, len(nb)) + nb
-            body += struct.pack("<Q", var_hdr_addr[n])
-            link_msgs.append((0x06, body))
+        if dense_links:
+            from bcdp_spark.sources.h5dense import write_dense_links
+
+            bodies = []
+            for n in names:
+                nb = n.encode("utf-8")
+                body = struct.pack("<BBB", 1, 0, len(nb)) + nb
+                body += struct.pack("<Q", var_hdr_addr[n])
+                bodies.append((n, body))
+            fheap, name_bt = write_dense_links(
+                alloc, bodies, **(dense_params or {})
+            )
+            link_msgs[0] = (
+                0x02, struct.pack("<BBQQ", 0, 0, fheap, name_bt)
+            )
+        else:
+            for n in names:
+                nb = n.encode("utf-8")
+                body = struct.pack("<BBB", 1, 0, len(nb)) + nb
+                body += struct.pack("<Q", var_hdr_addr[n])
+                link_msgs.append((0x06, body))
         root = _object_header(link_msgs + root_attr_msgs, "v2")
         root_addr = alloc.put(root)
     else:

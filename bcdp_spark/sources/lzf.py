@@ -1,0 +1,124 @@
+"""LZF block codec — the compression used by h5py's bundled LZF HDF5
+filter (filter id 32000), implemented from the public format (Marc
+Lehmann's liblzf `lzf_c.c`/`lzf_d.c` stream layout; the format is also
+restated in h5py's `lzf/README.txt`). No reference-repo code involved
+[/root/reference is empty — SURVEY.md §0].
+
+Stream grammar (decoder contract):
+
+- control byte ``c < 0x20``: a literal run of ``c + 1`` bytes follows
+  verbatim;
+- control byte ``c >= 0x20``: a back-reference. ``len = c >> 5``; if
+  ``len == 7`` the next byte extends it (``len += nxt``); the match
+  length is ``len + 2`` (3..264). The offset is 13 bits:
+  ``((c & 0x1f) << 8) | following_byte``, and the copy source starts
+  ``offset + 1`` bytes behind the current output position. Copies may
+  self-overlap (RLE-style), so overlapping references replicate
+  byte-by-byte.
+
+The decoder loops per TOKEN, not per byte: literal runs and
+non-overlapping matches move as slices, so throughput is bounded by
+token count (~input/atoken), not output size. The encoder is the
+greedy 3-byte-hash matcher every liblzf-compatible implementation
+uses; it always emits a valid stream (worst case ~3% expansion on
+incompressible data, 1 control byte per 32 literals).
+"""
+
+from __future__ import annotations
+
+_MAX_OFF = 1 << 13  # 13-bit offsets
+_MAX_LEN = 264  # 7 + 255 + 2
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Decode one LZF stream to exactly ``expected_size`` bytes."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 0x20:  # literal run of c+1 bytes
+            run = c + 1
+            if i + run > n:
+                raise ValueError("LZF literal run past end of input")
+            out += data[i : i + run]
+            i += run
+            continue
+        length = c >> 5
+        if length == 7:
+            if i >= n:
+                raise ValueError("LZF length extension past end of input")
+            length += data[i]
+            i += 1
+        if i >= n:
+            raise ValueError("LZF offset byte past end of input")
+        dist = ((c & 0x1F) << 8 | data[i]) + 1
+        i += 1
+        length += 2
+        start = len(out) - dist
+        if start < 0:
+            raise ValueError("LZF back-reference before start of output")
+        if dist >= length:  # disjoint: one slice copy
+            out += out[start : start + length]
+        else:  # self-overlapping (RLE): byte-wise replication
+            for k in range(length):
+                out.append(out[start + k])
+    if len(out) != expected_size:
+        raise ValueError(
+            f"LZF output size {len(out)} != expected {expected_size}"
+        )
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """Greedy liblzf-style encoder (3-byte hash chains, most-recent
+    match). Output always decodes to ``data``; used by the fixture
+    writer and the HDF5 sink."""
+    n = len(data)
+    out = bytearray()
+    lit = bytearray()
+
+    def flush() -> None:
+        while lit:
+            run = lit[:32]
+            out.append(len(run) - 1)
+            out.extend(run)
+            del lit[:32]
+
+    htab: dict[bytes, int] = {}
+    i = 0
+    while i < n:
+        if i + 3 <= n:
+            key = data[i : i + 3]
+            ref = htab.get(key, -1)
+            htab[key] = i
+            dist = i - ref
+            if ref >= 0 and dist <= _MAX_OFF:
+                limit = min(n - i, _MAX_LEN)
+                length = 3
+                while (
+                    length < limit and data[ref + length] == data[i + length]
+                ):
+                    length += 1
+                flush()
+                stored = length - 2
+                off = dist - 1
+                if stored < 7:
+                    out.append((stored << 5) | (off >> 8))
+                else:
+                    out.append((7 << 5) | (off >> 8))
+                    out.append(stored - 7)
+                out.append(off & 0xFF)
+                # index a couple of positions inside the match so runs
+                # keep finding themselves (liblzf does the same)
+                for j in range(i + 1, min(i + length, n - 2)):
+                    htab[data[j : j + 3]] = j
+                i += length
+                continue
+        lit.append(data[i])
+        i += 1
+        if len(lit) == 32:
+            flush()
+    flush()
+    return bytes(out)

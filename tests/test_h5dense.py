@@ -1,0 +1,124 @@
+"""Dense (fractal-heap + v2 B-tree) HDF5 link storage tests
+(sources/h5dense.py): the >8-variable libver-'latest' group layout —
+single-direct-block heaps, multi-direct-block heaps behind a root
+indirect block, depth-0 and depth-1 name-index B-trees, and the loud
+seams (huge heap IDs, filtered heaps)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bcdp_spark.sources.hdf5 import read_hdf5, write_hdf5
+
+
+def _vars(n: int) -> dict:
+    rng = np.random.RandomState(n)
+    return {
+        f"var{i:02d}": (["x", "y"], rng.randn(4, 5), {"idx": i})
+        for i in range(n)
+    }
+
+
+def _check(raw: bytes, vars_: dict) -> None:
+    h5 = read_hdf5(raw)
+    assert set(h5.datasets) == set(vars_)
+    for name, (_dims, arr, attrs) in vars_.items():
+        np.testing.assert_array_equal(h5.read(name), arr)
+        assert h5.datasets[name].attrs["idx"] == attrs["idx"]
+
+
+def test_dense_links_single_direct_block():
+    """12 links (past the compact limit) in one direct block, depth-0
+    name index."""
+    vars_ = _vars(12)
+    raw = write_hdf5(vars_, profile="v2", dense_links=True)
+    _check(raw, vars_)
+
+
+def test_dense_links_depth1_btree():
+    """Tiny node_size forces a depth-1 B-tree (internal root + leaf
+    children) — the layout a real group with dozens of variables gets
+    at libhdf5's default 512-byte node."""
+    vars_ = _vars(20)
+    raw = write_hdf5(
+        vars_, profile="v2", dense_links=True,
+        dense_params={"node_size": 96},
+    )
+    from bcdp_spark.sources.h5dense import BTree2
+
+    _check(raw, vars_)
+    # prove the fixture actually produced depth 1
+    idx = raw.find(b"BTHD")
+    assert idx > 0 and BTree2(memoryview(raw), idx).depth == 1
+
+
+def test_dense_links_multi_direct_block_heap():
+    """Small starting block size forces several direct blocks behind a
+    root indirect block (FHIB), exercising the doubling-table walk."""
+    vars_ = _vars(24)
+    raw = write_hdf5(
+        vars_, profile="v2", dense_links=True,
+        dense_params={"start_block_size": 64},
+    )
+    assert b"FHIB" in raw
+    _check(raw, vars_)
+
+
+def test_dense_links_with_chunked_and_v4_index():
+    """Dense links compose with the rest of the 'latest' feature set
+    (chunked vars, v4 indexes, filters)."""
+    rng = np.random.RandomState(9)
+    vars_ = {
+        f"v{i}": (["t", "x"], rng.randn(6, 4), {"idx": i})
+        for i in range(10)
+    }
+    raw = write_hdf5(
+        vars_, profile="v2", dense_links=True,
+        chunk={"v0": (2, 4), "v1": (3, 2)},
+        v4_index={"v0": "fixed_array"},
+        gzip_level=4, shuffle=True,
+    )
+    _check(raw, vars_)
+
+
+def test_dense_requires_v2_profile():
+    with pytest.raises(ValueError, match="requires the v2 profile"):
+        write_hdf5(_vars(3), profile="v0", dense_links=True)
+
+
+def test_huge_heap_id_raises():
+    from bcdp_spark.sources.h5dense import FractalHeap
+
+    raw = write_hdf5(_vars(9), profile="v2", dense_links=True)
+    buf = memoryview(raw)
+    heap = FractalHeap(buf, raw.find(b"FRHP"))
+    fake = bytes([0x10]) + b"\x00" * (heap.off_size + heap.len_size)
+    with pytest.raises(NotImplementedError, match="huge/tiny"):
+        heap.read_id(fake)
+
+
+def test_netcdf_decode_path_handles_dense(tmp_path):
+    """A many-variable 'latest' file flows through the load_netcdf
+    member decode (the shape a real CMIP archive member with dozens of
+    fields takes)."""
+    from bcdp_spark.sources.netcdf import _decode_one, _var_ndim
+
+    t = np.arange(6, dtype="<f8")
+    vars_ = {
+        "time": (["time"], t, {"units": "days since 2001-01-01"}),
+        "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+        "lon": (["lon"], np.array([0.0, 90.0, 180.0]), {}),
+    }
+    rng = np.random.RandomState(4)
+    for i in range(9):  # push total links past the compact limit
+        vars_[f"aux{i}"] = (["lat"], rng.randn(2), {})
+    vars_["pr"] = (
+        ["time", "lat", "lon"], rng.randn(6, 2, 3), {"units": "mm"}
+    )
+    p = str(tmp_path / "dense.nc")
+    with open(p, "wb") as fh:
+        fh.write(write_hdf5(vars_, profile="v2", dense_links=True))
+    rows = _decode_one(p, var="pr")
+    assert len(rows) == 6 * 2 * 3
+    assert _var_ndim(p, "pr") == 3

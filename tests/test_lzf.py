@@ -1,0 +1,112 @@
+"""LZF codec tests (sources/lzf.py): format-contract decodes of
+hand-built streams (so the decoder isn't certified only against our
+own encoder), roundtrip properties, and the HDF5 filter integration
+(id 32000, alone and under shuffle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.sources.hdf5 import read_hdf5, write_hdf5
+from bcdp_spark.sources.lzf import lzf_compress, lzf_decompress
+
+
+def test_decode_hand_built_streams():
+    # literal run: ctrl 0x02 -> 3 literal bytes
+    assert lzf_decompress(bytes([0x02, 65, 66, 67]), 3) == b"ABC"
+    # back-reference: "abcabc" = 3 literals + match len 3 (stored 1),
+    # offset 2 (dist 3): ctrl = (1<<5)|0 = 0x20, low byte 2
+    assert (
+        lzf_decompress(bytes([0x02, 97, 98, 99, 0x20, 0x02]), 6)
+        == b"abcabc"
+    )
+    # self-overlapping RLE: "aaaaaaa" = 1 literal + match len 6
+    # (stored 4), dist 1: ctrl = (4<<5)|0 = 0x80, low byte 0
+    assert (
+        lzf_decompress(bytes([0x00, 97, 0x80, 0x00]), 7) == b"a" * 7
+    )
+    # length extension: stored len 7 + ext 3 -> match len 12 over
+    # dist 1 after one literal
+    assert (
+        lzf_decompress(bytes([0x00, 122, 0xE0, 0x03, 0x00]), 13)
+        == b"z" * 13
+    )
+
+
+def test_decode_error_paths():
+    with pytest.raises(ValueError, match="literal run past end"):
+        lzf_decompress(bytes([0x05, 1, 2]), 6)
+    with pytest.raises(ValueError, match="before start"):
+        lzf_decompress(bytes([0x00, 97, 0x20, 0x05]), 4)
+    with pytest.raises(ValueError, match="output size"):
+        lzf_decompress(bytes([0x00, 97]), 5)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"x",
+        b"the quick brown fox " * 40,
+        b"\x00" * 10_000,
+        bytes(range(256)) * 64,
+        np.random.RandomState(3).bytes(8192),  # incompressible
+        b"ab" * 5000 + b"tail",
+    ],
+    ids=["empty", "one", "text", "zeros", "cycle", "random", "rle2"],
+)
+def test_roundtrip(data):
+    assert lzf_decompress(lzf_compress(data), len(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=4096))
+def test_roundtrip_property(data):
+    assert lzf_decompress(lzf_compress(data), len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=1, max_size=6),
+                  st.integers(1, 50)),
+        min_size=1, max_size=30,
+    )
+)
+def test_roundtrip_repetitive_property(runs):
+    """Long-range self-similar inputs: exercises far offsets and the
+    length-extension byte."""
+    data = b"".join(chunk * reps for chunk, reps in runs)
+    assert lzf_decompress(lzf_compress(data), len(data)) == data
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"lzf": True, "gzip_level": None},
+        {"lzf": True, "gzip_level": None, "shuffle": True},
+    ],
+    ids=["lzf", "shuffle-lzf"],
+)
+def test_hdf5_lzf_filter_roundtrip(kw):
+    """Filter id 32000 through the full HDF5 read path, with the name
+    field a registered filter carries; shuffle composes in h5py's
+    order (shuffle first, lzf second)."""
+    rng = np.random.RandomState(5)
+    data = np.round(rng.randn(12, 6, 8), 2)  # rounded: compressible
+    raw = write_hdf5(
+        {"pr": (["t", "a", "o"], data, {})},
+        chunk={"pr": (4, 6, 8)},
+        **kw,
+    )
+    h5 = read_hdf5(raw)
+    fids = [f[0] for f in h5.datasets["pr"].filters]
+    assert 32000 in fids
+    np.testing.assert_array_equal(h5.read("pr"), data)
+    np.testing.assert_array_equal(
+        h5.read("pr", sel=(slice(5, 10), slice(1, 5), slice(0, 8))),
+        data[5:10, 1:5, 0:8],
+    )
