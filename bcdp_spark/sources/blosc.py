@@ -32,8 +32,8 @@ applied per block before splitting (each split is then exactly one
 byte-plane).
 
 Supported codecs: lz4/lz4hc (own block decoder below), zlib (stdlib),
-and raw/memcpy. blosclz, snappy and zstd raise loudly — implementing
-zstd from scratch is out of scope and silence would mis-decode.
+zstd (own RFC 8878 decoder, ``sources/zstd.py`` — r5), and raw/memcpy.
+blosclz and snappy raise loudly — silence would mis-decode.
 """
 
 from __future__ import annotations
@@ -209,10 +209,10 @@ def blosc_decompress(raw: bytes) -> bytes:
             raise ValueError("blosc memcpy frame truncated")
         return raw[16 : 16 + nbytes]
     codec = _CODECS.get(flags >> 5)
-    if codec not in ("lz4", "zlib"):
+    if codec not in ("lz4", "zlib", "zstd"):
         raise NotImplementedError(
             f"blosc codec {codec!r} needs a decoder not in this container "
-            "(supported: lz4, zlib, memcpy)"
+            "(supported: lz4, zlib, zstd, memcpy)"
         )
     if nbytes == 0:
         return b""
@@ -239,6 +239,10 @@ def blosc_decompress(raw: bytes) -> bytes:
                 block += part
             elif codec == "lz4":
                 block += lz4_block_decompress(part, neblock)
+            elif codec == "zstd":
+                from bcdp_spark.sources.zstd import zstd_decompress
+
+                block += zstd_decompress(part, neblock)
             else:
                 block += _zlib.decompress(part)
         if len(block) != bsize:
@@ -261,9 +265,12 @@ def blosc_compress(
     shuffle: bool = True,
     blocksize: int = 0,
 ) -> bytes:
-    """Fixture/sink encoder producing frames c-blosc would accept."""
+    """Fixture/sink encoder producing frames c-blosc would accept.
+    ``cname='zstd'`` segments are compressed with pyarrow's bundled
+    libzstd (a declared engine dependency) — the decode side is our
+    own from-scratch ``sources/zstd.py``."""
     codec_id = {v: k for k, v in _CODECS.items()}.get(cname)
-    if cname not in ("lz4", "zlib"):
+    if cname not in ("lz4", "zlib", "zstd"):
         raise NotImplementedError(f"blosc_compress cname {cname!r}")
     typesize = max(1, min(typesize, 255))
     nbytes = len(data)
@@ -292,11 +299,14 @@ def blosc_compress(
         parts = []
         for s in range(nsplits):
             seg = block[s * neblock : (s + 1) * neblock]
-            comp = (
-                lz4_block_compress(seg)
-                if cname == "lz4"
-                else _zlib.compress(seg)
-            )
+            if cname == "lz4":
+                comp = lz4_block_compress(seg)
+            elif cname == "zstd":
+                import pyarrow as _pa
+
+                comp = bytes(_pa.Codec("zstd").compress(seg))
+            else:
+                comp = _zlib.compress(seg)
             if len(comp) >= neblock:  # incompressible: store raw
                 comp = seg
             parts.append(struct.pack("<i", len(comp)) + comp)

@@ -666,19 +666,24 @@ class H5File:
                     )
                 elif fid == 3:
                     raw = raw[:-4]  # fletcher32 checksum suffix
-                elif fid == 32000:  # h5py's LZF filter
-                    from bcdp_spark.sources.lzf import lzf_decompress
-
+                elif fid in (32000, 32015):  # h5py LZF / zstd plugin
                     # expected plain size: the chunk payload, plus the
                     # 4-byte suffix of any fletcher32 applied BEFORE
-                    # lzf on write (its checksum rides inside the
-                    # compressed stream)
+                    # this filter on write (its checksum rides inside
+                    # the compressed stream)
                     expect = int(
                         np.prod(ds.chunk_shape, dtype=np.int64)
                     ) * dt.itemsize + 4 * sum(
                         1 for f in ds.filters[:i] if f[0] == 3
                     )
-                    raw = lzf_decompress(raw, expect)
+                    if fid == 32000:
+                        from bcdp_spark.sources.lzf import lzf_decompress
+
+                        raw = lzf_decompress(raw, expect)
+                    else:
+                        from bcdp_spark.sources.zstd import zstd_decompress
+
+                        raw = zstd_decompress(raw, expect)
                 else:
                     raise NotImplementedError(f"HDF5 filter id {fid}")
             chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
@@ -1305,6 +1310,7 @@ def write_hdf5(
     gzip_level: int | None = 4,
     shuffle: bool = False,
     lzf: bool = False,
+    zstd: bool = False,
     v4_index: dict[str, str] | None = None,
     fa_page_bits: int = 10,
     maxshape: dict[str, tuple] | None = None,
@@ -1370,6 +1376,8 @@ def write_hdf5(
                 filters.append((2, (arr.dtype.itemsize,)))
             if lzf:
                 filters.append((32000, ()))
+            if zstd:
+                filters.append((32015, (3,)))
             if gzip_level is not None:
                 filters.append((1, (gzip_level,)))
             itype = v4_index.get(name)
@@ -1397,6 +1405,10 @@ def write_hdf5(
                         from bcdp_spark.sources.lzf import lzf_compress
 
                         raw = lzf_compress(raw)
+                    elif fid == 32015:
+                        import pyarrow as _pa
+
+                        raw = bytes(_pa.Codec("zstd").compress(raw))
                 chunk_blobs.append((idx, raw))
             rank = arr.ndim
             if itype is not None:
@@ -1439,7 +1451,11 @@ def write_hdf5(
                 for fid, cv in filters:
                     # registered filters (id >= 256) carry their name,
                     # NUL-padded to 8 (the libhdf5 convention)
-                    fname = b"lzf\x00\x00\x00\x00\x00" if fid >= 256 else b""
+                    fname = b""
+                    if fid == 32000:
+                        fname = b"lzf\x00\x00\x00\x00\x00"
+                    elif fid == 32015:
+                        fname = b"zstd\x00\x00\x00\x00"
                     fp += struct.pack(
                         "<HHHH", fid, len(fname), 0, len(cv)
                     )

@@ -43,10 +43,10 @@ from bcdp_spark.sources.netcdf import (
 )
 from bcdp_spark.sources.registry import register_data_source
 
-_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc")
+_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
 # Blosc(cname='lz4')); zstd/snappy/blosclz stay loud seams
-_SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib")
+_SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib", "zstd")
 
 
 @dataclass
@@ -159,7 +159,7 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
             codecs = shard_codecs  # endianness of the actual data
             break
     for c in codecs:
-        if c.get("name") not in ("bytes", "gzip", "crc32c"):
+        if c.get("name") not in ("bytes", "gzip", "zstd", "crc32c"):
             raise NotImplementedError(f"{name}: v3 codec {c.get('name')!r}")
     attrs = dict(doc.get("attributes", {}))
     if "dimension_names" in doc and "_ARRAY_DIMENSIONS" not in attrs:
@@ -208,7 +208,7 @@ def read_array_meta(
     if comp is not None and comp.get("id") not in _SUPPORTED_COMPRESSORS:
         raise NotImplementedError(
             f"{name}: compressor {comp.get('id')!r} needs a codec not in "
-            "this container (supported: null, zlib, gzip, blosc)"
+            "this container (supported: null, zlib, gzip, blosc, zstd)"
         )
     if comp is not None and comp.get("id") == "blosc":
         cname = comp.get("cname", "blosclz")
@@ -252,6 +252,10 @@ def _bb_decode(raw: bytes, chain: list) -> bytes:
         n = c.get("name")
         if n == "gzip":
             raw = _gzip.decompress(raw)
+        elif n == "zstd":
+            from bcdp_spark.sources.zstd import zstd_decompress
+
+            raw = zstd_decompress(raw)
         elif n == "crc32c":
             raw = raw[:-4]
         # "bytes" handled by the dtype's endianness
@@ -274,6 +278,10 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             from bcdp_spark.sources.blosc import blosc_decompress
 
             raw = blosc_decompress(raw)
+        elif cid == "zstd":
+            from bcdp_spark.sources.zstd import zstd_decompress
+
+            raw = zstd_decompress(raw)
         else:
             raw = _zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=meta.dtype)
@@ -650,6 +658,10 @@ def write_zarr(
                         shuffle=int(compressor.get("shuffle", 1)) == 1,
                         blocksize=int(compressor.get("blocksize", 0)),
                     )
+                elif compressor["id"] == "zstd":
+                    import pyarrow as _pa
+
+                    raw = bytes(_pa.Codec("zstd").compress(raw))
                 else:
                     raw = _zlib.compress(raw, compressor.get("level", 1))
             with open(
@@ -671,6 +683,7 @@ def write_zarr_v3(
     shards: dict[str, tuple[int, ...]] | None = None,
     gzip_level: int | None = 1,
     key_encoding: str = "default",
+    codec: str = "gzip",
 ) -> None:
     """Write a Zarr v3 group (fixture generator for the v3 read path).
 
@@ -678,23 +691,29 @@ def write_zarr_v3(
     also present in ``shards`` is written with the sharding_indexed
     codec — ``chunks`` is then the OUTER shard shape and ``shards`` the
     inner chunk shape, with an end-located u64-pair index. Codec chain:
-    bytes(little) [+ gzip]. ``key_encoding``: 'default' (c/0/1) or 'v2'
-    (dot-separated)."""
+    bytes(little) [+ gzip or zstd — ``codec='zstd'`` is zarr-python
+    v3's DEFAULT chain; encoded via pyarrow's bundled libzstd, decoded
+    by our own ``sources/zstd.py``]. ``key_encoding``: 'default'
+    (c/0/1) or 'v2' (dot-separated)."""
     os.makedirs(store, exist_ok=True)
     with open(os.path.join(store, "zarr.json"), "w") as fh:
         json.dump({"zarr_format": 3, "node_type": "group"}, fh)
 
     def _bb(raw: bytes) -> bytes:
-        return (
-            _gzip.compress(raw, compresslevel=gzip_level)
-            if gzip_level is not None
-            else raw
-        )
+        if gzip_level is None:
+            return raw
+        if codec == "zstd":
+            import pyarrow as _pa
+
+            return bytes(_pa.Codec("zstd").compress(raw))
+        return _gzip.compress(raw, compresslevel=gzip_level)
 
     inner_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if gzip_level is not None:
         inner_codecs.append(
-            {"name": "gzip", "configuration": {"level": gzip_level}}
+            {"name": "zstd", "configuration": {"level": 3}}
+            if codec == "zstd"
+            else {"name": "gzip", "configuration": {"level": gzip_level}}
         )
     for name, (vdims, arr, attrs) in variables.items():
         arr = np.ascontiguousarray(arr)

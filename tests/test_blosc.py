@@ -127,10 +127,10 @@ def test_blosc_truncated_frame_raises():
         blosc_decompress(frame[:-3])
 
 
-def test_blosc_zstd_codec_raises_loudly():
+def test_blosc_snappy_codec_raises_loudly():
     frame = bytearray(blosc_compress(np.arange(64, dtype="<f8").tobytes(), 8))
-    frame[2] = (frame[2] & 0x1F) | (4 << 5)  # poke codec id → zstd
-    with pytest.raises(NotImplementedError, match="zstd"):
+    frame[2] = (frame[2] & 0x1F) | (2 << 5)  # poke codec id → snappy
+    with pytest.raises(NotImplementedError, match="snappy"):
         blosc_decompress(bytes(frame))
 
 
@@ -158,7 +158,7 @@ def test_zarr_blosc_store_roundtrip(spark, tmp_path):
     assert pdf.value.sum() == pytest.approx(np.nansum(expect))
 
 
-def test_zarr_blosc_zstd_cname_raises(tmp_path):
+def test_zarr_blosc_snappy_cname_raises(tmp_path):
     from tests.test_zarr import _write_store
     from bcdp_spark.sources import zarr as z
 
@@ -166,8 +166,8 @@ def test_zarr_blosc_zstd_cname_raises(tmp_path):
     import json, os
     p = os.path.join(store, "pr", ".zarray")
     za = json.load(open(p))
-    za["compressor"] = {"id": "blosc", "cname": "zstd", "shuffle": 1}
+    za["compressor"] = {"id": "blosc", "cname": "snappy", "shuffle": 1}
     json.dump(za, open(p, "w"))
     os.remove(os.path.join(store, ".zmetadata"))  # force per-array meta
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="snappy"):
         z.read_array_meta(store, "pr")

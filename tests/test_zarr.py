@@ -229,13 +229,13 @@ def test_registry_and_unsupported(tmp_path, spark):
     pdf = reg_load("zarr", spark, store).toPandas()
     assert len(pdf) == expect.size
     # unsupported compressor fails loudly at meta-read time (blosc
-    # with the lz4/zlib cnames is supported since r5 — zstd is not)
+    # lz4/zlib landed r5, zstd landed late r5 — lzma stays a seam)
     meta_path = os.path.join(store, "pr", ".zarray")
     za = json.load(open(meta_path))
-    za["compressor"] = {"id": "zstd", "level": 1}
+    za["compressor"] = {"id": "lzma", "preset": 1}
     json.dump(za, open(meta_path, "w"))
     os.remove(os.path.join(store, ".zmetadata"))
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="lzma"):
         read_array_meta(store, "pr")
 
 
@@ -601,9 +601,9 @@ def test_zarr_v3_unsupported_codec_raises(tmp_path):
         variables={"v": (["x"], np.arange(4, dtype="<f8"), {})},
     )
     doc = json.load(open(f"{store}/v/zarr.json"))
-    doc["codecs"] = [{"name": "zstd", "configuration": {"level": 3}}]
+    doc["codecs"] = [{"name": "blosc", "configuration": {"cname": "lz4"}}]
     json.dump(doc, open(f"{store}/v/zarr.json", "w"))
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="blosc"):
         read_array_meta(store, "v")
 
 
