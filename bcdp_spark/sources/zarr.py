@@ -246,8 +246,10 @@ def _chunk_path(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -
     return os.path.join(store, name, key)
 
 
-def _bb_decode(raw: bytes, chain: list) -> bytes:
-    """v3 bytes→bytes codecs applied in reverse (gzip, crc32c strip)."""
+def _bb_decode(raw: bytes, chain: list, expect: int | None = None) -> bytes:
+    """v3 bytes→bytes codecs applied in reverse (gzip, crc32c strip).
+    ``expect`` (the plain chunk byte count) routes zstd through the
+    libzstd hot path."""
     for c in reversed(chain):
         n = c.get("name")
         if n == "gzip":
@@ -255,7 +257,7 @@ def _bb_decode(raw: bytes, chain: list) -> bytes:
         elif n == "zstd":
             from bcdp_spark.sources.zstd import zstd_decompress
 
-            raw = zstd_decompress(raw)
+            raw = zstd_decompress(raw, expect)
         elif n == "crc32c":
             raw = raw[:-4]
         # "bytes" handled by the dtype's endianness
@@ -268,7 +270,10 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
     if meta.v3:
         if meta.shard_chunk is not None:
             return _decode_shard(raw, meta)
-        raw = _bb_decode(raw, meta.codecs)
+        raw = _bb_decode(
+            raw, meta.codecs,
+            int(np.prod(meta.chunks)) * meta.dtype.itemsize,
+        )
         return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
@@ -281,7 +286,9 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
         elif cid == "zstd":
             from bcdp_spark.sources.zstd import zstd_decompress
 
-            raw = zstd_decompress(raw)
+            raw = zstd_decompress(
+                raw, int(np.prod(meta.chunks)) * meta.dtype.itemsize
+            )
         else:
             raw = _zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=meta.dtype)
@@ -314,7 +321,10 @@ def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
         off, nb = pairs[k]
         if off == missing and nb == missing:
             continue
-        blob = _bb_decode(raw[int(off) : int(off) + int(nb)], meta.shard_codecs)
+        blob = _bb_decode(
+            raw[int(off) : int(off) + int(nb)], meta.shard_codecs,
+            int(np.prod(inner)) * meta.dtype.itemsize,
+        )
         block = np.frombuffer(blob, dtype=meta.dtype).reshape(inner)
         sel = tuple(
             slice(i * c, min((i + 1) * c, o))

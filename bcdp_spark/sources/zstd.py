@@ -61,32 +61,35 @@ class _BackBits:
     """Backward bitstream (Huffman + sequence payloads): the last
     byte's highest set bit is a padding sentinel; reading proceeds
     from just below it toward bit 0 of the first byte. Reads past the
-    start zero-pad and drive ``pos`` negative (callers check)."""
+    start zero-pad and drive ``pos`` negative (callers check).
+
+    Reads slice an O(1) byte window per call (never a whole-stream
+    integer — that would make an n-bit stream O(n²) to drain)."""
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ValueError("zstd: corrupt backward bitstream")
-        self.val = int.from_bytes(data, "little")
+        self.data = data
         self.pos = len(data) * 8 - 8 + data[-1].bit_length() - 1
-
-    def read(self, n: int) -> int:
-        self.pos -= n
-        if self.pos >= 0:
-            return (self.val >> self.pos) & ((1 << n) - 1)
-        # zero-pad past the start (only legal in Huffman-weight FSE)
-        take = n + self.pos
-        if take <= 0:
-            return 0
-        return (self.val & ((1 << take) - 1)) << (n - take)
 
     def peek(self, n: int) -> int:
         p = self.pos - n
-        if p >= 0:
-            return (self.val >> p) & ((1 << n) - 1)
-        take = n + p
-        if take <= 0:
-            return 0
-        return (self.val & ((1 << take) - 1)) << (n - take)
+        if p < 0:
+            take = n + p  # bits actually available
+            if take <= 0:
+                return 0
+            hi = (self.pos + 7) >> 3
+            window = int.from_bytes(self.data[:hi], "little")
+            return (window & ((1 << take) - 1)) << (n - take)
+        lo = p >> 3
+        hi = (self.pos + 7) >> 3
+        window = int.from_bytes(self.data[lo:hi], "little")
+        return (window >> (p - lo * 8)) & ((1 << n) - 1)
+
+    def read(self, n: int) -> int:
+        out = self.peek(n)
+        self.pos -= n
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -547,7 +550,32 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState,
 
 def zstd_decompress(data: bytes, expected_size: int | None = None,
                     verify_checksum: bool = True) -> bytes:
-    """Decode one or more concatenated zstd frames."""
+    """Decode zstd data. When the caller knows the decompressed size
+    (every chunk consumer does), the hot path is pyarrow's bundled
+    libzstd (C speed; pyarrow is a hard engine dependency); the pure
+    decoder below is the authoritative spec implementation — it runs
+    when pyarrow is absent or rejects input libzstd one-shot decode
+    can't take (concatenated/skippable frames), and the test suite
+    certifies it against libzstd output directly."""
+    if expected_size is not None:
+        try:
+            import pyarrow as _pa
+
+            return bytes(
+                _pa.Codec("zstd").decompress(data, expected_size)
+            )
+        except ImportError:
+            pass
+        except Exception:
+            # not one plain frame (concat/skippable) — the pure
+            # decoder below either handles it or raises the real error
+            pass
+    return zstd_decompress_pure(data, expected_size, verify_checksum)
+
+
+def zstd_decompress_pure(data: bytes, expected_size: int | None = None,
+                         verify_checksum: bool = True) -> bytes:
+    """Decode one or more concatenated zstd frames (pure Python)."""
     out = bytearray()
     pos = 0
     n = len(data)

@@ -14,7 +14,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from bcdp_spark.sources.zstd import xxh64, zstd_decompress
+from bcdp_spark.sources.zstd import (
+    xxh64,
+    zstd_decompress,
+    zstd_decompress_pure,
+)
 
 pa = pytest.importorskip("pyarrow")
 _Z = pa.Codec("zstd")
@@ -52,7 +56,7 @@ def test_levels_and_shapes(level):
         (np.arange(200000) % 251).astype(np.uint8).tobytes(),  # multi-block
     ]
     for data in cases:
-        assert zstd_decompress(_c(data, level), len(data)) == data
+        assert zstd_decompress_pure(_c(data, level), len(data)) == data
 
 
 def test_differential_fuzz():
@@ -74,13 +78,13 @@ def test_differential_fuzz():
                 data = np.round(rng.randn(n // 8), 3).tobytes()
             else:
                 data = rng.bytes(n)
-            assert zstd_decompress(_c(data, level), len(data)) == data
+            assert zstd_decompress_pure(_c(data, level), len(data)) == data
 
 
 @settings(max_examples=40, deadline=None)
 @given(st.binary(max_size=20000), st.sampled_from([1, 3, 19]))
 def test_roundtrip_property(data, level):
-    assert zstd_decompress(_c(data, level), len(data)) == data
+    assert zstd_decompress_pure(_c(data, level), len(data)) == data
 
 
 # ------------------------------------------------------ hand-built frames
@@ -108,13 +112,13 @@ def _frame(blocks: list[tuple[int, bytes]], checksum: bytes | None = None,
 def test_raw_and_rle_blocks():
     f = _frame([(0, b"abc"), (1, (0x7A, 5)), (0, b"!")],
                fhd=0x20, fcs=bytes([9]))
-    assert zstd_decompress(f) == b"abczzzzz!"
+    assert zstd_decompress_pure(f) == b"abczzzzz!"
 
 
 def test_content_size_mismatch_raises():
     f = _frame([(0, b"abc")], fhd=0x20, fcs=bytes([7]))
     with pytest.raises(ValueError, match="content size mismatch"):
-        zstd_decompress(f)
+        zstd_decompress_pure(f)
 
 
 def test_checksum_verified():
@@ -122,34 +126,51 @@ def test_checksum_verified():
     good = struct.pack("<I", xxh64(body) & 0xFFFFFFFF)
     f = _frame([(0, body)], checksum=good,
                fhd=0x24, fcs=bytes([len(body)]))
-    assert zstd_decompress(f) == body
+    assert zstd_decompress_pure(f) == body
     bad = struct.pack("<I", (xxh64(body) ^ 1) & 0xFFFFFFFF)
     f2 = _frame([(0, body)], checksum=bad,
                 fhd=0x24, fcs=bytes([len(body)]))
     with pytest.raises(ValueError, match="checksum mismatch"):
-        zstd_decompress(f2)
-    assert zstd_decompress(f2, verify_checksum=False) == body
+        zstd_decompress_pure(f2)
+    assert zstd_decompress_pure(f2, verify_checksum=False) == body
 
 
 def test_skippable_and_concatenated_frames():
     skip = struct.pack("<II", 0x184D2A53, 4) + b"meta"
     data1, data2 = b"first frame " * 30, b"second frame " * 30
     blob = skip + _c(data1) + skip + _c(data2)
-    assert zstd_decompress(blob) == data1 + data2
+    assert zstd_decompress_pure(blob) == data1 + data2
 
 
 def test_bad_magic_and_dict_raise():
     with pytest.raises(ValueError, match="bad magic"):
-        zstd_decompress(b"\x00\x01\x02\x03rest")
+        zstd_decompress_pure(b"\x00\x01\x02\x03rest")
     # frame header demanding a dictionary
     f = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 7, 0])
     with pytest.raises(NotImplementedError, match="dictionary"):
-        zstd_decompress(f)
+        zstd_decompress_pure(f)
 
 
 def test_expected_size_enforced():
     with pytest.raises(ValueError, match="output size"):
-        zstd_decompress(_c(b"abcdef"), 5)
+        zstd_decompress_pure(_c(b"abcdef"), 5)
+
+
+def test_dispatcher_matches_pure():
+    """zstd_decompress (pyarrow hot path when size is known, pure
+    fallback otherwise) returns byte-identical output to the pure
+    spec implementation on every shape."""
+    rng = np.random.RandomState(42)
+    for data in (b"", b"abc" * 1000, rng.bytes(10000),
+                 np.round(rng.randn(5000), 2).tobytes()):
+        comp = _c(data)
+        assert zstd_decompress(comp, len(data)) == data
+        assert zstd_decompress(comp) == data  # no-size → pure path
+    # concatenated frames with a known total: libzstd one-shot rejects,
+    # dispatcher must fall back to the pure decoder
+    d1, d2 = b"x" * 500, b"y" * 700
+    blob = _c(d1) + _c(d2)
+    assert zstd_decompress(blob, 1200) == d1 + d2
 
 
 # ------------------------------------------------------------ integrations
