@@ -65,6 +65,14 @@ HEADLINE = (
     # round-4 late — GRIB2 message-granular scan, BPE merge learning
     "q_grib2_climatology",
     "q_bpe_merges",
+    # round-5 — blocked EOF Gram (applyInPandas partial outer products),
+    # vertical interpolation, snapshot diff, token-window chunking,
+    # bigram-LM scoring
+    "q_eof_gram",
+    "q_plev_interp",
+    "q_snapshot_diff",
+    "q_doc_chunking",
+    "q_bigram_perplexity",
 )
 
 
