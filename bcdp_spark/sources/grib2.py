@@ -249,6 +249,10 @@ class GridDef:
     lons: np.ndarray
     lats2d: np.ndarray | None = None
     lons2d: np.ndarray | None = None
+    # reduced (quasi-regular) grids: ragged rows, coordinates are
+    # per-point — lats2d/lons2d hold them flat with shape (1, npoints)
+    reduced: bool = False
+    npoints: int = 0
 
 
 def _gaussian_lats(n: int) -> np.ndarray:
@@ -380,6 +384,89 @@ def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
     return GridDef(template=40, lats=cand[i0 : i0 + nj].copy(), lons=lons)
 
 
+def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
+    """Reduced (quasi-regular) Gaussian grid — ERA5/IFS's NATIVE
+    storage (octahedral O1280 etc.): Ni is missing and an appended
+    list gives the number of points on each of the Nj Gaussian rows;
+    each row's points span the full circle at 360/pl[j] spacing.
+    GLOBAL grids only — a regional reduced subset needs per-row
+    start/end bookkeeping this subset rejects loudly."""
+    (n_total,) = struct.unpack_from(">I", sec3, 6)
+    elem = sec3[10]
+    ni, nj = struct.unpack_from(">II", sec3, 30)
+    if ni != 0xFFFFFFFF:
+        raise ValueError("GRIB2 reduced grid with Ni present")
+    basic_angle, subdiv = struct.unpack_from(">II", sec3, 38)
+    if basic_angle not in (0, 0xFFFFFFFF) or subdiv not in (0, 0xFFFFFFFF):
+        raise NotImplementedError(
+            f"GRIB2 non-default basic angle {basic_angle}/{subdiv} not "
+            "supported (1e-6 degree unit only)"
+        )
+    la1u, lo1u = struct.unpack_from(">II", sec3, 46)
+    la2u, lo2u = struct.unpack_from(">II", sec3, 55)
+    scan = sec3[71]
+    la1 = _sm_decode(la1u, 32) / 1e6
+    lo1 = _sm_decode(lo1u, 32) / 1e6
+    la2 = _sm_decode(la2u, 32) / 1e6
+    lo2 = _sm_decode(lo2u, 32) / 1e6
+    if scan & 0x80:
+        raise NotImplementedError("GRIB2 -i scanning not supported")
+    if scan & 0x20:
+        raise NotImplementedError("GRIB2 j-consecutive scanning not supported")
+    if len(sec3) < 72 + elem * nj:
+        raise ValueError("GRIB2 reduced grid points-per-row list truncated")
+    pl = np.array(
+        [
+            int.from_bytes(sec3[72 + j * elem : 72 + (j + 1) * elem], "big")
+            for j in range(nj)
+        ],
+        dtype=np.int64,
+    )
+    if int(pl.sum()) != n_total:
+        raise ValueError(
+            f"GRIB2 reduced grid: sum(pl)={int(pl.sum())} != section-3 "
+            f"point count {n_total}"
+        )
+    (n_par,) = struct.unpack_from(">I", sec3, 67)
+    if n_par == 0 or n_par == 0xFFFFFFFF or 2 * n_par < nj:
+        raise ValueError(f"GRIB2 Gaussian grid N={n_par} with Nj={nj}")
+    glats = _gaussian_lats(int(n_par))
+    cand = glats if la1 <= la2 else glats[::-1]
+    i0 = int(np.argmin(np.abs(cand - la1)))
+    tol = 1.5e-3
+    if (
+        i0 + nj > cand.size
+        or abs(cand[i0] - la1) > tol
+        or abs(cand[i0 + nj - 1] - la2) > tol
+    ):
+        raise ValueError(
+            f"GRIB2 Gaussian grid la1={la1}/la2={la2}/Nj={nj} does not "
+            f"align with the N={n_par} Gaussian latitudes"
+        )
+    row_lats = cand[i0 : i0 + nj].copy()
+    # global check: first point of first row at lon 0, last point of
+    # last row one increment short of the full circle
+    last_step = 360.0 / int(pl[-1])
+    if abs(lo1) > tol or abs(lo2 - (360.0 - last_step)) > tol:
+        raise NotImplementedError(
+            f"GRIB2 regional reduced Gaussian grid not supported "
+            f"(lo1={lo1}, lo2={lo2}; global full-circle rows only)"
+        )
+    lons_flat = np.concatenate(
+        [np.arange(int(p)) * (360.0 / int(p)) for p in pl]
+    )
+    lats_flat = np.repeat(row_lats, pl)
+    return GridDef(
+        template=40,
+        lats=row_lats,
+        lons=np.empty(0),
+        lats2d=lats_flat[None, :],
+        lons2d=lons_flat[None, :],
+        reduced=True,
+        npoints=n_total,
+    )
+
+
 def _parse_grid_lambert(sec3: bytes) -> GridDef:
     """Template 3.30 Lambert conformal (HRRR/NAM native). The grid is
     regular in projected x/y; per-point lat/lon come from the
@@ -436,18 +523,22 @@ def _parse_grid(sec3: bytes) -> GridDef:
 
 
 def _parse_grid_uncached(sec3: bytes) -> GridDef:
-    if sec3[10] != 0:
-        raise NotImplementedError(
-            "GRIB2 optional list of numbers (reduced grid) not supported"
-        )
     (template,) = struct.unpack_from(">H", sec3, 12)
+    if sec3[10] != 0:  # optional points-per-row list appended
+        if template != 40 or sec3[11] != 1:
+            raise NotImplementedError(
+                f"GRIB2 quasi-regular list on template 3.{template} with "
+                f"interpretation {sec3[11]} not supported (reduced "
+                "Gaussian, interpretation 1 = full circles, only)"
+            )
+        return _parse_grid_reduced_gaussian(sec3)
     if template in (0, 40):
         return _parse_grid_latlon(sec3, template)
     if template == 30:
         return _parse_grid_lambert(sec3)
     raise NotImplementedError(
         f"GRIB2 grid template 3.{template} not supported "
-        "(regular lat/lon 3.0, Lambert 3.30, Gaussian 3.40)"
+        "(regular lat/lon 3.0, Lambert 3.30, Gaussian 3.40 incl. reduced)"
     )
 
 
@@ -525,7 +616,7 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
                     valid_time=valid,
                     level_type=lev_type,
                     level=level,
-                    ni=len(grid.lons),
+                    ni=grid.npoints if grid.reduced else len(grid.lons),
                     nj=len(grid.lats),
                     lat0=lat0,
                     lat1=lat1,
@@ -590,7 +681,10 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
 
     sec6 = secs[6]
     bitmap_ind = sec6[5]
-    ni, nj = len(lons), len(lats)
+    if grid.reduced:  # ragged rows stored flat; coords are per-point
+        nj, ni = 1, grid.npoints
+    else:
+        ni, nj = len(lons), len(lats)
     n_grid = ni * nj
     if bitmap_ind == 255:
         mask = None
@@ -881,6 +975,7 @@ def write_grib2_message(
     stat_hours: int | None = None,
     grid_template: int = 0,
     lambert: dict | None = None,
+    reduced_pl: list[int] | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -894,7 +989,29 @@ def write_grib2_message(
     adapt). NaNs become bitmap-masked points.
     """
     values = np.asarray(values, dtype=np.float64)
-    nj, ni = values.shape
+    if reduced_pl is not None:
+        # global reduced Gaussian fixture: values flat (sum(pl),),
+        # lats = the per-row Gaussian latitudes
+        if grid_template != 40:
+            raise ValueError("reduced_pl requires grid_template=40")
+        pl = [int(p) for p in reduced_pl]
+        nj, ni = len(pl), 0xFFFFFFFF
+        values = values.ravel()
+        if values.size != sum(pl):
+            raise ValueError("reduced values size != sum(pl)")
+        if nj % 2 or len(lats) != nj:
+            raise ValueError("reduced_pl writer is global: len(lats)=Nj even")
+        glats = _gaussian_lats(nj // 2)
+        cand = glats if lats[0] <= lats[-1] else glats[::-1]
+        if np.max(np.abs(cand - np.asarray(lats))) > 1e-6:
+            raise ValueError(
+                f"reduced_pl: lats are not the N={nj // 2} global "
+                "Gaussian latitudes (use _gaussian_lats)"
+            )
+        values = values[None, :]
+    nj_v, ni_v = values.shape
+    if reduced_pl is None:
+        nj, ni = nj_v, ni_v
     if grid_template == 30:
         if lambert is None:
             raise ValueError("grid_template=30 requires the lambert dict")
@@ -903,9 +1020,9 @@ def write_grib2_message(
                 "grid_template=30 takes geometry from the lambert dict; "
                 "pass lats=None, lons=None"
             )
-    elif len(lats) != nj or len(lons) != ni:
+    elif reduced_pl is None and (len(lats) != nj or len(lons) != ni):
         raise ValueError("axis lengths do not match values shape")
-    if grid_template == 40:
+    if grid_template == 40 and reduced_pl is None:
         # fixture-author guard: the writer emits N = Nj/2 (global
         # grid), so the latitudes must BE that grid's Gaussian
         # latitudes or the decoder's alignment check will reject them
@@ -968,6 +1085,25 @@ def write_grib2_message(
             _sm_encode(int(round(-90 * 1e6)), 32),  # south pole of proj
             0,
         )
+    elif reduced_pl is not None:
+        # reduced global Gaussian: Ni and Di missing, points-per-row
+        # list (2 octets each, interpretation 1) appended after the
+        # 72-octet template
+        scan = 0x40 if lats[-1] >= lats[0] else 0x00
+        lo2_last = 360.0 - 360.0 / pl[-1]
+        sec3 = struct.pack(
+            ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
+            72 + 2 * nj, 3, 0, sum(pl), 2, 1, 40,
+            6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
+            0xFFFFFFFF, nj, 0, 0xFFFFFFFF,  # Ni missing; basic angle
+            _sm_encode(int(round(lats[0] * 1e6)), 32),
+            0,                              # lo1 = 0 (global rows)
+            0x00,                           # res/component: Di not given
+            _sm_encode(int(round(lats[-1] * 1e6)), 32),
+            _sm_encode(int(round(lo2_last * 1e6)), 32),
+            0xFFFFFFFF, nj // 2,            # Di missing; Gaussian N
+            scan,
+        ) + b"".join(struct.pack(">H", p) for p in pl)
     else:
         # templates 3.0 / 3.40 (identical layout; octets 68-71 hold Dj
         # for 3.0 and the Gaussian N for 3.40);

@@ -770,3 +770,114 @@ def test_gaussian_load_grib2_climatology_axes(spark, tmp_path):
     assert len(df) == 48
     np.testing.assert_allclose(sorted(df["lat"].unique()), lats,
                                atol=1e-9)
+
+
+# -- reduced (quasi-regular) Gaussian grids — ERA5/IFS native (r5) -----
+
+
+def _reduced_fixture(pl=(4, 8, 12, 12, 8, 4), **kw):
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    lats = _gaussian_lats(len(pl) // 2)
+    npts = sum(pl)
+    vals = np.round(np.arange(npts) * 0.25, 2)
+    raw = write_grib2_message(
+        vals, lats, None, _REF, grid_template=40,
+        reduced_pl=list(pl), decimal_scale=2, nbits=16, **kw,
+    )
+    return raw, lats, vals
+
+
+def test_reduced_gaussian_roundtrip():
+    pl = (4, 8, 12, 12, 8, 4)
+    raw, lats, vals = _reduced_fixture(pl)
+    idx = scan_grib2(raw)[0]
+    assert (idx.ni, idx.nj) == (sum(pl), len(pl))
+    assert idx.lon0 == 0.0 and idx.lon1 == pytest.approx(330.0)
+    f = decode_message(raw)
+    assert f.values.shape == (1, sum(pl))
+    np.testing.assert_allclose(f.values.ravel(), vals, atol=1e-9)
+    np.testing.assert_allclose(
+        f.lats2d.ravel(), np.repeat(lats, pl), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        f.lons2d.ravel(),
+        np.concatenate([np.arange(p) * 360.0 / p for p in pl]),
+        atol=1e-5,
+    )
+
+
+def test_reduced_gaussian_complex_packing_and_bitmap():
+    pl = (6, 10, 10, 6)
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    lats = _gaussian_lats(2)
+    vals = np.round(np.sin(np.arange(sum(pl)) * 0.3) * 8, 2)
+    vals[5] = np.nan  # bitmap-masked point
+    raw = write_grib2_message(
+        vals, lats, None, _REF, grid_template=40, reduced_pl=list(pl),
+        decimal_scale=2, packing=3, spatial_order=2, ref_value=-800.0,
+    )
+    f = decode_message(raw)
+    got = f.values.ravel()
+    assert np.isnan(got[5])
+    m = ~np.isnan(vals)
+    np.testing.assert_allclose(got[m], vals[m], atol=1e-9)
+
+
+def test_reduced_gaussian_load_long_form(spark, tmp_path):
+    """load_grib2 emits per-point rows for a reduced grid (ragged rows
+    never reshape), and in-field lat bounds mask points."""
+    pl = (4, 8, 12, 12, 8, 4)
+    raw, lats, vals = _reduced_fixture(pl)
+    p = os.path.join(tmp_path, "reduced.grib2")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    df = load_grib2(spark, p).toPandas()
+    assert len(df) == sum(pl)
+    assert df["value"].sum() == pytest.approx(vals.sum())
+    # equatorial rows only: the two 12-point rows
+    df2 = load_grib2(spark, p, lat_bnds=(-20, 20)).toPandas()
+    assert len(df2) == 24
+    assert sorted(df2["lat"].unique()) == pytest.approx(
+        [lats[2], lats[3]], abs=1e-6
+    )
+
+
+def test_reduced_regional_and_bad_interpretation_raise():
+    pl = (4, 8, 12, 12, 8, 4)
+    raw, _, _ = _reduced_fixture(pl)
+    import struct as _s
+    from bcdp_spark.sources.grib2 import _parse_grid_uncached, _sm_encode
+
+    # locate section 3 (starts at byte 16 + sec1 len 21)
+    sec3_off = 16 + 21
+    (l3,) = _s.unpack_from(">I", raw, sec3_off)
+    sec3 = bytearray(raw[sec3_off : sec3_off + l3])
+    # poke lo1 to 10 degrees -> regional reduced grid must raise
+    sec3[50:54] = _s.pack(">I", _sm_encode(10_000_000, 32))
+    with pytest.raises(NotImplementedError, match="regional reduced"):
+        _parse_grid_uncached(bytes(sec3))
+    # interpretation != 1
+    sec3 = bytearray(raw[sec3_off : sec3_off + l3])
+    sec3[11] = 2
+    with pytest.raises(NotImplementedError, match="interpretation 2"):
+        _parse_grid_uncached(bytes(sec3))
+    # list on a non-Gaussian template
+    sec3 = bytearray(raw[sec3_off : sec3_off + l3])
+    sec3[12:14] = _s.pack(">H", 0)
+    with pytest.raises(NotImplementedError, match="template 3.0"):
+        _parse_grid_uncached(bytes(sec3))
+
+
+def test_reduced_pl_sum_mismatch_raises():
+    raw, _, _ = _reduced_fixture((4, 8, 12, 12, 8, 4))
+    import struct as _s
+    from bcdp_spark.sources.grib2 import _parse_grid_uncached
+
+    sec3_off = 16 + 21
+    (l3,) = _s.unpack_from(">I", raw, sec3_off)
+    sec3 = bytearray(raw[sec3_off : sec3_off + l3])
+    sec3[72:74] = _s.pack(">H", 5)  # corrupt first row count
+    with pytest.raises(ValueError, match="sum\\(pl\\)"):
+        _parse_grid_uncached(bytes(sec3))
