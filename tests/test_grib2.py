@@ -581,14 +581,16 @@ def test_nondefault_basic_angle_rejected():
         scan_grib2(bytes(a))
 
 
-def test_prime_meridian_wrap_rejected():
-    """lo2 < lo1 under +i scanning (regional grid crossing 0°) must
-    raise, not emit a descending longitude axis."""
-    with pytest.raises(NotImplementedError, match="longitude wrap"):
-        scan_grib2(
-            _field(np.zeros((2, 3)), lons=np.array([350.0, 0.0, 10.0]),
-                   nbits=8)
-        )
+def test_prime_meridian_wrap_decodes():
+    """lo2 < lo1 under +i scanning (regional grid crossing 0°) decodes
+    with the modulo step — never a descending mis-scaled axis (was a
+    loud seam through r4; see test_lon_wrap_regional_grid for the full
+    roundtrip)."""
+    f = decode_message(
+        _field(np.zeros((2, 3)), lons=np.array([350.0, 0.0, 10.0]),
+               nbits=8)
+    )
+    np.testing.assert_allclose(f.lons, [350.0, 0.0, 10.0], atol=1e-5)
 
 
 # -- grid templates 3.40 (Gaussian) and 3.30 (Lambert conformal) -------
@@ -881,3 +883,82 @@ def test_reduced_pl_sum_mismatch_raises():
     sec3[72:74] = _s.pack(">H", 5)  # corrupt first row count
     with pytest.raises(ValueError, match="sum\\(pl\\)"):
         _parse_grid_uncached(bytes(sec3))
+
+
+# -- scan modes: -i, j-consecutive, prime-meridian wrap (r5) ------------
+
+
+def test_neg_i_scanning_roundtrip():
+    """-i storage (westward rows): decode restores geographic order
+    on a descending lon axis with identical values per (lat, lon)."""
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    lons = np.arange(6) * 10.0
+    raw = _field(vals, lons=lons, binary_scale=-2, nbits=10, neg_i=True)
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.lons, lons[::-1])  # stored westward
+    np.testing.assert_allclose(f.values, vals[:, ::-1])
+    got = {
+        (la, lo): f.values[j, i]
+        for j, la in enumerate(f.lats)
+        for i, lo in enumerate(f.lons)
+    }
+    want = {
+        (la, lo): vals[j, i]
+        for j, la in enumerate(np.linspace(-60, 60, 4))
+        for i, lo in enumerate(lons)
+    }
+    assert got == pytest.approx(want)
+
+
+def test_j_consecutive_roundtrip():
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    raw = _field(vals, binary_scale=-2, nbits=10, j_consecutive=True)
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.values, vals)
+
+
+def test_j_consecutive_with_bitmap_and_neg_i():
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    vals[1, 2] = np.nan
+    raw = _field(vals, binary_scale=-2, nbits=10,
+                 j_consecutive=True, neg_i=True)
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.values, vals[:, ::-1])
+
+
+def test_lon_wrap_regional_grid():
+    """Prime-meridian-crossing regional grid (lo1=350 > lo2=20 under
+    +i): longitudes wrap through 360 and come back in [0, 360)."""
+    vals = np.arange(32, dtype=float).reshape(4, 8) * 0.5
+    lons = (350.0 + 10.0 * np.arange(8)) % 360.0  # 350..60
+    raw = _field(vals, lons=lons, binary_scale=-1, nbits=10)
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.lons, lons, atol=1e-5)
+    np.testing.assert_allclose(f.values, vals)
+    idx = scan_grib2(raw)[0]
+    assert idx.lon0 == pytest.approx(0.0) and idx.lon1 == pytest.approx(350.0)
+
+
+def test_scan_modes_load_long_form(spark, tmp_path):
+    """Every scan variant produces identical long-form rows."""
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    base = None
+    for k, kw in enumerate((
+        {}, {"neg_i": True}, {"j_consecutive": True},
+        {"neg_i": True, "j_consecutive": True},
+    )):
+        p = os.path.join(tmp_path, f"scan{k}.grib2")
+        with open(p, "wb") as fh:
+            fh.write(_field(vals, binary_scale=-2, nbits=10, **kw))
+        df = (
+            load_grib2(spark, p)
+            .toPandas()
+            .sort_values(["lat", "lon"])
+            .reset_index(drop=True)
+        )
+        if base is None:
+            base = df
+        else:
+            assert df[["lat", "lon", "value"]].equals(
+                base[["lat", "lon", "value"]]
+            ), f"variant {kw} differs"
