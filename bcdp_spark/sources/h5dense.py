@@ -322,19 +322,29 @@ def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
 
 def _write_btree2_type5(alloc, heap_ids: dict[str, bytes],
                         node_size: int) -> int:
-    """Name-index v2 B-tree (record: lookup3(name) hash + heap ID),
-    depth 0 or 1 depending on capacity."""
+    """Name-index v2 B-tree (record: lookup3(name) hash + heap ID)."""
     recs = sorted(
         struct.pack("<I", lookup3(name.encode("utf-8")))
         + hid
         for name, hid in heap_ids.items()
     )
-    rec_size = len(recs[0]) if recs else 11
+    return write_btree2(alloc, recs, 5, node_size,
+                        rec_size=len(recs[0]) if recs else 11)
+
+
+def write_btree2(alloc, recs: list[bytes], btype: int,
+                 node_size: int = 512, rec_size: int | None = None) -> int:
+    """Generic v2 B-tree fixture writer (depth 0 or 1): used for the
+    dense-link name index (type 5) and the chunk indexes (types
+    10/11). ``recs`` must already be in the tree's native sort
+    order."""
+    if rec_size is None:
+        rec_size = len(recs[0])
     leaf_cap = (node_size - 10) // rec_size
     max_nrec_size = _enc_size(leaf_cap)
 
     def leaf(rows: list[bytes]) -> int:
-        b = bytearray(b"BTLF" + bytes([0, 5]))
+        b = bytearray(b"BTLF" + bytes([0, btype]))
         for r in rows:
             b += r
         b += struct.pack("<I", lookup3(bytes(b)))
@@ -361,7 +371,7 @@ def _write_btree2_type5(alloc, heap_ids: dict[str, bytes],
                 seps.append(recs[i])
                 i += 1
         kids = [(leaf(g), len(g)) for g in groups]
-        b = bytearray(b"BTIN" + bytes([0, 5]))
+        b = bytearray(b"BTIN" + bytes([0, btype]))
         for s in seps:
             b += s
         for addr, n in kids:
@@ -371,7 +381,7 @@ def _write_btree2_type5(alloc, heap_ids: dict[str, bytes],
         root_addr = alloc.put(bytes(b))
         depth, root_nrec = 1, len(seps)
 
-    h = bytearray(b"BTHD" + bytes([0, 5]))
+    h = bytearray(b"BTHD" + bytes([0, btype]))
     h += struct.pack("<IHH", node_size, rec_size, depth)
     h += bytes([100, 40])  # split/merge percents (libhdf5 defaults)
     h += struct.pack("<QH", root_addr, root_nrec)

@@ -572,9 +572,14 @@ class H5File:
             # creation params (max bits, index elmts, min ptrs, min
             # elmts, page bits) — re-read from the EAHD header
             pos += 5
+        elif itype == 5:
+            ds.chunk_index = "btree2"
+            # creation params (node size 4, split% 1, merge% 1) —
+            # re-read from the BTHD header
+            pos += 6
         else:
             raise NotImplementedError(
-                f"layout v4 chunk index type {itype} (v2 B-tree)"
+                f"layout v4 chunk index type {itype}"
             )
         ds.btree_addr = struct.unpack_from("<Q", body, pos)[0]
 
@@ -730,6 +735,9 @@ class H5File:
         if ds.chunk_index == "extensible_array":
             yield from self._extensible_array_chunks(ds, rank)
             return
+        if ds.chunk_index == "btree2":
+            yield from self._btree2_chunks(ds, rank)
+            return
         buf = self.buf
         keylen = 8 + 8 * (rank + 1)
 
@@ -826,6 +834,39 @@ class H5File:
                 addr, nb, fmask = element(pos + k * entry_size)
                 if addr != _UNDEF:
                     yield offsets[k], addr, nb, fmask
+
+    def _btree2_chunks(self, ds: H5Dataset, rank: int):
+        """v4 version-2 B-tree index (HDF5 1.10 'latest', ≥2 unlimited
+        dimensions). Record type 10 (unfiltered): address + per-dim
+        SCALED offsets (chunk grid indices); type 11 (filtered): adds
+        a variable-width chunk size + 4-byte filter mask before the
+        offsets. The walker is the same spec machinery the dense-link
+        name index uses (sources/h5dense.py)."""
+        from bcdp_spark.sources.h5dense import BTree2
+
+        bt = BTree2(self.buf, ds.btree_addr)
+        if bt.btype not in (10, 11):
+            raise ValueError(
+                f"expected chunk v2 B-tree (type 10/11), got {bt.btype}"
+            )
+        raw_nb = (
+            int(np.prod(ds.chunk_shape, dtype=np.int64))
+            * ds.dtype.np_dtype.itemsize
+        )
+        for rec in bt.records():
+            (addr,) = struct.unpack_from("<Q", rec, 0)
+            if bt.btype == 10:
+                nb, fmask, off0 = raw_nb, 0, 8
+            else:
+                size_len = bt.rec_size - 12 - 8 * rank
+                nb = int.from_bytes(rec[8 : 8 + size_len], "little")
+                (fmask,) = struct.unpack_from("<I", rec, 8 + size_len)
+                off0 = 12 + size_len
+            scaled = struct.unpack_from(f"<{rank}Q", rec, off0)
+            offsets = tuple(
+                s * c for s, c in zip(scaled, ds.chunk_shape)
+            )
+            yield offsets, addr, nb, fmask
 
     def _extensible_array_chunks(self, ds: H5Dataset, rank: int):
         """v4 extensible-array index (HDF5 1.10 'latest', ONE unlimited
@@ -1083,6 +1124,32 @@ def _v4_chunked_layout(
         return _ea_chunked_layout(
             alloc, head, chunk_blobs, filtered, ea_params or {}
         )
+    if itype == "btree2":
+        from bcdp_spark.sources.h5dense import write_btree2
+
+        node_size = (ea_params or {}).get("bt2_node_size", 512)
+        size_len = 8
+        recs = []
+        for idx, raw in chunk_blobs:
+            addr = alloc.put(raw)
+            rec = struct.pack("<Q", addr)
+            if filtered:
+                rec += len(raw).to_bytes(size_len, "little")
+                rec += struct.pack("<I", 0)
+            rec += struct.pack(
+                f"<{rank}Q", *(o // c for o, c in zip(idx, cshape))
+            )
+            recs.append(rec)
+        recs.sort(  # native order: scaled offsets, first dim slowest
+            key=lambda r: struct.unpack_from(
+                f"<{rank}Q", r, len(r) - 8 * rank
+            )
+        )
+        bt_addr = write_btree2(
+            alloc, recs, 11 if filtered else 10, node_size
+        )
+        body = head + struct.pack("<BIBBQ", 5, node_size, 100, 40, bt_addr)
+        return 0x08, body
     if itype != "fixed_array":
         raise ValueError(f"unknown v4 index type {itype!r}")
     entries = [(alloc.put(raw), len(raw)) for _idx, raw in chunk_blobs]

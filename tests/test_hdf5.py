@@ -211,6 +211,47 @@ def test_layout_v4_extensible_array(kw, ea):
     )
 
 
+@pytest.mark.parametrize(
+    "kw,chunk,depth",
+    [
+        # 72 chunks at the default 512-byte node: depth-1 tree
+        # (internal root + leaves) for both record types
+        ({"gzip_level": 4, "shuffle": True}, (2, 2, 3), 1),
+        ({"gzip_level": None}, (2, 2, 3), 1),
+        # 4 chunks: root-leaf (depth 0)
+        ({"gzip_level": 4}, (6, 2, 6), 0),
+        ({"gzip_level": None}, (6, 2, 6), 0),
+    ],
+    ids=["bt2-depth1-gzip", "bt2-depth1-raw", "bt2-gzip", "bt2-raw"],
+)
+def test_layout_v4_btree2_chunk_index(kw, chunk, depth):
+    """v4 v2-B-tree chunk index (≥2 unlimited dims, HDF5 1.10
+    'latest'): type-10/11 records (scaled offsets, filtered sizes)
+    roundtrip at depth 0 and 1; hyperslabs prune."""
+    from bcdp_spark.sources.h5dense import BTree2
+
+    rng = np.random.RandomState(17)
+    data = rng.randn(12, 4, 6)
+    raw = write_hdf5(
+        {"pr": (["t", "a", "o"], data, {"u": "x"})},
+        chunk={"pr": chunk},
+        v4_index={"pr": "btree2"},
+        maxshape={"pr": (None, None, 6)},
+        **kw,
+    )
+    h5 = read_hdf5(raw)
+    ds = h5.datasets["pr"]
+    assert ds.chunk_index == "btree2"
+    bt = BTree2(h5.buf, ds.btree_addr)
+    assert bt.depth == depth
+    assert bt.btype == (11 if kw["gzip_level"] else 10)
+    np.testing.assert_array_equal(h5.read("pr"), data)
+    np.testing.assert_array_equal(
+        h5.read("pr", sel=(slice(5, 11), slice(0, 3), slice(2, 6))),
+        data[5:11, 0:3, 2:6],
+    )
+
+
 def test_extensible_array_non_leading_unlimited_raises():
     """HDF5 swizzles a non-leading unlimited dim to the front of the
     EA element order — that layout must fail loudly, not misread."""
