@@ -47,6 +47,8 @@ _SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
 # Blosc(cname='lz4')); zstd/snappy/blosclz stay loud seams
 _SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib", "zstd")
+# v2 numcodecs filters with a from-scratch decode below
+_SUPPORTED_FILTERS = ("delta", "shuffle", "fixedscaleoffset", "quantize")
 
 
 @dataclass
@@ -72,6 +74,8 @@ class ZArrayMeta:
     shard_codecs: list = field(default_factory=list)  # v3 inner chain
     shard_index_location: str = "end"
     shard_index_crc: bool = False
+    filters: list = field(default_factory=list)  # v2 numcodecs chain
+    transpose_order: tuple | None = None  # v3 transpose codec
 
     @property
     def dims(self) -> list[str]:
@@ -113,8 +117,8 @@ _V3_DTYPES = {
 
 def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
     """zarr.json (v3 core spec) → ZArrayMeta. Codecs supported: bytes
-    (endian), gzip, crc32c (stripped), sharding_indexed; transpose or
-    anything else raises with the codec name."""
+    (endian), gzip, zstd, blosc (byte shuffle), transpose, crc32c
+    (stripped), sharding_indexed; anything else raises by name."""
     if doc.get("node_type") != "array":
         raise ValueError(f"{name}: zarr.json node_type is not 'array'")
     base = _V3_DTYPES.get(doc["data_type"])
@@ -158,8 +162,21 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
             )
             codecs = shard_codecs  # endianness of the actual data
             break
+    transpose_order = None
     for c in codecs:
-        if c.get("name") not in ("bytes", "gzip", "zstd", "crc32c"):
+        if c.get("name") == "transpose":
+            transpose_order = tuple(c["configuration"]["order"])
+        elif c.get("name") == "blosc":
+            cfg = c.get("configuration", {})
+            if cfg.get("cname", "lz4") not in _SUPPORTED_BLOSC_CNAMES:
+                raise NotImplementedError(
+                    f"{name}: v3 blosc cname {cfg.get('cname')!r}"
+                )
+            if cfg.get("shuffle") == "bitshuffle":
+                raise NotImplementedError(
+                    f"{name}: v3 blosc bit-shuffle (byte shuffle only)"
+                )
+        elif c.get("name") not in ("bytes", "gzip", "zstd", "crc32c"):
             raise NotImplementedError(f"{name}: v3 codec {c.get('name')!r}")
     attrs = dict(doc.get("attributes", {}))
     if "dimension_names" in doc and "_ARRAY_DIMENSIONS" not in attrs:
@@ -180,6 +197,7 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
         shard_codecs=shard_codecs,
         shard_index_location=shard_loc,
         shard_index_crc=shard_crc,
+        transpose_order=transpose_order,
     )
 
 
@@ -200,10 +218,13 @@ def read_array_meta(
             f"{name}: only Zarr v2/v3 stores are supported "
             f"(zarr_format={za.get('zarr_format')})"
         )
-    if za.get("filters"):
-        raise NotImplementedError(
-            f"{name}: Zarr filters are not supported (found {za['filters']})"
-        )
+    filters = list(za.get("filters") or [])
+    for f in filters:
+        if f.get("id") not in _SUPPORTED_FILTERS:
+            raise NotImplementedError(
+                f"{name}: Zarr v2 filter {f.get('id')!r} not supported "
+                f"(supported: {_SUPPORTED_FILTERS})"
+            )
     comp = za.get("compressor")
     if comp is not None and comp.get("id") not in _SUPPORTED_COMPRESSORS:
         raise NotImplementedError(
@@ -235,6 +256,7 @@ def read_array_meta(
         compressor=comp,
         separator=za.get("dimension_separator", "."),
         attrs=attrs,
+        filters=filters,
     )
 
 
@@ -258,10 +280,58 @@ def _bb_decode(raw: bytes, chain: list, expect: int | None = None) -> bytes:
             from bcdp_spark.sources.zstd import zstd_decompress
 
             raw = zstd_decompress(raw, expect)
+        elif n == "blosc":
+            from bcdp_spark.sources.blosc import blosc_decompress
+
+            raw = blosc_decompress(raw)
         elif n == "crc32c":
             raw = raw[:-4]
         # "bytes" handled by the dtype's endianness
     return raw
+
+
+def _filters_decode(raw: bytes, filters: list, dtype: np.dtype) -> bytes:
+    """v2 numcodecs filter chain, decode side (reverse of encode
+    order). Each filter is a small exact numpy transform implemented
+    from the numcodecs semantics: delta = cumsum over the stored
+    astype; shuffle = byte transpose; fixedscaleoffset = x/scale +
+    offset (the loss happened at encode); quantize = plain view (the
+    rounding happened at encode)."""
+    for f in reversed(filters):
+        fid = f["id"]
+        if fid == "shuffle":
+            es = int(f.get("elementsize", dtype.itemsize))
+            a = np.frombuffer(raw, np.uint8)
+            raw = a.reshape(es, len(a) // es).T.tobytes()
+        elif fid == "delta":
+            st = np.dtype(f.get("astype") or f["dtype"])
+            a = np.frombuffer(raw, st)
+            raw = np.cumsum(a, dtype=np.dtype(f["dtype"])).tobytes()
+        elif fid == "fixedscaleoffset":
+            st = np.dtype(f.get("astype") or f["dtype"])
+            a = np.frombuffer(raw, st)
+            dec = a / f["scale"] + f["offset"]
+            raw = dec.astype(np.dtype(f["dtype"])).tobytes()
+        elif fid == "quantize":
+            st = np.dtype(f.get("astype") or f["dtype"])
+            raw = (
+                np.frombuffer(raw, st)
+                .astype(np.dtype(f["dtype"]))
+                .tobytes()
+            )
+        else:  # unreachable: gated at meta-read time
+            raise NotImplementedError(f"Zarr v2 filter {fid!r}")
+    return raw
+
+
+def _untranspose(arr: np.ndarray, meta: ZArrayMeta,
+                 chunks: tuple) -> np.ndarray:
+    """v3 transpose codec: the stored chunk is permuted by ``order``;
+    reshape to the permuted shape and invert the permutation."""
+    order = meta.transpose_order
+    stored_shape = tuple(chunks[d] for d in order)
+    inv = np.argsort(order)
+    return arr.reshape(stored_shape).transpose(inv)
 
 
 def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
@@ -274,7 +344,10 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             raw, meta.codecs,
             int(np.prod(meta.chunks)) * meta.dtype.itemsize,
         )
-        return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks)
+        arr = np.frombuffer(raw, dtype=meta.dtype)
+        if meta.transpose_order is not None:
+            return _untranspose(arr, meta, meta.chunks)
+        return arr.reshape(meta.chunks)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
         if cid == "gzip":
@@ -291,6 +364,8 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             )
         else:
             raw = _zlib.decompress(raw)
+    if meta.filters:
+        raw = _filters_decode(raw, meta.filters, meta.dtype)
     arr = np.frombuffer(raw, dtype=meta.dtype)
     return arr.reshape(meta.chunks, order=meta.order)
 
@@ -325,7 +400,12 @@ def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             raw[int(off) : int(off) + int(nb)], meta.shard_codecs,
             int(np.prod(inner)) * meta.dtype.itemsize,
         )
-        block = np.frombuffer(blob, dtype=meta.dtype).reshape(inner)
+        block = np.frombuffer(blob, dtype=meta.dtype)
+        block = (
+            _untranspose(block, meta, tuple(inner))
+            if meta.transpose_order is not None
+            else block.reshape(inner)
+        )
         sel = tuple(
             slice(i * c, min((i + 1) * c, o))
             for i, c, o in zip(iidx, inner, meta.chunks)
@@ -596,12 +676,43 @@ def pruned_chunk_count(
 # -- writer (fixture generation + S6 sink parity: Ensemble.to_zarr) -----
 
 
+def _filters_encode(arr: np.ndarray, filters: list) -> bytes:
+    """Encode twin of :func:`_filters_decode` (fixture writer)."""
+    for f in filters:
+        fid = f["id"]
+        if fid == "delta":
+            st = np.dtype(f.get("astype") or f["dtype"])
+            enc = np.empty(arr.shape, dtype=st)
+            enc[0] = arr[0]
+            enc[1:] = np.diff(arr)
+            arr = enc
+        elif fid == "fixedscaleoffset":
+            st = np.dtype(f.get("astype") or f["dtype"])
+            arr = np.round((arr - f["offset"]) * f["scale"]).astype(st)
+        elif fid == "quantize":
+            st = np.dtype(f.get("astype") or f["dtype"])
+            digits = int(f["digits"])
+            precision = 10.0 ** -digits
+            exp = np.log10(precision)
+            bits = np.ceil(np.log2(10.0 ** -exp))
+            scale = 2.0 ** bits
+            arr = (np.around(scale * arr) / scale).astype(st)
+        elif fid == "shuffle":
+            es = int(f.get("elementsize", arr.dtype.itemsize))
+            b = np.frombuffer(arr.tobytes(), np.uint8)
+            return b.reshape(len(b) // es, es).T.tobytes()
+        else:
+            raise NotImplementedError(f"Zarr v2 filter {fid!r}")
+    return arr.tobytes()
+
+
 def write_zarr(
     store: str,
     dims: dict[str, int],
     variables: dict[str, tuple[list[str], np.ndarray, dict]],
     chunks: dict[str, tuple[int, ...]] | None = None,
     compressor: dict | None = None,
+    filters: dict[str, list] | None = None,
 ) -> None:
     """Write a Zarr v2 group — deterministic bytes (zlib is deterministic
     for a fixed level), xarray-convention ``_ARRAY_DIMENSIONS``."""
@@ -626,7 +737,7 @@ def write_zarr(
             "compressor": compressor if compressor else None,
             "fill_value": None,
             "order": "C",
-            "filters": None,
+            "filters": (filters or {}).get(name) or None,
         }
         zattrs = {"_ARRAY_DIMENSIONS": vdims, **attrs}
         with open(os.path.join(adir, ".zarray"), "w") as fh:
@@ -652,7 +763,12 @@ def write_zarr(
                 full = np.zeros(vchunks, dtype=arr.dtype)
                 full[tuple(slice(0, e) for e in block.shape)] = block
                 block = full
-            raw = block.tobytes(order="C")
+            vfilters = (filters or {}).get(name)
+            raw = (
+                _filters_encode(block.ravel(), vfilters)
+                if vfilters
+                else block.tobytes(order="C")
+            )
             if compressor:
                 if compressor["id"] == "gzip":
                     raw = _gzip.compress(

@@ -601,9 +601,16 @@ def test_zarr_v3_unsupported_codec_raises(tmp_path):
         variables={"v": (["x"], np.arange(4, dtype="<f8"), {})},
     )
     doc = json.load(open(f"{store}/v/zarr.json"))
-    doc["codecs"] = [{"name": "blosc", "configuration": {"cname": "lz4"}}]
+    doc["codecs"] = [{"name": "packbits", "configuration": {}}]
     json.dump(doc, open(f"{store}/v/zarr.json", "w"))
-    with pytest.raises(NotImplementedError, match="blosc"):
+    with pytest.raises(NotImplementedError, match="packbits"):
+        read_array_meta(store, "v")
+    # blosc with an undecodable cname also raises by name
+    doc["codecs"] = [
+        {"name": "blosc", "configuration": {"cname": "snappy"}}
+    ]
+    json.dump(doc, open(f"{store}/v/zarr.json", "w"))
+    with pytest.raises(NotImplementedError, match="snappy"):
         read_array_meta(store, "v")
 
 
@@ -825,3 +832,161 @@ def test_select_var_on_multi_var_ensemble(spark, tmp_path):
     assert pr.df.filter("value >= 100").count() == 0
     # downstream verbs still compose: per-cell monthly climatology
     assert pr.climatology(bucket="month").count() == na * no
+
+
+# -- v2 numcodecs filters + v3 blosc/transpose codecs (r5) --------------
+
+
+def test_v2_filters_roundtrip(spark, tmp_path):
+    """delta / shuffle / fixedscaleoffset / quantize filter chains
+    (numcodecs semantics) decode through the full load path."""
+    from bcdp_spark.sources.zarr import load_zarr, write_zarr
+
+    cases = [
+        [{"id": "delta", "dtype": "<f8", "astype": "<f8"}],
+        [{"id": "shuffle", "elementsize": 8}],
+        [{"id": "fixedscaleoffset", "offset": 100.0, "scale": 100,
+          "dtype": "<f8", "astype": "<i4"}],
+        [{"id": "quantize", "digits": 3, "dtype": "<f8",
+          "astype": "<f8"}],
+        # chain: delta then shuffle (encode order)
+        [{"id": "delta", "dtype": "<f8", "astype": "<f8"},
+         {"id": "shuffle", "elementsize": 8}],
+    ]
+    nt, na, no = 6, 3, 4
+    t = np.arange(nt)[:, None, None]
+    a = np.arange(na)[None, :, None]
+    o = np.arange(no)[None, None, :]
+    data = 100.0 + 0.25 * (t * 16 + a * 4 + o)  # exact under fso/quantize
+    for k, chain in enumerate(cases):
+        store = str(tmp_path / f"f{k}.zarr")
+        write_zarr(
+            store,
+            dims={"time": nt, "lat": na, "lon": no},
+            variables={
+                "time": (["time"], np.arange(nt, dtype="<f8"),
+                         {"units": "days since 2001-01-01"}),
+                "lat": (["lat"], np.linspace(-30, 30, na), {}),
+                "lon": (["lon"], np.arange(no) * 90.0, {}),
+                "pr": (["time", "lat", "lon"], data, {}),
+            },
+            chunks={"pr": (3, 3, 4)},
+            filters={"pr": chain},
+        )
+        pdf = load_zarr(spark, store).toPandas()
+        assert len(pdf) == data.size, chain
+        assert pdf.value.sum() == pytest.approx(data.sum()), chain
+
+
+def test_v2_unsupported_filter_raises(tmp_path):
+    import json as _json
+
+    from bcdp_spark.sources.zarr import read_array_meta
+
+    store, _ = _write_store(tmp_path)
+    p = os.path.join(store, "pr", ".zarray")
+    za = _json.load(open(p))
+    za["filters"] = [{"id": "bitround", "keepbits": 8}]
+    _json.dump(za, open(p, "w"))
+    os.remove(os.path.join(store, ".zmetadata"))
+    with pytest.raises(NotImplementedError, match="bitround"):
+        read_array_meta(store, "pr")
+
+
+def test_v3_blosc_codec(tmp_path, spark):
+    """v3 bytes->blosc chain: hand-built store, chunks framed by our
+    blosc writer (lz4 + byte shuffle)."""
+    import json as _json
+
+    from bcdp_spark.sources.blosc import blosc_compress
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store = str(tmp_path / "v3b.zarr")
+    nt, na, no = 4, 3, 4
+    data = (np.arange(nt * na * no, dtype="<f8") * 0.5).reshape(nt, na, no)
+    os.makedirs(store)
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(os.path.join(store, "zarr.json"), "w"))
+
+    def arr_doc(shape, chunk, dims, codecs):
+        return {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(shape), "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(chunk)}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": 0, "codecs": codecs,
+            "dimension_names": dims,
+        }
+
+    bytes_c = {"name": "bytes", "configuration": {"endian": "little"}}
+    blosc_c = {"name": "blosc", "configuration": {
+        "cname": "lz4", "clevel": 5, "shuffle": "shuffle", "typesize": 8}}
+    coords = {
+        "time": (np.arange(nt, dtype="<f8"),
+                 {"units": "days since 2001-01-01"}),
+        "lat": (np.linspace(-30, 30, na), {}),
+        "lon": (np.arange(no) * 90.0, {}),
+    }
+    for cname, (cv, cattrs) in coords.items():
+        d = os.path.join(store, cname)
+        os.makedirs(os.path.join(d, "c"), exist_ok=True)
+        doc = arr_doc(cv.shape, cv.shape, [cname], [bytes_c])
+        doc["attributes"] = cattrs
+        _json.dump(doc, open(os.path.join(d, "zarr.json"), "w"))
+        open(os.path.join(d, "c", "0"), "wb").write(cv.tobytes())
+    d = os.path.join(store, "pr")
+    os.makedirs(os.path.join(d, "c", "0", "0"), exist_ok=True)
+    os.makedirs(os.path.join(d, "c", "1", "0"), exist_ok=True)
+    _json.dump(
+        arr_doc((nt, na, no), (2, 3, 4), ["time", "lat", "lon"],
+                [bytes_c, blosc_c]),
+        open(os.path.join(d, "zarr.json"), "w"),
+    )
+    for ci in range(2):
+        chunk = np.ascontiguousarray(data[ci * 2 : ci * 2 + 2])
+        open(os.path.join(d, "c", str(ci), "0", "0"), "wb").write(
+            blosc_compress(chunk.tobytes(), typesize=8, cname="lz4")
+        )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == data.size
+    assert pdf.value.sum() == pytest.approx(data.sum())
+
+
+def test_v3_transpose_codec(tmp_path):
+    """transpose codec: stored chunk is permuted; decode inverts."""
+    import json as _json
+
+    from bcdp_spark.sources.zarr import decode_chunk_bytes, read_array_meta
+
+    store = str(tmp_path / "v3t.zarr")
+    chunk = (2, 3, 4)
+    data = np.arange(24, dtype="<f8").reshape(chunk)
+    order = (2, 0, 1)
+    os.makedirs(os.path.join(store, "v", "c", "0", "0"), exist_ok=True)
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(os.path.join(store, "zarr.json"), "w"))
+    _json.dump(
+        {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(chunk), "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(chunk)}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": 0,
+            "codecs": [
+                {"name": "transpose", "configuration": {"order": list(order)}},
+                {"name": "bytes", "configuration": {"endian": "little"}},
+            ],
+        },
+        open(os.path.join(store, "v", "zarr.json"), "w"),
+    )
+    stored = np.ascontiguousarray(data.transpose(order))
+    open(os.path.join(store, "v", "c", "0", "0", "0"), "wb").write(
+        stored.tobytes()
+    )
+    meta = read_array_meta(store, "v")
+    got = decode_chunk_bytes(stored.tobytes(), meta)
+    np.testing.assert_array_equal(got, data)
