@@ -323,6 +323,25 @@ def _lcc_inverse(x, y, latin1, latin2, lad, lov, radius):
     return lat, lon
 
 
+def _angle_unit(sec3: bytes) -> float:
+    """Coordinate unit in degrees from the basic angle (octets 39-42)
+    and its subdivisions (43-46). Both zero/missing → the default
+    1e-6-degree unit; both set → basic/subdivisions degrees (e.g.
+    basic=1, subdiv=1000 stores milli-degrees); one set without the
+    other is ambiguous and raises rather than mis-scale the grid."""
+    basic_angle, subdiv = struct.unpack_from(">II", sec3, 38)
+    basic_dflt = basic_angle in (0, 0xFFFFFFFF)
+    sub_dflt = subdiv in (0, 0xFFFFFFFF)
+    if basic_dflt and sub_dflt:
+        return 1e-6
+    if basic_dflt != sub_dflt:
+        raise NotImplementedError(
+            f"GRIB2 basic angle {basic_angle} with subdivisions "
+            f"{subdiv}: one default, one set — ambiguous unit"
+        )
+    return basic_angle / subdiv
+
+
 def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
     """Templates 3.0 (regular) and 3.40 (Gaussian): identical octet
     layout except 68-71 hold Dj (3.0) vs N parallels (3.40)."""
@@ -332,23 +351,14 @@ def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
             "GRIB2 reduced (quasi-regular) grid not supported "
             "(Ni is missing; points-per-row list)"
         )
-    # basic angle (octets 39-42) and its subdivisions (43-46): a
-    # non-default value rescales every coordinate away from the 1e-6
-    # degree unit hard-coded below — fail loudly rather than emit a
-    # silently mis-scaled grid.
-    basic_angle, subdiv = struct.unpack_from(">II", sec3, 38)
-    if basic_angle not in (0, 0xFFFFFFFF) or subdiv not in (0, 0xFFFFFFFF):
-        raise NotImplementedError(
-            f"GRIB2 non-default basic angle {basic_angle}/{subdiv} not "
-            "supported (1e-6 degree unit only)"
-        )
+    unit = _angle_unit(sec3)
     la1u, lo1u = struct.unpack_from(">II", sec3, 46)
     la2u, lo2u = struct.unpack_from(">II", sec3, 55)
     scan = sec3[71]
-    la1 = _sm_decode(la1u, 32) / 1e6
-    lo1 = _sm_decode(lo1u, 32) / 1e6
-    la2 = _sm_decode(la2u, 32) / 1e6
-    lo2 = _sm_decode(lo2u, 32) / 1e6
+    la1 = _sm_decode(la1u, 32) * unit
+    lo1 = _sm_decode(lo1u, 32) * unit
+    la2 = _sm_decode(la2u, 32) * unit
+    lo2 = _sm_decode(lo2u, 32) * unit
     jc = bool(scan & 0x20)
     # longitudes run lo1 → lo2 in storage order: +i east, -i (0x80)
     # west; a regional grid crossing the prime meridian wraps through
@@ -409,19 +419,14 @@ def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
     ni, nj = struct.unpack_from(">II", sec3, 30)
     if ni != 0xFFFFFFFF:
         raise ValueError("GRIB2 reduced grid with Ni present")
-    basic_angle, subdiv = struct.unpack_from(">II", sec3, 38)
-    if basic_angle not in (0, 0xFFFFFFFF) or subdiv not in (0, 0xFFFFFFFF):
-        raise NotImplementedError(
-            f"GRIB2 non-default basic angle {basic_angle}/{subdiv} not "
-            "supported (1e-6 degree unit only)"
-        )
+    unit = _angle_unit(sec3)
     la1u, lo1u = struct.unpack_from(">II", sec3, 46)
     la2u, lo2u = struct.unpack_from(">II", sec3, 55)
     scan = sec3[71]
-    la1 = _sm_decode(la1u, 32) / 1e6
-    lo1 = _sm_decode(lo1u, 32) / 1e6
-    la2 = _sm_decode(la2u, 32) / 1e6
-    lo2 = _sm_decode(lo2u, 32) / 1e6
+    la1 = _sm_decode(la1u, 32) * unit
+    lo1 = _sm_decode(lo1u, 32) * unit
+    la2 = _sm_decode(la2u, 32) * unit
+    lo2 = _sm_decode(lo2u, 32) * unit
     if scan & 0x80:
         raise NotImplementedError("GRIB2 -i scanning not supported")
     if scan & 0x20:
@@ -994,6 +999,7 @@ def write_grib2_message(
     reduced_pl: list[int] | None = None,
     neg_i: bool = False,
     j_consecutive: bool = False,
+    basic_angle: tuple[int, int] | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1147,20 +1153,26 @@ def write_grib2_message(
         )
         di = ((lons[-1] - lons[0]) % 360.0) / max(ni - 1, 1)
         dj = abs(lats[-1] - lats[0]) / max(nj - 1, 1)
+        # coordinate unit: default 1e-6 degrees, or basic/subdiv
+        if basic_angle is None:
+            ba, sub, per_deg = 0, 0xFFFFFFFF, 1e6
+        else:
+            ba, sub = basic_angle
+            per_deg = sub / ba
         last = (
-            int(round(dj * 1e6)) if grid_template == 0 else nj // 2
+            int(round(dj * per_deg)) if grid_template == 0 else nj // 2
         )
         sec3 = struct.pack(
             ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
             72, 3, 0, ni * nj, 0, 0, grid_template,
             6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
-            ni, nj, 0, 0xFFFFFFFF,          # basic angle / subdivisions
-            _sm_encode(int(round(lats[0] * 1e6)), 32),
-            _sm_encode(int(round(lo_first % 360.0 * 1e6)), 32),
+            ni, nj, ba, sub,                # basic angle / subdivisions
+            _sm_encode(int(round(lats[0] * per_deg)), 32),
+            _sm_encode(int(round(lo_first % 360.0 * per_deg)), 32),
             0x30,                           # res/component flags: Di/Dj given
-            _sm_encode(int(round(lats[-1] * 1e6)), 32),
-            _sm_encode(int(round(lo_last % 360.0 * 1e6)), 32),
-            int(round(di * 1e6)), last,
+            _sm_encode(int(round(lats[-1] * per_deg)), 32),
+            _sm_encode(int(round(lo_last % 360.0 * per_deg)), 32),
+            int(round(di * per_deg)), last,
             scan,
         )
     if level is None:

@@ -962,3 +962,31 @@ def test_scan_modes_load_long_form(spark, tmp_path):
             assert df[["lat", "lon", "value"]].equals(
                 base[["lat", "lon", "value"]]
             ), f"variant {kw} differs"
+
+
+def test_basic_angle_unit_roundtrip():
+    """Non-default basic angle (basic=1, subdiv=1000 -> milli-degree
+    coordinates) decodes to the same geographic axes; was a loud seam
+    through mid-r5."""
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    lats = np.array([-60.0, -20.0, 20.0, 60.0])
+    lons = np.arange(6) * 10.0
+    raw = _field(vals, lats=lats, lons=lons, binary_scale=-2, nbits=10,
+                 basic_angle=(1, 1000))
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.lats, lats, atol=1e-9)
+    np.testing.assert_allclose(f.lons, lons, atol=1e-9)
+    np.testing.assert_allclose(f.values, vals)
+
+
+def test_basic_angle_half_set_raises():
+    import struct as _s
+    from bcdp_spark.sources.grib2 import _parse_grid_uncached
+
+    raw = _field(np.zeros((2, 3)), nbits=8)
+    sec3_off = 16 + 21
+    (l3,) = _s.unpack_from(">I", raw, sec3_off)
+    sec3 = bytearray(raw[sec3_off : sec3_off + l3])
+    sec3[38:42] = _s.pack(">I", 3)  # basic set, subdiv left missing
+    with pytest.raises(NotImplementedError, match="ambiguous unit"):
+        _parse_grid_uncached(bytes(sec3))
