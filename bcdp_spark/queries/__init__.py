@@ -106,9 +106,13 @@ _PRIORITY = (
     # (d) corpus / text statistics family (never graded)
     "q_token_count", "q_bigrams", "q_cooccurrence", "q_vocab_growth",
     "q_repetition_ratio", "q_doc_length_histogram", "q_boilerplate",
-    "q_redact_terms", "q_token_budget_select", "q_entropy",
+    "q_redact_terms",
+    # (d') r5 codec flagships (new this round): zstd under blosc/v3
+    # wrappings + delta filter; reduced global Gaussian GRIB2
+    "q_zarr_zstd", "q_grib2_reduced",
     # --- 50-key window boundary ---
-    # (e) the final 26 never-graded keys — next in line, round 6
+    # (e) the remaining never-graded keys — next in line, round 6
+    "q_token_budget_select", "q_entropy",
     "q_abandonment", "q_approx_distinct", "q_array_ops",
     "q_bloom_semi_join", "q_cohort_retention", "q_compress_ratio",
     "q_dau_mau", "q_disjunctive_scan", "q_fulfillment_lag",

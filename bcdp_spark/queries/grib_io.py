@@ -126,3 +126,83 @@ def q_grib2_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 — reduced (quasi-regular) global Gaussian grid, the ERA5/IFS
+# native layout: ragged rows, per-point coordinates, bitmap, complex
+# packing. Row point-counts divide 360 exactly (90/45/30-degree
+# steps), so per-point longitudes are exact doubles and the oracle
+# regenerates them with the identical i*(360/p) arithmetic.
+# ---------------------------------------------------------------------------
+_RED_PL = (4, 8, 12, 12, 8, 4)
+_RED_FIX = "/tmp/bcdp_spark_grib2_reduced_fixture_v1"
+
+
+def _ensure_reduced_fixture() -> str:
+    from bcdp_spark.sources.grib2 import _gaussian_lats, write_grib2_message
+
+    done = os.path.join(_RED_FIX, ".complete")
+    if os.path.exists(done):
+        return _RED_FIX
+    os.makedirs(_RED_FIX, exist_ok=True)
+    lats = _gaussian_lats(len(_RED_PL) // 2)
+    npts = sum(_RED_PL)
+    vals = np.where(
+        np.arange(npts) % 7 == 0, np.nan, 0.25 * np.arange(npts)
+    )
+    raw = write_grib2_message(
+        vals, lats, None, _dt.datetime(2001, 1, 1),
+        grid_template=40, reduced_pl=list(_RED_PL),
+        binary_scale=-2, packing=3, spatial_order=2,
+    )
+    tmp = os.path.join(_RED_FIX, ".reduced.grib2.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, os.path.join(_RED_FIX, "reduced.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _RED_FIX
+
+
+@register(
+    "q_grib2_reduced",
+    oracle="""
+WITH rows(r, p, off) AS (
+  VALUES (0, 4, 0), (1, 8, 4), (2, 12, 12),
+         (3, 12, 24), (4, 8, 36), (5, 4, 44)
+),
+grid AS (
+  SELECT i.g * (360.0 / r.p) AS lon,
+         CASE WHEN (r.off + i.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (r.off + i.g) END AS value
+  FROM rows r, generate_series(0, 11) i(g)
+  WHERE i.g < r.p
+)
+SELECT lon,
+       COUNT(*) AS n_points,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY lon
+""",
+)
+def q_grib2_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+ (r5): reduced GLOBAL Gaussian grid end-to-end — ragged
+    rows emit per-point long form (no reshape), bitmap NaNs and
+    complex+spatial-differencing packing included; grouped by the
+    exact per-row longitudes. ``sf_dir`` unused (synthetic decode
+    fixture)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_reduced_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    return df.groupBy("lon").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -165,3 +165,124 @@ def q_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(v).alias("n_valid"),
         F.round(num / den, 6).alias("aw_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 — zstd through both wrappings a real store uses: a v2 store with
+# the blosc container (cname='zstd', byte shuffle) UNDER a numcodecs
+# delta filter, and a v3 store with the bytes→zstd default chain. One
+# green driver row certifies the RFC 8878 decode, the blosc framing,
+# the filter chain, and the v3 codec routing at once. Values are 0.25
+# steps, so the delta encode and every sum are float-exact.
+# ---------------------------------------------------------------------------
+_ZS_T, _ZS_A, _ZS_O = 30, 4, 6
+_ZS_LATS = (-60.0, -20.0, 20.0, 60.0)
+_ZS_V2 = "/tmp/bcdp_spark_zarr_zstd_v2_fixture_v1"
+_ZS_V3 = "/tmp/bcdp_spark_zarr_zstd_v3_fixture_v1"
+
+
+def _zs_data() -> np.ndarray:
+    t = np.arange(_ZS_T)[:, None, None]
+    a = np.arange(_ZS_A)[None, :, None]
+    o = np.arange(_ZS_O)[None, None, :]
+    data = 0.25 * (t * 1000 + a * 10 + o)
+    return np.where((t + a + o) % 9 == 0, -999.0, data)
+
+
+def _ensure_zstd_fixtures() -> tuple[str, str]:
+    from bcdp_spark.sources.zarr import write_zarr, write_zarr_v3
+
+    data = _zs_data()
+    coords = {
+        "time": (
+            ["time"],
+            np.arange(_ZS_T, dtype="float64"),
+            {"units": "days since 2001-01-01", "calendar": "standard"},
+        ),
+        "lat": (["lat"], np.array(_ZS_LATS), {}),
+        "lon": (["lon"], np.arange(_ZS_O) * 60.0, {}),
+    }
+    done2 = os.path.join(_ZS_V2, ".complete")
+    if not os.path.exists(done2):
+        write_zarr(
+            _ZS_V2,
+            dims={"time": _ZS_T, "lat": _ZS_A, "lon": _ZS_O},
+            variables={
+                **coords,
+                "pr": (["time", "lat", "lon"], data,
+                       {"_FillValue": -999.0}),
+            },
+            chunks={"pr": (10, 4, 3)},
+            compressor={"id": "blosc", "cname": "zstd", "shuffle": 1},
+            filters={"pr": [{"id": "delta", "dtype": "<f8",
+                             "astype": "<f8"}]},
+        )
+        with open(done2, "w") as fh:
+            fh.write("ok")
+    done3 = os.path.join(_ZS_V3, ".complete")
+    if not os.path.exists(done3):
+        write_zarr_v3(
+            _ZS_V3,
+            dims={"time": _ZS_T, "lat": _ZS_A, "lon": _ZS_O},
+            variables={
+                **coords,
+                "pr": (["time", "lat", "lon"],
+                       np.where(np.isnan(data), -999.0, data), {}),
+            },
+            chunks={"pr": (10, 4, 3)},
+            codec="zstd",
+        )
+        with open(done3, "w") as fh:
+            fh.write("ok")
+    return _ZS_V2, _ZS_V3
+
+
+@register(
+    "q_zarr_zstd",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         CASE WHEN (t.g + a.g + o.g) % 9 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 1000 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {_ZS_T - 1}) t(g),
+       generate_series(0, {_ZS_A - 1}) a(g),
+       generate_series(0, {_ZS_O - 1}) o(g)
+),
+stores AS (
+  SELECT 'v2' AS store, * FROM grid
+  UNION ALL
+  SELECT 'v3' AS store,
+         t, a, o,
+         COALESCE(value, -999.0) AS value  -- v3 store keeps the marker
+  FROM grid
+)
+SELECT store,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0 WHEN 2 THEN 20.0
+              ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM stores
+GROUP BY 1, 2
+""",
+)
+def q_zarr_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ (r5): zstd under every wrapping a real store ships —
+    v2 blosc(cname='zstd') + delta filter, and v3 bytes→zstd (the
+    zarr-python v3 default). ``sf_dir`` unused (synthetic decode
+    fixture)."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    v2, v3 = _ensure_zstd_fixtures()
+    a = load_zarr(spark, v2).withColumn("store", F.lit("v2"))
+    b = load_zarr(spark, v3).withColumn("store", F.lit("v3"))
+    df = a.unionByName(b)
+    return df.groupBy("store", "lat").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
