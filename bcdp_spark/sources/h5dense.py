@@ -225,6 +225,20 @@ def dense_links(buf, fheap_addr: int, name_bt_addr: int) -> list[bytes]:
 # ---------------------------------------------------------------------------
 
 
+def dense_attributes(buf, fheap_addr: int, name_bt_addr: int) -> list[bytes]:
+    """All serialized Attribute-message bodies of a dense-attribute
+    object: walk the name-index v2 B-tree (type-8 records: 8-byte heap
+    ID, message flags, 4-byte creation order, 4-byte lookup3 name
+    hash) and resolve each heap ID."""
+    heap = FractalHeap(buf, fheap_addr)
+    bt = BTree2(buf, name_bt_addr)
+    if bt.btype != 8:
+        raise ValueError(
+            f"expected attribute-name B-tree (type 8), got {bt.btype}"
+        )
+    return [heap.read_id(rec[:8]) for rec in bt.records()]
+
+
 def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
                       node_size: int = 512,
                       start_block_size: int = 512) -> tuple[int, int]:
@@ -233,6 +247,40 @@ def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
     Link Info message. ``node_size`` and ``start_block_size`` are
     deliberately tunable so tests can force multi-leaf B-trees and
     multi-direct-block heaps with few links."""
+    hdr_addr, heap_ids = write_fractal_heap(
+        alloc, link_bodies, start_block_size
+    )
+    bt_addr = _write_btree2_type5(alloc, heap_ids, node_size)
+    return hdr_addr, bt_addr
+
+
+def write_dense_attrs(alloc, attr_bodies: list[tuple[str, bytes]],
+                      node_size: int = 512,
+                      start_block_size: int = 512) -> tuple[int, int]:
+    """Emit a fractal heap + name-index v2 B-tree (type 8: heap ID,
+    message flags, creation order, name hash) holding serialized
+    Attribute messages; returns the two addresses for an Attribute
+    Info (0x15) message."""
+    hdr_addr, heap_ids = write_fractal_heap(
+        alloc, attr_bodies, start_block_size
+    )
+    recs = []
+    for order, (name, _body) in enumerate(attr_bodies):
+        recs.append(
+            heap_ids[name]
+            + bytes([0])
+            + struct.pack("<I", order)
+            + struct.pack("<I", lookup3(name.encode("utf-8")))
+        )
+    recs.sort(key=lambda r: r[-4:])  # name-hash order
+    bt_addr = write_btree2(alloc, recs, 8, node_size)
+    return hdr_addr, bt_addr
+
+
+def write_fractal_heap(alloc, bodies: list[tuple[str, bytes]],
+                       start_block_size: int = 512) -> tuple[int, dict]:
+    """Emit a managed-object fractal heap; returns
+    (heap_header_addr, {name: heap_id bytes})."""
     max_heap_bits = 32
     off_size = (max_heap_bits + 7) // 8
     max_direct = 65536
@@ -251,7 +299,7 @@ def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
     row = col = 0
     block_off = 0
     cur = bytearray(b"\x00" * dblock_hdr)
-    for name, body in link_bodies:
+    for name, body in bodies:
         if len(cur) + len(body) > row_size(row):
             blocks.append((block_off, cur))
             block_off += row_size(row)
@@ -260,7 +308,7 @@ def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
                 col = 0
                 row += 1
             if len(body) + dblock_hdr > row_size(row):
-                raise ValueError("link message larger than a direct block")
+                raise ValueError("heap object larger than a direct block")
             cur = bytearray(b"\x00" * dblock_hdr)
         obj_off = block_off + len(cur)
         cur += body
@@ -305,7 +353,7 @@ def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
     h += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge bt2
     h += struct.pack("<QQ", 0, _UNDEF)  # free space, fs mgr
     h += struct.pack("<QQ", man_space, man_space)  # managed, allocated
-    h += struct.pack("<QQ", man_space, len(link_bodies))  # iter, nobjs
+    h += struct.pack("<QQ", man_space, len(bodies))  # iter, nobjs
     h += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny size+counts
     h += struct.pack("<H", width)
     h += struct.pack("<QQ", start_block_size, max_direct)
@@ -316,8 +364,7 @@ def write_dense_links(alloc, link_bodies: list[tuple[str, bytes]],
     h += struct.pack("<I", lookup3(bytes(h)))
     alloc.put(bytes(h), addr=hdr_addr)
 
-    bt_addr = _write_btree2_type5(alloc, heap_ids, node_size)
-    return hdr_addr, bt_addr
+    return hdr_addr, heap_ids
 
 
 def _write_btree2_type5(alloc, heap_ids: dict[str, bytes],

@@ -335,6 +335,9 @@ class H5File:
             elif mtype == 0x0C:
                 k, v = self._attr(body)
                 out_attrs[k] = v
+            elif mtype == 0x15:  # attribute info: dense storage
+                for k, v in self._dense_attrs(body):
+                    out_attrs[k] = v
         for name, child in links:
             path = f"{prefix}{name}"
             cm = self._messages(child)
@@ -484,7 +487,29 @@ class H5File:
             elif mtype == 0x0C:
                 k, v = self._attr(body)
                 ds.attrs[k] = v
+            elif mtype == 0x15:  # attribute info: dense storage
+                for k, v in self._dense_attrs(body):
+                    ds.attrs[k] = v
         return ds
+
+    def _dense_attrs(self, body: bytes) -> list[tuple[str, object]]:
+        """Attribute Info (0x15): when an object's attributes exceed
+        the compact limit (8 with libver 'latest'), the serialized
+        Attribute messages move to a fractal heap indexed by a type-8
+        v2 B-tree. Ignoring this message would silently DROP every
+        attribute of the object (units, calendar, fill) — decode it
+        with the dense-link machinery."""
+        flags = body[1]
+        off = 2 + (2 if flags & 1 else 0)
+        fheap, name_bt = struct.unpack_from("<QQ", body, off)
+        if fheap == _UNDEF:
+            return []
+        from bcdp_spark.sources.h5dense import dense_attributes
+
+        return [
+            self._attr(ab)
+            for ab in dense_attributes(self.buf, fheap, name_bt)
+        ]
 
     def _fill(self, body: bytes):
         ver = body[0]
@@ -1384,6 +1409,7 @@ def write_hdf5(
     ea_params: dict | None = None,
     dense_links: bool = False,
     dense_params: dict | None = None,
+    dense_attrs: bool = False,
     timed: bool = False,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
@@ -1536,8 +1562,17 @@ def write_hdf5(
             msgs.append(
                 (0x08, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
             )
-        for k, v in vattrs.items():
-            msgs.append((0x0C, _attr_body(k, v)))
+        if dense_attrs and vattrs:
+            from bcdp_spark.sources.h5dense import write_dense_attrs
+
+            fh_a, bt_a = write_dense_attrs(
+                alloc,
+                [(k, _attr_body(k, v)) for k, v in vattrs.items()],
+            )
+            msgs.append((0x15, struct.pack("<BBQQ", 0, 0, fh_a, bt_a)))
+        else:
+            for k, v in vattrs.items():
+                msgs.append((0x0C, _attr_body(k, v)))
         hdr = _object_header(msgs, profile, timed=timed)
         var_hdr_addr[name] = alloc.put(hdr)
 

@@ -122,3 +122,49 @@ def test_netcdf_decode_path_handles_dense(tmp_path):
     rows = _decode_one(p, var="pr")
     assert len(rows) == 6 * 2 * 3
     assert _var_ndim(p, "pr") == 3
+
+
+def test_dense_attributes_roundtrip():
+    """>8-attribute 'latest' objects store attributes in a fractal
+    heap behind an Attribute Info (0x15) message — silently ignoring
+    it would drop units/calendar. All attribute kinds decode."""
+    rng = np.random.RandomState(6)
+    vattrs = {f"attr{i:02d}": i * 1.5 for i in range(12)}
+    vattrs["units"] = "kg m-2 s-1"
+    vattrs["vec"] = np.array([1.0, 2.0, 3.0])
+    raw = write_hdf5(
+        {"pr": (["x", "y"], rng.randn(4, 5), vattrs)},
+        profile="v2", dense_attrs=True,
+    )
+    a = read_hdf5(raw).datasets["pr"].attrs
+    assert a["units"] == "kg m-2 s-1"
+    assert a["attr07"] == 10.5
+    np.testing.assert_array_equal(a["vec"], [1.0, 2.0, 3.0])
+    assert len(a) == 14
+
+
+def test_dense_attrs_with_dense_links_and_cf_decode(tmp_path):
+    """Dense attrs + dense links compose; the netcdf member decode
+    still sees CF units through the dense path."""
+    from bcdp_spark.sources.netcdf import _decode_one
+
+    t = np.arange(5, dtype="<f8")
+    tattrs = {f"pad{i}": i for i in range(9)}  # push past compact limit
+    tattrs["units"] = "days since 2001-01-01"
+    vars_ = {
+        "time": (["time"], t, tattrs),
+        "lat": (["lat"], np.array([0.0, 10.0]), {}),
+        "lon": (["lon"], np.array([0.0, 90.0]), {}),
+        "pr": (["time", "lat", "lon"],
+               np.arange(20, dtype="<f8").reshape(5, 2, 2), {}),
+    }
+    for i in range(8):
+        vars_[f"aux{i}"] = (["lat"], np.zeros(2), {})
+    p = str(tmp_path / "densely.nc")
+    with open(p, "wb") as fh:
+        fh.write(write_hdf5(vars_, profile="v2", dense_links=True,
+                            dense_attrs=True))
+    rows = _decode_one(p, var="pr")
+    assert len(rows) == 20
+    # CF time decoded through the dense attribute path
+    assert str(rows["time"].min())[:4] == "2001"
