@@ -265,60 +265,117 @@ def _gaussian_lats(n: int) -> np.ndarray:
     return np.degrees(np.arcsin(np.sort(x)))
 
 
-def _earth_radius(sec3: bytes) -> float:
-    """Spherical earth radius in metres from octets 15-20 (ellipsoids
-    are a loud seam — conformal math below is spherical)."""
+def _earth_params(sec3: bytes) -> tuple[float, float]:
+    """(semi-major axis a [m], eccentricity e) from octets 15-20ff.
+    Spheres have e = 0; named and custom ellipsoids carry their public
+    constants (code table 3.2)."""
     shape = sec3[14]
     if shape == 0:
-        return 6367470.0
+        return 6367470.0, 0.0
     if shape == 6:
-        return 6371229.0
+        return 6371229.0, 0.0
     if shape == 1:
         scale = sec3[15]
         (val,) = struct.unpack_from(">I", sec3, 16)
         if val in (0, 0xFFFFFFFF):
             raise ValueError("GRIB2 earth shape 1 with missing radius")
-        return val / (10.0 ** scale)
+        return val / (10.0 ** scale), 0.0
+
+    def _ab(a: float, b: float) -> tuple[float, float]:
+        return a, float(np.sqrt(1.0 - (b / a) ** 2))
+
+    if shape == 2:  # IAU 1965 oblate spheroid
+        return _ab(6378160.0, 6356775.0)
+    if shape == 4:  # GRS80
+        b = 6378137.0 * (1.0 - 1.0 / 298.257222101)
+        return _ab(6378137.0, b)
+    if shape == 5:  # WGS84
+        b = 6378137.0 * (1.0 - 1.0 / 298.257223563)
+        return _ab(6378137.0, b)
+    if shape in (3, 7):  # custom major/minor (km for 3, m for 7)
+        sa = sec3[20]
+        (va,) = struct.unpack_from(">I", sec3, 21)
+        sb = sec3[25]
+        (vb,) = struct.unpack_from(">I", sec3, 26)
+        if 0xFFFFFFFF in (va, vb) or 0 in (va, vb):
+            raise ValueError(f"GRIB2 earth shape {shape} missing axes")
+        unit = 1e3 if shape == 3 else 1.0
+        return _ab(va / (10.0 ** sa) * unit, vb / (10.0 ** sb) * unit)
     raise NotImplementedError(
-        f"GRIB2 earth shape {shape} not supported (spheres 0/1/6 only)"
+        f"GRIB2 earth shape {shape} not supported"
     )
 
 
-def _lcc_params(latin1: float, latin2: float, lad: float, radius: float):
-    """Lambert-conformal-conic constants (spherical; Snyder 1987
-    eqs. 15-1..15-11): cone constant n, F, and rho0 at LaD."""
+def _earth_radius(sec3: bytes) -> float:
+    """Back-compat spherical radius (raises for ellipsoids)."""
+    a, e = _earth_params(sec3)
+    if e != 0.0:
+        raise NotImplementedError("ellipsoidal earth via _earth_params")
+    return a
+
+
+def _lcc_t(phi: float | np.ndarray, e: float):
+    """Snyder 15-9: isometric-latitude factor t(φ); e=0 reduces to
+    tan(π/4 − φ/2)."""
+    t = np.tan(np.pi / 4 - phi / 2)
+    if e == 0.0:
+        return t
+    es = e * np.sin(phi)
+    return t / ((1.0 - es) / (1.0 + es)) ** (e / 2.0)
+
+
+def _lcc_params(latin1: float, latin2: float, lad: float, a: float,
+                e: float):
+    """Lambert-conformal-conic constants (Snyder 1987, ellipsoidal
+    eqs. 15-1..15-10; e=0 is bit-for-bit the spherical form): cone
+    constant n, a·F, and rho0 at LaD."""
     p1, p2 = np.radians(latin1), np.radians(latin2)
+
+    def m(phi: float) -> float:
+        return np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+
+    t1, t2 = _lcc_t(p1, e), _lcc_t(p2, e)
     if abs(latin1 - latin2) < 1e-9:
         n = np.sin(p1)
     else:
-        n = np.log(np.cos(p1) / np.cos(p2)) / np.log(
-            np.tan(np.pi / 4 + p2 / 2) / np.tan(np.pi / 4 + p1 / 2)
-        )
+        n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t1) - np.log(t2))
     if abs(n) < 1e-12:
         raise ValueError("Lambert cone constant is zero (equatorial LCC)")
-    fc = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n
-    rho0 = radius * fc / np.tan(np.pi / 4 + np.radians(lad) / 2) ** n
-    return n, fc, rho0
+    af = a * m(p1) / (n * t1 ** n)
+    rho0 = af * _lcc_t(np.radians(lad), e) ** n
+    return n, af, rho0
 
 
-def _lcc_forward(lat, lon, latin1, latin2, lad, lov, radius):
+def _lcc_forward(lat, lon, latin1, latin2, lad, lov, a, e=0.0):
     """(lat, lon) degrees → (x, y) metres on the LCC plane."""
-    n, fc, rho0 = _lcc_params(latin1, latin2, lad, radius)
-    rho = radius * fc / np.tan(np.pi / 4 + np.radians(lat) / 2) ** n
+    n, af, rho0 = _lcc_params(latin1, latin2, lad, a, e)
+    rho = af * _lcc_t(np.radians(lat), e) ** n
     dlon = np.radians(((lon - lov) + 180.0) % 360.0 - 180.0)
     th = n * dlon
     return rho * np.sin(th), rho0 - rho * np.cos(th)
 
 
-def _lcc_inverse(x, y, latin1, latin2, lad, lov, radius):
-    """(x, y) metres → (lat, lon degrees in [0, 360))."""
-    n, fc, rho0 = _lcc_params(latin1, latin2, lad, radius)
+def _lcc_inverse(x, y, latin1, latin2, lad, lov, a, e=0.0):
+    """(x, y) metres → (lat, lon degrees in [0, 360)). Ellipsoidal
+    latitude recovery iterates Snyder 7-9 (converges in a handful of
+    rounds; e=0 is the closed form)."""
+    n, af, rho0 = _lcc_params(latin1, latin2, lad, a, e)
     sgn = 1.0 if n >= 0 else -1.0
     rho = sgn * np.hypot(x, rho0 - y)
     th = np.arctan2(sgn * x, sgn * (rho0 - y))
-    lat = np.degrees(
-        2.0 * np.arctan((radius * fc / rho) ** (1.0 / n)) - np.pi / 2
-    )
+    t = (rho / af) ** (1.0 / n)
+    phi = np.pi / 2 - 2.0 * np.arctan(t)
+    if e != 0.0:
+        for _ in range(8):
+            es = e * np.sin(phi)
+            phi_new = np.pi / 2 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (e / 2.0)
+            )
+            if np.all(np.abs(phi_new - phi) < 1e-13):
+                phi = phi_new
+                break
+            phi = phi_new
+    lat = np.degrees(phi)
     lon = (lov + np.degrees(th / n)) % 360.0
     return lat, lon
 
@@ -489,7 +546,7 @@ def _parse_grid_lambert(sec3: bytes) -> GridDef:
     """Template 3.30 Lambert conformal (HRRR/NAM native). The grid is
     regular in projected x/y; per-point lat/lon come from the
     spherical inverse projection."""
-    radius = _earth_radius(sec3)
+    a_axis, ecc = _earth_params(sec3)
     nx, ny = struct.unpack_from(">II", sec3, 30)
     (la1u,) = struct.unpack_from(">I", sec3, 38)
     (lo1u,) = struct.unpack_from(">I", sec3, 42)
@@ -515,12 +572,14 @@ def _parse_grid_lambert(sec3: bytes) -> GridDef:
             "GRIB2 bi-polar Lambert projection not supported"
         )
     dx_m, dy_m = dx / 1e3, dy / 1e3
-    x1, y1 = _lcc_forward(la1, lo1, latin1, latin2, lad, lov, radius)
+    x1, y1 = _lcc_forward(
+        la1, lo1, latin1, latin2, lad, lov, a_axis, ecc
+    )
     xs = x1 + (-dx_m if scan & 0x80 else dx_m) * np.arange(nx)
     ys = y1 + (dy_m if scan & 0x40 else -dy_m) * np.arange(ny)
     xx, yy = np.meshgrid(xs, ys)  # (ny, nx)
     lats2d, lons2d = _lcc_inverse(
-        xx, yy, latin1, latin2, lad, lov, radius
+        xx, yy, latin1, latin2, lad, lov, a_axis, ecc
     )
     return GridDef(
         template=30, lats=ys, lons=xs, lats2d=lats2d, lons2d=lons2d,
@@ -1104,7 +1163,9 @@ def write_grib2_message(
             ">IBBIBBH" + "BBIBIBI" + "II" + "II" + "B" + "II" + "II"
             + "B" + "B" + "II" + "II",
             81, 3, 0, ni * nj, 0, 0, 30,
-            6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
+            # earth shape: sphere 6 by default, or a named ellipsoid
+            # (2/4/5) for ellipsoidal-LCC fixtures
+            lb.get("shape", 6), 0, 0, 0, 0, 0, 0,
             ni, nj,
             _sm_encode(int(round(lb["la1"] * 1e6)), 32),
             _sm_encode(int(round(lb["lo1"] * 1e6)), 32),

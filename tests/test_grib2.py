@@ -990,3 +990,63 @@ def test_basic_angle_half_set_raises():
     sec3[38:42] = _s.pack(">I", 3)  # basic set, subdiv left missing
     with pytest.raises(NotImplementedError, match="ambiguous unit"):
         _parse_grid_uncached(bytes(sec3))
+
+
+def test_ellipsoidal_lcc_forward_inverse_and_known_point():
+    """Ellipsoidal Lambert (Snyder ellipsoidal eqs): forward/inverse
+    consistency on GRS80/WGS84, exact reduction to the spherical form
+    at e=0, and Snyder's published worked example (Table, p.296-297:
+    Clarke 1866, standard parallels 33/45, origin 23N 96W; station at
+    35N 75W -> x=1894410.9 m, y=1564649.5 m)."""
+    from bcdp_spark.sources.grib2 import _lcc_forward, _lcc_inverse
+
+    a_grs, rf = 6378137.0, 298.257222101
+    e_grs = float(np.sqrt(1 - (1 - 1 / rf) ** 2))
+    lat = np.array([25.0, 38.5, 49.0])
+    lon = np.array([235.0, 262.5, 290.0])
+    for e in (e_grs, 0.081819190842622):  # GRS80, WGS84
+        x, y = _lcc_forward(lat, lon, 30.0, 55.0, 40.0, 255.0,
+                            a_grs, e)
+        la2, lo2 = _lcc_inverse(x, y, 30.0, 55.0, 40.0, 255.0,
+                                a_grs, e)
+        np.testing.assert_allclose(la2, lat, atol=1e-9)
+        np.testing.assert_allclose(lo2, lon, atol=1e-9)
+
+    # e=0 must agree with the spherical formulation to float precision
+    x0, y0 = _lcc_forward(lat, lon, 38.5, 38.5, 38.5, 262.5,
+                          6371229.0, 0.0)
+    la0, lo0 = _lcc_inverse(x0, y0, 38.5, 38.5, 38.5, 262.5,
+                            6371229.0, 0.0)
+    np.testing.assert_allclose(la0, lat, atol=1e-9)
+    np.testing.assert_allclose(lo0, lon, atol=1e-9)
+
+    # Snyder worked example (Clarke 1866: a=6378206.4, e2=0.00676866)
+    a_c, e_c = 6378206.4, float(np.sqrt(0.00676866))
+    x, y = _lcc_forward(35.0, 285.0, 33.0, 45.0, 23.0, 264.0, a_c, e_c)
+    assert abs(float(x) - 1894410.9) < 1.0
+    assert abs(float(y) - 1564649.5) < 1.0
+
+
+def test_ellipsoidal_lambert_grid_roundtrip():
+    """Template 3.30 with a WGS84 earth (shape 5) decodes end-to-end;
+    per-point coordinates invert the ellipsoidal projection."""
+    from bcdp_spark.sources.grib2 import _lcc_forward
+
+    vals = np.arange(20, dtype=float).reshape(4, 5) * 0.25
+    lb = {"la1": 33.0, "lo1": 255.0, "lad": 38.5, "lov": 262.5,
+          "dx": 30000.0, "dy": 30000.0, "latin1": 38.5,
+          "latin2": 38.5, "shape": 5}
+    raw = write_grib2_message(
+        vals, None, None, _REF, grid_template=30, lambert=lb,
+        binary_scale=-2, nbits=8,
+    )
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.values, vals)
+    a_w, e_w = 6378137.0, float(
+        np.sqrt(1 - (1 - 1 / 298.257223563) ** 2)
+    )
+    x, y = _lcc_forward(f.lats2d, f.lons2d, 38.5, 38.5, 38.5, 262.5,
+                        a_w, e_w)
+    # the recovered per-point coords project back onto the regular grid
+    np.testing.assert_allclose(x[:, 1:] - x[:, :-1], 30000.0, atol=1e-3)
+    np.testing.assert_allclose(y[1:, :] - y[:-1, :], 30000.0, atol=1e-3)
