@@ -51,13 +51,29 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (h, w, 3) uint8 array. PPM (P6)
-    decodes with the vendored parser; compressed formats require a codec
-    (PIL/cv2) this container does not ship."""
+    decodes with the vendored parser; PNG (non-interlaced gray/RGB/
+    RGBA) via the from-scratch ``sources/png.py`` codec (r5);
+    JPEG/video require a codec (PIL/cv2) this container does not
+    ship."""
+    import numpy as np
+
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from bcdp_spark.sources.png import png_decode
+
+        img = png_decode(payload)
+        if img.dtype.itemsize == 2:  # 16-bit → high byte
+            img = (img.astype(np.uint16) >> 8).astype(np.uint8)
+        h, w, ch = img.shape
+        if ch == 1:
+            return np.repeat(img, 3, axis=2)
+        if ch == 2:  # gray+alpha: drop alpha
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        return img[:, :, :3]  # RGB / RGBA
     raise NotImplementedError(
-        "compressed-image decode requires PIL/cv2 (not available in this "
-        "container); PPM (P6) payloads decode via decode_ppm"
+        "JPEG/video decode requires PIL/cv2 (not available in this "
+        "container); PPM (P6) and PNG payloads decode natively"
     )
 
 

@@ -743,10 +743,11 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
     sec5 = secs[5]
     (n_points,) = struct.unpack_from(">I", sec5, 5)
     (template5,) = struct.unpack_from(">H", sec5, 9)
-    if template5 not in (0, 2, 3):
+    if template5 not in (0, 2, 3, 41):
         raise NotImplementedError(
             f"GRIB2 data template 5.{template5} not supported "
-            "(simple 5.0 / complex 5.2 / complex+differencing 5.3 only)"
+            "(simple 5.0 / complex 5.2 / complex+differencing 5.3 / "
+            "PNG 5.41 only)"
         )
     (ref_val,) = struct.unpack_from(">f", sec5, 11)
     (e_raw,) = struct.unpack_from(">H", sec5, 15)
@@ -784,6 +785,10 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
 
     if template5 == 0:
         x = _unpack_bits(secs[7][5:], nbits, n_points).astype(np.float64)
+    elif template5 == 41:
+        x = _decode_png_packed(secs[7][5:], nbits, n_points).astype(
+            np.float64
+        )
     else:
         x = _decode_complex(sec5, secs[7][5:], n_points, template5).astype(
             np.float64
@@ -826,6 +831,58 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         lats2d=grid.lats2d,
         lons2d=grid.lons2d,
     )
+
+
+def _decode_png_packed(payload: bytes, nbits: int, n_points: int
+                       ) -> np.ndarray:
+    """Data template 5.41 (PNG packing — NCEP MRMS/QPE archives): the
+    section-7 payload is ONE PNG whose samples are the packed X
+    integers, channel layout by bit width (the g2clib convention):
+    ≤8 gray8, ≤16 gray16, ≤24 RGB8 (big-endian across channels),
+    else RGBA8."""
+    from bcdp_spark.sources.png import png_decode
+
+    img = png_decode(payload)
+    h, w, ch = img.shape
+    flat = img.reshape(h * w, ch).astype(np.uint64)
+    if ch == 1:
+        x = flat[:, 0]
+    else:
+        x = np.zeros(h * w, dtype=np.uint64)
+        for c in range(ch):
+            x = (x << np.uint64(8)) | flat[:, c]
+    if x.size != n_points:
+        raise ValueError(
+            f"GRIB2 PNG packing: {x.size} samples != section-5 count "
+            f"{n_points}"
+        )
+    return x
+
+
+def _encode_png_packed(x: np.ndarray, nbits: int) -> bytes:
+    from bcdp_spark.sources.png import png_encode
+
+    n = int(x.size)
+    if nbits <= 8:
+        img = x.astype("u1").reshape(1, n, 1)
+        depth = 8
+    elif nbits <= 16:
+        img = x.astype(">u2").reshape(1, n, 1)
+        depth = 16
+    elif nbits <= 24:
+        img = np.stack(
+            [(x >> np.uint64(16)) & np.uint64(0xFF),
+             (x >> np.uint64(8)) & np.uint64(0xFF),
+             x & np.uint64(0xFF)], axis=-1
+        ).astype("u1").reshape(1, n, 3)
+        depth = 8
+    else:
+        img = np.stack(
+            [(x >> np.uint64(s)) & np.uint64(0xFF)
+             for s in (24, 16, 8, 0)], axis=-1
+        ).astype("u1").reshape(1, n, 4)
+        depth = 8
+    return png_encode(img, depth=depth)
 
 
 def iter_grib2(raw: bytes):
@@ -1260,16 +1317,24 @@ def write_grib2_message(
             1, 0,                      # n time ranges, total missing
             1, 2, 1, stat_hours, 255, 0,  # accum, same fcst, hours, len
         )
-    if packing == 0:
+    if packing in (0, 41):
+        if packing == 41 and np.any(x >= (1 << max(nbits, 1))):
+            raise ValueError(
+                f"values do not fit in {nbits} bits after scaling"
+            )
         sec5 = struct.pack(
             ">IBIH" + "fHHBB",
-            21, 5, int(packed_vals.size), 0,
+            21, 5, int(packed_vals.size), packing,
             ref_value,
             _sm_encode(binary_scale, 16),
             _sm_encode(decimal_scale, 16),
             nbits, 0,
         )
-        payload = _pack_bits(x, nbits)
+        payload = (
+            _pack_bits(x, nbits)
+            if packing == 0
+            else _encode_png_packed(x, nbits)
+        )
     elif packing in (2, 3):
         # differencing needs order+1 points to be meaningful; clamp and
         # fall back to plain complex (5.2) for tiny fields

@@ -1050,3 +1050,31 @@ def test_ellipsoidal_lambert_grid_roundtrip():
     # the recovered per-point coords project back onto the regular grid
     np.testing.assert_allclose(x[:, 1:] - x[:, :-1], 30000.0, atol=1e-3)
     np.testing.assert_allclose(y[1:, :] - y[:-1, :], 30000.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("nbits", [8, 16, 24, 32], ids=["g8", "g16", "rgb", "rgba"])
+def test_png_packing_roundtrip(nbits):
+    """Data template 5.41 (PNG packing — MRMS/QPE archives): all four
+    channel layouts roundtrip, bitmap holes included."""
+    rng = np.random.RandomState(nbits)
+    x = rng.randint(0, min(1 << nbits, 1 << 31), size=(5, 8)).astype(
+        np.float64
+    )
+    vals = x * 0.25
+    vals[2, 3] = np.nan
+    raw = _field(vals, binary_scale=-2, nbits=nbits, packing=41)
+    f = decode_message(raw)
+    got = f.values
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(vals))
+    m = ~np.isnan(vals)
+    np.testing.assert_array_equal(got[m], vals[m])
+
+
+def test_png_packing_load_long_form(spark, tmp_path):
+    vals = np.arange(24, dtype=float).reshape(4, 6) * 0.25
+    p = os.path.join(tmp_path, "png.grib2")
+    with open(p, "wb") as fh:
+        fh.write(_field(vals, binary_scale=-2, nbits=16, packing=41))
+    df = load_grib2(spark, p).toPandas()
+    assert len(df) == 24
+    assert df["value"].sum() == pytest.approx(vals.sum())
