@@ -73,6 +73,9 @@ HEADLINE = (
     "q_snapshot_diff",
     "q_doc_chunking",
     "q_bigram_perplexity",
+    # round-5 late — codec flagship keys
+    "q_zarr_zstd",
+    "q_grib2_reduced",
 )
 
 
