@@ -1,0 +1,331 @@
+"""CCSDS 121.0-B lossless coder (the "Rice/AEC" algorithm behind
+GRIB2 data template 5.42 — how ECMWF open-data GRIB2 ships — and, in
+extended form, HDF5 szip), implemented from the public CCSDS 121.0-B
+Blue Book. No reference-repo code involved [/root/reference is empty
+— SURVEY.md §0].
+
+Structure (all bit I/O MSB-first):
+
+- samples are split into blocks of J samples (J ∈ {8,16,32,64});
+  every ``rsi``-th block starts a REFERENCE SAMPLE INTERVAL;
+- the optional unit-delay PREPROCESSOR maps each sample's delta from
+  its predecessor to a non-negative value (spec §3.2: 2δ / 2|δ|−1 /
+  θ+|δ| by range) — the first sample of each interval is kept raw as
+  the reference and coded directly in n bits;
+- each block picks one entropy option, identified by ``id_len`` bits
+  (3 for n≤8, 4 for n≤16, else 5): id 0 + one more bit selects the
+  LOW-ENTROPY options (0 → zero-block run with the rest-of-segment
+  marker over 64-block segments; 1 → second extension: FS-coded
+  diagonal pair indices γ = (d0+d1)(d0+d1+1)/2 + d1); ids 1..2^L−2
+  select split-sample k = id−1 (fundamental-sequence high parts then
+  k verbatim LSBs per sample); id 2^L−1 stores samples verbatim.
+
+The encoder picks the cheapest option per block (exact bit costs);
+the decoder handles every option. Loud seams: signed samples,
+restricted mode (n ≤ 4 in 121.0-B-2), 3-byte packing, RSI padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FLAG_SIGNED = 1
+FLAG_3BYTE = 2
+FLAG_MSB = 4
+FLAG_PREPROCESS = 8
+FLAG_RESTRICTED = 16
+FLAG_PAD_RSI = 32
+
+_ROS = 5  # rest-of-segment marker (zero-block runs)
+_SEGMENT = 64  # blocks per segment
+
+
+def _check_flags(flags: int) -> None:
+    for bad, name in (
+        (FLAG_SIGNED, "signed samples"),
+        (FLAG_3BYTE, "3-byte packing"),
+        (FLAG_RESTRICTED, "restricted mode"),
+        (FLAG_PAD_RSI, "RSI padding"),
+    ):
+        if flags & bad:
+            raise NotImplementedError(f"CCSDS 121 {name} not supported")
+
+
+class _BitReader:
+    """MSB-first bit reader with O(1) windowed reads."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position from start
+        self.n = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.n:
+            raise ValueError("CCSDS 121 bitstream truncated")
+        lo = self.pos >> 3
+        hi = (self.pos + n + 7) >> 3
+        window = int.from_bytes(self.data[lo:hi], "big")
+        shift = hi * 8 - (self.pos + n)
+        self.pos += n
+        return (window >> shift) & ((1 << n) - 1)
+
+    def read_unary(self) -> int:
+        """Count zeros before the next 1 bit (fundamental sequence)."""
+        count = 0
+        while True:
+            if self.pos >= self.n:
+                raise ValueError("CCSDS 121 bitstream truncated (FS)")
+            byte = self.data[self.pos >> 3]
+            bit = (byte >> (7 - (self.pos & 7))) & 1
+            self.pos += 1
+            if bit:
+                return count
+            count += 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def write_unary(self, value: int) -> None:
+        while value >= 32:
+            self.write(0, 32)
+            value -= 32
+        self.write(1, value + 1)  # `value` zeros then the 1
+
+    def done(self) -> bytes:
+        if self.nacc:
+            self.buf.append((self.acc << (8 - self.nacc)) & 0xFF)
+            self.acc = 0
+            self.nacc = 0
+        return bytes(self.buf)
+
+
+def _id_len(nbits: int) -> int:
+    return 3 if nbits <= 8 else (4 if nbits <= 16 else 5)
+
+
+def _premap(x: np.ndarray, nbits: int, rsi_samples: int) -> np.ndarray:
+    """Unit-delay preprocessor: reference positions keep the raw
+    sample; others hold the mapped delta (spec §3.2)."""
+    xmax = (1 << nbits) - 1
+    out = np.empty_like(x)
+    prev = 0
+    for i, v in enumerate(x):
+        if i % rsi_samples == 0:
+            out[i] = v
+        else:
+            d = int(v) - prev
+            theta = min(prev, xmax - prev)
+            if 0 <= d <= theta:
+                out[i] = 2 * d
+            elif -theta <= d < 0:
+                out[i] = -2 * d - 1
+            else:
+                out[i] = theta + abs(d)
+        prev = int(v)
+    return out
+
+
+def _postmap(m: np.ndarray, nbits: int, rsi_samples: int) -> np.ndarray:
+    xmax = (1 << nbits) - 1
+    out = np.empty_like(m)
+    prev = 0
+    for i, d in enumerate(m):
+        d = int(d)
+        if i % rsi_samples == 0:
+            out[i] = d
+        else:
+            theta = min(prev, xmax - prev)
+            if d <= 2 * theta:
+                out[i] = prev - (d + 1) // 2 if d & 1 else prev + d // 2
+            elif theta == prev:  # lower bound closer: delta positive
+                out[i] = prev + (d - theta)
+            else:  # upper bound closer: delta negative
+                out[i] = prev - (d - theta)
+        prev = int(out[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def ccsds_decode(data: bytes, n_samples: int, nbits: int, flags: int,
+                 block_size: int, rsi: int) -> np.ndarray:
+    """Decode ``n_samples`` unsigned ``nbits``-wide samples."""
+    _check_flags(flags)
+    pre = bool(flags & FLAG_PREPROCESS)
+    J = block_size
+    L = _id_len(nbits)
+    uncomp_id = (1 << L) - 1
+    br = _BitReader(data)
+    total_blocks = -(-n_samples // J)
+    # decode into the padded mapped sequence, unmap at the end
+    m = np.zeros(total_blocks * J, dtype=np.int64)
+    bi = 0
+    while bi < total_blocks:
+        ref = pre and bi % rsi == 0
+        opt = br.read(L)
+        base = bi * J
+        if opt == 0:
+            sub = br.read(1)
+            if ref:
+                m[base] = br.read(nbits)
+            if sub == 0:  # zero-block run
+                u = br.read_unary()
+                zb = u + 1
+                if zb == _ROS:
+                    seg_pos = (bi % rsi) % _SEGMENT
+                    zb = _SEGMENT - seg_pos
+                elif zb > _ROS:
+                    zb -= 1
+                bi += zb  # current + following blocks all zero
+                continue
+            # second extension: FS gammas decode sample pairs
+            i = 1 if ref else 0
+            while i < J:
+                g = br.read_unary()
+                beta = int((np.sqrt(8 * g + 1) - 1) // 2)
+                while beta * (beta + 1) // 2 > g:
+                    beta -= 1
+                while (beta + 1) * (beta + 2) // 2 <= g:
+                    beta += 1
+                d1 = g - beta * (beta + 1) // 2
+                d0 = beta - d1
+                if i % 2 == 0:
+                    m[base + i] = d0
+                    i += 1
+                m[base + i] = d1
+                i += 1
+            bi += 1
+            continue
+        if ref:
+            m[base] = br.read(nbits)
+        start = 1 if ref else 0
+        if opt == uncomp_id:
+            for i in range(start, J):
+                m[base + i] = br.read(nbits)
+        else:
+            k = opt - 1
+            highs = [br.read_unary() for _ in range(J - start)]
+            for i, h in enumerate(highs):
+                m[base + start + i] = (h << k) | br.read(k)
+        bi += 1
+    m = m[:n_samples]
+    if pre:
+        return _postmap(m, nbits, rsi * J).astype(np.uint64)
+    return m.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def ccsds_encode(x: np.ndarray, nbits: int, flags: int = FLAG_MSB
+                 | FLAG_PREPROCESS, block_size: int = 16,
+                 rsi: int = 64) -> bytes:
+    """Encode unsigned samples; per-block cheapest-option selection."""
+    _check_flags(flags)
+    pre = bool(flags & FLAG_PREPROCESS)
+    J = block_size
+    L = _id_len(nbits)
+    uncomp_id = (1 << L) - 1
+    x = np.asarray(x, dtype=np.int64)
+    if np.any(x < 0) or np.any(x >= (1 << nbits)):
+        raise ValueError(f"samples do not fit in {nbits} bits")
+    total_blocks = -(-x.size // J)
+    padded = np.zeros(total_blocks * J, dtype=np.int64)
+    padded[: x.size] = x
+    m = _premap(padded, nbits, rsi * J) if pre else padded
+    bw = _BitWriter()
+    bi = 0
+    while bi < total_blocks:
+        ref = pre and bi % rsi == 0
+        base = bi * J
+        start = 1 if ref else 0
+        body = m[base + start : base + J]
+        # zero-block run: collect consecutive all-zero blocks
+        # (run may not cross a segment or reference boundary)
+        if not body.any():
+            zb = 1
+            while (
+                bi + zb < total_blocks
+                and (bi + zb) % rsi != 0
+                and ((bi % rsi) + zb) % _SEGMENT != 0
+                and not m[(bi + zb) * J : (bi + zb + 1) * J].any()
+            ):
+                zb += 1
+            seg_left = _SEGMENT - ((bi % rsi) % _SEGMENT)
+            bw.write(0, L)
+            bw.write(0, 1)
+            if ref:
+                bw.write(int(m[base]), nbits)
+            if zb == seg_left and zb >= _ROS:
+                bw.write_unary(_ROS - 1)  # rest-of-segment marker
+            elif zb < _ROS:
+                bw.write_unary(zb - 1)
+            else:
+                bw.write_unary(zb)  # counts ≥5 store value+1
+            bi += zb
+            continue
+        # candidate costs
+        costs: list[tuple[int, int]] = []
+        for k in range(0, min(nbits - 1, uncomp_id - 1)):
+            c = L + int(np.sum(body >> k)) + body.size * (k + 1)
+            costs.append((c, k + 1))
+        costs.append((L + body.size * nbits, uncomp_id))
+        gammas: list[int] = []
+        if not ref and body.size % 2 == 0:
+            ok = True
+            for j in range(0, body.size - 1, 2):
+                d0, d1 = int(body[j]), int(body[j + 1])
+                s = d0 + d1
+                g = s * (s + 1) // 2 + d1
+                if g > 4 * (1 << nbits):  # hopelessly expensive
+                    ok = False
+                    break
+                gammas.append(g)
+            if ok:
+                costs.append((L + 1 + sum(gammas) + len(gammas), -2))
+        cost, opt = min(costs)
+        if opt == -2:
+            bw.write(0, L)
+            bw.write(1, 1)
+            if ref:
+                bw.write(int(m[base]), nbits)
+            for g in gammas:
+                bw.write_unary(g)
+        elif opt == uncomp_id:
+            bw.write(uncomp_id, L)
+            if ref:
+                bw.write(int(m[base]), nbits)
+            for v in body:
+                bw.write(int(v), nbits)
+        else:
+            k = opt - 1
+            bw.write(opt, L)
+            if ref:
+                bw.write(int(m[base]), nbits)
+            for v in body:
+                bw.write_unary(int(v) >> k)
+            for v in body:
+                bw.write(int(v), k)
+        bi += 1
+    return bw.done()

@@ -743,11 +743,10 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
     sec5 = secs[5]
     (n_points,) = struct.unpack_from(">I", sec5, 5)
     (template5,) = struct.unpack_from(">H", sec5, 9)
-    if template5 not in (0, 2, 3, 41):
+    if template5 not in (0, 2, 3, 41, 42):
         raise NotImplementedError(
             f"GRIB2 data template 5.{template5} not supported "
-            "(simple 5.0 / complex 5.2 / complex+differencing 5.3 / "
-            "PNG 5.41 only)"
+            "(simple 5.0 / complex 5.2+5.3 / PNG 5.41 / CCSDS 5.42 only)"
         )
     (ref_val,) = struct.unpack_from(">f", sec5, 11)
     (e_raw,) = struct.unpack_from(">H", sec5, 15)
@@ -789,6 +788,15 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         x = _decode_png_packed(secs[7][5:], nbits, n_points).astype(
             np.float64
         )
+    elif template5 == 42:
+        from bcdp_spark.sources.ccsds import ccsds_decode
+
+        cc_flags = sec5[21]
+        cc_block = sec5[22]
+        (cc_rsi,) = struct.unpack_from(">H", sec5, 23)
+        x = ccsds_decode(
+            secs[7][5:], n_points, nbits, cc_flags, cc_block, cc_rsi
+        ).astype(np.float64)
     else:
         x = _decode_complex(sec5, secs[7][5:], n_points, template5).astype(
             np.float64
@@ -1317,24 +1325,34 @@ def write_grib2_message(
             1, 0,                      # n time ranges, total missing
             1, 2, 1, stat_hours, 255, 0,  # accum, same fcst, hours, len
         )
-    if packing in (0, 41):
-        if packing == 41 and np.any(x >= (1 << max(nbits, 1))):
+    if packing in (0, 41, 42):
+        if packing in (41, 42) and np.any(x >= (1 << max(nbits, 1))):
             raise ValueError(
                 f"values do not fit in {nbits} bits after scaling"
             )
         sec5 = struct.pack(
             ">IBIH" + "fHHBB",
-            21, 5, int(packed_vals.size), packing,
+            21 if packing != 42 else 25, 5,
+            int(packed_vals.size), packing,
             ref_value,
             _sm_encode(binary_scale, 16),
             _sm_encode(decimal_scale, 16),
             nbits, 0,
         )
-        payload = (
-            _pack_bits(x, nbits)
-            if packing == 0
-            else _encode_png_packed(x, nbits)
-        )
+        if packing == 0:
+            payload = _pack_bits(x, nbits)
+        elif packing == 41:
+            payload = _encode_png_packed(x, nbits)
+        else:
+            from bcdp_spark.sources.ccsds import (
+                FLAG_MSB, FLAG_PREPROCESS, ccsds_encode,
+            )
+
+            cc_flags, cc_block, cc_rsi = FLAG_MSB | FLAG_PREPROCESS, 16, 64
+            sec5 += struct.pack(">BBH", cc_flags, cc_block, cc_rsi)
+            payload = ccsds_encode(
+                x, max(nbits, 1), cc_flags, cc_block, cc_rsi
+            )
     elif packing in (2, 3):
         # differencing needs order+1 points to be meaningful; clamp and
         # fall back to plain complex (5.2) for tiny fields

@@ -1,0 +1,142 @@
+"""CCSDS 121 (Rice/AEC) codec tests (sources/ccsds.py): hand-built
+bitstreams certify each entropy option against the spec's defining
+layout (not just our own encoder), roundtrip properties across data
+shapes, preprocessor mapping edges, zero-run/segment semantics, and
+loud seams."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.sources.ccsds import (
+    FLAG_MSB,
+    FLAG_PREPROCESS,
+    FLAG_SIGNED,
+    _BitWriter,
+    ccsds_decode,
+    ccsds_encode,
+)
+
+_NOPRE = FLAG_MSB  # entropy coding only, no preprocessor
+
+
+def test_split_sample_hand_built():
+    """Split k=1 (option id 2 at n=8/L=3): values [5, 2, 6, 1, 0, 3,
+    7, 4] → high parts v>>1 unary-coded then 1 LSB each."""
+    vals = [5, 2, 6, 1, 0, 3, 7, 4]
+    bw = _BitWriter()
+    bw.write(2, 3)  # id: k = 1
+    for v in vals:
+        bw.write_unary(v >> 1)
+    for v in vals:
+        bw.write(v & 1, 1)
+    got = ccsds_decode(bw.done(), 8, 8, _NOPRE, 8, 64)
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_uncompressed_hand_built():
+    vals = [200, 0, 255, 17, 4, 99, 1, 128]
+    bw = _BitWriter()
+    bw.write(7, 3)  # id 2^3-1: uncompressed
+    for v in vals:
+        bw.write(v, 8)
+    got = ccsds_decode(bw.done(), 8, 8, _NOPRE, 8, 64)
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_second_extension_hand_built():
+    """SE (id 0 + sub-bit 1): pairs (d0,d1) → γ = (d0+d1)(d0+d1+1)/2
+    + d1, FS-coded. Pairs (1,0),(0,2),(1,1),(0,0) → γ = 1, 5, 4, 0."""
+    bw = _BitWriter()
+    bw.write(0, 3)
+    bw.write(1, 1)
+    for g in (1, 5, 4, 0):
+        bw.write_unary(g)
+    got = ccsds_decode(bw.done(), 8, 8, _NOPRE, 8, 64)
+    np.testing.assert_array_equal(got, [1, 0, 0, 2, 1, 1, 0, 0])
+
+
+def test_zero_block_runs_hand_built():
+    """Zero-run encoding: 3 zero blocks (unary 2), then a split-0
+    block; run counts above the ROS marker store value+1."""
+    bw = _BitWriter()
+    bw.write(0, 3)
+    bw.write(0, 1)
+    bw.write_unary(2)  # 3 zero blocks
+    bw.write(1, 3)  # k=0 (FS) block
+    for v in (1, 0, 2, 0, 1, 0, 0, 3):
+        bw.write_unary(v)
+    got = ccsds_decode(bw.done(), 32, 8, _NOPRE, 8, 64)
+    np.testing.assert_array_equal(got[:24], np.zeros(24))
+    np.testing.assert_array_equal(got[24:], [1, 0, 2, 0, 1, 0, 0, 3])
+
+
+def test_rest_of_segment_marker():
+    """Unary value 4 (count 5) = ROS: zeros to the end of the 64-block
+    segment."""
+    bw = _BitWriter()
+    bw.write(0, 3)
+    bw.write(0, 1)
+    bw.write_unary(4)  # ROS
+    n = 64 * 8
+    got = ccsds_decode(bw.done(), n, 8, _NOPRE, 8, 1 << 30)
+    np.testing.assert_array_equal(got, np.zeros(n))
+
+
+def test_preprocessor_mapping_and_reference():
+    """Preprocessed stream: reference raw sample + mapped deltas,
+    including the out-of-θ branch (spec §3.2 third case)."""
+    # n=8, xmax=255. samples: ref 250, then 255 (δ=5 > θ=5? θ=min(250,
+    # 5)=5, δ=5 ≤ θ → mapped 10), then 3 (δ=-252, θ=min(255,0)=0 →
+    # mapped θ+|δ|=252), then 200 (δ=197, θ=min(3,252)=3 → 3+197=200)
+    x = np.array([250, 255, 3, 200], dtype=np.uint64)
+    enc = ccsds_encode(x, 8, FLAG_MSB | FLAG_PREPROCESS,
+                       block_size=8, rsi=64)
+    got = ccsds_decode(enc, 4, 8, FLAG_MSB | FLAG_PREPROCESS, 8, 64)
+    np.testing.assert_array_equal(got, x)
+
+
+@pytest.mark.parametrize("nbits", [8, 12, 16, 24, 32])
+@pytest.mark.parametrize("J", [8, 16, 32])
+def test_roundtrip_shapes(nbits, J):
+    rng = np.random.RandomState(nbits * 64 + J)
+    n = int(rng.randint(1, 700))
+    kind = (nbits + J) % 4
+    hi = (1 << nbits) - 1
+    if kind == 0:  # smooth ramp (split-sample territory)
+        x = (np.arange(n) * 3 % (hi + 1)).astype(np.uint64)
+    elif kind == 1:  # mostly zero (zero-block territory)
+        x = np.zeros(n, dtype=np.uint64)
+        x[:: max(1, n // 7)] = rng.randint(0, hi + 1)
+    elif kind == 2:  # random (uncompressed territory)
+        x = rng.randint(0, hi + 1, size=n).astype(np.uint64)
+    else:  # tiny values (second-extension territory)
+        x = rng.randint(0, 3, size=n).astype(np.uint64)
+    for flags in (_NOPRE, FLAG_MSB | FLAG_PREPROCESS):
+        enc = ccsds_encode(x, nbits, flags, block_size=J, rsi=32)
+        got = ccsds_decode(enc, n, nbits, flags, J, 32)
+        np.testing.assert_array_equal(got, x, err_msg=f"{flags}")
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 4095), min_size=1, max_size=300),
+    st.sampled_from([8, 16, 64]),
+    st.sampled_from([1, 4, 64]),
+)
+def test_roundtrip_property(vals, J, rsi):
+    x = np.array(vals, dtype=np.uint64)
+    for flags in (_NOPRE, FLAG_MSB | FLAG_PREPROCESS):
+        enc = ccsds_encode(x, 12, flags, block_size=J, rsi=rsi)
+        got = ccsds_decode(enc, x.size, 12, flags, J, rsi)
+        np.testing.assert_array_equal(got, x)
+
+
+def test_loud_seams():
+    with pytest.raises(NotImplementedError, match="signed"):
+        ccsds_decode(b"\x00", 1, 8, FLAG_SIGNED, 8, 64)
+    with pytest.raises(ValueError, match="truncated"):
+        ccsds_decode(b"\xe0", 8, 8, _NOPRE, 8, 64)

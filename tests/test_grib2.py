@@ -1078,3 +1078,29 @@ def test_png_packing_load_long_form(spark, tmp_path):
     df = load_grib2(spark, p).toPandas()
     assert len(df) == 24
     assert df["value"].sum() == pytest.approx(vals.sum())
+
+
+def test_ccsds_packing_roundtrip():
+    """Data template 5.42 (CCSDS/AEC — ECMWF open-data packing):
+    preprocessed Rice coding roundtrips, bitmap holes included."""
+    rng = np.random.RandomState(42)
+    x = np.cumsum(rng.randint(-3, 4, size=60)).astype(np.float64)
+    x -= x.min()
+    vals = (x * 0.25).reshape(6, 10)
+    vals[3, 7] = np.nan
+    raw = _field(vals, binary_scale=-2, nbits=12, packing=42)
+    f = decode_message(raw)
+    got = f.values
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(vals))
+    m = ~np.isnan(vals)
+    np.testing.assert_array_equal(got[m], vals[m])
+
+
+def test_ccsds_packing_load_long_form(spark, tmp_path):
+    vals = np.arange(48, dtype=float).reshape(6, 8) * 0.25
+    p = os.path.join(tmp_path, "ccsds.grib2")
+    with open(p, "wb") as fh:
+        fh.write(_field(vals, binary_scale=-2, nbits=16, packing=42))
+    df = load_grib2(spark, p).toPandas()
+    assert len(df) == 48
+    assert df["value"].sum() == pytest.approx(vals.sum())
