@@ -1,0 +1,142 @@
+"""Cross-format differential: ONE closed-form (time, lat, lon, value)
+field written through four different format/codec stacks must load to
+IDENTICAL long-form rows. Each stack deliberately exercises the round-5
+codec surface end-to-end through Spark:
+
+- NetCDF-4/HDF5: v2 'latest' profile, dense links + dense attributes,
+  extensible-array chunk index, shuffle + zstd (32015) filters;
+- Zarr v2: blosc container with cname='zstd' under a delta filter;
+- Zarr v3: the bytes→zstd default chain;
+- GRIB2: CCSDS/AEC packing (5.42), one message per timestep.
+
+A value mismatch anywhere in any codec layer breaks the parity, so
+this is a standing tripwire for every decode path at once."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+_NT, _NA, _NO = 4, 4, 6
+_LATS = np.array([-60.0, -20.0, 20.0, 60.0])
+_LONS = np.arange(_NO) * 60.0
+
+
+def _data() -> np.ndarray:
+    t = np.arange(_NT)[:, None, None]
+    a = np.arange(_NA)[None, :, None]
+    o = np.arange(_NO)[None, None, :]
+    data = 0.25 * (t * 1000 + a * 10 + o)
+    return np.where((t + a + o) % 7 == 0, np.nan, data)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = (
+        pdf[["time", "lat", "lon", "value"]]
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    out["time"] = pd.to_datetime(out["time"])
+    return out
+
+
+def test_four_stacks_identical_long_form(spark, tmp_path):
+    from bcdp_spark.sources.grib2 import load_grib2, write_grib2_message
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.netcdf import load_netcdf
+    from bcdp_spark.sources.zarr import (
+        load_zarr,
+        write_zarr,
+        write_zarr_v3,
+    )
+
+    data = _data()
+
+    # --- NetCDF-4 'latest': dense links+attrs, EA index, zstd filter
+    nc = str(tmp_path / "f.nc")
+    vars_ = {
+        "time": (["time"], np.arange(_NT) * 6.0,
+                 {"units": "hours since 2001-01-01",
+                  "calendar": "standard"}),
+        "lat": (["lat"], _LATS, {}),
+        "lon": (["lon"], _LONS, {}),
+        "pr": (["time", "lat", "lon"],
+               np.where(np.isnan(data), -999.0, data),
+               {"_FillValue": -999.0}),
+    }
+    for i in range(8):  # force dense links
+        vars_[f"aux{i}"] = (["lat"], np.zeros(_NA), {})
+    with open(nc, "wb") as fh:
+        fh.write(write_hdf5(
+            vars_, profile="v2", dense_links=True, dense_attrs=True,
+            chunk={"pr": (2, _NA, _NO)},
+            v4_index={"pr": "extensible_array"},
+            maxshape={"pr": (None, _NA, _NO)},
+            zstd=True, gzip_level=None, shuffle=True,
+        ))
+    a = _canon(load_netcdf(spark, nc).toPandas())
+    assert len(a) == data.size
+    assert int(a.value.isna().sum()) == int(np.isnan(data).sum())
+
+    # --- Zarr v2: blosc(zstd) + delta filter
+    z2 = str(tmp_path / "v2.zarr")
+    write_zarr(
+        z2,
+        dims={"time": _NT, "lat": _NA, "lon": _NO},
+        variables={
+            "time": (["time"], np.arange(_NT) * 6.0,
+                     {"units": "hours since 2001-01-01"}),
+            "lat": (["lat"], _LATS, {}),
+            "lon": (["lon"], _LONS, {}),
+            "pr": (["time", "lat", "lon"],
+                   np.where(np.isnan(data), -999.0, data),
+                   {"_FillValue": -999.0}),
+        },
+        chunks={"pr": (2, _NA, _NO)},
+        compressor={"id": "blosc", "cname": "zstd", "shuffle": 1},
+        filters={"pr": [{"id": "delta", "dtype": "<f8",
+                         "astype": "<f8"}]},
+    )
+    b = _canon(load_zarr(spark, z2).toPandas())
+
+    # --- Zarr v3: bytes → zstd default chain
+    z3 = str(tmp_path / "v3.zarr")
+    write_zarr_v3(
+        z3,
+        dims={"time": _NT, "lat": _NA, "lon": _NO},
+        variables={
+            "time": (["time"], np.arange(_NT) * 6.0,
+                     {"units": "hours since 2001-01-01"}),
+            "lat": (["lat"], _LATS, {}),
+            "lon": (["lon"], _LONS, {}),
+            "pr": (["time", "lat", "lon"],
+                   np.nan_to_num(data, nan=0.0), {}),
+        },
+        chunks={"pr": (2, _NA, _NO)},
+        codec="zstd",
+    )
+    c = _canon(load_zarr(spark, z3).toPandas())
+    # v3 writer has no fill-value masking: re-null the planted pattern
+    c.loc[a.value.isna().to_numpy(), "value"] = np.nan
+
+    # --- GRIB2: one CCSDS-packed message per timestep
+    gb = str(tmp_path / "f.grib2")
+    msgs = b""
+    for s in range(_NT):
+        msgs += write_grib2_message(
+            data[s], _LATS, _LONS, dt.datetime(2001, 1, 1),
+            forecast_hours=s * 6, binary_scale=-2, nbits=16,
+            packing=42,
+        )
+    with open(gb, "wb") as fh:
+        fh.write(msgs)
+    d = _canon(load_grib2(spark, gb).toPandas())
+
+    for name, other in (("zarr-v2", b), ("zarr-v3", c), ("grib2", d)):
+        pd.testing.assert_frame_equal(
+            a, other, check_exact=True, obj=f"long form via {name}"
+        )
