@@ -519,17 +519,30 @@ def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
             f"align with the N={n_par} Gaussian latitudes"
         )
     row_lats = cand[i0 : i0 + nj].copy()
-    # global check: first point of first row at lon 0, last point of
-    # last row one increment short of the full circle
-    last_step = 360.0 / int(pl[-1])
-    if abs(lo1) > tol or abs(lo2 - (360.0 - last_step)) > tol:
-        raise NotImplementedError(
-            f"GRIB2 regional reduced Gaussian grid not supported "
-            f"(lo1={lo1}, lo2={lo2}; global full-circle rows only)"
+    if sec3[11] == 2:
+        # regional reduced (interpretation 2): every row's points span
+        # [lo1, lo2] inclusive — per-row linspace
+        if lo2 <= lo1:
+            raise NotImplementedError(
+                f"GRIB2 regional reduced grid wrapping the prime "
+                f"meridian (lo1={lo1} >= lo2={lo2}) not supported"
+            )
+        lons_flat = np.concatenate(
+            [np.linspace(lo1, lo2, int(p)) for p in pl]
         )
-    lons_flat = np.concatenate(
-        [np.arange(int(p)) * (360.0 / int(p)) for p in pl]
-    )
+    else:
+        # global (interpretation 1): first point of first row at lon
+        # 0, last point of last row one increment short of the circle
+        last_step = 360.0 / int(pl[-1])
+        if abs(lo1) > tol or abs(lo2 - (360.0 - last_step)) > tol:
+            raise NotImplementedError(
+                f"GRIB2 reduced Gaussian grid with interpretation 1 "
+                f"and lo1={lo1}, lo2={lo2}: full-circle rows only "
+                "(regional subsets use interpretation 2)"
+            )
+        lons_flat = np.concatenate(
+            [np.arange(int(p)) * (360.0 / int(p)) for p in pl]
+        )
     lats_flat = np.repeat(row_lats, pl)
     return GridDef(
         template=40,
@@ -599,11 +612,12 @@ def _parse_grid(sec3: bytes) -> GridDef:
 def _parse_grid_uncached(sec3: bytes) -> GridDef:
     (template,) = struct.unpack_from(">H", sec3, 12)
     if sec3[10] != 0:  # optional points-per-row list appended
-        if template != 40 or sec3[11] != 1:
+        if template != 40 or sec3[11] not in (1, 2):
             raise NotImplementedError(
                 f"GRIB2 quasi-regular list on template 3.{template} with "
                 f"interpretation {sec3[11]} not supported (reduced "
-                "Gaussian, interpretation 1 = full circles, only)"
+                "Gaussian, interpretations 1 = full circles / 2 = rows "
+                "delimited by the extreme coordinates, only)"
             )
         return _parse_grid_reduced_gaussian(sec3)
     if template in (0, 40):
@@ -1121,6 +1135,7 @@ def write_grib2_message(
     grid_template: int = 0,
     lambert: dict | None = None,
     reduced_pl: list[int] | None = None,
+    reduced_lons: tuple[float, float] | None = None,
     neg_i: bool = False,
     j_consecutive: bool = False,
     basic_angle: tuple[int, int] | None = None,
@@ -1246,21 +1261,26 @@ def write_grib2_message(
             0,
         )
     elif reduced_pl is not None:
-        # reduced global Gaussian: Ni and Di missing, points-per-row
-        # list (2 octets each, interpretation 1) appended after the
-        # 72-octet template
+        # reduced Gaussian: Ni and Di missing, points-per-row list
+        # (2 octets each) appended after the 72-octet template;
+        # interpretation 1 = global full circles (lo1=0), 2 = regional
+        # rows delimited by the given (lo1, lo2)
         scan = 0x40 if lats[-1] >= lats[0] else 0x00
-        lo2_last = 360.0 - 360.0 / pl[-1]
+        if reduced_lons is None:
+            interp, lo1_w = 1, 0.0
+            lo2_w = 360.0 - 360.0 / pl[-1]
+        else:
+            interp, (lo1_w, lo2_w) = 2, reduced_lons
         sec3 = struct.pack(
             ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
-            72 + 2 * nj, 3, 0, sum(pl), 2, 1, 40,
+            72 + 2 * nj, 3, 0, sum(pl), 2, interp, 40,
             6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
             0xFFFFFFFF, nj, 0, 0xFFFFFFFF,  # Ni missing; basic angle
             _sm_encode(int(round(lats[0] * 1e6)), 32),
-            0,                              # lo1 = 0 (global rows)
+            _sm_encode(int(round(lo1_w * 1e6)), 32),
             0x00,                           # res/component: Di not given
             _sm_encode(int(round(lats[-1] * 1e6)), 32),
-            _sm_encode(int(round(lo2_last * 1e6)), 32),
+            _sm_encode(int(round(lo2_w * 1e6)), 32),
             0xFFFFFFFF, nj // 2,            # Di missing; Gaussian N
             scan,
         ) + b"".join(struct.pack(">H", p) for p in pl)

@@ -856,14 +856,15 @@ def test_reduced_regional_and_bad_interpretation_raise():
     sec3_off = 16 + 21
     (l3,) = _s.unpack_from(">I", raw, sec3_off)
     sec3 = bytearray(raw[sec3_off : sec3_off + l3])
-    # poke lo1 to 10 degrees -> regional reduced grid must raise
+    # poke lo1 to 10 degrees under interpretation 1 -> must raise
+    # (a regional subset is expressed with interpretation 2)
     sec3[50:54] = _s.pack(">I", _sm_encode(10_000_000, 32))
-    with pytest.raises(NotImplementedError, match="regional reduced"):
+    with pytest.raises(NotImplementedError, match="full-circle rows"):
         _parse_grid_uncached(bytes(sec3))
-    # interpretation != 1
+    # interpretation 3 (actual latitudes list) stays a loud seam
     sec3 = bytearray(raw[sec3_off : sec3_off + l3])
-    sec3[11] = 2
-    with pytest.raises(NotImplementedError, match="interpretation 2"):
+    sec3[11] = 3
+    with pytest.raises(NotImplementedError, match="interpretation 3"):
         _parse_grid_uncached(bytes(sec3))
     # list on a non-Gaussian template
     sec3 = bytearray(raw[sec3_off : sec3_off + l3])
@@ -1104,3 +1105,32 @@ def test_ccsds_packing_load_long_form(spark, tmp_path):
     df = load_grib2(spark, p).toPandas()
     assert len(df) == 48
     assert df["value"].sum() == pytest.approx(vals.sum())
+
+
+def test_regional_reduced_gaussian_interpretation2():
+    """Interpretation 2 (rows delimited by the extreme coordinates):
+    a regional reduced Gaussian subset decodes with per-row
+    linspace(lo1, lo2, p) longitudes."""
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    pl = (3, 5, 5, 3)
+    lats = _gaussian_lats(2)
+    npts = sum(pl)
+    vals = np.round(np.arange(npts) * 0.25, 2)
+    raw = write_grib2_message(
+        vals, lats, None, _REF, grid_template=40,
+        reduced_pl=list(pl), reduced_lons=(10.0, 50.0),
+        binary_scale=-2, nbits=16,
+    )
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.values.ravel(), vals, atol=1e-9)
+    exp_lons = np.concatenate(
+        [np.linspace(10.0, 50.0, p) for p in pl]
+    )
+    np.testing.assert_allclose(f.lons2d.ravel(), exp_lons, atol=1e-5)
+    np.testing.assert_allclose(
+        f.lats2d.ravel(), np.repeat(lats, pl), atol=2e-3
+    )
+    idx = scan_grib2(raw)[0]
+    assert idx.lon0 == pytest.approx(10.0)
+    assert idx.lon1 == pytest.approx(50.0)
