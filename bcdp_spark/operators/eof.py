@@ -87,9 +87,11 @@ def gram_matrix_time(
     is order- and partition-independent; block membership is a pure
     hash of the space key, so the per-block float64 products are
     partitioning-independent too (rows are sorted by (space, time)
-    before the matmul). Missing (cell, time) entries pivot to 0.0,
-    contributing nothing — matching the join variant's absent-pair
-    semantics.
+    before the matmul). Missing (cell, time) entries contribute 0.0
+    to the products, and a per-block co-occurrence count gates the
+    emitted pairs, so the OUTPUT ROW SET matches the join variant
+    exactly even on sparse inputs (a (t1, t2) pair appears iff some
+    cell holds both times).
 
     ``n_blocks`` is a FIXED default (not derived from the cluster) so
     results don't depend on where the job runs; at 100 TB raise it so
@@ -103,14 +105,25 @@ def gram_matrix_time(
     def block_gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         piv = pdf.pivot_table(
             index=sp, columns=time_col, values=value_col,
-            fill_value=0.0, aggfunc="sum", sort=True,
+            aggfunc="sum", sort=True,
         )
-        m = piv.to_numpy(dtype=np.float64)
+        present = piv.notna().to_numpy()
+        m = np.nan_to_num(piv.to_numpy(dtype=np.float64), nan=0.0)
         g = m.T @ m
+        # the join variant emits a (t1, t2) row only when the pair
+        # CO-OCCURS in at least one cell — missing entries pivot to
+        # 0.0 in the products (contributing nothing) but must not
+        # conjure rows for never-co-occurring pairs
+        cocount = present.T.astype(np.int64) @ present.astype(np.int64)
         tvals = piv.columns.to_numpy()
         i1, i2 = np.triu_indices(len(tvals))
+        keep = cocount[i1, i2] > 0
         return pd.DataFrame(
-            {"t1": tvals[i1], "t2": tvals[i2], "partial": g[i1, i2]}
+            {
+                "t1": tvals[i1][keep],
+                "t2": tvals[i2][keep],
+                "partial": g[i1, i2][keep],
+            }
         )
 
     blocked = df.groupBy(

@@ -226,8 +226,7 @@ def _ensure_zstd_fixtures() -> tuple[str, str]:
             dims={"time": _ZS_T, "lat": _ZS_A, "lon": _ZS_O},
             variables={
                 **coords,
-                "pr": (["time", "lat", "lon"],
-                       np.where(np.isnan(data), -999.0, data), {}),
+                "pr": (["time", "lat", "lon"], data, {}),
             },
             chunks={"pr": (10, 4, 3)},
             codec="zstd",

@@ -306,14 +306,6 @@ def _earth_params(sec3: bytes) -> tuple[float, float]:
     )
 
 
-def _earth_radius(sec3: bytes) -> float:
-    """Back-compat spherical radius (raises for ellipsoids)."""
-    a, e = _earth_params(sec3)
-    if e != 0.0:
-        raise NotImplementedError("ellipsoidal earth via _earth_params")
-    return a
-
-
 def _lcc_t(phi: float | np.ndarray, e: float):
     """Snyder 15-9: isometric-latitude factor t(φ); e=0 reduces to
     tan(π/4 − φ/2)."""

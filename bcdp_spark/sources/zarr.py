@@ -698,6 +698,11 @@ def _filters_encode(arr: np.ndarray, filters: list) -> bytes:
             scale = 2.0 ** bits
             arr = (np.around(scale * arr) / scale).astype(st)
         elif fid == "shuffle":
+            if f is not filters[-1]:
+                raise ValueError(
+                    "shuffle must be the LAST v2 filter in the encode "
+                    "chain (its output is untyped bytes)"
+                )
             es = int(f.get("elementsize", arr.dtype.itemsize))
             b = np.frombuffer(arr.tobytes(), np.uint8)
             return b.reshape(len(b) // es, es).T.tobytes()

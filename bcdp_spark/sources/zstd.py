@@ -41,15 +41,21 @@ _SKIP_HI = 0x184D2A5F
 
 
 class _FwdBits:
-    """Forward little-endian bit reader (FSE table descriptions)."""
+    """Forward little-endian bit reader (FSE table descriptions).
+    Reads slice an O(1) byte window per call — callers may hand in a
+    whole block tail, so a whole-buffer integer would make each read
+    O(len)."""
 
     def __init__(self, data: bytes):
-        self.val = int.from_bytes(data, "little")
+        self.data = data
         self.pos = 0
         self.n = len(data) * 8
 
     def read(self, n: int) -> int:
-        out = (self.val >> self.pos) & ((1 << n) - 1)
+        lo = self.pos >> 3
+        hi = (self.pos + n + 7) >> 3
+        window = int.from_bytes(self.data[lo:hi], "little")
+        out = (window >> (self.pos - lo * 8)) & ((1 << n) - 1)
         self.pos += n
         return out
 
@@ -395,7 +401,9 @@ def _read_num_seq(data: bytes) -> tuple[int, int]:
         return b0, 1
     if b0 < 255:
         return ((b0 - 128) << 8) | data[1], 2
-    return data[1] | (data[2] << 8) | 0x7F00, 3
+    # RFC 8878: byte0=255 → nseq = byte1 + (byte2<<8) + 0x7F00; this
+    # is ADDITION, not OR — the low field carries into 0x7F00
+    return data[1] + (data[2] << 8) + 0x7F00, 3
 
 
 def _seq_table(data: bytes, pos: int, mode: int, kind: str,

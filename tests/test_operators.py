@@ -1909,3 +1909,32 @@ def test_eof_sign_convention_deterministic(spark):
     for k in (0, 1):
         vec = [v for (_, m, v) in a1 if m == k]
         assert max(vec, key=abs) > 0
+
+
+def test_gram_blocked_sparse_pair_set_matches_joined(spark):
+    """Cells with DISJOINT time coverage: the blocked Gram must not
+    conjure (t1, t2, 0.0) rows for pairs that never co-occur in any
+    cell — its output row SET equals the join variant's."""
+    from bcdp_spark.operators.eof import (
+        gram_matrix_time,
+        gram_matrix_time_joined,
+    )
+
+    rows = [
+        # cell (0,0) has t in {0,1}; cell (1,1) has t in {2,3};
+        # cell (2,2) bridges {1,2}
+        (0, 0.0, 0.0, 1.25), (1, 0.0, 0.0, 2.5),
+        (2, 1.0, 1.0, 0.75), (3, 1.0, 1.0, 1.0),
+        (1, 2.0, 2.0, 3.0), (2, 2.0, 2.0, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "t int, lat double, lon double, value double"
+    )
+    key = lambda r: (r["t1"], r["t2"])
+    blocked = {key(r): r["g"]
+               for r in gram_matrix_time(df, time_col="t").collect()}
+    joined = {key(r): r["g"]
+              for r in gram_matrix_time_joined(df, time_col="t").collect()}
+    assert blocked == joined
+    assert (0, 3) not in blocked  # never co-occurs anywhere
+    assert (1, 2) in blocked      # bridged by cell (2,2)

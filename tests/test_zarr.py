@@ -990,3 +990,21 @@ def test_v3_transpose_codec(tmp_path):
     meta = read_array_meta(store, "v")
     got = decode_chunk_bytes(stored.tobytes(), meta)
     np.testing.assert_array_equal(got, data)
+
+
+def test_v2_filter_encode_shuffle_must_be_last(tmp_path):
+    """shuffle's output is untyped bytes; a filter after it in the
+    encode chain would silently corrupt — the writer raises."""
+    from bcdp_spark.sources.zarr import write_zarr
+
+    with pytest.raises(ValueError, match="LAST"):
+        write_zarr(
+            str(tmp_path / "bad.zarr"),
+            dims={"x": 4},
+            variables={"v": (["x"], np.arange(4, dtype="<f8"), {})},
+            chunks={"v": (4,)},
+            filters={"v": [
+                {"id": "shuffle", "elementsize": 8},
+                {"id": "delta", "dtype": "<f8", "astype": "<f8"},
+            ]},
+        )

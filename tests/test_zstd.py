@@ -254,3 +254,17 @@ def test_zarr_v3_zstd_codec(tmp_path, spark):
     pdf = load_zarr(spark, store).toPandas()
     assert len(pdf) == data.size
     assert pdf.value.sum() == pytest.approx(data.sum())
+
+
+def test_read_num_seq_carry():
+    """RFC 8878 long-form sequence count: byte0=255 means byte1 +
+    (byte2<<8) + 0x7F00 — addition with carry, not OR (a block can
+    legally hold >= 32512 sequences)."""
+    from bcdp_spark.sources.zstd import _read_num_seq
+
+    assert _read_num_seq(bytes([42])) == (42, 1)
+    assert _read_num_seq(bytes([128 + 3, 7])) == ((3 << 8) | 7, 2)
+    assert _read_num_seq(bytes([255, 0xA0, 0x0D])) == (
+        0xA0 + (0x0D << 8) + 0x7F00, 3)  # 36000, not 32672
+    assert _read_num_seq(bytes([255, 0xFF, 0xFF])) == (
+        0xFFFF + 0x7F00, 3)
