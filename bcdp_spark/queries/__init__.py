@@ -74,44 +74,17 @@ def _load() -> None:
 
 
 # Driver-grading priority: the driver grades the first 50 registry keys
-# in dict order. Rounds 1-4 rotated the window each round so that every
+# in dict order. Rounds 1-5 rotated the window each round so that every
 # graded slot lands on a never-before-graded key; cumulative driver
-# evidence now covers 126 of the 202 keys (CORRECTNESS_r01-r04, zero
-# failures). Round-5 rotation (VERDICT r4 item 1): all 50 slots go to
-# never-graded keys — the verdict-named flagships (EOF, plev interp,
-# bigram LM, kNN join exact+IVF, snapshot diff, image phash, doc
-# chunking), the TPC-H composite family, the robustness/window family,
-# and the corpus/text statistics family. The remaining 26 never-graded
-# keys sit immediately past the boundary for round 6, after which the
-# whole registry will carry driver rows. Every rotated-out key keeps
-# r2/r3/r4 driver-green evidence for its component.
+# evidence covers 176 of 204 keys (CORRECTNESS_r01-r05, zero failures).
+# Round-6 rotation (VERDICT r5 item 1): the FINAL 28 never-graded keys
+# move above the boundary, followed by the keys new in round 6
+# (GRIB2 ensemble PDT 4.1/4.11, HDF5 nbit/scaleoffset) — after this
+# round EVERY registry key carries a driver row. The remaining window
+# slots fall to r5-green keys (harmless re-grades). Every rotated-out
+# key keeps r2-r5 driver-green evidence for its component.
 _PRIORITY = (
-    # (a) verdict-named never-graded flagships
-    "q_eof_gram", "q_plev_interp", "q_bigram_perplexity", "q_knn_join",
-    "q_knn_join_ivf", "q_snapshot_diff", "q_image_phash_pairs",
-    "q_doc_chunking",
-    # (b) TPC-H composite family (never graded; exercises J/A/O/W
-    # compositions end-to-end on orders/lineitem/supplier)
-    "q_local_supplier_volume", "q_product_profit", "q_waiting_suppliers",
-    "q_min_cost_supplier", "q_volume_shipping", "q_shipmode_priority",
-    "q_order_priority", "q_returned_items", "q_large_orders",
-    "q_promo_suppliers", "q_small_qty_revenue", "q_top_supplier",
-    "q_supplier_cnt", "q_important_stock", "q_promo_window_join",
-    "q_idle_customers",
-    # (c) robustness / window family (never graded)
-    "q_ewma", "q_rolling_corr", "q_upsert", "q_percentile_cont",
-    "q_windowed_dedup", "q_range_window", "q_null_safe_join",
-    "q_full_join", "q_in_subquery", "q_percent_rank", "q_ntile",
-    "q_mode", "q_string_agg", "q_argmax", "q_first_last", "q_histogram",
-    # (d) corpus / text statistics family (never graded)
-    "q_token_count", "q_bigrams", "q_cooccurrence", "q_vocab_growth",
-    "q_repetition_ratio", "q_doc_length_histogram", "q_boilerplate",
-    "q_redact_terms",
-    # (d') r5 codec flagships (new this round): zstd under blosc/v3
-    # wrappings + delta filter; reduced global Gaussian GRIB2
-    "q_zarr_zstd", "q_grib2_reduced",
-    # --- 50-key window boundary ---
-    # (e) the remaining never-graded keys — next in line, round 6
+    # (a) the final 28 never-graded keys (r5 section (e), promoted)
     "q_token_budget_select", "q_entropy",
     "q_abandonment", "q_approx_distinct", "q_array_ops",
     "q_bloom_semi_join", "q_cohort_retention", "q_compress_ratio",
@@ -122,7 +95,21 @@ _PRIORITY = (
     "q_stratified_sample", "q_user_lifetime", "q_vec_quantize",
     "q_weighted_avg", "q_weighted_sample", "q_yoy_growth",
     "q_zscore_outliers",
-    # (f) everything else (all r1-r4 driver-green) follows in registry
+    # (b) new in round 6: GRIB2 ensemble product templates (PDT
+    # 4.1/4.11 member labels through the A4 ensemble path) and the
+    # HDF5 nbit / scale-offset filter reads
+    "q_grib2_ensemble", "q_hdf5_scaleoffset",
+    # (c) r5 flagships re-graded in the remaining window slots (all
+    # r5-green; keeps the window full of high-signal keys)
+    "q_eof_gram", "q_plev_interp", "q_bigram_perplexity", "q_knn_join",
+    "q_knn_join_ivf", "q_snapshot_diff", "q_image_phash_pairs",
+    "q_doc_chunking", "q_zarr_zstd", "q_grib2_reduced",
+    "q_local_supplier_volume", "q_min_cost_supplier",
+    "q_volume_shipping", "q_promo_window_join", "q_idle_customers",
+    "q_percentile_cont", "q_full_join", "q_null_safe_join",
+    "q_rolling_corr", "q_histogram",
+    # --- 50-key window boundary ---
+    # (d) everything else (all r1-r5 driver-green) follows in registry
     # dict order via _ordered()'s fall-through.
 )
 
