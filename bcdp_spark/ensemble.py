@@ -562,17 +562,32 @@ class Ensemble:
             self.df, out_dir, by=self.name_col, var_name=self.value_col
         )
 
-    def to_grib2(self, out_dir: str, nbits: int = 16) -> DataFrame:
+    def to_grib2(
+        self, out_dir: str, nbits: int = 16, stamp_members: bool = False
+    ) -> DataFrame:
         """Sink (S6): one GRIB2 cycle file per member (one message per
         time step), written from executors (sinks.to_grib2; vendored
         WMO FM 92 writer), reingestable by ``sources.grib2.load_grib2``
         with message-level pruning. Simple packing is GRIB's native
-        lossy contract — quantization ≤ range/(2^nbits − 1) per field."""
+        lossy contract — quantization ≤ range/(2^nbits − 1) per field.
+
+        ``stamp_members=True`` encodes each member's position in the
+        sorted member-name list as the PDT 4.1 perturbation number, so
+        the identity survives in-band (the GEFS layout) and reloads as
+        the ``member`` column. Costs one distinct().collect() bounded
+        by the ensemble size (= the number of files written)."""
         from bcdp_spark.sinks import to_grib2
 
+        numbers = None
+        if stamp_members:
+            names = sorted(
+                r[0]
+                for r in self.df.select(self.name_col).distinct().collect()
+            )
+            numbers = {n: i for i, n in enumerate(names)}
         return to_grib2(
             self.df, out_dir, by=self.name_col, var_name=self.value_col,
-            nbits=nbits,
+            nbits=nbits, member_numbers=numbers,
         )
 
     def to_zarr(

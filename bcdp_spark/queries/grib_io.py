@@ -206,3 +206,143 @@ def q_grib2_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 — ensemble product templates 4.1 / 4.11 (GEFS/ERA5-EDA layout):
+# the perturbation number is encoded IN-BAND in section 4 and must
+# come back as the `member` column. One file per member (the GEFS
+# gepNN convention), each holding two point-in-time PDT 4.1 "t"
+# fields (simple packing for even members, complex+spatial-diff 5.3
+# for odd — one green row certifies ensemble headers over BOTH
+# decode paths) and one PDT 4.11 accumulated "apcp" field whose
+# valid time is the END of the 6 h interval.
+# ---------------------------------------------------------------------------
+_ENS_FIX = "/tmp/bcdp_spark_grib2_ensemble_fixture_v1"
+_ENS_M = 5  # members
+
+
+def _ensure_ensemble_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_ENS_FIX, ".complete")
+    if os.path.exists(done):
+        return _ENS_FIX
+    os.makedirs(_ENS_FIX, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    for m in range(_ENS_M):
+        msgs = b""
+        for s in range(2):  # PDT 4.1 point-in-time steps
+            h = s * 6
+            vals = np.empty((_N_A, _N_O))
+            for a in range(_N_A):
+                for o in range(_N_O):
+                    if (m + h + a + o) % 7 == 0:
+                        vals[a, o] = np.nan
+                    else:
+                        vals[a, o] = 0.25 * (
+                            m * 10000 + h * 100 + a * 10 + o
+                        )
+            msgs += write_grib2_message(
+                vals, lats, lons, _dt.datetime(2001, 1, 1),
+                forecast_hours=h, category=0, number=0,
+                level_type=103, level=2, binary_scale=-2, nbits=16,
+                packing=0 if m % 2 == 0 else 3, spatial_order=2,
+                member=m, ens_size=_ENS_M,
+            )
+        # PDT 4.11: 6 h accumulation, valid time = interval end
+        vals = np.empty((_N_A, _N_O))
+        for a in range(_N_A):
+            for o in range(_N_O):
+                if (m + a + o) % 5 == 0:
+                    vals[a, o] = np.nan
+                else:
+                    vals[a, o] = 0.25 * (m * 10000 + 777 + a * 10 + o)
+        msgs += write_grib2_message(
+            vals, lats, lons, _dt.datetime(2001, 1, 1),
+            forecast_hours=0, category=1, number=8,
+            binary_scale=-2, nbits=16, stat_hours=6,
+            member=m, ens_size=_ENS_M,
+        )
+        tmp = os.path.join(_ENS_FIX, f".gep{m:02d}.grib2.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(msgs)
+        os.replace(tmp, os.path.join(_ENS_FIX, f"gep{m:02d}.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _ENS_FIX
+
+
+@register(
+    "q_grib2_ensemble",
+    oracle=f"""
+WITH t_grid AS (
+  SELECT m.g AS member, 't' AS name, s.g * 6 AS hour,
+         CASE WHEN (m.g + s.g * 6 + a.g + o.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (m.g * 10000 + s.g * 6 * 100 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, {_ENS_M - 1}) m(g),
+       generate_series(0, 1) s(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+),
+p_grid AS (
+  SELECT m.g AS member, 'apcp' AS name, 6 AS hour,
+         CASE WHEN (m.g + a.g + o.g) % 5 = 0 THEN NULL
+              ELSE 0.25 * (m.g * 10000 + 777 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, {_ENS_M - 1}) m(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+),
+per AS (
+  SELECT name, hour, member,
+         COUNT(*) AS n_cells, COUNT(value) AS n_valid,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s
+  FROM (SELECT * FROM t_grid UNION ALL SELECT * FROM p_grid)
+  GROUP BY 1, 2, 3
+)
+SELECT name, CAST(hour AS INT) AS hour, CAST(member AS INT) AS member,
+       n_cells, n_valid,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_value,
+       COUNT(*) OVER w AS n_members,
+       CAST(CAST(MAX(s) OVER w - MIN(s) OVER w AS VARCHAR) AS DOUBLE)
+         AS ens_spread
+FROM per
+WINDOW w AS (PARTITION BY name, hour)
+""",
+)
+def q_grib2_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+A4 (r6): GRIB2 ensemble templates end-to-end — PDT 4.1 and
+    4.11 perturbation numbers decoded from section 4 into the
+    ``member`` column, per-member climatology, then across-member
+    ensemble count and spread (max − min of the exact per-member
+    decimal sums) in one windowed pass. A hash match certifies the
+    three ensemble octets, the shifted 4.11 interval block (valid
+    time = interval END), and member-correct value routing through
+    both simple and complex packing. ``sf_dir`` unused (synthetic
+    decode fixture)."""
+    from pyspark.sql import Window
+
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_ensemble_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    per = df.groupBy(
+        "name", F.hour("time").cast("int").alias("hour"), "member"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("_s"),
+    )
+    w = Window.partitionBy("name", "hour")
+    return per.select(
+        "name", "hour", "member", "n_cells", "n_valid",
+        F.col("_s").cast("double").alias("sum_value"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.max("_s").over(w) - F.min("_s").over(w))
+        .cast("double")
+        .alias("ens_spread"),
+    )

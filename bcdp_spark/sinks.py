@@ -420,6 +420,7 @@ def to_grib2(
     by: str = "name",
     var_name: str = "value",
     nbits: int = 16,
+    member_numbers: dict | None = None,
 ) -> DataFrame:
     """GRIB2 export: one cycle file per ``by`` group, one message per
     time step, written from executors with the vendored WMO FM 92
@@ -434,6 +435,13 @@ def to_grib2(
     keeps ~4-5 significant digits; raise for more). NaNs become bitmap
     points and reload as NULL. The returned manifest has one row per
     file (path, n_rows, n_times, nbits).
+
+    ``member_numbers`` (group label → perturbation number) switches
+    the product template to 4.1 (individual ensemble forecast), so the
+    member identity travels IN-BAND — readers recover it from the
+    ``member`` column instead of the file name. The dict is
+    constant-size (one entry per member file) and ships to executors
+    via the closure.
     """
     import math
     import os
@@ -481,6 +489,14 @@ def to_grib2(
                     math.log2(span / (2**nbits - 1))
                 )
                 bits = nbits
+            ens = (
+                {}
+                if member_numbers is None
+                else {
+                    "member": int(member_numbers[member]),
+                    "ens_size": len(member_numbers),
+                }
+            )
             msgs += write_grib2_message(
                 field,
                 np.asarray(lats, dtype=float),
@@ -490,6 +506,7 @@ def to_grib2(
                 ref_value=ref,
                 binary_scale=e_scale,
                 nbits=bits,
+                **ens,
             )
         path = os.path.join(out_dir, f"{member}.grib2")
         with open(path, "wb") as fh:

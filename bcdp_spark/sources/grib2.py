@@ -18,12 +18,16 @@ Scope (the subset NWP surface archives actually use):
 - Section 3 grid templates 3.0 (regular latitude/longitude), 3.40
   (Gaussian latitude/longitude — ERA5/GFS spectral-native; latitudes
   recomputed from the Legendre roots and alignment-checked against
-  the stored La1/La2) and 3.30 (Lambert conformal conic — HRRR/NAM
-  native; spherical Snyder forward/inverse, per-point lat/lon
-  emitted); scanning modes +i/-j (0x00, the GFS default) and +i/+j
-  (0x40); reduced (quasi-regular) grids raise loudly;
-- Section 4 product template 4.0 (analysis/forecast at a horizontal
-  level), forecast-time units minute/hour/day;
+  the stored La1/La2, including REDUCED quasi-regular grids with
+  points-per-row lists, interpretations 1 = global and 2 = regional)
+  and 3.30 (Lambert conformal conic — HRRR/NAM native; Snyder
+  forward/inverse, spherical and ellipsoidal, per-point lat/lon
+  emitted); all four scan-mode flag bits (-i mirror, ±j,
+  j-consecutive storage) and explicit basic-angle coordinate units;
+- Section 4 product templates 4.0 (analysis/forecast at a horizontal
+  level), 4.8 (statistically processed interval), and their ensemble
+  twins 4.1 / 4.11 (GEFS/ERA5-EDA — the perturbation number lands in
+  a ``member`` column), forecast-time units minute/hour/day;
 - Section 5 data template 5.0 (simple packing), any bit width 0..32,
   IEEE-float32 reference value, sign-and-magnitude binary/decimal
   scale factors — decoded value = (R + X·2^E) / 10^D;
@@ -147,6 +151,7 @@ class Grib2Index:
     lon0: float
     lon1: float
     field: int = 0  # submessage index within a multi-field message
+    member: int | None = None  # PDT 4.1/4.11 perturbation number
 
 
 @dataclass
@@ -461,8 +466,13 @@ def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
     storage (octahedral O1280 etc.): Ni is missing and an appended
     list gives the number of points on each of the Nj Gaussian rows;
     each row's points span the full circle at 360/pl[j] spacing.
-    GLOBAL grids only — a regional reduced subset needs per-row
-    start/end bookkeeping this subset rejects loudly."""
+    Interpretation 1 (global: each row spans the full circle at
+    360/pl[j] spacing, Lo1 = 0) and interpretation 2 (regional: every
+    row spans the SAME [Lo1, Lo2] arc with pl[j] evenly spaced points
+    — the ERA5/IFS regional-subset layout) are both decoded;
+    interpretation 3 (row spacing given by the extreme longitudes of
+    each row individually) has no in-container cross-check and raises
+    loudly (docs/FORMATS.md certification policy)."""
     (n_total,) = struct.unpack_from(">I", sec3, 6)
     elem = sec3[10]
     ni, nj = struct.unpack_from(">II", sec3, 30)
@@ -626,15 +636,21 @@ _parse_grid_cached = functools.lru_cache(maxsize=64)(_parse_grid_uncached)
 
 
 def _parse_product(sec4: bytes, ref_time: _dt.datetime):
-    """Templates 4.0 (point-in-time) and 4.8 (statistically processed
+    """Templates 4.0 (point-in-time), 4.8 (statistically processed
     over an interval — how real accumulation fields like GFS APCP
-    ship). For 4.8 the emitted valid time is the END of the overall
-    interval (octets 35-41), matching wgrib2/cfgrib convention."""
+    ship), and their individual-ensemble-member twins 4.1 / 4.11
+    (GEFS/ERA5-EDA): identical layout plus three octets after the
+    second fixed surface — type of ensemble forecast (35),
+    perturbation number (36), ensemble size (37) — which shift the
+    4.11 interval block by three. For 4.8/4.11 the emitted valid time
+    is the END of the overall interval, matching wgrib2/cfgrib
+    convention. Returns ``member`` = the perturbation number for
+    4.1/4.11, None for deterministic templates."""
     (template,) = struct.unpack_from(">H", sec4, 7)
-    if template not in (0, 8):
+    if template not in (0, 1, 8, 11):
         raise NotImplementedError(
             f"GRIB2 product template 4.{template} not supported "
-            "(4.0 / 4.8 only)"
+            "(4.0 / 4.1 / 4.8 / 4.11 only)"
         )
     category, number = sec4[9], sec4[10]
     time_unit = sec4[17]
@@ -652,13 +668,20 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
         level = None
     else:
         level = _sm_decode(lev_val, 32) / (10.0 ** _sm_decode(lev_scale, 8))
-    if template == 8:
-        if len(sec4) < 46:
-            raise ValueError("GRIB2 template 4.8 section too short")
-        (eyear,) = struct.unpack_from(">H", sec4, 34)
-        emonth, eday, ehour, eminute, esecond = sec4[36:41]
+    member = None
+    end_at = 34  # offset of the 4.8-style interval block, if any
+    if template in (1, 11):
+        if len(sec4) < 37:
+            raise ValueError(f"GRIB2 template 4.{template} section too short")
+        member = sec4[35]
+        end_at = 37
+    if template in (8, 11):
+        if len(sec4) < end_at + 12:
+            raise ValueError(f"GRIB2 template 4.{template} section too short")
+        (eyear,) = struct.unpack_from(">H", sec4, end_at)
+        emonth, eday, ehour, eminute, esecond = sec4[end_at + 2 : end_at + 7]
         valid = _dt.datetime(eyear, emonth, eday, ehour, eminute, esecond)
-    return category, number, valid, lev_type, level
+    return category, number, valid, lev_type, level, member
 
 
 def _parse_ref_time(sec1: bytes) -> _dt.datetime:
@@ -680,8 +703,8 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
         for k, secs in enumerate(fieldsets):
             ref_time = _parse_ref_time(secs[1])
             grid = _parse_grid(secs[3])
-            category, number, valid, lev_type, level = _parse_product(
-                secs[4], ref_time
+            category, number, valid, lev_type, level, member = (
+                _parse_product(secs[4], ref_time)
             )
             lat0, lat1, lon0, lon1 = _grid_bbox(grid)
             out.append(
@@ -703,6 +726,7 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
                     lon0=lon0,
                     lon1=lon1,
                     field=k,
+                    member=member,
                 )
             )
         pos += total_len
@@ -743,7 +767,7 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
     ref_time = _parse_ref_time(secs[1])
     grid = _parse_grid(secs[3])
     lats, lons = grid.lats, grid.lons
-    category, number, valid, lev_type, level = _parse_product(
+    category, number, valid, lev_type, level, member = _parse_product(
         secs[4], ref_time
     )
     sec5 = secs[5]
@@ -832,6 +856,7 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         lon0=lon0,
         lon1=lon1,
         field=field,
+        member=member,
     )
     return Grib2Field(
         index=idx,
@@ -1131,6 +1156,9 @@ def write_grib2_message(
     neg_i: bool = False,
     j_consecutive: bool = False,
     basic_angle: tuple[int, int] | None = None,
+    member: int | None = None,
+    ens_size: int = 0,
+    ens_type: int = 3,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1142,6 +1170,11 @@ def write_grib2_message(
     / 2^E exactly representable as an unsigned integer (≤ ``nbits``
     bits for simple packing; any magnitude for complex — group widths
     adapt). NaNs become bitmap-masked points.
+
+    ``member`` switches the product template to the individual-
+    ensemble-forecast twin (4.0 → 4.1, 4.8 → 4.11) and stamps the
+    perturbation number (with ``ens_type``, default 3 = positively
+    perturbed, and ``ens_size`` octets) — the GEFS/ERA5-EDA layout.
     """
     values = np.asarray(values, dtype=np.float64)
     if reduced_pl is not None:
@@ -1318,16 +1351,25 @@ def write_grib2_message(
         level_type = 255
     else:
         lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
-    tmpl4 = 0 if stat_hours is None else 8
+    if member is None:
+        tmpl4 = 0 if stat_hours is None else 8
+        sec4_len = 34 if tmpl4 == 0 else 58
+    else:
+        if not 0 <= member <= 255:
+            raise ValueError(f"perturbation number {member} not in 0..255")
+        tmpl4 = 1 if stat_hours is None else 11
+        sec4_len = 37 if tmpl4 == 1 else 61
     sec4 = struct.pack(
         ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
-        34 if tmpl4 == 0 else 58, 4, 0, tmpl4,
+        sec4_len, 4, 0, tmpl4,
         category, number, 2, 255, 255, 0, 255, 1,   # unit 1 = hours
         _sm_encode(forecast_hours, 32),
         level_type, lev_scale_b, lev_val,
         255, 255, 0xFFFFFFFF,
     )
-    if tmpl4 == 8:
+    if member is not None:
+        sec4 += struct.pack(">BBB", ens_type, member, ens_size)
+    if tmpl4 in (8, 11):
         # end of overall interval = ref + forecast + accumulation span;
         # one time-range spec: statistical process 1 (accumulation)
         end = ref_time + _dt.timedelta(hours=forecast_hours + stat_hours)
@@ -1405,7 +1447,7 @@ def write_grib2_message(
 
 _INDEX_SCHEMA = (
     "path string, offset long, field int, length long, name string, "
-    "discipline int, category int, number int, "
+    "discipline int, category int, number int, member int, "
     "ref_time timestamp, time timestamp, level_type int, level double, "
     "ni int, nj int, lat0 double, lat1 double, lon0 double, lon1 double"
 )
@@ -1418,6 +1460,7 @@ def load_grib2(
     time_bnds: tuple | None = None,
     lat_bnds: tuple | None = None,
     lon_bnds: tuple | None = None,
+    member: int | None = None,
 ):
     """Glob .grib2 files → long-form rows, two distributed stages.
 
@@ -1433,8 +1476,16 @@ def load_grib2(
     import glob as _glob
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from bcdp_spark.sources.netcdf import LONG_FORM_SCHEMA, _long_form
+
+    # the shared long form plus the GRIB-only ensemble coordinate
+    # (NULL for deterministic PDT 4.0/4.8 messages)
+    _GRIB_LONG_SCHEMA = T.StructType(
+        list(LONG_FORM_SCHEMA.fields)
+        + [T.StructField("member", T.IntegerType())]
+    )
 
     files = sorted(_glob.glob(path))
     if not files:
@@ -1461,6 +1512,9 @@ def load_grib2(
                         "discipline": [i.discipline for i in idx],
                         "category": [i.category for i in idx],
                         "number": [i.number for i in idx],
+                        "member": pd.array(
+                            [i.member for i in idx], dtype="Int32"
+                        ),
                         "ref_time": [i.ref_time for i in idx],
                         "time": [i.valid_time for i in idx],
                         "level_type": [i.level_type for i in idx],
@@ -1480,6 +1534,10 @@ def load_grib2(
     index_df = manifest.mapInPandas(scan, schema=_INDEX_SCHEMA)
     if param is not None:
         index_df = index_df.filter(F.col("name") == param)
+    if member is not None:
+        # ensemble-member pruning runs on the header index: other
+        # members' fields are never decoded
+        index_df = index_df.filter(F.col("member") == int(member))
     if time_bnds is not None:
         lo, hi = time_bnds
         if lo is not None:
@@ -1501,12 +1559,21 @@ def load_grib2(
 
         from bcdp_spark.sources.netcdf import _bounds_mask
 
+        def _with_member(pdf_out, mem):
+            pdf_out["member"] = pd.array(
+                [mem] * len(pdf_out), dtype="Int32"
+            )
+            return pdf_out
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 with open(row["path"], "rb") as fh:
                     raw = fh.read()
                 fld = decode_message(
                     raw, int(row["offset"]), int(row["field"])
+                )
+                mem = (
+                    None if pd.isna(row["member"]) else int(row["member"])
                 )
                 if fld.lats2d is not None:
                     # projected grid (Lambert): coordinates are
@@ -1517,16 +1584,19 @@ def load_grib2(
                     m = _bounds_mask(la, bounds["lat"]) & _bounds_mask(
                         lo, bounds["lon"]
                     )
-                    yield pd.DataFrame(
-                        {
-                            "name": str(row["name"]),
-                            "time": pd.DatetimeIndex(
-                                [row["time"]] * int(m.sum())
-                            ),
-                            "lat": la[m],
-                            "lon": lo[m],
-                            "value": fld.values.ravel()[m],
-                        }
+                    yield _with_member(
+                        pd.DataFrame(
+                            {
+                                "name": str(row["name"]),
+                                "time": pd.DatetimeIndex(
+                                    [row["time"]] * int(m.sum())
+                                ),
+                                "lat": la[m],
+                                "lon": lo[m],
+                                "value": fld.values.ravel()[m],
+                            }
+                        ),
+                        mem,
                     )
                     continue
                 lats, lons, vals = fld.lats, fld.lons, fld.values
@@ -1534,15 +1604,18 @@ def load_grib2(
                 lo_m = _bounds_mask(lons, bounds["lon"])
                 lats, lons = lats[la_m], lons[lo_m]
                 vals = vals[np.ix_(la_m, lo_m)]
-                yield _long_form(
-                    str(row["name"]),
-                    pd.DatetimeIndex([row["time"]] * 1),
-                    lats,
-                    lons,
-                    vals[np.newaxis, :, :],
+                yield _with_member(
+                    _long_form(
+                        str(row["name"]),
+                        pd.DatetimeIndex([row["time"]] * 1),
+                        lats,
+                        lons,
+                        vals[np.newaxis, :, :],
+                    ),
+                    mem,
                 )
 
-    return index_df.mapInPandas(decode, schema=LONG_FORM_SCHEMA)
+    return index_df.mapInPandas(decode, schema=_GRIB_LONG_SCHEMA)
 
 
 # --------------------------------------------------------------- stream
@@ -1567,7 +1640,7 @@ class Grib2StreamDataSource(_DataSource):
     def schema(self) -> str:
         return (
             "file string, name string, time timestamp, "
-            "lat double, lon double, value double"
+            "lat double, lon double, value double, member int"
         )
 
     def simpleStreamReader(self, schema):
@@ -1604,6 +1677,7 @@ class Grib2StreamReader(_SimpleStreamReader):
                         float(lat),
                         float(lon),
                         None if v != v else float(v),
+                        idx.member,
                     )
 
     def read(self, start: dict):

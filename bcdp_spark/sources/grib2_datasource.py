@@ -16,8 +16,10 @@ kwargs (same DSv2 pattern as ``netcdf_datasource`` / ``zarr_datasource``).
   field's coordinate axes BEFORE the mesh materializes, so a 1 %
   subset materializes 1 % of the rows.
 
-Accepted-and-enforced filters: =, <, <=, >, >= on time/lat/lon and
-``name = '...'``. Everything else is returned to Spark untouched
+Accepted-and-enforced filters: =, <, <=, >, >= on time/lat/lon,
+``name = '...'``, and ``member = N`` (PDT 4.1/4.11 perturbation
+number — one ensemble member scans without touching the others'
+fields). Everything else is returned to Spark untouched
 (evaluated post-scan), so the source is always correct — pushdown only
 changes how much work is skipped.
 """
@@ -46,7 +48,8 @@ from bcdp_spark.sources.netcdf_datasource import (
 )
 
 _SCHEMA = (
-    "name string, time timestamp, lat double, lon double, value double"
+    "name string, time timestamp, lat double, lon double, value double, "
+    "member int"
 )
 
 
@@ -87,7 +90,9 @@ class Grib2Reader(DataSourceReader):
                 ("time",), ("lat",), ("lon",)
             ):
                 self._filters.append(f)
-            elif isinstance(f, EqualTo) and attr == ("name",):
+            elif isinstance(f, EqualTo) and attr in (
+                ("name",), ("member",)
+            ):
                 self._filters.append(f)
             else:
                 yield f
@@ -116,6 +121,11 @@ class Grib2Reader(DataSourceReader):
         for f in self._filters:
             if getattr(f, "attribute", None) == ("name",):
                 if idx.name != f.value:
+                    return False
+            if getattr(f, "attribute", None) == ("member",):
+                # PDT 4.1/4.11 perturbation number; deterministic
+                # messages (member NULL) never equal a literal
+                if idx.member is None or int(idx.member) != int(f.value):
                     return False
         t = np.array([np.datetime64(idx.valid_time, "us")])
         if not _axis_mask(t, self._filters, "time").any():
@@ -170,8 +180,9 @@ class Grib2Reader(DataSourceReader):
                 pa.array(lats[ai.ravel()], type=pa.float64()),
                 pa.array(lons[oi.ravel()], type=pa.float64()),
                 pa.array(vals, type=pa.float64(), from_pandas=True),
+                pa.array([fld.index.member] * n, type=pa.int32()),
             ],
-            names=["name", "time", "lat", "lon", "value"],
+            names=["name", "time", "lat", "lon", "value", "member"],
         )
 
 

@@ -1134,3 +1134,143 @@ def test_regional_reduced_gaussian_interpretation2():
     idx = scan_grib2(raw)[0]
     assert idx.lon0 == pytest.approx(10.0)
     assert idx.lon1 == pytest.approx(50.0)
+
+
+# -- ensemble product templates 4.1 / 4.11 (r6) -------------------------
+
+
+def test_pdt41_member_roundtrip():
+    vals = np.arange(12, dtype=float).reshape(3, 4) * 0.25
+    raw = _field(vals, binary_scale=-2, nbits=8, member=7, ens_size=31)
+    # octet check: template number 1, ens triple at octets 35-37
+    f = decode_message(raw)
+    assert f.index.member == 7
+    np.testing.assert_array_equal(f.values, vals)
+    (idx,) = scan_grib2(raw)
+    assert idx.member == 7
+
+
+def test_pdt411_member_and_interval_end():
+    """4.11 = 4.8 shifted by the three ensemble octets: the valid time
+    must still be the END of the overall interval."""
+    vals = np.full((2, 2), 1.25)
+    raw = _field(
+        vals, binary_scale=-2, nbits=4, forecast_hours=6, stat_hours=18,
+        member=3, ens_size=21, category=1, number=8,
+    )
+    f = decode_message(raw)
+    assert f.index.member == 3
+    assert f.index.name == "apcp"
+    assert f.index.valid_time == _REF + dt.timedelta(hours=24)
+    np.testing.assert_array_equal(f.values, vals)
+
+
+def test_deterministic_member_is_none():
+    raw = _field(np.zeros((2, 2)), nbits=0)
+    assert decode_message(raw).index.member is None
+    (idx,) = scan_grib2(raw)
+    assert idx.member is None
+
+
+def test_member_out_of_range_raises():
+    with pytest.raises(ValueError, match="perturbation number"):
+        _field(np.zeros((2, 2)), nbits=0, member=300)
+
+
+def test_load_grib2_member_column_and_pruning(spark, tmp_path):
+    """`member` lands as a nullable int column; the member= kwarg
+    prunes messages on the header index (other members never decode)."""
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = b""
+    for m in range(3):
+        msgs += write_grib2_message(
+            np.full((2, 2), float(m)), lats, lons, _REF,
+            nbits=8, member=m, ens_size=3,
+        )
+    # plus one deterministic message: member must come back NULL
+    msgs += write_grib2_message(
+        np.full((2, 2), 9.0), lats, lons, _REF, nbits=8,
+    )
+    p = tmp_path / "ens.grib2"
+    p.write_bytes(msgs)
+
+    df = load_grib2(spark, str(p))
+    assert df.schema["member"].dataType.simpleString() == "int"
+    rows = df.collect()
+    assert len(rows) == 4 * 4
+    by_member = {}
+    for r in rows:
+        by_member.setdefault(r["member"], set()).add(r["value"])
+    assert by_member == {
+        0: {0.0}, 1: {1.0}, 2: {2.0}, None: {9.0},
+    }
+
+    one = load_grib2(spark, str(p), member=1).collect()
+    assert {r["value"] for r in one} == {1.0}
+    assert all(r["member"] == 1 for r in one)
+
+
+def test_grib2_datasource_member_pushdown(spark, tmp_path):
+    """format('grib2'): member = N is pushed to the driver-side plan —
+    only that member's messages are scheduled."""
+    from bcdp_spark.sources.grib2_datasource import (
+        Grib2Reader,
+        register_grib2_source,
+    )
+
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = b""
+    for m in range(4):
+        msgs += write_grib2_message(
+            np.full((2, 2), float(m)), lats, lons, _REF,
+            nbits=8, member=m, ens_size=4,
+        )
+    p = tmp_path / "ens.grib2"
+    p.write_bytes(msgs)
+
+    register_grib2_source(spark)
+    df = (
+        spark.read.format("grib2").load(str(p))
+        .filter("member = 2")
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    assert all(r["value"] == 2.0 and r["member"] == 2 for r in rows)
+
+    # planner-level proof: the reader keeps exactly one message
+    from pyspark.sql.datasource import EqualTo
+
+    rd = Grib2Reader({"path": str(p)})
+    leftover = list(rd.pushFilters([EqualTo(("member",), 2)]))
+    assert leftover == []
+    assert len(rd.partitions()) == 1
+
+
+def test_ensemble_to_grib2_stamp_members(spark, tmp_path):
+    """stamp_members=True writes PDT 4.1 with the sorted-name rank as
+    the perturbation number; reingestion recovers member identity
+    in-band (no filename parsing)."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for name in ("ctrl", "p01", "p02"):
+        for lat in (-10.0, 10.0):
+            for lon in (0.0, 60.0):
+                t = pd.Timestamp("2001-01-01").to_pydatetime()
+                rows.append(
+                    (name, t, lat, lon,
+                     {"ctrl": 1.0, "p01": 2.0, "p02": 3.0}[name])
+                )
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    Ensemble(df).to_grib2(str(tmp_path / "gb"), stamp_members=True).collect()
+    back = load_grib2(spark, str(tmp_path / "gb" / "*.grib2"))
+    got = {
+        (r["member"], r["value"]) for r in back.collect()
+    }
+    # sorted names: ctrl=0, p01=1, p02=2
+    assert got == {(0, 1.0), (1, 2.0), (2, 3.0)}
