@@ -327,3 +327,122 @@ def q_netcdf_lev_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 — HDF5 internal pre-compression filters: scale-offset (id 6, what
+# netCDF `significant_digits` emits) and n-bit (id 5, reduced-precision
+# datatypes). Member0 stores f8 quarter-step values under scale-offset
+# D=2 (exact decimals -> the lossy filter is lossless here) piped into
+# deflate, classic v0 generation; member1 stores i4 values under n-bit
+# precision 15 on the 'latest' v2 generation with a fixed-array chunk
+# index. One green row certifies both filters through the whole chunk
+# pipeline (sources/h5filters.py; see docs/FORMATS.md).
+# ---------------------------------------------------------------------------
+_FIXSO_DIR = "/tmp/bcdp_spark_h5filters_fixture_v1"
+_SO_T = 6  # days per member
+
+
+def _ensure_fixture_scaleoffset() -> str:
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXSO_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXSO_DIR
+    os.makedirs(_FIXSO_DIR, exist_ok=True)
+    lats = np.array([-60.0, -20.0, 20.0, 60.0])
+    lons = np.arange(_N_O) * 60.0
+    for i in range(2):
+        t0 = i * _SO_T
+        time = np.arange(t0, t0 + _SO_T, dtype=np.float64)
+        t = np.arange(t0, t0 + _SO_T)[:, None, None]
+        a = np.arange(_N_A)[None, :, None]
+        o = np.arange(_N_O)[None, None, :]
+        k = t * 1000 + a * 10 + o
+        if i == 0:
+            data = np.where((t + a + o) % 11 == 0, -999.0, 0.25 * k)
+            data = data.astype("<f8")
+            kw = dict(
+                profile="v0", chunk={"pr": (4, 2, _N_O)}, gzip_level=6,
+                scaleoffset={"pr": (0, 2)},
+            )
+        else:
+            data = np.where((t + a + o) % 11 == 0, -999, k)
+            data = data.astype("<i4")
+            kw = dict(
+                profile="v2", chunk={"pr": (4, 2, _N_O)},
+                gzip_level=None, nbit={"pr": (15, 0)},
+                v4_index={"pr": "fixed_array"},
+            )
+        raw = write_hdf5(
+            {
+                "time": (
+                    ["time"], time,
+                    {"units": "days since 2001-01-01",
+                     "calendar": "standard"},
+                ),
+                "lat": (["lat"], lats, {"CLASS": "DIMENSION_SCALE"}),
+                "lon": (["lon"], lons, {"CLASS": "DIMENSION_SCALE"}),
+                "pr": (
+                    ["time", "lat", "lon"], data,
+                    {"_FillValue": data.dtype.type(-999)},
+                ),
+            },
+            attrs={"Conventions": "CF-1.8"},
+            **kw,
+        )
+        tmp = os.path.join(_FIXSO_DIR, f".member{i}.nc.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        os.replace(tmp, os.path.join(_FIXSO_DIR, f"member{i}.nc"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXSO_DIR
+
+
+@register(
+    "q_hdf5_scaleoffset",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         CASE WHEN (t.g + a.g + o.g) % 11 = 0 THEN NULL
+              WHEN t.g < {_SO_T}
+                THEN 0.25 * (t.g * 1000 + a.g * 10 + o.g)
+              ELSE CAST(t.g * 1000 + a.g * 10 + o.g AS DOUBLE)
+         END AS value
+  FROM generate_series(0, {2 * _SO_T - 1}) t(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT CAST(t + 1 AS INT) AS day,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0 WHEN 2 THEN 20.0
+              ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_hdf5_scaleoffset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11+ (r6): HDF5 scale-offset and n-bit filters end-to-end —
+    real chunked bytes through the vendored filter pipeline
+    (scale-offset D=2 on exact quarter-steps under deflate, v0
+    generation; n-bit precision-15 ints on the v2/latest generation),
+    _FillValue masking intact, per-(day, lat) climatology. ``sf_dir``
+    unused (decode fixture)."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    utc(spark)
+    fix = _ensure_fixture_scaleoffset()
+    df = load_netcdf(spark, os.path.join(fix, "*.nc"))
+    return df.groupBy(
+        F.dayofmonth("time").cast("int").alias("day"), "lat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -773,10 +773,11 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
     sec5 = secs[5]
     (n_points,) = struct.unpack_from(">I", sec5, 5)
     (template5,) = struct.unpack_from(">H", sec5, 9)
-    if template5 not in (0, 2, 3, 41, 42):
+    if template5 not in (0, 2, 3, 40, 41, 42):
         raise NotImplementedError(
             f"GRIB2 data template 5.{template5} not supported "
-            "(simple 5.0 / complex 5.2+5.3 / PNG 5.41 / CCSDS 5.42 only)"
+            "(simple 5.0 / complex 5.2+5.3 / JPEG2000 5.40 via external "
+            "decoder / PNG 5.41 / CCSDS 5.42 only)"
         )
     (ref_val,) = struct.unpack_from(">f", sec5, 11)
     (e_raw,) = struct.unpack_from(">H", sec5, 15)
@@ -814,6 +815,10 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
 
     if template5 == 0:
         x = _unpack_bits(secs[7][5:], nbits, n_points).astype(np.float64)
+    elif template5 == 40:
+        x = _decode_jpeg2000_packed(secs[7][5:], n_points).astype(
+            np.float64
+        )
     elif template5 == 41:
         x = _decode_png_packed(secs[7][5:], nbits, n_points).astype(
             np.float64
@@ -870,6 +875,56 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         lats2d=grid.lats2d,
         lons2d=grid.lons2d,
     )
+
+
+def _decode_jpeg2000_packed(payload: bytes, n_points: int) -> np.ndarray:
+    """Data template 5.40 (JPEG2000 packing — ECMWF open-data, many
+    NCEP products): the section-7 payload is one JPEG2000 codestream
+    whose decoded samples are the packed X integers.
+
+    A from-scratch wavelet codec is out of scope and — unlike the PNG
+    and CCSDS packings — could not be certified in this container (no
+    independent JPEG2000 producer exists here; docs/FORMATS.md policy).
+    Instead this is the documented drop-in point: if ``glymur`` or a
+    JPEG2000-capable Pillow is importable the samples decode through
+    it and feed the shared (R + X·2^E)/10^D path; otherwise the raise
+    names the production fix. Mirrors the libaec note for CCSDS."""
+    try:
+        import glymur  # type: ignore
+
+        import io as _io
+        import os as _os
+        import tempfile as _tf
+
+        fd, tmp = _tf.mkstemp(suffix=".j2k")
+        try:
+            with _os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            img = np.asarray(glymur.Jp2k(tmp)[:])
+        finally:
+            _os.unlink(tmp)
+        del _io
+    except ImportError:
+        try:
+            from PIL import Image  # type: ignore
+
+            import io as _io
+
+            img = np.asarray(Image.open(_io.BytesIO(payload)))
+        except Exception:
+            raise NotImplementedError(
+                "GRIB2 data template 5.40 (JPEG2000 packing) needs an "
+                "external JPEG2000 decoder: install glymur/openjpeg (or "
+                "a JPEG2000-capable Pillow) and this path decodes "
+                "automatically — see docs/FORMATS.md"
+            ) from None
+    x = np.asarray(img).ravel().astype(np.uint64)
+    if x.size != n_points:
+        raise ValueError(
+            f"GRIB2 JPEG2000 packing: {x.size} samples != section-5 "
+            f"count {n_points}"
+        )
+    return x
 
 
 def _decode_png_packed(payload: bytes, nbits: int, n_points: int

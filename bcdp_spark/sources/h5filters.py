@@ -1,0 +1,355 @@
+"""HDF5 n-bit (filter id 5) and scale-offset (filter id 6) codecs.
+
+Both filters ship with libhdf5 itself (they are "internal" filters the
+way deflate/shuffle are), so real netCDF-4/HDF5 archives use them
+without any plugin: ``nc_def_var_quantize`` / h5py ``scaleoffset=``
+produce filter 6, and ``H5Tset_precision`` datasets produce filter 5.
+The container has no libhdf5, so this module derives both byte formats
+from the public HDF5 library sources (H5Zscaleoffset.c / H5Znbit.c —
+the on-disk format is defined by that implementation, stable since
+1.8) and certifies them with hand-computed byte vectors in
+``tests/test_h5filters.py``; see docs/FORMATS.md for the policy.
+
+Scale-offset compressed chunk layout (H5Z__filter_scaleoffset):
+
+- bytes 0-3: ``minbits``, little-endian u32 — the per-chunk packed
+  field width chosen at write time;
+- byte 4: ``sizeof(unsigned long long)`` on the writing machine (8);
+- bytes 5-12: ``minval`` as a little-endian u64 — for integer data
+  the two's-complement minimum, for float D-scale the raw bit
+  pattern of the float minimum (memcpy semantics, low bytes);
+- byte 13+: ``nelmts`` fields of ``minbits`` bits each, packed
+  MSB-first (identical bit order to GRIB2 simple packing, so the
+  pack/unpack kernels are shared with ``sources/grib2.py``).
+  ``minbits == 8*size`` short-circuits to the raw chunk bytes.
+
+Integer method (H5Z_SO_INT, scale_type 2): code = value − min, with
+min/max over non-fill cells; a defined fill value maps to the all-ones
+code and costs one extra code point (minbits = ceil_log2(span + 1),
+span = max − min + 1). A positive ``scale_factor`` pins minbits and
+skips the min subtraction (min = 0) — the fixed-minbits mode.
+
+Float D-scale method (H5Z_SO_FLOAT_DSCALE, scale_type 0, what netCDF
+``significant_digits`` uses): code = lround(v·10^D − min·10^D)
+computed IN THE DATA'S FLOAT PRECISION (float32 arithmetic for f4 —
+replicated here so values round-trip bit-identically to libhdf5);
+cells within 10^−D of the fill value are excluded from min/max and
+map to the all-ones code; decode is v = code/10^D + min in the same
+precision. minval stores the float minimum's bit pattern. If the
+scaled span overflows 2^(8·size−1) the filter stores raw bytes
+(minbits = full precision) — also replicated.
+
+cd_values layout (H5Z__set_local_scaleoffset): [0] scale_type,
+[1] scale_factor, [2] chunk nelmts, [3] dtype class (0 int, 1 float),
+[4] dtype size, [5] int sign, [6] byte order (0 LE), [7] fill
+defined, [8..] raw fill-value bytes in u32 slots.
+
+N-bit packs, for each element, the ``precision`` significant bits at
+bit ``offset`` of the little-endian integer — i.e. the field
+(x >> offset) & (2^precision − 1) — MSB-first into the stream, no
+header (all parameters live in cd_values: [0] total parms, [1]
+no-op flag, [2] chunk nelmts, [3] class (1 = atomic), [4] size,
+[5] order, [6] precision, [7] offset). Decode sign-extends from the
+precision field for signed integer datatypes (the value HDF5's
+datatype conversion would deliver). Reduced-precision FLOATS need
+the float datatype's sign/exponent/mantissa bit positions, which
+cd_values does not carry — loud seam.
+
+Big-endian data (order parm 1) raises loudly in both filters: this
+engine's writer emits little-endian only and BE HDF5 floats are
+vanishingly rare in modern archives; the raise names the parameter.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from bcdp_spark.sources.grib2 import _pack_bits, _unpack_bits
+
+SCALEOFFSET_ID = 6
+NBIT_ID = 5
+
+_SO_FLOAT_DSCALE = 0
+_SO_FLOAT_ESCALE = 1
+_SO_INT = 2
+
+
+def _ceil_log2(n: int) -> int:
+    """H5Z__scaleoffset_log2: smallest b with n <= 2**b."""
+    if n <= 1:
+        return 0
+    return int(n - 1).bit_length()
+
+
+def _so_params(cvals: tuple) -> tuple:
+    if len(cvals) < 8:
+        raise ValueError(
+            f"HDF5 scaleoffset filter expects >=8 cd_values, got "
+            f"{len(cvals)}"
+        )
+    scale_type, scale_factor, nelmts, cls, size, sign, order, filavail = (
+        cvals[0], cvals[1], cvals[2], cvals[3], cvals[4], cvals[5],
+        cvals[6], cvals[7],
+    )
+    if order != 0:
+        raise NotImplementedError(
+            "HDF5 scaleoffset on big-endian data not supported "
+            "(cd_values order parm = 1)"
+        )
+    if scale_type == _SO_FLOAT_ESCALE:
+        raise NotImplementedError(
+            "HDF5 scaleoffset E-scale method not supported (libhdf5 "
+            "does not implement it either)"
+        )
+    if scale_type not in (_SO_FLOAT_DSCALE, _SO_INT):
+        raise NotImplementedError(
+            f"HDF5 scaleoffset scale_type {scale_type} not supported"
+        )
+    # signed scale factor rides in an unsigned cd slot
+    if scale_factor >= 1 << 31:
+        scale_factor -= 1 << 32
+    if cls == 0:
+        base = np.dtype(f"<{'i' if sign else 'u'}{size}")
+    elif cls == 1:
+        base = np.dtype(f"<f{size}")
+    else:
+        raise NotImplementedError(
+            f"HDF5 scaleoffset datatype class {cls} not supported"
+        )
+    fill = None
+    if filavail:
+        fill_bytes = b"".join(
+            struct.pack("<I", v) for v in cvals[8 : 8 + (size + 3) // 4]
+        )[:size]
+        fill = np.frombuffer(fill_bytes, dtype=base)[0]
+    return scale_type, scale_factor, nelmts, base, fill
+
+
+def scaleoffset_decode(raw: bytes, cvals: tuple) -> bytes:
+    """One chunk: filter-6 payload -> original little-endian bytes."""
+    scale_type, scale_factor, nelmts, base, fill = _so_params(cvals)
+    size = base.itemsize
+    if len(raw) < 13:
+        raise ValueError("HDF5 scaleoffset chunk shorter than its header")
+    (minbits,) = struct.unpack_from("<I", raw, 0)
+    minval_size = min(raw[4], 8)
+    minval = int.from_bytes(raw[5 : 5 + minval_size], "little")
+    if minbits > size * 8:
+        raise ValueError(
+            f"HDF5 scaleoffset minbits {minbits} exceeds datatype width"
+        )
+    if minbits == size * 8:  # stored raw
+        return raw[13 : 13 + nelmts * size]
+    codes = _unpack_bits(raw[13:], minbits, nelmts)
+    fill_code = (1 << minbits) - 1 if minbits else None
+    if base.kind in ("i", "u"):
+        # two's-complement minimum in the low size*8 bits of minval
+        mv = minval & ((1 << (size * 8)) - 1)
+        if base.kind == "i" and mv >= 1 << (size * 8 - 1):
+            mv -= 1 << (size * 8)
+        if scale_factor > 0:  # fixed-minbits mode: no offset applied
+            mv = 0
+        out = (codes.astype(np.uint64) + np.uint64(mv % (1 << 64))).astype(
+            base
+        )
+        if fill is not None and fill_code is not None:
+            out = np.where(codes == fill_code, base.type(fill), out)
+        return out.tobytes()
+    # float D-scale: minval is the float minimum's bit pattern
+    mv = np.frombuffer(
+        minval.to_bytes(8, "little")[:size], dtype=base
+    )[0]
+    d = base.type(10.0) ** base.type(scale_factor)
+    out = (codes.astype(base) / d + mv).astype(base)
+    if fill is not None and fill_code is not None:
+        out = np.where(codes == fill_code, base.type(fill), out)
+    return out.tobytes()
+
+
+def scaleoffset_encode(raw: bytes, cvals: tuple) -> bytes:
+    """Writer twin of :func:`scaleoffset_decode` (fixtures + sinks)."""
+    scale_type, scale_factor, nelmts, base, fill = _so_params(cvals)
+    size = base.itemsize
+    vals = np.frombuffer(raw, dtype=base)
+    if vals.size != nelmts:
+        raise ValueError(
+            f"HDF5 scaleoffset: chunk has {vals.size} elements, "
+            f"cd_values declare {nelmts}"
+        )
+    full = size * 8
+
+    if base.kind in ("i", "u"):
+        live = (
+            np.ones(vals.shape, bool) if fill is None else vals != fill
+        )
+        if scale_factor > 0:  # fixed-minbits mode
+            minbits, mv = int(scale_factor), 0
+        elif not live.any():
+            minbits, mv = 1, 0
+        else:
+            lo, hi = int(vals[live].min()), int(vals[live].max())
+            span = hi - lo + 1
+            minbits = _ceil_log2(span + 1 if fill is not None else span)
+            mv = lo
+        if minbits >= full:
+            minbits = full
+            codes = None
+        else:
+            # wrapping subtract on the zero-extended bit patterns: the
+            # low `minbits` bits equal value - min in the data type,
+            # and _pack_bits keeps only those
+            u = vals.view(np.dtype(f"<u{size}")).astype(np.uint64)
+            codes = u - np.uint64(mv % (1 << 64))
+            if fill is not None:
+                codes = np.where(
+                    live, codes, np.uint64((1 << minbits) - 1)
+                )
+        minval = mv & ((1 << 64) - 1)
+    else:
+        d = base.type(10.0) ** base.type(scale_factor)
+        tol = base.type(10.0) ** base.type(-scale_factor)
+        live = (
+            np.ones(vals.shape, bool)
+            if fill is None
+            else np.abs(vals - fill) >= tol
+        )
+        if not live.any():
+            minbits, mv = 1, base.type(0)
+        else:
+            mv = vals[live].min()
+            hi = vals[live].max()
+            span_f = np.round(hi * d - mv * d).astype(np.float64)
+            if span_f > float(2 ** (full - 1)):  # H5Z check_3 overflow
+                minbits = full
+            else:
+                span = int(np.floor(hi * d - mv * d + base.type(0.5))) + 1
+                minbits = _ceil_log2(
+                    span + 1 if fill is not None else span
+                )
+        if minbits >= full:
+            minbits = full
+            codes = None
+        else:
+            scaled = vals * d - mv * d  # in the data's precision
+            codes = np.floor(
+                scaled.astype(np.float64) + 0.5
+            ).astype(np.int64)
+            if fill is not None:
+                codes = np.where(live, codes, (1 << minbits) - 1)
+            codes = codes.astype(np.uint64)
+        minval = int.from_bytes(
+            np.asarray([mv], dtype=base).tobytes(), "little"
+        )
+
+    head = struct.pack("<IB", minbits, 8) + minval.to_bytes(8, "little")
+    if minbits == full:
+        return head + vals.tobytes()
+    return head + _pack_bits(codes, minbits)
+
+
+def _nbit_params(cvals: tuple) -> tuple:
+    if len(cvals) < 4:
+        raise ValueError(
+            f"HDF5 nbit filter expects >=4 cd_values, got {len(cvals)}"
+        )
+    if cvals[3] != 1:  # H5Z_NBIT_ATOMIC
+        raise NotImplementedError(
+            f"HDF5 nbit datatype description class {cvals[3]} not "
+            "supported (atomic integer/float only — no compound/array)"
+        )
+    size, order, precision, offset = cvals[4], cvals[5], cvals[6], cvals[7]
+    if order != 0:
+        raise NotImplementedError(
+            "HDF5 nbit on big-endian data not supported"
+        )
+    if precision == 0 or precision + offset > size * 8:
+        raise ValueError(
+            f"HDF5 nbit precision {precision} + offset {offset} exceeds "
+            f"datatype width {size * 8}"
+        )
+    return cvals[2], size, precision, offset
+
+
+def nbit_decode(raw: bytes, cvals: tuple, signed: bool,
+                is_float: bool) -> bytes:
+    """One chunk: filter-5 payload -> little-endian values.
+
+    Signed integers are sign-extended from the precision field (what
+    HDF5's datatype conversion delivers to the application); floats
+    require full precision (reduced-precision float bit layouts live
+    in the datatype message, not cd_values — loud seam)."""
+    if cvals[1] == 1:  # no-op flag: datatype needs no compression
+        return raw
+    nelmts, size, precision, offset = _nbit_params(cvals)
+    if is_float and (precision != size * 8 or offset != 0):
+        raise NotImplementedError(
+            "HDF5 nbit on reduced-precision floats not supported"
+        )
+    if precision == size * 8 and offset == 0:
+        return raw[: nelmts * size]
+    codes = _unpack_bits(raw, precision, nelmts)
+    if signed:
+        sign_bit = np.uint64(1) << np.uint64(precision - 1)
+        ext = codes.astype(np.int64) - np.where(
+            codes & sign_bit, np.int64(1) << np.int64(precision), 0
+        )
+        out = ext.astype(np.dtype(f"<i{size}"))
+    else:
+        out = codes.astype(np.dtype(f"<u{size}"))
+    return out.tobytes()
+
+
+def nbit_encode(raw: bytes, cvals: tuple, signed: bool) -> bytes:
+    """Writer twin: little-endian integers -> filter-5 payload."""
+    if cvals[1] == 1:
+        return raw
+    nelmts, size, precision, offset = _nbit_params(cvals)
+    dt = np.dtype(f"<{'i' if signed else 'u'}{size}")
+    vals = np.frombuffer(raw, dtype=dt)
+    if vals.size != nelmts:
+        raise ValueError(
+            f"HDF5 nbit: chunk has {vals.size} elements, cd_values "
+            f"declare {nelmts}"
+        )
+    if precision == size * 8 and offset == 0:
+        return raw
+    mask = np.uint64((1 << precision) - 1)
+    u = vals.view(np.dtype(f"<u{size}")).astype(np.uint64)
+    codes = (u >> np.uint64(offset)) & mask
+    return _pack_bits(codes, precision)
+
+
+def scaleoffset_cdvals(
+    scale_type: int,
+    scale_factor: int,
+    nelmts: int,
+    dtype: np.dtype,
+    fill=None,
+) -> tuple:
+    """cd_values as H5Z__set_local_scaleoffset records them."""
+    dtype = np.dtype(dtype)
+    cls = 1 if dtype.kind == "f" else 0
+    sign = 1 if dtype.kind == "i" else 0
+    cd = [
+        scale_type, scale_factor & 0xFFFFFFFF, nelmts, cls,
+        dtype.itemsize, sign, 0, 0 if fill is None else 1,
+    ]
+    if fill is not None:
+        fb = np.asarray([fill], dtype=dtype).tobytes()
+        fb += b"\x00" * (-len(fb) % 4)
+        cd += [
+            struct.unpack_from("<I", fb, i)[0]
+            for i in range(0, len(fb), 4)
+        ]
+    return tuple(cd)
+
+
+def nbit_cdvals(
+    nelmts: int, dtype: np.dtype, precision: int, offset: int = 0
+) -> tuple:
+    """cd_values as H5Z__set_local_nbit records them (atomic type)."""
+    dtype = np.dtype(dtype)
+    noop = 1 if (precision == dtype.itemsize * 8 and offset == 0) else 0
+    return (8, noop, nelmts, 1, dtype.itemsize, 0, precision, offset)

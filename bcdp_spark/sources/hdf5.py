@@ -19,12 +19,13 @@ READ (``H5File``):
   vlen-string via global heap), fill value v2/v3, attributes v1/v3
 - data layouts: compact, contiguous, chunked — v3 messages with
   B-tree v1 (any depth) AND v4 messages (the 1.10 'latest' format)
-  with single-chunk, implicit and fixed-array (paged or not) chunk
-  indexes; extensible-array / v2-B-tree indexes (appendable dims)
-  raise loudly
+  with all five chunk indexes (single-chunk, implicit, fixed-array
+  paged or not, extensible-array, v2 B-tree)
 - filter pipeline v1/v2: deflate (id 1), shuffle (id 2), fletcher32
-  (id 3, checksum stripped), LZF (id 32000, h5py's bundled filter —
-  `sources/lzf.py`); anything else raises with the filter id
+  (id 3, checksum stripped), n-bit (id 5) and scale-offset (id 6 —
+  netCDF ``significant_digits``; both in `sources/h5filters.py`),
+  LZF (id 32000, h5py's bundled filter — `sources/lzf.py`), zstd
+  (id 32015); anything else raises with the filter id
 
 WRITE (``write_hdf5``): deterministic fixture generator with two
 profiles so tests exercise both reader generations —
@@ -714,6 +715,20 @@ class H5File:
                         from bcdp_spark.sources.zstd import zstd_decompress
 
                         raw = zstd_decompress(raw, expect)
+                elif fid == 6:  # scale-offset (netCDF significant_digits)
+                    from bcdp_spark.sources.h5filters import (
+                        scaleoffset_decode,
+                    )
+
+                    raw = scaleoffset_decode(raw, cvals)
+                elif fid == 5:  # n-bit (reduced-precision datatypes)
+                    from bcdp_spark.sources.h5filters import nbit_decode
+
+                    raw = nbit_decode(
+                        raw, cvals,
+                        signed=dt.kind == "i",
+                        is_float=dt.kind == "f",
+                    )
                 else:
                     raise NotImplementedError(f"HDF5 filter id {fid}")
             chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
@@ -1403,6 +1418,8 @@ def write_hdf5(
     shuffle: bool = False,
     lzf: bool = False,
     zstd: bool = False,
+    nbit: dict[str, tuple] | None = None,
+    scaleoffset: dict[str, tuple] | None = None,
     v4_index: dict[str, str] | None = None,
     fa_page_bits: int = 10,
     maxshape: dict[str, tuple] | None = None,
@@ -1465,6 +1482,29 @@ def write_hdf5(
             if len(cshape) != arr.ndim:
                 raise ValueError(f"chunk rank mismatch for {name}")
             filters: list[tuple[int, tuple]] = []
+            # nbit/scaleoffset are pre-compression filters: libhdf5
+            # places them first in the pipeline, before shuffle/codec
+            if name in (nbit or {}):
+                from bcdp_spark.sources.h5filters import nbit_cdvals
+
+                prec, noff = nbit[name]
+                filters.append(
+                    (5, nbit_cdvals(
+                        int(np.prod(cshape)), arr.dtype, prec, noff
+                    ))
+                )
+            if name in (scaleoffset or {}):
+                from bcdp_spark.sources.h5filters import (
+                    scaleoffset_cdvals,
+                )
+
+                so_type, so_factor = scaleoffset[name]
+                filters.append(
+                    (6, scaleoffset_cdvals(
+                        so_type, so_factor, int(np.prod(cshape)),
+                        arr.dtype, fill=arr.dtype.type(0),
+                    ))
+                )
             if shuffle:
                 filters.append((2, (arr.dtype.itemsize,)))
             if lzf:
@@ -1488,7 +1528,21 @@ def write_hdf5(
                 ] = arr[sel]
                 raw = block.tobytes()
                 for fid, cv in filters:
-                    if fid == 2:
+                    if fid == 5:
+                        from bcdp_spark.sources.h5filters import (
+                            nbit_encode,
+                        )
+
+                        raw = nbit_encode(
+                            raw, cv, signed=arr.dtype.kind == "i"
+                        )
+                    elif fid == 6:
+                        from bcdp_spark.sources.h5filters import (
+                            scaleoffset_encode,
+                        )
+
+                        raw = scaleoffset_encode(raw, cv)
+                    elif fid == 2:
                         a = np.frombuffer(raw, dtype=np.uint8)
                         esz = cv[0]
                         raw = a.reshape(len(a) // esz, esz).T.tobytes()

@@ -1274,3 +1274,39 @@ def test_ensemble_to_grib2_stamp_members(spark, tmp_path):
     }
     # sorted names: ctrl=0, p01=1, p02=2
     assert got == {(0, 1.0), (1, 2.0), (2, 3.0)}
+
+
+def test_jpeg2000_seam():
+    """Data template 5.40: without an external JPEG2000 decoder the
+    raise must name the drop-in (glymur/openjpeg); with one importable
+    the branch decodes real codestreams (docs/FORMATS.md). The fixture
+    is a simple-packed message byte-patched to declare template 40 —
+    our writer cannot emit real JPEG2000, which is the point of the
+    seam."""
+    import struct
+
+    vals = np.arange(6, dtype=float).reshape(2, 3)
+    raw = bytearray(_field(vals, nbits=8))
+    off = 16 + 21 + 72 + 34 + 9  # sec5 template-number octets
+    assert struct.unpack_from(">H", raw, off)[0] == 0
+    struct.pack_into(">H", raw, off, 40)
+
+    has_decoder = False
+    try:
+        import glymur  # noqa: F401
+
+        has_decoder = True
+    except ImportError:
+        try:
+            from PIL import features as _pf
+
+            has_decoder = bool(_pf.check("jpg_2000"))
+        except ImportError:
+            pass
+    if has_decoder:
+        pytest.skip(
+            "JPEG2000 decoder importable; the patched payload is not a "
+            "real codestream (the decode path needs a real producer)"
+        )
+    with pytest.raises(NotImplementedError, match="glymur"):
+        decode_message(bytes(raw))

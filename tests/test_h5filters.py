@@ -1,0 +1,326 @@
+"""HDF5 n-bit + scale-offset filter tests (sources/h5filters.py).
+
+Certification per docs/FORMATS.md: the container carries no libhdf5,
+so correctness rests on HAND-COMPUTED byte vectors derived from the
+public H5Zscaleoffset.c / H5Znbit.c algorithms (header layout, code
+assignment, MSB-first packing) plus roundtrip property sweeps and a
+full-file read through sources/hdf5.py's chunk pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.sources.h5filters import (
+    nbit_cdvals,
+    nbit_decode,
+    nbit_encode,
+    scaleoffset_cdvals,
+    scaleoffset_decode,
+    scaleoffset_encode,
+)
+
+
+# -- hand vectors: scale-offset ----------------------------------------
+
+
+def test_so_int_hand_vector_no_fill():
+    """i4 data [5,3,4,7], no fill: min=3, span=5, minbits=ceil_log2(5)
+    =3, codes [2,0,1,4] -> bitstream 010 000 001 100 packed MSB-first
+    = 0b01000000 1100_0000 = 0x40 0xC0. Header: minbits=3 LE u32,
+    byte 4 = 8 (sizeof ull), minval=3 LE u64."""
+    vals = np.array([5, 3, 4, 7], dtype="<i4")
+    cd = scaleoffset_cdvals(2, 0, 4, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    expect = (
+        struct.pack("<IB", 3, 8)
+        + (3).to_bytes(8, "little")
+        + bytes([0b01000000, 0b11000000])
+    )
+    assert enc == expect
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_int_hand_vector_negative_min_and_fill():
+    """i2 data [-5, 9, -5, 0] with fill=-5: live min=0, max=9, span=10,
+    minbits=ceil_log2(11)=4, fill code=0b1111; codes [15,9,15,0].
+    minval = (unsigned long long)(short)0 = 0."""
+    vals = np.array([-5, 9, -5, 0], dtype="<i2")
+    cd = scaleoffset_cdvals(2, 0, 4, vals.dtype, fill=np.int16(-5))
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    expect = (
+        struct.pack("<IB", 4, 8)
+        + (0).to_bytes(8, "little")
+        + bytes([0b1111_1001, 0b1111_0000])
+    )
+    assert enc == expect
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_int_signed_minval_two_complement():
+    """Negative minimum rides as the 64-bit two's complement in the
+    minval slot (C: (unsigned long long)min)."""
+    vals = np.array([-7, -3, -7, -1], dtype="<i4")
+    cd = scaleoffset_cdvals(2, 0, 4, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    assert enc[5:13] == (-7 & (2**64 - 1)).to_bytes(8, "little")
+    # span 7 -> minbits 3; codes [0,4,0,6]
+    assert enc[13:] == bytes([0b000_100_00, 0b0_110_0000])
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_float_dscale_hand_vector():
+    """f4 [1.25, 1.5, 2.0], D=2: min=1.25 (bit pattern in minval),
+    span = lround(200-125)+1 = 76, minbits=ceil_log2(76)=7, codes
+    [0, 25, 75]. Decode must reproduce code/100 + min in float32."""
+    vals = np.array([1.25, 1.5, 2.0], dtype="<f4")
+    cd = scaleoffset_cdvals(0, 2, 3, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    (minbits,) = struct.unpack_from("<I", enc, 0)
+    assert minbits == 7
+    assert enc[5:9] == np.float32(1.25).tobytes()
+    assert enc[9:13] == b"\x00" * 4
+    # 0000000 0011001 1001011 packed MSB-first
+    assert enc[13:] == bytes([0b00000000, 0b01100110, 0b01011000])
+    got = np.frombuffer(scaleoffset_decode(enc, cd), dtype="<f4")
+    expect = np.float32(
+        np.array([0, 25, 75], "<f4") / np.float32(100.0)
+    ) + np.float32(1.25)
+    np.testing.assert_array_equal(got, expect)
+    # exact decimals at D=2 round-trip exactly
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_so_float_fill_tolerance():
+    """Cells within 10^-D of the fill value are coded as fill and
+    decode to EXACTLY the fill value (the lossy contract netCDF
+    significant_digits accepts)."""
+    vals = np.array([0.004, 3.25, 7.5], dtype="<f4")  # fill=0, D=2
+    cd = scaleoffset_cdvals(0, 2, 3, vals.dtype, fill=np.float32(0))
+    out = np.frombuffer(
+        scaleoffset_decode(scaleoffset_encode(vals.tobytes(), cd), cd),
+        dtype="<f4",
+    )
+    assert out[0] == 0.0  # |0.004| < 0.01 -> fill
+    np.testing.assert_array_equal(out[1:], vals[1:])
+
+
+def test_so_full_precision_passthrough():
+    """minbits == 8*size stores the raw bytes after the 13-byte
+    header (the H5Z special case)."""
+    vals = np.array([0, 2**31 - 1, -(2**31)], dtype="<i4")
+    cd = scaleoffset_cdvals(2, 0, 3, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    (minbits,) = struct.unpack_from("<I", enc, 0)
+    assert minbits == 32
+    assert enc[13:] == vals.tobytes()
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_fixed_minbits_mode():
+    """scale_factor > 0 on H5Z_SO_INT pins minbits and skips the
+    min subtraction (minval = 0)."""
+    vals = np.array([5, 0, 31, 12], dtype="<u2")
+    cd = scaleoffset_cdvals(2, 5, 4, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    (minbits,) = struct.unpack_from("<I", enc, 0)
+    assert minbits == 5 and enc[5:13] == b"\x00" * 8
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_constant_chunk_minbits_zero():
+    vals = np.full(6, 42, dtype="<i4")
+    cd = scaleoffset_cdvals(2, 0, 6, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    assert len(enc) == 13  # header only
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_escale_and_be_raise():
+    cd = scaleoffset_cdvals(1, 8, 4, np.dtype("<f4"))
+    with pytest.raises(NotImplementedError, match="E-scale"):
+        scaleoffset_decode(b"\x00" * 13, cd)
+    cd_be = list(scaleoffset_cdvals(2, 0, 4, np.dtype("<i4")))
+    cd_be[6] = 1
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        scaleoffset_decode(b"\x00" * 13, tuple(cd_be))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-(2**30), 2**30), min_size=1, max_size=40),
+    st.sampled_from(["<i2", "<i4", "<i8", "<u2", "<u4"]),
+    st.booleans(),
+)
+def test_so_int_roundtrip_property(xs, dts, with_fill):
+    dt = np.dtype(dts)
+    info = np.iinfo(dt)
+    vals = np.array(
+        [min(max(x, info.min + 1), info.max - 1) for x in xs], dtype=dt
+    )
+    fill = dt.type(info.min) if with_fill else None
+    if with_fill:
+        vals = vals.copy()
+        vals[:: max(len(vals) // 3, 1)] = fill
+    cd = scaleoffset_cdvals(2, 0, len(vals), dt, fill=fill)
+    assert (
+        scaleoffset_decode(scaleoffset_encode(vals.tobytes(), cd), cd)
+        == vals.tobytes()
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(-(10**5), 10**5).map(lambda k: k / 4.0),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from(["<f4", "<f8"]),
+)
+def test_so_float_d2_exact_quarters_roundtrip(ks, dts):
+    """Quarter-step values are exact at D=2 (code = 25k), so the
+    lossy filter becomes lossless and roundtrip must be bit-exact."""
+    vals = np.array(ks, dtype=dts)
+    cd = scaleoffset_cdvals(0, 2, len(vals), np.dtype(dts))
+    got = np.frombuffer(
+        scaleoffset_decode(scaleoffset_encode(vals.tobytes(), cd), cd),
+        dtype=dts,
+    )
+    np.testing.assert_array_equal(got, vals)
+
+
+# -- hand vectors: n-bit -------------------------------------------------
+
+
+def test_nbit_hand_vector_u1_precision3():
+    """u1 data [5,1,7,2] precision 3 offset 0: stream 101 001 111 010
+    = 0b10100111 1010_0000 = 0xA7 0xA0. No header."""
+    vals = np.array([5, 1, 7, 2], dtype="<u1")
+    cd = nbit_cdvals(4, vals.dtype, 3, 0)
+    enc = nbit_encode(vals.tobytes(), cd, signed=False)
+    assert enc == bytes([0b10100111, 0b10100000])
+    assert (
+        nbit_decode(enc, cd, signed=False, is_float=False)
+        == vals.tobytes()
+    )
+
+
+def test_nbit_offset_field_extraction():
+    """precision 4 at offset 2 of u2: field = (x >> 2) & 0xF."""
+    vals = np.array([0b0110_1100, 0b0011_0111], dtype="<u2")
+    cd = nbit_cdvals(2, vals.dtype, 4, 2)
+    enc = nbit_encode(vals.tobytes(), cd, signed=False)
+    # fields: 1011, 1101 -> 0b10111101
+    assert enc == bytes([0b10111101])
+    got = np.frombuffer(
+        nbit_decode(enc, cd, signed=False, is_float=False), dtype="<u2"
+    )
+    np.testing.assert_array_equal(got, [0b1011, 0b1101])
+
+
+def test_nbit_signed_sign_extension():
+    """i4 precision 12: -5 packs as the 12-bit two's complement
+    0xFFB and must sign-extend back to -5, not 4091."""
+    vals = np.array([-5, 2047, -2048, 0], dtype="<i4")
+    cd = nbit_cdvals(4, vals.dtype, 12, 0)
+    enc = nbit_encode(vals.tobytes(), cd, signed=True)
+    assert len(enc) == (4 * 12 + 7) // 8
+    got = np.frombuffer(
+        nbit_decode(enc, cd, signed=True, is_float=False), dtype="<i4"
+    )
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_nbit_noop_flag_passthrough():
+    vals = np.arange(6, dtype="<i4")
+    cd = nbit_cdvals(6, vals.dtype, 32, 0)
+    assert cd[1] == 1
+    enc = nbit_encode(vals.tobytes(), cd, signed=True)
+    assert enc == vals.tobytes()
+    assert (
+        nbit_decode(enc, cd, signed=True, is_float=False)
+        == vals.tobytes()
+    )
+
+
+def test_nbit_reduced_float_raises():
+    cd = nbit_cdvals(4, np.dtype("<f4"), 20, 0)
+    with pytest.raises(NotImplementedError, match="float"):
+        nbit_decode(b"\x00" * 10, cd, signed=False, is_float=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(2, 31),
+    st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=40),
+)
+def test_nbit_signed_roundtrip_property(precision, xs):
+    lo, hi = -(2 ** (precision - 1)), 2 ** (precision - 1) - 1
+    vals = np.array([lo + x % (hi - lo + 1) for x in xs], dtype="<i4")
+    cd = nbit_cdvals(len(vals), vals.dtype, precision, 0)
+    enc = nbit_encode(vals.tobytes(), cd, signed=True)
+    assert len(enc) == (len(vals) * precision + 7) // 8
+    assert (
+        nbit_decode(enc, cd, signed=True, is_float=False)
+        == vals.tobytes()
+    )
+
+
+# -- through the full HDF5 chunk pipeline --------------------------------
+
+
+def test_hdf5_file_scaleoffset_float_read():
+    """write_hdf5(scaleoffset=...) -> H5File.read through the real
+    chunk pipeline (edge chunks padded with the fill value 0.0)."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    arr = (np.arange(60, dtype="<f4").reshape(5, 12) - 7.0) / 4.0
+    raw = write_hdf5(
+        {"v": (["y", "x"], arr, {})},
+        chunk={"v": (2, 5)},
+        gzip_level=None,
+        scaleoffset={"v": (0, 2)},
+    )
+    got = H5File(raw).read("v")
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_hdf5_file_scaleoffset_int_under_deflate():
+    """scaleoffset feeds deflate exactly like libhdf5 pipelines it
+    (filter order: 6 then 1), and a hyperslab read only decodes the
+    intersecting chunks."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    arr = (np.arange(48, dtype="<i4").reshape(6, 8) % 17) + 100
+    raw = write_hdf5(
+        {"v": (["y", "x"], arr, {})},
+        chunk={"v": (3, 4)},
+        gzip_level=4,
+        scaleoffset={"v": (2, 0)},
+    )
+    f = H5File(raw)
+    assert [fid for fid, _, _ in f.datasets["v"].filters] == [6, 1]
+    np.testing.assert_array_equal(f.read("v"), arr)
+    np.testing.assert_array_equal(
+        f.read("v", (slice(1, 4), slice(5, 8))), arr[1:4, 5:8]
+    )
+
+
+def test_hdf5_file_nbit_read():
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    arr = (np.arange(40, dtype="<i4").reshape(4, 10) % 31) - 15
+    raw = write_hdf5(
+        {"v": (["y", "x"], arr, {})},
+        chunk={"v": (2, 5)},
+        gzip_level=None,
+        nbit={"v": (9, 0)},
+    )
+    got = H5File(raw).read("v")
+    np.testing.assert_array_equal(got, arr)
