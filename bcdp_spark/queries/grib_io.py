@@ -346,3 +346,121 @@ def q_grib2_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ens_spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 — derived / probability / percentile ensemble products (PDT
+# 4.2/4.12, 4.5/4.9, 4.6/4.10): the GEFS geavg/gespr/percentile/
+# probability product files. The tag lands in the `ens_label` column
+# ("em", "es", "p90", "prob_gt_2") and the statistical templates'
+# interval twins shift the 4.8-style block.
+# ---------------------------------------------------------------------------
+_DRV_FIX = "/tmp/bcdp_spark_grib2_derived_fixture_v1"
+
+
+def _ensure_derived_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_DRV_FIX, ".complete")
+    if os.path.exists(done):
+        return _DRV_FIX
+    os.makedirs(_DRV_FIX, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    a = np.arange(_N_A)[:, None]
+    o = np.arange(_N_O)[None, :]
+    msgs = b""
+    # em (4.2 code 0) and es (code 2) at two forecast steps
+    for c, code in ((0, 0), (1, 2)):
+        for s in range(2):
+            vals = np.where(
+                (c + s + a + o) % 7 == 0, np.nan,
+                0.25 * (c * 5000 + s * 600 + a * 10 + o),
+            )
+            msgs += write_grib2_message(
+                vals, lats, lons, _dt.datetime(2001, 1, 1),
+                forecast_hours=s * 6, binary_scale=-2, nbits=16,
+                derived=code, ens_size=31,
+            )
+    # 90th percentile (4.6), point-in-time
+    vals = np.where(
+        (a + o) % 5 == 0, np.nan, 0.25 * (9000 + a * 10 + o)
+    )
+    msgs += write_grib2_message(
+        vals, lats, lons, _dt.datetime(2001, 1, 1),
+        binary_scale=-2, nbits=16, percentile=90,
+    )
+    # probability of 6h precip > 2 kg/m2 (4.9: interval twin)
+    vals = np.where(
+        (a + o) % 5 == 0, np.nan, 0.25 * (7000 + a * 10 + o)
+    )
+    msgs += write_grib2_message(
+        vals, lats, lons, _dt.datetime(2001, 1, 1),
+        forecast_hours=0, stat_hours=6, category=1, number=8,
+        binary_scale=-2, nbits=16, probability=(1, 0.0, 2.0),
+    )
+    tmp = os.path.join(_DRV_FIX, ".products.grib2.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(msgs)
+    os.replace(tmp, os.path.join(_DRV_FIX, "products.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _DRV_FIX
+
+
+@register(
+    "q_grib2_derived",
+    oracle=f"""
+WITH es_grid AS (
+  SELECT 't' AS name,
+         CASE c.g WHEN 0 THEN 'em' ELSE 'es' END AS ens_label,
+         s.g * 6 AS hour,
+         CASE WHEN (c.g + s.g + a.g + o.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (c.g * 5000 + s.g * 600 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 1) c(g), generate_series(0, 1) s(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+),
+pp_grid AS (
+  SELECT CASE p.g WHEN 0 THEN 't' ELSE 'apcp' END AS name,
+         CASE p.g WHEN 0 THEN 'p90' ELSE 'prob_gt_2' END AS ens_label,
+         p.g * 6 AS hour,
+         CASE WHEN (a.g + o.g) % 5 = 0 THEN NULL
+              ELSE 0.25 * ((9000 - p.g * 2000) + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 1) p(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT name, ens_label, CAST(hour AS INT) AS hour,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM (SELECT * FROM es_grid UNION ALL SELECT * FROM pp_grid)
+GROUP BY 1, 2, 3
+""",
+)
+def q_grib2_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+A4 (r6): derived/probability/percentile ensemble product
+    templates — PDT 4.2 em/es fields over two forecast steps, a 4.6
+    percentile field, and a 4.9 interval probability field decode
+    from one GEFS-style product file into the ``ens_label`` column;
+    per-(name, label, hour) climatology hash-checks the tag
+    assignment, the shifted 4.9 interval block, and bitmap NaNs.
+    ``sf_dir`` unused (synthetic decode fixture)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_derived_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    return df.groupBy(
+        "name", "ens_label", F.hour("time").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -76,6 +76,16 @@ _PARAM_NAMES = {
 # forecast-time unit code → minutes (WMO table 4.4 subset)
 _TIME_UNIT_MIN = {0: 1, 1: 60, 2: 1440}
 
+# WMO table 4.7 (derived forecast type) → ens_label; the codes GEFS
+# geavg/gespr products actually ship plus the rest of the 0-4 block
+_DERIVED_LABELS = {
+    0: "em",        # unweighted mean of all members
+    1: "em_w",      # weighted mean
+    2: "es",        # stddev w.r.t. cluster mean (gespr)
+    3: "es_norm",   # normalized stddev
+    4: "spread",    # spread of all members
+}
+
 
 def param_name(discipline: int, category: int, number: int) -> str:
     return _PARAM_NAMES.get(
@@ -152,6 +162,7 @@ class Grib2Index:
     lon1: float
     field: int = 0  # submessage index within a multi-field message
     member: int | None = None  # PDT 4.1/4.11 perturbation number
+    label: str | None = None  # PDT 4.2/4.12, 4.5/4.9, 4.6/4.10 tag
 
 
 @dataclass
@@ -638,19 +649,28 @@ _parse_grid_cached = functools.lru_cache(maxsize=64)(_parse_grid_uncached)
 def _parse_product(sec4: bytes, ref_time: _dt.datetime):
     """Templates 4.0 (point-in-time), 4.8 (statistically processed
     over an interval — how real accumulation fields like GFS APCP
-    ship), and their individual-ensemble-member twins 4.1 / 4.11
-    (GEFS/ERA5-EDA): identical layout plus three octets after the
-    second fixed surface — type of ensemble forecast (35),
-    perturbation number (36), ensemble size (37) — which shift the
-    4.11 interval block by three. For 4.8/4.11 the emitted valid time
-    is the END of the overall interval, matching wgrib2/cfgrib
-    convention. Returns ``member`` = the perturbation number for
-    4.1/4.11, None for deterministic templates."""
+    ship), and the full ensemble product suite: individual members
+    4.1 / 4.11 (GEFS/ERA5-EDA — three octets after the second fixed
+    surface: ensemble-forecast type (35), perturbation number (36),
+    ensemble size (37)), derived forecasts 4.2 / 4.12 (GEFS
+    geavg/gespr — derived type (35, table 4.7) + ensemble size (36)),
+    probability 4.5 / 4.9 (prob number/total (35/36), type (37,
+    table 4.9), scaled lower/upper limits (38-47)), and percentile
+    4.6 / 4.10 (percentile value (35)). Each extension shifts its
+    interval-template twin's 4.8-style block accordingly. For the
+    interval templates the emitted valid time is the END of the
+    overall interval, matching wgrib2/cfgrib convention.
+
+    Returns ``member`` = the perturbation number (4.1/4.11, else
+    None) and ``label`` = the product tag for the statistical
+    templates ("em"/"es"/… per table 4.7, "p50", "prob_gt_2",
+    else None) — surfaced as the ``member``/``ens_label`` columns."""
     (template,) = struct.unpack_from(">H", sec4, 7)
-    if template not in (0, 1, 8, 11):
+    if template not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
         raise NotImplementedError(
             f"GRIB2 product template 4.{template} not supported "
-            "(4.0 / 4.1 / 4.8 / 4.11 only)"
+            "(deterministic 4.0/4.8, ensemble member 4.1/4.11, derived "
+            "4.2/4.12, probability 4.5/4.9, percentile 4.6/4.10 only)"
         )
     category, number = sec4[9], sec4[10]
     time_unit = sec4[17]
@@ -669,19 +689,54 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
     else:
         level = _sm_decode(lev_val, 32) / (10.0 ** _sm_decode(lev_scale, 8))
     member = None
+    label = None
     end_at = 34  # offset of the 4.8-style interval block, if any
     if template in (1, 11):
         if len(sec4) < 37:
             raise ValueError(f"GRIB2 template 4.{template} section too short")
         member = sec4[35]
         end_at = 37
-    if template in (8, 11):
+    elif template in (2, 12):
+        if len(sec4) < 36:
+            raise ValueError(f"GRIB2 template 4.{template} section too short")
+        label = _DERIVED_LABELS.get(sec4[34], f"derived{sec4[34]}")
+        end_at = 36
+    elif template in (6, 10):
+        if len(sec4) < 35:
+            raise ValueError(f"GRIB2 template 4.{template} section too short")
+        label = f"p{sec4[34]}"
+        end_at = 35
+    elif template in (5, 9):
+        if len(sec4) < 47:
+            raise ValueError(f"GRIB2 template 4.{template} section too short")
+        ptype = sec4[36]
+        lo_s = _sm_decode(sec4[37], 8)
+        (lo_u,) = struct.unpack_from(">I", sec4, 38)
+        up_s = _sm_decode(sec4[42], 8)
+        (up_u,) = struct.unpack_from(">I", sec4, 43)
+        lo = _sm_decode(lo_u, 32) / (10.0 ** lo_s)
+        up = _sm_decode(up_u, 32) / (10.0 ** up_s)
+        if ptype == 0:
+            label = f"prob_lt_{lo:g}"
+        elif ptype in (1, 3):
+            label = f"prob_gt_{(up if ptype == 1 else lo):g}"
+        elif ptype == 2:
+            label = f"prob_{lo:g}_{up:g}"
+        elif ptype == 4:
+            label = f"prob_lt_{up:g}"
+        else:
+            raise NotImplementedError(
+                f"GRIB2 probability type {ptype} not supported "
+                "(WMO table 4.9 codes 0-4 only)"
+            )
+        end_at = 47
+    if template in (8, 9, 10, 11, 12):
         if len(sec4) < end_at + 12:
             raise ValueError(f"GRIB2 template 4.{template} section too short")
         (eyear,) = struct.unpack_from(">H", sec4, end_at)
         emonth, eday, ehour, eminute, esecond = sec4[end_at + 2 : end_at + 7]
         valid = _dt.datetime(eyear, emonth, eday, ehour, eminute, esecond)
-    return category, number, valid, lev_type, level, member
+    return category, number, valid, lev_type, level, member, label
 
 
 def _parse_ref_time(sec1: bytes) -> _dt.datetime:
@@ -703,9 +758,8 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
         for k, secs in enumerate(fieldsets):
             ref_time = _parse_ref_time(secs[1])
             grid = _parse_grid(secs[3])
-            category, number, valid, lev_type, level, member = (
-                _parse_product(secs[4], ref_time)
-            )
+            (category, number, valid, lev_type, level, member,
+             label) = _parse_product(secs[4], ref_time)
             lat0, lat1, lon0, lon1 = _grid_bbox(grid)
             out.append(
                 Grib2Index(
@@ -727,6 +781,7 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
                     lon1=lon1,
                     field=k,
                     member=member,
+                    label=label,
                 )
             )
         pos += total_len
@@ -767,8 +822,8 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
     ref_time = _parse_ref_time(secs[1])
     grid = _parse_grid(secs[3])
     lats, lons = grid.lats, grid.lons
-    category, number, valid, lev_type, level, member = _parse_product(
-        secs[4], ref_time
+    category, number, valid, lev_type, level, member, label = (
+        _parse_product(secs[4], ref_time)
     )
     sec5 = secs[5]
     (n_points,) = struct.unpack_from(">I", sec5, 5)
@@ -862,6 +917,7 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
         lon1=lon1,
         field=field,
         member=member,
+        label=label,
     )
     return Grib2Field(
         index=idx,
@@ -1214,6 +1270,9 @@ def write_grib2_message(
     member: int | None = None,
     ens_size: int = 0,
     ens_type: int = 3,
+    derived: int | None = None,
+    probability: tuple | None = None,
+    percentile: int | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1226,10 +1285,17 @@ def write_grib2_message(
     bits for simple packing; any magnitude for complex — group widths
     adapt). NaNs become bitmap-masked points.
 
-    ``member`` switches the product template to the individual-
-    ensemble-forecast twin (4.0 → 4.1, 4.8 → 4.11) and stamps the
-    perturbation number (with ``ens_type``, default 3 = positively
-    perturbed, and ``ens_size`` octets) — the GEFS/ERA5-EDA layout.
+    Ensemble product templates (mutually exclusive, each combinable
+    with ``stat_hours`` for its interval twin):
+
+    - ``member`` → 4.1/4.11: perturbation number plus ``ens_type``
+      (default 3 = positively perturbed) and ``ens_size`` — the
+      GEFS/ERA5-EDA per-member layout;
+    - ``derived`` → 4.2/4.12: WMO table 4.7 code (0 = ensemble mean,
+      2 = spread …) — the GEFS geavg/gespr products;
+    - ``probability=(ptype, lo, up)`` → 4.5/4.9: WMO table 4.9
+      probability type with milli-scaled limits;
+    - ``percentile`` → 4.6/4.10: percentile value 0-100.
     """
     values = np.asarray(values, dtype=np.float64)
     if reduced_pl is not None:
@@ -1406,14 +1472,42 @@ def write_grib2_message(
         level_type = 255
     else:
         lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
-    if member is None:
-        tmpl4 = 0 if stat_hours is None else 8
-        sec4_len = 34 if tmpl4 == 0 else 58
-    else:
+    if sum(x is not None for x in (member, derived, probability,
+                                   percentile)) > 1:
+        raise ValueError(
+            "member / derived / probability / percentile are mutually "
+            "exclusive product-template selectors"
+        )
+    if member is not None:
         if not 0 <= member <= 255:
             raise ValueError(f"perturbation number {member} not in 0..255")
-        tmpl4 = 1 if stat_hours is None else 11
-        sec4_len = 37 if tmpl4 == 1 else 61
+        point_t = 1
+        ens_extra = struct.pack(">BBB", ens_type, member, ens_size)
+    elif derived is not None:
+        point_t = 2
+        ens_extra = struct.pack(">BB", derived, ens_size)
+    elif probability is not None:
+        ptype, lo, up = probability
+        point_t = 5
+        ens_extra = struct.pack(
+            ">BBB" + "BI" + "BI",
+            0, 1, ptype,
+            3, _sm_encode(int(round(lo * 1000)), 32),
+            3, _sm_encode(int(round(up * 1000)), 32),
+        )
+    elif percentile is not None:
+        point_t = 6
+        ens_extra = struct.pack(">B", percentile)
+    else:
+        point_t = 0
+        ens_extra = b""
+    if stat_hours is None:
+        tmpl4 = point_t
+    else:
+        tmpl4 = {0: 8, 1: 11, 2: 12, 5: 9, 6: 10}[point_t]
+    sec4_len = {0: 34, 1: 37, 2: 36, 5: 47, 6: 35}[point_t] + (
+        24 if stat_hours is not None else 0
+    )
     sec4 = struct.pack(
         ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
         sec4_len, 4, 0, tmpl4,
@@ -1422,9 +1516,8 @@ def write_grib2_message(
         level_type, lev_scale_b, lev_val,
         255, 255, 0xFFFFFFFF,
     )
-    if member is not None:
-        sec4 += struct.pack(">BBB", ens_type, member, ens_size)
-    if tmpl4 in (8, 11):
+    sec4 += ens_extra
+    if stat_hours is not None:
         # end of overall interval = ref + forecast + accumulation span;
         # one time-range spec: statistical process 1 (accumulation)
         end = ref_time + _dt.timedelta(hours=forecast_hours + stat_hours)
@@ -1503,6 +1596,7 @@ def write_grib2_message(
 _INDEX_SCHEMA = (
     "path string, offset long, field int, length long, name string, "
     "discipline int, category int, number int, member int, "
+    "ens_label string, "
     "ref_time timestamp, time timestamp, level_type int, level double, "
     "ni int, nj int, lat0 double, lat1 double, lon0 double, lon1 double"
 )
@@ -1516,6 +1610,7 @@ def load_grib2(
     lat_bnds: tuple | None = None,
     lon_bnds: tuple | None = None,
     member: int | None = None,
+    ens_label: str | None = None,
 ):
     """Glob .grib2 files → long-form rows, two distributed stages.
 
@@ -1535,11 +1630,16 @@ def load_grib2(
 
     from bcdp_spark.sources.netcdf import LONG_FORM_SCHEMA, _long_form
 
-    # the shared long form plus the GRIB-only ensemble coordinate
-    # (NULL for deterministic PDT 4.0/4.8 messages)
+    # the shared long form plus the GRIB-only ensemble coordinates:
+    # member (PDT 4.1/4.11 perturbation number) and ens_label (the
+    # 4.2/4.12 derived tag, 4.5/4.9 probability tag, 4.6/4.10
+    # percentile tag) — both NULL for deterministic 4.0/4.8 messages
     _GRIB_LONG_SCHEMA = T.StructType(
         list(LONG_FORM_SCHEMA.fields)
-        + [T.StructField("member", T.IntegerType())]
+        + [
+            T.StructField("member", T.IntegerType()),
+            T.StructField("ens_label", T.StringType()),
+        ]
     )
 
     files = sorted(_glob.glob(path))
@@ -1570,6 +1670,7 @@ def load_grib2(
                         "member": pd.array(
                             [i.member for i in idx], dtype="Int32"
                         ),
+                        "ens_label": [i.label for i in idx],
                         "ref_time": [i.ref_time for i in idx],
                         "time": [i.valid_time for i in idx],
                         "level_type": [i.level_type for i in idx],
@@ -1593,6 +1694,8 @@ def load_grib2(
         # ensemble-member pruning runs on the header index: other
         # members' fields are never decoded
         index_df = index_df.filter(F.col("member") == int(member))
+    if ens_label is not None:
+        index_df = index_df.filter(F.col("ens_label") == ens_label)
     if time_bnds is not None:
         lo, hi = time_bnds
         if lo is not None:
@@ -1614,10 +1717,11 @@ def load_grib2(
 
         from bcdp_spark.sources.netcdf import _bounds_mask
 
-        def _with_member(pdf_out, mem):
+        def _with_member(pdf_out, mem, label):
             pdf_out["member"] = pd.array(
                 [mem] * len(pdf_out), dtype="Int32"
             )
+            pdf_out["ens_label"] = label
             return pdf_out
 
         for pdf in batches:
@@ -1630,6 +1734,7 @@ def load_grib2(
                 mem = (
                     None if pd.isna(row["member"]) else int(row["member"])
                 )
+                label = fld.index.label
                 if fld.lats2d is not None:
                     # projected grid (Lambert): coordinates are
                     # per-point — emit long form directly and apply
@@ -1652,6 +1757,7 @@ def load_grib2(
                             }
                         ),
                         mem,
+                        label,
                     )
                     continue
                 lats, lons, vals = fld.lats, fld.lons, fld.values
@@ -1668,6 +1774,7 @@ def load_grib2(
                         vals[np.newaxis, :, :],
                     ),
                     mem,
+                    label,
                 )
 
     return index_df.mapInPandas(decode, schema=_GRIB_LONG_SCHEMA)
@@ -1695,7 +1802,8 @@ class Grib2StreamDataSource(_DataSource):
     def schema(self) -> str:
         return (
             "file string, name string, time timestamp, "
-            "lat double, lon double, value double, member int"
+            "lat double, lon double, value double, member int, "
+            "ens_label string"
         )
 
     def simpleStreamReader(self, schema):
@@ -1733,6 +1841,7 @@ class Grib2StreamReader(_SimpleStreamReader):
                         float(lon),
                         None if v != v else float(v),
                         idx.member,
+                        idx.label,
                     )
 
     def read(self, start: dict):

@@ -17,9 +17,11 @@ kwargs (same DSv2 pattern as ``netcdf_datasource`` / ``zarr_datasource``).
   subset materializes 1 % of the rows.
 
 Accepted-and-enforced filters: =, <, <=, >, >= on time/lat/lon,
-``name = '...'``, and ``member = N`` (PDT 4.1/4.11 perturbation
-number — one ensemble member scans without touching the others'
-fields). Everything else is returned to Spark untouched
+``name = '...'``, ``member = N`` (PDT 4.1/4.11 perturbation number —
+one ensemble member scans without touching the others' fields), and
+``ens_label = '...'`` (the 4.2/4.12 derived / 4.5/4.9 probability /
+4.6/4.10 percentile product tag, e.g. 'em', 'es', 'p50',
+'prob_gt_2'). Everything else is returned to Spark untouched
 (evaluated post-scan), so the source is always correct — pushdown only
 changes how much work is skipped.
 """
@@ -49,7 +51,7 @@ from bcdp_spark.sources.netcdf_datasource import (
 
 _SCHEMA = (
     "name string, time timestamp, lat double, lon double, value double, "
-    "member int"
+    "member int, ens_label string"
 )
 
 
@@ -91,7 +93,7 @@ class Grib2Reader(DataSourceReader):
             ):
                 self._filters.append(f)
             elif isinstance(f, EqualTo) and attr in (
-                ("name",), ("member",)
+                ("name",), ("member",), ("ens_label",)
             ):
                 self._filters.append(f)
             else:
@@ -126,6 +128,9 @@ class Grib2Reader(DataSourceReader):
                 # PDT 4.1/4.11 perturbation number; deterministic
                 # messages (member NULL) never equal a literal
                 if idx.member is None or int(idx.member) != int(f.value):
+                    return False
+            if getattr(f, "attribute", None) == ("ens_label",):
+                if idx.label is None or idx.label != f.value:
                     return False
         t = np.array([np.datetime64(idx.valid_time, "us")])
         if not _axis_mask(t, self._filters, "time").any():
@@ -181,8 +186,12 @@ class Grib2Reader(DataSourceReader):
                 pa.array(lons[oi.ravel()], type=pa.float64()),
                 pa.array(vals, type=pa.float64(), from_pandas=True),
                 pa.array([fld.index.member] * n, type=pa.int32()),
+                pa.array([fld.index.label] * n, type=pa.string()),
             ],
-            names=["name", "time", "lat", "lon", "value", "member"],
+            names=[
+                "name", "time", "lat", "lon", "value", "member",
+                "ens_label",
+            ],
         )
 
 

@@ -1310,3 +1310,107 @@ def test_jpeg2000_seam():
         )
     with pytest.raises(NotImplementedError, match="glymur"):
         decode_message(bytes(raw))
+
+
+# -- derived / probability / percentile ensemble products (r6) ----------
+
+
+def test_pdt42_derived_mean_label():
+    vals = np.arange(8, dtype=float).reshape(2, 4) * 0.25
+    raw = _field(vals, binary_scale=-2, nbits=8, derived=0, ens_size=31)
+    f = decode_message(raw)
+    assert f.index.label == "em" and f.index.member is None
+    np.testing.assert_array_equal(f.values, vals)
+
+
+def test_pdt412_derived_spread_interval_end():
+    vals = np.full((2, 2), 0.5)
+    raw = _field(
+        vals, binary_scale=-2, nbits=4, forecast_hours=6, stat_hours=18,
+        derived=2, ens_size=21, category=1, number=8,
+    )
+    f = decode_message(raw)
+    assert f.index.label == "es"
+    assert f.index.valid_time == _REF + dt.timedelta(hours=24)
+    np.testing.assert_array_equal(f.values, vals)
+
+
+def test_pdt46_410_percentile():
+    vals = np.full((2, 2), 1.0)
+    f = decode_message(_field(vals, nbits=4, percentile=90))
+    assert f.index.label == "p90"
+    f = decode_message(
+        _field(vals, nbits=4, percentile=10, stat_hours=6)
+    )
+    assert f.index.label == "p10"
+    assert f.index.valid_time == _REF + dt.timedelta(hours=6)
+
+
+def test_pdt45_49_probability_labels():
+    vals = np.full((2, 2), 1.0)
+    for prob, expect in (
+        ((1, 0.0, 2.0), "prob_gt_2"),
+        ((3, 0.25, 0.0), "prob_gt_0.25"),
+        ((0, 1.5, 0.0), "prob_lt_1.5"),
+        ((4, 0.0, 2.5), "prob_lt_2.5"),
+        ((2, 1.0, 5.0), "prob_1_5"),
+    ):
+        f = decode_message(_field(vals, nbits=4, probability=prob))
+        assert f.index.label == expect, prob
+    f = decode_message(
+        _field(vals, nbits=4, probability=(1, 0.0, 25.0), stat_hours=6)
+    )
+    assert f.index.label == "prob_gt_25"
+    assert f.index.valid_time == _REF + dt.timedelta(hours=6)
+
+
+def test_ensemble_selectors_mutually_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _field(np.zeros((2, 2)), nbits=0, member=1, derived=0)
+
+
+def test_load_grib2_ens_label_column_and_pruning(spark, tmp_path):
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = (
+        write_grib2_message(
+            np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+            derived=0, ens_size=5,
+        )
+        + write_grib2_message(
+            np.full((2, 2), 2.0), lats, lons, _REF, nbits=8,
+            derived=2, ens_size=5,
+        )
+        + write_grib2_message(
+            np.full((2, 2), 3.0), lats, lons, _REF, nbits=8,
+            percentile=50,
+        )
+    )
+    p = tmp_path / "derived.grib2"
+    p.write_bytes(msgs)
+    df = load_grib2(spark, str(p))
+    got = {(r["ens_label"], r["value"]) for r in df.collect()}
+    assert got == {("em", 1.0), ("es", 2.0), ("p50", 3.0)}
+    only = load_grib2(spark, str(p), ens_label="es").collect()
+    assert len(only) == 4 and all(r["value"] == 2.0 for r in only)
+
+
+def test_grib2_datasource_ens_label_pushdown(spark, tmp_path):
+    from bcdp_spark.sources.grib2_datasource import Grib2Reader
+
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = write_grib2_message(
+        np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+        derived=0, ens_size=5,
+    ) + write_grib2_message(
+        np.full((2, 2), 2.0), lats, lons, _REF, nbits=8,
+        derived=2, ens_size=5,
+    )
+    p = tmp_path / "derived.grib2"
+    p.write_bytes(msgs)
+
+    from pyspark.sql.datasource import EqualTo
+
+    rd = Grib2Reader({"path": str(p)})
+    leftover = list(rd.pushFilters([EqualTo(("ens_label",), "em")]))
+    assert leftover == []
+    assert len(rd.partitions()) == 1
