@@ -224,6 +224,42 @@ class Ensemble:
         )
         return cls(df, name_col=name_col, space_cols=space)
 
+    @classmethod
+    def from_grib2(
+        cls,
+        spark,
+        pattern: str,
+        param: str | None = None,
+        name_col: str = "name",
+        **bounds,
+    ) -> "Ensemble":
+        """Build an Ensemble from a GRIB2 cycle-file glob — the GEFS/
+        ERA5-EDA archive entry point. Member identity comes from the
+        message headers, in priority order: the PDT 4.1/4.11
+        perturbation number (``m{N}`` — the in-band GEFS layout,
+        including files written by ``to_grib2(stamp_members=True)``),
+        else the 4.2/4.12/4.5/4.9/4.6/4.10 product tag (``em``/``es``/
+        ``p90``/…), else the parameter name (deterministic archives).
+        One decode task per message; ``param`` and bounds kwargs
+        (time_bnds/lat_bnds/lon_bnds) prune on the header index before
+        any field unpacks."""
+        from pyspark.sql import functions as F
+
+        from bcdp_spark.sources.grib2 import load_grib2
+
+        df = load_grib2(spark, pattern, param=param, **bounds)
+        member = F.coalesce(
+            F.concat(F.lit("m"), F.col("member").cast("string")),
+            F.col("ens_label"),
+            F.col("name"),
+        )
+        return cls(
+            df.select(
+                member.alias(name_col), "time", "lat", "lon", "value"
+            ),
+            name_col=name_col,
+        )
+
     def to_xarray(self):
         """Collect the ensemble into an xarray Dataset (one data variable
         per member, dims = (time, [lev,] lat, lon)). Import-gated: needs

@@ -1414,3 +1414,31 @@ def test_grib2_datasource_ens_label_pushdown(spark, tmp_path):
     leftover = list(rd.pushFilters([EqualTo(("ens_label",), "em")]))
     assert leftover == []
     assert len(rd.partitions()) == 1
+
+
+def test_ensemble_from_grib2_members(spark, tmp_path):
+    """from_grib2: stamped members reload as m0/m1/m2 and the A4
+    ensemble verbs run on top — write → reingest → ensemble mean."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for i, name in enumerate(("a", "b", "c")):
+        for lat in (-10.0, 10.0):
+            for lon in (0.0, 60.0):
+                t = pd.Timestamp("2001-01-01").to_pydatetime()
+                rows.append((name, t, lat, lon, float(i + 1)))
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    Ensemble(df).to_grib2(str(tmp_path / "gb"), stamp_members=True).collect()
+    ens = Ensemble.from_grib2(spark, str(tmp_path / "gb" / "*.grib2"))
+    assert {r["name"] for r in ens.df.select("name").distinct().collect()} \
+        == {"m0", "m1", "m2"}
+    mean = ens.bundle().collect()
+    assert len(mean) == 4
+    assert all(
+        r["n_members"] == 3 and r["ens_mean"] == 2.0 for r in mean
+    )

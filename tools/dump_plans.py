@@ -76,6 +76,10 @@ HEADLINE = (
     # round-5 late — codec flagship keys
     "q_zarr_zstd",
     "q_grib2_reduced",
+    # round-6 — ensemble product templates and HDF5 internal filters
+    "q_grib2_ensemble",
+    "q_grib2_derived",
+    "q_hdf5_scaleoffset",
 )
 
 
