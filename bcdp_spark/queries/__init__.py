@@ -99,7 +99,8 @@ _PRIORITY = (
     # 4.1/4.11 members, 4.2/4.12 derived, 4.5/4.9 probability,
     # 4.6/4.10 percentile through the A4 ensemble path) and the
     # HDF5 nbit / scale-offset filter reads
-    "q_grib2_ensemble", "q_grib2_derived", "q_hdf5_scaleoffset",
+    "q_grib2_ensemble", "q_grib2_derived", "q_grib2_levels",
+    "q_hdf5_scaleoffset",
     # (c) r5 flagships re-graded in the remaining window slots (all
     # r5-green; keeps the window full of high-signal keys)
     "q_eof_gram", "q_plev_interp", "q_bigram_perplexity", "q_knn_join",

@@ -464,3 +464,113 @@ def q_grib2_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 — vertical levels: the ERA5-pressure-level / GFS-isobaric archive
+# shape. Every message carries its WMO-4.5 level type + scaled level
+# value; without level columns a pl archive would collapse its levels
+# into indistinguishable duplicate (name, time, lat, lon) rows.
+# ---------------------------------------------------------------------------
+_LEV_FIX = "/tmp/bcdp_spark_grib2_levels_fixture_v1"
+_LEV_PA = (50000, 70000, 85000)  # isobaric levels, Pa
+
+
+def _ensure_levels_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_LEV_FIX, ".complete")
+    if os.path.exists(done):
+        return _LEV_FIX
+    os.makedirs(_LEV_FIX, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    a = np.arange(_N_A)[:, None]
+    o = np.arange(_N_O)[None, :]
+    msgs = b""
+    for s in range(2):  # two forecast steps
+        for li, pa in enumerate(_LEV_PA):  # isobaric "t" stack
+            vals = np.where(
+                (s + li + a + o) % 7 == 0, np.nan,
+                0.25 * (s * 3000 + li * 1000 + a * 10 + o),
+            )
+            msgs += write_grib2_message(
+                vals, lats, lons, _dt.datetime(2001, 1, 1),
+                forecast_hours=s * 6, level_type=100, level=pa,
+                binary_scale=-2, nbits=16,
+            )
+        # plus a 2 m-height field (level_type 103): the level columns
+        # must keep it distinct from the isobaric stack
+        vals = np.where(
+            (s + a + o) % 5 == 0, np.nan,
+            0.25 * (s * 3000 + 9000 + a * 10 + o),
+        )
+        msgs += write_grib2_message(
+            vals, lats, lons, _dt.datetime(2001, 1, 1),
+            forecast_hours=s * 6, level_type=103, level=2,
+            binary_scale=-2, nbits=16,
+        )
+    tmp = os.path.join(_LEV_FIX, ".levels.grib2.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(msgs)
+    os.replace(tmp, os.path.join(_LEV_FIX, "levels.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _LEV_FIX
+
+
+@register(
+    "q_grib2_levels",
+    oracle=f"""
+WITH iso AS (
+  SELECT 100 AS level_type,
+         CAST(CASE l.g WHEN 0 THEN 50000 WHEN 1 THEN 70000
+              ELSE 85000 END AS DOUBLE) AS level,
+         s.g * 6 AS hour,
+         CASE WHEN (s.g + l.g + a.g + o.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (s.g * 3000 + l.g * 1000 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 1) s(g), generate_series(0, 2) l(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+),
+sfc AS (
+  SELECT 103 AS level_type, CAST(2 AS DOUBLE) AS level, s.g * 6 AS hour,
+         CASE WHEN (s.g + a.g + o.g) % 5 = 0 THEN NULL
+              ELSE 0.25 * (s.g * 3000 + 9000 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 1) s(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT CAST(level_type AS INT) AS level_type, level,
+       CAST(hour AS INT) AS hour,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM (SELECT * FROM iso UNION ALL SELECT * FROM sfc)
+GROUP BY 1, 2, 3
+""",
+)
+def q_grib2_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+ (r6): vertical coordinate end-to-end — a three-level
+    isobaric "t" stack (WMO 4.5 type 100, Pa) plus a 2 m field (type
+    103) over two forecast steps; per-(level_type, level, hour)
+    climatology hash-checks that levels stay distinct through the
+    long form and that the scaled level values decode exactly.
+    ``sf_dir`` unused (synthetic decode fixture)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_levels_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    return df.groupBy(
+        "level_type", "level", F.hour("time").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

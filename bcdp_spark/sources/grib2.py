@@ -1611,6 +1611,8 @@ def load_grib2(
     lon_bnds: tuple | None = None,
     member: int | None = None,
     ens_label: str | None = None,
+    level_type: int | None = None,
+    level_bnds: tuple | None = None,
 ):
     """Glob .grib2 files → long-form rows, two distributed stages.
 
@@ -1630,15 +1632,22 @@ def load_grib2(
 
     from bcdp_spark.sources.netcdf import LONG_FORM_SCHEMA, _long_form
 
-    # the shared long form plus the GRIB-only ensemble coordinates:
-    # member (PDT 4.1/4.11 perturbation number) and ens_label (the
-    # 4.2/4.12 derived tag, 4.5/4.9 probability tag, 4.6/4.10
-    # percentile tag) — both NULL for deterministic 4.0/4.8 messages
+    # the shared long form plus the GRIB-only coordinates: member
+    # (PDT 4.1/4.11 perturbation number) and ens_label (the 4.2/4.12
+    # derived tag, 4.5/4.9 probability tag, 4.6/4.10 percentile tag)
+    # — both NULL for deterministic 4.0/4.8 messages — and the
+    # vertical coordinate (level_type = WMO table 4.5 code, level =
+    # scaled value: Pa for isobaric 100, m for height 103; NULL for
+    # missing/entire-atmosphere fields). Without level columns an
+    # ERA5 pressure-level archive would collapse its levels into
+    # indistinguishable duplicate (name, time, lat, lon) rows.
     _GRIB_LONG_SCHEMA = T.StructType(
         list(LONG_FORM_SCHEMA.fields)
         + [
             T.StructField("member", T.IntegerType()),
             T.StructField("ens_label", T.StringType()),
+            T.StructField("level_type", T.IntegerType()),
+            T.StructField("level", T.DoubleType()),
         ]
     )
 
@@ -1696,6 +1705,14 @@ def load_grib2(
         index_df = index_df.filter(F.col("member") == int(member))
     if ens_label is not None:
         index_df = index_df.filter(F.col("ens_label") == ens_label)
+    if level_type is not None:
+        index_df = index_df.filter(F.col("level_type") == int(level_type))
+    if level_bnds is not None:
+        lo, hi = level_bnds
+        if lo is not None:
+            index_df = index_df.filter(F.col("level") >= F.lit(float(lo)))
+        if hi is not None:
+            index_df = index_df.filter(F.col("level") <= F.lit(float(hi)))
     if time_bnds is not None:
         lo, hi = time_bnds
         if lo is not None:
@@ -1717,11 +1734,19 @@ def load_grib2(
 
         from bcdp_spark.sources.netcdf import _bounds_mask
 
-        def _with_member(pdf_out, mem, label):
+        def _with_member(pdf_out, idx):
             pdf_out["member"] = pd.array(
-                [mem] * len(pdf_out), dtype="Int32"
+                [idx.member] * len(pdf_out), dtype="Int32"
             )
-            pdf_out["ens_label"] = label
+            pdf_out["ens_label"] = idx.label
+            pdf_out["level_type"] = pd.array(
+                [None if idx.level_type == 255 else idx.level_type]
+                * len(pdf_out),
+                dtype="Int32",
+            )
+            pdf_out["level"] = (
+                np.nan if idx.level is None else float(idx.level)
+            )
             return pdf_out
 
         for pdf in batches:
@@ -1731,10 +1756,6 @@ def load_grib2(
                 fld = decode_message(
                     raw, int(row["offset"]), int(row["field"])
                 )
-                mem = (
-                    None if pd.isna(row["member"]) else int(row["member"])
-                )
-                label = fld.index.label
                 if fld.lats2d is not None:
                     # projected grid (Lambert): coordinates are
                     # per-point — emit long form directly and apply
@@ -1756,8 +1777,7 @@ def load_grib2(
                                 "value": fld.values.ravel()[m],
                             }
                         ),
-                        mem,
-                        label,
+                        fld.index,
                     )
                     continue
                 lats, lons, vals = fld.lats, fld.lons, fld.values
@@ -1773,8 +1793,7 @@ def load_grib2(
                         lons,
                         vals[np.newaxis, :, :],
                     ),
-                    mem,
-                    label,
+                    fld.index,
                 )
 
     return index_df.mapInPandas(decode, schema=_GRIB_LONG_SCHEMA)
@@ -1803,7 +1822,7 @@ class Grib2StreamDataSource(_DataSource):
         return (
             "file string, name string, time timestamp, "
             "lat double, lon double, value double, member int, "
-            "ens_label string"
+            "ens_label string, level_type int, level double"
         )
 
     def simpleStreamReader(self, schema):
@@ -1842,6 +1861,8 @@ class Grib2StreamReader(_SimpleStreamReader):
                         None if v != v else float(v),
                         idx.member,
                         idx.label,
+                        None if idx.level_type == 255 else idx.level_type,
+                        idx.level,
                     )
 
     def read(self, start: dict):

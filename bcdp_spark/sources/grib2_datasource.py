@@ -51,7 +51,7 @@ from bcdp_spark.sources.netcdf_datasource import (
 
 _SCHEMA = (
     "name string, time timestamp, lat double, lon double, value double, "
-    "member int, ens_label string"
+    "member int, ens_label string, level_type int, level double"
 )
 
 
@@ -89,11 +89,11 @@ class Grib2Reader(DataSourceReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             if isinstance(f, _RANGE_OPS) and attr in (
-                ("time",), ("lat",), ("lon",)
+                ("time",), ("lat",), ("lon",), ("level",)
             ):
                 self._filters.append(f)
             elif isinstance(f, EqualTo) and attr in (
-                ("name",), ("member",), ("ens_label",)
+                ("name",), ("member",), ("ens_label",), ("level_type",)
             ):
                 self._filters.append(f)
             else:
@@ -131,6 +131,18 @@ class Grib2Reader(DataSourceReader):
                     return False
             if getattr(f, "attribute", None) == ("ens_label",):
                 if idx.label is None or idx.label != f.value:
+                    return False
+            if getattr(f, "attribute", None) == ("level_type",):
+                if idx.level_type == 255 or int(idx.level_type) != int(
+                    f.value
+                ):
+                    return False
+            if getattr(f, "attribute", None) == ("level",):
+                # a NULL level (entire atmosphere / missing) never
+                # satisfies a range or equality predicate
+                if idx.level is None or not _span_may_match(
+                    np.array([idx.level, idx.level]), f
+                ):
                     return False
         t = np.array([np.datetime64(idx.valid_time, "us")])
         if not _axis_mask(t, self._filters, "time").any():
@@ -187,10 +199,16 @@ class Grib2Reader(DataSourceReader):
                 pa.array(vals, type=pa.float64(), from_pandas=True),
                 pa.array([fld.index.member] * n, type=pa.int32()),
                 pa.array([fld.index.label] * n, type=pa.string()),
+                pa.array(
+                    [None if fld.index.level_type == 255
+                     else fld.index.level_type] * n,
+                    type=pa.int32(),
+                ),
+                pa.array([fld.index.level] * n, type=pa.float64()),
             ],
             names=[
                 "name", "time", "lat", "lon", "value", "member",
-                "ens_label",
+                "ens_label", "level_type", "level",
             ],
         )
 

@@ -1442,3 +1442,59 @@ def test_ensemble_from_grib2_members(spark, tmp_path):
     assert all(
         r["n_members"] == 3 and r["ens_mean"] == 2.0 for r in mean
     )
+
+
+def test_load_grib2_level_columns_and_pruning(spark, tmp_path):
+    """Levels survive the long form (type + scaled value), NULL for
+    missing-level messages; level_type= / level_bnds= prune on the
+    header index."""
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = b""
+    for pa_lvl in (50000, 85000):
+        msgs += write_grib2_message(
+            np.full((2, 2), pa_lvl / 1e4), lats, lons, _REF, nbits=12,
+            decimal_scale=1, level_type=100, level=pa_lvl,
+        )
+    msgs += write_grib2_message(  # no level (entire atmosphere)
+        np.full((2, 2), 7.0), lats, lons, _REF, nbits=8,
+    )
+    p = tmp_path / "levels.grib2"
+    p.write_bytes(msgs)
+
+    df = load_grib2(spark, str(p))
+    got = {
+        (r["level_type"], r["level"], r["value"]) for r in df.collect()
+    }
+    assert got == {
+        (100, 50000.0, 5.0), (100, 85000.0, 8.5), (None, None, 7.0),
+    }
+    only = load_grib2(
+        spark, str(p), level_type=100, level_bnds=(60000, None)
+    ).collect()
+    assert len(only) == 4 and all(r["level"] == 85000.0 for r in only)
+
+
+def test_grib2_datasource_level_pushdown(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from bcdp_spark.sources.grib2_datasource import Grib2Reader
+
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = b""
+    for pa_lvl in (50000, 70000, 85000):
+        msgs += write_grib2_message(
+            np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+            level_type=100, level=pa_lvl,
+        )
+    p = tmp_path / "levels.grib2"
+    p.write_bytes(msgs)
+
+    rd = Grib2Reader({"path": str(p)})
+    leftover = list(
+        rd.pushFilters(
+            [EqualTo(("level_type",), 100),
+             GreaterThan(("level",), 60000.0)]
+        )
+    )
+    assert leftover == []
+    assert len(rd.partitions()) == 2

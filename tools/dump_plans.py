@@ -79,6 +79,7 @@ HEADLINE = (
     # round-6 — ensemble product templates and HDF5 internal filters
     "q_grib2_ensemble",
     "q_grib2_derived",
+    "q_grib2_levels",
     "q_hdf5_scaleoffset",
 )
 
