@@ -291,10 +291,11 @@ def nbit_decode(raw: bytes, cvals: tuple, signed: bool,
         return raw[: nelmts * size]
     codes = _unpack_bits(raw, precision, nelmts)
     if signed:
-        sign_bit = np.uint64(1) << np.uint64(precision - 1)
-        ext = codes.astype(np.int64) - np.where(
-            codes & sign_bit, np.int64(1) << np.int64(precision), 0
-        )
+        # overflow-free sign extension from the precision field: shift
+        # the field to the top of the 64-bit lane, then arithmetic
+        # shift back (works up to precision 63; 64 is the passthrough)
+        up = np.uint64(64 - precision)
+        ext = (codes << up).view(np.int64) >> np.int64(up)
         out = ext.astype(np.dtype(f"<i{size}"))
     else:
         out = codes.astype(np.dtype(f"<u{size}"))

@@ -324,3 +324,29 @@ def test_hdf5_file_nbit_read():
     )
     got = H5File(raw).read("v")
     np.testing.assert_array_equal(got, arr)
+
+
+def test_nbit_precision63_i8_roundtrip():
+    """precision-63 i8: sign extension must not overflow the int64
+    lane (shift-based extension, not additive)."""
+    vals = np.array(
+        [-(2**62), 2**62 - 1, -1, 0, 12345], dtype="<i8"
+    )
+    cd = nbit_cdvals(5, vals.dtype, 63, 0)
+    enc = nbit_encode(vals.tobytes(), cd, signed=True)
+    assert len(enc) == (5 * 63 + 7) // 8
+    got = np.frombuffer(
+        nbit_decode(enc, cd, signed=True, is_float=False), dtype="<i8"
+    )
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_so_i8_wide_span_roundtrip():
+    """i8 spans needing >32 packed bits exercise the wide-minbits
+    unpack path."""
+    vals = np.array([0, 2**40, 2**40 + 7, 13], dtype="<i8")
+    cd = scaleoffset_cdvals(2, 0, 4, vals.dtype)
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    (minbits,) = struct.unpack_from("<I", enc, 0)
+    assert minbits == 41
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
