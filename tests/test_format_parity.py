@@ -1,13 +1,15 @@
 """Cross-format differential: ONE closed-form (time, lat, lon, value)
-field written through four different format/codec stacks must load to
-IDENTICAL long-form rows. Each stack deliberately exercises the round-5
+field written through five different format/codec stacks must load to
+IDENTICAL long-form rows. Each stack deliberately exercises the r5/r6
 codec surface end-to-end through Spark:
 
 - NetCDF-4/HDF5: v2 'latest' profile, dense links + dense attributes,
   extensible-array chunk index, shuffle + zstd (32015) filters;
 - Zarr v2: blosc container with cname='zstd' under a delta filter;
 - Zarr v3: the bytes→zstd default chain;
-- GRIB2: CCSDS/AEC packing (5.42), one message per timestep.
+- GRIB2: CCSDS/AEC packing (5.42), one message per timestep;
+- NetCDF-4/HDF5 classic generation: scale-offset filter (D=2, exact
+  on quarter-step values) piped into deflate (r6).
 
 A value mismatch anywhere in any codec layer breaks the parity, so
 this is a standing tripwire for every decode path at once."""
@@ -44,7 +46,7 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def test_four_stacks_identical_long_form(spark, tmp_path):
+def test_five_stacks_identical_long_form(spark, tmp_path):
     from bcdp_spark.sources.grib2 import load_grib2, write_grib2_message
     from bcdp_spark.sources.hdf5 import write_hdf5
     from bcdp_spark.sources.netcdf import load_netcdf
@@ -136,7 +138,33 @@ def test_four_stacks_identical_long_form(spark, tmp_path):
         fh.write(msgs)
     d = _canon(load_grib2(spark, gb).toPandas())
 
-    for name, other in (("zarr-v2", b), ("zarr-v3", c), ("grib2", d)):
+    # --- NetCDF-4 classic generation + SCALE-OFFSET (D=2) into
+    # deflate (r6): quarter-step values are exact at D=2, so the
+    # lossy filter is lossless here and must match bit-for-bit
+    nc_so = str(tmp_path / "so.nc")
+    with open(nc_so, "wb") as fh:
+        fh.write(write_hdf5(
+            {
+                "time": (["time"], np.arange(_NT) * 6.0,
+                         {"units": "hours since 2001-01-01",
+                          "calendar": "standard"}),
+                "lat": (["lat"], _LATS, {}),
+                "lon": (["lon"], _LONS, {}),
+                "pr": (["time", "lat", "lon"],
+                       np.where(np.isnan(data), -999.0, data),
+                       {"_FillValue": -999.0}),
+            },
+            profile="v0",
+            chunk={"pr": (2, _NA, _NO)},
+            scaleoffset={"pr": (0, 2)},
+            gzip_level=4,
+        ))
+    e = _canon(load_netcdf(spark, nc_so).toPandas())
+
+    for name, other in (
+        ("zarr-v2", b), ("zarr-v3", c), ("grib2", d),
+        ("hdf5-scaleoffset", e),
+    ):
         pd.testing.assert_frame_equal(
             a, other, check_exact=True, obj=f"long form via {name}"
         )
