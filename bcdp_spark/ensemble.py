@@ -573,6 +573,35 @@ class Ensemble:
             F.stddev_samp(self.value_col).alias("ens_spread"),
         )
 
+    def bundle_to_grib2(self, out_dir: str, nbits: int = 16) -> DataFrame:
+        """Export the cross-member mean/spread as GRIB2 DERIVED
+        products (PDT 4.2, WMO table 4.7: em = code 0, es = code 2 —
+        the GEFS geavg/gespr write side): one ``em.grib2`` and one
+        ``es.grib2``, ensemble-size octet stamped from the member
+        count, reingestable by ``from_grib2``/``load_grib2`` with the
+        tags back in ``ens_label``. 2-D (lat, lon) ensembles only —
+        GRIB messages are single-level."""
+        if "lev" in self.space_cols:
+            raise ValueError(
+                "bundle_to_grib2 writes 2-D fields; subset a level "
+                "first (GRIB messages are single-level)"
+            )
+        from bcdp_spark.sinks import to_grib2
+
+        n_members = self.df.select(self.name_col).distinct().count()
+        lat, lon = self._latlon()
+        stacked = self.bundle().select(
+            self.time_col, lat, lon,
+            F.expr(
+                "stack(2, 'em', ens_mean, 'es', ens_spread) "
+                "AS (name, value)"
+            ),
+        )
+        return to_grib2(
+            stacked, out_dir, by="name", var_name="value", nbits=nbits,
+            derived_codes={"em": 0, "es": 2}, ens_size=n_members,
+        )
+
     def apply(
         self, fn: Callable, schema: str, by: Sequence[str] | None = None
     ) -> "Ensemble":

@@ -421,6 +421,8 @@ def to_grib2(
     var_name: str = "value",
     nbits: int = 16,
     member_numbers: dict | None = None,
+    derived_codes: dict | None = None,
+    ens_size: int = 0,
 ) -> DataFrame:
     """GRIB2 export: one cycle file per ``by`` group, one message per
     time step, written from executors with the vendored WMO FM 92
@@ -439,10 +441,17 @@ def to_grib2(
     ``member_numbers`` (group label → perturbation number) switches
     the product template to 4.1 (individual ensemble forecast), so the
     member identity travels IN-BAND — readers recover it from the
-    ``member`` column instead of the file name. The dict is
-    constant-size (one entry per member file) and ships to executors
-    via the closure.
+    ``member`` column instead of the file name. ``derived_codes``
+    (group label → WMO table 4.7 code, e.g. ``{"em": 0, "es": 2}``)
+    instead emits 4.2 derived-product messages — the GEFS geavg/gespr
+    write side; ``ens_size`` stamps the ensemble-size octet. Both
+    dicts are constant-size (one entry per output file) and ship to
+    executors via the closure.
     """
+    if member_numbers is not None and derived_codes is not None:
+        raise ValueError(
+            "member_numbers and derived_codes are mutually exclusive"
+        )
     import math
     import os
 
@@ -489,14 +498,18 @@ def to_grib2(
                     math.log2(span / (2**nbits - 1))
                 )
                 bits = nbits
-            ens = (
-                {}
-                if member_numbers is None
-                else {
+            if member_numbers is not None:
+                ens = {
                     "member": int(member_numbers[member]),
                     "ens_size": len(member_numbers),
                 }
-            )
+            elif derived_codes is not None:
+                ens = {
+                    "derived": int(derived_codes[member]),
+                    "ens_size": int(ens_size),
+                }
+            else:
+                ens = {}
             msgs += write_grib2_message(
                 field,
                 np.asarray(lats, dtype=float),

@@ -1836,6 +1836,9 @@ class Grib2StreamReader(_SimpleStreamReader):
             raise ValueError("grib2-stream source requires a path glob")
         self._glob = path
         self._param = options.get("param")
+        mem = options.get("member")
+        self._member = None if mem is None else int(mem)
+        self._label = options.get("ens_label")
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -1845,6 +1848,10 @@ class Grib2StreamReader(_SimpleStreamReader):
             raw = fh.read()
         for idx in scan_grib2(raw):
             if self._param is not None and idx.name != self._param:
+                continue
+            if self._member is not None and idx.member != self._member:
+                continue
+            if self._label is not None and idx.label != self._label:
                 continue
             fld = decode_message(raw, idx.offset, idx.field)
             vt = idx.valid_time

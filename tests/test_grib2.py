@@ -1498,3 +1498,40 @@ def test_grib2_datasource_level_pushdown(spark, tmp_path):
     )
     assert leftover == []
     assert len(rd.partitions()) == 2
+
+
+def test_bundle_to_grib2_derived_products(spark, tmp_path):
+    """bundle_to_grib2 writes em/es as PDT 4.2 derived products
+    (geavg/gespr shape); reingestion recovers the tags in ens_label
+    and the exact mean/spread (quarter-step values, exact stats)."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for i, name in enumerate(("m0", "m1", "m2")):
+        for d in range(2):
+            for lat in (-10.0, 10.0):
+                for lon in (0.0, 60.0):
+                    t = (pd.Timestamp("2001-01-01")
+                         + pd.Timedelta(days=d)).to_pydatetime()
+                    base = (d * 8 + (lat + 10) / 10 + lon / 60) * 0.25
+                    rows.append((name, t, lat, lon, base + i * 0.25))
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    manifest = Ensemble(df).bundle_to_grib2(str(tmp_path / "gb")).collect()
+    assert {m["name"] for m in manifest} == {"em", "es"}
+
+    back = load_grib2(spark, str(tmp_path / "gb" / "*.grib2"))
+    got = back.collect()
+    assert {r["ens_label"] for r in got} == {"em", "es"}
+    for r in got:
+        if r["ens_label"] == "es":
+            # stddev_samp({0, .25, .5}) = 0.25 at every cell
+            assert r["value"] == pytest.approx(0.25, abs=1e-9)
+        else:
+            d = r["time"].day - 1
+            base = (d * 8 + (r["lat"] + 10) / 10 + r["lon"] / 60) * 0.25
+            assert r["value"] == pytest.approx(base + 0.25, abs=1e-9)
