@@ -1535,3 +1535,69 @@ def test_bundle_to_grib2_derived_products(spark, tmp_path):
             d = r["time"].day - 1
             base = (d * 8 + (r["lat"] + 10) / 10 + r["lon"] / 60) * 0.25
             assert r["value"] == pytest.approx(base + 0.25, abs=1e-9)
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(0, 4),          # selector kind
+    st.integers(0, 255),        # member / code / percentile raw draw
+    st.integers(0, 4),          # probability type
+    st.integers(-8, 12),        # lo quarter-steps
+    st.integers(-8, 12),        # up quarter-steps
+    st.one_of(st.none(), st.integers(1, 48)),  # stat_hours
+    st.integers(0, 48),         # forecast_hours
+    st.lists(st.integers(0, 200), min_size=4, max_size=12),
+)
+def test_product_template_fuzz(kind, rawv, ptype, lo_q, up_q,
+                               stat_hours, fcst, cells):
+    """Generative sweep over the whole product-template matrix
+    (deterministic / member / derived / probability / percentile ×
+    point-in-time / interval): writer and parser must agree on the
+    template's member/label metadata, the valid-time arithmetic, and
+    the payload values, for every combination."""
+    n = (len(cells) // 2) * 2
+    if n < 4:
+        n = 4
+        cells = (cells + [0, 0, 0, 0])[:4]
+    vals = (np.array(cells[:n], dtype=float) * 0.25).reshape(2, n // 2)
+    lats = np.array([-10.0, 10.0])
+    lons = np.arange(n // 2) * 30.0
+
+    kw: dict = {}
+    want_member, want_label = None, None
+    if kind == 1:
+        kw = dict(member=rawv, ens_size=31)
+        want_member = rawv
+    elif kind == 2:
+        code = rawv % 8
+        kw = dict(derived=code, ens_size=31)
+        want_label = {0: "em", 1: "em_w", 2: "es", 3: "es_norm",
+                      4: "spread"}.get(code, f"derived{code}")
+    elif kind == 3:
+        lo, up = lo_q * 0.25, up_q * 0.25
+        kw = dict(probability=(ptype, lo, up))
+        want_label = {
+            0: f"prob_lt_{lo:g}",
+            1: f"prob_gt_{up:g}",
+            2: f"prob_{lo:g}_{up:g}",
+            3: f"prob_gt_{lo:g}",
+            4: f"prob_lt_{up:g}",
+        }[ptype]
+    elif kind == 4:
+        pct = rawv % 101
+        kw = dict(percentile=pct)
+        want_label = f"p{pct}"
+
+    raw = _field(
+        vals, lats=lats, lons=lons, binary_scale=-2, nbits=16,
+        forecast_hours=fcst, stat_hours=stat_hours, **kw,
+    )
+    (idx,) = scan_grib2(raw)
+    f = decode_message(raw)
+    for got in (idx, f.index):
+        assert got.member == want_member
+        assert got.label == want_label
+    expect_valid = _REF + dt.timedelta(hours=fcst + (stat_hours or 0))
+    assert f.index.valid_time == expect_valid
+    np.testing.assert_array_equal(f.values, vals)
