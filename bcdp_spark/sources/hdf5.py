@@ -98,6 +98,33 @@ def lookup3(data: bytes, init: int = 0) -> int:
     return c
 
 
+def _fletcher32(data: bytes) -> int:
+    """H5_checksum_fletcher32: Fletcher-32 over big-endian 16-bit
+    words (an odd trailing byte pads as its high byte), with
+    ones-complement (mod-65535) folding of both sums. Vectorized:
+    repeated 16-bit folding of a sum x is congruent to x mod 65535
+    and, for x > 0, never reaches 0 — i.e. exactly
+    ((x - 1) mod 65535) + 1 — so the per-360-word inner loop of the
+    C implementation collapses to two weighted numpy sums."""
+    if not data:
+        return 0
+    buf = data if len(data) % 2 == 0 else data + b"\x00"
+    words = np.frombuffer(buf, dtype=">u2").astype(np.uint64)
+    n = words.size
+    m = np.uint64(0xFFFF)
+    nz = bool(words.any())
+    s1m = int(words.sum() % m)
+    # sum2 accumulates sum1 after every word: sum2 = sum_i (n-i+1)*w_i;
+    # reduce term-wise mod 65535 so the weighted sum cannot overflow
+    # uint64 on multi-MB chunks
+    weights = np.arange(n, 0, -1, dtype=np.uint64) % m
+    s2m = int((((words % m) * weights) % m).sum() % m)
+    # a positive sum folds to the 1..65535 representative, never 0
+    s1 = (s1m or 0xFFFF) if nz else 0
+    s2 = (s2m or 0xFFFF) if nz else 0
+    return (s2 << 16) | s1
+
+
 # ---------------------------------------------------------------------------
 # Datatype <-> numpy
 # ---------------------------------------------------------------------------
@@ -696,7 +723,22 @@ class H5File:
                         a.reshape(esz, len(a) // esz).T.tobytes()
                     )
                 elif fid == 3:
-                    raw = raw[:-4]  # fletcher32 checksum suffix
+                    # verify-and-strip: stored LE; the byte-reversed
+                    # value is also accepted (pre-1.6.3 libhdf5 wrote
+                    # it with a byte-order bug, and real HDF5 accepts
+                    # both on read)
+                    (stored,) = struct.unpack_from("<I", raw, len(raw) - 4)
+                    calc = _fletcher32(raw[:-4])
+                    swapped = int.from_bytes(
+                        calc.to_bytes(4, "little"), "big"
+                    )
+                    if stored not in (calc, swapped):
+                        raise ValueError(
+                            "HDF5 fletcher32 checksum mismatch on a "
+                            f"chunk of {name!r}: stored 0x{stored:08x}, "
+                            f"computed 0x{calc:08x} (corrupt chunk)"
+                        )
+                    raw = raw[:-4]
                 elif fid in (32000, 32015):  # h5py LZF / zstd plugin
                     # expected plain size: the chunk payload, plus the
                     # 4-byte suffix of any fletcher32 applied BEFORE
@@ -1420,6 +1462,7 @@ def write_hdf5(
     zstd: bool = False,
     nbit: dict[str, tuple] | None = None,
     scaleoffset: dict[str, tuple] | None = None,
+    fletcher: bool = False,
     v4_index: dict[str, str] | None = None,
     fa_page_bits: int = 10,
     maxshape: dict[str, tuple] | None = None,
@@ -1513,6 +1556,10 @@ def write_hdf5(
                 filters.append((32015, (3,)))
             if gzip_level is not None:
                 filters.append((1, (gzip_level,)))
+            if fletcher:
+                # last in the pipeline: checksums the stored (post-
+                # compression) bytes, verified first on decode
+                filters.append((3, ()))
             itype = v4_index.get(name)
             if itype == "implicit" and filters:
                 raise ValueError("implicit index requires unfiltered chunks")
@@ -1548,6 +1595,10 @@ def write_hdf5(
                         raw = a.reshape(len(a) // esz, esz).T.tobytes()
                     elif fid == 1:
                         raw = zlib.compress(raw, cv[0])
+                    elif fid == 3:
+                        raw = raw + struct.pack(
+                            "<I", _fletcher32(raw)
+                        )
                     elif fid == 32000:
                         from bcdp_spark.sources.lzf import lzf_compress
 
