@@ -1,0 +1,65 @@
+"""CRC-32C (Castagnoli, reflected polynomial 0x82F63B78) — the
+checksum Zarr v3's ``crc32c`` codec and sharding index use (and the
+one iSCSI/ext4 standardized; RFC 3720 appendix B.4 publishes the test
+vectors ``tests/test_zarr.py`` pins).
+
+Pure-Python slice-by-8: eight 256-entry tables built once at import,
+one table lookup per byte with an 8-byte stride — the standard
+software formulation (Intel's slicing-by-8 paper) at a few tens of
+MB/s. CRC verification rides inside the chunk-parallel scan, so the
+first-order throughput lever stays chunk parallelism (docs/SCALE.md
+codec-throughput note); a C crc32c (``google-crc32c``) is the drop-in
+if a deployment needs more.
+"""
+
+from __future__ import annotations
+
+_POLY = 0x82F63B78
+
+
+def _build_tables() -> list[list[int]]:
+    t0 = []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = (c >> 1) ^ (_POLY if c & 1 else 0)
+        t0.append(c)
+    tables = [t0]
+    for _ in range(7):
+        prev = tables[-1]
+        tables.append([t0[v & 0xFF] ^ (v >> 8) for v in prev])
+    return tables
+
+
+_T = _build_tables()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C of ``data``, optionally continuing from ``crc``."""
+    t0, t1, t2, t3, t4, t5, t6, t7 = _T
+    c = ~crc & 0xFFFFFFFF
+    n = len(data)
+    i = 0
+    end8 = n - (n % 8)
+    while i < end8:
+        c ^= (
+            data[i]
+            | (data[i + 1] << 8)
+            | (data[i + 2] << 16)
+            | (data[i + 3] << 24)
+        )
+        c = (
+            t7[c & 0xFF]
+            ^ t6[(c >> 8) & 0xFF]
+            ^ t5[(c >> 16) & 0xFF]
+            ^ t4[(c >> 24) & 0xFF]
+            ^ t3[data[i + 4]]
+            ^ t2[data[i + 5]]
+            ^ t1[data[i + 6]]
+            ^ t0[data[i + 7]]
+        )
+        i += 8
+    while i < n:
+        c = t0[(c ^ data[i]) & 0xFF] ^ (c >> 8)
+        i += 1
+    return ~c & 0xFFFFFFFF

@@ -118,7 +118,8 @@ _V3_DTYPES = {
 def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
     """zarr.json (v3 core spec) → ZArrayMeta. Codecs supported: bytes
     (endian), gzip, zstd, blosc (byte shuffle), transpose, crc32c
-    (stripped), sharding_indexed; anything else raises by name."""
+    (VERIFIED against sources/crc32c.py, mismatch raises),
+    sharding_indexed; anything else raises by name."""
     if doc.get("node_type") != "array":
         raise ValueError(f"{name}: zarr.json node_type is not 'array'")
     base = _V3_DTYPES.get(doc["data_type"])
@@ -285,6 +286,17 @@ def _bb_decode(raw: bytes, chain: list, expect: int | None = None) -> bytes:
 
             raw = blosc_decompress(raw)
         elif n == "crc32c":
+            # verify-and-strip (little-endian suffix per the v3 spec):
+            # a corrupted chunk fails loudly, never decodes as data
+            from bcdp_spark.sources.crc32c import crc32c as _crc
+
+            stored = int.from_bytes(raw[-4:], "little")
+            calc = _crc(raw[:-4])
+            if stored != calc:
+                raise ValueError(
+                    f"Zarr v3 crc32c mismatch: stored 0x{stored:08x}, "
+                    f"computed 0x{calc:08x} (corrupt chunk)"
+                )
             raw = raw[:-4]
         # "bytes" handled by the dtype's endianness
     return raw
@@ -385,6 +397,15 @@ def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
     else:
         idx_bytes = raw[-idx_len:]
     if meta.shard_index_crc:
+        from bcdp_spark.sources.crc32c import crc32c as _crc
+
+        stored = int.from_bytes(idx_bytes[-4:], "little")
+        calc = _crc(idx_bytes[:-4])
+        if stored != calc:
+            raise ValueError(
+                f"Zarr v3 shard-index crc32c mismatch: stored "
+                f"0x{stored:08x}, computed 0x{calc:08x} (corrupt shard)"
+            )
         idx_bytes = idx_bytes[:-4]
     pairs = np.frombuffer(idx_bytes, dtype="<u8").reshape(n_inner, 2)
     out = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
@@ -815,6 +836,7 @@ def write_zarr_v3(
     gzip_level: int | None = 1,
     key_encoding: str = "default",
     codec: str = "gzip",
+    crc: bool = False,
 ) -> None:
     """Write a Zarr v3 group (fixture generator for the v3 read path).
 
@@ -825,19 +847,26 @@ def write_zarr_v3(
     bytes(little) [+ gzip or zstd — ``codec='zstd'`` is zarr-python
     v3's DEFAULT chain; encoded via pyarrow's bundled libzstd, decoded
     by our own ``sources/zstd.py``]. ``key_encoding``: 'default'
-    (c/0/1) or 'v2' (dot-separated)."""
+    (c/0/1) or 'v2' (dot-separated). ``crc=True`` appends the crc32c
+    codec to the chunk chain AND the shard-index codec list — readers
+    (ours included, r6) verify both."""
     os.makedirs(store, exist_ok=True)
     with open(os.path.join(store, "zarr.json"), "w") as fh:
         json.dump({"zarr_format": 3, "node_type": "group"}, fh)
 
     def _bb(raw: bytes) -> bytes:
-        if gzip_level is None:
-            return raw
-        if codec == "zstd":
-            import pyarrow as _pa
+        if gzip_level is not None:
+            if codec == "zstd":
+                import pyarrow as _pa
 
-            return bytes(_pa.Codec("zstd").compress(raw))
-        return _gzip.compress(raw, compresslevel=gzip_level)
+                raw = bytes(_pa.Codec("zstd").compress(raw))
+            else:
+                raw = _gzip.compress(raw, compresslevel=gzip_level)
+        if crc:
+            from bcdp_spark.sources.crc32c import crc32c as _crc
+
+            raw = raw + _crc(raw).to_bytes(4, "little")
+        return raw
 
     inner_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if gzip_level is not None:
@@ -846,6 +875,8 @@ def write_zarr_v3(
             if codec == "zstd"
             else {"name": "gzip", "configuration": {"level": gzip_level}}
         )
+    if crc:
+        inner_codecs.append({"name": "crc32c"})
     for name, (vdims, arr, attrs) in variables.items():
         arr = np.ascontiguousarray(arr)
         if arr.dtype.byteorder == ">":
@@ -863,12 +894,15 @@ def write_zarr_v3(
                     "configuration": {
                         "chunk_shape": list(vinner),
                         "codecs": inner_codecs,
-                        "index_codecs": [
-                            {
-                                "name": "bytes",
-                                "configuration": {"endian": "little"},
-                            }
-                        ],
+                        "index_codecs": (
+                            [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {"endian": "little"},
+                                }
+                            ]
+                            + ([{"name": "crc32c"}] if crc else [])
+                        ),
                         "index_location": "end",
                     },
                 }
@@ -942,6 +976,12 @@ def write_zarr_v3(
                     pairs.extend((off, len(blob)))
                     off += len(blob)
                 index = np.asarray(pairs, dtype="<u8").tobytes()
+                if crc:
+                    from bcdp_spark.sources.crc32c import (
+                        crc32c as _crc,
+                    )
+
+                    index += _crc(index).to_bytes(4, "little")
                 payload = b"".join(blobs) + index
             with open(path, "wb") as fh:
                 fh.write(payload)
