@@ -174,3 +174,66 @@ def test_warc_stream_source_picks_up_new_archives(spark, tmp_path):
     resp = both[both.warc_type == "response"]
     assert len(resp) == 2
     assert all(p == b"<html><body>hi there</body></html>" for p in resp.payload)
+
+
+# -- block-digest verification (r6) ---------------------------------------
+
+
+def test_block_digest_verified_and_corruption_raises(tmp_path):
+    """digests=True stamps sha1 base32 (the Common Crawl convention);
+    iter_warc_records verifies it, and a flipped content byte raises
+    naming the record offset."""
+    from bcdp_spark.sources.warc import iter_warc_records, write_warc
+
+    p = str(tmp_path / "d.warc")
+    write_warc(
+        p,
+        [
+            {
+                "warc_type": "response",
+                "record_id": "<urn:uuid:1>",
+                "target_uri": "http://example.com/",
+                "content_type": "application/http; msgtype=response",
+                "content": b"HTTP/1.1 200 OK\r\n\r\nhello world",
+            }
+        ],
+        compress=False,
+        digests=True,
+    )
+    raw = open(p, "rb").read()
+    assert b"WARC-Block-Digest: sha1:" in raw
+    [(hdrs, content)] = list(iter_warc_records(raw))
+    assert content.endswith(b"hello world")
+
+    bad = bytearray(raw)
+    i = raw.index(b"hello world")
+    bad[i] ^= 0xFF
+    with pytest.raises(ValueError, match="block digest mismatch"):
+        list(iter_warc_records(bytes(bad)))
+
+
+def test_block_digest_hex_and_unknown_algo(tmp_path):
+    """Hex digests verify too; an unlabelled or unknown-algorithm
+    record passes through (optional integrity addition)."""
+    import hashlib
+
+    from bcdp_spark.sources.warc import iter_warc_records
+
+    content = b"payload-bytes"
+    hx = hashlib.sha256(content).hexdigest()
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:2>\r\n"
+        + f"WARC-Block-Digest: sha256:{hx}\r\n".encode()
+        + f"Content-Length: {len(content)}\r\n".encode()
+        + b"\r\n" + content + b"\r\n\r\n"
+    )
+    [(h, c)] = list(iter_warc_records(rec))
+    assert c == content
+
+    rec2 = rec.replace(
+        f"sha256:{hx}".encode(), b"blake3:DEADBEEF"
+    )
+    [(h2, c2)] = list(iter_warc_records(rec2))  # unknown algo: pass
+    assert c2 == content
