@@ -241,8 +241,9 @@ class Ensemble:
         else the 4.2/4.12/4.5/4.9/4.6/4.10 product tag (``em``/``es``/
         ``p90``/…), else the parameter name (deterministic archives).
         One decode task per message; ``param`` and bounds kwargs
-        (time_bnds/lat_bnds/lon_bnds) prune on the header index before
-        any field unpacks."""
+        (time_bnds/lat_bnds/lon_bnds, plus level_type/level_bnds for
+        multi-level archives — pick one level, GRIB fields are 2-D)
+        prune on the header index before any field unpacks."""
         from pyspark.sql import functions as F
 
         from bcdp_spark.sources.grib2 import load_grib2
