@@ -48,6 +48,7 @@ _MODULES = (
     "bcdp_spark.queries.warc_io",
     "bcdp_spark.queries.jsonl_io",
     "bcdp_spark.queries.grib_io",
+    "bcdp_spark.queries.geotiff_io",
 )
 
 
@@ -100,7 +101,7 @@ _PRIORITY = (
     # 4.6/4.10 percentile through the A4 ensemble path) and the
     # HDF5 nbit / scale-offset filter reads
     "q_grib2_ensemble", "q_grib2_derived", "q_grib2_levels",
-    "q_hdf5_scaleoffset",
+    "q_hdf5_scaleoffset", "q_geotiff_ingest",
     # (c) r5 flagships re-graded in the remaining window slots (all
     # r5-green; keeps the window full of high-signal keys)
     "q_eof_gram", "q_plev_interp", "q_bigram_perplexity", "q_knn_join",

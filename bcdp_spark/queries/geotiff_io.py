@@ -1,0 +1,105 @@
+"""GeoTIFF ingestion query key (EXT raster source) — driver-gradable
+proof the engine decodes REAL GeoTIFF bytes end-to-end with no GDAL
+dependency, the `q_netcdf_climatology` / `q_grib2_climatology`
+contract applied to the raster format CHIRPS/WorldClim-style products
+ship.
+
+The fixture is one file per "month" (the CHIRPS layout), mixing the
+real-world storage variants across files so ONE green row certifies
+them all: deflate strips, LZW tiles (early-change codes), LZW +
+horizontal-predictor strips, and PackBits — each with GDAL_NODATA
+cells on a closed-form pattern. The DuckDB oracle regenerates the
+grids with generate_series; a hash match certifies IFD parsing, every
+block codec, predictor cumsum, pixel-center georeferencing, and the
+nodata -> NULL path at once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import utc
+
+_FIX_DIR = "/tmp/bcdp_spark_geotiff_fixture_v1"
+_N_M, _N_R, _N_C = 4, 8, 12  # months (files), rows, cols
+
+
+def _ensure_fixture() -> str:
+    from bcdp_spark.sources.geotiff import write_geotiff
+
+    done = os.path.join(_FIX_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIX_DIR
+    os.makedirs(_FIX_DIR, exist_ok=True)
+    r = np.arange(_N_R)[:, None]
+    c = np.arange(_N_C)[None, :]
+    variants = (
+        dict(compression=8, rows_per_strip=3),
+        dict(compression=5, tile=(16, 16)),
+        dict(compression=5, predictor=2, rows_per_strip=2),
+        dict(compression=32773),
+    )
+    for m in range(_N_M):
+        vals = np.where(
+            (m + r + c) % 7 == 0, np.nan,
+            0.25 * (m * 1000 + r * 10 + c),
+        )
+        raw = write_geotiff(
+            vals.astype("<f8"),
+            lat0=59.75, lon0=-179.75, dlat=0.5, dlon=0.5,
+            nodata=-9999.0, **variants[m % len(variants)],
+        )
+        tmp = os.path.join(_FIX_DIR, f".pr.2001.{m + 1:02d}.tif.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        os.replace(tmp, os.path.join(_FIX_DIR, f"pr.2001.{m + 1:02d}.tif"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIX_DIR
+
+
+@register(
+    "q_geotiff_ingest",
+    oracle=f"""
+WITH grid AS (
+  SELECT m.g AS m, r.g AS r, c.g AS c,
+         CASE WHEN (m.g + r.g + c.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (m.g * 1000 + r.g * 10 + c.g)
+         END AS value
+  FROM generate_series(0, {_N_M - 1}) m(g),
+       generate_series(0, {_N_R - 1}) r(g),
+       generate_series(0, {_N_C - 1}) c(g)
+)
+SELECT 'pr.2001.' || lpad(CAST(m + 1 AS VARCHAR), 2, '0') AS name,
+       59.75 - r * 0.5 AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_geotiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT raster source: real GeoTIFF bytes (deflate strips, LZW
+    tiles, LZW+predictor, PackBits across the member files) -> block-
+    indexed, Catalyst-prunable, distributed decode -> per-(file,
+    latitude) climatology with GDAL_NODATA as NULL. ``sf_dir`` unused
+    (synthetic decode fixture)."""
+    from bcdp_spark.sources.geotiff import load_geotiff
+
+    utc(spark)
+    fix = _ensure_fixture()
+    df = load_geotiff(spark, os.path.join(fix, "*.tif"))
+    return df.groupBy("name", "lat").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

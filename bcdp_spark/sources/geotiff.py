@@ -1,0 +1,695 @@
+"""GeoTIFF / Cloud-Optimized GeoTIFF source (EXT: the raster format
+gridded climate products ship when they don't ship NetCDF — CHIRPS
+precipitation, WorldClim normals, Copernicus land products. The
+reference reads these through rioxarray/GDAL; the container has
+neither, so this module implements the PUBLIC TIFF 6.0 + GeoTIFF 1.1
+specifications from scratch, the way ``sources/netcdf3.py`` /
+``sources/hdf5.py`` do for their formats).
+
+Scope (the single-band gridded-raster subset):
+
+- classic TIFF, both byte orders (``II`` little / ``MM`` big endian);
+  BigTIFF (``43``) raises loudly;
+- one IFD, one sample per pixel; SampleFormat uint/int/float at
+  8/16/32/64 bits; extra bands/IFDs raise loudly naming the count;
+- strip (RowsPerStrip) AND tile (TileWidth/TileLength) layouts — a
+  Cloud-Optimized GeoTIFF is exactly "tiled + deflate", and the TILE
+  GRID is the unit of Spark parallelism, like a Zarr chunk grid;
+- compressions: 1 none, 8/32946 deflate (zlib), 5 LZW (TIFF-variant:
+  MSB-first variable-width codes WITH the early-change convention —
+  hand-vector-certified in tests), 32773 PackBits; others raise with
+  the code;
+- predictor 2 (horizontal differencing on sample values; decode is
+  one cumsum per row) — predictor 3 (floating-point byte-split)
+  raises loudly;
+- georeferencing: ModelPixelScale (33550) + ModelTiepoint (33922),
+  GeoKeyDirectory (34735) key 1025 RasterPixelIsArea/Point — area
+  rasters emit PIXEL-CENTER coordinates (origin + (i+0.5)·scale, the
+  GDAL convention), point rasters the stored coordinates;
+  ModelTransformation (34264) raises loudly (rotated grids);
+- GDAL_NODATA (42113) → NULL, like _FillValue on the NetCDF path.
+
+Distributed shape (``load_geotiff``): stage 1 parses ONLY the header
++ IFD of each file (a few KB — this is why COG front-loads them) into
+a per-BLOCK index DataFrame carrying each strip/tile's byte range and
+lat/lon bounding box; Catalyst evaluates bounds predicates against it
+so pruned blocks are never read, let alone decompressed. Stage 2
+decodes each surviving block in its own task and emits long-form
+``(name, lat, lon, value)`` rows masked to the requested bounds.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 §8 + GeoTIFF 1.1 + GDAL)
+_T_WIDTH, _T_LENGTH = 256, 257
+_T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
+_T_STRIP_OFFSETS, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = (
+    273, 277, 278, 279,
+)
+_T_PREDICTOR = 317
+_T_TILE_W, _T_TILE_L, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 325
+_T_SAMPLE_FORMAT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT = 33550, 33922
+_T_GEO_KEYS, _T_MODEL_TRANSFORM = 34735, 34264
+_T_GDAL_NODATA = 42113
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d"}
+
+
+@dataclass
+class TiffMeta:
+    """Parsed single-band raster metadata (header + IFD only)."""
+
+    width: int
+    length: int
+    dtype: np.dtype
+    compression: int
+    predictor: int
+    block_w: int  # tile width, or image width for strips
+    block_l: int  # tile length, or RowsPerStrip
+    tiled: bool
+    offsets: list[int] = field(default_factory=list)
+    counts: list[int] = field(default_factory=list)
+    # pixel-center coordinate of pixel (0, 0) and per-pixel steps
+    lon0: float = 0.5
+    lat0: float = -0.5
+    dlon: float = 1.0
+    dlat: float = 1.0  # positive; lat decreases with row index
+    nodata: float | None = None
+
+    @property
+    def grid(self) -> tuple[int, int]:
+        """(blocks down, blocks across)."""
+        return (
+            -(-self.length // self.block_l),
+            -(-self.width // self.block_w),
+        )
+
+    def block_bbox(self, bi: int, bj: int):
+        """(lat_min, lat_max, lon_min, lon_max) of block (bi, bj)."""
+        r0, c0 = bi * self.block_l, bj * self.block_w
+        r1 = min(r0 + self.block_l, self.length) - 1
+        c1 = min(c0 + self.block_w, self.width) - 1
+        return (
+            self.lat0 - r1 * self.dlat,
+            self.lat0 - r0 * self.dlat,
+            self.lon0 + c0 * self.dlon,
+            self.lon0 + c1 * self.dlon,
+        )
+
+
+def _read_entries(raw: bytes, e: str, off: int) -> dict:
+    (n,) = struct.unpack_from(e + "H", raw, off)
+    entries = {}
+    for k in range(n):
+        tag, typ, cnt = struct.unpack_from(
+            e + "HHI", raw, off + 2 + 12 * k
+        )
+        vpos = off + 2 + 12 * k + 8
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size > 4:
+            (vpos,) = struct.unpack_from(e + "I", raw, vpos)
+        if typ == 2:  # ASCII
+            val = raw[vpos : vpos + cnt].split(b"\x00")[0].decode(
+                "ascii", "replace"
+            )
+        elif typ == 5:  # RATIONAL
+            parts = struct.unpack_from(e + f"{2 * cnt}I", raw, vpos)
+            val = tuple(parts[i] / parts[i + 1] for i in range(0, 2 * cnt, 2))
+        elif typ in _TYPE_FMT:
+            val = struct.unpack_from(e + f"{cnt}{_TYPE_FMT[typ]}", raw, vpos)
+        else:
+            raise NotImplementedError(
+                f"GeoTIFF: IFD entry type {typ} (tag {tag}) not supported"
+            )
+        entries[tag] = val
+    (next_ifd,) = struct.unpack_from(e + "I", raw, off + 2 + 12 * n)
+    if next_ifd != 0:
+        raise NotImplementedError(
+            "GeoTIFF: multi-IFD files (overviews/multi-page) not "
+            "supported — pass the full-resolution single-IFD product"
+        )
+    return entries
+
+
+def parse_geotiff(raw: bytes) -> TiffMeta:
+    """Header + IFD -> TiffMeta. Never touches pixel bytes."""
+    if raw[:2] == b"II":
+        e = "<"
+    elif raw[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack_from(e + "H", raw, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF (magic 43) not supported")
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    (ifd_off,) = struct.unpack_from(e + "I", raw, 4)
+    t = _read_entries(raw, e, ifd_off)
+
+    spp = t.get(_T_SPP, (1,))[0]
+    if spp != 1:
+        raise NotImplementedError(
+            f"GeoTIFF: {spp} samples per pixel not supported "
+            "(single-band rasters only)"
+        )
+    bits = t.get(_T_BITS, (1,))[0]
+    sfmt = t.get(_T_SAMPLE_FORMAT, (1,))[0]
+    kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
+    if kind is None or bits % 8 or bits // 8 not in (1, 2, 4, 8) or (
+        kind == "f" and bits not in (32, 64)
+    ):
+        raise NotImplementedError(
+            f"GeoTIFF: sample format {sfmt} at {bits} bits not supported"
+        )
+    dtype = np.dtype(f"{e}{kind}{bits // 8}")
+
+    comp = t.get(_T_COMPRESSION, (1,))[0]
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise NotImplementedError(
+            f"GeoTIFF: compression {comp} not supported "
+            "(none/LZW/deflate/PackBits only — JPEG needs an external "
+            "decoder)"
+        )
+    pred = t.get(_T_PREDICTOR, (1,))[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(
+            f"GeoTIFF: predictor {pred} not supported (none/horizontal "
+            "— the floating-point predictor 3 has no in-container "
+            "cross-check)"
+        )
+    if _T_MODEL_TRANSFORM in t:
+        raise NotImplementedError(
+            "GeoTIFF: ModelTransformation (rotated/sheared grid) not "
+            "supported — axis-aligned ModelPixelScale rasters only"
+        )
+
+    width, length = t[_T_WIDTH][0], t[_T_LENGTH][0]
+    if _T_TILE_OFFSETS in t:
+        tiled = True
+        bw, bl = t[_T_TILE_W][0], t[_T_TILE_L][0]
+        offsets, counts = t[_T_TILE_OFFSETS], t[_T_TILE_COUNTS]
+    else:
+        tiled = False
+        bw = width
+        bl = t.get(_T_ROWS_PER_STRIP, (length,))[0]
+        offsets, counts = t[_T_STRIP_OFFSETS], t[_T_STRIP_COUNTS]
+
+    # georeference: pixel-is-area (GeoKey 1025 default 1) shifts to
+    # pixel centers; pixel-is-point (2) uses stored coordinates
+    sx, sy = 1.0, 1.0
+    tie = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    if _T_PIXEL_SCALE in t:
+        sx, sy = float(t[_T_PIXEL_SCALE][0]), float(t[_T_PIXEL_SCALE][1])
+    if _T_TIEPOINT in t:
+        tie = t[_T_TIEPOINT]
+    area = True
+    if _T_GEO_KEYS in t:
+        gk = t[_T_GEO_KEYS]
+        for k in range(4, len(gk), 4):
+            if gk[k] == 1025 and gk[k + 3] == 2:  # GTRasterTypeGeoKey
+                area = False
+    half = 0.5 if area else 0.0
+    # tiepoint maps raster (i, j) -> model (x, y); solve pixel (0,0)
+    lon0 = float(tie[3]) - (float(tie[0]) - half) * sx
+    lat0 = float(tie[4]) + (float(tie[1]) - half) * sy
+
+    nodata = None
+    if _T_GDAL_NODATA in t:
+        try:
+            nodata = float(str(t[_T_GDAL_NODATA]).strip())
+        except ValueError:
+            pass
+
+    n_blocks = (-(-length // bl)) * (-(-width // bw))
+    if len(offsets) != n_blocks or len(counts) != n_blocks:
+        raise ValueError(
+            f"GeoTIFF: {len(offsets)} blocks listed, grid needs "
+            f"{n_blocks}"
+        )
+    return TiffMeta(
+        width=width, length=length, dtype=dtype, compression=comp,
+        predictor=pred, block_w=bw, block_l=bl, tiled=tiled,
+        offsets=list(offsets), counts=list(counts),
+        lon0=lon0, lat0=lat0, dlon=sx, dlat=sy, nodata=nodata,
+    )
+
+
+# -- TIFF-variant LZW (spec §13: MSB-first, early change) ----------------
+
+
+def lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF LZW: 9..12-bit MSB-first codes, Clear=256, EOI=257, and
+    the EARLY-CHANGE width switch (width grows when the NEXT code to
+    be added is 2^w - 1 — one code earlier than GIF)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    nxt = 258
+    prev: bytes | None = None
+    acc = n_acc = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        n_acc += 8
+        while n_acc >= width:
+            code = (acc >> (n_acc - width)) & ((1 << width) - 1)
+            n_acc -= width
+            if code == 256:  # Clear
+                table = []
+                width, nxt, prev = 9, 258, None
+                continue
+            if code == 257:  # EOI
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code - 258 < len(table):
+                entry = table[code - 258]
+            elif code == nxt and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"TIFF LZW: invalid code {code}")
+            if prev is not None:
+                table.append(prev + entry[:1])
+                nxt += 1
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("TIFF LZW: output exceeds block size")
+            prev = entry
+            # early change, decoder side: the decoder's table LAGS the
+            # encoder's by one entry, so it widens at 510/1022/2046 —
+            # one entry before its own counter reaches 2^w - 1
+            if nxt == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Writer twin (fixtures): always emits Clear first and EOI last,
+    clears when the table fills at 4094 — the spec's reference
+    behavior, so third-party readers accept the output."""
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc = (acc << width) | code
+        n_acc += width
+        while n_acc >= 8:
+            out.append((acc >> (n_acc - 8)) & 0xFF)
+            n_acc -= 8
+
+    width = 9
+    table: dict[bytes, int] = {}
+    nxt = 258
+    emit(256, width)
+    cur = b""
+    for b in data:
+        nxtseq = cur + bytes([b])
+        code = table.get(nxtseq)
+        if code is not None or len(nxtseq) == 1:
+            cur = nxtseq
+            continue
+        emit(table[cur] if len(cur) > 1 else cur[0], width)
+        table[nxtseq] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(256, width)
+            table, width, nxt = {}, 9, 258
+        cur = bytes([b])
+    if cur:
+        emit(table[cur] if len(cur) > 1 else cur[0], width)
+    emit(257, width)
+    if n_acc:
+        out.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 1 < n and data[j] == data[j + 1])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _decode_block(meta: TiffMeta, payload: bytes) -> np.ndarray:
+    """One strip/tile -> (block_l, block_w) float array, NaN at
+    nodata. Edge blocks are stored FULL-SIZE for tiles (spec) and
+    row-truncated for strips."""
+    import zlib
+
+    full = meta.block_l * meta.block_w * meta.dtype.itemsize
+    if meta.compression in (8, 32946):
+        raw = zlib.decompress(payload)
+    elif meta.compression == 5:
+        raw = lzw_decode(payload, full)
+    elif meta.compression == 32773:
+        raw = packbits_decode(payload, full)
+    else:
+        raw = payload
+    n_rows = len(raw) // (meta.block_w * meta.dtype.itemsize)
+    arr = np.frombuffer(
+        raw[: n_rows * meta.block_w * meta.dtype.itemsize],
+        dtype=meta.dtype,
+    ).reshape(n_rows, meta.block_w)
+    if meta.predictor == 2:
+        # horizontal differencing on sample VALUES: one cumsum per
+        # row in the sample's own wrapping integer arithmetic
+        arr = np.cumsum(arr, axis=1, dtype=meta.dtype).astype(meta.dtype)
+    out = arr.astype(np.float64)
+    if meta.nodata is not None:
+        out = np.where(out == meta.nodata, np.nan, out)
+    return out
+
+
+# -- fixture writer ------------------------------------------------------
+
+
+def write_geotiff(
+    data: np.ndarray,
+    lat0: float,
+    lon0: float,
+    dlat: float,
+    dlon: float,
+    compression: int = 8,
+    predictor: int = 1,
+    tile: tuple[int, int] | None = None,
+    rows_per_strip: int | None = None,
+    nodata: float | None = None,
+    pixel_is_point: bool = False,
+) -> bytes:
+    """Serialize one single-band raster as little-endian GeoTIFF.
+    ``lat0``/``lon0`` are the coordinates of the pixel (0,0) CENTER
+    unless ``pixel_is_point``; the emitted tiepoint follows the
+    matching GeoKey 1025 convention."""
+    import zlib
+
+    data = np.ascontiguousarray(data)
+    if data.dtype.byteorder == ">":
+        data = data.astype(data.dtype.newbyteorder("<"))
+    if nodata is not None:
+        data = np.where(np.isnan(data.astype("f8")), nodata, data)
+    length, width = data.shape
+    kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
+    bits = data.dtype.itemsize * 8
+
+    if tile is not None:
+        bl, bw = tile
+        if bl % 16 or bw % 16:
+            raise ValueError("TIFF tiles must be multiples of 16")
+    else:
+        bl = rows_per_strip or length
+        bw = width
+    grid_l, grid_w = -(-length // bl), -(-width // bw)
+
+    blobs = []
+    for bi in range(grid_l):
+        for bj in range(grid_w):
+            block = data[bi * bl : (bi + 1) * bl, bj * bw : (bj + 1) * bw]
+            if tile is not None and block.shape != (bl, bw):
+                fullb = np.zeros((bl, bw), dtype=data.dtype)
+                if nodata is not None:
+                    fullb[:] = data.dtype.type(nodata)
+                fullb[: block.shape[0], : block.shape[1]] = block
+                block = fullb
+            if predictor == 2:
+                block = np.concatenate(
+                    [block[:, :1], np.diff(block, axis=1)], axis=1
+                ).astype(data.dtype)
+            raw = block.tobytes()
+            if compression in (8, 32946):
+                raw = zlib.compress(raw, 6)
+            elif compression == 5:
+                raw = lzw_encode(raw)
+            elif compression == 32773:
+                raw = packbits_encode(raw)
+            blobs.append(raw)
+
+    # tiepoint at raster (half, half) == the pixel-(0,0) center (or
+    # the stored point for pixel-is-point) keeps the reader arithmetic
+    # exact: model x = lon0, y = lat0 with no float round-trip
+    half = 0.0 if pixel_is_point else 0.5
+    tie_vals = (half, half, 0.0, lon0, lat0, 0.0)
+
+    entries = []  # (tag, type, count, values)
+    entries.append((_T_WIDTH, 4, 1, (width,)))
+    entries.append((_T_LENGTH, 4, 1, (length,)))
+    entries.append((_T_BITS, 3, 1, (bits,)))
+    entries.append((_T_COMPRESSION, 3, 1, (compression,)))
+    entries.append((_T_PHOTOMETRIC, 3, 1, (1,)))
+    if tile is None:
+        entries.append((_T_ROWS_PER_STRIP, 4, 1, (bl,)))
+        off_tag, cnt_tag = _T_STRIP_OFFSETS, _T_STRIP_COUNTS
+    else:
+        entries.append((_T_TILE_W, 4, 1, (bw,)))
+        entries.append((_T_TILE_L, 4, 1, (bl,)))
+        off_tag, cnt_tag = _T_TILE_OFFSETS, _T_TILE_COUNTS
+    entries.append((_T_SPP, 3, 1, (1,)))
+    entries.append((_T_PREDICTOR, 3, 1, (predictor,)))
+    entries.append((_T_SAMPLE_FORMAT, 3, 1, (kind,)))
+    entries.append((_T_PIXEL_SCALE, 12, 3, (dlon, dlat, 0.0)))
+    entries.append((_T_TIEPOINT, 12, 6, tie_vals))
+    entries.append(
+        (_T_GEO_KEYS, 3, 8,
+         (1, 1, 1, 1, 1025, 0, 1, 2 if pixel_is_point else 1))
+    )
+    if nodata is not None:
+        nd = f"{nodata:g}\x00".encode("ascii")
+        entries.append((_T_GDAL_NODATA, 2, len(nd), nd))
+    n_off = len(blobs)
+    entries.append((off_tag, 4, n_off, None))  # patched below
+    entries.append((cnt_tag, 4, n_off, tuple(len(b) for b in blobs)))
+    entries.sort(key=lambda x: x[0])
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext = bytearray()
+    ext_base = 8 + ifd_size
+
+    def pack_vals(typ, cnt, vals) -> bytes:
+        if typ == 2:
+            return bytes(vals)
+        return struct.pack(f"<{cnt}{_TYPE_FMT[typ]}", *vals)
+
+    # first pass: lay out every out-of-line value block, RESERVING the
+    # offsets array's slot (its size is known: 4 bytes per block) so
+    # data_base is final before block positions are assigned
+    value_bytes: dict[int, tuple[int, bytes]] = {}
+    offsets_slot: tuple[int, int] | None = None  # (entry idx, ext pos)
+    for i, (tag, typ, cnt, vals) in enumerate(entries):
+        if vals is None:
+            if n_off * 4 > 4:
+                offsets_slot = (i, len(ext))
+                value_bytes[i] = (ext_base + len(ext), b"")
+                ext += b"\x00" * (n_off * 4)
+            continue
+        b = pack_vals(typ, cnt, vals)
+        if len(b) > 4:
+            value_bytes[i] = (ext_base + len(ext), b)
+            ext += b + (b"\x00" if len(b) % 2 else b"")
+    data_base = ext_base + len(ext)
+    offsets = []
+    pos = data_base
+    for b in blobs:
+        offsets.append(pos)
+        pos += len(b) + (len(b) % 2)
+    # patch the reserved slot (or inline the single offset)
+    for i, (tag, typ, cnt, vals) in enumerate(entries):
+        if vals is None:
+            b = pack_vals(typ, cnt, tuple(offsets))
+            if offsets_slot is not None:
+                _, epos = offsets_slot
+                ext[epos : epos + len(b)] = b
+            else:
+                entries[i] = (tag, typ, cnt, tuple(offsets))
+
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    for i, (tag, typ, cnt, vals) in enumerate(entries):
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        if i in value_bytes:
+            ifd += struct.pack("<I", value_bytes[i][0])
+        else:
+            b = pack_vals(typ, cnt, vals)
+            ifd += b + b"\x00" * (4 - len(b))
+    ifd += struct.pack("<I", 0)
+    assert len(ifd) == ifd_size
+
+    body = bytearray(header) + ifd + ext
+    for b in blobs:
+        body += b + (b"\x00" if len(b) % 2 else b"")
+    return bytes(body)
+
+
+# -- Spark loader --------------------------------------------------------
+
+_INDEX_SCHEMA = (
+    "path string, block int, offset long, nbytes long, "
+    "lat0 double, lat1 double, lon0 double, lon1 double"
+)
+
+
+def load_geotiff(
+    spark,
+    path: str,
+    name: str | None = None,
+    lat_bnds: tuple | None = None,
+    lon_bnds: tuple | None = None,
+):
+    """Glob .tif files -> long-form (name, lat, lon, value) rows.
+
+    Stage 1 indexes each file's strip/tile grid from the header alone
+    (COG's design point: IFDs are front-loaded, so object storage
+    serves them in one small read); lat/lon bounds prune BLOCKS via
+    Catalyst before any pixel bytes are read. Stage 2 decodes one
+    block per task and masks rows/columns to the bounds exactly.
+    ``name`` defaults to the file stem (one variable per file, the
+    CHIRPS/WorldClim layout)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    files = sorted(_glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                with open(fpath, "rb") as fh:
+                    raw = fh.read()
+                meta = parse_geotiff(raw)
+                gl, gw = meta.grid
+                rows = []
+                for k in range(gl * gw):
+                    bb = meta.block_bbox(k // gw, k % gw)
+                    rows.append(
+                        (fpath, k, meta.offsets[k], meta.counts[k]) + bb
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path", "block", "offset", "nbytes",
+                        "lat0", "lat1", "lon0", "lon1",
+                    ],
+                )
+
+    index_df = manifest.mapInPandas(scan, schema=_INDEX_SCHEMA)
+    if lat_bnds is not None:
+        lo, hi = lat_bnds
+        if lo is not None:
+            index_df = index_df.filter(F.col("lat1") >= float(lo))
+        if hi is not None:
+            index_df = index_df.filter(F.col("lat0") <= float(hi))
+    if lon_bnds is not None:
+        lo, hi = lon_bnds
+        if lo is not None:
+            index_df = index_df.filter(F.col("lon1") >= float(lo))
+        if hi is not None:
+            index_df = index_df.filter(F.col("lon0") <= float(hi))
+    index_df = index_df.repartition("path", "block")
+    bounds = {"lat": lat_bnds, "lon": lon_bnds}
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from bcdp_spark.sources.netcdf import _bounds_mask
+
+        metas: dict[str, TiffMeta] = {}
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                fpath = row["path"]
+                if fpath not in metas:
+                    with open(fpath, "rb") as fh:
+                        head = fh.read()
+                    metas[fpath] = parse_geotiff(head)
+                meta = metas[fpath]
+                with open(fpath, "rb") as fh:
+                    fh.seek(int(row["offset"]))
+                    payload = fh.read(int(row["nbytes"]))
+                block = _decode_block(meta, payload)
+                gl, gw = meta.grid
+                bi, bj = int(row["block"]) // gw, int(row["block"]) % gw
+                r0, c0 = bi * meta.block_l, bj * meta.block_w
+                n_r = min(meta.block_l, meta.length - r0)
+                n_c = min(meta.block_w, meta.width - c0)
+                block = block[:n_r, :n_c]
+                lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
+                lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
+                la_m = _bounds_mask(lats, bounds["lat"])
+                lo_m = _bounds_mask(lons, bounds["lon"])
+                lats, lons = lats[la_m], lons[lo_m]
+                vals = block[np.ix_(la_m, lo_m)]
+                aa, oo = np.meshgrid(lats, lons, indexing="ij")
+                stem = (
+                    name
+                    if name is not None
+                    else os.path.splitext(os.path.basename(fpath))[0]
+                )
+                yield pd.DataFrame(
+                    {
+                        "name": stem,
+                        "lat": aa.ravel(),
+                        "lon": oo.ravel(),
+                        "value": vals.ravel(),
+                    }
+                )
+
+    return index_df.mapInPandas(decode, schema=schema)

@@ -80,6 +80,13 @@ def _grib2(spark: SparkSession, path: str, **options) -> DataFrame:
     return load_grib2(spark, path, **options)
 
 
+@register_data_source("geotiff")
+def _geotiff(spark: SparkSession, path: str, **options) -> DataFrame:
+    from bcdp_spark.sources.geotiff import load_geotiff
+
+    return load_geotiff(spark, path, **options)
+
+
 # -- self-registering format modules ----------------------------------
 # importing them IS the registration (decorator side effect); placed at
 # the bottom so the decorator exists when the circular import re-enters

@@ -1,0 +1,260 @@
+"""GeoTIFF source tests (sources/geotiff.py): TIFF-LZW hand vectors
+(early-change certification), PackBits vectors, byte-order + layout +
+codec roundtrips, georeference conventions, block pruning, loud seams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bcdp_spark.sources.geotiff import (
+    TiffMeta,
+    _decode_block,
+    load_geotiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+    parse_geotiff,
+    write_geotiff,
+)
+
+
+# -- LZW ------------------------------------------------------------------
+
+
+def test_lzw_hand_vector():
+    """b'AAAA' per TIFF 6.0 §13, derived by hand: codes
+    Clear(256) 'A'(65) 'AA'(258) 'A'(65) EOI(257), all 9-bit MSB-first:
+    100000000 001000001 100000010 001000001 100000001 + pad
+    = 80 10 60 44 18 08."""
+    expect = bytes([0x80, 0x10, 0x60, 0x44, 0x18, 0x08])
+    assert lzw_encode(b"AAAA") == expect
+    assert lzw_decode(expect, 16) == b"AAAA"
+
+
+def test_lzw_early_change_boundary():
+    """A stream long enough to cross the 9->10-bit switch: the decoder
+    must widen at table entry 510 (one entry before its own counter
+    reaches 511 — the classic TIFF early-change lag), or every code
+    after the boundary shreds."""
+    rng = np.random.default_rng(3)
+    # low-entropy data grows the table fast and crosses 510 quickly
+    data = rng.integers(0, 4, size=6000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+def test_lzw_table_full_clear():
+    """>4094 table entries forces a mid-stream Clear; the decoder must
+    reset width to 9."""
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=60_000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_lzw_roundtrip_property(data):
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+def test_packbits_vectors():
+    """The spec's worked example (TIFF 6.0 PackBits section)."""
+    src = bytes(
+        [0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+         0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+         0xAA, 0xAA, 0xAA, 0xAA]
+    )
+    packed = packbits_encode(src)
+    assert packbits_decode(packed, len(src)) == src
+    # canonical literal/run alternation from the spec
+    expect = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+         0x00, 0x2A, 0x22, 0xF7, 0xAA]
+    )
+    assert packed == expect
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=1000))
+def test_packbits_roundtrip_property(data):
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+# -- file-level roundtrips -------------------------------------------------
+
+
+def _assemble(raw: bytes) -> tuple[TiffMeta, np.ndarray]:
+    m = parse_geotiff(raw)
+    gl, gw = m.grid
+    out = np.full((m.length, m.width), np.nan)
+    for k in range(gl * gw):
+        block = _decode_block(
+            m, raw[m.offsets[k] : m.offsets[k] + m.counts[k]]
+        )
+        r0, c0 = (k // gw) * m.block_l, (k % gw) * m.block_w
+        nr = min(m.block_l, m.length - r0)
+        nc = min(m.block_w, m.width - c0)
+        out[r0 : r0 + nr, c0 : c0 + nc] = block[:nr, :nc]
+    return m, out
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(compression=1),
+        dict(compression=8, rows_per_strip=3),
+        dict(compression=5, tile=(16, 16)),
+        dict(compression=5, predictor=2, rows_per_strip=2),
+        dict(compression=32773),
+        dict(compression=8, predictor=2, tile=(16, 32)),
+    ],
+)
+def test_variant_roundtrip(kw):
+    data = (np.arange(48, dtype="<f8").reshape(6, 8) - 7) / 4
+    data[1, 2] = np.nan
+    raw = write_geotiff(
+        data, lat0=59.75, lon0=-179.75, dlat=0.5, dlon=0.5,
+        nodata=-9999.0, **kw,
+    )
+    m, out = _assemble(raw)
+    np.testing.assert_array_equal(out, data)
+    assert (m.lat0, m.lon0, m.dlat, m.dlon) == (59.75, -179.75, 0.5, 0.5)
+
+
+def test_int16_predictor_wrapping():
+    rng = np.random.default_rng(7)
+    d = rng.integers(-30000, 30000, size=(20, 33), dtype=np.int16)
+    raw = write_geotiff(
+        d.astype("<i2"), lat0=0, lon0=0, dlat=1, dlon=1,
+        compression=5, predictor=2, tile=(16, 16),
+    )
+    _, out = _assemble(raw)
+    np.testing.assert_array_equal(out, d.astype(float))
+
+
+def test_big_endian_uncompressed():
+    """An MM (big-endian) raster hand-built byte-by-byte — our writer
+    is LE-only, so this is an independent layout check of the reader's
+    endianness handling."""
+    data = (np.arange(6).reshape(2, 3) * 100).astype(">u2")
+    ifd_entries = [
+        (256, 3, 1, 3), (257, 3, 1, 2), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 4, 1, 2),
+        (279, 4, 1, 12), (339, 3, 1, 1),
+    ]
+    ifd = struct.pack(">H", len(ifd_entries))
+    for tag, typ, cnt, val in ifd_entries:
+        ifd += struct.pack(">HHI", tag, typ, cnt)
+        ifd += struct.pack(">I", val << 16 if typ == 3 else val)
+    ifd += struct.pack(">I", 0)
+    data_off = 8 + len(ifd)
+    raw = struct.pack(">2sHI", b"MM", 42, 8) + ifd + data.tobytes()
+    # patch StripOffsets (tag 273) to the real data position
+    pos = raw.index(struct.pack(">HHI", 273, 4, 1))
+    raw = raw[: pos + 8] + struct.pack(">I", data_off) + raw[pos + 12 :]
+    m, out = _assemble(raw)
+    np.testing.assert_array_equal(out, data.astype(float))
+
+
+def test_pixel_is_point_coordinates():
+    data = np.ones((2, 2))
+    raw = write_geotiff(
+        data, lat0=40.0, lon0=10.0, dlat=1.0, dlon=2.0,
+        pixel_is_point=True,
+    )
+    m = parse_geotiff(raw)
+    assert (m.lat0, m.lon0) == (40.0, 10.0)
+
+
+def test_loud_seams():
+    data = np.ones((2, 2))
+    raw = bytearray(
+        write_geotiff(data, lat0=0, lon0=0, dlat=1, dlon=1)
+    )
+    bad = bytes(raw[:2]) + struct.pack("<H", 43) + bytes(raw[4:])
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        parse_geotiff(bad)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        write_and_patch_predictor3 = bytearray(
+            write_geotiff(data, lat0=0, lon0=0, dlat=1, dlon=1,
+                          predictor=2)
+        )
+        i = bytes(write_and_patch_predictor3).index(
+            struct.pack("<HHI", 317, 3, 1)
+        )
+        write_and_patch_predictor3[i + 8] = 3
+        parse_geotiff(bytes(write_and_patch_predictor3))
+
+
+# -- Spark loader -----------------------------------------------------------
+
+
+def test_load_geotiff_end_to_end(spark, tmp_path):
+    r = np.arange(8)[:, None]
+    c = np.arange(12)[None, :]
+    for m in range(2):
+        vals = np.where(
+            (m + r + c) % 5 == 0, np.nan, 0.25 * (m * 100 + r * 10 + c)
+        )
+        with open(tmp_path / f"pr.{m}.tif", "wb") as fh:
+            fh.write(write_geotiff(
+                vals.astype("<f8"), lat0=59.75, lon0=-179.75,
+                dlat=0.5, dlon=0.5, nodata=-9999.0,
+                compression=5, tile=(16, 16),
+            ))
+    df = load_geotiff(spark, str(tmp_path / "*.tif"))
+    rows = df.collect()
+    assert len(rows) == 2 * 8 * 12
+    assert {x["name"] for x in rows} == {"pr.0", "pr.1"}
+    n_null = sum(1 for x in rows if x["value"] is None)
+    assert n_null == int(
+        sum(((m + r + c) % 5 == 0).sum() for m in range(2))
+    )
+    one = {
+        (x["lat"], x["lon"]): x["value"]
+        for x in rows if x["name"] == "pr.1"
+    }
+    assert one[(59.75, -179.75)] == pytest.approx(25.0)  # m=1,r=0,c=0
+    assert one[(59.25, -179.25)] == pytest.approx(27.75)  # 0.25*111
+    assert one[(57.75, -179.75)] is None  # (1+4+0) % 5 == 0
+
+
+def test_load_geotiff_bounds_prune_blocks(spark, tmp_path):
+    """lat/lon bounds prune whole strips before any pixel bytes are
+    read, and surviving rows are masked exactly."""
+    vals = np.arange(16 * 12, dtype="<f8").reshape(16, 12)
+    with open(tmp_path / "a.tif", "wb") as fh:
+        fh.write(write_geotiff(
+            vals, lat0=15.5, lon0=0.5, dlat=1.0, dlon=1.0,
+            compression=8, rows_per_strip=4,
+        ))
+    df = load_geotiff(
+        spark, str(tmp_path / "*.tif"),
+        lat_bnds=(12.0, 15.0), lon_bnds=(2.0, 4.0),
+    )
+    rows = df.collect()
+    # lats 15.5-row: rows with lat in [12, 15] -> rows 1..3 (3 rows);
+    # lons 0.5+col in [2, 4] -> cols 2..3 (wait: 2.5, 3.5 -> 2 cols)
+    assert len(rows) == 3 * 2
+    assert all(12.0 <= x["lat"] <= 15.0 for x in rows)
+    assert all(2.0 <= x["lon"] <= 4.0 for x in rows)
+    vals_got = {
+        (x["lat"], x["lon"]): x["value"] for x in rows
+    }
+    assert vals_got[(14.5, 2.5)] == vals[1, 2]
+
+
+def test_registry_dispatch_geotiff(spark, tmp_path):
+    from bcdp_spark.sources.registry import load
+
+    with open(tmp_path / "x.tif", "wb") as fh:
+        fh.write(write_geotiff(
+            np.ones((4, 4)), lat0=0, lon0=0, dlat=1, dlon=1,
+        ))
+    assert load("geotiff", spark, str(tmp_path / "*.tif")).count() == 16

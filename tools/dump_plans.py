@@ -81,6 +81,7 @@ HEADLINE = (
     "q_grib2_derived",
     "q_grib2_levels",
     "q_hdf5_scaleoffset",
+    "q_geotiff_ingest",
 )
 
 
