@@ -258,3 +258,41 @@ def test_registry_dispatch_geotiff(spark, tmp_path):
             np.ones((4, 4)), lat0=0, lon0=0, dlat=1, dlon=1,
         ))
     assert load("geotiff", spark, str(tmp_path / "*.tif")).count() == 16
+
+
+def test_geotiff_datasource_pushdown(spark, tmp_path):
+    """format('geotiff'): lat range + name equality prune blocks at
+    planning time; values match load_geotiff."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from bcdp_spark.sources.geotiff_datasource import (
+        GeoTiffReader,
+        register_geotiff_source,
+    )
+
+    vals = np.arange(16 * 12, dtype="<f8").reshape(16, 12)
+    for nm in ("a", "b"):
+        with open(tmp_path / f"{nm}.tif", "wb") as fh:
+            fh.write(write_geotiff(
+                vals, lat0=15.5, lon0=0.5, dlat=1.0, dlon=1.0,
+                compression=8, rows_per_strip=4,
+            ))
+    register_geotiff_source(spark)
+    df = (
+        spark.read.format("geotiff").load(str(tmp_path / "*.tif"))
+        .filter("name = 'b'").filter("lat >= 12.0")
+    )
+    rows = df.collect()
+    assert len(rows) == 4 * 12  # top strip only
+    assert all(r["name"] == "b" and r["lat"] >= 12.0 for r in rows)
+    assert {r["value"] for r in rows} == set(
+        vals[:4].ravel().tolist()
+    )
+
+    rd = GeoTiffReader({"path": str(tmp_path / "*.tif")})
+    leftover = list(rd.pushFilters(
+        [EqualTo(("name",), "b"), GreaterThanOrEqual(("lat",), 12.0)]
+    ))
+    assert leftover == []
+    # 2 files x 4 strips -> name prunes one file, lat keeps 1 strip
+    assert len(rd.partitions()) == 1
