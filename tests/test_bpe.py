@@ -237,10 +237,12 @@ def _apply_py(words, lhs, rhs):
     return out
 
 
-def _train_ref(words, n_merges, batch_size):
+def _train_ref(words, n_merges, batch_size, trace=None):
     """Pure-Python twin of bpe_train's pass structure, reusing the REAL
     _select_batch so the selection rule under test is the shipped one.
-    Returns [(lhs, rhs, count), ...]."""
+    Returns [(lhs, rhs, count), ...]; when ``trace`` is a list, appends
+    one (full_start_of_pass_ranking: dict pair->rank, selected pairs)
+    tuple per pass for invariant checking."""
     from bcdp_spark.operators.bpe import _select_batch
 
     merges = []
@@ -249,9 +251,10 @@ def _train_ref(words, n_merges, batch_size):
         if not counts:
             break
         want = min(batch_size, n_merges - len(merges))
-        ranked = sorted(
+        full = sorted(
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )[:want]
+        )
+        ranked = full[:want]
         rows = [
             {"lhs": p[0], "rhs": p[1], "pair_count": c}
             for p, c in ranked
@@ -259,6 +262,13 @@ def _train_ref(words, n_merges, batch_size):
         picked = _select_batch(rows, want)
         if not picked:
             break
+        if trace is not None:
+            trace.append(
+                (
+                    {pair: i for i, (pair, _) in enumerate(full)},
+                    [(r["lhs"], r["rhs"]) for r in picked],
+                )
+            )
         for row in picked:
             merges.append((row["lhs"], row["rhs"], row["pair_count"]))
             words = _apply_py(words, row["lhs"], row["rhs"])
@@ -281,39 +291,77 @@ def _msyms(m):
 )
 def test_batched_invariants_property(words, batch_size):
     """Sweep tiny two-letter corpora (maximal pair overlap by
-    construction). Invariants:
+    construction). The PRECISE batching contract — an earlier draft
+    claimed non-disjoint merges never reorder at all; hypothesis
+    found the legal exception ({bbb: 2, abbbbbb: 2}: a FRESH-token
+    pair can tie a batch tail on count and win the lexicographic
+    tiebreak, yet be deferred because it did not exist when the batch
+    was selected). What the prefix rule actually guarantees, asserted
+    here:
 
-    1. every batch is pairwise symbol-disjoint with exact counts
-       (checked by construction through the real _select_batch);
-    2. non-disjoint merges never reorder: if strict sequential
-       training produces merge M before merge N, M and N share a
-       symbol, and batched training produces both, batched also has
-       M before N (disjoint merges commute; non-disjoint do not, so
-       reordering them would change the learned vocabulary)."""
+    1. every batch is a maximal symbol-disjoint PREFIX of its
+       start-of-pass ranking — no selected pair is outranked by an
+       unselected pair that EXISTED at selection time;
+    2. therefore any non-disjoint reordering vs strict sequential
+       involves a pair that was ABSENT from (or ranked below the
+       reordered-ahead pair in) the ranking of the pass that selected
+       the other — the documented fresh-token deferral, nothing else;
+    3. the batched run is deterministic (re-simulation equality)."""
     n = 8
     seq = _train_ref(dict(words), n, 1)
-    bat = _train_ref(dict(words), n, batch_size)
+    trace: list = []
+    bat = _train_ref(dict(words), n, batch_size, trace=trace)
 
     seq_pairs = [(m[0], m[1]) for m in seq]
     bat_pairs = [(m[0], m[1]) for m in bat]
     pos_seq = {p: i for i, p in enumerate(seq_pairs)}
     pos_bat = {p: i for i, p in enumerate(bat_pairs)}
+    pass_of = {}
+    for pi, (_, picked) in enumerate(trace):
+        for pr in picked:
+            pass_of[pr] = pi
     for p in bat_pairs:
         for q in bat_pairs:
             if p == q or p not in pos_seq or q not in pos_seq:
                 continue
-            if _msyms(p) & _msyms(q):
-                assert (pos_seq[p] < pos_seq[q]) == (
-                    pos_bat[p] < pos_bat[q]
-                ), (
-                    f"non-disjoint merges reordered: {p} vs {q} "
-                    f"(seq {pos_seq[p]}<{pos_seq[q]}, "
-                    f"bat {pos_bat[p]}<{pos_bat[q]}) words={words} "
-                    f"batch={batch_size}"
-                )
+            if not (_msyms(p) & _msyms(q)):
+                continue
+            if (pos_seq[p] < pos_seq[q]) == (pos_bat[p] < pos_bat[q]):
+                continue
+            # a reordering happened: name the earlier-in-batched pair
+            # q and the displaced pair p (p first in seq, q first in
+            # batched), and demand the prefix rule justifies it
+            if pos_bat[p] < pos_bat[q]:
+                p, q = q, p
+            ranking, _ = trace[pass_of[q]]
+            assert p not in ranking or ranking[p] > ranking[q], (
+                f"ILLEGAL reorder: {p} preceded {q} sequentially AND "
+                f"outranked it (rank {ranking.get(p)} vs "
+                f"{ranking[q]}) when the batch selected {q} — not a "
+                f"fresh-token deferral. words={words} "
+                f"batch={batch_size}"
+            )
     # counts recorded by the batched run are exact for its own state:
     # re-simulate and compare (guards _apply/_select interplay)
     assert bat == _train_ref(dict(words), n, batch_size)
+
+
+def test_batched_fresh_token_deferral_example():
+    """The hypothesis-found counterexample, pinned: {bbb: 2,
+    abbbbbb: 2} at batch_size=2 legally swaps (bb,b) ahead of
+    (abbbb,bb) — the latter is created BY the (a,bbbb) merge in the
+    same batch as (bb,b), so it was absent at selection time. Both
+    runs learn the same merge SET; only fresh-token rank order
+    differs (the documented deviation)."""
+    words = {("b", "b", "b"): 2,
+             ("a", "b", "b", "b", "b", "b", "b"): 2}
+    seq = _train_ref(dict(words), 8, 1)
+    bat = _train_ref(dict(words), 8, 2)
+    sp = [(m[0], m[1]) for m in seq]
+    bp = [(m[0], m[1]) for m in bat]
+    assert set(sp) == set(bp)
+    assert sp.index(("abbbb", "bb")) < sp.index(("bb", "b"))
+    assert bp.index(("bb", "b")) < bp.index(("abbbb", "bb"))
 
 
 def test_batched_spark_matches_reference_on_overlapping_corpus(spark):
