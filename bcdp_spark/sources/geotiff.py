@@ -140,8 +140,10 @@ def _read_entries(raw: bytes, e: str, off: int) -> dict:
     return entries
 
 
-def parse_geotiff(raw: bytes) -> TiffMeta:
-    """Header + IFD -> TiffMeta. Never touches pixel bytes."""
+def parse_geotiff(raw) -> TiffMeta:
+    """Header + IFD -> TiffMeta (bytes or mmap — callers mmap so a
+    multi-GB COG faults only its front-loaded header pages). Never
+    touches pixel bytes."""
     if raw[:2] == b"II":
         e = "<"
     elif raw[:2] == b"MM":
@@ -600,13 +602,20 @@ def load_geotiff(
     ).repartition(len(files))
 
     def scan(batches):
+        import mmap as _mmap
+
         import pandas as pd
 
         for pdf in batches:
             for fpath in pdf["path"]:
+                # mmap: the IFD parse faults only header pages — a
+                # multi-GB COG indexes from one small read (its
+                # front-loaded-IFD design point)
                 with open(fpath, "rb") as fh:
-                    raw = fh.read()
-                meta = parse_geotiff(raw)
+                    mm = _mmap.mmap(
+                        fh.fileno(), 0, access=_mmap.ACCESS_READ
+                    )
+                    meta = parse_geotiff(mm)
                 gl, gw = meta.grid
                 rows = []
                 for k in range(gl * gw):
@@ -652,14 +661,18 @@ def load_geotiff(
 
         from bcdp_spark.sources.netcdf import _bounds_mask
 
+        import mmap as _mmap
+
         metas: dict[str, TiffMeta] = {}
         for pdf in batches:
             for _, row in pdf.iterrows():
                 fpath = row["path"]
                 if fpath not in metas:
                     with open(fpath, "rb") as fh:
-                        head = fh.read()
-                    metas[fpath] = parse_geotiff(head)
+                        mm = _mmap.mmap(
+                            fh.fileno(), 0, access=_mmap.ACCESS_READ
+                        )
+                        metas[fpath] = parse_geotiff(mm)
                 meta = metas[fpath]
                 with open(fpath, "rb") as fh:
                     fh.seek(int(row["offset"]))

@@ -112,9 +112,11 @@ class GeoTiffReader(DataSourceReader):
             )
             if skip:
                 continue
+            import mmap as _mmap
+
             with open(fpath, "rb") as fh:
-                raw = fh.read()
-            meta = parse_geotiff(raw)
+                mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+                meta = parse_geotiff(mm)
             gl, gw = meta.grid
             for k in range(gl * gw):
                 if self._keep_bbox(meta.block_bbox(k // gw, k % gw)):
@@ -135,10 +137,13 @@ class GeoTiffReader(DataSourceReader):
             parse_geotiff,
         )
 
+        import mmap as _mmap
+
         with open(partition.path, "rb") as fh:
-            raw = fh.read()
-        meta = parse_geotiff(raw)
-        payload = raw[partition.offset : partition.offset + partition.nbytes]
+            mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+            meta = parse_geotiff(mm)  # header pages only
+            fh.seek(partition.offset)
+            payload = fh.read(partition.nbytes)  # this block only
         block = _decode_block(meta, payload)
         gl, gw = meta.grid
         bi, bj = partition.block // gw, partition.block % gw
