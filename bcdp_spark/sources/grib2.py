@@ -961,19 +961,22 @@ def _decode_jpeg2000_packed(payload: bytes, n_points: int) -> np.ndarray:
             _os.unlink(tmp)
         del _io
     except ImportError:
+        # only a MISSING decoder earns the NotImplementedError; a
+        # present-but-failing one (corrupt codestream, Pillow built
+        # without openjpeg) must surface its own error, not be
+        # misreported as "no decoder installed"
         try:
             from PIL import Image  # type: ignore
-
-            import io as _io
-
-            img = np.asarray(Image.open(_io.BytesIO(payload)))
-        except Exception:
+        except ImportError:
             raise NotImplementedError(
                 "GRIB2 data template 5.40 (JPEG2000 packing) needs an "
                 "external JPEG2000 decoder: install glymur/openjpeg (or "
                 "a JPEG2000-capable Pillow) and this path decodes "
                 "automatically — see docs/FORMATS.md"
             ) from None
+        import io as _io
+
+        img = np.asarray(Image.open(_io.BytesIO(payload)))
     x = np.asarray(img).ravel().astype(np.uint64)
     if x.size != n_points:
         raise ValueError(

@@ -27,7 +27,12 @@ Integer method (H5Z_SO_INT, scale_type 2): code = value − min, with
 min/max over non-fill cells; a defined fill value maps to the all-ones
 code and costs one extra code point (minbits = ceil_log2(span + 1),
 span = max − min + 1). A positive ``scale_factor`` pins minbits and
-skips the min subtraction (min = 0) — the fixed-minbits mode.
+skips only the SPAN scan — H5Z__scaleoffset_precompress's "minbits
+already set, only calculate min" branch still computes the chunk
+minimum, subtracts it, and stores it in the header, and
+postdecompress unconditionally adds it back (so h5py
+``scaleoffset=n`` integer chunks decode offset by each chunk's own
+min).
 
 Float D-scale method (H5Z_SO_FLOAT_DSCALE, scale_type 0, what netCDF
 ``significant_digits`` uses): code = lround(v·10^D − min·10^D)
@@ -149,8 +154,8 @@ def scaleoffset_decode(raw: bytes, cvals: tuple) -> bytes:
         mv = minval & ((1 << (size * 8)) - 1)
         if base.kind == "i" and mv >= 1 << (size * 8 - 1):
             mv -= 1 << (size * 8)
-        if scale_factor > 0:  # fixed-minbits mode: no offset applied
-            mv = 0
+        # postdecompress adds the stored minval in EVERY mode — the
+        # fixed-minbits path (scale_factor > 0) pins only the width
         out = (codes.astype(np.uint64) + np.uint64(mv % (1 << 64))).astype(
             base
         )
@@ -184,8 +189,13 @@ def scaleoffset_encode(raw: bytes, cvals: tuple) -> bytes:
         live = (
             np.ones(vals.shape, bool) if fill is None else vals != fill
         )
-        if scale_factor > 0:  # fixed-minbits mode
-            minbits, mv = int(scale_factor), 0
+        if scale_factor > 0:
+            # fixed-minbits mode: the pinned width skips the span scan
+            # but H5Z__scaleoffset_precompress ("minbits already set,
+            # only calculate min") STILL computes the non-fill chunk
+            # minimum, subtracts it, and stores it in the header
+            minbits = int(scale_factor)
+            mv = int(vals[live].min()) if live.any() else 0
         elif not live.any():
             minbits, mv = 1, 0
         else:

@@ -123,13 +123,38 @@ def test_so_full_precision_passthrough():
 
 
 def test_so_fixed_minbits_mode():
-    """scale_factor > 0 on H5Z_SO_INT pins minbits and skips the
-    min subtraction (minval = 0)."""
-    vals = np.array([5, 0, 31, 12], dtype="<u2")
+    """scale_factor > 0 on H5Z_SO_INT pins minbits but — per
+    H5Zscaleoffset.c's 'minbits already set, only calculate min'
+    precompress branch — the chunk minimum is STILL computed,
+    subtracted, and stored; postdecompress adds it back. Hand vector:
+    u2 [7,5,12,36], sf=5: min=5, codes [2,0,7,31] packed 5-bit
+    MSB-first = 00010 00000 00111 11111 (pad 0) = 0x10 0x0F 0xF0."""
+    vals = np.array([7, 5, 12, 36], dtype="<u2")
     cd = scaleoffset_cdvals(2, 5, 4, vals.dtype)
     enc = scaleoffset_encode(vals.tobytes(), cd)
-    (minbits,) = struct.unpack_from("<I", enc, 0)
-    assert minbits == 5 and enc[5:13] == b"\x00" * 8
+    expect = (
+        struct.pack("<IB", 5, 8)
+        + (5).to_bytes(8, "little")
+        + bytes([0x10, 0x0F, 0xF0])
+    )
+    assert enc == expect
+    assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+def test_so_fixed_minbits_with_fill():
+    """Pinned width + defined fill: fill cells still map to the
+    all-ones code, live min is subtracted and stored. i2 [-5,9,-5,6]
+    fill=-5 sf=4: live min=6, codes [15,3,15,0] -> 0xF3 0xF0,
+    minval=6."""
+    vals = np.array([-5, 9, -5, 6], dtype="<i2")
+    cd = scaleoffset_cdvals(2, 4, 4, vals.dtype, fill=np.int16(-5))
+    enc = scaleoffset_encode(vals.tobytes(), cd)
+    expect = (
+        struct.pack("<IB", 4, 8)
+        + (6).to_bytes(8, "little")
+        + bytes([0xF3, 0xF0])
+    )
+    assert enc == expect
     assert scaleoffset_decode(enc, cd) == vals.tobytes()
 
 
