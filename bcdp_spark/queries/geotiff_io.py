@@ -7,8 +7,10 @@ ship.
 The fixture is one file per "month" (the CHIRPS layout), mixing the
 real-world storage variants across files so ONE green row certifies
 them all: deflate strips, LZW tiles (early-change codes), LZW +
-horizontal-predictor strips, and PackBits — each with GDAL_NODATA
-cells on a closed-form pattern. The DuckDB oracle regenerates the
+floating-point-predictor (3) strips, and PackBits — each with
+GDAL_NODATA cells on a closed-form pattern. (Predictor 2 is
+integer-only per TIFF 6.0; float rasters use predictor 3, so the
+float fixture exercises exactly what GDAL's PREDICTOR=3 emits.) The DuckDB oracle regenerates the
 grids with generate_series; a hash match certifies IFD parsing, every
 block codec, predictor cumsum, pixel-center georeferencing, and the
 nodata -> NULL path at once.
@@ -25,8 +27,15 @@ from pyspark.sql import functions as F
 from bcdp_spark.queries import register
 from bcdp_spark.queries._helpers import utc
 
-_FIX_DIR = "/tmp/bcdp_spark_geotiff_fixture_v1"
+_FIX_DIR = "/tmp/bcdp_spark_geotiff_fixture_v2"
 _N_M, _N_R, _N_C = 4, 8, 12  # months (files), rows, cols
+
+
+def _write(fname: str, raw: bytes) -> None:
+    tmp = os.path.join(_FIX_DIR, f".{fname}.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, os.path.join(_FIX_DIR, fname))
 
 
 def _ensure_fixture() -> str:
@@ -41,7 +50,7 @@ def _ensure_fixture() -> str:
     variants = (
         dict(compression=8, rows_per_strip=3),
         dict(compression=5, tile=(16, 16)),
-        dict(compression=5, predictor=2, rows_per_strip=2),
+        dict(compression=5, predictor=3, rows_per_strip=2),
         dict(compression=32773),
     )
     for m in range(_N_M):
@@ -54,10 +63,46 @@ def _ensure_fixture() -> str:
             lat0=59.75, lon0=-179.75, dlat=0.5, dlon=0.5,
             nodata=-9999.0, **variants[m % len(variants)],
         )
-        tmp = os.path.join(_FIX_DIR, f".pr.2001.{m + 1:02d}.tif.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(raw)
-        os.replace(tmp, os.path.join(_FIX_DIR, f"pr.2001.{m + 1:02d}.tif"))
+        _write(f"pr.2001.{m + 1:02d}.tif", raw)
+
+    # q_geotiff_bigtiff: magic 43, deflate tiles + float predictor 3,
+    # plus an overview IFD WITHOUT geo tags that must be skipped (the
+    # gdal_translate -of COG layout)
+    rb = np.arange(24)[:, None]
+    cb = np.arange(20)[None, :]
+    big = np.where(
+        (rb + cb) % 9 == 0, np.nan, 0.5 * (rb * 20 + cb)
+    )
+    _write("big.tif", write_geotiff(
+        big.astype("<f8"), lat0=60.0, lon0=-30.0, dlat=0.25, dlon=0.25,
+        nodata=-9999.0, bigtiff=True, compression=8, predictor=3,
+        tile=(16, 16), overviews=(2,), overview_geo=False,
+    ))
+
+    # q_geotiff_multiband: the same 3-band cube in BOTH planar
+    # configurations (chunky interleaved vs plane-major offsets)
+    bands = np.arange(3)[None, None, :]
+    rm = np.arange(6)[:, None, None]
+    cm = np.arange(5)[None, :, None]
+    for m, (fname, planar) in enumerate(
+        (("mb_chunky.tif", 1), ("mb_planar.tif", 2))
+    ):
+        cube = 0.5 * (m * 30000 + bands * 1000 + rm * 10 + cm)
+        _write(fname, write_geotiff(
+            np.ascontiguousarray(cube.astype("<f8")),
+            lat0=10.0, lon0=20.0, dlat=1.0, dlon=1.0,
+            compression=8, rows_per_strip=2, planar=planar,
+        ))
+
+    # q_geotiff_overview: pyramid level selection with georeference
+    # DERIVED from the full-res IFD (overview carries no geo tags)
+    ov = np.arange(16 * 12, dtype="<f8").reshape(16, 12)
+    _write("ov.tif", write_geotiff(
+        ov, lat0=15.5, lon0=0.5, dlat=1.0, dlon=1.0,
+        compression=8, rows_per_strip=4, overviews=(4,),
+        overview_geo=False,
+    ))
+
     with open(done, "w") as fh:
         fh.write("ok")
     return _FIX_DIR
@@ -87,19 +132,124 @@ GROUP BY 1, 2
 )
 def q_geotiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT raster source: real GeoTIFF bytes (deflate strips, LZW
-    tiles, LZW+predictor, PackBits across the member files) -> block-
-    indexed, Catalyst-prunable, distributed decode -> per-(file,
-    latitude) climatology with GDAL_NODATA as NULL. ``sf_dir`` unused
-    (synthetic decode fixture)."""
+    tiles, LZW+float-predictor-3, PackBits across the member files)
+    -> block-indexed, Catalyst-prunable, distributed decode -> per-
+    (file, latitude) climatology with GDAL_NODATA as NULL. ``sf_dir``
+    unused (synthetic decode fixture)."""
     from bcdp_spark.sources.geotiff import load_geotiff
 
     utc(spark)
     fix = _ensure_fixture()
-    df = load_geotiff(spark, os.path.join(fix, "*.tif"))
+    df = load_geotiff(spark, os.path.join(fix, "pr.2001.*.tif"))
     return df.groupBy("name", "lat").agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.count("value").alias("n_valid"),
         F.sum(F.col("value").cast("decimal(28,10)"))
         .cast("double")
         .alias("sum_value"),
+    )
+
+
+@register(
+    "q_geotiff_bigtiff",
+    oracle="""
+WITH grid AS (
+  SELECT r.g AS r, c.g AS c,
+         CASE WHEN (r.g + c.g) % 9 = 0 THEN NULL
+              ELSE 0.5 * (r.g * 20 + c.g)
+         END AS value
+  FROM generate_series(0, 23) r(g), generate_series(0, 19) c(g)
+)
+SELECT 'big' AS name,
+       60.0 - r * 0.25 AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_geotiff_bigtiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT raster source, the >4 GiB story: BigTIFF (magic 43, 8-byte
+    IFD walk, LONG8 offset arrays) with deflate tiles + the floating-
+    point predictor 3 (LibTIFF fpDiff byte-split), carrying a
+    reduced-resolution overview IFD that the full-res read must SKIP
+    — exactly what ``gdal_translate -of COG`` emits. Hash-checked
+    against a closed-form DuckDB grid. ``sf_dir`` unused."""
+    from bcdp_spark.sources.geotiff import load_geotiff
+
+    utc(spark)
+    fix = _ensure_fixture()
+    df = load_geotiff(spark, os.path.join(fix, "big.tif"))
+    return df.groupBy("name", "lat").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "q_geotiff_multiband",
+    oracle="""
+WITH grid AS (
+  SELECT m.g AS m, b.g AS b, r.g AS r, c.g AS c,
+         0.5 * (m.g * 30000 + b.g * 1000 + r.g * 10 + c.g) AS value
+  FROM generate_series(0, 1) m(g), generate_series(0, 2) b(g),
+       generate_series(0, 5) r(g), generate_series(0, 4) c(g)
+)
+SELECT CASE WHEN m = 0 THEN 'mb_chunky' ELSE 'mb_planar' END AS name,
+       CAST(b + 1 AS INT) AS band,
+       COUNT(*) AS n_cells,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_geotiff_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band GeoTIFF (SamplesPerPixel 3 — the WorldClim monthly-
+    normals layout) decoded from BOTH PlanarConfiguration 1 (chunky
+    interleaved samples) and 2 (plane-major block offsets) into a
+    1-based ``band`` column; one hash certifies both byte layouts
+    agree with the closed-form oracle. ``sf_dir`` unused."""
+    from bcdp_spark.sources.geotiff import load_geotiff
+
+    utc(spark)
+    fix = _ensure_fixture()
+    df = load_geotiff(spark, os.path.join(fix, "mb_*.tif"))
+    return df.groupBy("name", "band").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "q_geotiff_overview",
+    oracle="""
+SELECT 'ov' AS name,
+       CAST(1 AS INT) AS band,
+       15.5 + 0.5 - 2.0 - i.g * 4.0 AS lat,
+       0.5 - 0.5 + 2.0 + j.g * 4.0 AS lon,
+       CAST(i.g * 48 + j.g * 4 AS DOUBLE) AS value
+FROM generate_series(0, 3) i(g), generate_series(0, 2) j(g)
+""",
+)
+def q_geotiff_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG pyramid-level read: ``overview=0`` selects the reduced-
+    resolution IFD; its georeference is DERIVED from the full-res IFD
+    scaled by the size ratio under pixel-is-area edge algebra (GDAL
+    COG overviews carry no geo tags) — the oracle hard-codes that
+    algebra, so the hash certifies the derivation numerically.
+    ``sf_dir`` unused."""
+    from bcdp_spark.sources.geotiff import load_geotiff
+
+    utc(spark)
+    fix = _ensure_fixture()
+    return load_geotiff(
+        spark, os.path.join(fix, "ov.tif"), overview=0
     )

@@ -2,16 +2,29 @@
 gridded climate products ship when they don't ship NetCDF — CHIRPS
 precipitation, WorldClim normals, Copernicus land products. The
 reference reads these through rioxarray/GDAL; the container has
-neither, so this module implements the PUBLIC TIFF 6.0 + GeoTIFF 1.1
-specifications from scratch, the way ``sources/netcdf3.py`` /
-``sources/hdf5.py`` do for their formats).
+neither, so this module implements the PUBLIC TIFF 6.0 + BigTIFF +
+GeoTIFF 1.1 specifications from scratch, the way
+``sources/netcdf3.py`` / ``sources/hdf5.py`` do for their formats).
 
-Scope (the single-band gridded-raster subset):
+Scope (the gridded-raster subset):
 
-- classic TIFF, both byte orders (``II`` little / ``MM`` big endian);
-  BigTIFF (``43``) raises loudly;
-- one IFD, one sample per pixel; SampleFormat uint/int/float at
-  8/16/32/64 bits; extra bands/IFDs raise loudly naming the count;
+- classic TIFF (magic 42, 4-byte offsets) AND BigTIFF (magic 43,
+  8-byte offsets — any GeoTIFF over 4 GiB is BigTIFF, so a 100 TB
+  COG estate requires it), both byte orders (``II`` little / ``MM``
+  big endian);
+- the FULL IFD chain: exactly one full-resolution IFD plus any number
+  of reduced-resolution IFDs (NewSubfileType bit 0 — the overview
+  pyramid every ``gdal_translate -of COG`` output carries). Overviews
+  are skipped by default; ``overview=k`` selects pyramid level ``k``
+  (georeferencing falls back to the full-res IFD scaled by the size
+  ratio when the overview carries no geo tags, the GDAL COG layout).
+  Multiple full-resolution IFDs (true multi-page) raise loudly;
+- multi-band rasters (SamplesPerPixel > 1, the WorldClim 12-band
+  layout) in both PlanarConfiguration 1 (chunky/interleaved) and 2
+  (planar: the offsets array is plane-major — all blocks of band 1,
+  then band 2, …). Bands surface as a 1-based ``band`` column;
+  per-band dtypes must be uniform (mixed BitsPerSample raises);
+- SampleFormat uint/int/float at 8/16/32/64 bits;
 - strip (RowsPerStrip) AND tile (TileWidth/TileLength) layouts — a
   Cloud-Optimized GeoTIFF is exactly "tiled + deflate", and the TILE
   GRID is the unit of Spark parallelism, like a Zarr chunk grid;
@@ -19,9 +32,13 @@ Scope (the single-band gridded-raster subset):
   MSB-first variable-width codes WITH the early-change convention —
   hand-vector-certified in tests), 32773 PackBits; others raise with
   the code;
-- predictor 2 (horizontal differencing on sample values; decode is
-  one cumsum per row) — predictor 3 (floating-point byte-split)
-  raises loudly;
+- predictor 2 (horizontal differencing on INTEGER sample values;
+  decode is one cumsum per row per band — on float samples it raises:
+  TIFF differencing is defined for integers and float a+(b−a) does
+  not round-trip bit-exactly) and predictor 3 (the floating-point
+  predictor: big-endian byte-planes split per row, MSB plane first,
+  then byte-wise differencing — LibTIFF fpDiff/fpAcc semantics,
+  hand-vector-certified);
 - georeferencing: ModelPixelScale (33550) + ModelTiepoint (33922),
   GeoKeyDirectory (34735) key 1025 RasterPixelIsArea/Point — area
   rasters emit PIXEL-CENTER coordinates (origin + (i+0.5)·scale, the
@@ -30,12 +47,17 @@ Scope (the single-band gridded-raster subset):
 - GDAL_NODATA (42113) → NULL, like _FillValue on the NetCDF path.
 
 Distributed shape (``load_geotiff``): stage 1 parses ONLY the header
-+ IFD of each file (a few KB — this is why COG front-loads them) into
-a per-BLOCK index DataFrame carrying each strip/tile's byte range and
-lat/lon bounding box; Catalyst evaluates bounds predicates against it
-so pruned blocks are never read, let alone decompressed. Stage 2
-decodes each surviving block in its own task and emits long-form
-``(name, lat, lon, value)`` rows masked to the requested bounds.
++ IFD chain of each file (a few KB — this is why COG front-loads
+them) into a per-BLOCK index DataFrame carrying each strip/tile's
+byte range and lat/lon bounding box; Catalyst evaluates bounds
+predicates against it so pruned blocks are never read, let alone
+decompressed. Stage 2 decodes each surviving block in its own task
+and emits long-form ``(name, band, lat, lon, value)`` rows masked to
+the requested bounds. Remote COGs read through
+``sources/ranged.py``'s HTTP Range transport: the header parse
+fetches only its front-loaded pages, and each decode task issues one
+ranged GET for exactly its block's bytes — pruned blocks are never
+requested at all (loopback-asserted in tests).
 """
 
 from __future__ import annotations
@@ -46,11 +68,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 # TIFF tag ids (TIFF 6.0 §8 + GeoTIFF 1.1 + GDAL)
+_T_NEW_SUBFILE = 254
 _T_WIDTH, _T_LENGTH = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = (
     273, 277, 278, 279,
 )
+_T_PLANAR = 284
 _T_PREDICTOR = 317
 _T_TILE_W, _T_TILE_L, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 325
 _T_SAMPLE_FORMAT = 339
@@ -59,14 +83,14 @@ _T_GEO_KEYS, _T_MODEL_TRANSFORM = 34735, 34264
 _T_GDAL_NODATA = 42113
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-              10: 8, 11: 4, 12: 8}
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
-             12: "d"}
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
 class TiffMeta:
-    """Parsed single-band raster metadata (header + IFD only)."""
+    """Parsed raster metadata for ONE IFD (header pages only)."""
 
     width: int
     length: int
@@ -76,6 +100,8 @@ class TiffMeta:
     block_w: int  # tile width, or image width for strips
     block_l: int  # tile length, or RowsPerStrip
     tiled: bool
+    spp: int = 1      # bands (SamplesPerPixel)
+    planar: int = 1   # 1 chunky/interleaved, 2 planar (plane-major)
     offsets: list[int] = field(default_factory=list)
     counts: list[int] = field(default_factory=list)
     # pixel-center coordinate of pixel (0, 0) and per-pixel steps
@@ -84,17 +110,43 @@ class TiffMeta:
     dlon: float = 1.0
     dlat: float = 1.0  # positive; lat decreases with row index
     nodata: float | None = None
+    n_overviews: int = 0
 
     @property
     def grid(self) -> tuple[int, int]:
-        """(blocks down, blocks across)."""
+        """(blocks down, blocks across) — SPATIAL grid, band-free."""
         return (
             -(-self.length // self.block_l),
             -(-self.width // self.block_w),
         )
 
+    @property
+    def n_spatial(self) -> int:
+        gl, gw = self.grid
+        return gl * gw
+
+    @property
+    def n_units(self) -> int:
+        """Decode units = offsets entries: spatial blocks × planes
+        for planar config 2, spatial blocks for chunky (each chunky
+        block carries all bands interleaved)."""
+        return self.n_spatial * (self.spp if self.planar == 2 else 1)
+
+    def unit_spatial(self, k: int) -> int:
+        """Spatial block index of decode unit ``k`` (planar offsets
+        are plane-major per TIFF 6.0: all of plane 0, then plane 1)."""
+        return k % self.n_spatial
+
+    def unit_band0(self, k: int) -> int:
+        """First (0-based) band decoded by unit ``k``."""
+        return k // self.n_spatial if self.planar == 2 else 0
+
+    def unit_nbands(self) -> int:
+        """Bands per decode unit (all for chunky, one per plane)."""
+        return self.spp if self.planar == 1 else 1
+
     def block_bbox(self, bi: int, bj: int):
-        """(lat_min, lat_max, lon_min, lon_max) of block (bi, bj)."""
+        """(lat_min, lat_max, lon_min, lon_max) of spatial block."""
         r0, c0 = bi * self.block_l, bj * self.block_w
         r1 = min(r0 + self.block_l, self.length) - 1
         c1 = min(c0 + self.block_w, self.width) - 1
@@ -106,66 +158,78 @@ class TiffMeta:
         )
 
 
-def _read_entries(raw: bytes, e: str, off: int) -> dict:
-    (n,) = struct.unpack_from(e + "H", raw, off)
+def _unp(raw, e: str, fmt: str, off: int) -> tuple:
+    """struct.unpack via slicing (works on bytes, mmap, AND
+    ``ranged.SparseBytes`` — remote headers fault in only the pages
+    they touch)."""
+    size = struct.calcsize(e + fmt)
+    buf = raw[off : off + size]
+    if len(buf) != size:
+        raise ValueError(
+            f"GeoTIFF: truncated read at offset {off} ({len(buf)} of "
+            f"{size} bytes)"
+        )
+    return struct.unpack(e + fmt, buf)
+
+
+def _read_ifd(raw, e: str, off: int, big: bool) -> tuple[dict, int]:
+    """One IFD at ``off`` -> (tag dict, next-IFD offset)."""
+    if big:
+        (n,) = _unp(raw, e, "Q", off)
+        ebase, esz, inline = off + 8, 20, 8
+    else:
+        (n,) = _unp(raw, e, "H", off)
+        ebase, esz, inline = off + 2, 12, 4
     entries = {}
     for k in range(n):
-        tag, typ, cnt = struct.unpack_from(
-            e + "HHI", raw, off + 2 + 12 * k
-        )
-        vpos = off + 2 + 12 * k + 8
+        pos = ebase + esz * k
+        tag, typ = _unp(raw, e, "HH", pos)
+        (cnt,) = _unp(raw, e, "Q" if big else "I", pos + 4)
+        vpos = pos + (12 if big else 8)
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        if size > 4:
-            (vpos,) = struct.unpack_from(e + "I", raw, vpos)
+        if size > inline:
+            (vpos,) = _unp(raw, e, "Q" if big else "I", vpos)
         if typ == 2:  # ASCII
             val = raw[vpos : vpos + cnt].split(b"\x00")[0].decode(
                 "ascii", "replace"
             )
         elif typ == 5:  # RATIONAL
-            parts = struct.unpack_from(e + f"{2 * cnt}I", raw, vpos)
-            val = tuple(parts[i] / parts[i + 1] for i in range(0, 2 * cnt, 2))
+            parts = _unp(raw, e, f"{2 * cnt}I", vpos)
+            val = tuple(
+                parts[i] / parts[i + 1] for i in range(0, 2 * cnt, 2)
+            )
         elif typ in _TYPE_FMT:
-            val = struct.unpack_from(e + f"{cnt}{_TYPE_FMT[typ]}", raw, vpos)
+            val = _unp(raw, e, f"{cnt}{_TYPE_FMT[typ]}", vpos)
         else:
             raise NotImplementedError(
                 f"GeoTIFF: IFD entry type {typ} (tag {tag}) not supported"
             )
         entries[tag] = val
-    (next_ifd,) = struct.unpack_from(e + "I", raw, off + 2 + 12 * n)
-    if next_ifd != 0:
-        raise NotImplementedError(
-            "GeoTIFF: multi-IFD files (overviews/multi-page) not "
-            "supported — pass the full-resolution single-IFD product"
-        )
-    return entries
+    (next_ifd,) = _unp(raw, e, "Q" if big else "I", ebase + esz * n)
+    return entries, next_ifd
 
 
-def parse_geotiff(raw) -> TiffMeta:
-    """Header + IFD -> TiffMeta (bytes or mmap — callers mmap so a
-    multi-GB COG faults only its front-loaded header pages). Never
-    touches pixel bytes."""
-    if raw[:2] == b"II":
-        e = "<"
-    elif raw[:2] == b"MM":
-        e = ">"
-    else:
-        raise ValueError("not a TIFF: bad byte-order mark")
-    (magic,) = struct.unpack_from(e + "H", raw, 2)
-    if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43) not supported")
-    if magic != 42:
-        raise ValueError(f"not a TIFF: magic {magic}")
-    (ifd_off,) = struct.unpack_from(e + "I", raw, 4)
-    t = _read_entries(raw, e, ifd_off)
-
+def _meta_from_ifd(
+    t: dict, e: str, fallback: "TiffMeta | None" = None
+) -> TiffMeta:
+    """One IFD's tag dict -> TiffMeta. ``fallback`` supplies
+    georeference + nodata for overview IFDs that carry none (the GDAL
+    COG layout: geo tags live only on the full-res IFD), scaled by
+    the raster size ratio under the pixel-is-area edge convention."""
     spp = t.get(_T_SPP, (1,))[0]
-    if spp != 1:
+    planar = t.get(_T_PLANAR, (1,))[0]
+    if planar not in (1, 2):
         raise NotImplementedError(
-            f"GeoTIFF: {spp} samples per pixel not supported "
-            "(single-band rasters only)"
+            f"GeoTIFF: PlanarConfiguration {planar} not supported"
         )
-    bits = t.get(_T_BITS, (1,))[0]
-    sfmt = t.get(_T_SAMPLE_FORMAT, (1,))[0]
+    bits_t = t.get(_T_BITS, (1,) * spp)
+    sfmt_t = t.get(_T_SAMPLE_FORMAT, (1,) * spp)
+    if len(set(bits_t)) != 1 or len(set(sfmt_t)) != 1:
+        raise NotImplementedError(
+            f"GeoTIFF: per-band dtypes differ (BitsPerSample "
+            f"{bits_t}, SampleFormat {sfmt_t}) — uniform bands only"
+        )
+    bits, sfmt = bits_t[0], sfmt_t[0]
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
     if kind is None or bits % 8 or bits // 8 not in (1, 2, 4, 8) or (
         kind == "f" and bits not in (32, 64)
@@ -183,11 +247,20 @@ def parse_geotiff(raw) -> TiffMeta:
             "decoder)"
         )
     pred = t.get(_T_PREDICTOR, (1,))[0]
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise NotImplementedError(
-            f"GeoTIFF: predictor {pred} not supported (none/horizontal "
-            "— the floating-point predictor 3 has no in-container "
-            "cross-check)"
+            f"GeoTIFF: predictor {pred} not supported"
+        )
+    if pred == 2 and kind == "f":
+        raise NotImplementedError(
+            "GeoTIFF: predictor 2 on floating-point samples not "
+            "supported — TIFF horizontal differencing is defined for "
+            "integer data (float rasters use predictor 3)"
+        )
+    if pred == 3 and kind != "f":
+        raise NotImplementedError(
+            "GeoTIFF: predictor 3 on non-float samples not supported "
+            "(the floating-point predictor is defined for float data)"
         )
     if _T_MODEL_TRANSFORM in t:
         raise NotImplementedError(
@@ -208,22 +281,29 @@ def parse_geotiff(raw) -> TiffMeta:
 
     # georeference: pixel-is-area (GeoKey 1025 default 1) shifts to
     # pixel centers; pixel-is-point (2) uses stored coordinates
-    sx, sy = 1.0, 1.0
-    tie = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     if _T_PIXEL_SCALE in t:
         sx, sy = float(t[_T_PIXEL_SCALE][0]), float(t[_T_PIXEL_SCALE][1])
-    if _T_TIEPOINT in t:
-        tie = t[_T_TIEPOINT]
-    area = True
-    if _T_GEO_KEYS in t:
-        gk = t[_T_GEO_KEYS]
-        for k in range(4, len(gk), 4):
-            if gk[k] == 1025 and gk[k + 3] == 2:  # GTRasterTypeGeoKey
-                area = False
-    half = 0.5 if area else 0.0
-    # tiepoint maps raster (i, j) -> model (x, y); solve pixel (0,0)
-    lon0 = float(tie[3]) - (float(tie[0]) - half) * sx
-    lat0 = float(tie[4]) + (float(tie[1]) - half) * sy
+        tie = t.get(_T_TIEPOINT, (0.0,) * 6)
+        area = True
+        if _T_GEO_KEYS in t:
+            gk = t[_T_GEO_KEYS]
+            for k in range(4, len(gk), 4):
+                if gk[k] == 1025 and gk[k + 3] == 2:  # GTRasterTypeGeoKey
+                    area = False
+        half = 0.5 if area else 0.0
+        # tiepoint maps raster (i, j) -> model (x, y); solve pixel (0,0)
+        lon0 = float(tie[3]) - (float(tie[0]) - half) * sx
+        lat0 = float(tie[4]) + (float(tie[1]) - half) * sy
+    elif fallback is not None:
+        # GDAL COG overview IFDs carry no geo tags: scale the full-res
+        # georeference by the size ratio, pixel-is-area edge algebra
+        sx = fallback.dlon * (fallback.width / width)
+        sy = fallback.dlat * (fallback.length / length)
+        lon0 = fallback.lon0 - 0.5 * fallback.dlon + 0.5 * sx
+        lat0 = fallback.lat0 + 0.5 * fallback.dlat - 0.5 * sy
+    else:
+        sx = sy = 1.0
+        lon0, lat0 = 0.5, -0.5
 
     nodata = None
     if _T_GDAL_NODATA in t:
@@ -231,19 +311,86 @@ def parse_geotiff(raw) -> TiffMeta:
             nodata = float(str(t[_T_GDAL_NODATA]).strip())
         except ValueError:
             pass
+    elif fallback is not None:
+        nodata = fallback.nodata
 
-    n_blocks = (-(-length // bl)) * (-(-width // bw))
-    if len(offsets) != n_blocks or len(counts) != n_blocks:
-        raise ValueError(
-            f"GeoTIFF: {len(offsets)} blocks listed, grid needs "
-            f"{n_blocks}"
-        )
-    return TiffMeta(
+    meta = TiffMeta(
         width=width, length=length, dtype=dtype, compression=comp,
         predictor=pred, block_w=bw, block_l=bl, tiled=tiled,
+        spp=spp, planar=planar,
         offsets=list(offsets), counts=list(counts),
         lon0=lon0, lat0=lat0, dlon=sx, dlat=sy, nodata=nodata,
     )
+    if len(meta.offsets) != meta.n_units or len(meta.counts) != meta.n_units:
+        raise ValueError(
+            f"GeoTIFF: {len(meta.offsets)} blocks listed, grid needs "
+            f"{meta.n_units}"
+        )
+    return meta
+
+
+def parse_geotiff(raw, overview: int | None = None) -> TiffMeta:
+    """Header + IFD chain -> TiffMeta (bytes, mmap, or
+    ``ranged.SparseBytes`` — callers mmap local files so a multi-GB
+    COG faults only its front-loaded header pages; remote objects
+    fetch only those pages). Never touches pixel bytes.
+
+    ``overview=None`` returns the full-resolution raster (reduced-
+    resolution pyramid IFDs are skipped); ``overview=k`` selects
+    pyramid level ``k`` in chain order."""
+    bom = raw[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = _unp(raw, e, "H", 2)
+    if magic == 42:
+        big = False
+        (ifd_off,) = _unp(raw, e, "I", 4)
+    elif magic == 43:
+        big = True
+        osz, pad = _unp(raw, e, "HH", 4)
+        if osz != 8 or pad != 0:
+            raise ValueError(
+                f"BigTIFF: offset size {osz}/pad {pad} (spec requires "
+                "8/0)"
+            )
+        (ifd_off,) = _unp(raw, e, "Q", 8)
+    else:
+        raise ValueError(f"not a TIFF: magic {magic}")
+
+    full: list[dict] = []
+    reduced: list[dict] = []
+    seen: set[int] = set()
+    while ifd_off:
+        if ifd_off in seen or len(seen) > 1024:
+            raise ValueError("GeoTIFF: IFD chain cycle")
+        seen.add(ifd_off)
+        t, ifd_off = _read_ifd(raw, e, ifd_off, big)
+        if t.get(_T_NEW_SUBFILE, (0,))[0] & 1:
+            reduced.append(t)
+        else:
+            full.append(t)
+    if len(full) != 1:
+        raise NotImplementedError(
+            f"GeoTIFF: {len(full)} full-resolution IFDs — true "
+            "multi-page files not supported (reduced-resolution "
+            "overview IFDs are fine and are skipped/selectable)"
+        )
+    meta_full = _meta_from_ifd(full[0], e)
+    if overview is None:
+        meta = meta_full
+    else:
+        if not 0 <= overview < len(reduced):
+            raise ValueError(
+                f"GeoTIFF: overview {overview} requested, file has "
+                f"{len(reduced)} reduced-resolution IFDs"
+            )
+        meta = _meta_from_ifd(reduced[overview], e, fallback=meta_full)
+    meta.n_overviews = len(reduced)
+    return meta
 
 
 # -- TIFF-variant LZW (spec §13: MSB-first, early change) ----------------
@@ -377,12 +524,16 @@ def packbits_encode(data: bytes) -> bytes:
 
 
 def _decode_block(meta: TiffMeta, payload: bytes) -> np.ndarray:
-    """One strip/tile -> (block_l, block_w) float array, NaN at
-    nodata. Edge blocks are stored FULL-SIZE for tiles (spec) and
+    """One decode unit -> (rows, block_w, nbands) float array, NaN at
+    nodata, where nbands = spp for chunky blocks, 1 for planar planes.
+    Edge blocks are stored FULL-SIZE for tiles (spec) and
     row-truncated for strips."""
     import zlib
 
-    full = meta.block_l * meta.block_w * meta.dtype.itemsize
+    nb = meta.unit_nbands()
+    isz = meta.dtype.itemsize
+    row_samples = meta.block_w * nb
+    full = meta.block_l * row_samples * isz
     if meta.compression in (8, 32946):
         raw = zlib.decompress(payload)
     elif meta.compression == 5:
@@ -391,15 +542,32 @@ def _decode_block(meta: TiffMeta, payload: bytes) -> np.ndarray:
         raw = packbits_decode(payload, full)
     else:
         raw = payload
-    n_rows = len(raw) // (meta.block_w * meta.dtype.itemsize)
-    arr = np.frombuffer(
-        raw[: n_rows * meta.block_w * meta.dtype.itemsize],
-        dtype=meta.dtype,
-    ).reshape(n_rows, meta.block_w)
-    if meta.predictor == 2:
-        # horizontal differencing on sample VALUES: one cumsum per
-        # row in the sample's own wrapping integer arithmetic
-        arr = np.cumsum(arr, axis=1, dtype=meta.dtype).astype(meta.dtype)
+    n_rows = len(raw) // (row_samples * isz)
+    raw = raw[: n_rows * row_samples * isz]
+    if meta.predictor == 3:
+        # LibTIFF fpAcc: byte-wise cumsum across the row, then gather
+        # each sample's bytes from the big-endian byte planes (MSB
+        # plane first)
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(
+            n_rows, row_samples * isz
+        )
+        b = np.cumsum(b, axis=1, dtype=np.uint8)
+        b = np.ascontiguousarray(
+            b.reshape(n_rows, isz, row_samples).transpose(0, 2, 1)
+        )
+        arr = b.reshape(n_rows, row_samples * isz).view(
+            meta.dtype.newbyteorder(">")
+        ).reshape(n_rows, meta.block_w, nb)
+    else:
+        arr = np.frombuffer(raw, dtype=meta.dtype).reshape(
+            n_rows, meta.block_w, nb
+        )
+        if meta.predictor == 2:
+            # horizontal differencing on sample VALUES, per band: one
+            # cumsum per row in the sample's own wrapping arithmetic
+            arr = np.cumsum(arr, axis=1, dtype=meta.dtype).astype(
+                meta.dtype
+            )
     out = arr.astype(np.float64)
     if meta.nodata is not None:
         out = np.where(out == meta.nodata, np.nan, out)
@@ -407,6 +575,207 @@ def _decode_block(meta: TiffMeta, payload: bytes) -> np.ndarray:
 
 
 # -- fixture writer ------------------------------------------------------
+
+
+def _apply_predictor(
+    block: np.ndarray, predictor: int, dtype: np.dtype
+) -> bytes:
+    """(rows, bw, nb) block -> encoded bytes for one strip/tile."""
+    if predictor == 2:
+        enc = np.concatenate(
+            [block[:, :1, :], np.diff(block, axis=1)], axis=1
+        ).astype(dtype)
+        return enc.tobytes()
+    if predictor == 3:
+        # LibTIFF fpDiff: split each row into big-endian byte planes
+        # (MSB plane first), then byte-wise horizontal differencing
+        rows, bw, nb = block.shape
+        ncols = bw * nb
+        isz = dtype.itemsize
+        bb = np.ascontiguousarray(
+            block.astype(dtype.newbyteorder(">"))
+        ).view(np.uint8).reshape(rows, ncols, isz)
+        bb = np.ascontiguousarray(bb.transpose(0, 2, 1)).reshape(
+            rows, isz * ncols
+        )
+        enc = np.concatenate(
+            [bb[:, :1], np.diff(bb, axis=1)], axis=1
+        )
+        return enc.tobytes()
+    return block.astype(dtype).tobytes()
+
+
+def _build_page(
+    arr: np.ndarray,
+    geo: tuple | None,
+    *,
+    base: int,
+    big: bool,
+    compression: int,
+    predictor: int,
+    tile: tuple[int, int] | None,
+    rows_per_strip: int | None,
+    nodata: float | None,
+    pixel_is_point: bool,
+    planar: int,
+    subfile: int | None,
+) -> tuple[bytes, int]:
+    """One IFD 'page' ([IFD][out-of-line values][block data]) laid out
+    at absolute offset ``base``. Returns (page bytes, relative
+    position of the next-IFD pointer for the caller to patch).
+    ``geo`` is (lat0, lon0, dlat, dlon) or None (no geo tags — the
+    GDAL overview-IFD layout)."""
+    import zlib
+
+    length, width, spp = arr.shape
+    kind = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
+    bits = arr.dtype.itemsize * 8
+
+    if tile is not None:
+        bl, bw = tile
+        if bl % 16 or bw % 16:
+            raise ValueError("TIFF tiles must be multiples of 16")
+    else:
+        bl = rows_per_strip or length
+        bw = width
+    grid_l, grid_w = -(-length // bl), -(-width // bw)
+
+    blobs = []
+    planes = range(spp) if (planar == 2 and spp > 1) else [None]
+    for p in planes:
+        sub = arr if p is None else arr[:, :, p : p + 1]
+        for bi in range(grid_l):
+            for bj in range(grid_w):
+                block = sub[
+                    bi * bl : (bi + 1) * bl, bj * bw : (bj + 1) * bw, :
+                ]
+                if tile is not None and block.shape[:2] != (bl, bw):
+                    fullb = np.zeros(
+                        (bl, bw, block.shape[2]), dtype=arr.dtype
+                    )
+                    if nodata is not None:
+                        fullb[:] = arr.dtype.type(nodata)
+                    fullb[: block.shape[0], : block.shape[1], :] = block
+                    block = fullb
+                raw = _apply_predictor(block, predictor, arr.dtype)
+                if compression in (8, 32946):
+                    raw = zlib.compress(raw, 6)
+                elif compression == 5:
+                    raw = lzw_encode(raw)
+                elif compression == 32773:
+                    raw = packbits_encode(raw)
+                blobs.append(raw)
+
+    entries = []  # (tag, type, count, values)
+    if subfile is not None:
+        entries.append((_T_NEW_SUBFILE, 4, 1, (subfile,)))
+    entries.append((_T_WIDTH, 4, 1, (width,)))
+    entries.append((_T_LENGTH, 4, 1, (length,)))
+    entries.append((_T_BITS, 3, spp, (bits,) * spp))
+    entries.append((_T_COMPRESSION, 3, 1, (compression,)))
+    entries.append((_T_PHOTOMETRIC, 3, 1, (1,)))
+    if tile is None:
+        entries.append((_T_ROWS_PER_STRIP, 4, 1, (bl,)))
+        off_tag, cnt_tag = _T_STRIP_OFFSETS, _T_STRIP_COUNTS
+    else:
+        entries.append((_T_TILE_W, 4, 1, (bw,)))
+        entries.append((_T_TILE_L, 4, 1, (bl,)))
+        off_tag, cnt_tag = _T_TILE_OFFSETS, _T_TILE_COUNTS
+    entries.append((_T_SPP, 3, 1, (spp,)))
+    if spp > 1:
+        entries.append((_T_PLANAR, 3, 1, (planar,)))
+    entries.append((_T_PREDICTOR, 3, 1, (predictor,)))
+    entries.append((_T_SAMPLE_FORMAT, 3, spp, (kind,) * spp))
+    if geo is not None:
+        lat0, lon0, dlat, dlon = geo
+        # tiepoint at raster (half, half) == the pixel-(0,0) center
+        # (or the stored point for pixel-is-point) keeps the reader
+        # arithmetic exact: model x = lon0, y = lat0, no round-trip
+        half = 0.0 if pixel_is_point else 0.5
+        entries.append((_T_PIXEL_SCALE, 12, 3, (dlon, dlat, 0.0)))
+        entries.append(
+            (_T_TIEPOINT, 12, 6, (half, half, 0.0, lon0, lat0, 0.0))
+        )
+        entries.append(
+            (_T_GEO_KEYS, 3, 8,
+             (1, 1, 1, 1, 1025, 0, 1, 2 if pixel_is_point else 1))
+        )
+    if nodata is not None:
+        nd = f"{nodata:g}\x00".encode("ascii")
+        entries.append((_T_GDAL_NODATA, 2, len(nd), nd))
+    n_off = len(blobs)
+    arr_t = 16 if big else 4  # LONG8 offsets in BigTIFF
+    entries.append((off_tag, arr_t, n_off, None))  # patched below
+    entries.append(
+        (cnt_tag, arr_t, n_off, tuple(len(b) for b in blobs))
+    )
+    entries.sort(key=lambda x: x[0])
+
+    esz = 20 if big else 12
+    inline = 8 if big else 4
+    cnt_fmt = "<Q" if big else "<I"
+    ifd_size = (8 if big else 2) + esz * len(entries) + (8 if big else 4)
+    next_ptr_rel = ifd_size - (8 if big else 4)
+    ext = bytearray()
+    ext_base = base + ifd_size
+
+    def pack_vals(typ, cnt, vals) -> bytes:
+        if typ == 2:
+            return bytes(vals)
+        return struct.pack(f"<{cnt}{_TYPE_FMT[typ]}", *vals)
+
+    # first pass: lay out every out-of-line value block, RESERVING the
+    # offsets array's slot (its size is known) so data_base is final
+    # before block positions are assigned
+    item = _TYPE_SIZE[arr_t]
+    value_bytes: dict[int, tuple[int, bytes]] = {}
+    offsets_slot: tuple[int, int] | None = None  # (entry idx, ext pos)
+    for i, (tag, typ, cnt, vals) in enumerate(entries):
+        if vals is None:
+            if n_off * item > inline:
+                offsets_slot = (i, len(ext))
+                value_bytes[i] = (ext_base + len(ext), b"")
+                ext += b"\x00" * (n_off * item)
+            continue
+        b = pack_vals(typ, cnt, vals)
+        if len(b) > inline:
+            value_bytes[i] = (ext_base + len(ext), b)
+            ext += b + (b"\x00" if len(b) % 2 else b"")
+    data_base = ext_base + len(ext)
+    offsets = []
+    pos = data_base
+    for b in blobs:
+        offsets.append(pos)
+        pos += len(b) + (len(b) % 2)
+    # patch the reserved slot (or inline the offsets)
+    for i, (tag, typ, cnt, vals) in enumerate(entries):
+        if vals is None:
+            b = pack_vals(typ, cnt, tuple(offsets))
+            if offsets_slot is not None:
+                _, epos = offsets_slot
+                ext[epos : epos + len(b)] = b
+            else:
+                entries[i] = (tag, typ, cnt, tuple(offsets))
+
+    if big:
+        ifd = bytearray(struct.pack("<Q", len(entries)))
+    else:
+        ifd = bytearray(struct.pack("<H", len(entries)))
+    for i, (tag, typ, cnt, vals) in enumerate(entries):
+        ifd += struct.pack("<HH", tag, typ)
+        ifd += struct.pack(cnt_fmt, cnt)
+        if i in value_bytes:
+            ifd += struct.pack(cnt_fmt, value_bytes[i][0])
+        else:
+            b = pack_vals(typ, cnt, vals)
+            ifd += b + b"\x00" * (inline - len(b))
+    ifd += struct.pack(cnt_fmt, 0)  # next IFD: caller patches
+    assert len(ifd) == ifd_size
+
+    body = bytearray(ifd) + ext
+    for b in blobs:
+        body += b + (b"\x00" if len(b) % 2 else b"")
+    return bytes(body), next_ptr_rel
 
 
 def write_geotiff(
@@ -421,180 +790,161 @@ def write_geotiff(
     rows_per_strip: int | None = None,
     nodata: float | None = None,
     pixel_is_point: bool = False,
+    bigtiff: bool = False,
+    planar: int = 1,
+    overviews: tuple[int, ...] = (),
+    overview_geo: bool = True,
 ) -> bytes:
-    """Serialize one single-band raster as little-endian GeoTIFF.
+    """Serialize one raster as little-endian (Big)TIFF + GeoTIFF tags.
+
+    ``data`` is (length, width) single-band or (length, width, bands)
+    multi-band (``planar`` 1 = interleaved, 2 = plane-major blocks).
     ``lat0``/``lon0`` are the coordinates of the pixel (0,0) CENTER
     unless ``pixel_is_point``; the emitted tiepoint follows the
-    matching GeoKey 1025 convention."""
-    import zlib
-
+    matching GeoKey 1025 convention. ``overviews`` are decimation
+    factors; each appends a reduced-resolution IFD (NewSubfileType 1,
+    the COG pyramid layout) — with ``overview_geo=False`` those IFDs
+    carry no geo tags, exercising the reader's full-res-derived
+    fallback (what GDAL COGs actually ship)."""
     data = np.ascontiguousarray(data)
     if data.dtype.byteorder == ">":
         data = data.astype(data.dtype.newbyteorder("<"))
+    if data.ndim == 2:
+        data = data[:, :, None]
+    if data.ndim != 3:
+        raise ValueError("data must be 2-D or (length, width, bands)")
+    if predictor == 2 and data.dtype.kind == "f":
+        raise NotImplementedError(
+            "predictor 2 on floating-point samples is not TIFF — "
+            "horizontal differencing is integer-only; use predictor 3"
+        )
+    if predictor == 3 and data.dtype.kind != "f":
+        raise ValueError("predictor 3 is for floating-point samples")
     if nodata is not None:
-        data = np.where(np.isnan(data.astype("f8")), nodata, data)
-    length, width = data.shape
-    kind = {"u": 1, "i": 2, "f": 3}[data.dtype.kind]
-    bits = data.dtype.itemsize * 8
+        data = np.where(
+            np.isnan(data.astype("f8")), nodata, data
+        ).astype(data.dtype)
 
-    if tile is not None:
-        bl, bw = tile
-        if bl % 16 or bw % 16:
-            raise ValueError("TIFF tiles must be multiples of 16")
-    else:
-        bl = rows_per_strip or length
-        bw = width
-    grid_l, grid_w = -(-length // bl), -(-width // bw)
+    pages = [(data, (lat0, lon0, dlat, dlon), None)]
+    for f in overviews:
+        ov = data[::f, ::f, :]
+        # pixel-is-area edge algebra: overview cell 0 covers original
+        # rows/cols [0, f), its center sits half an overview cell in
+        geo_ov = (
+            (lat0 + 0.5 * dlat - 0.5 * f * dlat,
+             lon0 - 0.5 * dlon + 0.5 * f * dlon,
+             dlat * f, dlon * f)
+            if overview_geo
+            else None
+        )
+        pages.append((ov, geo_ov, 1))
 
-    blobs = []
-    for bi in range(grid_l):
-        for bj in range(grid_w):
-            block = data[bi * bl : (bi + 1) * bl, bj * bw : (bj + 1) * bw]
-            if tile is not None and block.shape != (bl, bw):
-                fullb = np.zeros((bl, bw), dtype=data.dtype)
-                if nodata is not None:
-                    fullb[:] = data.dtype.type(nodata)
-                fullb[: block.shape[0], : block.shape[1]] = block
-                block = fullb
-            if predictor == 2:
-                block = np.concatenate(
-                    [block[:, :1], np.diff(block, axis=1)], axis=1
-                ).astype(data.dtype)
-            raw = block.tobytes()
-            if compression in (8, 32946):
-                raw = zlib.compress(raw, 6)
-            elif compression == 5:
-                raw = lzw_encode(raw)
-            elif compression == 32773:
-                raw = packbits_encode(raw)
-            blobs.append(raw)
-
-    # tiepoint at raster (half, half) == the pixel-(0,0) center (or
-    # the stored point for pixel-is-point) keeps the reader arithmetic
-    # exact: model x = lon0, y = lat0 with no float round-trip
-    half = 0.0 if pixel_is_point else 0.5
-    tie_vals = (half, half, 0.0, lon0, lat0, 0.0)
-
-    entries = []  # (tag, type, count, values)
-    entries.append((_T_WIDTH, 4, 1, (width,)))
-    entries.append((_T_LENGTH, 4, 1, (length,)))
-    entries.append((_T_BITS, 3, 1, (bits,)))
-    entries.append((_T_COMPRESSION, 3, 1, (compression,)))
-    entries.append((_T_PHOTOMETRIC, 3, 1, (1,)))
-    if tile is None:
-        entries.append((_T_ROWS_PER_STRIP, 4, 1, (bl,)))
-        off_tag, cnt_tag = _T_STRIP_OFFSETS, _T_STRIP_COUNTS
-    else:
-        entries.append((_T_TILE_W, 4, 1, (bw,)))
-        entries.append((_T_TILE_L, 4, 1, (bl,)))
-        off_tag, cnt_tag = _T_TILE_OFFSETS, _T_TILE_COUNTS
-    entries.append((_T_SPP, 3, 1, (1,)))
-    entries.append((_T_PREDICTOR, 3, 1, (predictor,)))
-    entries.append((_T_SAMPLE_FORMAT, 3, 1, (kind,)))
-    entries.append((_T_PIXEL_SCALE, 12, 3, (dlon, dlat, 0.0)))
-    entries.append((_T_TIEPOINT, 12, 6, tie_vals))
-    entries.append(
-        (_T_GEO_KEYS, 3, 8,
-         (1, 1, 1, 1, 1025, 0, 1, 2 if pixel_is_point else 1))
+    header = (
+        struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        if bigtiff
+        else struct.pack("<2sHI", b"II", 42, 8)
     )
-    if nodata is not None:
-        nd = f"{nodata:g}\x00".encode("ascii")
-        entries.append((_T_GDAL_NODATA, 2, len(nd), nd))
-    n_off = len(blobs)
-    entries.append((off_tag, 4, n_off, None))  # patched below
-    entries.append((cnt_tag, 4, n_off, tuple(len(b) for b in blobs)))
-    entries.sort(key=lambda x: x[0])
-
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    ifd_size = 2 + 12 * len(entries) + 4
-    ext = bytearray()
-    ext_base = 8 + ifd_size
-
-    def pack_vals(typ, cnt, vals) -> bytes:
-        if typ == 2:
-            return bytes(vals)
-        return struct.pack(f"<{cnt}{_TYPE_FMT[typ]}", *vals)
-
-    # first pass: lay out every out-of-line value block, RESERVING the
-    # offsets array's slot (its size is known: 4 bytes per block) so
-    # data_base is final before block positions are assigned
-    value_bytes: dict[int, tuple[int, bytes]] = {}
-    offsets_slot: tuple[int, int] | None = None  # (entry idx, ext pos)
-    for i, (tag, typ, cnt, vals) in enumerate(entries):
-        if vals is None:
-            if n_off * 4 > 4:
-                offsets_slot = (i, len(ext))
-                value_bytes[i] = (ext_base + len(ext), b"")
-                ext += b"\x00" * (n_off * 4)
-            continue
-        b = pack_vals(typ, cnt, vals)
-        if len(b) > 4:
-            value_bytes[i] = (ext_base + len(ext), b)
-            ext += b + (b"\x00" if len(b) % 2 else b"")
-    data_base = ext_base + len(ext)
-    offsets = []
-    pos = data_base
-    for b in blobs:
-        offsets.append(pos)
-        pos += len(b) + (len(b) % 2)
-    # patch the reserved slot (or inline the single offset)
-    for i, (tag, typ, cnt, vals) in enumerate(entries):
-        if vals is None:
-            b = pack_vals(typ, cnt, tuple(offsets))
-            if offsets_slot is not None:
-                _, epos = offsets_slot
-                ext[epos : epos + len(b)] = b
-            else:
-                entries[i] = (tag, typ, cnt, tuple(offsets))
-
-    ifd = bytearray(struct.pack("<H", len(entries)))
-    for i, (tag, typ, cnt, vals) in enumerate(entries):
-        ifd += struct.pack("<HHI", tag, typ, cnt)
-        if i in value_bytes:
-            ifd += struct.pack("<I", value_bytes[i][0])
-        else:
-            b = pack_vals(typ, cnt, vals)
-            ifd += b + b"\x00" * (4 - len(b))
-    ifd += struct.pack("<I", 0)
-    assert len(ifd) == ifd_size
-
-    body = bytearray(header) + ifd + ext
-    for b in blobs:
-        body += b + (b"\x00" if len(b) % 2 else b"")
-    return bytes(body)
+    out = bytearray(header)
+    patch_positions: list[int] = []  # absolute next-IFD pointer slots
+    for arr, geo, subfile in pages:
+        base = len(out)
+        page, next_rel = _build_page(
+            arr, geo, base=base, big=bigtiff,
+            compression=compression, predictor=predictor, tile=tile,
+            rows_per_strip=rows_per_strip, nodata=nodata,
+            pixel_is_point=pixel_is_point, planar=planar,
+            subfile=subfile,
+        )
+        # chain: previous page's next-IFD pointer -> this page's IFD
+        if patch_positions:
+            slot = patch_positions[-1]
+            fmt = "<Q" if bigtiff else "<I"
+            out[slot : slot + struct.calcsize(fmt)] = struct.pack(
+                fmt, base
+            )
+        patch_positions.append(base + next_rel)
+        out += page
+    return bytes(out)
 
 
 # -- Spark loader --------------------------------------------------------
 
 _INDEX_SCHEMA = (
-    "path string, block int, offset long, nbytes long, "
+    "path string, block int, band0 int, nbands int, "
+    "offset long, nbytes long, "
     "lat0 double, lat1 double, lon0 double, lon1 double"
 )
 
 
+def _open_raw(path: str, transport=None):
+    """Local path -> mmap (header parse faults only its pages);
+    http(s) URL -> SparseBytes over ranged GETs (only header pages
+    are ever fetched)."""
+    if path.startswith(("http://", "https://")):
+        from bcdp_spark.sources.ranged import (
+            SparseBytes,
+            http_pread,
+            http_size,
+        )
+
+        opener = transport
+        return SparseBytes(
+            http_pread(path, opener), http_size(path, opener)
+        )
+    import mmap as _mmap
+
+    with open(path, "rb") as fh:
+        return _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+
+
+def _read_payload(path: str, offset: int, nbytes: int, transport=None
+                  ) -> bytes:
+    """Exactly one block's bytes: pread locally, one ranged GET
+    remotely — a pruned block is never requested at all."""
+    if path.startswith(("http://", "https://")):
+        from bcdp_spark.sources.ranged import http_pread
+
+        return http_pread(path, transport)(offset, nbytes)
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        return fh.read(nbytes)
+
+
 def load_geotiff(
     spark,
-    path: str,
+    path,
     name: str | None = None,
     lat_bnds: tuple | None = None,
     lon_bnds: tuple | None = None,
+    overview: int | None = None,
+    transport=None,
 ):
-    """Glob .tif files -> long-form (name, lat, lon, value) rows.
+    """Glob .tif files (or a list of paths/http URLs) -> long-form
+    (name, band, lat, lon, value) rows.
 
     Stage 1 indexes each file's strip/tile grid from the header alone
     (COG's design point: IFDs are front-loaded, so object storage
     serves them in one small read); lat/lon bounds prune BLOCKS via
     Catalyst before any pixel bytes are read. Stage 2 decodes one
     block per task and masks rows/columns to the bounds exactly.
-    ``name`` defaults to the file stem (one variable per file, the
-    CHIRPS/WorldClim layout)."""
+    ``band`` is 1-based; chunky multi-band blocks emit all bands from
+    one decode, planar blocks one each. ``overview`` selects a COG
+    pyramid level instead of the full-resolution raster. ``name``
+    defaults to the file stem (one variable per file, the
+    CHIRPS/WorldClim layout). ``transport`` is an injectable urlopen
+    for remote tests."""
     import glob as _glob
     import os
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    files = sorted(_glob.glob(path))
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif str(path).startswith(("http://", "https://")):
+        files = [path]
+    else:
+        files = sorted(_glob.glob(path))
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
     manifest = spark.createDataFrame(
@@ -602,31 +952,28 @@ def load_geotiff(
     ).repartition(len(files))
 
     def scan(batches):
-        import mmap as _mmap
-
         import pandas as pd
 
         for pdf in batches:
             for fpath in pdf["path"]:
-                # mmap: the IFD parse faults only header pages — a
-                # multi-GB COG indexes from one small read (its
-                # front-loaded-IFD design point)
-                with open(fpath, "rb") as fh:
-                    mm = _mmap.mmap(
-                        fh.fileno(), 0, access=_mmap.ACCESS_READ
-                    )
-                    meta = parse_geotiff(mm)
+                meta = parse_geotiff(
+                    _open_raw(fpath, transport), overview=overview
+                )
                 gl, gw = meta.grid
+                nb = meta.unit_nbands()
                 rows = []
-                for k in range(gl * gw):
-                    bb = meta.block_bbox(k // gw, k % gw)
+                for k in range(meta.n_units):
+                    s = meta.unit_spatial(k)
+                    bb = meta.block_bbox(s // gw, s % gw)
                     rows.append(
-                        (fpath, k, meta.offsets[k], meta.counts[k]) + bb
+                        (fpath, k, meta.unit_band0(k) + 1, nb,
+                         meta.offsets[k], meta.counts[k]) + bb
                     )
                 yield pd.DataFrame(
                     rows,
                     columns=[
-                        "path", "block", "offset", "nbytes",
+                        "path", "block", "band0", "nbands",
+                        "offset", "nbytes",
                         "lat0", "lat1", "lon0", "lon1",
                     ],
                 )
@@ -650,6 +997,7 @@ def load_geotiff(
     schema = T.StructType(
         [
             T.StructField("name", T.StringType()),
+            T.StructField("band", T.IntegerType()),
             T.StructField("lat", T.DoubleType()),
             T.StructField("lon", T.DoubleType()),
             T.StructField("value", T.DoubleType()),
@@ -661,29 +1009,27 @@ def load_geotiff(
 
         from bcdp_spark.sources.netcdf import _bounds_mask
 
-        import mmap as _mmap
-
         metas: dict[str, TiffMeta] = {}
         for pdf in batches:
             for _, row in pdf.iterrows():
                 fpath = row["path"]
                 if fpath not in metas:
-                    with open(fpath, "rb") as fh:
-                        mm = _mmap.mmap(
-                            fh.fileno(), 0, access=_mmap.ACCESS_READ
-                        )
-                        metas[fpath] = parse_geotiff(mm)
+                    metas[fpath] = parse_geotiff(
+                        _open_raw(fpath, transport), overview=overview
+                    )
                 meta = metas[fpath]
-                with open(fpath, "rb") as fh:
-                    fh.seek(int(row["offset"]))
-                    payload = fh.read(int(row["nbytes"]))
+                payload = _read_payload(
+                    fpath, int(row["offset"]), int(row["nbytes"]),
+                    transport,
+                )
                 block = _decode_block(meta, payload)
                 gl, gw = meta.grid
-                bi, bj = int(row["block"]) // gw, int(row["block"]) % gw
+                s = int(row["block"]) % meta.n_spatial
+                bi, bj = s // gw, s % gw
                 r0, c0 = bi * meta.block_l, bj * meta.block_w
                 n_r = min(meta.block_l, meta.length - r0)
                 n_c = min(meta.block_w, meta.width - c0)
-                block = block[:n_r, :n_c]
+                block = block[:n_r, :n_c, :]
                 lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
                 lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
                 la_m = _bounds_mask(lats, bounds["lat"])
@@ -696,13 +1042,16 @@ def load_geotiff(
                     if name is not None
                     else os.path.splitext(os.path.basename(fpath))[0]
                 )
-                yield pd.DataFrame(
-                    {
-                        "name": stem,
-                        "lat": aa.ravel(),
-                        "lon": oo.ravel(),
-                        "value": vals.ravel(),
-                    }
-                )
+                band0 = int(row["band0"])
+                for b in range(vals.shape[2]):
+                    yield pd.DataFrame(
+                        {
+                            "name": stem,
+                            "band": np.int32(band0 + b),
+                            "lat": aa.ravel(),
+                            "lon": oo.ravel(),
+                            "value": vals[:, :, b].ravel(),
+                        }
+                    )
 
     return index_df.mapInPandas(decode, schema=schema)

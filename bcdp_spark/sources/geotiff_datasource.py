@@ -6,18 +6,25 @@ filter-pushdown block pruning — the Catalyst-native twin of
 ``spark.read.format("geotiff").load("/rasters/*.tif")
      .filter("lat >= 0").filter("name = 'pr.2001.01'")`` plans:
 
-- **one InputPartition per strip/tile** — the format's native
-  parallelism unit (a COG is exactly a tiled raster whose IFD is
-  front-loaded so the driver-side index read is one small fetch);
+- **one InputPartition per strip/tile decode unit** — the format's
+  native parallelism unit (a COG is exactly a tiled raster whose IFD
+  is front-loaded so the driver-side index read is one small fetch);
+  planar multi-band files get one unit per (band, tile);
 - **driver-side block pruning**: pushed lat/lon range predicates are
-  evaluated against each block's bounding box, and ``name`` equality
-  against the file stem — dropped blocks are never read, let alone
-  decompressed;
+  evaluated against each block's bounding box, ``name`` equality
+  against the file stem, and ``band`` equality against the unit's
+  band span — dropped blocks are never read, let alone decompressed;
 - **executor-side axis masks**: the same lat/lon predicates mask the
   block's coordinate axes so a 1 % subset materializes 1 % of rows.
 
-Accepted-and-enforced filters: =, <, <=, >, >= on lat/lon and
-``name = '...'``. Everything else returns to Spark untouched.
+Options: ``overview`` (int) selects a COG pyramid level instead of
+the full-resolution IFD. Paths may be local globs or http(s) URLs —
+remote objects are read via ranged GETs only (header pages + the
+surviving blocks' exact byte ranges).
+
+Accepted-and-enforced filters: =, <, <=, >, >= on lat/lon, plus
+``name = '...'`` and ``band = N``. Everything else returns to Spark
+untouched.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ from pyspark.sql.types import StructType
 
 from bcdp_spark.sources.netcdf_datasource import _RANGE_OPS, _axis_mask
 
-_SCHEMA = "name string, lat double, lon double, value double"
+_SCHEMA = "name string, band int, lat double, lon double, value double"
 
 
 @dataclass
@@ -71,6 +78,8 @@ class GeoTiffReader(DataSourceReader):
         if not path:
             raise ValueError("geotiff source requires a path glob")
         self._glob = path
+        ov = options.get("overview")
+        self._overview = None if ov is None else int(ov)
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -78,7 +87,7 @@ class GeoTiffReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             if isinstance(f, _RANGE_OPS) and attr in (("lat",), ("lon",)):
                 self._filters.append(f)
-            elif isinstance(f, EqualTo) and attr == ("name",):
+            elif isinstance(f, EqualTo) and attr in (("name",), ("band",)):
                 self._filters.append(f)
             else:
                 yield f
@@ -96,11 +105,24 @@ class GeoTiffReader(DataSourceReader):
                 return False
         return True
 
-    def partitions(self) -> list[_Block]:
-        from bcdp_spark.sources.geotiff import parse_geotiff
+    def _keep_band(self, band0: int, nbands: int) -> bool:
+        for f in self._filters:
+            if getattr(f, "attribute", None) == ("band",):
+                if not band0 <= int(f.value) < band0 + nbands:
+                    return False
+        return True
 
+    def _parse(self, fpath: str):
+        from bcdp_spark.sources.geotiff import _open_raw, parse_geotiff
+
+        return parse_geotiff(_open_raw(fpath), overview=self._overview)
+
+    def partitions(self) -> list[_Block]:
         out: list[_Block] = []
-        files = sorted(_glob.glob(self._glob))
+        if self._glob.startswith(("http://", "https://")):
+            files = [self._glob]
+        else:
+            files = sorted(_glob.glob(self._glob))
         if not files:
             raise FileNotFoundError(f"no files match {self._glob!r}")
         for fpath in files:
@@ -112,14 +134,14 @@ class GeoTiffReader(DataSourceReader):
             )
             if skip:
                 continue
-            import mmap as _mmap
-
-            with open(fpath, "rb") as fh:
-                mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
-                meta = parse_geotiff(mm)
+            meta = self._parse(fpath)
             gl, gw = meta.grid
-            for k in range(gl * gw):
-                if self._keep_bbox(meta.block_bbox(k // gw, k % gw)):
+            nb = meta.unit_nbands()
+            for k in range(meta.n_units):
+                s = meta.unit_spatial(k)
+                if not self._keep_band(meta.unit_band0(k) + 1, nb):
+                    continue
+                if self._keep_bbox(meta.block_bbox(s // gw, s % gw)):
                     out.append(
                         _Block(
                             path=fpath, block=k,
@@ -134,23 +156,22 @@ class GeoTiffReader(DataSourceReader):
 
         from bcdp_spark.sources.geotiff import (
             _decode_block,
-            parse_geotiff,
+            _read_payload,
         )
 
-        import mmap as _mmap
-
-        with open(partition.path, "rb") as fh:
-            mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
-            meta = parse_geotiff(mm)  # header pages only
-            fh.seek(partition.offset)
-            payload = fh.read(partition.nbytes)  # this block only
+        meta = self._parse(partition.path)
+        payload = _read_payload(
+            partition.path, partition.offset, partition.nbytes
+        )
         block = _decode_block(meta, payload)
         gl, gw = meta.grid
-        bi, bj = partition.block // gw, partition.block % gw
+        s = partition.block % meta.n_spatial
+        band0 = meta.unit_band0(partition.block) + 1
+        bi, bj = s // gw, s % gw
         r0, c0 = bi * meta.block_l, bj * meta.block_w
         n_r = min(meta.block_l, meta.length - r0)
         n_c = min(meta.block_w, meta.width - c0)
-        block = block[:n_r, :n_c]
+        block = block[:n_r, :n_c, :]
         lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
         lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
         la_m = _axis_mask(lats, self._filters, "lat")
@@ -160,19 +181,30 @@ class GeoTiffReader(DataSourceReader):
         lats, lons = lats[la_m], lons[lo_m]
         vals = block[np.ix_(la_m, lo_m)]
         aa, oo = np.meshgrid(lats, lons, indexing="ij")
-        n = vals.size
+        n = aa.size
         stem = os.path.splitext(os.path.basename(partition.path))[0]
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([stem] * n, type=pa.string()),
-                pa.array(aa.ravel(), type=pa.float64()),
-                pa.array(oo.ravel(), type=pa.float64()),
-                pa.array(
-                    vals.ravel(), type=pa.float64(), from_pandas=True
-                ),
-            ],
-            names=["name", "lat", "lon", "value"],
-        )
+        band_eq = [
+            int(f.value)
+            for f in self._filters
+            if getattr(f, "attribute", None) == ("band",)
+        ]
+        for b in range(vals.shape[2]):
+            band = band0 + b
+            if band_eq and band not in band_eq:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([stem] * n, type=pa.string()),
+                    pa.array([band] * n, type=pa.int32()),
+                    pa.array(aa.ravel(), type=pa.float64()),
+                    pa.array(oo.ravel(), type=pa.float64()),
+                    pa.array(
+                        vals[:, :, b].ravel(), type=pa.float64(),
+                        from_pandas=True,
+                    ),
+                ],
+                names=["name", "band", "lat", "lon", "value"],
+            )
 
 
 def register_geotiff_source(spark) -> None:

@@ -1,0 +1,111 @@
+"""Byte-range access adapters for block-indexed formats (GeoTIFF/COG,
+Zarr shards): the cloud-native design point of both formats is that a
+reader fetches the front-loaded header/index with one small ranged GET
+and then ONLY the byte ranges of surviving blocks — never the whole
+object. Local files get the same interface over mmap, so the format
+parsers are transport-agnostic.
+
+``SparseBytes`` presents a read-only slicing view (``raw[a:b]``) over
+a ``pread(offset, size) -> bytes`` callable, caching page-aligned
+fetches, so header parsers written against bytes/mmap slicing work
+unchanged against remote objects while faulting in only the pages
+they actually touch. ``http_pread`` implements pread with HTTP Range
+requests (RFC 9110 §14) via an injectable ``opener`` for loopback
+tests — the same injectable-transport pattern as the OPeNDAP/ESGF
+sources.
+"""
+
+from __future__ import annotations
+
+
+class SparseBytes:
+    """Lazy read-only byte view over ``pread``: slicing fetches (and
+    caches) page-aligned ranges on demand. Supports exactly the access
+    shapes header parsers use: ``raw[a:b]``, ``raw[i]``, ``len``."""
+
+    def __init__(self, pread, size: int, page: int = 16384):
+        self._pread = pread
+        self._size = int(size)
+        self._page = int(page)
+        self._cache: dict[int, bytes] = {}
+        self.fetched_ranges: list[tuple[int, int]] = []
+
+    def __len__(self) -> int:
+        return self._size
+
+    def _get_page(self, pno: int) -> bytes:
+        pg = self._cache.get(pno)
+        if pg is None:
+            start = pno * self._page
+            n = min(self._page, self._size - start)
+            pg = self._pread(start, n)
+            if len(pg) != n:
+                raise ValueError(
+                    f"ranged read at {start} returned {len(pg)} bytes, "
+                    f"wanted {n}"
+                )
+            self._cache[pno] = pg
+            self.fetched_ranges.append((start, start + n))
+        return pg
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            if key < 0:
+                key += self._size
+            b = self[key : key + 1]
+            if not b:
+                raise IndexError("SparseBytes index out of range")
+            return b[0]
+        if not isinstance(key, slice):
+            raise TypeError("SparseBytes supports int/slice access only")
+        start, stop, step = key.indices(self._size)
+        if step != 1:
+            raise ValueError("SparseBytes slices must be contiguous")
+        if stop <= start:
+            return b""
+        p0, p1 = start // self._page, (stop - 1) // self._page
+        parts = [self._get_page(p) for p in range(p0, p1 + 1)]
+        buf = b"".join(parts)
+        off = start - p0 * self._page
+        return buf[off : off + (stop - start)]
+
+
+def http_pread(url: str, opener=None):
+    """``pread(off, n)`` over HTTP Range requests. ``opener`` defaults
+    to ``urllib.request.urlopen`` and is injectable for loopback
+    tests. Servers that ignore Range (status 200) raise loudly — a
+    full-object response defeats the design and must not be silently
+    sliced."""
+    import urllib.request
+
+    def pread(offset: int, size: int) -> bytes:
+        req = urllib.request.Request(
+            url, headers={"Range": f"bytes={offset}-{offset + size - 1}"}
+        )
+        op = opener or urllib.request.urlopen
+        with op(req) as resp:
+            status = getattr(resp, "status", None) or resp.getcode()
+            if status != 206:
+                raise ValueError(
+                    f"server ignored Range request (status {status}) for "
+                    f"{url} — ranged transport requires HTTP 206"
+                )
+            return resp.read()
+
+    return pread
+
+
+def http_size(url: str, opener=None) -> int:
+    """Object size via a 0-0 Range probe (Content-Range total)."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"Range": "bytes=0-0"})
+    op = opener or urllib.request.urlopen
+    with op(req) as resp:
+        cr = resp.headers.get("Content-Range", "")
+        if "/" not in cr:
+            raise ValueError(
+                f"no Content-Range in response for {url!r} — cannot "
+                "size the object (server lacks Range support?)"
+            )
+        return int(cr.rsplit("/", 1)[1])

@@ -82,6 +82,10 @@ HEADLINE = (
     "q_grib2_levels",
     "q_hdf5_scaleoffset",
     "q_geotiff_ingest",
+    # round-7 — BigTIFF/overview/multi-band/ranged GeoTIFF surface
+    "q_geotiff_bigtiff",
+    "q_geotiff_multiband",
+    "q_geotiff_overview",
 )
 
 
