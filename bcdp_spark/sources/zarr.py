@@ -87,6 +87,45 @@ def _read_json(path: str) -> dict:
         return json.load(fh)
 
 
+def _is_url(store: str) -> bool:
+    return str(store).startswith(("http://", "https://"))
+
+
+def _join(store: str, *parts: str) -> str:
+    """Store key -> path: URL stores join with '/', local stores with
+    the platform separator (keys never contain '..')."""
+    if _is_url(store):
+        return "/".join([store.rstrip("/"), *parts])
+    return os.path.join(store, *parts)
+
+
+def _fetch(path: str) -> bytes | None:
+    """One store object's bytes, or None when absent (missing chunk =
+    fill_value per the spec; HTTP 404 = absent key). Non-404 HTTP
+    errors propagate — a flaky object store must not masquerade as
+    fill values."""
+    if _is_url(path):
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(path) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as exc:
+            if exc.code == 404:
+                return None
+            raise
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _fetch_json(path: str) -> dict | None:
+    raw = _fetch(path)
+    return None if raw is None else json.loads(raw)
+
+
 def read_consolidated(store: str) -> dict | None:
     """Consolidated metadata (``.zmetadata``, zarr v2 convention written
     by ``zarr.consolidate_metadata`` / xarray): every array's .zarray +
@@ -94,10 +133,9 @@ def read_consolidated(store: str) -> dict | None:
     metadata round-trips into one GET — the difference between opening a
     million-chunk store in milliseconds vs seconds. Returns the
     ``metadata`` mapping or None when absent (fall back to per-file)."""
-    path = os.path.join(store, ".zmetadata")
-    if not os.path.exists(path):
+    doc = _fetch_json(_join(store, ".zmetadata"))
+    if doc is None:
         return None
-    doc = _read_json(path)
     if int(doc.get("zarr_consolidated_format", 1)) != 1:
         raise NotImplementedError(
             f".zmetadata format {doc.get('zarr_consolidated_format')} "
@@ -205,15 +243,19 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
 def read_array_meta(
     store: str, name: str, consolidated: dict | None = None
 ) -> ZArrayMeta:
-    adir = os.path.join(store, name)
     if consolidated is not None and f"{name}/zarr.json" in consolidated:
         return _v3_meta(consolidated[f"{name}/zarr.json"], name)
     if consolidated is not None and f"{name}/.zarray" in consolidated:
         za = consolidated[f"{name}/.zarray"]
-    elif os.path.exists(os.path.join(adir, "zarr.json")):
-        return _v3_meta(_read_json(os.path.join(adir, "zarr.json")), name)
     else:
-        za = _read_json(os.path.join(adir, ".zarray"))
+        v3doc = _fetch_json(_join(store, name, "zarr.json"))
+        if v3doc is not None:
+            return _v3_meta(v3doc, name)
+        za = _fetch_json(_join(store, name, ".zarray"))
+        if za is None:
+            raise FileNotFoundError(
+                f"no .zarray or zarr.json for array {name!r} in {store}"
+            )
     if int(za.get("zarr_format", 2)) != 2:
         raise NotImplementedError(
             f"{name}: only Zarr v2/v3 stores are supported "
@@ -246,8 +288,7 @@ def read_array_meta(
     if consolidated is not None and f"{name}/.zattrs" in consolidated:
         attrs = consolidated[f"{name}/.zattrs"]
     else:
-        attrs_path = os.path.join(adir, ".zattrs")
-        attrs = _read_json(attrs_path) if os.path.exists(attrs_path) else {}
+        attrs = _fetch_json(_join(store, name, ".zattrs")) or {}
     return ZArrayMeta(
         shape=tuple(za["shape"]),
         chunks=tuple(za["chunks"]),
@@ -265,8 +306,8 @@ def _chunk_path(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -
     key = meta.separator.join(str(i) for i in idx)
     if meta.key_prefix:  # v3 default encoding: c/0/1/2
         key = meta.key_prefix + (meta.separator + key if key else "")
-        return os.path.join(store, name, *key.split("/"))
-    return os.path.join(store, name, key)
+        return _join(store, name, *key.split("/"))
+    return _join(store, name, key)
 
 
 def _bb_decode(raw: bytes, chain: list, expect: int | None = None) -> bytes:
@@ -383,9 +424,22 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
 
 
 def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
-    """v3 sharding_indexed: the shard file holds inner chunks plus an
+    """Whole-shard-in-memory decode (local files read the shard in one
+    pread; the ranged path below shares the exact same index walk)."""
+    return _decode_shard_from(
+        lambda off, n: raw[off : off + n], len(raw), meta
+    )
+
+
+def _decode_shard_from(pread, total: int, meta: ZArrayMeta) -> np.ndarray:
+    """v3 sharding_indexed: the shard object holds inner chunks plus an
     (offset, nbytes) u64-pair index at index_location; a pair of
-    all-ones marks an absent inner chunk (fill_value)."""
+    all-ones marks an absent inner chunk (fill_value).
+
+    ``pread(off, n)`` is the only access primitive — over HTTP the
+    shard's DESIGN POINT holds: one ranged GET for the index, one per
+    PRESENT inner chunk, and absent chunks cost zero bytes (loopback-
+    asserted in tests)."""
     inner = meta.shard_chunk
     grid = [
         (o + i - 1) // i for o, i in zip(meta.chunks, inner)
@@ -393,9 +447,9 @@ def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
     n_inner = int(np.prod(grid))
     idx_len = n_inner * 16 + (4 if meta.shard_index_crc else 0)
     if meta.shard_index_location == "start":
-        idx_bytes = raw[:idx_len]
+        idx_bytes = pread(0, idx_len)
     else:
-        idx_bytes = raw[-idx_len:]
+        idx_bytes = pread(total - idx_len, idx_len)
     if meta.shard_index_crc:
         from bcdp_spark.sources.crc32c import crc32c as _crc
 
@@ -418,7 +472,7 @@ def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
         if off == missing and nb == missing:
             continue
         blob = _bb_decode(
-            raw[int(off) : int(off) + int(nb)], meta.shard_codecs,
+            pread(int(off), int(nb)), meta.shard_codecs,
             int(np.prod(inner)) * meta.dtype.itemsize,
         )
         block = np.frombuffer(blob, dtype=meta.dtype)
@@ -438,22 +492,37 @@ def _decode_shard(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
 
 
 def _read_chunk(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -> np.ndarray:
-    """One chunk, trimmed to its in-bounds extent; an absent chunk file is
-    fill_value per the spec."""
+    """One chunk, trimmed to its in-bounds extent; an absent chunk
+    object is fill_value per the spec. Over HTTP a SHARDED chunk is
+    read with ranged GETs (index + present inner chunks only) instead
+    of downloading the whole shard object."""
     path = _chunk_path(store, name, idx, meta)
     trim = tuple(
         slice(0, min((i + 1) * c, s) - i * c)
         for i, c, s in zip(idx, meta.chunks, meta.shape)
     )
-    if not os.path.exists(path):
+    if _is_url(path) and meta.shard_chunk is not None:
+        import urllib.error
+
+        from bcdp_spark.sources.ranged import http_pread, http_size
+
+        try:
+            total = http_size(path)
+        except urllib.error.HTTPError as exc:
+            if exc.code != 404:
+                raise
+        else:
+            return _decode_shard_from(http_pread(path), total, meta)[trim]
+        raw = None
+    else:
+        raw = _fetch(path)
+    if raw is None:
         if meta.fill_value is None:
             raise FileNotFoundError(
                 f"missing chunk {path} and fill_value is null"
             )
         full = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
         return full[trim]
-    with open(path, "rb") as fh:
-        raw = fh.read()
     return decode_chunk_bytes(raw, meta)[trim]
 
 
@@ -484,6 +553,12 @@ def _list_arrays(store: str, consolidated: dict | None = None) -> list[str]:
             for k in consolidated
             if k.endswith("/.zarray")
         )
+    if _is_url(store):
+        raise ValueError(
+            f"remote Zarr store {store} has no .zmetadata and HTTP "
+            "cannot list keys — consolidate metadata or pass var="
+        )
+
     def _is_array(d: str) -> bool:
         if os.path.exists(os.path.join(store, d, ".zarray")):
             return True
@@ -502,6 +577,10 @@ def _list_arrays(store: str, consolidated: dict | None = None) -> list[str]:
 def _pick_data_var(
     store: str, var: str | None, consolidated: dict | None = None
 ) -> tuple[str, ZArrayMeta]:
+    if var is not None and consolidated is None and _is_url(store):
+        # unconsolidated remote store: no key listing over HTTP, but a
+        # named array needs none — fetch its metadata directly
+        return var, read_array_meta(store, var, None)
     names = _list_arrays(store, consolidated)
     metas = {n: read_array_meta(store, n, consolidated) for n in names}
     if var is not None:

@@ -1,0 +1,234 @@
+"""Remote (HTTP) Zarr stores over the ranged transport: chunk pruning
+means pruned chunk OBJECTS are never GET-fetched, consolidated
+metadata means ONE metadata round-trip, and a sharded v3 chunk is read
+with ranged GETs (index + present inner chunks) instead of downloading
+the whole shard — each asserted against a loopback server's request
+log, the same injectable-transport discipline as OPeNDAP/ESGF and the
+GeoTIFF ranged tests.
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import threading
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class _TreeSrv:
+    """Loopback HTTP server mapping URL paths onto a directory tree,
+    with Range support; records every (path, (start, stop) | None)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.requests: list[tuple[str, tuple[int, int] | None]] = []
+        srv = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                fpath = os.path.join(srv.root, self.path.lstrip("/"))
+                if not os.path.isfile(fpath):
+                    srv.requests.append((self.path, None))
+                    self.send_error(404)
+                    return
+                with open(fpath, "rb") as fh:
+                    body = fh.read()
+                rng = self.headers.get("Range")
+                if rng is None:
+                    srv.requests.append((self.path, None))
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                a, b = rng.split("=")[1].split("-")
+                start, stop = int(a), min(int(b) + 1, len(body))
+                srv.requests.append((self.path, (start, stop)))
+                part = body[start:stop]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range",
+                    f"bytes {start}-{stop - 1}/{len(body)}",
+                )
+                self.send_header("Content-Length", str(len(part)))
+                self.end_headers()
+                self.wfile.write(part)
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.base = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *a):
+        self.httpd.shutdown()
+
+
+def _v2_store(tmp_path):
+    from bcdp_spark.sources.zarr import write_zarr
+
+    store = str(tmp_path / "store.zarr")
+    t = np.arange(20)[:, None, None]
+    a = np.arange(4)[None, :, None]
+    o = np.arange(6)[None, None, :]
+    data = 0.25 * (t * 1000 + a * 10 + o)
+    write_zarr(
+        store,
+        dims={"time": 20, "lat": 4, "lon": 6},
+        variables={
+            "time": (
+                ["time"],
+                np.arange(20, dtype="float64"),
+                {"units": "days since 2001-01-01"},
+            ),
+            "lat": (["lat"], np.array([-60.0, -20.0, 20.0, 60.0]), {}),
+            "lon": (["lon"], np.arange(6) * 60.0, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        chunks={"pr": (8, 2, 3)},
+    )
+    return store, data
+
+
+def test_load_zarr_http_prunes_objects(spark, tmp_path):
+    """Cloud-Zarr design point made testable: with lat bounds, the
+    pruned chunk OBJECTS are never requested, and consolidated
+    metadata makes the store open in one metadata GET (no per-array
+    .zarray/.zattrs fetches)."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store, data = _v2_store(tmp_path)
+    with _TreeSrv(str(tmp_path)) as srv:
+        url = f"{srv.base}/store.zarr"
+        df = load_zarr(spark, url, lat_bnds=(0.0, 90.0))
+        total = df.agg(
+            F.count(F.lit(1)), F.round(F.sum("value"), 6)
+        ).collect()[0]
+        paths = [p for p, _ in srv.requests]
+    assert total[0] == 20 * 2 * 6
+    assert total[1] == round(float(data[:, 2:, :].sum()), 6)
+    assert "/store.zarr/.zmetadata" in paths
+    # consolidated metadata: no per-array metadata round-trips
+    assert not any(
+        p.endswith((".zarray", ".zattrs", "zarr.json")) for p in paths
+    )
+    # lat chunk row 0 (lats -60, -20) is pruned: its 6 objects are
+    # NEVER requested; the kept row's objects are
+    fetched_chunks = {
+        p.rsplit("/", 1)[1] for p in paths if "/store.zarr/pr/" in p
+    }
+    assert fetched_chunks == {
+        f"{t}.1.{o}" for t in range(3) for o in range(2)
+    }
+
+
+def test_load_zarr_http_unconsolidated_var(spark, tmp_path):
+    """A v3 store has no .zmetadata: over HTTP, var= fetches that
+    array's zarr.json directly; omitting var raises the no-listing
+    error instead of guessing."""
+    from bcdp_spark.sources.zarr import load_zarr, write_zarr_v3
+
+    store = str(tmp_path / "v3.zarr")
+    t = np.arange(10)[:, None, None]
+    a = np.arange(4)[None, :, None]
+    o = np.arange(6)[None, None, :]
+    data = (0.25 * (t * 100 + a * 10 + o)).astype("<f8")
+    write_zarr_v3(
+        store,
+        dims={"time": 10, "lat": 4, "lon": 6},
+        variables={
+            "time": (
+                ["time"],
+                np.arange(10, dtype="<f8"),
+                {"units": "days since 2001-01-01"},
+            ),
+            "lat": (["lat"], np.array([-45.0, -15.0, 15.0, 45.0]), {}),
+            "lon": (["lon"], np.arange(6) * 60.0, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        chunks={"pr": (5, 2, 6)},
+        gzip_level=3,
+    )
+    with _TreeSrv(str(tmp_path)) as srv:
+        url = f"{srv.base}/v3.zarr"
+        got = (
+            load_zarr(spark, url, var="pr")
+            .agg(F.round(F.sum("value"), 6))
+            .collect()[0][0]
+        )
+        with pytest.raises(ValueError, match="consolidate metadata"):
+            load_zarr(spark, url)
+    assert got == round(float(data.sum()), 6)
+
+
+def test_zarr_http_sharded_ranged_reads(spark, tmp_path):
+    """A sharded v3 chunk over HTTP is read with ranged GETs only: one
+    for the end-located index, one per inner chunk — never the whole
+    shard object."""
+    from bcdp_spark.sources.zarr import (
+        load_zarr,
+        read_array_meta,
+        write_zarr_v3,
+    )
+
+    store = str(tmp_path / "sh.zarr")
+    t = np.arange(10)[:, None, None]
+    a = np.arange(4)[None, :, None]
+    o = np.arange(6)[None, None, :]
+    data = (0.25 * (t * 100 + a * 10 + o)).astype("<f8")
+    write_zarr_v3(
+        store,
+        dims={"time": 10, "lat": 4, "lon": 6},
+        variables={
+            "time": (
+                ["time"],
+                np.arange(10, dtype="<f8"),
+                {"units": "days since 2001-01-01"},
+            ),
+            "lat": (["lat"], np.array([-45.0, -15.0, 15.0, 45.0]), {}),
+            "lon": (["lon"], np.arange(6) * 60.0, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        chunks={"pr": (10, 4, 6)},      # one outer shard
+        shards={"pr": (5, 2, 3)},       # 2*2*2 = 8 inner chunks
+        gzip_level=3,
+    )
+    meta = read_array_meta(store, "pr")
+    assert meta.shard_chunk == (5, 2, 3)
+    idx_len = 8 * 16
+    shard_file = os.path.join(store, "pr", "c", "0", "0", "0")
+    shard_size = os.path.getsize(shard_file)
+    with _TreeSrv(str(tmp_path)) as srv:
+        url = f"{srv.base}/sh.zarr"
+        got = (
+            load_zarr(spark, url, var="pr")
+            .agg(F.round(F.sum("value"), 6))
+            .collect()[0][0]
+        )
+        shard_reqs = [
+            r for p, r in srv.requests if p.endswith("/pr/c/0/0/0")
+        ]
+    assert got == round(float(data.sum()), 6)
+    # every GET to the shard was ranged — no full-object download
+    assert shard_reqs and all(r is not None for r in shard_reqs)
+    # one size probe, one index read (the final idx_len bytes), then
+    # 8 inner chunk ranges
+    assert (0, 1) in shard_reqs  # Content-Range size probe
+    assert (shard_size - idx_len, shard_size) in shard_reqs
+    inner = [
+        r for r in shard_reqs
+        if r not in ((0, 1), (shard_size - idx_len, shard_size))
+    ]
+    assert len(inner) == 8
+    # inner chunk ranges all lie before the index
+    assert all(b <= shard_size - idx_len for _, b in inner)
