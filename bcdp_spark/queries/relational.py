@@ -127,6 +127,10 @@ GROUP BY n_name
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     orders = table(spark, sf_dir, "orders")
+    # Broadcast ONLY the fixed-size dims; customer/orders scale with SF
+    # and stay with AQE — the recorded decision in docs/SCALE.md
+    # ("Joins", r5 decision record), pinned by
+    # tests/test_plans.py::test_join_agg_broadcasts_dims_only.
     customer = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )

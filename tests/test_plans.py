@@ -36,6 +36,32 @@ def test_star_join_broadcasts(spark):
     assert uses_broadcast_join(df)
 
 
+def test_join_agg_broadcasts_dims_only(spark):
+    """Pins the recorded q_join_agg scale decision (docs/SCALE.md
+    'Joins' / r5 decision record): nation and region — O(10-10k) rows
+    forever — carry explicit broadcast hints; customer and orders,
+    which SCALE with SF, are left to AQE. A future 'optimization' that
+    hard-broadcasts the customer side would close ~10 ms at sf0.1 and
+    OOM the driver at 100 TB — this test fails on any hint change."""
+    import bcdp_spark.queries as q
+
+    df = q.queries()["q_join_agg"](spark, SF_ORACLE)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hinted: list[str] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" in line:
+            assert "strategy=broadcast" in line
+            rel = next(
+                ln for ln in lines[i + 1 :] if "Relation" in ln
+            )
+            hinted.append(rel)
+    assert len(hinted) == 2, f"expected 2 broadcast hints: {hinted}"
+    assert any("n_nationkey" in r for r in hinted)
+    assert any("r_regionkey" in r for r in hinted)
+    # the scale-variable sides must never be hint-broadcast
+    assert not any("c_custkey" in r or "o_orderkey" in r for r in hinted)
+
+
 def test_agg_in_codegen(spark):
     import bcdp_spark.queries as q
     from bcdp_spark.plans import codegen_stages
