@@ -76,43 +76,37 @@ def _load() -> None:
 
 # Driver-grading priority: the driver grades the first 50 registry keys
 # in dict order. Rounds 1-5 rotated the window each round so that every
-# graded slot lands on a never-before-graded key; cumulative driver
-# evidence covers 176 of 204 keys (CORRECTNESS_r01-r05, zero failures).
-# Round-6 rotation (VERDICT r5 item 1): the FINAL 28 never-graded keys
-# move above the boundary, followed by the keys new in round 6
-# (GRIB2 ensemble PDT 4.1/4.11, HDF5 nbit/scaleoffset) — after this
-# round EVERY registry key carries a driver row. The remaining window
-# slots fall to r5-green keys (harmless re-grades). Every rotated-out
-# key keeps r2-r5 driver-green evidence for its component.
+# graded slot lands on a never-before-graded key; round 6 closed the
+# ledger — after it EVERY registry key carries a driver row (zero
+# failures across CORRECTNESS_r01-r06). Round-7 rotation (VERDICT r6
+# item 5): the keys NEW in round 7 (GeoTIFF BigTIFF/multi-band/
+# overview) lead, then the window regrades the OLDEST evidence — the
+# round-1 cohort last graded in r2/r3 (q_union, q_intersect, q_median,
+# …) plus the r3-graded source-ingest flagships. Every rotated-out key
+# keeps r2-r6 driver-green evidence for its component.
 _PRIORITY = (
-    # (a) the final 28 never-graded keys (r5 section (e), promoted)
-    "q_token_budget_select", "q_entropy",
-    "q_abandonment", "q_approx_distinct", "q_array_ops",
-    "q_bloom_semi_join", "q_cohort_retention", "q_compress_ratio",
-    "q_dau_mau", "q_disjunctive_scan", "q_fulfillment_lag",
-    "q_fuzzy_match", "q_hash_sample", "q_hash_split", "q_hll_rollup",
-    "q_new_vs_returning", "q_profile", "q_ratio_to_report",
-    "q_regression", "q_reservoir_sample", "q_revenue_forecast",
-    "q_stratified_sample", "q_user_lifetime", "q_vec_quantize",
-    "q_weighted_avg", "q_weighted_sample", "q_yoy_growth",
-    "q_zscore_outliers",
-    # (b) new in round 6: GRIB2 ensemble product templates (PDT
-    # 4.1/4.11 members, 4.2/4.12 derived, 4.5/4.9 probability,
-    # 4.6/4.10 percentile through the A4 ensemble path) and the
-    # HDF5 nbit / scale-offset filter reads
-    "q_grib2_ensemble", "q_grib2_derived", "q_grib2_levels",
-    "q_hdf5_scaleoffset", "q_geotiff_ingest",
-    # (c) r5 flagships re-graded in the remaining window slots (all
-    # r5-green; keeps the window full of high-signal keys)
-    "q_eof_gram", "q_plev_interp", "q_bigram_perplexity", "q_knn_join",
-    "q_knn_join_ivf", "q_snapshot_diff", "q_image_phash_pairs",
-    "q_doc_chunking", "q_zarr_zstd", "q_grib2_reduced",
-    "q_local_supplier_volume", "q_min_cost_supplier",
-    "q_volume_shipping", "q_promo_window_join", "q_idle_customers",
-    "q_percentile_cont", "q_full_join", "q_null_safe_join",
-    "q_rolling_corr", "q_histogram",
+    # (a) new in round 7: the GeoTIFF/COG 100 TB surface
+    "q_geotiff_bigtiff", "q_geotiff_multiband", "q_geotiff_overview",
+    # (b) oldest-evidence regrades: the round-1 declaration cohort,
+    # driver-graded r2/r3 and never since the registry grew
+    "q_scan_project", "q_range_filter", "q_season_filter",
+    "q_null_handling", "q_join_agg", "q_bigjoin", "q_left_join",
+    "q_semi_join", "q_anti_join", "q_asof_bucket", "q_theta_join",
+    "q_pricing_summary", "q_climatology", "q_tumbling_events",
+    "q_ensemble_mean", "q_bin_regrid", "q_distinct", "q_rollup",
+    "q_stats", "q_median", "q_rolling_mean", "q_anomaly",
+    "q_window_topk", "q_lag_delta", "q_running_sum", "q_topk",
+    "q_union", "q_intersect", "q_except", "q_date_funcs",
+    "q_unit_convert", "q_string_funcs", "q_json_extract", "q_session",
+    "q_dedup_events", "q_grouped_apply", "q_token_explode",
+    "q_dedup_docs", "q_sim_knn", "q_lang_stats",
+    # (c) r3-graded source-ingest/extension flagships filling the
+    # remaining slots (next-oldest evidence)
+    "q_netcdf_climatology", "q_warc_ingest", "q_jsonl_ingest",
+    "q_map_lookup", "q_grouped_agg_udf", "q_multimodal_pipeline",
+    "q_embed_stats",
     # --- 50-key window boundary ---
-    # (d) everything else (all r1-r5 driver-green) follows in registry
+    # (d) everything else (all r1-r6 driver-green) follows in registry
     # dict order via _ordered()'s fall-through.
 )
 

@@ -877,37 +877,19 @@ _INDEX_SCHEMA = (
 
 
 def _open_raw(path: str, transport=None):
-    """Local path -> mmap (header parse faults only its pages);
-    http(s) URL -> SparseBytes over ranged GETs (only header pages
-    are ever fetched)."""
-    if path.startswith(("http://", "https://")):
-        from bcdp_spark.sources.ranged import (
-            SparseBytes,
-            http_pread,
-            http_size,
-        )
+    """Header access (mmap locally, SparseBytes remotely) — shared
+    transport layer in ``sources/ranged.py``."""
+    from bcdp_spark.sources.ranged import open_raw
 
-        opener = transport
-        return SparseBytes(
-            http_pread(path, opener), http_size(path, opener)
-        )
-    import mmap as _mmap
-
-    with open(path, "rb") as fh:
-        return _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+    return open_raw(path, transport)
 
 
 def _read_payload(path: str, offset: int, nbytes: int, transport=None
                   ) -> bytes:
-    """Exactly one block's bytes: pread locally, one ranged GET
-    remotely — a pruned block is never requested at all."""
-    if path.startswith(("http://", "https://")):
-        from bcdp_spark.sources.ranged import http_pread
+    """One block's exact bytes — shared layer in ``sources/ranged.py``."""
+    from bcdp_spark.sources.ranged import read_range
 
-        return http_pread(path, transport)(offset, nbytes)
-    with open(path, "rb") as fh:
-        fh.seek(offset)
-        return fh.read(nbytes)
+    return read_range(path, offset, nbytes, transport)
 
 
 def load_geotiff(

@@ -175,7 +175,7 @@ class Grib2Field:
     lons2d: np.ndarray | None = None
 
 
-def _sections(raw: bytes, offset: int):
+def _sections(raw: bytes, offset: int, headers_only: bool = False):
     """Split one message into a list of per-field section dicts.
 
     GRIB2 allows sequences of sections 2-7, 3-7, or 4-7 to repeat
@@ -185,6 +185,12 @@ def _sections(raw: bytes, offset: int):
     are inherited, per the spec. Returns
     ``(discipline, total_len, [dict[int, bytes], ...])`` — one dict
     per field, each containing sections 1 and 3-7 (2 when present).
+
+    ``headers_only`` records section 7's PRESENCE without touching its
+    body — the index scan's contract. ``raw`` may be bytes, mmap, or
+    ``ranged.SparseBytes`` (all access is slice-based), so a remote
+    archive's scan faults in only the header and trailer pages of
+    each message, skipping the data bodies entirely.
 
     Validates the declared total length and the "7777" trailer up
     front — a truncated archive fails loudly here, before any field
@@ -200,7 +206,7 @@ def _sections(raw: bytes, offset: int):
         raise NotImplementedError(
             f"GRIB edition {edition} not supported (GRIB2 only)"
         )
-    (total_len,) = struct.unpack_from(">Q", raw, offset + 8)
+    (total_len,) = struct.unpack(">Q", raw[offset + 8 : offset + 16])
     end = offset + total_len
     if end > len(raw):
         raise ValueError(
@@ -216,8 +222,9 @@ def _sections(raw: bytes, offset: int):
     last_num = 0
     pos = offset + 16
     while pos < end - 4:
-        (sec_len,) = struct.unpack_from(">I", raw, pos)
-        sec_num = raw[pos + 4]
+        head = raw[pos : pos + 5]
+        (sec_len,) = struct.unpack(">I", head[:4])
+        sec_num = head[4]
         if sec_len < 5 or pos + sec_len > end - 4:
             raise ValueError(
                 f"GRIB2 section {sec_num} at {pos} has bad length {sec_len}"
@@ -229,7 +236,10 @@ def _sections(raw: bytes, offset: int):
                 f"GRIB2 section {sec_num} cannot follow section "
                 f"{last_num} at offset {pos}"
             )
-        cur[sec_num] = raw[pos : pos + sec_len]
+        if sec_num == 7 and headers_only:
+            cur[7] = b""  # presence only; the scan never reads data
+        else:
+            cur[sec_num] = raw[pos : pos + sec_len]
         if sec_num == 7:
             fieldsets.append(dict(cur))
             last_num = 0
@@ -746,7 +756,9 @@ def _parse_ref_time(sec1: bytes) -> _dt.datetime:
 
 
 def scan_grib2(raw: bytes) -> list[Grib2Index]:
-    """Header-only index of every message (never reads section 7)."""
+    """Header-only index of every message — never reads section 7
+    (``headers_only`` skips the data bodies, so over mmap or a ranged
+    transport only header/trailer pages are ever faulted in)."""
     out: list[Grib2Index] = []
     pos = 0
     while pos < len(raw):
@@ -754,7 +766,9 @@ def scan_grib2(raw: bytes) -> list[Grib2Index]:
             raise ValueError(
                 f"garbage between GRIB2 messages at offset {pos}"
             )
-        discipline, total_len, fieldsets = _sections(raw, pos)
+        discipline, total_len, fieldsets = _sections(
+            raw, pos, headers_only=True
+        )
         for k, secs in enumerate(fieldsets):
             ref_time = _parse_ref_time(secs[1])
             grid = _parse_grid(secs[3])
@@ -1654,7 +1668,12 @@ def load_grib2(
         ]
     )
 
-    files = sorted(_glob.glob(path))
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif str(path).startswith(("http://", "https://")):
+        files = [path]
+    else:
+        files = sorted(_glob.glob(path))
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
     manifest = spark.createDataFrame(
@@ -1664,11 +1683,13 @@ def load_grib2(
     def scan(batches):
         import pandas as pd
 
+        from bcdp_spark.sources.ranged import open_raw
+
         for pdf in batches:
             for fpath in pdf["path"]:
-                with open(fpath, "rb") as fh:
-                    raw = fh.read()
-                idx = scan_grib2(raw)
+                # mmap locally / ranged GETs remotely: the header-only
+                # scan faults in header+trailer pages, never section 7
+                idx = scan_grib2(open_raw(fpath))
                 yield pd.DataFrame(
                     {
                         "path": fpath,
@@ -1752,13 +1773,19 @@ def load_grib2(
             )
             return pdf_out
 
+        from bcdp_spark.sources.ranged import read_range
+
         for pdf in batches:
             for _, row in pdf.iterrows():
-                with open(row["path"], "rb") as fh:
-                    raw = fh.read()
-                fld = decode_message(
-                    raw, int(row["offset"]), int(row["field"])
+                # ONE message's bytes — pread locally, a single ranged
+                # GET remotely. The index row carries the message
+                # length, so a 10 GB cycle file never rides whole into
+                # a task that decodes one field of it.
+                raw = read_range(
+                    str(row["path"]), int(row["offset"]),
+                    int(row["length"]),
                 )
+                fld = decode_message(raw, 0, int(row["field"]))
                 if fld.lats2d is not None:
                     # projected grid (Lambert): coordinates are
                     # per-point — emit long form directly and apply

@@ -59,6 +59,8 @@ _SCHEMA = (
 class _Msg(InputPartition):
     path: str = ""
     offset: int = 0
+    field: int = 0   # field index within a multi-field message
+    length: int = 0  # message byte length (exact-range reads)
 
 
 class Grib2DataSource(DataSource):
@@ -105,14 +107,19 @@ class Grib2Reader(DataSourceReader):
         from bcdp_spark.sources.grib2 import scan_grib2
 
         if self._index is None:
-            files = sorted(_glob.glob(self._glob))
+            from bcdp_spark.sources.ranged import open_raw
+
+            if self._glob.startswith(("http://", "https://")):
+                files = [self._glob]
+            else:
+                files = sorted(_glob.glob(self._glob))
             if not files:
                 raise FileNotFoundError(f"no files match {self._glob!r}")
             index = []
             for f in files:
-                with open(f, "rb") as fh:
-                    raw = fh.read()
-                for idx in scan_grib2(raw):
+                # mmap locally / ranged GETs remotely; the header-only
+                # scan never touches section-7 bodies
+                for idx in scan_grib2(open_raw(f)):
                     index.append((f, idx))
             self._index = index
         return self._index
@@ -161,7 +168,10 @@ class Grib2Reader(DataSourceReader):
 
     def partitions(self) -> list[_Msg]:
         return [
-            _Msg(path=f, offset=idx.offset)
+            _Msg(
+                path=f, offset=idx.offset, field=idx.field,
+                length=idx.length,
+            )
             for f, idx in self._plan()
             if self._keep(idx)
         ]
@@ -172,10 +182,15 @@ class Grib2Reader(DataSourceReader):
         import pyarrow as pa
 
         from bcdp_spark.sources.grib2 import decode_message
+        from bcdp_spark.sources.ranged import read_range
 
-        with open(partition.path, "rb") as fh:
-            raw = fh.read()
-        fld = decode_message(raw, partition.offset)
+        # exactly this message's bytes (pread / one ranged GET), and
+        # THIS field of it — multi-field messages decode field k, not
+        # field 0 repeated
+        raw = read_range(
+            partition.path, partition.offset, partition.length
+        )
+        fld = decode_message(raw, 0, partition.field)
         la_m = _axis_mask(fld.lats, self._filters, "lat")
         lo_m = _axis_mask(fld.lons, self._filters, "lon")
         if not la_m.any() or not lo_m.any():

@@ -95,6 +95,32 @@ def http_pread(url: str, opener=None):
     return pread
 
 
+def open_raw(path: str, transport=None, page: int = 16384):
+    """Format-agnostic header access: a local path -> mmap (parsers
+    fault in only the pages they slice); an http(s) URL ->
+    ``SparseBytes`` over ranged GETs (only sliced pages are ever
+    fetched). ``transport`` is an injectable urlopen for tests."""
+    if str(path).startswith(("http://", "https://")):
+        return SparseBytes(
+            http_pread(path, transport), http_size(path, transport),
+            page=page,
+        )
+    import mmap as _mmap
+
+    with open(path, "rb") as fh:
+        return _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+
+
+def read_range(path: str, offset: int, size: int, transport=None) -> bytes:
+    """Exactly one block/message's bytes: pread locally, one ranged
+    GET remotely — a pruned block is never requested at all."""
+    if str(path).startswith(("http://", "https://")):
+        return http_pread(path, transport)(offset, size)
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        return fh.read(size)
+
+
 def http_size(url: str, opener=None) -> int:
     """Object size via a 0-0 Range probe (Content-Range total)."""
     import urllib.request

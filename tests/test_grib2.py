@@ -1601,3 +1601,87 @@ def test_product_template_fuzz(kind, rawv, ptype, lo_q, up_q,
     expect_valid = _REF + dt.timedelta(hours=fcst + (stat_hours or 0))
     assert f.index.valid_time == expect_valid
     np.testing.assert_array_equal(f.values, vals)
+
+
+# -- remote (HTTP) archives over the ranged transport -------------------
+
+
+def test_load_grib2_http_member_pruning(spark):
+    """A remote ensemble cycle file is never downloaded whole: the
+    header-only scan faults in header/trailer pages via SparseBytes,
+    member pruning drops other members at the index, and the one
+    surviving message decodes with ONE exact-range GET. Asserted
+    against the loopback server's request log (the same discipline as
+    the GeoTIFF/Zarr ranged tests)."""
+    from pyspark.sql import functions as F
+
+    from tests.test_geotiff import _RangeSrv
+
+    nj = ni = 256  # 128 KiB of data per message: 8 SparseBytes pages
+    lats = np.linspace(-63.75, 63.75, nj)
+    lons = np.arange(ni) * (360.0 / ni)
+    raw, fields = b"", []
+    for m in range(4):
+        vals = np.full((nj, ni), float(m * 10)) + (
+            np.arange(ni)[None, :] % 8
+        ) * 0.25
+        fields.append(vals)
+        raw += write_grib2_message(
+            vals, lats, lons, _REF, member=m, ens_size=4,
+            binary_scale=-2, nbits=16,
+        )
+    idx = scan_grib2(raw)
+    assert [i.member for i in idx] == [0, 1, 2, 3]
+    page = 16384
+    assert all(i.length > 6 * page for i in idx)
+    with _RangeSrv({"/gefs.grib2": raw}) as srv:
+        df = load_grib2(spark, f"{srv.base}/gefs.grib2", member=2)
+        got = df.agg(F.round(F.sum("value"), 6)).collect()[0][0]
+        ranges = list(srv.ranges)
+    assert got == round(float(fields[2].sum()), 6)
+    kept = next(i for i in idx if i.member == 2)
+    # the surviving message decoded via its exact byte range...
+    assert ("/gefs.grib2", kept.offset, kept.offset + kept.length) in ranges
+    # ...every GET was ranged, and scan+decode together fetched well
+    # under the archive size (header/trailer pages + one message)
+    total = sum(b - a for _, a, b in ranges)
+    assert total < 0.6 * len(raw)
+    # the data-body interior of every pruned member is NEVER fetched
+    # (the scan touches only its header and trailer pages)
+    for i in idx:
+        if i.member == 2:
+            continue
+        mid_lo = i.offset + 2 * page
+        mid_hi = i.offset + i.length - 2 * page
+        for _, a, b in ranges:
+            assert max(a, mid_lo) >= min(b, mid_hi), (
+                f"pruned member {i.member} body bytes fetched: [{a},{b})"
+            )
+
+
+def test_dsv2_grib2_multifield_remote(spark):
+    """format('grib2') on an http URL: each field of a multi-field
+    message decodes as ITSELF (the partition carries the field index —
+    not field 0 repeated) and messages fetch by exact range."""
+    from tests.test_geotiff import _RangeSrv
+
+    from bcdp_spark.sources.grib2_datasource import (
+        register_grib2_source,
+    )
+
+    va = np.arange(24, dtype=float).reshape(4, 6)
+    vb = va * 2.0 + 1.0
+    a = _field(va, nbits=8)
+    b = _field(vb, category=1, number=1, nbits=8)
+    raw = _splice_multifield(a, b, from_sec=4)
+    register_grib2_source(spark)
+    with _RangeSrv({"/mf.grib2": raw}) as srv:
+        rows = (
+            spark.read.format("grib2")
+            .load(f"{srv.base}/mf.grib2")
+            .collect()
+        )
+    t = sorted(r["value"] for r in rows if r["name"] == "t")
+    rh = sorted(r["value"] for r in rows if r["name"] == "rh")
+    assert t == sorted(va.ravel().tolist())
+    assert rh == sorted(vb.ravel().tolist())
