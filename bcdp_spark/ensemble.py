@@ -300,6 +300,19 @@ class Ensemble:
             self.df.filter(bounds.predicate(lat, lon, self.time_col, lev))
         )
 
+    def mask_region(self, geojson, region: str | None = None) -> "Ensemble":
+        """Keep grid points inside a GeoJSON region (P2 widening —
+        the polygon sibling of bbox ``subset``: ocean basins, CORDEX
+        domains, AR6 reference regions). Even-odd ray casting compiled
+        to a literal-edge HOF predicate — a pure map stage, no UDF/
+        shuffle (operators/spatial.py)."""
+        from bcdp_spark.operators.spatial import mask_regions
+
+        lat, lon = self._latlon()
+        return self._with(
+            mask_regions(self.df, geojson, lon=lon, lat=lat, region=region)
+        )
+
     def select_season(self, season: str) -> "Ensemble":
         """Keep months of a season, incl. year-wrapping DJF (P4)."""
         months = SEASONS[season.upper()]

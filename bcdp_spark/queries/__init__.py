@@ -49,6 +49,7 @@ _MODULES = (
     "bcdp_spark.queries.jsonl_io",
     "bcdp_spark.queries.grib_io",
     "bcdp_spark.queries.geotiff_io",
+    "bcdp_spark.queries.climate",
 )
 
 
@@ -85,8 +86,11 @@ def _load() -> None:
 # …) plus the r3-graded source-ingest flagships. Every rotated-out key
 # keeps r2-r6 driver-green evidence for its component.
 _PRIORITY = (
-    # (a) new in round 7: the GeoTIFF/COG 100 TB surface
+    # (a) new in round 7: the GeoTIFF/COG 100 TB surface, GeoJSON
+    # region masking (operators/spatial.py ray-cast HOF), and
+    # spell-length climate indices
     "q_geotiff_bigtiff", "q_geotiff_multiband", "q_geotiff_overview",
+    "q_region_mask", "q_spell_lengths",
     # (b) oldest-evidence regrades: the round-1 declaration cohort,
     # driver-graded r2/r3 and never since the registry grew
     "q_scan_project", "q_range_filter", "q_season_filter",

@@ -1,0 +1,197 @@
+"""Climate-index queries: GeoJSON region masking (P2 widening) and
+spell-length statistics (the ETCCDI consecutive-days family).
+
+Reference analog: bcdp's spatial subset verb plus the index
+computations its users run downstream (consecutive dry days, warm
+spells — `bcdp/core.py` [UNVERIFIED; /root/reference was empty,
+SURVEY.md §0]). Both are expressed as pure Catalyst plans:
+
+- `q_region_mask` drives operators/spatial.py — GeoJSON parsed by the
+  stdlib, even-odd ray casting compiled to a literal-edge
+  higher-order-function predicate (no UDF, no join, no shuffle; the
+  oracle replays the identical crossing arithmetic via a cross join
+  against an edges VALUES table, so the hash check certifies the
+  geometry, not just the plumbing).
+- `q_spell_lengths` is the gaps-and-islands decomposition (row-number
+  difference grouping), the scalable form of run-length statistics:
+  two windows over (station, time) partitions — shuffle once by
+  station, never a global order.
+
+Scale (100 TB): the mask is a map stage over the scan (edge set is a
+plan constant); spells shuffle on the station key only, and every
+window partitions by station — no single-partition WindowExec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bcdp_spark.operators.spatial import parse_geojson, region_edges
+from bcdp_spark.queries import register
+from bcdp_spark.queries._helpers import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    utc,
+)
+from bcdp_spark.tables import table
+
+# Two disjoint test regions exercising the full even-odd surface: a
+# CONCAVE outer ring with a hole, and a two-member MultiPolygon.
+# Integer vertices; synthetic points sit on half-degree offsets, so no
+# point ever lies on an edge (boundary membership is convention).
+_REGIONS_GEOJSON = """
+{"type": "FeatureCollection", "features": [
+  {"type": "Feature",
+   "properties": {"name": "highland"},
+   "geometry": {"type": "Polygon", "coordinates": [
+     [[0, 20], [40, 20], [40, 60], [20, 45], [0, 60], [0, 20]],
+     [[10, 30], [20, 30], [20, 40], [10, 40], [10, 30]]
+   ]}},
+  {"type": "Feature",
+   "properties": {"name": "isles"},
+   "geometry": {"type": "MultiPolygon", "coordinates": [
+     [[[-120, -40], [-80, -40], [-80, 0], [-120, 0], [-120, -40]]],
+     [[[60, -60], [100, -60], [100, -20], [60, -20], [60, -60]]]
+   ]}}
+]}
+"""
+
+
+def _edges_values_sql() -> str:
+    """The SAME edge set the Spark plan embeds, as a DuckDB VALUES
+    list (region, priority, x1, y1, x2, y2) — every literal routed
+    through CAST(... AS DOUBLE) so DuckDB's DECIMAL literals never
+    enter the crossing arithmetic."""
+    rows = []
+    for pri, (name, rings) in enumerate(parse_geojson(_REGIONS_GEOJSON)):
+        for x1, y1, x2, y2 in region_edges(rings):
+            rows.append(
+                f"('{name}', {pri}, CAST({x1!r} AS DOUBLE), "
+                f"CAST({y1!r} AS DOUBLE), CAST({x2!r} AS DOUBLE), "
+                f"CAST({y2!r} AS DOUBLE))"
+            )
+    return ",\n       ".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# P2/EXT — GeoJSON region masking. Synthetic deterministic station
+# coordinates from event_id (the events table has no geography); the
+# engine side tags via the HOF ray-cast, the oracle re-derives parity
+# from first principles (cross join edges -> crossing count -> odd).
+# ---------------------------------------------------------------------------
+@register(
+    "q_region_mask",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, value,
+         CAST(event_id % 360 AS DOUBLE) - CAST(179.5 AS DOUBLE) AS x,
+         CAST((event_id * 7) % 180 AS DOUBLE) - CAST(89.5 AS DOUBLE) AS y
+  FROM events
+),
+edges(region, pri, x1, y1, x2, y2) AS (
+  VALUES {_edges_values_sql()}
+),
+hits AS (
+  SELECT p.event_id, p.value, e.region, e.pri
+  FROM pts p JOIN edges e ON TRUE
+  GROUP BY p.event_id, p.value, e.region, e.pri
+  HAVING SUM(CASE WHEN (e.y1 > p.y) <> (e.y2 > p.y)
+                   AND p.x < (e.x2 - e.x1) * (p.y - e.y1)
+                             / (e.y2 - e.y1) + e.x1
+             THEN 1 ELSE 0 END) % 2 = 1
+),
+tagged AS (
+  SELECT event_id, value, MIN(pri) AS pri
+  FROM hits GROUP BY event_id, value
+)
+SELECT e.region,
+       COUNT(*) AS n,
+       {davg_sql('t.value', 'avg_value')},
+       {dsum_sql('t.value', 'sum_value')}
+FROM tagged t
+JOIN (SELECT DISTINCT region, pri FROM edges) e USING (pri)
+GROUP BY e.region
+""",
+)
+def q_region_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.spatial import tag_regions
+
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "value",
+        ((F.col("event_id") % 360).cast("double") - F.lit(179.5)).alias(
+            "lon"
+        ),
+        (((F.col("event_id") * 7) % 180).cast("double") - F.lit(89.5)).alias(
+            "lat"
+        ),
+    )
+    tagged = tag_regions(pts, _REGIONS_GEOJSON)
+    return (
+        tagged.filter(F.col("region").isNotNull())
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("value"), "avg_value"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — spell lengths (ETCCDI consecutive-days shape: CDD/CWD, warm
+# spells). Gaps-and-islands: a below-threshold run is identified by
+# the constant difference between the full row number and the
+# below-only row number — both windows partition BY STATION, so the
+# whole query shuffles once on user_id and scales horizontally.
+# ---------------------------------------------------------------------------
+@register(
+    "q_spell_lengths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all
+  FROM events
+),
+below AS (
+  SELECT user_id, rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn_all) AS rn_b
+  FROM seq WHERE value < 5.0
+),
+spells AS (
+  SELECT user_id, rn_all - rn_b AS grp, COUNT(*) AS len
+  FROM below GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_spell,
+       CAST(COUNT(*) AS BIGINT) AS n_spells,
+       CAST(SUM(len) AS BIGINT) AS n_below
+FROM spells
+GROUP BY user_id
+""",
+)
+def q_spell_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.row_number().over(w_all).alias("rn_all")
+    )
+    w_b = Window.partitionBy("user_id").orderBy("rn_all")
+    below = seq.filter(F.col("value") < 5.0).select(
+        "user_id", "rn_all", F.row_number().over(w_b).alias("rn_b")
+    )
+    spells = below.groupBy(
+        "user_id", (F.col("rn_all") - F.col("rn_b")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return spells.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_spell"),
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.sum("len").cast("long").alias("n_below"),
+    )

@@ -1,0 +1,252 @@
+"""GeoJSON region masking (operators/spatial.py): parser variants,
+even-odd geometry certified against an independently-formulated
+PNPOLY reference on random points, region priority, Ensemble verb,
+and the no-shuffle/no-UDF plan contract."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bcdp_spark.operators.spatial import (
+    in_region,
+    mask_regions,
+    parse_geojson,
+    region_edges,
+    tag_regions,
+)
+
+# concave outer ring + hole
+_HIGHLAND = [
+    [(0.0, 20.0), (40.0, 20.0), (40.0, 60.0), (20.0, 45.0), (0.0, 60.0)],
+    [(10.0, 30.0), (20.0, 30.0), (20.0, 40.0), (10.0, 40.0)],
+]
+# two disjoint boxes
+_ISLES = [
+    [(-120.0, -40.0), (-80.0, -40.0), (-80.0, 0.0), (-120.0, 0.0)],
+    [(60.0, -60.0), (100.0, -60.0), (100.0, -20.0), (60.0, -20.0)],
+]
+
+
+def _close(ring):
+    return [list(p) for p in ring] + [list(ring[0])]
+
+
+def _fc():
+    return {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "highland"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [_close(r) for r in _HIGHLAND],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "isles"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[_close(r)] for r in _ISLES],
+                },
+            },
+        ],
+    }
+
+
+def _pip(x, y, rings):
+    """Independent reference: classic PNPOLY crossing walk (previous-
+    vertex iteration — a different formulation from the operator's
+    edge-array HOF)."""
+    inside = False
+    for ring in rings:
+        j = len(ring) - 1
+        for i in range(len(ring)):
+            xi, yi = ring[i]
+            xj, yj = ring[j]
+            if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (
+                yj - yi
+            ) + xi:
+                inside = not inside
+            j = i
+    return inside
+
+
+# -- parser --------------------------------------------------------------
+
+
+def test_parse_feature_collection_order_and_names():
+    regions = parse_geojson(json.dumps(_fc()))
+    assert [n for n, _ in regions] == ["highland", "isles"]
+    assert len(regions[0][1]) == 2  # outer + hole
+    assert len(regions[1][1]) == 2  # two member polygons
+    # closing vertex dropped
+    assert len(regions[0][1][0]) == 5
+
+
+def test_parse_bare_geometry_and_feature_fallbacks():
+    poly = {"type": "Polygon", "coordinates": [_close(_HIGHLAND[0])]}
+    assert parse_geojson(poly)[0][0] == "region_0"
+    feat = {"type": "Feature", "properties": {}, "geometry": poly,
+            "id": "AR6-NEU"}
+    assert parse_geojson(feat)[0][0] == "AR6-NEU"
+    anon = {"type": "Feature", "properties": None, "geometry": poly}
+    assert parse_geojson(anon)[0][0] == "region_0"
+    gc = {
+        "type": "GeometryCollection",
+        "geometries": [poly, {"type": "MultiPolygon",
+                              "coordinates": [[_close(_ISLES[0])]]}],
+    }
+    assert len(parse_geojson(gc)[0][1]) == 2
+
+
+def test_parse_rejects_non_area_and_degenerate():
+    with pytest.raises(ValueError, match="no area"):
+        parse_geojson({"type": "LineString", "coordinates": [[0, 0], [1, 1]]})
+    with pytest.raises(ValueError, match="cannot bound"):
+        parse_geojson(
+            {"type": "Polygon", "coordinates": [[[0, 0], [1, 1], [0, 0]]]}
+        )
+    with pytest.raises(ValueError, match="no features"):
+        parse_geojson({"type": "FeatureCollection", "features": []})
+
+
+def test_region_edges_closes_rings():
+    edges = region_edges([_HIGHLAND[1]])
+    assert len(edges) == 4
+    assert edges[-1] == (10.0, 40.0, 10.0, 30.0)  # wraps to first
+
+
+# -- geometry ------------------------------------------------------------
+
+
+def test_even_odd_vs_reference_on_random_points(spark):
+    """300 seeded random points against the independent PNPOLY walk —
+    concave boundary, hole, and multipolygon all certified."""
+    rng = np.random.RandomState(7)
+    xs = rng.uniform(-180, 180, 300)
+    ys = rng.uniform(-90, 90, 300)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "lon double, lat double"
+    )
+    for rings in (_HIGHLAND, _ISLES):
+        got = (
+            df.withColumn("inside", in_region("lon", "lat", rings))
+            .orderBy("lon")
+            .collect()
+        )
+        for r in got:
+            assert r["inside"] == _pip(r["lon"], r["lat"], rings), (
+                r["lon"],
+                r["lat"],
+            )
+
+
+def test_hole_and_concavity_fixed_points(spark):
+    df = spark.createDataFrame(
+        [
+            (5.0, 25.0, True),    # inside outer
+            (15.0, 35.0, False),  # inside the hole
+            (15.0, 29.0, True),   # below the hole, inside outer
+            (20.0, 50.0, False),  # in the concave notch
+            (5.0, 50.0, True),    # left lobe beside the notch
+            (-100.0, -20.0, None),  # other region entirely
+        ],
+        "lon double, lat double, want boolean",
+    )
+    got = df.withColumn("inside", in_region("lon", "lat", _HIGHLAND)).collect()
+    for r in got:
+        if r["want"] is not None:
+            assert r["inside"] == r["want"], (r["lon"], r["lat"])
+        else:
+            assert not r["inside"]
+
+
+# -- tagging / masking ---------------------------------------------------
+
+
+def test_tag_regions_priority_first_match(spark):
+    overlapping = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "inner"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [_close([(2.0, 2.0), (8.0, 2.0),
+                                            (8.0, 8.0), (2.0, 8.0)])],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "outer"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [_close([(0.0, 0.0), (10.0, 0.0),
+                                            (10.0, 10.0), (0.0, 10.0)])],
+                },
+            },
+        ],
+    }
+    df = spark.createDataFrame(
+        [(5.0, 5.0), (1.0, 1.0), (20.0, 20.0)], "lon double, lat double"
+    )
+    got = {
+        (r["lon"], r["lat"]): r["region"]
+        for r in tag_regions(df, overlapping).collect()
+    }
+    assert got[(5.0, 5.0)] == "inner"  # document order wins overlap
+    assert got[(1.0, 1.0)] == "outer"
+    assert got[(20.0, 20.0)] is None
+
+
+def test_mask_regions_named_and_any(spark):
+    df = spark.createDataFrame(
+        [(5.0, 25.0), (-100.0, -20.0), (150.0, 80.0)],
+        "lon double, lat double",
+    )
+    fc = _fc()
+    assert mask_regions(df, fc).count() == 2
+    only = mask_regions(df, fc, region="isles").collect()
+    assert [(r["lon"], r["lat"]) for r in only] == [(-100.0, -20.0)]
+    with pytest.raises(KeyError, match="nope"):
+        mask_regions(df, fc, region="nope")
+
+
+def test_ensemble_mask_region(spark):
+    from bcdp_spark.ensemble import Ensemble
+
+    import datetime as dt
+
+    rows = [
+        ("m1", dt.datetime(2023, 1, 1), 25.0, 5.0, 1.0),
+        ("m1", dt.datetime(2023, 1, 1), -20.0, -100.0, 2.0),
+        ("m1", dt.datetime(2023, 1, 1), 80.0, 150.0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    got = Ensemble(df).mask_region(_fc(), region="highland").df.collect()
+    assert [(r["lat"], r["lon"]) for r in got] == [(25.0, 5.0)]
+
+
+def test_mask_is_pure_map_stage(spark):
+    """The plan contract: no Python eval, no join, no exchange — the
+    edge set is a literal and the mask is a scan-side filter."""
+    df = spark.createDataFrame(
+        [(5.0, 25.0), (0.25, 0.75)], "lon double, lat double"
+    )
+    plan = (
+        mask_regions(df, _fc())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan, plan

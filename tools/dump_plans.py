@@ -86,6 +86,10 @@ HEADLINE = (
     "q_geotiff_bigtiff",
     "q_geotiff_multiband",
     "q_geotiff_overview",
+    # round-7 — GeoJSON region mask (literal-edge HOF, map-stage
+    # filter) and gaps-and-islands spell lengths
+    "q_region_mask",
+    "q_spell_lengths",
 )
 
 
