@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import struct
 
-from bcdp_spark.sources.hdf5 import lookup3
+from bcdp_spark.sources.hdf5 import _up, lookup3
 
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -45,11 +45,11 @@ class BTree2:
         if buf[addr : addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
         self.btype = buf[addr + 5]
-        (self.node_size,) = struct.unpack_from("<I", buf, addr + 6)
-        (self.rec_size,) = struct.unpack_from("<H", buf, addr + 10)
-        (self.depth,) = struct.unpack_from("<H", buf, addr + 12)
-        (self.root_addr,) = struct.unpack_from("<Q", buf, addr + 16)
-        (self.root_nrec,) = struct.unpack_from("<H", buf, addr + 24)
+        (self.node_size,) = _up("<I", buf, addr + 6)
+        (self.rec_size,) = _up("<H", buf, addr + 10)
+        (self.depth,) = _up("<H", buf, addr + 12)
+        (self.root_addr,) = _up("<Q", buf, addr + 16)
+        (self.root_nrec,) = _up("<H", buf, addr + 24)
         # per-level capacities (H5B2hdr.c): leaf first, then internals
         leaf_cap = (self.node_size - 10) // self.rec_size
         self.max_nrec_size = _enc_size(leaf_cap)
@@ -91,7 +91,7 @@ class BTree2:
             pos += self.rec_size
         kids = []
         for _ in range(nrec + 1):
-            (caddr,) = struct.unpack_from("<Q", buf, pos)
+            (caddr,) = _up("<Q", buf, pos)
             pos += 8
             cnrec = int.from_bytes(
                 buf[pos : pos + self.max_nrec_size], "little"
@@ -122,8 +122,8 @@ class FractalHeap:
         self.buf = buf
         if buf[addr : addr + 4] != b"FRHP":
             raise ValueError("bad fractal heap header signature")
-        (self.id_len,) = struct.unpack_from("<H", buf, addr + 5)
-        (filt_len,) = struct.unpack_from("<H", buf, addr + 7)
+        (self.id_len,) = _up("<H", buf, addr + 5)
+        (filt_len,) = _up("<H", buf, addr + 7)
         if filt_len:
             raise NotImplementedError("filtered fractal heap (links)")
         self.flags = buf[addr + 9]
@@ -132,18 +132,18 @@ class FractalHeap:
         pos += 8 + 8  # free space, free-space mgr addr
         pos += 8 * 6  # managed/alloc/iter/nmanaged, huge size/n
         pos += 8 * 2  # tiny size/n
-        (self.width,) = struct.unpack_from("<H", buf, pos)
+        (self.width,) = _up("<H", buf, pos)
         pos += 2
-        (self.start_size,) = struct.unpack_from("<Q", buf, pos)
+        (self.start_size,) = _up("<Q", buf, pos)
         pos += 8
-        (self.max_direct,) = struct.unpack_from("<Q", buf, pos)
+        (self.max_direct,) = _up("<Q", buf, pos)
         pos += 8
-        (self.max_heap_bits,) = struct.unpack_from("<H", buf, pos)
+        (self.max_heap_bits,) = _up("<H", buf, pos)
         pos += 2
         pos += 2  # starting # of rows in root indirect block
-        (self.root_addr,) = struct.unpack_from("<Q", buf, pos)
+        (self.root_addr,) = _up("<Q", buf, pos)
         pos += 8
-        (self.cur_rows,) = struct.unpack_from("<H", buf, pos)
+        (self.cur_rows,) = _up("<H", buf, pos)
         self.off_size = (self.max_heap_bits + 7) // 8
         self.len_size = _enc_size(self.max_direct)
 
@@ -200,7 +200,7 @@ class FractalHeap:
             raise ValueError("bad fractal heap indirect block signature")
         entry = row * self.width + col
         p = iaddr + 4 + 1 + 8 + self.off_size + entry * 8
-        (daddr,) = struct.unpack_from("<Q", buf, p)
+        (daddr,) = _up("<Q", buf, p)
         if daddr == _UNDEF:
             raise ValueError("heap ID points into an absent direct block")
         row_start = sum(

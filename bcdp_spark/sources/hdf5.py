@@ -48,6 +48,16 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+
+def _up(fmt: str, buf, off: int = 0) -> tuple:
+    """``struct.unpack`` over an explicit slice. Unlike
+    ``struct.unpack_from`` this needs no buffer protocol, so every
+    metadata walk works identically over bytes, mmap, AND the lazy
+    ranged-transport view (``sources/ranged.py`` SparseBytes) — the
+    property that makes remote (http) HDF5 archives readable without
+    downloading them."""
+    return struct.unpack(fmt, buf[off : off + struct.calcsize(fmt)])
+
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -156,7 +166,7 @@ def _parse_datatype(body: bytes) -> _DType:
     if ver not in (1, 2, 3):
         raise NotImplementedError(f"HDF5 datatype version {ver}")
     b0 = body[1]
-    size = struct.unpack_from("<I", body, 4)[0]
+    size = _up("<I", body, 4)[0]
     if cls in (0, 1):  # fixed-point / float
         return _DType(
             cls=cls, size=size, little=(b0 & 1) == 0,
@@ -185,7 +195,7 @@ def _parse_dataspace(body: bytes, lsize: int = 8) -> tuple[int, ...]:
         raise NotImplementedError(f"HDF5 dataspace version {ver}")
     fmt = "<Q" if lsize == 8 else "<I"
     return tuple(
-        struct.unpack_from(fmt, body, off + i * lsize)[0] for i in range(rank)
+        _up(fmt, body, off + i * lsize)[0] for i in range(rank)
     )
 
 
@@ -200,7 +210,7 @@ def _parse_maxdims(body: bytes, lsize: int = 8) -> tuple[int, ...] | None:
     off = (8 if ver == 1 else 4) + rank * lsize
     fmt = "<Q" if lsize == 8 else "<I"
     return tuple(
-        struct.unpack_from(fmt, body, off + i * lsize)[0] for i in range(rank)
+        _up(fmt, body, off + i * lsize)[0] for i in range(rank)
     )
 
 
@@ -258,7 +268,7 @@ class H5File:
             # root group symbol-table entry:
             # v0: fixed part ends at 24 + 4*osize; v1 adds 4 bytes
             fixed = 24 + (4 if sb_ver == 1 else 0) + 4 * 8
-            root_ohdr = struct.unpack_from("<Q", buf, fixed + 8)[0]
+            root_ohdr = _up("<Q", buf, fixed + 8)[0]
         elif sb_ver in (2, 3):
             self._osize = buf[9]
             self._lsize = buf[10]
@@ -266,7 +276,7 @@ class H5File:
                 raise NotImplementedError(
                     f"offset/length sizes {self._osize}/{self._lsize}"
                 )
-            root_ohdr = struct.unpack_from("<Q", buf, 12 + 3 * 8)[0]
+            root_ohdr = _up("<Q", buf, 12 + 3 * 8)[0]
         else:
             raise NotImplementedError(f"HDF5 superblock version {sb_ver}")
         self._walk_group(root_ohdr, prefix="", out_attrs=self.attrs)
@@ -297,14 +307,14 @@ class H5File:
                 p, end = todo.pop(0)
                 while p + 4 <= end:
                     mtype = buf[p]
-                    msize = struct.unpack_from("<H", buf, p + 1)[0]
+                    msize = _up("<H", buf, p + 1)[0]
                     p += 4
                     if track_order:
                         p += 2
                     body = buf[p : p + msize]
                     p += msize
                     if mtype == 0x10:  # continuation
-                        caddr, clen = struct.unpack_from("<QQ", body, 0)
+                        caddr, clen = _up("<QQ", body, 0)
                         # v2 continuation blocks: OCHK sig + payload + csum
                         todo.append((caddr + 4, caddr + clen - 4))
                     elif mtype != 0:
@@ -313,19 +323,19 @@ class H5File:
         ver = buf[addr]
         if ver != 1:
             raise NotImplementedError(f"object header version {ver}")
-        nmsgs = struct.unpack_from("<H", buf, addr + 2)[0]
-        hsize = struct.unpack_from("<I", buf, addr + 8)[0]
+        nmsgs = _up("<H", buf, addr + 2)[0]
+        hsize = _up("<I", buf, addr + 8)[0]
         todo = [(addr + 16, addr + 16 + hsize)]
         got = 0
         while todo and got < nmsgs:
             p, end = todo.pop(0)
             while p + 8 <= end and got < nmsgs:
-                mtype, msize = struct.unpack_from("<HH", buf, p)
+                mtype, msize = _up("<HH", buf, p)
                 body = buf[p + 8 : p + 8 + msize]
                 p += 8 + msize
                 got += 1
                 if mtype == 0x10:
-                    caddr, clen = struct.unpack_from("<QQ", body, 0)
+                    caddr, clen = _up("<QQ", body, 0)
                     todo.append((caddr, caddr + clen))
                 elif mtype != 0:
                     msgs.append((mtype, body))
@@ -345,14 +355,14 @@ class H5File:
             return
         for mtype, body in msgs:
             if mtype == 0x11:  # symbol table (old-style group)
-                bt, heap = struct.unpack_from("<QQ", body, 0)
+                bt, heap = _up("<QQ", body, 0)
                 links.extend(self._old_links(bt, heap))
             elif mtype == 0x06:  # link message (new-style compact)
                 links.append(self._link(body))
             elif mtype == 0x02:  # link info: dense storage
                 flags = body[1]
                 off = 2 + (8 if flags & 1 else 0)
-                fheap, name_bt = struct.unpack_from("<QQ", body, off)
+                fheap, name_bt = _up("<QQ", body, off)
                 if fheap != _UNDEF:
                     from bcdp_spark.sources.h5dense import dense_links
 
@@ -394,13 +404,13 @@ class H5File:
         pos += nlen
         if ltype != 0:
             raise NotImplementedError(f"non-hard link type {ltype}")
-        return name, struct.unpack_from("<Q", body, pos)[0]
+        return name, _up("<Q", body, pos)[0]
 
     def _old_links(self, btree_addr: int, heap_addr: int) -> list:
         buf = self.buf
         if buf[heap_addr : heap_addr + 4] != b"HEAP":
             raise ValueError("bad local heap signature")
-        heap_data = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
+        heap_data = _up("<Q", buf, heap_addr + 24)[0]
 
         out = []
 
@@ -408,12 +418,12 @@ class H5File:
             if buf[addr : addr + 4] != b"TREE":
                 raise ValueError("bad B-tree v1 signature")
             level = buf[addr + 5]
-            used = struct.unpack_from("<H", buf, addr + 6)[0]
+            used = _up("<H", buf, addr + 6)[0]
             pos = addr + 8 + 16  # skip siblings
             # key0, child0, key1, child1 ... (group keys are heap offsets)
             pos += 8  # key0
             for _ in range(used):
-                child = struct.unpack_from("<Q", buf, pos)[0]
+                child = _up("<Q", buf, pos)[0]
                 pos += 16  # child + next key
                 if level > 0:
                     walk(child)
@@ -423,10 +433,10 @@ class H5File:
         def snod(addr: int) -> None:
             if buf[addr : addr + 4] != b"SNOD":
                 raise ValueError("bad SNOD signature")
-            nsyms = struct.unpack_from("<H", buf, addr + 6)[0]
+            nsyms = _up("<H", buf, addr + 6)[0]
             p = addr + 8
             for _ in range(nsyms):
-                name_off, ohdr = struct.unpack_from("<QQ", buf, p)
+                name_off, ohdr = _up("<QQ", buf, p)
                 p += 40
                 nstart = heap_data + name_off
                 nend = buf.find(b"\x00", nstart)  # mmap-safe (no .index)
@@ -441,7 +451,7 @@ class H5File:
     def _attr(self, body: bytes) -> tuple[str, object]:
         ver = body[0]
         if ver == 1:
-            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            name_size, dt_size, ds_size = _up("<HHH", body, 2)
             pos = 8
             name = body[pos : pos + name_size].split(b"\x00")[0].decode("utf-8")
             pos += (name_size + 7) & ~7
@@ -450,7 +460,7 @@ class H5File:
             shape = _parse_dataspace(body[pos : pos + ds_size])
             pos += (ds_size + 7) & ~7
         elif ver == 3:
-            name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+            name_size, dt_size, ds_size = _up("<HHH", body, 2)
             pos = 9  # ver, flags, sizes(6), charset
             name = body[pos : pos + name_size].split(b"\x00")[0].decode("utf-8")
             pos += name_size
@@ -486,10 +496,10 @@ class H5File:
         if buf[addr : addr + 4] != b"GCOL":
             raise ValueError("bad global heap signature")
         p = addr + 16
-        end = addr + struct.unpack_from("<Q", buf, addr + 8)[0]
+        end = addr + _up("<Q", buf, addr + 8)[0]
         while p < end:
-            oidx, _rc = struct.unpack_from("<HH", buf, p)
-            osize = struct.unpack_from("<Q", buf, p + 8)[0]
+            oidx, _rc = _up("<HH", buf, p)
+            osize = _up("<Q", buf, p + 8)[0]
             if oidx == 0:
                 break
             if oidx == idx:
@@ -529,7 +539,7 @@ class H5File:
         with the dense-link machinery."""
         flags = body[1]
         off = 2 + (2 if flags & 1 else 0)
-        fheap, name_bt = struct.unpack_from("<QQ", body, off)
+        fheap, name_bt = _up("<QQ", body, off)
         if fheap == _UNDEF:
             return []
         from bcdp_spark.sources.h5dense import dense_attributes
@@ -545,13 +555,13 @@ class H5File:
             defined = body[3]
             if not defined:
                 return None
-            size = struct.unpack_from("<I", body, 4)[0]
+            size = _up("<I", body, 4)[0]
             return body[8 : 8 + size] or None
         if ver == 3:
             flags = body[1]
             if not (flags & 0x20):
                 return None
-            size = struct.unpack_from("<I", body, 2)[0]
+            size = _up("<I", body, 2)[0]
             return body[6 : 6 + size] or None
         raise NotImplementedError(f"fill value version {ver}")
 
@@ -564,16 +574,16 @@ class H5File:
             raise NotImplementedError(f"data layout version {ver}")
         cls = body[1]
         if cls == 0:  # compact
-            size = struct.unpack_from("<H", body, 2)[0]
+            size = _up("<H", body, 2)[0]
             ds.layout, ds.compact = "compact", body[4 : 4 + size]
         elif cls == 1:  # contiguous
             ds.layout = "contiguous"
-            ds.data_addr, ds.data_size = struct.unpack_from("<QQ", body, 2)
+            ds.data_addr, ds.data_size = _up("<QQ", body, 2)
         elif cls == 2:  # chunked
             ndim = body[2]  # = rank + 1
             ds.layout = "chunked"
-            ds.btree_addr = struct.unpack_from("<Q", body, 3)[0]
-            dims = struct.unpack_from(f"<{ndim}I", body, 11)
+            ds.btree_addr = _up("<Q", body, 3)[0]
+            dims = _up(f"<{ndim}I", body, 11)
             ds.chunk_shape = tuple(dims[:-1])  # last entry = element size
         else:
             raise NotImplementedError(f"data layout class {cls}")
@@ -587,12 +597,12 @@ class H5File:
         dims) raise loudly."""
         cls = body[1]
         if cls == 0:
-            size = struct.unpack_from("<H", body, 2)[0]
+            size = _up("<H", body, 2)[0]
             ds.layout, ds.compact = "compact", body[4 : 4 + size]
             return
         if cls == 1:
             ds.layout = "contiguous"
-            ds.data_addr, ds.data_size = struct.unpack_from("<QQ", body, 2)
+            ds.data_addr, ds.data_size = _up("<QQ", body, 2)
             return
         if cls != 2:
             raise NotImplementedError(f"layout v4 class {cls}")
@@ -612,8 +622,8 @@ class H5File:
         if itype == 1:  # single chunk
             ds.chunk_index = "single"
             if flags & 0x02:  # filtered single chunk
-                ds.single_nbytes = struct.unpack_from("<Q", body, pos)[0]
-                ds.single_fmask = struct.unpack_from("<I", body, pos + 8)[0]
+                ds.single_nbytes = _up("<Q", body, pos)[0]
+                ds.single_fmask = _up("<I", body, pos + 8)[0]
                 pos += 12
         elif itype == 2:
             ds.chunk_index = "implicit"
@@ -634,7 +644,7 @@ class H5File:
             raise NotImplementedError(
                 f"layout v4 chunk index type {itype}"
             )
-        ds.btree_addr = struct.unpack_from("<Q", body, pos)[0]
+        ds.btree_addr = _up("<Q", body, pos)[0]
 
     def _filters(self, body: bytes) -> list:
         ver = body[0]
@@ -642,17 +652,17 @@ class H5File:
         out = []
         pos = 8 if ver == 1 else 2
         for _ in range(nf):
-            fid = struct.unpack_from("<H", body, pos)[0]
+            fid = _up("<H", body, pos)[0]
             pos += 2
             if ver == 1 or fid >= 256:
-                name_len = struct.unpack_from("<H", body, pos)[0]
+                name_len = _up("<H", body, pos)[0]
                 pos += 2
             else:
                 name_len = 0
-            flags, ncv = struct.unpack_from("<HH", body, pos)
+            flags, ncv = _up("<HH", body, pos)
             pos += 4
             pos += (name_len + 7) & ~7 if ver == 1 else name_len
-            cvals = struct.unpack_from(f"<{ncv}I", body, pos)
+            cvals = _up(f"<{ncv}I", body, pos)
             pos += 4 * ncv
             if ver == 1 and ncv % 2:
                 pos += 4
@@ -727,7 +737,7 @@ class H5File:
                     # value is also accepted (pre-1.6.3 libhdf5 wrote
                     # it with a byte-order bug, and real HDF5 accepts
                     # both on read)
-                    (stored,) = struct.unpack_from("<I", raw, len(raw) - 4)
+                    (stored,) = _up("<I", raw, len(raw) - 4)
                     calc = _fletcher32(raw[:-4])
                     swapped = int.from_bytes(
                         calc.to_bytes(4, "little"), "big"
@@ -827,12 +837,12 @@ class H5File:
             if buf[addr : addr + 4] != b"TREE":
                 raise ValueError("bad chunk B-tree signature")
             level = buf[addr + 5]
-            used = struct.unpack_from("<H", buf, addr + 6)[0]
+            used = _up("<H", buf, addr + 6)[0]
             pos = addr + 24  # sig+type+level+used + 2 sibling addrs
             for _ in range(used):
-                nbytes, fmask = struct.unpack_from("<II", buf, pos)
-                offsets = struct.unpack_from(f"<{rank}Q", buf, pos + 8)
-                child = struct.unpack_from("<Q", buf, pos + keylen)[0]
+                nbytes, fmask = _up("<II", buf, pos)
+                offsets = _up(f"<{rank}Q", buf, pos + 8)
+                child = _up("<Q", buf, pos + keylen)[0]
                 pos += keylen + 8
                 if level > 0:
                     yield from walk(child)
@@ -876,8 +886,8 @@ class H5File:
         client = buf[hdr + 5]
         entry_size = buf[hdr + 6]
         page_bits = buf[hdr + 7]
-        nelmts = struct.unpack_from("<Q", buf, hdr + 8)[0]
-        dblk = struct.unpack_from("<Q", buf, hdr + 16)[0]
+        nelmts = _up("<Q", buf, hdr + 8)[0]
+        dblk = _up("<Q", buf, hdr + 16)[0]
         if dblk == _UNDEF:
             return
         if buf[dblk : dblk + 4] != b"FADB":
@@ -891,12 +901,12 @@ class H5File:
         )
 
         def element(p: int):
-            addr = struct.unpack_from("<Q", buf, p)[0]
+            addr = _up("<Q", buf, p)[0]
             if client == 0:
                 return addr, raw_nb, 0
             size_len = entry_size - 8 - 4
             nb = int.from_bytes(buf[p + 8 : p + 8 + size_len], "little")
-            fmask = struct.unpack_from("<I", buf, p + 8 + size_len)[0]
+            fmask = _up("<I", buf, p + 8 + size_len)[0]
             return addr, nb, fmask
 
         if nelmts > page_n:  # paged data block
@@ -936,15 +946,15 @@ class H5File:
             * ds.dtype.np_dtype.itemsize
         )
         for rec in bt.records():
-            (addr,) = struct.unpack_from("<Q", rec, 0)
+            (addr,) = _up("<Q", rec, 0)
             if bt.btype == 10:
                 nb, fmask, off0 = raw_nb, 0, 8
             else:
                 size_len = bt.rec_size - 12 - 8 * rank
                 nb = int.from_bytes(rec[8 : 8 + size_len], "little")
-                (fmask,) = struct.unpack_from("<I", rec, 8 + size_len)
+                (fmask,) = _up("<I", rec, 8 + size_len)
                 off0 = 12 + size_len
-            scaled = struct.unpack_from(f"<{rank}Q", rec, off0)
+            scaled = _up(f"<{rank}Q", rec, off0)
             offsets = tuple(
                 s * c for s, c in zip(scaled, ds.chunk_shape)
             )
@@ -990,8 +1000,8 @@ class H5File:
         min_elmts = buf[hdr + 9]
         min_ptrs = buf[hdr + 10]
         page_bits = buf[hdr + 11]
-        max_idx_set = struct.unpack_from("<Q", buf, hdr + 12 + 32)[0]
-        iblk = struct.unpack_from("<Q", buf, hdr + 12 + 48)[0]
+        max_idx_set = _up("<Q", buf, hdr + 12 + 32)[0]
+        iblk = _up("<Q", buf, hdr + 12 + 48)[0]
         if iblk == _UNDEF or max_idx_set == 0:
             return
         if buf[iblk : iblk + 4] != b"EAIB":
@@ -1004,12 +1014,12 @@ class H5File:
         )
 
         def element(p: int):
-            addr = struct.unpack_from("<Q", buf, p)[0]
+            addr = _up("<Q", buf, p)[0]
             if client == 0:
                 return addr, raw_nb, 0
             size_len = elmt_size - 8 - 4
             nb = int.from_bytes(buf[p + 8 : p + 8 + size_len], "little")
-            fmask = struct.unpack_from("<I", buf, p + 8 + size_len)[0]
+            fmask = _up("<I", buf, p + 8 + size_len)[0]
             return addr, nb, fmask
 
         def dblock_elements(dblk_addr: int, nelmts: int):
@@ -1055,14 +1065,14 @@ class H5File:
             dblk_nelmts = min_elmts << ((u + 1) // 2)
             if u < iblock_nsblks:
                 dblk_addrs = [
-                    struct.unpack_from(
+                    _up(
                         "<Q", buf, dblk_addr_pos + (direct_i + j) * 8
                     )[0]
                     for j in range(ndblks)
                 ]
                 direct_i += ndblks
             else:
-                sblk = struct.unpack_from(
+                sblk = _up(
                     "<Q", buf, sblk_addr_pos + sblk_i * 8
                 )[0]
                 sblk_i += 1
@@ -1076,7 +1086,7 @@ class H5File:
                         npages = dblk_nelmts // page_n
                         p += (ndblks * npages + 7) // 8
                     dblk_addrs = [
-                        struct.unpack_from("<Q", buf, p + j * 8)[0]
+                        _up("<Q", buf, p + j * 8)[0]
                         for j in range(ndblks)
                     ]
             for da in dblk_addrs:
@@ -1223,7 +1233,7 @@ def _v4_chunked_layout(
             )
             recs.append(rec)
         recs.sort(  # native order: scaled offsets, first dim slowest
-            key=lambda r: struct.unpack_from(
+            key=lambda r: _up(
                 f"<{rank}Q", r, len(r) - 8 * rank
             )
         )

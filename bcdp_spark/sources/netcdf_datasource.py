@@ -149,7 +149,12 @@ class NetCDFReader(DataSourceReader):
         from bcdp_spark.sources.cfcal import times_to_timestamps
         from bcdp_spark.sources.netcdf3 import read_header, read_var
 
-        files = sorted(_glob.glob(self._glob))
+        from bcdp_spark.sources.netcdf import _is_url, _magic4
+
+        if _is_url(self._glob):
+            files = [self._glob]
+        else:
+            files = sorted(_glob.glob(self._glob))
         if not files:
             raise FileNotFoundError(f"no files match {self._glob!r}")
 
@@ -165,11 +170,15 @@ class NetCDFReader(DataSourceReader):
         for path in files:
             if name_eq and os.path.basename(path) not in name_eq:
                 continue
-            with open(path, "rb") as fh:
-                magic = fh.read(4)
+            magic = _magic4(path)
             if magic == b"\x89HDF":
                 out.extend(self._hdf5_partitions(path, time_filters))
                 continue
+            if _is_url(path):
+                raise NotImplementedError(
+                    "remote classic (CDF) NetCDF is not supported — "
+                    "serve HDF5-backed NetCDF-4 over http(s) instead"
+                )
             if time_filters:
                 # header + time axis only (KBs), never the payload
                 from bcdp_spark.sources.netcdf import _resolve_coord
@@ -256,9 +265,9 @@ class NetCDFReader(DataSourceReader):
         from bcdp_spark.sources.netcdf import _apply_fill, _pick_var
         from bcdp_spark.sources.netcdf3 import read_netcdf3
 
-        with open(partition.path, "rb") as fh:
-            magic = fh.read(4)
-        if magic == b"\x89HDF":
+        from bcdp_spark.sources.netcdf import _magic4
+
+        if _magic4(partition.path) == b"\x89HDF":
             yield from self._read_hdf5(partition)
             return
         with open(partition.path, "rb") as fh:

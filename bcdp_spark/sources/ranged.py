@@ -33,21 +33,6 @@ class SparseBytes:
     def __len__(self) -> int:
         return self._size
 
-    def _get_page(self, pno: int) -> bytes:
-        pg = self._cache.get(pno)
-        if pg is None:
-            start = pno * self._page
-            n = min(self._page, self._size - start)
-            pg = self._pread(start, n)
-            if len(pg) != n:
-                raise ValueError(
-                    f"ranged read at {start} returned {len(pg)} bytes, "
-                    f"wanted {n}"
-                )
-            self._cache[pno] = pg
-            self.fetched_ranges.append((start, start + n))
-        return pg
-
     def __getitem__(self, key):
         if isinstance(key, int):
             if key < 0:
@@ -64,10 +49,46 @@ class SparseBytes:
         if stop <= start:
             return b""
         p0, p1 = start // self._page, (stop - 1) // self._page
-        parts = [self._get_page(p) for p in range(p0, p1 + 1)]
+        missing = [
+            p for p in range(p0, p1 + 1) if p not in self._cache
+        ]
+        if missing:
+            # coalesce: ONE ranged request spanning all missing pages
+            # of this slice (a 4 MiB chunk read is one GET, not 256) —
+            # cached pages inside the span are simply refreshed
+            lo_b = missing[0] * self._page
+            n = min((missing[-1] + 1) * self._page, self._size) - lo_b
+            blob = self._pread(lo_b, n)
+            if len(blob) != n:
+                raise ValueError(
+                    f"ranged read at {lo_b} returned {len(blob)} "
+                    f"bytes, wanted {n}"
+                )
+            self.fetched_ranges.append((lo_b, lo_b + n))
+            for p in range(missing[0], missing[-1] + 1):
+                o = p * self._page - lo_b
+                self._cache[p] = blob[o : o + self._page]
+        parts = [self._cache[p] for p in range(p0, p1 + 1)]
         buf = b"".join(parts)
         off = start - p0 * self._page
         return buf[off : off + (stop - start)]
+
+    def find(self, sub: bytes, start: int = 0) -> int:
+        """bytes.find over the lazy view: scans page windows (with a
+        len(sub)-1 overlap) from ``start``, fetching only as far as the
+        first hit — parsers that look for a terminator near the cursor
+        stay O(near)."""
+        if not sub:
+            return min(max(start, 0), self._size)
+        pos = max(start, 0)
+        while pos < self._size:
+            lo = (pos // self._page) * self._page
+            hi = min(lo + self._page + len(sub) - 1, self._size)
+            idx = self[lo:hi].find(sub, pos - lo)
+            if idx != -1:
+                return lo + idx
+            pos = lo + self._page
+        return -1
 
 
 def http_pread(url: str, opener=None):
