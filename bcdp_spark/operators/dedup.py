@@ -724,3 +724,61 @@ def strip_duplicated_spans(
             ),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    sep: str = " ",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM family of
+    train-test overlap removal): flag every training document that
+    shares at least one word ``n``-gram with the benchmark set. Returns
+    ``train`` plus a boolean ``contaminated`` column — callers filter
+    or route. ``n=13`` is the published GPT-3 setting; fixture queries
+    use smaller n so the tiny vocab actually collides.
+
+    Scale design (100 TB train, MB-scale benchmarks): the benchmark
+    side is DISTINCT-ed n-grams of a few-thousand-document eval suite —
+    tiny relative to train — so it broadcasts and the train side is
+    NEVER shuffled on the gram: contaminated ids fall out of a
+    broadcast left-semi over the exploded train grams, and only the
+    (distinct) contaminated id set — bounded by |train| ids, 8 bytes
+    each — shuffles back for the final left join. Pass
+    ``broadcast_bench=False`` for pathological benchmark sizes; the
+    semi-join then shuffles on the gram string (hash to xxhash64
+    upstream if grams are long).
+    """
+    _guard_reserved(train, ("__toks", "__gram", "__contam"))
+    _guard_reserved(bench, ("__toks", "__gram"))
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), sep)
+        g = F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> array_join(slice(__toks, i, {n}), {sep!r})) "
+            "ELSE array() END"
+        )
+        return df.select(F.col(id_col), toks.alias("__toks")).select(
+            F.col(id_col), F.explode(g).alias("__gram")
+        )
+
+    bg = grams(bench).select("__gram").distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    bad = (
+        grams(train)
+        .join(bg, "__gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+    return train.join(bad, id_col, "left").select(
+        *[F.col(c) for c in train.columns],
+        F.coalesce(F.col("__contam"), F.lit(False)).alias("contaminated"),
+    )

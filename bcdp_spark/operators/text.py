@@ -450,3 +450,32 @@ def bigram_lm_scores(
             6,
         ).alias("avg_nll"),
     )
+
+
+def nfc_normalize(col: str) -> Column:
+    """Unicode NFC normalization (canonical decomposition + canonical
+    composition, UAX #15) as an Arrow-batched scalar pandas UDF over
+    Python's ``unicodedata`` — Spark has no built-in normalizer, and
+    byte-identical text is a precondition for exact dedup: the SAME
+    visible string in composed (U+00E1) vs decomposed (a + U+0301) form
+    hashes differently, so corpora mixing sources MUST normalize before
+    fingerprinting.
+
+    The sanctioned slow path (SURVEY §2.10 U4): one Arrow batch in, one
+    out, no shuffle — a pure map stage that pipelines with the scan.
+    Oracle note: utf8proc (DuckDB ``nfc_normalize``) and Python's
+    ``unicodedata`` implement the same Unicode canonical composition,
+    so results are byte-identical on any valid input."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    return _nfc(F.col(col))

@@ -1,0 +1,64 @@
+"""Z-order (Morton) clustering + file-skipping statistics — the layout
+half of data skipping (Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog).
+
+The point at 100 TB: a table's min/max file statistics only prune when
+the layout CLUSTERS the predicate columns. This module provides
+
+- ``zvalue(x, y, bits)``: bit-interleaved Morton code as a PURE
+  Catalyst column (generated shiftright/&/shiftleft expression — no
+  UDF, codegen-friendly), and
+- ``zvalue_sql(x, y, bits)``: the byte-identical arithmetic as an ANSI
+  SQL fragment, so layout experiments are oracle-twinnable.
+
+Scale design: bucketing here is by Z-VALUE BIT PREFIX (``z >> shift``)
+— a map-side expression, NO global sort and NO single-partition window.
+A production rewrite would ``repartitionByRange(zvalue)`` then write
+(Spark's range partitioner samples, so the sort is distributed); the
+prefix bucketing computes the same clustering statistics without
+materializing the rewrite, which is exactly what a layout advisor
+needs before committing a 100 TB rewrite.
+
+Reference parity: layout/clustering advisors sit outside bcdp's verb
+surface [UNVERIFIED — /root/reference was empty at survey time;
+SURVEY.md §0]; public analogs are Delta OPTIMIZE ZORDER and the
+original Morton 1966 interleave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _interleave_terms(x: str, y: str, bits: int, dialect: str) -> list[str]:
+    """One term per output bit: x's bit i lands at 2i, y's at 2i+1.
+    ``dialect`` picks the shift spelling — Spark SQL has shiftleft/
+    shiftright functions, DuckDB has << / >> operators; & is common."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return terms
+
+
+def zvalue(x: str, y: str, bits: int = 16) -> Column:
+    """Morton code of two non-negative ints, low ``bits`` of each
+    interleaved (x even positions, y odd) into a ``2*bits``-bit long.
+    Inputs wider than ``bits`` bits alias — callers bound/normalize
+    their dimensions first (the standard z-order contract)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    return F.expr(" | ".join(_interleave_terms(x, y, bits, "spark")))
+
+
+def zvalue_sql(x: str, y: str, bits: int = 16) -> str:
+    """The SAME interleave as :func:`zvalue`, as a SQL fragment DuckDB
+    (or any engine with <<, >>, &) evaluates identically — shifts and
+    masks are exact on integers, so the twin check is bit-for-bit."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    return "(" + " | ".join(_interleave_terms(x, y, bits, "sql")) + ")"

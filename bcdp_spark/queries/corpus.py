@@ -1671,3 +1671,118 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     docs = table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, text_col="text", id_col="doc_id", k=1.0)
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r7) — benchmark decontamination (GPT-3 appendix-C style
+# train-test overlap removal). The benchmark set is the doc_id % 97
+# slice; a training doc is contaminated when it shares any word 4-gram
+# with it (n=13 in the published setting; 4 makes the tiny fixture
+# vocab collide). Operator: operators/dedup.py decontaminate — the
+# benchmark gram set broadcasts, the train side never shuffles on the
+# gram, only the distinct contaminated id set shuffles back.
+# Complements q_contamination (queries/text.py), which SCORES per-doc
+# char-8-gram overlap; this key is the REMOVAL half — a boolean gate +
+# per-source kept/dropped accounting, the filter pipelines apply.
+# ---------------------------------------------------------------------------
+@register(
+    "q_decontaminate",
+    oracle="""
+WITH bench AS (
+  SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, source, n_chars, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 97 <> 0
+),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+  FROM bench, UNNEST(range(1, GREATEST(len(toks) - 4 + 2, 1))) AS u(i)
+),
+tg AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+  FROM train, UNNEST(range(1, GREATEST(len(toks) - 4 + 2, 1))) AS u(i)
+),
+bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       COUNT(bad.doc_id) AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN bad.doc_id IS NULL THEN t.n_chars END),
+                     0) AS BIGINT) AS kept_chars
+FROM train t LEFT JOIN bad USING (doc_id)
+GROUP BY t.source
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.dedup import decontaminate
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = decontaminate(
+        train, bench, text_col="text", id_col="doc_id", n=4
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(~F.col("contaminated"), F.col("n_chars"))),
+            F.lit(0),
+        ).alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4/X4 (r7) — Unicode NFC normalization before fingerprinting. The
+# fixture corpus is ASCII, so the key first DECOMPOSES deterministically
+# (every 'a' in odd doc_ids becomes 'a' + U+0301 combining acute — the
+# mixed-source mess NFC exists to fix), then normalizes back via the
+# Arrow-batched pandas UDF (operators/text.py nfc_normalize) and
+# accounts per lang. First oracle-checked key on the U4 scalar-pandas-
+# UDF surface: DuckDB's utf8proc nfc_normalize twins unicodedata's NFC.
+# ---------------------------------------------------------------------------
+@register(
+    "q_unicode_norm",
+    oracle="""
+WITH messy AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 2 = 1
+              THEN replace(text, 'a', 'a' || chr(769))
+              ELSE text END AS raw
+  FROM documents
+),
+n AS (
+  SELECT lang, raw, nfc_normalize(raw) AS fixed FROM messy
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN fixed <> raw THEN 1 END) AS n_changed,
+       CAST(SUM(length(raw)) AS BIGINT) AS raw_chars,
+       CAST(SUM(length(fixed)) AS BIGINT) AS nfc_chars
+FROM n GROUP BY lang
+""",
+)
+def q_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import nfc_normalize
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.regexp_replace("text", "a", "a\u0301"),  # decomposed: a + combining acute
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    n = messy.withColumn("fixed", nfc_normalize("raw"))
+    return n.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("fixed") != F.col("raw"), 1)).alias(
+            "n_changed"
+        ),
+        F.sum(F.length("raw")).alias("raw_chars"),
+        F.sum(F.length("fixed")).alias("nfc_chars"),
+    )

@@ -537,3 +537,92 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_distinct_texts"),
     )
     return detail.unionByName(total).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# EXT (r7) — Z-order layout advisor: file-skipping statistics for three
+# candidate layouts of the orders table under a 2-D predicate box
+# (custkey 200-400 x orderdate days 365-730 from 1995-01-01):
+#   roundrobin — unclustered ingest (o_orderkey % 256): min/max spans
+#                everything, nothing prunes;
+#   bycust     — 1-D clustering (custkey / 16): prunes the custkey dim
+#                only, every surviving file still spans all dates;
+#   zorder     — Morton-prefix clustering (operators/zorder.py): both
+#                dims prune multiplicatively.
+# Buckets are BIT-PREFIX expressions (map-side, no global sort — see
+# operators/zorder.py scale note); file min/max stats decide overlap,
+# exactly as parquet row-group / Delta file stats would. The oracle
+# replays the identical interleave via zvalue_sql, so the hash check
+# certifies the Morton arithmetic bit-for-bit.
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from bcdp_spark.operators.zorder import zvalue_sql
+
+    z = zvalue_sql("x", "y", bits=14)
+    branches = []
+    for name, bucket in (
+        ("roundrobin", "o_orderkey % 256"),
+        ("bycust", "x // 16"),
+        ("zorder", f"{z} >> 16"),
+    ):
+        branches.append(f"""
+SELECT '{name}' AS layout, COUNT(*) AS n_files,
+       COUNT(CASE WHEN max_x >= 200 AND min_x <= 400
+                   AND max_y >= 365 AND min_y <= 730 THEN 1 END) AS n_hit,
+       ROUND(1.0 - COUNT(CASE WHEN max_x >= 200 AND min_x <= 400
+                   AND max_y >= 365 AND min_y <= 730 THEN 1 END)
+             / COUNT(*), 6) AS skip_frac
+FROM (
+  SELECT {bucket} AS b, MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM dims GROUP BY 1
+)""")
+    return (
+        "WITH dims AS (SELECT o_orderkey, o_custkey AS x, "
+        "date_diff('day', DATE '1995-01-01', o_orderdate) AS y FROM orders)"
+        + " UNION ALL ".join(branches)
+    )
+
+
+@register("q_zorder_skipping", oracle=_zorder_oracle())
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.zorder import zvalue
+
+    utc(spark)
+    dims = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("y"),
+    )
+    outs = []
+    for name, bucket in (
+        ("roundrobin", F.col("o_orderkey") % 256),
+        ("bycust", F.floor(F.col("x") / 16)),
+        ("zorder", F.shiftright(zvalue("x", "y", bits=14), 16)),
+    ):
+        stats = dims.groupBy(bucket.alias("b")).agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        hit = (
+            (F.col("max_x") >= 200)
+            & (F.col("min_x") <= 400)
+            & (F.col("max_y") >= 365)
+            & (F.col("min_y") <= 730)
+        )
+        outs.append(
+            stats.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.count(F.when(hit, 1)).alias("n_hit"),
+                F.round(
+                    1.0 - F.count(F.when(hit, 1)) / F.count(F.lit(1)), 6
+                ).alias("skip_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1938,3 +1938,112 @@ def test_gram_blocked_sparse_pair_set_matches_joined(spark):
     assert blocked == joined
     assert (0, 3) not in blocked  # never co-occurs anywhere
     assert (1, 2) in blocked      # bridged by cell (2,2)
+
+
+# ---------------------------------------------------- decontamination
+def test_decontaminate_flags_overlap_and_keeps_clean(spark):
+    from bcdp_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # shares 3-gram with bench
+            (2, "entirely different words here"),  # clean
+            (3, "quick brown fox trailing junk"),  # shares 3-gram
+            (4, "xx"),                             # shorter than n: clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "lead-in quick brown fox something")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_decontaminate_preserves_train_columns(spark):
+    from bcdp_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d", "keepme")], "doc_id long, text string, extra string"
+    )
+    bench = spark.createDataFrame([(9, "zzz")], "doc_id long, text string")
+    row = decontaminate(train, bench, n=2).collect()[0]
+    assert row["extra"] == "keepme" and row["contaminated"] is False
+
+
+def test_decontaminate_reserved_column_guard(spark):
+    from bcdp_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, __gram string")
+    bench = spark.createDataFrame([(9, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="__gram"):
+        decontaminate(train, bench, n=1)
+
+
+# ----------------------------------------------------------- z-order
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    from bcdp_spark.operators.zorder import zvalue
+
+    pts = [(x, y) for x in (0, 1, 5, 1023, 4095) for y in (0, 2, 7, 900, 4095)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue("x", "y", bits=12).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_morton(x, y, 12), (x, y)
+
+
+def test_zvalue_sql_twin_is_identical(spark, duck):
+    from bcdp_spark.operators.zorder import zvalue, zvalue_sql
+
+    pts = [(3, 9), (100, 7), (2047, 2047)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    s = sorted(
+        r["z"] for r in df.select(zvalue("x", "y", bits=11).alias("z")).collect()
+    )
+    vals = ", ".join(f"({x}, {y})" for x, y in pts)
+    d = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT {zvalue_sql('x', 'y', bits=11)} FROM (VALUES {vals}) t(x, y)"
+        ).fetchall()
+    )
+    assert s == d
+
+
+def test_zvalue_bits_bounds():
+    from bcdp_spark.operators.zorder import zvalue, zvalue_sql
+
+    for bad in (0, 32):
+        with pytest.raises(ValueError):
+            zvalue("x", "y", bits=bad)
+        with pytest.raises(ValueError):
+            zvalue_sql("x", "y", bits=bad)
+
+
+# ------------------------------------------------------ NFC normalize
+def test_nfc_normalize_recomposes_and_passes_null(spark):
+    from bcdp_spark.operators.text import nfc_normalize
+
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, "plain"), (3, None)],  # decomposed input
+        "i long, s string",
+    )
+    out = {r["i"]: r["n"] for r in df.select("i", nfc_normalize("s").alias("n")).collect()}
+    assert out[1] == "caf\u00e9"  # recomposed e-acute, NOT e + U+0301
+    assert out[1] != "cafe\u0301"
+    assert out[2] == "plain"
+    assert out[3] is None

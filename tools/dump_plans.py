@@ -90,6 +90,13 @@ HEADLINE = (
     # filter) and gaps-and-islands spell lengths
     "q_region_mask",
     "q_spell_lengths",
+    # round-7 — decontamination (broadcast-gram anti-join), z-order
+    # layout advisor (prefix buckets, no global sort), NFC normalize
+    # (Arrow-batched U4 map stage), first-touch funnel (single shuffle)
+    "q_decontaminate",
+    "q_zorder_skipping",
+    "q_unicode_norm",
+    "q_funnel",
 )
 
 
