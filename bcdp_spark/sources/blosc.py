@@ -177,6 +177,54 @@ def _split(codec: str, typesize: int, blocksize: int, leftover: bool) -> int:
     return 1
 
 
+def _bitshuffle(buf: bytes, typesize: int) -> bytes:
+    """bitshuffle's ``bshuf_trans_bit_elem`` (the transform c-blosc
+    applies per block under the BITSHUFFLE flag): byte-transpose the
+    ``[nelem, typesize]`` matrix, then within each byte-plane transpose
+    bits so plane ``j`` of a byte-row collects bit ``7-j`` (MSB first)
+    of every element, elements packing LSB-first into output bytes.
+
+    Bit-order provenance (public bitshuffle/c-blosc sources): the SSE2
+    kernel extracts planes with ``_mm_movemask_epi8`` — which reads the
+    MSB of each byte lane — then shifts left and repeats, so the FIRST
+    emitted plane is bit 7; ``movemask`` packs lane ``m`` into result
+    bit ``m``, so element index packs LSB-first. Elements beyond the
+    largest multiple of 8 are copied verbatim after the transposed body
+    (the reference's ``size -= size % 8`` + trailing memcpy)."""
+    nelem = len(buf) // typesize
+    n8 = nelem - nelem % 8
+    if n8 == 0 or typesize < 1:
+        return buf
+    body = (
+        np.frombuffer(buf[: n8 * typesize], dtype=np.uint8)
+        .reshape(n8, typesize)
+        .T.copy()
+    )  # [typesize, n8] byte-transposed
+    bits = np.unpackbits(body, axis=1, bitorder="big")  # [t, n8*8]
+    planes = bits.reshape(typesize, n8, 8).transpose(0, 2, 1)  # [t, 8, n8]
+    out = np.packbits(
+        planes.reshape(typesize * 8, n8), axis=1, bitorder="little"
+    )  # [t*8, n8/8]
+    return out.tobytes() + buf[n8 * typesize :]
+
+
+def _bitunshuffle(buf: bytes, typesize: int) -> bytes:
+    """Inverse of :func:`_bitshuffle` (``bshuf_untrans_bit_elem``)."""
+    nelem = len(buf) // typesize
+    n8 = nelem - nelem % 8
+    if n8 == 0 or typesize < 1:
+        return buf
+    planes = np.frombuffer(buf[: n8 * typesize], dtype=np.uint8).reshape(
+        typesize * 8, n8 // 8
+    )
+    bits = np.unpackbits(planes, axis=1, bitorder="little")  # [t*8, n8]
+    bits = bits.reshape(typesize, 8, n8).transpose(0, 2, 1)  # [t, n8, 8]
+    rows = np.packbits(
+        bits.reshape(typesize * n8, 8), axis=1, bitorder="big"
+    ).reshape(typesize, n8)
+    return rows.T.tobytes() + buf[n8 * typesize :]
+
+
 def _unshuffle(buf: bytes, typesize: int) -> bytes:
     if typesize <= 1 or len(buf) % typesize:
         return buf
@@ -199,10 +247,6 @@ def blosc_decompress(raw: bytes) -> bytes:
     if cbytes != len(raw):
         raise ValueError(
             f"blosc header cbytes {cbytes} != frame length {len(raw)}"
-        )
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle filter not supported (byte shuffle only)"
         )
     if flags & _MEMCPY:
         if len(raw) < 16 + nbytes:
@@ -250,7 +294,9 @@ def blosc_decompress(raw: bytes) -> bytes:
                 f"blosc block {b} decoded {len(block)} bytes, "
                 f"expected {bsize}"
             )
-        if flags & _SHUFFLE:
+        if flags & _BITSHUFFLE:
+            block = bytearray(_bitunshuffle(bytes(block), typesize))
+        elif flags & _SHUFFLE:
             block = bytearray(_unshuffle(bytes(block), typesize))
         out += block
     if len(out) != nbytes:
@@ -262,13 +308,14 @@ def blosc_compress(
     data: bytes,
     typesize: int,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle: bool | str = True,
     blocksize: int = 0,
 ) -> bytes:
     """Fixture/sink encoder producing frames c-blosc would accept.
-    ``cname='zstd'`` segments are compressed with pyarrow's bundled
-    libzstd (a declared engine dependency) — the decode side is our
-    own from-scratch ``sources/zstd.py``."""
+    ``shuffle`` is True/'byte' (byte shuffle), 'bit' (bitshuffle), or
+    False/None. ``cname='zstd'`` segments are compressed with pyarrow's
+    bundled libzstd (a declared engine dependency) — the decode side is
+    our own from-scratch ``sources/zstd.py``."""
     codec_id = {v: k for k, v in _CODECS.items()}.get(cname)
     if cname not in ("lz4", "zlib", "zstd"):
         raise NotImplementedError(f"blosc_compress cname {cname!r}")
@@ -278,7 +325,18 @@ def blosc_compress(
         blocksize = min(nbytes, 1 << 16) or 1
     blocksize -= blocksize % typesize or 0
     blocksize = max(blocksize, typesize)
-    flags = (codec_id << 5) | (_SHUFFLE if shuffle and typesize > 1 else 0)
+    if shuffle == "bit":
+        # c-blosc aligns bitshuffled blocks to 8-element groups so only
+        # the final block carries a sub-group leftover
+        blocksize = max(blocksize - blocksize % (typesize * 8), typesize)
+        sflag = _BITSHUFFLE
+    elif shuffle in (True, "byte") and typesize > 1:
+        sflag = _SHUFFLE
+    elif shuffle in (True, "byte", False, None):
+        sflag = 0
+    else:
+        raise ValueError(f"shuffle must be True/'byte'/'bit'/False, got {shuffle!r}")
+    flags = (codec_id << 5) | sflag
     if nbytes == 0:
         head = bytes([2, 1, flags, typesize]) + struct.pack(
             "<iii", 0, blocksize, 16
@@ -289,7 +347,9 @@ def blosc_compress(
     for b in range(nblocks):
         bsize = min(blocksize, nbytes - b * blocksize)
         block = data[b * blocksize : b * blocksize + bsize]
-        if flags & _SHUFFLE:
+        if flags & _BITSHUFFLE:
+            block = _bitshuffle(block, typesize)
+        elif flags & _SHUFFLE:
             block = _shuffle(block, typesize)
         leftover = bsize != blocksize
         nsplits = _split(cname, typesize, blocksize, leftover)

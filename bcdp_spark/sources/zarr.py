@@ -155,7 +155,7 @@ _V3_DTYPES = {
 
 def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
     """zarr.json (v3 core spec) → ZArrayMeta. Codecs supported: bytes
-    (endian), gzip, zstd, blosc (byte shuffle), transpose, crc32c
+    (endian), gzip, zstd, blosc (byte + bit shuffle), transpose, crc32c
     (VERIFIED against sources/crc32c.py, mismatch raises),
     sharding_indexed; anything else raises by name."""
     if doc.get("node_type") != "array":
@@ -210,10 +210,6 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
             if cfg.get("cname", "lz4") not in _SUPPORTED_BLOSC_CNAMES:
                 raise NotImplementedError(
                     f"{name}: v3 blosc cname {cfg.get('cname')!r}"
-                )
-            if cfg.get("shuffle") == "bitshuffle":
-                raise NotImplementedError(
-                    f"{name}: v3 blosc bit-shuffle (byte shuffle only)"
                 )
         elif c.get("name") not in ("bytes", "gzip", "zstd", "crc32c"):
             raise NotImplementedError(f"{name}: v3 codec {c.get('name')!r}")
@@ -280,10 +276,6 @@ def read_array_meta(
             raise NotImplementedError(
                 f"{name}: blosc cname {cname!r} needs a codec not in "
                 f"this container (supported: {_SUPPORTED_BLOSC_CNAMES})"
-            )
-        if int(comp.get("shuffle", 0)) == 2:
-            raise NotImplementedError(
-                f"{name}: blosc bit-shuffle not supported (byte shuffle only)"
             )
     if consolidated is not None and f"{name}/.zattrs" in consolidated:
         attrs = consolidated[f"{name}/.zattrs"]
@@ -886,7 +878,9 @@ def write_zarr(
                         raw,
                         typesize=arr.dtype.itemsize,
                         cname=compressor.get("cname", "lz4"),
-                        shuffle=int(compressor.get("shuffle", 1)) == 1,
+                        shuffle={0: False, 1: "byte", 2: "bit"}[
+                            int(compressor.get("shuffle", 1))
+                        ],
                         blocksize=int(compressor.get("blocksize", 0)),
                     )
                 elif compressor["id"] == "zstd":

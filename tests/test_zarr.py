@@ -954,6 +954,68 @@ def test_v3_blosc_codec(tmp_path, spark):
     assert pdf.value.sum() == pytest.approx(data.sum())
 
 
+def test_v3_blosc_bitshuffle_codec(tmp_path, spark):
+    """v3 bytes->blosc chain with shuffle='bitshuffle' (the numcodecs
+    zarr-v3 spelling): chunks framed by our blosc writer in bit mode."""
+    import json as _json
+
+    from bcdp_spark.sources.blosc import blosc_compress
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store = str(tmp_path / "v3bb.zarr")
+    nt, na, no = 4, 3, 4
+    data = (np.arange(nt * na * no, dtype="<f8") * 0.5).reshape(nt, na, no)
+    os.makedirs(store)
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(os.path.join(store, "zarr.json"), "w"))
+
+    def arr_doc(shape, chunk, dims, codecs):
+        return {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(shape), "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(chunk)}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": 0, "codecs": codecs,
+            "dimension_names": dims,
+        }
+
+    bytes_c = {"name": "bytes", "configuration": {"endian": "little"}}
+    blosc_c = {"name": "blosc", "configuration": {
+        "cname": "lz4", "clevel": 5, "shuffle": "bitshuffle", "typesize": 8}}
+    coords = {
+        "time": (np.arange(nt, dtype="<f8"),
+                 {"units": "days since 2001-01-01"}),
+        "lat": (np.linspace(-30, 30, na), {}),
+        "lon": (np.arange(no) * 90.0, {}),
+    }
+    for cname, (cv, cattrs) in coords.items():
+        d = os.path.join(store, cname)
+        os.makedirs(os.path.join(d, "c"), exist_ok=True)
+        doc = arr_doc(cv.shape, cv.shape, [cname], [bytes_c])
+        doc["attributes"] = cattrs
+        _json.dump(doc, open(os.path.join(d, "zarr.json"), "w"))
+        open(os.path.join(d, "c", "0"), "wb").write(cv.tobytes())
+    d = os.path.join(store, "pr")
+    os.makedirs(os.path.join(d, "c", "0", "0"), exist_ok=True)
+    os.makedirs(os.path.join(d, "c", "1", "0"), exist_ok=True)
+    _json.dump(
+        arr_doc((nt, na, no), (2, 3, 4), ["time", "lat", "lon"],
+                [bytes_c, blosc_c]),
+        open(os.path.join(d, "zarr.json"), "w"),
+    )
+    for ci in range(2):
+        chunk = np.ascontiguousarray(data[ci * 2 : ci * 2 + 2])
+        open(os.path.join(d, "c", str(ci), "0", "0"), "wb").write(
+            blosc_compress(chunk.tobytes(), typesize=8, cname="lz4",
+                           shuffle="bit")
+        )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == data.size
+    assert pdf.value.sum() == pytest.approx(data.sum())
+
+
 def test_v3_transpose_codec(tmp_path):
     """transpose codec: stored chunk is permuted; decode inverts."""
     import json as _json
