@@ -43,7 +43,9 @@ Scope (the gridded-raster subset):
   GeoKeyDirectory (34735) key 1025 RasterPixelIsArea/Point — area
   rasters emit PIXEL-CENTER coordinates (origin + (i+0.5)·scale, the
   GDAL convention), point rasters the stored coordinates;
-  ModelTransformation (34264) raises loudly (rotated grids);
+  ModelTransformation (34264) 2-D affines (rotated/sheared grids, r7)
+  — block pruning uses the corner hull, pixel coordinates the full
+  affine; 3-D transforms (z cross terms) raise loudly;
 - GDAL_NODATA (42113) → NULL, like _FillValue on the NetCDF path.
 
 Distributed shape (``load_geotiff``): stage 1 parses ONLY the header
@@ -104,11 +106,16 @@ class TiffMeta:
     planar: int = 1   # 1 chunky/interleaved, 2 planar (plane-major)
     offsets: list[int] = field(default_factory=list)
     counts: list[int] = field(default_factory=list)
-    # pixel-center coordinate of pixel (0, 0) and per-pixel steps
+    # pixel-center coordinate of pixel (0, 0) and the affine steps:
+    # lon = lon0 + col*dlon + row*xr ; lat = lat0 - row*dlat + col*yc
+    # (xr/yc are the ModelTransformation cross terms — 0 for the
+    # axis-aligned ModelPixelScale rasters that dominate in practice)
     lon0: float = 0.5
     lat0: float = -0.5
     dlon: float = 1.0
     dlat: float = 1.0  # positive; lat decreases with row index
+    xr: float = 0.0  # d(lon)/d(row) — rotated/sheared grids only
+    yc: float = 0.0  # d(lat)/d(col)
     nodata: float | None = None
     n_overviews: int = 0
 
@@ -146,16 +153,35 @@ class TiffMeta:
         return self.spp if self.planar == 1 else 1
 
     def block_bbox(self, bi: int, bj: int):
-        """(lat_min, lat_max, lon_min, lon_max) of spatial block."""
+        """(lat_min, lat_max, lon_min, lon_max) of spatial block —
+        min/max over the four affine-imaged corners, so the bound is
+        exact for axis-aligned grids and a tight hull for rotated ones
+        (pruning stays CONSERVATIVE either way: a block is only
+        dropped when no corner-spanned coordinate can match)."""
         r0, c0 = bi * self.block_l, bj * self.block_w
         r1 = min(r0 + self.block_l, self.length) - 1
         c1 = min(c0 + self.block_w, self.width) - 1
-        return (
-            self.lat0 - r1 * self.dlat,
-            self.lat0 - r0 * self.dlat,
-            self.lon0 + c0 * self.dlon,
-            self.lon0 + c1 * self.dlon,
-        )
+        lats = [
+            self.lat0 - r * self.dlat + c * self.yc
+            for r in (r0, r1)
+            for c in (c0, c1)
+        ]
+        lons = [
+            self.lon0 + c * self.dlon + r * self.xr
+            for r in (r0, r1)
+            for c in (c0, c1)
+        ]
+        return (min(lats), max(lats), min(lons), max(lons))
+
+    def pixel_latlon(self, r0: int, c0: int, n_r: int, n_c: int):
+        """2-D pixel-center (lat, lon) grids for a block window —
+        the general affine; callers on the axis-aligned fast path use
+        separable 1-D vectors instead."""
+        rr = (r0 + np.arange(n_r, dtype="f8"))[:, None]
+        cc = (c0 + np.arange(n_c, dtype="f8"))[None, :]
+        lat = self.lat0 - rr * self.dlat + cc * self.yc
+        lon = self.lon0 + cc * self.dlon + rr * self.xr
+        return np.broadcast_arrays(lat, lon)
 
 
 def _unp(raw, e: str, fmt: str, off: int) -> tuple:
@@ -262,12 +288,6 @@ def _meta_from_ifd(
             "GeoTIFF: predictor 3 on non-float samples not supported "
             "(the floating-point predictor is defined for float data)"
         )
-    if _T_MODEL_TRANSFORM in t:
-        raise NotImplementedError(
-            "GeoTIFF: ModelTransformation (rotated/sheared grid) not "
-            "supported — axis-aligned ModelPixelScale rasters only"
-        )
-
     width, length = t[_T_WIDTH][0], t[_T_LENGTH][0]
     if _T_TILE_OFFSETS in t:
         tiled = True
@@ -281,22 +301,49 @@ def _meta_from_ifd(
 
     # georeference: pixel-is-area (GeoKey 1025 default 1) shifts to
     # pixel centers; pixel-is-point (2) uses stored coordinates
-    if _T_PIXEL_SCALE in t:
+    area = True
+    if _T_GEO_KEYS in t:
+        gk = t[_T_GEO_KEYS]
+        for k in range(4, len(gk), 4):
+            if gk[k] == 1025 and gk[k + 3] == 2:  # GTRasterTypeGeoKey
+                area = False
+    half = 0.5 if area else 0.0
+    xr = yc = 0.0
+    if _T_MODEL_TRANSFORM in t:
+        # 4x4 row-major affine: x = m0*i + m1*j + m3, y = m4*i + m5*j
+        # + m7 (i = col, j = row) — the rotated/sheared-grid encoding
+        # GeoTIFF 1.1 §B.6 defines as the alternative to
+        # PixelScale+Tiepoint. Only the 2-D slice is meaningful here.
+        m = [float(v) for v in t[_T_MODEL_TRANSFORM]]
+        if len(m) != 16:
+            raise ValueError(
+                f"GeoTIFF: ModelTransformation has {len(m)} values, "
+                "expected 16"
+            )
+        if m[2] or m[6]:
+            raise NotImplementedError(
+                "GeoTIFF: 3-D ModelTransformation (z cross terms) not "
+                "supported — 2-D affine only"
+            )
+        sx, xr = m[0], m[1]
+        yc, sy = m[4], -m[5]
+        lon0 = m[3] + half * (m[0] + m[1])
+        lat0 = m[7] + half * (m[4] + m[5])
+    elif _T_PIXEL_SCALE in t:
         sx, sy = float(t[_T_PIXEL_SCALE][0]), float(t[_T_PIXEL_SCALE][1])
         tie = t.get(_T_TIEPOINT, (0.0,) * 6)
-        area = True
-        if _T_GEO_KEYS in t:
-            gk = t[_T_GEO_KEYS]
-            for k in range(4, len(gk), 4):
-                if gk[k] == 1025 and gk[k + 3] == 2:  # GTRasterTypeGeoKey
-                    area = False
-        half = 0.5 if area else 0.0
         # tiepoint maps raster (i, j) -> model (x, y); solve pixel (0,0)
         lon0 = float(tie[3]) - (float(tie[0]) - half) * sx
         lat0 = float(tie[4]) + (float(tie[1]) - half) * sy
     elif fallback is not None:
         # GDAL COG overview IFDs carry no geo tags: scale the full-res
         # georeference by the size ratio, pixel-is-area edge algebra
+        if fallback.xr or fallback.yc:
+            raise NotImplementedError(
+                "GeoTIFF: geo-tag-less overview IFD under a rotated "
+                "(ModelTransformation) full-res grid — the axis-"
+                "aligned size-ratio fallback does not apply"
+            )
         sx = fallback.dlon * (fallback.width / width)
         sy = fallback.dlat * (fallback.length / length)
         lon0 = fallback.lon0 - 0.5 * fallback.dlon + 0.5 * sx
@@ -319,7 +366,8 @@ def _meta_from_ifd(
         predictor=pred, block_w=bw, block_l=bl, tiled=tiled,
         spp=spp, planar=planar,
         offsets=list(offsets), counts=list(counts),
-        lon0=lon0, lat0=lat0, dlon=sx, dlat=sy, nodata=nodata,
+        lon0=lon0, lat0=lat0, dlon=sx, dlat=sy, xr=xr, yc=yc,
+        nodata=nodata,
     )
     if len(meta.offsets) != meta.n_units or len(meta.counts) != meta.n_units:
         raise ValueError(
@@ -686,7 +734,28 @@ def _build_page(
         entries.append((_T_PLANAR, 3, 1, (planar,)))
     entries.append((_T_PREDICTOR, 3, 1, (predictor,)))
     entries.append((_T_SAMPLE_FORMAT, 3, spp, (kind,) * spp))
-    if geo is not None:
+    if geo is not None and len(geo) == 6:
+        # rotated grid: 4x4 ModelTransformation mapping the pixel
+        # ANCHOR (corner for pixel-is-area) — inverse of the reader's
+        # center algebra so the round trip is exact
+        lat0, lon0, dlat, dlon, xr, yc = geo
+        half = 0.0 if pixel_is_point else 0.5
+        m3 = lon0 - half * (dlon + xr)
+        m7 = lat0 - half * (yc - dlat)
+        entries.append(
+            (
+                _T_MODEL_TRANSFORM,
+                12,
+                16,
+                (
+                    dlon, xr, 0.0, m3,
+                    yc, -dlat, 0.0, m7,
+                    0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 1.0,
+                ),
+            )
+        )
+    elif geo is not None:
         lat0, lon0, dlat, dlon = geo
         # tiepoint at raster (half, half) == the pixel-(0,0) center
         # (or the stored point for pixel-is-point) keeps the reader
@@ -696,6 +765,7 @@ def _build_page(
         entries.append(
             (_T_TIEPOINT, 12, 6, (half, half, 0.0, lon0, lat0, 0.0))
         )
+    if geo is not None:
         entries.append(
             (_T_GEO_KEYS, 3, 8,
              (1, 1, 1, 1, 1025, 0, 1, 2 if pixel_is_point else 1))
@@ -794,6 +864,7 @@ def write_geotiff(
     planar: int = 1,
     overviews: tuple[int, ...] = (),
     overview_geo: bool = True,
+    rotation: tuple[float, float] | None = None,
 ) -> bytes:
     """Serialize one raster as little-endian (Big)TIFF + GeoTIFF tags.
 
@@ -825,7 +896,19 @@ def write_geotiff(
             np.isnan(data.astype("f8")), nodata, data
         ).astype(data.dtype)
 
-    pages = [(data, (lat0, lon0, dlat, dlon), None)]
+    if rotation is not None:
+        # rotated/sheared grid -> ModelTransformation tag; the
+        # overview size-ratio fallback is axis-aligned-only, so the
+        # combination is rejected on the write side too
+        if overviews:
+            raise NotImplementedError(
+                "write_geotiff: rotation with overview IFDs not "
+                "supported"
+            )
+        xr, yc = float(rotation[0]), float(rotation[1])
+        pages = [(data, (lat0, lon0, dlat, dlon, xr, yc), None)]
+    else:
+        pages = [(data, (lat0, lon0, dlat, dlon), None)]
     for f in overviews:
         ov = data[::f, ::f, :]
         # pixel-is-area edge algebra: overview cell 0 covers original
@@ -974,7 +1057,19 @@ def load_geotiff(
         if hi is not None:
             index_df = index_df.filter(F.col("lon0") <= float(hi))
     index_df = index_df.repartition("path", "block")
-    bounds = {"lat": lat_bnds, "lon": lon_bnds}
+
+    def _norm_bnds(b):
+        # half-open bounds: None endpoints become infinities so the
+        # decode-side masks stay simple two-sided comparisons
+        if b is None:
+            return None
+        lo, hi = b
+        return (
+            -np.inf if lo is None else float(lo),
+            np.inf if hi is None else float(hi),
+        )
+
+    bounds = {"lat": _norm_bnds(lat_bnds), "lon": _norm_bnds(lon_bnds)}
 
     schema = T.StructType(
         [
@@ -1012,13 +1107,29 @@ def load_geotiff(
                 n_r = min(meta.block_l, meta.length - r0)
                 n_c = min(meta.block_w, meta.width - c0)
                 block = block[:n_r, :n_c, :]
-                lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
-                lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
-                la_m = _bounds_mask(lats, bounds["lat"])
-                lo_m = _bounds_mask(lons, bounds["lon"])
-                lats, lons = lats[la_m], lons[lo_m]
-                vals = block[np.ix_(la_m, lo_m)]
-                aa, oo = np.meshgrid(lats, lons, indexing="ij")
+                if meta.xr == 0.0 and meta.yc == 0.0:
+                    lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
+                    lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
+                    la_m = _bounds_mask(lats, bounds["lat"])
+                    lo_m = _bounds_mask(lons, bounds["lon"])
+                    lats, lons = lats[la_m], lons[lo_m]
+                    vals = block[np.ix_(la_m, lo_m)]
+                    aa, oo = np.meshgrid(lats, lons, indexing="ij")
+                else:
+                    # rotated grid: lat/lon are not separable — mask
+                    # the full 2-D coordinate grids elementwise
+                    aa, oo = meta.pixel_latlon(r0, c0, n_r, n_c)
+                    keep = np.ones(aa.shape, dtype=bool)
+                    for arr2, bnds in ((aa, bounds["lat"]), (oo, bounds["lon"])):
+                        if bnds is None:
+                            continue
+                        lo, hi = bnds
+                        if lo is not None:
+                            keep &= arr2 >= lo
+                        if hi is not None:
+                            keep &= arr2 <= hi
+                    aa, oo = aa[keep], oo[keep]
+                    vals = block[keep][:, None, :]
                 stem = (
                     name
                     if name is not None

@@ -172,15 +172,28 @@ class GeoTiffReader(DataSourceReader):
         n_r = min(meta.block_l, meta.length - r0)
         n_c = min(meta.block_w, meta.width - c0)
         block = block[:n_r, :n_c, :]
-        lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
-        lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
-        la_m = _axis_mask(lats, self._filters, "lat")
-        lo_m = _axis_mask(lons, self._filters, "lon")
-        if not la_m.any() or not lo_m.any():
-            return
-        lats, lons = lats[la_m], lons[lo_m]
-        vals = block[np.ix_(la_m, lo_m)]
-        aa, oo = np.meshgrid(lats, lons, indexing="ij")
+        if meta.xr == 0.0 and meta.yc == 0.0:
+            lats = meta.lat0 - (r0 + np.arange(n_r)) * meta.dlat
+            lons = meta.lon0 + (c0 + np.arange(n_c)) * meta.dlon
+            la_m = _axis_mask(lats, self._filters, "lat")
+            lo_m = _axis_mask(lons, self._filters, "lon")
+            if not la_m.any() or not lo_m.any():
+                return
+            lats, lons = lats[la_m], lons[lo_m]
+            vals = block[np.ix_(la_m, lo_m)]
+            aa, oo = np.meshgrid(lats, lons, indexing="ij")
+        else:
+            # rotated grid (ModelTransformation): coordinates are not
+            # separable, so mask the flattened 2-D grids elementwise
+            aa, oo = meta.pixel_latlon(r0, c0, n_r, n_c)
+            keep = _axis_mask(
+                aa.ravel(), self._filters, "lat"
+            ) & _axis_mask(oo.ravel(), self._filters, "lon")
+            if not keep.any():
+                return
+            aa = aa.ravel()[keep]
+            oo = oo.ravel()[keep]
+            vals = block.reshape(-1, block.shape[2])[keep][:, None, :]
         n = aa.size
         stem = os.path.splitext(os.path.basename(partition.path))[0]
         band_eq = [

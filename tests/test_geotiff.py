@@ -669,3 +669,120 @@ def test_geotiff_datasource_remote_url(spark):
         )
     assert len(rows) == 4 * 12
     assert {r["value"] for r in rows} == set(vals[:4].ravel().tolist())
+
+
+# -- rotated grids: ModelTransformation (tag 34264) ---------------------
+
+
+def test_rotation_meta_roundtrip():
+    data = (np.arange(24, dtype="<f8").reshape(4, 6)) / 8
+    raw = write_geotiff(
+        data, lat0=50.0, lon0=10.0, dlat=0.5, dlon=0.25,
+        rotation=(0.1, -0.05),
+    )
+    m = parse_geotiff(raw)
+    assert (m.lat0, m.lon0, m.dlat, m.dlon) == (50.0, 10.0, 0.5, 0.25)
+    assert (m.xr, m.yc) == (0.1, -0.05)
+
+
+def test_rotation_pixel_is_point_meta():
+    data = np.ones((3, 3))
+    raw = write_geotiff(
+        data, lat0=40.0, lon0=10.0, dlat=1.0, dlon=2.0,
+        rotation=(0.5, 0.25), pixel_is_point=True,
+    )
+    m = parse_geotiff(raw)
+    assert (m.lat0, m.lon0, m.xr, m.yc) == (40.0, 10.0, 0.5, 0.25)
+
+
+def test_rotation_block_bbox_is_corner_hull():
+    data = np.zeros((4, 4))
+    raw = write_geotiff(
+        data, lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0, rotation=(1.0, 0.0)
+    )
+    m = parse_geotiff(raw)
+    lat_min, lat_max, lon_min, lon_max = m.block_bbox(0, 0)
+    # lon = col*1 + row*1: corners (r,c) in {0,3}^2 -> lon in [0, 6]
+    assert (lon_min, lon_max) == (0.0, 6.0)
+    assert (lat_min, lat_max) == (-3.0, 0.0)
+
+
+def test_rotation_load_geotiff_coordinates_and_pruning(spark, tmp_path):
+    # 45-degree-ish shear: lon = 10 + c*1 + r*0.5, lat = 50 - r*1 + c*0.25
+    data = np.arange(16, dtype="<f8").reshape(4, 4)
+    p = tmp_path / "rot.tif"
+    p.write_bytes(
+        write_geotiff(
+            data, lat0=50.0, lon0=10.0, dlat=1.0, dlon=1.0,
+            rotation=(0.5, 0.25), rows_per_strip=2,
+        )
+    )
+    pdf = load_geotiff(spark, str(p)).toPandas()
+    assert len(pdf) == 16
+    want = {}
+    for r in range(4):
+        for c in range(4):
+            want[(50.0 - r * 1.0 + c * 0.25, 10.0 + c * 1.0 + r * 0.5)] = (
+                float(data[r, c])
+            )
+    got = {(row.lat, row.lon): row.value for row in pdf.itertuples()}
+    assert got == want
+    # bounds prune exactly on the affine coordinates
+    sub = load_geotiff(
+        spark, str(p), lat_bnds=(49.0, 50.0), lon_bnds=(10.0, 11.6)
+    ).toPandas()
+    expect = {
+        k: v for k, v in want.items()
+        if 49.0 <= k[0] <= 50.0 and 10.0 <= k[1] <= 11.6
+    }
+    assert {(r.lat, r.lon): r.value for r in sub.itertuples()} == expect
+
+
+def test_rotation_dsv2_matches_load(spark, tmp_path):
+    from bcdp_spark.sources.geotiff_datasource import register_geotiff_source
+
+    data = np.arange(12, dtype="<f8").reshape(3, 4)
+    p = tmp_path / "rotd.tif"
+    p.write_bytes(
+        write_geotiff(
+            data, lat0=5.0, lon0=0.0, dlat=0.5, dlon=0.5,
+            rotation=(0.2, -0.1),
+        )
+    )
+    register_geotiff_source(spark)
+    a = (
+        spark.read.format("geotiff").load(str(p))
+        .filter("lon >= 0.5").toPandas()
+        .sort_values(["lat", "lon"]).reset_index(drop=True)
+    )
+    b = (
+        load_geotiff(spark, str(p), lon_bnds=(0.5, None))
+        .toPandas().sort_values(["lat", "lon"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a.value.values, b.value.values)
+    np.testing.assert_allclose(a.lat.values, b.lat.values)
+
+
+def test_rotation_3d_transform_raises():
+    data = np.ones((2, 2))
+    raw = bytearray(
+        write_geotiff(
+            data, lat0=0, lon0=0, dlat=1, dlon=1, rotation=(0.5, 0.5)
+        )
+    )
+    # patch a z cross term (m[2]) inside the transform's 16 doubles
+    import struct as _s
+    sig = _s.pack("<4d", 1.0, 0.5, 0.0, -0.75)  # dlon, xr, 0, m3
+    i = bytes(raw).index(sig)
+    raw[i + 16 : i + 24] = _s.pack("<d", 2.0)
+    with pytest.raises(NotImplementedError, match="3-D ModelTransformation"):
+        parse_geotiff(bytes(raw))
+
+
+def test_rotation_overviews_rejected_on_write():
+    with pytest.raises(NotImplementedError, match="rotation"):
+        write_geotiff(
+            np.ones((4, 4)), lat0=0, lon0=0, dlat=1, dlon=1,
+            rotation=(0.1, 0.1), overviews=(2,),
+        )
