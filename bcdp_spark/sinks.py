@@ -540,3 +540,43 @@ def to_grib2(
         schema=f"{by} string, path string, n_rows long, n_times long, "
         "nbits int",
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a Hive-style BUCKETED table: rows are hashed on
+    ``bucket_cols`` into ``num_buckets`` files, and the bucket spec is
+    recorded in the catalog, so a later equi-join (or aggregation) on
+    the bucket key between two tables bucketed the SAME way needs NO
+    shuffle at all — Spark plans a SortMergeJoin with zero Exchange
+    nodes on either side.
+
+    This is the standing answer to the biggest 100 TB join cost: a fact
+    table joined on the same key every day should pay its shuffle ONCE,
+    at write time. ``sort_cols`` (defaults to the bucket key) also
+    pre-sorts within buckets, removing the join-time Sort when it
+    matches the join key. Bucket counts should be sized so one bucket
+    of the LARGER table fits an executor core's working set (e.g. 100
+    TB / 4096 buckets ≈ 25 GB per bucket pre-projection).
+
+    Uses ``saveAsTable`` (bucket metadata lives in the session catalog;
+    plain ``parquet(path)`` cannot record a bucket spec — reading the
+    same files back path-wise silently loses bucketing). Plan evidence:
+    ``tests/test_plans.py::test_bucketed_join_is_shuffle_free`` and
+    ``tests/test_sinks_and_pruning.py::test_bucketed_join_no_shuffle``
+    assert the Exchange-free join shape.
+    """
+    sort_cols = list(sort_cols) if sort_cols is not None else list(bucket_cols)
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -6,7 +6,7 @@ Implements the PUBLIC Zarr v2 storage spec from scratch — a store is a
 directory tree where each array holds a ``.zarray`` JSON (shape, chunks,
 dtype, compressor, fill_value, order) plus chunk files named by
 dot-separated grid indices — with NO third-party codec: ``null``,
-``zlib`` and ``gzip`` compressors decode with the stdlib. Coordinate
+``zlib``/``gzip``/``lzma`` compressors decode with the stdlib. Coordinate
 arrays follow the xarray convention (``_ARRAY_DIMENSIONS`` in
 ``.zattrs``); CF time units/calendars decode through
 ``bcdp_spark.sources.cfcal`` exactly like the NetCDF path.
@@ -43,7 +43,7 @@ from bcdp_spark.sources.netcdf import (
 )
 from bcdp_spark.sources.registry import register_data_source
 
-_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd")
+_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
 # Blosc(cname='lz4')); zstd/snappy/blosclz stay loud seams
 _SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib", "zstd")
@@ -268,7 +268,8 @@ def read_array_meta(
     if comp is not None and comp.get("id") not in _SUPPORTED_COMPRESSORS:
         raise NotImplementedError(
             f"{name}: compressor {comp.get('id')!r} needs a codec not in "
-            "this container (supported: null, zlib, gzip, blosc, zstd)"
+            "this container (supported: null, zlib, gzip, blosc, zstd, "
+            "lzma)"
         )
     if comp is not None and comp.get("id") == "blosc":
         cname = comp.get("cname", "blosclz")
@@ -407,6 +408,22 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             raw = zstd_decompress(
                 raw, int(np.prod(meta.chunks)) * meta.dtype.itemsize
             )
+        elif cid == "lzma":
+            # numcodecs.LZMA stores lzma.compress() output verbatim
+            # (format/check/preset/filters are encoder-side knobs; the
+            # xz/alone/raw container self-describes except FORMAT_RAW,
+            # which needs the filter chain from the metadata)
+            import lzma as _lzma
+
+            fmt = int(meta.compressor.get("format", _lzma.FORMAT_XZ))
+            if fmt == _lzma.FORMAT_RAW:
+                raw = _lzma.decompress(
+                    raw,
+                    format=fmt,
+                    filters=meta.compressor.get("filters"),
+                )
+            else:
+                raw = _lzma.decompress(raw)
         else:
             raw = _zlib.decompress(raw)
     if meta.filters:
@@ -887,6 +904,12 @@ def write_zarr(
                     import pyarrow as _pa
 
                     raw = bytes(_pa.Codec("zstd").compress(raw))
+                elif compressor["id"] == "lzma":
+                    import lzma as _lzma
+
+                    raw = _lzma.compress(
+                        raw, preset=compressor.get("preset")
+                    )
                 else:
                     raw = _zlib.compress(raw, compressor.get("level", 1))
             with open(

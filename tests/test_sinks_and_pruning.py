@@ -236,3 +236,32 @@ def test_write_audit_publish_gates_and_swaps(spark, tmp_path):
         if p.startswith("table.__v")
     )
     assert len(vers2) == 2 and os.readlink(out) == vers2[-1]
+
+
+def test_write_bucketed_table_api(spark):
+    """sinks.write_bucketed_table records the bucket spec + sort order
+    in the catalog (the deeper Exchange-free join/agg plan assertions
+    live in test_bucketed_join_no_shuffle above and
+    test_plans.test_bucketed_join_is_shuffle_free)."""
+    import shutil
+
+    from bcdp_spark.sinks import write_bucketed_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bkt_api")
+    shutil.rmtree(f"{wh}/bkt_api", ignore_errors=True)
+    df = spark.range(0, 200).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed_table(df, "bkt_api", ["k"], 4)
+    try:
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED bkt_api").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+        assert "[`k`]" in desc.get("Bucket Columns", "")
+        assert "[`k`]" in desc.get("Sort Columns", "")
+        assert spark.table("bkt_api").count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_api")

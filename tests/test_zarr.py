@@ -1128,3 +1128,31 @@ def test_zarr_v3_shard_index_crc_verified(spark, tmp_path):
     open(victim, "wb").write(bytes(raw))
     with pytest.raises(Exception, match="crc32c mismatch"):
         load_zarr(spark, store).count()
+
+
+def test_v2_lzma_compressor_roundtrip(spark, tmp_path):
+    # numcodecs.LZMA stores lzma.compress() output verbatim; stdlib
+    # lzma IS liblzma, so this codec has a true independent producer
+    store, expect = _write_store(
+        tmp_path, compressor={"id": "lzma", "preset": 6}
+    )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == expect.size
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+
+
+def test_v2_lzma_alone_format_decodes(tmp_path):
+    # FORMAT_ALONE (legacy .lzma container) self-describes too
+    import lzma
+
+    from bcdp_spark.sources.zarr import ZArrayMeta, decode_chunk_bytes
+
+    data = np.arange(24, dtype="<f8")
+    raw = lzma.compress(data.tobytes(), format=lzma.FORMAT_ALONE)
+    meta = ZArrayMeta(
+        shape=(24,), chunks=(24,), dtype=np.dtype("<f8"), order="C",
+        fill_value=0, compressor={"id": "lzma", "format": lzma.FORMAT_ALONE},
+        separator=".", attrs={},
+    )
+    out = decode_chunk_bytes(raw, meta)
+    np.testing.assert_array_equal(out, data)
