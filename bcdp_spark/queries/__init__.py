@@ -89,10 +89,12 @@ _PRIORITY = (
     # (a) new in round 7: the GeoTIFF/COG 100 TB surface, GeoJSON
     # region masking (operators/spatial.py ray-cast HOF), spell-length
     # climate indices, benchmark decontamination, the z-order layout
-    # advisor, and NFC normalization (first oracle-checked U4 key)
+    # advisor, NFC normalization (first oracle-checked U4 key),
+    # market-basket lift, RFM segmentation, and CUSUM changepoints
     "q_geotiff_bigtiff", "q_geotiff_multiband", "q_geotiff_overview",
     "q_region_mask", "q_spell_lengths",
     "q_decontaminate", "q_zorder_skipping", "q_unicode_norm",
+    "q_market_basket", "q_rfm_segmentation", "q_changepoint",
     # (b) oldest-evidence regrades: the round-1 declaration cohort,
     # driver-graded r2/r3 and never since the registry grew
     "q_scan_project", "q_range_filter", "q_season_filter",

@@ -741,3 +741,248 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value")
         ).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r7) — market-basket association mining: support / confidence /
+# lift over part pairs co-occurring in an order (the Apriori-style
+# output a merchandising warehouse asks for). One self-equi-join on
+# l_orderkey (never all-pairs across orders: TPC-H-like baskets are
+# bounded, so the pair explosion is a small constant on the order key),
+# map-combinable pair counts, broadcast-joined item supports, then a
+# deterministic TakeOrderedAndProject top-20 (lift DESC, pair ASC —
+# lift is a single IEEE division of exact integer counts, so the sort
+# key is bit-identical across engines).
+# ---------------------------------------------------------------------------
+@register(
+    "q_market_basket",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+items AS (
+  SELECT l_partkey, COUNT(*) AS s FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, c AS pair_orders,
+       ROUND(c / n.n_orders, 6) AS support,
+       ROUND(c / CAST(i1.s AS DOUBLE), 6) AS confidence,
+       ROUND((c * n.n_orders) / (CAST(i1.s AS DOUBLE) * i2.s), 6) AS lift
+FROM pairs
+JOIN items i1 ON i1.l_partkey = p1
+JOIN items i2 ON i2.l_partkey = p2
+CROSS JOIN n
+ORDER BY (c * n.n_orders) / (CAST(i1.s AS DOUBLE) * i2.s) DESC, p1, p2
+LIMIT 20
+""",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    items = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    i1 = items.select(
+        F.col("l_partkey").alias("p1"), F.col("s").alias("s1")
+    )
+    i2 = items.select(
+        F.col("l_partkey").alias("p2"), F.col("s").alias("s2")
+    )
+    lift = (F.col("c") * F.col("n_orders")) / (
+        F.col("s1").cast("double") * F.col("s2")
+    )
+    return (
+        pairs.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(n))
+        .orderBy(lift.desc(), "p1", "p2")
+        .limit(20)
+        .select(
+            "p1",
+            "p2",
+            F.col("c").alias("pair_orders"),
+            F.round(F.col("c") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("c") / F.col("s1").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r7) — RFM customer segmentation: quartile codes on Recency /
+# Frequency / Monetary, the classic CRM cut. Each ntile orders by the
+# metric with the unique custkey tiebreak (deterministic under any
+# partitioning); monetary routes through exact decimal cents so the
+# quartile borders cannot drift on float summation order. The three
+# windows partition NOTHING (global quartiles) — but over the
+# per-customer AGGREGATE (one row per customer), not the fact table,
+# which is the scalable shape for a global rank.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rfm_segmentation",
+    oracle=f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS rts,
+         COUNT(*) AS freq,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS {DEC_SQL})) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT o_custkey, cents,
+         NTILE(4) OVER (ORDER BY rts DESC, o_custkey) AS r,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS mq
+  FROM m
+)
+SELECT CAST(r AS INT) || '-' || CAST(f AS INT) || '-' || CAST(mq AS INT)
+         AS segment,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(cents AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) / 100 AS avg_monetary
+FROM t GROUP BY 1
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.unix_timestamp(F.max("o_orderdate")).alias("rts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.floor(F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    t = m.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("rts").desc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("mq"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r").cast("int"),
+        F.col("f").cast("int"),
+        F.col("mq").cast("int"),
+    )
+    return t.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.col("cents").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+            / 100
+        ).alias("avg_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r7) — CUSUM changepoint detection per event_type: cumulative
+# sum of deviations from the series mean, changepoint = the day of
+# maximum |S_i| (Page 1954's classic shift detector, the batch twin of
+# streaming drift monitors). Day sums route through exact decimals;
+# the running sum is an ORDERED fold over identical doubles in both
+# engines, so argmax lands on the same row bit-for-bit. One shuffle on
+# event_type; every window partitions by it.
+# ---------------------------------------------------------------------------
+@register(
+    "q_changepoint",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         {dsum_sql('value', 'x')}
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, x,
+         SUM(x - mu) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum
+  FROM (
+    SELECT *,
+           CAST(CAST(SUM(CAST(x AS {DEC_SQL})) OVER (PARTITION BY event_type)
+                     AS VARCHAR) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY event_type) AS mu
+    FROM d
+  )
+),
+r AS (
+  SELECT event_type, day, cusum,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ABS(cusum) DESC, day
+         ) AS rn
+  FROM s
+)
+SELECT event_type, day AS cp_day, ROUND(cusum, 6) AS cusum
+FROM r WHERE rn = 1
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(dsum(F.col("value"), "x"))
+    w_all = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.withColumn(
+        "mu",
+        F.sum(F.col("x").cast(DEC)).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all),
+    ).withColumn(
+        "cusum", F.sum(F.col("x") - F.col("mu")).over(w_run)
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.round("cusum", 6).alias("cusum"),
+        )
+    )

@@ -97,6 +97,10 @@ HEADLINE = (
     "q_zorder_skipping",
     "q_unicode_norm",
     "q_funnel",
+    # round-7 — basket self-join, RFM quartiles, CUSUM changepoint
+    "q_market_basket",
+    "q_rfm_segmentation",
+    "q_changepoint",
 )
 
 
