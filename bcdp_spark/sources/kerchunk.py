@@ -1,0 +1,124 @@
+"""Kerchunk-style reference generation: scan a format ONCE, emit a
+JSON index of (target, offset, length) byte ranges keyed like a Zarr
+store, then read the archive forever through ``load_zarr('refs::…')``
+without rewriting a byte (the public kerchunk / fsspec
+ReferenceFileSystem pattern — the cloud-era answer to decades of
+NetCDF sitting in object storage).
+
+This module is the SCAN-ONCE half; the read half lives in
+``sources/zarr.py`` (``refs::`` store scheme: inline/base64 metadata,
+ranged chunk reads via ``sources/ranged.py``). The two sides compose
+with everything the zarr path already has — chunk pruning, CF time
+decode, fill-value masking — because a reference store IS a zarr
+store to the reader.
+
+Scale notes (100 TB archive): indexing reads only headers (a NetCDF
+classic header is KBs regardless of payload); each generated chunk ref
+maps to exactly one ranged read at decode time, executor-parallel
+across the chunk grid. Record variables index one chunk PER RECORD
+(the interleaved record block structure forces it — that is also what
+makes the result parallel over time).
+
+Reference parity: bcdp reads NetCDF via xarray (bcdp/io.py
+[UNVERIFIED — /root/reference was empty at survey time; SURVEY.md
+§0]); kerchunk is the public virtual-zarr equivalent of that stack's
+``open_dataset(..., engine='kerchunk')``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from bcdp_spark.sources.netcdf3 import (
+    _STREAMING32,
+    _STREAMING64,
+    _TYPES,
+    read_header,
+)
+
+
+def _zarray(shape, chunks, dtype: str) -> str:
+    return json.dumps(
+        {
+            "zarr_format": 2,
+            "shape": list(shape),
+            "chunks": list(chunks),
+            "dtype": dtype,
+            "compressor": None,
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+        }
+    )
+
+
+def netcdf3_refs(path: str, target: str | None = None) -> dict:
+    """Index one NetCDF classic (CDF-1/2/5) file into a version-1
+    reference mapping. ``target`` overrides the target path stored in
+    the refs (e.g. the HTTP URL the file will be served from; defaults
+    to ``path`` itself).
+
+    Non-record variables become single whole-array chunks (their bytes
+    are one contiguous big-endian block); record variables chunk along
+    the record dimension — one ref per record, each an exact
+    (offset, length) into the interleaved record block. NC_CHAR
+    variables are skipped (no zarr analog worth faking).
+    """
+    with open(path, "rb") as fh:
+        nc = read_header(fh)
+        if nc.numrecs in (_STREAMING32, _STREAMING64):
+            import os
+
+            rec_vars = [v for v in nc.variables.values() if v.is_record]
+            first = min(v.begin for v in rec_vars)
+            total = sum(v.vsize for v in rec_vars)
+            fh.seek(0, os.SEEK_END)
+            nc.numrecs = (fh.tell() - first) // total
+
+    tgt = target if target is not None else path
+    dim_names = list(nc.dims)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    if nc.attrs:
+        refs[".zattrs"] = json.dumps(nc.attrs)
+
+    rec_vars = [v for v in nc.variables.values() if v.is_record]
+    stride = (
+        sum(v.vsize for v in rec_vars)
+        if len(rec_vars) > 1
+        else (rec_vars[0].vsize if rec_vars else 0)
+    )
+
+    for name, v in nc.variables.items():
+        dt, size = _TYPES[v.nc_type]
+        if dt == "S1":
+            continue  # NC_CHAR: no zarr scalar analog
+        vdims = [dim_names[i] for i in v.dimids]
+        shape = (
+            (nc.numrecs, *v.shape[1:]) if v.is_record else tuple(v.shape)
+        )
+        attrs = dict(v.attrs)
+        attrs["_ARRAY_DIMENSIONS"] = vdims
+        refs[f"{name}/.zattrs"] = json.dumps(attrs)
+        if not v.is_record:
+            refs[f"{name}/.zarray"] = _zarray(shape, shape or (1,), dt)
+            nbytes = int(np.prod(shape, dtype=np.int64) or 1) * size
+            key = ".".join("0" for _ in (shape or (1,)))
+            refs[f"{name}/{key}"] = [tgt, v.begin, nbytes]
+        else:
+            per_rec = shape[1:]
+            chunks = (1, *per_rec)
+            refs[f"{name}/.zarray"] = _zarray(shape, chunks, dt)
+            slab = int(np.prod(per_rec, dtype=np.int64) or 1) * size
+            tail = "".join(".0" for _ in per_rec)
+            for r in range(nc.numrecs):
+                refs[f"{name}/{r}{tail}"] = [tgt, v.begin + r * stride, slab]
+    return {"version": 1, "refs": refs}
+
+
+def write_refs(refs: dict, path: str) -> None:
+    """Persist a reference mapping (the artifact a fleet of indexing
+    tasks would union and write once per archive)."""
+    with open(path, "w") as fh:
+        json.dump(refs, fh)

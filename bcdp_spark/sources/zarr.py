@@ -24,6 +24,7 @@ optimization, never a semantics change.
 
 from __future__ import annotations
 
+import functools
 import gzip as _gzip
 import json
 import os
@@ -93,7 +94,11 @@ def _is_url(store: str) -> bool:
 
 def _join(store: str, *parts: str) -> str:
     """Store key -> path: URL stores join with '/', local stores with
-    the platform separator (keys never contain '..')."""
+    the platform separator (keys never contain '..'). A reference
+    store ('refs::<json>') joins as 'refs::<json>::<key>' — _fetch
+    resolves the key through the reference mapping."""
+    if str(store).startswith("refs::"):
+        return store + "::" + "/".join(parts)
     if _is_url(store):
         return "/".join([store.rstrip("/"), *parts])
     return os.path.join(store, *parts)
@@ -104,6 +109,9 @@ def _fetch(path: str) -> bytes | None:
     fill_value per the spec; HTTP 404 = absent key). Non-404 HTTP
     errors propagate — a flaky object store must not masquerade as
     fill values."""
+    if _is_refs(path):
+        spec, key = path[len(_REFS_PREFIX) :].split("::", 1)
+        return _refs_get(spec, key)
     if _is_url(path):
         import urllib.error
         import urllib.request
@@ -124,6 +132,92 @@ def _fetch(path: str) -> bytes | None:
 def _fetch_json(path: str) -> dict | None:
     raw = _fetch(path)
     return None if raw is None else json.loads(raw)
+
+
+# -- kerchunk-style reference stores ------------------------------------
+#
+# A reference store is a JSON index mapping zarr keys onto byte ranges
+# of OTHER files (the public kerchunk / fsspec ReferenceFileSystem
+# layout): metadata keys hold inline JSON, chunk keys hold
+# ``[target, offset, length]``. Passing ``refs::<path-or-url>.json`` as
+# the store makes every array here readable WITHOUT rewriting a byte of
+# the underlying archive — the cloud pattern for opening decades of
+# NetCDF/GRIB as one virtual Zarr. Chunk reads become exact ranged
+# reads (local pread / one HTTP Range GET) via ``sources/ranged.py``.
+
+_REFS_PREFIX = "refs::"
+
+
+def _is_refs(store: str) -> bool:
+    return str(store).startswith(_REFS_PREFIX)
+
+
+@functools.lru_cache(maxsize=32)
+def _load_refs(spec: str) -> tuple[dict, dict, str]:
+    """Parse one reference JSON (cached per process — executors pay
+    the parse once per worker, not per chunk). Returns
+    (refs, templates, base_dir)."""
+    raw = _fetch(spec)
+    if raw is None:
+        raise FileNotFoundError(f"reference file {spec} not found")
+    doc = json.loads(raw)
+    if isinstance(doc, dict) and (
+        "version" in doc or "refs" in doc or "templates" in doc
+    ):
+        version = int(doc.get("version", 1))
+        if version != 1:
+            raise NotImplementedError(
+                f"reference-file version {version} not supported (0/1)"
+            )
+        if doc.get("gen"):
+            raise NotImplementedError(
+                "reference-file 'gen' (generated key ranges) not "
+                "supported — materialize the refs"
+            )
+        templates = dict(doc.get("templates", {}))
+        for t in templates.values():
+            if "{{" in str(t):
+                raise NotImplementedError(
+                    "nested/jinja reference templates not supported "
+                    "(simple string substitution only)"
+                )
+        refs = doc["refs"]
+    else:
+        templates, refs = {}, doc  # version-0 flat mapping
+    if _is_url(spec):
+        base = spec.rsplit("/", 1)[0]
+    else:
+        base = os.path.dirname(os.path.abspath(spec))
+    return refs, templates, base
+
+
+def _refs_get(spec: str, key: str) -> bytes | None:
+    refs, templates, base = _load_refs(spec)
+    v = refs.get(key)
+    if v is None:
+        return None
+    if isinstance(v, str):
+        if v.startswith("base64:"):
+            import base64
+
+            return base64.b64decode(v[len("base64:") :])
+        return v.encode("utf-8")
+    target = str(v[0])
+    for tname, tval in templates.items():
+        target = target.replace("{{%s}}" % tname, str(tval))
+    if "{{" in target:
+        raise NotImplementedError(
+            f"unresolved template in reference target {target!r}"
+        )
+    if not _is_url(target) and not os.path.isabs(target):
+        # relative targets resolve against the reference file's home
+        target = _join(base, *target.split("/"))
+    if len(v) == 1:
+        return _fetch(target)
+    off, size = int(v[1]), int(v[2])
+    from bcdp_spark.sources.ranged import read_range
+
+    return read_range(target, off, size)
 
 
 def read_consolidated(store: str) -> dict | None:
@@ -560,6 +654,13 @@ def _list_arrays(store: str, consolidated: dict | None = None) -> list[str]:
         return sorted(
             k[: -len("/.zarray")]
             for k in consolidated
+            if k.endswith("/.zarray")
+        )
+    if _is_refs(store):
+        refs, _t, _b = _load_refs(store[len(_REFS_PREFIX) :])
+        return sorted(
+            k[: -len("/.zarray")]
+            for k in refs
             if k.endswith("/.zarray")
         )
     if _is_url(store):

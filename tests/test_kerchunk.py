@@ -1,0 +1,227 @@
+"""Kerchunk-style reference stores: scan-once NetCDF indexing
+(sources/kerchunk.py) + the refs:: zarr store scheme (sources/zarr.py)
+— inline/base64 metadata, ranged chunk reads, template substitution,
+loud seams for generated refs."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write_nc(tmp_path, record=True):
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    lat = np.array([-30.0, 0.0, 30.0])
+    lon = np.array([0.0, 90.0, 180.0, 270.0])
+    time = np.arange(5, dtype=np.float64)
+    data = np.arange(60, dtype=np.float64).reshape(5, 3, 4)
+    data[1, 2, 3] = -999.0
+    raw = write_netcdf3(
+        dims={"time": 5, "lat": 3, "lon": 4},
+        variables={
+            "time": (["time"], time, {"units": "days since 2000-01-01"}),
+            "lat": (["lat"], lat, {"units": "degrees_north"}),
+            "lon": (["lon"], lon, {"units": "degrees_east"}),
+            "tas": (["time", "lat", "lon"], data, {"_FillValue": -999.0}),
+        },
+        record_dim="time" if record else None,
+    )
+    p = tmp_path / "arch.nc"
+    p.write_bytes(raw)
+    expect = np.where(data == -999.0, np.nan, data)
+    return str(p), expect
+
+
+@pytest.mark.parametrize("record", [True, False])
+def test_netcdf3_refs_roundtrip_through_zarr(spark, tmp_path, record):
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    nc_path, expect = _write_nc(tmp_path, record=record)
+    refs = netcdf3_refs(nc_path)
+    rp = str(tmp_path / "refs.json")
+    write_refs(refs, rp)
+
+    pdf = load_zarr(spark, f"refs::{rp}").toPandas()
+    assert len(pdf) == expect.size
+    assert int(pdf.value.isna().sum()) == 1  # _FillValue masked
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+    assert pdf.time.min() == pd.Timestamp("2000-01-01")  # CF decode
+    assert sorted(pdf.lon.unique()) == [0.0, 90.0, 180.0, 270.0]
+
+
+def test_record_var_chunked_per_record(tmp_path):
+    from bcdp_spark.sources.kerchunk import netcdf3_refs
+
+    nc_path, _ = _write_nc(tmp_path, record=True)
+    refs = netcdf3_refs(nc_path)["refs"]
+    za = json.loads(refs["tas/.zarray"])
+    assert za["shape"] == [5, 3, 4] and za["chunks"] == [1, 3, 4]
+    # one ref per record, disjoint 96-byte slabs of f8
+    offs = [refs[f"tas/{r}.0.0"] for r in range(5)]
+    assert all(o[0] == nc_path and o[2] == 96 for o in offs)
+    assert len({o[1] for o in offs}) == 5
+
+
+def test_refs_pruning_never_reads_pruned_ranges(spark, tmp_path):
+    """Chunk pruning composes with refs: time bounds cut the record
+    chunks BEFORE any ranged read (observability via pruned_chunk_count,
+    same hook as directory stores)."""
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr, pruned_chunk_count
+
+    nc_path, expect = _write_nc(tmp_path, record=True)
+    rp = str(tmp_path / "refs.json")
+    write_refs(netcdf3_refs(nc_path), rp)
+    store = f"refs::{rp}"
+    kept, total = pruned_chunk_count(
+        store, time_bnds=("2000-01-02", "2000-01-03")
+    )
+    assert (kept, total) == (2, 5)
+    pdf = load_zarr(
+        spark, store, time_bnds=("2000-01-02", "2000-01-03")
+    ).toPandas()
+    assert len(pdf) == 2 * 12
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect[1:3]))
+
+
+def test_refs_base64_inline_and_relative_target(spark, tmp_path):
+    """Version-0 flat mapping, base64-inlined coordinate bytes, chunk
+    targets relative to the reference file's directory."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    data = (np.arange(24, dtype="<f8")).reshape(2, 3, 4)
+    (tmp_path / "blob.bin").write_bytes(data.tobytes())
+
+    def za(shape, chunks, dtype):
+        return json.dumps(
+            {"zarr_format": 2, "shape": shape, "chunks": chunks,
+             "dtype": dtype, "compressor": None, "fill_value": None,
+             "order": "C", "filters": None}
+        )
+
+    def inline(arr):
+        return "base64:" + base64.b64encode(arr.tobytes()).decode()
+
+    refs = {
+        ".zgroup": json.dumps({"zarr_format": 2}),
+        "time/.zarray": za([2], [2], "<f8"),
+        "time/.zattrs": json.dumps(
+            {"_ARRAY_DIMENSIONS": ["time"],
+             "units": "hours since 2001-01-01"}
+        ),
+        "time/0": inline(np.array([0.0, 6.0])),
+        "lat/.zarray": za([3], [3], "<f8"),
+        "lat/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["lat"]}),
+        "lat/0": inline(np.array([-10.0, 0.0, 10.0])),
+        "lon/.zarray": za([4], [4], "<f8"),
+        "lon/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["lon"]}),
+        "lon/0": inline(np.array([0.0, 90.0, 180.0, 270.0])),
+        "pr/.zarray": za([2, 3, 4], [1, 3, 4], "<f8"),
+        "pr/.zattrs": json.dumps(
+            {"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]}
+        ),
+        "pr/0.0.0": ["blob.bin", 0, 96],
+        "pr/1.0.0": ["blob.bin", 96, 96],
+    }
+    rp = tmp_path / "flat_refs.json"
+    rp.write_text(json.dumps(refs))
+    pdf = load_zarr(spark, f"refs::{rp}").toPandas()
+    assert len(pdf) == 24
+    assert pdf.value.sum() == pytest.approx(data.sum())
+    assert pdf.time.max() == pd.Timestamp("2001-01-01 06:00")
+
+
+def test_refs_templates_substitute_targets(tmp_path):
+    from bcdp_spark.sources.zarr import _load_refs, _refs_get
+
+    data = np.arange(4, dtype="<f8")
+    (tmp_path / "b.bin").write_bytes(data.tobytes())
+    doc = {
+        "version": 1,
+        "templates": {"u": str(tmp_path)},
+        "refs": {"x/0": ["{{u}}/b.bin", 8, 16]},
+    }
+    rp = tmp_path / "t.json"
+    rp.write_text(json.dumps(doc))
+    got = _refs_get(str(rp), "x/0")
+    np.testing.assert_array_equal(
+        np.frombuffer(got, "<f8"), data[1:3]
+    )
+    _load_refs.cache_clear()
+
+
+def test_refs_gen_and_bad_version_raise(tmp_path):
+    from bcdp_spark.sources.zarr import _load_refs
+
+    g = tmp_path / "g.json"
+    g.write_text(json.dumps({"version": 1, "gen": [{"key": "a"}],
+                             "refs": {}}))
+    with pytest.raises(NotImplementedError, match="gen"):
+        _load_refs(str(g))
+    v = tmp_path / "v.json"
+    v.write_text(json.dumps({"version": 2, "refs": {}}))
+    with pytest.raises(NotImplementedError, match="version 2"):
+        _load_refs(str(v))
+    _load_refs.cache_clear()
+
+
+def test_refs_http_chunks_are_ranged_reads(spark, tmp_path):
+    """Serve the archive over loopback HTTP: every chunk fetch must be
+    ONE exact Range request; pruned records are never requested."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    nc_path, expect = _write_nc(tmp_path, record=True)
+    blob = open(nc_path, "rb").read()
+    log: list[str] = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            log.append(rng or "FULL")
+            if rng:
+                lo, hi = rng.removeprefix("bytes=").split("-")
+                lo, hi = int(lo), int(hi)
+                body = blob[lo : hi + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(blob)}"
+                )
+            else:
+                body = blob
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/arch.nc"
+        rp = str(tmp_path / "hrefs.json")
+        write_refs(netcdf3_refs(nc_path, target=url), rp)
+        pdf = load_zarr(
+            spark, f"refs::{rp}", time_bnds=("2000-01-04", "2000-01-05")
+        ).toPandas()
+        assert len(pdf) == 2 * 12
+        assert pdf.value.sum() == pytest.approx(np.nansum(expect[3:5]))
+        assert all(r.startswith("bytes=") for r in log), log
+        # 2 kept record chunks of tas -> exactly 2 data-range GETs
+        # (coords are ranged too; no full-object download ever)
+        assert "FULL" not in log
+    finally:
+        srv.shutdown()

@@ -101,6 +101,8 @@ HEADLINE = (
     "q_market_basket",
     "q_rfm_segmentation",
     "q_changepoint",
+    # round-7 — kerchunk reference-store scan (SURVEY S14)
+    "q_kerchunk_climatology",
 )
 
 
