@@ -122,3 +122,146 @@ def write_refs(refs: dict, path: str) -> None:
     tasks would union and write once per archive)."""
     with open(path, "w") as fh:
         json.dump(refs, fh)
+
+
+def grib2_refs(path: str, target: str | None = None) -> dict:
+    """Index one GRIB2 archive into a version-1 reference mapping:
+    each MESSAGE becomes one ``(target, offset, length)`` chunk of a
+    virtual ``(time, lat, lon)`` zarr array, decoded at read time by
+    the ``{"id": "grib2"}`` pseudo-codec in ``sources/zarr.py`` (the
+    same trick kerchunk's grib backend plays with a numcodecs shim —
+    the archive's own packing IS the chunk compression, so nothing is
+    rewritten and nothing decodes twice).
+
+    Fields group into arrays by (parameter, level_type, level, member,
+    label); the time axis is the sorted valid times. Scope (loud
+    raises otherwise): regular 1-D lat/lon grids, one grid per
+    archive, single-field messages, unique valid times per group.
+    """
+    import mmap
+
+    from bcdp_spark.sources.grib2 import _parse_grid, _sections, scan_grib2
+
+    with open(path, "rb") as fh:
+        raw = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        idxs = scan_grib2(raw)
+
+        by_off: dict[int, int] = {}
+        for ix in idxs:
+            by_off[ix.offset] = by_off.get(ix.offset, 0) + 1
+        if any(n > 1 for n in by_off.values()):
+            raise NotImplementedError(
+                "grib2_refs: multi-field messages not supported — one "
+                "field per message (split the message or use "
+                "load_grib2 directly)"
+            )
+
+        grid = None
+        for off in sorted(by_off):
+            _d, _t, fieldsets = _sections(raw, off, headers_only=True)
+            g = _parse_grid(fieldsets[0][3])
+            if g.reduced or g.lats2d is not None or len(g.lons) == 0:
+                raise NotImplementedError(
+                    "grib2_refs: regular 1-D lat/lon grids only "
+                    "(reduced/projected grids read via load_grib2)"
+                )
+            if grid is None:
+                grid = g
+            elif (
+                len(g.lats) != len(grid.lats)
+                or len(g.lons) != len(grid.lons)
+                or not np.allclose(g.lats, grid.lats)
+                or not np.allclose(g.lons, grid.lons)
+            ):
+                raise NotImplementedError(
+                    "grib2_refs: messages disagree on the grid — one "
+                    "grid per archive"
+                )
+        raw.close()
+    if grid is None:
+        raise ValueError(f"{path}: no GRIB2 messages")
+
+    tgt = target if target is not None else path
+    import base64 as _b64
+
+    def inline(arr: np.ndarray) -> str:
+        return "base64:" + _b64.b64encode(
+            np.ascontiguousarray(arr, dtype="<f8").tobytes()
+        ).decode()
+
+    groups: dict[tuple, list] = {}
+    for ix in idxs:
+        key = (ix.name, ix.level_type, ix.level, ix.member, ix.label)
+        groups.setdefault(key, []).append(ix)
+
+    nj, ni = len(grid.lats), len(grid.lons)
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    refs["lat/.zarray"] = _zarray((nj,), (nj,), "<f8")
+    refs["lat/.zattrs"] = json.dumps({"_ARRAY_DIMENSIONS": ["lat"]})
+    refs["lat/0"] = inline(np.asarray(grid.lats))
+    refs["lon/.zarray"] = _zarray((ni,), (ni,), "<f8")
+    refs["lon/.zattrs"] = json.dumps({"_ARRAY_DIMENSIONS": ["lon"]})
+    refs["lon/0"] = inline(np.asarray(grid.lons))
+
+    times_done: np.ndarray | None = None
+    for (name, lev_t, lev, member, label), ixs in groups.items():
+        parts = [name]
+        if lev is not None:
+            parts.append(f"l{lev_t}_{lev:g}")
+        if member is not None:
+            parts.append(f"m{member}")
+        if label is not None:
+            parts.append(label)
+        var = "_".join(parts)
+        ixs = sorted(ixs, key=lambda i: i.valid_time)
+        ts = [i.valid_time for i in ixs]
+        if len(set(ts)) != len(ts):
+            raise NotImplementedError(
+                f"grib2_refs: duplicate valid times in group {var!r}"
+            )
+        epoch = np.array(
+            [t.replace(tzinfo=None).timestamp() if t.tzinfo else
+             t.timestamp() for t in ts],
+            dtype="<f8",
+        )
+        tdim = f"time_{var}" if times_done is not None and (
+            len(epoch) != len(times_done)
+            or not np.array_equal(epoch, times_done)
+        ) else "time"
+        if tdim == "time" and times_done is None:
+            times_done = epoch
+            refs["time/.zarray"] = _zarray(
+                (len(epoch),), (len(epoch),), "<f8"
+            )
+            refs["time/.zattrs"] = json.dumps(
+                {"_ARRAY_DIMENSIONS": ["time"],
+                 "units": "seconds since 1970-01-01"}
+            )
+            refs["time/0"] = inline(epoch)
+        elif tdim != "time":
+            refs[f"{tdim}/.zarray"] = _zarray(
+                (len(epoch),), (len(epoch),), "<f8"
+            )
+            refs[f"{tdim}/.zattrs"] = json.dumps(
+                {"_ARRAY_DIMENSIONS": [tdim],
+                 "units": "seconds since 1970-01-01"}
+            )
+            refs[f"{tdim}/0"] = inline(epoch)
+        refs[f"{var}/.zarray"] = json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [len(ixs), nj, ni],
+                "chunks": [1, nj, ni],
+                "dtype": "<f8",
+                "compressor": {"id": "grib2"},
+                "fill_value": None,
+                "order": "C",
+                "filters": None,
+            }
+        )
+        refs[f"{var}/.zattrs"] = json.dumps(
+            {"_ARRAY_DIMENSIONS": [tdim, "lat", "lon"]}
+        )
+        for t, ix in enumerate(ixs):
+            refs[f"{var}/{t}.0.0"] = [tgt, ix.offset, ix.length]
+    return {"version": 1, "refs": refs}

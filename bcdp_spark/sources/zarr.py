@@ -44,7 +44,7 @@ from bcdp_spark.sources.netcdf import (
 )
 from bcdp_spark.sources.registry import register_data_source
 
-_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma")
+_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma", "grib2")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
 # Blosc(cname='lz4')); zstd/snappy/blosclz stay loud seams
 _SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib", "zstd")
@@ -490,6 +490,19 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
         return arr.reshape(meta.chunks)
     if meta.compressor is not None:
         cid = meta.compressor["id"]
+        if cid == "grib2":
+            # kerchunk pseudo-codec: the chunk bytes are ONE complete
+            # GRIB2 message (sources/kerchunk.py grib2_refs) — the
+            # archive's own packing is the compression; bitmap-masked
+            # points arrive as NaN, so no fill step is needed
+            from bcdp_spark.sources.grib2 import decode_message
+
+            f = decode_message(bytes(raw), 0, field=int(
+                meta.compressor.get("field", 0)
+            ))
+            return np.asarray(f.values, dtype="float64").reshape(
+                meta.chunks
+            )
         if cid == "gzip":
             raw = _gzip.decompress(raw)
         elif cid == "blosc":

@@ -225,3 +225,140 @@ def test_refs_http_chunks_are_ranged_reads(spark, tmp_path):
         assert "FULL" not in log
     finally:
         srv.shutdown()
+
+
+# -- GRIB2 reference stores (message = chunk, grib2 pseudo-codec) -------
+
+
+def _write_grib(tmp_path):
+    import datetime as dt
+
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    lats = np.linspace(60.0, 30.0, 4)
+    lons = np.arange(5) * 10.0
+    ref = dt.datetime(2003, 5, 1)
+    fields = {}
+    msgs = b""
+    for h in (0, 6, 12):
+        vals = (np.arange(20, dtype=float).reshape(4, 5) + h) * 0.5
+        vals[1, 2] = np.nan  # bitmap point
+        fields[h] = vals
+        msgs += write_grib2_message(
+            vals, lats, lons, ref, forecast_hours=h,
+            decimal_scale=1, nbits=12,
+        )
+    # a second parameter at one time: separate virtual array
+    other = np.full((4, 5), 7.25)
+    msgs += write_grib2_message(
+        other, lats, lons, ref, forecast_hours=0, category=1, number=0,
+        decimal_scale=2, nbits=12,
+    )
+    p = tmp_path / "fcst.grib2"
+    p.write_bytes(msgs)
+    return str(p), fields, other
+
+
+def test_grib2_refs_roundtrip_through_zarr(spark, tmp_path):
+    from bcdp_spark.sources.kerchunk import grib2_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    gp, fields, other = _write_grib(tmp_path)
+    doc = grib2_refs(gp)
+    rp = str(tmp_path / "grefs.json")
+    write_refs(doc, rp)
+
+    names = sorted(
+        k.split("/")[0]
+        for k in doc["refs"]
+        if k.endswith("/.zarray")
+        and k.split("/")[0] not in ("lat", "lon")
+        and not k.split("/")[0].startswith("time")
+    )
+    assert len(names) == 2  # two parameters -> two virtual arrays
+    shapes = {
+        n: json.loads(doc["refs"][f"{n}/.zarray"])["shape"][0]
+        for n in names
+    }
+    var3 = [n for n in names if shapes[n] == 3][0]
+    var1 = [n for n in names if shapes[n] == 1][0]
+
+    pdf = load_zarr(spark, f"refs::{rp}", var=var3).toPandas()
+    assert len(pdf) == 3 * 20
+    want = np.nansum([fields[h] for h in (0, 6, 12)])
+    assert pdf.value.sum() == pytest.approx(want)
+    assert int(pdf.value.isna().sum()) == 3  # bitmap -> NaN
+    assert pdf.time.min() == pd.Timestamp("2003-05-01")
+    assert pdf.time.max() == pd.Timestamp("2003-05-01 12:00")
+
+    pdf1 = load_zarr(spark, f"refs::{rp}", var=var1).toPandas()
+    assert len(pdf1) == 20
+    assert pdf1.value.sum() == pytest.approx(other.sum())
+
+
+def test_grib2_refs_prunes_messages_on_time(spark, tmp_path):
+    from bcdp_spark.sources.kerchunk import grib2_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr, pruned_chunk_count
+
+    gp, fields, _ = _write_grib(tmp_path)
+    doc = grib2_refs(gp)
+    rp = str(tmp_path / "grefs.json")
+    write_refs(doc, rp)
+    names = sorted(
+        k.split("/")[0]
+        for k in doc["refs"]
+        if k.endswith("/.zarray")
+        and k.split("/")[0] not in ("lat", "lon")
+        and not k.split("/")[0].startswith("time")
+    )
+    var3 = [n for n in names
+            if json.loads(doc["refs"][f"{n}/.zarray"])["shape"][0] == 3][0]
+    store = f"refs::{rp}"
+    kept, total = pruned_chunk_count(
+        store, var=var3,
+        time_bnds=("2003-05-01 06:00", "2003-05-01 06:00"),
+    )
+    assert (kept, total) == (1, 3)
+    pdf = load_zarr(
+        spark, store, var=var3,
+        time_bnds=("2003-05-01 06:00", "2003-05-01 06:00"),
+    ).toPandas()
+    assert len(pdf) == 20
+    assert pdf.value.sum() == pytest.approx(np.nansum(fields[6]))
+
+
+def test_grib2_refs_loud_seams(tmp_path):
+    import datetime as dt
+
+    from bcdp_spark.sources.grib2 import write_grib2_message
+    from bcdp_spark.sources.kerchunk import grib2_refs
+
+    lats = np.linspace(60.0, 30.0, 4)
+    ref = dt.datetime(2003, 5, 1)
+    # reduced Gaussian grid -> regular-grid raise
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    pl = (4, 8, 8, 4)
+    vals = np.round(np.arange(sum(pl), dtype=float) * 0.25, 2)
+    p = tmp_path / "red.grib2"
+    p.write_bytes(
+        write_grib2_message(
+            vals, _gaussian_lats(len(pl) // 2), None, ref,
+            grid_template=40, reduced_pl=list(pl), decimal_scale=2,
+            nbits=16,
+        )
+    )
+    with pytest.raises(NotImplementedError, match="regular"):
+        grib2_refs(str(p))
+    # two grids in one archive -> one-grid raise
+    a = write_grib2_message(
+        np.ones((4, 5)), lats, np.arange(5) * 10.0, ref, nbits=8
+    )
+    b = write_grib2_message(
+        np.ones((3, 5)), lats[:3], np.arange(5) * 10.0, ref,
+        forecast_hours=6, nbits=8,
+    )
+    p2 = tmp_path / "two.grib2"
+    p2.write_bytes(a + b)
+    with pytest.raises(NotImplementedError, match="one\\s+grid"):
+        grib2_refs(str(p2))
