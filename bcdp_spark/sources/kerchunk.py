@@ -265,3 +265,134 @@ def grib2_refs(path: str, target: str | None = None) -> dict:
         for t, ix in enumerate(ixs):
             refs[f"{var}/{t}.0.0"] = [tgt, ix.offset, ix.length]
     return {"version": 1, "refs": refs}
+
+
+def hdf5_refs(
+    path: str,
+    dims: dict[str, list[str]] | None = None,
+    target: str | None = None,
+) -> dict:
+    """Index one HDF5 / NetCDF-4 file into a version-1 reference
+    mapping — kerchunk's original use case. Chunked datasets map chunk
+    B-tree entries straight to ``(target, offset, length)`` refs; the
+    HDF5 filter pipeline translates to its zarr twin when one exists
+    (deflate → ``zlib`` compressor, shuffle → numcodecs ``shuffle``
+    filter — bytewise-identical transforms), contiguous datasets
+    become whole-array chunks, compact data inlines as base64. Filters
+    with no zarr twin (fletcher32's trailing checksum, szip, n-bit,
+    scale-offset, per-chunk filter masks) raise loudly — those files
+    read via ``load_netcdf4`` instead.
+
+    ``dims`` supplies ``_ARRAY_DIMENSIONS`` per dataset when the file
+    doesn't already carry them (plain-HDF5 files; netCDF-4 files wrote
+    them only if saved through xarray's zarr-aware path).
+    """
+    import base64 as _b64
+    import mmap
+
+    from bcdp_spark.sources.hdf5 import _UNDEF, H5File
+
+    tgt = target if target is not None else path
+    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+
+    with open(path, "rb") as fh:
+        buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        h5 = H5File(buf)
+        if h5.attrs:
+            refs[".zattrs"] = json.dumps(
+                {k: v for k, v in h5.attrs.items()
+                 if isinstance(v, (str, int, float, list))}
+            )
+        for name, ds in h5.datasets.items():
+            dt = ds.dtype.np_dtype
+            if dt.kind not in "iuf":
+                continue  # vlen strings etc: no zarr analog here
+            comp = None
+            zfilters: list[dict] = []
+            ids = [f[0] for f in ds.filters]
+            for bad in ids:
+                if bad not in (1, 2):
+                    raise NotImplementedError(
+                        f"hdf5_refs: {name}: HDF5 filter id {bad} has "
+                        "no zarr twin — read via load_netcdf4"
+                    )
+            for pos, (fid, _flags, cvals) in enumerate(ds.filters):
+                if fid == 1:
+                    if pos != len(ds.filters) - 1:
+                        raise NotImplementedError(
+                            f"hdf5_refs: {name}: deflate is not the "
+                            "last pipeline filter — no zarr twin"
+                        )
+                    comp = {"id": "zlib"}
+                elif fid == 2:
+                    zfilters.append(
+                        {
+                            "id": "shuffle",
+                            "elementsize": int(
+                                cvals[0] if cvals else dt.itemsize
+                            ),
+                        }
+                    )
+            attrs = {
+                k: v for k, v in ds.attrs.items()
+                if isinstance(v, (str, int, float, list))
+            }
+            if dims and name in dims:
+                attrs["_ARRAY_DIMENSIONS"] = list(dims[name])
+            shape = tuple(ds.shape)
+            fill = ds.fill if np.isscalar(ds.fill) else 0
+
+            def zmeta(chunks):
+                return json.dumps(
+                    {
+                        "zarr_format": 2,
+                        "shape": list(shape),
+                        "chunks": list(chunks),
+                        "dtype": dt.str,
+                        "compressor": comp,
+                        "fill_value": (
+                            fill if isinstance(fill, (int, float)) else 0
+                        ),
+                        "order": "C",
+                        "filters": zfilters or None,
+                    }
+                )
+
+            refs[f"{name}/.zattrs"] = json.dumps(attrs)
+            if ds.layout == "compact":
+                refs[f"{name}/.zarray"] = zmeta(shape or (1,))
+                key = ".".join("0" for _ in (shape or (1,)))
+                refs[f"{name}/{key}"] = (
+                    "base64:" + _b64.b64encode(ds.compact).decode()
+                )
+            elif ds.layout == "contiguous":
+                refs[f"{name}/.zarray"] = zmeta(shape or (1,))
+                if ds.data_addr != _UNDEF:
+                    key = ".".join("0" for _ in (shape or (1,)))
+                    nb = ds.data_size or (
+                        int(np.prod(shape or (1,), dtype=np.int64))
+                        * dt.itemsize
+                    )
+                    refs[f"{name}/{key}"] = [tgt, ds.data_addr, nb]
+                # else: all-fill dataset — no chunk keys, fill_value
+                # serves every read (the zarr missing-chunk contract)
+            elif ds.layout == "chunked":
+                refs[f"{name}/.zarray"] = zmeta(ds.chunk_shape)
+                rank = len(shape)
+                for offsets, addr, nbytes, fmask in h5._chunks(ds, rank):
+                    if fmask:
+                        raise NotImplementedError(
+                            f"hdf5_refs: {name}: per-chunk filter mask "
+                            f"0x{fmask:x} has no zarr expression"
+                        )
+                    key = ".".join(
+                        str(offsets[d] // ds.chunk_shape[d])
+                        for d in range(rank)
+                    )
+                    refs[f"{name}/{key}"] = [tgt, addr, nbytes]
+            else:
+                raise NotImplementedError(
+                    f"hdf5_refs: layout {ds.layout!r}"
+                )
+        buf.close()
+    return {"version": 1, "refs": refs}

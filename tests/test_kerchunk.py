@@ -362,3 +362,73 @@ def test_grib2_refs_loud_seams(tmp_path):
     p2.write_bytes(a + b)
     with pytest.raises(NotImplementedError, match="one\\s+grid"):
         grib2_refs(str(p2))
+
+
+# -- HDF5 reference stores (chunk B-tree -> refs, zlib/shuffle twins) ---
+
+
+def _write_h5(tmp_path, shuffle=False, gzip_level=4):
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    time = np.arange(6, dtype="<f8")
+    lat = np.array([-30.0, 0.0, 30.0])
+    lon = np.array([0.0, 120.0, 240.0, 300.0])
+    data = (np.arange(72, dtype="<f8").reshape(6, 3, 4)) * 0.5
+    raw = write_hdf5(
+        {
+            "time": (["time"], time,
+                     {"units": "days since 2004-01-01"}),
+            "lat": (["lat"], lat, {}),
+            "lon": (["lon"], lon, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        chunk={"pr": (2, 3, 4)},
+        gzip_level=gzip_level,
+        shuffle=shuffle,
+    )
+    p = tmp_path / "arch.h5"
+    p.write_bytes(raw)
+    return str(p), data
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_hdf5_refs_roundtrip_through_zarr(spark, tmp_path, shuffle):
+    from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    h5_path, data = _write_h5(tmp_path, shuffle=shuffle)
+    dims = {
+        "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+        "pr": ["time", "lat", "lon"],
+    }
+    doc = hdf5_refs(h5_path, dims=dims)
+    # chunked zlib(+shuffle) pipeline translated, 3 chunk refs
+    za = json.loads(doc["refs"]["pr/.zarray"])
+    assert za["compressor"] == {"id": "zlib"}
+    if shuffle:
+        assert za["filters"] == [{"id": "shuffle", "elementsize": 8}]
+    else:
+        assert za["filters"] is None
+    assert sum(1 for k in doc["refs"] if k.startswith("pr/") and
+               not k.endswith((".zarray", ".zattrs"))) == 3
+    rp = str(tmp_path / "h5refs.json")
+    write_refs(doc, rp)
+    pdf = load_zarr(spark, f"refs::{rp}").toPandas()
+    assert len(pdf) == data.size
+    assert pdf.value.sum() == pytest.approx(data.sum())
+    assert pdf.time.min() == pd.Timestamp("2004-01-01")
+    assert pdf.time.max() == pd.Timestamp("2004-01-06")
+
+
+def test_hdf5_refs_filter_without_zarr_twin_raises(tmp_path):
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs
+
+    raw = write_hdf5(
+        {"x": (["a"], np.arange(16, dtype="<f8"), {})},
+        chunk={"x": (8,)}, gzip_level=4, fletcher=True,
+    )
+    p = tmp_path / "f.h5"
+    p.write_bytes(raw)
+    with pytest.raises(NotImplementedError, match="filter id 3"):
+        hdf5_refs(str(p))
