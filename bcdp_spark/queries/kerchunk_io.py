@@ -114,3 +114,109 @@ def q_kerchunk_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_CMB_DIR = "/tmp/bcdp_spark_kerchunk_combine_fixture_v1"
+_C_T, _C_A, _C_O = 20, 3, 4  # days per file; 3 files
+
+
+def _ensure_combine_fixture() -> str:
+    """Three month-chunk NetCDF-3 files -> three refs -> ONE combined
+    virtual store (the MultiZarrToZarr workflow)."""
+    from bcdp_spark.sources.kerchunk import (
+        combine_refs,
+        netcdf3_refs,
+        write_refs,
+    )
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    merged_path = os.path.join(_CMB_DIR, "merged.json")
+    done = os.path.join(_CMB_DIR, ".complete")
+    if os.path.exists(done):
+        return merged_path
+    os.makedirs(_CMB_DIR, exist_ok=True)
+    parts = []
+    for f in range(3):
+        start = f * _C_T
+        t = np.arange(start, start + _C_T)[:, None, None]
+        a = np.arange(_C_A)[None, :, None]
+        o = np.arange(_C_O)[None, None, :]
+        data = 0.25 * (t * 100 + a * 10 + o)
+        data = np.where((t + a + o) % 9 == 0, -999.0, data)
+        raw = write_netcdf3(
+            dims={"time": _C_T, "lat": _C_A, "lon": _C_O},
+            variables={
+                "time": (
+                    ["time"],
+                    np.arange(start, start + _C_T, dtype="float64"),
+                    {"units": "days since 2006-01-01"},
+                ),
+                "lat": (["lat"], np.array([-45.0, 0.0, 45.0]), {}),
+                "lon": (["lon"], np.arange(_C_O) * 90.0, {}),
+                "pr": (
+                    ["time", "lat", "lon"],
+                    data,
+                    {"_FillValue": -999.0},
+                ),
+            },
+            record_dim="time",
+        )
+        nc = os.path.join(_CMB_DIR, f"part{f}.nc")
+        with open(nc, "wb") as fh:
+            fh.write(raw)
+        rp = os.path.join(_CMB_DIR, f"part{f}.refs.json")
+        write_refs(netcdf3_refs(nc), rp)
+        parts.append(rp)
+    write_refs(combine_refs(parts), merged_path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return merged_path
+
+
+@register(
+    "q_kerchunk_combine",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2006-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 9 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 100 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {3 * _C_T - 1}) t(g),
+       generate_series(0, {_C_A - 1}) a(g),
+       generate_series(0, {_C_O - 1}) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE a WHEN 0 THEN -45.0 WHEN 1 THEN 0.0 ELSE 45.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE t BETWEEN 10 AND 49
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 multi-file: three month-chunk archives combined into one
+    virtual store; the query's time range spans BOTH file boundaries
+    and prunes 20 of 60 record chunks across all three underlying
+    files before any ranged read."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    merged = _ensure_combine_fixture()
+    df = load_zarr(
+        spark,
+        f"refs::{merged}",
+        time_bnds=("2006-01-11", "2006-02-19"),
+    )
+    return df.groupBy(
+        F.month("time").cast("int").alias("month"),
+        F.col("lat"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

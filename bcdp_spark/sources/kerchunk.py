@@ -396,3 +396,132 @@ def hdf5_refs(
                 )
         buf.close()
     return {"version": 1, "refs": refs}
+
+
+def combine_refs(
+    ref_paths: list[str], concat_dim: str = "time"
+) -> dict:
+    """Combine per-file reference mappings into ONE virtual store
+    concatenated along ``concat_dim`` (the MultiZarrToZarr pattern: a
+    year of daily files, one logical dataset). Chunk refs are
+    re-keyed with the concat-axis offset; the concat coordinate is
+    materialized inline from each file's values (read through the
+    ``refs::`` store, so inline, base64 and ranged coordinate storage
+    all work); all other metadata must agree bitwise across files.
+
+    Scale: the indexing fleet writes one refs JSON per file; this
+    merge touches only metadata plus the 1-D concat coordinate — no
+    data chunk is ever read. Scope (loud raises otherwise): every
+    concatenated variable chunked 1-along-``concat_dim`` (what all
+    three indexers here emit), identical grids/codecs across files,
+    matching coordinate units, monotonically increasing coordinate
+    across the file sequence.
+    """
+    from bcdp_spark.sources.zarr import read_array
+
+    if not ref_paths:
+        raise ValueError("combine_refs: no reference files given")
+
+    docs = []
+    for p in ref_paths:
+        with open(p) as fh:
+            d = json.load(fh)
+        docs.append(d["refs"] if "refs" in d else d)
+
+    def arrays(refs):
+        return sorted(
+            k[: -len("/.zarray")] for k in refs if k.endswith("/.zarray")
+        )
+
+    names = arrays(docs[0])
+    for p, d in zip(ref_paths[1:], docs[1:]):
+        if arrays(d) != names:
+            raise ValueError(
+                f"combine_refs: {p} has different arrays than "
+                f"{ref_paths[0]}"
+            )
+
+    # classify: concatenated vars (concat_dim first), invariant rest
+    out: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    coord_vals: list[np.ndarray] = []
+    coord_units: str | None = None
+    for i, (p, d) in enumerate(zip(ref_paths, docs)):
+        attrs = json.loads(d.get(f"{concat_dim}/.zattrs", "{}"))
+        u = attrs.get("units")
+        if i == 0:
+            coord_units = u
+        elif u != coord_units:
+            raise NotImplementedError(
+                f"combine_refs: {p} stores {concat_dim!r} in units "
+                f"{u!r}, first file uses {coord_units!r} — re-encode"
+            )
+        vals, _ = read_array(f"refs::{p}", concat_dim)
+        coord_vals.append(np.asarray(vals, dtype="<f8"))
+    cat = np.concatenate(coord_vals)
+    if not np.all(np.diff(cat) > 0):
+        raise ValueError(
+            f"combine_refs: {concat_dim!r} is not strictly increasing "
+            "across the file sequence — sort the inputs"
+        )
+
+    import base64 as _b64
+
+    for name in names:
+        zas = [json.loads(d[f"{name}/.zarray"]) for d in docs]
+        dims = json.loads(docs[0].get(f"{name}/.zattrs", "{}")).get(
+            "_ARRAY_DIMENSIONS", []
+        )
+        out[f"{name}/.zattrs"] = docs[0].get(
+            f"{name}/.zattrs", json.dumps({})
+        )
+        if name == concat_dim:
+            out[f"{name}/.zarray"] = _zarray(
+                (len(cat),), (len(cat),), "<f8"
+            )
+            out[f"{name}/0"] = "base64:" + _b64.b64encode(
+                cat.tobytes()
+            ).decode()
+            continue
+        if not dims or dims[0] != concat_dim:
+            # invariant array: must be bitwise-identical everywhere
+            for p, d in zip(ref_paths[1:], docs[1:]):
+                if d[f"{name}/.zarray"] != docs[0][f"{name}/.zarray"]:
+                    raise ValueError(
+                        f"combine_refs: invariant array {name!r} "
+                        f"differs in {p}"
+                    )
+            out[f"{name}/.zarray"] = docs[0][f"{name}/.zarray"]
+            for k, v in docs[0].items():
+                if k.startswith(f"{name}/") and not k.endswith(
+                    (".zarray", ".zattrs")
+                ):
+                    out[k] = v
+            continue
+        base = dict(zas[0])
+        for p, za in zip(ref_paths[1:], zas[1:]):
+            if {k: v for k, v in za.items() if k != "shape"} != {
+                k: v for k, v in base.items() if k != "shape"
+            } or za["shape"][1:] != base["shape"][1:]:
+                raise ValueError(
+                    f"combine_refs: {name!r} metadata differs in {p}"
+                )
+        if any(za["chunks"][0] != 1 for za in zas):
+            raise NotImplementedError(
+                f"combine_refs: {name!r} is not chunked 1 along "
+                f"{concat_dim!r} — only per-step chunks combine"
+            )
+        total = sum(za["shape"][0] for za in zas)
+        base["shape"] = [total, *base["shape"][1:]]
+        out[f"{name}/.zarray"] = json.dumps(base)
+        offset = 0
+        for za, d in zip(zas, docs):
+            for k, v in d.items():
+                if not k.startswith(f"{name}/") or k.endswith(
+                    (".zarray", ".zattrs")
+                ):
+                    continue
+                idx = k[len(name) + 1 :].split(".")
+                idx[0] = str(int(idx[0]) + offset)
+                out[f"{name}/{'.'.join(idx)}"] = v
+            offset += za["shape"][0]
+    return {"version": 1, "refs": out}

@@ -432,3 +432,80 @@ def test_hdf5_refs_filter_without_zarr_twin_raises(tmp_path):
     p.write_bytes(raw)
     with pytest.raises(NotImplementedError, match="filter id 3"):
         hdf5_refs(str(p))
+
+
+# -- combine_refs: many files, one virtual store ------------------------
+
+
+def _write_nc_month(tmp_path, start_day, n_days, tag):
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    lat = np.array([-30.0, 0.0, 30.0])
+    lon = np.array([0.0, 120.0, 240.0])
+    time = np.arange(start_day, start_day + n_days, dtype=np.float64)
+    data = (
+        np.arange(n_days * 9, dtype=np.float64).reshape(n_days, 3, 3)
+        + start_day * 100
+    )
+    raw = write_netcdf3(
+        dims={"time": n_days, "lat": 3, "lon": 3},
+        variables={
+            "time": (["time"], time, {"units": "days since 2005-01-01"}),
+            "lat": (["lat"], lat, {}),
+            "lon": (["lon"], lon, {}),
+            "tas": (["time", "lat", "lon"], data, {}),
+        },
+        record_dim="time",
+    )
+    nc = tmp_path / f"{tag}.nc"
+    nc.write_bytes(raw)
+    rp = str(tmp_path / f"{tag}.refs.json")
+    write_refs(netcdf3_refs(str(nc)), rp)
+    return rp, data
+
+
+def test_combine_refs_concatenates_time(spark, tmp_path):
+    from bcdp_spark.sources.kerchunk import combine_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr, pruned_chunk_count
+
+    r1, d1 = _write_nc_month(tmp_path, 0, 4, "jan")
+    r2, d2 = _write_nc_month(tmp_path, 4, 5, "feb")
+    merged = combine_refs([r1, r2])
+    mp = str(tmp_path / "merged.json")
+    write_refs(merged, mp)
+
+    za = json.loads(merged["refs"]["tas/.zarray"])
+    assert za["shape"] == [9, 3, 3] and za["chunks"] == [1, 3, 3]
+
+    pdf = load_zarr(spark, f"refs::{mp}").toPandas()
+    assert len(pdf) == 81
+    assert pdf.value.sum() == pytest.approx(d1.sum() + d2.sum())
+    assert pdf.time.min() == pd.Timestamp("2005-01-01")
+    assert pdf.time.max() == pd.Timestamp("2005-01-09")
+    # pruning spans the file boundary: days 3-5 keep 3 of 9 chunks
+    kept, total = pruned_chunk_count(
+        f"refs::{mp}", time_bnds=("2005-01-04", "2005-01-06")
+    )
+    assert (kept, total) == (3, 9)
+
+
+def test_combine_refs_loud_seams(tmp_path):
+    from bcdp_spark.sources.kerchunk import combine_refs
+
+    r1, _ = _write_nc_month(tmp_path, 0, 3, "a")
+    r2, _ = _write_nc_month(tmp_path, 3, 3, "b")
+    # wrong order -> non-monotonic coordinate
+    with pytest.raises(ValueError, match="increasing"):
+        combine_refs([r2, r1])
+    # mismatched units
+    import json as _json
+
+    doc = _json.load(open(r2))
+    za = _json.loads(doc["refs"]["time/.zattrs"])
+    za["units"] = "hours since 2005-01-01"
+    doc["refs"]["time/.zattrs"] = _json.dumps(za)
+    r2b = str(tmp_path / "b2.refs.json")
+    _json.dump(doc, open(r2b, "w"))
+    with pytest.raises(NotImplementedError, match="units"):
+        combine_refs([r1, r2b])

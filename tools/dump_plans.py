@@ -103,6 +103,7 @@ HEADLINE = (
     "q_changepoint",
     # round-7 — kerchunk reference-store scan (SURVEY S14)
     "q_kerchunk_climatology",
+    "q_kerchunk_combine",
 )
 
 
