@@ -509,3 +509,24 @@ def test_combine_refs_loud_seams(tmp_path):
     _json.dump(doc, open(r2b, "w"))
     with pytest.raises(NotImplementedError, match="units"):
         combine_refs([r1, r2b])
+
+
+def test_refs_store_through_zarr_dsv2(spark, tmp_path):
+    """format('zarr').load('refs::…') — the DSv2 path accepts reference
+    stores unchanged (store resolution is shared), including
+    pushFilters chunk pruning."""
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.zarr_datasource import register_zarr_source
+
+    nc_path, expect = _write_nc(tmp_path, record=True)
+    rp = str(tmp_path / "dsv2refs.json")
+    write_refs(netcdf3_refs(nc_path), rp)
+    register_zarr_source(spark)
+    pdf = (
+        spark.read.format("zarr")
+        .load(f"refs::{rp}")
+        .filter("lat >= 0")
+        .toPandas()
+    )
+    assert len(pdf) == 5 * 2 * 4
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect[:, 1:, :]))

@@ -263,6 +263,23 @@ def ops(spark, sf_dir):
             "bcdp_spark.operators.text", fromlist=["x"]
         ).bigram_lm_scores(docs)
             .agg(F.sum("n_bigrams"), F.sum("avg_nll")).collect()),
+        # r7: benchmark decontamination — bench gram set DISTINCTs then
+        # broadcasts (constant-ish under train growth); the train side
+        # is a map + broadcast semi-join + distinct on contaminated
+        # ids. Linear in train tokens.
+        "decontaminate": t(lambda: __import__(
+            "bcdp_spark.operators.dedup", fromlist=["x"]
+        ).decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            n=4,
+        ).groupBy("contaminated").count().collect()),
+        # r7: market-basket pair mining — self-equi-join on the order
+        # key (bounded baskets keep the pair explosion a constant
+        # factor), pair hash-agg, broadcast supports, top-20 via
+        # TakeOrderedAndProject. Linear in lineitems.
+        "market_basket": t(lambda: _q("q_market_basket")(spark, sf_dir)
+                           .collect()),
     }
 
 
