@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from bcdp_spark.operators.spatial import parse_geojson, region_edges
 from bcdp_spark.queries import register
 from bcdp_spark.queries._helpers import (
+    DEC,
+    DEC_SQL,
     davg,
     davg_sql,
     dsum,
@@ -194,4 +196,50 @@ def q_spell_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_spell"),
         F.count(F.lit(1)).cast("long").alias("n_spells"),
         F.sum("len").cast("long").alias("n_below"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3+/EXT (r7) — heating/cooling degree days, the canonical climate-to-
+# energy index (NOAA convention: per-day mean vs a 65-unit base, clipped
+# at zero, summed per month). The synthetic station series comes from
+# events.value scaled onto a temperature-like range; the whole query is
+# two hash aggregates — day means (decimal-exact) then monthly sums —
+# with no window and no join; it scales as a pure map+combine pipeline.
+# ---------------------------------------------------------------------------
+@register(
+    "q_degree_days",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         CAST(MONTH(date_trunc('day', ts)) AS INT) AS month,
+         CAST(CAST(SUM(CAST(value * 10 + 40 AS {DEC_SQL})) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS tmean
+  FROM events GROUP BY 1, 2
+)
+SELECT month,
+       COUNT(*) AS n_days,
+       {dsum_sql('GREATEST(65.0 - tmean, 0.0)', 'hdd')},
+       {dsum_sql('GREATEST(tmean - 65.0, 0.0)', 'cdd')}
+FROM daily GROUP BY month
+""",
+)
+def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("bigint")
+        .alias("day"),
+        F.month(F.date_trunc("day", F.col("ts"))).cast("int").alias("month"),
+    ).agg(
+        (
+            F.sum((F.col("value") * 10 + 40).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("tmean")
+    )
+    return daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum(F.greatest(F.lit(65.0) - F.col("tmean"), F.lit(0.0)), "hdd"),
+        dsum(F.greatest(F.col("tmean") - F.lit(65.0), F.lit(0.0)), "cdd"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bcdp_spark.queries import register
-from bcdp_spark.queries._helpers import dsum, dsum_sql, utc
+from bcdp_spark.queries._helpers import DEC, DEC_SQL, dsum, dsum_sql, utc
 from bcdp_spark.tables import table
 
 
@@ -390,4 +390,59 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r7) — revenue concentration (Pareto analysis): decile revenue
+# shares over customers ranked by lifetime revenue, the 80/20 cut every
+# commercial warehouse reports. Ranking, deciles and shares all ride
+# the per-customer AGGREGATE (one row each), never the orders fact
+# table; revenue routes through exact decimal cents so decile borders
+# and shares cannot drift on float summation order.
+# ---------------------------------------------------------------------------
+@register(
+    "q_revenue_concentration",
+    oracle=f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS {DEC_SQL})) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile,
+         CAST(SUM(cents) OVER () AS DOUBLE) AS total
+  FROM m
+)
+SELECT CAST(decile AS INT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS decile_cents,
+       ROUND(SUM(cents) / MAX(total), 6) AS revenue_share
+FROM t GROUP BY decile
+""",
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.floor(F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    t = m.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("decile"),
+        F.sum("cents").over(Window.partitionBy()).cast("double")
+        .alias("total"),
+    )
+    return t.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+        F.round(F.sum("cents") / F.max("total"), 6).alias(
+            "revenue_share"
+        ),
     )

@@ -530,3 +530,74 @@ def test_refs_store_through_zarr_dsv2(spark, tmp_path):
     )
     assert len(pdf) == 5 * 2 * 4
     assert pdf.value.sum() == pytest.approx(np.nansum(expect[:, 1:, :]))
+
+
+@pytest.mark.parametrize("v4", ["fixed_array", "btree2"])
+def test_hdf5_refs_v4_chunk_indexes(spark, tmp_path, v4):
+    """libver='latest' files (layout-v4 fixed-array / v2-btree chunk
+    indexes) index through the same _chunks walk."""
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    time = np.arange(4, dtype="<f8")
+    lat = np.array([-10.0, 10.0])
+    lon = np.array([0.0, 90.0, 180.0])
+    data = np.arange(24, dtype="<f8").reshape(4, 2, 3) * 0.25
+    raw = write_hdf5(
+        {
+            "time": (["time"], time, {"units": "days since 2007-01-01"}),
+            "lat": (["lat"], lat, {}),
+            "lon": (["lon"], lon, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        profile="v2",
+        chunk={"pr": (2, 2, 3)},
+        gzip_level=4,
+        v4_index={"pr": v4},
+    )
+    p = tmp_path / f"{v4}.h5"
+    p.write_bytes(raw)
+    dims = {"time": ["time"], "lat": ["lat"], "lon": ["lon"],
+            "pr": ["time", "lat", "lon"]}
+    rp = str(tmp_path / f"{v4}.refs.json")
+    write_refs(hdf5_refs(str(p), dims=dims), rp)
+    pdf = load_zarr(spark, f"refs::{rp}").toPandas()
+    assert len(pdf) == 24
+    assert pdf.value.sum() == pytest.approx(data.sum())
+
+
+def test_refs_json_served_over_http(spark, tmp_path):
+    """The reference file ITSELF can live on object storage: a refs::
+    URL spec fetches the JSON over HTTP, then chunks resolve per-ref."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    nc_path, expect = _write_nc(tmp_path, record=True)
+    rp = str(tmp_path / "served.json")
+    # targets stay local-absolute; only the refs JSON travels over HTTP
+    write_refs(netcdf3_refs(nc_path), rp)
+    body = open(rp, "rb").read()
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/served.json"
+        pdf = load_zarr(spark, f"refs::{url}").toPandas()
+        assert len(pdf) == expect.size
+        assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+    finally:
+        srv.shutdown()

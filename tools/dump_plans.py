@@ -104,6 +104,9 @@ HEADLINE = (
     # round-7 — kerchunk reference-store scan (SURVEY S14)
     "q_kerchunk_climatology",
     "q_kerchunk_combine",
+    # round-7 — degree days (pure map+combine), Pareto deciles
+    "q_degree_days",
+    "q_revenue_concentration",
 )
 
 
