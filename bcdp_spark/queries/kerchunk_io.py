@@ -220,3 +220,98 @@ def q_kerchunk_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_GRB_DIR = "/tmp/bcdp_spark_kerchunk_grib2_fixture_v1"
+_G_H, _G_A, _G_O = 4, 3, 5  # steps, lats, lons
+
+
+def _ensure_grib_fixture() -> str:
+    """One deterministic GRIB2 archive (4 six-hourly steps, bitmap NaN
+    pattern, power-of-two scaling) indexed into message refs."""
+    import datetime as _dt
+
+    from bcdp_spark.sources.grib2 import write_grib2_message
+    from bcdp_spark.sources.kerchunk import grib2_refs, write_refs
+
+    refs_path = os.path.join(_GRB_DIR, "refs.json")
+    done = os.path.join(_GRB_DIR, ".complete")
+    if os.path.exists(done):
+        return refs_path
+    os.makedirs(_GRB_DIR, exist_ok=True)
+    lats = np.array([-40.0, 0.0, 40.0])
+    lons = np.arange(_G_O) * 72.0
+    msgs = b""
+    for s in range(_G_H):
+        h = s * 6
+        vals = np.empty((_G_A, _G_O))
+        for a in range(_G_A):
+            for o in range(_G_O):
+                if (h + a + o) % 8 == 0:
+                    vals[a, o] = np.nan
+                else:
+                    vals[a, o] = 0.25 * (h * 100 + a * 10 + o)
+        msgs += write_grib2_message(
+            vals, lats, lons, _dt.datetime(2008, 3, 1),
+            forecast_hours=h, binary_scale=-2, nbits=16,
+        )
+    gp = os.path.join(_GRB_DIR, "fcst.grib2")
+    with open(gp, "wb") as fh:
+        fh.write(msgs)
+    write_refs(grib2_refs(gp), refs_path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return refs_path
+
+
+@register(
+    "q_kerchunk_grib2",
+    oracle=f"""
+WITH grid AS (
+  SELECT s.g * 6 AS h, a.g AS a, o.g AS o,
+         CASE WHEN (s.g * 6 + a.g + o.g) % 8 = 0 THEN NULL
+              ELSE 0.25 * (s.g * 6 * 100 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {_G_H - 1}) s(g),
+       generate_series(0, {_G_A - 1}) a(g),
+       generate_series(0, {_G_O - 1}) o(g)
+)
+SELECT CAST(h AS BIGINT) AS hour,
+       CASE a WHEN 0 THEN -40.0 WHEN 1 THEN 0.0 ELSE 40.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE h BETWEEN 6 AND 18
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_grib2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/S12 composite: GRIB2 messages as virtual-zarr chunks via
+    the {'id': 'grib2'} pseudo-codec; the valid-time bounds prune the
+    hour-0 message before any ranged read, and bitmap points surface
+    as NULL through the zarr path unchanged."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    refs_path = _ensure_grib_fixture()
+    df = load_zarr(
+        spark,
+        f"refs::{refs_path}",
+        time_bnds=("2008-03-01 06:00", "2008-03-01 18:00"),
+    )
+    hour = (
+        (F.unix_timestamp("time") - F.unix_timestamp(
+            F.lit("2008-03-01 00:00:00").cast("timestamp")
+        )) / 3600
+    ).cast("bigint")
+    return df.groupBy(
+        hour.alias("hour"),
+        F.col("lat"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -107,6 +107,7 @@ HEADLINE = (
     # round-7 — degree days (pure map+combine), Pareto deciles
     "q_degree_days",
     "q_revenue_concentration",
+    "q_kerchunk_grib2",
 )
 
 
