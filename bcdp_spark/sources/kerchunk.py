@@ -525,3 +525,79 @@ def combine_refs(
                 out[f"{name}/{'.'.join(idx)}"] = v
             offset += za["shape"][0]
     return {"version": 1, "refs": out}
+
+
+def index_files(
+    spark,
+    paths: list[str],
+    fmt: str = "netcdf3",
+    out_dir: str | None = None,
+    concat_dim: str = "time",
+) -> dict:
+    """Fleet-scale scan-once indexing: one executor task per archive
+    file (each reads only headers/chunk B-trees), per-file reference
+    JSONs come back to the driver (refs are metadata-small — KBs per
+    file regardless of payload), get ordered by their first
+    ``concat_dim`` value and combined into ONE virtual store. This is
+    the whole kerchunk workflow as a single call: a decades-deep
+    archive indexes in one distributed pass and reads forever through
+    ``load_zarr('refs::<merged>.json')``.
+
+    ``out_dir`` keeps the per-file refs (default: alongside the merged
+    mapping under a temp dir); returns the merged version-1 document.
+    ``fmt``: 'netcdf3', 'hdf5', or 'grib2'.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    indexer = {
+        "netcdf3": "netcdf3_refs",
+        "hdf5": "hdf5_refs",
+        "grib2": "grib2_refs",
+    }.get(fmt)
+    if indexer is None:
+        raise ValueError(f"index_files: unknown fmt {fmt!r}")
+    if not paths:
+        raise ValueError("index_files: no paths")
+
+    def _index(batch):
+        import bcdp_spark.sources.kerchunk as K
+
+        fn = getattr(K, indexer)
+        for pdf in batch:
+            out = [json.dumps(fn(p)) for p in pdf["path"]]
+            yield pdf.assign(refs=out)
+
+    df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths), SF.col("path"))
+    rows = df.mapInPandas(_index, schema="path string, refs string").collect()
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bcdp_refs_")
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    part_paths = []
+    for r in rows:
+        pp = _os.path.join(
+            out_dir,
+            _os.path.basename(r["path"]) + ".refs.json",
+        )
+        with open(pp, "w") as fh:
+            fh.write(r["refs"])
+        part_paths.append(pp)
+
+    # order parts by their first concat-dim value (combine_refs
+    # enforces global monotonicity)
+    from bcdp_spark.sources.zarr import read_array
+
+    def first_val(p: str) -> float:
+        vals, _ = read_array(f"refs::{p}", concat_dim)
+        return float(np.asarray(vals)[0])
+
+    part_paths.sort(key=first_val)
+    merged = combine_refs(part_paths, concat_dim=concat_dim)
+    with open(_os.path.join(out_dir, "merged.refs.json"), "w") as fh:
+        json.dump(merged, fh)
+    return merged

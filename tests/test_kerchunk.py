@@ -601,3 +601,29 @@ def test_refs_json_served_over_http(spark, tmp_path):
         assert pdf.value.sum() == pytest.approx(np.nansum(expect))
     finally:
         srv.shutdown()
+
+
+def test_index_files_distributed_end_to_end(spark, tmp_path):
+    """index_files: one executor task per archive -> per-file refs ->
+    time-ordered combine -> one virtual store (inputs deliberately
+    passed out of order)."""
+    from bcdp_spark.sources.kerchunk import index_files
+    from bcdp_spark.sources.zarr import load_zarr
+
+    r_paths = []
+    datas = []
+    for tag, start in (("b", 6), ("a", 0), ("c", 12)):
+        _, d = _write_nc_month(tmp_path, start, 6, tag)
+        r_paths.append(str(tmp_path / f"{tag}.nc"))
+        datas.append(d)
+    merged = index_files(
+        spark, r_paths, fmt="netcdf3", out_dir=str(tmp_path / "refs")
+    )
+    assert json.loads(merged["refs"]["tas/.zarray"])["shape"] == [18, 3, 3]
+    pdf = load_zarr(
+        spark, f"refs::{tmp_path}/refs/merged.refs.json"
+    ).toPandas()
+    assert len(pdf) == 18 * 9
+    assert pdf.value.sum() == pytest.approx(sum(d.sum() for d in datas))
+    assert pdf.time.min() == pd.Timestamp("2005-01-01")
+    assert pdf.time.max() == pd.Timestamp("2005-01-18")

@@ -229,13 +229,13 @@ def test_registry_and_unsupported(tmp_path, spark):
     pdf = reg_load("zarr", spark, store).toPandas()
     assert len(pdf) == expect.size
     # unsupported compressor fails loudly at meta-read time (blosc
-    # lz4/zlib landed r5, zstd landed late r5 — lzma stays a seam)
+    # lz4/zlib landed r5, zstd late r5, lzma r7 — bz2 stays a seam)
     meta_path = os.path.join(store, "pr", ".zarray")
     za = json.load(open(meta_path))
-    za["compressor"] = {"id": "lzma", "preset": 1}
+    za["compressor"] = {"id": "bz2", "level": 1}
     json.dump(za, open(meta_path, "w"))
     os.remove(os.path.join(store, ".zmetadata"))
-    with pytest.raises(NotImplementedError, match="lzma"):
+    with pytest.raises(NotImplementedError, match="bz2"):
         read_array_meta(store, "pr")
 
 
