@@ -32,8 +32,10 @@ applied per block before splitting (each split is then exactly one
 byte-plane).
 
 Supported codecs: lz4/lz4hc (own block decoder below), zlib (stdlib),
-zstd (own RFC 8878 decoder, ``sources/zstd.py`` — r5), and raw/memcpy.
-blosclz and snappy raise loudly — silence would mis-decode.
+zstd (own RFC 8878 decoder, ``sources/zstd.py`` — r5), snappy (own
+raw-block decoder, ``sources/snappy.py`` — r7, certified against
+pyarrow's libsnappy), and raw/memcpy. blosclz raises loudly — silence
+would mis-decode.
 """
 
 from __future__ import annotations
@@ -253,10 +255,10 @@ def blosc_decompress(raw: bytes) -> bytes:
             raise ValueError("blosc memcpy frame truncated")
         return raw[16 : 16 + nbytes]
     codec = _CODECS.get(flags >> 5)
-    if codec not in ("lz4", "zlib", "zstd"):
+    if codec not in ("lz4", "zlib", "zstd", "snappy"):
         raise NotImplementedError(
             f"blosc codec {codec!r} needs a decoder not in this container "
-            "(supported: lz4, zlib, zstd, memcpy)"
+            "(supported: lz4, zlib, zstd, snappy, memcpy)"
         )
     if nbytes == 0:
         return b""
@@ -287,6 +289,10 @@ def blosc_decompress(raw: bytes) -> bytes:
                 from bcdp_spark.sources.zstd import zstd_decompress
 
                 block += zstd_decompress(part, neblock)
+            elif codec == "snappy":
+                from bcdp_spark.sources.snappy import snappy_decompress
+
+                block += snappy_decompress(part, neblock)
             else:
                 block += _zlib.decompress(part)
         if len(block) != bsize:
@@ -317,7 +323,7 @@ def blosc_compress(
     bundled libzstd (a declared engine dependency) — the decode side is
     our own from-scratch ``sources/zstd.py``."""
     codec_id = {v: k for k, v in _CODECS.items()}.get(cname)
-    if cname not in ("lz4", "zlib", "zstd"):
+    if cname not in ("lz4", "zlib", "zstd", "snappy"):
         raise NotImplementedError(f"blosc_compress cname {cname!r}")
     typesize = max(1, min(typesize, 255))
     nbytes = len(data)
@@ -365,6 +371,10 @@ def blosc_compress(
                 import pyarrow as _pa
 
                 comp = bytes(_pa.Codec("zstd").compress(seg))
+            elif cname == "snappy":
+                from bcdp_spark.sources.snappy import snappy_compress
+
+                comp = snappy_compress(seg)
             else:
                 comp = _zlib.compress(seg)
             if len(comp) >= neblock:  # incompressible: store raw

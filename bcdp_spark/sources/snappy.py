@@ -1,0 +1,111 @@
+"""Snappy raw-block decoder, from the public format description
+(google/snappy `format_description.txt`) — no third-party snappy
+module. Encode side for sinks/fixtures goes through pyarrow's bundled
+libsnappy (a declared engine dependency), which also CERTIFIES this
+decoder: every frame we read in tests was produced by the reference
+implementation, the same producer/decoder split the zstd codec uses.
+
+Format (raw block, NOT the framing format):
+
+- preamble: uncompressed length as a little-endian varint;
+- elements, each a tag byte (low 2 bits = type) + operands:
+  - 00 literal: length-1 in tag bits 2-7; values 60-63 mean the
+    length-1 follows in that many little-endian bytes;
+  - 01 copy, 1-byte offset: length-4 in tag bits 2-4, offset bits
+    8-10 of the tag are the offset's bits 8-10, next byte its low 8
+    (offsets 0-2047, lengths 4-11);
+  - 10 copy, 2-byte LE offset: length-1 in tag bits 2-7 (1-64);
+  - 11 copy, 4-byte LE offset: same length encoding.
+- copies may overlap forward (offset < length ⇒ RLE-style repetition),
+  byte-by-byte semantics exactly like LZ77.
+
+Used by: blosc frames with codec id 2 (``cname='snappy'``) — the
+pre-1.15 c-blosc default in some HPC deployments and a numcodecs
+option zarr stores in the wild actually carry.
+"""
+
+from __future__ import annotations
+
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("snappy: truncated length varint")
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+
+
+def snappy_decompress(src: bytes, expected: int | None = None) -> bytes:
+    """Decode one raw snappy block. ``expected`` (when the container
+    knows the plain size) is cross-checked against the preamble."""
+    n, pos = _uvarint(src, 0)
+    if expected is not None and n != expected:
+        raise ValueError(
+            f"snappy: preamble says {n} bytes, container expects "
+            f"{expected}"
+        )
+    dst = bytearray()
+    ln = len(src)
+    while pos < ln:
+        tag = src[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:
+                nb = length - 59
+                if pos + nb > ln:
+                    raise ValueError("snappy: truncated literal length")
+                length = int.from_bytes(src[pos : pos + nb], "little")
+                pos += nb
+            length += 1
+            if pos + length > ln:
+                raise ValueError("snappy: literal overruns input")
+            dst += src[pos : pos + length]
+            pos += length
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            length = ((tag >> 2) & 0x7) + 4
+            if pos >= ln:
+                raise ValueError("snappy: truncated copy-1 offset")
+            offset = ((tag >> 5) << 8) | src[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            length = (tag >> 2) + 1
+            if pos + 2 > ln:
+                raise ValueError("snappy: truncated copy-2 offset")
+            offset = int.from_bytes(src[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            length = (tag >> 2) + 1
+            if pos + 4 > ln:
+                raise ValueError("snappy: truncated copy-4 offset")
+            offset = int.from_bytes(src[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(dst):
+            raise ValueError(
+                f"snappy: copy offset {offset} outside the {len(dst)} "
+                "bytes produced so far"
+            )
+        start = len(dst) - offset
+        for i in range(length):  # may overlap forward — byte-at-a-time
+            dst.append(dst[start + i])
+    if len(dst) != n:
+        raise ValueError(
+            f"snappy: decoded {len(dst)} bytes, preamble said {n}"
+        )
+    return bytes(dst)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Encode via pyarrow's bundled libsnappy (reference producer)."""
+    import pyarrow as _pa
+
+    return bytes(_pa.Codec("snappy").compress(data))

@@ -127,11 +127,33 @@ def test_blosc_truncated_frame_raises():
         blosc_decompress(frame[:-3])
 
 
-def test_blosc_snappy_codec_raises_loudly():
+def test_blosc_blosclz_codec_raises_loudly():
     frame = bytearray(blosc_compress(np.arange(64, dtype="<f8").tobytes(), 8))
-    frame[2] = (frame[2] & 0x1F) | (2 << 5)  # poke codec id → snappy
-    with pytest.raises(NotImplementedError, match="snappy"):
+    frame[2] = frame[2] & 0x1F  # poke codec id -> blosclz (0)
+    with pytest.raises(NotImplementedError, match="blosclz"):
         blosc_decompress(bytes(frame))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=3000),
+    dtype=st.sampled_from(["<f8", "<f4", "<i4", "|u1"]),
+    shuffle=st.sampled_from([False, "byte", "bit"]),
+    blocksize=st.sampled_from([0, 512]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_blosc_snappy_roundtrip_property(n, dtype, shuffle, blocksize, seed):
+    # frames encoded by pyarrow's libsnappy (the reference producer),
+    # decoded by our from-scratch sources/snappy.py
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(dtype)
+    arr = np.cumsum(rng.integers(0, 3, size=n)).astype(dt)
+    raw = arr.tobytes()
+    frame = blosc_compress(
+        raw, typesize=dt.itemsize, cname="snappy", shuffle=shuffle,
+        blocksize=blocksize,
+    )
+    assert blosc_decompress(frame) == raw
 
 
 def test_bitshuffle_hand_vectors_typesize1():
@@ -247,7 +269,23 @@ def test_zarr_blosc_bitshuffle_store_roundtrip(spark, tmp_path):
     assert pdf.value.sum() == pytest.approx(np.nansum(expect))
 
 
-def test_zarr_blosc_snappy_cname_raises(tmp_path):
+def test_zarr_blosc_snappy_store_roundtrip(spark, tmp_path):
+    # numcodecs Blosc(cname='snappy') end to end (r7 — decode via our
+    # from-scratch snappy, frames produced by libsnappy)
+    from tests.test_zarr import _write_store
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store, expect = _write_store(
+        tmp_path,
+        compressor={"id": "blosc", "cname": "snappy", "clevel": 5,
+                    "shuffle": 1},
+    )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == expect.size
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+
+
+def test_zarr_blosc_blosclz_cname_raises(tmp_path):
     from tests.test_zarr import _write_store
     from bcdp_spark.sources import zarr as z
 
@@ -255,8 +293,8 @@ def test_zarr_blosc_snappy_cname_raises(tmp_path):
     import json, os
     p = os.path.join(store, "pr", ".zarray")
     za = json.load(open(p))
-    za["compressor"] = {"id": "blosc", "cname": "snappy", "shuffle": 1}
+    za["compressor"] = {"id": "blosc", "cname": "blosclz", "shuffle": 1}
     json.dump(za, open(p, "w"))
     os.remove(os.path.join(store, ".zmetadata"))  # force per-array meta
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="blosclz"):
         z.read_array_meta(store, "pr")

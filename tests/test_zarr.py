@@ -605,12 +605,13 @@ def test_zarr_v3_unsupported_codec_raises(tmp_path):
     json.dump(doc, open(f"{store}/v/zarr.json", "w"))
     with pytest.raises(NotImplementedError, match="packbits"):
         read_array_meta(store, "v")
-    # blosc with an undecodable cname also raises by name
+    # blosc with an undecodable cname also raises by name (snappy
+    # stopped being one in r7; blosclz remains)
     doc["codecs"] = [
-        {"name": "blosc", "configuration": {"cname": "snappy"}}
+        {"name": "blosc", "configuration": {"cname": "blosclz"}}
     ]
     json.dump(doc, open(f"{store}/v/zarr.json", "w"))
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="blosclz"):
         read_array_meta(store, "v")
 
 
