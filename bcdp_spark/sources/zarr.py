@@ -28,6 +28,7 @@ import functools
 import gzip as _gzip
 import json
 import os
+import struct
 import zlib as _zlib
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -44,7 +45,8 @@ from bcdp_spark.sources.netcdf import (
 )
 from bcdp_spark.sources.registry import register_data_source
 
-_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma", "grib2")
+_SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma",
+                          "bz2", "lz4", "grib2")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
 # Blosc(cname='lz4')); blosclz stays a loud seam
 _SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib", "zstd", "snappy")
@@ -363,7 +365,7 @@ def read_array_meta(
         raise NotImplementedError(
             f"{name}: compressor {comp.get('id')!r} needs a codec not in "
             "this container (supported: null, zlib, gzip, blosc, zstd, "
-            "lzma)"
+            "lzma, bz2, lz4)"
         )
     if comp is not None and comp.get("id") == "blosc":
         cname = comp.get("cname", "blosclz")
@@ -515,6 +517,18 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             raw = zstd_decompress(
                 raw, int(np.prod(meta.chunks)) * meta.dtype.itemsize
             )
+        elif cid == "bz2":
+            import bz2 as _bz2
+
+            raw = _bz2.decompress(raw)
+        elif cid == "lz4":
+            # numcodecs.LZ4 framing: LE uint32 plain size + one LZ4
+            # block — decoded by our own block decoder (certified by
+            # pyarrow's lz4_raw producer in tests)
+            from bcdp_spark.sources.blosc import lz4_block_decompress
+
+            (plain,) = struct.unpack_from("<I", raw, 0)
+            raw = lz4_block_decompress(raw[4:], plain)
         elif cid == "lzma":
             # numcodecs.LZMA stores lzma.compress() output verbatim
             # (format/check/preset/filters are encoder-side knobs; the
@@ -1018,6 +1032,18 @@ def write_zarr(
                     import pyarrow as _pa
 
                     raw = bytes(_pa.Codec("zstd").compress(raw))
+                elif compressor["id"] == "bz2":
+                    import bz2 as _bz2
+
+                    raw = _bz2.compress(
+                        raw, compresslevel=compressor.get("level", 9)
+                    )
+                elif compressor["id"] == "lz4":
+                    import pyarrow as _pa
+
+                    raw = struct.pack("<I", len(raw)) + bytes(
+                        _pa.Codec("lz4_raw").compress(raw)
+                    )
                 elif compressor["id"] == "lzma":
                     import lzma as _lzma
 

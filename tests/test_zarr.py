@@ -229,13 +229,13 @@ def test_registry_and_unsupported(tmp_path, spark):
     pdf = reg_load("zarr", spark, store).toPandas()
     assert len(pdf) == expect.size
     # unsupported compressor fails loudly at meta-read time (blosc
-    # lz4/zlib landed r5, zstd late r5, lzma r7 — bz2 stays a seam)
+    # lz4/zlib landed r5, zstd late r5, lzma/bz2/lz4 r7 — zfpy stays)
     meta_path = os.path.join(store, "pr", ".zarray")
     za = json.load(open(meta_path))
-    za["compressor"] = {"id": "bz2", "level": 1}
+    za["compressor"] = {"id": "zfpy", "mode": 4}
     json.dump(za, open(meta_path, "w"))
     os.remove(os.path.join(store, ".zmetadata"))
-    with pytest.raises(NotImplementedError, match="bz2"):
+    with pytest.raises(NotImplementedError, match="zfpy"):
         read_array_meta(store, "pr")
 
 
@@ -1129,6 +1129,20 @@ def test_zarr_v3_shard_index_crc_verified(spark, tmp_path):
     open(victim, "wb").write(bytes(raw))
     with pytest.raises(Exception, match="crc32c mismatch"):
         load_zarr(spark, store).count()
+
+
+@pytest.mark.parametrize(
+    "comp",
+    [{"id": "bz2", "level": 5}, {"id": "lz4", "acceleration": 1}],
+)
+def test_v2_bz2_lz4_compressor_roundtrip(spark, tmp_path, comp):
+    # numcodecs BZ2 (stdlib libbz2) and LZ4 (LE-size + block framing;
+    # blocks produced by pyarrow's lz4_raw, decoded by our own block
+    # decoder) — both have true independent producers in-container
+    store, expect = _write_store(tmp_path, compressor=comp)
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == expect.size
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
 
 
 def test_v2_lzma_compressor_roundtrip(spark, tmp_path):
