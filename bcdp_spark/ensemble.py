@@ -182,7 +182,12 @@ class Ensemble:
 
         from bcdp_spark.sources.zarr import load_zarr
 
-        stores = sorted(_glob.glob(pattern))
+        if pattern.startswith("refs::"):
+            # kerchunk reference store: one virtual store per spec (no
+            # glob — the refs file already spans the archive)
+            stores = [pattern]
+        else:
+            stores = sorted(_glob.glob(pattern))
         if not stores:
             raise FileNotFoundError(f"no stores match {pattern!r}")
         out = None
@@ -191,6 +196,8 @@ class Ensemble:
             member = _os.path.basename(store.rstrip("/"))
             if member.endswith(".zarr"):
                 member = member[: -len(".zarr")]
+            elif member.endswith(".json"):
+                member = member[: -len(".json")]
             df = load_zarr(spark, store, var=var, **bounds).withColumn(
                 name_col, F.lit(member)
             )

@@ -1,7 +1,7 @@
 """Cross-format differential: ONE closed-form (time, lat, lon, value)
-field written through five different format/codec stacks must load to
-IDENTICAL long-form rows. Each stack deliberately exercises the r5/r6
-codec surface end-to-end through Spark:
+field written through seven different format/codec stacks must load to
+IDENTICAL long-form rows. Each stack deliberately exercises the
+r5/r6/r7 codec surface end-to-end through Spark:
 
 - NetCDF-4/HDF5: v2 'latest' profile, dense links + dense attributes,
   extensible-array chunk index, shuffle + zstd (32015) filters;
@@ -9,7 +9,11 @@ codec surface end-to-end through Spark:
 - Zarr v3: the bytes→zstd default chain;
 - GRIB2: CCSDS/AEC packing (5.42), one message per timestep;
 - NetCDF-4/HDF5 classic generation: scale-offset filter (D=2, exact
-  on quarter-step values) piped into deflate (r6).
+  on quarter-step values) piped into deflate (r6);
+- Zarr v2: blosc cname='snappy' under BIT-shuffle (both r7 codecs in
+  one stack);
+- kerchunk refs over the GRIB2 archive: messages as virtual-zarr
+  chunks through the {"id": "grib2"} pseudo-codec (r7).
 
 A value mismatch anywhere in any codec layer breaks the parity, so
 this is a standing tripwire for every decode path at once."""
@@ -46,7 +50,7 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def test_five_stacks_identical_long_form(spark, tmp_path):
+def test_format_stacks_identical_long_form(spark, tmp_path):
     from bcdp_spark.sources.grib2 import load_grib2, write_grib2_message
     from bcdp_spark.sources.hdf5 import write_hdf5
     from bcdp_spark.sources.netcdf import load_netcdf
@@ -161,9 +165,36 @@ def test_five_stacks_identical_long_form(spark, tmp_path):
         ))
     e = _canon(load_netcdf(spark, nc_so).toPandas())
 
+    # --- Zarr v2: blosc(snappy) under BIT-shuffle (r7 codecs)
+    z2s = str(tmp_path / "v2snappy.zarr")
+    write_zarr(
+        z2s,
+        dims={"time": _NT, "lat": _NA, "lon": _NO},
+        variables={
+            "time": (["time"], np.arange(_NT) * 6.0,
+                     {"units": "hours since 2001-01-01"}),
+            "lat": (["lat"], _LATS, {}),
+            "lon": (["lon"], _LONS, {}),
+            "pr": (["time", "lat", "lon"],
+                   np.where(np.isnan(data), -999.0, data),
+                   {"_FillValue": -999.0}),
+        },
+        chunks={"pr": (2, _NA, _NO)},
+        compressor={"id": "blosc", "cname": "snappy", "shuffle": 2},
+    )
+    f = _canon(load_zarr(spark, z2s).toPandas())
+
+    # --- kerchunk refs over the GRIB2 archive (message pseudo-codec)
+    from bcdp_spark.sources.kerchunk import grib2_refs, write_refs
+
+    rp = str(tmp_path / "grib.refs.json")
+    write_refs(grib2_refs(gb), rp)
+    g = _canon(load_zarr(spark, f"refs::{rp}").toPandas())
+
     for name, other in (
         ("zarr-v2", b), ("zarr-v3", c), ("grib2", d),
-        ("hdf5-scaleoffset", e),
+        ("hdf5-scaleoffset", e), ("zarr-v2-snappy-bitshuffle", f),
+        ("kerchunk-grib2-refs", g),
     ):
         pd.testing.assert_frame_equal(
             a, other, check_exact=True, obj=f"long form via {name}"

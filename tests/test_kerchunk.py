@@ -627,3 +627,16 @@ def test_index_files_distributed_end_to_end(spark, tmp_path):
     assert pdf.value.sum() == pytest.approx(sum(d.sum() for d in datas))
     assert pdf.time.min() == pd.Timestamp("2005-01-01")
     assert pdf.time.max() == pd.Timestamp("2005-01-18")
+
+
+def test_ensemble_from_zarr_accepts_refs_store(spark, tmp_path):
+    from bcdp_spark.ensemble import Ensemble
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+
+    nc_path, expect = _write_nc(tmp_path, record=True)
+    rp = str(tmp_path / "member0.refs.json")
+    write_refs(netcdf3_refs(nc_path), rp)
+    ens = Ensemble.from_zarr(spark, f"refs::{rp}")
+    pdf = ens.df.toPandas()
+    assert set(pdf.name.unique()) == {"member0.refs"}
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))
