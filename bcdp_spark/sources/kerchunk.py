@@ -54,6 +54,27 @@ def _zarray(shape, chunks, dtype: str) -> str:
     )
 
 
+class _BufFH:
+    """Minimal file-handle view over a buffer (mmap or SparseBytes) —
+    read_header seeks/reads; slicing the buffer faults in only the
+    pages it touches, so remote headers stay header-sized."""
+
+    def __init__(self, buf):
+        self.buf, self.pos = buf, 0
+
+    def seek(self, off: int, whence: int = 0) -> None:
+        self.pos = len(self.buf) + off if whence == 2 else off
+
+    def read(self, n: int = -1) -> bytes:
+        end = len(self.buf) if n < 0 else min(self.pos + n, len(self.buf))
+        b = bytes(self.buf[self.pos : end])
+        self.pos = end
+        return b
+
+    def tell(self) -> int:
+        return self.pos
+
+
 def netcdf3_refs(path: str, target: str | None = None) -> dict:
     """Index one NetCDF classic (CDF-1/2/5) file into a version-1
     reference mapping. ``target`` overrides the target path stored in
@@ -66,16 +87,16 @@ def netcdf3_refs(path: str, target: str | None = None) -> dict:
     (offset, length) into the interleaved record block. NC_CHAR
     variables are skipped (no zarr analog worth faking).
     """
-    with open(path, "rb") as fh:
-        nc = read_header(fh)
-        if nc.numrecs in (_STREAMING32, _STREAMING64):
-            import os
+    from bcdp_spark.sources.ranged import open_raw
 
-            rec_vars = [v for v in nc.variables.values() if v.is_record]
-            first = min(v.begin for v in rec_vars)
-            total = sum(v.vsize for v in rec_vars)
-            fh.seek(0, os.SEEK_END)
-            nc.numrecs = (fh.tell() - first) // total
+    raw = open_raw(path)  # mmap locally; ranged page cache over http —
+    fh = _BufFH(raw)  # either way only header pages are ever touched
+    nc = read_header(fh)
+    if nc.numrecs in (_STREAMING32, _STREAMING64):
+        rec_vars = [v for v in nc.variables.values() if v.is_record]
+        first = min(v.begin for v in rec_vars)
+        total = sum(v.vsize for v in rec_vars)
+        nc.numrecs = (len(raw) - first) // total
 
     tgt = target if target is not None else path
     dim_names = list(nc.dims)
@@ -138,45 +159,44 @@ def grib2_refs(path: str, target: str | None = None) -> dict:
     raises otherwise): regular 1-D lat/lon grids, one grid per
     archive, single-field messages, unique valid times per group.
     """
-    import mmap
-
     from bcdp_spark.sources.grib2 import _parse_grid, _sections, scan_grib2
+    from bcdp_spark.sources.ranged import open_raw
 
-    with open(path, "rb") as fh:
-        raw = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
-        idxs = scan_grib2(raw)
+    raw = open_raw(path)  # headers_only scan faults in header pages only
+    idxs = scan_grib2(raw)
 
-        by_off: dict[int, int] = {}
-        for ix in idxs:
-            by_off[ix.offset] = by_off.get(ix.offset, 0) + 1
-        if any(n > 1 for n in by_off.values()):
+    by_off: dict[int, int] = {}
+    for ix in idxs:
+        by_off[ix.offset] = by_off.get(ix.offset, 0) + 1
+    if any(n > 1 for n in by_off.values()):
+        raise NotImplementedError(
+            "grib2_refs: multi-field messages not supported — one "
+            "field per message (split the message or use "
+            "load_grib2 directly)"
+        )
+
+    grid = None
+    for off in sorted(by_off):
+        _d, _t, fieldsets = _sections(raw, off, headers_only=True)
+        g = _parse_grid(fieldsets[0][3])
+        if g.reduced or g.lats2d is not None or len(g.lons) == 0:
             raise NotImplementedError(
-                "grib2_refs: multi-field messages not supported — one "
-                "field per message (split the message or use "
-                "load_grib2 directly)"
+                "grib2_refs: regular 1-D lat/lon grids only "
+                "(reduced/projected grids read via load_grib2)"
             )
-
-        grid = None
-        for off in sorted(by_off):
-            _d, _t, fieldsets = _sections(raw, off, headers_only=True)
-            g = _parse_grid(fieldsets[0][3])
-            if g.reduced or g.lats2d is not None or len(g.lons) == 0:
-                raise NotImplementedError(
-                    "grib2_refs: regular 1-D lat/lon grids only "
-                    "(reduced/projected grids read via load_grib2)"
-                )
-            if grid is None:
-                grid = g
-            elif (
-                len(g.lats) != len(grid.lats)
-                or len(g.lons) != len(grid.lons)
-                or not np.allclose(g.lats, grid.lats)
-                or not np.allclose(g.lons, grid.lons)
-            ):
-                raise NotImplementedError(
-                    "grib2_refs: messages disagree on the grid — one "
-                    "grid per archive"
-                )
+        if grid is None:
+            grid = g
+        elif (
+            len(g.lats) != len(grid.lats)
+            or len(g.lons) != len(grid.lons)
+            or not np.allclose(g.lats, grid.lats)
+            or not np.allclose(g.lons, grid.lons)
+        ):
+            raise NotImplementedError(
+                "grib2_refs: messages disagree on the grid — one "
+                "grid per archive"
+            )
+    if hasattr(raw, "close"):
         raw.close()
     if grid is None:
         raise ValueError(f"{path}: no GRIB2 messages")
@@ -288,112 +308,112 @@ def hdf5_refs(
     them only if saved through xarray's zarr-aware path).
     """
     import base64 as _b64
-    import mmap
 
     from bcdp_spark.sources.hdf5 import _UNDEF, H5File
+    from bcdp_spark.sources.ranged import open_raw
 
     tgt = target if target is not None else path
     refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
 
-    with open(path, "rb") as fh:
-        buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
-        h5 = H5File(buf)
-        if h5.attrs:
-            refs[".zattrs"] = json.dumps(
-                {k: v for k, v in h5.attrs.items()
-                 if isinstance(v, (str, int, float, list))}
-            )
-        for name, ds in h5.datasets.items():
-            dt = ds.dtype.np_dtype
-            if dt.kind not in "iuf":
-                continue  # vlen strings etc: no zarr analog here
-            comp = None
-            zfilters: list[dict] = []
-            ids = [f[0] for f in ds.filters]
-            for bad in ids:
-                if bad not in (1, 2):
+    buf = open_raw(path)  # metadata walks fault in header pages only
+    h5 = H5File(buf)
+    if h5.attrs:
+        refs[".zattrs"] = json.dumps(
+            {k: v for k, v in h5.attrs.items()
+             if isinstance(v, (str, int, float, list))}
+        )
+    for name, ds in h5.datasets.items():
+        dt = ds.dtype.np_dtype
+        if dt.kind not in "iuf":
+            continue  # vlen strings etc: no zarr analog here
+        comp = None
+        zfilters: list[dict] = []
+        ids = [f[0] for f in ds.filters]
+        for bad in ids:
+            if bad not in (1, 2):
+                raise NotImplementedError(
+                    f"hdf5_refs: {name}: HDF5 filter id {bad} has "
+                    "no zarr twin — read via load_netcdf4"
+                )
+        for pos, (fid, _flags, cvals) in enumerate(ds.filters):
+            if fid == 1:
+                if pos != len(ds.filters) - 1:
                     raise NotImplementedError(
-                        f"hdf5_refs: {name}: HDF5 filter id {bad} has "
-                        "no zarr twin — read via load_netcdf4"
+                        f"hdf5_refs: {name}: deflate is not the "
+                        "last pipeline filter — no zarr twin"
                     )
-            for pos, (fid, _flags, cvals) in enumerate(ds.filters):
-                if fid == 1:
-                    if pos != len(ds.filters) - 1:
-                        raise NotImplementedError(
-                            f"hdf5_refs: {name}: deflate is not the "
-                            "last pipeline filter — no zarr twin"
-                        )
-                    comp = {"id": "zlib"}
-                elif fid == 2:
-                    zfilters.append(
-                        {
-                            "id": "shuffle",
-                            "elementsize": int(
-                                cvals[0] if cvals else dt.itemsize
-                            ),
-                        }
-                    )
-            attrs = {
-                k: v for k, v in ds.attrs.items()
-                if isinstance(v, (str, int, float, list))
-            }
-            if dims and name in dims:
-                attrs["_ARRAY_DIMENSIONS"] = list(dims[name])
-            shape = tuple(ds.shape)
-            fill = ds.fill if np.isscalar(ds.fill) else 0
-
-            def zmeta(chunks):
-                return json.dumps(
+                comp = {"id": "zlib"}
+            elif fid == 2:
+                zfilters.append(
                     {
-                        "zarr_format": 2,
-                        "shape": list(shape),
-                        "chunks": list(chunks),
-                        "dtype": dt.str,
-                        "compressor": comp,
-                        "fill_value": (
-                            fill if isinstance(fill, (int, float)) else 0
+                        "id": "shuffle",
+                        "elementsize": int(
+                            cvals[0] if cvals else dt.itemsize
                         ),
-                        "order": "C",
-                        "filters": zfilters or None,
                     }
                 )
+        attrs = {
+            k: v for k, v in ds.attrs.items()
+            if isinstance(v, (str, int, float, list))
+        }
+        if dims and name in dims:
+            attrs["_ARRAY_DIMENSIONS"] = list(dims[name])
+        shape = tuple(ds.shape)
+        fill = ds.fill if np.isscalar(ds.fill) else 0
 
-            refs[f"{name}/.zattrs"] = json.dumps(attrs)
-            if ds.layout == "compact":
-                refs[f"{name}/.zarray"] = zmeta(shape or (1,))
+        def zmeta(chunks):
+            return json.dumps(
+                {
+                    "zarr_format": 2,
+                    "shape": list(shape),
+                    "chunks": list(chunks),
+                    "dtype": dt.str,
+                    "compressor": comp,
+                    "fill_value": (
+                        fill if isinstance(fill, (int, float)) else 0
+                    ),
+                    "order": "C",
+                    "filters": zfilters or None,
+                }
+            )
+
+        refs[f"{name}/.zattrs"] = json.dumps(attrs)
+        if ds.layout == "compact":
+            refs[f"{name}/.zarray"] = zmeta(shape or (1,))
+            key = ".".join("0" for _ in (shape or (1,)))
+            refs[f"{name}/{key}"] = (
+                "base64:" + _b64.b64encode(ds.compact).decode()
+            )
+        elif ds.layout == "contiguous":
+            refs[f"{name}/.zarray"] = zmeta(shape or (1,))
+            if ds.data_addr != _UNDEF:
                 key = ".".join("0" for _ in (shape or (1,)))
-                refs[f"{name}/{key}"] = (
-                    "base64:" + _b64.b64encode(ds.compact).decode()
+                nb = ds.data_size or (
+                    int(np.prod(shape or (1,), dtype=np.int64))
+                    * dt.itemsize
                 )
-            elif ds.layout == "contiguous":
-                refs[f"{name}/.zarray"] = zmeta(shape or (1,))
-                if ds.data_addr != _UNDEF:
-                    key = ".".join("0" for _ in (shape or (1,)))
-                    nb = ds.data_size or (
-                        int(np.prod(shape or (1,), dtype=np.int64))
-                        * dt.itemsize
+                refs[f"{name}/{key}"] = [tgt, ds.data_addr, nb]
+            # else: all-fill dataset — no chunk keys, fill_value
+            # serves every read (the zarr missing-chunk contract)
+        elif ds.layout == "chunked":
+            refs[f"{name}/.zarray"] = zmeta(ds.chunk_shape)
+            rank = len(shape)
+            for offsets, addr, nbytes, fmask in h5._chunks(ds, rank):
+                if fmask:
+                    raise NotImplementedError(
+                        f"hdf5_refs: {name}: per-chunk filter mask "
+                        f"0x{fmask:x} has no zarr expression"
                     )
-                    refs[f"{name}/{key}"] = [tgt, ds.data_addr, nb]
-                # else: all-fill dataset — no chunk keys, fill_value
-                # serves every read (the zarr missing-chunk contract)
-            elif ds.layout == "chunked":
-                refs[f"{name}/.zarray"] = zmeta(ds.chunk_shape)
-                rank = len(shape)
-                for offsets, addr, nbytes, fmask in h5._chunks(ds, rank):
-                    if fmask:
-                        raise NotImplementedError(
-                            f"hdf5_refs: {name}: per-chunk filter mask "
-                            f"0x{fmask:x} has no zarr expression"
-                        )
-                    key = ".".join(
-                        str(offsets[d] // ds.chunk_shape[d])
-                        for d in range(rank)
-                    )
-                    refs[f"{name}/{key}"] = [tgt, addr, nbytes]
-            else:
-                raise NotImplementedError(
-                    f"hdf5_refs: layout {ds.layout!r}"
+                key = ".".join(
+                    str(offsets[d] // ds.chunk_shape[d])
+                    for d in range(rank)
                 )
+                refs[f"{name}/{key}"] = [tgt, addr, nbytes]
+        else:
+            raise NotImplementedError(
+                f"hdf5_refs: layout {ds.layout!r}"
+            )
+    if hasattr(buf, "close"):
         buf.close()
     return {"version": 1, "refs": refs}
 

@@ -640,3 +640,83 @@ def test_ensemble_from_zarr_accepts_refs_store(spark, tmp_path):
     pdf = ens.df.toPandas()
     assert set(pdf.name.unique()) == {"member0.refs"}
     assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+
+
+def test_remote_indexing_reads_headers_only(tmp_path):
+    """Index an archive you never download: netcdf3_refs and hdf5_refs
+    over loopback HTTP fetch header pages, not the payload."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs, netcdf3_refs
+
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    nrec, na, no = 200, 50, 40  # ~3.2 MB of payload, KB-scale header
+    nc_blob = write_netcdf3(
+        dims={"time": nrec, "lat": na, "lon": no},
+        variables={
+            "time": (["time"], np.arange(nrec, dtype="f8"),
+                     {"units": "days since 2000-01-01"}),
+            "lat": (["lat"], np.linspace(-80, 80, na), {}),
+            "lon": (["lon"], np.arange(no) * 9.0, {}),
+            "tas": (["time", "lat", "lon"],
+                    np.zeros((nrec, na, no)), {}),
+        },
+        record_dim="time",
+    )
+
+    big = np.arange(400_000, dtype="<f8").reshape(1000, 400)
+    h5_blob = write_hdf5(
+        {"x": (["a", "b"], big, {})}, chunk={"x": (100, 400)},
+        gzip_level=1,
+    )
+    blobs = {"/arch.nc": nc_blob, "/big.h5": h5_blob}
+    got: dict[str, int] = {}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            blob = blobs[self.path]
+            rng = self.headers.get("Range")
+            if rng:
+                lo, hi = rng.removeprefix("bytes=").split("-")
+                lo, hi = int(lo), min(int(hi), len(blob) - 1)
+                body = blob[lo : hi + 1]
+                got[self.path] = got.get(self.path, 0) + len(body)
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(blob)}"
+                )
+            else:
+                body = blob
+                got[self.path] = got.get(self.path, 0) + len(body)
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        refs = netcdf3_refs(f"{base}/arch.nc")["refs"]
+        # chunk targets point at the URL; header bytes moved, not data
+        assert refs["tas/0.0.0"][0] == f"{base}/arch.nc"
+        assert len([k for k in refs if k.startswith("tas/")
+                    and not k.endswith((".zarray", ".zattrs"))]) == 200
+        assert got["/arch.nc"] < len(nc_blob) // 10, got
+
+        refs = hdf5_refs(f"{base}/big.h5", dims={"x": ["a", "b"]})["refs"]
+        assert json.loads(refs["x/.zarray"])["shape"] == [1000, 400]
+        assert sum(
+            1 for k in refs if k.startswith("x/") and
+            not k.endswith((".zarray", ".zattrs"))
+        ) == 10
+        # a 3.2 MB payload indexed with a small fraction of its bytes
+        assert got["/big.h5"] < len(h5_blob) // 4, got
+    finally:
+        srv.shutdown()
