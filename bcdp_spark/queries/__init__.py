@@ -98,6 +98,7 @@ _PRIORITY = (
     "q_market_basket", "q_rfm_segmentation", "q_changepoint",
     "q_kerchunk_climatology", "q_kerchunk_combine",
     "q_degree_days", "q_revenue_concentration", "q_kerchunk_grib2",
+    "q_kerchunk_hdf5",
     # (b) oldest-evidence regrades: the round-1 declaration cohort,
     # driver-graded r2/r3 and never since the registry grew
     "q_scan_project", "q_range_filter", "q_season_filter",

@@ -315,3 +315,99 @@ def q_kerchunk_grib2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_H5_DIR = "/tmp/bcdp_spark_kerchunk_hdf5_fixture_v1"
+_H_T, _H_A, _H_O = 12, 4, 5
+
+
+def _ensure_hdf5_fixture() -> str:
+    """One chunked shuffle+deflate HDF5 file indexed into refs — the
+    kerchunk-original workflow (chunk B-tree → byte ranges, filter
+    pipeline translated to its bytewise-identical zarr twin)."""
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+
+    refs_path = os.path.join(_H5_DIR, "refs.json")
+    done = os.path.join(_H5_DIR, ".complete")
+    if os.path.exists(done):
+        return refs_path
+    os.makedirs(_H5_DIR, exist_ok=True)
+    t = np.arange(_H_T)[:, None, None]
+    a = np.arange(_H_A)[None, :, None]
+    o = np.arange(_H_O)[None, None, :]
+    data = 0.25 * (t * 100 + a * 10 + o)
+    raw = write_hdf5(
+        {
+            "time": (
+                ["time"],
+                np.arange(_H_T, dtype="<f8") * 6.0,
+                {"units": "hours since 2009-01-01"},
+            ),
+            "lat": (["lat"], np.array([-60.0, -20.0, 20.0, 60.0]), {}),
+            "lon": (["lon"], np.arange(_H_O) * 72.0, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+        },
+        chunk={"pr": (3, _H_A, _H_O)},
+        gzip_level=4,
+        shuffle=True,
+    )
+    h5 = os.path.join(_H5_DIR, "arch.h5")
+    with open(h5, "wb") as fh:
+        fh.write(raw)
+    dims = {
+        "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+        "pr": ["time", "lat", "lon"],
+    }
+    write_refs(hdf5_refs(h5, dims=dims), refs_path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return refs_path
+
+
+@register(
+    "q_kerchunk_hdf5",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         0.25 * (t.g * 100 + a.g * 10 + o.g) AS value
+  FROM generate_series(0, {_H_T - 1}) t(g),
+       generate_series(0, {_H_A - 1}) a(g),
+       generate_series(0, {_H_O - 1}) o(g)
+)
+SELECT CAST(t * 6 AS BIGINT) AS hour,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0
+              WHEN 2 THEN 20.0 ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE t BETWEEN 3 AND 8
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_hdf5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/S11 composite: HDF5 chunk B-tree refs with the shuffle +
+    deflate pipeline translated to its zarr twin; time bounds prune 2
+    of 4 chunk rows (chunks span 3 steps each) before any ranged
+    read."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    refs_path = _ensure_hdf5_fixture()
+    df = load_zarr(
+        spark,
+        f"refs::{refs_path}",
+        time_bnds=("2009-01-01 18:00", "2009-01-03 00:00"),
+    )
+    hour = (
+        (F.unix_timestamp("time") - F.unix_timestamp(
+            F.lit("2009-01-01 00:00:00").cast("timestamp")
+        )) / 3600
+    ).cast("bigint")
+    return df.groupBy(hour.alias("hour"), F.col("lat")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

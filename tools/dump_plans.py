@@ -108,6 +108,7 @@ HEADLINE = (
     "q_degree_days",
     "q_revenue_concentration",
     "q_kerchunk_grib2",
+    "q_kerchunk_hdf5",
 )
 
 
