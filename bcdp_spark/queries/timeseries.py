@@ -922,7 +922,10 @@ t AS (
   FROM q
 )
 SELECT event_type,
-       CAST(dayofweek(to_timestamp(day_s)) AS INT) AS dow,
+       -- make_timestamp(micros) is a PLAIN timestamp; to_timestamp
+       -- returns TIMESTAMPTZ and dayofweek would then follow the HOST
+       -- zone (shifts every 00:00-UTC day on a non-UTC box)
+       CAST(dayofweek(make_timestamp(day_s * 1000000)) AS INT) AS dow,
        COUNT(*) AS n_days,
        ROUND(CAST(SUM(7 * mq - s7) AS DOUBLE)
              / COUNT(*) / 7.0 / 100000.0, 6) AS seasonal

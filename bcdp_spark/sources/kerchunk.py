@@ -239,10 +239,13 @@ def grib2_refs(path: str, target: str | None = None) -> dict:
             raise NotImplementedError(
                 f"grib2_refs: duplicate valid times in group {var!r}"
             )
+        # naive datetimes are UTC by GRIB2 definition — timegm, NOT
+        # .timestamp() (which would interpret them in the HOST zone
+        # and shift every epoch on a non-UTC box)
+        import calendar as _cal
+
         epoch = np.array(
-            [t.replace(tzinfo=None).timestamp() if t.tzinfo else
-             t.timestamp() for t in ts],
-            dtype="<f8",
+            [_cal.timegm(t.utctimetuple()) for t in ts], dtype="<f8"
         )
         tdim = f"time_{var}" if times_done is not None and (
             len(epoch) != len(times_done)

@@ -880,9 +880,17 @@ def load_zarr(
     df = manifest.mapInPandas(decode, schema=schema)
     # exact bounds re-applied in-plan (pruning is an optimization only)
     if time_bnds is not None:
+        # string literals cast under the SESSION timezone — a naive
+        # Python datetime would convert through the HOST zone
+        # (TimestampType.toInternal uses local mktime) and silently
+        # shift the bound on any non-UTC box
+        from pyspark.sql import functions as _F
+
         df = df.filter(
-            (df.time >= pd.Timestamp(time_bnds[0]))
-            & (df.time <= pd.Timestamp(time_bnds[1]))
+            (df.time >= _F.lit(str(pd.Timestamp(time_bnds[0])))
+             .cast("timestamp"))
+            & (df.time <= _F.lit(str(pd.Timestamp(time_bnds[1])))
+               .cast("timestamp"))
         )
     if lev_bnds is not None and has_lev:
         df = df.filter((df.lev >= lev_bnds[0]) & (df.lev <= lev_bnds[1]))

@@ -39,6 +39,12 @@ def main() -> None:
     if not quick:
         _run("replica sf0.1 (scale-dependence)", {"REPLICA_SF_DIR": "/root/testdata/sf0.1"})
         _run("replica hostile timezone", {"REPLICA_TZ": "America/New_York"})
+        # hostile HOST zone (r7): naive-datetime literals convert via
+        # local mktime and DuckDB's TIMESTAMPTZ functions follow the
+        # process zone — both invisible on a UTC box (caught
+        # q_kerchunk_grib2's bound shift and q_seasonal_cycle's oracle
+        # dayofweek drift)
+        _run("replica hostile HOST timezone", {"TZ": "Pacific/Kiritimati"})
         _run(
             "replica hostile partitioning (local[3], shuffle=7)",
             {"REPLICA_MASTER": "local[3]", "REPLICA_SHUFFLE": "7"},
