@@ -1738,11 +1738,23 @@ def load_grib2(
         if hi is not None:
             index_df = index_df.filter(F.col("level") <= F.lit(float(hi)))
     if time_bnds is not None:
+        # string literals cast under the SESSION timezone: the index
+        # column arrived via Arrow (session-tz semantics) while
+        # F.lit(datetime) converts through the HOST zone — mixing the
+        # two shifts the bound on any non-UTC box
+        import pandas as _pd
+
         lo, hi = time_bnds
         if lo is not None:
-            index_df = index_df.filter(F.col("time") >= F.lit(lo))
+            index_df = index_df.filter(
+                F.col("time")
+                >= F.lit(str(_pd.Timestamp(lo))).cast("timestamp")
+            )
         if hi is not None:
-            index_df = index_df.filter(F.col("time") <= F.lit(hi))
+            index_df = index_df.filter(
+                F.col("time")
+                <= F.lit(str(_pd.Timestamp(hi))).cast("timestamp")
+            )
     if lat_bnds is not None:
         lo, hi = lat_bnds
         if lo is not None:

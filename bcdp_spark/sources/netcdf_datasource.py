@@ -28,6 +28,7 @@ without pushdown — the flag only changes how much work is skipped.
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob as _glob
 import os
 from collections.abc import Iterator, Sequence
@@ -467,9 +468,14 @@ class NetCDFStreamReader(SimpleDataSourceStreamReader):
         pdf = _decode_one(path, self._var)
         for row in pdf.itertuples(index=False):
             t = row.time
+            if hasattr(t, "to_pydatetime"):
+                t = t.to_pydatetime()
+            # CF wall times are UTC: tz-aware so toInternal converts
+            # via utcoffset, not the host zone's mktime
+            t = t.replace(tzinfo=_dt.timezone.utc)
             yield (
                 row.name,
-                t.to_pydatetime() if hasattr(t, "to_pydatetime") else t,
+                t,
                 float(row.lat),
                 float(row.lon),
                 None if pd.isna(row.value) else float(row.value),

@@ -23,6 +23,7 @@ much work is skipped.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -305,10 +306,14 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
                 )
                 for row in pdf.itertuples(index=False):
                     t = row.time
-                    vals = [
-                        row.name,
-                        t.to_pydatetime() if hasattr(t, "to_pydatetime") else t,
-                    ]
+                    if hasattr(t, "to_pydatetime"):
+                        t = t.to_pydatetime()
+                    # CF-decoded wall times ARE UTC: attach tzinfo so
+                    # TimestampType.toInternal converts via utcoffset —
+                    # a NAIVE datetime would go through local mktime
+                    # and shift every streamed row on a non-UTC host
+                    t = t.replace(tzinfo=_dt.timezone.utc)
+                    vals = [row.name, t]
                     if has_lev:
                         vals.append(float(row.lev))
                     vals.extend(

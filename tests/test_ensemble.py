@@ -39,9 +39,14 @@ def test_subset_and_season(spark, grid):
     ens = Ensemble(grid)
     sub = ens.subset(Bounds(lat_bnds=(-2, 2), lon_bnds=(0, 4),
                             time_bnds=("2023-01-01", "2023-02-01")))
-    got = sub.df.agg(F.min("lat"), F.max("lat"), F.max("lon"), F.max("time")).collect()[0]
+    got = sub.df.agg(
+        F.min("lat"), F.max("lat"), F.max("lon"),
+        # render JVM-side (session tz): collect() returns naive
+        # datetimes in the HOST zone
+        F.date_format(F.max("time"), "yyyy-MM-dd HH:mm:ss"),
+    ).collect()[0]
     assert got[0] >= -2 and got[1] <= 2 and got[2] <= 4
-    assert str(got[3]) <= "2023-02-01 00:00:00"
+    assert got[3] <= "2023-02-01 00:00:00"
 
     djf = ens.select_season("DJF")
     months = {r[0] for r in djf.df.select(F.month("time")).distinct().collect()}
@@ -372,13 +377,25 @@ def test_regrid_to_points_does_not_mix_times(spark):
     ens = Ensemble(df)
     dst = spark.createDataFrame([(0.1, 0.1)], "dst_lat double, dst_lon double")
     out = ens.regrid_to_points(dst, radius=2.0, method="nearest").df
-    vals = {str(r["time"]): r["value"] for r in out.collect()}
+    # render wall time JVM-side (session tz) — collect() returns naive
+    # datetimes in the HOST zone
+    vals = {
+        r["tstr"]: r["value"]
+        for r in out.withColumn(
+            "tstr", F.date_format("time", "yyyy-MM-dd HH:mm:ss")
+        ).collect()
+    }
     assert vals == {
         "2024-01-01 00:00:00": 11.0,
         "2024-02-01 00:00:00": 21.0,
     }
     idw = ens.regrid_to_points(dst, radius=2.0, k=2, method="idw").df
-    got = {str(r["time"]): r["value"] for r in idw.collect()}
+    got = {
+        r["tstr"]: r["value"]
+        for r in idw.withColumn(
+            "tstr", F.date_format("time", "yyyy-MM-dd HH:mm:ss")
+        ).collect()
+    }
     # per-slice IDW of the two points; Jan and Feb stay 10 apart
     assert got["2024-02-01 00:00:00"] - got["2024-01-01 00:00:00"] == pytest.approx(10.0, abs=1e-9)
 

@@ -9,6 +9,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -189,9 +190,13 @@ def _write_fixture(tmpdir) -> str:
 def test_load_grib2_param_filter_and_values(spark, tmp_path):
     glob = _write_fixture(str(tmp_path))
     df = load_grib2(spark, glob, param="t")
-    rows = df.collect()
+    # day/hour JVM-side (session tz): collect() renders naive datetimes
+    # in the HOST zone
+    rows = df.select(
+        "*", F.dayofmonth("time").alias("dom"), F.hour("time").alias("hh")
+    ).collect()
     assert len(rows) == 2 * 2 * 24
-    by = {(r["time"].day, r["time"].hour, r["lat"], r["lon"]): r["value"]
+    by = {(r["dom"], r["hh"], r["lat"], r["lon"]): r["value"]
           for r in rows}
     # closed form: cycle 1, h=6, row lat=60 (a=0), lon=120 (o=2)
     assert by[(2, 6, 60.0, 120.0)] == (2 + 100 + 6) * 0.25

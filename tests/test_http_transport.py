@@ -93,9 +93,15 @@ def test_opendap_over_live_http(spark):
         df = load_opendap(
             spark, f"{srv.base}/thredds/dodsC/pr.dods", fetch=_http_fetch
         )
-        rows = df.collect()
+        rows = df.select(
+            "*",
+            __import__("pyspark.sql.functions", fromlist=["x"])
+            .dayofmonth("time").alias("dom"),
+        ).collect()
     assert len(rows) == t * la * lo
-    got = {(r["time"].day, r["lat"], r["lon"]): r["value"] for r in rows}
+    # day extracted JVM-side (session tz) — collect() renders naive
+    # datetimes in the HOST zone
+    got = {(r["dom"], r["lat"], r["lon"]): r["value"] for r in rows}
     assert got[(1, -10.0, 0.0)] == 0.0
     assert got[(3, 10.0, 270.0)] == (t * la * lo - 1) * 0.5
     assert srv.requests == ["/thredds/dodsC/pr.dods"]

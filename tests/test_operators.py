@@ -196,9 +196,13 @@ def test_sessionize_gap(spark):
         "user_id long, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     s = sessionize(df, gap_seconds=1800)
+    # render wall time JVM-side (session tz): collect() returns naive
+    # datetimes in the HOST zone, so .hour would shift on non-UTC boxes
     got = {
-        (r["user_id"], r["ts"].hour, r["ts"].minute, r["session_id"])
-        for r in s.collect()
+        (r["user_id"], int(r["hm"][:2]), int(r["hm"][3:]), r["session_id"])
+        for r in s.withColumn(
+            "hm", F.date_format("ts", "HH:mm")
+        ).collect()
     }
     # 00:00 and 00:10 share session 1; 01:00 (50-min gap) opens session 2
     assert got == {(1, 0, 0, 1), (1, 0, 10, 1), (1, 1, 0, 2), (2, 0, 0, 1)}
