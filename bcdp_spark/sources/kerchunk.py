@@ -39,6 +39,21 @@ from bcdp_spark.sources.netcdf3 import (
 )
 
 
+def _jsonable(attrs: dict) -> dict:
+    """Attribute dict -> JSON-safe dict: numpy scalars/arrays become
+    Python scalars/lists, non-serializable values are dropped (refs
+    carry CF metadata, not arbitrary payloads)."""
+    out = {}
+    for k, v in attrs.items():
+        if isinstance(v, np.generic):
+            v = v.item()
+        elif isinstance(v, np.ndarray):
+            v = v.tolist()
+        if isinstance(v, (str, int, float, bool, list)) or v is None:
+            out[k] = v
+    return out
+
+
 def _zarray(shape, chunks, dtype: str) -> str:
     return json.dumps(
         {
@@ -102,7 +117,7 @@ def netcdf3_refs(path: str, target: str | None = None) -> dict:
     dim_names = list(nc.dims)
     refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
     if nc.attrs:
-        refs[".zattrs"] = json.dumps(nc.attrs)
+        refs[".zattrs"] = json.dumps(_jsonable(nc.attrs))
 
     rec_vars = [v for v in nc.variables.values() if v.is_record]
     stride = (
@@ -119,7 +134,7 @@ def netcdf3_refs(path: str, target: str | None = None) -> dict:
         shape = (
             (nc.numrecs, *v.shape[1:]) if v.is_record else tuple(v.shape)
         )
-        attrs = dict(v.attrs)
+        attrs = _jsonable(v.attrs)
         attrs["_ARRAY_DIMENSIONS"] = vdims
         refs[f"{name}/.zattrs"] = json.dumps(attrs)
         if not v.is_record:
@@ -135,6 +150,8 @@ def netcdf3_refs(path: str, target: str | None = None) -> dict:
             tail = "".join(".0" for _ in per_rec)
             for r in range(nc.numrecs):
                 refs[f"{name}/{r}{tail}"] = [tgt, v.begin + r * stride, slab]
+    if hasattr(raw, "close"):
+        raw.close()
     return {"version": 1, "refs": refs}
 
 
@@ -321,10 +338,7 @@ def hdf5_refs(
     buf = open_raw(path)  # metadata walks fault in header pages only
     h5 = H5File(buf)
     if h5.attrs:
-        refs[".zattrs"] = json.dumps(
-            {k: v for k, v in h5.attrs.items()
-             if isinstance(v, (str, int, float, list))}
-        )
+        refs[".zattrs"] = json.dumps(_jsonable(h5.attrs))
     for name, ds in h5.datasets.items():
         dt = ds.dtype.np_dtype
         if dt.kind not in "iuf":
@@ -355,10 +369,7 @@ def hdf5_refs(
                         ),
                     }
                 )
-        attrs = {
-            k: v for k, v in ds.attrs.items()
-            if isinstance(v, (str, int, float, list))
-        }
+        attrs = _jsonable(ds.attrs)
         if dims and name in dims:
             attrs["_ARRAY_DIMENSIONS"] = list(dims[name])
         shape = tuple(ds.shape)
