@@ -183,16 +183,24 @@ def _bitshuffle(buf: bytes, typesize: int) -> bytes:
     """bitshuffle's ``bshuf_trans_bit_elem`` (the transform c-blosc
     applies per block under the BITSHUFFLE flag): byte-transpose the
     ``[nelem, typesize]`` matrix, then within each byte-plane transpose
-    bits so plane ``j`` of a byte-row collects bit ``7-j`` (MSB first)
+    bits so plane ``b`` of a byte-row collects bit ``b`` (LSB first)
     of every element, elements packing LSB-first into output bytes.
 
-    Bit-order provenance (public bitshuffle/c-blosc sources): the SSE2
-    kernel extracts planes with ``_mm_movemask_epi8`` — which reads the
-    MSB of each byte lane — then shifts left and repeats, so the FIRST
-    emitted plane is bit 7; ``movemask`` packs lane ``m`` into result
-    bit ``m``, so element index packs LSB-first. Elements beyond the
-    largest multiple of 8 are copied verbatim after the transposed body
-    (the reference's ``size -= size % 8`` + trailing memcpy)."""
+    Bit-order provenance (public bitshuffle scalar kernel,
+    ``bshuf_trans_bit_byte_scal``): ``TRANS_BIT_8X8`` transposes the
+    8×8 bit matrix of a little-endian quadword — bit ``(i, j)`` (byte
+    ``i``, bit ``j``) moves to ``(j, i)`` — then output row ``kk``
+    receives byte ``kk`` of the transposed word, so row ``kk`` is the
+    bit-``kk`` plane with source byte index packing LSB-first;
+    ``bshuf_trans_bitrow_eight`` then groups the 8 planes per element
+    byte in ascending bit order. (The SSE2 kernel agrees: at step
+    ``kk`` ``_mm_movemask_epi8`` reads original bit ``7-kk`` and
+    writes it to row ``7-kk``.) Round 8 fixes the r7 plane order,
+    which was MSB-first — a misreading; certified this round against
+    an independent simulation of the scalar kernel in
+    ``tests/test_blosc.py``. Elements beyond the largest multiple of 8
+    are copied verbatim after the transposed body (the reference's
+    ``size -= size % 8`` + trailing memcpy)."""
     nelem = len(buf) // typesize
     n8 = nelem - nelem % 8
     if n8 == 0 or typesize < 1:
@@ -202,7 +210,7 @@ def _bitshuffle(buf: bytes, typesize: int) -> bytes:
         .reshape(n8, typesize)
         .T.copy()
     )  # [typesize, n8] byte-transposed
-    bits = np.unpackbits(body, axis=1, bitorder="big")  # [t, n8*8]
+    bits = np.unpackbits(body, axis=1, bitorder="little")  # [t, n8*8]
     planes = bits.reshape(typesize, n8, 8).transpose(0, 2, 1)  # [t, 8, n8]
     out = np.packbits(
         planes.reshape(typesize * 8, n8), axis=1, bitorder="little"
@@ -222,7 +230,7 @@ def _bitunshuffle(buf: bytes, typesize: int) -> bytes:
     bits = np.unpackbits(planes, axis=1, bitorder="little")  # [t*8, n8]
     bits = bits.reshape(typesize, 8, n8).transpose(0, 2, 1)  # [t, n8, 8]
     rows = np.packbits(
-        bits.reshape(typesize * n8, 8), axis=1, bitorder="big"
+        bits.reshape(typesize * n8, 8), axis=1, bitorder="little"
     ).reshape(typesize, n8)
     return rows.T.tobytes() + buf[n8 * typesize :]
 
