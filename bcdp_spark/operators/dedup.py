@@ -567,6 +567,21 @@ def embedding_near_dup(
     )
 
 
+def _check_sep(sep: str) -> None:
+    """``sep`` is used in THREE contexts by the n-gram operators: as a
+    Java regex (F.split), as a literal join string (array_join), and
+    inside a SQL string literal — and the DuckDB oracle twins use
+    literal string_split. A regex metacharacter ('|', '.', '+') or a
+    quote would silently tokenize on the wrong boundaries (e.g. '|'
+    splits between every character) while re-joining literally —
+    garbage with no error. Guard loudly (ADVICE r7)."""
+    if len(sep) != 1 or sep in "\\.[]{}()*+?^$|'\"":
+        raise ValueError(
+            "sep must be a single literal character that is not a regex "
+            f"metacharacter or quote, got {sep!r}"
+        )
+
+
 def repeated_ngram_doc_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -599,6 +614,7 @@ def repeated_ngram_doc_stats(
     oracle-twinnable.
     """
     _guard_reserved(df, ("__toks", "__gram", "__cnt"))
+    _check_sep(sep)
     toks = F.split(F.col(text_col), sep)
     grams = F.expr(
         f"CASE WHEN size(__toks) >= {k} THEN "
@@ -651,16 +667,7 @@ def strip_duplicated_spans(
     _guard_reserved(
         df, ("__toks", "__g", "__gram", "__i", "__nd", "__pos", "__tok")
     )
-    # ``sep`` is used in THREE contexts: as a Java regex (F.split), as a
-    # literal join string, and inside a SQL string literal. A regex
-    # metacharacter ('|', '.', '+') or a quote would silently tokenize
-    # on the wrong boundaries (e.g. '|' splits between every character)
-    # while re-joining literally — garbage with no error. Guard loudly.
-    if len(sep) != 1 or sep in "\\.[]{}()*+?^$|'\"":
-        raise ValueError(
-            "sep must be a single literal character that is not a regex "
-            f"metacharacter or quote, got {sep!r}"
-        )
+    _check_sep(sep)
     t = df.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__toks"))
     grams = F.expr(
         f"CASE WHEN size(__toks) >= {k} THEN "
@@ -755,6 +762,7 @@ def decontaminate(
     """
     _guard_reserved(train, ("__toks", "__gram", "__contam"))
     _guard_reserved(bench, ("__toks", "__gram"))
+    _check_sep(sep)
 
     def grams(df: DataFrame) -> DataFrame:
         toks = F.split(F.col(text_col), sep)

@@ -33,15 +33,25 @@ from pyspark.sql import functions as F
 def _interleave_terms(x: str, y: str, bits: int, dialect: str) -> list[str]:
     """One term per output bit: x's bit i lands at 2i, y's at 2i+1.
     ``dialect`` picks the shift spelling — Spark SQL has shiftleft/
-    shiftright functions, DuckDB has << / >> operators; & is common."""
+    shiftright functions, DuckDB has << / >> operators; & is common.
+
+    Inputs are cast to BIGINT first: Spark's shiftleft preserves the
+    input integer type, so a 32-bit int column with the default
+    bits=16 would shift into the sign bit at position 31 and wrap
+    negative, corrupting the clustering order (ADVICE r7; DuckDB would
+    error on the same overflow). All 2*bits <= 62 positions fit a long."""
+    if dialect == "spark":
+        xb, yb = f"cast({x} as bigint)", f"cast({y} as bigint)"
+    else:
+        xb, yb = f"CAST({x} AS BIGINT)", f"CAST({y} AS BIGINT)"
     terms = []
     for i in range(bits):
         if dialect == "spark":
-            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
-            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({xb}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({yb}, {i}) & 1, {2 * i + 1})")
         else:
-            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
     return terms
 
 

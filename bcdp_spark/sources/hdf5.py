@@ -1481,6 +1481,7 @@ def write_hdf5(
     dense_params: dict | None = None,
     dense_attrs: bool = False,
     timed: bool = False,
+    fill: dict[str, object] | None = None,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
 
@@ -1520,15 +1521,26 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
+        # fill value v2: defined same-typed zero by default; ``fill``
+        # overrides per variable (a scalar stores that value; None
+        # stores an UNdefined fill — libhdf5's h5py default for floats,
+        # which readers surface as NaN)
+        if fill is not None and name in fill:
+            fv = fill[name]
+            if fv is None:
+                fill_body = struct.pack("<BBBB", 2, 2, 0, 0)
+            else:
+                fill_body = struct.pack(
+                    "<BBBBI", 2, 2, 0, 1, arr.dtype.itemsize
+                ) + np.array([fv], dtype=arr.dtype).tobytes()
+        else:
+            fill_body = struct.pack(
+                "<BBBBI", 2, 2, 0, 1, arr.dtype.itemsize
+            ) + np.zeros(1, arr.dtype).tobytes()
         msgs: list[tuple[int, bytes]] = [
             (0x01, _ds_body(arr.shape, maxshape.get(name))),
             (0x03, _dt_body(arr.dtype)),
-            # fill value v2: defined, same-typed zero
-            (
-                0x05,
-                struct.pack("<BBBBI", 2, 2, 0, 1, arr.dtype.itemsize)
-                + np.zeros(1, arr.dtype).tobytes(),
-            ),
+            (0x05, fill_body),
         ]
         if name in chunk:
             cshape = tuple(chunk[name])

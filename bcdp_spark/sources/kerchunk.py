@@ -373,7 +373,26 @@ def hdf5_refs(
         if dims and name in dims:
             attrs["_ARRAY_DIMENSIONS"] = list(dims[name])
         shape = tuple(ds.shape)
-        fill = ds.fill if np.isscalar(ds.fill) else 0
+        # ds.fill is the RAW fill-value bytes from the fill-value
+        # message (H5File decodes it via np.frombuffer) — decode the
+        # same way so unallocated-chunk / all-fill reads through the
+        # refs path match load_netcdf4 exactly. No fill message on a
+        # float dataset means NaN (H5File._fill_array's contract),
+        # spelled "NaN" per the zarr v2 fill_value JSON encoding so
+        # the document stays strict JSON. (ADVICE r7: the previous
+        # isinstance(int|float) test could never pass on bytes, so
+        # everything silently got 0.)
+        if ds.fill is not None:
+            fill = np.frombuffer(ds.fill, dtype=dt)[0].item()
+            if isinstance(fill, float):
+                if np.isnan(fill):
+                    fill = "NaN"
+                elif np.isinf(fill):
+                    fill = "Infinity" if fill > 0 else "-Infinity"
+        elif dt.kind == "f":
+            fill = "NaN"
+        else:
+            fill = 0
 
         def zmeta(chunks):
             return json.dumps(
@@ -383,9 +402,7 @@ def hdf5_refs(
                     "chunks": list(chunks),
                     "dtype": dt.str,
                     "compressor": comp,
-                    "fill_value": (
-                        fill if isinstance(fill, (int, float)) else 0
-                    ),
+                    "fill_value": fill,
                     "order": "C",
                     "filters": zfilters or None,
                 }

@@ -155,10 +155,9 @@ def _is_refs(store: str) -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _load_refs(spec: str) -> tuple[dict, dict, str]:
-    """Parse one reference JSON (cached per process — executors pay
-    the parse once per worker, not per chunk). Returns
-    (refs, templates, base_dir)."""
+def _load_refs_versioned(
+    spec: str, _stamp: tuple
+) -> tuple[dict, dict, str]:
     raw = _fetch(spec)
     if raw is None:
         raise FileNotFoundError(f"reference file {spec} not found")
@@ -191,6 +190,27 @@ def _load_refs(spec: str) -> tuple[dict, dict, str]:
     else:
         base = os.path.dirname(os.path.abspath(spec))
     return refs, templates, base
+
+
+def _load_refs(spec: str) -> tuple[dict, dict, str]:
+    """Parse one reference JSON (cached per process — executors pay
+    the parse once per worker, not per chunk). Local files key the
+    cache on (mtime_ns, size) so a refs JSON regenerated in place
+    (re-index after the archive grows) is re-read instead of serving
+    stale byte ranges (ADVICE r7). URL specs keep path-only keying —
+    remote refs documents are immutable published artifacts; republish
+    under a new name to invalidate."""
+    stamp: tuple = ()
+    if not _is_url(spec):
+        try:
+            st = os.stat(spec)
+            stamp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            stamp = ()
+    return _load_refs_versioned(spec, stamp)
+
+
+_load_refs.cache_clear = _load_refs_versioned.cache_clear  # type: ignore[attr-defined]
 
 
 def _refs_get(spec: str, key: str) -> bytes | None:

@@ -157,6 +157,37 @@ def test_refs_templates_substitute_targets(tmp_path):
     _load_refs.cache_clear()
 
 
+def test_refs_regenerated_in_place_are_rereadnot_stale(spark, tmp_path):
+    # ADVICE r7 (low): the per-process refs cache was keyed on path
+    # alone, so re-indexing a grown archive in place kept serving the
+    # OLD byte ranges. Local files now key on (mtime_ns, size).
+    import os
+    import time as _time
+
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs
+    from bcdp_spark.sources.zarr import read_array
+
+    nc1, _ = _write_nc(tmp_path, record=True)
+    rp = str(tmp_path / "inplace.refs.json")
+    write_refs(netcdf3_refs(nc1), rp)
+    v1, _ = read_array(f"refs::{rp}", "time")
+    # regenerate in place against a DIFFERENT archive (longer time axis)
+    nc2dir = tmp_path / "second"
+    nc2dir.mkdir()
+    nc2, _ = _write_nc(nc2dir, record=True)
+    doc2 = netcdf3_refs(nc2)
+    # make the time coordinate observably different: shift the units
+    za = json.loads(doc2["refs"]["time/.zattrs"])
+    za["units"] = "days since 2011-01-01"
+    doc2["refs"]["time/.zattrs"] = json.dumps(za)
+    write_refs(doc2, rp)
+    # ensure the mtime_ns actually differs even on coarse filesystems
+    st = os.stat(rp)
+    os.utime(rp, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    v2, attrs2 = read_array(f"refs::{rp}", "time")
+    assert attrs2["units"] == "days since 2011-01-01"
+
+
 def test_refs_gen_and_bad_version_raise(tmp_path):
     from bcdp_spark.sources.zarr import _load_refs
 
@@ -418,6 +449,59 @@ def test_hdf5_refs_roundtrip_through_zarr(spark, tmp_path, shuffle):
     assert pdf.value.sum() == pytest.approx(data.sum())
     assert pdf.time.min() == pd.Timestamp("2004-01-01")
     assert pdf.time.max() == pd.Timestamp("2004-01-06")
+
+
+def test_hdf5_refs_decodes_stored_fill_value(spark, tmp_path):
+    # ADVICE r7: ds.fill is raw BYTES, so the old isinstance(int|float)
+    # test always fell through to 0 — unallocated chunks read 0 instead
+    # of the true fill, and no-fill float datasets read 0 where
+    # load_netcdf4 returns NaN.
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    time = np.arange(4, dtype="<f8")
+    lat = np.array([-30.0, 30.0])
+    lon = np.array([0.0, 120.0, 240.0])
+    data = np.arange(24, dtype="<f8").reshape(4, 2, 3) + 1.0
+    raw = write_hdf5(
+        {
+            "time": (["time"], time, {"units": "days since 2004-01-01"}),
+            "lat": (["lat"], lat, {}),
+            "lon": (["lon"], lon, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+            "qv": (["time"], time * 0.25, {}),
+        },
+        chunk={"pr": (1, 2, 3)},
+        fill={"pr": -999.0, "qv": None},
+    )
+    p = tmp_path / "fills.h5"
+    p.write_bytes(raw)
+    dims = {
+        "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+        "pr": ["time", "lat", "lon"], "qv": ["time"],
+    }
+    doc = hdf5_refs(str(p), dims=dims)
+    # stored fill bytes decoded through the dataset dtype
+    assert json.loads(doc["refs"]["pr/.zarray"])["fill_value"] == -999.0
+    # undefined fill on a float dataset -> NaN, spelled per zarr v2 JSON
+    assert json.loads(doc["refs"]["qv/.zarray"])["fill_value"] == "NaN"
+    # the document must stay strict JSON (no bare NaN token)
+    json.loads(json.dumps(doc))
+    # end-to-end: drop one chunk ref -> the reader must surface the
+    # TRUE fill (-999), not 0, for that chunk (the zarr missing-chunk
+    # contract the refs path routes unallocated chunks through)
+    del doc["refs"]["pr/2.0.0"]
+    rp = str(tmp_path / "fills.refs.json")
+    write_refs(doc, rp)
+    pdf = load_zarr(spark, f"refs::{rp}").toPandas()
+    assert len(pdf) == data.size
+    day3 = pdf[pdf.time == pd.Timestamp("2004-01-03")]
+    assert (day3.value == -999.0).all()
+    rest = pdf[pdf.time != pd.Timestamp("2004-01-03")]
+    assert rest.value.sum() == pytest.approx(
+        data[[0, 1, 3]].sum()
+    )
 
 
 def test_hdf5_refs_filter_without_zarr_twin_raises(tmp_path):

@@ -1988,6 +1988,24 @@ def test_decontaminate_reserved_column_guard(spark):
         decontaminate(train, bench, n=1)
 
 
+def test_ngram_sep_guard_rejects_regex_metacharacters(spark):
+    # ADVICE r7: sep is a regex in F.split but a literal in array_join
+    # (and in the DuckDB twins' string_split) — a metacharacter sep
+    # would silently tokenize differently on the two sides.
+    from bcdp_spark.operators.dedup import (
+        decontaminate,
+        repeated_ngram_doc_stats,
+    )
+
+    train = spark.createDataFrame([(1, "a.b")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a.b")], "doc_id long, text string")
+    for bad in (".", "|", "ab", ""):
+        with pytest.raises(ValueError, match="single literal"):
+            decontaminate(train, bench, n=1, sep=bad)
+        with pytest.raises(ValueError, match="single literal"):
+            repeated_ngram_doc_stats(train, k=1, sep=bad)
+
+
 # ----------------------------------------------------------- z-order
 def _py_morton(x: int, y: int, bits: int) -> int:
     z = 0
@@ -2026,6 +2044,34 @@ def test_zvalue_sql_twin_is_identical(spark, duck):
         ).fetchall()
     )
     assert s == d
+
+
+def test_zvalue_int32_input_default_bits_no_sign_wrap(spark, duck):
+    # ADVICE r7: shiftleft preserves the input integer type, so an INT
+    # column at the default bits=16 shifted into bit 31 and wrapped
+    # negative. Casting to bigint inside the expression keeps all 32
+    # interleaved positions exact; DuckDB twin must agree bit-for-bit.
+    from bcdp_spark.operators.zorder import zvalue, zvalue_sql
+
+    pts = [(0x8000, 0x8000), (0xFFFF, 0), (0, 0xFFFF), (0xABCD, 0x1234)]
+    df = spark.createDataFrame(pts, "x int, y int")  # 32-bit ints
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zvalue("x", "y", bits=16).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_morton(x, y, 16) >= 0, (x, y)
+    vals = ", ".join(f"({x}, {y})" for x, y in pts)
+    d = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT {zvalue_sql('x', 'y', bits=16)} FROM "
+            f"(VALUES {vals}) t(x, y)"
+        ).fetchall()
+    )
+    assert d == sorted(got.values())
 
 
 def test_zvalue_bits_bounds():

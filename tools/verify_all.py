@@ -1,7 +1,6 @@
-"""One-shot verification ladder (the .claude/skills/verify recipe as a
-script): driver replica at sf0.01, sf0.1 and hostile-timezone variants,
-then bench. Exits nonzero on the first failing rung. Run before any
-commit that touches engine code:
+"""One-shot verification ladder: driver replica at sf0.01, sf0.1 and
+hostile-timezone variants, then bench. Exits nonzero on the first
+failing rung. Run before any commit that touches engine code:
 
     python tools/verify_all.py            # ~10 min
     python tools/verify_all.py --quick    # sf0.01 replica + bench only
