@@ -222,6 +222,234 @@ def q_kerchunk_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_DIR = "/tmp/bcdp_spark_kerchunk_parquet_fixture_v1"
+_P_T, _P_A, _P_O = 15, 3, 4  # days per file; 4 files
+
+
+def _write_pq_parts(spark) -> list[str]:
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    paths = []
+    for f in range(4):
+        start = f * _P_T
+        t = np.arange(start, start + _P_T)[:, None, None]
+        a = np.arange(_P_A)[None, :, None]
+        o = np.arange(_P_O)[None, None, :]
+        data = 0.25 * (t * 100 + a * 10 + o)
+        data = np.where((t + a + o) % 11 == 0, -999.0, data)
+        raw = write_netcdf3(
+            dims={"time": _P_T, "lat": _P_A, "lon": _P_O},
+            variables={
+                "time": (
+                    ["time"],
+                    np.arange(start, start + _P_T, dtype="float64"),
+                    {"units": "days since 2010-01-01"},
+                ),
+                "lat": (["lat"], np.array([-45.0, 0.0, 45.0]), {}),
+                "lon": (["lon"], np.arange(_P_O) * 90.0, {}),
+                "pr": (
+                    ["time", "lat", "lon"],
+                    data,
+                    {"_FillValue": -999.0},
+                ),
+            },
+            record_dim="time",
+        )
+        nc = os.path.join(_PQ_DIR, f"part{f}.nc")
+        with open(nc, "wb") as fh:
+            fh.write(raw)
+        paths.append(nc)
+    return paths
+
+
+def _ensure_parquet_fixture(spark) -> str:
+    """Four month-chunk archives indexed by the DISTRIBUTED
+    executor-resident flow straight into a sharded parquet refs store
+    (refs written from tasks; the driver holds only the manifest)."""
+    from bcdp_spark.sources.kerchunk import index_files
+
+    store = os.path.join(_PQ_DIR, "refs", "merged.refs")
+    done = os.path.join(_PQ_DIR, ".complete")
+    if os.path.exists(done):
+        return store
+    os.makedirs(_PQ_DIR, exist_ok=True)
+    paths = _write_pq_parts(spark)
+    # deliberately out of order: index_files orders parts by their
+    # manifest coordinates, not input order
+    out = index_files(
+        spark,
+        [paths[2], paths[0], paths[3], paths[1]],
+        fmt="netcdf3",
+        out_dir=os.path.join(_PQ_DIR, "refs"),
+        refs_format="parquet",
+        record_size=16,  # force multi-shard layout at fixture scale
+    )
+    assert out["store"] == store
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return store
+
+
+@register(
+    "q_kerchunk_parquet",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2010-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 11 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 100 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {4 * _P_T - 1}) t(g),
+       generate_series(0, {_P_A - 1}) a(g),
+       generate_series(0, {_P_O - 1}) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE a WHEN 0 THEN -45.0 WHEN 1 THEN 0.0 ELSE 45.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE t BETWEEN 8 AND 51
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 parquet refs store (r8): four archives indexed by the
+    executor-resident distributed flow into the sharded parquet
+    layout (record_size=16 splits the 60 tas chunks across 4 shards);
+    time bounds prune 16 of 60 chunks before any ranged read, and a
+    lookup loads one shard, never the whole ref set."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    store = _ensure_parquet_fixture(spark)
+    df = load_zarr(
+        spark,
+        f"refs::{store}",
+        time_bnds=("2010-01-09", "2010-02-21"),
+    )
+    return df.groupBy(
+        F.month("time").cast("int").alias("month"),
+        F.col("lat"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+_APP_DIR = "/tmp/bcdp_spark_kerchunk_append_fixture_v1"
+_AP_T = 12  # days per part; 2 merged + 1 appended
+
+
+def _ensure_append_fixture() -> str:
+    """Two parts merged once, then a THIRD part appended incrementally
+    (append_refs touches only the new part's header — the growing-
+    archive workflow)."""
+    from bcdp_spark.sources.kerchunk import (
+        append_refs,
+        combine_refs,
+        netcdf3_refs,
+        write_refs,
+    )
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    final_path = os.path.join(_APP_DIR, "appended.json")
+    done = os.path.join(_APP_DIR, ".complete")
+    if os.path.exists(done):
+        return final_path
+    os.makedirs(_APP_DIR, exist_ok=True)
+    parts = []
+    for f in range(3):
+        start = f * _AP_T
+        t = np.arange(start, start + _AP_T)[:, None, None]
+        a = np.arange(3)[None, :, None]
+        o = np.arange(4)[None, None, :]
+        data = 0.25 * (t * 100 + a * 10 + o)
+        data = np.where((t + a + o) % 10 == 0, -999.0, data)
+        raw = write_netcdf3(
+            dims={"time": _AP_T, "lat": 3, "lon": 4},
+            variables={
+                "time": (
+                    ["time"],
+                    np.arange(start, start + _AP_T, dtype="float64"),
+                    {"units": "days since 2012-01-01"},
+                ),
+                "lat": (["lat"], np.array([-45.0, 0.0, 45.0]), {}),
+                "lon": (["lon"], np.arange(4) * 90.0, {}),
+                "pr": (
+                    ["time", "lat", "lon"],
+                    data,
+                    {"_FillValue": -999.0},
+                ),
+            },
+            record_dim="time",
+        )
+        nc = os.path.join(_APP_DIR, f"part{f}.nc")
+        with open(nc, "wb") as fh:
+            fh.write(raw)
+        rp = os.path.join(_APP_DIR, f"part{f}.refs.json")
+        write_refs(netcdf3_refs(nc), rp)
+        parts.append(rp)
+    merged = combine_refs(parts[:2])
+    write_refs(append_refs(merged, [parts[2]]), final_path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return final_path
+
+
+@register(
+    "q_kerchunk_append",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2012-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 10 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 100 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {3 * _AP_T - 1}) t(g),
+       generate_series(0, 2) a(g),
+       generate_series(0, 3) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE a WHEN 0 THEN -45.0 WHEN 1 THEN 0.0 ELSE 45.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE t BETWEEN 18 AND 33
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 incremental append (r8): a 2-part merged store grown by one
+    new cycle via append_refs (only the new part's header was read at
+    append time); the query's time range spans the APPEND BOUNDARY —
+    days 18-33 cross from the original merge (ends day 23) into the
+    appended part (starts day 24) — and prunes 20 of 36 chunks."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    final_path = _ensure_append_fixture()
+    df = load_zarr(
+        spark,
+        f"refs::{final_path}",
+        time_bnds=("2012-01-19", "2012-02-03"),
+    )
+    return df.groupBy(
+        F.month("time").cast("int").alias("month"),
+        F.col("lat"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 _GRB_DIR = "/tmp/bcdp_spark_kerchunk_grib2_fixture_v1"
 _G_H, _G_A, _G_O = 4, 3, 5  # steps, lats, lons
 

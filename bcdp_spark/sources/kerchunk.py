@@ -450,7 +450,9 @@ def hdf5_refs(
 
 
 def combine_refs(
-    ref_paths: list[str], concat_dim: str = "time"
+    ref_paths: list[str],
+    concat_dim: str = "time",
+    _coord_vals: list[np.ndarray] | None = None,
 ) -> dict:
     """Combine per-file reference mappings into ONE virtual store
     concatenated along ``concat_dim`` (the MultiZarrToZarr pattern: a
@@ -506,8 +508,13 @@ def combine_refs(
                 f"combine_refs: {p} stores {concat_dim!r} in units "
                 f"{u!r}, first file uses {coord_units!r} — re-encode"
             )
-        vals, _ = read_array(f"refs::{p}", concat_dim)
-        coord_vals.append(np.asarray(vals, dtype="<f8"))
+        if _coord_vals is not None:
+            # caller (index_files) already read every part's concat
+            # coordinate executor-side — skip the serial re-reads
+            coord_vals.append(np.asarray(_coord_vals[i], dtype="<f8"))
+        else:
+            vals, _ = read_array(f"refs::{p}", concat_dim)
+            coord_vals.append(np.asarray(vals, dtype="<f8"))
     cat = np.concatenate(coord_vals)
     if not np.all(np.diff(cat) > 0):
         raise ValueError(
@@ -578,26 +585,343 @@ def combine_refs(
     return {"version": 1, "refs": out}
 
 
+def append_refs(
+    merged: dict | str,
+    new_ref_paths: list[str],
+    concat_dim: str = "time",
+) -> dict:
+    """Incrementally extend an existing MERGED reference document with
+    new per-file parts — the growing-archive case (one new forecast
+    cycle per hour must not re-merge a decade). Touches ONLY the new
+    parts: the existing document's targets are never opened; its
+    merged concat coordinate is already inline, the new parts'
+    coordinates read through their own refs. Validates the same seams
+    as ``combine_refs`` (metadata agreement, units, strict coordinate
+    monotonicity across the append boundary) and returns a NEW merged
+    version-1 document.
+
+    ``merged`` is the document dict or a path to it."""
+    import base64 as _b64
+
+    from bcdp_spark.sources.zarr import read_array
+
+    if isinstance(merged, str):
+        with open(merged) as fh:
+            merged = json.load(fh)
+    base = dict(merged["refs"] if "refs" in merged else merged)
+    if not new_ref_paths:
+        return {"version": 1, "refs": base}
+
+    za_c = json.loads(base[f"{concat_dim}/.zarray"])
+    if za_c["chunks"][0] != za_c["shape"][0]:
+        raise NotImplementedError(
+            "append_refs: merged concat coordinate is not one inline "
+            "chunk (not a combine_refs product)"
+        )
+    cur = base[f"{concat_dim}/0"]
+    if not (isinstance(cur, str) and cur.startswith("base64:")):
+        raise NotImplementedError(
+            "append_refs: merged concat coordinate is not inline"
+        )
+    cat = np.frombuffer(
+        _b64.b64decode(cur[len("base64:") :]), dtype=np.dtype(za_c["dtype"])
+    ).astype("<f8")
+    units = json.loads(base.get(f"{concat_dim}/.zattrs", "{}")).get(
+        "units"
+    )
+    base_hash = _meta_hash(base, concat_dim)
+
+    docs = []
+    for p in new_ref_paths:
+        with open(p) as fh:
+            d = json.load(fh)
+        refs = d["refs"] if "refs" in d else d
+        if _meta_hash(refs, concat_dim) != base_hash:
+            raise ValueError(
+                f"append_refs: {p} metadata diverges from the merged "
+                "document — parts do not combine"
+            )
+        u = json.loads(refs.get(f"{concat_dim}/.zattrs", "{}")).get(
+            "units"
+        )
+        if u != units:
+            raise NotImplementedError(
+                f"append_refs: {p} stores {concat_dim!r} in units "
+                f"{u!r}, merged document uses {units!r}"
+            )
+        vals, _ = read_array(f"refs::{p}", concat_dim)
+        docs.append((p, refs, np.asarray(vals, dtype="<f8")))
+
+    docs.sort(key=lambda t: t[2][0])
+    new_cat = np.concatenate([cat] + [v for _, _, v in docs])
+    if not np.all(np.diff(new_cat) > 0):
+        raise ValueError(
+            f"append_refs: {concat_dim!r} is not strictly increasing "
+            "across the append boundary — already-indexed or "
+            "out-of-order parts"
+        )
+
+    out = dict(base)
+    out[f"{concat_dim}/.zarray"] = _zarray(
+        (len(new_cat),), (len(new_cat),), "<f8"
+    )
+    out[f"{concat_dim}/0"] = "base64:" + _b64.b64encode(
+        np.ascontiguousarray(new_cat, dtype="<f8").tobytes()
+    ).decode()
+
+    names = sorted(
+        k[: -len("/.zarray")] for k in base if k.endswith("/.zarray")
+    )
+    offset = len(cat)
+    for _p, refs, vals in docs:
+        for name in names:
+            if name == concat_dim:
+                continue
+            dims = json.loads(base.get(f"{name}/.zattrs", "{}")).get(
+                "_ARRAY_DIMENSIONS", []
+            )
+            if not dims or dims[0] != concat_dim:
+                continue
+            za = json.loads(out[f"{name}/.zarray"])
+            if za["chunks"][0] != 1:
+                raise NotImplementedError(
+                    f"append_refs: {name!r} is not chunked 1 along "
+                    f"{concat_dim!r}"
+                )
+            za["shape"] = [len(new_cat), *za["shape"][1:]]
+            out[f"{name}/.zarray"] = json.dumps(za)
+            for k, v in refs.items():
+                if not k.startswith(f"{name}/") or k.endswith(
+                    (".zarray", ".zattrs")
+                ):
+                    continue
+                idx = k[len(name) + 1 :].split(".")
+                idx[0] = str(int(idx[0]) + offset)
+                out[f"{name}/{'.'.join(idx)}"] = v
+        offset += len(vals)
+    return {"version": 1, "refs": out}
+
+
+def _meta_hash(refs: dict, concat_dim: str) -> str:
+    """Canonical fingerprint of everything combine/append require to
+    agree across parts: the array set, each array's .zarray with the
+    concat axis length masked out (for concat vars), attrs, and the
+    full chunk refs of invariant arrays. Two parts combine iff their
+    hashes match — a one-column check on a million-row manifest."""
+    import hashlib
+
+    names = sorted(
+        k[: -len("/.zarray")] for k in refs if k.endswith("/.zarray")
+    )
+    canon: dict[str, object] = {"arrays": names}
+    for name in names:
+        za = json.loads(refs[f"{name}/.zarray"])
+        dims = json.loads(refs.get(f"{name}/.zattrs", "{}")).get(
+            "_ARRAY_DIMENSIONS", []
+        )
+        concatenated = name == concat_dim or (
+            bool(dims) and dims[0] == concat_dim
+        )
+        if name == concat_dim:
+            # the coordinate's own storage legitimately differs
+            # between a part (per-record chunks, native dtype) and a
+            # merged doc (one inline <f8 chunk) — compare attrs only
+            za = None
+        elif concatenated:
+            za["shape"] = [None, *za["shape"][1:]]
+        canon[f"{name}/.zarray"] = za
+        canon[f"{name}/.zattrs"] = refs.get(f"{name}/.zattrs")
+        if not concatenated:
+            # invariant arrays: inline values (base64 grib2 coords)
+            # compare bitwise; ranged refs mask to their key set —
+            # each part's target is its OWN file by construction, and
+            # combine/append copy part-0's refs (combine_refs checks
+            # .zarray equality, same contract)
+            canon[f"{name}/refs"] = {
+                k: (v if isinstance(v, str) else "ranged")
+                for k, v in refs.items()
+                if k.startswith(f"{name}/")
+                and not k.endswith((".zarray", ".zattrs"))
+            }
+    blob = json.dumps(canon, sort_keys=True).encode()
+    return hashlib.md5(blob).hexdigest()
+
+
+def _chunk_rows(
+    refs: dict, concat_dim: str, concat_offset: int
+) -> list[tuple]:
+    """Flatten one part's CHUNK refs (metadata keys excluded) into
+    parquet rows ``(var, key, target, offset, length, raw)``, re-keyed
+    along the concat axis. Inline/base64 values decode into ``raw``."""
+    import base64 as _b64
+
+    rows = []
+    for k, v in refs.items():
+        var, _, ck = k.rpartition("/")
+        if not var or ck.startswith("."):
+            continue
+        dims = json.loads(refs.get(f"{var}/.zattrs", "{}")).get(
+            "_ARRAY_DIMENSIONS", []
+        )
+        idx = ck.split(".")
+        if (var == concat_dim or (dims and dims[0] == concat_dim)) and (
+            concat_offset
+        ):
+            idx = [str(int(idx[0]) + concat_offset), *idx[1:]]
+        key = f"{var}/{'.'.join(idx)}"
+        if isinstance(v, str):
+            raw = (
+                _b64.b64decode(v[len("base64:") :])
+                if v.startswith("base64:")
+                else v.encode("utf-8")
+            )
+            rows.append((var, key, None, None, None, raw))
+        elif len(v) == 1:
+            rows.append((var, key, str(v[0]), None, None, None))
+        else:
+            rows.append(
+                (var, key, str(v[0]), int(v[1]), int(v[2]), None)
+            )
+    return rows
+
+
+def _write_shard_files(
+    store: str, rows: list[tuple], grids: dict, record_size: int
+) -> list[str]:
+    """Write chunk rows into the sharded parquet layout
+    ``refs/<quoted-var>/<shard>/<uuid>.parquet`` (shard = linear chunk
+    index // record_size). Multiple writers may contribute files to
+    the same shard directory — the reader concatenates them — so a
+    fleet of tasks writes concurrently with no coordination."""
+    import os as _os
+    import urllib.parse as _up
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    def linear(var: str, key: str) -> int:
+        grid = grids.get(var)
+        idx = tuple(int(x) for x in key.rsplit("/", 1)[1].split("."))
+        if not grid or len(idx) != len(grid):
+            return 0
+        lin = 0
+        for i, n in zip(idx, grid):
+            lin = lin * n + i
+        return lin
+
+    by_shard: dict[tuple, list] = {}
+    for r in rows:
+        sh = linear(r[0], r[1]) // record_size
+        by_shard.setdefault((r[0], sh), []).append(r)
+
+    schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("target", pa.string()),
+            ("offset", pa.int64()),
+            ("length", pa.int64()),
+            ("raw", pa.binary()),
+        ]
+    )
+    written = []
+    for (var, sh), rs in by_shard.items():
+        sdir = _os.path.join(
+            store, "refs", _up.quote(var, safe=""), str(sh)
+        )
+        _os.makedirs(sdir, exist_ok=True)
+        fp = _os.path.join(sdir, f"{_uuid.uuid4().hex}.parquet")
+        t = pa.table(
+            {
+                "key": [r[1] for r in rs],
+                "target": [r[2] for r in rs],
+                "offset": [r[3] for r in rs],
+                "length": [r[4] for r in rs],
+                "raw": [r[5] for r in rs],
+            },
+            schema=schema,
+        )
+        _pq.write_table(t, fp)
+        written.append(fp)
+    return written
+
+
+def _grids_of(meta: dict) -> dict:
+    grids = {}
+    for k, v in meta.items():
+        if k.endswith("/.zarray"):
+            d = json.loads(v) if isinstance(v, str) else v
+            grids[k[: -len("/.zarray")]] = tuple(
+                -(-s // c) for s, c in zip(d["shape"], d["chunks"])
+            ) or (1,)
+    return grids
+
+
+def write_refs_parquet(
+    doc: dict, store: str, record_size: int = 100_000
+) -> str:
+    """Persist a version-1 reference document as a PARQUET refs store
+    (the kerchunk community's format for large ref sets — one JSON
+    document stops scaling around a million refs): ``meta.json`` keeps
+    every metadata key; chunk refs shard into
+    ``refs/<var>/<shard>/*.parquet`` by linear chunk index so a reader
+    loads O(record_size) rows per lookup, never the whole set. Read it
+    back as ``load_zarr(spark, f"refs::{store}")``."""
+    import os as _os
+
+    refs = doc["refs"] if "refs" in doc else doc
+    meta = {
+        k: v
+        for k, v in refs.items()
+        if k.rpartition("/")[2].startswith(".")
+    }
+    _os.makedirs(store, exist_ok=True)
+    with open(_os.path.join(store, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "version": 1,
+                "record_size": record_size,
+                "templates": doc.get("templates", {}),
+                "metadata": meta,
+            },
+            fh,
+        )
+    rows = _chunk_rows(refs, concat_dim="", concat_offset=0)
+    _write_shard_files(store, rows, _grids_of(meta), record_size)
+    return store
+
+
 def index_files(
     spark,
     paths: list[str],
     fmt: str = "netcdf3",
     out_dir: str | None = None,
     concat_dim: str = "time",
+    refs_format: str = "json",
+    record_size: int = 100_000,
 ) -> dict:
-    """Fleet-scale scan-once indexing: one executor task per archive
-    file (each reads only headers/chunk B-trees), per-file reference
-    JSONs come back to the driver (refs are metadata-small — KBs per
-    file regardless of payload), get ordered by their first
-    ``concat_dim`` value and combined into ONE virtual store. This is
-    the whole kerchunk workflow as a single call: a decades-deep
-    archive indexes in one distributed pass and reads forever through
-    ``load_zarr('refs::<merged>.json')``.
+    """Fleet-scale scan-once indexing, executor-resident end to end:
+    one task per archive file reads only headers/chunk B-trees, writes
+    its refs JSON to ``out_dir`` FROM THE TASK, and returns a manifest
+    row of (path, refs_path, units, concat coordinate values,
+    metadata fingerprint) — the driver never holds any file's refs,
+    only the KB-scale manifest, so driver memory stays flat at a
+    million files (``docs/SCALE_SMOKE.md`` measures it). Parts are
+    ordered by their manifest coordinates (no driver re-opens), then:
 
-    ``out_dir`` keeps the per-file refs (default: alongside the merged
-    mapping under a temp dir); returns the merged version-1 document.
-    ``fmt``: 'netcdf3', 'hdf5', or 'grib2'.
-    """
+    - ``refs_format='json'``: merged into ONE version-1 JSON document
+      (``combine_refs``) — right up to ~100k refs;
+    - ``refs_format='parquet'``: a SECOND distributed pass re-keys
+      each part's chunk refs along ``concat_dim`` and writes the
+      sharded parquet store directly from executors (the kerchunk
+      parquet-refs layout) — the merged ref set never exists in any
+      single process. Read via ``load_zarr(f"refs::{out_dir}/merged.refs")``.
+
+    Returns the merged document (json) or ``{"version": 1, "store":
+    <dir>}`` (parquet). ``fmt``: 'netcdf3', 'hdf5', or 'grib2'.
+    ``out_dir`` must be storage every executor can reach (shared FS /
+    object store — same contract as any Spark sink)."""
+    import os as _os
     import tempfile
 
     from pyspark.sql import functions as SF
@@ -611,44 +935,179 @@ def index_files(
         raise ValueError(f"index_files: unknown fmt {fmt!r}")
     if not paths:
         raise ValueError("index_files: no paths")
+    if refs_format not in ("json", "parquet"):
+        raise ValueError(f"index_files: refs_format {refs_format!r}")
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bcdp_refs_")
+    _os.makedirs(out_dir, exist_ok=True)
 
     def _index(batch):
         import bcdp_spark.sources.kerchunk as K
+        from bcdp_spark.sources.zarr import read_array
 
         fn = getattr(K, indexer)
         for pdf in batch:
-            out = [json.dumps(fn(p)) for p in pdf["path"]]
-            yield pdf.assign(refs=out)
+            out = []
+            for p in pdf["path"]:
+                doc = fn(p)
+                rp = _os.path.join(
+                    out_dir, _os.path.basename(p) + ".refs.json"
+                )
+                with open(rp, "w") as fh:
+                    json.dump(doc, fh)
+                vals, attrs = read_array(f"refs::{rp}", concat_dim)
+                out.append(
+                    {
+                        "path": p,
+                        "refs_path": rp,
+                        "units": attrs.get("units"),
+                        "coords": [float(x) for x in np.asarray(vals)],
+                        "meta_hash": _meta_hash(doc["refs"], concat_dim),
+                    }
+                )
+            import pandas as _pd
 
+            yield _pd.DataFrame(out)
+
+    manifest_schema = (
+        "path string, refs_path string, units string, "
+        "coords array<double>, meta_hash string"
+    )
     df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths), SF.col("path"))
-    rows = df.mapInPandas(_index, schema="path string, refs string").collect()
+    manifest = df.mapInPandas(_index, schema=manifest_schema).collect()
 
-    out_dir = out_dir or tempfile.mkdtemp(prefix="bcdp_refs_")
-    import os as _os
-
-    _os.makedirs(out_dir, exist_ok=True)
-    part_paths = []
-    for r in rows:
-        pp = _os.path.join(
-            out_dir,
-            _os.path.basename(r["path"]) + ".refs.json",
+    manifest.sort(key=lambda r: r["coords"][0])
+    units0, hash0 = manifest[0]["units"], manifest[0]["meta_hash"]
+    for r in manifest[1:]:
+        if r["units"] != units0:
+            raise NotImplementedError(
+                f"index_files: {r['path']} stores {concat_dim!r} in "
+                f"units {r['units']!r}, first file uses {units0!r}"
+            )
+        if r["meta_hash"] != hash0:
+            raise ValueError(
+                f"index_files: {r['path']} metadata diverges from "
+                f"{manifest[0]['path']} — parts do not combine"
+            )
+    cat = np.concatenate([np.asarray(r["coords"]) for r in manifest])
+    if not np.all(np.diff(cat) > 0):
+        raise ValueError(
+            f"index_files: {concat_dim!r} is not strictly increasing "
+            "across the file sequence"
         )
-        with open(pp, "w") as fh:
-            fh.write(r["refs"])
-        part_paths.append(pp)
 
-    # order parts by their first concat-dim value (combine_refs
-    # enforces global monotonicity)
-    from bcdp_spark.sources.zarr import read_array
+    part_paths = [r["refs_path"] for r in manifest]
+    if refs_format == "json":
+        merged = combine_refs(
+            part_paths,
+            concat_dim=concat_dim,
+            _coord_vals=[np.asarray(r["coords"]) for r in manifest],
+        )
+        with open(_os.path.join(out_dir, "merged.refs.json"), "w") as fh:
+            json.dump(merged, fh)
+        return merged
 
-    def first_val(p: str) -> float:
-        vals, _ = read_array(f"refs::{p}", concat_dim)
-        return float(np.asarray(vals)[0])
+    # parquet store: metadata + merged coordinate from part 0 and the
+    # manifest; chunk rows re-keyed and written FROM EXECUTORS
+    store = _os.path.join(out_dir, "merged.refs")
+    with open(part_paths[0]) as fh:
+        first = json.load(fh)
+    frefs = first["refs"] if "refs" in first else first
+    meta: dict[str, object] = {}
+    concat_vars = []
+    for k, v in frefs.items():
+        if not k.rpartition("/")[2].startswith("."):
+            continue
+        if k.endswith("/.zarray"):
+            name = k[: -len("/.zarray")]
+            za = json.loads(v)
+            dims = json.loads(frefs.get(f"{name}/.zattrs", "{}")).get(
+                "_ARRAY_DIMENSIONS", []
+            )
+            if name == concat_dim or (dims and dims[0] == concat_dim):
+                if name != concat_dim and za["chunks"][0] != 1:
+                    raise NotImplementedError(
+                        f"index_files: {name!r} is not chunked 1 "
+                        f"along {concat_dim!r}"
+                    )
+                za["shape"] = [int(len(cat)), *za["shape"][1:]]
+                concat_vars.append(name)
+            meta[k] = json.dumps(za)
+        else:
+            meta[k] = v
+    # the merged concat coordinate becomes one full-length chunk
+    meta[f"{concat_dim}/.zarray"] = _zarray(
+        (len(cat),), (len(cat),), "<f8"
+    )
+    _os.makedirs(store, exist_ok=True)
 
-    part_paths.sort(key=first_val)
-    merged = combine_refs(part_paths, concat_dim=concat_dim)
-    with open(_os.path.join(out_dir, "merged.refs.json"), "w") as fh:
-        json.dump(merged, fh)
-    return merged
+    offsets = np.cumsum([0] + [len(r["coords"]) for r in manifest[:-1]])
+    grids = _grids_of(meta)
+    plan = [
+        (r["refs_path"], int(off))
+        for r, off in zip(manifest, offsets)
+    ]
+
+    concat_set = set(concat_vars) - {concat_dim}
+
+    def _merge(batch):
+        import pandas as _pd
+
+        import bcdp_spark.sources.kerchunk as K
+
+        for pdf in batch:
+            written = []
+            for rp, off in zip(pdf["refs_path"], pdf["offset"]):
+                with open(rp) as fh:
+                    d = json.load(fh)
+                refs = d["refs"] if "refs" in d else d
+                # concat vars only: invariant arrays (grids, bounds)
+                # are written once from part 0 driver-side — a task
+                # emitting its own copy would shadow part 0's refs
+                # with a nondeterministic winner
+                rows = [
+                    r
+                    for r in K._chunk_rows(refs, concat_dim, int(off))
+                    if r[0] in concat_set
+                ]
+                written += K._write_shard_files(
+                    store, rows, grids, record_size
+                )
+            yield _pd.DataFrame({"written": written})
+
+    pdf = spark.createDataFrame(
+        plan, "refs_path string, offset long"
+    ).repartition(len(plan), SF.col("refs_path"))
+    n_written = pdf.mapInPandas(_merge, schema="written string").count()
+
+    with open(_os.path.join(store, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "version": 1,
+                "record_size": record_size,
+                "templates": {},
+                "metadata": meta,
+            },
+            fh,
+        )
+    # invariant arrays (part 0's refs, combine_refs contract) plus the
+    # merged concat coordinate: metadata-sized, written locally
+    local_rows = [
+        r
+        for r in _chunk_rows(frefs, concat_dim, 0)
+        if r[0] not in concat_set and r[0] != concat_dim
+    ]
+    local_rows.append(
+        (
+            concat_dim,
+            f"{concat_dim}/0",
+            None,
+            None,
+            None,
+            np.ascontiguousarray(cat, dtype="<f8").tobytes(),
+        )
+    )
+    _write_shard_files(store, local_rows, grids, record_size)
+    return {"version": 1, "store": store, "files_written": int(n_written)}

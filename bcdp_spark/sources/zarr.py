@@ -154,10 +154,117 @@ def _is_refs(store: str) -> bool:
     return str(store).startswith(_REFS_PREFIX)
 
 
+class _ParquetRefs:
+    """Lazy reference mapping over a PARQUET refs store (the kerchunk
+    community's answer for million-ref archives, where one JSON
+    document would be GBs of driver/worker parse): small ``meta.json``
+    holds every metadata key; chunk refs live under
+    ``refs/<quoted-var>/<shard>/*.parquet`` sharded by
+    ``linear_chunk_index // record_size``. A lookup touches exactly
+    one shard (O(record_size) rows), never the whole ref set; per-
+    instance cache keeps the last few shards hot. Duck-types the dict
+    surface ``_refs_get``/``_list_arrays`` use: ``.get(key)`` and
+    iteration over METADATA keys (chunk keys are not enumerable — by
+    design, there can be millions)."""
+
+    _SHARD_CACHE = 8
+
+    def __init__(self, store_dir: str, meta_doc: dict):
+        self.dir = store_dir
+        self.meta = dict(meta_doc.get("metadata", {}))
+        self.record_size = int(meta_doc.get("record_size", 100_000))
+        self._grids: dict[str, tuple] = {}
+        self._shards: dict[tuple, dict] = {}
+
+    def __iter__(self):
+        return iter(self.meta)
+
+    def _grid(self, var: str) -> tuple | None:
+        if var not in self._grids:
+            za = self.meta.get(f"{var}/.zarray")
+            if za is None:
+                self._grids[var] = None
+            else:
+                d = json.loads(za) if isinstance(za, str) else za
+                nchunks = tuple(
+                    -(-s // c) for s, c in zip(d["shape"], d["chunks"])
+                )
+                self._grids[var] = nchunks or (1,)
+        return self._grids[var]
+
+    def _linear(self, var: str, idx: tuple[int, ...]) -> int:
+        grid = self._grid(var)
+        if grid is None or len(idx) != len(grid):
+            return 0
+        lin = 0
+        for i, n in zip(idx, grid):
+            lin = lin * n + i
+        return lin
+
+    def _shard(self, var: str, shard_no: int) -> dict:
+        ck = (var, shard_no)
+        if ck not in self._shards:
+            import glob as _glob
+            import urllib.parse as _up
+
+            import pyarrow.parquet as _pq
+
+            qvar = _up.quote(var, safe="")
+            sdir = os.path.join(self.dir, "refs", qvar, str(shard_no))
+            entries: dict[str, object] = {}
+            for f in sorted(_glob.glob(os.path.join(sdir, "*.parquet"))):
+                t = _pq.read_table(f)
+                cols = {c: t.column(c).to_pylist() for c in
+                        ("key", "target", "offset", "length", "raw")}
+                for k, tg, off, ln, raw in zip(
+                    cols["key"], cols["target"], cols["offset"],
+                    cols["length"], cols["raw"],
+                ):
+                    if raw is not None:
+                        entries[k] = raw
+                    elif off is None:
+                        entries[k] = [tg]
+                    else:
+                        entries[k] = [tg, int(off), int(ln)]
+            if len(self._shards) >= self._SHARD_CACHE:
+                self._shards.pop(next(iter(self._shards)))
+            self._shards[ck] = entries
+        return self._shards[ck]
+
+    def get(self, key: str):
+        if key in self.meta:
+            return self.meta[key]
+        if "/" not in key:
+            return None
+        var, ck = key.rsplit("/", 1)
+        if ck.startswith("."):
+            return None
+        try:
+            idx = tuple(int(x) for x in ck.split("."))
+        except ValueError:
+            return None
+        shard_no = self._linear(var, idx) // self.record_size
+        v = self._shard(var, shard_no).get(key)
+        # raw bytes pass through _refs_get's str branch unchanged —
+        # return them wrapped so the caller can tell bytes from str
+        return v
+
+
 @functools.lru_cache(maxsize=32)
 def _load_refs_versioned(
     spec: str, _stamp: tuple
 ) -> tuple[dict, dict, str]:
+    if os.path.isdir(spec):
+        meta_doc = _read_json(os.path.join(spec, "meta.json"))
+        if int(meta_doc.get("version", 1)) != 1:
+            raise NotImplementedError(
+                f"parquet refs store version {meta_doc.get('version')}"
+            )
+        return (
+            _ParquetRefs(os.path.abspath(spec), meta_doc),
+            dict(meta_doc.get("templates", {})),
+            os.path.abspath(spec),
+        )
     raw = _fetch(spec)
     if raw is None:
         raise FileNotFoundError(f"reference file {spec} not found")
@@ -202,8 +309,13 @@ def _load_refs(spec: str) -> tuple[dict, dict, str]:
     under a new name to invalidate."""
     stamp: tuple = ()
     if not _is_url(spec):
+        probe = (
+            os.path.join(spec, "meta.json")
+            if os.path.isdir(spec)
+            else spec
+        )
         try:
-            st = os.stat(spec)
+            st = os.stat(probe)
             stamp = (st.st_mtime_ns, st.st_size)
         except OSError:
             stamp = ()
@@ -218,6 +330,8 @@ def _refs_get(spec: str, key: str) -> bytes | None:
     v = refs.get(key)
     if v is None:
         return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)  # parquet raw column: already-decoded payload
     if isinstance(v, str):
         if v.startswith("base64:"):
             import base64

@@ -426,7 +426,140 @@ def fixture_ops(spark, factor: int):
             "member"
         ).agg(F.count(F.lit(1)), F.sum("value")).collect()
         out["grib2_ensemble"] = time.perf_counter() - t0
+
+        # kerchunk (r8, VERDICT r7 item 8): archive FILE COUNT scales
+        # with factor — 12*factor daily NetCDF files indexed in one
+        # distributed pass (kerchunk_index: executor-resident refs +
+        # manifest-only driver), then read through the merged virtual
+        # store (kerchunk_climatology: one ranged decode per chunk)
+        from bcdp_spark.sources.kerchunk import index_files
+        from bcdp_spark.sources.zarr import load_zarr
+
+        kdir = os.path.join(tmp, "kerchunk")
+        os.makedirs(kdir)
+        paths = _write_nc_days(kdir, n_files=12 * factor, days_per=2)
+        t0 = time.perf_counter()
+        index_files(
+            spark, paths, fmt="netcdf3",
+            out_dir=os.path.join(kdir, "refs"),
+        )
+        out["kerchunk_index"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        load_zarr(
+            spark, f"refs::{kdir}/refs/merged.refs.json"
+        ).groupBy("lat").agg(
+            F.count(F.lit(1)), F.avg("value")
+        ).collect()
+        out["kerchunk_climatology"] = time.perf_counter() - t0
     return out
+
+
+def _write_nc_days(out_dir: str, n_files: int, days_per: int = 2):
+    """n_files tiny daily NetCDF classic files forming one strictly
+    increasing time axis — the growing-archive shape kerchunk exists
+    for."""
+    import numpy as np
+
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    lat = np.linspace(-60.0, 60.0, 5)
+    lon = np.arange(8) * 45.0
+    paths = []
+    for i in range(n_files):
+        t0 = i * days_per
+        tvals = np.arange(t0, t0 + days_per, dtype="f8")
+        data = (
+            np.arange(days_per * 40, dtype="f8").reshape(days_per, 5, 8)
+            + i * 1000.0
+        )
+        raw = write_netcdf3(
+            dims={"time": days_per, "lat": 5, "lon": 8},
+            variables={
+                "time": (["time"], tvals,
+                         {"units": "days since 2001-01-01"}),
+                "lat": (["lat"], lat, {}),
+                "lon": (["lon"], lon, {}),
+                "tas": (["time", "lat", "lon"], data, {}),
+            },
+            record_dim="time",
+        )
+        p = os.path.join(out_dir, f"day{i:05d}.nc")
+        with open(p, "wb") as fh:
+            fh.write(raw)
+        paths.append(p)
+    return paths
+
+
+def _kerchunk_index_section(spark) -> list[str]:
+    """r8 (VERDICT r7 item 1 'done' criterion): index a 1,000-file
+    archive and measure the DRIVER's Python heap — the r7
+    implementation collected every file's refs JSON to the driver;
+    the r8 one collects only a (path, refs_path, coords, hash)
+    manifest, so driver heap must stay flat as the archive grows.
+    tracemalloc measures exactly the Python-side allocations the old
+    funnel made."""
+    import tempfile
+    import tracemalloc
+
+    from bcdp_spark.sources.kerchunk import index_files
+
+    # warm imports + codegen so tracemalloc measures the indexing run,
+    # not module-load allocations
+    with tempfile.TemporaryDirectory() as tmp:
+        index_files(
+            spark, _write_nc_days(tmp, n_files=8, days_per=1),
+            fmt="netcdf3", out_dir=os.path.join(tmp, "refs"),
+            refs_format="parquet",
+        )
+
+    rows = []
+    for n_files in (250, 1000):
+        with tempfile.TemporaryDirectory() as tmp:
+            paths = _write_nc_days(tmp, n_files=n_files, days_per=1)
+            out_dir = os.path.join(tmp, "refs")
+            tracemalloc.start()
+            t0 = time.perf_counter()
+            res = index_files(
+                spark, paths, fmt="netcdf3", out_dir=out_dir,
+                refs_format="parquet",
+            )
+            dt = time.perf_counter() - t0
+            _cur, peak = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            refs_bytes = sum(
+                os.path.getsize(os.path.join(out_dir, f))
+                for f in os.listdir(out_dir)
+                if f.endswith(".refs.json")
+            )
+            rows.append((n_files, dt, peak, refs_bytes, res))
+    lines = [
+        "",
+        "## Kerchunk indexing at 1,000 files (r8, driver-memory smoke)",
+        "",
+        "`index_files` (parquet refs store) over single-day NetCDF",
+        "archives. Per-file refs are written FROM executor tasks; the",
+        "driver sees only the manifest, so its Python heap must not",
+        "scale with the total refs volume:",
+        "",
+        "| files | index (s) | driver py-heap peak | total part-refs on disk |",
+        "|---|---|---|---|",
+    ]
+    for n_files, dt, peak, refs_bytes, _res in rows:
+        lines.append(
+            f"| {n_files:,} | {dt:.2f} | {peak / 1e6:.1f} MB |"
+            f" {refs_bytes / 1e6:.1f} MB |"
+        )
+    r0, r1 = rows[0], rows[1]
+    lines += [
+        "",
+        f"4x the files: heap peak x{r1[2] / r0[2]:.2f}, part-refs"
+        f" volume x{r1[3] / r0[3]:.2f} — the driver no longer holds"
+        " the refs (the r7 funnel would have scaled heap with the"
+        " on-disk volume). The merged ref set itself is written by"
+        " executors into the sharded parquet store"
+        f" ({r1[4]['files_written']} shard files at 1,000 inputs).",
+    ]
+    return lines
 
 
 def synth_corpus(spark, n_docs: int, dup_rate: float = 0.02,
@@ -542,6 +675,18 @@ def main():
 
     spark = get_spark("scale_smoke", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--kerchunk-only" in sys.argv:
+        # refresh only the kerchunk index section, preserving the rest
+        section = "\n".join(_kerchunk_index_section(spark))
+        cur = open(OUT).read() if os.path.exists(OUT) else ""
+        marker = "\n## Kerchunk indexing at 1,000 files"
+        if marker in cur:
+            cur = cur[: cur.index(marker) + 1]
+        with open(OUT, "w") as f:
+            f.write(cur.rstrip("\n") + "\n" + section)
+        print(section)
+        return
 
     if "--density-only" in sys.argv:
         # refresh only the density section, preserving the main table
@@ -689,8 +834,16 @@ def main():
             f"  grow {FACTOR}x; one decode task per tile / per message,",
             "  no shuffle beyond the final agg, so the ratio measures",
             "  pure decode throughput on fixed cores.",
+            "- **kerchunk_index / kerchunk_climatology**: archive FILE",
+            f"  count grows {FACTOR}x. Indexing is one header-only task",
+            "  per file plus a manifest collect (bytes per file, not",
+            "  refs per file) and a driver-side JSON merge linear in",
+            "  total refs; the read is one ranged decode task per",
+            "  surviving chunk. Both linear in files by construction —",
+            "  the driver-memory smoke below measures the constant.",
         ]
         lines += _density_section(spark)
+        lines += _kerchunk_index_section(spark)
         body = "\n".join(lines)
         with open(OUT, "w") as f:
             f.write(body)
