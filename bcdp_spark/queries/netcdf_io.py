@@ -446,3 +446,119 @@ def q_hdf5_scaleoffset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — HDF5 szip (filter id 4): the CCSDS 121 extended-Rice coder that
+# NASA-era HDF4->HDF5 conversions and many NetCDF-4 archives ship.
+# Member0 stores f8 under szip NN (the 64-bit byte-interleave path of
+# the libaec SZ compatibility layer); member1 stores i2 under shuffle +
+# szip EC on the v2/latest generation (16-bit direct path). See
+# sources/h5filters.py szip_* and docs/FORMATS.md.
+# ---------------------------------------------------------------------------
+_FIXSZ_DIR = "/tmp/bcdp_spark_h5szip_fixture_v1"
+_SZ_T = 6  # days per member
+
+
+def _ensure_fixture_szip() -> str:
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXSZ_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXSZ_DIR
+    os.makedirs(_FIXSZ_DIR, exist_ok=True)
+    lats = np.array([-60.0, -20.0, 20.0, 60.0])
+    lons = np.arange(_N_O) * 60.0
+    for i in range(2):
+        t0 = i * _SZ_T
+        time = np.arange(t0, t0 + _SZ_T, dtype=np.float64)
+        t = np.arange(t0, t0 + _SZ_T)[:, None, None]
+        a = np.arange(_N_A)[None, :, None]
+        o = np.arange(_N_O)[None, None, :]
+        k = t * 1000 + a * 10 + o
+        if i == 0:
+            data = np.where((t + a + o) % 13 == 0, -999.0, 0.25 * k)
+            data = data.astype("<f8")
+            kw = dict(
+                profile="v0", chunk={"pr": (3, _N_A, _N_O)},
+                gzip_level=None, szip={"pr": (32, "nn")},
+            )
+        else:
+            data = np.where((t + a + o) % 13 == 0, -999, k % 20000)
+            data = data.astype("<i2")
+            kw = dict(
+                profile="v2", chunk={"pr": (3, _N_A, _N_O)},
+                gzip_level=None, shuffle=True, szip={"pr": (16, "ec")},
+                v4_index={"pr": "fixed_array"},
+            )
+        raw = write_hdf5(
+            {
+                "time": (
+                    ["time"], time,
+                    {"units": "days since 2003-01-01",
+                     "calendar": "standard"},
+                ),
+                "lat": (["lat"], lats, {"CLASS": "DIMENSION_SCALE"}),
+                "lon": (["lon"], lons, {"CLASS": "DIMENSION_SCALE"}),
+                "pr": (
+                    ["time", "lat", "lon"], data,
+                    {"_FillValue": data.dtype.type(-999)},
+                ),
+            },
+            attrs={"Conventions": "CF-1.8"},
+            **kw,
+        )
+        tmp = os.path.join(_FIXSZ_DIR, f".member{i}.nc.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        os.replace(tmp, os.path.join(_FIXSZ_DIR, f"member{i}.nc"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXSZ_DIR
+
+
+@register(
+    "q_hdf5_szip",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         CASE WHEN (t.g + a.g + o.g) % 13 = 0 THEN NULL
+              WHEN t.g < {_SZ_T}
+                THEN 0.25 * (t.g * 1000 + a.g * 10 + o.g)
+              ELSE CAST((t.g * 1000 + a.g * 10 + o.g) % 20000 AS DOUBLE)
+         END AS value
+  FROM generate_series(0, {2 * _SZ_T - 1}) t(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT CAST(t + 1 AS INT) AS day,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0 WHEN 2 THEN 20.0
+              ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+GROUP BY 1, 2
+""",
+)
+def q_hdf5_szip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11+ (r8): HDF5 szip end-to-end — f8 under szip NN (64-bit
+    byte-interleave) on the v0 generation, i2 under shuffle + szip EC
+    (16-bit direct) on the v2/latest generation with a fixed-array
+    chunk index; _FillValue masking intact, per-(day, lat)
+    climatology. ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.netcdf import load_netcdf
+
+    utc(spark)
+    fix = _ensure_fixture_szip()
+    df = load_netcdf(spark, os.path.join(fix, "*.nc"))
+    return df.groupBy(
+        F.dayofmonth("time").cast("int").alias("day"), "lat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

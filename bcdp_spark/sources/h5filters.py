@@ -364,3 +364,151 @@ def nbit_cdvals(
     dtype = np.dtype(dtype)
     noop = 1 if (precision == dtype.itemsize * 8 and offset == 0) else 0
     return (8, noop, nelmts, 1, dtype.itemsize, 0, precision, offset)
+
+
+# ---------------------------------------------------------------------------
+# szip (filter id 4) — H5Zszip framing around the CCSDS 121.0-B coder
+# ---------------------------------------------------------------------------
+#
+# szip IS the extended-Rice/AEC algorithm of CCSDS 121.0-B; the open
+# replacement (libaec) ships an SZ_* compatibility layer whose public
+# source defines the exact mapping used here:
+#
+# - H5Zszip stores cd_values = (options_mask, pixels_per_block,
+#   bits_per_pixel, pixels_per_scanline) and prefixes each stored
+#   chunk with the uncompressed byte count as a LE uint32
+#   (H5Z__filter_szip's UINT32ENCODE), then a RAW szip stream (set_
+#   local always ORs SZ_RAW_OPTION_MASK, so no szip container header).
+# - libaec sz_compat: block_size = pixels_per_block, rsi =
+#   ceil(pixels_per_scanline / pixels_per_block), AEC_DATA_PREPROCESS
+#   iff SZ_NN_OPTION_MASK, AEC_DATA_MSB iff SZ_MSB_OPTION_MASK;
+#   bits_per_pixel 32/64 is BYTE-INTERLEAVED into planes and coded as
+#   8-bit samples (interleave_buffer's [n, wordsize] -> [wordsize, n]
+#   transpose), everything else codes directly at 1 or 2 bytes per
+#   sample in the masked byte order.
+#
+# No szip/libaec binary exists in this container, so frames are
+# certified by round-trip + derivation from the public sz_compat
+# source (docs/FORMATS.md records the pending real-libaec
+# cross-check caveat, the same honesty rule as the other from-scratch
+# codecs).
+
+SZIP_ID = 4
+
+SZ_ALLOW_K13_OPTION_MASK = 1
+SZ_CHIP_OPTION_MASK = 2
+SZ_EC_OPTION_MASK = 4
+SZ_LSB_OPTION_MASK = 8
+SZ_MSB_OPTION_MASK = 16
+SZ_NN_OPTION_MASK = 32
+SZ_RAW_OPTION_MASK = 128
+
+
+def _szip_params(cvals: tuple) -> tuple:
+    if len(cvals) < 4:
+        raise ValueError(f"szip expects 4 cd_values, got {cvals!r}")
+    mask, ppb, bpp, pps = (int(v) for v in cvals[:4])
+    if not mask & SZ_RAW_OPTION_MASK:
+        raise NotImplementedError(
+            "szip without SZ_RAW_OPTION_MASK (container-headered szip "
+            "stream) — H5Zszip always writes raw streams"
+        )
+    if mask & SZ_CHIP_OPTION_MASK:
+        raise NotImplementedError("szip chip mode not supported")
+    if ppb < 2 or ppb > 32 or ppb % 2:
+        raise ValueError(f"szip pixels_per_block {ppb} out of spec")
+    if bpp not in (8, 16, 32, 64):
+        raise NotImplementedError(
+            f"szip bits_per_pixel {bpp} — only the widths H5Zszip "
+            "derives from atomic datatypes (8/16/32/64) are supported"
+        )
+    rsi = -(-pps // ppb)
+    return mask, ppb, bpp, rsi
+
+
+def szip_decode(raw: bytes, cvals: tuple) -> bytes:
+    """Decode one stored szip chunk (LE uint32 size prefix + raw AEC
+    stream) back to the chunk's plain bytes."""
+    from bcdp_spark.sources.ccsds import FLAG_PREPROCESS, ccsds_decode
+
+    mask, ppb, bpp, rsi = _szip_params(cvals)
+    if len(raw) < 4:
+        raise ValueError("szip chunk shorter than its size prefix")
+    out_n = struct.unpack_from("<I", raw, 0)[0]
+    stream = raw[4:]
+    flags = FLAG_PREPROCESS if mask & SZ_NN_OPTION_MASK else 0
+    if bpp in (32, 64):
+        ws = bpp // 8
+        if out_n % ws:
+            raise ValueError("szip chunk size not a word multiple")
+        planes = ccsds_decode(
+            stream, out_n, 8, flags, ppb, rsi
+        ).astype(np.uint8)
+        # deinterleave: planes hold [wordsize, n_words] byte rows
+        return np.ascontiguousarray(
+            planes.reshape(ws, out_n // ws).T
+        ).tobytes()
+    nbytes_per = 1 if bpp <= 8 else 2
+    if out_n % nbytes_per:
+        raise ValueError("szip chunk size not a sample multiple")
+    samples = ccsds_decode(
+        stream, out_n // nbytes_per, bpp, flags, ppb, rsi
+    )
+    order = ">" if mask & SZ_MSB_OPTION_MASK else "<"
+    return samples.astype(f"{order}u{nbytes_per}").tobytes()
+
+
+def szip_encode(data: bytes, cvals: tuple) -> bytes:
+    """Encode plain chunk bytes as H5Zszip stores them (the writer
+    twin of :func:`szip_decode`)."""
+    from bcdp_spark.sources.ccsds import FLAG_PREPROCESS, ccsds_encode
+
+    mask, ppb, bpp, rsi = _szip_params(cvals)
+    flags = FLAG_PREPROCESS if mask & SZ_NN_OPTION_MASK else 0
+    if bpp in (32, 64):
+        ws = bpp // 8
+        if len(data) % ws:
+            raise ValueError("szip input not a word multiple")
+        planes = np.ascontiguousarray(
+            np.frombuffer(data, dtype=np.uint8)
+            .reshape(len(data) // ws, ws)
+            .T
+        ).reshape(-1)
+        stream = ccsds_encode(planes, 8, flags, ppb, rsi)
+    else:
+        nbytes_per = 1 if bpp <= 8 else 2
+        if len(data) % nbytes_per:
+            raise ValueError("szip input not a sample multiple")
+        order = ">" if mask & SZ_MSB_OPTION_MASK else "<"
+        samples = np.frombuffer(data, dtype=f"{order}u{nbytes_per}")
+        stream = ccsds_encode(
+            samples.astype(np.int64), bpp, flags, ppb, rsi
+        )
+    return struct.pack("<I", len(data)) + stream
+
+
+def szip_cdvals(
+    chunk_shape: tuple,
+    dtype: np.dtype,
+    pixels_per_block: int = 32,
+    coding: str = "nn",
+) -> tuple:
+    """cd_values as H5Z__set_local_szip records them for a chunked
+    little-endian atomic dataset: scanline = fastest chunk dim,
+    promoted to min(ppb*128, npoints) when shorter than a block and
+    capped at 128 blocks."""
+    dtype = np.dtype(dtype)
+    npoints = int(np.prod(chunk_shape, dtype=np.int64))
+    if npoints < pixels_per_block:
+        raise ValueError(
+            f"szip needs chunk npoints >= pixels_per_block "
+            f"({npoints} < {pixels_per_block})"
+        )
+    scanline = int(chunk_shape[-1])
+    if scanline < pixels_per_block:
+        scanline = min(pixels_per_block * 128, npoints)
+    scanline = min(scanline, pixels_per_block * 128)
+    mask = SZ_RAW_OPTION_MASK | SZ_LSB_OPTION_MASK | (
+        SZ_NN_OPTION_MASK if coding == "nn" else SZ_EC_OPTION_MASK
+    )
+    return (mask, pixels_per_block, 8 * dtype.itemsize, scanline)

@@ -781,6 +781,10 @@ class H5File:
                         signed=dt.kind == "i",
                         is_float=dt.kind == "f",
                     )
+                elif fid == 4:  # szip (CCSDS 121 extended Rice/AEC)
+                    from bcdp_spark.sources.h5filters import szip_decode
+
+                    raw = szip_decode(raw, cvals)
                 else:
                     raise NotImplementedError(f"HDF5 filter id {fid}")
             chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
@@ -1482,6 +1486,7 @@ def write_hdf5(
     dense_attrs: bool = False,
     timed: bool = False,
     fill: dict[str, object] | None = None,
+    szip: dict[str, tuple] | None = None,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
 
@@ -1572,6 +1577,13 @@ def write_hdf5(
                 )
             if shuffle:
                 filters.append((2, (arr.dtype.itemsize,)))
+            if szip and name in szip:
+                from bcdp_spark.sources.h5filters import szip_cdvals
+
+                ppb, coding = szip[name]
+                filters.append(
+                    (4, szip_cdvals(cshape, arr.dtype, ppb, coding))
+                )
             if lzf:
                 filters.append((32000, ()))
             if zstd:
@@ -1615,6 +1627,12 @@ def write_hdf5(
                         a = np.frombuffer(raw, dtype=np.uint8)
                         esz = cv[0]
                         raw = a.reshape(len(a) // esz, esz).T.tobytes()
+                    elif fid == 4:
+                        from bcdp_spark.sources.h5filters import (
+                            szip_encode,
+                        )
+
+                        raw = szip_encode(raw, cv)
                     elif fid == 1:
                         raw = zlib.compress(raw, cv[0])
                     elif fid == 3:

@@ -346,11 +346,15 @@ def hdf5_refs(
         comp = None
         zfilters: list[dict] = []
         ids = [f[0] for f in ds.filters]
+        _NAMES = {3: "fletcher32", 4: "szip", 5: "n-bit",
+                  6: "scale-offset"}
         for bad in ids:
             if bad not in (1, 2):
                 raise NotImplementedError(
-                    f"hdf5_refs: {name}: HDF5 filter id {bad} has "
-                    "no zarr twin — read via load_netcdf4"
+                    f"hdf5_refs: {name}: HDF5 filter id {bad}"
+                    f" ({_NAMES.get(bad, 'unknown')}) has no zarr twin"
+                    " — the engine READS it (read via load_netcdf4),"
+                    " but a zarr refs document cannot express it"
                 )
         for pos, (fid, _flags, cvals) in enumerate(ds.filters):
             if fid == 1:

@@ -375,3 +375,146 @@ def test_so_i8_wide_span_roundtrip():
     (minbits,) = struct.unpack_from("<I", enc, 0)
     assert minbits == 41
     assert scaleoffset_decode(enc, cd) == vals.tobytes()
+
+
+# ------------------------------------------------------- szip (id 4)
+
+
+def test_szip_frame_has_le_uint32_size_prefix():
+    # H5Z__filter_szip stores the uncompressed byte count as a LE
+    # uint32 before the raw AEC stream (UINT32ENCODE)
+    import struct
+
+    from bcdp_spark.sources.h5filters import szip_cdvals, szip_encode
+
+    data = np.arange(64, dtype="<u2").tobytes()
+    cv = szip_cdvals((64,), "<u2", pixels_per_block=16)
+    frame = szip_encode(data, cv)
+    assert struct.unpack_from("<I", frame, 0)[0] == len(data)
+
+
+def test_szip_wide_types_byte_interleave_matches_ccsds_planes():
+    # the libaec SZ compatibility layer codes 32/64-bit pixels by
+    # byte-interleaving ([n, wordsize] -> [wordsize, n]) and running
+    # the 8-bit coder — certify the framing against a manual
+    # plane-transpose + direct ccsds_encode call
+    from bcdp_spark.sources.ccsds import FLAG_PREPROCESS, ccsds_encode
+    from bcdp_spark.sources.h5filters import szip_cdvals, szip_encode
+
+    arr = np.arange(48, dtype="<f8") * 0.75
+    data = arr.tobytes()
+    cv = szip_cdvals((48,), "<f8", pixels_per_block=8)
+    mask, ppb, bpp, pps = cv
+    assert bpp == 64
+    rsi = -(-pps // ppb)
+    planes = (
+        np.frombuffer(data, dtype=np.uint8).reshape(48, 8).T.reshape(-1)
+    )
+    want = ccsds_encode(planes, 8, FLAG_PREPROCESS, ppb, rsi)
+    frame = szip_encode(data, cv)
+    assert frame[4:] == want
+
+
+@pytest.mark.parametrize(
+    "dt,ppb,coding",
+    [
+        ("<f8", 32, "nn"), ("<f4", 16, "nn"), ("<i4", 32, "nn"),
+        ("<i2", 8, "ec"), ("<u2", 10, "nn"), ("|u1", 32, "nn"),
+    ],
+)
+def test_szip_roundtrip_and_compression(dt, ppb, coding):
+    from bcdp_spark.sources.h5filters import (
+        szip_cdvals,
+        szip_decode,
+        szip_encode,
+    )
+
+    d = np.dtype(dt)
+    rng = np.random.default_rng(99)
+    if d.kind == "f":
+        arr = np.cumsum(rng.normal(0, 0.5, size=400)).astype(d)
+    else:
+        arr = (np.cumsum(rng.integers(0, 3, size=400)) % 120).astype(d)
+    data = arr.tobytes()
+    cv = szip_cdvals((20, 20), d, pixels_per_block=ppb, coding=coding)
+    frame = szip_encode(data, cv)
+    assert szip_decode(frame, cv) == data
+    if d.kind != "f":  # smooth ints: the NN/EC coder must actually pay
+        assert len(frame) < len(data)
+
+
+def test_szip_negative_samples_roundtrip():
+    from bcdp_spark.sources.h5filters import (
+        szip_cdvals,
+        szip_decode,
+        szip_encode,
+    )
+
+    arr = (np.arange(256) - 128).astype("<i2")
+    cv = szip_cdvals((16, 16), "<i2", pixels_per_block=16)
+    frame = szip_encode(arr.tobytes(), cv)
+    assert np.array_equal(
+        np.frombuffer(szip_decode(frame, cv), dtype="<i2"), arr
+    )
+
+
+def test_szip_msb_option_big_endian_samples():
+    # SZ_MSB_OPTION_MASK: multi-byte samples are big-endian in the
+    # plain buffer (H5Zszip sets it for BE datatypes)
+    from bcdp_spark.sources.h5filters import (
+        SZ_LSB_OPTION_MASK,
+        SZ_MSB_OPTION_MASK,
+        szip_cdvals,
+        szip_decode,
+        szip_encode,
+    )
+
+    arr = np.arange(128, dtype=">u2")
+    cv = list(szip_cdvals((128,), "<u2", pixels_per_block=16))
+    cv[0] = (cv[0] & ~SZ_LSB_OPTION_MASK) | SZ_MSB_OPTION_MASK
+    frame = szip_encode(arr.tobytes(), tuple(cv))
+    assert np.array_equal(
+        np.frombuffer(szip_decode(frame, tuple(cv)), dtype=">u2"), arr
+    )
+
+
+def test_szip_loud_seams():
+    from bcdp_spark.sources.h5filters import (
+        SZ_CHIP_OPTION_MASK,
+        SZ_RAW_OPTION_MASK,
+        szip_cdvals,
+        szip_decode,
+    )
+
+    cv = szip_cdvals((64,), "<f8")
+    no_raw = (cv[0] & ~SZ_RAW_OPTION_MASK, *cv[1:])
+    with pytest.raises(NotImplementedError, match="RAW"):
+        szip_decode(b"\x00" * 8, no_raw)
+    chip = (cv[0] | SZ_CHIP_OPTION_MASK, *cv[1:])
+    with pytest.raises(NotImplementedError, match="chip"):
+        szip_decode(b"\x00" * 8, chip)
+    with pytest.raises(ValueError, match="pixels_per_block"):
+        szip_cdvals((4,), "<f8", pixels_per_block=32)
+    with pytest.raises(NotImplementedError, match="bits_per_pixel"):
+        szip_decode(b"\x00" * 8, (cv[0], 16, 24, cv[3]))
+
+
+def test_szip_through_full_hdf5_pipeline(tmp_path):
+    # write_hdf5 szip= -> H5File read; shuffle+szip and szip+fletcher
+    # compositions; v0 and v2 generations
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    arr = np.cumsum(np.ones((16, 32)), axis=1).astype("<f8")
+    for kw in (
+        dict(profile="v0", gzip_level=None, szip={"x": (32, "nn")}),
+        dict(profile="v0", gzip_level=None, shuffle=True,
+             szip={"x": (32, "nn")}),
+        dict(profile="v0", gzip_level=None, szip={"x": (16, "ec")},
+             fletcher=True),
+        dict(profile="v2", gzip_level=None, szip={"x": (32, "nn")},
+             v4_index={"x": "fixed_array"}),
+    ):
+        raw = write_hdf5(
+            {"x": (["a", "b"], arr, {})}, chunk={"x": (8, 32)}, **kw
+        )
+        assert np.array_equal(H5File(raw).read("x"), arr), kw
