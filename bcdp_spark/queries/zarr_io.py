@@ -285,3 +285,109 @@ def q_zarr_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — blosclz (c-blosc's own historical default cname,
+# sources/blosclz.py) through both shuffle transforms: one v2 store
+# under blosc(cname='blosclz', byte shuffle), one under bit shuffle —
+# the latter also exercises the r8 LSB-first bitshuffle plane fix on a
+# second codec. Same closed-form grid discipline as the other zarr
+# keys.
+# ---------------------------------------------------------------------------
+_BLZ_T, _BLZ_A, _BLZ_O = 24, 4, 6
+_BLZ_BYTE = "/tmp/bcdp_spark_zarr_blosclz_byte_fixture_v1"
+_BLZ_BIT = "/tmp/bcdp_spark_zarr_blosclz_bit_fixture_v1"
+
+
+def _blz_data() -> np.ndarray:
+    t = np.arange(_BLZ_T)[:, None, None]
+    a = np.arange(_BLZ_A)[None, :, None]
+    o = np.arange(_BLZ_O)[None, None, :]
+    data = 0.25 * (t * 1000 + a * 10 + o)
+    return np.where((t + a + o) % 7 == 0, -999.0, data)
+
+
+def _ensure_blosclz_fixtures() -> tuple[str, str]:
+    from bcdp_spark.sources.zarr import write_zarr
+
+    data = _blz_data()
+    coords = {
+        "time": (
+            ["time"],
+            np.arange(_BLZ_T, dtype="float64"),
+            {"units": "days since 2014-01-01", "calendar": "standard"},
+        ),
+        "lat": (["lat"], np.array([-60.0, -20.0, 20.0, 60.0]), {}),
+        "lon": (["lon"], np.arange(_BLZ_O) * 60.0, {}),
+    }
+    for store, shuf in ((_BLZ_BYTE, 1), (_BLZ_BIT, 2)):
+        done = os.path.join(store, ".complete")
+        if os.path.exists(done):
+            continue
+        write_zarr(
+            store,
+            dims={"time": _BLZ_T, "lat": _BLZ_A, "lon": _BLZ_O},
+            variables={
+                **coords,
+                "pr": (["time", "lat", "lon"], data,
+                       {"_FillValue": -999.0}),
+            },
+            chunks={"pr": (8, 4, 3)},
+            compressor={
+                "id": "blosc", "cname": "blosclz", "shuffle": shuf,
+            },
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return _BLZ_BYTE, _BLZ_BIT
+
+
+@register(
+    "q_zarr_blosclz",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         CASE WHEN (t.g + a.g + o.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 1000 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {_BLZ_T - 1}) t(g),
+       generate_series(0, {_BLZ_A - 1}) a(g),
+       generate_series(0, {_BLZ_O - 1}) o(g)
+),
+stores AS (
+  SELECT 'byte' AS shuffle, * FROM grid
+  UNION ALL
+  SELECT 'bit' AS shuffle, * FROM grid
+)
+SELECT shuffle,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0 WHEN 2 THEN 20.0
+              ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM stores
+GROUP BY 1, 2
+""",
+)
+def q_zarr_blosclz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ (r8): blosclz under byte AND bit shuffle through the v2
+    store scan — certifies the from-scratch blosclz block codec and
+    the corrected LSB-first bitshuffle planes on a second cname.
+    ``sf_dir`` unused (synthetic decode fixture)."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    byte_store, bit_store = _ensure_blosclz_fixtures()
+    a = load_zarr(spark, byte_store).withColumn(
+        "shuffle", F.lit("byte")
+    )
+    b = load_zarr(spark, bit_store).withColumn("shuffle", F.lit("bit"))
+    df = a.unionByName(b)
+    return df.groupBy("shuffle", "lat").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

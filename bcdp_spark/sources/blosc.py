@@ -31,11 +31,11 @@ uncompressed size means the bytes are stored raw. Byte-shuffle is
 applied per block before splitting (each split is then exactly one
 byte-plane).
 
-Supported codecs: lz4/lz4hc (own block decoder below), zlib (stdlib),
-zstd (own RFC 8878 decoder, ``sources/zstd.py`` — r5), snappy (own
-raw-block decoder, ``sources/snappy.py`` — r7, certified against
-pyarrow's libsnappy), and raw/memcpy. blosclz raises loudly — silence
-would mis-decode.
+Supported codecs: blosclz (own codec, ``sources/blosclz.py`` — r8,
+c-blosc's historical default cname), lz4/lz4hc (own block decoder
+below), zlib (stdlib), zstd (own RFC 8878 decoder, ``sources/zstd.py``
+— r5), snappy (own raw-block decoder, ``sources/snappy.py`` — r7,
+certified against pyarrow's libsnappy), and raw/memcpy.
 """
 
 from __future__ import annotations
@@ -263,10 +263,10 @@ def blosc_decompress(raw: bytes) -> bytes:
             raise ValueError("blosc memcpy frame truncated")
         return raw[16 : 16 + nbytes]
     codec = _CODECS.get(flags >> 5)
-    if codec not in ("lz4", "zlib", "zstd", "snappy"):
+    if codec not in ("blosclz", "lz4", "zlib", "zstd", "snappy"):
         raise NotImplementedError(
             f"blosc codec {codec!r} needs a decoder not in this container "
-            "(supported: lz4, zlib, zstd, snappy, memcpy)"
+            "(supported: blosclz, lz4, zlib, zstd, snappy, memcpy)"
         )
     if nbytes == 0:
         return b""
@@ -293,6 +293,12 @@ def blosc_decompress(raw: bytes) -> bytes:
                 block += part
             elif codec == "lz4":
                 block += lz4_block_decompress(part, neblock)
+            elif codec == "blosclz":
+                from bcdp_spark.sources.blosclz import (
+                    blosclz_decompress,
+                )
+
+                block += blosclz_decompress(part, neblock)
             elif codec == "zstd":
                 from bcdp_spark.sources.zstd import zstd_decompress
 
@@ -331,7 +337,7 @@ def blosc_compress(
     bundled libzstd (a declared engine dependency) — the decode side is
     our own from-scratch ``sources/zstd.py``."""
     codec_id = {v: k for k, v in _CODECS.items()}.get(cname)
-    if cname not in ("lz4", "zlib", "zstd", "snappy"):
+    if cname not in ("blosclz", "lz4", "zlib", "zstd", "snappy"):
         raise NotImplementedError(f"blosc_compress cname {cname!r}")
     typesize = max(1, min(typesize, 255))
     nbytes = len(data)
@@ -375,6 +381,10 @@ def blosc_compress(
             seg = block[s * neblock : (s + 1) * neblock]
             if cname == "lz4":
                 comp = lz4_block_compress(seg)
+            elif cname == "blosclz":
+                from bcdp_spark.sources.blosclz import blosclz_compress
+
+                comp = blosclz_compress(seg)
             elif cname == "zstd":
                 import pyarrow as _pa
 

@@ -1,0 +1,175 @@
+"""BloscLZ block codec — c-blosc's own default compressor before it
+switched to LZ4 (numcodecs ``Blosc(cname='blosclz')``), implemented
+from the public c-blosc ``blosclz.c`` stream format (a FastLZ-level-1
+derivative). No third-party libraries; the container framing lives in
+``sources/blosc.py``.
+
+Stream grammar (the decoder below is the normative reading):
+
+- The FIRST control byte is always a literal run: ``(*ip++) & 31``
+  gives run_length-1, followed by that many literal bytes.
+- Every subsequent control byte ``ctrl``:
+
+  - ``ctrl < 32``: literal run of ``ctrl + 1`` bytes.
+  - ``ctrl >= 32``: match. ``len = (ctrl >> 5) - 1``; when the 3-bit
+    field is 7, extension bytes follow (``do {{ len += *ip++; }}
+    while (byte == 255)``). Then the distance-low byte ``code``:
+    ``distance = ((ctrl & 31) << 8) + code + 1`` and the match copies
+    ``len + 3`` bytes from ``op - distance`` (overlap allowed,
+    byte-by-byte forward semantics). The combination ``code == 255``
+    with high bits ``31`` instead selects the FAR form: two more
+    bytes D (big-endian) give ``distance = D + MAX_DISTANCE`` with
+    ``MAX_DISTANCE = 8191``.
+
+Certification caveat (recorded in docs/FORMATS.md): no c-blosc binary
+exists in this container, so frames are certified by hand-built
+streams written from the format grammar plus round-trip properties —
+the same pending-cross-check honesty rule as the other from-scratch
+codecs. Reference parity: bcdp reads blosc-framed zarr via numcodecs
+[UNVERIFIED — /root/reference is empty; SURVEY.md §0].
+"""
+
+from __future__ import annotations
+
+MAX_DISTANCE = 8191
+_MAX_COPY = 32  # max literals per run
+
+
+def blosclz_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decode one blosclz stream of known decoded size."""
+    dst = bytearray(dst_size)
+    n = len(src)
+    if n == 0:
+        if dst_size:
+            raise ValueError("blosclz empty stream, nonzero output")
+        return b""
+    s = 0
+    d = 0
+    ctrl = src[s] & 31
+    s += 1
+    first = True
+    while True:
+        if not first and ctrl >= 32:
+            length = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if length == 6:  # 3-bit field was 7: extension bytes
+                while True:
+                    code = src[s]
+                    s += 1
+                    length += code
+                    if code != 255:
+                        break
+            code = src[s]
+            s += 1
+            length += 3
+            if code == 255 and ofs == (31 << 8):
+                ofs = (src[s] << 8) | src[s + 1]
+                s += 2
+                distance = ofs + MAX_DISTANCE
+            else:
+                distance = ofs + code + 1
+            if distance > d:
+                raise ValueError(
+                    f"blosclz match distance {distance} before start "
+                    f"of output (at {d})"
+                )
+            if d + length > dst_size:
+                raise ValueError("blosclz match overflows output")
+            ref = d - distance
+            if distance >= length:
+                dst[d : d + length] = dst[ref : ref + length]
+                d += length
+            else:  # overlapping: byte-by-byte forward replication
+                for _ in range(length):
+                    dst[d] = dst[d - distance]
+                    d += 1
+        else:
+            run = ctrl + 1
+            if s + run > n or d + run > dst_size:
+                raise ValueError("blosclz literal run overflows")
+            dst[d : d + run] = src[s : s + run]
+            s += run
+            d += run
+        first = False
+        if s >= n:
+            break
+        ctrl = src[s]
+        s += 1
+    if d != dst_size:
+        raise ValueError(
+            f"blosclz decoded {d} bytes, expected {dst_size}"
+        )
+    return bytes(dst)
+
+
+def blosclz_compress(src: bytes) -> bytes:
+    """Greedy hash-table encoder emitting grammar-valid streams (the
+    fixture/sink twin of :func:`blosclz_decompress`). Not the c-blosc
+    heuristics — just a correct producer; c-blosc decodes any
+    grammar-valid stream."""
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+
+    def emit_literals(lo: int, hi: int) -> None:
+        while lo < hi:
+            run = min(_MAX_COPY, hi - lo)
+            out.append(run - 1)
+            out.extend(src[lo : lo + run])
+            lo += run
+
+    def emit_match(length: int, distance: int) -> None:
+        # length >= 3; distance >= 1
+        len3 = length - 3
+        far = distance > MAX_DISTANCE
+        if far:
+            hi, code = 31, 255
+        else:
+            hi, code = (distance - 1) >> 8, (distance - 1) & 255
+        if len3 < 6:
+            out.append(((len3 + 1) << 5) | hi)
+        else:
+            out.append((7 << 5) | hi)
+            rem = len3 - 6
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.append(code)
+        if far:
+            d = distance - MAX_DISTANCE
+            if not 0 <= d <= 0xFFFF:
+                raise ValueError(f"blosclz distance {distance} too far")
+            out.append(d >> 8)
+            out.append(d & 255)
+
+    table: dict[bytes, int] = {}
+    # the first instruction must be a literal run: emit at least one
+    anchor = 0
+    i = 1 if n > 0 else 0
+    limit = n - 3
+    while i < limit:
+        key = src[i : i + 3]
+        j = table.get(key, -1)
+        table[key] = i
+        dist = i - j
+        if (
+            j >= 0
+            and dist <= MAX_DISTANCE + 0xFFFF
+            and src[j : j + 3] == key
+        ):
+            mlen = 3
+            maxm = n - i
+            while mlen < maxm and src[j + mlen] == src[i + mlen]:
+                mlen += 1
+            # i >= 1 always, so the stream's first instruction is the
+            # literal run [anchor, i) — the grammar's opening rule
+            emit_literals(anchor, i)
+            emit_match(mlen, dist)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit_literals(anchor, n)
+    return bytes(out)

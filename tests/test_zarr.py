@@ -606,12 +606,12 @@ def test_zarr_v3_unsupported_codec_raises(tmp_path):
     with pytest.raises(NotImplementedError, match="packbits"):
         read_array_meta(store, "v")
     # blosc with an undecodable cname also raises by name (snappy
-    # stopped being one in r7; blosclz remains)
+    # stopped being one in r7, blosclz in r8; brotli never assigned)
     doc["codecs"] = [
-        {"name": "blosc", "configuration": {"cname": "blosclz"}}
+        {"name": "blosc", "configuration": {"cname": "brotli"}}
     ]
     json.dump(doc, open(f"{store}/v/zarr.json", "w"))
-    with pytest.raises(NotImplementedError, match="blosclz"):
+    with pytest.raises(NotImplementedError, match="brotli"):
         read_array_meta(store, "v")
 
 
