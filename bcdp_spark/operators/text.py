@@ -479,3 +479,57 @@ def nfc_normalize(col: str) -> Column:
         )
 
     return _nfc(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (r8) — the redaction pass every LLM training pipeline
+# runs before tokenization (emails, IPs, phone-shaped strings).
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, ASCII \b only) so the Spark plan and any RE2-based
+# oracle (DuckDB) tokenize identically. Order matters: emails scrub
+# before IPs so `a@1.2.3.4`-style hosts don't double-count.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"\+\d{1,2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}",
+        "<PHONE>",
+    ),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Replace PII-shaped substrings with typed placeholder tokens and
+    count each type BEFORE its replacement. Adds ``n_<kind>`` columns
+    and rewrites ``text_col``; all other columns pass through.
+
+    Scale notes: pure JVM ``regexp_count``/``regexp_replace`` — one
+    codegen'd map stage, no UDF, no shuffle; each pattern counts on
+    the text AS ALREADY SCRUBBED by earlier patterns (count, then
+    replace, in order) so an email's host can never double-count as
+    an IP. At 100 TB this pipelines with the scan like any
+    projection."""
+    out = df
+    for kind, pat, token in patterns:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        ).withColumn(
+            text_col,
+            F.regexp_replace(F.col(text_col), pat, token),
+        )
+    return out

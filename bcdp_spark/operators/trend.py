@@ -1,0 +1,69 @@
+"""Robust trend detection: Theil-Sen slope + Mann-Kendall test
+statistic per group — the standard non-parametric pair for climate
+series ("is this warming, robustly?") and product metrics alike
+(Sen 1968; Mann 1945 / Kendall's S).
+
+Spark-first shape: one equi-SELF-JOIN on the group key with
+``x_i < x_j`` inside the join condition gives every ordered pair, a
+hash agg computes Kendall's S exactly (integer sum of signs) and the
+Theil-Sen slope as ``median((y_j - y_i) / (x_j - x_i))``. All
+built-ins, no UDF, no window over an unpartitioned frame.
+
+Scale notes (100 TB): the pairwise blow-up is per-GROUP n², where n
+is the number of TIME BUCKETS — a fixed, data-volume-independent
+constant (a 30-year monthly series is 360 points → 64,620 pairs per
+group, trivially). The raw table is first reduced to (group, bucket)
+aggregates — THAT agg is the data-sized stage and it is a plain
+map-side-combinable hash agg; only bucket-level rows enter the join.
+Never self-join raw rows on a group key at corpus scale.
+
+Reference parity: trend utilities sit beside bcdp's temporal verbs
+(bcdp/utils.py [UNVERIFIED — /root/reference is empty; SURVEY.md
+§0]); the algorithms are the published Sen/Mann-Kendall estimators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Theil-Sen slope and Mann-Kendall S over the
+    (x, y) points of ``df`` (one row per group per x). Returns one
+    row per group: ``n_points``, ``mk_s`` (exact integer), ``slope``
+    (median pairwise slope, rounded — both engines interpolate the
+    even-count midpoint identically up to ulp)."""
+    a = df.select(
+        *group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    )
+    b = (
+        a.withColumnRenamed("__x", "__x2")
+        .withColumnRenamed("__y", "__y2")
+    )
+    pairs = a.join(b, group_cols).where(F.col("__x") < F.col("__x2"))
+    slope = (F.col("__y2") - F.col("__y")) / (
+        F.col("__x2") - F.col("__x")
+    )
+    stats = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n_pairs"),
+        F.sum(
+            F.signum(F.col("__y2") - F.col("__y")).cast("bigint")
+        ).alias("mk_s"),
+        F.round(F.median(slope), round_to).alias("slope"),
+    )
+    # n_pairs = C(n, 2) exactly (x unique per group by contract), so
+    # n recovers as integer math — no third scan of the input
+    n_points = F.round(
+        (F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * F.col("__n_pairs")))
+        / 2.0
+    ).cast("bigint")
+    return stats.select(
+        *group_cols, n_points.alias("n_points"), "mk_s", "slope"
+    )

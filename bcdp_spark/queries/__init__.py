@@ -80,45 +80,41 @@ def _load() -> None:
 # in dict order. Rounds 1-5 rotated the window each round so that every
 # graded slot lands on a never-before-graded key; round 6 closed the
 # ledger — after it EVERY registry key carries a driver row (zero
-# failures across CORRECTNESS_r01-r06). Round-7 rotation (VERDICT r6
-# item 5): the keys NEW in round 7 (GeoTIFF BigTIFF/multi-band/
-# overview) lead, then the window regrades the OLDEST evidence — the
-# round-1 cohort last graded in r2/r3 (q_union, q_intersect, q_median,
-# …) plus the r3-graded source-ingest flagships. Every rotated-out key
-# keeps r2-r6 driver-green evidence for its component.
+# failures across CORRECTNESS_r01-r07). Round-8 rotation (VERDICT r7
+# item 6): the keys NEW in round 8 lead, then the window regrades the
+# OLDEST remaining evidence, computed by unioning CORRECTNESS_r01-r07
+# key sets and taking each key's LAST graded round: 11 keys last
+# graded r1, 32 last graded r3, then the r4 cohort starting with the
+# regrid family VERDICT named. Every rotated-out key keeps its
+# driver-green evidence.
 _PRIORITY = (
-    # (a) new in round 7: the GeoTIFF/COG 100 TB surface, GeoJSON
-    # region masking (operators/spatial.py ray-cast HOF), spell-length
-    # climate indices, benchmark decontamination, the z-order layout
-    # advisor, NFC normalization (first oracle-checked U4 key),
-    # market-basket lift, RFM segmentation, and CUSUM changepoints
-    "q_geotiff_bigtiff", "q_geotiff_multiband", "q_geotiff_overview",
-    "q_region_mask", "q_spell_lengths",
-    "q_decontaminate", "q_zorder_skipping", "q_unicode_norm",
-    "q_market_basket", "q_rfm_segmentation", "q_changepoint",
-    "q_kerchunk_climatology", "q_kerchunk_combine",
-    "q_degree_days", "q_revenue_concentration", "q_kerchunk_grib2",
-    "q_kerchunk_hdf5",
-    # (b) oldest-evidence regrades: the round-1 declaration cohort,
-    # driver-graded r2/r3 and never since the registry grew
-    "q_scan_project", "q_range_filter", "q_season_filter",
-    "q_null_handling", "q_join_agg", "q_bigjoin", "q_left_join",
-    "q_semi_join", "q_anti_join", "q_asof_bucket", "q_theta_join",
-    "q_pricing_summary", "q_climatology", "q_tumbling_events",
-    "q_ensemble_mean", "q_bin_regrid", "q_distinct", "q_rollup",
-    "q_stats", "q_median", "q_rolling_mean", "q_anomaly",
-    "q_window_topk", "q_lag_delta", "q_running_sum", "q_topk",
-    "q_union", "q_intersect", "q_except", "q_date_funcs",
-    "q_unit_convert", "q_string_funcs", "q_json_extract", "q_session",
-    "q_dedup_events", "q_grouped_apply", "q_token_explode",
-    "q_dedup_docs", "q_sim_knn", "q_lang_stats",
-    # (c) r3-graded source-ingest/extension flagships filling the
-    # remaining slots (next-oldest evidence)
-    "q_netcdf_climatology", "q_warc_ingest", "q_jsonl_ingest",
-    "q_map_lookup", "q_grouped_agg_udf", "q_multimodal_pipeline",
-    "q_embed_stats",
+    # (a) new in round 8: the parquet refs store + incremental append
+    # (executor-resident kerchunk), HDF5 szip via the CCSDS coder,
+    # blosclz under byte+bit shuffle, typed PII redaction, and
+    # Theil-Sen/Mann-Kendall robust trend
+    "q_kerchunk_parquet", "q_kerchunk_append", "q_hdf5_szip",
+    "q_zarr_blosclz", "q_pii_redact", "q_theilsen_trend",
+    # (b) last graded in round 1 — the oldest evidence anywhere
+    "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
+    "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
+    "q_moving_median", "q_quality_score", "q_tfidf",
+    # (c) last graded in round 3
+    "q_ann_knn", "q_asof_align", "q_connected_components",
+    "q_corpus_curation", "q_curvilinear_regrid", "q_dedup_clusters",
+    "q_dedup_docs", "q_dedup_events", "q_doc_packing",
+    "q_doc_repetition", "q_embed_neardup", "q_embed_stats",
+    "q_grouped_agg_udf", "q_grouped_apply", "q_ivf_knn",
+    "q_jsonl_ingest", "q_lang_stats", "q_map_lookup",
+    "q_minhash_dedup", "q_multimodal_pipeline", "q_netcdf_climatology",
+    "q_ngram_jaccard", "q_regrid_weighted", "q_regrid_weights_gen",
+    "q_semantic_dedup", "q_session", "q_sim_knn", "q_simhash_pairs",
+    "q_sliding", "q_token_explode", "q_token_pagerank",
+    "q_warc_ingest",
+    # (d) r4 cohort head (the VERDICT-named regrid family leads)
+    "q_conservative_regrid",
     # --- 50-key window boundary ---
-    # (d) everything else (all r1-r6 driver-green) follows in registry
+    "q_bilinear_regrid", "q_pq_adc_knn", "q_bpe_merges",
+    # (e) everything else (all r1-r7 driver-green) follows in registry
     # dict order via _ordered()'s fall-through.
 )
 

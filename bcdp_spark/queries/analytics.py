@@ -986,3 +986,59 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cusum", 6).alias("cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — robust trend: Theil-Sen slope + Mann-Kendall S per group
+# (operators/trend.py). Monthly revenue per return flag; the raw scan
+# reduces to (flag, month) buckets FIRST (data-sized hash agg), then
+# the bucket-level self-join computes the pairwise statistics — the
+# pair count is months², independent of data volume.
+# ---------------------------------------------------------------------------
+@register(
+    "q_theilsen_trend",
+    oracle="""
+WITH buckets AS (
+  SELECT l_returnflag AS flag,
+         (YEAR(l_shipdate) - 1992) * 12 + MONTH(l_shipdate) - 1 AS m,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+              AS VARCHAR) AS DOUBLE) AS rev
+  FROM lineitem
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.flag,
+         SIGN(b.rev - a.rev) AS s,
+         (b.rev - a.rev) / (b.m - a.m) AS slope
+  FROM buckets a JOIN buckets b
+    ON a.flag = b.flag AND a.m < b.m
+)
+SELECT p.flag,
+       n.n_points,
+       CAST(SUM(CAST(p.s AS BIGINT)) AS BIGINT) AS mk_s,
+       ROUND(MEDIAN(p.slope), 6) AS slope
+FROM pairs p
+JOIN (SELECT flag, COUNT(*) AS n_points FROM buckets GROUP BY 1) n
+  ON p.flag = n.flag
+GROUP BY 1, 2
+""",
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+ (r8): non-parametric trend per return flag — Theil-Sen
+    median pairwise slope + exact Mann-Kendall S over monthly revenue
+    buckets. The bucket agg is decimal-routed so both engines join
+    identical bucket values; the median rounds at 1e-6 on both
+    sides."""
+    from bcdp_spark.operators.trend import theil_sen
+
+    utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    buckets = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (
+            (F.year("l_shipdate") - F.lit(1992)) * 12
+            + F.month("l_shipdate")
+            - 1
+        ).alias("m"),
+    ).agg(dsum(F.col("l_extendedprice"), "rev"))
+    return theil_sen(buckets, ["flag"], "m", "rev")

@@ -1786,3 +1786,93 @@ def q_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("raw")).alias("raw_chars"),
         F.sum(F.length("fixed")).alias("nfc_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 — PII redaction (operators/text.py pii_redact): the scrub pass
+# every LLM training pipeline runs before tokenization. The fixture
+# text carries no PII, so both sides plant deterministic PII-shaped
+# substrings derived from doc_id — the key certifies the regex
+# machinery, the sequential replacement order, and the per-type
+# counts, pattern-for-pattern against RE2.
+# ---------------------------------------------------------------------------
+@register(
+    "q_pii_redact",
+    oracle=r"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         'u' || doc_id || '@ex' || (doc_id % 7) || '.org ip 10.'
+           || (doc_id % 256) || '.0.' || (doc_id % 100)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' +1 555 ' || (100 + doc_id % 900) || ' 1234 '
+                   ELSE ' ' END
+           || text AS text
+  FROM documents
+),
+red AS (
+  SELECT lang,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_email,
+         len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(text,
+             '\+\d{1,2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}')) AS n_phone,
+         length(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g'))
+           AS n_chars
+  FROM planted
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_chars) AS BIGINT) AS redacted_chars
+FROM red
+GROUP BY lang
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r8): typed PII scrub — pure JVM regexp map stage, counts
+    before replacement, sequential pattern order (emails before IPs so
+    host-shaped tails don't double-count). Patterns live in the
+    Java∩RE2 subset; the oracle re-applies them with RE2."""
+    from bcdp_spark.operators.text import pii_redact
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org ip 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" +1 555 "),
+                    (F.col("doc_id") % 900 + 100).cast("string"),
+                    F.lit(" 1234 "),
+                ),
+            ).otherwise(F.lit(" ")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    red = pii_redact(planted)
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("n_phone").alias("phones"),
+        F.sum(F.length("text")).alias("redacted_chars"),
+    )

@@ -2097,3 +2097,77 @@ def test_nfc_normalize_recomposes_and_passes_null(spark):
     assert out[1] != "cafe\u0301"
     assert out[2] == "plain"
     assert out[3] is None
+
+
+# ------------------------------------------------- Theil-Sen / PII (r8)
+
+
+def test_theil_sen_known_slopes(spark):
+    from bcdp_spark.operators.trend import theil_sen
+
+    rows = []
+    # group 'up': y = 2x exactly -> slope 2, S = n(n-1)/2 (all rising)
+    for x in range(6):
+        rows.append(("up", x, 2.0 * x))
+    # group 'down': strictly falling -> S = -15
+    for x in range(6):
+        rows.append(("down", x, -1.5 * x + 10))
+    # group 'outlier': y = x except one wild point — Theil-Sen must
+    # shrug it off (the whole point vs OLS)
+    for x in range(9):
+        rows.append(("outlier", x, float(x) if x != 4 else 1000.0))
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {
+        r["g"]: r
+        for r in theil_sen(df, ["g"], "x", "y").collect()
+    }
+    assert got["up"]["mk_s"] == 15 and got["up"]["slope"] == 2.0
+    assert got["down"]["mk_s"] == -15 and got["down"]["slope"] == -1.5
+    assert got["outlier"]["slope"] == 1.0  # robust to the spike
+    assert got["outlier"]["n_points"] == 9
+
+
+def test_theil_sen_plan_has_no_cartesian(spark):
+    from bcdp_spark.operators.trend import theil_sen
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(4)], "g string, x int, y double"
+    )
+    plan = theil_sen(df, ["g"], "x", "y")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_counts_and_replacements(spark):
+    from bcdp_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@x.co then ping 10.0.3.1 ok"),
+            (2, "call +1 555 123 4567 or +44 020 7946 0958"),
+            (3, "v1.2.3.44 is a version, not an ip"),
+            (4, "two mails a@b.io c@d.org one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[1]["text"] == "mail <EMAIL> then ping <IP> ok"
+    assert got[2]["n_phone"] == 2 and "<PHONE>" in got[2]["text"]
+    # \b guards: a version-like token must not count as an IP
+    assert got[3]["n_ipv4"] == 0 and got[3]["text"] == df.collect()[2]["text"]
+    assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 1
+
+
+def test_pii_redact_sequential_order_no_double_count(spark):
+    # the email host is IP-shaped; counting AFTER the email scrub must
+    # not also flag it as an IP
+    from bcdp_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "root@10.0.0.1.example.dev and bare 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    r = pii_redact(df).collect()[0]
+    assert r["n_email"] == 1
+    assert r["n_ipv4"] == 1  # only the bare one survives the scrub
+    assert r["text"] == "<EMAIL> and bare <IP>"

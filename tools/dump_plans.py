@@ -109,6 +109,15 @@ HEADLINE = (
     "q_revenue_concentration",
     "q_kerchunk_grib2",
     "q_kerchunk_hdf5",
+    # round-8 — parquet refs store + incremental append (executor-
+    # resident kerchunk), szip, blosclz, PII scrub (pure regexp map
+    # stage), Theil-Sen (bucket-level self-join — months², not rows²)
+    "q_kerchunk_parquet",
+    "q_kerchunk_append",
+    "q_hdf5_szip",
+    "q_zarr_blosclz",
+    "q_pii_redact",
+    "q_theilsen_trend",
 )
 
 
