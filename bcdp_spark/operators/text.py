@@ -524,6 +524,11 @@ def pii_redact(
     replace, in order) so an email's host can never double-count as
     an IP. At 100 TB this pipelines with the scan like any
     projection."""
+    clash = {f"n_{kind}" for kind, _p, _t in patterns} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"pii_redact would overwrite existing column(s) {sorted(clash)}"
+        )
     out = df
     for kind, pat, token in patterns:
         out = out.withColumn(

@@ -36,10 +36,15 @@ def theil_sen(
     round_to: int = 6,
 ) -> DataFrame:
     """Per-group Theil-Sen slope and Mann-Kendall S over the
-    (x, y) points of ``df`` (one row per group per x). Returns one
-    row per group: ``n_points``, ``mk_s`` (exact integer), ``slope``
-    (median pairwise slope, rounded — both engines interpolate the
-    even-count midpoint identically up to ulp)."""
+    (x, y) points of ``df`` (one row per group per x — x UNIQUE per
+    group by contract). Returns one row per group: ``n_points``,
+    ``mk_s`` (exact integer), ``slope`` (median pairwise slope,
+    rounded — both engines interpolate the even-count midpoint
+    identically up to ulp). Groups with a single point have no pairs
+    and are ABSENT from the output (no trend is definable)."""
+    for c in ("__x", "__y", "__x2", "__y2", "__n_pairs"):
+        if c in df.columns:
+            raise ValueError(f"theil_sen: reserved column {c!r} present")
     a = df.select(
         *group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
     )

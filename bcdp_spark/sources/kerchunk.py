@@ -609,7 +609,17 @@ def append_refs(
 
     from bcdp_spark.sources.zarr import read_array
 
+    import os as _os
+
     if isinstance(merged, str):
+        if _os.path.isdir(merged):
+            raise NotImplementedError(
+                "append_refs: parquet refs stores do not append in "
+                "place yet — re-run index_files(refs_format='parquet') "
+                "over the extended file list (indexing is "
+                "executor-resident and header-only, so this is cheap), "
+                "or keep a JSON merged document for growing archives"
+            )
         with open(merged) as fh:
             merged = json.load(fh)
     base = dict(merged["refs"] if "refs" in merged else merged)

@@ -34,7 +34,36 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _driver_hash(pdf: pd.DataFrame) -> str:
+    """The driver's value hash, byte-for-byte (tools/driver_replica.py):
+    sorted repr tuples after dtype canonicalization that does NOT
+    coerce int-vs-float across engines — a DuckDB HUGEINT sum arriving
+    as float64 against a Spark bigint hashes DIFFERENT there even when
+    the values are numerically equal (caught live in r8 on
+    q_pii_redact: the lax value compare below passed while the driver
+    hash failed)."""
+    import hashlib
+    import json
+
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+    pdf = pdf[sorted(pdf.columns)]
+    recs = sorted(
+        tuple(repr(v) for v in row)
+        for row in pdf.itertuples(index=False)
+    )
+    return hashlib.sha256(json.dumps(recs).encode()).hexdigest()
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str):
+    ha, hb = _driver_hash(spark_pdf), _driver_hash(duck_pdf)
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{key}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
@@ -57,3 +86,11 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: st
                 f"{key}: value mismatch in column {c!r} at sorted rows {idx.tolist()}: "
                 f"spark={av[idx].tolist()} duck={bv[idx].tolist()}"
             )
+    # last: the exact driver hash — values may compare equal above yet
+    # hash apart when one engine types a column int and the other
+    # float; the driver would flag that, so the test must too
+    assert ha == hb, (
+        f"{key}: values equal but DRIVER HASH differs — a column is "
+        "typed int on one engine and float on the other (cast the "
+        "oracle, e.g. CAST(SUM(x) AS BIGINT))"
+    )
