@@ -488,3 +488,21 @@ def test_zarr_blosc_blosclz_store_roundtrip(spark, tmp_path):
     assert len(pdf) == expect.size
     assert int(pdf.value.isna().sum()) == int(np.isnan(expect).sum())
     assert pdf.value.sum() == pytest.approx(np.nansum(expect))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    junk=st.binary(min_size=0, max_size=300),
+    dst=st.integers(min_value=0, max_value=500),
+)
+def test_blosclz_garbage_never_crashes_or_overruns(junk, dst):
+    # decode of arbitrary bytes must either succeed with exactly dst
+    # bytes or raise ValueError/IndexError — never segfault-style
+    # misbehavior or a wrong-size silent return
+    from bcdp_spark.sources.blosclz import blosclz_decompress
+
+    try:
+        out = blosclz_decompress(junk, dst)
+        assert len(out) == dst
+    except (ValueError, IndexError):
+        pass

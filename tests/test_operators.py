@@ -2171,3 +2171,34 @@ def test_pii_redact_sequential_order_no_double_count(spark):
     assert r["n_email"] == 1
     assert r["n_ipv4"] == 1  # only the bare one survives the scrub
     assert r["text"] == "<EMAIL> and bare <IP>"
+
+
+def test_pii_redact_null_text_passthrough(spark):
+    from bcdp_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.io")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["text"] is None and rows[1]["n_email"] is None
+    assert rows[2]["n_email"] == 1
+
+
+def test_pii_redact_refuses_column_collision(spark):
+    from bcdp_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "x", 9)], "doc_id long, text string, n_email long"
+    )
+    with pytest.raises(ValueError, match="n_email"):
+        pii_redact(df)
+
+
+def test_theil_sen_reserved_column_guard(spark):
+    from bcdp_spark.operators.trend import theil_sen
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, 0.0)], "g string, x int, y double, __x double"
+    )
+    with pytest.raises(ValueError, match="__x"):
+        theil_sen(df, ["g"], "x", "y")

@@ -22,6 +22,10 @@ _KEYS = (
     "q_kmeans",            # argmin over bit-identical doubles, decimal means
     "q_dsir_weights",      # decimal-exact log-ratio sums
     "q_bm25",              # exact-decimal ranked top-k
+    # r8 — median over a self-join (exact percentile must not depend
+    # on reducer count) and regexp counts through a shuffle
+    "q_theilsen_trend",
+    "q_pii_redact",
 )
 
 
