@@ -988,3 +988,40 @@ def test_remote_indexing_reads_headers_only(tmp_path):
         assert got["/big.h5"] < len(h5_blob) // 4, got
     finally:
         srv.shutdown()
+
+
+def test_index_files_parquet_grib2_pseudocodec(spark, tmp_path):
+    """The {'id': 'grib2'} pseudo-codec resolves through the sharded
+    parquet store too: message = chunk, ranged read via the parquet
+    ref row, inline base64 lat/lon land in the raw column."""
+    import datetime as _dt
+
+    from bcdp_spark.sources.grib2 import write_grib2_message
+    from bcdp_spark.sources.kerchunk import index_files
+    from bcdp_spark.sources.zarr import load_zarr
+
+    lats = np.array([-30.0, 0.0, 30.0])
+    lons = np.arange(4) * 90.0
+    total = 0.0
+    for f in range(2):
+        msgs = b""
+        for s in range(3):
+            h = (f * 3 + s) * 6
+            vals = np.full((3, 4), float(h) + 0.25)
+            total += vals.sum()
+            msgs += write_grib2_message(
+                vals, lats, lons, _dt.datetime(2016, 5, 1),
+                forecast_hours=h, binary_scale=-2, nbits=12,
+            )
+        (tmp_path / f"cycle{f}.grib2").write_bytes(msgs)
+    out = index_files(
+        spark,
+        [str(tmp_path / "cycle1.grib2"), str(tmp_path / "cycle0.grib2")],
+        fmt="grib2", out_dir=str(tmp_path / "grefs"),
+        refs_format="parquet", record_size=2,
+    )
+    pdf = load_zarr(spark, f"refs::{out['store']}").toPandas()
+    assert len(pdf) == 6 * 12
+    assert pdf.value.sum() == pytest.approx(total)
+    assert pdf.time.min() == pd.Timestamp("2016-05-01")
+    assert pdf.time.max() == pd.Timestamp("2016-05-02 06:00")
