@@ -621,3 +621,124 @@ def knn_join_ivf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# X3+ (r8) — persisted IVF index: build once, probe forever.
+#
+# The 100 TB ANN workflow is not "train k-means per query" — it is a
+# fleet-built index materialized as tables: a k-row centroid table and
+# the vector corpus REPARTITIONED BY CELL into a parquet table
+# partitioned on `ivf_cell`. A probe then reads ONLY the probed cells:
+# the top-nprobe cell ids come from a k-row centroid read (one bounded
+# driver action of <= nprobe ints — the bloom.py class of documented
+# bounded collects; Spark's DPP heuristic does not fire on an
+# orderBy/limit probe side, and a static IN-list gives STRONGER
+# pruning: the unprobed cell directories are skipped at planning time,
+# visible as PartitionFilters in the scan — tests pin it).
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    df: DataFrame,
+    path: str,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> dict:
+    """Train (deterministic Lloyd, ``lloyd_kmeans``) and MATERIALIZE an
+    IVF index under ``path``: ``centroids/`` (k-row parquet) and
+    ``vectors/`` (parquet partitioned by ``ivf_cell`` — the layout that
+    makes probes partition-prunable). Returns the meta dict, also
+    written to ``path/meta.json``."""
+    import json as _json
+    import os as _os
+
+    assigned, cents = lloyd_kmeans(
+        df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter, dim=dim
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    (
+        df.join(assigned.select(id_col, "cell"), id_col)
+        .withColumnRenamed("cell", "ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(_os.path.join(path, "vectors"))
+    )
+    meta = {
+        "version": 1,
+        "metric": "cosine",
+        "n_cells": int(k),
+        "n_iter": int(n_iter),
+        "dim": int(dim),
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return meta
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    query_vec,
+    topk: int = 10,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a persisted IVF index: rank cells by
+    centroid L2 to the query over the k-row centroid table, collect
+    the ``nprobe`` winning cell ids (bounded driver action — nprobe
+    ints), filter the partitioned vector table with the static IN
+    list so the unprobed cell DIRECTORIES are pruned at planning time
+    (PartitionFilters in the scan), exact cosine within the
+    candidates, TakeOrderedAndProject for the final top-k. Returns
+    (id, sim) with sim rounded at 1e-6 and an id tiebreak —
+    deterministic."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    cents = spark.read.parquet(_os.path.join(path, "centroids"))
+    cells = [
+        r["ivf_cell"]
+        for r in cents.select(
+            F.col("cell").cast("int").alias("ivf_cell"),
+            _l2_expr(F.col("centroid"), q).alias("__d"),
+        )
+        .orderBy("__d", "ivf_cell")
+        .limit(int(nprobe))
+        .collect()  # bounded: <= nprobe ints
+    ]
+    vecs = spark.read.parquet(_os.path.join(path, "vectors"))
+    cand = vecs.where(F.col("ivf_cell").isin(cells))
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(c, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(dot / (_norm(v) * _norm(q)), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(int(topk))
+    )

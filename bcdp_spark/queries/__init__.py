@@ -90,10 +90,11 @@ def _load() -> None:
 _PRIORITY = (
     # (a) new in round 8: the parquet refs store + incremental append
     # (executor-resident kerchunk), HDF5 szip via the CCSDS coder,
-    # blosclz under byte+bit shuffle, typed PII redaction, and
-    # Theil-Sen/Mann-Kendall robust trend
+    # blosclz under byte+bit shuffle, typed PII redaction,
+    # Theil-Sen/Mann-Kendall robust trend, and the persisted IVF index
     "q_kerchunk_parquet", "q_kerchunk_append", "q_hdf5_szip",
     "q_zarr_blosclz", "q_pii_redact", "q_theilsen_trend",
+    "q_ivf_persisted",
     # (b) last graded in round 1 — the oldest evidence anywhere
     "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
     "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
@@ -110,9 +111,9 @@ _PRIORITY = (
     "q_semantic_dedup", "q_session", "q_sim_knn", "q_simhash_pairs",
     "q_sliding", "q_token_explode", "q_token_pagerank",
     "q_warc_ingest",
-    # (d) r4 cohort head (the VERDICT-named regrid family leads)
+    # --- 50-key window boundary (7 new + 11 r1 + 32 r3 = 50) ---
+    # (d) r4 cohort next (the VERDICT-named regrid family leads)
     "q_conservative_regrid",
-    # --- 50-key window boundary ---
     "q_bilinear_regrid", "q_pq_adc_knn", "q_bpe_merges",
     # (e) everything else (all r1-r7 driver-green) follows in registry
     # dict order via _ordered()'s fall-through.

@@ -2202,3 +2202,92 @@ def test_theil_sen_reserved_column_guard(spark):
     )
     with pytest.raises(ValueError, match="__x"):
         theil_sen(df, ["g"], "x", "y")
+
+
+# ------------------------------------------------- persisted IVF (r8)
+
+
+def test_ivf_index_build_probe_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    meta = ivf_index_build(emb, path, k=4, n_iter=2)
+    assert meta["n_cells"] == 4
+    import os
+
+    parts = [
+        d for d in os.listdir(os.path.join(path, "vectors"))
+        if d.startswith("ivf_cell=")
+    ]
+    assert 1 <= len(parts) <= 4  # empty cells may drop
+    q = emb.filter("vec_id = 3").collect()[0]["embedding"]
+    # probing ALL cells must equal exact brute-force cosine top-k
+    got = ivf_index_probe(spark, path, q, topk=5, nprobe=4).collect()
+    v = F.col("embedding").cast("array<double>")
+    ql = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(v, ql, lambda a, b: a * b),
+        F.lit(0.0), lambda s, x: s + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda a, b: a * b),
+        F.lit(0.0), lambda s, x: s + x,
+    ))
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(dot / (nrm(v) * nrm(ql)), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+    # self-query: the vector itself must lead with sim 1.0 even at
+    # nprobe=1 (its own cell is the nearest by construction)
+    top = ivf_index_probe(spark, path, q, topk=1, nprobe=1).collect()[0]
+    assert top["vec_id"] == 3 and top["sim"] == 1.0
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    # the point of the persisted layout: nprobe < k probes must skip
+    # the unprobed cell DIRECTORIES at planning time
+    from bcdp_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb, path, k=4, n_iter=2)
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    df = ivf_index_probe(spark, path, q, topk=3, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan[:2000]
+    # exactly one cell equality, not a full scan
+    assert m.group(1).count("ivf_cell") <= 2  # isnotnull + one equality
+
+
+def test_ivf_index_survives_fresh_reader(spark, tmp_path):
+    # build, then probe via paths only — nothing cached in the session
+    from bcdp_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb, path, k=3, n_iter=1)
+    spark.catalog.clearCache()
+    q = [1.0] + [0.0] * 63  # unit vector, nothing session-cached
+    rows = ivf_index_probe(spark, path, q, topk=2, nprobe=3).collect()
+    assert len(rows) == 2 and rows[0]["sim"] >= rows[1]["sim"]

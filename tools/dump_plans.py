@@ -118,6 +118,7 @@ HEADLINE = (
     "q_zarr_blosclz",
     "q_pii_redact",
     "q_theilsen_trend",
+    "q_ivf_persisted",
 )
 
 
