@@ -95,6 +95,10 @@ _PRIORITY = (
     "q_kerchunk_parquet", "q_kerchunk_append", "q_hdf5_szip",
     "q_zarr_blosclz", "q_pii_redact", "q_theilsen_trend",
     "q_ivf_persisted",
+    # (a2) new later in round 8: the forecast-verification trio —
+    # ensemble CRPS, empirical quantile-mapping bias correction,
+    # percentile-threshold extreme index (TX90p)
+    "q_crps", "q_quantile_map", "q_tx90p",
     # (b) last graded in round 1 — the oldest evidence anywhere
     "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
     "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
@@ -109,9 +113,11 @@ _PRIORITY = (
     "q_minhash_dedup", "q_multimodal_pipeline", "q_netcdf_climatology",
     "q_ngram_jaccard", "q_regrid_weighted", "q_regrid_weights_gen",
     "q_semantic_dedup", "q_session", "q_sim_knn", "q_simhash_pairs",
-    "q_sliding", "q_token_explode", "q_token_pagerank",
-    "q_warc_ingest",
-    # --- 50-key window boundary (7 new + 11 r1 + 32 r3 = 50) ---
+    "q_sliding",
+    # --- 50-key window boundary (10 new + 11 r1 + 29 r3 = 50) ---
+    # (the last three r3 regrades below slipped past the boundary when
+    # the late-r8 trio joined section (a2); they keep r3∪r7 evidence)
+    "q_token_explode", "q_token_pagerank", "q_warc_ingest",
     # (d) r4 cohort next (the VERDICT-named regrid family leads)
     "q_conservative_regrid",
     "q_bilinear_regrid", "q_pq_adc_knn", "q_bpe_merges",

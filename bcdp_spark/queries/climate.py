@@ -1,5 +1,7 @@
-"""Climate-index queries: GeoJSON region masking (P2 widening) and
-spell-length statistics (the ETCCDI consecutive-days family).
+"""Climate-index queries: GeoJSON region masking (P2 widening),
+spell-length statistics (the ETCCDI consecutive-days family), and the
+r8 forecast-verification / bias-correction trio (CRPS, empirical
+quantile mapping, percentile-threshold extreme index).
 
 Reference analog: bcdp's spatial subset verb plus the index
 computations its users run downstream (consecutive dry days, warm
@@ -242,4 +244,259 @@ def q_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         dsum(F.greatest(F.lit(65.0) - F.col("tmean"), F.lit(0.0)), "hdd"),
         dsum(F.greatest(F.col("tmean") - F.lit(65.0), F.lit(0.0)), "cdd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r8) — ensemble CRPS, the standard probabilistic-forecast
+# verification score (Hersbach 2000; the fair-ensemble "NRG" form):
+#
+#   CRPS = (1/n) Σ|x_i − y|  −  (1/(2n²)) Σ_i Σ_j |x_i − x_j|
+#
+# The O(n²) pairwise spread term collapses to a rank-weighted sum over
+# the SORTED members — Σ_i Σ_j |x_i − x_j| = 2·Σ_k (2k − n − 1)·x_(k)
+# (k = 1-based rank) — so the whole score is two window columns and one
+# hash aggregate per forecast group: shuffle once on the group key,
+# never materialize a pair. Ties contribute identically under any rank
+# assignment (equal values × a fixed coefficient total), so the
+# event_id tiebreak affects determinism only, not the value.
+#
+# Fixture framing: each day is one forecast case, every event that day
+# one ensemble member; the verifying observation is a deterministic
+# in-range pseudo-obs (200 + 20·(day mod 7)). Scale (100 TB): one
+# shuffle on (day) — real archives key on (init_time, lead, station),
+# a high-cardinality composite; no global window, no join.
+# ---------------------------------------------------------------------------
+@register(
+    "q_crps",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT)
+           ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (
+           PARTITION BY CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT)
+         ) AS n
+  FROM events
+),
+obs AS (
+  SELECT day, value, rk, n,
+         CAST(200.0 AS DOUBLE) + 20.0 * CAST(day % 7 AS DOUBLE) AS y
+  FROM m
+)
+SELECT day,
+       CAST(MAX(n) AS BIGINT) AS n_members,
+       CAST(CAST(SUM(CAST(ABS(value - y) AS {DEC_SQL})) AS VARCHAR)
+            AS DOUBLE) / MAX(n)
+       - CAST(CAST(SUM(CAST(CAST(2 * rk - n - 1 AS DOUBLE) * value
+                            AS {DEC_SQL})) AS VARCHAR)
+              AS DOUBLE) / MAX(n) / MAX(n) AS crps
+FROM obs
+GROUP BY day
+""",
+)
+def q_crps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    day = (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("day").orderBy("value", "event_id")
+    wc = Window.partitionBy("day")
+    m = ev.select(day.alias("day"), "value", "event_id").select(
+        "day",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    obs = m.withColumn(
+        "y", F.lit(200.0) + F.lit(20.0) * (F.col("day") % 7).cast("double")
+    )
+    return obs.groupBy("day").agg(
+        F.max("n").cast("long").alias("n_members"),
+        (
+            F.sum(F.abs(F.col("value") - F.col("y")).cast(DEC)).cast("double")
+            / F.max("n")
+            - F.sum(
+                (
+                    (2 * F.col("rk") - F.col("n") - 1).cast("double")
+                    * F.col("value")
+                ).cast(DEC)
+            ).cast("double")
+            / F.max("n")
+            / F.max("n")
+        ).alias("crps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r8) — empirical quantile-mapping bias correction, the workhorse
+# of statistical downscaling (Panofsky & Brier ECDF matching, the
+# method behind `bias_correction`/`xclim.sdba.EmpiricalQuantileMapping`):
+# each model value is replaced by the observed value at the SAME
+# empirical rank — corrected_k = obs_(⌈rank_m(k)·n_obs / n_model⌉).
+#
+# Distributed shape: one window per side partitioned by station (rank +
+# per-partition count), a per-station count aggregate joined back
+# (broadcast-sized: one row per station), then ONE equi join on
+# (station, rank index) — never a per-group cross. Fixture framing:
+# even event_ids play the observation record, odd ones the model run.
+# Scale (100 TB): everything shuffles on user_id only; the rank join is
+# equi (AQE-broadcast when the obs calibration set is small).
+# ---------------------------------------------------------------------------
+@register(
+    "q_quantile_map",
+    oracle=f"""
+WITH model AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rk_m,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_m
+  FROM events WHERE event_id % 2 = 1
+),
+obs AS (
+  SELECT user_id, value AS obs_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rk_o
+  FROM events WHERE event_id % 2 = 0
+),
+n_obs AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_o
+  FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+),
+mapped AS (
+  SELECT m.user_id, m.value,
+         (m.rk_m * n.n_o + m.n_m - 1) // m.n_m AS j
+  FROM model m JOIN n_obs n USING (user_id)
+)
+SELECT mp.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_model,
+       {dsum_sql('o.obs_value', 'sum_corrected')},
+       {dsum_sql('o.obs_value - mp.value', 'sum_shift')}
+FROM mapped mp
+JOIN obs o ON o.user_id = mp.user_id AND o.rk_o = mp.j
+GROUP BY mp.user_id
+""",
+)
+def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    model = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rk_m"),
+        F.count(F.lit(1)).over(wc).alias("n_m"),
+    )
+    obs = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        F.col("value").alias("obs_value"),
+        F.row_number().over(w).alias("rk_o"),
+    )
+    n_obs = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_o"))
+    )
+    # integer ceil: j = ⌈rk_m·n_o / n_m⌉ via `div` (DuckDB twin uses //)
+    mapped = model.join(n_obs, "user_id").select(
+        "user_id",
+        "value",
+        F.expr("(rk_m * n_o + n_m - 1) div n_m").alias("j"),
+    )
+    return (
+        mapped.join(
+            obs,
+            (mapped["user_id"] == obs["user_id"]) & (obs["rk_o"] == mapped["j"]),
+        )
+        .select(mapped["user_id"], "value", "obs_value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_model"),
+            dsum(F.col("obs_value"), "sum_corrected"),
+            dsum(F.col("obs_value") - F.col("value"), "sum_shift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r8) — percentile-threshold extreme index (the ETCCDI TX90p
+# family: "fraction of days above the calendar 90th percentile of the
+# baseline period"). The baseline threshold is the EXACT order
+# statistic k = ⌈0.9·n⌉ (rank-based, not interpolated — interpolated
+# percentiles differ across engines), computed per station from the
+# first half of the record; exceedances are counted in the second half.
+#
+# Distributed shape: baseline = one window (rank) + one filter on
+# rk = (9n+9) div 10 → a one-row-per-station threshold table that
+# BROADCASTS to the analysis scan. Scale (100 TB): the analysis side —
+# the big side — is a pure scan + broadcast-join + hash agg; only the
+# baseline (a fixed calibration window) pays a station shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q_tx90p",
+    oracle="""
+WITH base AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+thr AS (
+  SELECT user_id, value AS p90
+  FROM base WHERE rk = (9 * n + 9) // 10
+)
+SELECT a.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN a.value > t.p90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS warm_days,
+       CAST(SUM(CASE WHEN a.value > t.p90 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS warm_frac,
+       t.p90
+FROM events a
+JOIN thr t USING (user_id)
+WHERE a.ts >= TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY a.user_id, t.p90
+""",
+)
+def q_tx90p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    base = ev.filter(F.col("ts") < cutoff).select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    thr = base.filter(
+        F.col("rk") == F.expr("(9 * n + 9) div 10")
+    ).select("user_id", F.col("value").alias("p90"))
+    ana = ev.filter(F.col("ts") >= cutoff)
+    return (
+        ana.join(F.broadcast(thr), "user_id")
+        .groupBy("user_id", "p90")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(F.col("value") > F.col("p90"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("warm_days"),
+            (
+                F.sum(
+                    F.when(F.col("value") > F.col("p90"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("warm_frac"),
+        )
+        .select(
+            "user_id", "n_days", "warm_days", "warm_frac", "p90"
+        )
     )

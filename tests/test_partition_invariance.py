@@ -26,6 +26,10 @@ _KEYS = (
     # on reducer count) and regexp counts through a shuffle
     "q_theilsen_trend",
     "q_pii_redact",
+    # r8 late — rank-weighted CRPS spread term and the ECDF rank join
+    # (both lean on row_number tiebreaks + decimal sums)
+    "q_crps",
+    "q_quantile_map",
 )
 
 

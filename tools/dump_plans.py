@@ -119,6 +119,13 @@ HEADLINE = (
     "q_pii_redact",
     "q_theilsen_trend",
     "q_ivf_persisted",
+    # round-8 — forecast-verification trio: CRPS (rank-weighted spread,
+    # one station/day shuffle, no pair materialization), empirical
+    # quantile mapping (rank equi-join, never a per-group cross),
+    # TX90p percentile index (broadcast threshold onto the big scan)
+    "q_crps",
+    "q_quantile_map",
+    "q_tx90p",
 )
 
 
