@@ -24,10 +24,13 @@ optimization, never a semantics change.
 
 from __future__ import annotations
 
+import ast
 import functools
 import gzip as _gzip
+import itertools
 import json
 import os
+import re
 import struct
 import zlib as _zlib
 from collections.abc import Iterator
@@ -252,6 +255,100 @@ class _ParquetRefs:
         return v
 
 
+# --- generated references (fsspec ReferenceFileSystem v1 "gen") -----------
+# A gen entry compresses a regular grid of byte ranges into one rule:
+#   {"key": "var/{{i}}.{{j}}", "url": "{{u}}/part_{{i}}.bin",
+#    "offset": "{{j * 4096}}", "length": "4096",
+#    "dimensions": {"i": {"stop": 3}, "j": [0, 2, 5]}}
+# fsspec renders these with jinja2; the subset real indexers emit is
+# pure arithmetic over the dimension variables, so we evaluate
+# {{...}} with a whitelisted-AST expression evaluator instead of
+# pulling in a template engine (names = dims + templates; operators =
+# + - * / // % ** and unary +/-; anything else raises loudly).
+
+_GEN_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant, ast.Name,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
+    ast.Pow, ast.USub, ast.UAdd, ast.Load,
+)
+
+
+def _gen_eval(expr: str, env: dict):
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as e:
+        raise NotImplementedError(
+            f"reference template expression {expr!r} not parseable"
+        ) from e
+    for node in ast.walk(tree):
+        if not isinstance(node, _GEN_NODES):
+            raise NotImplementedError(
+                f"reference template expression {expr!r} uses "
+                f"{type(node).__name__} — only names and arithmetic "
+                "are supported"
+            )
+        if isinstance(node, ast.Name) and node.id not in env:
+            raise NotImplementedError(
+                f"reference template name {node.id!r} undefined "
+                f"(have: {sorted(env)})"
+            )
+    return eval(  # noqa: S307 — AST whitelisted above, no builtins
+        compile(tree, "<refs-template>", "eval"), {"__builtins__": {}}, env
+    )
+
+
+_TPL_RE = re.compile(r"\{\{(.*?)\}\}")
+
+
+def _render_tpl(s: str, env: dict) -> str:
+    """Substitute every {{expr}} in ``s``; one extra pass resolves a
+    template whose VALUE itself contains {{...}} (nested templates)."""
+    for _ in range(5):
+        if "{{" not in s:
+            return s
+        s = _TPL_RE.sub(
+            lambda m: str(_gen_eval(m.group(1).strip(), env)), s
+        )
+    if "{{" in s:
+        raise NotImplementedError(
+            f"reference template {s!r} did not resolve in 5 passes"
+        )
+    return s
+
+
+def _expand_gen(g: dict, templates: dict) -> dict:
+    dims = g.get("dimensions", {})
+    names = list(dims)
+    axes = []
+    for n in names:
+        d = dims[n]
+        if isinstance(d, dict):
+            axes.append(
+                range(
+                    int(d.get("start", 0)),
+                    int(d["stop"]),
+                    int(d.get("step", 1)),
+                )
+            )
+        else:
+            axes.append([int(x) for x in d])
+    out: dict = {}
+    for combo in itertools.product(*axes):
+        env = dict(templates)
+        env.update(zip(names, combo))
+        key = _render_tpl(str(g["key"]), env)
+        url = _render_tpl(str(g["url"]), env)
+        if "offset" in g and "length" in g:
+            out[key] = [
+                url,
+                int(_render_tpl(str(g["offset"]), env)),
+                int(_render_tpl(str(g["length"]), env)),
+            ]
+        else:
+            out[key] = [url]
+    return out
+
+
 @functools.lru_cache(maxsize=32)
 def _load_refs_versioned(
     spec: str, _stamp: tuple
@@ -279,19 +376,19 @@ def _load_refs_versioned(
             raise NotImplementedError(
                 f"reference-file version {version} not supported (0/1)"
             )
-        if doc.get("gen"):
-            raise NotImplementedError(
-                "reference-file 'gen' (generated key ranges) not "
-                "supported — materialize the refs"
-            )
         templates = dict(doc.get("templates", {}))
-        for t in templates.values():
-            if "{{" in str(t):
-                raise NotImplementedError(
-                    "nested/jinja reference templates not supported "
-                    "(simple string substitution only)"
-                )
-        refs = doc["refs"]
+        refs = dict(doc.get("refs", {}))
+        if doc.get("gen"):
+            # expand generated ranges; EXPLICIT refs win on collision
+            # (a materialized override beats the rule that covers it).
+            # Expansion is eager but bounded by the true chunk count —
+            # the same size a materialized refs doc would be — and the
+            # result is cached once per executor process.
+            expanded: dict = {}
+            for g in doc["gen"]:
+                expanded.update(_expand_gen(g, templates))
+            expanded.update(refs)
+            refs = expanded
     else:
         templates, refs = {}, doc  # version-0 flat mapping
     if _is_url(spec):
@@ -344,9 +441,10 @@ def _refs_get(spec: str, key: str) -> bytes | None:
     for tname, tval in templates.items():
         target = target.replace("{{%s}}" % tname, str(tval))
     if "{{" in target:
-        raise NotImplementedError(
-            f"unresolved template in reference target {target!r}"
-        )
+        # expression templates ({{(i+1)*100}}-style) and nested
+        # template values — evaluated by the same whitelisted-AST
+        # renderer the gen expansion uses; undefined names raise
+        target = _render_tpl(target, dict(templates))
     if not _is_url(target) and not os.path.isabs(target):
         # relative targets resolve against the reference file's home
         target = _join(base, *target.split("/"))
