@@ -482,6 +482,57 @@ def _parse_grid_latlon(sec3: bytes, template: int) -> GridDef:
     )
 
 
+def _parse_grid_explicit_lats(sec3: bytes) -> GridDef:
+    """Interpretation 3 (code table 3.11): the appended list holds the
+    ACTUAL latitude of each row — Ni is present (every row has the same
+    regular longitude circle), Nj rows sit at irregular, explicitly
+    listed latitudes (satellite-swath and some ocean products). Each
+    list entry is a signed-magnitude integer in the section's
+    coordinate unit (1e-6 degrees, or basic/subdivisions when set); the
+    first/last entries must agree with La1/La2 or the section is
+    inconsistent and raises."""
+    (n_total,) = struct.unpack_from(">I", sec3, 6)
+    elem = sec3[10]
+    ni, nj = struct.unpack_from(">II", sec3, 30)
+    if ni == 0xFFFFFFFF:
+        raise NotImplementedError(
+            "GRIB2 interpretation-3 latitude list with Ni missing "
+            "(reduced rows) not supported"
+        )
+    if n_total != ni * nj:
+        raise ValueError(
+            f"GRIB2 explicit-latitude grid: Ni*Nj={ni * nj} != "
+            f"section-3 point count {n_total}"
+        )
+    if len(sec3) < 72 + elem * nj:
+        raise ValueError("GRIB2 explicit-latitude list truncated")
+    base = _parse_grid_latlon(sec3, 0)  # lons + scan from the template
+    unit = _angle_unit(sec3)
+    lats = np.array(
+        [
+            _sm_decode(
+                int.from_bytes(
+                    sec3[72 + j * elem : 72 + (j + 1) * elem], "big"
+                ),
+                8 * elem,
+            )
+            * unit
+            for j in range(nj)
+        ],
+        dtype=np.float64,
+    )
+    tol = 1.5e-3
+    if abs(lats[0] - base.lats[0]) > tol or abs(lats[-1] - base.lats[-1]) > tol:
+        raise ValueError(
+            f"GRIB2 explicit-latitude list [{lats[0]}..{lats[-1]}] does "
+            f"not match La1/La2 [{base.lats[0]}..{base.lats[-1]}]"
+        )
+    return GridDef(
+        template=0, lats=lats, lons=base.lons,
+        j_consecutive=base.j_consecutive,
+    )
+
+
 def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
     """Reduced (quasi-regular) Gaussian grid — ERA5/IFS's NATIVE
     storage (octahedral O1280 etc.): Ni is missing and an appended
@@ -634,13 +685,16 @@ def _parse_grid(sec3: bytes) -> GridDef:
 
 def _parse_grid_uncached(sec3: bytes) -> GridDef:
     (template,) = struct.unpack_from(">H", sec3, 12)
-    if sec3[10] != 0:  # optional points-per-row list appended
+    if sec3[10] != 0:  # optional number/latitude list appended
+        if template == 0 and sec3[11] == 3:
+            return _parse_grid_explicit_lats(sec3)
         if template != 40 or sec3[11] not in (1, 2):
             raise NotImplementedError(
-                f"GRIB2 quasi-regular list on template 3.{template} with "
+                f"GRIB2 appended list on template 3.{template} with "
                 f"interpretation {sec3[11]} not supported (reduced "
-                "Gaussian, interpretations 1 = full circles / 2 = rows "
-                "delimited by the extreme coordinates, only)"
+                "Gaussian interpretations 1 = full circles / 2 = rows "
+                "delimited by the extreme coordinates; explicit "
+                "latitudes 3 on regular 3.0 only)"
             )
         return _parse_grid_reduced_gaussian(sec3)
     if template in (0, 40):
@@ -1281,6 +1335,7 @@ def write_grib2_message(
     lambert: dict | None = None,
     reduced_pl: list[int] | None = None,
     reduced_lons: tuple[float, float] | None = None,
+    explicit_lats: bool = False,
     neg_i: bool = False,
     j_consecutive: bool = False,
     basic_angle: tuple[int, int] | None = None,
@@ -1471,19 +1526,35 @@ def write_grib2_message(
         last = (
             int(round(dj * per_deg)) if grid_template == 0 else nj // 2
         )
+        # interpretation 3: the row latitudes are irregular and listed
+        # explicitly after the template (4 octets each, signed-
+        # magnitude, coordinate unit); Dj is then missing and the
+        # res/component flags advertise only Di
+        if explicit_lats:
+            if grid_template != 0:
+                raise ValueError("explicit_lats requires grid_template=0")
+            n_list, interp, res, last = 4, 3, 0x20, 0xFFFFFFFF
+            append = b"".join(
+                struct.pack(
+                    ">I", _sm_encode(int(round(la * per_deg)), 32)
+                )
+                for la in lats
+            )
+        else:
+            n_list, interp, res, append = 0, 0, 0x30, b""
         sec3 = struct.pack(
             ">IBBIBBH" + "BBIBIBI" + "IIII" + "II" + "B" + "II" + "II" + "B",
-            72, 3, 0, ni * nj, 0, 0, grid_template,
+            72 + len(append), 3, 0, ni * nj, n_list, interp, grid_template,
             6, 0, 0, 0, 0, 0, 0,            # shape of earth: sphere 6371.229km
             ni, nj, ba, sub,                # basic angle / subdivisions
             _sm_encode(int(round(lats[0] * per_deg)), 32),
             _sm_encode(int(round(lo_first % 360.0 * per_deg)), 32),
-            0x30,                           # res/component flags: Di/Dj given
+            res,                            # res/component flags
             _sm_encode(int(round(lats[-1] * per_deg)), 32),
             _sm_encode(int(round(lo_last % 360.0 * per_deg)), 32),
             int(round(di * per_deg)), last,
             scan,
-        )
+        ) + append
     if level is None:
         lev_scale_b, lev_val = 0xFF, 0xFFFFFFFF
         level_type = 255

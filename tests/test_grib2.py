@@ -1828,3 +1828,92 @@ def test_jpeg2000_real_decoder_roundtrip():
     msg = _splice_jp2(_field(vals, binary_scale=-2, nbits=8), payload)
     f = decode_message(msg)
     np.testing.assert_allclose(f.values, vals)
+
+
+# -- interpretation 3: explicit row latitudes (r8) ----------------------
+
+
+def test_explicit_lats_roundtrip():
+    """Code table 3.11 interpretation 3: the appended list gives the
+    ACTUAL latitude of each row (irregular spacing, Ni constant).
+    Round-trip through the writer's explicit_lats leg plus a raw
+    octet check that the section really carries the list."""
+    import struct as _st
+
+    lats = np.array([-57.5, -21.25, 4.0, 38.75, 61.0])
+    vals = np.arange(20, dtype=float).reshape(5, 4) * 0.25
+    raw = _field(vals, lats=lats, binary_scale=-2, nbits=10,
+                 explicit_lats=True)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    np.testing.assert_allclose(f.lats, lats, atol=2e-6)
+    # octet check: walk to section 3 and assert list-octets=4,
+    # interpretation=3, and the 5 appended signed-magnitude entries
+    off = 16  # section 0
+    while True:
+        ln, num = _st.unpack_from(">IB", raw, off)
+        if num == 3:
+            break
+        off += ln
+    sec3 = raw[off : off + ln]
+    assert sec3[10] == 4 and sec3[11] == 3
+    assert len(sec3) == 72 + 4 * 5
+    got = [
+        _st.unpack_from(">I", sec3, 72 + 4 * j)[0] for j in range(5)
+    ]
+    from bcdp_spark.sources.grib2 import _sm_decode
+
+    np.testing.assert_allclose(
+        [_sm_decode(g, 32) * 1e-6 for g in got], lats, atol=1e-6
+    )
+
+
+def test_explicit_lats_descending_and_jc():
+    """Irregular latitudes stored north→south (-j scan) and with
+    j-consecutive value ordering both decode to geographic order."""
+    lats = np.array([70.0, 30.5, 10.0, -45.25])
+    vals = np.arange(12, dtype=float).reshape(4, 3)
+    raw = _field(vals, lats=lats, nbits=8, explicit_lats=True,
+                 j_consecutive=True)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    np.testing.assert_allclose(f.lats, lats, atol=2e-6)
+
+
+def test_explicit_lats_inconsistent_list_raises():
+    """A latitude list whose ends disagree with La1/La2 is a corrupt
+    section and must raise, not silently pick one of the two."""
+    import struct as _st
+
+    lats = np.array([-50.0, 0.0, 50.0])
+    vals = np.zeros((3, 4))
+    raw = bytearray(_field(vals, lats=lats, nbits=8, explicit_lats=True))
+    off = 16
+    while True:
+        ln, num = _st.unpack_from(">IB", raw, off)
+        if num == 3:
+            break
+        off += ln
+    # corrupt the FIRST list entry (octets 72-75 of section 3)
+    _st.pack_into(">I", raw, off + 72, 10_000_000)  # 10°N != La1 -50°
+    with pytest.raises(ValueError, match="explicit-latitude"):
+        decode_message(bytes(raw))
+
+
+def test_explicit_lats_on_gaussian_template_raises():
+    """Interpretation 3 is wired for regular 3.0 only — a 3.40 message
+    with a latitude list names the seam instead of mis-decoding."""
+    import struct as _st
+
+    lats = np.array([-50.0, 0.0, 50.0])
+    vals = np.zeros((3, 4))
+    raw = bytearray(_field(vals, lats=lats, nbits=8, explicit_lats=True))
+    off = 16
+    while True:
+        ln, num = _st.unpack_from(">IB", raw, off)
+        if num == 3:
+            break
+        off += ln
+    _st.pack_into(">H", raw, off + 12, 40)  # flip template 3.0 → 3.40
+    with pytest.raises(NotImplementedError, match="interpretation 3"):
+        decode_message(bytes(raw))
