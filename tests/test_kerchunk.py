@@ -1170,3 +1170,61 @@ def test_index_files_parquet_grib2_pseudocodec(spark, tmp_path):
     assert pdf.value.sum() == pytest.approx(total)
     assert pdf.time.min() == pd.Timestamp("2016-05-01")
     assert pdf.time.max() == pd.Timestamp("2016-05-02 06:00")
+
+
+def test_refs_stream_picks_up_appended_cycle(spark, tmp_path):
+    """The growing-archive story END TO END: zarr-stream over a
+    refs:: virtual store, extended between micro-batch passes by
+    append_refs (one new cycle file — only the new part's headers are
+    touched). The stream delivers exactly the appended time steps:
+    the refs cache re-keys on (mtime_ns, size), so the rewritten
+    merged document is re-read, and the time-offset contract gives
+    exactly-once delivery."""
+    import os as _os
+
+    from bcdp_spark.sources.kerchunk import append_refs, index_files, write_refs
+    from bcdp_spark.sources.zarr_datasource import register_zarr_stream_source
+
+    a_refs, a_data = _write_nc_month(tmp_path, 0, 4, "a")
+    merged = index_files(
+        spark, [str(tmp_path / "a.nc")], fmt="netcdf3",
+        out_dir=str(tmp_path / "refs"),
+    )
+    mp = str(tmp_path / "refs" / "merged.refs.json")
+    assert json.loads(merged["refs"]["tas/.zarray"])["shape"][0] == 4
+
+    register_zarr_stream_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("zarr-stream")
+            .load(f"refs::{mp}")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 4 * 9
+    assert first.value.sum() == pytest.approx(a_data.sum())
+
+    # a new cycle lands: index it alone, append to the merged doc IN
+    # PLACE (the streaming checkpoint keeps pointing at one store)
+    b_refs, b_data = _write_nc_month(tmp_path, 4, 3, "b")
+    write_refs(append_refs(mp, [b_refs]), mp)
+    st = _os.stat(mp)
+    _os.utime(mp, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+
+    run_once()
+    both = spark.read.parquet(out).toPandas()
+    assert len(both) == 7 * 9  # delta only — old steps not re-emitted
+    assert both.value.sum() == pytest.approx(a_data.sum() + b_data.sum())
+    assert both.time.max() == pd.Timestamp("2005-01-07")
+    assert both.groupby("time").size().max() == 9  # no duplicate steps

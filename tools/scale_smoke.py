@@ -280,6 +280,19 @@ def ops(spark, sf_dir):
         # TakeOrderedAndProject. Linear in lineitems.
         "market_basket": t(lambda: _q("q_market_basket")(spark, sf_dir)
                            .collect()),
+        # r8: ensemble CRPS — two window columns + one hash agg per
+        # forecast day; the 10x multiplies members per day (group count
+        # constant), so the rank windows carry 10x rows on the same
+        # key set. Linear in members.
+        "crps": t(lambda: _q("q_crps")(spark, sf_dir).collect()),
+        # r8: quantile mapping — per-station rank windows + one rank
+        # equi-join; the 10x shifts user_ids (10x stations, same
+        # per-station size), the ideal horizontal-scaling shape.
+        "quantile_map": t(lambda: _q("q_quantile_map")(spark, sf_dir)
+                          .collect()),
+        # r8: TX90p — baseline rank window (calibration half) + a
+        # broadcast threshold join onto the analysis scan. Linear.
+        "tx90p": t(lambda: _q("q_tx90p")(spark, sf_dir).collect()),
     }
 
 
