@@ -538,3 +538,83 @@ def pii_redact(
             F.regexp_replace(F.col(text_col), pat, token),
         )
     return out
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    stop_words: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
+    min_distinct_ratio: float = 0.0,
+) -> DataFrame:
+    """The Gopher/MassiveText document-quality ruleset (Rae et al.
+    2021 §A1.1, the filter FineWeb/Dolma re-use) as one codegen'd map
+    stage: per-document boolean columns ``pass_nwords``,
+    ``pass_meanwl``, ``pass_symbol``, ``pass_alpha``, ``pass_stop``,
+    ``pass_distinct`` and the conjunction ``keep``.
+
+    Word-level rules only — the fixture corpus is single-line, so the
+    line-shape rules (bullet/ellipsis line fractions) have no
+    discriminating surface here; the repetition rules live in
+    ``repeated_ngram_doc_stats`` / ``q_doc_repetition``.
+
+    Scale notes: every rule is a higher-order function or length
+    arithmetic over one ``split`` — no UDF, no shuffle, no join; the
+    whole ruleset pipelines with the scan and costs one pass at
+    100 TB. The `#`/ellipsis symbol counts use length-difference
+    arithmetic instead of regexp so the twin is byte-exact in any SQL
+    engine."""
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_words = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in stop_words]),
+        )
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    mean_wl = (F.length(t) - n_words + 1).cast("double") / n_words
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias(
+            "pass_nwords"
+        ),
+        (
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        ).alias("pass_meanwl"),
+        (
+            (n_hash + n_ellipsis).cast("double") / n_words
+            < max_symbol_ratio
+        ).alias("pass_symbol"),
+        (
+            n_alpha.cast("double") / n_words > min_alpha_word_frac
+        ).alias("pass_alpha"),
+        (n_stop >= min_stop_hits).alias("pass_stop"),
+        (
+            n_distinct.cast("double") / n_words > min_distinct_ratio
+        ).alias("pass_distinct"),
+    ).withColumn(
+        "keep",
+        F.col("pass_nwords")
+        & F.col("pass_meanwl")
+        & F.col("pass_symbol")
+        & F.col("pass_alpha")
+        & F.col("pass_stop")
+        & F.col("pass_distinct"),
+    )

@@ -1876,3 +1876,100 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").alias("phones"),
         F.sum(F.length("text")).alias("redacted_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r8) — the Gopher/MassiveText quality ruleset (Rae et al. 2021
+# §A1.1) as one codegen'd map stage + a per-source hash aggregate:
+# word-count bounds, mean-word-length band, symbol-to-word ratio,
+# alphabetic-word fraction, stopword hits, distinct-word ratio, and
+# the conjunction `keep`. Thresholds here are tuned to the fixture's
+# vocabulary so every rule actually discriminates (the canonical
+# stopword list is the operator's default; the fixture corpus only
+# carries 'the'/'a'). The oracle replays every rule with DuckDB list
+# lambdas — identical split/filter/intersect semantics, so the hash
+# check certifies the rule arithmetic, not just row counts.
+# Scale (100 TB): filter rides the scan, one small shuffle on source.
+# ---------------------------------------------------------------------------
+@register(
+    "q_gopher_rules",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_wl,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            ['the', 'a'])) AS n_stop,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         CAST(length(text) - length(replace(text, '...', ''))
+              AS DOUBLE) / 3 AS n_ellipsis
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         (n_words >= 30 AND n_words <= 90) AS pass_nwords,
+         (mean_wl >= 3.0 AND mean_wl <= 10.0) AS pass_meanwl,
+         (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words < 0.1)
+           AS pass_symbol,
+         (CAST(n_alpha AS DOUBLE) / n_words > 0.8) AS pass_alpha,
+         (n_stop >= 2) AS pass_stop,
+         (CAST(n_distinct AS DOUBLE) / n_words > 0.35) AS pass_distinct
+  FROM f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT pass_nwords THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_nwords,
+       CAST(SUM(CASE WHEN NOT pass_meanwl THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_meanwl,
+       CAST(SUM(CASE WHEN NOT pass_symbol THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_symbol,
+       CAST(SUM(CASE WHEN NOT pass_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_alpha,
+       CAST(SUM(CASE WHEN NOT pass_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stop,
+       CAST(SUM(CASE WHEN NOT pass_distinct THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_distinct,
+       CAST(SUM(CASE WHEN pass_nwords AND pass_meanwl AND pass_symbol
+                      AND pass_alpha AND pass_stop AND pass_distinct
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM flags
+GROUP BY source
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.text import gopher_quality_flags
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(
+        docs,
+        min_words=30,
+        max_words=90,
+        stop_words=("the", "a"),
+        min_distinct_ratio=0.35,
+    )
+
+    def fails(c: str) -> F.Column:
+        return (
+            F.sum(F.when(~F.col(c), 1).otherwise(0))
+            .cast("long")
+            .alias(c.replace("pass_", "fail_"))
+        )
+
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        fails("pass_nwords"),
+        fails("pass_meanwl"),
+        fails("pass_symbol"),
+        fails("pass_alpha"),
+        fails("pass_stop"),
+        fails("pass_distinct"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept"),
+    )

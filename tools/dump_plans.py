@@ -126,6 +126,9 @@ HEADLINE = (
     "q_crps",
     "q_quantile_map",
     "q_tx90p",
+    # round-8 — Gopher quality ruleset (one codegen'd map stage +
+    # per-source hash agg; the filter rides the scan)
+    "q_gopher_rules",
 )
 
 
