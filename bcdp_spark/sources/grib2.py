@@ -730,11 +730,39 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
     templates ("em"/"es"/… per table 4.7, "p50", "prob_gt_2",
     else None) — surfaced as the ``member``/``ens_label`` columns."""
     (template,) = struct.unpack_from(">H", sec4, 7)
+    aero_label = None
+    if template == 48:
+        # 4.48 (aerosol optical properties — the CAMS layout) inserts a
+        # 24-octet block after the parameter number: aerosol type
+        # (table 4.233, 2 octets), size interval (type + two scaled
+        # values), wavelength interval (type + two scaled values).
+        # Stripping the block leaves exactly the 4.0 layout, so the
+        # standard tail parses unchanged below.
+        if len(sec4) < 58:
+            raise ValueError("GRIB2 template 4.48 section too short")
+        (atype,) = struct.unpack_from(">H", sec4, 11)
+        if sec4[13] != 255:
+            raise NotImplementedError(
+                f"GRIB2 aerosol size interval (table 4.91 type "
+                f"{sec4[13]}) not supported — optical properties at a "
+                "wavelength only"
+            )
+        wl_t = sec4[24]
+        (wl_u,) = struct.unpack_from(">I", sec4, 26)
+        if wl_t == 255 or wl_u == 0xFFFFFFFF:
+            aero_label = f"aero_{atype}"
+        else:
+            wl_s = _sm_decode(sec4[25], 8)
+            wl_nm = _sm_decode(wl_u, 32) / (10.0 ** wl_s) * 1e9
+            aero_label = f"aero_{atype}_{wl_nm:g}nm"
+        sec4 = sec4[:11] + sec4[35:]
+        template = 0
     if template not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
         raise NotImplementedError(
             f"GRIB2 product template 4.{template} not supported "
             "(deterministic 4.0/4.8, ensemble member 4.1/4.11, derived "
-            "4.2/4.12, probability 4.5/4.9, percentile 4.6/4.10 only)"
+            "4.2/4.12, probability 4.5/4.9, percentile 4.6/4.10, "
+            "aerosol 4.48 only)"
         )
     category, number = sec4[9], sec4[10]
     time_unit = sec4[17]
@@ -800,6 +828,8 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
         (eyear,) = struct.unpack_from(">H", sec4, end_at)
         emonth, eday, ehour, eminute, esecond = sec4[end_at + 2 : end_at + 7]
         valid = _dt.datetime(eyear, emonth, eday, ehour, eminute, esecond)
+    if aero_label is not None:
+        label = aero_label
     return category, number, valid, lev_type, level, member, label
 
 
@@ -1345,6 +1375,7 @@ def write_grib2_message(
     derived: int | None = None,
     probability: tuple | None = None,
     percentile: int | None = None,
+    aerosol: tuple | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1561,12 +1592,48 @@ def write_grib2_message(
     else:
         lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
     if sum(x is not None for x in (member, derived, probability,
-                                   percentile)) > 1:
+                                   percentile, aerosol)) > 1:
         raise ValueError(
-            "member / derived / probability / percentile are mutually "
-            "exclusive product-template selectors"
+            "member / derived / probability / percentile / aerosol are "
+            "mutually exclusive product-template selectors"
         )
-    if member is not None:
+    if aerosol is not None:
+        # template 4.48 (aerosol optical properties): the 24-octet
+        # aerosol block sits between the parameter number and the
+        # standard generating-process tail. aerosol = (type_code,
+        # wavelength_m | None); size interval written missing,
+        # wavelength written as an equal-to-first-limit interval
+        # (table 4.91 code 11) in integer nanometres (scale 9).
+        atype, wl = aerosol
+        if stat_hours is not None:
+            raise NotImplementedError(
+                "aerosol template 4.48 is point-in-time (no interval "
+                "twin wired)"
+            )
+        if wl is None:
+            wl_b = struct.pack(">BBIBI", 255, 255, 0xFFFFFFFF,
+                               255, 0xFFFFFFFF)
+        else:
+            wl_b = struct.pack(
+                ">BBIBI", 11, 9, int(round(wl * 1e9)), 255, 0xFFFFFFFF
+            )
+        aero_extra = (
+            struct.pack(">HBBIBI", atype, 255, 255, 0xFFFFFFFF,
+                        255, 0xFFFFFFFF)
+            + wl_b
+        )
+        sec4 = (
+            struct.pack(">IBHH" + "BB", 58, 4, 0, 48, category, number)
+            + aero_extra
+            + struct.pack(
+                ">BBBHBB" + "I" + "BBI" + "BBI",
+                2, 255, 255, 0, 255, 1,
+                _sm_encode(forecast_hours, 32),
+                level_type, lev_scale_b, lev_val,
+                255, 255, 0xFFFFFFFF,
+            )
+        )
+    elif member is not None:
         if not 0 <= member <= 255:
             raise ValueError(f"perturbation number {member} not in 0..255")
         point_t = 1
@@ -1589,22 +1656,23 @@ def write_grib2_message(
     else:
         point_t = 0
         ens_extra = b""
-    if stat_hours is None:
-        tmpl4 = point_t
-    else:
-        tmpl4 = {0: 8, 1: 11, 2: 12, 5: 9, 6: 10}[point_t]
-    sec4_len = {0: 34, 1: 37, 2: 36, 5: 47, 6: 35}[point_t] + (
-        24 if stat_hours is not None else 0
-    )
-    sec4 = struct.pack(
-        ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
-        sec4_len, 4, 0, tmpl4,
-        category, number, 2, 255, 255, 0, 255, 1,   # unit 1 = hours
-        _sm_encode(forecast_hours, 32),
-        level_type, lev_scale_b, lev_val,
-        255, 255, 0xFFFFFFFF,
-    )
-    sec4 += ens_extra
+    if aerosol is None:
+        if stat_hours is None:
+            tmpl4 = point_t
+        else:
+            tmpl4 = {0: 8, 1: 11, 2: 12, 5: 9, 6: 10}[point_t]
+        sec4_len = {0: 34, 1: 37, 2: 36, 5: 47, 6: 35}[point_t] + (
+            24 if stat_hours is not None else 0
+        )
+        sec4 = struct.pack(
+            ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
+            sec4_len, 4, 0, tmpl4,
+            category, number, 2, 255, 255, 0, 255, 1,   # unit 1 = hours
+            _sm_encode(forecast_hours, 32),
+            level_type, lev_scale_b, lev_val,
+            255, 255, 0xFFFFFFFF,
+        )
+        sec4 += ens_extra
     if stat_hours is not None:
         # end of overall interval = ref + forecast + accumulation span;
         # one time-range spec: statistical process 1 (accumulation)

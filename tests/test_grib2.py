@@ -1917,3 +1917,69 @@ def test_explicit_lats_on_gaussian_template_raises():
     _st.pack_into(">H", raw, off + 12, 40)  # flip template 3.0 → 3.40
     with pytest.raises(NotImplementedError, match="interpretation 3"):
         decode_message(bytes(raw))
+
+
+# -- aerosol product template 4.48 (r8) ---------------------------------
+
+
+def test_pdt448_aerosol_roundtrip():
+    """CAMS-style aerosol optical property: template 4.48 with aerosol
+    type 62001 at 550 nm round-trips; the label carries type +
+    wavelength and the index prunes on it."""
+    vals = np.arange(12, dtype=float).reshape(3, 4) * 0.25
+    raw = _field(vals, binary_scale=-2, nbits=8,
+                 aerosol=(62001, 550e-9))
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    assert f.index.label == "aero_62001_550nm"
+    assert f.index.member is None
+    (idx,) = scan_grib2(raw)
+    assert idx.label == "aero_62001_550nm"
+
+
+def test_pdt448_aerosol_no_wavelength():
+    vals = np.zeros((2, 3))
+    raw = _field(vals, nbits=1, aerosol=(62010, None))
+    (idx,) = scan_grib2(raw)
+    assert idx.label == "aero_62010"
+
+
+def test_pdt448_size_interval_raises():
+    """A set size interval (particle-size products) names the seam
+    instead of silently dropping the size qualifier."""
+    import struct as _st
+
+    vals = np.zeros((2, 3))
+    raw = bytearray(_field(vals, nbits=1, aerosol=(62001, 550e-9)))
+    off = 16
+    while True:
+        ln, num = _st.unpack_from(">IB", raw, off)
+        if num == 4:
+            break
+        off += ln
+    raw[off + 13] = 2  # size interval type: between first and second
+    with pytest.raises(NotImplementedError, match="size interval"):
+        decode_message(bytes(raw))
+
+
+def test_load_grib2_prunes_on_aerosol_label(spark, tmp_path):
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    lats = np.linspace(-30, 30, 3)
+    lons = np.arange(4) * 10.0
+    d = tmp_path / "aero"
+    d.mkdir()
+    msgs = b"".join(
+        write_grib2_message(
+            np.full((3, 4), float(i)), lats, lons, _REF, nbits=8,
+            aerosol=(62001 + i, 550e-9),
+        )
+        for i in range(3)
+    )
+    (d / "cams.grib2").write_bytes(msgs)
+    df = load_grib2(
+        spark, str(d / "*.grib2"), ens_label="aero_62002_550nm"
+    )
+    pdf = df.toPandas()
+    assert set(pdf.ens_label) == {"aero_62002_550nm"}
+    assert (pdf.value == 1.0).all() and len(pdf) == 12
