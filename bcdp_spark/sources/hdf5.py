@@ -147,6 +147,10 @@ class _DType:
     little: bool = True
     signed: bool = True
     vlen_string: bool = False
+    # enum (class 8) member map, name -> integer code; values decode
+    # as the base integer type, the map rides along for callers that
+    # want labels (netCDF-4 enum typed variables)
+    enum_members: dict | None = None
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -179,6 +183,36 @@ def _parse_datatype(body: bytes) -> _DType:
         if vtype == 1:  # vlen string
             return _DType(cls=9, size=size, vlen_string=True)
         raise NotImplementedError("HDF5 vlen non-string datatype")
+    if cls == 8:  # enum: a base type + named integer members
+        base = _parse_datatype(body[8:])
+        if base.cls != 0:
+            raise NotImplementedError(
+                f"HDF5 enum with class-{base.cls} base (integer bases "
+                "only)"
+            )
+        nmem = b0 | (body[2] << 8)
+        # the base message for a fixed-point type is 8 header bytes +
+        # 4 property bytes (bit offset + precision); names follow,
+        # null-terminated and (before version 3) padded to 8-byte
+        # multiples, then the member values in the base type
+        pos = 8 + 8 + 4
+        names = []
+        for _ in range(nmem):
+            end = body.index(b"\x00", pos)
+            names.append(body[pos:end].decode("utf-8"))
+            if ver < 3:
+                pos += ((end - pos + 1 + 7) // 8) * 8
+            else:
+                pos = end + 1
+        vals = np.frombuffer(
+            bytes(body[pos : pos + nmem * base.size]),
+            dtype=base.np_dtype,
+        )
+        return _DType(
+            cls=0, size=base.size, little=base.little,
+            signed=base.signed,
+            enum_members={n: int(v) for n, v in zip(names, vals)},
+        )
     raise NotImplementedError(f"HDF5 datatype class {cls}")
 
 

@@ -646,3 +646,44 @@ def test_fletcher32_roundtrip_and_corruption_raises():
     bad[addr + nbytes // 2] ^= 0xFF
     with pytest.raises(ValueError, match="fletcher32 checksum mismatch"):
         H5File(bytes(bad)).read("v")
+
+
+# -- enum datatypes (class 8, r8) ----------------------------------------
+
+
+def _enum_dt_body(ver: int) -> bytes:
+    import struct as _st
+
+    base = bytes([0x10, 0x08, 0, 0]) + _st.pack("<I", 4) + _st.pack(
+        "<HH", 0, 32
+    )  # int32 LE signed, v1
+    head = bytes([(ver << 4) | 8, 2, 0, 0]) + _st.pack("<I", 4)
+    if ver < 3:
+        names = b"ok\x00" + b"\x00" * 5 + b"bad\x00" + b"\x00" * 4
+    else:
+        names = b"ok\x00bad\x00"
+    vals = _st.pack("<ii", 1, 2)
+    return head + base + names + vals
+
+
+@pytest.mark.parametrize("ver", [1, 3])
+def test_enum_datatype_decodes_as_base_int(ver):
+    """Enum (class 8) datatypes decode as their base integer; the
+    name->code member map rides along (netCDF-4 enum variables).
+    Version 1 pads names to 8-byte multiples, version 3 does not."""
+    from bcdp_spark.sources.hdf5 import _parse_datatype
+
+    dt = _parse_datatype(_enum_dt_body(ver))
+    assert dt.np_dtype == np.dtype("<i4")
+    assert dt.enum_members == {"ok": 1, "bad": 2}
+
+
+def test_enum_float_base_raises():
+    import struct as _st
+
+    from bcdp_spark.sources.hdf5 import _parse_datatype
+
+    head = bytes([(1 << 4) | 8, 1, 0, 0]) + _st.pack("<I", 4)
+    fbase = bytes([0x11, 0x20, 0x1F, 0]) + _st.pack("<I", 4) + b"\x00" * 12
+    with pytest.raises(NotImplementedError, match="enum"):
+        _parse_datatype(head + fbase)
