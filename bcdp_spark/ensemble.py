@@ -585,6 +585,97 @@ class Ensemble:
             )
         )
 
+    def crps(self, reference: str) -> DataFrame:
+        """Ensemble CRPS at each (time, cell) against the named
+        observation member (Hersbach 2000, the fair-ensemble form):
+
+            CRPS = (1/n)·Σ|x_i − y| − (1/(2n²))·Σ_iΣ_j|x_i − x_j|
+
+        The O(n²) spread term collapses to the rank-weighted sum over
+        sorted members (Σ_k (2k−n−1)·x_(k)), so the whole score is one
+        cell-keyed join, two window columns and a hash aggregate —
+        no pair ever materializes. The bit-exact oracle-checked
+        formulation is ``q_crps``. Scale (100 TB): everything shuffles
+        on (time, cell); no global window, no cross join."""
+        from pyspark.sql import Window
+
+        keys = [self.time_col, *self.space_cols]
+        v = F.col(self.value_col)
+        obs = self.df.filter(F.col(self.name_col) == reference).select(
+            *keys, v.alias("__y")
+        )
+        mem = self.df.filter(F.col(self.name_col) != reference)
+        w = Window.partitionBy(*keys).orderBy(self.value_col, self.name_col)
+        wc = Window.partitionBy(*keys)
+        ranked = mem.join(obs, keys).select(
+            *keys,
+            v.alias("__x"),
+            F.col("__y"),
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        return ranked.groupBy(*keys).agg(
+            F.max("__n").alias("n_members"),
+            (
+                F.sum(F.abs(F.col("__x") - F.col("__y"))) / F.max("__n")
+                - F.sum(
+                    (2 * F.col("__rk") - F.col("__n") - 1) * F.col("__x")
+                )
+                / F.max("__n")
+                / F.max("__n")
+            ).alias("crps"),
+        )
+
+    def quantile_map(self, reference: str) -> "Ensemble":
+        """Empirical quantile-mapping bias correction per cell: each
+        non-reference member's value is replaced by the reference
+        value at the same empirical rank within that member's own
+        (member, cell) distribution — the Panofsky-Brier ECDF match,
+        xclim's EmpiricalQuantileMapping shape. One rank window per
+        side + a per-cell count join + one rank equi-join; the
+        oracle-checked formulation is ``q_quantile_map``. The
+        reference member passes through unchanged."""
+        from pyspark.sql import Window
+
+        cell = list(self.space_cols)
+        v = F.col(self.value_col)
+        obs = self.df.filter(F.col(self.name_col) == reference)
+        mem = self.df.filter(F.col(self.name_col) != reference)
+        w_m = Window.partitionBy(self.name_col, *cell).orderBy(
+            self.value_col, self.time_col
+        )
+        wc_m = Window.partitionBy(self.name_col, *cell)
+        model = mem.select(
+            "*",
+            F.row_number().over(w_m).alias("__rk_m"),
+            F.count(F.lit(1)).over(wc_m).alias("__n_m"),
+        )
+        w_o = Window.partitionBy(*cell).orderBy(
+            self.value_col, self.time_col
+        )
+        obs_r = obs.select(
+            *cell,
+            v.alias("__obs_v"),
+            F.row_number().over(w_o).alias("__rk_o"),
+        )
+        n_obs = obs.groupBy(*cell).agg(F.count(F.lit(1)).alias("__n_o"))
+        mapped = model.join(n_obs, cell).withColumn(
+            "__j",
+            F.expr("(__rk_m * __n_o + __n_m - 1) div __n_m"),
+        )
+        corrected = (
+            mapped.join(
+                obs_r,
+                [mapped[c] == obs_r[c] for c in cell]
+                + [obs_r["__rk_o"] == mapped["__j"]],
+            )
+            .select(
+                *[mapped[c] for c in self.df.columns if c != self.value_col],
+                F.col("__obs_v").alias(self.value_col),
+            )
+        )
+        return self._with(corrected.unionByName(obs))
+
     def bundle(self) -> DataFrame:
         """Cross-member stats at each (time, cell): mean + spread (A4)."""
         keys = [self.time_col, *self.space_cols]

@@ -555,3 +555,62 @@ def test_regrid_method_menu(spark):
     with _pytest.raises(ValueError, match="unknown regrid method"):
         ens.regrid(2.0, 2.0, method="patch", src_lat_res=1.0,
                    src_lon_res=1.0)
+
+
+def test_ensemble_crps_closed_forms(spark):
+    """CRPS closed forms: a single-member ensemble scores |x − y|
+    exactly (the pairwise term vanishes), and a two-member ensemble
+    straddling the obs scores mean|x−y| − spread/4."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    t = pd.Timestamp("2001-01-01").to_pydatetime()
+    rows = [
+        # cell A: one member at 3.0, obs 1.0 -> CRPS = 2.0
+        ("m1", t, 0.0, 0.0, 3.0),
+        ("obs", t, 0.0, 0.0, 1.0),
+        # cell B: members 0.0 and 4.0, obs 1.0 ->
+        # term1 = (1+3)/2 = 2; term2 = (2*|0-4|)/(2*4) = 1 -> 1.0
+        ("m1", t, 10.0, 0.0, 0.0),
+        ("m2", t, 10.0, 0.0, 4.0),
+        ("obs", t, 10.0, 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    out = {
+        (r["lat"]): r for r in Ensemble(df).crps("obs").collect()
+    }
+    assert out[0.0]["n_members"] == 1
+    assert abs(out[0.0]["crps"] - 2.0) < 1e-12
+    assert out[10.0]["n_members"] == 2
+    assert abs(out[10.0]["crps"] - 1.0) < 1e-12
+
+
+def test_ensemble_quantile_map_identity_and_shift(spark):
+    """Quantile mapping: a member with the same distribution as the
+    obs maps to the obs values rank-for-rank (a constant +5 bias is
+    fully removed); the reference member passes through unchanged."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    obs_vals = [1.0, 3.0, 7.0, 9.0]
+    for d, ov in enumerate(obs_vals):
+        t = (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("obs", t, 0.0, 0.0, ov))
+        rows.append(("model", t, 0.0, 0.0, ov + 5.0))
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    ens = Ensemble(df).quantile_map("obs")
+    pdf = ens.df.toPandas()
+    model = pdf[pdf.name == "model"].sort_values("time")
+    # the +5 bias is removed: corrected model values = obs values
+    assert list(model.value) == obs_vals
+    obs = pdf[pdf.name == "obs"].sort_values("time")
+    assert list(obs.value) == obs_vals
+    # schema preserved for downstream verbs
+    assert set(pdf.columns) == {"name", "time", "lat", "lon", "value"}
