@@ -16,7 +16,10 @@ READ (``H5File``):
   storage raises loudly — netCDF-4 only produces it past ~8 vars with
   the "latest" libver, which climate files don't use
 - dataspace v1/v2, datatype classes 0/1/3/9 (fixed, float, string,
-  vlen-string via global heap), fill value v2/v3, attributes v1/v3
+  vlen-string via global heap), 6 (compound → numpy structured dtype
+  with explicit offsets — CF discrete-sampling-geometry obs records;
+  r8) and 8 (enum → base integer + member map; r8), fill value v2/v3,
+  attributes v1/v3
 - data layouts: compact, contiguous, chunked — v3 messages with
   B-tree v1 (any depth) AND v4 messages (the 1.10 'latest' format)
   with all five chunk indexes (single-chunk, implicit, fixed-array
@@ -151,6 +154,10 @@ class _DType:
     # as the base integer type, the map rides along for callers that
     # want labels (netCDF-4 enum typed variables)
     enum_members: dict | None = None
+    # compound (class 6) members: (name, byte_offset, _DType) triples;
+    # decodes as a numpy structured dtype with explicit offsets, so
+    # libhdf5's padding/alignment choices are honored byte-for-byte
+    members: list | None = None
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -161,6 +168,15 @@ class _DType:
             return np.dtype(f"{order}f{self.size}")
         if self.cls == 3:
             return np.dtype(f"S{self.size}")
+        if self.cls == 6:
+            return np.dtype(
+                {
+                    "names": [m[0] for m in self.members],
+                    "formats": [m[2].np_dtype for m in self.members],
+                    "offsets": [m[1] for m in self.members],
+                    "itemsize": self.size,
+                }
+            )
         raise NotImplementedError(f"HDF5 datatype class {self.cls} as array")
 
 
@@ -183,6 +199,40 @@ def _parse_datatype(body: bytes) -> _DType:
         if vtype == 1:  # vlen string
             return _DType(cls=9, size=size, vlen_string=True)
         raise NotImplementedError("HDF5 vlen non-string datatype")
+    if cls == 6:  # compound: named members at explicit byte offsets
+        nmem = b0 | (body[2] << 8)
+        members = []
+        pos = 8
+        for _ in range(nmem):
+            end = body.index(b"\x00", pos)
+            mname = body[pos:end].decode("utf-8")
+            if ver < 3:  # names padded to 8-byte multiples before v3
+                pos += ((end - pos + 1 + 7) // 8) * 8
+            else:
+                pos = end + 1
+            if ver == 1:
+                (moff,) = _up("<I", body, pos)
+                # v1 carries 28 further octets of array-member fields
+                # (dimensionality, permutation, 4 dim sizes) libhdf5
+                # zeroes for scalar members
+                pos += 4 + 28
+            elif ver == 2:
+                (moff,) = _up("<I", body, pos)
+                pos += 4
+            else:  # v3: offset in the minimal bytes that hold `size`
+                nb = (size.bit_length() + 7) // 8 or 1
+                moff = int.from_bytes(body[pos : pos + nb], "little")
+                pos += nb
+            sub = _parse_datatype(body[pos:])
+            if sub.cls not in (0, 1, 3):
+                raise NotImplementedError(
+                    f"HDF5 compound member {mname!r} of class {sub.cls}"
+                    " (fixed-point/float/string members only — nested"
+                    " compound/vlen raise)"
+                )
+            pos += 8 + {0: 4, 1: 12, 3: 0}[sub.cls]
+            members.append((mname, moff, sub))
+        return _DType(cls=6, size=size, members=members)
     if cls == 8:  # enum: a base type + named integer members
         base = _parse_datatype(body[8:])
         if base.cls != 0:
@@ -1173,6 +1223,26 @@ def _dt_body(arr_dtype: np.dtype) -> bytes:
         return head + struct.pack("<HH", 0, dt.itemsize * 8)
     if dt.kind == "S":
         return struct.pack("<BBBBI", 0x13, 0x00, 0, 0, dt.itemsize)
+    if dt.kind == "V" and dt.names:
+        # v1 compound: padded name + byte offset + 28 zeroed
+        # array-member octets + the member's own datatype message
+        nmem = len(dt.names)
+        body = b""
+        for n in dt.names:
+            fdt, off = dt.fields[n][0], dt.fields[n][1]
+            nameb = n.encode("utf-8") + b"\x00"
+            nameb += b"\x00" * (-len(nameb) % 8)
+            body += (
+                nameb
+                + struct.pack("<I", off)
+                + b"\x00" * 28
+                + _dt_body(fdt)
+            )
+        head = struct.pack(
+            "<BBBBI", 0x16, nmem & 0xFF, (nmem >> 8) & 0xFF, 0,
+            dt.itemsize,
+        )
+        return head + body
     raise NotImplementedError(f"write dtype {dt}")
 
 

@@ -687,3 +687,97 @@ def test_enum_float_base_raises():
     fbase = bytes([0x11, 0x20, 0x1F, 0]) + _st.pack("<I", 4) + b"\x00" * 12
     with pytest.raises(NotImplementedError, match="enum"):
         _parse_datatype(head + fbase)
+
+
+# -- compound datatypes (class 6, r8) -------------------------------------
+
+
+def _obs_records() -> np.ndarray:
+    obs = np.zeros(
+        5,
+        dtype=np.dtype(
+            {
+                "names": ["time", "lat", "lon", "value", "flag"],
+                "formats": ["<f8", "<f4", "<f4", "<f8", "<i2"],
+                "offsets": [0, 8, 12, 16, 24],
+                "itemsize": 32,  # 6 tail-padding bytes, libhdf5-style
+            }
+        ),
+    )
+    obs["time"] = np.arange(5) * 3600.0
+    obs["lat"] = [10, 20, 30, 40, 50]
+    obs["lon"] = [1, 2, 3, 4, 5]
+    obs["value"] = [0.5, 1.5, 2.5, 3.5, 4.5]
+    obs["flag"] = [0, 1, 0, 1, 0]
+    return obs
+
+
+@pytest.mark.parametrize("profile", ["v0", "v2"])
+def test_compound_roundtrip_contiguous(profile):
+    """Compound (class 6) datasets — the CF discrete-sampling-geometry
+    obs-record layout — round-trip as numpy structured arrays with the
+    writer's explicit offsets and tail padding preserved."""
+    from bcdp_spark.sources.hdf5 import read_hdf5, write_hdf5
+
+    obs = _obs_records()
+    raw = write_hdf5(
+        {"obs": (["row"], obs, {})}, profile=profile, gzip_level=None
+    )
+    back = read_hdf5(raw).read("obs")
+    assert back.dtype.itemsize == 32
+    assert back.dtype.names == obs.dtype.names
+    for n in obs.dtype.names:
+        np.testing.assert_array_equal(back[n], obs[n])
+
+
+def test_compound_chunked_deflate_and_hyperslab():
+    from bcdp_spark.sources.hdf5 import read_hdf5, write_hdf5
+
+    obs = _obs_records()
+    raw = write_hdf5(
+        {"obs": (["row"], obs, {})}, chunk={"obs": (2,)}, gzip_level=4
+    )
+    f = read_hdf5(raw)
+    back = f.read("obs")
+    for n in obs.dtype.names:
+        np.testing.assert_array_equal(back[n], obs[n])
+    slab = f.read("obs", sel=(slice(1, 4),))
+    np.testing.assert_array_equal(slab["value"], obs["value"][1:4])
+
+
+def test_compound_v3_minimal_offset_bytes():
+    """Version-3 compound messages store member offsets in the minimal
+    bytes that hold the datatype size and do not pad names."""
+    import struct as _st
+
+    from bcdp_spark.sources.hdf5 import _parse_datatype
+
+    i4 = bytes([0x10, 0x08, 0, 0]) + _st.pack("<I", 4) + _st.pack(
+        "<HH", 0, 32
+    )
+    # size 12 -> offsets in 1 byte
+    body = (
+        bytes([(3 << 4) | 6, 2, 0, 0])
+        + _st.pack("<I", 12)
+        + b"a\x00" + bytes([0]) + i4
+        + b"bb\x00" + bytes([8]) + i4
+    )
+    dt = _parse_datatype(body)
+    assert dt.np_dtype.names == ("a", "bb")
+    assert dt.np_dtype.fields["bb"][1] == 8
+    assert dt.np_dtype.itemsize == 12
+
+
+def test_compound_nested_member_raises():
+    import struct as _st
+
+    from bcdp_spark.sources.hdf5 import _parse_datatype
+
+    vlen = bytes([0x19, 0x01, 0, 0]) + _st.pack("<I", 16)
+    body = (
+        bytes([(3 << 4) | 6, 1, 0, 0])
+        + _st.pack("<I", 16)
+        + b"v\x00" + bytes([0]) + vlen
+    )
+    with pytest.raises(NotImplementedError, match="compound member"):
+        _parse_datatype(body)
