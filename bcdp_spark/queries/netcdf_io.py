@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bcdp_spark.queries import register
-from bcdp_spark.queries._helpers import utc
+from bcdp_spark.queries._helpers import dsum, dsum_sql, utc
 
 _FIX_DIR = "/tmp/bcdp_spark_nc_fixture_v1"
 _N_T, _N_A, _N_O = 60, 4, 6  # days, lats, lons
@@ -561,4 +561,91 @@ def q_hdf5_szip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(28,10)"))
         .cast("double")
         .alias("sum_value"),
+    )
+
+
+_FIXCPD_DIR = "/tmp/bcdp_spark_h5compound_fixture_v1"
+_CPD_N = 50  # records per file, 2 files
+
+
+def _ensure_fixture_compound() -> str:
+    """Two obs-record files of a COMPOUND dataset (closed-form member
+    values; one contiguous, one chunked+deflate) — the CF
+    discrete-sampling-geometry layout."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXCPD_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXCPD_DIR
+    os.makedirs(_FIXCPD_DIR, exist_ok=True)
+    dt = np.dtype(
+        {
+            "names": ["time", "lat", "lon", "value", "flag"],
+            "formats": ["<f8", "<f4", "<f4", "<f8", "<i2"],
+            "offsets": [0, 8, 12, 16, 24],
+            "itemsize": 32,  # libhdf5-style tail padding
+        }
+    )
+    for i in range(2):
+        k = np.arange(i * _CPD_N, (i + 1) * _CPD_N, dtype=np.int64)
+        obs = np.zeros(_CPD_N, dtype=dt)
+        obs["time"] = k.astype("f8")
+        obs["lat"] = ((k % 7) * 10 - 30).astype("f4")
+        obs["lon"] = ((k % 9) * 5).astype("f4")
+        obs["value"] = 0.25 * k
+        obs["flag"] = (k % 3).astype("i2")
+        kw = (
+            {"profile": "v0", "gzip_level": None}
+            if i == 0
+            else {"chunk": {"obs": (16,)}, "gzip_level": 4}
+        )
+        raw = write_hdf5({"obs": (["row"], obs, {})}, **kw)
+        with open(os.path.join(_FIXCPD_DIR, f"obs_{i}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXCPD_DIR
+
+
+# ---------------------------------------------------------------------------
+# S11 widening (r8) — compound (class 6) obs records decoded to a
+# COLUMN-PER-MEMBER DataFrame through the structured-dtype read path
+# (contiguous AND chunked+deflate files). The oracle recomputes every
+# member from the closed form with generate_series, so the hash match
+# certifies the compound message parse, the explicit member offsets
+# (incl. tail padding), and the per-file fan-out — not just the agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q_hdf5_compound",
+    oracle=f"""
+WITH k AS (SELECT generate_series AS k FROM generate_series(0, {2 * _CPD_N - 1})),
+obs AS (
+  SELECT CAST(k AS DOUBLE) AS time,
+         CAST((k % 7) * 10 - 30 AS FLOAT) AS lat,
+         CAST((k % 9) * 5 AS FLOAT) AS lon,
+         0.25 * k AS value,
+         CAST(k % 3 AS SMALLINT) AS flag
+  FROM k
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       {dsum_sql('value', 'sum_value')},
+       {dsum_sql('CAST(lat AS DOUBLE)', 'sum_lat')},
+       CAST(MAX(time) AS DOUBLE) AS max_time
+FROM obs GROUP BY flag
+""",
+)
+def q_hdf5_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    utc(spark)
+    fix = _ensure_fixture_compound()
+    df = load_hdf5_table(spark, os.path.join(fix, "*.h5"))
+    return df.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dsum(F.col("value"), "sum_value"),
+        dsum(F.col("lat").cast("double"), "sum_lat"),
+        F.max("time").alias("max_time"),
     )

@@ -1933,3 +1933,81 @@ def _object_header(
     return (
         struct.pack("<BxHIIxxxx", 1, len(msgs), 1, len(body)) + body
     )
+
+
+def load_hdf5_table(spark, path, var: str | None = None,
+                    columns: list | None = None):
+    """Read a COMPOUND (class 6) dataset — the CF discrete-sampling-
+    geometry obs-record layout (one struct per observation) — as a
+    Spark DataFrame: one task per file, one column per member.
+
+    ``var`` picks the dataset (default: the first compound dataset in
+    the file); ``columns`` projects a member subset (the structured
+    dtype reads only referenced fields into Arrow).
+
+    Scale notes: the manifest fans one decode task per file
+    (mapInPandas, Arrow-batched); each task materializes only its own
+    file's records, and chunked/filtered layouts decode chunk-by-chunk
+    through the same filter pipeline as every other dataset. At 100 TB
+    an obs archive is many files — parallelism is the file count, the
+    natural unit for record tables."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    from bcdp_spark.sources.ranged import open_raw
+
+    files = (
+        list(path) if isinstance(path, (list, tuple))
+        else sorted(_glob.glob(path))
+    )
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+
+    def _pick(f: "H5File") -> str:
+        if var is not None:
+            return var
+        for name, ds in f.datasets.items():
+            if ds.dtype.cls == 6:
+                return name
+        raise ValueError("no compound dataset in file (pass var=)")
+
+    _SPARK_T = {"f4": "float", "f8": "double", "i1": "tinyint",
+                "i2": "smallint", "i4": "int", "i8": "bigint"}
+
+    first = H5File(open_raw(files[0]))
+    vname = _pick(first)
+    mdt = first.datasets[vname].dtype
+    if mdt.cls != 6:
+        raise ValueError(f"{vname} is not a compound dataset")
+    names = [m[0] for m in mdt.members]
+    if columns is not None:
+        missing = set(columns) - set(names)
+        if missing:
+            raise ValueError(f"unknown compound members {sorted(missing)}")
+        names = [n for n in names if n in set(columns)]
+    fields = []
+    for n, _off, sub in mdt.members:
+        if n not in names:
+            continue
+        key = f"{'f' if sub.cls == 1 else 'i'}{sub.size}"
+        if sub.cls not in (0, 1) or key not in _SPARK_T:
+            raise NotImplementedError(
+                f"compound member {n!r} has no Spark column type "
+                "(fixed-point/float members only)"
+            )
+        fields.append(f"{n} {_SPARK_T[key]}")
+    schema = ", ".join(fields)
+
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    def decode(batches):
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                h5 = H5File(open_raw(fpath))
+                arr = h5.read(_pick(h5))
+                yield _pd.DataFrame({n: arr[n] for n in names})
+
+    return manifest.mapInPandas(decode, schema=schema)

@@ -129,6 +129,9 @@ HEADLINE = (
     # round-8 — Gopher quality ruleset (one codegen'd map stage +
     # per-source hash agg; the filter rides the scan)
     "q_gopher_rules",
+    # round-8 — compound obs records (file-manifest fan-out →
+    # structured-dtype decode → column-per-member Arrow batches)
+    "q_hdf5_compound",
 )
 
 
