@@ -595,15 +595,27 @@ def _parse_grid_reduced_gaussian(sec3: bytes) -> GridDef:
     row_lats = cand[i0 : i0 + nj].copy()
     if sec3[11] == 2:
         # regional reduced (interpretation 2): every row's points span
-        # [lo1, lo2] inclusive — per-row linspace
+        # [lo1, lo2] inclusive — per-row linspace. A region crossing
+        # the prime meridian stores lo2 < lo1; the row arc is then the
+        # eastward span (lo2 − lo1) mod 360 and coordinates wrap into
+        # [0, 360) (r8 — same convention as the regular-grid lon wrap).
         if lo2 <= lo1:
-            raise NotImplementedError(
-                f"GRIB2 regional reduced grid wrapping the prime "
-                f"meridian (lo1={lo1} >= lo2={lo2}) not supported"
+            span = (lo2 - lo1) % 360.0
+            if span == 0.0:
+                raise ValueError(
+                    f"GRIB2 regional reduced grid with degenerate "
+                    f"longitude span lo1={lo1} lo2={lo2}"
+                )
+            lons_flat = np.concatenate(
+                [
+                    (lo1 + np.linspace(0.0, span, int(p))) % 360.0
+                    for p in pl
+                ]
             )
-        lons_flat = np.concatenate(
-            [np.linspace(lo1, lo2, int(p)) for p in pl]
-        )
+        else:
+            lons_flat = np.concatenate(
+                [np.linspace(lo1, lo2, int(p)) for p in pl]
+            )
     else:
         # global (interpretation 1): first point of first row at lon
         # 0, last point of last row one increment short of the circle

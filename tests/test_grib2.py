@@ -1983,3 +1983,25 @@ def test_load_grib2_prunes_on_aerosol_label(spark, tmp_path):
     pdf = df.toPandas()
     assert set(pdf.ens_label) == {"aero_62002_550nm"}
     assert (pdf.value == 1.0).all() and len(pdf) == 12
+
+
+def test_regional_reduced_wraps_prime_meridian():
+    """Interpretation 2 with lo2 < lo1: the row arc crosses the prime
+    meridian — per-row points span the eastward (lo2 − lo1) mod 360
+    arc and wrap into [0, 360)."""
+    from bcdp_spark.sources.grib2 import _gaussian_lats
+
+    pl = (3, 5, 5, 3)
+    lats = _gaussian_lats(2)
+    vals = np.round(np.arange(sum(pl)) * 0.25, 2)
+    raw = write_grib2_message(
+        vals, lats, None, _REF, grid_template=40,
+        reduced_pl=list(pl), reduced_lons=(350.0, 10.0),
+        binary_scale=-2, nbits=16,
+    )
+    f = decode_message(raw)
+    np.testing.assert_allclose(f.values.ravel(), vals, atol=1e-9)
+    exp = np.concatenate(
+        [(350.0 + np.linspace(0.0, 20.0, p)) % 360.0 for p in pl]
+    )
+    np.testing.assert_allclose(f.lons2d.ravel(), exp, atol=1e-5)

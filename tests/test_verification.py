@@ -1,0 +1,144 @@
+"""Forecast-verification algebra (r8): the rank-weighted CRPS identity
+and the ECDF rank-map are certified against brute-force references —
+the hypothesis sweep covers the algebra, the Spark legs are covered by
+q_crps/q_quantile_map parity and the Ensemble closed-form tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+
+def _crps_brute(xs: np.ndarray, y: float) -> float:
+    n = len(xs)
+    t1 = np.abs(xs - y).mean()
+    t2 = np.abs(xs[:, None] - xs[None, :]).sum() / (2.0 * n * n)
+    return t1 - t2
+
+
+def _crps_ranked(xs: np.ndarray, y: float) -> float:
+    """The identity the Spark plan uses: sorted members, rank weights
+    (2k − n − 1)."""
+    n = len(xs)
+    s = np.sort(xs)
+    k = np.arange(1, n + 1)
+    t1 = np.abs(s - y).sum() / n
+    t2 = ((2 * k - n - 1) * s).sum() / (n * n)
+    return t1 - t2
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        min_size=1, max_size=40,
+    ),
+    st.floats(-1e6, 1e6, allow_nan=False, width=32),
+)
+def test_crps_rank_identity(members, y):
+    xs = np.asarray(members, dtype=np.float64)
+    got = _crps_ranked(xs, y)
+    want = _crps_brute(xs, y)
+    scale = max(1.0, np.abs(xs).max(), abs(y))
+    assert abs(got - want) <= 1e-9 * scale
+
+
+def _qmap_ref(model: np.ndarray, obs: np.ndarray) -> np.ndarray:
+    """Reference rank map: corrected_k = obs_(⌈rank_m(k)·n_o / n_m⌉),
+    model in its original order."""
+    n_m, n_o = len(model), len(obs)
+    order = np.argsort(model, kind="stable")
+    ranks = np.empty(n_m, dtype=np.int64)
+    ranks[order] = np.arange(1, n_m + 1)
+    obs_sorted = np.sort(obs)
+    j = (ranks * n_o + n_m - 1) // n_m
+    return obs_sorted[j - 1]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_quantile_map_removes_monotone_bias(data):
+    """When the model IS a monotone transform of the obs record (same
+    length), the ECDF rank map recovers the obs values exactly —
+    whatever the transform."""
+    obs = np.array(
+        data.draw(
+            st.lists(
+                st.floats(-1e3, 1e3, allow_nan=False),
+                min_size=2, max_size=50, unique=True,
+            )
+        )
+    )
+    a = data.draw(st.floats(0.1, 10.0))
+    b = data.draw(st.floats(-100.0, 100.0))
+    model = a * obs + b  # strictly increasing transform...
+    # ...unless float rounding collapses two obs values into a tie
+    # (e.g. a subnormal + 1.0) — the premise needs distinct images
+    assume(len(np.unique(model)) == len(model))
+    corrected = _qmap_ref(model, obs)
+    np.testing.assert_allclose(np.sort(corrected), np.sort(obs))
+    # AND order is preserved: each model value maps to the obs value
+    # at its own rank
+    np.testing.assert_allclose(corrected, obs)
+
+
+def test_ensemble_crps_matches_brute_force(spark):
+    """Seeded random ensemble through Ensemble.crps == the O(n²)
+    textbook formula per (time, cell)."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rng = np.random.RandomState(7)
+    rows = []
+    expected = {}
+    t = pd.Timestamp("2001-01-01").to_pydatetime()
+    for lat in (0.0, 10.0, 20.0):
+        xs = np.round(rng.randn(9) * 4.0, 3)
+        y = round(float(rng.randn() * 4.0), 3)
+        for i, x in enumerate(xs):
+            rows.append((f"m{i}", t, lat, 0.0, float(x)))
+        rows.append(("obs", t, lat, 0.0, y))
+        expected[lat] = _crps_brute(xs.astype(np.float64), y)
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    out = {r["lat"]: r["crps"] for r in Ensemble(df).crps("obs").collect()}
+    for lat, want in expected.items():
+        assert out[lat] == pytest.approx(want, abs=1e-9)
+
+
+def test_ensemble_quantile_map_matches_reference(spark):
+    """Seeded random model/obs of different lengths through
+    Ensemble.quantile_map == the numpy rank-map reference."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rng = np.random.RandomState(11)
+    obs = np.round(rng.randn(13) * 10.0, 3)
+    model = np.round(rng.randn(7) * 25.0 + 4.0, 3)
+    rows = []
+    for d, v in enumerate(obs):
+        t = (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("obs", t, 0.0, 0.0, float(v)))
+    for d, v in enumerate(model):
+        t = (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("model", t, 0.0, 0.0, float(v)))
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, value double",
+    )
+    pdf = (
+        Ensemble(df)
+        .quantile_map("obs")
+        .df.filter("name = 'model'")
+        .toPandas()
+        .sort_values("time")
+    )
+    np.testing.assert_allclose(
+        pdf.value.to_numpy(), _qmap_ref(model, obs)
+    )
