@@ -500,3 +500,217 @@ def q_tx90p(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "n_days", "warm_days", "warm_frac", "p90"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r8) — return levels via L-moment Gumbel fit (the classic
+# hydrology/engineering return-period method: Hosking L-moments on
+# block maxima, Gumbel EV-I parameters, T-year levels):
+#
+#   b0 = Σx/n        b1 = Σ (r−1)·x_(r) / (n(n−1))      (r = 1-based rank)
+#   l1 = b0          l2 = 2·b1 − b0
+#   σ = l2 / ln 2    µ = l1 − γ_E·σ
+#   RL_T = µ − σ·ln(−ln(1 − 1/T))
+#
+# Every transcendental is a PRECOMPUTED LITERAL (ln 2, Euler's γ, the
+# T-year Gumbel variates), so the whole fit is exact IEEE arithmetic
+# over decimal-routed sums — bit-exact across engines with NO rounding.
+# Distributed shape: one hash agg to block maxima, one rank window per
+# station, one station-keyed agg. At 100 TB everything shuffles on the
+# station key; the rank weighting never materializes a pair (the same
+# trick as q_crps).
+# ---------------------------------------------------------------------------
+_LN2 = "0.6931471805599453"
+_EULER = "0.5772156649015329"
+_GUMBEL_Y = {10: "-2.2503673273124454", 100: "-4.600149226776579"}
+
+
+@register(
+    "q_return_levels",
+    oracle=f"""
+WITH blocks AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         MAX(value) AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY x, day) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM blocks
+),
+lmom AS (
+  SELECT user_id,
+         CAST(MAX(n) AS BIGINT) AS n_blocks,
+         CAST(CAST(SUM(CAST(x AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+           / MAX(n) AS l1,
+         2.0 * CAST(CAST(SUM(CAST(CAST(r - 1 AS DOUBLE) * x
+                                  AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+           / MAX(n) / (MAX(n) - 1)
+         - CAST(CAST(SUM(CAST(x AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+           / MAX(n) AS l2
+  FROM ranked GROUP BY user_id
+)
+SELECT user_id, n_blocks,
+       l1 - CAST('{_EULER}' AS DOUBLE) * (l2 / CAST('{_LN2}' AS DOUBLE)) AS mu,
+       l2 / CAST('{_LN2}' AS DOUBLE) AS sigma,
+       (l1 - CAST('{_EULER}' AS DOUBLE) * (l2 / CAST('{_LN2}' AS DOUBLE)))
+         - (l2 / CAST('{_LN2}' AS DOUBLE)) * CAST('{_GUMBEL_Y[10]}' AS DOUBLE)
+         AS rl10,
+       (l1 - CAST('{_EULER}' AS DOUBLE) * (l2 / CAST('{_LN2}' AS DOUBLE)))
+         - (l2 / CAST('{_LN2}' AS DOUBLE)) * CAST('{_GUMBEL_Y[100]}' AS DOUBLE)
+         AS rl100
+FROM lmom
+""",
+)
+def q_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    blocks = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.max("value").alias("x"))
+    w = Window.partitionBy("user_id").orderBy("x", "day")
+    wc = Window.partitionBy("user_id")
+    ranked = blocks.select(
+        "user_id",
+        "x",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    lmom = ranked.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_blocks"),
+        (F.sum(F.col("x").cast(DEC)).cast("double") / F.max("n")).alias(
+            "l1"
+        ),
+        (
+            F.lit(2.0)
+            * F.sum(
+                ((F.col("r") - 1).cast("double") * F.col("x")).cast(DEC)
+            ).cast("double")
+            / F.max("n")
+            / (F.max("n") - 1)
+            - F.sum(F.col("x").cast(DEC)).cast("double") / F.max("n")
+        ).alias("l2"),
+    )
+    ln2 = F.lit(float(_LN2))
+    euler = F.lit(float(_EULER))
+    sigma = F.col("l2") / ln2
+    mu = F.col("l1") - euler * sigma
+    return lmom.select(
+        "user_id",
+        "n_blocks",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        (mu - sigma * F.lit(float(_GUMBEL_Y[10]))).alias("rl10"),
+        (mu - sigma * F.lit(float(_GUMBEL_Y[100]))).alias("rl100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r8) — SPI, the standardized precipitation (drought) index
+# (McKee et al. 1993): fit a gamma distribution to the per-station
+# accumulation record, transform each accumulation through the fitted
+# CDF onto a standard normal. The gamma fit is method-of-moments
+# (a = m²/s², θ = s²/m) and the CDF→normal step is the Wilson-Hilferty
+# cube-root approximation:
+#
+#     z = ((x/m)^(1/3) − (1 − 1/(9a))) / sqrt(1/(9a))
+#
+# (x/(aθ) = x/m since aθ = m). The one libm step (pow ^(1/3)) is
+# ROUND(6)ed on both sides — the established convention for
+# transcendental outputs (PMI, entropy). Moments come from decimal-
+# exact Σx/Σx² (day accumulations are 2-decimal exact, so x² is an
+# exact ≤4-decimal double — boundary-safe to cast). Distributed shape:
+# two station-keyed hash aggs + one broadcast-sized join back; at
+# 100 TB nothing shuffles except the station key.
+# ---------------------------------------------------------------------------
+@register(
+    "q_spi",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         CAST(CAST(SUM(CAST(value AS {DEC_SQL})) AS VARCHAR) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+fit AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(CAST(SUM(CAST(x AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS m,
+         (CAST(CAST(SUM(CAST(x * x AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(SUM(CAST(x AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+            * (CAST(CAST(SUM(CAST(x AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)
+               / COUNT(*)))
+           / (COUNT(*) - 1) AS s2
+  FROM daily GROUP BY user_id
+),
+z AS (
+  SELECT d.user_id, f.n_days, f.m * f.m / f.s2 AS a,
+         ROUND((pow(d.x / f.m, 1.0/3.0)
+                - (1.0 - 1.0 / (9.0 * (f.m * f.m / f.s2))))
+               / sqrt(1.0 / (9.0 * (f.m * f.m / f.s2))), 6) AS spi
+  FROM daily d JOIN fit f USING (user_id)
+)
+SELECT user_id,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       ROUND(MAX(a), 6) AS shape,
+       {dsum_sql('spi', 'spi_sum')},
+       CAST(SUM(CASE WHEN spi < -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drought
+FROM z GROUP BY user_id
+""",
+)
+def q_spi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    fit = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "m"
+        ),
+        (
+            (
+                F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double")
+                - F.sum(F.col("x").cast(DEC)).cast("double")
+                * (
+                    F.sum(F.col("x").cast(DEC)).cast("double")
+                    / F.count(F.lit(1))
+                )
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s2"),
+    )
+    a = F.col("m") * F.col("m") / F.col("s2")
+    z = daily.join(fit, "user_id").select(
+        "user_id",
+        "n_days",
+        a.alias("a"),
+        F.round(
+            (
+                F.pow(F.col("x") / F.col("m"), F.lit(1.0 / 3.0))
+                - (F.lit(1.0) - F.lit(1.0) / (F.lit(9.0) * a))
+            )
+            / F.sqrt(F.lit(1.0) / (F.lit(9.0) * a)),
+            6,
+        ).alias("spi"),
+    )
+    return z.groupBy("user_id").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.round(F.max("a"), 6).alias("shape"),
+        dsum(F.col("spi"), "spi_sum"),
+        F.sum(F.when(F.col("spi") < -1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_drought"),
+    )

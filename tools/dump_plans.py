@@ -132,6 +132,10 @@ HEADLINE = (
     # round-8 — compound obs records (file-manifest fan-out →
     # structured-dtype decode → column-per-member Arrow batches)
     "q_hdf5_compound",
+    # round-8 — extremes: L-moment Gumbel return levels (all-literal
+    # transcendentals, bit-exact) and Wilson-Hilferty SPI
+    "q_return_levels",
+    "q_spi",
 )
 
 
