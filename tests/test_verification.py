@@ -142,3 +142,59 @@ def test_ensemble_quantile_map_matches_reference(spark):
     np.testing.assert_allclose(
         pdf.value.to_numpy(), _qmap_ref(model, obs)
     )
+
+
+# -- Gopher ruleset differential (the rules vs a pure-Python replay) -----
+
+
+def _gopher_ref(text, min_words, max_words, stop_words, min_stop,
+                min_distinct):
+    toks = text.split(" ")
+    n = len(toks)
+    n_alpha = sum(1 for w in toks if any(c.isascii() and c.isalpha()
+                                         for c in w))
+    n_distinct = len(set(toks))
+    n_stop = len(set(toks) & set(stop_words))
+    n_hash = text.count("#")
+    n_ellipsis = text.count("...")
+    mean_wl = (len(text) - n + 1) / n
+    return {
+        "pass_nwords": min_words <= n <= max_words,
+        "pass_meanwl": 3.0 <= mean_wl <= 10.0,
+        "pass_symbol": (n_hash + n_ellipsis) / n < 0.1,
+        "pass_alpha": n_alpha / n > 0.8,
+        "pass_stop": n_stop >= min_stop,
+        "pass_distinct": n_distinct / n > min_distinct,
+    }
+
+
+def test_gopher_flags_match_python_reference(spark):
+    """Every rule column equals a character-level pure-Python replay on
+    adversarial strings: symbol floods, ellipsis runs, all-numeric
+    words, degenerate repetition, boundary word counts."""
+    from bcdp_spark.operators.text import gopher_quality_flags
+
+    texts = [
+        "the a quick brown fox jumps over dogs now",   # clean pass
+        "# # # # # # # # # #",                          # symbol flood
+        "one two three... four... five... six...",      # ellipsis runs
+        "1 2 3 4 5 6 7 8 9 10",                         # no alpha words
+        "the the the the the the the the",              # degenerate rep
+        "a b",                                          # too short
+        " ".join(f"w{i}" for i in range(200)),          # too long
+        "the a " + " ".join(["mixed42"] * 6),           # alnum words
+        "x",                                            # single token
+    ]
+    kw = dict(min_words=3, max_words=100, stop_words=("the", "a"),
+              min_stop_hits=2, min_distinct_ratio=0.35)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(df, **kw).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _gopher_ref(t, 3, 100, ("the", "a"), 2, 0.35)
+        for rule, exp in want.items():
+            assert got[i][rule] == exp, (i, rule, t)
+        assert got[i]["keep"] == all(want.values())

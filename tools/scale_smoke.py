@@ -293,6 +293,19 @@ def ops(spark, sf_dir):
         # r8: TX90p — baseline rank window (calibration half) + a
         # broadcast threshold join onto the analysis scan. Linear.
         "tx90p": t(lambda: _q("q_tx90p")(spark, sf_dir).collect()),
+        # r8 late: Gumbel return levels — block-maxima agg + one rank
+        # window per station + station agg. The 10x multiplies
+        # stations (shifted user_ids), per-station block count
+        # constant: ideal horizontal scaling.
+        "return_levels": t(lambda: _q("q_return_levels")(spark, sf_dir)
+                           .collect()),
+        # r8 late: SPI — two station aggs + a broadcast-sized fit join
+        # back onto the daily accumulations. Linear.
+        "spi": t(lambda: _q("q_spi")(spark, sf_dir).collect()),
+        # r8 late: Gopher ruleset — pure map stage + per-source agg;
+        # the whole filter rides the scan.
+        "gopher_rules": t(lambda: _q("q_gopher_rules")(spark, sf_dir)
+                          .collect()),
     }
 
 
