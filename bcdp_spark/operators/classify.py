@@ -1,0 +1,94 @@
+"""Distributed linear-classifier training (r8): batch gradient descent
+for logistic-style regression, expressed entirely as Catalyst
+aggregates — the fastText-style quality-classifier TRAINING half
+(`q_quality_classifier` is the scoring half).
+
+Reference analog: the model-fitting loops bcdp users run downstream in
+sklearn on collected pandas frames (`bcdp/core.py` [UNVERIFIED;
+/root/reference was empty, SURVEY.md §0]) — here the data never leaves
+the executors.
+
+Determinism contract: the sigmoid is the algebraic surrogate
+s(t) = 0.5 + 0.5·t/(1+|t|) (elementary ops only — identical IEEE
+rounding in any engine), and each per-row gradient contribution is
+FLOOR-quantized to 1e-8 fixed point before the sum, so the aggregate
+is an EXACT bigint sum: no double→decimal cast of an arbitrary-mantissa
+value anywhere (that cast is the one engine-divergent step —
+``queries/_helpers.py``). floor() of identical doubles is identical in
+every IEEE engine, so training is bit-reproducible across engines,
+partitionings, and row orders.
+
+Scale (100 TB): one broadcast of the (1+k)-weight row per iteration +
+one map + one exact bigint hash aggregate — the textbook
+data-parallel GD shape; nothing ever collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 100_000_000.0  # 1e-8 fixed-point gradient quantum
+
+
+def _sigmoid(t):
+    return F.lit(0.5) + F.lit(0.5) * t / (F.lit(1.0) + F.abs(t))
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list,
+    label_col: str,
+    lr: float = 0.5,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Train bias + per-feature weights; returns ONE row
+    (n_rows, w0, w_<feature>..., n_correct) where n_correct counts
+    training rows the final weights classify correctly."""
+    k = len(feature_cols)
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [tuple([0.0] * (k + 1))],
+        ", ".join(["w0 double"] + [f"w{i + 1} double" for i in range(k)]),
+    )
+
+    def dot(cols):
+        t = F.col("w0")
+        for i, c in enumerate(feature_cols):
+            t = t + F.col(f"w{i + 1}") * F.col(c)
+        return t
+
+    def quant(expr):
+        return F.floor(expr * F.lit(_Q)).cast("long")
+
+    for _ in range(n_iter):
+        j = df.crossJoin(F.broadcast(w))
+        r = F.col(label_col) - _sigmoid(dot(feature_cols))
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(quant(r)).alias("g0"),
+            *[F.first(f"w{i}").alias(f"w{i}") for i in range(k + 1)],
+        ]
+        for i, c in enumerate(feature_cols):
+            aggs.append(F.sum(quant(r * F.col(c))).alias(f"g{i + 1}"))
+        g = j.agg(*aggs)
+        w = g.select(
+            *[
+                (
+                    F.col(f"w{i}")
+                    + F.lit(lr) * (F.col(f"g{i}") / F.lit(_Q)) / F.col("n")
+                ).alias(f"w{i}")
+                for i in range(k + 1)
+            ]
+        )
+    scored = df.crossJoin(F.broadcast(w))
+    correct = F.when(
+        (_sigmoid(dot(feature_cols)) > 0.5).cast("int")
+        == F.col(label_col).cast("int"),
+        1,
+    ).otherwise(0)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.first(f"w{i}").alias(f"w{i}") for i in range(k + 1)],
+        F.sum(correct).cast("long").alias("n_correct"),
+    )

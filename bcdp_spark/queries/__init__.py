@@ -99,7 +99,7 @@ _PRIORITY = (
     # ensemble CRPS, empirical quantile-mapping bias correction,
     # percentile-threshold extreme index (TX90p)
     "q_crps", "q_quantile_map", "q_tx90p", "q_gopher_rules",
-    "q_hdf5_compound", "q_return_levels", "q_spi",
+    "q_hdf5_compound", "q_return_levels", "q_spi", "q_logreg",
     # (b) last graded in round 1 — the oldest evidence anywhere
     "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
     "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
@@ -113,10 +113,10 @@ _PRIORITY = (
     "q_jsonl_ingest", "q_lang_stats", "q_map_lookup",
     "q_minhash_dedup", "q_multimodal_pipeline", "q_netcdf_climatology",
     "q_ngram_jaccard", "q_regrid_weighted", "q_regrid_weights_gen",
+    # --- 50-key window boundary (15 new + 11 r1 + 24 r3 = 50) ---
+    # (the last eight r3 regrades below slipped past the boundary as
+    # late-r8 keys joined section (a2); they keep r3∪r7 evidence)
     "q_semantic_dedup", "q_session", "q_sim_knn", "q_simhash_pairs",
-    # --- 50-key window boundary (14 new + 11 r1 + 25 r3 = 50) ---
-    # (the last seven r3 regrades below slipped past the boundary when
-    # the late-r8 keys joined section (a2); they keep r3∪r7 evidence)
     "q_sliding", "q_token_explode", "q_token_pagerank", "q_warc_ingest",
     # (d) r4 cohort next (the VERDICT-named regrid family leads)
     "q_conservative_regrid",

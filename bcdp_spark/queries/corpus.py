@@ -1973,3 +1973,98 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4+ (r8) — distributed classifier TRAINING (the fastText-style
+# quality-filter training half; q_quality_classifier is the scoring
+# half): two unrolled batch-GD iterations of logistic-style regression
+# over (n_words/100, stopword-ratio) features predicting lang='en'.
+# The sigmoid is the algebraic surrogate (elementary ops only) and
+# every per-row gradient contribution is FLOOR-quantized to 1e-8 fixed
+# point, so the gradient aggregate is an EXACT bigint sum — training is
+# bit-reproducible across engines/partitionings with NO rounding. The
+# oracle unrolls both iterations in CTEs (the q_kmeans pattern).
+# Honesty note: the fixture's word-soup text carries no real language
+# signal in these features, so the trained model lands on the majority
+# class — the key certifies the TRAINING algebra (gradient sums,
+# weight updates, scoring), not fixture separability.
+# Scale (100 TB): per iteration one weight-row broadcast + one map +
+# one exact bigint hash agg; nothing collects.
+# ---------------------------------------------------------------------------
+_LOGREG_T = "(w0 + w1v * x1 + w2v * x2)"
+_LOGREG_S = f"(0.5 + 0.5 * {_LOGREG_T} / (1.0 + abs({_LOGREG_T})))"
+
+
+@register(
+    "q_logreg",
+    oracle=f"""
+WITH feats AS (
+  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w = 'the' OR w = 'a')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+wz(w0, w1v, w2v) AS (VALUES (0.0, 0.0, 0.0)),
+it1 AS (
+  SELECT COUNT(*) AS n, FIRST(w0) AS w0, FIRST(w1v) AS w1v,
+         FIRST(w2v) AS w2v,
+         SUM(CAST(FLOOR((y - {_LOGREG_S}) * 1e8) AS BIGINT)) AS g0,
+         SUM(CAST(FLOOR((y - {_LOGREG_S}) * x1 * 1e8) AS BIGINT)) AS g1,
+         SUM(CAST(FLOOR((y - {_LOGREG_S}) * x2 * 1e8) AS BIGINT)) AS g2
+  FROM feats CROSS JOIN wz
+),
+wa AS (
+  SELECT w0 + 0.5 * (g0 / 1e8) / n AS w0,
+         w1v + 0.5 * (g1 / 1e8) / n AS w1v,
+         w2v + 0.5 * (g2 / 1e8) / n AS w2v
+  FROM it1
+),
+it2 AS (
+  SELECT COUNT(*) AS n, FIRST(w0) AS w0, FIRST(w1v) AS w1v,
+         FIRST(w2v) AS w2v,
+         SUM(CAST(FLOOR((y - {_LOGREG_S}) * 1e8) AS BIGINT)) AS g0,
+         SUM(CAST(FLOOR((y - {_LOGREG_S}) * x1 * 1e8) AS BIGINT)) AS g1,
+         SUM(CAST(FLOOR((y - {_LOGREG_S}) * x2 * 1e8) AS BIGINT)) AS g2
+  FROM feats CROSS JOIN wa
+),
+wb AS (
+  SELECT w0 + 0.5 * (g0 / 1e8) / n AS w0,
+         w1v + 0.5 * (g1 / 1e8) / n AS w1v,
+         w2v + 0.5 * (g2 / 1e8) / n AS w2v
+  FROM it2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       FIRST(w0) AS w0, FIRST(w1v) AS w1, FIRST(w2v) AS w2,
+       CAST(SUM(CASE WHEN CAST({_LOGREG_S} > 0.5 AS INT)
+                          = CAST(y AS INT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM feats CROSS JOIN wb
+""",
+)
+def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.operators.classify import logreg_train
+
+    utc(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        (F.size(toks).cast("double") / 100.0).alias("x1"),
+        (
+            F.size(
+                F.filter(toks, lambda w: (w == "the") | (w == "a"))
+            ).cast("double")
+            / F.size(toks)
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    out = logreg_train(feats, ["x1", "x2"], "y", lr=0.5, n_iter=2)
+    return out.select(
+        "n_rows",
+        "w0",
+        F.col("w1").alias("w1"),
+        F.col("w2").alias("w2"),
+        "n_correct",
+    )

@@ -136,6 +136,9 @@ HEADLINE = (
     # transcendentals, bit-exact) and Wilson-Hilferty SPI
     "q_return_levels",
     "q_spi",
+    # round-8 — fixed-point GD classifier training (1-row weight
+    # broadcasts — the sanctioned BNLJ scalar-attach pattern)
+    "q_logreg",
 )
 
 
