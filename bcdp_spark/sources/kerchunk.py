@@ -613,13 +613,7 @@ def append_refs(
 
     if isinstance(merged, str):
         if _os.path.isdir(merged):
-            raise NotImplementedError(
-                "append_refs: parquet refs stores do not append in "
-                "place yet — re-run index_files(refs_format='parquet') "
-                "over the extended file list (indexing is "
-                "executor-resident and header-only, so this is cheap), "
-                "or keep a JSON merged document for growing archives"
-            )
+            return _append_refs_parquet(merged, new_ref_paths, concat_dim)
         with open(merged) as fh:
             merged = json.load(fh)
     base = dict(merged["refs"] if "refs" in merged else merged)
@@ -714,6 +708,142 @@ def append_refs(
                 out[f"{name}/{'.'.join(idx)}"] = v
         offset += len(vals)
     return {"version": 1, "refs": out}
+
+
+def _append_refs_parquet(
+    store: str, new_ref_paths: list, concat_dim: str
+) -> dict:
+    """Append new per-file refs to a SHARDED PARQUET refs store in
+    place. Linear chunk indices fold the leading (concat) axis LAST
+    (lin = (t·na + a)·no + o — the total time count never enters), so
+    every existing shard assignment stays valid: the append writes ONLY
+    new shard files for the new chunks, rewrites the metadata-sized
+    concat coordinate chunk, and updates meta.json shapes. Validation
+    matches index_files' build-time contract via the stored
+    ``part_meta_hash`` (each part's canonical metadata fingerprint)."""
+    import base64 as _b64
+    import glob as _glob
+    import os as _os
+
+    from bcdp_spark.sources.zarr import _load_refs, read_array
+
+    with open(_os.path.join(store, "meta.json")) as fh:
+        meta_doc = json.load(fh)
+    meta = dict(meta_doc["metadata"])
+    record_size = int(meta_doc.get("record_size", 100_000))
+    part_hash = meta_doc.get("part_meta_hash")
+    if part_hash is None:
+        raise NotImplementedError(
+            "append_refs: this parquet refs store predates the "
+            "part_meta_hash field — re-run "
+            "index_files(refs_format='parquet') over the extended "
+            "file list (indexing is executor-resident and "
+            "header-only, so this is cheap)"
+        )
+    if not new_ref_paths:
+        return {"version": 1, "store": store, "files_written": 0}
+
+    units = json.loads(meta.get(f"{concat_dim}/.zattrs", "{}")).get(
+        "units"
+    )
+    cat, _ = read_array(f"refs::{store}", concat_dim)
+    cat = np.asarray(cat, dtype="<f8")
+
+    docs = []
+    for p in new_ref_paths:
+        with open(p) as fh:
+            d = json.load(fh)
+        refs = d["refs"] if "refs" in d else d
+        if _meta_hash(refs, concat_dim) != part_hash:
+            raise ValueError(
+                f"append_refs: {p} metadata diverges from the store's "
+                "indexed parts — parts do not combine"
+            )
+        u = json.loads(refs.get(f"{concat_dim}/.zattrs", "{}")).get(
+            "units"
+        )
+        if u != units:
+            raise NotImplementedError(
+                f"append_refs: {p} stores {concat_dim!r} in units "
+                f"{u!r}, store uses {units!r}"
+            )
+        vals, _a = read_array(f"refs::{p}", concat_dim)
+        docs.append((p, refs, np.asarray(vals, dtype="<f8")))
+
+    docs.sort(key=lambda t: t[2][0])
+    new_cat = np.concatenate([cat] + [v for _p, _r, v in docs])
+    if not np.all(np.diff(new_cat) > 0):
+        raise ValueError(
+            f"append_refs: {concat_dim!r} is not strictly increasing "
+            "across the append boundary — already-indexed or "
+            "out-of-order parts"
+        )
+
+    # updated metadata: concat-var shapes grow, the coordinate becomes
+    # one longer full-length inline chunk
+    concat_vars = set()
+    for k in list(meta):
+        if not k.endswith("/.zarray"):
+            continue
+        name = k[: -len("/.zarray")]
+        dims = json.loads(meta.get(f"{name}/.zattrs", "{}")).get(
+            "_ARRAY_DIMENSIONS", []
+        )
+        if name == concat_dim or (dims and dims[0] == concat_dim):
+            za = json.loads(meta[k])
+            za["shape"] = [int(len(new_cat)), *za["shape"][1:]]
+            if name == concat_dim:
+                za["chunks"] = [int(len(new_cat))]
+            meta[k] = json.dumps(za)
+            if name != concat_dim:
+                concat_vars.add(name)
+    grids = _grids_of(meta)
+
+    written = 0
+    offset = len(cat)
+    for _p, refs, vals in docs:
+        rows = [
+            r
+            for r in _chunk_rows(refs, concat_dim, int(offset))
+            if r[0] in concat_vars
+        ]
+        written += len(
+            _write_shard_files(store, rows, grids, record_size)
+        )
+        offset += len(vals)
+
+    # the concat coordinate is metadata-sized by design: rewrite its
+    # (single) shard deterministically instead of relying on file
+    # ordering to shadow the old chunk
+    import urllib.parse as _up
+
+    tdir = _os.path.join(store, "refs", _up.quote(concat_dim, safe=""))
+    for f in _glob.glob(_os.path.join(tdir, "*", "*.parquet")):
+        _os.remove(f)
+    _write_shard_files(
+        store,
+        [
+            (
+                concat_dim,
+                f"{concat_dim}/0",
+                None,
+                None,
+                None,
+                np.ascontiguousarray(new_cat, dtype="<f8").tobytes(),
+            )
+        ],
+        grids,
+        record_size,
+    )
+
+    meta_doc["metadata"] = meta
+    with open(_os.path.join(store, "meta.json"), "w") as fh:
+        json.dump(meta_doc, fh)
+    # same-process readers key their refs cache on meta.json's
+    # (mtime_ns, size); clear it so a coarse-mtime filesystem cannot
+    # serve the pre-append byte ranges
+    _load_refs.cache_clear()
+    return {"version": 1, "store": store, "files_written": int(written)}
 
 
 def _meta_hash(refs: dict, concat_dim: str) -> str:
@@ -872,7 +1002,8 @@ def _grids_of(meta: dict) -> dict:
 
 
 def write_refs_parquet(
-    doc: dict, store: str, record_size: int = 100_000
+    doc: dict, store: str, record_size: int = 100_000,
+    concat_dim: str = "time",
 ) -> str:
     """Persist a version-1 reference document as a PARQUET refs store
     (the kerchunk community's format for large ref sets — one JSON
@@ -897,6 +1028,10 @@ def write_refs_parquet(
                 "record_size": record_size,
                 "templates": doc.get("templates", {}),
                 "metadata": meta,
+                # append_refs validates new parts against this
+                # build-time fingerprint (concat-axis lengths masked,
+                # so a merged doc hashes like its parts)
+                "part_meta_hash": _meta_hash(refs, concat_dim),
             },
             fh,
         )
@@ -1103,6 +1238,9 @@ def index_files(
                 "record_size": record_size,
                 "templates": {},
                 "metadata": meta,
+                # every part already validated against hash0 — the
+                # same fingerprint gates future append_refs parts
+                "part_meta_hash": hash0,
             },
             fh,
         )

@@ -1228,3 +1228,92 @@ def test_refs_stream_picks_up_appended_cycle(spark, tmp_path):
     assert both.value.sum() == pytest.approx(a_data.sum() + b_data.sum())
     assert both.time.max() == pd.Timestamp("2005-01-07")
     assert both.groupby("time").size().max() == 9  # no duplicate steps
+
+
+def test_append_refs_parquet_store_in_place(spark, tmp_path):
+    """Parquet refs stores now append in place: the linear chunk index
+    folds the leading (concat) axis last, so existing shard files stay
+    valid — the append writes only the new chunks' shard files,
+    rewrites the metadata-sized coordinate chunk, and updates
+    meta.json. Old shard files are untouched (mtime-asserted)."""
+    import glob
+    import os as _os
+
+    from bcdp_spark.sources.kerchunk import append_refs, index_files
+    from bcdp_spark.sources.zarr import load_zarr
+
+    r_paths, datas = [], []
+    for tag, start in (("a", 0), ("b", 6)):
+        _, d = _write_nc_month(tmp_path, start, 6, tag)
+        r_paths.append(str(tmp_path / f"{tag}.nc"))
+        datas.append(d)
+    out = index_files(
+        spark, r_paths, fmt="netcdf3",
+        out_dir=str(tmp_path / "prefs"), refs_format="parquet",
+        record_size=4,
+    )
+    store = out["store"]
+    before = {
+        f: _os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{store}/refs/tas/*/*.parquet")
+    }
+
+    # one new cycle lands
+    c_refs, c_data = _write_nc_month(tmp_path, 12, 3, "c")
+    res = append_refs(store, [c_refs])
+    assert res["store"] == store and res["files_written"] > 0
+
+    pdf = load_zarr(spark, f"refs::{store}").toPandas()
+    assert len(pdf) == 15 * 9
+    assert pdf.value.sum() == pytest.approx(
+        sum(d.sum() for d in datas) + c_data.sum()
+    )
+    assert pdf.time.max() == pd.Timestamp("2005-01-15")
+    # pre-append tas shard files untouched (append-only layout)
+    after = {
+        f: _os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{store}/refs/tas/*/*.parquet")
+    }
+    assert set(before) <= set(after)
+    for f, m in before.items():
+        assert after[f] == m, f"pre-append shard rewritten: {f}"
+    # time-bounds pruning still works across the appended boundary
+    pdf2 = load_zarr(
+        spark, f"refs::{store}",
+        time_bnds=("2005-01-12", "2005-01-14"),
+    ).toPandas()
+    assert len(pdf2) == 3 * 9
+
+
+def test_append_refs_parquet_rejects_divergent_part(spark, tmp_path):
+    from bcdp_spark.sources.kerchunk import (
+        append_refs,
+        index_files,
+        netcdf3_refs,
+        write_refs,
+    )
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    _write_nc_month(tmp_path, 0, 6, "a")
+    out = index_files(
+        spark, [str(tmp_path / "a.nc")], fmt="netcdf3",
+        out_dir=str(tmp_path / "prefs"), refs_format="parquet",
+    )
+    # a part with a DIFFERENT grid must not combine
+    raw = write_netcdf3(
+        dims={"time": 2, "lat": 2, "lon": 3},
+        variables={
+            "time": (["time"], np.array([20.0, 21.0]),
+                     {"units": "days since 2005-01-01"}),
+            "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+            "lon": (["lon"], np.arange(3) * 120.0, {}),
+            "tas": (["time", "lat", "lon"],
+                    np.zeros((2, 2, 3)), {}),
+        },
+        record_dim="time",
+    )
+    (tmp_path / "bad.nc").write_bytes(raw)
+    bp = str(tmp_path / "bad.refs.json")
+    write_refs(netcdf3_refs(str(tmp_path / "bad.nc")), bp)
+    with pytest.raises(ValueError, match="diverges"):
+        append_refs(out["store"], [bp])
