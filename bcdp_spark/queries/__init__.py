@@ -100,6 +100,7 @@ _PRIORITY = (
     # percentile-threshold extreme index (TX90p)
     "q_crps", "q_quantile_map", "q_tx90p", "q_gopher_rules",
     "q_hdf5_compound", "q_return_levels", "q_spi", "q_logreg",
+    "q_kerchunk_pqappend",
     # (b) last graded in round 1 — the oldest evidence anywhere
     "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
     "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
@@ -112,10 +113,11 @@ _PRIORITY = (
     "q_grouped_agg_udf", "q_grouped_apply", "q_ivf_knn",
     "q_jsonl_ingest", "q_lang_stats", "q_map_lookup",
     "q_minhash_dedup", "q_multimodal_pipeline", "q_netcdf_climatology",
-    "q_ngram_jaccard", "q_regrid_weighted", "q_regrid_weights_gen",
-    # --- 50-key window boundary (15 new + 11 r1 + 24 r3 = 50) ---
-    # (the last eight r3 regrades below slipped past the boundary as
+    "q_ngram_jaccard", "q_regrid_weighted",
+    # --- 50-key window boundary (16 new + 11 r1 + 23 r3 = 50) ---
+    # (the last nine r3 regrades below slipped past the boundary as
     # late-r8 keys joined section (a2); they keep r3∪r7 evidence)
+    "q_regrid_weights_gen",
     "q_semantic_dedup", "q_session", "q_sim_knn", "q_simhash_pairs",
     "q_sliding", "q_token_explode", "q_token_pagerank", "q_warc_ingest",
     # (d) r4 cohort next (the VERDICT-named regrid family leads)

@@ -639,3 +639,123 @@ def q_kerchunk_hdf5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_PQA_DIR = "/tmp/bcdp_spark_kerchunk_pqappend_fixture_v1"
+
+
+def _ensure_pqappend_fixture(spark) -> str:
+    """Two parts indexed straight into a sharded PARQUET store by the
+    distributed flow, then a THIRD cycle appended IN PLACE with
+    append_refs — only the new part's shard files are written (the
+    linear chunk index folds the concat axis last, so pre-append
+    shards stay valid)."""
+    from bcdp_spark.sources.kerchunk import (
+        append_refs,
+        index_files,
+        netcdf3_refs,
+        write_refs,
+    )
+    from bcdp_spark.sources.netcdf3 import write_netcdf3
+
+    store = os.path.join(_PQA_DIR, "refs", "merged.refs")
+    done = os.path.join(_PQA_DIR, ".complete")
+    if os.path.exists(done):
+        return store
+    os.makedirs(_PQA_DIR, exist_ok=True)
+    parts = []
+    for f in range(3):
+        start = f * _AP_T
+        t = np.arange(start, start + _AP_T)[:, None, None]
+        a = np.arange(3)[None, :, None]
+        o = np.arange(4)[None, None, :]
+        data = 0.25 * (t * 100 + a * 10 + o)
+        data = np.where((t + a + o) % 10 == 0, -999.0, data)
+        raw = write_netcdf3(
+            dims={"time": _AP_T, "lat": 3, "lon": 4},
+            variables={
+                "time": (
+                    ["time"],
+                    np.arange(start, start + _AP_T, dtype="float64"),
+                    {"units": "days since 2012-01-01"},
+                ),
+                "lat": (["lat"], np.array([-45.0, 0.0, 45.0]), {}),
+                "lon": (["lon"], np.arange(4) * 90.0, {}),
+                "pr": (
+                    ["time", "lat", "lon"],
+                    data,
+                    {"_FillValue": -999.0},
+                ),
+            },
+            record_dim="time",
+        )
+        nc = os.path.join(_PQA_DIR, f"part{f}.nc")
+        with open(nc, "wb") as fh:
+            fh.write(raw)
+        parts.append(nc)
+    out = index_files(
+        spark, parts[:2], fmt="netcdf3",
+        out_dir=os.path.join(_PQA_DIR, "refs"),
+        refs_format="parquet", record_size=8,
+    )
+    assert out["store"] == store
+    rp = os.path.join(_PQA_DIR, "part2.refs.json")
+    write_refs(netcdf3_refs(parts[2]), rp)
+    res = append_refs(store, [rp])
+    assert res["files_written"] > 0
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return store
+
+
+# ---------------------------------------------------------------------------
+# S14 (late r8) — IN-PLACE append on the sharded parquet refs store:
+# the growing-archive workflow for the million-ref format. The query's
+# time range spans the APPEND BOUNDARY (days 18-33 cross from the
+# 2-part build, ending day 23, into the appended cycle starting day
+# 24) and prunes 20 of 36 pr chunks across shard files written by two
+# different producers (the distributed build and the append).
+# ---------------------------------------------------------------------------
+@register(
+    "q_kerchunk_pqappend",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         DATE '2012-01-01' + INTERVAL (t.g) DAY AS time,
+         CASE WHEN (t.g + a.g + o.g) % 10 = 0 THEN NULL
+              ELSE 0.25 * (t.g * 100 + a.g * 10 + o.g) END AS value
+  FROM generate_series(0, {3 * _AP_T - 1}) t(g),
+       generate_series(0, 2) a(g),
+       generate_series(0, 3) o(g)
+)
+SELECT CAST(MONTH(time) AS INT) AS month,
+       CASE a WHEN 0 THEN -45.0 WHEN 1 THEN 0.0 ELSE 45.0 END AS lat,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE t BETWEEN 18 AND 33
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_pqappend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    store = _ensure_pqappend_fixture(spark)
+    df = load_zarr(
+        spark,
+        f"refs::{store}",
+        time_bnds=("2012-01-19", "2012-02-03"),
+    )
+    return df.groupBy(
+        F.month("time").cast("int").alias("month"),
+        F.col("lat"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
