@@ -541,6 +541,20 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
                 raise NotImplementedError(
                     f"{name}: v3 blosc cname {cfg.get('cname')!r}"
                 )
+        elif str(c.get("name", "")).startswith("numcodecs."):
+            # zarr-python 3's numcodecs.zarr3 wrappers: a v2 codec
+            # carried under a v3 name, configuration = the v2 config
+            sub = c["name"].split(".", 1)[1]
+            if sub not in _NC_V3_BB | _NC_V3_ARR:
+                raise NotImplementedError(
+                    f"{name}: v3 codec {c['name']!r} (wrapped v2 "
+                    f"codecs supported: {sorted(_NC_V3_BB | _NC_V3_ARR)})"
+                )
+            if shard_chunk is not None:
+                raise NotImplementedError(
+                    f"{name}: numcodecs wrappers inside "
+                    "sharding_indexed not supported"
+                )
         elif c.get("name") not in ("bytes", "gzip", "zstd", "crc32c"):
             raise NotImplementedError(f"{name}: v3 codec {c.get('name')!r}")
     attrs = dict(doc.get("attributes", {}))
@@ -633,6 +647,49 @@ def _chunk_path(store: str, name: str, idx: tuple[int, ...], meta: ZArrayMeta) -
     return _join(store, name, key)
 
 
+# wrapped-v2 codec names zarr-python 3 emits (numcodecs.zarr3):
+# bytes→bytes compressors and the size-preserving array→array filters
+_NC_V3_BB = {"zlib", "gzip", "bz2", "lzma", "lz4", "zstd", "blosc"}
+_NC_V3_ARR = {"delta", "shuffle", "fixedscaleoffset", "quantize"}
+
+
+def _nc_bb_decode(raw: bytes, sub: str, cfg: dict, expect: int | None) -> bytes:
+    """Decode one wrapped bytes→bytes v2 codec (the same decoders the
+    v2 compressor path uses — stdlib zlib/gzip/bz2/lzma are themselves
+    independent producers for the write-side twins)."""
+    if sub == "zlib":
+        return _zlib.decompress(raw)
+    if sub == "gzip":
+        return _gzip.decompress(raw)
+    if sub == "bz2":
+        import bz2 as _bz2
+
+        return _bz2.decompress(raw)
+    if sub == "lzma":
+        import lzma as _lzma
+
+        fmt = int(cfg.get("format", _lzma.FORMAT_XZ))
+        if fmt == _lzma.FORMAT_RAW:
+            return _lzma.decompress(
+                raw, format=fmt, filters=cfg.get("filters")
+            )
+        return _lzma.decompress(raw)
+    if sub == "lz4":
+        from bcdp_spark.sources.blosc import lz4_block_decompress
+
+        (plain,) = struct.unpack_from("<I", raw, 0)
+        return lz4_block_decompress(raw[4:], plain)
+    if sub == "zstd":
+        from bcdp_spark.sources.zstd import zstd_decompress
+
+        return zstd_decompress(raw, expect)
+    if sub == "blosc":
+        from bcdp_spark.sources.blosc import blosc_decompress
+
+        return blosc_decompress(raw)
+    raise NotImplementedError(f"numcodecs.{sub}")
+
+
 def _bb_decode(raw: bytes, chain: list, expect: int | None = None) -> bytes:
     """v3 bytes→bytes codecs applied in reverse (gzip, crc32c strip).
     ``expect`` (the plain chunk byte count) routes zstd through the
@@ -662,6 +719,14 @@ def _bb_decode(raw: bytes, chain: list, expect: int | None = None) -> bytes:
                     f"computed 0x{calc:08x} (corrupt chunk)"
                 )
             raw = raw[:-4]
+        elif n and str(n).startswith("numcodecs."):
+            sub = str(n).split(".", 1)[1]
+            if sub in _NC_V3_BB:
+                raw = _nc_bb_decode(
+                    raw, sub, c.get("configuration", {}), expect
+                )
+            # array-side wrappers apply after the bytes boundary
+            # (decode_chunk_bytes routes them through _filters_decode)
         # "bytes" handled by the dtype's endianness
     return raw
 
@@ -720,6 +785,17 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             raw, meta.codecs,
             int(np.prod(meta.chunks)) * meta.dtype.itemsize,
         )
+        nc_filters = [
+            {
+                "id": c["name"].split(".", 1)[1],
+                **c.get("configuration", {}),
+            }
+            for c in meta.codecs
+            if str(c.get("name", "")).startswith("numcodecs.")
+            and c["name"].split(".", 1)[1] in _NC_V3_ARR
+        ]
+        if nc_filters:
+            raw = _filters_decode(raw, nc_filters, meta.dtype)
         arr = np.frombuffer(raw, dtype=meta.dtype)
         if meta.transpose_order is not None:
             return _untranspose(arr, meta, meta.chunks)

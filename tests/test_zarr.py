@@ -1171,3 +1171,91 @@ def test_v2_lzma_alone_format_decodes(tmp_path):
     )
     out = decode_chunk_bytes(raw, meta)
     np.testing.assert_array_equal(out, data)
+
+
+def test_v3_numcodecs_wrapper_codecs(tmp_path, spark):
+    """zarr-python 3 wraps v2 codecs as v3 'numcodecs.<id>' codecs:
+    a delta array filter + bz2 bytes compressor chain (both produced
+    here by stdlib/numpy — independent of our decoder) reads back
+    exactly; unsupported wrappers and wrappers inside shards raise."""
+    import bz2 as _bz2
+    import json as _json
+
+    from bcdp_spark.sources.zarr import load_zarr, read_array_meta
+
+    store = str(tmp_path / "v3nc.zarr")
+    nt, na, no = 4, 3, 4
+    data = (np.arange(nt * na * no, dtype="<f8") * 0.25).reshape(
+        nt, na, no
+    )
+    os.makedirs(store)
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(os.path.join(store, "zarr.json"), "w"))
+
+    def arr_doc(shape, chunk, dims, codecs):
+        return {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(shape), "data_type": "float64",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": list(chunk)}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": 0, "codecs": codecs,
+            "dimension_names": dims,
+        }
+
+    bytes_c = {"name": "bytes", "configuration": {"endian": "little"}}
+    coords = {
+        "time": (np.arange(nt, dtype="<f8"),
+                 {"units": "days since 2001-01-01"}),
+        "lat": (np.linspace(-30, 30, na), {}),
+        "lon": (np.arange(no) * 90.0, {}),
+    }
+    for cname, (cv, cattrs) in coords.items():
+        d = os.path.join(store, cname)
+        os.makedirs(os.path.join(d, "c"), exist_ok=True)
+        doc = arr_doc(cv.shape, cv.shape, [cname], [bytes_c])
+        doc["attributes"] = cattrs
+        _json.dump(doc, open(os.path.join(d, "zarr.json"), "w"))
+        open(os.path.join(d, "c", "0"), "wb").write(cv.tobytes())
+
+    d = os.path.join(store, "pr")
+    os.makedirs(os.path.join(d, "c", "0", "0"), exist_ok=True)
+    os.makedirs(os.path.join(d, "c", "1", "0"), exist_ok=True)
+    chain = [
+        {"name": "numcodecs.delta",
+         "configuration": {"dtype": "<f8"}},
+        bytes_c,
+        {"name": "numcodecs.bz2", "configuration": {"level": 5}},
+    ]
+    _json.dump(
+        arr_doc((nt, na, no), (2, na, no), ["time", "lat", "lon"],
+                chain),
+        open(os.path.join(d, "zarr.json"), "w"),
+    )
+    for ci in range(2):
+        chunk = np.ascontiguousarray(
+            data[ci * 2 : ci * 2 + 2]
+        ).ravel()
+        # numcodecs Delta encode: first element verbatim, then diffs
+        enc = np.empty_like(chunk)
+        enc[0] = chunk[0]
+        enc[1:] = np.diff(chunk)
+        open(os.path.join(d, "c", str(ci), "0", "0"), "wb").write(
+            _bz2.compress(enc.tobytes(), 5)
+        )
+    pdf = load_zarr(spark, store).toPandas()
+    assert len(pdf) == data.size
+    assert pdf.value.sum() == pytest.approx(data.sum())
+    # exactness: delta-of-quarters reconstructs bit-identically
+    got = pdf.sort_values(["time", "lat", "lon"]).value.to_numpy()
+    np.testing.assert_array_equal(got, data.ravel())
+
+    # unsupported wrapper name raises loudly
+    bad = _json.load(open(os.path.join(d, "zarr.json")))
+    bad["codecs"] = [
+        {"name": "numcodecs.pcodec", "configuration": {}}, bytes_c
+    ]
+    _json.dump(bad, open(os.path.join(d, "zarr.json"), "w"))
+    with pytest.raises(NotImplementedError, match="numcodecs.pcodec"):
+        read_array_meta(store, "pr")
