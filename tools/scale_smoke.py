@@ -306,6 +306,10 @@ def ops(spark, sf_dir):
         # the whole filter rides the scan.
         "gopher_rules": t(lambda: _q("q_gopher_rules")(spark, sf_dir)
                           .collect()),
+        # r8 late: fixed-point GD classifier training — per iteration
+        # one 1-row broadcast + one map + one exact bigint agg; pure
+        # data-parallel, linear in rows.
+        "logreg": t(lambda: _q("q_logreg")(spark, sf_dir).collect()),
     }
 
 
