@@ -1284,6 +1284,16 @@ def test_append_refs_parquet_store_in_place(spark, tmp_path):
     ).toPandas()
     assert len(pdf2) == 3 * 9
 
+    # a SECOND append keeps compounding (the hourly-cycle reality)
+    d_refs, d_data = _write_nc_month(tmp_path, 15, 2, "d")
+    append_refs(store, [d_refs])
+    pdf3 = load_zarr(spark, f"refs::{store}").toPandas()
+    assert len(pdf3) == 17 * 9
+    assert pdf3.time.max() == pd.Timestamp("2005-01-17")
+    assert pdf3.value.sum() == pytest.approx(
+        sum(d.sum() for d in datas) + c_data.sum() + d_data.sum()
+    )
+
 
 def test_append_refs_parquet_rejects_divergent_part(spark, tmp_path):
     from bcdp_spark.sources.kerchunk import (
