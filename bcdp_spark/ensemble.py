@@ -676,6 +676,83 @@ class Ensemble:
         )
         return self._with(corrected.unionByName(obs))
 
+    def return_levels(
+        self, block: str = "month", t_years: tuple = (10, 100)
+    ) -> DataFrame:
+        """T-year return levels per (member, cell) from an L-moment
+        Gumbel fit of ``block`` maxima (the classic hydrology
+        return-period method; the bit-exact oracle-checked recipe is
+        ``q_return_levels``). Every transcendental (ln 2, Euler's γ,
+        the Gumbel variates) is a precomputed literal, so the fit is
+        plain IEEE arithmetic: one hash agg to block maxima, one rank
+        window, one keyed agg — no pair ever materializes."""
+        import math
+
+        from pyspark.sql import Window
+
+        bucket_fn = {"month": F.month, "dayofyear": F.dayofyear}[block]
+        keys = [self.name_col, *self.space_cols]
+        blocks = self.df.groupBy(
+            *keys, bucket_fn(self.time_col).alias("__blk")
+        ).agg(F.max(self.value_col).alias("__x"))
+        w = Window.partitionBy(*keys).orderBy("__x", "__blk")
+        wc = Window.partitionBy(*keys)
+        ranked = blocks.select(
+            *keys,
+            "__x",
+            F.row_number().over(w).alias("__r"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        lmom = ranked.groupBy(*keys).agg(
+            F.max("__n").alias("n_blocks"),
+            (F.sum("__x") / F.max("__n")).alias("__l1"),
+            (
+                F.lit(2.0)
+                * F.sum((F.col("__r") - 1) * F.col("__x"))
+                / F.max("__n")
+                / (F.max("__n") - 1)
+                - F.sum("__x") / F.max("__n")
+            ).alias("__l2"),
+        )
+        sigma = F.col("__l2") / F.lit(math.log(2.0))
+        mu = F.col("__l1") - F.lit(0.5772156649015329) * sigma
+        cols = [*keys, F.col("n_blocks"), mu.alias("mu"),
+                sigma.alias("sigma")]
+        for t in t_years:
+            y = math.log(-math.log(1.0 - 1.0 / t))
+            cols.append((mu - sigma * F.lit(y)).alias(f"rl{t}"))
+        return lmom.select(*cols)
+
+    def spi(self, bucket: str = "day") -> DataFrame:
+        """Standardized precipitation index per (member, cell):
+        method-of-moments gamma over ``bucket`` accumulations +
+        Wilson-Hilferty CDF→normal (McKee et al. 1993; the
+        oracle-checked recipe is ``q_spi``). Two keyed hash aggs and
+        one broadcast-sized fit join — adds one shuffle on the
+        (member, cell) key."""
+        from pyspark.sql import functions as _F
+
+        keys = [self.name_col, *self.space_cols]
+        trunc = {"day": "day", "month": "month"}[bucket]
+        daily = self.df.groupBy(
+            *keys, _F.date_trunc(trunc, self.time_col).alias("__b")
+        ).agg(_F.sum(self.value_col).alias("__x"))
+        fit = daily.groupBy(*keys).agg(
+            _F.count(_F.lit(1)).alias("__n"),
+            _F.avg("__x").alias("__m"),
+            _F.var_samp("__x").alias("__s2"),
+        )
+        a = _F.col("__m") * _F.col("__m") / _F.col("__s2")
+        z = (
+            _F.pow(_F.col("__x") / _F.col("__m"), _F.lit(1.0 / 3.0))
+            - (_F.lit(1.0) - _F.lit(1.0) / (_F.lit(9.0) * a))
+        ) / _F.sqrt(_F.lit(1.0) / (_F.lit(9.0) * a))
+        return (
+            daily.join(fit, keys)
+            .select(*keys, _F.col("__b").alias("bucket"),
+                    z.alias("spi"))
+        )
+
     def bundle(self) -> DataFrame:
         """Cross-member stats at each (time, cell): mean + spread (A4)."""
         keys = [self.time_col, *self.space_cols]

@@ -198,3 +198,52 @@ def test_gopher_flags_match_python_reference(spark):
         for rule, exp in want.items():
             assert got[i][rule] == exp, (i, rule, t)
         assert got[i]["keep"] == all(want.values())
+
+
+def test_ensemble_return_levels_and_spi(spark):
+    """Facade extremes verbs: Gumbel return levels are monotone in T
+    and match a numpy L-moment reference; SPI of the fitted mean is
+    near zero and standardized (decreasing in drier accumulations)."""
+    import math
+
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for d in range(360):
+        t = (pd.Timestamp("2001-01-01") + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(
+            ("m", t, 0.0, 0.0, float(np.round(rng.gamma(4.0, 2.0), 3)))
+        )
+    df = spark.createDataFrame(
+        rows, "name string, time timestamp, lat double, lon double, value double"
+    )
+    ens = Ensemble(df)
+
+    out = ens.return_levels(block="month").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_blocks"] == 12
+    assert r["rl100"] > r["rl10"] > r["mu"]
+    # numpy L-moment reference on the same block maxima
+    pdf = df.toPandas()
+    pdf["blk"] = pdf.time.dt.month
+    x = np.sort(pdf.groupby("blk").value.max().to_numpy())
+    n = len(x)
+    l1 = x.mean()
+    b1 = ((np.arange(1, n + 1) - 1) * x).sum() / (n * (n - 1))
+    l2 = 2 * b1 - l1
+    sigma = l2 / math.log(2.0)
+    mu = l1 - 0.5772156649015329 * sigma
+    assert r["mu"] == pytest.approx(mu, rel=1e-12)
+    assert r["rl10"] == pytest.approx(
+        mu - sigma * math.log(-math.log(0.9)), rel=1e-12
+    )
+
+    spi = ens.spi(bucket="day").toPandas()
+    assert len(spi) == 360
+    # standardized: mean near 0, tail days negative
+    assert abs(spi.spi.mean()) < 0.2
+    assert spi.spi.min() < -1.0 < 1.0 < spi.spi.max()
