@@ -263,13 +263,15 @@ class _ParquetRefs:
 # fsspec renders these with jinja2; the subset real indexers emit is
 # pure arithmetic over the dimension variables, so we evaluate
 # {{...}} with a whitelisted-AST expression evaluator instead of
-# pulling in a template engine (names = dims + templates; operators =
-# + - * / // % ** and unary +/-; anything else raises loudly).
+# pulling in a template engine (names = dims + templates; ; anything else raises loudly).
 
+# no ast.Pow: a hostile refs document could stall the reader with
+# 10**10**10 before any size check can run — kerchunk templates are
+# offset arithmetic, which never needs exponentiation
 _GEN_NODES = (
     ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant, ast.Name,
     ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
-    ast.Pow, ast.USub, ast.UAdd, ast.Load,
+    ast.USub, ast.UAdd, ast.Load,
 )
 
 

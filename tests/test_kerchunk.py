@@ -1327,3 +1327,27 @@ def test_append_refs_parquet_rejects_divergent_part(spark, tmp_path):
     write_refs(netcdf3_refs(str(tmp_path / "bad.nc")), bp)
     with pytest.raises(ValueError, match="diverges"):
         append_refs(out["store"], [bp])
+
+
+def test_refs_gen_evaluator_differential_and_pow_rejected():
+    """The gen-template evaluator agrees with Python eval on the
+    arithmetic subset (seeded sweep), and exponentiation is rejected —
+    a hostile document must not be able to stall the reader with
+    10**10**10."""
+    import random
+
+    from bcdp_spark.sources.zarr import _gen_eval
+
+    rng = random.Random(42)
+    ops = ["+", "-", "*", "//", "%"]
+    for _ in range(300):
+        i, j = rng.randint(0, 50), rng.randint(1, 50)
+        expr = f"(i {rng.choice(ops)} j) {rng.choice(ops)} {rng.randint(1, 9)}"
+        env = {"i": i, "j": j}
+        try:
+            want = eval(expr, {"__builtins__": {}}, dict(env))  # noqa: S307
+        except ZeroDivisionError:
+            continue
+        assert _gen_eval(expr, env) == want, expr
+    with pytest.raises(NotImplementedError, match="Pow"):
+        _gen_eval("10**10**10", {})
