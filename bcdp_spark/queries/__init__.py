@@ -105,21 +105,28 @@ _PRIORITY = (
     "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
     "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
     "q_moving_median", "q_quality_score", "q_tfidf",
-    # (c) last graded in round 3
-    "q_ann_knn", "q_asof_align", "q_connected_components",
-    "q_corpus_curation", "q_curvilinear_regrid", "q_dedup_clusters",
-    "q_dedup_docs", "q_dedup_events", "q_doc_packing",
-    "q_doc_repetition", "q_embed_neardup", "q_embed_stats",
-    "q_grouped_agg_udf", "q_grouped_apply", "q_ivf_knn",
+    # (c) last graded in round 3 — HASH-CHECKED keys only inside the
+    # window (r7's full-green window precedent: a rows-only key in a
+    # graded slot records only the weaker rows-only row, so the six
+    # rows-only r3 keys regrade after the hash-checked backlog clears)
+    "q_asof_align", "q_connected_components",
+    "q_corpus_curation", "q_curvilinear_regrid",
+    "q_dedup_docs", "q_dedup_events",
+    "q_doc_repetition", "q_embed_stats",
+    "q_grouped_agg_udf", "q_grouped_apply",
     "q_jsonl_ingest", "q_lang_stats", "q_map_lookup",
-    "q_minhash_dedup", "q_multimodal_pipeline", "q_netcdf_climatology",
+    "q_multimodal_pipeline", "q_netcdf_climatology",
     "q_ngram_jaccard", "q_regrid_weighted",
-    # --- 50-key window boundary (16 new + 11 r1 + 23 r3 = 50) ---
-    # (the last nine r3 regrades below slipped past the boundary as
-    # late-r8 keys joined section (a2); they keep r3∪r7 evidence)
     "q_regrid_weights_gen",
-    "q_semantic_dedup", "q_session", "q_sim_knn", "q_simhash_pairs",
-    "q_sliding", "q_token_explode", "q_token_pagerank", "q_warc_ingest",
+    "q_semantic_dedup", "q_session", "q_sim_knn",
+    "q_sliding", "q_token_explode",
+    # --- 50-key window boundary (17 new + 11 r1 + 22 r3 = 50) ---
+    "q_token_pagerank", "q_warc_ingest",
+    # (c2) the r3 cohort's rows-only keys (weaker driver rows by
+    # design — LSH-seed/packing-order outputs) follow the boundary
+    "q_ann_knn", "q_dedup_clusters", "q_doc_packing",
+    "q_embed_neardup", "q_ivf_knn", "q_minhash_dedup",
+    "q_simhash_pairs",
     # (d) r4 cohort next (the VERDICT-named regrid family leads)
     "q_conservative_regrid",
     "q_bilinear_regrid", "q_pq_adc_knn", "q_bpe_merges",

@@ -59,21 +59,20 @@ def test_rows_only_keys_run_and_are_deterministic(key, spark):
 
 
 def test_driver_window_hygiene():
-    """The driver grades the FIRST 50 registry keys. Rows-only keys in
-    that window get only the weaker rows-only check, so their presence
-    must be DELIBERATE (the r8 window regrades the r3 cohort's
-    rows-only keys by rotation policy — pinned here so an accidental
-    addition is caught); every _PRIORITY name must exist (a typo there
-    would silently reorder the window)."""
+    """The driver grades the FIRST 50 registry keys. A rows-only key
+    in that window records only the weaker rows-only check, so the
+    window holds hash-checked keys exclusively (the r7 full-green
+    precedent); every _PRIORITY name must exist (a typo there would
+    silently reorder the window)."""
     import bcdp_spark.queries as q
     from bcdp_spark.queries import _PRIORITY
 
     keys = list(q.queries())
     oracles = q.oracle_sql()
     rows_only = sorted(k for k in keys[:50] if k not in oracles)
-    assert rows_only == [
-        "q_ann_knn", "q_dedup_clusters", "q_doc_packing",
-        "q_embed_neardup", "q_ivf_knn", "q_minhash_dedup",
-    ], f"unexpected rows-only keys inside the graded window: {rows_only}"
+    assert rows_only == [], (
+        f"rows-only keys inside the graded window: {rows_only} — the "
+        "window holds hash-checked keys only (r7 full-green precedent)"
+    )
     ghosts = [k for k in _PRIORITY if k not in q.queries()]
     assert not ghosts, f"_PRIORITY names not in the registry: {ghosts}"
