@@ -120,7 +120,7 @@ _PRIORITY = (
     "q_regrid_weights_gen",
     "q_semantic_dedup", "q_session", "q_sim_knn",
     "q_sliding", "q_token_explode",
-    # --- 50-key window boundary (17 new + 11 r1 + 22 r3 = 50) ---
+    # --- 50-key window boundary (16 new + 11 r1 + 23 r3 = 50) ---
     "q_token_pagerank", "q_warc_ingest",
     # (c2) the r3 cohort's rows-only keys (weaker driver rows by
     # design — LSH-seed/packing-order outputs) follow the boundary
