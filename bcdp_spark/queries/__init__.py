@@ -100,7 +100,7 @@ _PRIORITY = (
     # percentile-threshold extreme index (TX90p)
     "q_crps", "q_quantile_map", "q_tx90p", "q_gopher_rules",
     "q_hdf5_compound", "q_return_levels", "q_spi", "q_logreg",
-    "q_kerchunk_pqappend",
+    "q_kerchunk_pqappend", "q_rx5day",
     # (b) last graded in round 1 — the oldest evidence anywhere
     "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
     "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
@@ -119,9 +119,9 @@ _PRIORITY = (
     "q_ngram_jaccard", "q_regrid_weighted",
     "q_regrid_weights_gen",
     "q_semantic_dedup", "q_session", "q_sim_knn",
-    "q_sliding", "q_token_explode",
-    # --- 50-key window boundary (16 new + 11 r1 + 23 r3 = 50) ---
-    "q_token_pagerank", "q_warc_ingest",
+    "q_sliding",
+    # --- 50-key window boundary (17 new + 11 r1 + 22 r3 = 50) ---
+    "q_token_explode", "q_token_pagerank", "q_warc_ingest",
     # (c2) the r3 cohort's rows-only keys (weaker driver rows by
     # design — LSH-seed/packing-order outputs) follow the boundary
     "q_ann_knn", "q_dedup_clusters", "q_doc_packing",

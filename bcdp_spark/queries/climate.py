@@ -714,3 +714,65 @@ def q_spi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_drought"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r8) — Rx5day, the ETCCDI maximum-5-day-accumulation index (the
+# standard heavy-precipitation indicator): daily accumulations per
+# station, a 5-row rolling sum (ROWS frame over the ordered day
+# sequence — the record is contiguous), station maximum. The rolling
+# sum runs in DECIMAL inside the window, so Spark's sliding
+# add/remove and DuckDB's segment tree cannot diverge (float window
+# sums are frame-walk-order-dependent; decimal ones are exact).
+# Scale (100 TB): one day-bucket hash agg + one station-keyed window —
+# both shuffle on the station key only.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rx5day",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         SUM(CAST(value AS {DEC_SQL})) AS x
+  FROM events GROUP BY 1, 2
+),
+roll AS (
+  SELECT user_id, day,
+         CAST(CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE) AS r5,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       MAX(r5) AS rx5day
+FROM roll
+WHERE rn >= 5  -- full windows only (ETCCDI counts complete pentads)
+GROUP BY user_id
+""",
+)
+def q_rx5day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("x"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-4, 0)
+    wr = Window.partitionBy("user_id").orderBy("day")
+    roll = daily.select(
+        "user_id",
+        F.sum("x").over(w).cast("double").alias("r5"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        roll.filter(F.col("rn") >= 5)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.max("r5").alias("rx5day"),
+        )
+    )

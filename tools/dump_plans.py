@@ -139,6 +139,8 @@ HEADLINE = (
     # round-8 — fixed-point GD classifier training (1-row weight
     # broadcasts — the sanctioned BNLJ scalar-attach pattern)
     "q_logreg",
+    # round-8 — Rx5day (decimal-exact rolling window inside the frame)
+    "q_rx5day",
 )
 
 
