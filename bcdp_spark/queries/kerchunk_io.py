@@ -759,3 +759,131 @@ def q_kerchunk_pqappend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_HF_DIR = "/tmp/bcdp_spark_kerchunk_h5filters_fixture_v1"
+
+
+def _ensure_h5filters_fixture() -> str:
+    """An HDF5 archive whose filter pipelines have NO zarr twin —
+    ``pr`` under szip+fletcher32 (the NASA-era archive combination)
+    and ``qflag`` under scale-offset+fletcher32 — indexed by
+    ``hdf5_refs`` into the ``{"id": "hdf5-filter"}`` pseudo-codec
+    (VERDICT r8 item 1). Until r9 this file raised in ``hdf5_refs``;
+    now the refs document carries each pipeline verbatim and chunk
+    bytes decode through ``sources/hdf5.py defilter_chunk``, the same
+    code path ``load_netcdf4`` uses."""
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+
+    refs_path = os.path.join(_HF_DIR, "refs.json")
+    done = os.path.join(_HF_DIR, ".complete")
+    if os.path.exists(done):
+        return refs_path
+    os.makedirs(_HF_DIR, exist_ok=True)
+    t = np.arange(_H_T)[:, None, None]
+    a = np.arange(_H_A)[None, :, None]
+    o = np.arange(_H_O)[None, None, :]
+    data = 0.25 * (t * 100 + a * 10 + o)
+    qflag = ((t + a + o) % 5).astype("<i4")
+    qflag = np.broadcast_to(qflag, (_H_T, _H_A, _H_O)).copy()
+    raw = write_hdf5(
+        {
+            "time": (
+                ["time"],
+                np.arange(_H_T, dtype="<f8") * 6.0,
+                {"units": "hours since 2009-01-01"},
+            ),
+            "lat": (["lat"], np.array([-60.0, -20.0, 20.0, 60.0]), {}),
+            "lon": (["lon"], np.arange(_H_O) * 72.0, {}),
+            "pr": (["time", "lat", "lon"], data, {}),
+            "qflag": (["time", "lat", "lon"], qflag, {}),
+        },
+        chunk={"pr": (3, _H_A, _H_O), "qflag": (3, _H_A, _H_O)},
+        gzip_level=None,
+        szip={"pr": (8, "nn")},
+        scaleoffset={"qflag": (0, 0)},
+        fletcher=True,
+    )
+    h5 = os.path.join(_HF_DIR, "arch.h5")
+    with open(h5, "wb") as fh:
+        fh.write(raw)
+    dims = {
+        "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+        "pr": ["time", "lat", "lon"], "qflag": ["time", "lat", "lon"],
+    }
+    write_refs(hdf5_refs(h5, dims=dims), refs_path)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return refs_path
+
+
+@register(
+    "q_kerchunk_h5filters",
+    oracle=f"""
+WITH grid AS (
+  SELECT t.g AS t, a.g AS a, o.g AS o,
+         0.25 * (t.g * 100 + a.g * 10 + o.g) AS pr,
+         (t.g + a.g + o.g) % 5 AS qflag
+  FROM generate_series(0, {_H_T - 1}) t(g),
+       generate_series(0, {_H_A - 1}) a(g),
+       generate_series(0, {_H_O - 1}) o(g)
+)
+SELECT CAST(t * 6 AS BIGINT) AS hour,
+       CASE a WHEN 0 THEN -60.0 WHEN 1 THEN -20.0
+              WHEN 2 THEN 20.0 ELSE 60.0 END AS lat,
+       COUNT(*) AS n_cells,
+       CAST(CAST(SUM(CAST(pr AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_pr,
+       CAST(SUM(CAST(qflag AS BIGINT)) AS BIGINT) AS sum_qflag
+FROM grid
+WHERE t BETWEEN 3 AND 8
+GROUP BY 1, 2
+""",
+)
+def q_kerchunk_h5filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/S11 composite: twin-less HDF5 filter pipelines
+    (szip+fletcher32, scale-offset+fletcher32) virtualized through the
+    ``hdf5-filter`` pseudo-codec — the decades-deep szip-era NetCDF-4
+    archive workflow kerchunk exists for. Time bounds prune 2 of 4
+    chunk rows per variable before any ranged read; each decoded chunk
+    passes its fletcher32 verify-and-strip inside ``defilter_chunk``."""
+    from bcdp_spark.sources.zarr import load_zarr
+
+    utc(spark)
+    refs_path = _ensure_h5filters_fixture()
+    pr = load_zarr(
+        spark,
+        f"refs::{refs_path}",
+        var="pr",
+        time_bnds=("2009-01-01 18:00", "2009-01-03 00:00"),
+    )
+    qf = load_zarr(
+        spark,
+        f"refs::{refs_path}",
+        var="qflag",
+        time_bnds=("2009-01-01 18:00", "2009-01-03 00:00"),
+    )
+    hour = (
+        (F.unix_timestamp("time") - F.unix_timestamp(
+            F.lit("2009-01-01 00:00:00").cast("timestamp")
+        )) / 3600
+    ).cast("bigint")
+    joined = pr.alias("p").join(
+        qf.alias("q"),
+        on=[F.col("p.time") == F.col("q.time"),
+            F.col("p.lat") == F.col("q.lat"),
+            F.col("p.lon") == F.col("q.lon")],
+    ).select(
+        F.col("p.time").alias("time"), F.col("p.lat").alias("lat"),
+        F.col("p.value").alias("pr"), F.col("q.value").alias("qflag"),
+    )
+    return joined.groupBy(
+        hour.alias("hour"), F.col("lat")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("pr").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_pr"),
+        F.sum(F.col("qflag").cast("bigint")).alias("sum_qflag"),
+    )

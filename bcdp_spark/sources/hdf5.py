@@ -138,6 +138,88 @@ def _fletcher32(data: bytes) -> int:
     return (s2 << 16) | s1
 
 
+def defilter_chunk(
+    raw: bytes,
+    filters: list,
+    dt: np.dtype,
+    chunk_shape: tuple,
+    fmask: int = 0,
+    name: str = "",
+) -> bytes:
+    """Run one chunk's raw on-disk bytes backwards through an HDF5
+    filter pipeline (``filters`` = [(id, flags, cd_values), ...] in
+    message order; ``fmask`` bit i set = filter i skipped for this
+    chunk, per the v1-B-tree/v4 chunk record contract). Shared by
+    ``H5File.read`` and the kerchunk ``{"id": "hdf5-filter"}``
+    pseudo-codec in ``sources/zarr.py`` — the zarr refs document
+    carries the pipeline verbatim so both paths decode byte-for-byte
+    identically. Unknown filter ids raise loudly by name."""
+    for i in range(len(filters) - 1, -1, -1):
+        fid, _flags, cvals = filters[i]
+        if fmask & (1 << i):
+            continue  # filter skipped for this chunk
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            esz = cvals[0] if cvals else dt.itemsize
+            a = np.frombuffer(raw, dtype=np.uint8)
+            raw = a.reshape(esz, len(a) // esz).T.tobytes()
+        elif fid == 3:
+            # verify-and-strip: stored LE; the byte-reversed
+            # value is also accepted (pre-1.6.3 libhdf5 wrote
+            # it with a byte-order bug, and real HDF5 accepts
+            # both on read)
+            (stored,) = _up("<I", raw, len(raw) - 4)
+            calc = _fletcher32(raw[:-4])
+            swapped = int.from_bytes(
+                calc.to_bytes(4, "little"), "big"
+            )
+            if stored not in (calc, swapped):
+                raise ValueError(
+                    "HDF5 fletcher32 checksum mismatch on a "
+                    f"chunk of {name!r}: stored 0x{stored:08x}, "
+                    f"computed 0x{calc:08x} (corrupt chunk)"
+                )
+            raw = raw[:-4]
+        elif fid in (32000, 32015):  # h5py LZF / zstd plugin
+            # expected plain size: the chunk payload, plus the
+            # 4-byte suffix of any fletcher32 applied BEFORE
+            # this filter on write (its checksum rides inside
+            # the compressed stream)
+            expect = int(
+                np.prod(chunk_shape, dtype=np.int64)
+            ) * dt.itemsize + 4 * sum(
+                1 for f in filters[:i] if f[0] == 3
+            )
+            if fid == 32000:
+                from bcdp_spark.sources.lzf import lzf_decompress
+
+                raw = lzf_decompress(raw, expect)
+            else:
+                from bcdp_spark.sources.zstd import zstd_decompress
+
+                raw = zstd_decompress(raw, expect)
+        elif fid == 6:  # scale-offset (netCDF significant_digits)
+            from bcdp_spark.sources.h5filters import scaleoffset_decode
+
+            raw = scaleoffset_decode(raw, cvals)
+        elif fid == 5:  # n-bit (reduced-precision datatypes)
+            from bcdp_spark.sources.h5filters import nbit_decode
+
+            raw = nbit_decode(
+                raw, cvals,
+                signed=dt.kind == "i",
+                is_float=dt.kind == "f",
+            )
+        elif fid == 4:  # szip (CCSDS 121 extended Rice/AEC)
+            from bcdp_spark.sources.h5filters import szip_decode
+
+            raw = szip_decode(raw, cvals)
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
 # ---------------------------------------------------------------------------
 # Datatype <-> numpy
 # ---------------------------------------------------------------------------
@@ -803,74 +885,10 @@ class H5File:
                 for d in range(rank)
             ):
                 continue  # chunk wholly outside the slab: never decoded
-            raw = self.buf[addr : addr + nbytes]
-            for i in range(len(ds.filters) - 1, -1, -1):
-                fid, _flags, cvals = ds.filters[i]
-                if fmask & (1 << i):
-                    continue  # filter skipped for this chunk
-                if fid == 1:
-                    raw = zlib.decompress(raw)
-                elif fid == 2:
-                    esz = cvals[0] if cvals else dt.itemsize
-                    a = np.frombuffer(raw, dtype=np.uint8)
-                    raw = (
-                        a.reshape(esz, len(a) // esz).T.tobytes()
-                    )
-                elif fid == 3:
-                    # verify-and-strip: stored LE; the byte-reversed
-                    # value is also accepted (pre-1.6.3 libhdf5 wrote
-                    # it with a byte-order bug, and real HDF5 accepts
-                    # both on read)
-                    (stored,) = _up("<I", raw, len(raw) - 4)
-                    calc = _fletcher32(raw[:-4])
-                    swapped = int.from_bytes(
-                        calc.to_bytes(4, "little"), "big"
-                    )
-                    if stored not in (calc, swapped):
-                        raise ValueError(
-                            "HDF5 fletcher32 checksum mismatch on a "
-                            f"chunk of {name!r}: stored 0x{stored:08x}, "
-                            f"computed 0x{calc:08x} (corrupt chunk)"
-                        )
-                    raw = raw[:-4]
-                elif fid in (32000, 32015):  # h5py LZF / zstd plugin
-                    # expected plain size: the chunk payload, plus the
-                    # 4-byte suffix of any fletcher32 applied BEFORE
-                    # this filter on write (its checksum rides inside
-                    # the compressed stream)
-                    expect = int(
-                        np.prod(ds.chunk_shape, dtype=np.int64)
-                    ) * dt.itemsize + 4 * sum(
-                        1 for f in ds.filters[:i] if f[0] == 3
-                    )
-                    if fid == 32000:
-                        from bcdp_spark.sources.lzf import lzf_decompress
-
-                        raw = lzf_decompress(raw, expect)
-                    else:
-                        from bcdp_spark.sources.zstd import zstd_decompress
-
-                        raw = zstd_decompress(raw, expect)
-                elif fid == 6:  # scale-offset (netCDF significant_digits)
-                    from bcdp_spark.sources.h5filters import (
-                        scaleoffset_decode,
-                    )
-
-                    raw = scaleoffset_decode(raw, cvals)
-                elif fid == 5:  # n-bit (reduced-precision datatypes)
-                    from bcdp_spark.sources.h5filters import nbit_decode
-
-                    raw = nbit_decode(
-                        raw, cvals,
-                        signed=dt.kind == "i",
-                        is_float=dt.kind == "f",
-                    )
-                elif fid == 4:  # szip (CCSDS 121 extended Rice/AEC)
-                    from bcdp_spark.sources.h5filters import szip_decode
-
-                    raw = szip_decode(raw, cvals)
-                else:
-                    raise NotImplementedError(f"HDF5 filter id {fid}")
+            raw = defilter_chunk(
+                self.buf[addr : addr + nbytes],
+                ds.filters, dt, ds.chunk_shape, fmask, name,
+            )
             chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
             sel_out, sel_in = [], []
             skip = False

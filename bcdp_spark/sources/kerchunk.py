@@ -318,10 +318,13 @@ def hdf5_refs(
     HDF5 filter pipeline translates to its zarr twin when one exists
     (deflate → ``zlib`` compressor, shuffle → numcodecs ``shuffle``
     filter — bytewise-identical transforms), contiguous datasets
-    become whole-array chunks, compact data inlines as base64. Filters
-    with no zarr twin (fletcher32's trailing checksum, szip, n-bit,
-    scale-offset, per-chunk filter masks) raise loudly — those files
-    read via ``load_netcdf4`` instead.
+    become whole-array chunks, compact data inlines as base64. A
+    pipeline with NO zarr twin (fletcher32's trailing checksum, szip,
+    n-bit, scale-offset, LZF/zstd plugins, deflate-not-last) is
+    carried verbatim in an ``{"id": "hdf5-filter"}`` pseudo-codec and
+    decoded by the engine's own ``defilter_chunk`` — so szip-era
+    NetCDF-4 archives virtualize too. Only genuinely unknown filter
+    ids and per-chunk filter masks still raise loudly.
 
     ``dims`` supplies ``_ARRAY_DIMENSIONS`` per dataset when the file
     doesn't already carry them (plain-HDF5 files; netCDF-4 files wrote
@@ -346,33 +349,47 @@ def hdf5_refs(
         comp = None
         zfilters: list[dict] = []
         ids = [f[0] for f in ds.filters]
-        _NAMES = {3: "fletcher32", 4: "szip", 5: "n-bit",
-                  6: "scale-offset"}
+        _KNOWN = {1, 2, 3, 4, 5, 6, 32000, 32015}
         for bad in ids:
-            if bad not in (1, 2):
+            if bad not in _KNOWN:
                 raise NotImplementedError(
-                    f"hdf5_refs: {name}: HDF5 filter id {bad}"
-                    f" ({_NAMES.get(bad, 'unknown')}) has no zarr twin"
-                    " — the engine READS it (read via load_netcdf4),"
-                    " but a zarr refs document cannot express it"
+                    f"hdf5_refs: {name}: HDF5 filter id {bad} is not"
+                    " decodable by this engine — neither a zarr twin"
+                    " nor the hdf5-filter pseudo-codec can express it"
                 )
-        for pos, (fid, _flags, cvals) in enumerate(ds.filters):
-            if fid == 1:
-                if pos != len(ds.filters) - 1:
-                    raise NotImplementedError(
-                        f"hdf5_refs: {name}: deflate is not the "
-                        "last pipeline filter — no zarr twin"
+        if set(ids) <= {1, 2} and (1 not in ids or ids[-1] == 1):
+            # deflate-last / shuffle pipelines have BYTEWISE-IDENTICAL
+            # zarr twins — emit those so the refs document stays
+            # portable to any standard zarr reader
+            for fid, _flags, cvals in ds.filters:
+                if fid == 1:
+                    comp = {"id": "zlib"}
+                else:
+                    zfilters.append(
+                        {
+                            "id": "shuffle",
+                            "elementsize": int(
+                                cvals[0] if cvals else dt.itemsize
+                            ),
+                        }
                     )
-                comp = {"id": "zlib"}
-            elif fid == 2:
-                zfilters.append(
-                    {
-                        "id": "shuffle",
-                        "elementsize": int(
-                            cvals[0] if cvals else dt.itemsize
-                        ),
-                    }
-                )
+        elif ids:
+            # No zarr twin (fletcher32 checksum suffix, szip, n-bit,
+            # scale-offset, LZF/zstd plugins, deflate-not-last): carry
+            # the HDF5 pipeline VERBATIM in an {"id": "hdf5-filter"}
+            # pseudo-codec — the same pattern as the grib2 pseudo-codec
+            # above. Chunk bytes route through sources/hdf5.py
+            # defilter_chunk, the exact decoder load_netcdf4 uses, so
+            # decades-deep NASA-era szip archives virtualize instead of
+            # raising. (Engine-local: a standard zarr reader skips
+            # these arrays; VERDICT r8 item 1.)
+            comp = {
+                "id": "hdf5-filter",
+                "filters": [
+                    [int(fid), int(fl), [int(v) for v in cvals]]
+                    for fid, fl, cvals in ds.filters
+                ],
+            }
         attrs = _jsonable(ds.attrs)
         if dims and name in dims:
             attrs["_ARRAY_DIMENSIONS"] = list(dims[name])

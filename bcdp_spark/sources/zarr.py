@@ -49,7 +49,7 @@ from bcdp_spark.sources.netcdf import (
 from bcdp_spark.sources.registry import register_data_source
 
 _SUPPORTED_COMPRESSORS = (None, "zlib", "gzip", "blosc", "zstd", "lzma",
-                          "bz2", "lz4", "grib2")
+                          "bz2", "lz4", "grib2", "hdf5-filter")
 # blosc inner codecs we can decode (zarr-python's v2 DEFAULT is
 # Blosc(cname='lz4')); blosclz landed r8 (sources/blosclz.py)
 _SUPPORTED_BLOSC_CNAMES = (
@@ -817,7 +817,23 @@ def decode_chunk_bytes(raw: bytes, meta: ZArrayMeta) -> np.ndarray:
             return np.asarray(f.values, dtype="float64").reshape(
                 meta.chunks
             )
-        if cid == "gzip":
+        if cid == "hdf5-filter":
+            # kerchunk pseudo-codec (sources/kerchunk.py hdf5_refs):
+            # the chunk's HDF5 filter pipeline had no zarr twin
+            # (fletcher32/szip/n-bit/scale-offset/plugin filters), so
+            # the refs document carries it verbatim and the bytes
+            # route through the SAME decoder load_netcdf4 uses —
+            # byte-for-byte parity by construction
+            from bcdp_spark.sources.hdf5 import defilter_chunk
+
+            pipeline = [
+                (int(fid), int(fl), tuple(cvals))
+                for fid, fl, cvals in meta.compressor["filters"]
+            ]
+            raw = defilter_chunk(
+                bytes(raw), pipeline, meta.dtype, meta.chunks
+            )
+        elif cid == "gzip":
             raw = _gzip.decompress(raw)
         elif cid == "blosc":
             from bcdp_spark.sources.blosc import blosc_decompress

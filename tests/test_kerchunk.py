@@ -649,18 +649,123 @@ def test_hdf5_refs_decodes_stored_fill_value(spark, tmp_path):
     )
 
 
-def test_hdf5_refs_filter_without_zarr_twin_raises(tmp_path):
+@pytest.mark.parametrize(
+    "kw, ids",
+    [
+        # szip + fletcher32: the NASA-era archive pipeline
+        (dict(gzip_level=None, szip={"x": (8, "nn")}, fletcher=True),
+         [4, 3]),
+        # shuffle + deflate + fletcher32 (deflate has a twin but the
+        # checksum suffix forces the whole pipeline into the codec)
+        (dict(gzip_level=4, shuffle=True, fletcher=True), [2, 1, 3]),
+        # scale-offset alone
+        (dict(gzip_level=None, scaleoffset={"x": (0, 0)}), [6]),
+        # n-bit + deflate
+        (dict(gzip_level=4, nbit={"x": (20, 0)}), [5, 1]),
+        # h5py LZF plugin
+        (dict(gzip_level=None, lzf=True), [32000]),
+    ],
+)
+def test_hdf5_refs_pseudocodec_twinless_pipelines(
+    spark, tmp_path, kw, ids
+):
+    """r9 (VERDICT r8 item 1): pipelines with no zarr twin virtualize
+    through the {"id": "hdf5-filter"} pseudo-codec instead of raising;
+    the refs read matches H5File.read byte-for-byte."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+    from bcdp_spark.sources.zarr import load_zarr
+
+    dt = "<i4" if "nbit" in kw or "scaleoffset" in kw else "<f8"
+    t = np.arange(12)[:, None]
+    o = np.arange(5)[None, :]
+    data = (t * 100 + o).astype(dt)
+    raw = write_hdf5(
+        {
+            "time": (["time"], np.arange(12, dtype="<f8"),
+                     {"units": "days since 2001-01-01"}),
+            "lat": (["lat"], np.array([0.0] * 1), {}),
+            "lon": (["lon"], np.arange(5, dtype="<f8"), {}),
+            "x": (["time", "lon"], data, {}),
+        },
+        chunk={"x": (4, 5)},
+        **kw,
+    )
+    p = tmp_path / "f.h5"
+    p.write_bytes(raw)
+    doc = hdf5_refs(str(p), dims={
+        "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+        "x": ["time", "lon"],
+    })
+    za = json.loads(doc["refs"]["x/.zarray"])
+    assert za["compressor"]["id"] == "hdf5-filter"
+    assert [f[0] for f in za["compressor"]["filters"]] == ids
+    expect = H5File(raw).read("x")
+    # decode every chunk through the zarr pseudo-codec path
+    from bcdp_spark.sources.zarr import ZArrayMeta, decode_chunk_bytes
+
+    meta = ZArrayMeta(
+        shape=(12, 5), chunks=(4, 5), dtype=np.dtype(za["dtype"]),
+        order="C", fill_value=za["fill_value"],
+        compressor=za["compressor"], separator=".",
+    )
+    got = np.empty((12, 5), dtype=np.dtype(za["dtype"]))
+    for r in range(3):
+        tgt, off, ln = doc["refs"][f"x/{r}.0"]
+        got[r * 4:(r + 1) * 4] = decode_chunk_bytes(
+            raw[off:off + ln], meta
+        )
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_hdf5_refs_twinnable_pipelines_stay_portable(tmp_path):
+    """shuffle+deflate keeps its BYTEWISE-IDENTICAL zarr twins (zlib
+    compressor + numcodecs shuffle) so the refs document stays readable
+    by standard zarr readers — the pseudo-codec is only for pipelines
+    zarr cannot express."""
     from bcdp_spark.sources.hdf5 import write_hdf5
     from bcdp_spark.sources.kerchunk import hdf5_refs
 
     raw = write_hdf5(
         {"x": (["a"], np.arange(16, dtype="<f8"), {})},
-        chunk={"x": (8,)}, gzip_level=4, fletcher=True,
+        chunk={"x": (8,)}, gzip_level=4, shuffle=True,
     )
     p = tmp_path / "f.h5"
     p.write_bytes(raw)
-    with pytest.raises(NotImplementedError, match="filter id 3"):
-        hdf5_refs(str(p))
+    doc = hdf5_refs(str(p), dims={"x": ["a"]})
+    za = json.loads(doc["refs"]["x/.zarray"])
+    assert za["compressor"] == {"id": "zlib"}
+    assert za["filters"] == [{"id": "shuffle", "elementsize": 8}]
+
+
+def test_hdf5_refs_unknown_filter_still_raises(tmp_path):
+    """Only genuinely unknown filter ids raise now — loudly, by id."""
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs
+
+    raw = write_hdf5(
+        {"x": (["a"], np.arange(16, dtype="<f8"), {})},
+        chunk={"x": (8,)}, gzip_level=None,
+    )
+    # splice an unknown filter id into the pipeline message is
+    # involved; instead monkeypatch the parsed dataset
+    from bcdp_spark.sources.hdf5 import H5File
+
+    p = tmp_path / "f.h5"
+    p.write_bytes(raw)
+    orig_init = H5File.__init__
+
+    def patched(self, buf):
+        orig_init(self, buf)
+        for ds in self.datasets.values():
+            ds.filters = [(307, 0, ())]  # bzip2 plugin: not decodable
+
+    try:
+        H5File.__init__ = patched
+        with pytest.raises(NotImplementedError, match="filter id 307"):
+            hdf5_refs(str(p))
+    finally:
+        H5File.__init__ = orig_init
 
 
 # -- combine_refs: many files, one virtual store ------------------------
