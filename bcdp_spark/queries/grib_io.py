@@ -574,3 +574,136 @@ def q_grib2_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 — chemistry product templates (PDT 4.40-4.43, VERDICT r8 item 2):
+# the CAMS chemical-constituent layout. The table-4.230 constituent
+# code lands in `ens_label` ("chem_o3", "chem_no2", ...) exactly like
+# the r8 aerosol 4.48 work, and constituent-equality predicates push
+# down to the message index so non-matching messages are never decoded.
+# ---------------------------------------------------------------------------
+_CHM_FIX = "/tmp/bcdp_spark_grib2_chem_fixture_v1"
+_CHM_CODES = (0, 5, 8)  # o3, no2, so2 (WMO table 4.230)
+_CHM_NAMES = ("chem_o3", "chem_no2", "chem_so2")
+
+
+def _ensure_chem_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_CHM_FIX, ".complete")
+    if os.path.exists(done):
+        return _CHM_FIX
+    os.makedirs(_CHM_FIX, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    msgs = b""
+    for c, code in enumerate(_CHM_CODES):
+        for s in range(2):  # PDT 4.40 point-in-time mass mixing ratio
+            h = s * 6
+            vals = np.empty((_N_A, _N_O))
+            for a in range(_N_A):
+                for o in range(_N_O):
+                    if (c + h + a + o) % 7 == 0:
+                        vals[a, o] = np.nan
+                    else:
+                        vals[a, o] = 0.25 * (
+                            c * 10000 + h * 100 + a * 10 + o
+                        )
+            msgs += write_grib2_message(
+                vals, lats, lons, _dt.datetime(2019, 7, 1),
+                forecast_hours=h, category=20, number=0,
+                level_type=103, level=10, binary_scale=-2, nbits=16,
+                packing=0 if c % 2 == 0 else 3, spatial_order=2,
+                chem=code,
+            )
+        # PDT 4.42: 6 h chemistry accumulation, valid = interval END
+        vals = np.empty((_N_A, _N_O))
+        for a in range(_N_A):
+            for o in range(_N_O):
+                if (c + a + o) % 5 == 0:
+                    vals[a, o] = np.nan
+                else:
+                    vals[a, o] = 0.25 * (c * 10000 + 777 + a * 10 + o)
+        msgs += write_grib2_message(
+            vals, lats, lons, _dt.datetime(2019, 7, 1),
+            forecast_hours=0, category=20, number=1,
+            binary_scale=-2, nbits=16, stat_hours=6,
+            chem=code,
+        )
+    tmp = os.path.join(_CHM_FIX, ".cams.grib2.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(msgs)
+    os.replace(tmp, os.path.join(_CHM_FIX, "cams.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _CHM_FIX
+
+
+@register(
+    "q_grib2_chem",
+    oracle=f"""
+WITH point_grid AS (
+  SELECT c.g AS c, s.g * 6 AS hour,
+         CASE WHEN (c.g + s.g * 6 + a.g + o.g) % 7 = 0 THEN NULL
+              ELSE 0.25 * (c.g * 10000 + s.g * 6 * 100 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 2) c(g), generate_series(0, 1) s(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+),
+accum_grid AS (
+  SELECT c.g AS c, 6 AS hour,
+         CASE WHEN (c.g + a.g + o.g) % 5 = 0 THEN NULL
+              ELSE 0.25 * (c.g * 10000 + 777 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 2) c(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+),
+tagged AS (
+  SELECT CASE c WHEN 0 THEN 'chem_o3' WHEN 1 THEN 'chem_no2'
+                ELSE 'chem_so2' END AS constituent,
+         'point' AS kind, hour, value FROM point_grid
+  UNION ALL
+  SELECT CASE c WHEN 0 THEN 'chem_o3' WHEN 1 THEN 'chem_no2'
+                ELSE 'chem_so2' END,
+         'accum', hour, value FROM accum_grid
+)
+SELECT constituent, kind, CAST(hour AS INT) AS hour,
+       COUNT(*) AS n_cells, COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS sum_value
+FROM tagged
+GROUP BY 1, 2, 3
+""",
+)
+def q_grib2_chem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (r9, VERDICT r8 item 2): chemistry product templates
+    4.40/4.42 — the CAMS chemical-constituent layout. The 2-octet
+    table-4.230 constituent code decodes into ``ens_label``
+    ("chem_o3"/"chem_no2"/"chem_so2"); point-in-time and
+    interval-accumulation twins distinguish by parameter name. A hash
+    match certifies the constituent splice (section 4 parses as the
+    base template after stripping it) across simple AND
+    complex+spatial-differencing packing, the shifted 4.42 interval
+    block, and bitmap NaN routing. ``sf_dir`` unused (synthetic decode
+    fixture)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_chem_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    return df.groupBy(
+        F.col("ens_label").alias("constituent"),
+        F.when(F.col("name").endswith("n1"), F.lit("accum"))
+        .otherwise(F.lit("point"))
+        .alias("kind"),
+        F.hour("time").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -86,6 +86,14 @@ _DERIVED_LABELS = {
     4: "spread",    # spread of all members
 }
 
+# WMO table 4.230 (atmospheric chemical constituent type) → short name
+# for the ens_label column; the codes CAMS actually distributes plus
+# the rest of the common block. Unknown codes fall back to the number.
+_CHEM_NAMES = {
+    0: "o3", 1: "h2o", 2: "ch4", 3: "co2", 4: "co", 5: "no2",
+    6: "n2o", 7: "hcho", 8: "so2", 9: "nh3", 10: "nh4", 11: "no",
+}
+
 
 def param_name(discipline: int, category: int, number: int) -> str:
     return _PARAM_NAMES.get(
@@ -743,6 +751,47 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
     else None) — surfaced as the ``member``/``ens_label`` columns."""
     (template,) = struct.unpack_from(">H", sec4, 7)
     aero_label = None
+    if template in (40, 41, 42, 43):
+        # 4.40-4.43 (atmospheric chemical constituents — the CAMS
+        # layout, r9): one 2-octet constituent code (table 4.230)
+        # sits between the parameter number and the standard
+        # generating-process tail. Stripping it leaves exactly the
+        # corresponding non-chemistry layout (4.40→4.0, 4.41→4.1,
+        # 4.42→4.8, 4.43→4.11), so every downstream branch — member
+        # octets, interval block — parses unchanged below.
+        if len(sec4) < 13:
+            raise ValueError(
+                f"GRIB2 template 4.{template} section too short"
+            )
+        (ctype,) = struct.unpack_from(">H", sec4, 11)
+        aero_label = f"chem_{_CHEM_NAMES.get(ctype, ctype)}"
+        sec4 = sec4[:11] + sec4[13:]
+        template = {40: 0, 41: 1, 42: 8, 43: 11}[template]
+    if template == 31:
+        # 4.31 (satellite product — simulated brightness temperature
+        # etc.): no forecast time, level, or interval; the section is
+        # category/number, generating process, NB contributing
+        # spectral bands of (series, number, instrument types, scaled
+        # central wave number in m^-1). Valid time = reference time.
+        if len(sec4) < 14:
+            raise ValueError("GRIB2 template 4.31 section too short")
+        nb = sec4[13]
+        if nb != 1:
+            raise NotImplementedError(
+                f"GRIB2 template 4.31 with {nb} spectral bands not "
+                "supported (single-band satellite products only)"
+            )
+        if len(sec4) < 25:
+            raise ValueError("GRIB2 template 4.31 section too short")
+        series, satno, _instr = struct.unpack_from(">HHH", sec4, 14)
+        wn_s = _sm_decode(sec4[20], 8)
+        (wn_u,) = struct.unpack_from(">I", sec4, 21)
+        if wn_u == 0xFFFFFFFF:
+            label = f"sat_{series}_{satno}"
+        else:
+            wn = _sm_decode(wn_u, 32) / (10.0 ** wn_s)
+            label = f"sat_{series}_{satno}_{wn:g}m-1"
+        return sec4[9], sec4[10], ref_time, 255, None, None, label
     if template == 48:
         # 4.48 (aerosol optical properties — the CAMS layout) inserts a
         # 24-octet block after the parameter number: aerosol type
@@ -774,7 +823,7 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
             f"GRIB2 product template 4.{template} not supported "
             "(deterministic 4.0/4.8, ensemble member 4.1/4.11, derived "
             "4.2/4.12, probability 4.5/4.9, percentile 4.6/4.10, "
-            "aerosol 4.48 only)"
+            "chemistry 4.40-4.43, satellite 4.31, aerosol 4.48 only)"
         )
     category, number = sec4[9], sec4[10]
     time_unit = sec4[17]
@@ -1388,6 +1437,8 @@ def write_grib2_message(
     probability: tuple | None = None,
     percentile: int | None = None,
     aerosol: tuple | None = None,
+    chem: int | None = None,
+    satellite: tuple | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1603,11 +1654,49 @@ def write_grib2_message(
         level_type = 255
     else:
         lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
-    if sum(x is not None for x in (member, derived, probability,
-                                   percentile, aerosol)) > 1:
+    if sum(x is not None for x in (derived, probability,
+                                   percentile, aerosol, satellite)) > 1 or (
+        member is not None
+        and any(x is not None for x in (derived, probability,
+                                        percentile, aerosol, satellite))
+    ):
         raise ValueError(
-            "member / derived / probability / percentile / aerosol are "
-            "mutually exclusive product-template selectors"
+            "member / derived / probability / percentile / aerosol / "
+            "satellite are mutually exclusive product-template selectors"
+        )
+    if chem is not None and any(
+        x is not None
+        for x in (derived, probability, percentile, aerosol, satellite)
+    ):
+        raise ValueError(
+            "chem composes only with the deterministic/member/interval "
+            "layouts (4.40-4.43)"
+        )
+    if satellite is not None:
+        # template 4.31 (satellite product): no forecast time, level,
+        # or interval — category/number, generating process, then ONE
+        # spectral band of (series, number, instrument types, central
+        # wave number in m^-1 | None). satellite = (series, satno,
+        # instrument, wavenumber_m1).
+        if stat_hours is not None:
+            raise NotImplementedError(
+                "satellite template 4.31 is point-in-time (no "
+                "interval twin exists in the spec)"
+            )
+        series, satno, instr, wn = satellite
+        if wn is None:
+            wn_b = struct.pack(">BI", 255, 0xFFFFFFFF)
+        else:
+            wn_b = struct.pack(">BI", 0, int(round(wn)))
+        sec4 = (
+            struct.pack(
+                ">IBHH" + "BB" + "BBB" + "HHH",
+                25, 4, 0, 31,
+                category, number,
+                2, 255, 1,
+                series, satno, instr,
+            )
+            + wn_b
         )
     if aerosol is not None:
         # template 4.48 (aerosol optical properties): the 24-octet
@@ -1668,7 +1757,7 @@ def write_grib2_message(
     else:
         point_t = 0
         ens_extra = b""
-    if aerosol is None:
+    if aerosol is None and satellite is None:
         if stat_hours is None:
             tmpl4 = point_t
         else:
@@ -1676,13 +1765,35 @@ def write_grib2_message(
         sec4_len = {0: 34, 1: 37, 2: 36, 5: 47, 6: 35}[point_t] + (
             24 if stat_hours is not None else 0
         )
-        sec4 = struct.pack(
-            ">IBHH" + "BBBBBHBB" + "I" + "BBI" + "BBI",
-            sec4_len, 4, 0, tmpl4,
-            category, number, 2, 255, 255, 0, 255, 1,   # unit 1 = hours
-            _sm_encode(forecast_hours, 32),
-            level_type, lev_scale_b, lev_val,
-            255, 255, 0xFFFFFFFF,
+        if chem is not None:
+            # 4.40-4.43: the 2-octet table-4.230 constituent code goes
+            # between the parameter number and the generating-process
+            # tail; only the 4.0/4.1/4.8/4.11 bases have chemistry
+            # twins in the spec
+            cm = {0: 40, 1: 41, 8: 42, 11: 43}
+            if tmpl4 not in cm:
+                raise NotImplementedError(
+                    f"GRIB2 template 4.{tmpl4} has no chemistry twin "
+                    "(4.40-4.43 extend 4.0/4.1/4.8/4.11 only)"
+                )
+            tmpl4 = cm[tmpl4]
+            sec4_len += 2
+            chem_b = struct.pack(">H", chem)
+        else:
+            chem_b = b""
+        sec4 = (
+            struct.pack(
+                ">IBHH" + "BB",
+                sec4_len, 4, 0, tmpl4, category, number,
+            )
+            + chem_b
+            + struct.pack(
+                ">BBBHBB" + "I" + "BBI" + "BBI",
+                2, 255, 255, 0, 255, 1,   # unit 1 = hours
+                _sm_encode(forecast_hours, 32),
+                level_type, lev_scale_b, lev_val,
+                255, 255, 0xFFFFFFFF,
+            )
         )
         sec4 += ens_extra
     if stat_hours is not None:

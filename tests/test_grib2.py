@@ -2005,3 +2005,109 @@ def test_regional_reduced_wraps_prime_meridian():
         [(350.0 + np.linspace(0.0, 20.0, p)) % 360.0 for p in pl]
     )
     np.testing.assert_allclose(f.lons2d.ravel(), exp, atol=1e-5)
+
+
+# -- r9: chemistry templates 4.40-4.43 + satellite 4.31 ------------------
+
+
+def test_pdt440_chem_roundtrip():
+    """CAMS-style chemical constituent: template 4.40 with NO2 (table
+    4.230 code 5) round-trips; the label carries the constituent."""
+    vals = np.arange(12, dtype=float).reshape(3, 4) * 0.25
+    raw = _field(vals, binary_scale=-2, nbits=8, chem=5,
+                 forecast_hours=6)
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    assert f.index.label == "chem_no2"
+    assert f.index.member is None
+    (idx,) = scan_grib2(raw)
+    assert idx.valid_time == _REF + dt.timedelta(hours=6)
+
+
+def test_pdt441_chem_member():
+    """4.41 = 4.1 + constituent: member octets parse at their shifted
+    positions."""
+    vals = np.zeros((2, 3))
+    raw = _field(vals, nbits=1, chem=0, member=7, ens_size=20)
+    (idx,) = scan_grib2(raw)
+    assert idx.label == "chem_o3"
+    assert idx.member == 7
+
+
+def test_pdt442_pdt443_chem_interval_end():
+    """4.42/4.43 = 4.8/4.11 + constituent: the interval block shifts by
+    the 2-octet splice and valid time is the interval END."""
+    vals = np.zeros((2, 3))
+    raw = _field(vals, nbits=1, chem=8, forecast_hours=6, stat_hours=6)
+    (idx,) = scan_grib2(raw)
+    assert idx.label == "chem_so2"
+    assert idx.valid_time == _REF + dt.timedelta(hours=12)
+    raw = _field(vals, nbits=1, chem=1234, member=2, ens_size=4,
+                 stat_hours=24)
+    (idx,) = scan_grib2(raw)
+    assert idx.label == "chem_1234"  # unknown code falls back to number
+    assert idx.member == 2
+    assert idx.valid_time == _REF + dt.timedelta(hours=24)
+
+
+def test_pdt431_satellite_roundtrip():
+    """4.31: no forecast time or level; valid = reference time; the
+    label carries series/number/central wave number."""
+    vals = np.arange(6, dtype=float).reshape(2, 3)
+    raw = _field(vals, nbits=8, satellite=(5, 16, 207, 103000))
+    f = decode_message(raw)
+    np.testing.assert_array_equal(f.values, vals)
+    assert f.index.label == "sat_5_16_103000m-1"
+    assert f.index.valid_time == _REF
+    assert f.index.level is None
+    raw = _field(vals, nbits=8, satellite=(5, 16, 207, None))
+    (idx,) = scan_grib2(raw)
+    assert idx.label == "sat_5_16"
+
+
+def test_pdt431_multiband_raises():
+    """NB != 1 names the seam instead of mislabeling the product."""
+    import struct as _st
+
+    vals = np.zeros((2, 3))
+    raw = bytearray(_field(vals, nbits=1, satellite=(5, 16, 207, 103000)))
+    off = 16
+    while True:
+        ln, num = _st.unpack_from(">IB", raw, off)
+        if num == 4:
+            break
+        off += ln
+    raw[off + 13] = 3  # NB = 3
+    with pytest.raises(NotImplementedError, match="spectral bands"):
+        scan_grib2(bytes(raw))
+
+
+def test_load_grib2_prunes_on_chem_label(spark, tmp_path):
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    lats = np.linspace(-30, 30, 3)
+    lons = np.arange(4) * 10.0
+    d = tmp_path / "chem"
+    d.mkdir()
+    msgs = b"".join(
+        write_grib2_message(
+            np.full((3, 4), float(i)), lats, lons, _REF, nbits=8,
+            chem=i,
+        )
+        for i in range(3)
+    )
+    (d / "cams.grib2").write_bytes(msgs)
+    df = load_grib2(spark, str(d / "*.grib2"), ens_label="chem_h2o")
+    pdf = df.toPandas()
+    assert set(pdf.ens_label) == {"chem_h2o"}
+    assert (pdf.value == 1.0).all() and len(pdf) == 12
+
+
+def test_chem_selector_guards():
+    vals = np.zeros((2, 3))
+    with pytest.raises(ValueError, match="chem composes only"):
+        _field(vals, nbits=1, chem=0, derived=0)
+    with pytest.raises(ValueError, match="chem composes only"):
+        _field(vals, nbits=1, chem=0, percentile=50)
+    with pytest.raises(NotImplementedError, match="point-in-time"):
+        _field(vals, nbits=1, satellite=(5, 16, 207, None), stat_hours=6)

@@ -464,3 +464,27 @@ def test_knn_join_ivf_no_cartesian(spark):
     df = q.queries()["q_knn_join_ivf"](spark, SF_ORACLE)
     p = physical_plan(df)
     assert "CartesianProduct" not in p
+
+
+def test_every_registry_key_has_a_plan_dump():
+    """r9 drift guard (VERDICT r8 item 4): every key in queries() must
+    have docs/plans/<key>.txt — q_kerchunk_pqappend shipped in r8
+    without one because tools/dump_plans.py had to be updated by hand.
+    Regenerate with `python tools/dump_plans.py` (optionally passing
+    just the new key names)."""
+    import os
+
+    import bcdp_spark.queries as q
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "plans",
+    )
+    missing = [
+        k for k in q.queries()
+        if not os.path.exists(os.path.join(plans_dir, f"{k}.txt"))
+    ]
+    assert not missing, (
+        f"{len(missing)} registry keys lack plan dumps: {missing[:10]} — "
+        "run `python tools/dump_plans.py " + " ".join(missing[:10]) + "`"
+    )

@@ -145,13 +145,23 @@ HEADLINE = (
 
 
 def main() -> None:
+    """Dump EVERY registry key (r9, VERDICT r8 item 4 — the curated
+    HEADLINE list above is kept as the reviewed-by-hand core, but the
+    dump now covers the whole surface so a new key cannot ship without
+    plan evidence; tests/test_plans.py asserts the directory is
+    complete against queries())."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "plans")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    for key in HEADLINE:
-        df = q.queries()[key](spark, sf_dir)
+    only = set(sys.argv[1:])  # optional: dump just the named keys
+    registry = q.queries()
+    keys = list(HEADLINE) + [k for k in registry if k not in HEADLINE]
+    for key in keys:
+        if only and key not in only:
+            continue
+        df = registry[key](spark, sf_dir)
         with open(os.path.join(out_dir, f"{key}.txt"), "w") as f:
             f.write(formatted(df))
         print(f"wrote docs/plans/{key}.txt")
