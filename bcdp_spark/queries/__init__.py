@@ -80,57 +80,55 @@ def _load() -> None:
 # in dict order. Rounds 1-5 rotated the window each round so that every
 # graded slot lands on a never-before-graded key; round 6 closed the
 # ledger — after it EVERY registry key carries a driver row (zero
-# failures across CORRECTNESS_r01-r07). Round-8 rotation (VERDICT r7
-# item 6): the keys NEW in round 8 lead, then the window regrades the
-# OLDEST remaining evidence, computed by unioning CORRECTNESS_r01-r07
-# key sets and taking each key's LAST graded round: 11 keys last
-# graded r1, 32 last graded r3, then the r4 cohort starting with the
-# regrid family VERDICT named. Every rotated-out key keeps its
-# driver-green evidence.
+# failures across CORRECTNESS_r01-r08). Round-9 rotation (VERDICT r8
+# item 3): the keys NEW in round 9 lead, then the three r3 keys that
+# are now the oldest hash-checked driver evidence anywhere, then the
+# r4 cohort (each key's LAST graded round computed by unioning the
+# CORRECTNESS_r01-r08 key sets). Every rotated-out key keeps its
+# driver-green evidence and is still oracle-checked locally every run
+# (tests/test_oracle_parity.py).
+#
+# Rows-only keys (LSH-seed/packing-order outputs, no SQL oracle by
+# design): excluded from the graded window since r7 because a graded
+# slot holding a rows-only key records strictly weaker evidence than
+# the hash-checked regrade it displaces (ADVICE r8 asks this rationale
+# be kept visible). SCHEDULED: they re-enter the window in ROUND 10,
+# after the r4 backlog clears, so their driver evidence doesn't stay
+# frozen at r3 forever; until then the local determinism tests
+# (test_oracle_parity.py rows-only leg) cover them every round.
 _PRIORITY = (
-    # (a) new in round 8: the parquet refs store + incremental append
-    # (executor-resident kerchunk), HDF5 szip via the CCSDS coder,
-    # blosclz under byte+bit shuffle, typed PII redaction,
-    # Theil-Sen/Mann-Kendall robust trend, and the persisted IVF index
-    "q_kerchunk_parquet", "q_kerchunk_append", "q_hdf5_szip",
-    "q_zarr_blosclz", "q_pii_redact", "q_theilsen_trend",
-    "q_ivf_persisted",
-    # (a2) new later in round 8: the forecast-verification trio —
-    # ensemble CRPS, empirical quantile-mapping bias correction,
-    # percentile-threshold extreme index (TX90p)
-    "q_crps", "q_quantile_map", "q_tx90p", "q_gopher_rules",
-    "q_hdf5_compound", "q_return_levels", "q_spi", "q_logreg",
-    "q_kerchunk_pqappend", "q_rx5day",
-    # (b) last graded in round 1 — the oldest evidence anywhere
-    "q_cube", "q_fingerprint", "q_gap_fill", "q_grouping_sets",
-    "q_heavy_hitters", "q_interp", "q_lang_id", "q_locf",
-    "q_moving_median", "q_quality_score", "q_tfidf",
-    # (c) last graded in round 3 — HASH-CHECKED keys only inside the
-    # window (r7's full-green window precedent: a rows-only key in a
-    # graded slot records only the weaker rows-only row, so the six
-    # rows-only r3 keys regrade after the hash-checked backlog clears)
-    "q_asof_align", "q_connected_components",
-    "q_corpus_curation", "q_curvilinear_regrid",
-    "q_dedup_docs", "q_dedup_events",
-    "q_doc_repetition", "q_embed_stats",
-    "q_grouped_agg_udf", "q_grouped_apply",
-    "q_jsonl_ingest", "q_lang_stats", "q_map_lookup",
-    "q_multimodal_pipeline", "q_netcdf_climatology",
-    "q_ngram_jaccard", "q_regrid_weighted",
-    "q_regrid_weights_gen",
-    "q_semantic_dedup", "q_session", "q_sim_knn",
-    "q_sliding",
-    # --- 50-key window boundary (17 new + 11 r1 + 22 r3 = 50) ---
+    # (a) new in round 9: twin-less HDF5 filter pipelines virtualized
+    # through the hdf5-filter pseudo-codec, GRIB2 chemistry templates
+    # 4.40-4.43, rotated/affine GeoTIFF grids
+    "q_kerchunk_h5filters", "q_grib2_chem", "q_geotiff_rotated",
+    # (b) last graded in round 3 — the oldest hash-checked evidence
     "q_token_explode", "q_token_pagerank", "q_warc_ingest",
-    # (c2) the r3 cohort's rows-only keys (weaker driver rows by
-    # design — LSH-seed/packing-order outputs) follow the boundary
+    # (c) r4 cohort, oldest first (44 of 50 fit this round; the
+    # remaining 6 — q_incremental_dedup, q_url_dedup,
+    # q_zarr_climatology, q_area_weighted_mean, q_grib2_climatology,
+    # q_span_dedup — regrade in r10 with the rows-only keys)
+    "q_conservative_regrid", "q_bilinear_regrid", "q_pq_adc_knn",
+    "q_bpe_merges", "q_model_metrics", "q_taylor_stats",
+    "q_seasonal_cycle", "q_harmonic_fit", "q_autocorr", "q_extremes",
+    "q_ensemble_agreement", "q_top_tokens_per_lang", "q_contamination",
+    "q_bm25", "q_centroids", "q_kmeans", "q_nearest_regrid",
+    "q_salted_agg", "q_pivot", "q_scalar_subquery", "q_exists_subquery",
+    "q_correlated_scalar", "q_unpivot", "q_conditional_agg",
+    "q_shipping_priority", "q_market_share", "q_promo_revenue",
+    "q_custdist", "q_salted_join", "q_multi_distinct", "q_scd2",
+    "q_funnel", "q_markov_transitions", "q_sequence_match",
+    "q_netcdf4_climatology", "q_netcdf_lev_climatology",
+    "q_inverted_index", "q_quality_classifier", "q_data_mixture",
+    "q_repeated_ngrams", "q_unigram_logprob", "q_triangle_count",
+    "q_dsir_weights", "q_domain_cap",
+    # --- 50-key window boundary (3 new + 3 r3 + 44 r4 = 50) ---
+    "q_span_dedup", "q_incremental_dedup", "q_url_dedup",
+    "q_zarr_climatology", "q_area_weighted_mean", "q_grib2_climatology",
+    # (d) the rows-only keys, scheduled for the r10 window (see above)
     "q_ann_knn", "q_dedup_clusters", "q_doc_packing",
     "q_embed_neardup", "q_ivf_knn", "q_minhash_dedup",
     "q_simhash_pairs",
-    # (d) r4 cohort next (the VERDICT-named regrid family leads)
-    "q_conservative_regrid",
-    "q_bilinear_regrid", "q_pq_adc_knn", "q_bpe_merges",
-    # (e) everything else (all r1-r7 driver-green) follows in registry
+    # (e) everything else (all r1-r8 driver-green) follows in registry
     # dict order via _ordered()'s fall-through.
 )
 

@@ -253,3 +253,94 @@ def q_geotiff_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_geotiff(
         spark, os.path.join(fix, "ov.tif"), overview=0
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 — rotated/affine grids (VERDICT r8 item 5): the national-met
+# rotated UTM raster shape. ModelTransformation cross terms make
+# lat/lon non-separable, so block pruning is a corner-hull envelope
+# and in-block bounds masking is elementwise over the 2-D affine
+# coordinate grids — both landed r7 but carried no driver-graded key.
+# ---------------------------------------------------------------------------
+_ROT_FIX = "/tmp/bcdp_spark_geotiff_rotated_fixture_v1"
+_ROT_R, _ROT_C = 12, 10
+
+
+def _ensure_rotated_fixture() -> str:
+    from bcdp_spark.sources.geotiff import write_geotiff
+
+    done = os.path.join(_ROT_FIX, ".complete")
+    if os.path.exists(done):
+        return _ROT_FIX
+    os.makedirs(_ROT_FIX, exist_ok=True)
+    r = np.arange(_ROT_R)[:, None]
+    c = np.arange(_ROT_C)[None, :]
+    vals = np.where((r + c) % 6 == 0, np.nan, 0.25 * (r * 100 + c))
+    raw = write_geotiff(
+        vals.astype("<f8"),
+        lat0=3.0, lon0=1.0, dlat=0.5, dlon=0.5,
+        rotation=(0.125, 0.0625),  # xr = dlon/drow, yc = dlat/dcol
+        nodata=-9999.0, compression=8, rows_per_strip=4,
+    )
+    tmp = os.path.join(_ROT_FIX, ".rot.tif.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, os.path.join(_ROT_FIX, "rot.tif"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _ROT_FIX
+
+
+@register(
+    "q_geotiff_rotated",
+    oracle=f"""
+WITH grid AS (
+  SELECT r.g AS r, c.g AS c,
+         3.0 - r.g * 0.5 + c.g * 0.0625 AS lat,
+         1.0 + c.g * 0.5 + r.g * 0.125 AS lon,
+         CASE WHEN (r.g + c.g) % 6 = 0 THEN NULL
+              ELSE 0.25 * (r.g * 100 + c.g)
+         END AS value
+  FROM generate_series(0, {_ROT_R - 1}) r(g),
+       generate_series(0, {_ROT_C - 1}) c(g)
+)
+SELECT CAST(FLOOR(lat) AS INT) AS lat_band,
+       COUNT(*) AS n_cells,
+       COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(lon AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_lon,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM grid
+WHERE lat BETWEEN -1.0 AND 3.0 AND lon BETWEEN 1.5 AND 6.0
+GROUP BY 1
+""",
+)
+def q_geotiff_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT raster source (r9): full-affine ModelTransformation grid —
+    lon = lon0 + c·dlon + r·xr, lat = lat0 − r·dlat + c·yc with
+    nonzero cross terms. Bounds prune strips via the four-corner hull
+    (conservative by construction) and the surviving blocks mask the
+    2-D affine coordinate grids elementwise; nodata→NULL. Grouping by
+    floor(lat) certifies the non-separable coordinate emission
+    pixel-exactly (binary-exact affine steps). ``sf_dir`` unused."""
+    from bcdp_spark.sources.geotiff import load_geotiff
+
+    utc(spark)
+    fix = _ensure_rotated_fixture()
+    df = load_geotiff(
+        spark, os.path.join(fix, "rot.tif"),
+        lat_bnds=(-1.0, 3.0), lon_bnds=(1.5, 6.0),
+    )
+    return df.groupBy(
+        F.floor("lat").cast("int").alias("lat_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("lon").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_lon"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

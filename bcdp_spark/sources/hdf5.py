@@ -1990,8 +1990,14 @@ def load_hdf5_table(spark, path, var: str | None = None,
                 return name
         raise ValueError("no compound dataset in file (pass var=)")
 
+    # unsigned members widen to the next signed Spark type so values
+    # above the signed max stay exact (Spark has no unsigned types;
+    # u8 would need DECIMAL(20,0) — loud seam). ADVICE r8: the
+    # previous map keyed on size alone, so an unsigned member silently
+    # decoded through a signed Arrow column and large values corrupted.
     _SPARK_T = {"f4": "float", "f8": "double", "i1": "tinyint",
-                "i2": "smallint", "i4": "int", "i8": "bigint"}
+                "i2": "smallint", "i4": "int", "i8": "bigint",
+                "u1": "smallint", "u2": "int", "u4": "bigint"}
 
     first = H5File(open_raw(files[0]))
     vname = _pick(first)
@@ -2008,11 +2014,14 @@ def load_hdf5_table(spark, path, var: str | None = None,
     for n, _off, sub in mdt.members:
         if n not in names:
             continue
-        key = f"{'f' if sub.cls == 1 else 'i'}{sub.size}"
+        key = (
+            "f" if sub.cls == 1 else ("i" if sub.signed else "u")
+        ) + str(sub.size)
         if sub.cls not in (0, 1) or key not in _SPARK_T:
             raise NotImplementedError(
-                f"compound member {n!r} has no Spark column type "
-                "(fixed-point/float members only)"
+                f"compound member {n!r} ({key}) has no Spark column "
+                "type (fixed-point/float members only; unsigned "
+                "64-bit would need DECIMAL)"
             )
         fields.append(f"{n} {_SPARK_T[key]}")
     schema = ", ".join(fields)

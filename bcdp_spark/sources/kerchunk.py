@@ -806,14 +806,27 @@ def _append_refs_parquet(
         dims = json.loads(meta.get(f"{name}/.zattrs", "{}")).get(
             "_ARRAY_DIMENSIONS", []
         )
-        if name == concat_dim or (dims and dims[0] == concat_dim):
+        if name == concat_dim:
+            # rewrite the coordinate's .zarray WHOLESALE (shape/chunks/
+            # dtype = len/len/<f8) — the shard below stores <f8 bytes,
+            # so patching only shape/chunks would silently corrupt a
+            # store whose coord dtype differed (ADVICE r8: mirror the
+            # JSON append path's _zarray rewrite)
+            meta[k] = _zarray((len(new_cat),), (len(new_cat),), "<f8")
+        elif dims and dims[0] == concat_dim:
             za = json.loads(meta[k])
+            if za["chunks"][0] != 1:
+                # offsets below are VALUE counts — non-unit concat
+                # chunking would misplace every appended chunk index
+                # (ADVICE r8: the JSON path raises here; stores built
+                # by index_files/combine_refs always satisfy this)
+                raise NotImplementedError(
+                    f"append_refs: {name!r} is not chunked 1 along "
+                    f"{concat_dim!r}"
+                )
             za["shape"] = [int(len(new_cat)), *za["shape"][1:]]
-            if name == concat_dim:
-                za["chunks"] = [int(len(new_cat))]
             meta[k] = json.dumps(za)
-            if name != concat_dim:
-                concat_vars.add(name)
+            concat_vars.add(name)
     grids = _grids_of(meta)
 
     written = 0
@@ -1065,6 +1078,7 @@ def index_files(
     concat_dim: str = "time",
     refs_format: str = "json",
     record_size: int = 100_000,
+    indexer_kwargs: dict | None = None,
 ) -> dict:
     """Fleet-scale scan-once indexing, executor-resident end to end:
     one task per archive file reads only headers/chunk B-trees, writes
@@ -1086,7 +1100,10 @@ def index_files(
     Returns the merged document (json) or ``{"version": 1, "store":
     <dir>}`` (parquet). ``fmt``: 'netcdf3', 'hdf5', or 'grib2'.
     ``out_dir`` must be storage every executor can reach (shared FS /
-    object store — same contract as any Spark sink)."""
+    object store — same contract as any Spark sink).
+    ``indexer_kwargs`` pass through to the per-file indexer (r9: e.g.
+    ``{"dims": {...}}`` for plain-HDF5 files that carry no
+    ``_ARRAY_DIMENSIONS`` attributes)."""
     import os as _os
     import tempfile
 
@@ -1112,10 +1129,11 @@ def index_files(
         from bcdp_spark.sources.zarr import read_array
 
         fn = getattr(K, indexer)
+        kw = indexer_kwargs or {}
         for pdf in batch:
             out = []
             for p in pdf["path"]:
-                doc = fn(p)
+                doc = fn(p, **kw)
                 rp = _os.path.join(
                     out_dir, _os.path.basename(p) + ".refs.json"
                 )

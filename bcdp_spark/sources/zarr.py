@@ -343,12 +343,34 @@ def _expand_gen(g: dict, templates: dict) -> dict:
         if "offset" in g and "length" in g:
             out[key] = [
                 url,
-                int(_render_tpl(str(g["offset"]), env)),
-                int(_render_tpl(str(g["length"]), env)),
+                _tpl_int(g["offset"], env, "offset"),
+                _tpl_int(g["length"], env, "length"),
             ]
         else:
             out[key] = [url]
     return out
+
+
+def _tpl_int(tpl, env: dict, what: str) -> int:
+    """Render a gen offset/length template to an INTEGER byte count.
+    _render_tpl stringifies the evaluator's result, so true division
+    in a template (e.g. '{{i/2*4096}}') renders '2048.0'; coerce via
+    float with an integrality check so a fractional result raises the
+    loud seam error, not a bare ValueError (ADVICE r8)."""
+    s = _render_tpl(str(tpl), env)
+    try:
+        f = float(s)
+    except ValueError:
+        raise NotImplementedError(
+            f"refs gen {what} template {tpl!r} rendered non-numeric "
+            f"{s!r}"
+        ) from None
+    if f != int(f):
+        raise NotImplementedError(
+            f"refs gen {what} template {tpl!r} rendered fractional "
+            f"byte count {s!r} — use integer arithmetic (//)"
+        )
+    return int(f)
 
 
 @functools.lru_cache(maxsize=32)

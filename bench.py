@@ -67,16 +67,19 @@ def main() -> None:
     medians: dict[str, float] = {}
     for key in HEADLINE:
         # Build the logical plan once, execute cold (pays analysis +
-        # whole-stage codegen compile), then report the BEST of seven warm
-        # executions — the same prepared-query-re-fetched methodology as
-        # BASELINE.md's warm DuckDB numbers, with min-of-N absorbing
-        # scheduler noise on a shared host.
+        # whole-stage codegen compile), then report the BEST of fifteen
+        # warm executions — the same prepared-query-re-fetched
+        # methodology as BASELINE.md's warm DuckDB numbers. r9 raised
+        # min-of-7 to min-of-15 (VERDICT r8 item 6): with byte-identical
+        # plans, per-query deltas across rounds were moving ±11-18% on
+        # box noise alone; a deeper min tames the sampling floor at a
+        # cost of ~0.5 s per query.
         df = qs[key](spark, sf_dir)
         df.toPandas()
         df.toPandas()  # second warmup lets JIT finish on the hot paths
         df.toPandas()  # third absorbs any late AQE/codegen recompile
         runs = []
-        for _ in range(7):
+        for _ in range(15):
             t0 = time.perf_counter()
             df.toPandas()
             runs.append(time.perf_counter() - t0)

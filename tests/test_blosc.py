@@ -506,3 +506,31 @@ def test_blosclz_garbage_never_crashes_or_overruns(junk, dst):
         assert len(out) == dst
     except (ValueError, IndexError):
         pass
+
+
+def test_blosclz_cross_certified_against_real_cblosc():
+    """Standing cross-check (VERDICT r8 item 8): the first time a real
+    c-blosc producer is importable in this environment, certify our
+    from-scratch blosclz decoder against its actual output (the
+    zstd/snappy precedent). Skips loudly until then — the in-container
+    certification remains hand-built grammar streams + round-trips
+    (sources/blosclz.py docstring)."""
+    blosc = pytest.importorskip(
+        "blosc", reason="no c-blosc binding in this container — "
+        "blosclz frames certified by grammar streams only (FORMATS.md)"
+    )
+    from bcdp_spark.sources.blosc import blosc_decompress
+
+    rng = np.random.default_rng(7)
+    for typesize, shuffle in ((1, 0), (4, 1), (8, 1), (4, 2)):
+        for data in (
+            bytes(rng.integers(0, 4, 4096 * typesize, dtype=np.uint8)),
+            np.arange(2048, dtype=f"<i{typesize}" if typesize > 1
+                      else "<u1").tobytes(),
+            b"\x00" * 8192,
+        ):
+            frame = blosc.compress(
+                data, typesize=typesize, cname="blosclz",
+                shuffle=shuffle, clevel=5,
+            )
+            assert blosc_decompress(frame) == data

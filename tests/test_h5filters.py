@@ -518,3 +518,28 @@ def test_szip_through_full_hdf5_pipeline(tmp_path):
             {"x": (["a", "b"], arr, {})}, chunk={"x": (8, 32)}, **kw
         )
         assert np.array_equal(H5File(raw).read("x"), arr), kw
+
+
+def test_szip_cross_certified_against_real_libaec():
+    """Standing cross-check (VERDICT r8 item 8): the first time a real
+    libaec/szip binding is importable, certify our CCSDS-121 szip
+    decoder against its actual frames. Skips loudly until then."""
+    pytest.importorskip(
+        "libaec", reason="no libaec binding in this container — szip "
+        "frames certified by framing hand-vectors + round-trip only "
+        "(FORMATS.md)"
+    )
+    import libaec
+
+    from bcdp_spark.sources.h5filters import szip_cdvals, szip_decode
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 200, 512, dtype=np.uint8).tobytes()
+    cvals = szip_cdvals((512,), np.dtype("u1"), 8, "nn")
+    # H5Zszip framing: LE uint32 plain-byte count + AEC stream
+    import struct as _st
+
+    comp = libaec.compress(data, bits_per_sample=8, block_size=8,
+                           rsi=64, flags=libaec.SZ_NN_OPTION_MASK)
+    frame = _st.pack("<I", len(data)) + comp
+    assert szip_decode(frame, cvals) == data

@@ -781,3 +781,42 @@ def test_compound_nested_member_raises():
     )
     with pytest.raises(NotImplementedError, match="compound member"):
         _parse_datatype(body)
+
+
+def test_compound_unsigned_members_widen_in_spark_table(spark):
+    """ADVICE r8: unsigned compound members used to key the Spark type
+    map on size alone, silently declaring a signed column — values
+    above the signed max corrupted in the Arrow conversion. They now
+    widen to the next signed Spark type (u1→smallint, u2→int,
+    u4→bigint); u8 raises loudly."""
+    import tempfile
+
+    from bcdp_spark.sources.hdf5 import load_hdf5_table, write_hdf5
+
+    obs = np.zeros(
+        4,
+        dtype=np.dtype(
+            {
+                "names": ["seq", "code", "count", "value"],
+                "formats": ["<u4", "<u1", "<u2", "<f8"],
+                "offsets": [0, 4, 6, 8],
+                "itemsize": 16,
+            }
+        ),
+    )
+    obs["seq"] = [1, 2, 3, 4_000_000_000]      # > int32 max
+    obs["code"] = [0, 127, 200, 255]           # > int8 max
+    obs["count"] = [0, 1, 40_000, 65_535]      # > int16 max
+    obs["value"] = [0.5, 1.5, 2.5, 3.5]
+    raw = write_hdf5({"obs": (["row"], obs, {})}, gzip_level=None)
+    with tempfile.NamedTemporaryFile(suffix=".h5", delete=False) as fh:
+        fh.write(raw)
+        path = fh.name
+    df = load_hdf5_table(spark, path)
+    assert dict(df.dtypes) == {
+        "seq": "bigint", "code": "smallint", "count": "int",
+        "value": "double",
+    }
+    rows = {r["seq"]: r for r in df.collect()}
+    assert rows[4_000_000_000]["code"] == 255
+    assert rows[4_000_000_000]["count"] == 65_535

@@ -1456,3 +1456,166 @@ def test_refs_gen_evaluator_differential_and_pow_rejected():
         assert _gen_eval(expr, env) == want, expr
     with pytest.raises(NotImplementedError, match="Pow"):
         _gen_eval("10**10**10", {})
+
+
+def _raw_refs_doc(t0, nt, chunk0=1, coord_dtype="<f8"):
+    """Hand-built version-1 refs document (NOT an index_files product):
+    inline base64 values so no backing file is needed."""
+    import base64 as _b64
+
+    def b64(arr):
+        return "base64:" + _b64.b64encode(
+            np.ascontiguousarray(arr).tobytes()
+        ).decode()
+
+    refs = {
+        ".zgroup": json.dumps({"zarr_format": 2}),
+        "time/.zarray": json.dumps({
+            "zarr_format": 2, "shape": [nt], "chunks": [nt],
+            "dtype": coord_dtype, "compressor": None, "fill_value": 0,
+            "order": "C", "filters": None,
+        }),
+        "time/.zattrs": json.dumps({
+            "_ARRAY_DIMENSIONS": ["time"],
+            "units": "days since 2005-01-01",
+        }),
+        "time/0": b64(np.arange(t0, t0 + nt).astype(coord_dtype)),
+        "tas/.zarray": json.dumps({
+            "zarr_format": 2, "shape": [nt, 3], "chunks": [chunk0, 3],
+            "dtype": "<f8", "compressor": None, "fill_value": "NaN",
+            "order": "C", "filters": None,
+        }),
+        "tas/.zattrs": json.dumps({"_ARRAY_DIMENSIONS": ["time", "y"]}),
+    }
+    for i in range(-(-nt // chunk0)):
+        n = min(chunk0, nt - i * chunk0)
+        block = (
+            np.arange(n * 3, dtype="<f8").reshape(n, 3)
+            + (t0 + i * chunk0) * 100
+        )
+        if n < chunk0:  # zarr stores edge chunks at full chunk shape
+            block = np.pad(block, ((0, chunk0 - n), (0, 0)))
+        refs[f"tas/{i}.0"] = b64(block)
+    return {"version": 1, "refs": refs}
+
+
+def test_append_refs_parquet_guards_raw_doc_stores(tmp_path):
+    """ADVICE r8: _append_refs_parquet now mirrors the JSON path's two
+    guards — a concat var NOT chunked 1 along the concat axis raises
+    (offsets are value counts; non-unit chunking would misplace every
+    appended chunk index), and the concat coordinate's .zarray is
+    rewritten wholesale to <f8 (the shard stores <f8 bytes, so an
+    integer-dtype coord from a raw write_refs_parquet doc would
+    silently decode garbage after append)."""
+    from bcdp_spark.sources.kerchunk import append_refs, write_refs, write_refs_parquet
+    from bcdp_spark.sources.zarr import read_array
+
+    # guard 1: non-unit concat chunking raises instead of corrupting
+    bad = _raw_refs_doc(0, 4, chunk0=2)
+    store1 = str(tmp_path / "bad_store")
+    write_refs_parquet(bad, store1, record_size=4)
+    part = _raw_refs_doc(4, 2, chunk0=2)
+    part_path = str(tmp_path / "part_bad.json")
+    write_refs(part, part_path)
+    with pytest.raises(NotImplementedError, match="chunked 1"):
+        append_refs(store1, [part_path])
+
+    # guard 2: integer coord dtype is rewritten to <f8 on append
+    doc = _raw_refs_doc(0, 4, coord_dtype="<i8")
+    store2 = str(tmp_path / "i8_store")
+    write_refs_parquet(doc, store2, record_size=4)
+    part2 = _raw_refs_doc(4, 2, coord_dtype="<i8")
+    part2_path = str(tmp_path / "part_i8.json")
+    write_refs(part2, part2_path)
+    append_refs(store2, [part2_path])
+    with open(f"{store2}/meta.json") as fh:
+        za = json.loads(json.load(fh)["metadata"]["time/.zarray"])
+    assert za["dtype"] == "<f8"
+    assert za["shape"] == [6] and za["chunks"] == [6]
+    vals, _ = read_array(f"refs::{store2}", "time")
+    np.testing.assert_array_equal(np.asarray(vals), np.arange(6.0))
+
+
+def test_refs_gen_fractional_offset_raises_loudly(tmp_path):
+    """ADVICE r8: a gen template using true division used to surface
+    as a bare ValueError from int('2048.0'); it now raises the loud
+    NotImplementedError naming the offending template, and
+    integer-valued float results still coerce."""
+    from bcdp_spark.sources.zarr import _expand_gen, _tpl_int
+
+    g = {
+        "key": "x/{{i}}",
+        "url": "file:///d/p.bin",
+        "dimensions": {"i": {"stop": 2}},
+        "offset": "{{i*4096+1}}",
+        "length": "4096",
+    }
+    out = _expand_gen(dict(g), {})
+    assert out["x/1"] == ["file:///d/p.bin", 4097, 4096]
+    # the ADVICE case: true division renders '2048.0' — int() used to
+    # raise a bare ValueError even though the value is integral; it
+    # must now coerce
+    g["offset"] = "{{i/2*4096}}"
+    out = _expand_gen(dict(g), {})
+    assert out["x/1"] == ["file:///d/p.bin", 2048, 4096]
+    # genuinely fractional byte counts raise the loud seam error
+    g["offset"] = "{{i/3*4096}}"
+    with pytest.raises(NotImplementedError, match="fractional"):
+        _expand_gen(dict(g), {})
+    with pytest.raises(NotImplementedError, match="non-numeric"):
+        _tpl_int("{{u}}", {"u": "http://h/x"}, "offset")
+
+
+def test_index_files_parquet_szip_archive_end_to_end(spark, tmp_path):
+    """r9 composition: a two-file szip+fletcher32 NetCDF-4 archive (the
+    NASA-era pipeline with NO zarr twin) goes through the DISTRIBUTED
+    index_files flow into a sharded parquet refs store — the
+    hdf5-filter pseudo-codec rides meta.json like any compressor — and
+    reads back exactly, with time-bounds pruning intact."""
+    from bcdp_spark.sources.hdf5 import write_hdf5
+    from bcdp_spark.sources.kerchunk import index_files
+    from bcdp_spark.sources.zarr import load_zarr
+
+    paths, total = [], 0.0
+    for part, t0 in (("a", 0), ("b", 4)):
+        t = np.arange(4)[:, None, None]
+        a = np.arange(2)[None, :, None]
+        o = np.arange(3)[None, None, :]
+        data = ((t + t0) * 100 + a * 10 + o).astype("<f8")
+        raw = write_hdf5(
+            {
+                "time": (["time"], np.arange(t0, t0 + 4, dtype="<f8"),
+                         {"units": "days since 2010-01-01"}),
+                "lat": (["lat"], np.array([-10.0, 10.0]), {}),
+                "lon": (["lon"], np.arange(3) * 120.0, {}),
+                "pr": (["time", "lat", "lon"], data, {}),
+            },
+            chunk={"pr": (1, 2, 3)},
+            gzip_level=None, szip={"pr": (4, "nn")}, fletcher=True,
+        )
+        p = tmp_path / f"{part}.h5"
+        p.write_bytes(raw)
+        paths.append(str(p))
+        total += data.sum()
+    out = index_files(
+        spark, paths, fmt="hdf5",
+        out_dir=str(tmp_path / "szstore"), refs_format="parquet",
+        record_size=4,
+        indexer_kwargs={"dims": {
+            "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+            "pr": ["time", "lat", "lon"],
+        }},
+    )
+    store = out["store"]
+    with open(f"{store}/meta.json") as fh:
+        za = json.loads(json.load(fh)["metadata"]["pr/.zarray"])
+    assert za["compressor"]["id"] == "hdf5-filter"
+    assert [f[0] for f in za["compressor"]["filters"]] == [4, 3]
+    pdf = load_zarr(spark, f"refs::{store}").toPandas()
+    assert len(pdf) == 8 * 2 * 3
+    assert pdf.value.sum() == pytest.approx(total)
+    pdf2 = load_zarr(
+        spark, f"refs::{store}",
+        time_bnds=("2010-01-03", "2010-01-06"),
+    ).toPandas()
+    assert len(pdf2) == 4 * 2 * 3
