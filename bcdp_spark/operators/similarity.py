@@ -742,3 +742,53 @@ def ivf_index_probe(
         .orderBy(F.col("sim").desc(), id_col)
         .limit(int(topk))
     )
+
+
+def ivf_index_append(spark, path: str, df: DataFrame) -> dict:
+    """Grow a persisted IVF index IN PLACE (r9) — the kerchunk
+    ``append_refs`` story for vectors: new embeddings are assigned to
+    the EXISTING (frozen) centroids in one broadcast argmin pass and
+    land as NEW part files inside their cell directories
+    (``mode('append')`` + ``partitionBy``), so pre-append part files
+    are never rewritten and a running probe's planning-time cell
+    pruning keeps working unchanged. No retrain: centroid drift is the
+    caller's rebuild decision (``meta['appended']`` counts rows added
+    since build, the natural rebuild trigger at 100 TB — re-cluster
+    when appends dwarf the trained corpus).
+
+    Determinism matches ``lloyd_kmeans``'s assignment leg exactly:
+    argmin over bit-identical ``flat_sqdist`` doubles with a
+    lowest-cell tiebreak."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    id_col, vec_col, dim = meta["id_col"], meta["vec_col"], meta["dim"]
+
+    cents = spark.read.parquet(_os.path.join(path, "centroids")).select(
+        F.col("cell").alias("__cell"),
+        F.col("centroid").alias("__c"),
+    )
+    assigned = (
+        df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        .join(F.broadcast(cents))
+        .withColumn("__d", flat_sqdist("__v", "__c", dim))
+        .groupBy(df.columns)
+        .agg(
+            F.min_by("__cell", F.struct("__d", "__cell")).alias(
+                "ivf_cell"
+            )
+        )
+    )
+    (
+        assigned.select(*df.columns, "ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(_os.path.join(path, "vectors"))
+    )
+    n_new = df.count()
+    meta["appended"] = int(meta.get("appended", 0)) + int(n_new)
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return meta

@@ -473,3 +473,76 @@ def q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast join; a PERSISTED-index probe takes the vector as a
     # plain argument — the caller has it by definition)
     return ivf_index_probe(spark, path, q, topk=8, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# X3+ (r9) — INCREMENTAL IVF append: the persisted index grows in
+# place as the corpus does (the kerchunk append_refs story for
+# vectors). New embeddings assign to the FROZEN centroids in one
+# broadcast argmin pass and land as new part files inside their cell
+# directories — pre-append files never rewritten, planning-time cell
+# pruning unchanged. Graded with nprobe = n_cells (= exact cosine over
+# the UNION), so a hash match certifies that build+append together
+# hold exactly the full corpus with no loss or duplication.
+# ---------------------------------------------------------------------------
+_IVFA_DIR = "/tmp/bcdp_spark_ivf_append_fixture_v1"
+
+
+def _ensure_ivf_appended_index(spark, sf_dir: str) -> str:
+    import os
+
+    from bcdp_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_IVFA_DIR, tag)
+    done = os.path.join(path, ".complete")
+    if os.path.exists(done):
+        return path
+    emb = table(spark, sf_dir, "embeddings")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    split = ids[len(ids) // 2]  # bounded: fixture-sized id list, once
+    ivf_index_build(emb.filter(F.col("vec_id") < split), path, k=4,
+                    n_iter=2)
+    ivf_index_append(spark, path,
+                     emb.filter(F.col("vec_id") >= split))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+@register(
+    "q_ivf_append",
+    oracle="""
+SELECT vec_id, ROUND(sim_raw, 6) AS sim
+FROM (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS sim_raw
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 11) q
+)
+ORDER BY ROUND(sim_raw, 6) DESC, vec_id
+LIMIT 8
+""",
+)
+def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r9): incremental IVF append — index built on the first
+    half of the corpus, the second half appended against the frozen
+    centroids, probed with nprobe = n_cells (≡ exact cosine over the
+    union, SQL-twinnable). Unit tests pin the in-place file behavior
+    (pre-append part files untouched) and post-append nprobe<k
+    planning-time pruning."""
+    from bcdp_spark.operators.similarity import ivf_index_probe
+
+    utc(spark)
+    path = _ensure_ivf_appended_index(spark, sf_dir)
+    q = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 11)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )  # bounded: the 1-row query vector
+    return ivf_index_probe(spark, path, q, topk=8, nprobe=4)

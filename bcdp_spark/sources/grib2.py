@@ -987,18 +987,32 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
     sec5 = secs[5]
     (n_points,) = struct.unpack_from(">I", sec5, 5)
     (template5,) = struct.unpack_from(">H", sec5, 9)
-    if template5 not in (0, 2, 3, 40, 41, 42):
+    if template5 not in (0, 2, 3, 4, 40, 41, 42):
         raise NotImplementedError(
             f"GRIB2 data template 5.{template5} not supported "
-            "(simple 5.0 / complex 5.2+5.3 / JPEG2000 5.40 via external "
-            "decoder / PNG 5.41 / CCSDS 5.42 only)"
+            "(simple 5.0 / complex 5.2+5.3 / IEEE 5.4 / JPEG2000 5.40 "
+            "via external decoder / PNG 5.41 / CCSDS 5.42 only)"
         )
-    (ref_val,) = struct.unpack_from(">f", sec5, 11)
-    (e_raw,) = struct.unpack_from(">H", sec5, 15)
-    (d_raw,) = struct.unpack_from(">H", sec5, 17)
-    nbits = sec5[19]
-    e_scale = _sm_decode(e_raw, 16)
-    d_scale = _sm_decode(d_raw, 16)
+    if template5 == 4:
+        # 5.4 (IEEE floating point): no reference value or scaling —
+        # section 7 is raw big-endian IEEE floats; the only field is
+        # the table-5.7 precision code at octet 12
+        ieee_prec = sec5[11]
+        ieee_dt = {1: ">f4", 2: ">f8"}.get(ieee_prec)
+        if ieee_dt is None:
+            raise NotImplementedError(
+                f"GRIB2 IEEE precision code {ieee_prec} (table 5.7) "
+                "not supported — 32/64-bit only"
+            )
+        ref_val, e_scale, d_scale = 0.0, 0, 0
+        nbits = {1: 32, 2: 64}[ieee_prec]
+    else:
+        (ref_val,) = struct.unpack_from(">f", sec5, 11)
+        (e_raw,) = struct.unpack_from(">H", sec5, 15)
+        (d_raw,) = struct.unpack_from(">H", sec5, 17)
+        nbits = sec5[19]
+        e_scale = _sm_decode(e_raw, 16)
+        d_scale = _sm_decode(d_raw, 16)
 
     sec6 = secs[6]
     bitmap_ind = sec6[5]
@@ -1029,6 +1043,15 @@ def decode_message(raw: bytes, offset: int = 0, field: int = 0) -> Grib2Field:
 
     if template5 == 0:
         x = _unpack_bits(secs[7][5:], nbits, n_points).astype(np.float64)
+    elif template5 == 4:
+        need = n_points * (nbits // 8)
+        body = secs[7][5 : 5 + need]
+        if len(body) != need:
+            raise ValueError(
+                f"GRIB2 IEEE section 7 holds {len(secs[7]) - 5} bytes, "
+                f"{need} required for {n_points} values"
+            )
+        x = np.frombuffer(body, dtype=ieee_dt).astype(np.float64)
     elif template5 == 40:
         x = _decode_jpeg2000_packed(secs[7][5:], n_points).astype(
             np.float64
@@ -1523,15 +1546,20 @@ def write_grib2_message(
     flat = store.T.ravel() if j_consecutive else store.ravel()
     present = ~np.isnan(flat)
     packed_vals = flat[present]
-    x_float = (packed_vals * (10.0 ** decimal_scale) - ref_value) / (
-        2.0 ** binary_scale
-    )
-    if np.any(x_float < -0.5):
-        raise ValueError(
-            "values below the reference value cannot be simple-packed; "
-            "lower ref_value"
+    if packing == 4:
+        # IEEE packing stores the values verbatim — no scaling, and no
+        # reference-value floor to enforce
+        x = np.zeros(0, dtype=np.uint64)
+    else:
+        x_float = (packed_vals * (10.0 ** decimal_scale) - ref_value) / (
+            2.0 ** binary_scale
         )
-    x = np.rint(x_float).astype(np.uint64)
+        if np.any(x_float < -0.5):
+            raise ValueError(
+                "values below the reference value cannot be simple-"
+                "packed; lower ref_value"
+            )
+        x = np.rint(x_float).astype(np.uint64)
     # with nbits=0, 1 << 0 == 1 makes this exactly the loud-failure
     # condition for any nonzero scaled value (all-constant fields only)
     if packing == 0 and np.any(x >= (1 << nbits)):
@@ -1806,7 +1834,18 @@ def write_grib2_message(
             1, 0,                      # n time ranges, total missing
             1, 2, 1, stat_hours, 255, 0,  # accum, same fcst, hours, len
         )
-    if packing in (0, 41, 42):
+    if packing == 4:
+        # data template 5.4: precision code (table 5.7) + raw IEEE
+        # floats in section 7 — what ECMWF ships for fields whose
+        # dynamic range defeats fixed-point packing
+        prec = 2 if nbits == 64 else 1
+        sec5 = struct.pack(
+            ">IBIHB", 12, 5, int(packed_vals.size), 4, prec
+        )
+        payload = np.ascontiguousarray(
+            packed_vals, dtype=">f8" if prec == 2 else ">f4"
+        ).tobytes()
+    elif packing in (0, 41, 42):
         if packing in (41, 42) and np.any(x >= (1 << max(nbits, 1))):
             raise ValueError(
                 f"values do not fit in {nbits} bits after scaling"

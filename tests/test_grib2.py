@@ -2111,3 +2111,68 @@ def test_chem_selector_guards():
         _field(vals, nbits=1, chem=0, percentile=50)
     with pytest.raises(NotImplementedError, match="point-in-time"):
         _field(vals, nbits=1, satellite=(5, 16, 207, None), stat_hours=6)
+
+
+# -- r9: data template 5.4 (IEEE floating point) --------------------------
+
+
+def test_template54_ieee_roundtrip_exact():
+    """5.4 stores raw big-endian IEEE floats — no reference value or
+    scaling, so negative and huge-dynamic-range values (which defeat
+    fixed-point packing) round-trip bit-exactly; bitmap NaNs compose."""
+    rng = np.random.default_rng(3)
+    vals = rng.normal(scale=1e6, size=(3, 4))
+    vals[1, 2] = np.nan
+    for nbits, npdt in ((32, np.float32), (64, np.float64)):
+        raw = _field(vals, packing=4, nbits=nbits)
+        f = decode_message(raw)
+        exp = vals.astype(npdt).astype(np.float64)
+        assert np.isnan(f.values[1, 2])
+        m = ~np.isnan(vals)
+        np.testing.assert_array_equal(f.values[m], exp[m])
+
+
+def test_template54_unknown_precision_raises():
+    import struct as _st
+
+    raw = bytearray(_field(np.zeros((2, 3)), packing=4, nbits=32))
+    off = 16
+    while True:
+        ln, num = _st.unpack_from(">IB", raw, off)
+        if num == 5:
+            break
+        off += ln
+    raw[off + 11] = 3  # precision code 3 = IEEE 128-bit
+    with pytest.raises(NotImplementedError, match="precision code 3"):
+        decode_message(bytes(raw))
+
+
+def test_template54_truncated_section7_raises():
+    raw = _field(np.zeros((2, 3)), packing=4, nbits=32)
+    # chop the final 4 bytes of the message (last value + "7777" gone
+    # entirely would break framing; instead rebuild with a short body)
+    import struct as _st
+
+    b = bytearray(raw)
+    off = 16
+    sec7_off = None
+    while off < len(b) - 4:
+        ln, num = _st.unpack_from(">IB", b, off)
+        if num == 7:
+            sec7_off = off
+        off += ln
+    # shrink section 7 by one float and fix lengths
+    shrink = 4
+    new = (
+        bytes(b[:sec7_off])
+        + _st.pack(">IB", _st.unpack_from(">IB", b, sec7_off)[0] - shrink, 7)
+        + bytes(b[sec7_off + 5 : sec7_off + _st.unpack_from(">I", b, sec7_off)[0] - shrink])
+        + b"7777"
+    )
+    new = (
+        new[:8]
+        + _st.pack(">Q", len(new))
+        + new[16:]
+    )
+    with pytest.raises(ValueError, match="IEEE section 7"):
+        decode_message(new)

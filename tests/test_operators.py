@@ -2291,3 +2291,90 @@ def test_ivf_index_survives_fresh_reader(spark, tmp_path):
     q = [1.0] + [0.0] * 63  # unit vector, nothing session-cached
     rows = ivf_index_probe(spark, path, q, topk=2, nprobe=3).collect()
     assert len(rows) == 2 and rows[0]["sim"] >= rows[1]["sim"]
+
+
+# --------------------------------------------- incremental IVF (r9)
+
+
+def test_ivf_index_append_in_place_and_exact(spark, tmp_path):
+    """Append assigns new vectors to the FROZEN centroids and writes
+    only NEW part files — pre-append files untouched (mtime-asserted),
+    probe-at-nprobe=k over the grown index equals exact brute-force
+    cosine over the union, and the meta append counter accumulates."""
+    import glob
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb.filter("vec_id < 100"), path, k=4, n_iter=2)
+    cents_before = spark.read.parquet(f"{path}/centroids").collect()
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/vectors/ivf_cell=*/*.parquet")
+    }
+    meta = ivf_index_append(spark, path, emb.filter("vec_id >= 100"))
+    n_new = emb.filter("vec_id >= 100").count()
+    assert meta["appended"] == n_new
+    # pre-append part files byte-stable; centroids frozen
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/vectors/ivf_cell=*/*.parquet")
+    }
+    assert set(before) < set(after)
+    for f, m in before.items():
+        assert after[f] == m, f"pre-append part file rewritten: {f}"
+    assert spark.read.parquet(f"{path}/centroids").collect() == cents_before
+    # grown index holds exactly the union: nprobe=k == brute force
+    q = emb.filter("vec_id = 5").collect()[0]["embedding"]
+    got = ivf_index_probe(spark, path, q, topk=6, nprobe=4).collect()
+    v = F.col("embedding").cast("array<double>")
+    ql = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(F.zip_with(v, ql, lambda a, b: a * b),
+                      F.lit(0.0), lambda s, x: s + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda a, b: a * b),
+        F.lit(0.0), lambda s, x: s + x))
+    exact = (
+        emb.select("vec_id",
+                   F.round(dot / (nrm(v) * nrm(ql)), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id").limit(6).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+    # a second append keeps counting (the growing-corpus reality)
+    meta2 = ivf_index_append(
+        spark, path, emb.filter("vec_id < 0")
+    )  # empty: no new files, counter unchanged
+    assert meta2["appended"] == n_new
+
+
+def test_ivf_index_append_keeps_partition_pruning(spark, tmp_path):
+    """nprobe < k probes after an append still skip unprobed cell
+    directories at planning time — the append layout is invisible to
+    the probe plan."""
+    import re
+
+    from bcdp_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb.filter("vec_id < 100"), path, k=4, n_iter=2)
+    ivf_index_append(spark, path, emb.filter("vec_id >= 100"))
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    df = ivf_index_probe(spark, path, q, topk=3, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan[:2000]
+    assert m.group(1).count("ivf_cell") <= 2
