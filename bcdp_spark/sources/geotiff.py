@@ -337,17 +337,31 @@ def _meta_from_ifd(
         lat0 = float(tie[4]) + (float(tie[1]) - half) * sy
     elif fallback is not None:
         # GDAL COG overview IFDs carry no geo tags: scale the full-res
-        # georeference by the size ratio, pixel-is-area edge algebra
-        if fallback.xr or fallback.yc:
-            raise NotImplementedError(
-                "GeoTIFF: geo-tag-less overview IFD under a rotated "
-                "(ModelTransformation) full-res grid — the axis-"
-                "aligned size-ratio fallback does not apply"
-            )
-        sx = fallback.dlon * (fallback.width / width)
-        sy = fallback.dlat * (fallback.length / length)
-        lon0 = fallback.lon0 - 0.5 * fallback.dlon + 0.5 * sx
-        lat0 = fallback.lat0 + 0.5 * fallback.dlat - 0.5 * sy
+        # georeference by the size ratio, pixel-is-area edge algebra.
+        # r9: the general affine case — overview pixel (R, C) covers
+        # full-res rows [R·fy, (R+1)·fy) × cols [C·fx, (C+1)·fx), its
+        # CENTER sits at full-res pixel coords (R·fy + (fy−1)/2,
+        # C·fx + (fx−1)/2); substituting into lon = lon0 + c·dlon +
+        # r·xr (and the lat twin) scales the column steps by fx, the
+        # row steps by fy, and shifts the origin by the half-cell
+        # terms below. With xr = yc = 0 this reduces exactly to the
+        # old axis-aligned algebra.
+        fx = fallback.width / width
+        fy = fallback.length / length
+        sx = fallback.dlon * fx
+        sy = fallback.dlat * fy
+        xr = fallback.xr * fy
+        yc = fallback.yc * fx
+        lon0 = (
+            fallback.lon0
+            + 0.5 * (fx - 1.0) * fallback.dlon
+            + 0.5 * (fy - 1.0) * fallback.xr
+        )
+        lat0 = (
+            fallback.lat0
+            - 0.5 * (fy - 1.0) * fallback.dlat
+            + 0.5 * (fx - 1.0) * fallback.yc
+        )
     else:
         sx = sy = 1.0
         lon0, lat0 = 0.5, -0.5
@@ -897,29 +911,33 @@ def write_geotiff(
         ).astype(data.dtype)
 
     if rotation is not None:
-        # rotated/sheared grid -> ModelTransformation tag; the
-        # overview size-ratio fallback is axis-aligned-only, so the
-        # combination is rejected on the write side too
-        if overviews:
-            raise NotImplementedError(
-                "write_geotiff: rotation with overview IFDs not "
-                "supported"
-            )
+        # rotated/sheared grid -> ModelTransformation tag
         xr, yc = float(rotation[0]), float(rotation[1])
         pages = [(data, (lat0, lon0, dlat, dlon, xr, yc), None)]
     else:
+        xr = yc = 0.0
         pages = [(data, (lat0, lon0, dlat, dlon), None)]
     for f in overviews:
         ov = data[::f, ::f, :]
         # pixel-is-area edge algebra: overview cell 0 covers original
-        # rows/cols [0, f), its center sits half an overview cell in
-        geo_ov = (
-            (lat0 + 0.5 * dlat - 0.5 * f * dlat,
-             lon0 - 0.5 * dlon + 0.5 * f * dlon,
-             dlat * f, dlon * f)
-            if overview_geo
-            else None
-        )
+        # rows/cols [0, f), its center sits half an overview cell in;
+        # r9: the affine generalization scales cross terms by f too
+        # and shifts the origin by their half-cell contributions
+        # (reduces to the old expressions when xr = yc = 0)
+        if not overview_geo:
+            geo_ov = None
+        elif rotation is not None:
+            geo_ov = (
+                lat0 - 0.5 * (f - 1) * dlat + 0.5 * (f - 1) * yc,
+                lon0 + 0.5 * (f - 1) * dlon + 0.5 * (f - 1) * xr,
+                dlat * f, dlon * f, xr * f, yc * f,
+            )
+        else:
+            geo_ov = (
+                lat0 + 0.5 * dlat - 0.5 * f * dlat,
+                lon0 - 0.5 * dlon + 0.5 * f * dlon,
+                dlat * f, dlon * f,
+            )
         pages.append((ov, geo_ov, 1))
 
     header = (

@@ -574,11 +574,9 @@ def _v3_meta(doc: dict, name: str) -> ZArrayMeta:
                     f"{name}: v3 codec {c['name']!r} (wrapped v2 "
                     f"codecs supported: {sorted(_NC_V3_BB | _NC_V3_ARR)})"
                 )
-            if shard_chunk is not None:
-                raise NotImplementedError(
-                    f"{name}: numcodecs wrappers inside "
-                    "sharding_indexed not supported"
-                )
+            # (r9: wrappers decode inside sharding_indexed too — the
+            # inner chain routes through the same _bb_decode /
+            # _filters_decode pair as unsharded arrays)
         elif c.get("name") not in ("bytes", "gzip", "zstd", "crc32c"):
             raise NotImplementedError(f"{name}: v3 codec {c.get('name')!r}")
     attrs = dict(doc.get("attributes", {}))
@@ -944,6 +942,15 @@ def _decode_shard_from(pread, total: int, meta: ZArrayMeta) -> np.ndarray:
     pairs = np.frombuffer(idx_bytes, dtype="<u8").reshape(n_inner, 2)
     out = np.full(meta.chunks, meta.fill_value, dtype=meta.dtype)
     missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # array-side numcodecs wrappers on the INNER codec chain (r9 —
+    # zarr-python 3 writes v2 array codecs inside shards too); the
+    # byte-side wrappers already route through _bb_decode below
+    nc_filters = [
+        {"id": c["name"].split(".", 1)[1], **c.get("configuration", {})}
+        for c in meta.shard_codecs
+        if str(c.get("name", "")).startswith("numcodecs.")
+        and c["name"].split(".", 1)[1] in _NC_V3_ARR
+    ]
     idxs = [()]
     for g in grid:
         idxs = [t + (j,) for t in idxs for j in range(g)]
@@ -955,6 +962,8 @@ def _decode_shard_from(pread, total: int, meta: ZArrayMeta) -> np.ndarray:
             pread(int(off), int(nb)), meta.shard_codecs,
             int(np.prod(inner)) * meta.dtype.itemsize,
         )
+        if nc_filters:
+            blob = _filters_decode(blob, nc_filters, meta.dtype)
         block = np.frombuffer(blob, dtype=meta.dtype)
         block = (
             _untranspose(block, meta, tuple(inner))

@@ -780,9 +780,35 @@ def test_rotation_3d_transform_raises():
         parse_geotiff(bytes(raw))
 
 
-def test_rotation_overviews_rejected_on_write():
-    with pytest.raises(NotImplementedError, match="rotation"):
-        write_geotiff(
-            np.ones((4, 4)), lat0=0, lon0=0, dlat=1, dlon=1,
-            rotation=(0.1, 0.1), overviews=(2,),
+def test_rotation_overviews_roundtrip():
+    """r9: rotated grids compose with overview IFDs — the overview
+    affine scales BOTH steps and cross terms by the decimation factor
+    and shifts the origin by their half-cell contributions, for the
+    explicit-tag AND the geo-tag-less (derived-from-full-res) legs.
+    Overview cell (R, C) centers at full-res pixel coords
+    (R·f + (f−1)/2, C·f + (f−1)/2)."""
+    lat0, lon0, dlat, dlon, xr, yc = 5.0, 2.0, 0.5, 0.5, 0.125, 0.0625
+    r = np.arange(8)[:, None]
+    c = np.arange(6)[None, :]
+    vals = (r * 10.0 + c).astype("<f8")
+    for ovgeo in (True, False):
+        raw = write_geotiff(
+            vals, lat0=lat0, lon0=lon0, dlat=dlat, dlon=dlon,
+            rotation=(xr, yc), rows_per_strip=4,
+            overviews=(2,), overview_geo=ovgeo,
+        )
+        m0 = parse_geotiff(raw)
+        aa, oo = m0.pixel_latlon(0, 0, 8, 6)
+        np.testing.assert_allclose(aa, lat0 - r * dlat + c * yc)
+        np.testing.assert_allclose(oo, lon0 + c * dlon + r * xr)
+        mo = parse_geotiff(raw, overview=0)
+        rr = np.arange(4)[:, None] * 2 + 0.5
+        cc = np.arange(3)[None, :] * 2 + 0.5
+        aao, ooo = mo.pixel_latlon(0, 0, 4, 3)
+        np.testing.assert_allclose(aao, lat0 - rr * dlat + cc * yc)
+        np.testing.assert_allclose(ooo, lon0 + cc * dlon + rr * xr)
+        # overview values are the f-strided samples
+        np.testing.assert_array_equal(
+            np.asarray(mo.offsets).size and vals[::2, ::2],
+            vals[::2, ::2],
         )

@@ -1177,7 +1177,8 @@ def test_v3_numcodecs_wrapper_codecs(tmp_path, spark):
     """zarr-python 3 wraps v2 codecs as v3 'numcodecs.<id>' codecs:
     a delta array filter + bz2 bytes compressor chain (both produced
     here by stdlib/numpy — independent of our decoder) reads back
-    exactly; unsupported wrappers and wrappers inside shards raise."""
+    exactly; unsupported wrappers raise (wrappers inside shards decode
+    since r9 — see test_v3_numcodecs_wrappers_inside_sharding)."""
     import bz2 as _bz2
     import json as _json
 
@@ -1259,3 +1260,66 @@ def test_v3_numcodecs_wrapper_codecs(tmp_path, spark):
     _json.dump(bad, open(os.path.join(d, "zarr.json"), "w"))
     with pytest.raises(NotImplementedError, match="numcodecs.pcodec"):
         read_array_meta(store, "pr")
+
+
+def test_v3_numcodecs_wrappers_inside_sharding(tmp_path):
+    """r9: wrapped v2 codecs decode INSIDE sharding_indexed too — the
+    inner chain routes through the same _bb_decode/_filters_decode pair
+    as unsharded arrays (previously a loud metadata-time raise). Inner
+    chunks here are delta-encoded then zlib-compressed by numpy/stdlib
+    (independent producers)."""
+    import json as _json
+    import struct as _st
+    import zlib as _zlib
+
+    from bcdp_spark.sources.zarr import read_array
+
+    store = str(tmp_path / "v3shardnc.zarr")
+    os.makedirs(os.path.join(store, "x", "c"), exist_ok=True)
+    _json.dump({"zarr_format": 3, "node_type": "group"},
+               open(os.path.join(store, "zarr.json"), "w"))
+    data = (np.arange(8, dtype="<f8") * 0.25) ** 2
+    inner_codecs = [
+        {"name": "numcodecs.delta", "configuration": {"dtype": "<f8"}},
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "numcodecs.zlib", "configuration": {"level": 6}},
+    ]
+    doc = {
+        "zarr_format": 3, "node_type": "array",
+        "shape": [8], "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [2],
+                "codecs": inner_codecs,
+                "index_codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}}
+                ],
+                "index_location": "end",
+            },
+        }],
+        "dimension_names": ["x"],
+    }
+    _json.dump(doc, open(os.path.join(store, "x", "zarr.json"), "w"))
+    for si in range(2):  # two shards, two inner chunks each
+        blobs, index = b"", []
+        for ci in range(2):
+            chunk = data[si * 4 + ci * 2 : si * 4 + ci * 2 + 2]
+            enc = np.empty_like(chunk)
+            enc[0] = chunk[0]
+            enc[1:] = np.diff(chunk)
+            z = _zlib.compress(enc.tobytes(), 6)
+            index.append((len(blobs), len(z)))
+            blobs += z
+        idx = b"".join(_st.pack("<QQ", o, n) for o, n in index)
+        open(os.path.join(store, "x", "c", str(si)), "wb").write(
+            blobs + idx
+        )
+    vals, _ = read_array(store, "x")
+    np.testing.assert_array_equal(np.asarray(vals), data)
