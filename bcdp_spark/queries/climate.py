@@ -776,3 +776,101 @@ def q_rx5day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("r5").alias("rx5day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT (r9) — WSDI, the ETCCDI warm-spell duration index: days in runs
+# of >= K consecutive above-p90 observations. Composes the q_tx90p
+# calibration threshold (per-station rank-statistic p90 over the
+# baseline half, broadcast onto the analysis scan) with the
+# q_spell_lengths gaps-and-islands decomposition — both windows
+# partition BY STATION, so the whole index is one broadcast join plus
+# one user_id shuffle and scales horizontally. ETCCDI's K is 6
+# consecutive days; the fixture's analysis half is ~15 observations
+# per station, so K=3 here — the plan shape is K-independent.
+# ---------------------------------------------------------------------------
+_WSDI_K = 3
+
+
+@register(
+    "q_wsdi",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+thr AS (
+  SELECT user_id, value AS p90
+  FROM base WHERE rk = (9 * n + 9) // 10
+),
+seq AS (
+  SELECT a.user_id, a.value, t.p90,
+         ROW_NUMBER() OVER (PARTITION BY a.user_id
+                            ORDER BY a.ts, a.event_id) AS rn_all
+  FROM events a JOIN thr t USING (user_id)
+  WHERE a.ts >= TIMESTAMP '2024-01-16 00:00:00'
+),
+warm AS (
+  SELECT user_id, rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn_all) AS rn_w
+  FROM seq WHERE value > p90
+),
+spells AS (
+  SELECT user_id, rn_all - rn_w AS grp, COUNT(*) AS len
+  FROM warm GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN len >= {_WSDI_K} THEN len END), 0)
+            AS BIGINT) AS wsdi,
+       CAST(COALESCE(SUM(CASE WHEN len >= {_WSDI_K} THEN 1 END), 0)
+            AS BIGINT) AS n_spells,
+       CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest_run
+FROM spells
+GROUP BY user_id
+""",
+)
+def q_wsdi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    utc(spark)
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    base = ev.filter(F.col("ts") < cutoff).select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    thr = base.filter(
+        F.col("rk") == F.expr("(9 * n + 9) div 10")
+    ).select("user_id", F.col("value").alias("p90"))
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.filter(F.col("ts") >= cutoff)
+        .join(F.broadcast(thr), "user_id")
+        .select(
+            "user_id", "value", "p90",
+            F.row_number().over(w_all).alias("rn_all"),
+        )
+    )
+    w_w = Window.partitionBy("user_id").orderBy("rn_all")
+    warm = seq.filter(F.col("value") > F.col("p90")).select(
+        "user_id", "rn_all", F.row_number().over(w_w).alias("rn_w")
+    )
+    spells = warm.groupBy(
+        "user_id", (F.col("rn_all") - F.col("rn_w")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    k = F.lit(_WSDI_K)
+    return spells.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("len") >= k, F.col("len"))), F.lit(0)
+        ).cast("long").alias("wsdi"),
+        F.coalesce(
+            F.sum(F.when(F.col("len") >= k, F.lit(1))), F.lit(0)
+        ).cast("long").alias("n_spells"),
+        F.coalesce(F.max("len"), F.lit(0)).cast("long")
+        .alias("longest_run"),
+    )

@@ -310,7 +310,31 @@ def ops(spark, sf_dir):
         # one 1-row broadcast + one map + one exact bigint agg; pure
         # data-parallel, linear in rows.
         "logreg": t(lambda: _q("q_logreg")(spark, sf_dir).collect()),
+        # r9: incremental IVF append — Lloyd build on half the
+        # vectors, one broadcast-argmin assignment pass over the other
+        # half + cell-partitioned parquet append, probe at nprobe=k.
+        # Linear in vectors (train + assign are both single-pass).
+        "ivf_append": t(lambda: _ivf_append_smoke(spark, emb)),
     }
+
+
+def _ivf_append_smoke(spark, emb):
+    import tempfile
+
+    from bcdp_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ivf")
+        half = emb.filter(F.col("vec_id") % 2 == 0)
+        rest = emb.filter(F.col("vec_id") % 2 == 1)
+        ivf_index_build(half, path, k=4, n_iter=1)
+        ivf_index_append(spark, path, rest)
+        q = [1.0] + [0.0] * 63
+        ivf_index_probe(spark, path, q, topk=5, nprobe=4).collect()
 
 
 def _knn_join_ivf(emb):
@@ -481,6 +505,88 @@ def fixture_ops(spark, factor: int):
             F.count(F.lit(1)), F.avg("value")
         ).collect()
         out["kerchunk_climatology"] = time.perf_counter() - t0
+
+        # r9: twin-less filter pipelines through the hdf5-filter
+        # pseudo-codec — TIME-STEP count scales with factor (chunked 1
+        # along time, so decode tasks scale linearly); each chunk pays
+        # szip + fletcher32 verify inside defilter_chunk
+        from bcdp_spark.sources.hdf5 import write_hdf5
+        from bcdp_spark.sources.kerchunk import hdf5_refs, write_refs
+
+        nt = 48 * factor
+        tt = np.arange(nt)[:, None, None]
+        aa2 = np.arange(8)[None, :, None]
+        oo2 = np.arange(12)[None, None, :]
+        raw = write_hdf5(
+            {
+                "time": (["time"], np.arange(nt, dtype="<f8"),
+                         {"units": "hours since 2009-01-01"}),
+                "lat": (["lat"], np.linspace(-70, 70, 8), {}),
+                "lon": (["lon"], np.arange(12) * 30.0, {}),
+                "pr": (["time", "lat", "lon"],
+                       (tt * 100.0 + aa2 * 10 + oo2).astype("<f8"), {}),
+            },
+            chunk={"pr": (1, 8, 12)},
+            gzip_level=None, szip={"pr": (8, "nn")}, fletcher=True,
+        )
+        h5p = os.path.join(tmp, "szarch.h5")
+        with open(h5p, "wb") as fh:
+            fh.write(raw)
+        refsp = os.path.join(tmp, "szarch.refs.json")
+        write_refs(hdf5_refs(h5p, dims={
+            "time": ["time"], "lat": ["lat"], "lon": ["lon"],
+            "pr": ["time", "lat", "lon"],
+        }), refsp)
+        t0 = time.perf_counter()
+        load_zarr(spark, f"refs::{refsp}").groupBy("lat").agg(
+            F.count(F.lit(1)), F.sum("value")
+        ).collect()
+        out["kerchunk_h5filters"] = time.perf_counter() - t0
+
+        # r9: chemistry templates — MESSAGE count scales with factor
+        # (constituents x steps), one decode task per message
+        n_steps = 8 * factor
+        clats = np.linspace(-57.0, 57.0, 20)
+        clons = np.arange(30) * 12.0
+        ca = np.arange(20)[:, None]
+        co = np.arange(30)[None, :]
+        msgs = b""
+        for code in (0, 5, 8):
+            for s in range(n_steps):
+                vals = 0.25 * (code * 1000 + (s % 40) * 25 + ca * 10 + co)
+                msgs += write_grib2_message(
+                    vals, clats, clons, _dt.datetime(2019, 7, 1),
+                    forecast_hours=s, category=20, number=0,
+                    binary_scale=-2, nbits=16,
+                    packing=0 if code % 2 == 0 else 3,
+                    spatial_order=2, chem=code,
+                )
+        with open(os.path.join(tmp, "cams.grib2"), "wb") as fh:
+            fh.write(msgs)
+        t0 = time.perf_counter()
+        load_grib2(spark, os.path.join(tmp, "cams.grib2")).groupBy(
+            "ens_label"
+        ).agg(F.count(F.lit(1)), F.sum("value")).collect()
+        out["grib2_chem"] = time.perf_counter() - t0
+
+        # r9: rotated-grid raster — rows scale with factor; every block
+        # materializes its 2-D affine coordinate grids elementwise
+        rrows = 240 * factor
+        rr = np.arange(rrows, dtype="<f8")[:, None]
+        rc = np.arange(200, dtype="<f8")[None, :]
+        raw = write_geotiff(
+            (rr * 0.25 + rc).astype("<f8"), lat0=float(rrows) / 4,
+            lon0=0.25, dlat=0.25, dlon=0.25,
+            rotation=(0.01, 0.005),
+            compression=8, tile=(16, 16),
+        )
+        with open(os.path.join(tmp, "rot.tif"), "wb") as fh:
+            fh.write(raw)
+        t0 = time.perf_counter()
+        load_geotiff(spark, os.path.join(tmp, "rot.tif")).groupBy(
+            "name"
+        ).agg(F.count(F.lit(1)), F.sum("value")).collect()
+        out["geotiff_rotated"] = time.perf_counter() - t0
     return out
 
 
