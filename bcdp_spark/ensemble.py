@@ -753,6 +753,65 @@ class Ensemble:
                     z.alias("spi"))
         )
 
+    def wsdi(self, cutoff, k: int = 6, q: float = 0.9) -> DataFrame:
+        """ETCCDI warm-spell duration index per (member, cell): the
+        calendar-percentile threshold (rank statistic at ``q`` over
+        rows BEFORE ``cutoff``) broadcast onto the analysis rows, then
+        gaps-and-islands runs of consecutive above-threshold
+        observations; WSDI = days in runs of length >= ``k`` (ETCCDI
+        uses k=6). The oracle-checked recipe is ``q_wsdi``. One
+        broadcast join + one shuffle on the (member, cell) key — both
+        windows partition by the same key, so the index scales
+        horizontally."""
+        from pyspark.sql import Window
+
+        keys = [self.name_col, *self.space_cols]
+        cut = F.lit(cutoff).cast("timestamp")
+        w = Window.partitionBy(*keys).orderBy(self.value_col,
+                                              self.time_col)
+        wc = Window.partitionBy(*keys)
+        base = self.df.filter(F.col(self.time_col) < cut).select(
+            *keys,
+            F.col(self.value_col).alias("__v"),
+            F.row_number().over(
+                w.orderBy(self.value_col, self.time_col)
+            ).alias("__rk"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        qnum = int(round(q * 10))
+        thr = base.filter(
+            F.col("__rk") == F.expr(f"({qnum} * __n + {qnum}) div 10")
+        ).select(*keys, F.col("__v").alias("__thr"))
+        w_all = Window.partitionBy(*keys).orderBy(self.time_col)
+        seq = (
+            self.df.filter(F.col(self.time_col) >= cut)
+            .join(F.broadcast(thr), keys)
+            .select(
+                *keys,
+                F.col(self.value_col).alias("__v"),
+                F.col("__thr"),
+                F.row_number().over(w_all).alias("__rn"),
+            )
+        )
+        w_w = Window.partitionBy(*keys).orderBy("__rn")
+        warm = seq.filter(F.col("__v") > F.col("__thr")).select(
+            *keys, "__rn", F.row_number().over(w_w).alias("__rw")
+        )
+        spells = warm.groupBy(
+            *keys, (F.col("__rn") - F.col("__rw")).alias("__grp")
+        ).agg(F.count(F.lit(1)).alias("__len"))
+        kl = F.lit(int(k))
+        return spells.groupBy(*keys).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__len") >= kl, F.col("__len"))),
+                F.lit(0),
+            ).cast("long").alias("wsdi"),
+            F.coalesce(
+                F.sum(F.when(F.col("__len") >= kl, F.lit(1))), F.lit(0)
+            ).cast("long").alias("n_spells"),
+            F.max("__len").cast("long").alias("longest_run"),
+        )
+
     def bundle(self) -> DataFrame:
         """Cross-member stats at each (time, cell): mean + spread (A4)."""
         keys = [self.time_col, *self.space_cols]

@@ -614,3 +614,38 @@ def test_ensemble_quantile_map_identity_and_shift(spark):
     assert list(obs.value) == obs_vals
     # schema preserved for downstream verbs
     assert set(pdf.columns) == {"name", "time", "lat", "lon", "value"}
+
+
+def test_ensemble_wsdi_closed_form(spark):
+    """WSDI closed form: calibration half pins p90, analysis half has
+    one 3-run and one isolated warm observation — with k=3 WSDI counts
+    only the run; with k=6 nothing qualifies but longest_run persists."""
+    import pandas as pd
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    # calibration (days 0-9): values 1..10 -> p90 rank stat = 9.0
+    for d in range(10):
+        t = (pd.Timestamp("2001-01-01")
+             + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("m1", t, 0.0, 0.0, float(d + 1)))
+    # analysis (days 10-19): warm (>9) at days 12,13,14 and 17
+    ana = [1.0, 2.0, 9.5, 9.6, 9.7, 3.0, 4.0, 9.9, 5.0, 6.0]
+    for d, v in enumerate(ana):
+        t = (pd.Timestamp("2001-01-11")
+             + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("m1", t, 0.0, 0.0, v))
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, "
+        "value double",
+    )
+    out = Ensemble(df).wsdi("2001-01-11", k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["wsdi"] == 3 and r["n_spells"] == 1
+    assert r["longest_run"] == 3
+    out6 = Ensemble(df).wsdi("2001-01-11", k=6).collect()[0]
+    assert out6["wsdi"] == 0 and out6["n_spells"] == 0
+    assert out6["longest_run"] == 3

@@ -1,0 +1,163 @@
+"""Seeded differential fuzz for the r9 surfaces: every seed builds a
+fresh shape (filter-pipeline mix x chunking x dtype for the
+hdf5-filter pseudo-codec; product/data template mix for GRIB2; random
+affine + decimation for GeoTIFF overviews) and compares the NEW code
+path against an established independent one — H5File.read for
+kerchunk refs, the closed-form affine for overview georeferences, the
+writer's input for GRIB2 roundtrips.
+
+Determinism: ``np.random.default_rng(seed)`` only."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_hdf5_filter_pseudocodec_vs_h5file(tmp_path, seed):
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs
+    from bcdp_spark.sources.zarr import ZArrayMeta, decode_chunk_bytes
+
+    rng = np.random.default_rng(seed)
+    nt = int(rng.integers(6, 20))
+    no = int(rng.integers(4, 12))
+    chunk_t = int(rng.integers(1, nt + 1))
+    pick = int(rng.integers(0, 5))
+    kw = [
+        dict(gzip_level=None, szip={"x": (4, "nn")}, fletcher=True),
+        dict(gzip_level=None, szip={"x": (8, "ec")}),
+        dict(gzip_level=int(rng.integers(1, 9)), shuffle=True,
+             fletcher=True),
+        dict(gzip_level=None, scaleoffset={"x": (0, 0)}, fletcher=True),
+        dict(gzip_level=None, lzf=True, fletcher=True),
+    ][pick]
+    if pick == 3:
+        data = rng.integers(-500, 500, (nt, no)).astype("<i4")
+    else:
+        data = np.round(
+            rng.normal(scale=100, size=(nt, no)), 2
+        ).astype("<f8")
+    # szip needs chunk npoints >= ppb
+    if pick in (0, 1) and chunk_t * no < 8:
+        chunk_t = max(chunk_t, -(-8 // no))
+    raw = write_hdf5(
+        {"x": (["t", "o"], data, {})},
+        chunk={"x": (chunk_t, no)},
+        **kw,
+    )
+    p = tmp_path / "f.h5"
+    p.write_bytes(raw)
+    doc = hdf5_refs(str(p), dims={"x": ["t", "o"]})
+    za = json.loads(doc["refs"]["x/.zarray"])
+    expect = H5File(raw).read("x")
+    meta = ZArrayMeta(
+        shape=(nt, no), chunks=(chunk_t, no),
+        dtype=np.dtype(za["dtype"]), order="C",
+        fill_value=za["fill_value"], compressor=za["compressor"],
+        separator=".",
+        filters=za.get("filters") or [],
+    )
+    n_chunks = -(-nt // chunk_t)
+    got = np.empty((n_chunks * chunk_t, no), dtype=np.dtype(za["dtype"]))
+    for r in range(n_chunks):
+        tgt, off, ln = doc["refs"][f"x/{r}.0"]
+        got[r * chunk_t:(r + 1) * chunk_t] = decode_chunk_bytes(
+            raw[off:off + ln], meta
+        )
+    np.testing.assert_array_equal(got[:nt], expect)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_grib2_chem_sat_ieee_roundtrip(seed):
+    from bcdp_spark.sources.grib2 import (
+        decode_message,
+        scan_grib2,
+        write_grib2_message,
+    )
+
+    rng = np.random.default_rng(1000 + seed)
+    nj, ni = int(rng.integers(2, 8)), int(rng.integers(2, 10))
+    lats = np.sort(rng.uniform(-80, 80, nj))
+    lons = np.arange(ni) * float(rng.integers(1, 30))
+    shape = int(rng.integers(0, 3))
+    if shape == 0:  # chemistry point/interval, quarter-exact values
+        vals = (
+            rng.integers(0, 4000, (nj, ni)).astype("f8") * 0.25
+        )
+        if rng.random() < 0.3:
+            vals[rng.integers(0, nj), rng.integers(0, ni)] = np.nan
+        kw = dict(chem=int(rng.integers(0, 20)), binary_scale=-2,
+                  nbits=16)
+        if rng.random() < 0.5:
+            kw.update(stat_hours=int(rng.integers(1, 24)))
+        if rng.random() < 0.5:
+            kw.update(member=int(rng.integers(0, 30)), ens_size=30)
+        exp = vals
+    elif shape == 1:  # satellite 4.31 + IEEE 5.4: arbitrary doubles
+        vals = rng.normal(scale=10.0 ** rng.integers(0, 8),
+                          size=(nj, ni))
+        kw = dict(
+            satellite=(int(rng.integers(0, 100)),
+                       int(rng.integers(0, 100)), 207,
+                       int(rng.integers(1, 10**6))),
+            packing=4, nbits=64,
+        )
+        exp = vals
+    else:  # IEEE 32-bit: expect float32 rounding exactly
+        vals = rng.normal(scale=1e5, size=(nj, ni))
+        kw = dict(packing=4, nbits=32)
+        exp = vals.astype(np.float32).astype(np.float64)
+    raw = write_grib2_message(
+        vals, lats, lons, dt.datetime(2020, 1, 1),
+        forecast_hours=int(rng.integers(0, 48)), **kw
+    )
+    (idx,) = scan_grib2(raw)
+    f = decode_message(raw, 0)
+    m = ~np.isnan(vals)
+    np.testing.assert_array_equal(f.values[m], exp[m])
+    if shape == 0:
+        assert idx.label.startswith("chem_")
+    elif shape == 1:
+        assert idx.label.startswith("sat_")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_geotiff_rotated_overview_affine(seed):
+    from bcdp_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+    rng = np.random.default_rng(2000 + seed)
+    # dims divisible by any chosen factor: with non-divisible dims the
+    # geo-tag-less leg derives the factor from the SIZE RATIO (the
+    # GDAL convention), which differs from the writer's f-stride
+    # anchor by design — exactness is the contract only when they
+    # coincide
+    rows = int(rng.integers(1, 6)) * 4
+    cols = int(rng.integers(1, 5)) * 4
+    lat0 = float(rng.integers(-50, 80))
+    lon0 = float(rng.integers(-170, 170))
+    # binary-exact steps so the closed form compares with == not ~
+    dlat = float(rng.integers(1, 8)) / 8
+    dlon = float(rng.integers(1, 8)) / 8
+    xr = float(rng.integers(-4, 5)) / 16
+    yc = float(rng.integers(-4, 5)) / 16
+    f = int(rng.choice([2, 4]))
+    vals = (np.arange(rows * cols, dtype="<f8")).reshape(rows, cols)
+    raw = write_geotiff(
+        vals, lat0=lat0, lon0=lon0, dlat=dlat, dlon=dlon,
+        rotation=(xr, yc), rows_per_strip=max(2, rows // 3),
+        overviews=(f,), overview_geo=bool(rng.integers(0, 2)),
+    )
+    mo = parse_geotiff(raw, overview=0)
+    n_r, n_c = -(-rows // f), -(-cols // f)
+    aa, oo = mo.pixel_latlon(0, 0, n_r, n_c)
+    rr = np.arange(n_r)[:, None] * f + (f - 1) / 2
+    cc = np.arange(n_c)[None, :] * f + (f - 1) / 2
+    np.testing.assert_allclose(aa, lat0 - rr * dlat + cc * yc,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(oo, lon0 + cc * dlon + rr * xr,
+                               rtol=0, atol=0)
