@@ -867,6 +867,7 @@ def _append_refs_parquet(
     )
 
     meta_doc["metadata"] = meta
+    meta_doc["shard_files"] = _shard_manifest(store)
     with open(_os.path.join(store, "meta.json"), "w") as fh:
         json.dump(meta_doc, fh)
     # same-process readers key their refs cache on meta.json's
@@ -957,6 +958,47 @@ def _chunk_rows(
                 (var, key, str(v[0]), int(v[1]), int(v[2]), None)
             )
     return rows
+
+
+def _shard_manifest(store: str) -> dict:
+    """List every shard's parquet files into the meta.json
+    ``shard_files`` manifest ({"<quoted-var>/<shard>": [names]}) —
+    what lets a READER on object storage fetch shard files by name
+    (HTTP cannot list directories). Driver-side at finalize time:
+    the listing is metadata-sized (one entry per shard file), never
+    the refs themselves."""
+    import os as _os
+
+    out: dict[str, list] = {}
+    refs_dir = _os.path.join(store, "refs")
+    if not _os.path.isdir(refs_dir):
+        return out
+    for qvar in sorted(_os.listdir(refs_dir)):
+        vdir = _os.path.join(refs_dir, qvar)
+        if not _os.path.isdir(vdir):
+            continue
+        for shard in sorted(_os.listdir(vdir)):
+            names = sorted(
+                f
+                for f in _os.listdir(_os.path.join(vdir, shard))
+                if f.endswith(".parquet")
+            )
+            if names:
+                out[f"{qvar}/{shard}"] = names
+    return out
+
+
+def _stamp_manifest(store: str) -> None:
+    """Rewrite meta.json with the current shard_files manifest (call
+    AFTER the last shard write of a build/append)."""
+    import os as _os
+
+    p = _os.path.join(store, "meta.json")
+    with open(p) as fh:
+        meta_doc = json.load(fh)
+    meta_doc["shard_files"] = _shard_manifest(store)
+    with open(p, "w") as fh:
+        json.dump(meta_doc, fh)
 
 
 def _write_shard_files(
@@ -1067,6 +1109,7 @@ def write_refs_parquet(
         )
     rows = _chunk_rows(refs, concat_dim="", concat_offset=0)
     _write_shard_files(store, rows, _grids_of(meta), record_size)
+    _stamp_manifest(store)
     return store
 
 
@@ -1297,4 +1340,5 @@ def index_files(
         )
     )
     _write_shard_files(store, local_rows, grids, record_size)
+    _stamp_manifest(store)
     return {"version": 1, "store": store, "files_written": int(n_written)}

@@ -178,6 +178,12 @@ class _ParquetRefs:
         self.dir = store_dir
         self.meta = dict(meta_doc.get("metadata", {}))
         self.record_size = int(meta_doc.get("record_size", 100_000))
+        # r9: shard-file manifest ("<quoted-var>/<shard>" -> [names])
+        # written by write_refs_parquet/index_files/append_refs at
+        # finalize time — REQUIRED for remote (http) stores, where the
+        # reader cannot list a directory; local stores fall back to
+        # glob when absent (pre-r9 stores)
+        self.files = meta_doc.get("shard_files")
         self._grids: dict[str, tuple] = {}
         self._shards: dict[tuple, dict] = {}
 
@@ -206,19 +212,52 @@ class _ParquetRefs:
             lin = lin * n + i
         return lin
 
+    def _shard_tables(self, var: str, shard_no: int):
+        """Yield pyarrow tables for one shard — via the meta.json
+        manifest when present (the only possibility over HTTP, where
+        directories cannot be listed), else a local glob."""
+        import urllib.parse as _up
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        qvar = _up.quote(var, safe="")
+        if self.files is not None:
+            for name in self.files.get(f"{qvar}/{shard_no}", ()):
+                if _is_url(self.dir):
+                    data = _fetch(
+                        f"{self.dir}/refs/{qvar}/{shard_no}/{name}"
+                    )
+                    if data is None:
+                        raise FileNotFoundError(
+                            f"refs shard file {qvar}/{shard_no}/{name}"
+                            f" missing from {self.dir} (manifest is"
+                            " stale — republish the store)"
+                        )
+                    yield _pq.read_table(_pa.BufferReader(data))
+                else:
+                    yield _pq.read_table(os.path.join(
+                        self.dir, "refs", qvar, str(shard_no), name
+                    ))
+            return
+        if _is_url(self.dir):
+            raise NotImplementedError(
+                "remote parquet refs store has no shard_files manifest"
+                " in meta.json (pre-r9 store) — re-run"
+                " write_refs_parquet/index_files, or read it from a"
+                " filesystem"
+            )
+        import glob as _glob
+
+        sdir = os.path.join(self.dir, "refs", qvar, str(shard_no))
+        for f in sorted(_glob.glob(os.path.join(sdir, "*.parquet"))):
+            yield _pq.read_table(f)
+
     def _shard(self, var: str, shard_no: int) -> dict:
         ck = (var, shard_no)
         if ck not in self._shards:
-            import glob as _glob
-            import urllib.parse as _up
-
-            import pyarrow.parquet as _pq
-
-            qvar = _up.quote(var, safe="")
-            sdir = os.path.join(self.dir, "refs", qvar, str(shard_no))
             entries: dict[str, object] = {}
-            for f in sorted(_glob.glob(os.path.join(sdir, "*.parquet"))):
-                t = _pq.read_table(f)
+            for t in self._shard_tables(var, shard_no):
                 cols = {c: t.column(c).to_pylist() for c in
                         ("key", "target", "offset", "length", "raw")}
                 for k, tg, off, ln, raw in zip(
@@ -390,6 +429,26 @@ def _load_refs_versioned(
         )
     raw = _fetch(spec)
     if raw is None:
+        if _is_url(spec):
+            # r9: remote PARQUET refs store — a bare store URL (not a
+            # refs JSON) serves meta.json at <url>/meta.json; shard
+            # parquet files fetch lazily by manifest name, so a probe
+            # costs one small GET and pruned shards are never
+            # requested (the kerchunk-on-object-storage layout)
+            base = spec.rstrip("/")
+            mraw = _fetch(base + "/meta.json")
+            if mraw is not None:
+                meta_doc = json.loads(mraw)
+                if int(meta_doc.get("version", 1)) != 1:
+                    raise NotImplementedError(
+                        "parquet refs store version "
+                        f"{meta_doc.get('version')}"
+                    )
+                return (
+                    _ParquetRefs(base, meta_doc),
+                    dict(meta_doc.get("templates", {})),
+                    base,
+                )
         raise FileNotFoundError(f"reference file {spec} not found")
     doc = json.loads(raw)
     if isinstance(doc, dict) and (

@@ -1619,3 +1619,142 @@ def test_index_files_parquet_szip_archive_end_to_end(spark, tmp_path):
         time_bnds=("2010-01-03", "2010-01-06"),
     ).toPandas()
     assert len(pdf2) == 4 * 2 * 3
+
+
+def test_parquet_refs_store_served_over_http(spark, tmp_path):
+    """r9: a PARQUET refs store works straight off object storage —
+    meta.json carries the shard_files manifest (HTTP cannot list
+    directories), shard parquet files fetch lazily by name, data
+    chunks fetch as exact ranges, and time pruning keeps whole shard
+    files from ever being requested."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bcdp_spark.sources.kerchunk import netcdf3_refs, write_refs_parquet
+    from bcdp_spark.sources.zarr import load_zarr
+
+    nc_path, expect = _write_nc(tmp_path, record=True)
+    blob = open(nc_path, "rb").read()
+    srv_holder = {}
+
+    # refs point at the archive's URL; the store itself is served too
+    url_nc = lambda: f"http://127.0.0.1:{srv_holder['port']}/arch.nc"  # noqa: E731
+    store_dir = str(tmp_path / "pqstore")
+    doc = netcdf3_refs(nc_path, target="http://PLACEHOLDER/arch.nc")
+    write_refs_parquet(doc, store_dir, record_size=4)
+    import json as _json
+
+    with open(f"{store_dir}/meta.json") as fh:
+        meta_doc = _json.load(fh)
+    assert meta_doc.get("shard_files"), "manifest missing"
+
+    log: list[str] = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = self.path
+            rng = self.headers.get("Range")
+            log.append((path, rng))
+            if path == "/arch.nc":
+                if rng:
+                    lo, hi = rng.removeprefix("bytes=").split("-")
+                    lo, hi = int(lo), int(hi)
+                    body = blob[lo : hi + 1]
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range",
+                        f"bytes {lo}-{hi}/{len(blob)}",
+                    )
+                else:
+                    body = blob
+                    self.send_response(200)
+            elif path.startswith("/pqstore/"):
+                f = os.path.join(store_dir, path[len("/pqstore/"):])
+                if not os.path.exists(f):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = open(f, "rb").read()
+                if path.endswith("meta.json"):
+                    # patch archive targets to this server's port
+                    body = body.replace(
+                        b"http://PLACEHOLDER",
+                        url_nc().rsplit("/", 1)[0].encode(),
+                    )
+                self.send_response(200)
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    srv_holder["port"] = srv.server_port
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # targets inside SHARD files still carry the placeholder host:
+        # patch them on disk instead (the store is a local fixture)
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for f in _glob.glob(f"{store_dir}/refs/*/*/*.parquet"):
+            t = pq.read_table(f)
+            tg = [
+                None if v is None else v.replace(
+                    "http://PLACEHOLDER",
+                    f"http://127.0.0.1:{srv.server_port}",
+                )
+                for v in t.column("target").to_pylist()
+            ]
+            cols = {c: t.column(c) for c in t.column_names}
+            cols["target"] = pa.array(tg, type=pa.string())
+            pq.write_table(pa.table(cols), f)
+
+        store_url = f"http://127.0.0.1:{srv.server_port}/pqstore"
+        pdf = load_zarr(
+            spark, f"refs::{store_url}",
+            time_bnds=("2000-01-01", "2000-01-03"),
+        ).toPandas()
+        assert len(pdf) == 3 * 12
+        assert pdf.value.sum() == pytest.approx(np.nansum(expect[:3]))
+        paths = [p for p, _ in log]
+        assert f"/pqstore/meta.json" in paths
+        # tas has 6 records at record_size 4 -> shards 0 and 1; the
+        # 3-record window needs only shard 0 — shard 1's file must
+        # never be requested
+        tas_shards = {
+            p.split("/refs/tas/")[1].split("/")[0]
+            for p in paths
+            if "/refs/tas/" in p
+        }
+        assert tas_shards == {"0"}, paths
+        # archive data reads are exact ranges, never the full object
+        nc_reqs = [(p, r) for p, r in log if p == "/arch.nc"]
+        assert nc_reqs and all(r and r.startswith("bytes=")
+                               for _, r in nc_reqs), nc_reqs
+    finally:
+        srv.shutdown()
+
+
+def test_remote_parquet_store_without_manifest_raises():
+    """Pre-r9 stores have no shard_files manifest; over HTTP that is
+    unreadable by construction (no directory listing) — loud raise,
+    while local stores still fall back to globbing."""
+    from bcdp_spark.sources.zarr import _ParquetRefs
+
+    za = json.dumps({
+        "zarr_format": 2, "shape": [4], "chunks": [1], "dtype": "<f8",
+        "compressor": None, "fill_value": 0, "order": "C",
+        "filters": None,
+    })
+    pr = _ParquetRefs("http://127.0.0.1:1/store",
+                      {"metadata": {"x/.zarray": za}})
+    with pytest.raises(NotImplementedError, match="shard_files"):
+        pr.get("x/0")
