@@ -1084,17 +1084,26 @@ class H5File:
         of the block into consecutive pages, each with its own
         trailing checksum.
 
-        Element k maps to the chunk at C-order grid index k — valid
-        because the unlimited dimension is axis 0 (verified against
-        maxdims below); HDF5 swizzles a non-leading unlimited
-        dimension to the front, which this subset rejects loudly."""
+        Element k maps to the chunk at SWIZZLED C-order grid index k:
+        HDF5 moves the unlimited dimension to the front before
+        linearizing (H5VM_swizzle_coords — that way growth along the
+        unlimited axis appends elements instead of renumbering
+        existing ones). Axis-0 unlimited (the common appendable-time
+        archive) makes swizzled order == plain C-order; r9 adds the
+        non-leading case (h5py ``maxshape=(10, None)``) by unswizzling
+        each element index back to real chunk offsets. Multiple
+        unlimited dimensions use the v2 B-tree index per the format
+        spec, so >1 here still raises loudly."""
+        swizzle_axis = 0
         if ds.maxdims is not None:
             unlim = [d for d, m in enumerate(ds.maxdims) if m == _UNDEF]
-            if unlim and unlim != [0]:
+            if len(unlim) > 1:
                 raise NotImplementedError(
-                    f"extensible-array index with unlimited dimension(s) "
-                    f"{unlim} (element order is swizzled; axis 0 only)"
+                    f"extensible-array index with unlimited dimensions "
+                    f"{unlim} (the format uses a v2 B-tree for >1)"
                 )
+            if unlim:
+                swizzle_axis = unlim[0]
         buf = self.buf
         hdr = ds.btree_addr
         if buf[hdr : hdr + 4] != b"EAHD":
@@ -1147,7 +1156,32 @@ class H5File:
                 for e in range(nelmts):
                     yield element(pos + e * elmt_size)
 
-        offsets = self._chunk_grid(ds)
+        if swizzle_axis == 0:
+            offsets = self._chunk_grid(ds)
+        else:
+            # element k lives at swizzled C-order index k: unravel
+            # over the swizzled grid (unlimited dim first, others in
+            # relative order) and permute back to real offsets
+            grid = [
+                -(-s // c) for s, c in zip(ds.shape, ds.chunk_shape)
+            ]
+            order = [swizzle_axis] + [
+                d for d in range(rank) if d != swizzle_axis
+            ]
+            sw_grid = [grid[d] for d in order]
+            offsets = []
+            for k2 in range(int(np.prod(sw_grid, dtype=np.int64))):
+                rem, sw = k2, []
+                for g in reversed(sw_grid):
+                    sw.append(rem % g)
+                    rem //= g
+                sw.reverse()
+                idx = [0] * rank
+                for pos, d in enumerate(order):
+                    idx[d] = sw[pos]
+                offsets.append(tuple(
+                    idx[d] * ds.chunk_shape[d] for d in range(rank)
+                ))
         n_direct = 2 * (min_ptrs - 1)  # dblk addrs inline in the EAIB
         iblock_nsblks = 2 * (min_ptrs.bit_length() - 1)
         elmts_pos = iblk + 6 + 8
@@ -1772,6 +1806,27 @@ def write_hdf5(
                 chunk_blobs.append((idx, raw))
             rank = arr.ndim
             if itype is not None:
+                ms = (maxshape or {}).get(name)
+                if itype == "extensible_array" and ms is not None:
+                    # mirror libhdf5: EA elements are ordered with the
+                    # unlimited dimension swizzled to the FRONT, so a
+                    # non-leading unlimited dim reorders the blobs
+                    # (axis-0 unlimited == plain C-order — no-op)
+                    unl = [d for d, m in enumerate(ms) if m is None]
+                    if len(unl) == 1 and unl[0] != 0:
+                        u = unl[0]
+                        order = [u] + [
+                            d for d in range(rank) if d != u
+                        ]
+
+                        def _swkey(item):
+                            ci = [
+                                o // c
+                                for o, c in zip(item[0], cshape)
+                            ]
+                            return tuple(ci[d] for d in order)
+
+                        chunk_blobs.sort(key=_swkey)
                 msgs.append(
                     _v4_chunked_layout(
                         alloc, itype, chunk_blobs, cshape, arr,

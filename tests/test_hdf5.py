@@ -252,9 +252,11 @@ def test_layout_v4_btree2_chunk_index(kw, chunk, depth):
     )
 
 
-def test_extensible_array_non_leading_unlimited_raises():
-    """HDF5 swizzles a non-leading unlimited dim to the front of the
-    EA element order — that layout must fail loudly, not misread."""
+def test_extensible_array_non_leading_unlimited_reads():
+    """r9: a non-leading unlimited dim no longer raises — the reader
+    unswizzles EA element order (see
+    test_extensible_array_non_leading_unlimited_swizzled for the
+    order-sensitivity proof)."""
     data = np.arange(24, dtype="<f8").reshape(4, 6)
     raw = write_hdf5(
         {"v": (["a", "t"], data, {})},
@@ -263,8 +265,7 @@ def test_extensible_array_non_leading_unlimited_raises():
         maxshape={"v": (4, None)},
         gzip_level=None,
     )
-    with pytest.raises(NotImplementedError, match="unlimited dimension"):
-        read_hdf5(raw).read("v")
+    np.testing.assert_array_equal(read_hdf5(raw).read("v"), data)
 
 
 def test_layout_v4_guards():
@@ -820,3 +821,57 @@ def test_compound_unsigned_members_widen_in_spark_table(spark):
     rows = {r["seq"]: r for r in df.collect()}
     assert rows[4_000_000_000]["code"] == 255
     assert rows[4_000_000_000]["count"] == 65_535
+
+
+@pytest.mark.parametrize("gz, fl", [(None, False), (4, True)])
+def test_extensible_array_non_leading_unlimited_swizzled(gz, fl):
+    """r9: non-leading unlimited dims (h5py ``maxshape=(8, None, 4)``)
+    — HDF5's extensible array swizzles the unlimited dimension to the
+    FRONT before linearizing element indices (H5Dearray.c /
+    H5VM_swizzle_coords: growth appends elements instead of
+    renumbering), so the reader unswizzles element k back to real
+    chunk offsets. Certified writer-twin (both sides implement the
+    documented swizzle independently: the writer sorts chunk blobs by
+    swizzled key, the reader unravels over the swizzled grid — a real
+    libhdf5 cross-check joins the standing import-gated tasks)."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    data = np.arange(8 * 9 * 4, dtype="<f8").reshape(8, 9, 4)
+    raw = write_hdf5(
+        {"v": (["a", "t", "b"], data, {})},
+        profile="v2",
+        chunk={"v": (2, 3, 2)},
+        gzip_level=gz, fletcher=fl,
+        v4_index={"v": "extensible_array"},
+        maxshape={"v": (8, None, 4)},
+    )
+    f = H5File(raw)
+    ds = f.datasets["v"]
+    assert ds.chunk_index == "extensible_array"
+    np.testing.assert_array_equal(f.read("v"), data)
+    slab = f.read("v", sel=(slice(1, 5), slice(2, 8), slice(0, 4)))
+    np.testing.assert_array_equal(slab, data[1:5, 2:8, 0:4])
+    # the swizzle is observable: swizzled vs C-order differ for this
+    # grid, so a plain C-order reader would misplace chunks — verify
+    # the chunk at offsets (0, 3, 0) is NOT element 1 (C-order) but
+    # element 2 of the swizzled walk (grid (4, 3, 2) -> swizzled
+    # (3, 4, 2): element 1 = chunk (0, 0, 1) -> offsets (0, 0, 2))
+    chunks = list(f._chunks(ds, 3))
+    assert chunks[1][0] == (0, 0, 2)
+    assert chunks[2][0] == (2, 0, 0)
+
+
+def test_extensible_array_two_unlimited_raises():
+    """Two unlimited dims use a v2 B-tree per the spec; an EA claiming
+    them is malformed and raises loudly."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    data = np.arange(12, dtype="<f8").reshape(3, 4)
+    raw = write_hdf5(
+        {"v": (["t", "b"], data, {})},
+        profile="v2", chunk={"v": (2, 2)}, gzip_level=None,
+        v4_index={"v": "extensible_array"},
+        maxshape={"v": (None, None)},
+    )
+    with pytest.raises(NotImplementedError, match="v2 B-tree"):
+        H5File(raw).read("v")
