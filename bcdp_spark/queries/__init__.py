@@ -99,17 +99,17 @@ def _load() -> None:
 _PRIORITY = (
     # (a) new in round 9: twin-less HDF5 filter pipelines virtualized
     # through the hdf5-filter pseudo-codec, GRIB2 chemistry templates
-    # 4.40-4.43, rotated/affine GeoTIFF grids, incremental IVF append,
-    # ETCCDI warm-spell duration index
+    # 4.40-4.43 + IEEE data template 5.4, rotated/affine GeoTIFF
+    # grids, incremental IVF append, ETCCDI warm-spell duration index
     "q_kerchunk_h5filters", "q_grib2_chem", "q_geotiff_rotated",
-    "q_ivf_append", "q_wsdi",
+    "q_ivf_append", "q_wsdi", "q_grib2_ieee",
     # (b) last graded in round 3 — the oldest hash-checked evidence
     "q_token_explode", "q_token_pagerank", "q_warc_ingest",
-    # (c) r4 cohort, oldest first (42 of 50 fit this round; the
-    # remaining 8 — q_dsir_weights, q_domain_cap, q_incremental_dedup,
-    # q_url_dedup, q_zarr_climatology, q_area_weighted_mean,
-    # q_grib2_climatology, q_span_dedup — regrade in r10 with the
-    # rows-only keys)
+    # (c) r4 cohort, oldest first (41 of 50 fit this round; the
+    # remaining 9 — q_triangle_count, q_dsir_weights, q_domain_cap,
+    # q_incremental_dedup, q_url_dedup, q_zarr_climatology,
+    # q_area_weighted_mean, q_grib2_climatology, q_span_dedup —
+    # regrade in r10 with the rows-only keys)
     "q_conservative_regrid", "q_bilinear_regrid", "q_pq_adc_knn",
     "q_bpe_merges", "q_model_metrics", "q_taylor_stats",
     "q_seasonal_cycle", "q_harmonic_fit", "q_autocorr", "q_extremes",
@@ -122,9 +122,9 @@ _PRIORITY = (
     "q_funnel", "q_markov_transitions", "q_sequence_match",
     "q_netcdf4_climatology", "q_netcdf_lev_climatology",
     "q_inverted_index", "q_quality_classifier", "q_data_mixture",
-    "q_repeated_ngrams", "q_unigram_logprob", "q_triangle_count",
-    # --- 50-key window boundary (5 new + 3 r3 + 42 r4 = 50) ---
-    "q_dsir_weights", "q_domain_cap",
+    "q_repeated_ngrams", "q_unigram_logprob",
+    # --- 50-key window boundary (6 new + 3 r3 + 41 r4 = 50) ---
+    "q_triangle_count", "q_dsir_weights", "q_domain_cap",
     "q_span_dedup", "q_incremental_dedup", "q_url_dedup",
     "q_zarr_climatology", "q_area_weighted_mean", "q_grib2_climatology",
     # (d) the rows-only keys, scheduled for the r10 window (see above)

@@ -707,3 +707,97 @@ def q_grib2_chem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 — data template 5.4 (IEEE floating point): raw big-endian floats,
+# no reference value or scaling. The layout used when dynamic range
+# defeats fixed-point packing — negative and large-magnitude values
+# round-trip bit-exactly, so the oracle needs no scaling arithmetic at
+# all: the closed form IS the stored value (float32 rounding applied
+# on both sides for the 32-bit variable).
+# ---------------------------------------------------------------------------
+_IEE_FIX = "/tmp/bcdp_spark_grib2_ieee_fixture_v1"
+
+
+def _ensure_ieee_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_IEE_FIX, ".complete")
+    if os.path.exists(done):
+        return _IEE_FIX
+    os.makedirs(_IEE_FIX, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    a = np.arange(_N_A)[:, None]
+    o = np.arange(_N_O)[None, :]
+    msgs = b""
+    for s in range(3):
+        # signed, large-dynamic-range closed form: exactly what 5.0
+        # fixed-point packing cannot carry without scaling games
+        vals = (
+            (a * 10.0 + o - 12.0) * (10.0 ** (s + 2)) / 7.0
+        )
+        vals = np.where((s + a + o) % 5 == 0, np.nan, vals)
+        msgs += write_grib2_message(
+            vals, lats, lons, _dt.datetime(2021, 3, 1),
+            forecast_hours=s * 6, category=2, number=2,
+            packing=4, nbits=64 if s % 2 == 0 else 32,
+        )
+    tmp = os.path.join(_IEE_FIX, ".ieee.grib2.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(msgs)
+    os.replace(tmp, os.path.join(_IEE_FIX, "ieee.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _IEE_FIX
+
+
+@register(
+    "q_grib2_ieee",
+    oracle=f"""
+WITH grid AS (
+  SELECT s.g AS s, a.g AS a, o.g AS o,
+         CASE WHEN (s.g + a.g + o.g) % 5 = 0 THEN NULL
+              WHEN s.g % 2 = 0 THEN
+                (a.g * 10.0 + o.g - 12.0) * POWER(10.0, s.g + 2) / 7.0
+              ELSE
+                CAST(CAST((a.g * 10.0 + o.g - 12.0)
+                          * POWER(10.0, s.g + 2) / 7.0 AS FLOAT)
+                     AS DOUBLE)
+         END AS value
+  FROM generate_series(0, 2) s(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT CAST(s * 6 AS INT) AS hour,
+       COUNT(*) AS n_cells, COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM grid
+GROUP BY 1
+""",
+)
+def q_grib2_ieee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (r9): data template 5.4 IEEE floats through the whole
+    distributed path — header-only index, per-message decode tasks,
+    bitmap NaN routing — with BOTH table-5.7 precisions (64-bit
+    messages bit-exact, 32-bit messages exactly float32-rounded on
+    both engines). ``sf_dir`` unused (synthetic decode fixture)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_ieee_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    return df.groupBy(
+        F.hour("time").cast("int").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
