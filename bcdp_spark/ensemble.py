@@ -778,9 +778,22 @@ class Ensemble:
             ).alias("__rk"),
             F.count(F.lit(1)).over(wc).alias("__n"),
         )
-        qnum = int(round(q * 10))
+        # The rank statistic below is exact integer arithmetic over
+        # tenths, so q must be a decile; anything else would silently
+        # compute a different percentile (q=0.95 would banker's-round
+        # to p90) or make the rank predicate match no row (ADVICE r9).
+        qnum = q * 10
+        if not (0 < q < 1) or abs(qnum - round(qnum)) > 1e-9:
+            raise ValueError(
+                f"wsdi: q must be a decile in (0, 1) — a multiple of"
+                f" 0.1 — got {q!r}"
+            )
+        qnum = int(round(qnum))
         thr = base.filter(
-            F.col("__rk") == F.expr(f"({qnum} * __n + {qnum}) div 10")
+            F.col("__rk")
+            == F.greatest(
+                F.lit(1), F.expr(f"({qnum} * __n + {qnum}) div 10")
+            )
         ).select(*keys, F.col("__v").alias("__thr"))
         w_all = Window.partitionBy(*keys).orderBy(self.time_col)
         seq = (

@@ -766,23 +766,39 @@ def ivf_index_append(spark, path: str, df: DataFrame) -> dict:
         meta = _json.load(fh)
     id_col, vec_col, dim = meta["id_col"], meta["vec_col"], meta["dim"]
 
+    reserved = {"__vid", "__v", "__c", "__d", "__cell", "ivf_cell"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "ivf_index_append: input columns collide with internal"
+            f" names: {sorted(clash)}"
+        )
     cents = spark.read.parquet(_os.path.join(path, "centroids")).select(
         F.col("cell").alias("__cell"),
         F.col("centroid").alias("__c"),
     )
-    assigned = (
-        df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+    # Assign on (id, vector) only, then join the cell back onto the
+    # full rows by id — the exact shape ivf_index_build uses. A
+    # groupBy(df.columns) here would silently DEDUPLICATE exact-
+    # duplicate input rows, which the build path preserves (ADVICE r9).
+    assign = (
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
         .join(F.broadcast(cents))
         .withColumn("__d", flat_sqdist("__v", "__c", dim))
-        .groupBy(df.columns)
+        .groupBy("__vid")
         .agg(
             F.min_by("__cell", F.struct("__d", "__cell")).alias(
                 "ivf_cell"
             )
         )
+        .withColumnRenamed("__vid", id_col)
     )
     (
-        assigned.select(*df.columns, "ivf_cell")
+        df.join(assign, id_col)
+        .select(*df.columns, "ivf_cell")
         .write.mode("append")
         .partitionBy("ivf_cell")
         .parquet(_os.path.join(path, "vectors"))

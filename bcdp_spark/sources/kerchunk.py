@@ -357,7 +357,14 @@ def hdf5_refs(
                     " decodable by this engine — neither a zarr twin"
                     " nor the hdf5-filter pseudo-codec can express it"
                 )
-        if set(ids) <= {1, 2} and (1 not in ids or ids[-1] == 1):
+        if (
+            set(ids) <= {1, 2}
+            and len(ids) == len(set(ids))  # repeated deflate ([1, 1])
+            # has NO zarr twin — a single {"id": "zlib"} compressor
+            # would inflate once and fail (ADVICE r9); fall through to
+            # the verbatim hdf5-filter pseudo-codec instead
+            and (1 not in ids or ids[-1] == 1)
+        ):
             # deflate-last / shuffle pipelines have BYTEWISE-IDENTICAL
             # zarr twins — emit those so the refs document stays
             # portable to any standard zarr reader

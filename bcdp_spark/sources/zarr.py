@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import ast
 import functools
+import math
 import gzip as _gzip
 import itertools
 import json
@@ -404,6 +405,13 @@ def _tpl_int(tpl, env: dict, what: str) -> int:
             f"refs gen {what} template {tpl!r} rendered non-numeric "
             f"{s!r}"
         ) from None
+    if not math.isfinite(f):
+        # 'nan'/'inf' pass float() but int(f) would raise a bare
+        # ValueError/OverflowError, bypassing the loud seam (ADVICE r9)
+        raise NotImplementedError(
+            f"refs gen {what} template {tpl!r} rendered non-finite "
+            f"byte count {s!r}"
+        )
     if f != int(f):
         raise NotImplementedError(
             f"refs gen {what} template {tpl!r} rendered fractional "

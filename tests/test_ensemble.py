@@ -649,3 +649,38 @@ def test_ensemble_wsdi_closed_form(spark):
     out6 = Ensemble(df).wsdi("2001-01-11", k=6).collect()[0]
     assert out6["wsdi"] == 0 and out6["n_spells"] == 0
     assert out6["longest_run"] == 3
+
+
+def test_ensemble_wsdi_q_validated_and_nondecile_rejected(spark):
+    """ADVICE r9: the rank statistic is exact tenths arithmetic, so a
+    non-decile q must raise loudly instead of silently computing a
+    different percentile (0.95 used to banker's-round to p90); decile
+    q other than the 0.9 default must compute its own threshold."""
+    import pandas as pd
+    import pytest
+
+    from bcdp_spark.ensemble import Ensemble
+
+    rows = []
+    for d in range(10):
+        t = (pd.Timestamp("2001-01-01")
+             + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("m1", t, 0.0, 0.0, float(d + 1)))
+    ana = [1.0, 6.5, 6.6, 6.7, 2.0, 9.9, 3.0, 4.0, 5.0, 6.0]
+    for d, v in enumerate(ana):
+        t = (pd.Timestamp("2001-01-11")
+             + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("m1", t, 0.0, 0.0, v))
+    df = spark.createDataFrame(
+        rows,
+        "name string, time timestamp, lat double, lon double, "
+        "value double",
+    )
+    for bad in (0.95, 0.75, 0.0, 1.0, -0.1):
+        with pytest.raises(ValueError, match="decile"):
+            Ensemble(df).wsdi("2001-01-11", q=bad)
+    # q=0.5 -> rank (5*10+5) div 10 = 5 -> threshold 5.0; warm run
+    # 6.5/6.6/6.7 (len 3) + isolated 9.9 and 6.0
+    r = Ensemble(df).wsdi("2001-01-11", k=3, q=0.5).collect()[0]
+    assert r["wsdi"] == 3 and r["n_spells"] == 1
+    assert r["longest_run"] == 3

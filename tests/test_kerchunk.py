@@ -1564,6 +1564,11 @@ def test_refs_gen_fractional_offset_raises_loudly(tmp_path):
         _expand_gen(dict(g), {})
     with pytest.raises(NotImplementedError, match="non-numeric"):
         _tpl_int("{{u}}", {"u": "http://h/x"}, "offset")
+    # ADVICE r9: 'inf'/'nan' pass float() but used to escape the seam
+    # via a bare OverflowError/ValueError from int(f)
+    for bad in (float("inf"), float("nan")):
+        with pytest.raises(NotImplementedError, match="non-finite"):
+            _tpl_int("{{u}}", {"u": bad}, "offset")
 
 
 def test_index_files_parquet_szip_archive_end_to_end(spark, tmp_path):
@@ -1758,3 +1763,48 @@ def test_remote_parquet_store_without_manifest_raises():
                       {"metadata": {"x/.zarray": za}})
     with pytest.raises(NotImplementedError, match="shard_files"):
         pr.get("x/0")
+
+
+def test_hdf5_refs_repeated_deflate_routes_to_pseudocodec(tmp_path):
+    """ADVICE r9: a pipeline with REPEATED deflate ([1, 1]) has no zarr
+    twin — a single {"id": "zlib"} compressor would inflate once and
+    fail — so it must be carried verbatim by the hdf5-filter
+    pseudo-codec, and the chunk must decode exactly through it."""
+    import zlib as _zlib
+
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+    from bcdp_spark.sources.kerchunk import hdf5_refs
+    from bcdp_spark.sources.zarr import ZArrayMeta, decode_chunk_bytes
+
+    raw = write_hdf5(
+        {"x": (["a"], np.arange(16, dtype="<f8"), {})},
+        chunk={"x": (16,)}, gzip_level=4,
+    )
+    p = tmp_path / "f.h5"
+    p.write_bytes(raw)
+    orig_init = H5File.__init__
+
+    def patched(self, buf):
+        orig_init(self, buf)
+        self.datasets["x"].filters = [(1, 0, (4,)), (1, 0, (4,))]
+
+    try:
+        H5File.__init__ = patched
+        doc = hdf5_refs(str(p), dims={"x": ["a"]})
+    finally:
+        H5File.__init__ = orig_init
+    za = json.loads(doc["refs"]["x/.zarray"])
+    assert za["compressor"]["id"] == "hdf5-filter"
+    assert [f[0] for f in za["compressor"]["filters"]] == [1, 1]
+    # a genuinely double-deflated chunk decodes through the verbatim
+    # pipeline (each [1,...] entry inflates once)
+    plain = np.arange(16, dtype="<f8").tobytes()
+    twice = _zlib.compress(_zlib.compress(plain, 4), 4)
+    meta = ZArrayMeta(
+        shape=(16,), chunks=(16,), dtype=np.dtype("<f8"), order="C",
+        fill_value=None, compressor=za["compressor"], separator=".",
+    )
+    np.testing.assert_array_equal(
+        decode_chunk_bytes(twice, meta),
+        np.arange(16, dtype="<f8"),
+    )

@@ -2378,3 +2378,37 @@ def test_ivf_index_append_keeps_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ivf_cell" in m.group(1), plan[:2000]
     assert m.group(1).count("ivf_cell") <= 2
+
+
+def test_ivf_index_append_preserves_duplicates_and_guards_names(
+    spark, tmp_path
+):
+    """ADVICE r9: append used to groupBy(df.columns), silently
+    deduplicating exact-duplicate input rows (the build path keeps
+    them); and the injected temp columns could collide with user
+    column names. Duplicates must survive; collisions must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_build(emb.filter("vec_id < 50"), path, k=2, n_iter=1)
+    one = emb.filter("vec_id = 60")
+    ivf_index_append(spark, path, one.union(one))  # exact duplicates
+    got = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter("vec_id = 60")
+        .count()
+    )
+    assert got == 2, "exact-duplicate appended rows were deduplicated"
+    with pytest.raises(ValueError, match="collide"):
+        ivf_index_append(
+            spark, path, one.withColumn("__cell", F.lit(1))
+        )
