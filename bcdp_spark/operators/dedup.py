@@ -207,6 +207,55 @@ def lsh_bucket_pairs(
     )
 
 
+def confirm_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact-verification stage for LSH candidate pairs — the standard
+    MinHash precision filter (Leskovec/Rajaraman/Ullman, MMDS ch. 3):
+    join the candidate ids back to their texts and keep only pairs whose
+    TRUE distinct character-``shingle_k``-gram Jaccard clears
+    ``threshold``.
+
+    Run AFTER blocking (``lsh_bucket_pairs`` / ``simhash_near_pairs`` /
+    ``hamming_near_pairs``): candidates are few relative to the corpus,
+    so the two id-equi-joins ship only candidate-doc gram arrays, never
+    all-pairs. The threshold compare is exact integer cross-
+    multiplication (``c * den >= union * num``), never a float ratio —
+    so any engine computing the same gram sets agrees bit-for-bit.
+
+    This is also what upgrades the LSH query keys from rows-only to
+    hash-checked driver grading (r10): the confirmed-pair set is
+    SEED-INVARIANT whenever the blocking stage has 100% recall at
+    ``threshold`` — any such blocking yields exactly the brute-force
+    answer, which a SQL oracle can compute all-pairs at grading scale.
+    A recall shortfall shows up as a driver hash mismatch, not silence.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    grams = F.array_distinct(_shingles_expr(text_col, shingle_k))
+    g = df.select(F.col(id_col), grams.alias("__g"))
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    c = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - c
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(
+            c * F.lit(int(fr.denominator))
+            >= union * F.lit(int(fr.numerator))
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -215,14 +264,23 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     bucket_cap: int | None = None,
+    confirm_jaccard: float | None = None,
 ) -> DataFrame:
     """Greedy near-dedup: drop any doc that shares a band bucket with a
     smaller-id doc (single-pass min-id propagation; a full transitive
     closure would iterate bucket→min until fixpoint). ``bucket_cap``
-    passes through to the candidate generation (see lsh_bucket_pairs)."""
+    passes through to the candidate generation (see lsh_bucket_pairs).
+    ``confirm_jaccard`` adds the exact-verification stage
+    (``confirm_pairs_jaccard``) so only candidates whose true shingle
+    Jaccard clears the threshold cost a drop — the precision filter
+    that also makes the kept set seed-invariant."""
     pairs = lsh_bucket_pairs(
         df, text_col, id_col, num_perm, bands, shingle_k, bucket_cap
     )
+    if confirm_jaccard is not None:
+        pairs = confirm_pairs_jaccard(
+            pairs, df, text_col, id_col, shingle_k, confirm_jaccard
+        )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

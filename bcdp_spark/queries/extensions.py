@@ -601,30 +601,101 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_minhash_dedup")
+# Shared oracle prelude for the confirmed-LSH keys (r10): exact
+# all-pairs distinct char-5-gram Jaccard at grading scale (500 docs at
+# sf0.01 — 125k gram-array intersections, comfortably in DuckDB). The
+# Spark side NEVER does this all-pairs work: it runs the real LSH
+# blocking (banded MinHash / SimHash pigeonhole chunks) and then the
+# exact-confirm stage on candidates only; the two agree because
+# blocking recall at J>=0.9 is 100% (measured exhaustively on the
+# sf0.001/sf0.01/sf0.1 fixtures; any regression = driver hash
+# mismatch, not a silent quality loss). Threshold compare is integer
+# cross-multiplication (c*10 >= u*9) on BOTH sides — no float ratio.
+_CONFIRMED_PAIRS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                          i -> substr(text, CAST(i AS INT), 5))
+         ) AS grams
+  FROM documents
+),
+pe AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS c,
+         len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams)) AS u
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+),
+confirmed AS (
+  SELECT id_a, id_b FROM pe WHERE c * 10 >= u * 9
+)
+"""
+
+
+@register(
+    "q_minhash_dedup",
+    oracle=_CONFIRMED_PAIRS_SQL
+    + """
+SELECT COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM confirmed)
+""",
+)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — MinHash-LSH near-dedup of documents (deterministic: seeded
-    murmur3 permutations). Rows-only: hashes differ from any SQL oracle."""
+    """X2 — MinHash-LSH near-dedup of documents with the exact-Jaccard
+    confirm stage (r10 upgrade from rows-only): banded LSH proposes
+    candidates, ``confirm_pairs_jaccard`` keeps only true J>=0.9 pairs,
+    greedy keep-smallest-id drops the rest. The confirmed output is
+    seed-invariant, so the DuckDB oracle computes it all-pairs."""
     from bcdp_spark.operators.dedup import minhash_dedup
 
     utc(spark)
     docs = table(spark, sf_dir, "documents")
-    kept = minhash_dedup(docs, "text", "doc_id", num_perm=32, bands=8, shingle_k=5)
+    kept = minhash_dedup(
+        docs, "text", "doc_id", num_perm=32, bands=8, shingle_k=5,
+        confirm_jaccard=0.9,
+    )
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("long").alias("kept_id_sum"),
     )
 
 
-@register("q_simhash_pairs")
+@register(
+    "q_simhash_pairs",
+    oracle=_CONFIRMED_PAIRS_SQL
+    + """
+SELECT COUNT(*) AS n_pairs,
+       COALESCE(CAST(SUM(id_a) AS BIGINT), 0) AS id_a_sum,
+       COALESCE(CAST(SUM(id_b) AS BIGINT), 0) AS id_b_sum
+FROM confirmed
+""",
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — SimHash near-pair count (pandas-UDF signature + chunk blocking)."""
-    from bcdp_spark.operators.dedup import simhash_near_pairs
+    """X2 — SimHash near-pairs (pandas-UDF fingerprint + pigeonhole
+    chunk blocking at hamming<=8) with the exact-Jaccard confirm stage
+    (r10 upgrade from rows-only): every true char-5-gram J>=0.9 pair
+    lies within hamming 8 on these corpora (measured exhaustively), so
+    the confirmed set equals the brute-force answer the oracle
+    computes."""
+    from bcdp_spark.operators.dedup import (
+        confirm_pairs_jaccard,
+        simhash_near_pairs,
+    )
 
     utc(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    conf = confirm_pairs_jaccard(
+        pairs, docs, "text", "doc_id", shingle_k=5, threshold=0.9
+    )
+    return conf.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("id_a"), F.lit(0)).cast("long").alias("id_a_sum"),
+        F.coalesce(F.sum("id_b"), F.lit(0)).cast("long").alias("id_b_sum"),
+    )
 
 
 @register("q_ann_knn")
@@ -765,19 +836,48 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(connected_components(edges))
 
 
-@register("q_dedup_clusters")
+@register(
+    "q_dedup_clusters",
+    oracle=_CONFIRMED_PAIRS_SQL.replace("WITH g AS", "WITH RECURSIVE g AS")
+    + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM confirmed
+  UNION SELECT id_b, id_a FROM confirmed
+),
+reach(n, l) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.n
+),
+labels AS (SELECT n, MIN(l) AS label FROM reach GROUP BY n)
+SELECT COUNT(DISTINCT label) AS n_clusters,
+       COUNT(*) AS n_clustered_docs,
+       CAST(SUM(label) AS BIGINT) AS label_sum
+FROM labels
+""",
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — FULL near-dedup clustering: MinHash-LSH candidate pairs →
-    connected components (transitive closure the greedy pass misses) →
-    cluster rollup. Rows-only (LSH hashing isn't SQL-expressible; the CC
-    loop itself is oracle-proven by q_connected_components)."""
-    from bcdp_spark.operators.dedup import lsh_bucket_pairs
+    exact-Jaccard confirm (r10 upgrade from rows-only) → connected
+    components (transitive closure the greedy pass misses) → cluster
+    rollup. The confirmed pair set is seed-invariant, so the oracle
+    recomputes it all-pairs and labels components with a recursive
+    reachability CTE (min-label fixpoint — same answer as the
+    distributed pointer-doubling loop, which q_connected_components
+    already proves against a closed form)."""
+    from bcdp_spark.operators.dedup import (
+        confirm_pairs_jaccard,
+        lsh_bucket_pairs,
+    )
     from bcdp_spark.operators.graph import connected_components
 
     utc(spark)
     docs = table(spark, sf_dir, "documents")
-    pairs = lsh_bucket_pairs(
-        docs, "text", "doc_id", num_perm=32, bands=8, shingle_k=5
+    pairs = confirm_pairs_jaccard(
+        lsh_bucket_pairs(
+            docs, "text", "doc_id", num_perm=32, bands=8, shingle_k=5
+        ),
+        docs, "text", "doc_id", shingle_k=5, threshold=0.9,
     )
     labels = connected_components(pairs)
     return labels.groupBy().agg(

@@ -649,3 +649,99 @@ def q_hdf5_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("lat").cast("double"), "sum_lat"),
         F.max("time").alias("max_time"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r10, VERDICT r9 item 3) — vlen-STRING dataset values: the
+# NetCDF-4 string-variable layout obs/station archives use (class 9
+# type 1 elements = 16-byte global-heap references). One file
+# contiguous, one chunked+deflate, so the grade covers BOTH layout
+# paths of the reference-array read. Station labels vary in length and
+# include multi-byte UTF-8, exercising heap-object padding.
+# ---------------------------------------------------------------------------
+_FIXVLEN_DIR = "/tmp/bcdp_spark_h5vlen_fixture_v1"
+_VLEN_N = 60
+
+
+def _ensure_fixture_vlen() -> str:
+    """Two station-obs files: 1-D vlen-string `station` + float64
+    `obs` + int32 `hour` datasets (closed-form values)."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXVLEN_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXVLEN_DIR
+    os.makedirs(_FIXVLEN_DIR, exist_ok=True)
+    for f in range(2):
+        i = np.arange(_VLEN_N)
+        station = np.array(
+            [
+                "gare-é" * (int((k + f) % 3) + 1) + str(int((k + 2 * f) % 7))
+                for k in i
+            ],
+            dtype=object,
+        )
+        obs = 0.5 * ((i * 7) % 13) + f
+        hour = (i % 24).astype("<i4")
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {
+                "chunk": {"station": (16,), "obs": (16,), "hour": (16,)},
+                "gzip_level": 4,
+            }
+        )
+        raw = write_hdf5(
+            {
+                "station": (["row"], station, {}),
+                "obs": (["row"], obs.astype("<f8"), {}),
+                "hour": (["row"], hour, {}),
+            },
+            **kw,
+        )
+        with open(os.path.join(_FIXVLEN_DIR, f"stn_{f}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXVLEN_DIR
+
+
+@register(
+    "q_hdf5_vlen",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g AS f, i.g AS i,
+         repeat('gare-é', (i.g + f.g) % 3 + 1)
+           || CAST((i.g + 2 * f.g) % 7 AS VARCHAR) AS station,
+         0.5 * ((i.g * 7) % 13) + f.g AS obs,
+         CAST(i.g % 24 AS INT) AS hour
+  FROM generate_series(0, 1) f(g), generate_series(0, {_VLEN_N - 1}) i(g)
+)
+SELECT station,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       {dsum_sql('obs', 'sum_obs')},
+       CAST(MAX(hour) AS INT) AS max_hour
+FROM rows GROUP BY station
+""",
+)
+def q_hdf5_vlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 vlen strings: real HDF5 vlen-string datasets (global-heap
+    references; contiguous AND chunked+deflate files) decode through
+    the vendored reader and aggregate per station. The oracle
+    recomputes the closed-form station labels/values, so a hash match
+    certifies heap-reference resolution byte-for-byte (UTF-8 multi-
+    byte labels included). ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_vars
+
+    utc(spark)
+    fix = _ensure_fixture_vlen()
+    df = load_hdf5_vars(
+        spark, os.path.join(fix, "*.h5"), ["station", "obs", "hour"]
+    )
+    return df.groupBy("station").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dsum(F.col("obs"), "sum_obs"),
+        F.max("hour").cast("int").alias("max_hour"),
+    )

@@ -63,6 +63,9 @@ def _up(fmt: str, buf, off: int = 0) -> tuple:
 
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
+# raw element type of a vlen-string dataset: the 16-byte global-heap
+# reference (length:4, collection address:8, object index:4)
+_V16 = np.dtype("V16")
 
 # ---------------------------------------------------------------------------
 # Jenkins lookup3 (public-domain hash; HDF5 metadata checksum)
@@ -656,22 +659,52 @@ class H5File:
             return name, arr[0].item()
         return name, arr.reshape(shape)
 
-    def _gheap_str(self, ref: bytes) -> str:
-        _length, addr, idx = struct.unpack("<IQI", ref)
+    def _gheap_collection(self, addr: int) -> dict[int, bytes]:
+        """Parse (and memoize) one global heap collection: object index
+        → object bytes. Dataset-scale vlen decode touches the same GCOL
+        once per ELEMENT, so the per-collection cache turns an O(n ·
+        collection) rescan into O(collection) + n dict hits."""
+        cache = getattr(self, "_gcol_cache", None)
+        if cache is None:
+            cache = self._gcol_cache = {}
+        got = cache.get(addr)
+        if got is not None:
+            return got
         buf = self.buf
         if buf[addr : addr + 4] != b"GCOL":
             raise ValueError("bad global heap signature")
         p = addr + 16
         end = addr + _up("<Q", buf, addr + 8)[0]
+        got = {}
         while p < end:
             oidx, _rc = _up("<HH", buf, p)
             osize = _up("<Q", buf, p + 8)[0]
             if oidx == 0:
                 break
-            if oidx == idx:
-                return buf[p + 16 : p + 16 + osize].decode("utf-8", "replace")
+            got[oidx] = bytes(buf[p + 16 : p + 16 + osize])
             p += 16 + ((osize + 7) & ~7)
-        raise ValueError(f"global heap object {idx} not found")
+        cache[addr] = got
+        return got
+
+    def _gheap_str(self, ref: bytes) -> str:
+        _length, addr, idx = struct.unpack("<IQI", ref)
+        obj = self._gheap_collection(addr).get(idx)
+        if obj is None:
+            raise ValueError(f"global heap object {idx} not found")
+        return obj.decode("utf-8", "replace")
+
+    def _vlen_decode(self, arr: np.ndarray) -> np.ndarray:
+        """16-byte vlen references (length:4, GCOL address:8, object
+        index:4) → object array of str. A NULL reference (all-zero — an
+        unwritten fill element) decodes as the empty string, matching
+        h5py's read of never-written vlen cells."""
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape[0], dtype=object)
+        null = b"\x00" * 16
+        for i in range(flat.shape[0]):
+            b = flat[i].tobytes()
+            out[i] = "" if b == null else self._gheap_str(b)
+        return out.reshape(arr.shape)
 
     # ----------------------------------------------------------- datasets
     def _dataset(self, name: str, msgs: list) -> H5Dataset:
@@ -844,7 +877,20 @@ class H5File:
         byte range is touched — both make a time-partitioned scan of
         one huge archive file read O(slab), not O(file)."""
         ds = self.datasets[name]
-        dt = ds.dtype.np_dtype
+        if ds.dtype.vlen_string:
+            # vlen-string elements are stored as 16-byte global-heap
+            # references; run the normal layout machinery on the raw
+            # reference array (contiguous byte-slab fast path, chunk
+            # filter pipeline, fill handling all apply unchanged), then
+            # resolve references through the memoized GCOL parse (r10,
+            # VERDICT r9 item 3 — NetCDF-4 string variables in obs
+            # archives)
+            return self._vlen_decode(self._read_slab(ds, sel, _V16))
+        return self._read_slab(ds, sel, ds.dtype.np_dtype)
+
+    def _read_slab(
+        self, ds: "H5Dataset", sel: tuple | None, dt: np.dtype
+    ) -> np.ndarray:
         rank = len(ds.shape)
         if sel is not None:
             sel = tuple(
@@ -887,7 +933,7 @@ class H5File:
                 continue  # chunk wholly outside the slab: never decoded
             raw = defilter_chunk(
                 self.buf[addr : addr + nbytes],
-                ds.filters, dt, ds.chunk_shape, fmask, name,
+                ds.filters, dt, ds.chunk_shape, fmask, ds.name,
             )
             chunk = np.frombuffer(raw, dtype=dt).reshape(ds.chunk_shape)
             sel_out, sel_in = [], []
@@ -908,6 +954,15 @@ class H5File:
         self, ds: H5Dataset, dt: np.dtype, shape: tuple | None = None
     ) -> np.ndarray:
         shape = ds.shape if shape is None else shape
+        if dt.kind == "V":
+            # vlen reference array: an unallocated region is NULL
+            # references (zero bytes), which decode as "" — a stored
+            # vlen fill value is itself a reference, honored only when
+            # it is exactly one raw element wide
+            if ds.fill is not None and len(ds.fill) == dt.itemsize:
+                fv = np.frombuffer(ds.fill, dtype=dt)[0]
+                return np.full(shape, fv, dtype=dt)
+            return np.zeros(shape, dtype=dt)
         if ds.fill is not None:
             fv = np.frombuffer(ds.fill, dtype=dt)[0]
             return np.full(shape, fv, dtype=dt)
@@ -1252,6 +1307,34 @@ def read_hdf5(data: bytes) -> H5File:
 # ---------------------------------------------------------------------------
 # Writer (deterministic fixtures; two on-disk profiles)
 # ---------------------------------------------------------------------------
+
+
+def _gcol_blob(objects: list[bytes]) -> bytes:
+    """One global heap collection holding ``objects`` at indexes
+    1..n: GCOL signature + v1 header, 8-padded object records, a
+    terminating index-0 free-space record, padded to the spec's
+    4096-byte minimum collection size."""
+    body = bytearray()
+    for j, s in enumerate(objects, start=1):
+        body += struct.pack("<HHIQ", j, 1, 0, len(s))
+        body += s + b"\x00" * (-len(s) % 8)
+    size = max(4096, (16 + len(body) + 16 + 7) & ~7)
+    blob = bytearray(struct.pack("<4sB3xQ", b"GCOL", 1, size))
+    blob += body
+    free = size - len(blob)
+    if free >= 16:
+        blob += struct.pack("<HHIQ", 0, 0, 0, free)
+    blob += b"\x00" * (size - len(blob))
+    return bytes(blob)
+
+
+def _vlen_str_dt_body() -> bytes:
+    """Datatype message for a vlen string (class 9, type 1 = string,
+    UTF-8 charset in bits 8-11, 16-byte reference elements) with the
+    conventional 1-byte string base type trailing."""
+    return struct.pack("<BBBBI", 0x19, 0x01, 0x01, 0, 16) + _dt_body(
+        np.dtype("S1")
+    )
 
 
 def _dt_body(arr_dtype: np.dtype) -> bytes:
@@ -1682,6 +1765,23 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
+        vlen_str = arr.dtype.kind in ("U", "O")
+        if vlen_str:
+            # vlen string variable: string bytes land in ONE global
+            # heap collection (allocated first so its address is
+            # known), the dataset itself stores 16-byte references —
+            # contiguous and chunked layouts then work unchanged on
+            # the reference array (filters compress references)
+            enc = [str(x).encode("utf-8") for x in arr.reshape(-1)]
+            gaddr = alloc.put(_gcol_blob(enc))
+            refbuf = bytearray()
+            for j, s in enumerate(enc, start=1):
+                refbuf += struct.pack("<IQI", len(s), gaddr, j)
+            arr = (
+                np.frombuffer(bytes(refbuf), dtype="V16")
+                .reshape(arr.shape)
+                .copy()
+            )
         # fill value v2: defined same-typed zero by default; ``fill``
         # overrides per variable (a scalar stores that value; None
         # stores an UNdefined fill — libhdf5's h5py default for floats,
@@ -1700,7 +1800,7 @@ def write_hdf5(
             ) + np.zeros(1, arr.dtype).tobytes()
         msgs: list[tuple[int, bytes]] = [
             (0x01, _ds_body(arr.shape, maxshape.get(name))),
-            (0x03, _dt_body(arr.dtype)),
+            (0x03, _vlen_str_dt_body() if vlen_str else _dt_body(arr.dtype)),
             (0x05, fill_body),
         ]
         if name in chunk:
@@ -2091,5 +2191,97 @@ def load_hdf5_table(spark, path, var: str | None = None,
                 h5 = H5File(open_raw(fpath))
                 arr = h5.read(_pick(h5))
                 yield _pd.DataFrame({n: arr[n] for n in names})
+
+    return manifest.mapInPandas(decode, schema=schema)
+
+
+def load_hdf5_vars(spark, path, names: list[str]):
+    """Read N same-length 1-D datasets from each matching HDF5 file as
+    parallel Spark columns — the station/point-obs archive shape where
+    each observation attribute is its own flat dataset (vlen-string
+    station labels, numeric readings) rather than one compound record.
+
+    Column typing: fixed-point/float datasets map like
+    ``load_hdf5_table`` (unsigned widened to the next signed type);
+    vlen-string (class 9 type 1) and fixed-length string (class 3)
+    datasets map to ``string``. Anything else raises loudly.
+
+    Scale notes: one Arrow-batched decode task per file (mapInPandas
+    over a file manifest); vlen decode memoizes each global-heap
+    collection per file, so references into a shared GCOL parse it
+    once. Parallelism is the file count — the natural unit of an obs
+    archive."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    from bcdp_spark.sources.ranged import open_raw
+
+    files = (
+        list(path) if isinstance(path, (list, tuple))
+        else sorted(_glob.glob(path))
+    )
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+
+    _SPARK_T = {"f4": "float", "f8": "double", "i1": "tinyint",
+                "i2": "smallint", "i4": "int", "i8": "bigint",
+                "u1": "smallint", "u2": "int", "u4": "bigint"}
+    first = H5File(open_raw(files[0]))
+    fields = []
+    for n in names:
+        if n not in first.datasets:
+            raise ValueError(f"dataset {n!r} not in {files[0]}")
+        ds = first.datasets[n]
+        if len(ds.shape) != 1:
+            raise ValueError(
+                f"load_hdf5_vars reads 1-D datasets; {n!r} has shape "
+                f"{ds.shape}"
+            )
+        dt = ds.dtype
+        if dt.vlen_string or dt.cls == 3:
+            fields.append(f"{n} string")
+            continue
+        key = (
+            "f" if dt.cls == 1 else ("i" if dt.signed else "u")
+        ) + str(dt.size)
+        if dt.cls not in (0, 1) or key not in _SPARK_T:
+            raise NotImplementedError(
+                f"dataset {n!r} (class {dt.cls}, {key}) has no Spark "
+                "column type (fixed-point/float/string datasets only)"
+            )
+        fields.append(f"{n} {_SPARK_T[key]}")
+    schema = ", ".join(fields)
+
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    def decode(batches):
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                h5 = H5File(open_raw(fpath))
+                cols = {}
+                n_rows = None
+                for n in names:
+                    a = h5.read(n)
+                    if h5.datasets[n].dtype.cls == 3:
+                        a = np.array(
+                            [
+                                bytes(x).split(b"\x00")[0]
+                                .decode("utf-8", "replace")
+                                for x in a
+                            ],
+                            dtype=object,
+                        )
+                    if n_rows is None:
+                        n_rows = len(a)
+                    elif len(a) != n_rows:
+                        raise ValueError(
+                            f"dataset lengths differ in {fpath}: "
+                            f"{n!r} has {len(a)}, expected {n_rows}"
+                        )
+                    cols[n] = a
+                yield _pd.DataFrame(cols)
 
     return manifest.mapInPandas(decode, schema=schema)
