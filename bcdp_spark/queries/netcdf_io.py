@@ -745,3 +745,100 @@ def q_hdf5_vlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("obs"), "sum_obs"),
         F.max("hour").cast("int").alias("max_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r10, VERDICT r9 item 4) — NESTED compound members: real DSG obs
+# records nest coordinates inside a sub-compound (`pos.lat`/`pos.lon`)
+# and carry fixed-array members (class 10, e.g. a 3-component wind
+# vector). load_hdf5_table flattens nested members to dotted columns
+# and array members to Spark array<T> columns.
+# ---------------------------------------------------------------------------
+_FIXNEST_DIR = "/tmp/bcdp_spark_h5nested_fixture_v1"
+_NEST_N = 60
+
+
+def _ensure_fixture_nested() -> str:
+    """Two obs files of a nested-compound dataset (one contiguous, one
+    chunked+deflate), closed-form member values."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXNEST_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXNEST_DIR
+    os.makedirs(_FIXNEST_DIR, exist_ok=True)
+    inner = np.dtype(
+        {"names": ["lat", "lon"], "formats": ["<f8", "<f8"],
+         "offsets": [0, 8], "itemsize": 16}
+    )
+    dt = np.dtype(
+        {
+            "names": ["time", "pos", "value", "wind"],
+            "formats": ["<f8", inner, "<f8", ("<f4", (3,))],
+            "offsets": [0, 8, 24, 32],
+            "itemsize": 44,
+        }
+    )
+    for f in range(2):
+        k = np.arange(f * _NEST_N, (f + 1) * _NEST_N, dtype=np.int64)
+        obs = np.zeros(_NEST_N, dtype=dt)
+        obs["time"] = k.astype("f8")
+        obs["pos"]["lat"] = (k % 7) * 10.0 - 30.0
+        obs["pos"]["lon"] = (k % 9) * 5.0
+        obs["value"] = 0.25 * k
+        obs["wind"] = (
+            0.5 * k[:, None] + np.arange(3)[None, :]
+        ).astype("<f4")
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {"chunk": {"obs": (16,)}, "gzip_level": 4}
+        )
+        raw = write_hdf5({"obs": (["row"], obs, {})}, **kw)
+        with open(os.path.join(_FIXNEST_DIR, f"obs_{f}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXNEST_DIR
+
+
+@register(
+    "q_hdf5_compound_nested",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g * {_NEST_N} + i.g AS k
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_NEST_N - 1}) i(g)
+)
+SELECT CAST((k % 7) * 10 - 30 AS DOUBLE) AS lat,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       {dsum_sql('0.25 * k', 'sum_value')},
+       {dsum_sql('1.5 * k + 3.0', 'sum_wind')},
+       CAST(MAX((k % 9) * 5) AS DOUBLE) AS max_lon
+FROM rows GROUP BY 1
+""",
+)
+def q_hdf5_compound_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 nested compounds: `pos.lat`/`pos.lon` sub-compound members
+    flatten to dotted columns, the 3-component class-10 `wind` array
+    member lands as array<float> and is summed with a JVM-side
+    higher-order aggregate (0.5k, 0.5k+1, 0.5k+2 — exact in float32,
+    so the sum 1.5k+3 is bit-exact vs the closed form). Contiguous +
+    chunked/deflate files. ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    utc(spark)
+    fix = _ensure_fixture_nested()
+    df = load_hdf5_table(spark, os.path.join(fix, "*.h5"))
+    wind_sum = F.expr(
+        "aggregate(`wind`, cast(0.0 as double),"
+        " (a, x) -> a + cast(x as double))"
+    )
+    return df.groupBy(F.col("`pos.lat`").alias("lat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dsum(F.col("value"), "sum_value"),
+        dsum(wind_sum, "sum_wind"),
+        F.max(F.col("`pos.lon`")).alias("max_lon"),
+    )

@@ -243,6 +243,10 @@ class _DType:
     # decodes as a numpy structured dtype with explicit offsets, so
     # libhdf5's padding/alignment choices are honored byte-for-byte
     members: list | None = None
+    # array (class 10): fixed subarray shape + base datatype — decodes
+    # as a numpy subarray dtype (base, shape)
+    array_shape: tuple | None = None
+    base: "_DType | None" = None
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -253,6 +257,8 @@ class _DType:
             return np.dtype(f"{order}f{self.size}")
         if self.cls == 3:
             return np.dtype(f"S{self.size}")
+        if self.cls == 10:
+            return np.dtype((self.base.np_dtype, self.array_shape))
         if self.cls == 6:
             return np.dtype(
                 {
@@ -266,6 +272,14 @@ class _DType:
 
 
 def _parse_datatype(body: bytes) -> _DType:
+    return _parse_datatype_sized(body)[0]
+
+
+def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
+    """Parse a datatype message, also returning its ENCODED byte
+    length — what lets compound members embed datatypes of non-fixed
+    encoded size (nested compounds, class-10 arrays; r10, VERDICT r9
+    item 4)."""
     cv = body[0]
     cls, ver = cv & 0x0F, cv >> 4
     if ver not in (1, 2, 3):
@@ -273,17 +287,41 @@ def _parse_datatype(body: bytes) -> _DType:
     b0 = body[1]
     size = _up("<I", body, 4)[0]
     if cls in (0, 1):  # fixed-point / float
-        return _DType(
-            cls=cls, size=size, little=(b0 & 1) == 0,
-            signed=bool(b0 & 0x08) if cls == 0 else True,
+        return (
+            _DType(
+                cls=cls, size=size, little=(b0 & 1) == 0,
+                signed=bool(b0 & 0x08) if cls == 0 else True,
+            ),
+            8 + (4 if cls == 0 else 12),
         )
     if cls == 3:  # fixed-length string
-        return _DType(cls=3, size=size)
+        return _DType(cls=3, size=size), 8
     if cls == 9:  # variable-length
         vtype = b0 & 0x0F
-        if vtype == 1:  # vlen string
-            return _DType(cls=9, size=size, vlen_string=True)
+        if vtype == 1:  # vlen string (consumed length unused: vlen
+            # members of compounds raise, so only top-level callers
+            # see this and they never need the base-type trailer)
+            return _DType(cls=9, size=size, vlen_string=True), 8
         raise NotImplementedError("HDF5 vlen non-string datatype")
+    if cls == 10:  # array: fixed-shape subarray of a base type
+        ndims = body[8]
+        pos = 12 if ver < 3 else 9  # pre-v3: 3 reserved bytes
+        dims = tuple(
+            _up("<I", body, pos + 4 * d)[0] for d in range(ndims)
+        )
+        pos += 4 * ndims
+        if ver < 3:
+            pos += 4 * ndims  # permutation indexes (never implemented)
+        base, used = _parse_datatype_sized(body[pos:])
+        if base.cls not in (0, 1):
+            raise NotImplementedError(
+                f"HDF5 array datatype of class-{base.cls} base "
+                "(fixed-point/float bases only)"
+            )
+        return (
+            _DType(cls=10, size=size, array_shape=dims, base=base),
+            pos + used,
+        )
     if cls == 6:  # compound: named members at explicit byte offsets
         nmem = b0 | (body[2] << 8)
         members = []
@@ -308,16 +346,16 @@ def _parse_datatype(body: bytes) -> _DType:
                 nb = (size.bit_length() + 7) // 8 or 1
                 moff = int.from_bytes(body[pos : pos + nb], "little")
                 pos += nb
-            sub = _parse_datatype(body[pos:])
-            if sub.cls not in (0, 1, 3):
+            sub, used = _parse_datatype_sized(body[pos:])
+            if sub.cls not in (0, 1, 3, 6, 10):
                 raise NotImplementedError(
                     f"HDF5 compound member {mname!r} of class {sub.cls}"
-                    " (fixed-point/float/string members only — nested"
-                    " compound/vlen raise)"
+                    " (fixed-point/float/string/nested-compound/array"
+                    " members only — vlen/reference members raise)"
                 )
-            pos += 8 + {0: 4, 1: 12, 3: 0}[sub.cls]
+            pos += used
             members.append((mname, moff, sub))
-        return _DType(cls=6, size=size, members=members)
+        return _DType(cls=6, size=size, members=members), pos
     if cls == 8:  # enum: a base type + named integer members
         base = _parse_datatype(body[8:])
         if base.cls != 0:
@@ -343,10 +381,13 @@ def _parse_datatype(body: bytes) -> _DType:
             bytes(body[pos : pos + nmem * base.size]),
             dtype=base.np_dtype,
         )
-        return _DType(
-            cls=0, size=base.size, little=base.little,
-            signed=base.signed,
-            enum_members={n: int(v) for n, v in zip(names, vals)},
+        return (
+            _DType(
+                cls=0, size=base.size, little=base.little,
+                signed=base.signed,
+                enum_members={n: int(v) for n, v in zip(names, vals)},
+            ),
+            pos + nmem * base.size,
         )
     raise NotImplementedError(f"HDF5 datatype class {cls}")
 
@@ -1358,6 +1399,17 @@ def _dt_body(arr_dtype: np.dtype) -> bytes:
         return head + struct.pack("<HH", 0, dt.itemsize * 8)
     if dt.kind == "S":
         return struct.pack("<BBBBI", 0x13, 0x00, 0, 0, dt.itemsize)
+    if dt.subdtype is not None:
+        # class-10 array (v2 encoding, libhdf5's archival form):
+        # dimensionality + 3 reserved + dim sizes + zeroed permutation
+        # indexes (never implemented by libhdf5) + base datatype
+        base, shape = dt.subdtype
+        ndims = len(shape)
+        head = struct.pack("<BBBBI", 0x2A, 0, 0, 0, dt.itemsize)
+        body = struct.pack("<B3x", ndims)
+        body += struct.pack(f"<{ndims}I", *shape)
+        body += struct.pack(f"<{ndims}I", *([0] * ndims))
+        return head + body + _dt_body(base)
     if dt.kind == "V" and dt.names:
         # v1 compound: padded name + byte offset + 28 zeroed
         # array-member octets + the member's own datatype message
@@ -2159,26 +2211,47 @@ def load_hdf5_table(spark, path, var: str | None = None,
     mdt = first.datasets[vname].dtype
     if mdt.cls != 6:
         raise ValueError(f"{vname} is not a compound dataset")
-    names = [m[0] for m in mdt.members]
+    def _flat(members, prefix=()):
+        # nested compound members (r10, VERDICT r9 item 4) flatten to
+        # dotted column names ('pos.lat'); every other member class
+        # stays a leaf
+        for n, _off, sub in members:
+            if sub.cls == 6:
+                yield from _flat(sub.members, prefix + (n,))
+            else:
+                yield ".".join(prefix + (n,)), prefix + (n,), sub
+
+    flat = list(_flat(mdt.members))
+    names = [f[0] for f in flat]
     if columns is not None:
         missing = set(columns) - set(names)
         if missing:
             raise ValueError(f"unknown compound members {sorted(missing)}")
-        names = [n for n in names if n in set(columns)]
+        keep = set(columns)
+        flat = [f for f in flat if f[0] in keep]
+        names = [f[0] for f in flat]
     fields = []
-    for n, _off, sub in mdt.members:
-        if n not in names:
-            continue
+    for cname, _path, sub in flat:
+        eff = sub.base if sub.cls == 10 else sub
         key = (
-            "f" if sub.cls == 1 else ("i" if sub.signed else "u")
-        ) + str(sub.size)
-        if sub.cls not in (0, 1) or key not in _SPARK_T:
+            "f" if eff.cls == 1 else ("i" if eff.signed else "u")
+        ) + str(eff.size)
+        if eff.cls not in (0, 1) or key not in _SPARK_T:
             raise NotImplementedError(
-                f"compound member {n!r} ({key}) has no Spark column "
-                "type (fixed-point/float members only; unsigned "
-                "64-bit would need DECIMAL)"
+                f"compound member {cname!r} ({key}) has no Spark column"
+                " type (fixed-point/float members only; unsigned"
+                " 64-bit would need DECIMAL)"
             )
-        fields.append(f"{n} {_SPARK_T[key]}")
+        styp = _SPARK_T[key]
+        if sub.cls == 10:
+            # class-10 array member → one Spark array<T> column
+            if len(sub.array_shape) != 1:
+                raise NotImplementedError(
+                    f"compound array member {cname!r} has rank "
+                    f"{len(sub.array_shape)} (1-D array members only)"
+                )
+            styp = f"array<{styp}>"
+        fields.append(f"`{cname}` {styp}")
     schema = ", ".join(fields)
 
     manifest = spark.createDataFrame(
@@ -2190,7 +2263,13 @@ def load_hdf5_table(spark, path, var: str | None = None,
             for fpath in pdf["path"]:
                 h5 = H5File(open_raw(fpath))
                 arr = h5.read(_pick(h5))
-                yield _pd.DataFrame({n: arr[n] for n in names})
+                cols = {}
+                for cname, path, sub in flat:
+                    v = arr
+                    for part in path:
+                        v = v[part]
+                    cols[cname] = list(v) if sub.cls == 10 else v
+                yield _pd.DataFrame(cols)
 
     return manifest.mapInPandas(decode, schema=schema)
 

@@ -961,3 +961,71 @@ def test_load_hdf5_vars_mixed_columns(spark, tmp_path):
     assert df.filter(F.col("station").startswith("ssss-")).count() == 2 * 2
     with pytest.raises(Exception, match="1-D|not in"):
         load_hdf5_vars(spark, str(tmp_path / "*.h5"), ["nope"]).count()
+
+
+# -- nested compound / array members (r10, VERDICT r9 item 4) ------------
+
+
+def _nested_obs(n=12, k0=0):
+    inner = np.dtype({"names": ["lat", "lon"], "formats": ["<f8", "<f8"],
+                      "offsets": [0, 8], "itemsize": 16})
+    dt = np.dtype({
+        "names": ["time", "pos", "value", "wind"],
+        "formats": ["<f8", inner, "<f8", ("<f4", (3,))],
+        "offsets": [0, 8, 24, 32], "itemsize": 44,
+    })
+    k = np.arange(k0, k0 + n, dtype=np.int64)
+    obs = np.zeros(n, dtype=dt)
+    obs["time"] = k.astype("f8")
+    obs["pos"]["lat"] = (k % 7) * 10.0 - 30.0
+    obs["pos"]["lon"] = (k % 9) * 5.0
+    obs["value"] = 0.25 * k
+    obs["wind"] = (0.5 * k[:, None] + np.arange(3)[None, :]).astype("<f4")
+    return obs
+
+
+@pytest.mark.parametrize(
+    "kw", [{"gzip_level": None}, {"chunk": {"obs": (5,)}, "gzip_level": 4}]
+)
+def test_nested_compound_and_array_member_roundtrip(kw):
+    obs = _nested_obs()
+    back = H5File(write_hdf5({"obs": (["row"], obs, {})}, **kw)).read("obs")
+    assert (back == obs).all() and back.dtype == obs.dtype
+
+
+def test_load_hdf5_table_flattens_nested_and_arrays(spark, tmp_path):
+    """Nested members → dotted columns, class-10 array members →
+    array<T> columns; columns= projects dotted names."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    for f in range(2):
+        raw = write_hdf5(
+            {"obs": (["row"], _nested_obs(12, k0=12 * f), {})},
+            gzip_level=None if f == 0 else 4,
+            chunk=None if f == 0 else {"obs": (5,)},
+        )
+        (tmp_path / f"o{f}.h5").write_bytes(raw)
+    df = load_hdf5_table(spark, str(tmp_path / "*.h5"))
+    assert set(df.columns) == {"time", "pos.lat", "pos.lon", "value", "wind"}
+    assert dict(df.dtypes)["wind"] == "array<float>"
+    assert df.count() == 24
+    row = df.filter(F.col("time") == 3.0).collect()[0]
+    assert row["pos.lat"] == 0.0 and row["pos.lon"] == 15.0
+    assert [round(x, 3) for x in row["wind"]] == [1.5, 2.5, 3.5]
+    proj = load_hdf5_table(
+        spark, str(tmp_path / "*.h5"), columns=["pos.lat", "value"]
+    )
+    assert proj.columns == ["pos.lat", "value"]
+
+
+def test_compound_rank2_array_member_raises(spark, tmp_path):
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    dt = np.dtype({"names": ["m"], "formats": [("<f8", (2, 2))],
+                   "offsets": [0], "itemsize": 32})
+    obs = np.zeros(4, dtype=dt)
+    (tmp_path / "o.h5").write_bytes(
+        write_hdf5({"obs": (["row"], obs, {})}, gzip_level=None)
+    )
+    with pytest.raises(NotImplementedError, match="rank 2"):
+        load_hdf5_table(spark, str(tmp_path / "*.h5"))
