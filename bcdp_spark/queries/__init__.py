@@ -101,7 +101,7 @@ _PRIORITY = (
     # (a) new/upgraded in round 10: HDF5 vlen-string datasets, nested
     # compound members, GRIB2 cluster templates 4.3/4.4, and the three
     # exact-confirm LSH upgrades (first hash-checked grading ever)
-    "q_hdf5_vlen", "q_hdf5_compound_nested",
+    "q_hdf5_vlen", "q_hdf5_compound_nested", "q_grib2_cluster",
     "q_minhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
     # (b) the four remaining never-graded rows-only keys (LSH-seed /
     # packing-order outputs with no exact twin at their graded

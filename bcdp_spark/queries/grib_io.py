@@ -801,3 +801,98 @@ def q_grib2_ieee(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 (VERDICT r9 item 6) — cluster product templates 4.3/4.4: derived
+# forecasts over a CLUSTER of ensemble members (the GEFS cluster
+# products). The derived code + cluster identifier + total-cluster
+# count land in `ens_label` ("em_c1of2", "es_c2of2", ...); 4.3 carries
+# a rectangular cluster domain, 4.4 a circular one, and the trailing
+# NC member-number list sizes the section — the parse must skip both
+# correctly or every downstream octet shifts.
+# ---------------------------------------------------------------------------
+_CLU_FIX = "/tmp/bcdp_spark_grib2_cluster_fixture_v1"
+
+
+def _ensure_cluster_fixture() -> str:
+    from bcdp_spark.sources.grib2 import write_grib2_message
+
+    done = os.path.join(_CLU_FIX, ".complete")
+    if os.path.exists(done):
+        return _CLU_FIX
+    os.makedirs(_CLU_FIX, exist_ok=True)
+    lats = np.array(_LATS)
+    lons = np.arange(_N_O) * 60.0
+    msgs = b""
+    # cluster 1 rides 4.3 (rectangular domain), cluster 2 rides 4.4
+    # (circular); each ships the cluster mean (em) and spread (es),
+    # across simple and complex+spatial-differencing packings
+    for ci, (shape, members) in enumerate(
+        ((("rect"), [1, 2, 3]), (("circle"), [4, 5])), start=1
+    ):
+        for di, dcode in enumerate((0, 2)):  # em, es
+            vals = np.empty((_N_A, _N_O))
+            for a in range(_N_A):
+                for o in range(_N_O):
+                    if (ci + di + a + o) % 6 == 0:
+                        vals[a, o] = np.nan
+                    else:
+                        vals[a, o] = 0.25 * (
+                            ci * 1000 + di * 100 + a * 10 + o
+                        )
+            msgs += write_grib2_message(
+                vals, lats, lons, _dt.datetime(2021, 3, 1),
+                forecast_hours=6, nbits=16, binary_scale=-2,
+                packing=0 if (ci + di) % 2 == 0 else 3,
+                spatial_order=2, ens_size=5,
+                cluster=(dcode, ci, 2, members, shape),
+            )
+    tmp = os.path.join(_CLU_FIX, ".gefs_clusters.grib2.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(msgs)
+    os.replace(tmp, os.path.join(_CLU_FIX, "gefs_clusters.grib2"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _CLU_FIX
+
+
+@register(
+    "q_grib2_cluster",
+    oracle=f"""
+WITH grid AS (
+  SELECT c.g + 1 AS ci, d.g AS di, a.g AS a, o.g AS o,
+         CASE WHEN (c.g + 1 + d.g + a.g + o.g) % 6 = 0 THEN NULL
+              ELSE 0.25 * ((c.g + 1) * 1000 + d.g * 100 + a.g * 10 + o.g)
+         END AS value
+  FROM generate_series(0, 1) c(g), generate_series(0, 1) d(g),
+       generate_series(0, {_N_A - 1}) a(g),
+       generate_series(0, {_N_O - 1}) o(g)
+)
+SELECT (CASE di WHEN 0 THEN 'em' ELSE 'es' END)
+         || '_c' || CAST(ci AS VARCHAR) || 'of2' AS ens_label,
+       COUNT(*) AS n_cells, COUNT(value) AS n_valid,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+            AS DOUBLE) AS sum_value
+FROM grid GROUP BY 1
+""",
+)
+def q_grib2_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 cluster products (4.3/4.4): the derived-over-cluster tag
+    decodes into ens_label and the variable-length member list sizes
+    the section correctly across BOTH domain shapes and both packings;
+    label-equality predicates still push down to the message index
+    (plan/pruning pytest-gated). ``sf_dir`` unused (synthetic decode
+    fixture)."""
+    from bcdp_spark.sources.grib2 import load_grib2
+
+    utc(spark)
+    fix = _ensure_cluster_fixture()
+    df = load_grib2(spark, os.path.join(fix, "*.grib2"))
+    return df.groupBy("ens_label").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("value").alias("n_valid"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -818,12 +818,13 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
             aero_label = f"aero_{atype}_{wl_nm:g}nm"
         sec4 = sec4[:11] + sec4[35:]
         template = 0
-    if template not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
+    if template not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12):
         raise NotImplementedError(
             f"GRIB2 product template 4.{template} not supported "
             "(deterministic 4.0/4.8, ensemble member 4.1/4.11, derived "
-            "4.2/4.12, probability 4.5/4.9, percentile 4.6/4.10, "
-            "chemistry 4.40-4.43, satellite 4.31, aerosol 4.48 only)"
+            "4.2/4.12, cluster 4.3/4.4, probability 4.5/4.9, "
+            "percentile 4.6/4.10, chemistry 4.40-4.43, satellite 4.31, "
+            "aerosol 4.48 only)"
         )
     category, number = sec4[9], sec4[10]
     time_unit = sec4[17]
@@ -854,6 +855,27 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
             raise ValueError(f"GRIB2 template 4.{template} section too short")
         label = _DERIVED_LABELS.get(sec4[34], f"derived{sec4[34]}")
         end_at = 36
+    elif template in (3, 4):
+        # 4.3/4.4 (r10, VERDICT r9 item 6): derived forecasts over a
+        # CLUSTER of ensemble members — the GEFS cluster products —
+        # with a rectangular (4.3) or circular (4.4) cluster domain.
+        # The derived code (table 4.7) + cluster identifier + total
+        # cluster count tag the product; the trailing NC member-number
+        # list (octet 58 / 54) sizes the section. Point-in-time only:
+        # the spec defines no interval twin.
+        nc_at = 57 if template == 3 else 53
+        if len(sec4) < nc_at + 1:
+            raise ValueError(
+                f"GRIB2 template 4.{template} section too short"
+            )
+        nc = sec4[nc_at]
+        if len(sec4) < nc_at + 11 + nc:
+            raise ValueError(
+                f"GRIB2 template 4.{template} section too short for "
+                f"{nc} cluster members"
+            )
+        dlab = _DERIVED_LABELS.get(sec4[34], f"derived{sec4[34]}")
+        label = f"{dlab}_c{sec4[36]}of{sec4[39]}"
     elif template in (6, 10):
         if len(sec4) < 35:
             raise ValueError(f"GRIB2 template 4.{template} section too short")
@@ -1462,6 +1484,7 @@ def write_grib2_message(
     aerosol: tuple | None = None,
     chem: int | None = None,
     satellite: tuple | None = None,
+    cluster: tuple | None = None,
 ) -> bytes:
     """Serialize one (nj, ni) field.
 
@@ -1484,7 +1507,12 @@ def write_grib2_message(
       2 = spread …) — the GEFS geavg/gespr products;
     - ``probability=(ptype, lo, up)`` → 4.5/4.9: WMO table 4.9
       probability type with milli-scaled limits;
-    - ``percentile`` → 4.6/4.10: percentile value 0-100.
+    - ``percentile`` → 4.6/4.10: percentile value 0-100;
+    - ``cluster=(derived, cluster_id, total, members, shape)`` →
+      4.3 (``shape='rect'``) / 4.4 (``'circle'``): derived forecast
+      over a cluster of ensemble members (the GEFS cluster products);
+      ``members`` is the NC-long member-number list. Point-in-time
+      only — the spec defines no interval twin.
     """
     values = np.asarray(values, dtype=np.float64)
     if reduced_pl is not None:
@@ -1682,15 +1710,16 @@ def write_grib2_message(
         level_type = 255
     else:
         lev_scale_b, lev_val = 0, _sm_encode(int(round(level)), 32)
-    if sum(x is not None for x in (derived, probability,
-                                   percentile, aerosol, satellite)) > 1 or (
+    if sum(x is not None for x in (derived, probability, percentile,
+                                   aerosol, satellite, cluster)) > 1 or (
         member is not None
-        and any(x is not None for x in (derived, probability,
-                                        percentile, aerosol, satellite))
+        and any(x is not None for x in (derived, probability, percentile,
+                                        aerosol, satellite, cluster))
     ):
         raise ValueError(
             "member / derived / probability / percentile / aerosol / "
-            "satellite are mutually exclusive product-template selectors"
+            "satellite / cluster are mutually exclusive product-"
+            "template selectors"
         )
     if chem is not None and any(
         x is not None
@@ -1782,6 +1811,41 @@ def write_grib2_message(
     elif percentile is not None:
         point_t = 6
         ens_extra = struct.pack(">B", percentile)
+    elif cluster is not None:
+        # 4.3/4.4: derived code, N, cluster id, hi/lo-res control
+        # cluster numbers, total clusters, clustering method (0 =
+        # anomaly correlation), domain (rect: N/S lat + E/W lon;
+        # circle: central lat/lon + radius in m), NC, zero std-dev /
+        # distance stats, NC member numbers
+        dcode, cid, total, members_l, shape = cluster
+        if stat_hours is not None:
+            raise NotImplementedError(
+                "cluster templates 4.3/4.4 are point-in-time (no "
+                "interval twin exists in the spec)"
+            )
+        if shape not in ("rect", "circle"):
+            raise ValueError(f"cluster shape {shape!r}: rect|circle")
+        point_t = 3 if shape == "rect" else 4
+        if shape == "rect":
+            dom = struct.pack(
+                ">IIII",
+                _sm_encode(60_000_000, 32), _sm_encode(-60_000_000, 32),
+                _sm_encode(300_000_000, 32), _sm_encode(0, 32),
+            )
+        else:
+            dom = struct.pack(
+                ">III", _sm_encode(0, 32), _sm_encode(0, 32), 2_000_000
+            )
+        ens_extra = (
+            struct.pack(
+                ">BBBBBBB", dcode, ens_size, cid, 1, 1, total, 0
+            )
+            + dom
+            + struct.pack(">B", len(members_l))
+            + struct.pack(">BI", 0, _sm_encode(0, 32))
+            + struct.pack(">BI", 0, _sm_encode(0, 32))
+            + bytes(members_l)
+        )
     else:
         point_t = 0
         ens_extra = b""
@@ -1790,9 +1854,12 @@ def write_grib2_message(
             tmpl4 = point_t
         else:
             tmpl4 = {0: 8, 1: 11, 2: 12, 5: 9, 6: 10}[point_t]
-        sec4_len = {0: 34, 1: 37, 2: 36, 5: 47, 6: 35}[point_t] + (
-            24 if stat_hours is not None else 0
-        )
+        if point_t in (3, 4):
+            sec4_len = (68 if point_t == 3 else 64) + len(cluster[3])
+        else:
+            sec4_len = {0: 34, 1: 37, 2: 36, 5: 47, 6: 35}[point_t] + (
+                24 if stat_hours is not None else 0
+            )
         if chem is not None:
             # 4.40-4.43: the 2-octet table-4.230 constituent code goes
             # between the parameter number and the generating-process

@@ -2176,3 +2176,65 @@ def test_template54_truncated_section7_raises():
     )
     with pytest.raises(ValueError, match="IEEE section 7"):
         decode_message(new)
+
+
+# -- cluster templates 4.3/4.4 (r10, VERDICT r9 item 6) -------------------
+
+
+def test_cluster_templates_roundtrip_and_label(spark, tmp_path):
+    """4.3 (rect domain) / 4.4 (circle) decode with the derived+cluster
+    tag in ens_label and the variable-length member list skipped
+    correctly; ens_label pushdown still prunes at the index."""
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = write_grib2_message(
+        np.full((2, 2), 1.5), lats, lons, _REF, nbits=8, binary_scale=-2,
+        cluster=(0, 1, 3, [1, 2, 3], "rect"), ens_size=5,
+    ) + write_grib2_message(
+        np.full((2, 2), 2.5), lats, lons, _REF, nbits=8, binary_scale=-2,
+        cluster=(2, 2, 3, [4, 5], "circle"), ens_size=5,
+    )
+    p = tmp_path / "clusters.grib2"
+    p.write_bytes(msgs)
+    df = load_grib2(spark, str(p))
+    got = {(r["ens_label"], r["value"]) for r in df.collect()}
+    assert got == {("em_c1of3", 1.5), ("es_c2of3", 2.5)}
+    only = load_grib2(spark, str(p), ens_label="es_c2of3").collect()
+    assert len(only) == 4 and all(r["value"] == 2.5 for r in only)
+
+
+def test_cluster_template_seams():
+    import datetime as _dtm
+
+    import pytest as _pytest
+
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    with _pytest.raises(NotImplementedError, match="point-in-time"):
+        write_grib2_message(
+            np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+            cluster=(0, 1, 2, [1], "rect"), stat_hours=6,
+        )
+    with _pytest.raises(ValueError, match="rect|circle"):
+        write_grib2_message(
+            np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+            cluster=(0, 1, 2, [1], "oval"),
+        )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        write_grib2_message(
+            np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+            cluster=(0, 1, 2, [1], "rect"), derived=0,
+        )
+    del _dtm
+
+
+def test_cluster_section_too_short_raises():
+    import struct as _st
+
+    from bcdp_spark.sources.grib2 import _parse_product
+
+    # a 4.3 section truncated before the NC member list
+    sec4 = bytearray(60)
+    _st.pack_into(">H", sec4, 7, 3)
+    sec4[57] = 10  # NC=10 but only 60 bytes present (needs 78)
+    sec4[17] = 1
+    with pytest.raises(ValueError, match="too short for 10"):
+        _parse_product(bytes(sec4), _REF)
