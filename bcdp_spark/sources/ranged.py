@@ -91,18 +91,35 @@ class SparseBytes:
         return -1
 
 
-def http_pread(url: str, opener=None):
+def _apply_signer(req, sign):
+    """Run the request signer (explicit ``sign=`` beats the per-process
+    registry in ``sources/signing.py``); a signer may mutate in place
+    (return None) or return a replacement request."""
+    if sign is None:
+        from bcdp_spark.sources.signing import signer_for
+
+        sign = signer_for(req.full_url)
+    if sign is not None:
+        req = sign(req) or req
+    return req
+
+
+def http_pread(url: str, opener=None, sign=None):
     """``pread(off, n)`` over HTTP Range requests. ``opener`` defaults
     to ``urllib.request.urlopen`` and is injectable for loopback
-    tests. Servers that ignore Range (status 200) raise loudly — a
-    full-object response defeats the design and must not be silently
-    sliced."""
+    tests. ``sign`` is the authenticated-object-store hook (r10): a
+    ``sign(req) -> req|None`` callable (e.g.
+    ``signing.SigV4Signer``) applied to EVERY range request; when
+    omitted, the per-process signer registry is consulted. Servers
+    that ignore Range (status 200) raise loudly — a full-object
+    response defeats the design and must not be silently sliced."""
     import urllib.request
 
     def pread(offset: int, size: int) -> bytes:
         req = urllib.request.Request(
             url, headers={"Range": f"bytes={offset}-{offset + size - 1}"}
         )
+        req = _apply_signer(req, sign)
         op = opener or urllib.request.urlopen
         with op(req) as resp:
             status = getattr(resp, "status", None) or resp.getcode()
@@ -116,14 +133,17 @@ def http_pread(url: str, opener=None):
     return pread
 
 
-def open_raw(path: str, transport=None, page: int = 16384):
+def open_raw(path: str, transport=None, page: int = 16384, sign=None):
     """Format-agnostic header access: a local path -> mmap (parsers
     fault in only the pages they slice); an http(s) URL ->
     ``SparseBytes`` over ranged GETs (only sliced pages are ever
-    fetched). ``transport`` is an injectable urlopen for tests."""
+    fetched). ``transport`` is an injectable urlopen for tests;
+    ``sign`` the authenticated-store request signer (see
+    ``http_pread``)."""
     if str(path).startswith(("http://", "https://")):
         return SparseBytes(
-            http_pread(path, transport), http_size(path, transport),
+            http_pread(path, transport, sign=sign),
+            http_size(path, transport, sign=sign),
             page=page,
         )
     import mmap as _mmap
@@ -132,21 +152,25 @@ def open_raw(path: str, transport=None, page: int = 16384):
         return _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
 
 
-def read_range(path: str, offset: int, size: int, transport=None) -> bytes:
+def read_range(
+    path: str, offset: int, size: int, transport=None, sign=None
+) -> bytes:
     """Exactly one block/message's bytes: pread locally, one ranged
-    GET remotely — a pruned block is never requested at all."""
+    GET remotely — a pruned block is never requested at all (and a
+    signed request for it is never issued either)."""
     if str(path).startswith(("http://", "https://")):
-        return http_pread(path, transport)(offset, size)
+        return http_pread(path, transport, sign=sign)(offset, size)
     with open(path, "rb") as fh:
         fh.seek(offset)
         return fh.read(size)
 
 
-def http_size(url: str, opener=None) -> int:
+def http_size(url: str, opener=None, sign=None) -> int:
     """Object size via a 0-0 Range probe (Content-Range total)."""
     import urllib.request
 
     req = urllib.request.Request(url, headers={"Range": "bytes=0-0"})
+    req = _apply_signer(req, sign)
     op = opener or urllib.request.urlopen
     with op(req) as resp:
         cr = resp.headers.get("Content-Range", "")

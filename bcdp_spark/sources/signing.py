@@ -1,0 +1,225 @@
+"""Authenticated ranged transport (r10, VERDICT r9 item 5): an
+injectable request SIGNER hook for the byte-range adapters in
+``sources/ranged.py``, with AWS Signature Version 4 as the shipped
+example — the public scheme (AWS General Reference, "Signature Version
+4 signing process") that S3-compatible object stores (S3, GCS
+interoperability mode, MinIO, Ceph RGW) accept. Real 100 TB
+refs/zarr/COG estates live behind signed requests; with a signer
+armed, every ranged GET the engine issues — header pages, chunk
+ranges, size probes — carries the store's Authorization header, while
+the pruning contract is unchanged: a pruned chunk is never requested,
+signed or not.
+
+A signer is any callable ``sign(req) -> urllib.request.Request | None``
+(mutate in place and return None, or return a replacement). Two ways
+to arm one:
+
+- explicitly — ``open_raw(url, sign=...)`` / ``read_range(...,
+  sign=...)`` (the injectable-transport pattern every source here
+  already uses); signer objects are picklable dataclasses, so task
+  closures ship them to executors;
+- ambiently — ``register_url_signer(prefix, signer)`` binds a signer
+  to a URL prefix for THIS process, and environment configuration
+  (``BCDP_SPARK_SIGV4`` = ``region[:service]`` plus the standard
+  ``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY`` /
+  ``AWS_SESSION_TOKEN``, scoped by ``BCDP_SPARK_SIGN_PREFIX``) arms it
+  in every Python worker that inherits the environment (local mode
+  inherits automatically; on a cluster set them via
+  ``spark.executorEnv.*``). The registry is per-process by design —
+  documented, not a silent surprise.
+
+Certification: the canonical-request / string-to-sign / signature
+chain is hand-vector-certified against the worked GET-object example
+published in the AWS S3 API reference (the ``examplebucket`` /
+``bytes=0-9`` request), and cross-checked against botocore's own
+SigV4Auth when botocore is importable (it is in this container) — the
+same two-tier story as the other from-scratch codecs
+(docs/FORMATS.md).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import hmac
+import os
+import urllib.parse
+from dataclasses import dataclass, field
+
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+@dataclass
+class SigV4Signer:
+    """AWS Signature Version 4 for bodyless (GET/HEAD) requests.
+
+    Picklable — ship it in task closures for executor-side ranged
+    reads. ``now`` is injectable for the hand-vector tests; production
+    use stamps each request at call time (signatures embed the date).
+    """
+
+    access_key: str
+    secret_key: str
+    region: str
+    service: str = "s3"
+    session_token: str | None = None
+    now: _dt.datetime | None = field(default=None, repr=False)
+
+    def __call__(self, req):
+        url = urllib.parse.urlsplit(req.full_url)
+        t = self.now or _dt.datetime.now(_dt.timezone.utc)
+        amzdate = t.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = t.strftime("%Y%m%d")
+
+        # -- canonical request -----------------------------------------
+        # uri: the raw path, each segment RFC-3986-encoded ('/' kept);
+        # query: key-sorted, strictly-encoded pairs
+        path = urllib.parse.quote(url.path or "/", safe="/")
+        qs = urllib.parse.parse_qsl(
+            url.query, keep_blank_values=True, strict_parsing=False
+        )
+        canonical_query = "&".join(
+            f"{urllib.parse.quote(k, safe='')}="
+            f"{urllib.parse.quote(v, safe='')}"
+            for k, v in sorted(qs)
+        )
+        headers = {
+            "host": url.netloc,
+            "x-amz-content-sha256": _EMPTY_SHA256,
+            "x-amz-date": amzdate,
+        }
+        rng = req.get_header("Range") or req.headers.get("Range")
+        if rng:
+            headers["range"] = rng
+        if self.session_token:
+            headers["x-amz-security-token"] = self.session_token
+        signed_headers = ";".join(sorted(headers))
+        canonical_headers = "".join(
+            f"{k}:{headers[k].strip()}\n" for k in sorted(headers)
+        )
+        canonical_request = "\n".join(
+            (
+                req.get_method(),
+                path,
+                canonical_query,
+                canonical_headers,
+                signed_headers,
+                _EMPTY_SHA256,
+            )
+        )
+
+        # -- string to sign + signing key chain -------------------------
+        scope = f"{datestamp}/{self.region}/{self.service}/aws4_request"
+        string_to_sign = "\n".join(
+            (
+                "AWS4-HMAC-SHA256",
+                amzdate,
+                scope,
+                hashlib.sha256(canonical_request.encode()).hexdigest(),
+            )
+        )
+        k = _hmac(("AWS4" + self.secret_key).encode(), datestamp)
+        k = _hmac(k, self.region)
+        k = _hmac(k, self.service)
+        k = _hmac(k, "aws4_request")
+        signature = hmac.new(
+            k, string_to_sign.encode(), hashlib.sha256
+        ).hexdigest()
+
+        req.add_header("x-amz-date", amzdate)
+        req.add_header("x-amz-content-sha256", _EMPTY_SHA256)
+        if self.session_token:
+            req.add_header("x-amz-security-token", self.session_token)
+        req.add_header(
+            "Authorization",
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}",
+        )
+        return req
+
+
+# -- per-process signer registry + environment arming ----------------------
+
+_REGISTRY: list[tuple[str, object]] = []
+_ENV_CHECKED = False
+
+
+def register_url_signer(prefix: str, signer) -> None:
+    """Bind ``signer`` to every ranged request whose URL starts with
+    ``prefix`` — for THIS Python process (executors arm via the
+    environment or explicit ``sign=``; see module docstring)."""
+    _REGISTRY.append((str(prefix), signer))
+
+
+def clear_url_signers() -> None:
+    global _ENV_CHECKED
+    _REGISTRY.clear()
+    _ENV_CHECKED = False
+
+
+def _arm_from_env() -> None:
+    """One-shot: BCDP_SPARK_SIGV4='region[:service]' + the standard
+    AWS credential variables register a SigV4 signer for
+    BCDP_SPARK_SIGN_PREFIX (default: every http(s) URL)."""
+    global _ENV_CHECKED
+    _ENV_CHECKED = True
+    spec = os.environ.get("BCDP_SPARK_SIGV4")
+    if not spec:
+        return
+    ak = os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not ak or not sk:
+        raise ValueError(
+            "BCDP_SPARK_SIGV4 is set but AWS_ACCESS_KEY_ID / "
+            "AWS_SECRET_ACCESS_KEY are not — refusing to issue "
+            "unsigned requests that were asked to be signed"
+        )
+    region, _, service = spec.partition(":")
+    _REGISTRY.append(
+        (
+            os.environ.get("BCDP_SPARK_SIGN_PREFIX", "http"),
+            SigV4Signer(
+                access_key=ak,
+                secret_key=sk,
+                region=region,
+                service=service or "s3",
+                session_token=os.environ.get("AWS_SESSION_TOKEN"),
+            ),
+        )
+    )
+
+
+def signer_for(url: str):
+    """The registered signer for ``url`` (longest matching prefix), or
+    None. Environment arming is evaluated lazily on first use so
+    executor processes pick it up without an import-order contract."""
+    if not _ENV_CHECKED:
+        _arm_from_env()
+    best = None
+    best_len = -1
+    for prefix, signer in _REGISTRY:
+        if url.startswith(prefix) and len(prefix) > best_len:
+            best, best_len = signer, len(prefix)
+    return best
+
+
+def snapshot_signers() -> tuple:
+    """The driver-side signer registry (env arming included), as a
+    picklable tuple — capture it in a distributed reader's task
+    closure and ``restore_signers`` it worker-side, so executors sign
+    exactly like the driver without any environment contract."""
+    if not _ENV_CHECKED:
+        _arm_from_env()
+    return tuple(_REGISTRY)
+
+
+def restore_signers(snapshot: tuple) -> None:
+    """Arm a driver-captured signer snapshot in THIS process
+    (idempotent — reused workers don't accumulate duplicates)."""
+    for item in snapshot:
+        if item not in _REGISTRY:
+            _REGISTRY.append(item)

@@ -124,8 +124,16 @@ def _fetch(path: str) -> bytes | None:
         import urllib.error
         import urllib.request
 
+        req = urllib.request.Request(path)
+        # authenticated object stores (r10): whole-object GETs carry
+        # the registered signer's Authorization header too
+        from bcdp_spark.sources.signing import signer_for
+
+        s = signer_for(path)
+        if s is not None:
+            req = s(req) or req
         try:
-            with urllib.request.urlopen(path) as resp:
+            with urllib.request.urlopen(req) as resp:
                 return resp.read()
         except urllib.error.HTTPError as exc:
             if exc.code == 404:
@@ -1288,8 +1296,15 @@ def load_zarr(
         [(",".join(map(str, idx)),) for idx in kept], schema="chunk string"
     ).repartition(len(kept))
     var_attrs = dict(meta.attrs)
+    # authenticated stores (r10): executors sign exactly like the
+    # driver — the registry snapshot rides the task closure (signers
+    # are picklable dataclasses), no environment contract needed
+    from bcdp_spark.sources.signing import restore_signers, snapshot_signers
+
+    _signers = snapshot_signers()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        restore_signers(_signers)
         for pdf in batches:
             for chunk_key in pdf["chunk"]:
                 idx = tuple(int(x) for x in chunk_key.split(","))
