@@ -7,8 +7,16 @@ plan that embeds the same canonical scan). Reports per-query WARM times
 (second run) and their sum as the headline metric — matching BASELINE.md's
 warm DuckDB methodology (fetch included: we time through toPandas()).
 
+r10 (VERDICT r9 item 7): the sf0.1 headline total (~0.3 s) sits on the
+Spark session's ~100 ms/query fixed-cost floor, so a second suite runs
+at sf1 — a deterministic 10x tiling of the driver fixtures
+(tools/make_sf1.py, 6M-row lineitem) — alongside a freshly measured
+DuckDB total over the SAME files and oracle SQL, so the 2x gate also
+measures data-proportional work. Disable with SPARK_GRAFT_BENCH_SF1=0.
+
 Prints exactly ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+ "sf1": {"value": ..., "queries": {...}, "duckdb_total": ...}}
 """
 
 from __future__ import annotations
@@ -44,40 +52,31 @@ CACHED_TABLES = (
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    from bcdp_spark.session import get_spark
-    from bcdp_spark.tables import table
+def run_suite(spark, sf_dir: str) -> tuple[dict, dict, list]:
+    """Cache the base tables, then time each headline key: 3 warmups
+    (analysis + whole-stage codegen + late AQE recompiles), then BEST
+    and MEDIAN of fifteen warm executions — the prepared-query
+    methodology BASELINE.md's warm DuckDB numbers use. r9 raised
+    min-of-7 to min-of-15 (VERDICT r8 item 6): with byte-identical
+    plans, per-query deltas across rounds were moving ±11-18% on box
+    noise alone."""
     import bcdp_spark.queries as q
-
-    spark = get_spark("bcdp_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    from bcdp_spark.tables import table
 
     qs = q.queries()
-
-    # cache base tables once (the reference analog: dask .persist())
+    cached = []
     for name in CACHED_TABLES:
         df = table(spark, sf_dir, name)
         df.cache()
         df.count()
-
+        cached.append(df)
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     for key in HEADLINE:
-        # Build the logical plan once, execute cold (pays analysis +
-        # whole-stage codegen compile), then report the BEST of fifteen
-        # warm executions — the same prepared-query-re-fetched
-        # methodology as BASELINE.md's warm DuckDB numbers. r9 raised
-        # min-of-7 to min-of-15 (VERDICT r8 item 6): with byte-identical
-        # plans, per-query deltas across rounds were moving ±11-18% on
-        # box noise alone; a deeper min tames the sampling floor at a
-        # cost of ~0.5 s per query.
         df = qs[key](spark, sf_dir)
         df.toPandas()
-        df.toPandas()  # second warmup lets JIT finish on the hot paths
-        df.toPandas()  # third absorbs any late AQE/codegen recompile
+        df.toPandas()
+        df.toPandas()
         runs = []
         for _ in range(15):
             t0 = time.perf_counter()
@@ -86,24 +85,78 @@ def main() -> None:
         runs.sort()
         times[key] = round(runs[0], 4)
         medians[key] = round(runs[len(runs) // 2], 4)
+    return times, medians, cached
 
-    total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_warm_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                # min-of-7 is the headline (continuity with r1-r3);
-                # median-of-7 reported alongside so the 2x gate doesn't
-                # rest on the most favorable sample (VERDICT r3 item 3)
-                "median_total": round(sum(medians.values()), 4),
-                "queries_median": medians,
-                "sf": float(sf),
-            }
+
+def duckdb_suite(sf_dir: str) -> dict[str, float]:
+    """min-of-15 warm DuckDB over the same files and the registry's
+    own oracle SQL — the in-run baseline for the sf1 section."""
+    import duckdb
+
+    import bcdp_spark.queries as q
+
+    os_ = q.oracle_sql()
+    con = duckdb.connect()
+    for t in CACHED_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    )
+    out: dict[str, float] = {}
+    for key in HEADLINE:
+        sql = os_[key]
+        for _ in range(3):
+            con.execute(sql).fetchall()
+        runs = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+        out[key] = round(min(runs), 4)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from bcdp_spark.session import get_spark
+
+    spark = get_spark("bcdp_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times, medians, cached = run_suite(spark, sf_dir)
+    total = round(sum(times.values()), 4)
+    payload = {
+        "metric": "headline_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        # min-of-15 is the headline (continuity with r1-r3's min);
+        # median reported alongside so the 2x gate doesn't rest on
+        # the most favorable sample (VERDICT r3 item 3)
+        "median_total": round(sum(medians.values()), 4),
+        "queries_median": medians,
+        "sf": float(sf),
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        from tools.make_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1()
+        for df in cached:
+            df.unpersist()
+        t1, m1, _ = run_suite(spark, sf1_dir)
+        duck = duckdb_suite(sf1_dir)
+        payload["sf1"] = {
+            "value": round(sum(t1.values()), 4),
+            "queries": t1,
+            "median_total": round(sum(m1.values()), 4),
+            "duckdb_total": round(sum(duck.values()), 4),
+            "duckdb_queries": duck,
+        }
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

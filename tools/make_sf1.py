@@ -1,0 +1,86 @@
+"""Build the sf1 BENCH dataset: a deterministic 10x tiling of the
+driver's sf0.1 fixtures (VERDICT r9 item 7 — the sf0.1 headline total
+is ~0.3 s against a ~100 ms/query Spark session floor, so the 2x gate
+was measuring fixed cost, not data-proportional work).
+
+Fact tables (lineitem, orders, events, documents, embeddings)
+replicate 10x with key offsets of one tile stride per copy, so keys
+stay unique and every FK keeps resolving (lineitem.l_orderkey offsets
+in lockstep with orders.o_orderkey; o_custkey/l_partkey/l_suppkey/
+user_id intentionally stay in the original dimension keyspace — more
+facts per dimension row, the way real growth looks). Dimension tables
+copy through unchanged. Document text replicates verbatim, so exact
+dedup sees 10-way duplicate groups — a realistic heavy-duplication
+corpus for q_dedup_docs.
+
+Output: /tmp/bcdp_spark_sf1_v1/{table}.parquet + .complete marker.
+Bench-only: correctness grading stays on the driver's own fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+OUT = "/tmp/bcdp_spark_sf1_v1"
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TILES = 10
+
+_COPY_THROUGH = ("region", "nation", "customer", "supplier", "part")
+
+# fact table -> {column: stride expression}; stride = one tile's key
+# space, read from the source at build time
+_OFFSETS = {
+    "orders": {"o_orderkey": "orders"},
+    "lineitem": {"l_orderkey": "orders"},
+    "events": {"event_id": "events"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+_STRIDE_KEY = {
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def ensure_sf1() -> str:
+    done = os.path.join(OUT, ".complete")
+    if os.path.exists(done):
+        return OUT
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    strides = {
+        t: con.execute(
+            f"SELECT MAX({k}) + 1 FROM "
+            f"read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        for t, k in _STRIDE_KEY.items()
+    }
+    for t in _COPY_THROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{OUT}/.{t}.tmp.parquet' (FORMAT parquet)"
+        )
+        os.replace(f"{OUT}/.{t}.tmp.parquet", f"{OUT}/{t}.parquet")
+    for t, offs in _OFFSETS.items():
+        repl = ", ".join(
+            f"{col} + i.g * {strides[src]} AS {col}"
+            for col, src in offs.items()
+        )
+        con.execute(
+            f"COPY (SELECT t.* REPLACE ({repl}) "
+            f"FROM read_parquet('{SRC}/{t}.parquet') t, "
+            f"generate_series(0, {TILES - 1}) i(g)) "
+            f"TO '{OUT}/.{t}.tmp.parquet' (FORMAT parquet)"
+        )
+        os.replace(f"{OUT}/.{t}.tmp.parquet", f"{OUT}/{t}.parquet")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return OUT
+
+
+if __name__ == "__main__":
+    print(ensure_sf1())
