@@ -103,9 +103,12 @@ _PRIORITY = (
     # exact-confirm LSH upgrades (first hash-checked grading ever)
     "q_hdf5_vlen", "q_hdf5_compound_nested", "q_grib2_cluster",
     "q_minhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
-    # (b) the four remaining never-graded rows-only keys (LSH-seed /
-    # packing-order outputs with no exact twin at their graded
-    # configs): rows+schema driver evidence this round
+    # (b) the other four never-graded keys: q_ann_knn / q_ivf_knn were
+    # ALSO upgraded to hash-checked (graded at probe-all ≡ exact, the
+    # q_ivf_persisted pattern); q_doc_packing / q_embed_neardup remain
+    # rows-only BY NATURE (FFD bin packing has no SQL twin;
+    # single-table hyperplane blocking has recall < 1 at any sim < 1)
+    # and record rows+schema driver evidence this round
     "q_ann_knn", "q_doc_packing", "q_embed_neardup", "q_ivf_knn",
     # (c) r4 cohort leftovers (oldest hash-checked evidence anywhere)
     "q_triangle_count", "q_dsir_weights", "q_domain_cap",

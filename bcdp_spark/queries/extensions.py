@@ -705,23 +705,50 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_knn")
+@register(
+    "q_ann_knn",
+    oracle="""
+SELECT vec_id, ROUND(sim_raw, 6) AS sim
+FROM (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS sim_raw
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+)
+ORDER BY sim_raw DESC, vec_id
+LIMIT 10
+""",
+)
 def q_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path — hyperplane-LSH ANN top-10 (seeded, deterministic;
-    rows-only because the oracle cannot share the hyperplanes)."""
+    """X3 scale path — hyperplane-LSH ANN top-10, graded at
+    ``multiprobe='all'`` (r10 upgrade from rows-only): probing every
+    bucket is structurally exact, so the brute-force oracle certifies
+    the bucket assignment + probe filter + rerank pipeline loses
+    nothing at full probe — the q_ivf_persisted nprobe=n_cells
+    pattern. The approximate probes (multiprobe 1/2) keep their
+    recall pytest. Plan still runs the bucket column + IN-list probe
+    the partitioned 100 TB layout would prune on."""
     from bcdp_spark.operators.similarity import ann_topk
 
     utc(spark)
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return ann_topk(
-        emb, [float(x) for x in q], k=10, nbits=8, multiprobe=2
+        emb, [float(x) for x in q], k=10, nbits=8, multiprobe="all"
     ).select("vec_id", F.round("sim", 6).alias("sim"))
 
 
 @register("q_embed_neardup")
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — embedding-cosine near-dup pair count via LSH blocking."""
+    """X2 — embedding-cosine near-dup pair count via LSH blocking.
+    Rows-only BY NATURE (unlike the r10-upgraded MinHash keys): a
+    single hyperplane table blocks on exact bucket equality, whose
+    recall at any sim < 1 is (1 - theta/pi)^nbits < 1 by construction
+    — there is no exact-equivalent config short of nbits=0 (which
+    degenerates to the all-pairs cross join this operator exists to
+    avoid). The exact-cosine filter leg is oracle-certified through
+    q_knn_join / q_sim_knn; blocking recall is pytest-measured."""
     from bcdp_spark.operators.dedup import embedding_near_dup
 
     utc(spark)

@@ -387,12 +387,44 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_knn_join_ivf")
+@register(
+    "q_knn_join_ivf",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 50 <> 0),
+p AS (
+  -- term-by-term cosine twin of flat_cosine_guarded's unrolled
+  -- left-assoc fold (the q_knn_join oracle discipline)
+  SELECT q.q_id, c.c_id,
+         list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                                         i -> q.qv[i] * q.qv[i])))
+          * sqrt(list_sum(list_transform(range(1, 65),
+                                         i -> c.cv[i] * c.cv[i]))))
+           AS sim_raw
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT q_id, c_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_raw DESC, c_id) AS rank
+  FROM p
+)
+SELECT q_id, c_id, ROUND(sim_raw, 6) AS sim, rank
+FROM r WHERE rank <= 3
+""",
+)
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3++ scale path — IVF-probed batch kNN join (rows-only: probing
-    is approximate by design; tests/test_operators.py proves lossless
-    recall on separated clusters). No cross join: centroid broadcast +
-    cell equi-join only (plan-gated)."""
+    """X3++ scale path — IVF-probed batch kNN join, graded at
+    nprobe = n_cells (r10 upgrade from rows-only): probing every cell
+    is structurally exact, so the hash match against the brute-force
+    window oracle certifies the whole train → assign → probe-explode →
+    cell equi-join → rerank pipeline (the q_ivf_persisted pattern);
+    nprobe<n_cells recall stays pytest-proven on separated clusters.
+    No cross join on the Spark side: centroid broadcast + cell
+    equi-join only (plan-gated)."""
     from bcdp_spark.operators.similarity import knn_join_ivf
 
     utc(spark)
@@ -404,7 +436,7 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
     res = knn_join_ivf(
-        queries, corpus, k=3, dim=64, n_cells=4, nprobe=2
+        queries, corpus, k=3, dim=64, n_cells=4, nprobe=4
     )
     return res.select(
         "q_id", "c_id", F.round("sim", 6).alias("sim"), "rank"
