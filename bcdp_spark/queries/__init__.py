@@ -101,7 +101,8 @@ _PRIORITY = (
     # (a) new/upgraded in round 10: HDF5 vlen-string datasets, nested
     # compound members, GRIB2 cluster templates 4.3/4.4, and the three
     # exact-confirm LSH upgrades (first hash-checked grading ever)
-    "q_hdf5_vlen", "q_hdf5_compound_nested", "q_grib2_cluster",
+    "q_hdf5_vlen", "q_hdf5_ragged", "q_hdf5_compound_nested",
+    "q_grib2_cluster",
     "q_minhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
     # (b) the other four never-graded keys: q_ann_knn / q_ivf_knn were
     # ALSO upgraded to hash-checked (graded at probe-all ≡ exact, the
@@ -114,8 +115,9 @@ _PRIORITY = (
     "q_triangle_count", "q_dsir_weights", "q_domain_cap",
     "q_span_dedup", "q_incremental_dedup", "q_url_dedup",
     "q_zarr_climatology", "q_area_weighted_mean", "q_grib2_climatology",
-    # (d) r5 cohort, filling the window to 50 (31 of 33 fit; q_upsert
-    # and q_windowed_dedup regrade in r11 with the r6 cohort)
+    # (d) r5 cohort, filling the window to 50 (30 of 33 fit;
+    # q_waiting_suppliers, q_upsert and q_windowed_dedup regrade in
+    # r11 with the r6 cohort)
     "q_argmax", "q_bigrams", "q_boilerplate", "q_cooccurrence",
     "q_doc_length_histogram", "q_ewma", "q_first_last", "q_histogram",
     "q_important_stock", "q_in_subquery", "q_large_orders", "q_mode",
@@ -125,9 +127,8 @@ _PRIORITY = (
     "q_returned_items", "q_rolling_corr", "q_shipmode_priority",
     "q_small_qty_revenue", "q_string_agg", "q_supplier_cnt",
     "q_token_count", "q_top_supplier", "q_vocab_growth",
-    "q_waiting_suppliers",
-    # --- 50-key window boundary (6 + 4 + 9 + 31 = 50) ---
-    "q_upsert", "q_windowed_dedup",
+    # --- 50-key window boundary (7 + 4 + 9 + 30 = 50) ---
+    "q_waiting_suppliers", "q_upsert", "q_windowed_dedup",
     # (e) everything else (all r1-r9 driver-green) follows in registry
     # dict order via _ordered()'s fall-through.
 )

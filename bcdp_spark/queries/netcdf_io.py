@@ -842,3 +842,100 @@ def q_hdf5_compound_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(wind_sum, "sum_wind"),
         F.max(F.col("`pos.lon`")).alias("max_lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r10, follow-on) — vlen SEQUENCES (class 9 type 0): the ragged
+# array layout NetCDF-4 vlen variables / DSG profile obs use — each
+# profile row owns a variable-length vector of readings, stored as
+# global-heap references exactly like vlen strings. load_hdf5_vars
+# surfaces them as array<T> columns; the fold/size aggregates then run
+# JVM-side.
+# ---------------------------------------------------------------------------
+_FIXRAG_DIR = "/tmp/bcdp_spark_h5ragged_fixture_v1"
+_RAG_N = 40
+
+
+def _ensure_fixture_ragged() -> str:
+    """Two profile-obs files: int32 `profile` + vlen-f8 `depths`
+    datasets (profile k has k%4 readings, reading j = 0.25*(k*10+j));
+    one contiguous, one chunked+deflate."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXRAG_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXRAG_DIR
+    os.makedirs(_FIXRAG_DIR, exist_ok=True)
+    for f in range(2):
+        ks = np.arange(f * _RAG_N, (f + 1) * _RAG_N)
+        rag = np.empty(_RAG_N, dtype=object)
+        for i, k in enumerate(ks):
+            n = int(k % 4)
+            rag[i] = 0.25 * (k * 10 + np.arange(n, dtype="<f8"))
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {
+                "chunk": {"profile": (16,), "depths": (16,)},
+                "gzip_level": 4,
+            }
+        )
+        raw = write_hdf5(
+            {
+                "profile": (["p"], ks.astype("<i4"), {}),
+                "depths": (["p"], rag, {}),
+            },
+            **kw,
+        )
+        with open(os.path.join(_FIXRAG_DIR, f"prof_{f}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXRAG_DIR
+
+
+@register(
+    "q_hdf5_ragged",
+    oracle=f"""
+WITH prof AS (
+  SELECT f.g * {_RAG_N} + p.g AS k,
+         (f.g * {_RAG_N} + p.g) % 4 AS n
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_RAG_N - 1}) p(g)
+)
+SELECT CAST(n AS INT) AS n_readings,
+       CAST(COUNT(*) AS BIGINT) AS n_profiles,
+       CAST(SUM(n) AS BIGINT) AS n_obs,
+       {dsum_sql('n * 2.5 * k + 0.25 * (n * (n - 1) // 2)',
+                 'sum_depths')}
+FROM prof GROUP BY 1
+""",
+)
+def q_hdf5_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 ragged arrays: vlen-sequence datasets (global-heap
+    references; contiguous AND chunked/deflate) decode to array<double>
+    columns; per-profile size + JVM fold aggregate, grouped by reading
+    count. The oracle recomputes the closed-form ragged sums (0.25
+    steps — exact in binary), so a hash match certifies the sequence
+    reference decode element-for-element, empty profiles included.
+    ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_vars
+
+    utc(spark)
+    fix = _ensure_fixture_ragged()
+    df = load_hdf5_vars(
+        spark, os.path.join(fix, "*.h5"), ["profile", "depths"]
+    )
+    per = df.select(
+        F.size("depths").cast("int").alias("n_readings"),
+        F.expr(
+            "aggregate(depths, cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("__s"),
+    )
+    return per.groupBy("n_readings").agg(
+        F.count(F.lit(1)).cast("long").alias("n_profiles"),
+        F.sum("n_readings").cast("long").alias("n_obs"),
+        dsum(F.col("__s"), "sum_depths"),
+    )

@@ -302,7 +302,21 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
             # members of compounds raise, so only top-level callers
             # see this and they never need the base-type trailer)
             return _DType(cls=9, size=size, vlen_string=True), 8
-        raise NotImplementedError("HDF5 vlen non-string datatype")
+        if vtype == 0:  # vlen SEQUENCE (r10): the ragged-array layout
+            # NetCDF-4 vlen variables / DSG ragged obs use — each
+            # element is a 16-byte global-heap reference whose object
+            # holds `length` base-type values
+            base, used = _parse_datatype_sized(body[8:])
+            if base.cls not in (0, 1):
+                raise NotImplementedError(
+                    f"HDF5 vlen sequence of class-{base.cls} base "
+                    "(fixed-point/float bases only)"
+                )
+            return _DType(cls=9, size=size, base=base), 8 + used
+        raise NotImplementedError(
+            f"HDF5 vlen datatype of type {vtype} (sequences and "
+            "strings only)"
+        )
     if cls == 10:  # array: fixed-shape subarray of a base type
         ndims = body[8]
         pos = 12 if ver < 3 else 9  # pre-v3: 3 reserved bytes
@@ -734,6 +748,27 @@ class H5File:
             raise ValueError(f"global heap object {idx} not found")
         return obj.decode("utf-8", "replace")
 
+    def _vlen_seq_decode(self, arr: np.ndarray, base: np.dtype) -> np.ndarray:
+        """16-byte vlen-sequence references → object array of 1-D
+        numpy arrays (ragged). The reference's length field counts
+        ELEMENTS; a NULL reference decodes as the empty sequence."""
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape[0], dtype=object)
+        null = b"\x00" * 16
+        for i in range(flat.shape[0]):
+            b = flat[i].tobytes()
+            if b == null:
+                out[i] = np.empty(0, dtype=base)
+                continue
+            n, addr, idx = struct.unpack("<IQI", b)
+            obj = self._gheap_collection(addr).get(idx)
+            if obj is None:
+                raise ValueError(f"global heap object {idx} not found")
+            out[i] = np.frombuffer(
+                obj[: n * base.itemsize], dtype=base
+            ).copy()
+        return out.reshape(arr.shape)
+
     def _vlen_decode(self, arr: np.ndarray) -> np.ndarray:
         """16-byte vlen references (length:4, GCOL address:8, object
         index:4) → object array of str. A NULL reference (all-zero — an
@@ -918,15 +953,18 @@ class H5File:
         byte range is touched — both make a time-partitioned scan of
         one huge archive file read O(slab), not O(file)."""
         ds = self.datasets[name]
-        if ds.dtype.vlen_string:
-            # vlen-string elements are stored as 16-byte global-heap
-            # references; run the normal layout machinery on the raw
-            # reference array (contiguous byte-slab fast path, chunk
-            # filter pipeline, fill handling all apply unchanged), then
-            # resolve references through the memoized GCOL parse (r10,
-            # VERDICT r9 item 3 — NetCDF-4 string variables in obs
-            # archives)
-            return self._vlen_decode(self._read_slab(ds, sel, _V16))
+        if ds.dtype.cls == 9:
+            # vlen elements (strings AND sequences) are stored as
+            # 16-byte global-heap references; run the normal layout
+            # machinery on the raw reference array (contiguous
+            # byte-slab fast path, chunk filter pipeline, fill
+            # handling all apply unchanged), then resolve references
+            # through the memoized GCOL parse (r10, VERDICT r9 item 3
+            # — NetCDF-4 string/ragged variables in obs archives)
+            raw = self._read_slab(ds, sel, _V16)
+            if ds.dtype.vlen_string:
+                return self._vlen_decode(raw)
+            return self._vlen_seq_decode(raw, ds.dtype.base.np_dtype)
         return self._read_slab(ds, sel, ds.dtype.np_dtype)
 
     def _read_slab(
@@ -1817,18 +1855,49 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        vlen_str = arr.dtype.kind in ("U", "O")
-        if vlen_str:
-            # vlen string variable: string bytes land in ONE global
-            # heap collection (allocated first so its address is
-            # known), the dataset itself stores 16-byte references —
-            # contiguous and chunked layouts then work unchanged on
-            # the reference array (filters compress references)
-            enc = [str(x).encode("utf-8") for x in arr.reshape(-1)]
+        vlen_str = vlen_seq = False
+        vlen_base = None
+        if arr.dtype.kind == "U":
+            vlen_str = True
+        elif arr.dtype.kind == "O":
+            flat0 = arr.reshape(-1)
+            if flat0.size and not isinstance(flat0[0], str):
+                vlen_seq = True  # ragged numeric sequences (r10)
+            else:
+                vlen_str = True
+        if vlen_str or vlen_seq:
+            # vlen variable (string or ragged sequence): payload bytes
+            # land in ONE global heap collection (allocated first so
+            # its address is known), the dataset itself stores 16-byte
+            # references — contiguous and chunked layouts then work
+            # unchanged on the reference array (filters compress
+            # references). The reference length field counts BYTES for
+            # neither: it is the string byte length / the sequence
+            # ELEMENT count per the spec.
+            if vlen_str:
+                enc = [str(x).encode("utf-8") for x in arr.reshape(-1)]
+                lengths = [len(s) for s in enc]
+            else:
+                seqs = [
+                    np.ascontiguousarray(x) for x in arr.reshape(-1)
+                ]
+                vlen_base = np.result_type(
+                    *(s.dtype for s in seqs)
+                ) if seqs else np.dtype("<f8")
+                if vlen_base.byteorder == ">":
+                    vlen_base = vlen_base.newbyteorder("<")
+                if vlen_base.kind not in "iuf":
+                    raise NotImplementedError(
+                        f"vlen sequence of dtype {vlen_base} (numeric "
+                        "bases only)"
+                    )
+                seqs = [s.astype(vlen_base, copy=False) for s in seqs]
+                enc = [s.tobytes() for s in seqs]
+                lengths = [s.size for s in seqs]
             gaddr = alloc.put(_gcol_blob(enc))
             refbuf = bytearray()
-            for j, s in enumerate(enc, start=1):
-                refbuf += struct.pack("<IQI", len(s), gaddr, j)
+            for j, (n, _s) in enumerate(zip(lengths, enc), start=1):
+                refbuf += struct.pack("<IQI", n, gaddr, j)
             arr = (
                 np.frombuffer(bytes(refbuf), dtype="V16")
                 .reshape(arr.shape)
@@ -1850,9 +1919,17 @@ def write_hdf5(
             fill_body = struct.pack(
                 "<BBBBI", 2, 2, 0, 1, arr.dtype.itemsize
             ) + np.zeros(1, arr.dtype).tobytes()
+        if vlen_str:
+            dt_msg = _vlen_str_dt_body()
+        elif vlen_seq:
+            dt_msg = struct.pack(
+                "<BBBBI", 0x19, 0x00, 0x00, 0, 16
+            ) + _dt_body(vlen_base)
+        else:
+            dt_msg = _dt_body(arr.dtype)
         msgs: list[tuple[int, bytes]] = [
             (0x01, _ds_body(arr.shape, maxshape.get(name))),
-            (0x03, _vlen_str_dt_body() if vlen_str else _dt_body(arr.dtype)),
+            (0x03, dt_msg),
             (0x05, fill_body),
         ]
         if name in chunk:
@@ -2321,15 +2398,20 @@ def load_hdf5_vars(spark, path, names: list[str]):
         if dt.vlen_string or dt.cls == 3:
             fields.append(f"{n} string")
             continue
+        eff = dt.base if dt.cls == 9 else dt  # vlen seq → array<T>
         key = (
-            "f" if dt.cls == 1 else ("i" if dt.signed else "u")
-        ) + str(dt.size)
-        if dt.cls not in (0, 1) or key not in _SPARK_T:
+            "f" if eff.cls == 1 else ("i" if eff.signed else "u")
+        ) + str(eff.size)
+        if eff.cls not in (0, 1) or key not in _SPARK_T:
             raise NotImplementedError(
                 f"dataset {n!r} (class {dt.cls}, {key}) has no Spark "
-                "column type (fixed-point/float/string datasets only)"
+                "column type (fixed-point/float/string/vlen-sequence "
+                "datasets only)"
             )
-        fields.append(f"{n} {_SPARK_T[key]}")
+        if dt.cls == 9:
+            fields.append(f"{n} array<{_SPARK_T[key]}>")
+        else:
+            fields.append(f"{n} {_SPARK_T[key]}")
     schema = ", ".join(fields)
 
     manifest = spark.createDataFrame(

@@ -931,13 +931,13 @@ def test_vlen_string_2d_and_gcol_cache():
     assert len(h5._gcol_cache) == 1
 
 
-def test_vlen_non_string_still_raises():
+def test_vlen_unknown_type_still_raises():
     import struct as _st
 
     from bcdp_spark.sources.hdf5 import _parse_datatype
 
-    body = bytes([0x19, 0x02, 0, 0]) + _st.pack("<I", 16)  # vlen sequence
-    with pytest.raises(NotImplementedError, match="vlen non-string"):
+    body = bytes([0x19, 0x02, 0, 0]) + _st.pack("<I", 16)  # type 2: bogus
+    with pytest.raises(NotImplementedError, match="vlen datatype"):
         _parse_datatype(body)
 
 
@@ -1029,3 +1029,72 @@ def test_compound_rank2_array_member_raises(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="rank 2"):
         load_hdf5_table(spark, str(tmp_path / "*.h5"))
+
+
+# -- vlen sequences / ragged arrays (r10 follow-on) -----------------------
+
+
+def _ragged(n=6):
+    rag = np.empty(n, dtype=object)
+    for k in range(n):
+        rag[k] = 0.5 * (k * 10 + np.arange(k % 4, dtype="<f8"))
+    return rag
+
+
+@pytest.mark.parametrize(
+    "kw", [{"gzip_level": None}, {"chunk": {"d": (3,)}, "gzip_level": 4}]
+)
+def test_vlen_sequence_roundtrip(kw):
+    """Ragged numeric sequences round-trip on contiguous and filtered
+    chunked layouts; empty sequences and hyperslabs included."""
+    rag = _ragged(7)
+    h5 = H5File(write_hdf5({"d": (["p"], rag, {})}, **kw))
+    back = h5.read("d")
+    assert all(np.array_equal(a, b) for a, b in zip(back, rag))
+    ds = h5.datasets["d"]
+    assert ds.dtype.cls == 9 and not ds.dtype.vlen_string
+    assert ds.dtype.base.np_dtype == np.dtype("<f8")
+    sl = h5.read("d", (slice(2, 5),))
+    assert all(np.array_equal(a, b) for a, b in zip(sl, rag[2:5]))
+
+
+def test_vlen_sequence_int_base_and_seams():
+    ragi = np.empty(3, dtype=object)
+    ragi[0] = np.array([1, 2, 3], dtype="<i4")
+    ragi[1] = np.array([], dtype="<i4")
+    ragi[2] = np.array([7], dtype="<i4")
+    back = H5File(
+        write_hdf5({"x": (["p"], ragi, {})}, gzip_level=None)
+    ).read("x")
+    assert [list(v) for v in back] == [[1, 2, 3], [], [7]]
+    # non-numeric sequence base raises loudly on write
+    bad = np.empty(2, dtype=object)
+    bad[0] = np.array(["a"], dtype=object)
+    bad[1] = np.array(["b"], dtype=object)
+    with pytest.raises(NotImplementedError, match="numeric bases"):
+        write_hdf5({"x": (["p"], bad, {})}, gzip_level=None)
+    # vlen type codes other than sequence/string raise on parse
+    import struct as _st
+
+    from bcdp_spark.sources.hdf5 import _parse_datatype
+
+    body = bytes([0x19, 0x03, 0, 0]) + _st.pack("<I", 16)
+    with pytest.raises(NotImplementedError, match="vlen datatype"):
+        _parse_datatype(body)
+
+
+def test_load_hdf5_vars_ragged_array_column(spark, tmp_path):
+    from bcdp_spark.sources.hdf5 import load_hdf5_vars
+
+    rag = _ragged(6)
+    (tmp_path / "f.h5").write_bytes(
+        write_hdf5(
+            {"p": (["p"], np.arange(6, dtype="<i4"), {}),
+             "d": (["p"], rag, {})},
+            gzip_level=None,
+        )
+    )
+    df = load_hdf5_vars(spark, str(tmp_path / "*.h5"), ["p", "d"])
+    assert dict(df.dtypes)["d"] == "array<double>"
+    rows = {r["p"]: list(r["d"]) for r in df.collect()}
+    assert rows[0] == [] and rows[3] == [15.0, 15.5, 16.0]
