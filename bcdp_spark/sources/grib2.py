@@ -773,25 +773,32 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
         # category/number, generating process, NB contributing
         # spectral bands of (series, number, instrument types, scaled
         # central wave number in m^-1). Valid time = reference time.
+        # r10: NB != 1 supported — a multi-band product (channel
+        # composite) labels as the '+'-joined band tags.
         if len(sec4) < 14:
             raise ValueError("GRIB2 template 4.31 section too short")
         nb = sec4[13]
-        if nb != 1:
+        if nb == 0 or nb == 255:
             raise NotImplementedError(
-                f"GRIB2 template 4.31 with {nb} spectral bands not "
-                "supported (single-band satellite products only)"
+                f"GRIB2 template 4.31 with NB={nb} (at least one "
+                "spectral band descriptor required)"
             )
-        if len(sec4) < 25:
-            raise ValueError("GRIB2 template 4.31 section too short")
-        series, satno, _instr = struct.unpack_from(">HHH", sec4, 14)
-        wn_s = _sm_decode(sec4[20], 8)
-        (wn_u,) = struct.unpack_from(">I", sec4, 21)
-        if wn_u == 0xFFFFFFFF:
-            label = f"sat_{series}_{satno}"
-        else:
-            wn = _sm_decode(wn_u, 32) / (10.0 ** wn_s)
-            label = f"sat_{series}_{satno}_{wn:g}m-1"
-        return sec4[9], sec4[10], ref_time, 255, None, None, label
+        if len(sec4) < 14 + 11 * nb:
+            raise ValueError(
+                f"GRIB2 template 4.31 section too short for {nb} bands"
+            )
+        tags = []
+        for b in range(nb):
+            at = 14 + 11 * b
+            series, satno, _instr = struct.unpack_from(">HHH", sec4, at)
+            wn_s = _sm_decode(sec4[at + 6], 8)
+            (wn_u,) = struct.unpack_from(">I", sec4, at + 7)
+            if wn_u == 0xFFFFFFFF:
+                tags.append(f"sat_{series}_{satno}")
+            else:
+                wn = _sm_decode(wn_u, 32) / (10.0 ** wn_s)
+                tags.append(f"sat_{series}_{satno}_{wn:g}m-1")
+        return sec4[9], sec4[10], ref_time, 255, None, None, "+".join(tags)
     if template == 48:
         # 4.48 (aerosol optical properties — the CAMS layout) inserts a
         # 24-octet block after the parameter number: aerosol type
@@ -802,20 +809,56 @@ def _parse_product(sec4: bytes, ref_time: _dt.datetime):
         if len(sec4) < 58:
             raise ValueError("GRIB2 template 4.48 section too short")
         (atype,) = struct.unpack_from(">H", sec4, 11)
-        if sec4[13] != 255:
-            raise NotImplementedError(
-                f"GRIB2 aerosol size interval (table 4.91 type "
-                f"{sec4[13]}) not supported — optical properties at a "
-                "wavelength only"
+        size_tag = ""
+        sz_t = sec4[13]
+        if sz_t != 255:
+            # r10: particle-size interval (table 4.91) — the
+            # PM2.5/PM10-style qualifier. Scaled values are metres;
+            # the label carries µm. Codes: 0 '<first', 1 '>first',
+            # 2 'first..second', 11 '=first'.
+            s1 = _sm_decode(sec4[14], 8)
+            (v1u,) = struct.unpack_from(">I", sec4, 15)
+            s2 = _sm_decode(sec4[19], 8)
+            (v2u,) = struct.unpack_from(">I", sec4, 20)
+            um1 = (
+                _sm_decode(v1u, 32) / (10.0 ** s1) * 1e6
+                if v1u != 0xFFFFFFFF
+                else None
             )
+            um2 = (
+                _sm_decode(v2u, 32) / (10.0 ** s2) * 1e6
+                if v2u != 0xFFFFFFFF
+                else None
+            )
+            need2 = sz_t == 2
+            if sz_t in (0, 1, 2, 11) and (
+                um1 is None or (need2 and um2 is None)
+            ):
+                raise ValueError(
+                    f"GRIB2 aerosol size interval type {sz_t} with "
+                    "missing limit value(s)"
+                )
+            if sz_t == 0:
+                size_tag = f"_lt{um1:g}um"
+            elif sz_t == 1:
+                size_tag = f"_gt{um1:g}um"
+            elif sz_t == 2:
+                size_tag = f"_{um1:g}-{um2:g}um"
+            elif sz_t == 11:
+                size_tag = f"_{um1:g}um"
+            else:
+                raise NotImplementedError(
+                    f"GRIB2 aerosol size-interval type {sz_t} (table "
+                    "4.91 codes 0/1/2/11 only)"
+                )
         wl_t = sec4[24]
         (wl_u,) = struct.unpack_from(">I", sec4, 26)
         if wl_t == 255 or wl_u == 0xFFFFFFFF:
-            aero_label = f"aero_{atype}"
+            aero_label = f"aero_{atype}{size_tag}"
         else:
             wl_s = _sm_decode(sec4[25], 8)
             wl_nm = _sm_decode(wl_u, 32) / (10.0 ** wl_s) * 1e9
-            aero_label = f"aero_{atype}_{wl_nm:g}nm"
+            aero_label = f"aero_{atype}{size_tag}_{wl_nm:g}nm"
         sec4 = sec4[:11] + sec4[35:]
         template = 0
     if template not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12):
@@ -1731,38 +1774,48 @@ def write_grib2_message(
         )
     if satellite is not None:
         # template 4.31 (satellite product): no forecast time, level,
-        # or interval — category/number, generating process, then ONE
-        # spectral band of (series, number, instrument types, central
-        # wave number in m^-1 | None). satellite = (series, satno,
-        # instrument, wavenumber_m1).
+        # or interval — category/number, generating process, then NB
+        # spectral bands of (series, number, instrument types, central
+        # wave number in m^-1 | None). satellite = one (series, satno,
+        # instrument, wavenumber_m1) tuple, or a list of them (r10:
+        # multi-band channel composites).
         if stat_hours is not None:
             raise NotImplementedError(
                 "satellite template 4.31 is point-in-time (no "
                 "interval twin exists in the spec)"
             )
-        series, satno, instr, wn = satellite
-        if wn is None:
-            wn_b = struct.pack(">BI", 255, 0xFFFFFFFF)
-        else:
-            wn_b = struct.pack(">BI", 0, int(round(wn)))
+        bands = (
+            list(satellite)
+            if isinstance(satellite[0], (list, tuple))
+            else [satellite]
+        )
+        band_b = b""
+        for series, satno, instr, wn in bands:
+            if wn is None:
+                wn_b = struct.pack(">BI", 255, 0xFFFFFFFF)
+            else:
+                wn_b = struct.pack(">BI", 0, int(round(wn)))
+            band_b += struct.pack(">HHH", series, satno, instr) + wn_b
         sec4 = (
             struct.pack(
-                ">IBHH" + "BB" + "BBB" + "HHH",
-                25, 4, 0, 31,
+                ">IBHH" + "BB" + "BBB",
+                14 + 11 * len(bands), 4, 0, 31,
                 category, number,
-                2, 255, 1,
-                series, satno, instr,
+                2, 255, len(bands),
             )
-            + wn_b
+            + band_b
         )
     if aerosol is not None:
         # template 4.48 (aerosol optical properties): the 24-octet
         # aerosol block sits between the parameter number and the
         # standard generating-process tail. aerosol = (type_code,
-        # wavelength_m | None); size interval written missing,
-        # wavelength written as an equal-to-first-limit interval
-        # (table 4.91 code 11) in integer nanometres (scale 9).
-        atype, wl = aerosol
+        # wavelength_m | None[, size]) — size (r10) is None or
+        # (table-4.91 code, first_m | None, second_m | None), scaled
+        # in 10^-8 m; wavelength written as an equal-to-first-limit
+        # interval (table 4.91 code 11) in integer nanometres
+        # (scale 9).
+        atype, wl = aerosol[0], aerosol[1]
+        size = aerosol[2] if len(aerosol) > 2 else None
         if stat_hours is not None:
             raise NotImplementedError(
                 "aerosol template 4.48 is point-in-time (no interval "
@@ -1775,11 +1828,19 @@ def write_grib2_message(
             wl_b = struct.pack(
                 ">BBIBI", 11, 9, int(round(wl * 1e9)), 255, 0xFFFFFFFF
             )
-        aero_extra = (
-            struct.pack(">HBBIBI", atype, 255, 255, 0xFFFFFFFF,
-                        255, 0xFFFFFFFF)
-            + wl_b
-        )
+        if size is None:
+            size_b = struct.pack(">BBIBI", 255, 255, 0xFFFFFFFF,
+                                 255, 0xFFFFFFFF)
+        else:
+            code, m1, m2 = size
+
+            def _lim(m):
+                if m is None:
+                    return struct.pack(">BI", 255, 0xFFFFFFFF)
+                return struct.pack(">BI", 8, int(round(m * 1e8)))
+
+            size_b = struct.pack(">B", code) + _lim(m1) + _lim(m2)
+        aero_extra = struct.pack(">H", atype) + size_b + wl_b
         sec4 = (
             struct.pack(">IBHH" + "BB", 58, 4, 0, 48, category, number)
             + aero_extra

@@ -1944,9 +1944,12 @@ def test_pdt448_aerosol_no_wavelength():
     assert idx.label == "aero_62010"
 
 
-def test_pdt448_size_interval_raises():
-    """A set size interval (particle-size products) names the seam
-    instead of silently dropping the size qualifier."""
+def test_pdt448_size_interval_decodes_since_r10():
+    """A set size interval (particle-size products) used to be a loud
+    seam; since r10 a spliced 'between' interval decodes into the
+    label (with missing limit values → no size numbers, just the
+    decode not raising — the writer-driven µm labels are covered by
+    test_satellite_multiband_and_aerosol_size_interval)."""
     import struct as _st
 
     vals = np.zeros((2, 3))
@@ -1957,8 +1960,10 @@ def test_pdt448_size_interval_raises():
         if num == 4:
             break
         off += ln
-    raw[off + 13] = 2  # size interval type: between first and second
-    with pytest.raises(NotImplementedError, match="size interval"):
+    raw[off + 13] = 2  # 'between' type spliced in — but the limit
+    # values are still the missing sentinel, so the decode raises the
+    # loud malformed-interval error rather than formatting garbage
+    with pytest.raises(ValueError, match="missing limit"):
         decode_message(bytes(raw))
 
 
@@ -2065,8 +2070,10 @@ def test_pdt431_satellite_roundtrip():
     assert idx.label == "sat_5_16"
 
 
-def test_pdt431_multiband_raises():
-    """NB != 1 names the seam instead of mislabeling the product."""
+def test_pdt431_truncated_multiband_raises():
+    """NB larger than the section actually holds raises a length
+    error instead of reading past the band list (the NB != 1 decode
+    itself is r10-supported and covered elsewhere)."""
     import struct as _st
 
     vals = np.zeros((2, 3))
@@ -2077,8 +2084,8 @@ def test_pdt431_multiband_raises():
         if num == 4:
             break
         off += ln
-    raw[off + 13] = 3  # NB = 3
-    with pytest.raises(NotImplementedError, match="spectral bands"):
+    raw[off + 13] = 3  # NB = 3 but only one 11-octet band present
+    with pytest.raises(ValueError, match="too short for 3 bands"):
         scan_grib2(bytes(raw))
 
 
@@ -2237,4 +2244,50 @@ def test_cluster_section_too_short_raises():
     sec4[57] = 10  # NC=10 but only 60 bytes present (needs 78)
     sec4[17] = 1
     with pytest.raises(ValueError, match="too short for 10"):
+        _parse_product(bytes(sec4), _REF)
+
+
+def test_satellite_multiband_and_aerosol_size_interval(spark, tmp_path):
+    """r10: NB != 1 satellite products label as '+'-joined band tags;
+    4.48 size-interval (PM2.5-style) qualifiers land in the label in
+    µm — both previously loud seams."""
+    lats, lons = np.array([-10.0, 10.0]), np.array([0.0, 60.0])
+    msgs = write_grib2_message(
+        np.full((2, 2), 1.0), lats, lons, _REF, nbits=8,
+        satellite=[(5, 16, 207, 103000.0), (5, 16, 207, 256000.0)],
+    ) + write_grib2_message(
+        np.full((2, 2), 3.0), lats, lons, _REF, nbits=8,
+        aerosol=(62001, 550e-9, (2, 0.1e-6, 2.5e-6)),
+    ) + write_grib2_message(
+        np.full((2, 2), 4.0), lats, lons, _REF, nbits=8,
+        aerosol=(62010, None, (0, 2.5e-6, None)),
+    )
+    p = tmp_path / "mb.grib2"
+    p.write_bytes(msgs)
+    got = {(r["ens_label"], r["value"])
+           for r in load_grib2(spark, str(p)).collect()}
+    assert got == {
+        ("sat_5_16_103000m-1+sat_5_16_256000m-1", 1.0),
+        ("aero_62001_0.1-2.5um_550nm", 3.0),
+        ("aero_62010_lt2.5um", 4.0),
+    }
+
+
+def test_satellite_and_aerosol_remaining_seams():
+    import struct as _st
+
+    from bcdp_spark.sources.grib2 import _parse_product
+
+    # NB = 0 satellite raises loudly
+    sec4 = bytearray(25)
+    _st.pack_into(">H", sec4, 7, 31)
+    sec4[13] = 0
+    with pytest.raises(NotImplementedError, match="NB=0"):
+        _parse_product(bytes(sec4), _REF)
+    # unknown table-4.91 size code raises loudly
+    sec4 = bytearray(58)
+    _st.pack_into(">H", sec4, 7, 48)
+    sec4[13] = 7  # code 7: not one of 0/1/2/11
+    _st.pack_into(">I", sec4, 15, 250)
+    with pytest.raises(NotImplementedError, match="size-interval type 7"):
         _parse_product(bytes(sec4), _REF)
