@@ -88,7 +88,11 @@ def ops(spark, sf_dir):
     """Heavy operators: big shuffle join, per-key windows, rollup, groupBy
     dedup, LSH banding, brute kNN, embedding near-dup. Each returns a
     small result (count/collect bounded)."""
-    from bcdp_spark.operators.dedup import embedding_near_dup, lsh_bucket_pairs
+    from bcdp_spark.operators.dedup import (
+        confirm_pairs_jaccard,
+        embedding_near_dup,
+        lsh_bucket_pairs,
+    )
     from bcdp_spark.queries.similarity import flat_dot, flat_sqnorm
 
     li = table(spark, sf_dir, "lineitem")
@@ -315,6 +319,13 @@ def ops(spark, sf_dir):
         # half + cell-partitioned parquet append, probe at nprobe=k.
         # Linear in vectors (train + assign are both single-pass).
         "ivf_append": t(lambda: _ivf_append_smoke(spark, emb)),
+        # r10: exact-confirm stage on LSH candidates (the upgrade that
+        # made the LSH keys hash-checkable) — two id-equi joins ship
+        # candidate gram arrays only, so cost is linear in CANDIDATES,
+        # which bucket_cap bounds even on the all-dup synthetic 10x.
+        "minhash_confirmed": t(lambda: confirm_pairs_jaccard(
+            lsh_bucket_pairs(docs, "text", "doc_id", bucket_cap=200),
+            docs, "text", "doc_id").count()),
     }
 
 
@@ -587,6 +598,120 @@ def fixture_ops(spark, factor: int):
             "name"
         ).agg(F.count(F.lit(1)), F.sum("value")).collect()
         out["geotiff_rotated"] = time.perf_counter() - t0
+
+        # r10: vlen station archive — FILE count scales with factor
+        # (one decode task per file, the obs-archive parallelism
+        # unit); each file carries vlen strings + ragged sequences +
+        # numerics, so the GCOL resolve is on the hot path
+        from bcdp_spark.sources.hdf5 import load_hdf5_vars
+
+        vdir = os.path.join(tmp, "vlen")
+        os.makedirs(vdir)
+        n_rows = 400
+        for f in range(4 * factor):
+            i = np.arange(n_rows)
+            station = np.array(
+                [f"st-é{(k + f) % 23}" * ((k % 3) + 1) for k in i],
+                dtype=object,
+            )
+            rag = np.empty(n_rows, dtype=object)
+            for j, k in enumerate(i):
+                rag[j] = 0.25 * (k * 10 + np.arange(int(k % 4),
+                                                    dtype="<f8"))
+            raw = write_hdf5(
+                {
+                    "station": (["r"], station, {}),
+                    "depths": (["r"], rag, {}),
+                    "obs": (["r"], (0.5 * i).astype("<f8"), {}),
+                },
+                chunk={"station": (128,), "depths": (128,),
+                       "obs": (128,)},
+                gzip_level=4,
+            )
+            with open(os.path.join(vdir, f"stn{f:03d}.h5"), "wb") as fh:
+                fh.write(raw)
+        t0 = time.perf_counter()
+        load_hdf5_vars(
+            spark, os.path.join(vdir, "*.h5"),
+            ["station", "depths", "obs"],
+        ).select(
+            "station", F.size("depths").alias("n"), "obs"
+        ).groupBy("station").agg(
+            F.count(F.lit(1)), F.sum("n"), F.sum("obs")
+        ).collect()
+        out["hdf5_vlen_vars"] = time.perf_counter() - t0
+
+        # r10: cluster products — MESSAGE count scales with factor
+        # (clusters x derived codes x steps), one decode per message
+        n_csteps = 6 * factor
+        msgs = b""
+        for ci, (shape, members) in enumerate(
+            (("rect", [1, 2, 3]), ("circle", [4, 5])), start=1
+        ):
+            for dcode in (0, 2):
+                for s in range(n_csteps):
+                    vals = 0.25 * (
+                        ci * 1000 + dcode * 100 + (s % 30) * 17
+                        + ca * 10 + co
+                    )
+                    msgs += write_grib2_message(
+                        vals, clats, clons, _dt.datetime(2021, 3, 1),
+                        forecast_hours=s, binary_scale=-2, nbits=16,
+                        packing=0 if (ci + dcode) % 2 == 0 else 3,
+                        spatial_order=2, ens_size=5,
+                        cluster=(dcode, ci, 2, members, shape),
+                    )
+        with open(os.path.join(tmp, "clusters.grib2"), "wb") as fh:
+            fh.write(msgs)
+        t0 = time.perf_counter()
+        load_grib2(
+            spark, os.path.join(tmp, "clusters.grib2")
+        ).groupBy("ens_label").agg(
+            F.count(F.lit(1)), F.sum("value")
+        ).collect()
+        out["grib2_cluster"] = time.perf_counter() - t0
+
+        # r10: nested-compound obs records — ROW count scales with
+        # factor (chunked, one decode slice per chunk); dotted-column
+        # flatten + array-member fold on the hot path
+        from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+        inner = np.dtype({"names": ["lat", "lon"],
+                          "formats": ["<f8", "<f8"],
+                          "offsets": [0, 8], "itemsize": 16})
+        cdt = np.dtype({
+            "names": ["time", "pos", "value", "wind"],
+            "formats": ["<f8", inner, "<f8", ("<f4", (3,))],
+            "offsets": [0, 8, 24, 32], "itemsize": 44,
+        })
+        n_obs = 20_000 * factor
+        ks = np.arange(n_obs, dtype=np.int64)
+        obs = np.zeros(n_obs, dtype=cdt)
+        obs["time"] = ks.astype("f8")
+        obs["pos"]["lat"] = (ks % 7) * 10.0 - 30.0
+        obs["pos"]["lon"] = (ks % 9) * 5.0
+        obs["value"] = 0.25 * ks
+        obs["wind"] = (
+            0.5 * (ks % 100)[:, None] + np.arange(3)[None, :]
+        ).astype("<f4")
+        raw = write_hdf5(
+            {"obs": (["row"], obs, {})},
+            chunk={"obs": (2048,)}, gzip_level=4,
+        )
+        np_ = os.path.join(tmp, "nested.h5")
+        with open(np_, "wb") as fh:
+            fh.write(raw)
+        t0 = time.perf_counter()
+        load_hdf5_table(spark, np_).groupBy(
+            F.col("`pos.lat`")
+        ).agg(
+            F.count(F.lit(1)), F.sum("value"),
+            F.sum(F.expr(
+                "aggregate(`wind`, cast(0.0 as double),"
+                " (a, x) -> a + cast(x as double))"
+            )),
+        ).collect()
+        out["hdf5_nested_compound"] = time.perf_counter() - t0
     return out
 
 
