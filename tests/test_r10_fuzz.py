@@ -1,0 +1,263 @@
+"""Seeded differential fuzz for the r10 surfaces: every seed builds a
+fresh shape and compares the NEW code path against an independent
+truth — the writer's own input for HDF5 vlen/nested roundtrips, the
+write parameters for GRIB2 cluster tags, numpy brute force for the
+exact-confirm stage, and botocore for SigV4.
+
+Determinism: ``np.random.default_rng(seed)`` / ``random.Random(seed)``
+only."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import numpy as np
+import pytest
+
+_WORDS = ["gare", "été", "st", "obs", "Ωmega", "x", "delta", ""]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_vlen_string_roundtrip(seed):
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    rng = np.random.default_rng(seed)
+    pr = random.Random(seed)
+    n = int(rng.integers(1, 60))
+    vals = np.array(
+        [
+            "".join(pr.choices(_WORDS, k=int(rng.integers(0, 6))))
+            for _ in range(n)
+        ],
+        dtype=object,
+    )
+    kw = [
+        {"gzip_level": None},
+        {"chunk": {"s": (int(rng.integers(1, n + 1)),)},
+         "gzip_level": None},
+        {"chunk": {"s": (int(rng.integers(1, n + 1)),)},
+         "gzip_level": int(rng.integers(1, 9))},
+        {"chunk": {"s": (int(rng.integers(1, n + 1)),)},
+         "gzip_level": 4, "shuffle": True},
+    ][int(rng.integers(0, 4))]
+    h5 = H5File(write_hdf5({"s": (["r"], vals, {})}, **kw))
+    assert list(h5.read("s")) == list(vals)
+    lo = int(rng.integers(0, n))
+    hi = int(rng.integers(lo, n + 1))
+    assert list(h5.read("s", (slice(lo, hi),))) == list(vals[lo:hi])
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_vlen_sequence_roundtrip(seed):
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(1, 50))
+    base = rng.choice(np.array(["<f8", "<f4", "<i4", "<i8"]))
+    rag = np.empty(n, dtype=object)
+    for i in range(n):
+        m = int(rng.integers(0, 9))
+        if str(base).startswith("<f"):
+            rag[i] = np.round(rng.normal(size=m), 3).astype(base)
+        else:
+            rag[i] = rng.integers(-10_000, 10_000, m).astype(base)
+    kw = (
+        {"gzip_level": None}
+        if rng.integers(0, 2) == 0
+        else {"chunk": {"d": (int(rng.integers(1, n + 1)),)},
+              "gzip_level": int(rng.integers(1, 9))}
+    )
+    h5 = H5File(write_hdf5({"d": (["p"], rag, {})}, **kw))
+    back = h5.read("d")
+    assert all(np.array_equal(a, b) for a, b in zip(back, rag))
+    assert h5.datasets["d"].dtype.base.np_dtype == np.dtype(str(base))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_nested_compound_roundtrip(seed):
+    """Random member layout: scalar float/int members, one nested
+    sub-compound, one rank-1 array member, libhdf5-style tail padding
+    via randomized explicit offsets."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    rng = np.random.default_rng(2000 + seed)
+    inner_names = ["a", "b"][: int(rng.integers(1, 3))]
+    inner = np.dtype(
+        {
+            "names": inner_names,
+            "formats": ["<f8"] * len(inner_names),
+            "offsets": [8 * i for i in range(len(inner_names))],
+            "itemsize": 8 * len(inner_names) + int(rng.integers(0, 2)) * 8,
+        }
+    )
+    alen = int(rng.integers(1, 5))
+    fields = [("t", np.dtype("<f8")), ("pos", inner),
+              ("w", np.dtype(("<f4", (alen,))))]
+    offs, cur = [], 0
+    for _n, fdt in fields:
+        offs.append(cur)
+        cur += fdt.itemsize + int(rng.integers(0, 2)) * 4
+    cdt = np.dtype(
+        {
+            "names": [n for n, _ in fields],
+            "formats": [f for _, f in fields],
+            "offsets": offs,
+            "itemsize": cur + int(rng.integers(0, 2)) * 4,
+        }
+    )
+    n = int(rng.integers(3, 40))
+    obs = np.zeros(n, dtype=cdt)
+    obs["t"] = rng.integers(0, 1000, n).astype("f8")
+    for nm in inner_names:
+        obs["pos"][nm] = np.round(rng.normal(size=n), 3)
+    obs["w"] = np.round(rng.normal(size=(n, alen)), 3).astype("<f4")
+    kw = (
+        {"gzip_level": None}
+        if rng.integers(0, 2) == 0
+        else {"chunk": {"obs": (int(rng.integers(1, n + 1)),)},
+              "gzip_level": 4}
+    )
+    back = H5File(write_hdf5({"obs": (["row"], obs, {})}, **kw)).read("obs")
+    assert back.dtype == obs.dtype and (back == obs).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_grib2_cluster_tag_roundtrip(seed, tmp_path):
+    from bcdp_spark.sources.grib2 import (
+        decode_message,
+        scan_grib2,
+        write_grib2_message,
+    )
+
+    rng = np.random.default_rng(3000 + seed)
+    lats = np.linspace(-60, 60, int(rng.integers(2, 6)))
+    lons = np.arange(int(rng.integers(2, 7))) * 30.0
+    dcode = int(rng.integers(0, 4))
+    cid = int(rng.integers(1, 9))
+    total = int(rng.integers(cid, 10))
+    nc = int(rng.integers(1, 12))
+    members = [int(x) for x in rng.integers(0, 40, nc)]
+    shape = "rect" if rng.integers(0, 2) == 0 else "circle"
+    vals = np.round(
+        0.25 * rng.integers(0, 1000, (len(lats), len(lons))), 2
+    ).astype("f8")
+    msg = write_grib2_message(
+        vals, lats, lons, dt.datetime(2021, 3, 1),
+        forecast_hours=int(rng.integers(0, 48)),
+        binary_scale=-2, nbits=16,
+        packing=int(rng.choice(np.array([0, 3]))), spatial_order=2,
+        ens_size=int(rng.integers(nc, 64)),
+        cluster=(dcode, cid, total, members, shape),
+    )
+    (idx,) = scan_grib2(msg)
+    base = {0: "em", 2: "es"}.get(dcode, None)
+    if base is None:
+        from bcdp_spark.sources.grib2 import _DERIVED_LABELS
+
+        base = _DERIVED_LABELS.get(dcode, f"derived{dcode}")
+    assert idx.label == f"{base}_c{cid}of{total}"
+    f = decode_message(msg)
+    np.testing.assert_allclose(f.values, vals, atol=0.005)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_confirm_stage_precision_and_planted_recall(seed, spark):
+    """Random token-soup corpora with PLANTED high-Jaccard pairs: the
+    confirmed set is always a SUBSET of the true >=0.9 pairs (exact
+    integer threshold — precision 1 by construction), and every
+    planted near-identical pair survives blocking + confirm."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.dedup import (
+        confirm_pairs_jaccard,
+        lsh_bucket_pairs,
+    )
+
+    pr = random.Random(4000 + seed)
+    vocab = [f"w{i}" for i in range(60)]
+    docs, planted = [], []
+    did = 0
+    for g in range(12):
+        text = " ".join(pr.choices(vocab, k=pr.randint(25, 60)))
+        docs.append((did, text))
+        if g % 3 == 0:  # plant a near-identical twin (tiny suffix edit)
+            docs.append((did + 1, text + " zz"))
+            planted.append((did, did + 1))
+            did += 2
+        else:
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    conf = set(
+        map(
+            tuple,
+            confirm_pairs_jaccard(
+                lsh_bucket_pairs(df, "text", "doc_id", num_perm=32,
+                                 bands=8, shingle_k=5),
+                df, "text", "doc_id", shingle_k=5, threshold=0.9,
+            ).collect(),
+        )
+    )
+    # brute-force truth in python
+    def grams(t):
+        return {t[i: i + 5] for i in range(max(len(t) - 4, 1))}
+
+    gs = {d: grams(t) for d, t in docs}
+    truth = set()
+    ids = sorted(gs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(gs[a] & gs[b])
+            u = len(gs[a] | gs[b])
+            if c * 10 >= u * 9:
+                truth.add((a, b))
+    assert conf <= truth, f"false positive pairs: {conf - truth}"
+    missed_planted = [p for p in planted if p in truth and p not in conf]
+    assert not missed_planted, f"planted pairs missed: {missed_planted}"
+    del F
+
+
+def test_fuzz_sigv4_vs_botocore():
+    botocore = pytest.importorskip("botocore")
+    import urllib.request
+
+    from botocore.auth import SigV4Auth
+    from botocore.awsrequest import AWSRequest
+    from botocore.credentials import Credentials
+
+    from bcdp_spark.sources.signing import SigV4Signer
+
+    del botocore
+    import hashlib
+
+    pr = random.Random(77)
+    for _ in range(12):
+        host = pr.choice(["b.example.com", "data.s3.amazonaws.com"])
+        path = "/" + "/".join(
+            pr.choice(["a", "obj.zarr", "c", "0.0", "x y", "é"])
+            for _ in range(pr.randint(1, 4))
+        )
+        q = pr.choice(["", "?versionId=1&b=2", "?list-type=2"])
+        url = f"https://{host}{urllib.request.quote(path)}{q}"
+        rng_h = (
+            {"Range": f"bytes={pr.randint(0, 99)}-{pr.randint(100, 999)}"}
+            if pr.random() < 0.7
+            else {}
+        )
+        region = pr.choice(["us-east-1", "eu-west-3"])
+        aws = AWSRequest(
+            method="GET", url=url,
+            headers={**rng_h,
+                     "x-amz-content-sha256":
+                         hashlib.sha256(b"").hexdigest()},
+        )
+        SigV4Auth(Credentials("AK", "SK"), "s3", region).add_auth(aws)
+        t = dt.datetime.strptime(
+            aws.headers["x-amz-date"], "%Y%m%dT%H%M%SZ"
+        ).replace(tzinfo=dt.timezone.utc)
+        mine = SigV4Signer("AK", "SK", region, now=t)
+        req = urllib.request.Request(url, headers=rng_h)
+        req = mine(req) or req
+        assert (
+            req.get_header("Authorization") == aws.headers["Authorization"]
+        ), url
