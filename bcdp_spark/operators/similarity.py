@@ -533,31 +533,6 @@ def pq_adc_topk(
 # lookup — the multi-query shape; the earlier cosine_topk family answers
 # ONE query vector).
 # ---------------------------------------------------------------------------
-def hof_cosine_guarded(a: str, b: str) -> Column:
-    """Guarded cosine as higher-order-function folds (zip_with +
-    aggregate): the SAME left-associative double sum as the unrolled
-    ``flat_cosine_guarded`` — bit-identical results — but O(1)
-    expression-tree size. Use where the unrolled form's duplicated
-    subtrees (e.g. under a rank window) push generated code past the
-    JVM's 64 KB method limit and force an interpreted fallback
-    (knn_join_ivf at dim 64 did exactly that, r10)."""
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(
-                F.col(x).cast("array<double>"),
-                F.col(y).cast("array<double>"),
-                lambda p, q: p * q,
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-
-    na, nb = dot(a, a), dot(b, b)
-    return F.when(
-        (na > 0) & (nb > 0), dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
-    )
-
-
 def flat_cosine_guarded(a: str, b: str, dim: int) -> Column:
     """Unrolled-codegen cosine with a zero-norm guard: a zero vector
     (padding row, failed encoder) yields NULL instead of NaN. This
@@ -649,15 +624,21 @@ def knn_join_ivf(
     paired = q_cells.join(c_cells.select(c_id, c_vec, "cell"), "cell")
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return (
-        # HOF fold, not the unrolled form: under the rank window the
-        # unrolled cosine's duplicated subtrees blew the JVM 64 KB
-        # generated-method limit at dim 64 and fell back to
-        # interpreted whole-stage execution (r10); the fold is the
-        # same left-assoc double sum — bit-identical sims
+        # Rerank expression choice, MEASURED at a 10x-corpus smoke
+        # (r10): this guarded form's filter-collapsed projection
+        # overflows the JVM 64 KB codegen method limit and falls back
+        # to the INTERPRETED projection — which runs subexpression
+        # elimination and, at 3.9M candidate pairs, beats both the
+        # codegen'd unguarded unrolled cosine (2x slower: the
+        # generated code re-derives the 3 x 64-term subtrees) and a
+        # zip_with/aggregate HOF fold (6x slower: per-element lambda
+        # dispatch). The 'Failed to compile' log line is that
+        # deliberate fallback, not a defect; results are identical
+        # either way (same left-assoc double sums).
         paired.select(
-            q_id, c_id, hof_cosine_guarded(q_vec, c_vec).alias("sim")
+            q_id, c_id, flat_cosine_guarded(q_vec, c_vec, dim).alias("sim")
         )
-        .filter(F.col("sim").isNotNull())
+        .filter(F.col("sim").isNotNull())  # zero-norm rows never rank
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
