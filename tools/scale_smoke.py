@@ -1024,6 +1024,17 @@ def main():
             "  density (the synthetic 10x duplicates every doc, so more",
             "  TRUE candidates exist). The bucket_cap bounds the worst",
             "  buckets; the remaining growth is genuine pair output.",
+            "- **minhash_confirmed** (r10): the exact-confirm stage adds",
+            "  two id-equi joins shipping candidate GRAM ARRAYS — cost is",
+            "  linear in candidates, and candidates on the all-dup",
+            "  synthetic grow with true-pair density exactly like",
+            "  minhash_lsh_pairs above; bucket_cap bounds both.",
+            "- **knn_join_ivf**: queries AND corpus both scale with rows,",
+            "  so candidate pairs inside probed cells grow ~quadratically",
+            "  BY DATA; the measured ratio stays near-linear because the",
+            "  per-pair rerank amortizes (see the call-site note on the",
+            "  deliberate interpreted-projection fallback, r10-measured",
+            "  fastest of three rerank forms).",
             "- **bigjoin_agg**: shuffle bytes scale with rows on fixed",
             "  cores; ~0.5x of linear is the partial-agg savings.",
             "- **window_topk / window_topk_orders**: the plan is the right",
