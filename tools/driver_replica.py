@@ -59,8 +59,20 @@ def norm(pdf):
 
 qs, osql = e.queries(), e.oracle_sql()
 print(f"{len(qs)} queries, {len(osql)} oracles")
+# REPLICA_SKIP: comma-separated keys to leave out of THIS rung — used
+# by verify_all's sf0.1 scale rung for oracles that are
+# quadratic-by-design at grading scale (the r10 exact-confirm LSH /
+# brute-force ANN oracles: fine at the driver's 500-doc sf0.01, ~2 h
+# of DuckDB all-pairs at 5,000 docs). Their Spark legs AND oracles
+# still run in every sf0.01 rung; the skip is printed loudly.
+skip = {
+    s for s in os.environ.get("REPLICA_SKIP", "").split(",") if s
+}
 fails = []
 for k in sorted(qs):
+    if k in skip:
+        print(f"  {k}: SKIPPED by REPLICA_SKIP (this rung only)")
+        continue
     t0 = time.time()
     spdf = norm(qs[k](spark, SF).toPandas())
     if k not in osql:

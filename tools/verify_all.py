@@ -36,7 +36,21 @@ def main() -> None:
     quick = "--quick" in sys.argv
     _run("replica sf0.01 (driver contract)")
     if not quick:
-        _run("replica sf0.1 (scale-dependence)", {"REPLICA_SF_DIR": "/root/testdata/sf0.1"})
+        _run(
+            "replica sf0.1 (scale-dependence)",
+            {
+                "REPLICA_SF_DIR": "/root/testdata/sf0.1",
+                # quadratic-by-design ORACLES (r10 exact-confirm LSH +
+                # brute-force ANN twins): exact at the driver's
+                # grading scale, ~hours of DuckDB all-pairs at 5,000
+                # docs. Spark legs + oracles still run at sf0.01 in
+                # every other rung; replica prints each skip loudly.
+                "REPLICA_SKIP": (
+                    "q_minhash_dedup,q_simhash_pairs,q_dedup_clusters,"
+                    "q_knn_join_ivf"
+                ),
+            },
+        )
         _run("replica hostile timezone", {"REPLICA_TZ": "America/New_York"})
         # hostile HOST zone (r7): naive-datetime literals convert via
         # local mktime and DuckDB's TIMESTAMPTZ functions follow the
