@@ -234,26 +234,14 @@ def confirm_pairs_jaccard(
     ``threshold`` — any such blocking yields exactly the brute-force
     answer, which a SQL oracle can compute all-pairs at grading scale.
     A recall shortfall shows up as a driver hash mismatch, not silence.
-    """
-    from fractions import Fraction
 
-    fr = Fraction(threshold).limit_denominator(10**6)
-    grams = F.array_distinct(_shingles_expr(text_col, shingle_k))
-    g = df.select(F.col(id_col), grams.alias("__g"))
-    ga = g.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
-    gb = g.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
-    c = F.size(F.array_intersect("__ga", "__gb"))
-    union = F.size("__ga") + F.size("__gb") - c
-    return (
-        pairs.select("id_a", "id_b")
-        .join(ga, "id_a")
-        .join(gb, "id_b")
-        .filter(
-            c * F.lit(int(fr.denominator))
-            >= union * F.lit(int(fr.numerator))
-        )
-        .select("id_a", "id_b")
-    )
+    Thin wrapper over ``ngram_jaccard`` (ADVICE r10 consolidation):
+    one exact-Jaccard verification path to maintain — the integer
+    compare lives there now.
+    """
+    return ngram_jaccard(
+        df, pairs, text_col, id_col, k=shingle_k, threshold=threshold
+    ).select("id_a", "id_b")
 
 
 def minhash_dedup(
@@ -555,20 +543,38 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact character-k-gram Jaccard for candidate (id_a, id_b) pairs;
     keeps pairs with similarity >= threshold. Join payload is the distinct
-    shingle set, computed once per doc."""
+    shingle set, computed once per doc.
+
+    The SINGLE exact-Jaccard verification path (ADVICE r10 —
+    ``confirm_pairs_jaccard`` wraps this): the threshold compare is
+    integer cross-multiplication (``c * den >= union * num``), never a
+    float-ratio compare, so any engine computing the same gram sets
+    agrees bit-for-bit at the boundary; the reported ``jaccard`` column
+    stays one IEEE division of two small ints."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(_shingles_expr(text_col, k)).alias("__sh"),
     )
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        pairs.select("id_a", "id_b")
+        .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        j.filter(
+            inter * F.lit(int(fr.denominator))
+            >= union * F.lit(int(fr.numerator))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
     )
 
 

@@ -22,7 +22,9 @@ to arm one:
   to a URL prefix for THIS process, and environment configuration
   (``BCDP_SPARK_SIGV4`` = ``region[:service]`` plus the standard
   ``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY`` /
-  ``AWS_SESSION_TOKEN``, scoped by ``BCDP_SPARK_SIGN_PREFIX``) arms it
+  ``AWS_SESSION_TOKEN``, scoped by ``BCDP_SPARK_SIGN_PREFIX``,
+  default ``https`` so credentials never ride cleartext HTTP to
+  unrelated hosts) arms it
   in every Python worker that inherits the environment (local mode
   inherits automatically; on a cluster set them via
   ``spark.executorEnv.*``). The registry is per-process by design —
@@ -76,9 +78,17 @@ class SigV4Signer:
         datestamp = t.strftime("%Y%m%d")
 
         # -- canonical request -----------------------------------------
-        # uri: the raw path, each segment RFC-3986-encoded ('/' kept);
+        # uri: for S3 the path EXACTLY as sent on the wire — botocore's
+        # S3SigV4Auth neither normalizes nor re-encodes it, and S3
+        # verifies against the raw path, so re-quoting a key that
+        # contains pre-encoded sequences ('%20') or reserved chars
+        # ('+', ',', '=') would 403 (ADVICE r10). Other services use
+        # the standard re-encoded form ('/' kept).
         # query: key-sorted, strictly-encoded pairs
-        path = urllib.parse.quote(url.path or "/", safe="/")
+        if self.service == "s3":
+            path = url.path or "/"
+        else:
+            path = urllib.parse.quote(url.path or "/", safe="/")
         qs = urllib.parse.parse_qsl(
             url.query, keep_blank_values=True, strict_parsing=False
         )
@@ -164,7 +174,10 @@ def clear_url_signers() -> None:
 def _arm_from_env() -> None:
     """One-shot: BCDP_SPARK_SIGV4='region[:service]' + the standard
     AWS credential variables register a SigV4 signer for
-    BCDP_SPARK_SIGN_PREFIX (default: every http(s) URL)."""
+    BCDP_SPARK_SIGN_PREFIX (default 'https' — the credential-bearing
+    Authorization / x-amz-security-token headers must never ride
+    cleartext HTTP to arbitrary hosts; scope plain-http stores
+    explicitly, ADVICE r10)."""
     global _ENV_CHECKED
     _ENV_CHECKED = True
     spec = os.environ.get("BCDP_SPARK_SIGV4")
@@ -181,7 +194,7 @@ def _arm_from_env() -> None:
     region, _, service = spec.partition(":")
     _REGISTRY.append(
         (
-            os.environ.get("BCDP_SPARK_SIGN_PREFIX", "http"),
+            os.environ.get("BCDP_SPARK_SIGN_PREFIX", "https"),
             SigV4Signer(
                 access_key=ak,
                 secret_key=sk,

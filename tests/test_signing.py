@@ -59,31 +59,45 @@ def test_sigv4_matches_botocore():
     Authorization header for a request with an encoded query string
     and a Range header, at the same timestamp."""
     botocore = pytest.importorskip("botocore")
-    from botocore.auth import SigV4Auth
+    from botocore.auth import S3SigV4Auth
     from botocore.awsrequest import AWSRequest
     from botocore.credentials import Credentials
 
     del botocore
-    url = (
+    urls = [
         "https://bucket.example.com/some/obj.zarr/c/0.0"
-        "?versionId=ab%20c&list-type=2"
-    )
-    aws = AWSRequest(
-        method="GET",
-        url=url,
-        headers={
-            "Range": "bytes=100-200",
-            "x-amz-content-sha256": hashlib.sha256(b"").hexdigest(),
-        },
-    )
-    SigV4Auth(Credentials("AK123", "SK456"), "s3", "eu-west-1").add_auth(aws)
-    t = dt.datetime.strptime(
-        aws.headers["x-amz-date"], "%Y%m%dT%H%M%SZ"
-    ).replace(tzinfo=dt.timezone.utc)
-    mine = SigV4Signer("AK123", "SK456", "eu-west-1", now=t)
-    req = urllib.request.Request(url, headers={"Range": "bytes=100-200"})
-    req = mine(req) or req
-    assert req.get_header("Authorization") == aws.headers["Authorization"]
+        "?versionId=ab%20c&list-type=2",
+        # pre-encoded + reserved chars in the OBJECT KEY: S3 signs the
+        # raw wire path verbatim (no re-encoding — ADVICE r10); a
+        # re-quoting signer diverges from botocore on exactly this
+        "https://bucket.example.com/pre%20enc/a+b,c=d/obj%2Bx.bin",
+    ]
+    for url in urls:
+        aws = AWSRequest(
+            method="GET",
+            url=url,
+            headers={
+                "Range": "bytes=100-200",
+                "x-amz-content-sha256": hashlib.sha256(b"").hexdigest(),
+            },
+        )
+        # S3SigV4Auth, not base SigV4Auth: the S3 auth class signs the
+        # wire path VERBATIM (no re-encoding) — the behavior our
+        # service='s3' signer must reproduce (ADVICE r10)
+        S3SigV4Auth(
+            Credentials("AK123", "SK456"), "s3", "eu-west-1"
+        ).add_auth(aws)
+        t = dt.datetime.strptime(
+            aws.headers["x-amz-date"], "%Y%m%dT%H%M%SZ"
+        ).replace(tzinfo=dt.timezone.utc)
+        mine = SigV4Signer("AK123", "SK456", "eu-west-1", now=t)
+        req = urllib.request.Request(
+            url, headers={"Range": "bytes=100-200"}
+        )
+        req = mine(req) or req
+        assert (
+            req.get_header("Authorization") == aws.headers["Authorization"]
+        ), url
 
 
 def test_registry_prefix_resolution_and_env_arming(monkeypatch):
@@ -101,6 +115,15 @@ def test_registry_prefix_resolution_and_env_arming(monkeypatch):
     monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SKENV")
     got = signer_for("https://any/obj")
     assert got is not None and got.region == "us-west-2"
+    # default scope is https ONLY (ADVICE r10): env arming must not
+    # leak the key id / session token over cleartext HTTP to hosts the
+    # user never scoped — plain-http stores need an explicit prefix
+    assert signer_for("http://plain/obj") is None
+    clear_url_signers()
+    monkeypatch.setenv("BCDP_SPARK_SIGN_PREFIX", "http://store/")
+    assert signer_for("http://store/obj") is not None
+    assert signer_for("http://elsewhere/obj") is None
+    monkeypatch.delenv("BCDP_SPARK_SIGN_PREFIX")
     clear_url_signers()
     monkeypatch.setenv("BCDP_SPARK_SIGV4", "us-west-2")
     monkeypatch.delenv("AWS_ACCESS_KEY_ID")

@@ -68,8 +68,28 @@ print(f"{len(qs)} queries, {len(osql)} oracles")
 skip = {
     s for s in os.environ.get("REPLICA_SKIP", "").split(",") if s
 }
+# REPLICA_SHARD='i/n': run only keys whose crc32 lands in shard i of n
+# — the r11 ladder policy that keeps the full ladder under ~45 min
+# (VERDICT r10 item 3): the canonical sf0.01 rung always runs ALL
+# keys; the three hostile rungs each take a DIFFERENT third, so every
+# key still gets one hostile-rung execution per ladder run, and
+# verify_all rotates which hostile condition each third sees per round.
+shard_spec = os.environ.get("REPLICA_SHARD")
+if shard_spec:
+    import zlib
+
+    si, sn = (int(x) for x in shard_spec.split("/"))
+    shard_keys = {k for k in qs if zlib.crc32(k.encode()) % sn == si}
+    print(
+        f"REPLICA_SHARD {shard_spec}: running {len(shard_keys)} of "
+        f"{len(qs)} keys (deterministic crc32 partition)"
+    )
+else:
+    shard_keys = set(qs)
 fails = []
 for k in sorted(qs):
+    if k not in shard_keys:
+        continue
     if k in skip:
         print(f"  {k}: SKIPPED by REPLICA_SKIP (this rung only)")
         continue
