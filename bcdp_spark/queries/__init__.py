@@ -86,51 +86,48 @@ def _load() -> None:
 # key sets). Every rotated-out key keeps its driver-green evidence and
 # is still oracle-checked locally every run (test_oracle_parity.py).
 #
-# ROUND 10 (the promise VERDICT r9 item 1 holds this file to): the
-# window is exactly (a) keys new/upgraded in r10, (b) the 7 keys that
-# had NEVER appeared in any driver file (rows-only since r3 — three of
-# them, q_minhash_dedup / q_simhash_pairs / q_dedup_clusters, are
-# UPGRADED to hash-checked this round via the exact-Jaccard confirm
-# stage; the other four remain rows-only by design and record the
-# weaker rows+schema check, which is still their first driver evidence
-# ever), (c) the 9 r4-cohort leftovers, then (d) r5-cohort keys to
-# fill. Rows-only keys rotate back OUT in r11 once their driver rows
-# exist (a graded slot holding a rows-only key records strictly weaker
-# evidence than a hash-checked regrade — ADVICE r8 rationale).
+# ROUND 11 (the promise VERDICT r10 items 1-2 hold this file to): the
+# window is exactly (a) q_knn_join_ivf at the HEAD — the ONLY
+# oracle-backed key with zero hash-green driver rows (its exact-config
+# nprobe=n_cells oracle landed in r10 but missed that window; grading
+# it makes cumulative oracle coverage 246/246), (b) the two r11 keys
+# (HDF5 object references + rank-2 matrix members), (c) the three r5
+# leftovers named at the r10 boundary, then (d) the r6 cohort's 44
+# hash-checked keys — its oldest driver evidence. The r6 cohort's five
+# rows-only keys (q_approx_distinct, q_compress_ratio, q_hll_rollup,
+# q_image_phash_pairs, q_weighted_sample) rotate OUT per the ADVICE r8
+# rule: a graded slot holding a rows-only key records strictly weaker
+# evidence than a hash-checked regrade, and all seven rows-only keys
+# now carry driver rows+schema evidence (r5/r6/r10).
 _PRIORITY = (
-    # (a) new/upgraded in round 10: HDF5 vlen-string datasets, nested
-    # compound members, GRIB2 cluster templates 4.3/4.4, and the three
-    # exact-confirm LSH upgrades (first hash-checked grading ever)
-    "q_hdf5_vlen", "q_hdf5_ragged", "q_hdf5_compound_nested",
-    "q_grib2_cluster",
-    "q_minhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
-    # (b) the other four never-graded keys: q_ann_knn / q_ivf_knn were
-    # ALSO upgraded to hash-checked (graded at probe-all ≡ exact, the
-    # q_ivf_persisted pattern); q_doc_packing / q_embed_neardup remain
-    # rows-only BY NATURE (FFD bin packing has no SQL twin;
-    # single-table hyperplane blocking has recall < 1 at any sim < 1)
-    # and record rows+schema driver evidence this round
-    "q_ann_knn", "q_doc_packing", "q_embed_neardup", "q_ivf_knn",
-    # (c) r4 cohort leftovers (oldest hash-checked evidence anywhere)
-    "q_triangle_count", "q_dsir_weights", "q_domain_cap",
-    "q_span_dedup", "q_incremental_dedup", "q_url_dedup",
-    "q_zarr_climatology", "q_area_weighted_mean", "q_grib2_climatology",
-    # (d) r5 cohort, filling the window to 50 (30 of 33 fit;
-    # q_waiting_suppliers, q_upsert and q_windowed_dedup regrade in
-    # r11 with the r6 cohort)
-    "q_argmax", "q_bigrams", "q_boilerplate", "q_cooccurrence",
-    "q_doc_length_histogram", "q_ewma", "q_first_last", "q_histogram",
-    "q_important_stock", "q_in_subquery", "q_large_orders", "q_mode",
-    "q_ntile", "q_null_safe_join", "q_order_priority",
-    "q_percent_rank", "q_product_profit", "q_promo_suppliers",
-    "q_range_window", "q_redact_terms", "q_repetition_ratio",
-    "q_returned_items", "q_rolling_corr", "q_shipmode_priority",
-    "q_small_qty_revenue", "q_string_agg", "q_supplier_cnt",
-    "q_token_count", "q_top_supplier", "q_vocab_growth",
-    # --- 50-key window boundary (7 + 4 + 9 + 30 = 50) ---
+    # (a) the one never-hash-graded oracle key (VERDICT r10 item 1)
+    "q_knn_join_ivf",
+    # (b) new in round 11: class-7 object references (DSG index
+    # variables) + rank-2 array members in compounds
+    "q_hdf5_refs", "q_hdf5_compound_matrix",
+    # (c) r5 leftovers promised at the r10 boundary
     "q_waiting_suppliers", "q_upsert", "q_windowed_dedup",
-    # (e) everything else (all r1-r9 driver-green) follows in registry
-    # dict order via _ordered()'s fall-through.
+    # (d) the r6 cohort (oldest hash-checked driver evidence), minus
+    # its five rows-only keys and q_knn_join_ivf already at the head
+    "q_abandonment", "q_array_ops", "q_bigram_perplexity",
+    "q_bloom_semi_join", "q_cohort_retention", "q_dau_mau",
+    "q_disjunctive_scan", "q_doc_chunking", "q_entropy", "q_eof_gram",
+    "q_fulfillment_lag", "q_full_join", "q_fuzzy_match",
+    "q_geotiff_ingest", "q_grib2_derived", "q_grib2_ensemble",
+    "q_grib2_levels", "q_grib2_reduced", "q_hash_sample",
+    "q_hash_split", "q_hdf5_scaleoffset", "q_idle_customers",
+    "q_knn_join", "q_local_supplier_volume", "q_min_cost_supplier",
+    "q_new_vs_returning", "q_percentile_cont", "q_plev_interp",
+    "q_profile", "q_promo_window_join", "q_ratio_to_report",
+    "q_regression", "q_reservoir_sample", "q_revenue_forecast",
+    "q_snapshot_diff", "q_stratified_sample", "q_token_budget_select",
+    "q_user_lifetime", "q_vec_quantize", "q_volume_shipping",
+    "q_weighted_avg", "q_yoy_growth", "q_zarr_zstd",
+    "q_zscore_outliers",
+    # --- 50-key window boundary (1 + 2 + 3 + 44 = 50) ---
+    # (e) everything else (r7+ driver-green) follows in registry dict
+    # order via _ordered()'s fall-through; the r7 cohort regrades in
+    # r12.
 )
 
 

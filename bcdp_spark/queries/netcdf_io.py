@@ -939,3 +939,193 @@ def q_hdf5_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_readings").cast("long").alias("n_obs"),
         dsum(F.col("__s"), "sum_depths"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r11, VERDICT r10 item 4) — OBJECT REFERENCES (datatype class
+# 7): real DSG obs archives index observations by object reference —
+# each row points at its station/profile dataset by header address
+# (the same element type netCDF-4 dimension scales use in
+# DIMENSION_LIST). The reader resolves addresses to object paths
+# through the group-walk map; NULL references decode as ''.
+# ---------------------------------------------------------------------------
+_FIXREF_DIR = "/tmp/bcdp_spark_h5refs_fixture_v1"
+_REF_N = 48
+
+
+def _ensure_fixture_refs() -> str:
+    """Two obs files: three station datasets + f8 `obs` + a class-7
+    `station_ref` dataset where row k references stn_{k%3} (NULL when
+    k%16==7); one contiguous, one chunked+deflate (filters compress
+    the reference array like any fixed-size element)."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import H5ObjRef, write_hdf5
+
+    done = os.path.join(_FIXREF_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXREF_DIR
+    os.makedirs(_FIXREF_DIR, exist_ok=True)
+    for f in range(2):
+        ks = np.arange(f * _REF_N, (f + 1) * _REF_N, dtype=np.int64)
+        refs = np.array(
+            [
+                H5ObjRef(None) if k % 16 == 7 else H5ObjRef(f"stn_{k % 3}")
+                for k in ks
+            ],
+            dtype=object,
+        )
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {
+                "chunk": {"station_ref": (16,), "obs": (16,)},
+                "gzip_level": 4,
+            }
+        )
+        raw = write_hdf5(
+            {
+                # referenced variables first: one-pass allocation
+                "stn_0": (["c"], np.array([0.0, 1.0]), {}),
+                "stn_1": (["c"], np.array([2.0]), {}),
+                "stn_2": (["c"], np.array([3.0, 4.0, 5.0]), {}),
+                "obs": (["row"], 0.5 * ks.astype("<f8"), {}),
+                "station_ref": (["row"], refs, {}),
+            },
+            **kw,
+        )
+        with open(os.path.join(_FIXREF_DIR, f"obs_{f}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXREF_DIR
+
+
+@register(
+    "q_hdf5_refs",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g * {_REF_N} + i.g AS k
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_REF_N - 1}) i(g)
+)
+SELECT CASE WHEN k % 16 = 7 THEN ''
+       ELSE 'stn_' || CAST(k % 3 AS VARCHAR) END AS station,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       {dsum_sql('0.5 * k', 'sum_obs')},
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM rows GROUP BY 1
+""",
+)
+def q_hdf5_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 object references (class 7, r11): a DSG-style index
+    variable of object references decodes to the referenced station
+    dataset's PATH (NULL references → ''), then obs aggregate per
+    station. Contiguous + chunked/deflate files; the oracle recomputes
+    the closed-form reference targets, so a hash match certifies the
+    walk-time address map resolves every stored header address to the
+    right object — byte-level address arithmetic included. ``sf_dir``
+    unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_vars
+
+    utc(spark)
+    fix = _ensure_fixture_refs()
+    df = load_hdf5_vars(
+        spark, os.path.join(fix, "*.h5"), ["station_ref", "obs"]
+    )
+    return df.groupBy(F.col("station_ref").alias("station")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dsum(F.col("obs"), "sum_obs"),
+        (F.max(F.col("obs") * 2).cast("long")).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r11, VERDICT r10 item 8) — rank-2 array members in compounds:
+# obs records carrying a per-observation MATRIX (covariances, rotation
+# tensors). The r10 recursive datatype parse already handled the
+# encoding; load_hdf5_table now maps rank-r members to r-deep nested
+# Spark arrays instead of raising.
+# ---------------------------------------------------------------------------
+_FIXMAT_DIR = "/tmp/bcdp_spark_h5matrix_fixture_v1"
+_MAT_N = 40
+
+
+def _ensure_fixture_matrix() -> str:
+    """Two obs files of a compound with a 2x3 f8 matrix member
+    (mat[r][c] = k + 10r + c) plus an i4 key; one contiguous, one
+    chunked+deflate."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXMAT_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXMAT_DIR
+    os.makedirs(_FIXMAT_DIR, exist_ok=True)
+    dt = np.dtype(
+        {
+            "names": ["k", "cov"],
+            "formats": ["<i4", ("<f8", (2, 3))],
+            "offsets": [0, 4],
+            "itemsize": 52,
+        }
+    )
+    for f in range(2):
+        ks = np.arange(f * _MAT_N, (f + 1) * _MAT_N, dtype=np.int64)
+        obs = np.zeros(_MAT_N, dtype=dt)
+        obs["k"] = ks.astype("<i4")
+        obs["cov"] = (
+            ks[:, None, None]
+            + 10 * np.arange(2)[None, :, None]
+            + np.arange(3)[None, None, :]
+        ).astype("<f8")
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {"chunk": {"obs": (16,)}, "gzip_level": 4}
+        )
+        raw = write_hdf5({"obs": (["row"], obs, {})}, **kw)
+        with open(os.path.join(_FIXMAT_DIR, f"obs_{f}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXMAT_DIR
+
+
+@register(
+    "q_hdf5_compound_matrix",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g * {_MAT_N} + i.g AS k
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_MAT_N - 1}) i(g)
+)
+SELECT CAST(k % 5 AS INT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       {dsum_sql('6 * k + 36', 'sum_cov')},
+       {dsum_sql('k + 12', 'sum_c12')}
+FROM rows GROUP BY 1
+""",
+)
+def q_hdf5_compound_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 rank-2 array members (r11): the 2x3 matrix member decodes
+    as array<array<double>>; a nested JVM fold sums the full matrix
+    (closed form 6k+36 — integer-valued doubles, exact) and element
+    [1][2] (= k+12) certifies element ORDER inside the subarray, both
+    per k%5 group. Contiguous + chunked/deflate files. ``sf_dir``
+    unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    utc(spark)
+    fix = _ensure_fixture_matrix()
+    df = load_hdf5_table(spark, os.path.join(fix, "*.h5"))
+    mat_sum = F.expr(
+        "aggregate(cov, cast(0.0 as double), (a, row) ->"
+        " a + aggregate(row, cast(0.0 as double), (b, x) -> b + x))"
+    )
+    return df.groupBy((F.col("k") % 5).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        dsum(mat_sum, "sum_cov"),
+        dsum(F.expr("cov[1][2]"), "sum_c12"),
+    )

@@ -18,7 +18,9 @@ READ (``H5File``):
 - dataspace v1/v2, datatype classes 0/1/3/9 (fixed, float, string,
   vlen-string via global heap), 6 (compound → numpy structured dtype
   with explicit offsets — CF discrete-sampling-geometry obs records;
-  r8) and 8 (enum → base integer + member map; r8), fill value v2/v3,
+  r8), 8 (enum → base integer + member map; r8) and 7 (object
+  references → referenced object's path via the walk-time address
+  map; region/external references raise — r11), fill value v2/v3,
   attributes v1/v3
 - data layouts: compact, contiguous, chunked — v3 messages with
   B-tree v1 (any depth) AND v4 messages (the 1.10 'latest' format)
@@ -247,6 +249,11 @@ class _DType:
     # as a numpy subarray dtype (base, shape)
     array_shape: tuple | None = None
     base: "_DType | None" = None
+    # reference (class 7, r11): type 0 = object reference (an 8-byte
+    # file address of the referenced object's header — what netCDF-4
+    # dimension scales and DSG index variables store); decodes to the
+    # referenced object's PATH string via the walk-time address map
+    ref_type: int | None = None
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -268,6 +275,10 @@ class _DType:
                     "itemsize": self.size,
                 }
             )
+        if self.cls == 7:
+            # object references read as raw 8-byte addresses, resolved
+            # to path strings by H5File.read (needs the walk-time map)
+            return np.dtype("<u8")
         raise NotImplementedError(f"HDF5 datatype class {self.cls} as array")
 
 
@@ -317,6 +328,20 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
             f"HDF5 vlen datatype of type {vtype} (sequences and "
             "strings only)"
         )
+    if cls == 7:  # reference (r11): object references only
+        rtype = b0 & 0x0F
+        if rtype != 0:
+            raise NotImplementedError(
+                f"HDF5 reference datatype of type {rtype} (object "
+                "references only — dataset-region and the revised "
+                "(1.12+) attribute/external reference encodings raise)"
+            )
+        if size != 8:
+            raise NotImplementedError(
+                f"HDF5 object reference of size {size} (8-byte file "
+                "offsets only)"
+            )
+        return _DType(cls=7, size=size, ref_type=rtype), 8
     if cls == 10:  # array: fixed-shape subarray of a base type
         ndims = body[8]
         pos = 12 if ver < 3 else 9  # pre-v3: 3 reserved bytes
@@ -481,6 +506,9 @@ class H5File:
         self.buf = buf
         self.datasets: dict[str, H5Dataset] = {}
         self.attrs: dict[str, object] = {}
+        # object-header address -> slash path, built during the group
+        # walk — what resolves class-7 object references (r11)
+        self._path_by_addr: dict[int, str] = {}
         sb_ver = buf[8]
         if sb_ver in (0, 1):
             self._osize = buf[13]
@@ -573,6 +601,7 @@ class H5File:
         for mtype, body in msgs:
             if mtype == 0x08:
                 is_dataset = True
+        self._path_by_addr.setdefault(addr, prefix.rstrip("/") or "/")
         if is_dataset:
             name = prefix.rstrip("/") or "/"
             self.datasets[name] = self._dataset(name, msgs)
@@ -604,6 +633,7 @@ class H5File:
             path = f"{prefix}{name}"
             cm = self._messages(child)
             if any(t == 0x08 for t, _ in cm):
+                self._path_by_addr.setdefault(child, path)
                 self.datasets[path] = self._dataset(path, cm)
             else:
                 sub_attrs: dict[str, object] = {}
@@ -965,7 +995,37 @@ class H5File:
             if ds.dtype.vlen_string:
                 return self._vlen_decode(raw)
             return self._vlen_seq_decode(raw, ds.dtype.base.np_dtype)
+        if ds.dtype.cls == 7:
+            # object references (r11): the layout machinery reads the
+            # raw 8-byte address array unchanged (contiguous slab fast
+            # path, chunk filters, fill handling), then each address
+            # resolves to the referenced object's PATH through the
+            # walk-time map — the DSG index-variable decode (station/
+            # profile datasets named per observation). NULL (0) and
+            # undefined addresses decode as "".
+            raw = self._read_slab(ds, sel, np.dtype("<u8"))
+            return self._ref_decode(raw)
         return self._read_slab(ds, sel, ds.dtype.np_dtype)
+
+    def _ref_decode(self, arr: np.ndarray) -> np.ndarray:
+        """8-byte object-reference addresses → object array of path
+        strings. An address the group walk never visited is a loud
+        error (a dangling or external reference), never garbage."""
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape, dtype=object)
+        for i, a in enumerate(flat):
+            a = int(a)
+            if a == 0 or a == _UNDEF:
+                out[i] = ""
+            else:
+                try:
+                    out[i] = self._path_by_addr[a]
+                except KeyError:
+                    raise ValueError(
+                        f"object reference to unknown header address "
+                        f"{a:#x} (dangling or external reference)"
+                    ) from None
+        return out.reshape(arr.shape)
 
     def _read_slab(
         self, ds: "H5Dataset", sel: tuple | None, dt: np.dtype
@@ -1794,6 +1854,17 @@ def _split_chunks(shape: tuple, chunk: tuple):
     return idxs
 
 
+@dataclass(frozen=True)
+class H5ObjRef:
+    """Writer-twin element for an OBJECT-REFERENCE dataset (class 7):
+    ``target`` names another variable in the same ``write_hdf5`` call
+    (it must be listed EARLIER so its header address is already
+    assigned — one-pass allocation); ``None`` writes a NULL reference
+    (address 0), which the reader decodes as ''."""
+
+    target: str | None
+
+
 def write_hdf5(
     variables: dict[str, tuple[list[str], np.ndarray, dict]],
     attrs: dict | None = None,
@@ -1855,16 +1926,41 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        vlen_str = vlen_seq = False
+        vlen_str = vlen_seq = objref = False
         vlen_base = None
         if arr.dtype.kind == "U":
             vlen_str = True
         elif arr.dtype.kind == "O":
             flat0 = arr.reshape(-1)
-            if flat0.size and not isinstance(flat0[0], str):
+            if flat0.size and isinstance(flat0[0], H5ObjRef):
+                objref = True  # object references (r11)
+            elif flat0.size and not isinstance(flat0[0], str):
                 vlen_seq = True  # ragged numeric sequences (r10)
             else:
                 vlen_str = True
+        if objref:
+            # object-reference dataset: each element stores the 8-byte
+            # header address of its target variable — resolvable only
+            # for variables already written (one-pass allocation), so
+            # referenced variables must be listed first
+            addrs = []
+            for x in arr.reshape(-1):
+                if not isinstance(x, H5ObjRef):
+                    raise TypeError(
+                        "object-reference datasets must be all-H5ObjRef"
+                        f" (got {type(x).__name__})"
+                    )
+                if x.target is None:
+                    addrs.append(0)
+                elif x.target in var_hdr_addr:
+                    addrs.append(var_hdr_addr[x.target])
+                else:
+                    raise ValueError(
+                        f"object reference target {x.target!r} must be"
+                        " a variable listed BEFORE the referencing"
+                        " dataset"
+                    )
+            arr = np.array(addrs, dtype="<u8").reshape(arr.shape)
         if vlen_str or vlen_seq:
             # vlen variable (string or ragged sequence): payload bytes
             # land in ONE global heap collection (allocated first so
@@ -1925,6 +2021,9 @@ def write_hdf5(
             dt_msg = struct.pack(
                 "<BBBBI", 0x19, 0x00, 0x00, 0, 16
             ) + _dt_body(vlen_base)
+        elif objref:
+            # class 7 v1, reference type 0 (object), 8-byte size
+            dt_msg = struct.pack("<BBBBI", 0x17, 0x00, 0x00, 0, 8)
         else:
             dt_msg = _dt_body(arr.dtype)
         msgs: list[tuple[int, bytes]] = [
@@ -2321,13 +2420,11 @@ def load_hdf5_table(spark, path, var: str | None = None,
             )
         styp = _SPARK_T[key]
         if sub.cls == 10:
-            # class-10 array member → one Spark array<T> column
-            if len(sub.array_shape) != 1:
-                raise NotImplementedError(
-                    f"compound array member {cname!r} has rank "
-                    f"{len(sub.array_shape)} (1-D array members only)"
-                )
-            styp = f"array<{styp}>"
+            # class-10 array member → nested Spark array column, one
+            # level per rank (r11: rank>=2 matrices-in-compounds nest
+            # array<array<T>>; r10 shipped rank 1 only)
+            for _ in sub.array_shape:
+                styp = f"array<{styp}>"
         fields.append(f"`{cname}` {styp}")
     schema = ", ".join(fields)
 
@@ -2345,7 +2442,11 @@ def load_hdf5_table(spark, path, var: str | None = None,
                     v = arr
                     for part in path:
                         v = v[part]
-                    cols[cname] = list(v) if sub.cls == 10 else v
+                    # array members: nested Python lists (rank-deep)
+                    # so Arrow ingests rank>=2 members as nested lists
+                    cols[cname] = (
+                        [x.tolist() for x in v] if sub.cls == 10 else v
+                    )
                 yield _pd.DataFrame(cols)
 
     return manifest.mapInPandas(decode, schema=schema)
@@ -2360,7 +2461,10 @@ def load_hdf5_vars(spark, path, names: list[str]):
     Column typing: fixed-point/float datasets map like
     ``load_hdf5_table`` (unsigned widened to the next signed type);
     vlen-string (class 9 type 1) and fixed-length string (class 3)
-    datasets map to ``string``. Anything else raises loudly.
+    datasets map to ``string``, as do object-REFERENCE datasets
+    (class 7, r11 — each element decodes to the referenced object's
+    slash path, the DSG index-variable shape; NULL references decode
+    as ''). Anything else raises loudly.
 
     Scale notes: one Arrow-batched decode task per file (mapInPandas
     over a file manifest); vlen decode memoizes each global-heap
@@ -2395,7 +2499,7 @@ def load_hdf5_vars(spark, path, names: list[str]):
                 f"{ds.shape}"
             )
         dt = ds.dtype
-        if dt.vlen_string or dt.cls == 3:
+        if dt.vlen_string or dt.cls == 3 or dt.cls == 7:
             fields.append(f"{n} string")
             continue
         eff = dt.base if dt.cls == 9 else dt  # vlen seq → array<T>

@@ -58,34 +58,24 @@ def test_rows_only_keys_run_and_are_deterministic(key, spark):
     assert len(a) >= 0
 
 
-# The ONLY rows-only keys allowed in the r10 graded window: the
-# never-driver-graded keys VERDICT r9 item 1 schedules for their first
-# (rows+schema) driver evidence. Of the four scheduled, q_ann_knn and
-# q_ivf_knn were further upgraded to hash-checked (exact-equivalent
-# graded configs), leaving these two — inherently rows-only (FFD bin
-# packing has no SQL twin; single-table hyperplane blocking has
-# recall < 1 at any sim < 1 by construction). They rotate back out in
-# r11.
-_R10_SCHEDULED_ROWS_ONLY = {"q_doc_packing", "q_embed_neardup"}
-
-
 def test_driver_window_hygiene():
     """The driver grades the FIRST 50 registry keys. A rows-only key
     in that window records only the weaker rows-only check, so the
-    window holds hash-checked keys exclusively — EXCEPT the four keys
-    VERDICT r9 item 1 explicitly schedules into the r10 window for
-    their first-ever driver rows. Every _PRIORITY name must exist (a
-    typo there would silently reorder the window)."""
+    window holds hash-checked keys EXCLUSIVELY (r11 on: every
+    rows-only key already carries its driver rows+schema evidence from
+    r5/r6/r10, so none belongs in a graded slot again — ADVICE r8
+    rationale). Every _PRIORITY name must exist (a typo there would
+    silently reorder the window), and the window head must be exactly
+    50 explicit names so the boundary comment stays accurate."""
     import bcdp_spark.queries as q
     from bcdp_spark.queries import _PRIORITY
 
     keys = list(q.queries())
     oracles = q.oracle_sql()
     rows_only = sorted(k for k in keys[:50] if k not in oracles)
-    unscheduled = sorted(set(rows_only) - _R10_SCHEDULED_ROWS_ONLY)
-    assert unscheduled == [], (
-        f"unscheduled rows-only keys inside the graded window: "
-        f"{unscheduled} — only the VERDICT-r9-scheduled four belong"
+    assert rows_only == [], (
+        f"rows-only keys inside the graded window: {rows_only}"
     )
     ghosts = [k for k in _PRIORITY if k not in q.queries()]
     assert not ghosts, f"_PRIORITY names not in the registry: {ghosts}"
+    assert len(_PRIORITY) == 50 and len(set(_PRIORITY)) == 50

@@ -712,6 +712,83 @@ def fixture_ops(spark, factor: int):
             )),
         ).collect()
         out["hdf5_nested_compound"] = time.perf_counter() - t0
+
+        # r11: object-reference index variables — FILE count scales
+        # with factor (one decode task per file); the walk-time
+        # address map + per-element resolve is the hot path
+        from bcdp_spark.sources.hdf5 import H5ObjRef
+
+        rdir = os.path.join(tmp, "objref")
+        os.makedirs(rdir)
+        n_r = 400
+        for f in range(4 * factor):
+            i = np.arange(n_r)
+            refs = np.array(
+                [
+                    H5ObjRef(None) if k % 16 == 7
+                    else H5ObjRef(f"stn_{k % 5}")
+                    for k in i
+                ],
+                dtype=object,
+            )
+            raw = write_hdf5(
+                {
+                    **{
+                        f"stn_{s}": (["c"], np.arange(s + 1, dtype="<f8"), {})
+                        for s in range(5)
+                    },
+                    "obs": (["r"], (0.5 * i).astype("<f8"), {}),
+                    "station_ref": (["r"], refs, {}),
+                },
+                chunk={"station_ref": (128,), "obs": (128,)},
+                gzip_level=4,
+            )
+            with open(os.path.join(rdir, f"o{f:03d}.h5"), "wb") as fh:
+                fh.write(raw)
+        t0 = time.perf_counter()
+        load_hdf5_vars(
+            spark, os.path.join(rdir, "*.h5"), ["station_ref", "obs"]
+        ).groupBy("station_ref").agg(
+            F.count(F.lit(1)), F.sum("obs")
+        ).collect()
+        out["hdf5_objref_vars"] = time.perf_counter() - t0
+
+        # r11: rank-2 matrix members — ROW count scales with factor
+        # (chunked decode), nested fold over array<array<double>> on
+        # the hot path
+        mdt = np.dtype({
+            "names": ["k", "cov"],
+            "formats": ["<i4", ("<f8", (2, 3))],
+            "offsets": [0, 4], "itemsize": 52,
+        })
+        n_m = 20_000 * factor
+        ks_m = np.arange(n_m, dtype=np.int64)
+        mobs = np.zeros(n_m, dtype=mdt)
+        mobs["k"] = ks_m.astype("<i4")
+        mobs["cov"] = (
+            (ks_m % 1000)[:, None, None]
+            + 10 * np.arange(2)[None, :, None]
+            + np.arange(3)[None, None, :]
+        ).astype("<f8")
+        raw = write_hdf5(
+            {"obs": (["row"], mobs, {})},
+            chunk={"obs": (2048,)}, gzip_level=4,
+        )
+        mp_ = os.path.join(tmp, "matrix.h5")
+        with open(mp_, "wb") as fh:
+            fh.write(raw)
+        t0 = time.perf_counter()
+        load_hdf5_table(spark, mp_).groupBy(
+            (F.col("k") % 5)
+        ).agg(
+            F.count(F.lit(1)),
+            F.sum(F.expr(
+                "aggregate(cov, cast(0.0 as double), (a, row) ->"
+                " a + aggregate(row, cast(0.0 as double),"
+                " (b, x) -> b + x))"
+            )),
+        ).collect()
+        out["hdf5_matrix_compound"] = time.perf_counter() - t0
     return out
 
 
