@@ -666,39 +666,43 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_simhash_pairs",
     # the WHERE is a GRADING-SCALE ASSERTION (ADVICE r10): this key's
-    # Spark leg equals the all-pairs oracle only while hamming-8
-    # blocking recall is 100% — measured true at sf0.001/sf0.01 (the
-    # driver's grading scale, 500 docs) but NOT at sf0.1 (246/255).
-    # If grading scale ever grows past 600 docs the oracle fails
-    # LOUDLY here instead of via a confusing hash mismatch.
+    # Spark leg equals the all-pairs oracle only while the radius-12
+    # blocking captures every true J>=0.9 pair — measured exhaustively
+    # through sf0.1 (255/255 at 5,000 docs; max true-pair hamming 12).
+    # Beyond 6,000 docs the radius assumption is UNMEASURED, so the
+    # oracle fails LOUDLY there instead of via a confusing hash
+    # mismatch.
     oracle=_CONFIRMED_PAIRS_SQL
     + """
 SELECT COUNT(*) AS n_pairs,
        COALESCE(CAST(SUM(id_a) AS BIGINT), 0) AS id_a_sum,
        COALESCE(CAST(SUM(id_b) AS BIGINT), 0) AS id_b_sum
 FROM confirmed
-WHERE CASE WHEN (SELECT COUNT(*) FROM documents) <= 600 THEN TRUE
+WHERE CASE WHEN (SELECT COUNT(*) FROM documents) <= 6000 THEN TRUE
       ELSE error('q_simhash_pairs oracle: grading-scale assumption '
-                 'violated (>600 docs) — simhash hamming-8 blocking '
-                 'recall < 1 above sf0.01 (246/255 at sf0.1, see '
-                 'q_simhash_pairs docstring); Spark leg would '
-                 'legitimately diverge') END
+                 'violated (>6000 docs) — the hamming-12 radius is '
+                 'recall-measured only through sf0.1 (255/255); at '
+                 'larger corpora SimHash radius recall vs Jaccard is '
+                 'unmeasured and the Spark leg could legitimately '
+                 'diverge (see q_simhash_pairs docstring)') END
 """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — SimHash near-pairs (pandas-UDF fingerprint + pigeonhole
-    chunk blocking at hamming<=8) with the exact-Jaccard confirm stage
-    (r10 upgrade from rows-only): at the driver's grading scales every
-    true char-5-gram J>=0.9 pair lies within hamming 8 (measured
-    exhaustively: 28/28 at sf0.001, 25/25 at sf0.01), so the confirmed
-    set equals the brute-force answer the oracle computes. Honest
-    recall caveat, by measurement not assumption: at sf0.1 hamming-8
-    captures 246 of 255 true pairs — SimHash estimates weighted token
-    cosine, not Jaccard, so its recall at a fixed radius is corpus-
-    dependent; the hash-checked grade certifies the fingerprint +
-    blocking + confirm PLUMBING bit-for-bit, while recall-critical
-    dedup should use the MinHash key (blocking recall 100% at every
-    fixture scale, sf0.1 included)."""
+    """X2 — SimHash near-pairs with the exact-Jaccard confirm stage,
+    blocked by the Manku WWW'07 combination multi-index at hamming<=12
+    (r11, VERDICT r10 item 7 — previously single-pigeonhole hamming<=8,
+    which missed 9/255 true pairs at sf0.1). Radius choice is by
+    MEASUREMENT, not assumption: exhaustive truth at sf0.001/sf0.01/
+    sf0.1 puts every true char-5-gram J>=0.9 pair within hamming 12
+    (max observed = 12; distribution recorded in COVERAGE r11), and the
+    r11 re-measurement confirms the confirmed set equals the
+    brute-force answer at ALL THREE fixture scales — so the blocking +
+    fingerprint + confirm plumbing is hash-certified AND recall-true
+    through sf0.1. SimHash estimates weighted token cosine, not
+    Jaccard, so any fixed radius remains corpus-dependent at unmeasured
+    scales (the oracle's scale guard makes that loud); recall-critical
+    dedup should still prefer the MinHash key whose banding recall is
+    scale-independent at J>=0.9."""
     from bcdp_spark.operators.dedup import (
         confirm_pairs_jaccard,
         simhash_near_pairs,
@@ -706,7 +710,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     utc(spark)
     docs = table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+    pairs = simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=12, blocks=14
+    )
     conf = confirm_pairs_jaccard(
         pairs, docs, "text", "doc_id", shingle_k=5, threshold=0.9
     )

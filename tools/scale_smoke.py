@@ -326,7 +326,28 @@ def ops(spark, sf_dir):
         "minhash_confirmed": t(lambda: confirm_pairs_jaccard(
             lsh_bucket_pairs(docs, "text", "doc_id", bucket_cap=200),
             docs, "text", "doc_id").count()),
+        # r11: combination multi-index blocking (q_simhash_pairs' new
+        # radius-12 path) — C(14,2)=91 tables of ~9-bit keys; explode
+        # is a constant factor, the join cost rides bucket occupancy,
+        # which bucket_cap bounds on the all-dup synthetic 10x exactly
+        # like the single pigeonhole.
+        "simhash_multi_index": t(lambda: _simhash_multi_smoke(
+            spark, docs)),
     }
+
+
+def _simhash_multi_smoke(spark, docs):
+    from bcdp_spark.operators.dedup import (
+        hamming_multi_index_pairs,
+        simhash64,
+    )
+
+    h = docs.select(
+        F.col("doc_id"), simhash64(F.col("text")).alias("__sh")
+    )
+    return hamming_multi_index_pairs(
+        h, "__sh", "doc_id", max_hamming=12, blocks=14, bucket_cap=200
+    ).count()
 
 
 def _ivf_append_smoke(spark, emb):

@@ -64,12 +64,13 @@ def main() -> None:
                 # grading scale, ~hours of DuckDB all-pairs at 5,000
                 # docs. Spark legs + oracles still run at sf0.01 in
                 # every other rung; replica prints each skip loudly.
-                # q_simhash_pairs additionally has a GENUINE divergence
-                # at this scale (hamming-8 blocking recall 246/255 at
-                # sf0.1 — documented in its docstring), so its skip is
-                # correctness-mandated, not just cost; its oracle now
-                # carries a >600-doc error() guard that fails loudly
-                # if the grading scale ever changes (ADVICE r10).
+                # q_simhash_pairs' former sf0.1 divergence (hamming-8
+                # recall 246/255) is CLOSED in r11 by the hamming-12
+                # combination multi-index (recall re-measured 255/255
+                # exhaustively at sf0.1), so its skip here is now
+                # cost-only like the others; its oracle still carries
+                # a >6000-doc error() guard because the radius is
+                # recall-measured only through sf0.1 (ADVICE r10).
                 "REPLICA_SKIP": (
                     "q_minhash_dedup,q_simhash_pairs,q_dedup_clusters,"
                     "q_knn_join_ivf"
