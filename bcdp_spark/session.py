@@ -31,7 +31,9 @@ def get_spark(app_name: str = "bcdp_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 12g (r11): the sf10 bench leg's 60M-row sort-merge join ran
+        # against the GC ceiling at 8g under repeated fresh-plan runs
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",

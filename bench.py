@@ -14,9 +14,15 @@ at sf1 — a deterministic 10x tiling of the driver fixtures
 DuckDB total over the SAME files and oracle SQL, so the 2x gate also
 measures data-proportional work. Disable with SPARK_GRAFT_BENCH_SF1=0.
 
+r11 (VERDICT r10 item 6): a third, sf10 leg (100x tiling, 60M-row
+lineitem) runs ONLY the floor-bound keys q_join_agg/q_bigjoin with
+same-run DuckDB — the scale where their per-query ratio measures data,
+not session floor. Disable with SPARK_GRAFT_BENCH_SF10=0.
+
 Prints exactly ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
- "sf1": {"value": ..., "queries": {...}, "duckdb_total": ...}}
+ "sf1": {"value": ..., "queries": {...}, "duckdb_total": ...},
+ "sf10": {...same shape, q_join_agg/q_bigjoin only...}}
 """
 
 from __future__ import annotations
@@ -52,7 +58,9 @@ CACHED_TABLES = (
 )
 
 
-def run_suite(spark, sf_dir: str) -> tuple[dict, dict, list]:
+def run_suite(spark, sf_dir: str, keys=HEADLINE,
+              cached_tables=CACHED_TABLES, runs: int = 15,
+              ) -> tuple[dict, dict, list]:
     """Cache the base tables, then time each headline key: 3 warmups
     (analysis + whole-stage codegen + late AQE recompiles), then BEST
     and MEDIAN of fifteen warm executions — the prepared-query
@@ -65,30 +73,61 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict, list]:
 
     qs = q.queries()
     cached = []
-    for name in CACHED_TABLES:
+    for name in cached_tables:
         df = table(spark, sf_dir, name)
         df.cache()
         df.count()
         cached.append(df)
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in keys:
         df = qs[key](spark, sf_dir)
         df.toPandas()
         df.toPandas()
         df.toPandas()
-        runs = []
-        for _ in range(15):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df.toPandas()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        times[key] = round(runs[0], 4)
-        medians[key] = round(runs[len(runs) // 2], 4)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[key] = round(samples[0], 4)
+        medians[key] = round(samples[len(samples) // 2], 4)
     return times, medians, cached
 
 
-def duckdb_suite(sf_dir: str) -> dict[str, float]:
+def fresh_suite(spark, sf_dir: str, keys=HEADLINE,
+                runs: int = 3) -> dict[str, float]:
+    """min-of-N over FRESH DataFrames (a new plan per run): full
+    re-execution including scans, shuffles and broadcast builds.
+
+    r11 methodology note: re-running the SAME DataFrame (run_suite)
+    reuses completed shuffle map outputs — Spark skips stages whose
+    shuffle files still exist — so warm re-runs time only the stages
+    AFTER the last exchange. That is a real prepared-query behavior
+    (and the r1-r10 headline continuity metric), but it is NOT
+    data-proportional work; these fresh-plan numbers are. Planning
+    itself is ~30 ms/query (measured), so the difference is execution.
+    """
+    import bcdp_spark.queries as q
+
+    qs = q.queries()
+    out: dict[str, float] = {}
+    for key in keys:
+        qs[key](spark, sf_dir).toPandas()  # warm page cache + codegen
+        samples = []
+        for _ in range(runs):
+            df = qs[key](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.toPandas()
+            samples.append(time.perf_counter() - t0)
+        out[key] = round(min(samples), 4)
+    return out
+
+
+def duckdb_suite(sf_dir: str, keys=HEADLINE,
+                 cached_tables=CACHED_TABLES, runs: int = 15,
+                 ) -> dict[str, float]:
     """min-of-15 warm DuckDB over the same files and the registry's
     own oracle SQL — the in-run baseline for the sf1 section."""
     import duckdb
@@ -97,22 +136,22 @@ def duckdb_suite(sf_dir: str) -> dict[str, float]:
 
     os_ = q.oracle_sql()
     con = duckdb.connect()
-    for t in CACHED_TABLES:
+    for t in cached_tables:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     out: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in keys:
         sql = os_[key]
         for _ in range(3):
             con.execute(sql).fetchall()
-        runs = []
-        for _ in range(15):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            runs.append(time.perf_counter() - t0)
-        out[key] = round(min(runs), 4)
+            samples.append(time.perf_counter() - t0)
+        out[key] = round(min(samples), 4)
     return out
 
 
@@ -139,6 +178,9 @@ def main() -> None:
         "queries_median": medians,
         "sf": float(sf),
     }
+    fresh = fresh_suite(spark, sf_dir)
+    payload["fresh_plan_total"] = round(sum(fresh.values()), 4)
+    payload["queries_fresh"] = fresh
 
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         from tools.make_sf1 import ensure_sf1
@@ -147,13 +189,57 @@ def main() -> None:
         for df in cached:
             df.unpersist()
         t1, m1, _ = run_suite(spark, sf1_dir)
+        fresh1 = fresh_suite(spark, sf1_dir)
         duck = duckdb_suite(sf1_dir)
         payload["sf1"] = {
             "value": round(sum(t1.values()), 4),
             "queries": t1,
             "median_total": round(sum(m1.values()), 4),
+            "fresh_plan_total": round(sum(fresh1.values()), 4),
+            "queries_fresh": fresh1,
             "duckdb_total": round(sum(duck.values()), 4),
             "duckdb_queries": duck,
+        }
+
+    # r11 (VERDICT r10 item 6): a 100x-tiled leg for the FLOOR-BOUND
+    # queries only — q_join_agg measured 2.46x DuckDB at sf1 while its
+    # engine time FELL from sf0.1 to sf1 (session floor, not data);
+    # at sf10 (60M-row lineitem) data-proportional work dominates, so
+    # this ratio is the honest per-query gate for those keys.
+    if os.environ.get("SPARK_GRAFT_BENCH_SF10", "1") != "0":
+        from tools.make_sf1 import ensure_sf10
+
+        sf10_keys = ("q_join_agg", "q_bigjoin")
+        sf10_dir = ensure_sf10()
+        # FRESH-PLAN measurement is the headline here: at 60M rows the
+        # same-DF warm number is almost pure stage reuse (shuffle map
+        # outputs survive between runs — measured 0.04 s "warm" vs ~7 s
+        # full re-execution for q_bigjoin), which would be a fiction of
+        # data-proportional work. No table cache: a 60M-row lineitem
+        # does not fit the 8 GiB local heap, and DuckDB re-reads the
+        # same page-cached files, so fresh scans are the like-for-like
+        # comparison and keep pushdown/pruning on the measured path.
+        fresh10 = fresh_suite(spark, sf10_dir, keys=sf10_keys, runs=5)
+        t10, m10, c10 = run_suite(
+            spark, sf10_dir, keys=sf10_keys, cached_tables=(), runs=5,
+        )
+        duck10 = duckdb_suite(
+            sf10_dir, keys=sf10_keys,
+            cached_tables=(
+                "lineitem", "orders", "customer", "nation", "region",
+            ),
+            runs=7,
+        )
+        for df in c10:
+            df.unpersist()
+        payload["sf10"] = {
+            "value": round(sum(fresh10.values()), 4),
+            "queries": fresh10,
+            # stage-reuse steady state, reported for transparency only
+            "stage_reuse_total": round(sum(t10.values()), 4),
+            "stage_reuse_queries": t10,
+            "duckdb_total": round(sum(duck10.values()), 4),
+            "duckdb_queries": duck10,
         }
 
     print(json.dumps(payload))

@@ -15,6 +15,12 @@ corpus for q_dedup_docs.
 
 Output: /tmp/bcdp_spark_sf1_v1/{table}.parquet + .complete marker.
 Bench-only: correctness grading stays on the driver's own fixtures.
+
+r11 (VERDICT r10 item 6): ``ensure_sf10()`` extends the same tiling to
+100x (60M-row lineitem) for the FLOOR-BOUND queries — q_join_agg sat
+at 2.46x DuckDB at sf1 purely on the Spark session floor (its engine
+time FELL from sf0.1 to sf1); one more decade decides whether the
+ratio amortizes or is real.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ from __future__ import annotations
 import os
 
 OUT = "/tmp/bcdp_spark_sf1_v1"
+OUT10 = "/tmp/bcdp_spark_sf10_v1"
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TILES = 10
 
@@ -45,12 +52,20 @@ _STRIDE_KEY = {
 
 
 def ensure_sf1() -> str:
-    done = os.path.join(OUT, ".complete")
+    return _ensure_tiled(OUT, TILES)
+
+
+def ensure_sf10() -> str:
+    return _ensure_tiled(OUT10, 100)
+
+
+def _ensure_tiled(out: str, tiles: int) -> str:
+    done = os.path.join(out, ".complete")
     if os.path.exists(done):
-        return OUT
+        return out
     import duckdb
 
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     strides = {
         t: con.execute(
@@ -62,9 +77,9 @@ def ensure_sf1() -> str:
     for t in _COPY_THROUGH:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
-            f"TO '{OUT}/.{t}.tmp.parquet' (FORMAT parquet)"
+            f"TO '{out}/.{t}.tmp.parquet' (FORMAT parquet)"
         )
-        os.replace(f"{OUT}/.{t}.tmp.parquet", f"{OUT}/{t}.parquet")
+        os.replace(f"{out}/.{t}.tmp.parquet", f"{out}/{t}.parquet")
     for t, offs in _OFFSETS.items():
         repl = ", ".join(
             f"{col} + i.g * {strides[src]} AS {col}"
@@ -73,13 +88,13 @@ def ensure_sf1() -> str:
         con.execute(
             f"COPY (SELECT t.* REPLACE ({repl}) "
             f"FROM read_parquet('{SRC}/{t}.parquet') t, "
-            f"generate_series(0, {TILES - 1}) i(g)) "
-            f"TO '{OUT}/.{t}.tmp.parquet' (FORMAT parquet)"
+            f"generate_series(0, {tiles - 1}) i(g)) "
+            f"TO '{out}/.{t}.tmp.parquet' (FORMAT parquet)"
         )
-        os.replace(f"{OUT}/.{t}.tmp.parquet", f"{OUT}/{t}.parquet")
+        os.replace(f"{out}/.{t}.tmp.parquet", f"{out}/{t}.parquet")
     with open(done, "w") as fh:
         fh.write("ok")
-    return OUT
+    return out
 
 
 if __name__ == "__main__":
