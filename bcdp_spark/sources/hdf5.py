@@ -386,11 +386,12 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
                 moff = int.from_bytes(body[pos : pos + nb], "little")
                 pos += nb
             sub, used = _parse_datatype_sized(body[pos:])
-            if sub.cls not in (0, 1, 3, 6, 10):
+            if sub.cls not in (0, 1, 3, 6, 7, 10):
                 raise NotImplementedError(
                     f"HDF5 compound member {mname!r} of class {sub.cls}"
-                    " (fixed-point/float/string/nested-compound/array"
-                    " members only — vlen/reference members raise)"
+                    " (fixed-point/float/string/nested-compound/array/"
+                    "object-reference members only — vlen members"
+                    " raise)"
                 )
             pos += used
             members.append((mname, moff, sub))
@@ -1476,8 +1477,10 @@ def _vlen_str_dt_body() -> bytes:
     )
 
 
-def _dt_body(arr_dtype: np.dtype) -> bytes:
-    """Datatype message body for a little-endian numpy dtype."""
+def _dt_body(arr_dtype: np.dtype, ref_members: set | None = None) -> bytes:
+    """Datatype message body for a little-endian numpy dtype.
+    ``ref_members`` names compound members (u8 fields holding object
+    header addresses) to emit as class-7 OBJECT REFERENCES (r11)."""
     dt = np.dtype(arr_dtype)
     if dt.kind == "f":
         if dt.itemsize == 8:
@@ -1517,11 +1520,19 @@ def _dt_body(arr_dtype: np.dtype) -> bytes:
             fdt, off = dt.fields[n][0], dt.fields[n][1]
             nameb = n.encode("utf-8") + b"\x00"
             nameb += b"\x00" * (-len(nameb) % 8)
+            if ref_members and n in ref_members:
+                if np.dtype(fdt) != np.dtype("<u8"):
+                    raise ValueError(
+                        f"ref member {n!r} must be a <u8 address field"
+                    )
+                mbody = struct.pack("<BBBBI", 0x17, 0x00, 0x00, 0, 8)
+            else:
+                mbody = _dt_body(fdt)
             body += (
                 nameb
                 + struct.pack("<I", off)
                 + b"\x00" * 28
-                + _dt_body(fdt)
+                + mbody
             )
         head = struct.pack(
             "<BBBBI", 0x16, nmem & 0xFF, (nmem >> 8) & 0xFF, 0,
@@ -1887,6 +1898,7 @@ def write_hdf5(
     timed: bool = False,
     fill: dict[str, object] | None = None,
     szip: dict[str, tuple] | None = None,
+    ref_members: dict[str, dict[str, list]] | None = None,
 ) -> bytes:
     """Serialize ``{name: (dims, array, attrs)}`` into HDF5 bytes.
 
@@ -1922,6 +1934,28 @@ def write_hdf5(
     deferred: list = []
     for name, (dims, arr, vattrs) in variables.items():
         arr = np.ascontiguousarray(arr)
+        if ref_members and name in ref_members:
+            # compound OBJECT-REFERENCE members (r11): the caller names
+            # targets per member; resolve to header addresses (targets
+            # must be listed earlier — one-pass allocation, like
+            # H5ObjRef datasets). The struct field must be <u8.
+            arr = arr.copy()
+            for mem, targets in ref_members[name].items():
+                vals = []
+                for t in np.asarray(targets, dtype=object).reshape(-1):
+                    if t is None:
+                        vals.append(0)
+                    elif t in var_hdr_addr:
+                        vals.append(var_hdr_addr[t])
+                    else:
+                        raise ValueError(
+                            f"object reference target {t!r} must be a"
+                            " variable listed BEFORE the referencing"
+                            " dataset"
+                        )
+                arr[mem] = np.array(vals, dtype="<u8").reshape(
+                    arr[mem].shape
+                )
         if arr.dtype.kind == "f" and arr.dtype.itemsize not in (4, 8):
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
@@ -2025,7 +2059,10 @@ def write_hdf5(
             # class 7 v1, reference type 0 (object), 8-byte size
             dt_msg = struct.pack("<BBBBI", 0x17, 0x00, 0x00, 0, 8)
         else:
-            dt_msg = _dt_body(arr.dtype)
+            dt_msg = _dt_body(
+                arr.dtype,
+                ref_members=set((ref_members or {}).get(name, {})),
+            )
         msgs: list[tuple[int, bytes]] = [
             (0x01, _ds_body(arr.shape, maxshape.get(name))),
             (0x03, dt_msg),
@@ -2408,6 +2445,11 @@ def load_hdf5_table(spark, path, var: str | None = None,
         names = [f[0] for f in flat]
     fields = []
     for cname, _path, sub in flat:
+        if sub.cls == 7:
+            # object-reference member (r11) → string column (the
+            # referenced object's path; NULL refs -> '')
+            fields.append(f"`{cname}` string")
+            continue
         eff = sub.base if sub.cls == 10 else sub
         key = (
             "f" if eff.cls == 1 else ("i" if eff.signed else "u")
@@ -2443,10 +2485,15 @@ def load_hdf5_table(spark, path, var: str | None = None,
                     for part in path:
                         v = v[part]
                     # array members: nested Python lists (rank-deep)
-                    # so Arrow ingests rank>=2 members as nested lists
-                    cols[cname] = (
-                        [x.tolist() for x in v] if sub.cls == 10 else v
-                    )
+                    # so Arrow ingests rank>=2 members as nested lists;
+                    # reference members resolve through the file's
+                    # walk-time address map
+                    if sub.cls == 7:
+                        cols[cname] = h5._ref_decode(np.ascontiguousarray(v))
+                    elif sub.cls == 10:
+                        cols[cname] = [x.tolist() for x in v]
+                    else:
+                        cols[cname] = v
                 yield _pd.DataFrame(cols)
 
     return manifest.mapInPandas(decode, schema=schema)

@@ -1226,3 +1226,59 @@ def test_load_hdf5_vars_objref_column(spark, tmp_path):
         ("" if k % 5 == 3 else f"stn_{k % 2}", 0.5 * k) for k in range(n)
     )
     assert rows == want
+
+
+def test_compound_object_reference_member(spark, tmp_path):
+    """r11 follow-on: class-7 members INSIDE compounds (obs records
+    carrying their station reference inline — the DSG record shape)
+    decode as string path columns in load_hdf5_table; the writer
+    resolves ``ref_members`` target names to header addresses."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_table, read_hdf5
+
+    dt = np.dtype(
+        {"names": ["k", "station", "val"],
+         "formats": ["<i4", "<u8", "<f8"],
+         "offsets": [0, 4, 12], "itemsize": 20}
+    )
+    n = 8
+    obs = np.zeros(n, dtype=dt)
+    obs["k"] = np.arange(n)
+    obs["val"] = 0.5 * np.arange(n)
+    targets = [None if k % 5 == 3 else f"stn_{k % 2}" for k in range(n)]
+    raw = write_hdf5(
+        {
+            "stn_0": (["c"], np.array([1.0]), {}),
+            "stn_1": (["c"], np.array([2.0]), {}),
+            "obs": (["row"], obs, {}),
+        },
+        ref_members={"obs": {"station": targets}},
+        chunk={"obs": (3,)}, gzip_level=4,
+    )
+    f = read_hdf5(raw)
+    assert f.datasets["obs"].dtype.members[1][2].cls == 7
+    (tmp_path / "o.h5").write_bytes(raw)
+    df = load_hdf5_table(spark, str(tmp_path / "*.h5"))
+    assert dict(df.dtypes)["station"] == "string"
+    rows = sorted((r["k"], r["station"], r["val"]) for r in df.collect())
+    want = sorted(
+        (k, "" if k % 5 == 3 else f"stn_{k % 2}", 0.5 * k)
+        for k in range(n)
+    )
+    assert rows == want
+    # forward targets still raise
+    with pytest.raises(ValueError, match="listed BEFORE"):
+        write_hdf5(
+            {"obs": (["row"], obs, {}),
+             "stn_9": (["c"], np.array([1.0]), {})},
+            ref_members={"obs": {"station": ["stn_9"] * n}},
+            gzip_level=None,
+        )
+    # non-u8 address fields are rejected at write time
+    bad_dt = np.dtype({"names": ["s"], "formats": ["<u4"],
+                       "offsets": [0], "itemsize": 4})
+    with pytest.raises(ValueError, match="u8 address field"):
+        write_hdf5(
+            {"t": (["c"], np.array([1.0]), {}),
+             "o": (["row"], np.zeros(1, dtype=bad_dt), {})},
+            ref_members={"o": {"s": ["t"]}}, gzip_level=None,
+        )

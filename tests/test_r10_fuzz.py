@@ -221,7 +221,10 @@ def test_fuzz_sigv4_vs_botocore():
     botocore = pytest.importorskip("botocore")
     import urllib.request
 
-    from botocore.auth import SigV4Auth
+    # S3SigV4Auth, not base SigV4Auth (r11, ADVICE r10): the S3 auth
+    # class signs the wire path VERBATIM — the behavior our
+    # service='s3' signer reproduces; the base class re-encodes
+    from botocore.auth import S3SigV4Auth
     from botocore.awsrequest import AWSRequest
     from botocore.credentials import Credentials
 
@@ -251,7 +254,7 @@ def test_fuzz_sigv4_vs_botocore():
                      "x-amz-content-sha256":
                          hashlib.sha256(b"").hexdigest()},
         )
-        SigV4Auth(Credentials("AK", "SK"), "s3", region).add_auth(aws)
+        S3SigV4Auth(Credentials("AK", "SK"), "s3", region).add_auth(aws)
         t = dt.datetime.strptime(
             aws.headers["x-amz-date"], "%Y%m%dT%H%M%SZ"
         ).replace(tzinfo=dt.timezone.utc)
