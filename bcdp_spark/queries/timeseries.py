@@ -29,6 +29,10 @@ from bcdp_spark.queries._helpers import (
     dsum,
     dsum_sql,
     hour_epoch,
+    mavg,
+    mavg_sql,
+    msum,
+    msum_sql,
     utc,
 )
 from bcdp_spark.tables import table
@@ -95,8 +99,8 @@ def q_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
        event_type,
        COUNT(*) AS n,
-       {davg_sql('value', 'avg_value')},
-       {dsum_sql('value', 'sum_value')}
+       {mavg_sql('value', 'avg_value')},
+       {msum_sql('value', 'sum_value')}
 FROM events
 GROUP BY 1, 2
 """,
@@ -108,8 +112,10 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour_epoch(F.col("ts")).alias("hour_s"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        davg(F.col("value"), "avg_value"),
-        dsum(F.col("value"), "sum_value"),
+        # events.value sits on the money grid (verified 4dp-exact on
+        # the fixtures) — fixed-point routing, r11 (BASELINE.md)
+        mavg(F.col("value"), "avg_value"),
+        msum(F.col("value"), "sum_value"),
     )
 
 

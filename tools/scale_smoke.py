@@ -1133,6 +1133,17 @@ def main():
             "  per-pair rerank amortizes (see the call-site note on the",
             "  deliberate interpreted-projection fallback, r10-measured",
             "  fastest of three rerank forms).",
+            "- **simhash_multi_index** (r11): the combination index",
+            "  explodes a CONSTANT 91 tables per row; the join cost rides",
+            "  bucket occupancy (n/2^9.1 per key), which grows linearly",
+            "  in rows and is bucket_cap-bounded on the all-dup synthetic",
+            "  exactly like the single pigeonhole; the residual ~4x at",
+            "  10x rows is genuine candidate-pair output density.",
+            "- **hdf5_matrix_compound / hdf5_nested_compound** (r11/r10):",
+            "  row count scales 10x in ONE file — chunk count grows 10x",
+            "  but stays one decode task stream; the ~3-4x ratio is",
+            "  decode throughput plus the nested-fold agg, both linear;",
+            "  a real archive splits rows across files and parallelizes.",
             "- **bigjoin_agg**: shuffle bytes scale with rows on fixed",
             "  cores; ~0.5x of linear is the partial-agg savings.",
             "- **window_topk / window_topk_orders**: the plan is the right",
