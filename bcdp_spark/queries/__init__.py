@@ -90,8 +90,9 @@ def _load() -> None:
 # window is exactly (a) q_knn_join_ivf at the HEAD — the ONLY
 # oracle-backed key with zero hash-green driver rows (its exact-config
 # nprobe=n_cells oracle landed in r10 but missed that window; grading
-# it makes cumulative oracle coverage 246/246), (b) the two r11 keys
-# (HDF5 object references + rank-2 matrix members), (c) the three r5
+# it closes the cumulative ledger — every oracle key hash-green in
+# some round), (b) the three r11 keys (HDF5 object references, rank-2
+# matrix members, vlen-of-vlen), (c) the three r5
 # leftovers named at the r10 boundary, then (d) the r6 cohort's 44
 # hash-checked keys — its oldest driver evidence. The r6 cohort's five
 # rows-only keys (q_approx_distinct, q_compress_ratio, q_hll_rollup,
@@ -103,8 +104,9 @@ _PRIORITY = (
     # (a) the one never-hash-graded oracle key (VERDICT r10 item 1)
     "q_knn_join_ivf",
     # (b) new in round 11: class-7 object references (DSG index
-    # variables) + rank-2 array members in compounds
-    "q_hdf5_refs", "q_hdf5_compound_matrix",
+    # variables), rank-2 array members in compounds, and vlen-of-vlen
+    # nested ragged sequences
+    "q_hdf5_refs", "q_hdf5_compound_matrix", "q_hdf5_vlen_nested",
     # (c) r5 leftovers promised at the r10 boundary
     "q_waiting_suppliers", "q_upsert", "q_windowed_dedup",
     # (d) the r6 cohort (oldest hash-checked driver evidence), minus
@@ -123,11 +125,11 @@ _PRIORITY = (
     "q_snapshot_diff", "q_stratified_sample", "q_token_budget_select",
     "q_user_lifetime", "q_vec_quantize", "q_volume_shipping",
     "q_weighted_avg", "q_yoy_growth", "q_zarr_zstd",
-    "q_zscore_outliers",
-    # --- 50-key window boundary (1 + 2 + 3 + 44 = 50) ---
-    # (e) everything else (r7+ driver-green) follows in registry dict
-    # order via _ordered()'s fall-through; the r7 cohort regrades in
-    # r12.
+    # --- 50-key window boundary (1 + 3 + 3 + 43 = 50) ---
+    # (e) everything else follows in registry dict order via
+    # _ordered()'s fall-through; q_zscore_outliers (r6) yielded its
+    # slot to the third new r11 key and regrades first in r12 with
+    # the r7 cohort.
 )
 
 

@@ -1129,3 +1129,106 @@ def q_hdf5_compound_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(mat_sum, "sum_cov"),
         dsum(F.expr("cov[1][2]"), "sum_c12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r11, beyond the VERDICT list) — vlen-of-VLEN (nested ragged):
+# class-9 sequences whose base is itself a class-9 sequence — each row
+# owns a variable number of variable-length profiles (e.g. casts of
+# readings per station visit). One nesting level decodes end-to-end;
+# deeper nesting stays a loud seam.
+# ---------------------------------------------------------------------------
+_FIXNRAG_DIR = "/tmp/bcdp_spark_h5nested_ragged_fixture_v1"
+_NRAG_N = 40
+
+
+def _ensure_fixture_nested_ragged() -> str:
+    """Two files: i4 `visit` + vlen-of-vlen f8 `casts` (row k has k%3
+    casts; cast j has j+1 readings, reading t = 0.25*(k*10+t)); one
+    contiguous, one chunked+deflate."""
+    import numpy as np
+
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXNRAG_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXNRAG_DIR
+    os.makedirs(_FIXNRAG_DIR, exist_ok=True)
+    for f in range(2):
+        ks = np.arange(f * _NRAG_N, (f + 1) * _NRAG_N)
+        rows = np.empty(_NRAG_N, dtype=object)
+        for i, k in enumerate(ks):
+            rows[i] = [
+                0.25 * (k * 10 + np.arange(j + 1, dtype="<f8"))
+                for j in range(int(k % 3))
+            ]
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {"chunk": {"visit": (16,), "casts": (16,)},
+                  "gzip_level": 4}
+        )
+        raw = write_hdf5(
+            {
+                "visit": (["p"], ks.astype("<i4"), {}),
+                "casts": (["p"], rows, {}),
+            },
+            **kw,
+        )
+        with open(os.path.join(_FIXNRAG_DIR, f"v_{f}.h5"), "wb") as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXNRAG_DIR
+
+
+@register(
+    "q_hdf5_vlen_nested",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g * {_NRAG_N} + i.g AS k
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_NRAG_N - 1}) i(g)
+),
+shaped AS (
+  SELECT k, k % 3 AS n_casts,
+         (k % 3) * ((k % 3) + 1) // 2 AS n_readings,
+         CASE k % 3 WHEN 2 THEN 1 ELSE 0 END AS tsum
+  FROM rows
+)
+SELECT CAST(n_casts AS INT) AS n_casts,
+       CAST(COUNT(*) AS BIGINT) AS n_visits,
+       CAST(SUM(n_readings) AS BIGINT) AS n_readings,
+       {dsum_sql('0.25 * (10 * k * n_readings + tsum)', 'sum_readings')}
+FROM shaped GROUP BY 1
+""",
+)
+def q_hdf5_vlen_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 vlen-of-vlen (r11): nested ragged sequences decode to
+    array<array<double>> columns (two-level global-heap resolve —
+    outer objects hold inner references); per-visit cast counts,
+    nested element counts and a two-level JVM fold (0.25 steps, exact
+    in binary) aggregate per cast count. Contiguous + chunked/deflate
+    files. ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_vars
+
+    utc(spark)
+    fix = _ensure_fixture_nested_ragged()
+    df = load_hdf5_vars(
+        spark, os.path.join(fix, "*.h5"), ["visit", "casts"]
+    )
+    per = df.select(
+        F.size("casts").cast("int").alias("n_casts"),
+        F.expr(
+            "aggregate(casts, 0, (a, x) -> a + size(x))"
+        ).cast("long").alias("__n"),
+        F.expr(
+            "aggregate(casts, cast(0.0 as double), (a, x) ->"
+            " a + aggregate(x, cast(0.0 as double), (b, y) -> b + y))"
+        ).alias("__s"),
+    )
+    return per.groupBy("n_casts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum("__n").cast("long").alias("n_readings"),
+        dsum(F.col("__s"), "sum_readings"),
+    )

@@ -316,12 +316,21 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
         if vtype == 0:  # vlen SEQUENCE (r10): the ragged-array layout
             # NetCDF-4 vlen variables / DSG ragged obs use — each
             # element is a 16-byte global-heap reference whose object
-            # holds `length` base-type values
+            # holds `length` base-type values. r11: ONE level of
+            # nesting (vlen-of-vlen — each outer object holds inner
+            # 16-byte references) decodes too; deeper nesting raises.
             base, used = _parse_datatype_sized(body[8:])
-            if base.cls not in (0, 1):
+            if base.cls == 9 and not base.vlen_string:
+                if base.base is None or base.base.cls not in (0, 1):
+                    raise NotImplementedError(
+                        "HDF5 vlen-of-vlen deeper than one level (or "
+                        "with a non-numeric innermost base)"
+                    )
+            elif base.cls not in (0, 1):
                 raise NotImplementedError(
                     f"HDF5 vlen sequence of class-{base.cls} base "
-                    "(fixed-point/float bases only)"
+                    "(fixed-point/float bases, or one nested vlen "
+                    "level, only)"
                 )
             return _DType(cls=9, size=size, base=base), 8 + used
         raise NotImplementedError(
@@ -800,6 +809,29 @@ class H5File:
             ).copy()
         return out.reshape(arr.shape)
 
+    def _vlen_nested_decode(
+        self, arr: np.ndarray, base: np.dtype
+    ) -> np.ndarray:
+        """vlen-of-vlen (r11): each outer 16-byte reference's object
+        holds `length` INNER 16-byte references; decode to an object
+        array of lists of 1-D numpy arrays. NULL refs decode empty at
+        either level."""
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape[0], dtype=object)
+        null = b"\x00" * 16
+        for i in range(flat.shape[0]):
+            b = flat[i].tobytes()
+            if b == null:
+                out[i] = []
+                continue
+            n, addr, idx = struct.unpack("<IQI", b)
+            obj = self._gheap_collection(addr).get(idx)
+            if obj is None:
+                raise ValueError(f"global heap object {idx} not found")
+            inner_refs = np.frombuffer(obj[: n * 16], dtype=_V16)
+            out[i] = list(self._vlen_seq_decode(inner_refs, base))
+        return out.reshape(arr.shape)
+
     def _vlen_decode(self, arr: np.ndarray) -> np.ndarray:
         """16-byte vlen references (length:4, GCOL address:8, object
         index:4) → object array of str. A NULL reference (all-zero — an
@@ -995,6 +1027,10 @@ class H5File:
             raw = self._read_slab(ds, sel, _V16)
             if ds.dtype.vlen_string:
                 return self._vlen_decode(raw)
+            if ds.dtype.base.cls == 9:  # vlen-of-vlen (r11)
+                return self._vlen_nested_decode(
+                    raw, ds.dtype.base.base.np_dtype
+                )
             return self._vlen_seq_decode(raw, ds.dtype.base.np_dtype)
         if ds.dtype.cls == 7:
             # object references (r11): the layout machinery reads the
@@ -1960,7 +1996,7 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        vlen_str = vlen_seq = objref = False
+        vlen_str = vlen_seq = vlen_nested = objref = False
         vlen_base = None
         if arr.dtype.kind == "U":
             vlen_str = True
@@ -1968,6 +2004,11 @@ def write_hdf5(
             flat0 = arr.reshape(-1)
             if flat0.size and isinstance(flat0[0], H5ObjRef):
                 objref = True  # object references (r11)
+            elif flat0.size and any(
+                isinstance(x, list) for x in flat0
+            ):
+                vlen_nested = True  # vlen-of-vlen (r11): list rows of
+                # 1-D numpy arrays — one nesting level
             elif flat0.size and not isinstance(flat0[0], str):
                 vlen_seq = True  # ragged numeric sequences (r10)
             else:
@@ -1995,6 +2036,50 @@ def write_hdf5(
                         " dataset"
                     )
             arr = np.array(addrs, dtype="<u8").reshape(arr.shape)
+        if vlen_nested:
+            # two global heap collections: INNER numeric sequences
+            # first (address known before anything references it),
+            # then OUTER objects holding the inner 16-byte refs; the
+            # dataset stores refs into the outer collection. Length
+            # fields count ELEMENTS at both levels (inner refs for
+            # outer objects, base values for inner objects).
+            rows = [
+                [np.ascontiguousarray(a) for a in (x or [])]
+                for x in arr.reshape(-1)
+            ]
+            inner_all = [a for row in rows for a in row]
+            vlen_base = np.result_type(
+                *(a.dtype for a in inner_all)
+            ) if inner_all else np.dtype("<f8")
+            if vlen_base.byteorder == ">":
+                vlen_base = vlen_base.newbyteorder("<")
+            if vlen_base.kind not in "iuf":
+                raise NotImplementedError(
+                    f"vlen-of-vlen innermost dtype {vlen_base} "
+                    "(numeric bases only)"
+                )
+            inner_enc = [
+                a.astype(vlen_base, copy=False).tobytes()
+                for a in inner_all
+            ]
+            gaddr_in = alloc.put(_gcol_blob(inner_enc))
+            outer_enc = []
+            j = 1
+            for row in rows:
+                buf = bytearray()
+                for a in row:
+                    buf += struct.pack("<IQI", a.size, gaddr_in, j)
+                    j += 1
+                outer_enc.append(bytes(buf))
+            gaddr = alloc.put(_gcol_blob(outer_enc))
+            refbuf = bytearray()
+            for k, row in enumerate(rows, start=1):
+                refbuf += struct.pack("<IQI", len(row), gaddr, k)
+            arr = (
+                np.frombuffer(bytes(refbuf), dtype="V16")
+                .reshape(arr.shape)
+                .copy()
+            )
         if vlen_str or vlen_seq:
             # vlen variable (string or ragged sequence): payload bytes
             # land in ONE global heap collection (allocated first so
@@ -2055,6 +2140,12 @@ def write_hdf5(
             dt_msg = struct.pack(
                 "<BBBBI", 0x19, 0x00, 0x00, 0, 16
             ) + _dt_body(vlen_base)
+        elif vlen_nested:
+            dt_msg = (
+                struct.pack("<BBBBI", 0x19, 0x00, 0x00, 0, 16)
+                + struct.pack("<BBBBI", 0x19, 0x00, 0x00, 0, 16)
+                + _dt_body(vlen_base)
+            )
         elif objref:
             # class 7 v1, reference type 0 (object), 8-byte size
             dt_msg = struct.pack("<BBBBI", 0x17, 0x00, 0x00, 0, 8)
@@ -2549,7 +2640,11 @@ def load_hdf5_vars(spark, path, names: list[str]):
         if dt.vlen_string or dt.cls == 3 or dt.cls == 7:
             fields.append(f"{n} string")
             continue
-        eff = dt.base if dt.cls == 9 else dt  # vlen seq → array<T>
+        depth = 0
+        eff = dt
+        while eff.cls == 9:  # vlen seq → array<T>; nested → array<array<T>>
+            eff = eff.base
+            depth += 1
         key = (
             "f" if eff.cls == 1 else ("i" if eff.signed else "u")
         ) + str(eff.size)
@@ -2559,10 +2654,10 @@ def load_hdf5_vars(spark, path, names: list[str]):
                 "column type (fixed-point/float/string/vlen-sequence "
                 "datasets only)"
             )
-        if dt.cls == 9:
-            fields.append(f"{n} array<{_SPARK_T[key]}>")
-        else:
-            fields.append(f"{n} {_SPARK_T[key]}")
+        styp = _SPARK_T[key]
+        for _ in range(depth):
+            styp = f"array<{styp}>"
+        fields.append(f"{n} {styp}")
     schema = ", ".join(fields)
 
     manifest = spark.createDataFrame(

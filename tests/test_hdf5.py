@@ -1282,3 +1282,52 @@ def test_compound_object_reference_member(spark, tmp_path):
              "o": (["row"], np.zeros(1, dtype=bad_dt), {})},
             ref_members={"o": {"s": ["t"]}}, gzip_level=None,
         )
+
+
+@pytest.mark.parametrize(
+    "kw", [{"gzip_level": None},
+           {"chunk": {"d": (3,)}, "gzip_level": 4}]
+)
+def test_vlen_of_vlen_roundtrip(kw):
+    """r11: one level of nested ragged sequences (vlen-of-vlen)
+    roundtrips — outer GCOL objects hold inner references; NULL/empty
+    at either level decode empty."""
+    n = 7
+    rows = np.empty(n, dtype=object)
+    for k in range(n):
+        rows[k] = [
+            0.25 * (k * 10 + np.arange(j + k % 2, dtype="<f8"))
+            for j in range(k % 4)
+        ]
+    raw = write_hdf5({"d": (["p"], rows, {})}, **kw)
+    f = read_hdf5(raw)
+    dt = f.datasets["d"].dtype
+    assert dt.cls == 9 and dt.base.cls == 9 and dt.base.base.cls == 1
+    back = f.read("d")
+    for k in range(n):
+        assert len(back[k]) == len(rows[k])
+        assert all(
+            np.array_equal(a, b) for a, b in zip(back[k], rows[k])
+        )
+    # hyperslab restriction
+    part = f.read("d", (slice(2, 5),))
+    assert len(part) == 3 and len(part[1]) == 3 % 4
+
+
+def test_vlen_of_vlen_seams():
+    """Deeper nesting and non-numeric innermost bases raise loudly at
+    parse time."""
+    import struct as _st
+
+    from bcdp_spark.sources.hdf5 import _parse_datatype
+
+    # vlen( vlen( vlen( f8 ) ) ): three levels
+    f8 = bytes([0x11, 0x20, 63, 0]) + _st.pack("<I", 8) + _st.pack(
+        "<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023
+    )
+    lvl1 = bytes([0x19, 0x00, 0, 0]) + _st.pack("<I", 16) + f8
+    lvl2 = bytes([0x19, 0x00, 0, 0]) + _st.pack("<I", 16) + lvl1
+    lvl3 = bytes([0x19, 0x00, 0, 0]) + _st.pack("<I", 16) + lvl2
+    assert _parse_datatype(lvl2).base.cls == 9  # one nesting level OK
+    with pytest.raises(NotImplementedError, match="deeper than one"):
+        _parse_datatype(lvl3)

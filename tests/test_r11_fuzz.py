@@ -122,3 +122,35 @@ def test_fuzz_multi_index_vs_brute_force(spark, seed):
         if bin(allh[i] ^ allh[j]).count("1") <= h
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_vlen_of_vlen_roundtrip(seed):
+    """Random nested ragged shapes (row/cast/reading counts, empty
+    rows and empty casts, both layouts): the two-level GCOL resolve
+    must reproduce the writer's input exactly."""
+    from bcdp_spark.sources.hdf5 import H5File, write_hdf5
+
+    rng = np.random.default_rng(5000 + seed)
+    n = int(rng.integers(1, 40))
+    base = str(rng.choice(np.array(["<f8", "<f4", "<i4"])))
+    rows = np.empty(n, dtype=object)
+    for k in range(n):
+        rows[k] = [
+            (rng.integers(-999, 999, int(rng.integers(0, 6)))
+             .astype(base))
+            for _ in range(int(rng.integers(0, 4)))
+        ]
+    kw = (
+        {"gzip_level": None}
+        if rng.integers(0, 2) == 0
+        else {"chunk": {"d": (int(rng.integers(1, n + 1)),)},
+              "gzip_level": int(rng.integers(1, 9))}
+    )
+    h5 = H5File(write_hdf5({"d": (["p"], rows, {})}, **kw))
+    back = h5.read("d")
+    for k in range(n):
+        assert len(back[k]) == len(rows[k])
+        assert all(
+            np.array_equal(a, b) for a, b in zip(back[k], rows[k])
+        )
