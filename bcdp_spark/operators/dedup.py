@@ -567,6 +567,16 @@ def hamming_multi_index_pairs(
             f"blocks={blocks}: 64-bit blocks below ~3 bits are "
             "structurally degenerate"
         )
+    from math import comb
+
+    n_tables = comb(blocks, m)
+    if n_tables > 1000:
+        raise ValueError(
+            f"C({blocks}, {m}) = {n_tables} combination tables — the "
+            "per-row explode would dwarf any join saving (the cost "
+            "model in the docstring tops out near C(15,3)=455); pick "
+            "fewer blocks or a smaller radius"
+        )
     base, rem = divmod(64, blocks)
     widths = [base + (1 if c < rem else 0) for c in range(blocks)]
     starts = [sum(widths[:c]) for c in range(blocks)]

@@ -2005,10 +2005,19 @@ def write_hdf5(
             if flat0.size and isinstance(flat0[0], H5ObjRef):
                 objref = True  # object references (r11)
             elif flat0.size and any(
-                isinstance(x, list) for x in flat0
+                isinstance(x, (list, np.ndarray))
+                and len(x)
+                and isinstance(
+                    x[0] if isinstance(x, list) else x.flat[0],
+                    (list, np.ndarray),
+                )
+                for x in flat0
             ):
-                vlen_nested = True  # vlen-of-vlen (r11): list rows of
-                # 1-D numpy arrays — one nesting level
+                # vlen-of-vlen (r11): nested ONLY when some row's
+                # ELEMENTS are themselves sequences — rows that are
+                # plain lists of scalars stay on the flat ragged path
+                # (the r10 behavior; review fix)
+                vlen_nested = True
             elif flat0.size and not isinstance(flat0[0], str):
                 vlen_seq = True  # ragged numeric sequences (r10)
             else:
@@ -2044,7 +2053,9 @@ def write_hdf5(
             # fields count ELEMENTS at both levels (inner refs for
             # outer objects, base values for inner objects).
             rows = [
-                [np.ascontiguousarray(a) for a in (x or [])]
+                [np.ascontiguousarray(a) for a in x]
+                if x is not None and len(x)
+                else []
                 for x in arr.reshape(-1)
             ]
             inner_all = [a for row in rows for a in row]

@@ -108,6 +108,13 @@ def fresh_suite(spark, sf_dir: str, keys=HEADLINE,
     (and the r1-r10 headline continuity metric), but it is NOT
     data-proportional work; these fresh-plan numbers are. Planning
     itself is ~30 ms/query (measured), so the difference is execution.
+
+    CALLER CONTRACT (review fix, r11): unpersist any cached base
+    tables BEFORE calling — Spark's CacheManager substitutes a live
+    InMemoryRelation into logically-identical NEW plans, which would
+    quietly turn "full re-execution including scans" into RAM scans
+    while DuckDB reads parquet. main() unpersists each leg's cache
+    before its fresh pass.
     """
     import bcdp_spark.queries as q
 
@@ -165,6 +172,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     times, medians, cached = run_suite(spark, sf_dir)
+    for df in cached:
+        df.unpersist()  # fresh_suite must scan parquet (see its doc)
     total = round(sum(times.values()), 4)
     payload = {
         "metric": "headline_warm_total",
@@ -186,9 +195,9 @@ def main() -> None:
         from tools.make_sf1 import ensure_sf1
 
         sf1_dir = ensure_sf1()
-        for df in cached:
-            df.unpersist()
-        t1, m1, _ = run_suite(spark, sf1_dir)
+        t1, m1, c1 = run_suite(spark, sf1_dir)
+        for df in c1:
+            df.unpersist()  # before fresh AND before the sf10 leg
         fresh1 = fresh_suite(spark, sf1_dir)
         duck = duckdb_suite(sf1_dir)
         payload["sf1"] = {

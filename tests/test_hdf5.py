@@ -1331,3 +1331,35 @@ def test_vlen_of_vlen_seams():
     assert _parse_datatype(lvl2).base.cls == 9  # one nesting level OK
     with pytest.raises(NotImplementedError, match="deeper than one"):
         _parse_datatype(lvl3)
+
+
+def test_vlen_flat_list_rows_stay_flat():
+    """Review fix (r11): rows that are plain Python lists of SCALARS
+    were valid flat-ragged input in r10 — the nested detector must not
+    reroute them to vlen-of-vlen, and mixed ndarray/list rows write
+    flat too."""
+    rows = np.array([[1.0, 2.0], [3.0], []], dtype=object)
+    f = read_hdf5(write_hdf5({"d": (["p"], rows, {})}, gzip_level=None))
+    dt = f.datasets["d"].dtype
+    assert dt.cls == 9 and dt.base.cls == 1  # flat, NOT nested
+    back = f.read("d")
+    assert list(back[0]) == [1.0, 2.0] and len(back[2]) == 0
+    mixed = np.empty(2, dtype=object)
+    mixed[0] = np.array([1.0, 2.0])
+    mixed[1] = [3.0, 4.0]
+    f2 = read_hdf5(write_hdf5({"d": (["p"], mixed, {})}, gzip_level=None))
+    assert f2.datasets["d"].dtype.base.cls == 1
+    assert list(f2.read("d")[1]) == [3.0, 4.0]
+
+
+def test_multi_index_table_count_guard(spark):
+    """Review fix (r11): legal-looking (radius, blocks) pairs with an
+    astronomic C(blocks, m) must raise, not build a 350k-element
+    explode."""
+    from bcdp_spark.operators.dedup import hamming_multi_index_pairs
+
+    df = spark.createDataFrame([(1, 0)], "vid long, h long")
+    with pytest.raises(ValueError, match="combination tables"):
+        hamming_multi_index_pairs(
+            df, "h", "vid", max_hamming=10, blocks=21
+        )

@@ -1,0 +1,42 @@
+"""Guard for the r11 fixed-point routing (BASELINE.md methodology
+note): msum/mavg are exact ONLY for money-grid expressions — values
+within half an ulp-of-10^-4 of a 4-decimal-place grid point. The
+routed keys rely on that being true of the FIXTURE COLUMNS, which is
+an empirical property of the data, not the schema; if a future
+fixture generation ships off-grid values, this fails LOUDLY instead
+of both engines silently agreeing on a rounded answer (review fix)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+# every raw column any msum/mavg-routed key aggregates
+_GRID_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "events": ["value"],
+}
+_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf", _SFS)
+@pytest.mark.parametrize("table", sorted(_GRID_COLS))
+def test_msum_columns_sit_on_the_money_grid(sf, table):
+    pdf = pd.read_parquet(
+        f"{sf}/{table}.parquet", columns=_GRID_COLS[table]
+    )
+    for col in _GRID_COLS[table]:
+        v = pdf[col].to_numpy(dtype="float64")
+        v = v[np.isfinite(v)]
+        scaled = v * 10_000
+        off = np.abs(scaled - np.rint(scaled))
+        assert off.max() < 1e-6, (
+            f"{table}.{col} at {sf} is NOT 4dp-grid-exact "
+            f"(max off-grid distance {off.max():.3g}) — the msum "
+            "fixed-point routing for keys aggregating this column is "
+            "no longer exact; route those keys back through dsum or "
+            "re-verify the grid (BASELINE.md r11 methodology note)"
+        )

@@ -79,7 +79,17 @@ if shard_spec:
     import zlib
 
     si, sn = (int(x) for x in shard_spec.split("/"))
+    if not (sn > 0 and 0 <= si < sn):
+        raise SystemExit(
+            f"REPLICA_SHARD={shard_spec!r}: shard index must satisfy "
+            "0 <= i < n (0-indexed) — refusing a vacuously-green rung"
+        )
     shard_keys = {k for k in qs if zlib.crc32(k.encode()) % sn == si}
+    if not shard_keys:
+        raise SystemExit(
+            f"REPLICA_SHARD={shard_spec!r} selected zero keys — "
+            "refusing a vacuously-green rung"
+        )
     print(
         f"REPLICA_SHARD {shard_spec}: running {len(shard_keys)} of "
         f"{len(qs)} keys (deterministic crc32 partition)"
