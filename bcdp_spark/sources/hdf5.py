@@ -326,11 +326,13 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
                         "HDF5 vlen-of-vlen deeper than one level (or "
                         "with a non-numeric innermost base)"
                     )
-            elif base.cls not in (0, 1):
+            elif base.cls not in (0, 1, 7):
+                # class-7 base (r11): vlen of OBJECT REFERENCES — the
+                # netCDF-4 DIMENSION_LIST attribute element type
                 raise NotImplementedError(
                     f"HDF5 vlen sequence of class-{base.cls} base "
-                    "(fixed-point/float bases, or one nested vlen "
-                    "level, only)"
+                    "(fixed-point/float/object-reference bases, or "
+                    "one nested vlen level, only)"
                 )
             return _DType(cls=9, size=size, base=base), 8 + used
         raise NotImplementedError(
@@ -478,6 +480,15 @@ def _parse_maxdims(body: bytes, lsize: int = 8) -> tuple[int, ...] | None:
 # ---------------------------------------------------------------------------
 
 
+class _RefAddr(int):
+    """Unresolved object-reference address inside an attribute value
+    (r11): attributes parse DURING the group walk, before every
+    referenced object's address is known, so reference-typed attribute
+    elements carry the raw address and H5File.__init__ resolves them
+    to paths in a post-walk pass (DIMENSION_LIST / REFERENCE_LIST —
+    the netCDF-4 dimension-scale bookkeeping attributes)."""
+
+
 @dataclass
 class H5Dataset:
     name: str
@@ -542,6 +553,34 @@ class H5File:
         else:
             raise NotImplementedError(f"HDF5 superblock version {sb_ver}")
         self._walk_group(root_ohdr, prefix="", out_attrs=self.attrs)
+        # post-walk: resolve reference-typed attribute elements (the
+        # walk sees DIMENSION_LIST before its targets register)
+        self._resolve_attr_refs(self.attrs)
+        for ds in self.datasets.values():
+            self._resolve_attr_refs(ds.attrs)
+
+    def _resolve_attr_refs(self, attrs: dict) -> None:
+        def fix(v):
+            if isinstance(v, _RefAddr):
+                a = int(v)
+                if a == 0 or a == _UNDEF:
+                    return ""
+                try:
+                    return self._path_by_addr[a]
+                except KeyError:
+                    raise ValueError(
+                        f"attribute object reference to unknown header"
+                        f" address {a:#x} (dangling or external)"
+                    ) from None
+            if isinstance(v, list):
+                return [fix(x) for x in v]
+            if isinstance(v, tuple):
+                return tuple(fix(x) for x in v)
+            return v
+
+        for k, v in list(attrs.items()):
+            if isinstance(v, (_RefAddr, list, tuple)):
+                attrs[k] = fix(v)
 
     # ----------------------------------------------------- object headers
     def _messages(self, addr: int) -> list[tuple[int, bytes]]:
@@ -747,6 +786,54 @@ class H5File:
                 .split(b"\x00")[0]
                 .decode("utf-8", "replace")
                 for i in range(n)
+            ]
+            return name, vals[0] if not shape else vals
+        if dt.cls == 9:
+            # vlen SEQUENCE attribute (r11): numeric bases decode to
+            # arrays; class-7 bases (netCDF-4 DIMENSION_LIST) decode
+            # to _RefAddr lists resolved post-walk
+            base = dt.base
+            vals = []
+            null = b"\x00" * 16
+            for i in range(n):
+                ref = raw[i * 16 : (i + 1) * 16]
+                if ref == null:
+                    vals.append([])
+                    continue
+                cnt, addr, idx = struct.unpack("<IQI", ref)
+                obj = self._gheap_collection(addr).get(idx)
+                if obj is None:
+                    raise ValueError(
+                        f"global heap object {idx} not found"
+                    )
+                if base.cls == 7:
+                    addrs = np.frombuffer(obj[: cnt * 8], dtype="<u8")
+                    vals.append([_RefAddr(int(a)) for a in addrs])
+                else:
+                    vals.append(
+                        np.frombuffer(
+                            obj[: cnt * base.np_dtype.itemsize],
+                            dtype=base.np_dtype,
+                        ).copy()
+                    )
+            return name, vals[0] if not shape else vals
+        if dt.cls == 7:
+            addrs = np.frombuffer(raw[: n * 8], dtype="<u8")
+            vals = [_RefAddr(int(a)) for a in addrs]
+            return name, vals[0] if not shape else vals
+        if dt.cls == 6 and any(m[2].cls == 7 for m in dt.members):
+            # compound attribute with reference members (netCDF-4
+            # REFERENCE_LIST): rows decode to tuples, reference
+            # members as _RefAddr (resolved post-walk)
+            arr = np.frombuffer(raw[: n * dt.size], dtype=dt.np_dtype)
+            vals = [
+                tuple(
+                    _RefAddr(int(row[mname]))
+                    if mdt.cls == 7
+                    else row[mname].item()
+                    for mname, _off, mdt in dt.members
+                )
+                for row in arr
             ]
             return name, vals[0] if not shape else vals
         arr = np.frombuffer(raw[: n * dt.size], dtype=dt.np_dtype)
@@ -1031,6 +1118,17 @@ class H5File:
                 return self._vlen_nested_decode(
                     raw, ds.dtype.base.base.np_dtype
                 )
+            if ds.dtype.base.cls == 7:
+                # vlen-of-reference DATASET (r11): sequences of object
+                # references decode to lists of paths, like the
+                # DIMENSION_LIST attribute form
+                seqs = self._vlen_seq_decode(raw, np.dtype("<u8"))
+                out = np.empty(seqs.shape, dtype=object)
+                for i, a in enumerate(seqs.reshape(-1)):
+                    out.reshape(-1)[i] = list(
+                        self._ref_decode(np.asarray(a))
+                    )
+                return out
             return self._vlen_seq_decode(raw, ds.dtype.base.np_dtype)
         if ds.dtype.cls == 7:
             # object references (r11): the layout machinery reads the
@@ -1595,6 +1693,91 @@ def _ds_body(shape: tuple, maxshape: tuple | None = None) -> bytes:
 
 def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
+
+
+def _attr_frame(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nameb = name.encode("utf-8") + b"\x00"
+    return (
+        struct.pack("<BxHHH", 1, len(nameb), len(dt), len(ds))
+        + _pad8(nameb)
+        + _pad8(dt)
+        + _pad8(ds)
+        + data
+    )
+
+
+def _attr_body_refs(name, val, alloc, var_hdr_addr):
+    """Attribute bodies for the netCDF-4 reference-bookkeeping shapes
+    (r11), or None when ``val`` is not reference-shaped:
+
+    - DIMENSION_LIST: a list (one element per dimension) of lists of
+      ``H5ObjRef`` — encoded as a vlen(object-reference) attribute
+      (class 9 over class 7, per-element GCOL objects of 8-byte
+      addresses);
+    - REFERENCE_LIST: a list of ``(H5ObjRef, int)`` tuples — encoded
+      as the compound {dataset: class 7 @0, index: u4 @8} array.
+
+    Targets must already be written (one-pass allocation, like every
+    other reference in this writer)."""
+
+    def addr_of(r):
+        if r.target is None:
+            return 0
+        if r.target not in var_hdr_addr:
+            raise ValueError(
+                f"object reference target {r.target!r} must be a"
+                " variable listed BEFORE the referencing attribute"
+            )
+        return var_hdr_addr[r.target]
+
+    if (
+        isinstance(val, list)
+        and val
+        and all(isinstance(x, list) for x in val)
+        and any(isinstance(r, H5ObjRef) for x in val for r in x)
+    ):
+        enc = [
+            np.array([addr_of(r) for r in x], dtype="<u8").tobytes()
+            for x in val
+        ]
+        gaddr = alloc.put(_gcol_blob(enc))
+        data = b"".join(
+            struct.pack("<IQI", len(x), gaddr, j)
+            for j, x in enumerate(val, start=1)
+        )
+        dt = struct.pack("<BBBBI", 0x19, 0x00, 0x00, 0, 16) + struct.pack(
+            "<BBBBI", 0x17, 0x00, 0x00, 0, 8
+        )
+        return _attr_frame(name, dt, _ds_body((len(val),)), data)
+    if (
+        isinstance(val, list)
+        and val
+        and all(
+            isinstance(x, tuple)
+            and len(x) == 2
+            and isinstance(x[0], H5ObjRef)
+            for x in val
+        )
+    ):
+        data = b"".join(
+            struct.pack("<QI", addr_of(r), int(i)) for r, i in val
+        )
+
+        def mem(nm, off, body_):
+            nb = nm.encode("utf-8") + b"\x00"
+            nb += b"\x00" * (-len(nb) % 8)
+            return nb + struct.pack("<I", off) + b"\x00" * 28 + body_
+
+        u4 = struct.pack("<BBBBI", 0x10, 0x00, 0, 0, 4) + struct.pack(
+            "<HH", 0, 32
+        )
+        dt = (
+            struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
+            + mem("dataset", 0, struct.pack("<BBBBI", 0x17, 0, 0, 0, 8))
+            + mem("index", 8, u4)
+        )
+        return _attr_frame(name, dt, _ds_body((len(val),)), data)
+    return None
 
 
 def _attr_body(name: str, val: object) -> bytes:
@@ -2361,13 +2544,21 @@ def write_hdf5(
             msgs.append((0x15, struct.pack("<BBQQ", 0, 0, fh_a, bt_a)))
         else:
             for k, v in vattrs.items():
-                msgs.append((0x0C, _attr_body(k, v)))
+                body = _attr_body_refs(k, v, alloc, var_hdr_addr)
+                msgs.append((0x0C, body or _attr_body(k, v)))
         hdr = _object_header(msgs, profile, timed=timed)
         var_hdr_addr[name] = alloc.put(hdr)
 
     # ---- root group
     names = sorted(variables)
-    root_attr_msgs = [(0x0C, _attr_body(k, v)) for k, v in (attrs or {}).items()]
+    root_attr_msgs = [
+        (
+            0x0C,
+            _attr_body_refs(k, v, alloc, var_hdr_addr)
+            or _attr_body(k, v),
+        )
+        for k, v in (attrs or {}).items()
+    ]
     if profile == "v2":
         link_msgs: list[tuple[int, bytes]] = [
             # link info: no creation tracking, no fractal heap
