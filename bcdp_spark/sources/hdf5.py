@@ -791,8 +791,21 @@ class H5File:
         if dt.cls == 9:
             # vlen SEQUENCE attribute (r11): numeric bases decode to
             # arrays; class-7 bases (netCDF-4 DIMENSION_LIST) decode
-            # to _RefAddr lists resolved post-walk
+            # to _RefAddr lists resolved post-walk. Guard the base
+            # class HERE with the attribute name (r12, ADVICE): an
+            # unsupported base (vlen-of-vlen, vlen-string, enum, ...)
+            # must not sink the whole file open through a nameless
+            # np_dtype raise mid-group-walk — the DIMENSION_LIST
+            # failure class all over again.
             base = dt.base
+            if base.vlen_string or base.cls not in (0, 1, 3, 7):
+                raise NotImplementedError(
+                    f"HDF5 attribute {name!r}: vlen attribute with "
+                    f"base datatype class {base.cls}"
+                    f"{' (vlen string)' if base.vlen_string else ''} "
+                    "is unsupported (numeric, fixed-string and "
+                    "object-reference bases decode)"
+                )
             vals = []
             null = b"\x00" * 16
             for i in range(n):
@@ -2199,7 +2212,22 @@ def write_hdf5(
                 # vlen-of-vlen (r11): nested ONLY when some row's
                 # ELEMENTS are themselves sequences — rows that are
                 # plain lists of scalars stay on the flat ragged path
-                # (the r10 behavior; review fix)
+                # (the r10 behavior; review fix). Mixed depth within
+                # one column is a caller error, not a silent reroute:
+                # encoding a flat [1,2] row as [[1],[2]] through the
+                # nested path would change its decoded shape (r12,
+                # ADVICE) — raise instead. Empty rows are depthless
+                # and valid at either level.
+                for x in flat0:
+                    if isinstance(x, (list, np.ndarray)) and len(x):
+                        first = x[0] if isinstance(x, list) else x.flat[0]
+                        if not isinstance(first, (list, np.ndarray)):
+                            raise TypeError(
+                                "vlen column mixes nested rows "
+                                "(sequences of sequences) with flat "
+                                "scalar-sequence rows; one nesting "
+                                "depth per column"
+                            )
                 vlen_nested = True
             elif flat0.size and not isinstance(flat0[0], str):
                 vlen_seq = True  # ragged numeric sequences (r10)

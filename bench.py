@@ -225,9 +225,10 @@ def main() -> None:
         # outputs survive between runs — measured 0.04 s "warm" vs ~7 s
         # full re-execution for q_bigjoin), which would be a fiction of
         # data-proportional work. No table cache: a 60M-row lineitem
-        # does not fit the 8 GiB local heap, and DuckDB re-reads the
-        # same page-cached files, so fresh scans are the like-for-like
-        # comparison and keep pushdown/pruning on the measured path.
+        # is too large to pin in the local driver heap (12g default in
+        # session.py), and DuckDB re-reads the same page-cached files,
+        # so fresh scans are the like-for-like comparison and keep
+        # pushdown/pruning on the measured path.
         fresh10 = fresh_suite(spark, sf10_dir, keys=sf10_keys, runs=5)
         t10, m10, c10 = run_suite(
             spark, sf10_dir, keys=sf10_keys, cached_tables=(), runs=5,

@@ -40,3 +40,43 @@ def test_msum_columns_sit_on_the_money_grid(sf, table):
             "no longer exact; route those keys back through dsum or "
             "re-verify the grid (BASELINE.md r11 methodology note)"
         )
+
+
+# ---------------------------------------------------------------------------
+# Derived PRODUCT expressions (r12, ADVICE): q_pricing_summary's
+# sum_disc_price / sum_charge feed msum a product of 2dp factors —
+# a 4dp/6dp-grid value that msum DELIBERATELY REDEFINES at the 4dp
+# money grid (floor(x*1e4+0.5), the op both engines run in lockstep).
+# That is a redefinition, not an approximation error: per row the
+# floored value deviates from the full-precision product by at most
+# half an ulp of 1e-4 (5e-5), and BOTH the Spark key and its oracle
+# apply the identical floor, so the hashes agree by construction.
+# What the redefinition RELIES on is the factors being 2dp-grid so
+# the product sits exactly on a 6dp grid (no double-rounding
+# ambiguity at the 4dp boundary beyond the documented half-ulp).
+# Pin THAT assumption here, at the stricter 2dp grid.
+# ---------------------------------------------------------------------------
+_FACTOR_COLS = {
+    # columns entering msum-routed PRODUCT expressions
+    "lineitem": ["l_extendedprice", "l_discount", "l_tax"],
+}
+
+
+@pytest.mark.parametrize("sf", _SFS)
+@pytest.mark.parametrize("table", sorted(_FACTOR_COLS))
+def test_product_factor_columns_sit_on_the_2dp_grid(sf, table):
+    pdf = pd.read_parquet(
+        f"{sf}/{table}.parquet", columns=_FACTOR_COLS[table]
+    )
+    for col in _FACTOR_COLS[table]:
+        v = pdf[col].to_numpy(dtype="float64")
+        v = v[np.isfinite(v)]
+        scaled = v * 100
+        off = np.abs(scaled - np.rint(scaled))
+        assert off.max() < 1e-8, (
+            f"{table}.{col} at {sf} is NOT 2dp-grid-exact "
+            f"(max off-grid distance {off.max():.3g}) — the msum "
+            "product redefinition (sum_disc_price/sum_charge at the "
+            "4dp grid) loses its 6dp-product-grid footing; route the "
+            "product expressions back through dsum"
+        )
