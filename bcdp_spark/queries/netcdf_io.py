@@ -1232,3 +1232,164 @@ def q_hdf5_vlen_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__n").cast("long").alias("n_readings"),
         dsum(F.col("__s"), "sum_readings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r12, VERDICT r11 item 4) — DATASET-REGION references (class 7
+# type 1): real satellite products (NPP/VIIRS quality regions) and
+# packed-obs archives store per-record POINTERS INTO a shared grid —
+# a 12-byte heap ID whose heap object carries the target's header
+# address plus a serialized dataspace selection. The reader decodes
+# each to an H5RegionRef and materializes exactly the selected
+# elements through the hyperslab read path (chunked targets only
+# decode intersecting chunks).
+# ---------------------------------------------------------------------------
+_FIXREG_DIR = "/tmp/bcdp_spark_h5regref_fixture_v1"
+_REG_N = 24
+
+
+def _ensure_fixture_regions() -> str:
+    """Two files: an 8x12 f8 ``grid`` (grid[i,j] = 1000*f + 10i + j)
+    and a ``regions`` dataset of 24 region references cycling through
+    every selection shape — single-block hyperslabs, NULL (k%8==3),
+    two-point selections (k%8==5), whole-extent 'all' (k%8==6) and a
+    two-block hyperslab (k%8==7). File 0 contiguous, file 1
+    chunked+deflate on BOTH datasets (the 12-byte heap-ID elements
+    compress like any fixed-size element; region reads on the chunked
+    grid cross chunk boundaries)."""
+    from bcdp_spark.sources.hdf5 import H5RegionRef, write_hdf5
+
+    done = os.path.join(_FIXREG_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXREG_DIR
+    os.makedirs(_FIXREG_DIR, exist_ok=True)
+    for f in range(2):
+        grid = (
+            1000.0 * f
+            + np.arange(8)[:, None] * 10.0
+            + np.arange(12)[None, :]
+        ).astype("<f8")
+        refs = []
+        for k in range(_REG_N):
+            r0, c0 = k % 6, k % 4
+            m = k % 8
+            if m == 3:
+                refs.append(H5RegionRef(None))
+            elif m == 5:
+                refs.append(
+                    H5RegionRef(
+                        "grid",
+                        kind="points",
+                        points=((r0, c0), (r0 + 1, c0 + 2)),
+                    )
+                )
+            elif m == 6:
+                refs.append(H5RegionRef("grid", kind="all"))
+            elif m == 7:
+                refs.append(
+                    H5RegionRef(
+                        "grid",
+                        blocks=(
+                            ((0, 0), (1, 3)),
+                            ((4, 1), (5, 3)),
+                        ),
+                    )
+                )
+            else:
+                refs.append(
+                    H5RegionRef(
+                        "grid",
+                        blocks=(((r0, c0), (r0 + 2, c0 + 3)),),
+                    )
+                )
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {
+                "chunk": {"grid": (3, 5), "regions": (8,)},
+                "gzip_level": 4,
+            }
+        )
+        raw = write_hdf5(
+            {
+                # referenced variable first: one-pass allocation
+                "grid": (["y", "x"], grid, {}),
+                "regions": (
+                    ["r"],
+                    np.array(refs, dtype=object),
+                    {},
+                ),
+            },
+            **kw,
+        )
+        with open(
+            os.path.join(_FIXREG_DIR, f"obs_{f}.h5"), "wb"
+        ) as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXREG_DIR
+
+
+@register(
+    "q_hdf5_region_refs",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g AS f, i.g AS k
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_REG_N - 1}) i(g)
+)
+SELECT 'obs_' || CAST(f AS VARCHAR) || '.h5' AS src,
+       CAST(k AS BIGINT) AS idx,
+       CASE
+         WHEN k % 8 = 3 THEN ''
+         WHEN k % 8 = 5 THEN 'grid@(' || CAST(k % 6 AS VARCHAR) || ','
+           || CAST(k % 4 AS VARCHAR) || ');(' || CAST(k % 6 + 1 AS VARCHAR)
+           || ',' || CAST(k % 4 + 2 AS VARCHAR) || ')'
+         WHEN k % 8 = 6 THEN 'grid[...]'
+         WHEN k % 8 = 7 THEN 'grid[0:1,0:3;4:5,1:3]'
+         ELSE 'grid[' || CAST(k % 6 AS VARCHAR) || ':'
+           || CAST(k % 6 + 2 AS VARCHAR) || ',' || CAST(k % 4 AS VARCHAR)
+           || ':' || CAST(k % 4 + 3 AS VARCHAR) || ']'
+       END AS region,
+       CASE WHEN k % 8 = 3 THEN '' ELSE 'grid' END AS target,
+       CAST(CASE k % 8 WHEN 3 THEN 0 WHEN 5 THEN 2 WHEN 6 THEN 96
+            WHEN 7 THEN 5 ELSE 6 END AS INT) AS n_vals,
+       CAST(CASE k % 8
+         WHEN 3 THEN 0
+         WHEN 5 THEN 2000.0 * f + 20 * (k % 6) + 2 * (k % 4) + 12
+         WHEN 6 THEN 96000.0 * f + 3888
+         WHEN 7 THEN 5000.0 * f + 86
+         ELSE 6000.0 * f + 60 * (k % 6) + 6 * (k % 4) + 36
+       END AS DOUBLE) AS sum_vals
+FROM rows
+""",
+)
+def q_hdf5_region_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 dataset-region references (class 7 type 1, r12): decode
+    every stored selection shape (single-/multi-block hyperslab,
+    points, all, NULL) to its canonical spec string AND materialize
+    the referenced grid elements, per reference. The oracle recomputes
+    the closed-form spec strings and region sums, so a hash match
+    certifies the 12-byte heap-ID parse, the serialized-selection
+    codec, target path resolution and the hyperslab reads — on both a
+    contiguous and a chunked/deflate file. Per-row sums are exact
+    (small integers in f8), so no decimal routing is needed.
+    ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_region_values
+
+    utc(spark)
+    fix = _ensure_fixture_regions()
+    df = load_hdf5_region_values(
+        spark, os.path.join(fix, "*.h5"), "regions"
+    )
+    return df.select(
+        "src",
+        "idx",
+        "region",
+        "target",
+        F.size("values").alias("n_vals"),
+        F.aggregate(
+            "values", F.lit(0.0), lambda a, x: a + x
+        ).alias("sum_vals"),
+    )

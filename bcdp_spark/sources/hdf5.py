@@ -47,6 +47,7 @@ per-value Python loops.
 
 from __future__ import annotations
 
+import itertools
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -252,7 +253,10 @@ class _DType:
     # reference (class 7, r11): type 0 = object reference (an 8-byte
     # file address of the referenced object's header — what netCDF-4
     # dimension scales and DSG index variables store); decodes to the
-    # referenced object's PATH string via the walk-time address map
+    # referenced object's PATH string via the walk-time address map.
+    # type 1 (r12) = dataset-region reference (a 12-byte global-heap
+    # ID whose heap object holds the target's header address + a
+    # serialized dataspace selection); decodes to H5RegionRef
     ref_type: int | None = None
 
     @property
@@ -270,12 +274,30 @@ class _DType:
             return np.dtype(
                 {
                     "names": [m[0] for m in self.members],
-                    "formats": [m[2].np_dtype for m in self.members],
+                    # vlen members (r12) occupy 16 raw bytes in the
+                    # record (the GCOL reference); H5File.read
+                    # resolves them to str / ragged arrays post-slab
+                    "formats": [
+                        _V16 if m[2].cls == 9 else m[2].np_dtype
+                        for m in self.members
+                    ],
                     "offsets": [m[1] for m in self.members],
                     "itemsize": self.size,
                 }
             )
         if self.cls == 7:
+            if self.ref_type == 1:
+                # region references only decode through the dataset
+                # read path (H5File.read handles the 12-byte heap-ID
+                # layout itself); as an attribute / compound-member /
+                # vlen-base element type they are unsupported — raise
+                # HERE so every such path fails loudly, never by
+                # misreading 12-byte elements as 8-byte addresses
+                raise NotImplementedError(
+                    "HDF5 dataset-region reference as an attribute, "
+                    "compound-member or vlen-base element (dataset "
+                    "elements decode via H5File.read)"
+                )
             # object references read as raw 8-byte addresses, resolved
             # to path strings by H5File.read (needs the walk-time map)
             return np.dtype("<u8")
@@ -339,18 +361,25 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
             f"HDF5 vlen datatype of type {vtype} (sequences and "
             "strings only)"
         )
-    if cls == 7:  # reference (r11): object references only
+    if cls == 7:  # reference: object (r11) and dataset-region (r12)
         rtype = b0 & 0x0F
-        if rtype != 0:
+        if rtype not in (0, 1):
             raise NotImplementedError(
-                f"HDF5 reference datatype of type {rtype} (object "
-                "references only — dataset-region and the revised "
-                "(1.12+) attribute/external reference encodings raise)"
+                f"HDF5 reference datatype of type {rtype} (object and "
+                "dataset-region references only — the revised (1.12+) "
+                "attribute/external reference encodings raise)"
             )
-        if size != 8:
+        if rtype == 0 and size != 8:
             raise NotImplementedError(
                 f"HDF5 object reference of size {size} (8-byte file "
                 "offsets only)"
+            )
+        if rtype == 1 and size != 12:
+            # pre-1.12 H5T_STD_REF_DSETREG: 8-byte global-heap
+            # collection address + 4-byte object index
+            raise NotImplementedError(
+                f"HDF5 dataset-region reference of size {size} "
+                "(12-byte heap IDs only)"
             )
         return _DType(cls=7, size=size, ref_type=rtype), 8
     if cls == 10:  # array: fixed-shape subarray of a base type
@@ -397,12 +426,25 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
                 moff = int.from_bytes(body[pos : pos + nb], "little")
                 pos += nb
             sub, used = _parse_datatype_sized(body[pos:])
-            if sub.cls not in (0, 1, 3, 6, 7, 10):
+            if sub.cls not in (0, 1, 3, 6, 7, 9, 10):
                 raise NotImplementedError(
                     f"HDF5 compound member {mname!r} of class {sub.cls}"
                     " (fixed-point/float/string/nested-compound/array/"
-                    "object-reference members only — vlen members"
-                    " raise)"
+                    "object-reference/vlen members only)"
+                )
+            if sub.cls == 9 and not sub.vlen_string and (
+                sub.base is None or sub.base.cls not in (0, 1)
+            ):
+                # r12: vlen STRING and numeric vlen SEQUENCE members
+                # decode (the CF-DSG obs-record shape — netCDF-4
+                # compounds with string/ragged fields); deeper nesting
+                # inside a compound stays a loud seam
+                raise NotImplementedError(
+                    f"HDF5 compound member {mname!r}: vlen member "
+                    f"with base class "
+                    f"{None if sub.base is None else sub.base.cls} "
+                    "(vlen-string and numeric vlen-sequence members "
+                    "only)"
                 )
             pos += used
             members.append((mname, moff, sub))
@@ -487,6 +529,172 @@ class _RefAddr(int):
     elements carry the raw address and H5File.__init__ resolves them
     to paths in a post-walk pass (DIMENSION_LIST / REFERENCE_LIST —
     the netCDF-4 dimension-scale bookkeeping attributes)."""
+
+
+@dataclass(frozen=True)
+class H5RegionRef:
+    """A DATASET-REGION reference (class 7 type 1, r12) — both the
+    reader's decoded value and the writer-twin element.
+
+    ``target`` is the referenced dataset's slash path on read (the
+    variable NAME on write; ``None`` = a NULL reference, all-zero
+    heap ID on disk). The selection is one of:
+
+    - ``kind='hyperslab'``: ``blocks`` = tuple of ``(start, stop)``
+      corner pairs, one per block, ``stop`` EXCLUSIVE (numpy slice
+      convention; the on-disk v1 encoding stores INCLUSIVE opposite
+      corners — converted at the codec boundary),
+    - ``kind='points'``: ``points`` = tuple of coordinate tuples,
+    - ``kind='all'`` / ``kind='none'``: the whole / empty extent.
+
+    This is the shape real satellite and CF-DSG products (NPP/VIIRS
+    quality regions, packed-obs record pointers) store; libhdf5 writes
+    the same three-part layout (H5Rint.c): a 12-byte element =
+    8-byte global-heap collection address + 4-byte object index; the
+    heap object = 8-byte target header address + the serialized
+    dataspace selection."""
+
+    target: str | None
+    kind: str = "hyperslab"
+    blocks: tuple = ()
+    points: tuple = ()
+
+    def spec(self) -> str:
+        """Canonical string form (what Spark columns carry): NULL
+        reference → '', '/grid[2:5,0:4]' (';'-joined blocks),
+        '/grid@(1,2);(3,0)', '/grid[...]' (all), '/grid[]' (none)."""
+        if self.target is None:
+            return ""
+        if self.kind == "all":
+            return f"{self.target}[...]"
+        if self.kind == "none":
+            return f"{self.target}[]"
+        if self.kind == "points":
+            pts = ";".join(
+                "(" + ",".join(str(c) for c in p) + ")"
+                for p in self.points
+            )
+            return f"{self.target}@{pts}"
+        blks = ";".join(
+            ",".join(f"{s}:{e}" for s, e in zip(start, stop))
+            for start, stop in self.blocks
+        )
+        return f"{self.target}[{blks}]"
+
+
+def _sel_serialize(ref: H5RegionRef) -> bytes:
+    """Serialize ``ref``'s selection in the version-1 dataspace
+    selection encoding (HDF5 file-format spec, 'Dataspace Selection';
+    what libhdf5 emits for ≤32-bit extents): u32 type, u32 version,
+    u32 padding, u32 extra-length, then the type-specific payload —
+    hyperslab: rank, nblocks, per-block u32 start corners then u32
+    INCLUSIVE end corners; points: rank, npoints, u32 coords."""
+    if ref.kind == "all":
+        return struct.pack("<IIII", 3, 1, 0, 0)
+    if ref.kind == "none":
+        return struct.pack("<IIII", 0, 1, 0, 0)
+    if ref.kind == "points":
+        if not ref.points:
+            raise ValueError("points region reference with no points")
+        rank = len(ref.points[0])
+        out = struct.pack(
+            "<IIIIII", 1, 1, 0, 8 + 4 * rank * len(ref.points),
+            rank, len(ref.points),
+        )
+        for p in ref.points:
+            if len(p) != rank or any(c < 0 for c in p):
+                raise ValueError(f"bad point {p} (rank {rank})")
+            out += struct.pack(f"<{rank}I", *p)
+        return out
+    if ref.kind != "hyperslab":
+        raise ValueError(f"unknown region selection kind {ref.kind!r}")
+    if not ref.blocks:
+        raise ValueError("hyperslab region reference with no blocks")
+    rank = len(ref.blocks[0][0])
+    out = struct.pack(
+        "<IIIIII", 2, 1, 0, 8 + 8 * rank * len(ref.blocks),
+        rank, len(ref.blocks),
+    )
+    for start, stop in ref.blocks:
+        if len(start) != rank or len(stop) != rank or any(
+            e <= s or s < 0 for s, e in zip(start, stop)
+        ):
+            raise ValueError(f"bad hyperslab block {(start, stop)}")
+        out += struct.pack(f"<{rank}I", *start)
+        out += struct.pack(f"<{rank}I", *(e - 1 for e in stop))
+    return out
+
+
+def _sel_parse(buf: bytes, pos: int) -> tuple[str, tuple, tuple]:
+    """Parse a serialized dataspace selection at ``buf[pos:]`` →
+    (kind, blocks, points). Hyperslab versions 1 (u32 block corners)
+    and 2 (the 1.10.7+ regular start/stride/count/block u64 form —
+    expanded to explicit blocks) decode; version 3 (1.12) and point
+    version ≥2 raise loudly."""
+    styp, ver = struct.unpack_from("<II", buf, pos)
+    if styp == 3:  # all
+        return "all", (), ()
+    if styp == 0:  # none
+        return "none", (), ()
+    if styp == 1:  # points
+        if ver != 1:
+            raise NotImplementedError(
+                f"point selection serialization version {ver}"
+            )
+        rank, npts = struct.unpack_from("<II", buf, pos + 16)
+        off = pos + 24
+        pts = []
+        for _ in range(npts):
+            pts.append(struct.unpack_from(f"<{rank}I", buf, off))
+            off += 4 * rank
+        return "points", (), tuple(pts)
+    if styp != 2:
+        raise NotImplementedError(f"dataspace selection type {styp}")
+    if ver == 1:
+        rank, nblk = struct.unpack_from("<II", buf, pos + 16)
+        off = pos + 24
+        blocks = []
+        for _ in range(nblk):
+            start = struct.unpack_from(f"<{rank}I", buf, off)
+            off += 4 * rank
+            end = struct.unpack_from(f"<{rank}I", buf, off)
+            off += 4 * rank
+            blocks.append((start, tuple(e + 1 for e in end)))
+        return "hyperslab", tuple(blocks), ()
+    if ver == 2:
+        # u8 flags (bit 0 = regular — the only v2 form libhdf5
+        # emits), u32 length, u32 rank, then per-dim u64
+        # start/stride/count/block
+        flags = buf[pos + 8]
+        if not flags & 0x01:
+            raise NotImplementedError(
+                "hyperslab selection v2 without the regular flag"
+            )
+        rank = struct.unpack_from("<I", buf, pos + 13)[0]
+        off = pos + 17
+        dims = []
+        for _ in range(rank):
+            dims.append(struct.unpack_from("<4Q", buf, off))
+            off += 32
+        counts = [int(d[2]) for d in dims]
+        total = 1
+        for c in counts:
+            total *= c
+        if total > 65536:
+            raise NotImplementedError(
+                f"regular hyperslab expanding to {total} blocks"
+            )
+        blocks = []
+        for idx in itertools.product(*(range(c) for c in counts)):
+            start = tuple(
+                int(d[0] + i * d[1]) for d, i in zip(dims, idx)
+            )
+            stop = tuple(s + int(d[3]) for s, d in zip(start, dims))
+            blocks.append((start, stop))
+        return "hyperslab", tuple(blocks), ()
+    raise NotImplementedError(
+        f"hyperslab selection serialization version {ver}"
+    )
 
 
 @dataclass
@@ -820,6 +1028,11 @@ class H5File:
                         f"global heap object {idx} not found"
                     )
                 if base.cls == 7:
+                    if base.ref_type:
+                        raise NotImplementedError(
+                            f"HDF5 attribute {name!r}: vlen of "
+                            "dataset-region references"
+                        )
                     addrs = np.frombuffer(obj[: cnt * 8], dtype="<u8")
                     vals.append([_RefAddr(int(a)) for a in addrs])
                 else:
@@ -831,6 +1044,12 @@ class H5File:
                     )
             return name, vals[0] if not shape else vals
         if dt.cls == 7:
+            if dt.ref_type:
+                raise NotImplementedError(
+                    f"HDF5 attribute {name!r}: dataset-region "
+                    "reference attributes are unsupported (decode "
+                    "region references through the dataset read path)"
+                )
             addrs = np.frombuffer(raw[: n * 8], dtype="<u8")
             vals = [_RefAddr(int(a)) for a in addrs]
             return name, vals[0] if not shape else vals
@@ -1132,6 +1351,11 @@ class H5File:
                     raw, ds.dtype.base.base.np_dtype
                 )
             if ds.dtype.base.cls == 7:
+                if ds.dtype.base.ref_type:
+                    raise NotImplementedError(
+                        f"dataset {ds.name!r}: vlen of dataset-region "
+                        "references"
+                    )
                 # vlen-of-reference DATASET (r11): sequences of object
                 # references decode to lists of paths, like the
                 # DIMENSION_LIST attribute form
@@ -1144,6 +1368,28 @@ class H5File:
                 return out
             return self._vlen_seq_decode(raw, ds.dtype.base.np_dtype)
         if ds.dtype.cls == 7:
+            if ds.dtype.ref_type == 1:
+                # dataset-region references (r12): the layout
+                # machinery reads the raw 12-byte heap-ID array
+                # (8-byte collection address + 4-byte index) through
+                # the same slab/chunk/filter paths, then each heap
+                # object decodes to an H5RegionRef — target header
+                # address resolved to a path via the walk-time map,
+                # serialized selection parsed by _sel_parse. All-zero
+                # IDs (NULL references) decode to H5RegionRef(None).
+                raw = self._read_slab(
+                    ds,
+                    sel,
+                    np.dtype(
+                        {
+                            "names": ["addr", "idx"],
+                            "formats": ["<u8", "<u4"],
+                            "offsets": [0, 8],
+                            "itemsize": 12,
+                        }
+                    ),
+                )
+                return self._regref_decode(raw)
             # object references (r11): the layout machinery reads the
             # raw 8-byte address array unchanged (contiguous slab fast
             # path, chunk filters, fill handling), then each address
@@ -1174,6 +1420,102 @@ class H5File:
                         f"{a:#x} (dangling or external reference)"
                     ) from None
         return out.reshape(arr.shape)
+
+    def _regref_decode(self, arr: np.ndarray) -> np.ndarray:
+        """12-byte dataset-region heap IDs → object array of
+        :class:`H5RegionRef`. The heap object's first 8 bytes are the
+        target's object-header address (resolved through the same
+        walk-time map as object references — dangling is a loud
+        error); the rest is the serialized dataspace selection."""
+        flat = arr.reshape(-1)
+        out = np.empty(flat.shape, dtype=object)
+        for i, rec in enumerate(flat):
+            addr, idx = int(rec["addr"]), int(rec["idx"])
+            if addr == 0 or addr == _UNDEF:
+                out[i] = H5RegionRef(None)
+                continue
+            obj = self._gheap_collection(addr).get(idx)
+            if obj is None:
+                raise ValueError(
+                    f"region reference heap object {idx} not found in "
+                    f"collection at {addr:#x}"
+                )
+            tgt = struct.unpack_from("<Q", obj, 0)[0]
+            if tgt == 0 or tgt == _UNDEF:
+                path = ""
+            else:
+                try:
+                    path = self._path_by_addr[tgt]
+                except KeyError:
+                    raise ValueError(
+                        f"region reference to unknown header address "
+                        f"{tgt:#x} (dangling or external reference)"
+                    ) from None
+            kind, blocks, points = _sel_parse(obj, 8)
+            out[i] = H5RegionRef(
+                path, kind=kind, blocks=blocks, points=points
+            )
+        return out.reshape(arr.shape)
+
+    def read_region(self, ref: H5RegionRef) -> np.ndarray:
+        """Materialize the elements a region reference selects, as a
+        FLAT array in selection order (blocks in stored order,
+        row-major within a block; points in stored order — libhdf5's
+        H5Dread-on-region semantics for the shapes we decode). NULL
+        references and 'none' selections yield an empty array. Each
+        hyperslab block / point reads through ``read``'s slab path, so
+        a chunked target only decodes intersecting chunks."""
+        if ref.target is None:
+            return np.empty(0)
+        if ref.target not in self.datasets:
+            raise ValueError(
+                f"region reference target {ref.target!r} is not a "
+                "dataset in this file"
+            )
+        ds = self.datasets[ref.target]
+        if ref.kind == "all":
+            return self.read(ref.target).reshape(-1)
+        if ref.kind == "none":
+            return np.empty(0, dtype=ds.dtype.np_dtype)
+        if ref.kind == "points":
+            for p in ref.points:
+                if len(p) != len(ds.shape) or any(
+                    c >= n for c, n in zip(p, ds.shape)
+                ):
+                    raise ValueError(
+                        f"region point {p} outside {ref.target!r} "
+                        f"shape {ds.shape}"
+                    )
+            vals = [
+                self.read(
+                    ref.target,
+                    sel=tuple(slice(c, c + 1) for c in p),
+                ).reshape(-1)
+                for p in ref.points
+            ]
+        else:
+            for start, stop in ref.blocks:
+                if len(start) != len(ds.shape) or any(
+                    e > n for e, n in zip(stop, ds.shape)
+                ):
+                    raise ValueError(
+                        f"region block {(start, stop)} outside "
+                        f"{ref.target!r} shape {ds.shape}"
+                    )
+            vals = [
+                self.read(
+                    ref.target,
+                    sel=tuple(
+                        slice(s, e) for s, e in zip(start, stop)
+                    ),
+                ).reshape(-1)
+                for start, stop in ref.blocks
+            ]
+        return (
+            np.concatenate(vals)
+            if vals
+            else np.empty(0, dtype=ds.dtype.np_dtype)
+        )
 
     def _read_slab(
         self, ds: "H5Dataset", sel: tuple | None, dt: np.dtype
@@ -2192,13 +2534,15 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
-        vlen_str = vlen_seq = vlen_nested = objref = False
+        vlen_str = vlen_seq = vlen_nested = objref = regref = False
         vlen_base = None
         if arr.dtype.kind == "U":
             vlen_str = True
         elif arr.dtype.kind == "O":
             flat0 = arr.reshape(-1)
-            if flat0.size and isinstance(flat0[0], H5ObjRef):
+            if flat0.size and isinstance(flat0[0], H5RegionRef):
+                regref = True  # dataset-region references (r12)
+            elif flat0.size and isinstance(flat0[0], H5ObjRef):
                 objref = True  # object references (r11)
             elif flat0.size and any(
                 isinstance(x, (list, np.ndarray))
@@ -2256,6 +2600,49 @@ def write_hdf5(
                         " dataset"
                     )
             arr = np.array(addrs, dtype="<u8").reshape(arr.shape)
+        if regref:
+            # dataset-region references (r12): one global heap object
+            # per non-NULL element — 8-byte target header address +
+            # the v1 serialized selection — in one collection; the
+            # dataset stores 12-byte heap IDs (collection address +
+            # object index; NULL = 12 zero bytes). Targets resolve
+            # through the same one-pass rule as object references:
+            # referenced variables must be listed first.
+            payloads: list[bytes | None] = []
+            for x in arr.reshape(-1):
+                if not isinstance(x, H5RegionRef):
+                    raise TypeError(
+                        "region-reference datasets must be "
+                        f"all-H5RegionRef (got {type(x).__name__})"
+                    )
+                if x.target is None:
+                    payloads.append(None)
+                    continue
+                if x.target not in var_hdr_addr:
+                    raise ValueError(
+                        f"region reference target {x.target!r} must "
+                        "be a variable listed BEFORE the referencing "
+                        "dataset"
+                    )
+                payloads.append(
+                    struct.pack("<Q", var_hdr_addr[x.target])
+                    + _sel_serialize(x)
+                )
+            enc = [p for p in payloads if p is not None]
+            gaddr = alloc.put(_gcol_blob(enc)) if enc else 0
+            refbuf = bytearray()
+            j = 1
+            for p in payloads:
+                if p is None:
+                    refbuf += b"\x00" * 12
+                else:
+                    refbuf += struct.pack("<QI", gaddr, j)
+                    j += 1
+            arr = (
+                np.frombuffer(bytes(refbuf), dtype="V12")
+                .reshape(arr.shape)
+                .copy()
+            )
         if vlen_nested:
             # two global heap collections: INNER numeric sequences
             # first (address known before anything references it),
@@ -2371,6 +2758,10 @@ def write_hdf5(
         elif objref:
             # class 7 v1, reference type 0 (object), 8-byte size
             dt_msg = struct.pack("<BBBBI", 0x17, 0x00, 0x00, 0, 8)
+        elif regref:
+            # class 7 v1, reference type 1 (dataset region), 12-byte
+            # heap-ID size (H5T_STD_REF_DSETREG)
+            dt_msg = struct.pack("<BBBBI", 0x17, 0x01, 0x00, 0, 12)
         else:
             dt_msg = _dt_body(
                 arr.dtype,
@@ -2832,7 +3223,10 @@ def load_hdf5_vars(spark, path, names: list[str]):
     datasets map to ``string``, as do object-REFERENCE datasets
     (class 7, r11 — each element decodes to the referenced object's
     slash path, the DSG index-variable shape; NULL references decode
-    as ''). Anything else raises loudly.
+    as '') and dataset-REGION references (class 7 type 1, r12 — each
+    element decodes to its canonical spec string, '/grid[2:5,0:4]';
+    ``load_hdf5_region_values`` materializes the referenced data).
+    Anything else raises loudly.
 
     Scale notes: one Arrow-batched decode task per file (mapInPandas
     over a file manifest); vlen decode memoizes each global-heap
@@ -2902,6 +3296,15 @@ def load_hdf5_vars(spark, path, names: list[str]):
                 n_rows = None
                 for n in names:
                     a = h5.read(n)
+                    dt_n = h5.datasets[n].dtype
+                    if dt_n.cls == 7 and dt_n.ref_type == 1:
+                        # region references surface as their
+                        # canonical spec strings ('/grid[2:5,0:4]');
+                        # load_hdf5_region_values materializes the
+                        # referenced elements themselves
+                        a = np.array(
+                            [r.spec() for r in a], dtype=object
+                        )
                     if h5.datasets[n].dtype.cls == 3:
                         a = np.array(
                             [
@@ -2920,5 +3323,87 @@ def load_hdf5_vars(spark, path, names: list[str]):
                         )
                     cols[n] = a
                 yield _pd.DataFrame(cols)
+
+    return manifest.mapInPandas(decode, schema=schema)
+
+
+def load_hdf5_region_values(spark, path, name: str):
+    """Materialize DATASET-REGION references (class 7 type 1, r12):
+    one Spark row per element of the 1-D region-reference dataset
+    ``name`` in each matching file, with the referenced elements
+    fetched and flattened —
+
+    ``src string`` (file basename), ``idx bigint`` (element position
+    within the reference dataset), ``region string`` (canonical spec,
+    '' for NULL references), ``target string`` (referenced dataset's
+    path, '' for NULL), ``values array<double>`` (the selected
+    elements in selection order — blocks as stored, row-major within
+    a block; empty for NULL / 'none'). Referenced datasets must be
+    numeric; values widen to double.
+
+    This is the real-product access pattern for NPP/VIIRS-style
+    quality regions and packed-obs record pointers: the reference
+    dataset names WHERE each record's data lives, and the region read
+    touches only the intersecting chunks of the target (``read``'s
+    hyperslab path), never the whole grid. Scale: one Arrow-batched
+    task per file — parallelism is the file count, and per-file work
+    is O(selected elements), not O(file)."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as _pd
+
+    from bcdp_spark.sources.ranged import open_raw
+
+    files = (
+        list(path) if isinstance(path, (list, tuple))
+        else sorted(_glob.glob(path))
+    )
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+
+    manifest = spark.createDataFrame(
+        [(f,) for f in files], schema="path string"
+    ).repartition(len(files))
+
+    schema = (
+        "src string, idx bigint, region string, target string, "
+        "values array<double>"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                h5 = H5File(open_raw(fpath))
+                if name not in h5.datasets:
+                    raise ValueError(
+                        f"dataset {name!r} not in {fpath}"
+                    )
+                ds = h5.datasets[name]
+                if ds.dtype.cls != 7 or ds.dtype.ref_type != 1:
+                    raise ValueError(
+                        f"dataset {name!r} is not a dataset-region "
+                        "reference dataset"
+                    )
+                refs = h5.read(name).reshape(-1)
+                base = _os.path.basename(str(fpath))
+                rows = []
+                for i, r in enumerate(refs):
+                    vals = h5.read_region(r)
+                    rows.append(
+                        (
+                            base,
+                            i,
+                            r.spec(),
+                            r.target or "",
+                            np.asarray(vals, dtype="<f8").tolist(),
+                        )
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "src", "idx", "region", "target", "values",
+                    ],
+                )
 
     return manifest.mapInPandas(decode, schema=schema)

@@ -1174,11 +1174,14 @@ def test_object_reference_seams():
              "r": (["row"], bad, {})},
             gzip_level=None,
         )
-    # region references (type 1) are a named parse seam
+    # region references (type 1) parse since r12; the revised 1.12+
+    # encodings (type >= 2) stay a named parse seam
     import struct as _st
 
     body = bytes([0x17, 0x01, 0, 0]) + _st.pack("<I", 12)
-    with pytest.raises(NotImplementedError, match="object references only"):
+    assert _parse_datatype(body).ref_type == 1
+    body = bytes([0x17, 0x02, 0, 0]) + _st.pack("<I", 8)
+    with pytest.raises(NotImplementedError, match="reference datatype"):
         _parse_datatype(body)
     # a dangling address is a loud decode error, never garbage
     raw = write_hdf5(

@@ -1,0 +1,212 @@
+"""Dataset-REGION references (HDF5 datatype class 7 type 1, r12 —
+VERDICT r11 item 4): the 12-byte heap-ID element layout, the v1/v2
+serialized dataspace selection codec, target-path resolution through
+the walk-time address map, region materialization via the hyperslab
+read path, and the Spark loaders. Writer-twin certified (no libhdf5
+in the container — the import-gated foreign-file harness in
+test_foreign_files.py arms the real-producer cross-check the moment
+real files appear)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bcdp_spark.sources.hdf5 import (
+    H5File,
+    H5RegionRef,
+    _sel_parse,
+    _sel_serialize,
+    write_hdf5,
+)
+
+
+def _grid(base=0.0):
+    return (
+        base + np.arange(8)[:, None] * 10 + np.arange(12)[None, :]
+    ).astype("<f8")
+
+
+_REFS = [
+    H5RegionRef("grid", blocks=(((2, 3), (4, 6)),)),
+    H5RegionRef(None),
+    H5RegionRef("grid", kind="points", points=((1, 2), (5, 0))),
+    H5RegionRef("grid", kind="all"),
+    H5RegionRef("grid", kind="none"),
+    H5RegionRef("grid", blocks=(((0, 0), (1, 3)), ((4, 1), (5, 3)))),
+]
+
+
+def _file(chunked: bool) -> bytes:
+    kw = (
+        {"chunk": {"regions": (4,), "grid": (3, 5)}, "gzip_level": 4}
+        if chunked
+        else {"gzip_level": None}
+    )
+    return write_hdf5(
+        {
+            "grid": (["y", "x"], _grid(), {}),
+            "regions": (["r"], np.array(_REFS, dtype=object), {}),
+        },
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_region_ref_roundtrip(chunked):
+    h5 = H5File(_file(chunked))
+    out = h5.read("regions")
+    g = _grid()
+    assert [r.spec() for r in out] == [
+        "grid[2:4,3:6]",
+        "",
+        "grid@(1,2);(5,0)",
+        "grid[...]",
+        "grid[]",
+        "grid[0:1,0:3;4:5,1:3]",
+    ]
+    assert h5.read_region(out[0]).tolist() == (
+        g[2:4, 3:6].reshape(-1).tolist()
+    )
+    assert h5.read_region(out[1]).size == 0
+    assert h5.read_region(out[2]).tolist() == [g[1, 2], g[5, 0]]
+    assert h5.read_region(out[3]).tolist() == g.reshape(-1).tolist()
+    assert h5.read_region(out[4]).size == 0
+    assert h5.read_region(out[5]).tolist() == (
+        g[0:1, 0:3].reshape(-1).tolist()
+        + g[4:5, 1:3].reshape(-1).tolist()
+    )
+
+
+def test_hyperslab_v2_regular_parse():
+    """The 1.10.7+ regular-hyperslab serialization (version 2: u8
+    flags, u32 length, u32 rank, per-dim u64 start/stride/count/
+    block) expands to explicit blocks — hand-built bytes, since the
+    writer twin emits v1."""
+    # 2-D: dim0 start=1 stride=3 count=2 block=2; dim1 start=0
+    # stride=5 count=2 block=3 → 4 blocks
+    buf = struct.pack("<II", 2, 2) + bytes([0x01]) + struct.pack(
+        "<II", 4 + 2 * 32, 2
+    ) + struct.pack("<4Q", 1, 3, 2, 2) + struct.pack("<4Q", 0, 5, 2, 3)
+    kind, blocks, points = _sel_parse(buf, 0)
+    assert kind == "hyperslab" and points == ()
+    assert blocks == (
+        ((1, 0), (3, 3)),
+        ((1, 5), (3, 8)),
+        ((4, 0), (6, 3)),
+        ((4, 5), (6, 8)),
+    )
+
+
+def test_hyperslab_v2_irregular_and_v3_raise():
+    buf = struct.pack("<II", 2, 2) + bytes([0x00]) + struct.pack(
+        "<II", 4, 1
+    )
+    with pytest.raises(NotImplementedError, match="regular flag"):
+        _sel_parse(buf, 0)
+    with pytest.raises(NotImplementedError, match="version 3"):
+        _sel_parse(struct.pack("<II", 2, 3) + b"\x00" * 16, 0)
+    with pytest.raises(NotImplementedError, match="version 2"):
+        _sel_parse(struct.pack("<II", 1, 2) + b"\x00" * 16, 0)
+
+
+def test_serialize_validates():
+    with pytest.raises(ValueError, match="no blocks"):
+        _sel_serialize(H5RegionRef("g"))
+    with pytest.raises(ValueError, match="bad hyperslab block"):
+        _sel_serialize(
+            H5RegionRef("g", blocks=(((2,), (2,)),))
+        )  # empty extent
+    with pytest.raises(ValueError, match="no points"):
+        _sel_serialize(H5RegionRef("g", kind="points"))
+
+
+def test_writer_rejects_unlisted_target_and_mixed_elements():
+    refs = np.array(
+        [H5RegionRef("missing", blocks=(((0,), (1,)),))], dtype=object
+    )
+    with pytest.raises(ValueError, match="listed BEFORE"):
+        write_hdf5(
+            {
+                "regions": (["r"], refs, {}),
+                "grid": (["y"], np.arange(4.0), {}),
+            }
+        )
+    mixed = np.array(
+        [H5RegionRef(None), "not-a-ref"], dtype=object
+    )
+    with pytest.raises(TypeError, match="all-H5RegionRef"):
+        write_hdf5(
+            {
+                "grid": (["y"], np.arange(4.0), {}),
+                "regions": (["r"], mixed, {}),
+            }
+        )
+
+
+def test_read_region_bounds_are_loud():
+    h5 = H5File(_file(False))
+    with pytest.raises(ValueError, match="outside"):
+        h5.read_region(
+            H5RegionRef("grid", blocks=(((7, 0), (9, 2)),))
+        )
+    with pytest.raises(ValueError, match="outside"):
+        h5.read_region(
+            H5RegionRef("grid", kind="points", points=((8, 0),))
+        )
+    with pytest.raises(ValueError, match="not a dataset"):
+        h5.read_region(
+            H5RegionRef("nope", blocks=(((0, 0), (1, 1)),))
+        )
+
+
+def test_region_ref_attribute_raises_with_name():
+    """An ATTRIBUTE carrying region references is a loud seam (decode
+    goes through the dataset read path only) — the raise must not be
+    a nameless np_dtype failure mid-walk."""
+    from bcdp_spark.sources.hdf5 import _DType
+
+    dt = _DType(cls=7, size=12, ref_type=1)
+    with pytest.raises(NotImplementedError, match="region"):
+        dt.np_dtype
+
+
+def test_spark_loaders(spark):
+    import os
+    import tempfile
+
+    from bcdp_spark.sources.hdf5 import (
+        load_hdf5_region_values,
+        load_hdf5_vars,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        for i, chunked in enumerate([False, True]):
+            with open(os.path.join(td, f"f{i}.h5"), "wb") as fh:
+                fh.write(_file(chunked))
+        vars_df = load_hdf5_vars(
+            spark, os.path.join(td, "*.h5"), ["regions"]
+        )
+        specs = sorted(
+            r["regions"] for r in vars_df.collect()
+        )
+        assert specs.count("grid[2:4,3:6]") == 2
+        assert specs.count("") == 2
+
+        df = load_hdf5_region_values(
+            spark, os.path.join(td, "*.h5"), "regions"
+        )
+        rows = {
+            (r["src"], r["idx"]): r for r in df.collect()
+        }
+        assert len(rows) == 12
+        g = _grid()
+        r0 = rows[("f0.h5", 0)]
+        assert r0["target"] == "grid"
+        assert r0["values"] == g[2:4, 3:6].reshape(-1).tolist()
+        assert rows[("f1.h5", 1)]["values"] == []
+        assert rows[("f1.h5", 1)]["region"] == ""
+        assert rows[("f0.h5", 2)]["values"] == [g[1, 2], g[5, 0]]
+        assert rows[("f1.h5", 3)]["values"] == g.reshape(-1).tolist()
