@@ -1393,3 +1393,106 @@ def q_hdf5_region_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "values", F.lit(0.0), lambda a, x: a + x
         ).alias("sum_vals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+ (r12, VERDICT r11 item 5) — vlen COMPOUND MEMBERS: netCDF-4
+# compound variables with string and ragged-sequence fields are the
+# CF-DSG obs-record shape real obs archives store (station name +
+# variable-length profile per record). Previously any such dataset
+# failed the whole read at the member parse.
+# ---------------------------------------------------------------------------
+_FIXVC_DIR = "/tmp/bcdp_spark_h5vlencomp_fixture_v1"
+_VC_N = 40
+
+
+def _ensure_fixture_vlen_compound() -> str:
+    """Two obs files of a compound {k i4, station vlen-str, profile
+    vlen f8, depth f8}: k = 40f+i, station '' when k%16==7 else
+    stn_{k%3}, profile = f + 0.25*arange(k%5) (empty when k%5==0),
+    depth = 0.5k. One contiguous, one chunked+deflate."""
+    from bcdp_spark.sources.hdf5 import write_hdf5
+
+    done = os.path.join(_FIXVC_DIR, ".complete")
+    if os.path.exists(done):
+        return _FIXVC_DIR
+    os.makedirs(_FIXVC_DIR, exist_ok=True)
+    dt = np.dtype(
+        [
+            ("k", "<i4"),
+            ("station", object),
+            ("profile", object),
+            ("depth", "<f8"),
+        ]
+    )
+    for f in range(2):
+        obs = np.empty(_VC_N, dtype=dt)
+        for i in range(_VC_N):
+            k = f * _VC_N + i
+            obs["k"][i] = k
+            obs["station"][i] = (
+                "" if k % 16 == 7 else f"stn_{k % 3}"
+            )
+            obs["profile"][i] = (
+                f + 0.25 * np.arange(k % 5, dtype="<f8")
+            )
+            obs["depth"][i] = 0.5 * k
+        kw = (
+            {"gzip_level": None}
+            if f == 0
+            else {"chunk": {"obs": (16,)}, "gzip_level": 4}
+        )
+        raw = write_hdf5({"obs": (["row"], obs, {})}, **kw)
+        with open(
+            os.path.join(_FIXVC_DIR, f"obs_{f}.h5"), "wb"
+        ) as fh:
+            fh.write(raw)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _FIXVC_DIR
+
+
+@register(
+    "q_hdf5_vlen_compound",
+    oracle=f"""
+WITH rows AS (
+  SELECT f.g AS f, f.g * {_VC_N} + i.g AS k
+  FROM generate_series(0, 1) f(g),
+       generate_series(0, {_VC_N - 1}) i(g)
+)
+SELECT CASE WHEN k % 16 = 7 THEN ''
+       ELSE 'stn_' || CAST(k % 3 AS VARCHAR) END AS station,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(k % 5) AS BIGINT) AS n_prof_vals,
+       {dsum_sql(
+           '(k % 5) * f + 0.25 * (k % 5) * ((k % 5) - 1) / 2',
+           'sum_prof',
+       )},
+       {dsum_sql('0.5 * k', 'sum_depth')}
+FROM rows GROUP BY 1
+""",
+)
+def q_hdf5_vlen_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 vlen compound members (r12): decode a CF-DSG obs-record
+    compound whose members include a vlen STRING (station) and a
+    numeric vlen SEQUENCE (profile), then aggregate per station over
+    the ragged profiles. The oracle recomputes the closed-form record
+    contents, so a hash match certifies the member-level GCOL
+    resolution on both a contiguous and a chunked/deflate file.
+    ``sf_dir`` unused (decode fixture)."""
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    utc(spark)
+    fix = _ensure_fixture_vlen_compound()
+    df = load_hdf5_table(
+        spark, os.path.join(fix, "*.h5"), var="obs"
+    )
+    return df.groupBy("station").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.size("profile")).cast("long").alias("n_prof_vals"),
+        dsum(
+            F.aggregate("profile", F.lit(0.0), lambda a, x: a + x),
+            "sum_prof",
+        ),
+        dsum(F.col("depth"), "sum_depth"),
+    )

@@ -331,10 +331,12 @@ def _parse_datatype_sized(body: bytes) -> tuple[_DType, int]:
         return _DType(cls=3, size=size), 8
     if cls == 9:  # variable-length
         vtype = b0 & 0x0F
-        if vtype == 1:  # vlen string (consumed length unused: vlen
-            # members of compounds raise, so only top-level callers
-            # see this and they never need the base-type trailer)
-            return _DType(cls=9, size=size, vlen_string=True), 8
+        if vtype == 1:  # vlen string: the message carries a trailing
+            # base datatype (a 1-byte string) — its encoded length
+            # matters when the vlen is a COMPOUND MEMBER (r12), where
+            # the member parser must skip exactly past it
+            _base, used = _parse_datatype_sized(body[8:])
+            return _DType(cls=9, size=size, vlen_string=True), 8 + used
         if vtype == 0:  # vlen SEQUENCE (r10): the ragged-array layout
             # NetCDF-4 vlen variables / DSG ragged obs use — each
             # element is a 16-byte global-heap reference whose object
@@ -1399,6 +1401,42 @@ class H5File:
             # undefined addresses decode as "".
             raw = self._read_slab(ds, sel, np.dtype("<u8"))
             return self._ref_decode(raw)
+        if ds.dtype.cls == 6 and any(
+            m[2].cls == 9 for m in ds.dtype.members
+        ):
+            # compound with vlen members (r12): the slab read returns
+            # the stored record layout with 16-byte GCOL references
+            # in the vlen fields; re-pack into a structured array
+            # whose vlen fields are object columns (str for vlen
+            # strings, ragged 1-D arrays for numeric sequences) — the
+            # CF-DSG obs-record shape (netCDF-4 compounds with
+            # station-name / ragged-profile fields)
+            raw = self._read_slab(ds, sel, ds.dtype.np_dtype)
+            out = np.empty(
+                raw.shape,
+                dtype=np.dtype(
+                    [
+                        (
+                            m[0],
+                            object
+                            if m[2].cls == 9
+                            else raw.dtype.fields[m[0]][0],
+                        )
+                        for m in ds.dtype.members
+                    ]
+                ),
+            )
+            for mname, _off, sub in ds.dtype.members:
+                field = np.ascontiguousarray(raw[mname])
+                if sub.cls != 9:
+                    out[mname] = field
+                elif sub.vlen_string:
+                    out[mname] = self._vlen_decode(field)
+                else:
+                    out[mname] = self._vlen_seq_decode(
+                        field, sub.base.np_dtype
+                    )
+            return out
         return self._read_slab(ds, sel, ds.dtype.np_dtype)
 
     def _ref_decode(self, arr: np.ndarray) -> np.ndarray:
@@ -1966,10 +2004,17 @@ def _vlen_str_dt_body() -> bytes:
     )
 
 
-def _dt_body(arr_dtype: np.dtype, ref_members: set | None = None) -> bytes:
+def _dt_body(
+    arr_dtype: np.dtype,
+    ref_members: set | None = None,
+    vlen_members: dict | None = None,
+) -> bytes:
     """Datatype message body for a little-endian numpy dtype.
     ``ref_members`` names compound members (u8 fields holding object
-    header addresses) to emit as class-7 OBJECT REFERENCES (r11)."""
+    header addresses) to emit as class-7 OBJECT REFERENCES (r11);
+    ``vlen_members`` maps compound member names (16-byte V16 fields
+    holding GCOL references) to ``("str", None)`` /
+    ``("seq", base_dtype)`` for class-9 vlen emission (r12)."""
     dt = np.dtype(arr_dtype)
     if dt.kind == "f":
         if dt.itemsize == 8:
@@ -2015,6 +2060,18 @@ def _dt_body(arr_dtype: np.dtype, ref_members: set | None = None) -> bytes:
                         f"ref member {n!r} must be a <u8 address field"
                     )
                 mbody = struct.pack("<BBBBI", 0x17, 0x00, 0x00, 0, 8)
+            elif vlen_members and n in vlen_members:
+                vkind, vbase = vlen_members[n]
+                if np.dtype(fdt) != _V16:
+                    raise ValueError(
+                        f"vlen member {n!r} must be a V16 field"
+                    )
+                if vkind == "str":
+                    mbody = _vlen_str_dt_body()
+                else:
+                    mbody = struct.pack(
+                        "<BBBBI", 0x19, 0x00, 0x00, 0, 16
+                    ) + _dt_body(vbase)
             else:
                 mbody = _dt_body(fdt)
             body += (
@@ -2534,6 +2591,92 @@ def write_hdf5(
             arr = arr.astype("<f8")
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
+        vlen_fields: dict[str, tuple] = {}
+        if arr.dtype.kind == "V" and arr.dtype.names and any(
+            arr.dtype[n] == object for n in arr.dtype.names
+        ):
+            # compound with vlen members (r12): object fields become
+            # class-9 members — str values → vlen strings, list/array
+            # values → numeric vlen sequences. Payloads land in one
+            # GCOL per member; the record stores 16-byte references
+            # (empty values → NULL references, which decode back as
+            # ''/empty like unwritten vlen cells). The stored record
+            # is re-packed with V16 in place of each object field.
+            for n in arr.dtype.names:
+                fdt = arr.dtype[n]
+                if fdt.names or (
+                    fdt.subdtype is not None
+                    and fdt.subdtype[0] == object
+                ):
+                    raise NotImplementedError(
+                        f"compound member {n!r}: vlen values inside "
+                        "nested compound/array members"
+                    )
+            new_descr = []
+            for n in arr.dtype.names:
+                fdt = arr.dtype[n]
+                if fdt != object:
+                    new_descr.append((n, fdt))
+                    continue
+                vals = arr[n].reshape(-1)
+                if all(isinstance(x, str) for x in vals):
+                    vlen_fields[n] = ("str", None)
+                elif any(isinstance(x, str) for x in vals):
+                    raise TypeError(
+                        f"compound member {n!r} mixes strings and "
+                        "sequences; one vlen kind per member"
+                    )
+                else:
+                    seqs = [np.ascontiguousarray(x) for x in vals]
+                    vbase = (
+                        np.result_type(*(s.dtype for s in seqs))
+                        if seqs
+                        else np.dtype("<f8")
+                    )
+                    if vbase.byteorder == ">":
+                        vbase = vbase.newbyteorder("<")
+                    if vbase.kind not in "iuf":
+                        raise NotImplementedError(
+                            f"compound member {n!r}: vlen sequence of "
+                            f"dtype {vbase} (numeric bases only)"
+                        )
+                    vlen_fields[n] = ("seq", vbase)
+                new_descr.append((n, _V16))
+            packed = np.empty(arr.shape, dtype=np.dtype(new_descr))
+            for n in arr.dtype.names:
+                if n not in vlen_fields:
+                    packed[n] = arr[n]
+                    continue
+                vkind, vbase = vlen_fields[n]
+                vals = arr[n].reshape(-1)
+                if vkind == "str":
+                    enc = [str(x).encode("utf-8") for x in vals]
+                    lengths = [len(s) for s in enc]
+                else:
+                    seqs = [
+                        np.ascontiguousarray(x).astype(
+                            vbase, copy=False
+                        )
+                        for x in vals
+                    ]
+                    enc = [s.tobytes() for s in seqs]
+                    lengths = [s.size for s in seqs]
+                payload = [s for s in enc if len(s)]
+                gaddr = (
+                    alloc.put(_gcol_blob(payload)) if payload else 0
+                )
+                refbuf = bytearray()
+                j = 1
+                for ln, s in zip(lengths, enc):
+                    if len(s) == 0:
+                        refbuf += b"\x00" * 16
+                    else:
+                        refbuf += struct.pack("<IQI", ln, gaddr, j)
+                        j += 1
+                packed[n] = np.frombuffer(
+                    bytes(refbuf), dtype=_V16
+                ).reshape(arr.shape)
+            arr = packed
         vlen_str = vlen_seq = vlen_nested = objref = regref = False
         vlen_base = None
         if arr.dtype.kind == "U":
@@ -2766,6 +2909,7 @@ def write_hdf5(
             dt_msg = _dt_body(
                 arr.dtype,
                 ref_members=set((ref_members or {}).get(name, {})),
+                vlen_members=vlen_fields or None,
             )
         msgs: list[tuple[int, bytes]] = [
             (0x01, _ds_body(arr.shape, maxshape.get(name))),
@@ -3162,6 +3306,24 @@ def load_hdf5_table(spark, path, var: str | None = None,
             # referenced object's path; NULL refs -> '')
             fields.append(f"`{cname}` string")
             continue
+        if sub.cls == 9:
+            # vlen member (r12): string members → string, numeric
+            # vlen-sequence members → array<T> (the CF-DSG
+            # ragged-profile field shape)
+            if sub.vlen_string:
+                fields.append(f"`{cname}` string")
+                continue
+            eff = sub.base
+            key = (
+                "f" if eff.cls == 1 else ("i" if eff.signed else "u")
+            ) + str(eff.size)
+            if eff.cls not in (0, 1) or key not in _SPARK_T:
+                raise NotImplementedError(
+                    f"compound member {cname!r}: vlen base {key} has "
+                    "no Spark column type"
+                )
+            fields.append(f"`{cname}` array<{_SPARK_T[key]}>")
+            continue
         eff = sub.base if sub.cls == 10 else sub
         key = (
             "f" if eff.cls == 1 else ("i" if eff.signed else "u")
@@ -3204,6 +3366,12 @@ def load_hdf5_table(spark, path, var: str | None = None,
                         cols[cname] = h5._ref_decode(np.ascontiguousarray(v))
                     elif sub.cls == 10:
                         cols[cname] = [x.tolist() for x in v]
+                    elif sub.cls == 9 and not sub.vlen_string:
+                        # ragged numeric member → list per row for
+                        # Arrow array<T> ingestion
+                        cols[cname] = [
+                            np.asarray(x).tolist() for x in v
+                        ]
                     else:
                         cols[cname] = v
                 yield _pd.DataFrame(cols)

@@ -1,0 +1,189 @@
+"""Foreign-file robustness harness (r12, VERDICT r11 item 3).
+
+Eleven rounds of writer-twin tests never produced the netCDF-4
+DIMENSION_LIST attribute shape that made every real h5py/netcdf4
+output fail to OPEN until r11 — because the twin writer only emits
+what the twin writer emits. This harness generalizes the lesson: when
+``BCDP_SPARK_FOREIGN_DIR`` points at a directory of REAL files
+(produced by libhdf5/netcdf4/eccodes/GDAL/zarr, outside this repo),
+every file must either decode through the normal surface or fail
+through a DOCUMENTED loud seam (``NotImplementedError`` naming the
+unsupported feature) — never an uncaught struct/index/key error, the
+failure class the DIMENSION_LIST bug was.
+
+The container ships no producer libraries, so the suite SKIPS LOUDLY
+when the variable is unset — it arms itself the moment real files
+appear, the same import-gated pattern as the szip/blosc codec
+cross-checks (tests/test_h5filters.py, tests/test_blosc.py).
+
+Layout expected under ``$BCDP_SPARK_FOREIGN_DIR`` (all optional,
+recursed): ``*.nc`` / ``*.nc4`` / ``*.h5`` / ``*.hdf5`` (HDF5 or
+CDF-classic), ``*.grib2``, ``*.tif`` / ``*.tiff`` (GeoTIFF), and Zarr
+stores as directories containing ``.zgroup`` / ``.zarray`` /
+``zarr.json``.
+
+Which on-disk profiles the synthetic writer twins cover vs not is
+recorded in docs/FORMATS.md ("Foreign-file coverage", r12)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+_DIR = os.environ.get("BCDP_SPARK_FOREIGN_DIR", "")
+
+pytestmark = pytest.mark.skipif(
+    not _DIR,
+    reason=(
+        "BCDP_SPARK_FOREIGN_DIR not set — the foreign-file "
+        "robustness harness is ARMED but has no real files to walk; "
+        "point it at a directory of real .nc/.h5/.grib2/.tif/zarr "
+        "files to activate (r12, VERDICT r11 item 3)"
+    ),
+)
+
+
+def _walk(exts: tuple[str, ...]) -> list[str]:
+    out = []
+    if not _DIR:
+        return out
+    for root, _dirs, files in os.walk(_DIR):
+        for f in files:
+            if f.lower().endswith(exts):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _zarr_stores() -> list[str]:
+    out = []
+    if not _DIR:
+        return out
+    for root, dirs, files in os.walk(_DIR):
+        if {".zgroup", ".zarray", "zarr.json"} & set(files):
+            out.append(root)
+            dirs[:] = []  # the store root covers its children
+    return sorted(out)
+
+
+def _params(files):
+    # parametrize lazily so collection stays cheap when unarmed
+    return files or ["<none>"]
+
+
+def _assert_loud_or_ok(fn, path):
+    """Run ``fn``; a NotImplementedError is a documented loud seam
+    (xfail, surfacing which seam), any OTHER exception is exactly the
+    bug class this harness exists to catch."""
+    try:
+        return fn()
+    except NotImplementedError as e:
+        pytest.xfail(f"documented loud seam on {path}: {e}")
+    except Exception as e:  # noqa: BLE001 — the assertion itself
+        pytest.fail(
+            f"foreign file {path} failed OUTSIDE the loud-seam "
+            f"contract: {type(e).__name__}: {e}"
+        )
+
+
+@pytest.mark.parametrize(
+    "path", _params(_walk((".nc", ".nc4", ".h5", ".hdf5")))
+)
+def test_foreign_hdf5_netcdf_open_walk_read(path):
+    """Open (= full group/attribute walk) + metadata of every dataset
+    + one full variable read must succeed or raise a loud seam."""
+    if path == "<none>":
+        pytest.skip("no .nc/.h5 files under BCDP_SPARK_FOREIGN_DIR")
+    with open(path, "rb") as fh:
+        buf = fh.read()
+
+    def run():
+        if buf[:3] == b"CDF":
+            from bcdp_spark.sources.netcdf3 import read_netcdf3
+
+            nc = read_netcdf3(buf)
+            for v in nc.variables.values():
+                _ = v.shape, dict(v.attrs)
+                if v.data is not None:
+                    np.asarray(v.data)
+            return
+        from bcdp_spark.sources.hdf5 import H5File
+
+        h5 = H5File(buf)
+        for _name, ds in h5.datasets.items():
+            _ = ds.shape, ds.dtype, dict(ds.attrs)
+        _ = dict(h5.attrs)
+        if h5.datasets:
+            h5.read(min(h5.datasets))
+
+    _assert_loud_or_ok(run, path)
+
+
+@pytest.mark.parametrize("path", _params(_walk((".grib2",))))
+def test_foreign_grib2_index_and_decode(path):
+    """Header index of EVERY message + full decode of the first four
+    fields (grid, packing, bitmap)."""
+    if path == "<none>":
+        pytest.skip("no .grib2 files under BCDP_SPARK_FOREIGN_DIR")
+
+    def run():
+        from bcdp_spark.sources.grib2 import decode_message, scan_grib2
+
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        idxs = scan_grib2(buf)
+        for idx in idxs[:4]:
+            fld = decode_message(buf, idx.offset, idx.field)
+            np.asarray(fld.values)
+
+    _assert_loud_or_ok(run, path)
+
+
+@pytest.mark.parametrize("path", _params(_walk((".tif", ".tiff"))))
+def test_foreign_geotiff_meta_walk(path):
+    """Full IFD/meta walk at the base level and every overview."""
+    if path == "<none>":
+        pytest.skip("no .tif files under BCDP_SPARK_FOREIGN_DIR")
+
+    def run():
+        from bcdp_spark.sources.geotiff import parse_geotiff
+
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        meta = parse_geotiff(raw)
+        ov = 0
+        while True:
+            try:
+                parse_geotiff(raw, overview=ov)
+            except (ValueError, IndexError):
+                break  # past the last overview level
+            ov += 1
+        return meta
+
+    _assert_loud_or_ok(run, path)
+
+
+@pytest.mark.parametrize("store", _params(_zarr_stores()))
+def test_foreign_zarr_meta_and_first_array(store):
+    """Array listing + metadata parse of every array + a full read of
+    the first (codec pipeline, dtype, fill handling)."""
+    if store == "<none>":
+        pytest.skip("no zarr stores under BCDP_SPARK_FOREIGN_DIR")
+
+    def run():
+        from bcdp_spark.sources.zarr import (
+            _list_arrays,
+            read_array,
+            read_array_meta,
+            read_consolidated,
+        )
+
+        cons = read_consolidated(store)
+        names = _list_arrays(store, cons)
+        for n in names:
+            read_array_meta(store, n, cons)
+        if names:
+            read_array(store, names[0], cons)
+
+    _assert_loud_or_ok(run, store)

@@ -770,18 +770,39 @@ def test_compound_v3_minimal_offset_bytes():
 
 
 def test_compound_nested_member_raises():
+    """r12: plain vlen-string / numeric-vlen members parse (CF-DSG
+    obs records); a vlen member whose BASE is itself vlen (nesting
+    inside a compound) stays a loud seam."""
     import struct as _st
 
     from bcdp_spark.sources.hdf5 import _parse_datatype
 
-    vlen = bytes([0x19, 0x01, 0, 0]) + _st.pack("<I", 16)
+    from bcdp_spark.sources.hdf5 import _dt_body
+
+    inner_f8 = bytes([0x19, 0x00, 0, 0]) + _st.pack("<I", 16) + (
+        _dt_body(np.dtype("<f8"))
+    )
+    inner = bytes([0x19, 0x01, 0, 0]) + _st.pack("<I", 16) + (
+        _dt_body(np.dtype("S1"))
+    )
+    vlen_of_vlen = (
+        bytes([0x19, 0x00, 0, 0]) + _st.pack("<I", 16) + inner_f8
+    )
     body = (
         bytes([(3 << 4) | 6, 1, 0, 0])
         + _st.pack("<I", 16)
-        + b"v\x00" + bytes([0]) + vlen
+        + b"v\x00" + bytes([0]) + vlen_of_vlen
     )
     with pytest.raises(NotImplementedError, match="compound member"):
         _parse_datatype(body)
+    # a plain vlen-string member parses since r12
+    simple = (
+        bytes([(3 << 4) | 6, 1, 0, 0])
+        + _st.pack("<I", 16)
+        + b"v\x00" + bytes([0]) + inner
+    )
+    dt = _parse_datatype(simple)
+    assert dt.members[0][2].vlen_string
 
 
 def test_compound_unsigned_members_widen_in_spark_table(spark):
@@ -1425,3 +1446,89 @@ def test_vlen_numeric_attr_and_vlen_ref_dataset():
     vref = bytes([0x19, 0x00, 0, 0]) + _st.pack("<I", 16) + ref
     dt = _parse_datatype(vref)
     assert dt.cls == 9 and dt.base.cls == 7
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 item 5) — vlen COMPOUND MEMBERS: netCDF-4 compound
+# variables with string / ragged-sequence fields (the CF-DSG
+# obs-record shape). Writer-twin certified; the foreign-file harness
+# arms the real-producer cross-check when real files appear.
+# ---------------------------------------------------------------------------
+
+
+def _vlen_compound_obs(n=6):
+    dt = np.dtype(
+        [
+            ("k", "<i4"),
+            ("station", object),
+            ("profile", object),
+            ("depth", "<f8"),
+        ]
+    )
+    obs = np.empty(n, dtype=dt)
+    for i in range(n):
+        obs["k"][i] = i
+        obs["station"][i] = "" if i == 3 else f"stn_{i % 3}"
+        obs["profile"][i] = np.arange(i, dtype="<f8") * 0.5
+        obs["depth"][i] = 10.0 * i
+    return obs
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{"gzip_level": None}, {"chunk": {"obs": (4,)}, "gzip_level": 4}],
+    ids=["contiguous", "chunked-deflate"],
+)
+def test_vlen_compound_member_roundtrip(kw):
+    from bcdp_spark.sources.hdf5 import H5File
+
+    obs = _vlen_compound_obs()
+    h5 = H5File(write_hdf5({"obs": (["row"], obs, {})}, **kw))
+    out = h5.read("obs")
+    assert out["k"].tolist() == list(range(6))
+    assert list(out["station"]) == [
+        "stn_0", "stn_1", "stn_2", "", "stn_1", "stn_2",
+    ]
+    for i in range(6):
+        assert out["profile"][i].tolist() == (
+            (np.arange(i) * 0.5).tolist()
+        )
+    assert out["depth"].tolist() == [10.0 * i for i in range(6)]
+
+
+def test_vlen_compound_member_guards():
+    from bcdp_spark.sources.hdf5 import H5File
+
+    mixed = np.empty(2, dtype=np.dtype([("v", object)]))
+    mixed["v"][0] = "text"
+    mixed["v"][1] = np.arange(3.0)
+    with pytest.raises(TypeError, match="one vlen kind"):
+        write_hdf5({"obs": (["row"], mixed, {})})
+    bad = np.empty(1, dtype=np.dtype([("v", object)]))
+    bad["v"][0] = np.array(["a", "b"], dtype=object)
+    with pytest.raises(NotImplementedError, match="numeric bases"):
+        write_hdf5({"obs": (["row"], bad, {})})
+
+
+def test_vlen_compound_member_spark_table(spark):
+    import os
+    import tempfile
+
+    from bcdp_spark.sources.hdf5 import load_hdf5_table
+
+    obs = _vlen_compound_obs()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "obs.h5")
+        with open(p, "wb") as fh:
+            fh.write(write_hdf5({"obs": (["row"], obs, {})}))
+        df = load_hdf5_table(spark, p, var="obs")
+        assert dict(df.dtypes) == {
+            "k": "int",
+            "station": "string",
+            "profile": "array<double>",
+            "depth": "double",
+        }
+        rows = {r["k"]: r for r in df.collect()}
+        assert rows[3]["station"] == ""
+        assert rows[4]["profile"] == [0.0, 0.5, 1.0, 1.5]
+        assert rows[0]["profile"] == []

@@ -1,0 +1,203 @@
+"""Seeded differential fuzz for the r12 surfaces: dataset-region
+references (selection codec + region materialization vs numpy slicing
+truth), vlen compound members (roundtrip vs the writer's own input),
+and the hand-built v2 regular-hyperslab parse vs its numpy expansion.
+
+Determinism: ``np.random.default_rng(seed)`` only. Seeds 1040+ (the
+r11 sweep used 840-1039)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bcdp_spark.sources.hdf5 import (
+    H5File,
+    H5RegionRef,
+    _sel_parse,
+    write_hdf5,
+)
+
+
+def _rand_ref(rng, shape):
+    roll = rng.random()
+    if roll < 0.1:
+        return H5RegionRef(None), None
+    if roll < 0.2:
+        return H5RegionRef("grid", kind="all"), (
+            lambda g: g.reshape(-1)
+        )
+    if roll < 0.3:
+        return H5RegionRef("grid", kind="none"), (
+            lambda g: g.reshape(-1)[:0]
+        )
+    if roll < 0.5:
+        npts = int(rng.integers(1, 5))
+        pts = tuple(
+            tuple(int(rng.integers(0, n)) for n in shape)
+            for _ in range(npts)
+        )
+        return H5RegionRef("grid", kind="points", points=pts), (
+            lambda g, pts=pts: np.array([g[p] for p in pts])
+        )
+    nblk = int(rng.integers(1, 4))
+    blocks = []
+    for _ in range(nblk):
+        start = tuple(int(rng.integers(0, n)) for n in shape)
+        stop = tuple(
+            int(rng.integers(s + 1, n + 1))
+            for s, n in zip(start, shape)
+        )
+        blocks.append((start, stop))
+    blocks = tuple(blocks)
+    return H5RegionRef("grid", blocks=blocks), (
+        lambda g, blocks=blocks: np.concatenate(
+            [
+                g[tuple(slice(s, e) for s, e in zip(st, sp))].reshape(
+                    -1
+                )
+                for st, sp in blocks
+            ]
+        )
+    )
+
+
+@pytest.mark.parametrize("seed", range(1040, 1052))
+def test_fuzz_region_reference_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    rank = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(2, 9)) for _ in range(rank))
+    grid = rng.normal(size=shape).astype("<f8")
+    n = int(rng.integers(1, 20))
+    refs, truths = [], []
+    for _ in range(n):
+        r, t = _rand_ref(rng, shape)
+        refs.append(r)
+        truths.append(t)
+    kw = {}
+    if rng.integers(0, 2):
+        kw["chunk"] = {
+            "grid": tuple(
+                int(rng.integers(1, s + 1)) for s in shape
+            ),
+            "regions": (int(rng.integers(1, n + 1)),),
+        }
+        kw["gzip_level"] = int(rng.integers(1, 9))
+    else:
+        kw["gzip_level"] = None
+    dims = [f"d{i}" for i in range(rank)]
+    h5 = H5File(
+        write_hdf5(
+            {
+                "grid": (dims, grid, {}),
+                "regions": (
+                    ["r"],
+                    np.array(refs, dtype=object),
+                    {},
+                ),
+            },
+            **kw,
+        )
+    )
+    out = h5.read("regions")
+    for want, got, truth in zip(refs, out, truths):
+        assert got.spec() == (
+            want.spec()
+            if want.target is None
+            else want.spec()
+        )
+        vals = h5.read_region(got)
+        if truth is None:
+            assert vals.size == 0
+        else:
+            np.testing.assert_array_equal(vals, truth(grid))
+
+
+@pytest.mark.parametrize("seed", range(1060, 1072))
+def test_fuzz_vlen_compound_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40))
+    has_str = bool(rng.integers(0, 2))
+    seq_base = rng.choice(["<f8", "<i4", "<f4", "<i8"])
+    fields = [("k", "<i4")]
+    if has_str:
+        fields.append(("name", object))
+    fields.append(("seq", object))
+    if rng.integers(0, 2):
+        fields.append(("x", "<f8"))
+    obs = np.empty(n, dtype=np.dtype(fields))
+    names = []
+    seqs = []
+    for i in range(n):
+        obs["k"][i] = i
+        if has_str:
+            s = (
+                ""
+                if rng.random() < 0.2
+                else "s" * int(rng.integers(1, 12)) + str(i)
+            )
+            obs["name"][i] = s
+            names.append(s)
+        ln = int(rng.integers(0, 7))
+        v = (rng.integers(-50, 50, size=ln)).astype(seq_base)
+        obs["seq"][i] = v
+        seqs.append(v)
+        if "x" in obs.dtype.names:
+            obs["x"][i] = float(rng.normal())
+    kw = {}
+    if rng.integers(0, 2):
+        kw["chunk"] = {"obs": (int(rng.integers(1, n + 1)),)}
+        kw["gzip_level"] = int(rng.integers(1, 9))
+    else:
+        kw["gzip_level"] = None
+    h5 = H5File(write_hdf5({"obs": (["row"], obs, {})}, **kw))
+    out = h5.read("obs")
+    assert out["k"].tolist() == list(range(n))
+    if has_str:
+        assert list(out["name"]) == names
+    for i in range(n):
+        got = out["seq"][i]
+        assert got.dtype == np.dtype(seq_base)
+        assert got.tolist() == seqs[i].tolist()
+    if "x" in obs.dtype.names:
+        np.testing.assert_array_equal(out["x"], obs["x"])
+    # random hyperslab restriction resolves member refs identically
+    lo = int(rng.integers(0, n))
+    hi = int(rng.integers(lo, n + 1))
+    sub = h5.read("obs", (slice(lo, hi),))
+    for i, j in enumerate(range(lo, hi)):
+        assert sub["seq"][i].tolist() == seqs[j].tolist()
+
+
+@pytest.mark.parametrize("seed", range(1080, 1090))
+def test_fuzz_hyperslab_v2_parse_matches_expansion(seed):
+    """Hand-encode random REGULAR v2 hyperslabs (the 1.10.7+ form the
+    writer twin never emits) and check the parse expands to exactly
+    the numpy-derived block set."""
+    rng = np.random.default_rng(seed)
+    rank = int(rng.integers(1, 4))
+    dims = []
+    for _ in range(rank):
+        start = int(rng.integers(0, 5))
+        block = int(rng.integers(1, 4))
+        stride = block + int(rng.integers(0, 4))
+        count = int(rng.integers(1, 4))
+        dims.append((start, stride, count, block))
+    buf = struct.pack("<II", 2, 2) + bytes([0x01]) + struct.pack(
+        "<II", 4 + rank * 32, rank
+    )
+    for d in dims:
+        buf += struct.pack("<4Q", *d)
+    kind, blocks, points = _sel_parse(buf, 0)
+    assert kind == "hyperslab" and points == ()
+    import itertools
+
+    want = []
+    for idx in itertools.product(*(range(d[2]) for d in dims)):
+        st = tuple(d[0] + i * d[1] for d, i in zip(dims, idx))
+        want.append(
+            (st, tuple(s + d[3] for s, d in zip(st, dims)))
+        )
+    assert blocks == tuple(want)

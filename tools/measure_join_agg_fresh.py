@@ -1,0 +1,174 @@
+"""Fresh-plan decomposition of q_join_agg at sf10 (r12, VERDICT r11
+item 2): the r11 bench reported 0.98 s fresh vs DuckDB 0.028 s (35x)
+— the worst disclosed ratio. Before touching the plan, attribute the
+cost by measurement: each component is timed on a NEW DataFrame per
+run (the honest fresh-plan protocol — same-DF reruns skip completed
+shuffle map stages), caches unpersisted first.
+
+Components:
+  probe_scan   — orders scan of exactly the probe columns
+                 (o_custkey, o_totalprice) + a count+sum to force
+                 materialization of both. The floor any hash-join
+                 probe must pay.
+  dim_build    — customer⋈nation⋈region pipeline collected to the
+                 driver (what the broadcast build costs per run).
+  full         — the shipped q_join_agg.
+  intkey       — variant: broadcast maps c_custkey→n_nationkey only,
+                 group by the int key, join 25-row nation AFTER the
+                 agg for names (narrower broadcast rows, int group
+                 keys).
+  duckdb       — the oracle SQL in the same process, interleaved.
+
+Usage: python tools/measure_join_agg_fresh.py [reps]
+Env:   SPARK_GRAFT_SF_DIR (default: the sf10 tile dir built by
+       tools/make_sf1.ensure_sf10()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import bcdp_spark.queries as q
+    from bcdp_spark.queries._helpers import msum
+    from bcdp_spark.session import get_spark
+    from bcdp_spark.tables import table
+    from tools.make_sf1 import ensure_sf10
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or ensure_sf10()
+
+    spark = get_spark("measure_join_agg_fresh")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    sql = q.oracle_sql()["q_join_agg"]
+
+    def fresh_probe_scan():
+        df = (
+            table(spark, sf_dir, "orders")
+            .select("o_custkey", "o_totalprice")
+            .agg(
+                F.count("o_custkey").alias("n"),
+                F.sum("o_totalprice").alias("s"),
+            )
+        )
+        df.collect()
+
+    def fresh_dim_build():
+        customer = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = F.broadcast(table(spark, sf_dir, "nation"))
+        region = F.broadcast(
+            table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "ASIA"
+            )
+        )
+        (
+            customer.join(
+                nation, customer.c_nationkey == nation.n_nationkey
+            )
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .select("c_custkey", "n_name")
+            .collect()
+        )
+
+    def fresh_full():
+        q.queries()["q_join_agg"](spark, sf_dir).collect()
+
+    def fresh_intkey():
+        orders = table(spark, sf_dir, "orders")
+        customer = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = table(spark, sf_dir, "nation")
+        region = table(spark, sf_dir, "region").filter(
+            F.col("r_name") == "ASIA"
+        )
+        asia_keys = F.broadcast(
+            customer.join(
+                F.broadcast(nation).select("n_nationkey", "n_regionkey"),
+                customer.c_nationkey == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(region),
+                F.col("n_regionkey") == region.r_regionkey,
+            )
+            .select("c_custkey", "c_nationkey")
+        )
+        agg = (
+            orders.join(
+                asia_keys, orders.o_custkey == asia_keys.c_custkey
+            )
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                msum(F.col("o_totalprice"), "revenue"),
+            )
+        )
+        (
+            agg.join(
+                F.broadcast(nation),
+                agg.c_nationkey == nation.n_nationkey,
+            )
+            .select("n_name", "n_orders", "revenue")
+            .collect()
+        )
+
+    def duck():
+        con.execute(sql).fetchall()
+
+    timers = {
+        "probe_scan": fresh_probe_scan,
+        "dim_build": fresh_dim_build,
+        "full": fresh_full,
+        "intkey": fresh_intkey,
+        "duckdb": duck,
+    }
+    # one untimed warmup each (JVM/code paths), then interleave
+    for fn in timers.values():
+        spark.catalog.clearCache()
+        fn()
+    results = {k: [] for k in timers}
+    for _ in range(reps):
+        for k, fn in timers.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            results[k].append(time.perf_counter() - t0)
+    out = {
+        k: {
+            "min": round(min(v), 4),
+            "median": round(sorted(v)[len(v) // 2], 4),
+        }
+        for k, v in results.items()
+    }
+    out["sf_dir"] = sf_dir
+    out["ratio_full_vs_duckdb"] = round(
+        out["full"]["min"] / out["duckdb"]["min"], 2
+    )
+    out["ratio_intkey_vs_duckdb"] = round(
+        out["intkey"]["min"] / out["duckdb"]["min"], 2
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
