@@ -135,32 +135,57 @@ GROUP BY n_name
 """,
 )
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 restructure (guide §3.1/§2.3; measured at sf10,
+    tools/measure_join_agg_v2.py): the r11 shape joined
+    customer⋈nation⋈region into a c_custkey→n_name side whose static
+    size estimate exceeded the broadcast threshold, so the planner
+    put a SortMergeJoin on the orders side — 15M rows shuffle-written
+    before AQE could salvage a broadcast (sf10 fresh 1.4-1.5 s). Now
+    the dim chain collapses to a 5-row (n_nationkey, n_name)
+    broadcast; customer is LEFT-SEMI reduced against it (stays a
+    narrow 2-int-column relation the planner broadcasts statically),
+    the aggregate groups by the int nationkey, and n_name attaches
+    post-agg on ≤25 rows. Static plan at sf10: all-BroadcastHashJoin,
+    zero exchanges on orders (plans/r12/q_join_agg_after.txt);
+    measured 1.54→0.93 s fresh (median 2.40→0.97). Result-identical:
+    nationkey→n_name is injective, the semi filter keeps exactly the
+    ASIA customers, inner joins drop nothing the old plan kept.
+
+    Broadcast hints still touch ONLY the fixed-size dims (nation 25 /
+    region 5 rows forever — docs/SCALE.md 'Joins' r5 decision);
+    customer/orders remain AQE's call: at 100 TB the customer side
+    estimate is fact-sized and the planner falls back to a shuffle
+    join, which is the correct plan there."""
     utc(spark)
     orders = table(spark, sf_dir, "orders")
-    # Broadcast ONLY the fixed-size dims; customer/orders scale with SF
-    # and stay with AQE — the recorded decision in docs/SCALE.md
-    # ("Joins", r5 decision record), pinned by
-    # tests/test_plans.py::test_join_agg_broadcasts_dims_only.
-    customer = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
+    nation = table(spark, sf_dir, "nation")
+    region_asia = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
     )
-    nation = F.broadcast(table(spark, sf_dir, "nation"))
-    region = F.broadcast(
-        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nk = nation.join(
+        F.broadcast(region_asia),
+        nation.n_regionkey == region_asia.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(asia_nk.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
     )
-    asia_cust = (
-        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "n_name")
-    )
-    return (
-        orders.join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
-        .groupBy("n_name")
+    agg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             msum(F.col("o_totalprice"), "revenue"),
         )
     )
+    return agg.join(
+        F.broadcast(asia_nk), agg.c_nationkey == asia_nk.n_nationkey
+    ).select("n_name", "n_orders", "revenue")
 
 
 # ---------------------------------------------------------------------------

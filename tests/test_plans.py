@@ -55,9 +55,14 @@ def test_join_agg_broadcasts_dims_only(spark):
                 ln for ln in lines[i + 1 :] if "Relation" in ln
             )
             hinted.append(rel)
-    assert len(hinted) == 2, f"expected 2 broadcast hints: {hinted}"
-    assert any("n_nationkey" in r for r in hinted)
-    assert any("r_regionkey" in r for r in hinted)
+    # r12 shape: region(ASIA) inside the 5-row (nationkey, name) dim,
+    # that dim's key-only projection (semi-filters customer), and the
+    # same dim post-agg. The dim subtree is referenced twice, so its
+    # inner region hint resolves once per reference — every hint must
+    # still be rooted at nation/region, and only there.
+    assert len(hinted) >= 3, f"expected >=3 broadcast hints: {hinted}"
+    for r in hinted:
+        assert "n_nationkey" in r or "r_regionkey" in r, r
     # the scale-variable sides must never be hint-broadcast
     assert not any("c_custkey" in r or "o_orderkey" in r for r in hinted)
 

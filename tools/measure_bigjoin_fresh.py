@@ -1,0 +1,160 @@
+"""Fresh-plan decomposition of q_bigjoin at sf10 (r12 optimization
+round): r11 bench reported 5.18 s fresh vs DuckDB 0.91 s (5.7x).
+Attribute before changing: each component times a NEW DataFrame per
+run (same-DF reruns skip completed shuffle map stages).
+
+Components:
+  li_scan     — lineitem scan of exactly the 3 needed columns + a
+                cheap agg to force full materialization.
+  full        — the shipped q_bigjoin (SMJ/AQE's choice + agg).
+  shj         — same plan, orders side hinted SHUFFLE_HASH (kills
+                both sort legs; guide §3.1).
+  preagg      — aggregate-before-join: partial-agg lineitem by
+                l_orderkey first (map-side combine collapses the
+                ~4 lineitems/order BEFORE the exchange — guide §2.3
+                "aggregate before you shuffle"), join the 15M-row
+                narrow agg output to orders, then the tiny final
+                agg. Bit-exact: msum's per-row floor happens before
+                any sum; long partial sums re-summed are associative.
+  preagg_shj  — preagg with the orders join hinted SHUFFLE_HASH.
+  duckdb      — the oracle SQL, interleaved in-process.
+
+Usage: python tools/measure_bigjoin_fresh.py [reps]
+Env:   SPARK_GRAFT_SF_DIR (default: the sf10 tile dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import bcdp_spark.queries as q
+    from bcdp_spark.queries._helpers import MONEY_SCALE
+    from bcdp_spark.session import get_spark
+    from bcdp_spark.tables import table
+    from tools.make_sf1 import ensure_sf10
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or ensure_sf10()
+
+    spark = get_spark("measure_bigjoin_fresh")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    sql = q.oracle_sql()["q_bigjoin"]
+
+    def _mpart(c, alias):
+        return F.sum(
+            F.floor(F.col(c) * MONEY_SCALE + F.lit(0.5)).cast("long")
+        ).alias(alias)
+
+    def fresh_li_scan():
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_quantity")
+            .agg(
+                F.count("l_orderkey"),
+                F.sum("l_extendedprice"),
+                F.sum("l_quantity"),
+            )
+            .collect()
+        )
+
+    def fresh_full():
+        q.queries()["q_bigjoin"](spark, sf_dir).collect()
+
+    def _base(orders):
+        li = table(spark, sf_dir, "lineitem")
+        return li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def fresh_shj():
+        from bcdp_spark.queries._helpers import msum
+
+        orders = table(spark, sf_dir, "orders").hint("shuffle_hash")
+        (
+            _base(orders)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                msum(F.col("l_extendedprice"), "sum_price"),
+                msum(F.col("l_quantity"), "sum_qty"),
+            )
+            .collect()
+        )
+
+    def _preagg(hint: str | None):
+        li = table(spark, sf_dir, "lineitem")
+        li_agg = li.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _mpart("l_extendedprice", "sp"),
+            _mpart("l_quantity", "sq"),
+        )
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        if hint:
+            orders = orders.hint(hint)
+        joined = li_agg.join(
+            orders, li_agg.l_orderkey == orders.o_orderkey
+        )
+        (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.sum("cnt").alias("n"),
+                (F.sum("sp").cast("double") / F.lit(MONEY_SCALE)).alias(
+                    "sum_price"
+                ),
+                (F.sum("sq").cast("double") / F.lit(MONEY_SCALE)).alias(
+                    "sum_qty"
+                ),
+            )
+            .collect()
+        )
+
+    timers = {
+        "li_scan": fresh_li_scan,
+        "full": fresh_full,
+        "shj": fresh_shj,
+        "preagg": lambda: _preagg(None),
+        "preagg_shj": lambda: _preagg("shuffle_hash"),
+        "duckdb": lambda: con.execute(sql).fetchall(),
+    }
+    for fn in timers.values():
+        spark.catalog.clearCache()
+        fn()
+    results = {k: [] for k in timers}
+    for _ in range(reps):
+        for k, fn in timers.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            results[k].append(time.perf_counter() - t0)
+    out = {
+        k: {
+            "min": round(min(v), 4),
+            "median": round(sorted(v)[len(v) // 2], 4),
+        }
+        for k, v in results.items()
+    }
+    out["sf_dir"] = sf_dir
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

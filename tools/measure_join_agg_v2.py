@@ -1,0 +1,195 @@
+"""Second-round q_join_agg variant shootout at sf10 (r12 optimization).
+
+measure_join_agg_fresh.py attributed the 35x: probe scan 0.27 s,
+dim broadcast build 0.37 s, full 1.44 s, intkey-with-hint 0.79 s.
+The hinted intkey variant broadcast-hints the customer-derived side,
+which the r5 scale decision (tests/test_plans.py::
+test_join_agg_broadcasts_dims_only) forbids: customer scales with SF.
+These variants stay scale-safe (no hint on any SF-scaled side):
+
+  full          — shipped q_join_agg (baseline).
+  intkey_aqe    — group by c_nationkey (int), customer side filtered by
+                  an isin() of the ASIA nation keys (from one bounded
+                  25+5-row driver collect), n_name attached post-agg by
+                  a literal CASE map. No broadcast hints on customer.
+  intkey_hint   — same but WITH the (scale-unsafe) hint, as the upper
+                  bound reference.
+  namekey_aqe   — like intkey_aqe but group directly by the mapped
+                  n_name string pre-agg (no post-agg projection).
+  duckdb        — oracle SQL interleaved.
+
+Usage: python tools/measure_join_agg_v2.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import bcdp_spark.queries as q
+    from bcdp_spark.queries._helpers import msum
+    from bcdp_spark.session import get_spark
+    from bcdp_spark.tables import table
+    from tools.make_sf1 import ensure_sf10
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or ensure_sf10()
+
+    spark = get_spark("measure_join_agg_v2")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.catalog.clearCache()
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    sql = q.oracle_sql()["q_join_agg"]
+
+    def _asia_map():
+        """Bounded driver fetch of the fixed-size dims (25-row nation,
+        5-row region by TPC-H spec — cardinality does NOT scale with
+        SF): {n_nationkey: n_name} for ASIA nations."""
+        nat = {
+            r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+            for r in table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        }
+        asia = {
+            r["r_regionkey"]
+            for r in table(spark, sf_dir, "region")
+            .filter(F.col("r_name") == "ASIA")
+            .select("r_regionkey")
+            .collect()
+        }
+        return {k: name for k, (name, rk) in nat.items() if rk in asia}
+
+    def _variant(group_by_name: bool, hint: bool):
+        nmap = _asia_map()
+        keys = sorted(nmap)
+        name_expr = F.create_map(
+            *[F.lit(x) for k in keys for x in (k, nmap[k])]
+        )
+        cust = (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .filter(F.col("c_nationkey").isin(keys))
+        )
+        if hint:
+            cust = F.broadcast(cust)
+        orders = table(spark, sf_dir, "orders")
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        if group_by_name:
+            agg = (
+                joined.select(
+                    name_expr[F.col("c_nationkey")].alias("n_name"),
+                    "o_totalprice",
+                )
+                .groupBy("n_name")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    msum(F.col("o_totalprice"), "revenue"),
+                )
+            )
+        else:
+            agg = (
+                joined.groupBy("c_nationkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    msum(F.col("o_totalprice"), "revenue"),
+                )
+                .select(
+                    name_expr[F.col("c_nationkey")].alias("n_name"),
+                    "n_orders",
+                    "revenue",
+                )
+            )
+        agg.collect()
+
+    def _inplan():
+        """Fully in-plan scale-safe variant: no driver collects. The
+        dim chain collapses to a 5-row broadcast (nation semi-filtered
+        by ASIA region); customer is semi-joined to it (stays narrow,
+        static estimate under the broadcast threshold), the agg groups
+        by the int nationkey, names attach post-agg on 5 rows."""
+        nation = table(spark, sf_dir, "nation")
+        region_asia = table(spark, sf_dir, "region").filter(
+            F.col("r_name") == "ASIA"
+        )
+        asia_nk = (
+            nation.join(
+                F.broadcast(region_asia),
+                nation.n_regionkey == region_asia.r_regionkey,
+            )
+            .select("n_nationkey", "n_name")
+        )
+        cust = (
+            table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(
+                F.broadcast(asia_nk.select("n_nationkey")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+                "left_semi",
+            )
+        )
+        orders = table(spark, sf_dir, "orders")
+        agg = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                msum(F.col("o_totalprice"), "revenue"),
+            )
+        )
+        (
+            agg.join(
+                F.broadcast(asia_nk),
+                agg.c_nationkey == asia_nk.n_nationkey,
+            )
+            .select("n_name", "n_orders", "revenue")
+            .collect()
+        )
+
+    timers = {
+        "full": lambda: q.queries()["q_join_agg"](spark, sf_dir).collect(),
+        "intkey_aqe": lambda: _variant(False, False),
+        "intkey_hint": lambda: _variant(False, True),
+        "namekey_aqe": lambda: _variant(True, False),
+        "inplan": _inplan,
+        "duckdb": lambda: con.execute(sql).fetchall(),
+    }
+    for fn in timers.values():
+        spark.catalog.clearCache()
+        fn()
+    results = {k: [] for k in timers}
+    for _ in range(reps):
+        for k, fn in timers.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            results[k].append(time.perf_counter() - t0)
+    out = {
+        k: {
+            "min": round(min(v), 4),
+            "median": round(sorted(v)[len(v) // 2], 4),
+        }
+        for k, v in results.items()
+    }
+    out["sf_dir"] = sf_dir
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""r12 optimization sweep: fresh-plan wall time for EVERY registry key
+at a given SF dir (default sf0.01 — the driver's grading scale), to
+rank where engine time actually goes across the whole surface (guide
+§1: measure first). One fresh DataFrame per rep (no same-DF stage
+reuse), min of N reps, one warmup. Prints one JSON line
+{key: seconds} sorted descending, plus a total.
+
+Usage: python tools/sweep_all_keys.py [reps] [> sweep.json]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01)
+       SWEEP_KEYS (comma-separated subset)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import bcdp_spark.queries as q
+    from bcdp_spark.session import get_spark
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    spark = get_spark("sweep_all_keys")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = q.queries()
+    only = {k for k in os.environ.get("SWEEP_KEYS", "").split(",") if k}
+    out: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    for key in sorted(qs):
+        if only and key not in only:
+            continue
+        spark.sparkContext.setJobDescription(f"sweep:{key}")
+        try:
+            qs[key](spark, sf_dir).toPandas()  # warmup (codegen, fixtures)
+            samples = []
+            for _ in range(reps):
+                df = qs[key](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.toPandas()
+                samples.append(time.perf_counter() - t0)
+            out[key] = round(min(samples), 3)
+        except Exception:
+            errs[key] = traceback.format_exc(limit=1).splitlines()[-1]
+        print(f"  {key}: {out.get(key, 'ERR')}", file=sys.stderr, flush=True)
+    ranked = dict(sorted(out.items(), key=lambda kv: -kv[1]))
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "total": round(sum(out.values()), 2),
+        "n": len(out),
+        "errors": errs,
+        "queries": ranked,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
