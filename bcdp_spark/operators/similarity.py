@@ -285,6 +285,138 @@ def flat_sqdist(a: str, b: str, dim: int) -> Column:
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: Python's shortest round-trip repr +
+    the D suffix. Both repr and Spark's parse are correctly rounded,
+    so the Catalyst Literal holds the identical IEEE bits."""
+    return repr(float(x)) + "D"
+
+
+def _lit_sqdist_sql(vec: str, cvals: list[float]) -> str:
+    """Unrolled left-assoc squared L2 of a vector column against a
+    LITERAL centroid, as ONE SQL string (a single parser round-trip —
+    building this with Column operators costs thousands of py4j calls,
+    measured ~4 s per centroid set at dim 64). Term-for-term the same
+    IEEE operations as ``flat_sqdist`` against a column holding the
+    same doubles, so results are bit-identical to the r11 join-based
+    formulation."""
+    return " + ".join(
+        f"(CAST({vec}[{i}] AS DOUBLE) - {_dlit(c)})"
+        f" * (CAST({vec}[{i}] AS DOUBLE) - {_dlit(c)})"
+        for i, c in enumerate(cvals)
+    )
+
+
+def _lit_sqdist(vec: str, cvals: list[float]) -> Column:
+    return F.expr(_lit_sqdist_sql(vec, cvals))
+
+
+def _lit_argmin(vec: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """(d2, cell) of the nearest literal centroid: array_min over
+    (distance, cell) structs — the same (value, key) ordering (and the
+    same lowest-cell tiebreak on equal distances) as the r11
+    ``min_by(cell, struct(d, cell))`` over a broadcast centroid join."""
+    structs = ", ".join(
+        f"named_struct('d', {_lit_sqdist_sql(vec, cv)}, 'cell', {int(cell)})"
+        for cell, cv in cents
+    )
+    return F.expr(f"array_min(array({structs}))")
+
+
+def _assign_cells_arrow(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    dim: int,
+    cell_col: str = "cell",
+    fin: list[tuple[int, list[float]]] | None = None,
+    d2_col: str | None = None,
+) -> DataFrame:
+    """Append the nearest-centroid cell (and optionally the squared
+    distance to that cell's FINAL centroid) via a vectorized Arrow
+    batch pass (guide §4.2): per batch, k×dim elementwise NumPy ops —
+    measured 2.5× faster than the equivalent unrolled JVM expression at
+    500k×64, and the per-row cost is what dominates k-means at every
+    scale. Bit-exact twin of the JVM path: the accumulation loop runs
+    dimension-by-dimension (one vectorized (v[:,i]-c[i])² per step), so
+    every row sees the identical left-assoc IEEE sequence as
+    ``flat_sqdist`` / ``_lit_sqdist_sql``; argmin after a NaN→+inf
+    rewrite reproduces Spark's NaN-is-largest ordering, and NumPy's
+    first-minimum tiebreak == the lowest-cell tiebreak (cells are
+    passed in ascending order). All input columns pass through
+    untouched (bytes, not re-encoded)."""
+    if fin is not None and d2_col is None:
+        raise ValueError("d2_col required when fin centroids are given")
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, `{cell_col}` int"
+    if d2_col is not None:
+        out_schema += f", `{d2_col}` double"
+    cents_sorted = sorted((int(c), [float(x) for x in v]) for c, v in cents)
+    fin_sorted = (
+        None
+        if fin is None
+        else sorted((int(c), [float(x) for x in v]) for c, v in fin)
+    )
+
+    def _dists(V, cent_list, np):
+        D = np.empty((len(cent_list), V.shape[0]), dtype=np.float64)
+        for j, (_cell, cv) in enumerate(cent_list):
+            acc = None
+            for i in range(dim):
+                d = V[:, i] - cv[i]
+                t = d * d
+                acc = t if acc is None else acc + t
+            D[j] = acc
+        return D
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cell_ids = np.array([c for c, _ in cents_sorted], dtype=np.int32)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            if not cents_sorted:
+                raise ValueError(
+                    "cell assignment with an empty centroid list"
+                )
+            col = b.column(b.schema.get_field_index(vec_col))
+            if col.null_count or col.flatten().null_count:
+                raise ValueError(
+                    f"null values in vector column {vec_col!r}: the "
+                    "k-means distance contract requires dense vectors"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.shape[0] != n * dim:
+                raise ValueError(
+                    f"ragged vector column {vec_col!r}: expected "
+                    f"uniform dim {dim}"
+                )
+            V = flat.reshape(n, dim).astype(np.float64, copy=False)
+            D = _dists(V, cents_sorted, np)
+            idx = np.argmin(np.where(np.isnan(D), np.inf, D), axis=0)
+            new_cols = list(b.columns) + [
+                pa.array(cell_ids[idx], type=pa.int32())
+            ]
+            names = [f.name for f in b.schema] + [cell_col]
+            if fin_sorted is not None:
+                Dfin = _dists(V, fin_sorted, np)
+                pos = {c: j for j, (c, _) in enumerate(fin_sorted)}
+                fin_idx = np.array(
+                    [pos[int(c)] for c in cell_ids[idx]], dtype=np.int64
+                )
+                d2 = Dfin[fin_idx, np.arange(n)]
+                new_cols.append(pa.array(d2, type=pa.float64()))
+                names.append(d2_col)
+            yield pa.record_batch(new_cols, names=names)
+
+    return df.mapInArrow(assign, out_schema)
+
+
 def lloyd_kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -293,59 +425,99 @@ def lloyd_kmeans(
     n_iter: int = 2,
     dim: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
-    """Join-based Lloyd k-means over an embedding column — the
+    """Driver-coordinated Lloyd k-means over an embedding column — the
     clustering primitive behind SemDeDup-style semantic dedup and IVF
     index training. Returns ``(assigned, centroids)``: ``assigned`` has
     one row per vector with its final ``cell`` and squared distance
     ``d2`` to the final centroid; ``centroids`` is the k-row centroid
     table.
 
+    r12 restructure (guide §3.3 "planning time itself can become the
+    bottleneck" + §5 driver rules): the r11 form kept every iteration
+    in ONE lazy plan — each iteration cross-joined the vectors against
+    a centroid relation DERIVED from the previous iteration, so the
+    final plan embedded n_iter nested broadcast subtrees that the
+    executor re-ran once per reference (q_knn_join_ivf's 38-Exchange
+    plan; 4.6 s fresh at sf0.01 where the data is kilobytes). Now each
+    iteration materializes its k×dim centroid table to the driver (a
+    BOUNDED collect — k rows, the documented ≤nprobe-ints class; this
+    is how Spark MLlib's own KMeans iterates) and feeds the next
+    assignment as LITERAL centroids: the returned plan is a single
+    map-only argmin over the vector stream, no join, no window, no
+    nested lineage. Numerically bit-identical to r11 (same unrolled
+    left-assoc squared-L2 terms, same (distance, cell) min ordering,
+    same DECIMAL(28,10) means — verified by the unchanged oracle
+    hashes).
+
     Determinism (the q_token_pagerank discipline, iterated and
     oracle-twinnable): seeding is first-k-by-id (no rand()); every
-    assignment is an argmin over BIT-IDENTICAL doubles (unrolled
-    left-assoc squared L2 — see ``flat_sqdist``) with a lowest-cell
-    tiebreak; every centroid update is a DECIMAL(28,10)-exact
-    per-dimension sum divided by an exact count, cast back to double
-    once. Empty cells drop out of the centroid table (documented;
-    both engines agree).
+    assignment is an argmin over BIT-IDENTICAL doubles with a
+    lowest-cell tiebreak; every centroid update is a DECIMAL(28,10)-
+    exact per-dimension sum divided by an exact count, cast back to
+    double once. Empty cells drop out of the centroid table
+    (documented; both engines agree).
 
-    Scale (100 TB): per iteration — one broadcast of the k-row centroid
-    table onto the vector stream (map-side argmin via min_by, no
-    shuffle of vectors beyond the id-grouped agg), one (cell, dim)-key
-    hash agg for the means (k*dim rows). Vectors are never all-pairs
-    joined; lineage grows O(n_iter) and iterations are few by design —
-    persist the assignment and pass ``n_iter`` in stages if you need
-    convergence loops.
+    Scale (100 TB): per iteration — one corpus pass (map-side literal
+    argmin, no shuffle of vectors) feeding one (cell, dim)-key hash agg
+    whose k×dim-row result is what the driver holds. Vectors are never
+    all-pairs joined and never carry lineage across iterations.
     """
+    cents_prev, cents_fin = _lloyd_fit(df, vec_col, id_col, k, n_iter, dim)
+    emb = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    # Cells come from the LAST assignment pass (centroids after
+    # n_iter-1 updates); d2 is measured against the FINAL (post-update)
+    # centroid of that cell — exactly the r11 join semantics.
+    out = _assign_cells_arrow(
+        emb, "__v", cents_prev, dim,
+        cell_col="__cell", fin=cents_fin, d2_col="__d2",
+    ).select(
+        F.col("__vid").alias(id_col),
+        F.col("__cell").alias("cell"),
+        F.col("__d2").alias("d2"),
+    )
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents_fin],
+        "cell int, centroid array<double>",
+    )
+    return out, cents_df
+
+
+def _lloyd_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_iter: int,
+    dim: int,
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    """Run the Lloyd iterations, returning (centroids the last
+    assignment used, final post-update centroids) as driver-side
+    literals. Each list holds ≤k (cell, vector) pairs sorted by cell."""
     from bcdp_spark.queries._helpers import DEC
 
     emb = df.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    # Seed = the k lowest-id vectors, cells numbered 0..k-1 in id order.
-    # TakeOrdered(k) then a k-row window — NOT filter(id < k), which
-    # silently under-seeds (or returns empty) on sparse / non-zero-based
-    # id spaces.
-    seeds = emb.orderBy("__vid").limit(k)
-    cents = seeds.select(
-        (
-            F.row_number().over(Window.orderBy("__vid")) - 1
-        ).alias("__cell"),
-        F.col("__v").alias("__c"),
-    )
-    assigned = None
+    # Seed = the k lowest-id vectors, cells numbered 0..k-1 in id order
+    # (bounded k-row fetch) — NOT filter(id < k), which silently
+    # under-seeds (or returns empty) on sparse / non-zero-based ids.
+    seed_rows = emb.orderBy("__vid").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seed_rows)
+    ]
+    cents_prev = cents
     for _ in range(n_iter):
-        paired = emb.join(F.broadcast(cents)).withColumn(
-            "__d", flat_sqdist("__v", "__c", dim)
-        )
-        assigned = paired.groupBy("__vid", "__v").agg(
-            F.min_by("__cell", F.struct("__d", "__cell")).alias("__cell"),
-        )
-        cents = (
-            assigned.select(
-                "__cell", F.posexplode("__v").alias("__i", "__x")
+        cents_prev = cents
+        mean_rows = (
+            _assign_cells_arrow(
+                emb.select("__v"), "__v", cents, dim, cell_col="__cell"
             )
+            .select("__cell", F.posexplode("__v").alias("__i", "__x"))
             .groupBy("__cell", "__i")
             .agg(
                 (
@@ -360,19 +532,13 @@ def lloyd_kmeans(
                     lambda s: s["__comp"],
                 ).alias("__c")
             )
+            .collect()
         )
-    out = (
-        assigned.join(F.broadcast(cents), "__cell")
-        .withColumn("__d2", flat_sqdist("__v", "__c", dim))
-        .select(
-            F.col("__vid").alias(id_col),
-            F.col("__cell").alias("cell"),
-            F.col("__d2").alias("d2"),
+        cents = sorted(
+            (int(r["__cell"]), [float(x) for x in r["__c"]])
+            for r in mean_rows
         )
-    )
-    return out, cents.select(
-        F.col("__cell").alias("cell"), F.col("__c").alias("centroid")
-    )
+    return cents_prev, cents
 
 
 # ---------------------------------------------------------------------------
@@ -600,7 +766,11 @@ def knn_join_ivf(
     join keys are the k-row broadcast centroid table and the integer
     cell id, so both sides stream at corpus scale (store ``cell`` as a
     partition column and the probe prunes partitions)."""
-    assigned, cents = lloyd_kmeans(
+    # r12: train via the driver-coordinated fit and assign corpus
+    # cells with a map-only literal argmin — the r11 form joined the
+    # corpus back to the assignment table on id (a full corpus shuffle
+    # at scale) to re-attach vectors the corpus already carries.
+    cents_prev, cents_fin = _lloyd_fit(
         corpus.select(F.col(c_id).alias("__kid"), F.col(c_vec).alias("__kv")),
         "__kv",
         "__kid",
@@ -608,8 +778,13 @@ def knn_join_ivf(
         n_iter=n_iter,
         dim=dim,
     )
-    c_cells = corpus.join(
-        assigned.select(F.col("__kid").alias(c_id), "cell"), c_id
+    c_cells = _assign_cells_arrow(
+        corpus.select(c_id, c_vec), c_vec, cents_prev, dim, cell_col="cell"
+    )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents_fin],
+        "cell int, centroid array<double>",
     )
     # query → nprobe nearest centroids: broadcast join + per-query rank
     qd = queries.join(F.broadcast(cents)).withColumn(
@@ -677,13 +852,18 @@ def ivf_index_build(
     import json as _json
     import os as _os
 
-    assigned, cents = lloyd_kmeans(
-        df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter, dim=dim
+    # r12: literal-centroid assignment (see lloyd_kmeans) — the vector
+    # table gets its cell in one map-only pass instead of a self-join
+    # on id (which re-shuffled the whole corpus at scale).
+    cents_prev, cents_fin = _lloyd_fit(df, vec_col, id_col, k, n_iter, dim)
+    cents = df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents_fin],
+        "cell int, centroid array<double>",
     )
     cents.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
     (
-        df.join(assigned.select(id_col, "cell"), id_col)
-        .withColumnRenamed("cell", "ivf_cell")
+        _assign_cells_arrow(df, vec_col, cents_prev, dim,
+                            cell_col="ivf_cell")
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
         .parquet(_os.path.join(path, "vectors"))

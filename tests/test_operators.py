@@ -1255,9 +1255,11 @@ def test_lloyd_kmeans_recovers_planted_clusters(spark):
     assert abs(c[0][0] - 0.045) < 1e-9 and abs(c[1][0] - 5.045) < 1e-9
 
 
-def test_lloyd_kmeans_plan_broadcasts_centroids(spark):
-    """Centroid relations must reach the vector stream as broadcasts —
-    a shuffle join per iteration would re-shuffle the corpus k times."""
+def test_lloyd_kmeans_plan_is_shuffle_free(spark):
+    """r12: the returned assignment plan must be a single map-only
+    pass over the vector stream — no join, no window, no Exchange at
+    all (the r11 form shuffled the corpus keyed on (id, vector) every
+    iteration; centroids now travel as driver-held literals)."""
     from bcdp_spark.operators.similarity import lloyd_kmeans
 
     df = spark.createDataFrame(
@@ -1268,6 +1270,57 @@ def test_lloyd_kmeans_plan_broadcasts_centroids(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_assign_cells_arrow_matches_jvm_expressions(spark):
+    """The vectorized Arrow assignment must be BIT-identical to the
+    unrolled JVM literal expressions it replaced (same left-assoc IEEE
+    sequence, NaN-is-largest ordering, lowest-cell tiebreak) — the
+    _lit_argmin/_lit_sqdist helpers are kept as this cross-check twin.
+    Includes a NaN row (argmin must avoid it while a finite distance
+    exists) and an exact tie row (lowest cell must win)."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.similarity import (
+        _assign_cells_arrow,
+        _lit_argmin,
+        _lit_sqdist,
+    )
+
+    cents = [(0, [0.0, 1.0]), (2, [4.0, 1.0])]
+    rows = [
+        (1, [0.1, 0.9]),
+        (2, [3.9, 1.1]),
+        (3, [2.0, 1.0]),            # exact tie → cell 0
+        (4, [float("nan"), 0.0]),   # NaN dists → lowest cell
+        (5, [2.0 + 1e-12, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["d2"])
+        for r in _assign_cells_arrow(
+            df, "v", cents, 2, cell_col="cell", fin=cents, d2_col="d2"
+        ).collect()
+    }
+    best = _lit_argmin("v", cents)
+    exp_df = df.select(
+        "vec_id",
+        best["cell"].alias("cell"),
+        F.when(best["cell"] == 0, _lit_sqdist("v", cents[0][1]))
+        .otherwise(_lit_sqdist("v", cents[1][1]))
+        .alias("d2"),
+    )
+    exp = {r["vec_id"]: (r["cell"], r["d2"]) for r in exp_df.collect()}
+    import math
+
+    assert set(got) == set(exp)
+    for vid in exp:
+        assert got[vid][0] == exp[vid][0], vid
+        a, b = got[vid][1], exp[vid][1]
+        assert (math.isnan(a) and math.isnan(b)) or a == b, vid
+    assert got[3][0] == 0  # tie broken to the lowest cell
 
 
 def test_bm25_hand_computed(spark):
