@@ -3344,9 +3344,9 @@ def load_hdf5_table(spark, path, var: str | None = None,
         fields.append(f"`{cname}` {styp}")
     schema = ", ".join(fields)
 
-    manifest = spark.createDataFrame(
-        [(f,) for f in files], schema="path string"
-    ).repartition(len(files))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    manifest = spread_manifest(spark, [(f,) for f in files], "path string")
 
     def decode(batches):
         for pdf in batches:
@@ -3452,9 +3452,9 @@ def load_hdf5_vars(spark, path, names: list[str]):
         fields.append(f"{n} {styp}")
     schema = ", ".join(fields)
 
-    manifest = spark.createDataFrame(
-        [(f,) for f in files], schema="path string"
-    ).repartition(len(files))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    manifest = spread_manifest(spark, [(f,) for f in files], "path string")
 
     def decode(batches):
         for pdf in batches:
@@ -3530,9 +3530,9 @@ def load_hdf5_region_values(spark, path, name: str):
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
 
-    manifest = spark.createDataFrame(
-        [(f,) for f in files], schema="path string"
-    ).repartition(len(files))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    manifest = spread_manifest(spark, [(f,) for f in files], "path string")
 
     schema = (
         "src string, idx bigint, region string, target string, "

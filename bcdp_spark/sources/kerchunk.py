@@ -1207,9 +1207,9 @@ def index_files(
         "path string, refs_path string, units string, "
         "coords array<double>, meta_hash string"
     )
-    df = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(len(paths), SF.col("path"))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    df = spread_manifest(spark, [(p,) for p in paths], "path string")
     manifest = df.mapInPandas(_index, schema=manifest_schema).collect()
 
     manifest.sort(key=lambda r: r["coords"][0])
@@ -1311,9 +1311,9 @@ def index_files(
                 )
             yield _pd.DataFrame({"written": written})
 
-    pdf = spark.createDataFrame(
-        plan, "refs_path string, offset long"
-    ).repartition(len(plan), SF.col("refs_path"))
+    pdf = spread_manifest(
+        spark, plan, "refs_path string, offset long"
+    )
     n_written = pdf.mapInPandas(_merge, schema="written string").count()
 
     with open(_os.path.join(store, "meta.json"), "w") as fh:

@@ -178,9 +178,9 @@ def load_netcdf(
         # the distributed decode raise the clear error at action time.
         ndim = 3
     schema = LONG_FORM_SCHEMA_4D if ndim == 4 else LONG_FORM_SCHEMA
-    manifest = spark.createDataFrame(
-        [(f,) for f in files], schema="path string"
-    ).repartition(len(files))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    manifest = spread_manifest(spark, [(f,) for f in files], "path string")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

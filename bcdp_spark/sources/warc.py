@@ -190,9 +190,9 @@ def load_warc(spark: SparkSession, path: str, **_options) -> DataFrame:
     files = sorted(_glob.glob(path))
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")
-    manifest = spark.createDataFrame(
-        [(f,) for f in files], schema="path string"
-    ).repartition(len(files))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    manifest = spread_manifest(spark, [(f,) for f in files], "path string")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

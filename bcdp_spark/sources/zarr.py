@@ -1292,9 +1292,11 @@ def load_zarr(
     if not kept:
         return spark.createDataFrame([], schema)
 
-    manifest = spark.createDataFrame(
-        [(",".join(map(str, idx)),) for idx in kept], schema="chunk string"
-    ).repartition(len(kept))
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    manifest = spread_manifest(
+        spark, [(",".join(map(str, idx)),) for idx in kept], "chunk string"
+    )
     var_attrs = dict(meta.attrs)
     # authenticated stores (r10): executors sign exactly like the
     # driver — the registry snapshot rides the task closure (signers

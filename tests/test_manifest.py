@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+"""r12: spread_manifest replaces createDataFrame(...).repartition(n) in
+every format loader — same one-row-per-partition layout, zero Exchange."""
+
+
+def _partitions(df):
+    return df.rdd.glom().collect()
+
+
+def test_spread_manifest_layout_and_rows(spark):
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    rows = [(f"/data/f{i}.nc",) for i in range(7)]
+    df = spread_manifest(spark, rows, "path string")
+    assert df.columns == ["path"]
+    parts = _partitions(df)
+    # exactly one manifest row per partition, in input order
+    assert len(parts) == 7
+    assert [tuple(r) for p in parts for r in p] == rows
+
+
+def test_spread_manifest_multicolumn_and_empty(spark):
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    rows = [("/a/refs.json", 0), ("/b/refs.json", 1024)]
+    df = spread_manifest(spark, rows, "refs_path string, offset long")
+    assert df.columns == ["refs_path", "offset"]
+    assert sorted(tuple(r) for r in df.collect()) == sorted(rows)
+
+    empty = spread_manifest(spark, [], "path string")
+    assert empty.count() == 0
+    assert empty.columns == ["path"]
+
+
+def test_spread_manifest_plan_has_no_exchange(spark):
+    """The whole point: the old repartition of a LocalRelation was a full
+    Exchange (one extra AQE stage on every ingest query); the range-based
+    manifest must plan with zero Exchange nodes."""
+    from bcdp_spark.sources.manifest import spread_manifest
+
+    rows = [(f"/data/f{i}.h5",) for i in range(5)]
+    df = spread_manifest(spark, rows, "path string")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Range" in plan
