@@ -22,6 +22,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Spread an under-parallel input across the session's cores before
+    per-row-expensive lineage (fingerprint UDFs, signature expressions,
+    shingle arrays) — guide §2.5 input skew: a small single-file scan
+    otherwise runs the whole fingerprint + explode + join-probe chain
+    in ONE task (measured: the entire q_simhash_pairs pipeline
+    single-threaded at sf0.1). No-op whenever the scan already carries
+    >= defaultParallelism partitions — any real corpus at scale — so
+    no exchange is added where parallelism exists; the repartition
+    payload here is only (id, text/hash) rows."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _guard_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
     """Reserved intermediate column names must be absent from the input —
     a caller column named __sig/__band/__n/__shash would be silently
@@ -159,7 +176,8 @@ def lsh_bucket_pairs(
     _guard_reserved(df, ("__sig", "__band", "__n", "__shash"))
     r = num_perm // bands
     with_sig = with_minhash(
-        df.select(F.col(id_col), F.col(text_col)), text_col, num_perm, shingle_k
+        _spread_small_scan(df.select(F.col(id_col), F.col(text_col))),
+        text_col, num_perm, shingle_k,
     ).select(id_col, "__sig")
     banded = with_sig.select(
         id_col,
@@ -191,8 +209,14 @@ def lsh_bucket_pairs(
             .filter(F.col("__n") <= bucket_cap)
             .drop("__n")
         )
+    # r12: shuffle self-join — scale-true strategy (corpus-wide sides
+    # never broadcast) + both sides are the identical exchange subtree,
+    # so the DAG scheduler materializes the 64-permutation signature
+    # lineage ONCE and the second side's map stages are SKIPPED
+    # (shuffle-map-output reuse within the single action); see
+    # hamming_multi_index_pairs for the measurement.
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -537,7 +561,12 @@ def hamming_near_pairs(
             .filter(F.col("__n") <= bucket_cap)
             .drop("__n")
         )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # r12: shuffle self-join — scale-true strategy (corpus-wide sides
+    # never broadcast) + identical exchange subtrees on both sides, so
+    # the fingerprint lineage materializes once (second side's map
+    # stages SKIPPED); see hamming_multi_index_pairs for the
+    # measurement.
+    a, b = chunks.alias("a"), chunks.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -642,7 +671,19 @@ def hamming_multi_index_pairs(
             .filter(F.col("__n") <= bucket_cap)
             .drop("__n")
         )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # r12 (guide §3.1): force the self-join through a shuffle. At
+    # corpus scale the keyed table can never broadcast, so this IS the
+    # scale plan; locally the size estimate picked a broadcast join,
+    # which (a) recomputed the whole fingerprint+explode lineage on
+    # BOTH sides and (b) ran the entire bucket-expansion probe in the
+    # scan's task count (one task on a single-file corpus). With the
+    # shuffle, the two sides' exchanges are identical subtrees, so the
+    # DAG scheduler materializes the map side ONCE — probe-run stage
+    # list shows the second side's map stages SKIPPED — and the bucket
+    # expansion parallelizes across reducers. Measured (q_simhash_pairs
+    # sf0.1 fresh, min-of-3): r11 broadcast form 65 s (single task);
+    # this form 15.4 s; rows identical.
+    a, b = keyed.alias("a"), keyed.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -674,7 +715,24 @@ def simhash_near_pairs(
     ``hamming_near_pairs``. For radii past ~4, pass ``blocks`` to use
     the combination multi-index (``hamming_multi_index_pairs``) whose
     keys stay wide where the pigeonhole's chunks would degenerate."""
-    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    # The coalesce makes __sh provably non-nullable, so the isnotnull
+    # the optimizer infers on the derived join keys folds away instead
+    # of being pushed below the projection as a SECOND ArrowEvalPython
+    # (the r11 plan evaluated the fingerprint twice per doc — guide
+    # §4.4). simhash64 never returns null (null text hashes to 0), so
+    # the value is unchanged; keeping the UDF deterministic — rather
+    # than marking it nondeterministic to suppress the duplicate — is
+    # what lets the self-join's two identical exchanges share one
+    # materialization. Min-of-3 q_simhash_pairs sf0.1 fresh: 29.5 s
+    # with the UDF marked nondeterministic (single eval, no exchange
+    # reuse); 18.6 s deterministic without the coalesce (reuse, but
+    # double eval inside the shared side); 15.4 s this form.
+    h = _spread_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.coalesce(simhash64(F.col(text_col)), F.lit(0).cast("long")).alias(
+            "__sh"
+        ),
+    )
     if blocks is not None:
         return hamming_multi_index_pairs(
             h, "__sh", id_col, max_hamming, blocks=blocks

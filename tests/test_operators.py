@@ -151,6 +151,44 @@ def test_simhash_near_pairs(spark):
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
 
 
+def test_dedup_self_joins_reuse_fingerprint_lineage(spark):
+    """r12 plan pin: the candidate-pair self-joins must run as a
+    shuffle join whose two sides are the IDENTICAL exchange subtree, so
+    the fingerprint lineage (MinHash signature expressions / simhash
+    Arrow UDF) materializes once — under AQE the second side's map
+    stages are SKIPPED at runtime; with AQE off the static ReuseExchange
+    rule makes that same eligibility visible as a ReusedExchange node,
+    which is what this test pins (it requires the UDF to stay
+    deterministic AND both sides to canonicalize equal). The r11
+    broadcast form recomputed the whole lineage on both sides, and a
+    filter inferred on the UDF output duplicated the ArrowEvalPython
+    node (fingerprint paid twice per doc) — the coalesce(…, 0) wrapper
+    folds that inferred isnotnull away, pinned by the exact
+    ArrowEvalPython count of 1."""
+    from bcdp_spark.operators.dedup import lsh_bucket_pairs, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(8)],
+        "doc_id long, text string",
+    )
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sim = simhash_near_pairs(df, "text", "doc_id", max_hamming=6, blocks=8)
+        plan = sim._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "ReusedExchange" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+
+        lsh = lsh_bucket_pairs(df, "text", "doc_id", num_perm=16, bands=4)
+        plan = lsh._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 # ----------------------------------------------------------- similarity
 def test_cosine_topk_matches_numpy(spark):
     from bcdp_spark.operators.similarity import cosine_topk
