@@ -775,10 +775,23 @@ def ngram_jaccard(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # r12 (guide §2.3 cheap pre-test before expensive per-row work):
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — two ints already at hand —
+    # so a pair failing the size-ratio bound can NEVER pass the exact
+    # integer compare (inter <= min, union >= max). Putting the bound
+    # first in the AND short-circuits the hash-set array_intersect for
+    # size-incompatible candidates; the kept set is provably identical.
+    sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+    size_ok = F.least(sz_a, sz_b) * F.lit(int(fr.denominator)) >= (
+        F.greatest(sz_a, sz_b) * F.lit(int(fr.numerator))
+    )
     return (
         j.filter(
-            inter * F.lit(int(fr.denominator))
-            >= union * F.lit(int(fr.numerator))
+            size_ok
+            & (
+                inter * F.lit(int(fr.denominator))
+                >= union * F.lit(int(fr.numerator))
+            )
         )
         .select(
             "id_a",
@@ -809,11 +822,24 @@ def embedding_near_dup(
     the self-join via one windowed count — their members are
     everything-matches-everything clusters better handled by exact
     dedup on the raw vector bytes."""
-    from bcdp_spark.operators.similarity import hyperplane_bucket, cosine_expr
+    from bcdp_spark.operators.similarity import (
+        flat_dot,
+        flat_sqnorm,
+        hyperplane_bucket,
+    )
 
-    _guard_reserved(df, ("__b", "__n"))
+    _guard_reserved(df, ("__b", "__n", "__nrm"))
+    # r12: the norm is per-VECTOR — computed once per doc here instead
+    # of once per candidate PAIR (bit-identical doubles: sqrt of the
+    # same unrolled sqnorm on the same row), and the self-join runs as
+    # a shuffle join (scale-true; identical exchange subtrees, so the
+    # bucket+norm lineage materializes once — the lsh_bucket_pairs
+    # discipline).
     h = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, dim, nbits, seed).alias("__b")
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(vec_col, dim, nbits, seed).alias("__b"),
+        F.sqrt(flat_sqnorm(vec_col, dim)).alias("__nrm"),
     )
     if bucket_cap is not None:
         from pyspark.sql import Window
@@ -824,13 +850,15 @@ def embedding_near_dup(
             .filter(F.col("__n") <= bucket_cap)
             .drop("__n")
         )
-    a, b = h.alias("a"), h.alias("b")
+    a, b = h.alias("a"), h.alias("b").hint("shuffle_hash")
     cand = a.join(
         b,
         (F.col("a.__b") == F.col("b.__b"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    sim = cosine_expr(f"a.{vec_col}", f"b.{vec_col}", dim)
+    sim = flat_dot(f"a.{vec_col}", f"b.{vec_col}", dim) / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     return (
         cand.select(
             F.col(f"a.{id_col}").alias("id_a"),

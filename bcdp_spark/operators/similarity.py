@@ -584,6 +584,81 @@ def subvectors(
     )
 
 
+def _assign_codes_by_sub_arrow(
+    df: DataFrame,
+    by_sub: dict[int, list[tuple[int, list[float]]]],
+    dsub: int,
+    sub_col: str = "sub",
+    sv_col: str = "__sv",
+    code_col: str = "__code",
+) -> DataFrame:
+    """Append each sub-vector row's nearest-codeword ``__code`` from its
+    subspace's literal codebook — the ``_assign_cells_arrow`` pass with
+    a per-``sub`` centroid table (guide §4.2; map-only, zero Exchange).
+    Bit-exact twin of the r11 ``min_by(code, struct(d, code))`` over a
+    broadcast codebook join: dimension-by-dimension accumulation is the
+    identical left-assoc IEEE sequence as ``flat_sqdist``, NaN→+inf
+    reproduces Spark's NaN-is-largest struct ordering, and NumPy's
+    first-minimum tiebreak == the lowest-code tiebreak (codes are
+    passed ascending). All other columns pass through untouched."""
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, `{code_col}` int"
+    cents_by_sub = {
+        int(s): sorted((int(c), [float(x) for x in v]) for c, v in lst)
+        for s, lst in by_sub.items()
+    }
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            subs = b.column(b.schema.get_field_index(sub_col)).to_numpy(
+                zero_copy_only=False
+            )
+            col = b.column(b.schema.get_field_index(sv_col))
+            if col.null_count or col.flatten().null_count:
+                raise ValueError(
+                    f"null values in sub-vector column {sv_col!r}: the "
+                    "PQ distance contract requires dense vectors"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if flat.shape[0] != n * dsub:
+                raise ValueError(
+                    f"ragged sub-vector column {sv_col!r}: expected "
+                    f"uniform dsub {dsub}"
+                )
+            V = flat.reshape(n, dsub).astype(np.float64, copy=False)
+            out = np.empty(n, dtype=np.int32)
+            for s in np.unique(subs):
+                cents = cents_by_sub.get(int(s))
+                if not cents:
+                    raise ValueError(f"no codebook for subspace {int(s)}")
+                mask = subs == s
+                Vs = V[mask]
+                D = np.empty((len(cents), Vs.shape[0]), dtype=np.float64)
+                for j, (_code, cv) in enumerate(cents):
+                    acc = None
+                    for i in range(dsub):
+                        d = Vs[:, i] - cv[i]
+                        t = d * d
+                        acc = t if acc is None else acc + t
+                    D[j] = acc
+                idx = np.argmin(np.where(np.isnan(D), np.inf, D), axis=0)
+                code_ids = np.array([c for c, _ in cents], dtype=np.int32)
+                out[mask] = code_ids[idx]
+            new_cols = list(b.columns) + [pa.array(out, type=pa.int32())]
+            names = [f.name for f in b.schema] + [code_col]
+            yield pa.record_batch(new_cols, names=names)
+
+    return df.mapInArrow(assign, out_schema)
+
+
 def pq_train_encode(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -609,26 +684,39 @@ def pq_train_encode(
     dsub = dim // m
     long = subvectors(df, vec_col, id_col, dim, m)
     # Seed subspace s's codebook with the sub-vectors of the ksub
-    # lowest-id vectors; codes numbered 0..ksub-1 in id order (same id
-    # set for every subspace, so seeding is one k-row scan).
-    seeds = subvectors(
-        df.orderBy(id_col).limit(ksub), vec_col, id_col, dim, m
+    # lowest-id vectors; codes numbered 0..ksub-1 in id order (bounded
+    # ksub·m-row collect — the documented ≤nprobe-ints class).
+    seed_rows = (
+        subvectors(df.orderBy(id_col).limit(ksub), vec_col, id_col, dim, m)
+        .select("sub", "__vid", "__sv")
+        .collect()
     )
-    cents = seeds.select(
-        "sub",
-        (
-            F.row_number().over(Window.partitionBy("sub").orderBy("__vid")) - 1
-        ).alias("__code"),
-        F.col("__sv").alias("__c"),
-    )
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for s in range(m):
+        rows = sorted(
+            (r["__vid"], [float(x) for x in r["__sv"]])
+            for r in seed_rows
+            if r["sub"] == s
+        )
+        by_sub[s] = [(code, v) for code, (_vid, v) in enumerate(rows)]
+    # r12 (guide §8 decide-with-small-rows — the lloyd_kmeans
+    # restructure applied to PQ): the r11 form kept every iteration in
+    # one lazy plan, re-shuffling the whole sub-vector corpus KEYED ON
+    # THE SUB-VECTOR ARRAY per iteration (groupBy(__vid, sub, __sv)
+    # after an n·m·ksub candidate join) just to pick each row's argmin
+    # code. Iterations are now driver-coordinated: the m·ksub·dsub
+    # centroid table (512 doubles at the query key's config) collects
+    # to the driver per iteration, assignment is ONE map-only Arrow
+    # pass (zero Exchange, zero Join), and only the (sub, code, i)
+    # DECIMAL means — m·ksub·dsub rows — aggregate. Bit-exact twin of
+    # the r11 join: same left-assoc sqdist order, NaN-is-largest, and
+    # lowest-code tiebreak (pinned by
+    # test_assign_codes_by_sub_arrow_matches_min_by).
     for _ in range(n_iter):
-        paired = long.join(F.broadcast(cents), "sub").withColumn(
-            "__d", flat_sqdist("__sv", "__c", dsub)
+        assigned = _assign_codes_by_sub_arrow(
+            long.select("sub", "__sv"), by_sub, dsub
         )
-        assigned = paired.groupBy("__vid", "sub", "__sv").agg(
-            F.min_by("__code", F.struct("__d", "__code")).alias("__code")
-        )
-        cents = (
+        mean_rows = (
             assigned.select(
                 "sub", "__code", F.posexplode("__sv").alias("__i", "__x")
             )
@@ -646,16 +734,27 @@ def pq_train_encode(
                     lambda s: s["__comp"],
                 ).alias("__c")
             )
+            .collect()
         )
-    enc = (
-        long.join(F.broadcast(cents), "sub")
-        .withColumn("__d", flat_sqdist("__sv", "__c", dsub))
-        .groupBy("__vid", "sub")
-        .agg(F.min_by("__code", F.struct("__d", "__code")).alias("code"))
+        by_sub = {s: [] for s in range(m)}
+        for r in mean_rows:
+            by_sub[int(r["sub"])].append(
+                (int(r["__code"]), [float(x) for x in r["__c"]])
+            )
+        for s in by_sub:
+            by_sub[s].sort()
+    enc = _assign_codes_by_sub_arrow(
+        long.select(F.col("__vid").alias(id_col), "sub", "__sv"), by_sub, dsub
     )
-    codes = enc.select(F.col("__vid").alias(id_col), "sub", "code")
-    codebook = cents.select(
-        "sub", F.col("__code").alias("code"), F.col("__c").alias("centroid")
+    codes = enc.select(id_col, "sub", F.col("__code").alias("code"))
+    spark = df.sparkSession
+    codebook = spark.createDataFrame(
+        [
+            (s, code, [float(x) for x in v])
+            for s, lst in sorted(by_sub.items())
+            for code, v in lst
+        ],
+        "sub int, code int, centroid array<double>",
     )
     return codes, codebook
 
@@ -732,15 +831,45 @@ def knn_join(
     index, not the data — e.g. an eval set for contamination lookup, a
     centroid-pruned candidate set). For corpus-scale both sides, block
     first with knn_join_ivf and use this as the in-cell rerank."""
-    paired = queries.select(q_id, q_vec).join(
-        F.broadcast(corpus.select(c_id, c_vec))
+    # r12 (guide §2.3 / §1.2 per-task work): norms are per-SIDE
+    # quantities — hoist them out of the pair expression so they
+    # compute n+m times instead of n·m (the r11 form re-derived both
+    # 64-term sqnorm subtrees per PAIR). Same expressions on the same
+    # rows → bit-identical sims (pinned by
+    # test_knn_join_hoisted_norms_match_paired_form). The smaller
+    # per-pair expression (one dot + divide) also brings the window
+    # stage under the janino 64 KB method limit, ending the
+    # failed-compile-then-interpret fallback re-paid on every fresh
+    # plan; with session.py's hugeMethodLimit JIT guard the measured
+    # 4M-pair rerank is 5.97 s → 2.09 s (min-of-N, noop sink) and the
+    # sf0.01 key 1.83 → 0.62 s.
+    qn, cn = F.col("__knn_qn"), F.col("__knn_cn")
+    paired = queries.select(
+        q_id, q_vec, flat_sqnorm(q_vec, dim).alias("__knn_qn")
+    ).join(
+        F.broadcast(
+            corpus.select(c_id, c_vec, flat_sqnorm(c_vec, dim).alias("__knn_cn"))
+        )
     )
+    # Zero/null-norm guard as a PREFILTER on the hoisted norms, not an
+    # isnotnull on sim: an isnotnull(sim) filter collapses into the
+    # join condition and re-evaluates the 64-term dot per pair (the
+    # r10 double-eval). The prefilter drops exactly the same rows —
+    # a null sqnorm means some element is null/out-of-range (so dot
+    # would be null too), and after (qn>0)&(cn>0) both vectors'
+    # elements are proven non-null, so sim is non-null by
+    # construction. Equivalence incl. zero/null rows pinned by
+    # test_knn_join_hoisted_norms_match_paired_form.
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return (
-        paired.select(
-            q_id, c_id, flat_cosine_guarded(q_vec, c_vec, dim).alias("sim")
+        paired.filter((qn > 0) & (cn > 0))
+        .select(
+            q_id,
+            c_id,
+            (flat_dot(q_vec, c_vec, dim) / (F.sqrt(qn) * F.sqrt(cn))).alias(
+                "sim"
+            ),
         )
-        .filter(F.col("sim").isNotNull())  # zero-norm rows never rank
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -796,24 +925,33 @@ def knn_join_ivf(
         .filter(F.col("__rn") <= nprobe)
         .select(q_id, q_vec, "cell")
     )
-    paired = q_cells.join(c_cells.select(c_id, c_vec, "cell"), "cell")
+    # r12 rerank: norms hoisted per SIDE (n+m sqnorm evals instead of
+    # n·m — see knn_join for the full rationale and measurements; the
+    # r10 note about the deliberate failed-compile/interpreted
+    # fallback is superseded: the per-pair expression is now one dot +
+    # divide, which compiles, splits per-expression under the
+    # hugeMethodLimit guard, and JITs). Bit-identical sims — same
+    # left-assoc double sums on the same rows.
+    qn, cn = F.col("__knn_qn"), F.col("__knn_cn")
+    paired = q_cells.select(
+        q_id, q_vec, "cell", flat_sqnorm(q_vec, dim).alias("__knn_qn")
+    ).join(
+        c_cells.select(
+            c_id, c_vec, "cell", flat_sqnorm(c_vec, dim).alias("__knn_cn")
+        ),
+        "cell",
+    )
+    # prefilter guard instead of isnotnull(sim) — see knn_join
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id))
     return (
-        # Rerank expression choice, MEASURED at a 10x-corpus smoke
-        # (r10): this guarded form's filter-collapsed projection
-        # overflows the JVM 64 KB codegen method limit and falls back
-        # to the INTERPRETED projection — which runs subexpression
-        # elimination and, at 3.9M candidate pairs, beats both the
-        # codegen'd unguarded unrolled cosine (2x slower: the
-        # generated code re-derives the 3 x 64-term subtrees) and a
-        # zip_with/aggregate HOF fold (6x slower: per-element lambda
-        # dispatch). The 'Failed to compile' log line is that
-        # deliberate fallback, not a defect; results are identical
-        # either way (same left-assoc double sums).
-        paired.select(
-            q_id, c_id, flat_cosine_guarded(q_vec, c_vec, dim).alias("sim")
+        paired.filter((qn > 0) & (cn > 0))
+        .select(
+            q_id,
+            c_id,
+            (flat_dot(q_vec, c_vec, dim) / (F.sqrt(qn) * F.sqrt(cn))).alias(
+                "sim"
+            ),
         )
-        .filter(F.col("sim").isNotNull())  # zero-norm rows never rank
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -450,18 +450,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.element_at("embedding", 3) > 0, 4).otherwise(0)
         + F.when(F.element_at("embedding", 4) > 0, 8).otherwise(0)
     )
+    # r12: the norm is a per-VECTOR quantity — hoist it out of the
+    # per-pair expression (n·m sqnorm evals → n; bit-identical doubles,
+    # same unrolled left-assoc sum on the same rows), and run the cell
+    # self-join as a shuffle join: scale-true (the corpus side never
+    # broadcasts at 100 TB) and the two sides are the identical
+    # exchange subtree, so the cell/norm lineage materializes once
+    # (the dedup.py self-join discipline).
     e = (
         table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", cell.alias("cell"))
+        .select(
+            "vec_id",
+            "embedding",
+            cell.alias("cell"),
+            F.sqrt(flat_sqnorm("embedding", dim)).alias("__nrm"),
+        )
     )
     cells = e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
-    a = e.select("cell", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
-    b = e.select("cell", F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
-    cos = flat_dot("ea", "eb", dim) / (
-        F.sqrt(flat_sqnorm("ea", dim)) * F.sqrt(flat_sqnorm("eb", dim))
+    a = e.select(
+        "cell", F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"), F.col("__nrm").alias("na"),
     )
+    b = e.select(
+        "cell", F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"), F.col("__nrm").alias("nb"),
+    )
+    cos = flat_dot("ea", "eb", dim) / (F.col("na") * F.col("nb"))
     dups = (
-        a.join(b, "cell")
+        a.join(b.hint("shuffle_hash"), "cell")
         .filter(F.col("ida") < F.col("idb"))
         .filter(cos >= 0.42)
     )

@@ -31,6 +31,15 @@ def get_spark(app_name: str = "bcdp_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r12: reject whole-stage-codegen functions the JVM JIT refuses
+        # to compile anyway (HotSpot DontCompileHugeMethods threshold =
+        # 8000 bytecode bytes — a JVM universal, not a local-mode
+        # tunable). A fused method past that limit runs in the bytecode
+        # INTERPRETER, measured 6-8x slower than falling back to
+        # per-expression codegen (which splits into JIT-able methods):
+        # 4M-pair knn rerank 16.6 s fused-but-unJITable vs 2.1 s with
+        # this guard. Plans with all-small methods are unaffected.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # 12g (r11): the sf10 bench leg's 60M-row sort-merge join ran
         # against the GC ceiling at 8g under repeated fresh-plan runs
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

@@ -1815,6 +1815,93 @@ def test_knn_join_ivf_recall_on_planted_clusters(spark):
     assert approx == exact  # separated clusters: nprobe=1 is lossless
 
 
+def test_assign_codes_by_sub_arrow_matches_min_by(spark):
+    """r12: the PQ per-subspace Arrow code assignment must be
+    BIT-identical to the r11 broadcast-join min_by(code, struct(d,
+    code)) form it replaced — same left-assoc sqdist, NaN-is-largest,
+    lowest-code tiebreak. Includes an exact-tie row and a NaN row."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.similarity import (
+        _assign_codes_by_sub_arrow,
+        flat_sqdist,
+    )
+
+    by_sub = {
+        0: [(0, [0.0, 0.0]), (1, [2.0, 0.0])],
+        1: [(0, [1.0, 1.0]), (1, [1.0, 3.0])],
+    }
+    rows = [
+        (10, 0, [0.2, 0.0]),
+        (10, 1, [1.0, 2.9]),
+        (11, 0, [1.0, 0.0]),            # exact tie in sub 0 → code 0
+        (11, 1, [float("nan"), 0.0]),   # NaN dists → lowest code
+    ]
+    df = spark.createDataFrame(rows, "vid long, sub int, __sv array<double>")
+    got = {
+        (r["vid"], r["sub"]): r["__code"]
+        for r in _assign_codes_by_sub_arrow(df, by_sub, 2).collect()
+    }
+    # r11 reference: broadcast codebook join + min_by over (d, code)
+    cb = spark.createDataFrame(
+        [(s, c, v) for s, lst in by_sub.items() for c, v in lst],
+        "sub int, __code int, __c array<double>",
+    )
+    ref = {
+        (r["vid"], r["sub"]): r["__code"]
+        for r in df.join(F.broadcast(cb), "sub")
+        .withColumn("__d", flat_sqdist("__sv", "__c", 2))
+        .groupBy("vid", "sub")
+        .agg(F.min_by("__code", F.struct("__d", "__code")).alias("__code"))
+        .collect()
+    }
+    assert got == ref and len(got) == 4
+
+
+def test_knn_join_hoisted_norms_match_paired_form(spark):
+    """r12: knn_join hoists the per-side sqnorms out of the per-pair
+    expression (n+m evals instead of n·m). The sims must stay
+    bit-identical to computing the full guarded cosine per pair —
+    same unrolled left-assoc double sums on the same rows — including
+    the zero-norm NULL guard (zero vectors must not rank; Spark sorts
+    NaN above every real double, so an unguarded 0/0 would win)."""
+    from bcdp_spark.operators.similarity import (
+        flat_cosine_guarded,
+        knn_join,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    c_rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(9)]
+    c_rows.append((9, [0.0] * dim))  # zero-norm corpus row
+    q_rows = [(100 + j, [float(x) for x in rng.standard_normal(dim)]) for j in range(5)]
+    q_rows.append((105, [0.0] * dim))  # zero-norm query row
+    corpus = spark.createDataFrame(c_rows, "c_id long, c_vec array<float>")
+    queries = spark.createDataFrame(q_rows, "q_id long, q_vec array<float>")
+
+    got = knn_join(queries, corpus, k=3, dim=dim).collect()
+    # reference: per-pair guarded cosine (the pre-r12 form), same rank
+    from pyspark.sql import Window
+
+    paired = queries.join(F.broadcast(corpus))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    ref = (
+        paired.select(
+            "q_id", "c_id",
+            flat_cosine_guarded("q_vec", "c_vec", dim).alias("sim"),
+        )
+        .filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    # zero-norm rows: query 105 has no output rows; corpus 9 never ranks
+    assert all(r["q_id"] != 105 for r in got)
+    assert all(r["c_id"] != 9 for r in got)
+
+
 def test_hamming_near_pairs_bounds(spark):
     """r4 review fixes: h=0 (exact-match bucketing, full-width mask)
     works; h>15 raises instead of silently breaking the pigeonhole
