@@ -1,0 +1,73 @@
+"""Fresh-plan perf regression tripwire (r12, VERDICT r11 item 6):
+pure-python checks of the entry flattening and the normalized
+flagging rule — the git/bench plumbing is exercised by the ladder."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from perf_tripwire import THRESHOLD, _fresh_entries, flag_regressions
+
+
+def test_fresh_entries_exclude_warm_numbers():
+    payload = {
+        "queries": {"q_a": 0.01},          # warm — must NOT be gated
+        "queries_fresh": {"q_a": 0.2},
+        "sf1": {
+            "queries": {"q_a": 0.02},
+            "queries_fresh": {"q_a": 0.5},
+        },
+        "sf10": {
+            # sf10's headline "queries" IS the fresh-plan metric
+            "queries": {"q_big": 5.0},
+            "stage_reuse_queries": {"q_big": 0.03},
+        },
+    }
+    out = _fresh_entries(payload)
+    assert out == {"sf0.1:q_a": 0.2, "sf1:q_a": 0.5, "sf10:q_big": 5.0}
+
+
+def test_single_key_regression_flagged_same_host():
+    prev = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0}
+    cur = dict(prev, c=1.5)  # 50% regression, others flat
+    ratios, host, flagged = flag_regressions(cur, prev, list(prev))
+    assert host == 1.0
+    assert set(flagged) == {"c"}
+    assert ratios["c"] == 1.5
+
+
+def test_uniform_host_slowdown_not_flagged():
+    prev = {k: 1.0 for k in "abcde"}
+    cur = {k: 1.4 for k in "abcde"}  # 40% slower box, every key
+    _, host, flagged = flag_regressions(cur, prev, list(prev))
+    assert abs(host - 1.4) < 1e-9
+    assert flagged == {}
+
+
+def test_regression_on_slower_host_still_flagged():
+    prev = {k: 1.0 for k in "abcde"}
+    cur = {k: 1.3 for k in "abcde"}
+    cur["b"] = 1.3 * (THRESHOLD + 0.1)  # real regression on top of host factor
+    _, host, flagged = flag_regressions(cur, prev, list(prev))
+    assert set(flagged) == {"b"}
+
+
+def test_floor_bound_key_ratio_noise_not_flagged():
+    """A session-floor key (~0.2 s) moving 50% is noise, not a
+    regression: the absolute-excess floor keeps the ratio gate from
+    amplifying it (measured: identical-config fresh processes span
+    0.33-0.89 s min-of-7 on such keys)."""
+    prev = {"floor": 0.2, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0}
+    cur = dict(prev, floor=0.3)  # 1.5x but only +0.1 s
+    _, _, flagged = flag_regressions(cur, prev, list(prev))
+    assert flagged == {}
+
+
+def test_zero_prev_entry_skipped():
+    prev = {"a": 0.0, "b": 1.0, "c": 1.0}
+    cur = {"a": 9.9, "b": 1.0, "c": 1.0}
+    ratios, _, flagged = flag_regressions(cur, prev, list(prev))
+    assert "a" not in ratios and flagged == {}

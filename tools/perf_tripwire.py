@@ -1,0 +1,178 @@
+"""Per-round perf regression tripwire on the FRESH-plan metric
+(VERDICT r11 item 6). The r11 methodology finding showed the warm
+headline cannot catch real execution regressions — re-running the same
+DataFrame reuses completed shuffle map outputs, so only post-exchange
+stages are re-timed. The fresh-plan numbers are the data-proportional
+ones, so regressions must be gated on THOSE: this check compares the
+current bench output's fresh-plan numbers against the newest committed
+BENCH_r*.json and fails loudly when any key whose committed plan dump
+is UNCHANGED regresses more than 25%.
+
+Host normalization: BENCH files are produced on the driver's host while
+this check usually runs on the builder box (measured 25-40% slower at
+r12 start on a byte-identical tree), so raw cross-file ratios would
+trip on every key after a host change. The median fresh ratio across
+plan-UNCHANGED keys estimates the host speed factor; a key is flagged
+only when its own ratio exceeds 1.25x that median. On the same host the
+median is ~1.0 and the check reduces to the plain >25% rule; a real
+single-key regression moves its own ratio but barely moves the median.
+(A regression that slows EVERY key uniformly is indistinguishable from
+a slower host by timing alone — that failure mode is what the plan-dump
+diff and the oracle ladder cover.)
+
+Plan-unchanged = docs/plans/<key>.txt identical (git) between the
+commit that recorded the previous BENCH file and the current worktree.
+Keys whose plan dump changed are skipped: their fresh number is
+expected to move, and the plan diff itself is the reviewable evidence.
+
+Usage: python tools/perf_tripwire.py <bench_json_path|->
+(reads the bench's single JSON line; '-' = stdin)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+THRESHOLD = 1.25  # >25% round-over-round regression (VERDICT r11 item 6)
+
+# Keys near the local session floor (~0.2-0.4 s fresh) move 2x between
+# fresh processes on nothing but JIT/page-cache/scheduling noise
+# (measured on q_tumbling_events sf1: min-of-7 spans 0.33-0.89 s across
+# back-to-back identical-config processes). A pure ratio gate on such a
+# key is noise amplification, so a flag additionally requires the
+# host-normalized ABSOLUTE excess to clear this floor. A real
+# regression of a floor-bound key's algorithm shows up at the larger
+# bench scales where its absolute time is no longer floor-bound.
+ABS_EXCESS_FLOOR_SEC = 0.2
+
+
+def _latest_bench() -> tuple[str, dict] | None:
+    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    if not paths:
+        return None
+    def rno(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+    path = max(paths, key=rno)
+    with open(path) as fh:
+        doc = json.load(fh)
+    # driver files wrap the bench line under "parsed"; accept a raw
+    # bench payload too so the tool works on ad-hoc saved runs
+    payload = doc.get("parsed", doc)
+    return path, payload
+
+
+def _fresh_entries(payload: dict) -> dict[str, float]:
+    """Flatten every fresh-plan number in a bench payload to
+    {scale:key: seconds}. Warm numbers are deliberately excluded —
+    they are the stage-reuse metric this tripwire exists to replace."""
+    out: dict[str, float] = {}
+    for key, sec in (payload.get("queries_fresh") or {}).items():
+        out[f"sf0.1:{key}"] = sec
+    for scale in ("sf1", "sf10"):
+        leg = payload.get(scale) or {}
+        fresh = leg.get("queries_fresh")
+        if fresh is None and scale == "sf10":
+            fresh = leg.get("queries")  # sf10's headline IS fresh-plan
+        for key, sec in (fresh or {}).items():
+            out[f"{scale}:{key}"] = sec
+    return out
+
+
+def _plan_unchanged(key: str, base_commit: str) -> bool:
+    dump = os.path.join("docs", "plans", f"{key}.txt")
+    if not os.path.exists(os.path.join(REPO, dump)):
+        return False  # no dump, no claim — skip rather than flag
+    rc = subprocess.run(
+        ["git", "diff", "--quiet", base_commit, "--", dump],
+        cwd=REPO,
+    ).returncode
+    return rc == 0
+
+
+def flag_regressions(
+    cur: dict[str, float], prev: dict[str, float], unchanged: list[str],
+) -> tuple[dict[str, float], float, dict[str, float]]:
+    """(ratios, host_factor, flagged) for the plan-unchanged entries.
+    host_factor = median ratio (absorbs a uniformly faster/slower box);
+    flagged = entries whose own ratio exceeds THRESHOLD x that median."""
+    ratios = {e: cur[e] / prev[e] for e in unchanged if prev[e] > 0}
+    host_factor = statistics.median(ratios.values())
+    flagged = {
+        e: r
+        for e, r in ratios.items()
+        if r > THRESHOLD * host_factor
+        and cur[e] - prev[e] * host_factor > ABS_EXCESS_FLOOR_SEC
+    }
+    return ratios, host_factor, flagged
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "-"
+    text = sys.stdin.read() if src == "-" else open(src).read()
+    # bench prints exactly one JSON line; tolerate surrounding log noise
+    line = next(
+        (ln for ln in text.splitlines() if ln.startswith('{"metric"')),
+        None,
+    )
+    if line is None:
+        print("perf_tripwire: no bench JSON line found in input")
+        sys.exit(2)
+    current = json.loads(line)
+
+    prev = _latest_bench()
+    if prev is None:
+        print("perf_tripwire: no committed BENCH_r*.json — nothing to compare")
+        return
+    prev_path, prev_payload = prev
+    base_commit = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", os.path.basename(prev_path)],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    if not base_commit:
+        print(f"perf_tripwire: {os.path.basename(prev_path)} not in git — skipping")
+        return
+
+    cur_f = _fresh_entries(current)
+    prev_f = _fresh_entries(prev_payload)
+    shared = sorted(set(cur_f) & set(prev_f))
+    unchanged = [
+        e for e in shared if _plan_unchanged(e.split(":", 1)[1], base_commit)
+    ]
+    if not unchanged:
+        print("perf_tripwire: no plan-unchanged keys shared with "
+              f"{os.path.basename(prev_path)} — nothing to gate")
+        return
+
+    ratios, host_factor, flagged = flag_regressions(cur_f, prev_f, unchanged)
+    print(
+        f"perf_tripwire: {len(unchanged)} plan-unchanged fresh entries vs "
+        f"{os.path.basename(prev_path)} (commit {base_commit[:8]}), "
+        f"host factor {host_factor:.2f}"
+    )
+    for e in sorted(ratios, key=lambda e: -ratios[e]):
+        mark = " <-- REGRESSION" if e in flagged else ""
+        print(
+            f"  {e}: {prev_f[e]:.4f} -> {cur_f[e]:.4f} "
+            f"({ratios[e]:.2f}x, {ratios[e]/host_factor:.2f}x normalized){mark}"
+        )
+    if flagged:
+        print(
+            f"perf_tripwire: FAILED — {len(flagged)} plan-unchanged key(s) "
+            f"regressed >{int((THRESHOLD-1)*100)}% normalized on the fresh-plan metric"
+        )
+        sys.exit(1)
+    print("perf_tripwire: OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,7 @@ def _round_no() -> int:
     return len(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))) + 1
 
 
-def _run(name: str, env_extra: dict | None = None, cmd: list | None = None) -> None:
+def _run(name: str, env_extra: dict | None = None, cmd: list | None = None) -> str:
     env = dict(os.environ)
     env.update(env_extra or {})
     cmd = cmd or [sys.executable, os.path.join(HERE, "driver_replica.py")]
@@ -49,6 +49,7 @@ def _run(name: str, env_extra: dict | None = None, cmd: list | None = None) -> N
     if not ok:
         print(f"FAILED: {name}", flush=True)
         sys.exit(1)
+    return p.stdout
 
 
 def main() -> None:
@@ -103,11 +104,26 @@ def main() -> None:
             {"REPLICA_MASTER": "local[3]", "REPLICA_SHUFFLE": "7",
              **_shard(2)},
         )
-    _run(
+    bench_out = _run(
         "bench (one JSON line)",
         {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
         [sys.executable, os.path.join(REPO, "bench.py")],
     )
+    # r12 (VERDICT r11 item 6): gate fresh-plan regressions — the warm
+    # metric reuses shuffle map outputs and cannot see real execution
+    # regressions, so the tripwire compares queries_fresh against the
+    # newest committed BENCH_r*.json for plan-unchanged keys.
+    tmp = os.path.join(REPO, ".bench_last.json")
+    with open(tmp, "w") as fh:
+        fh.write(bench_out)
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "perf_tripwire.py"), tmp],
+        capture_output=True, text=True,
+    )
+    print(p.stdout + p.stderr, flush=True)
+    if p.returncode != 0:
+        print("FAILED: perf tripwire (fresh-plan regression)", flush=True)
+        sys.exit(1)
     print("ALL VERIFICATION RUNGS GREEN", flush=True)
 
 
