@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from bcdp_spark.queries import register
 from bcdp_spark.queries._helpers import (
+    DEC,
     davg,
     davg_sql,
     dsum,
@@ -316,13 +317,34 @@ def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 3)
     pt = table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    # r12 factorized θ-aggregate (guide §1.2 step 1 — fix the algorithm):
+    # the join's ONLY use is the per-brand aggregate, and every
+    # aggregated quantity is additive over lineitem rows at equal
+    # l_quantity, so lineitem pre-aggregates to its quantity LEVELS
+    # (l_quantity <= 3 bounds the domain to a handful of values; TPC-H
+    # quantities are integral so it is exactly {1,2,3}) and the
+    # nested-loop θ-join touches levels x part instead of rows x part —
+    # sf0.1 measured 35.4 s -> sub-second, and the pair blowup no longer
+    # scales with corpus size. Exactness: the per-level partials are
+    # DECIMAL (associative, order-free), n_pairs/sum_qty regroup the
+    # identical addends, and sum_retail multiplies the exact DECIMAL
+    # retail price by an exact integer count (product magnitude ~1e9 at
+    # 2 dp — far inside DECIMAL(38,*) headroom), so every output value
+    # is the same exact rational the pair-per-row form sums; the single
+    # final cast to double is the same correctly-rounded conversion.
+    lvl = li.groupBy("l_quantity").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("__qty"),
+    )
     return (
-        li.join(F.broadcast(pt), F.col("l_quantity") < F.col("p_size"))
+        pt.join(F.broadcast(lvl), F.col("l_quantity") < F.col("p_size"))
         .groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("p_retailprice"), "sum_retail"),
+            F.sum("__cnt").alias("n_pairs"),
+            F.sum("__qty").cast("double").alias("sum_qty"),
+            F.sum(F.col("p_retailprice").cast(DEC) * F.col("__cnt"))
+            .cast("double")
+            .alias("sum_retail"),
         )
     )
 

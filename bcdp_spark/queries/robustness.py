@@ -130,13 +130,22 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("kb"),
         F.col("p_name").alias("nb"),
     )
-    d = F.levenshtein(F.col("na"), F.col("nb"))
+    # r12: bounded levenshtein (threshold arg, Spark 3.5+) — banded DP,
+    # O(len x t) instead of O(len^2) per pair, early-out on length
+    # mismatch; the explicit |Δlen| <= 3 guard short-circuits even the
+    # call for length-incompatible pairs. Kept set provably identical
+    # for any input: levenshtein(a,b) >= |len(a)-len(b)|, the threshold
+    # form returns d itself whenever d <= 3 (-1 otherwise), and null
+    # names null out both forms. Measured 15.3 -> 10.1 s at sf0.1
+    # (same-session noop A/B; per-pair CPU is the remaining cost — the
+    # block-pair volume itself is this key's declared semantic).
+    d = F.levenshtein(F.col("na"), F.col("nb"), 3)
     return (
         a.join(
             b,
             (F.col("p_brand") == F.col("brand_b")) & (F.col("ka") < F.col("kb")),
         )
-        .filter(d <= 3)
+        .filter((F.abs(F.length("na") - F.length("nb")) <= 3) & (d >= 0))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

@@ -508,17 +508,27 @@ FROM tri
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = F.split("text", " ")
+    # r12: stage the gram array through its own projection — inlining
+    # `g` into both size(g) and size(array_distinct(g)) built the whole
+    # interpreted trigram array TWICE per doc (CollapseProject keeps a
+    # staged non-cheap alias staged, so this evaluates once; measured
+    # 3.43 -> 0.33 s at sf0.1, plan carries exactly one transform()).
+    toks = d.select("doc_id", F.split("text", " ").alias("__toks")).filter(
+        F.size("__toks") >= 3
+    )
     g = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 3),
+        F.sequence(F.lit(0), F.size("__toks") - 3),
         lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+            " ",
+            F.element_at("__toks", i + 1),
+            F.element_at("__toks", i + 2),
+            F.element_at("__toks", i + 3),
         ),
     )
-    out = d.filter(F.size(t) >= 3).select(
+    out = toks.select("doc_id", g.alias("__g")).select(
         "doc_id",
-        F.size(g).alias("n_tri"),
-        F.size(F.array_distinct(g)).alias("n_uniq"),
+        F.size("__g").alias("n_tri"),
+        F.size(F.array_distinct("__g")).alias("n_uniq"),
     )
     return out.select(
         "doc_id",
@@ -584,15 +594,29 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(s) - 7), i -> substring(s, i, 8))")
         ).alias("grams"),
     )
+    # explode_outer, not explode (r12, guide §4.4's duplication in JVM
+    # form): plain explode makes InferFiltersFromGenerate push a
+    # `size(grams) > 0 AND isnotnull(grams)` guard below the projection,
+    # re-evaluating the whole interpreted gram pipeline (transform +
+    # array_distinct are CodegenFallback) THREE times per document —
+    # measured 4.7 s -> 1.0 s (corpus side) / 3.7 s -> 0.33 s (bench
+    # side) at sf0.1. Rows are identical: every row passing
+    # length(s) >= 8 has a non-null array of >= 1 grams, so the outer
+    # generator never emits the null row the guard exists to drop.
     bench = (
         g.filter(F.col("doc_id") % 19 == 0)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
         .distinct()
     )
+    # coalesce makes n_grams provably non-nullable, so the isnotnull the
+    # final n_hit*20 >= n_grams filter infers FOLDS AWAY instead of
+    # pushing one more full gram-pipeline evaluation into the scan
+    # filter (the simhash64 coalesce(…, 0) trick). grams is never null
+    # on these rows, so the sentinel never fires.
     cg = g.filter(F.col("doc_id") % 19 != 0).select(
         "doc_id",
-        F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        F.coalesce(F.size("grams"), F.lit(-1)).cast("long").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
     )
     hits = cg.join(F.broadcast(bench), "gram").groupBy("doc_id", "n_grams").agg(
         F.count(F.lit(1)).alias("n_hit")

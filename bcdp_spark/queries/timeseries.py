@@ -455,20 +455,34 @@ def q_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     ev = table(spark, sf_dir, "events").select("user_id", "value")
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].to_numpy(dtype=np.float64)
+    # r12 (guide §4.1/§4.2): grouped-map apply via applyInArrow — the
+    # same GroupedData grouped-map operator, minus the per-group pandas
+    # block construction that dominated at many-small-groups shape
+    # (1,500 groups x ~1.8 ms/group: measured 3.1 s -> 0.85 s at sf0.1,
+    # rows identical; the numpy math is unchanged, float64 in/out).
+    def zscore(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "z": pa.array([], pa.float64())}
+        )
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        v = np.asarray(v, dtype=np.float64)
         n = len(v)
         if n < 2:
-            return pd.DataFrame({"user_id": [], "z": []})
+            return empty
         mean = v.mean()
         # ddof=1 == STDDEV_SAMP
         std = v.std(ddof=1)
         if not np.isfinite(std) or std == 0.0:
-            return pd.DataFrame({"user_id": [], "z": []})
+            return empty
         z = (v - mean) / std
-        return pd.DataFrame({"user_id": pdf["user_id"], "z": z})
+        return pa.table(
+            {"user_id": tbl.column("user_id"), "z": pa.array(z, pa.float64())}
+        )
 
-    zdf = ev.groupBy("user_id").applyInPandas(
+    zdf = ev.groupBy("user_id").applyInArrow(
         zscore, schema="user_id bigint, z double"
     )
     return zdf.groupBy("user_id").agg(

@@ -294,6 +294,29 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     assert "SinglePartition" not in physical_plan(df)
 
 
+def test_contamination_gram_pipeline_evaluates_once_per_side(spark):
+    """r12: plain explode made InferFiltersFromGenerate push a
+    size(grams)>0/isnotnull(grams) guard below the gram projection,
+    re-evaluating the interpreted transform+array_distinct pipeline 3x
+    per document (measured 7.8 s -> 1.6 s at sf0.1 after the
+    explode_outer + coalesce(n_grams) fix). Pin: the pipeline appears
+    exactly once per side of the plan, never inside a scan filter."""
+    import re
+
+    import bcdp_spark.queries as q
+    from bcdp_spark.plans import formatted
+
+    plan = formatted(q.queries()["q_contamination"](spark, SF_ORACLE))
+    assert plan.count("array_distinct") == 2, (
+        "gram pipeline must appear once per side (corpus + benchmark), "
+        f"found {plan.count('array_distinct')} occurrences"
+    )
+    for cond in re.findall(r"Condition : .*", plan):
+        assert "array_distinct" not in cond, (
+            f"gram pipeline leaked into a filter condition: {cond[:120]}"
+        )
+
+
 def test_model_metrics_broadcasts_reference(spark):
     """q_model_metrics joins the per-hour ensemble reference (|hours|
     rows) back to the member series via broadcast — the member frame must

@@ -1,0 +1,92 @@
+"""Decompose q_contamination's sf0.1 fresh-plan cost (guide §1):
+stage-by-stage noop-sink timings, each a fresh DataFrame, min-of-3.
+
+Usage: python tools/measure_contamination.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bcdp_spark.session import get_spark
+from bcdp_spark.tables import table
+
+
+def timeit(spark, label, make_df, reps=3):
+    make_df().write.format("noop").mode("overwrite").save()  # warm
+    samples = []
+    for _ in range(reps):
+        df = make_df()
+        spark.sparkContext.setJobDescription(f"contam:{label}")
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    print(f"{label}: min={min(samples):.3f} all={[round(s,3) for s in samples]}",
+          flush=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("measure_contamination")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def base():
+        return table(spark, sf_dir, "documents").select(
+            "doc_id", F.lower(F.substring("text", 1, 256)).alias("s")
+        )
+
+    def grams_raw():
+        d = base()
+        return d.filter(F.length("s") >= 8).select(
+            "doc_id",
+            F.expr("transform(sequence(1, length(s) - 7), i -> substring(s, i, 8))"
+                   ).alias("grams"),
+        )
+
+    def grams_distinct():
+        d = base()
+        return d.filter(F.length("s") >= 8).select(
+            "doc_id",
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(s) - 7), i -> substring(s, i, 8))")
+            ).alias("grams"),
+        )
+
+    def corpus_explode():
+        g = grams_distinct()
+        return g.filter(F.col("doc_id") % 19 != 0).select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        )
+
+    def bench_side():
+        g = grams_distinct()
+        return (
+            g.filter(F.col("doc_id") % 19 == 0)
+            .select(F.explode("grams").alias("gram"))
+            .distinct()
+        )
+
+    def full():
+        import bcdp_spark.queries as q
+        return q.queries()["q_contamination"](spark, sf_dir)
+
+    n = table(spark, sf_dir, "documents").count()
+    print(f"documents rows: {n}", flush=True)
+    timeit(spark, "A scan+lower+substr", base)
+    timeit(spark, "B +gram transform (raw)", grams_raw)
+    timeit(spark, "C +array_distinct", grams_distinct)
+    timeit(spark, "D corpus explode (18/19)", corpus_explode)
+    timeit(spark, "E bench side distinct (1/19)", bench_side)
+    timeit(spark, "F full query", full)
+
+
+if __name__ == "__main__":
+    main()
