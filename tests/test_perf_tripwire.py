@@ -9,7 +9,23 @@ import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from perf_tripwire import THRESHOLD, _fresh_entries, flag_regressions
+from perf_tripwire import (
+    THRESHOLD,
+    _fresh_entries,
+    _normalize_plan,
+    flag_regressions,
+)
+
+
+def test_normalize_plan_ignores_expression_id_renumbering():
+    """Dumps regenerated in a different process renumber every
+    attribute; the comparison must see through that or every round-end
+    refresh would silently disarm the gate."""
+    a = "Output [2]: [event_type#13713, value#13714]\nArguments: x, [plan_id=60]"
+    b = "Output [2]: [event_type#13969, value#13970]\nArguments: x, [plan_id=74]"
+    c = "Output [2]: [event_type#13969, OTHER#13970]\nArguments: x, [plan_id=74]"
+    assert _normalize_plan(a) == _normalize_plan(b)
+    assert _normalize_plan(a) != _normalize_plan(c)
 
 
 def test_fresh_entries_exclude_warm_numbers():

@@ -88,15 +88,32 @@ def _fresh_entries(payload: dict) -> dict[str, float]:
     return out
 
 
+_ID_NOISE = re.compile(r"#\d+|plan_id=\d+|cv_\w+|subquery#\d+")
+
+
+def _normalize_plan(text: str) -> str:
+    """Strip session-global counters (expression IDs, plan ids) — a
+    dump regenerated in a different process renumbers EVERY attribute
+    (#13713 -> #13969) while the plan itself is unchanged; comparing
+    raw bytes would mark the whole registry plan-changed after each
+    round-end refresh and silently disarm the gate."""
+    return _ID_NOISE.sub("#", text)
+
+
 def _plan_unchanged(key: str, base_commit: str) -> bool:
     dump = os.path.join("docs", "plans", f"{key}.txt")
-    if not os.path.exists(os.path.join(REPO, dump)):
+    path = os.path.join(REPO, dump)
+    if not os.path.exists(path):
         return False  # no dump, no claim — skip rather than flag
-    rc = subprocess.run(
-        ["git", "diff", "--quiet", base_commit, "--", dump],
-        cwd=REPO,
-    ).returncode
-    return rc == 0
+    shown = subprocess.run(
+        ["git", "show", f"{base_commit}:{dump}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if shown.returncode != 0:
+        return False  # dump did not exist at the base commit
+    with open(path) as fh:
+        current = fh.read()
+    return _normalize_plan(shown.stdout) == _normalize_plan(current)
 
 
 def flag_regressions(
