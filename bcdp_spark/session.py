@@ -39,7 +39,13 @@ def get_spark(app_name: str = "bcdp_spark", cpus: int | None = None) -> SparkSes
         # per-expression codegen (which splits into JIT-able methods):
         # 4M-pair knn rerank 16.6 s fused-but-unJITable vs 2.1 s with
         # this guard. Plans with all-small methods are unaffected.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # r13: env-overridable so the guard can be A/B-measured on the
+        # bench's own protocol (VERDICT r12 item 1) without editing code;
+        # the default stays the measured JVM-threshold value.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HML", "8000"),
+        )
         # 12g (r11): the sf10 bench leg's 60M-row sort-merge join ran
         # against the GC ceiling at 8g under repeated fresh-plan runs
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

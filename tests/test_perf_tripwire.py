@@ -13,7 +13,9 @@ from perf_tripwire import (
     THRESHOLD,
     _fresh_entries,
     _normalize_plan,
+    _warm_entries,
     flag_regressions,
+    warn_warm_drift,
 )
 
 
@@ -87,3 +89,71 @@ def test_zero_prev_entry_skipped():
     cur = {"a": 9.9, "b": 1.0, "c": 1.0}
     ratios, _, flagged = flag_regressions(cur, prev, list(prev))
     assert "a" not in ratios and flagged == {}
+
+
+def test_small_sample_uses_plain_ratio_rule():
+    """r13 (ADVICE r12): with <5 plan-unchanged entries the median
+    self-masks (1 entry: median == its own ratio; 2-3: a regression
+    inflates the median enough to hide itself). Small samples must fall
+    back to host_factor=1.0 so a lone 1.5x regression still flags."""
+    prev = {"a": 1.0}
+    cur = {"a": 1.6}
+    ratios, host, flagged = flag_regressions(cur, prev, ["a"])
+    assert host == 1.0
+    assert set(flagged) == {"a"}
+    # two keys, one regressed: previously median 1.3 hid it
+    prev2 = {"a": 1.0, "b": 1.0}
+    cur2 = {"a": 1.6, "b": 1.0}
+    _, host2, flagged2 = flag_regressions(cur2, prev2, ["a", "b"])
+    assert host2 == 1.0
+    assert set(flagged2) == {"a"}
+
+
+def test_warm_entries_cover_sf01_and_sf1_warm():
+    payload = {
+        "queries": {"q_a": 0.03},
+        "queries_fresh": {"q_a": 0.2},
+        "sf1": {"queries": {"q_a": 0.05}, "queries_fresh": {"q_a": 0.5}},
+    }
+    assert _warm_entries(payload) == {"sf0.1:q_a": 0.03, "sf1:q_a": 0.05}
+
+
+def test_warm_drift_alert_fires_on_r12_sim_knn_case():
+    """VERDICT r12 item 7 'done' criterion: the alert fires when the
+    r12 sf1 q_sim_knn warm move (0.0458 -> 0.1263, 2.8x) is replayed."""
+    prev = {"sf1:q_sim_knn": 0.0458, "sf1:q_rollup": 0.0431}
+    cur = {"sf1:q_sim_knn": 0.1263, "sf1:q_rollup": 0.0450}
+    drifted = warn_warm_drift(cur, prev, list(prev))
+    assert "sf1:q_sim_knn" in drifted
+    assert "sf1:q_rollup" not in drifted
+
+
+def test_warm_drift_is_two_sided_and_skips_missing():
+    prev = {"a": 0.10, "b": 0.10, "c": 0.10}
+    cur = {"a": 0.04, "b": 0.15}  # a sped up >2x, b fine, c missing
+    drifted = warn_warm_drift(cur, prev, ["a", "b", "c"])
+    assert set(drifted) == {"a"}
+
+
+def test_fresh_entries_exec_twin_bridges_timer_change():
+    """r13: when the current payload times construct+exec but the
+    committed baseline predates the change, the gate must compare the
+    exec-only twin — otherwise every key 'regresses' by its own
+    construction time."""
+    payload = {
+        "fresh_timer": "construct+exec",
+        "queries_fresh": {"q_a": 1.2},        # includes 0.9 construction
+        "queries_fresh_exec": {"q_a": 0.3},
+        "sf1": {
+            "queries_fresh": {"q_a": 2.0},
+            "queries_fresh_exec": {"q_a": 1.1},
+        },
+        "sf10": {"queries": {"q_big": 5.0}},
+    }
+    headline = _fresh_entries(payload)
+    twin = _fresh_entries(payload, exec_twin=True)
+    assert headline == {"sf0.1:q_a": 1.2, "sf1:q_a": 2.0, "sf10:q_big": 5.0}
+    assert twin == {"sf0.1:q_a": 0.3, "sf1:q_a": 1.1, "sf10:q_big": 5.0}
+    # a payload without twins (pre-r13 baseline) is unaffected by the flag
+    old = {"queries_fresh": {"q_a": 0.31}}
+    assert _fresh_entries(old, exec_twin=True) == {"sf0.1:q_a": 0.31}

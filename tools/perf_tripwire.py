@@ -31,7 +31,6 @@ Usage: python tools/perf_tripwire.py <bench_json_path|->
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import re
@@ -56,13 +55,21 @@ ABS_EXCESS_FLOOR_SEC = 0.2
 
 
 def _latest_bench() -> tuple[str, dict] | None:
-    paths = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-    if not paths:
+    # r13 (ADVICE r12): select among COMMITTED bench files only. The
+    # gate needs `git log -1 -- <file>` to resolve a base commit, so an
+    # untracked BENCH_r*.json (the normal mid-round worktree state)
+    # previously won the glob and silently disarmed the whole check.
+    tracked = subprocess.run(
+        ["git", "ls-files", "BENCH_r*.json"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.split()
+    if not tracked:
         return None
     def rno(p: str) -> int:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
-    path = max(paths, key=rno)
+    name = max(tracked, key=rno)
+    path = os.path.join(REPO, name)
     with open(path) as fh:
         doc = json.load(fh)
     # driver files wrap the bench line under "parsed"; accept a raw
@@ -71,16 +78,27 @@ def _latest_bench() -> tuple[str, dict] | None:
     return path, payload
 
 
-def _fresh_entries(payload: dict) -> dict[str, float]:
+def _fresh_entries(payload: dict, exec_twin: bool = False) -> dict[str, float]:
     """Flatten every fresh-plan number in a bench payload to
     {scale:key: seconds}. Warm numbers are deliberately excluded —
-    they are the stage-reuse metric this tripwire exists to replace."""
+    they are the stage-reuse metric this tripwire exists to replace.
+
+    exec_twin=True reads the exec-only twin ("queries_fresh_exec", the
+    pre-r13 timer placement) where present — used to compare a
+    construct+exec payload like-for-like against a baseline recorded
+    before the r13 timer change (detected via the "fresh_timer"
+    marker). Falls back to the headline numbers when a twin is absent."""
+    def pick(d: dict) -> dict:
+        if exec_twin and d.get("queries_fresh_exec") is not None:
+            return d["queries_fresh_exec"]
+        return d.get("queries_fresh") or {}
+
     out: dict[str, float] = {}
-    for key, sec in (payload.get("queries_fresh") or {}).items():
+    for key, sec in pick(payload).items():
         out[f"sf0.1:{key}"] = sec
     for scale in ("sf1", "sf10"):
         leg = payload.get(scale) or {}
-        fresh = leg.get("queries_fresh")
+        fresh = pick(leg) or None
         if fresh is None and scale == "sf10":
             fresh = leg.get("queries")  # sf10's headline IS fresh-plan
         for key, sec in (fresh or {}).items():
@@ -121,9 +139,17 @@ def flag_regressions(
 ) -> tuple[dict[str, float], float, dict[str, float]]:
     """(ratios, host_factor, flagged) for the plan-unchanged entries.
     host_factor = median ratio (absorbs a uniformly faster/slower box);
-    flagged = entries whose own ratio exceeds THRESHOLD x that median."""
+    flagged = entries whose own ratio exceeds THRESHOLD x that median.
+
+    r13 (ADVICE r12): below 5 entries the median self-masks — with one
+    entry it IS the entry's own ratio (nothing can ever flag), with 2-3
+    a real regression inflates the median enough to hide itself — so
+    small samples fall back to host_factor=1.0 (the plain ratio rule)."""
     ratios = {e: cur[e] / prev[e] for e in unchanged if prev[e] > 0}
-    host_factor = statistics.median(ratios.values())
+    if len(ratios) >= 5:
+        host_factor = statistics.median(ratios.values())
+    else:
+        host_factor = 1.0
     flagged = {
         e: r
         for e, r in ratios.items()
@@ -133,18 +159,60 @@ def flag_regressions(
     return ratios, host_factor, flagged
 
 
+WARM_DRIFT_FACTOR = 2.0  # VERDICT r12 item 7 — alert (never fail) level
+
+
+def _warm_entries(payload: dict) -> dict[str, float]:
+    """Flatten the warm (same-DF stage-reuse) numbers: the sf0.1
+    headline `queries` and sf1's `queries`. These are the noise-prone
+    metric the fresh gate deliberately excludes — but r12 showed a 2.8x
+    warm move (sf1 q_sim_knn) can slip through with NO gate watching at
+    all, so >2x moves on plan-unchanged keys now print a WARNING
+    (exit code unaffected)."""
+    out: dict[str, float] = {}
+    for key, sec in (payload.get("queries") or {}).items():
+        out[f"sf0.1:{key}"] = sec
+    for key, sec in ((payload.get("sf1") or {}).get("queries") or {}).items():
+        out[f"sf1:{key}"] = sec
+    return out
+
+
+def warn_warm_drift(
+    cur: dict[str, float], prev: dict[str, float], unchanged: list[str],
+) -> dict[str, float]:
+    """Non-fatal: warm entries (plan-unchanged keys) that moved more
+    than WARM_DRIFT_FACTOR in either direction."""
+    drifted: dict[str, float] = {}
+    for e in unchanged:
+        if prev.get(e, 0) > 0 and e in cur:
+            r = cur[e] / prev[e]
+            if r > WARM_DRIFT_FACTOR or r < 1.0 / WARM_DRIFT_FACTOR:
+                drifted[e] = r
+    return drifted
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "-"
     text = sys.stdin.read() if src == "-" else open(src).read()
-    # bench prints exactly one JSON line; tolerate surrounding log noise
-    line = next(
-        (ln for ln in text.splitlines() if ln.startswith('{"metric"')),
-        None,
-    )
-    if line is None:
+    # bench prints exactly one JSON line; tolerate surrounding log
+    # noise. r13 (ADVICE r12): parse each line instead of matching a
+    # byte prefix, so a cosmetic key-order change in bench.py cannot
+    # fail the whole verify ladder with exit 2.
+    current = None
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            doc = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(doc, dict) and "queries_fresh" in doc:
+            current = doc
+            break
+    if current is None:
         print("perf_tripwire: no bench JSON line found in input")
         sys.exit(2)
-    current = json.loads(line)
 
     prev = _latest_bench()
     if prev is None:
@@ -159,8 +227,39 @@ def main() -> None:
         print(f"perf_tripwire: {os.path.basename(prev_path)} not in git — skipping")
         return
 
-    cur_f = _fresh_entries(current)
+    # r13 timer-semantics bridge: if the current payload's fresh timer
+    # covers construction+execution but the committed baseline predates
+    # that change, gate on the exec-only twin so the comparison is
+    # like-for-like (otherwise every key would "regress" by its own
+    # construction time).
+    use_twin = (
+        current.get("fresh_timer") == "construct+exec"
+        and prev_payload.get("fresh_timer") != "construct+exec"
+    )
+    if use_twin:
+        print(
+            "perf_tripwire: baseline predates the construct+exec fresh "
+            "timer — comparing the exec-only twin (queries_fresh_exec)"
+        )
+    cur_f = _fresh_entries(current, exec_twin=use_twin)
     prev_f = _fresh_entries(prev_payload)
+    # r13: the sf10 leg moved from last-in-session to per-key fresh
+    # JVMs (bench.py sf10_leg_child) — numbers across DIFFERENT leg
+    # protocols measure different JIT/GC regimes and cannot be gated
+    # against each other. Skip the leg when protocols differ; once the
+    # baseline carries the same protocol tag, gating resumes.
+    cur_proto = (current.get("sf10") or {}).get("protocol")
+    prev_proto = (prev_payload.get("sf10") or {}).get("protocol")
+    if cur_proto != prev_proto:
+        dropped = [e for e in cur_f if e.startswith("sf10:")]
+        if dropped:
+            print(
+                "perf_tripwire: sf10 leg protocol changed "
+                f"({prev_proto!r} -> {cur_proto!r}) — skipping "
+                f"{len(dropped)} sf10 entr(y/ies) this round"
+            )
+        for e in dropped:
+            cur_f.pop(e, None)
     shared = sorted(set(cur_f) & set(prev_f))
     unchanged = [
         e for e in shared if _plan_unchanged(e.split(":", 1)[1], base_commit)
@@ -176,11 +275,34 @@ def main() -> None:
         f"{os.path.basename(prev_path)} (commit {base_commit[:8]}), "
         f"host factor {host_factor:.2f}"
     )
+    if len(ratios) < 5:
+        print(
+            "perf_tripwire: WARNING — fewer than 5 plan-unchanged entries; "
+            "host normalization is statistically inert, using plain ratios"
+        )
     for e in sorted(ratios, key=lambda e: -ratios[e]):
         mark = " <-- REGRESSION" if e in flagged else ""
         print(
             f"  {e}: {prev_f[e]:.4f} -> {cur_f[e]:.4f} "
             f"({ratios[e]:.2f}x, {ratios[e]/host_factor:.2f}x normalized){mark}"
+        )
+    # VERDICT r12 item 7: warm-metric drift ALERT (never fatal) — warm
+    # numbers are stage-reuse + session-floor noise, but a >2x move on a
+    # plan-unchanged key deserves eyes even when the fresh gate is green.
+    cur_w = _warm_entries(current)
+    prev_w = _warm_entries(prev_payload)
+    warm_shared = sorted(set(cur_w) & set(prev_w))
+    warm_unchanged = [
+        e for e in warm_shared
+        if _plan_unchanged(e.split(":", 1)[1], base_commit)
+    ]
+    drifted = warn_warm_drift(cur_w, prev_w, warm_unchanged)
+    for e in sorted(drifted, key=lambda e: -drifted[e]):
+        print(
+            f"perf_tripwire: WARNING — warm drift {e}: "
+            f"{prev_w[e]:.4f} -> {cur_w[e]:.4f} ({drifted[e]:.2f}x, "
+            "plan unchanged; warm metric is noise-prone — investigate, "
+            "not necessarily a regression)"
         )
     if flagged:
         print(

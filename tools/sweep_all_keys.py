@@ -43,8 +43,13 @@ def main() -> None:
             qs[key](spark, sf_dir).toPandas()  # warmup (codegen, fixtures)
             samples = []
             for _ in range(reps):
-                df = qs[key](spark, sf_dir)
+                # r13 (VERDICT r12 item 2): timer covers DataFrame
+                # CONSTRUCTION + execution — the driver-coordinated
+                # training keys (kmeans/ivf/pq) run their iteration jobs
+                # at construction time, which the old timer placement
+                # silently excluded.
                 t0 = time.perf_counter()
+                df = qs[key](spark, sf_dir)
                 df.toPandas()
                 samples.append(time.perf_counter() - t0)
             out[key] = round(min(samples), 3)
