@@ -566,6 +566,33 @@ def hamming_near_pairs(
     # the fingerprint lineage materializes once (second side's map
     # stages SKIPPED); see hamming_multi_index_pairs for the
     # measurement.
+    #
+    # r13 canonical emission (the m=1 case of the multi-index trick): a
+    # radius-h pair agrees on up to h+1 chunks and used to be emitted
+    # once per agreeing chunk, deduplicated by a full-output distinct().
+    # Each joined row re-derives the agree mask from the xor and keeps
+    # the pair only in its FIRST agreeing chunk (no agreeing chunk
+    # strictly below chunk_idx) — exactly-once emission, distinct()
+    # gone, output row set bit-identical. The per-chunk mask is a
+    # constant-array lookup on chunk_idx, NOT an exploded struct field:
+    # a per-side field would be pruned asymmetrically and break the
+    # exchange-subtree equality that lets the fingerprint lineage
+    # materialize once (see hamming_multi_index_pairs).
+    lo_mask_arr = F.array(
+        *[F.lit((1 << c) - 1) for c in range(n_chunks)]
+    )
+    xor = F.col("a.__h64").bitwiseXOR(F.col("b.__h64"))
+
+    def chunk_of(col: F.Column, c: int) -> F.Column:
+        return F.shiftrightunsigned(col, starts[c]).bitwiseAND(
+            F.lit(-1 if widths[c] == 64 else (1 << widths[c]) - 1)
+        )
+
+    agree = F.lit(0)
+    for c in range(n_chunks):
+        agree = agree.bitwiseOR(
+            F.when(chunk_of(xor, c) == 0, F.lit(1 << c)).otherwise(F.lit(0))
+        )
     a, b = chunks.alias("a"), chunks.alias("b").hint("shuffle_hash")
     return (
         a.join(
@@ -574,15 +601,20 @@ def hamming_near_pairs(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(
+            (F.bit_count(xor) <= max_hamming)
+            & (
+                agree.bitwiseAND(
+                    F.element_at(lo_mask_arr, F.col("a.chunk_idx") + 1)
+                )
+                == 0
+            )
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.__h64").bitwiseXOR(F.col("b.__h64"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -664,6 +696,28 @@ def hamming_multi_index_pairs(
         F.col(hash_col).alias("__h64"),
         F.explode(F.array(*entries)).alias("__c"),
     ).select(id_col, "__h64", "__c.combo_idx", "__c.key")
+    # r13 canonical-emission lookup tables (see the join below): a combo
+    # (i1 < i2 < ... < im) is the pair's CANONICAL agreeing combo iff
+    # the agreeing blocks strictly below i_m are exactly
+    # {i1..i_{m-1}} — i.e. (agree & lo_mask) == lo_bits with
+    # lo_mask = (1 << i_m) - 1 and lo_bits = the lower m-1 combo bits.
+    # That combo is the lexicographically first agreeing one, so every
+    # qualifying pair is emitted EXACTLY once and the duplicate-pair
+    # distinct() disappears. The per-combo constants are CONSTANT ARRAY
+    # lookups on combo_idx rather than extra exploded struct fields:
+    # per-side fields would be pruned asymmetrically (only one side's
+    # are referenced), making the two exchange subtrees canonically
+    # UNEQUAL and silently breaking the r12 ReuseExchange property the
+    # plan pin guards (fingerprint lineage must materialize once).
+    lo_mask_arr = F.array(
+        *[F.lit((1 << combo[-1]) - 1) for combo in combos]
+    )
+    lo_bits_arr = F.array(
+        *[
+            F.lit(sum(1 << c for c in combo[:-1]))
+            for combo in combos
+        ]
+    )
     if bucket_cap is not None:
         wb = Window.partitionBy("combo_idx", "key")
         keyed = (
@@ -683,6 +737,31 @@ def hamming_multi_index_pairs(
     # expansion parallelizes across reducers. Measured (q_simhash_pairs
     # sf0.1 fresh, min-of-3): r11 broadcast form 65 s (single task);
     # this form 15.4 s; rows identical.
+    #
+    # r13 canonical emission (guide §2.3 — shuffle fewer bytes): a pair
+    # within radius h agrees on >= blocks - h = m blocks, so it lands in
+    # EVERY agreeing combo's bucket — measured 19M hamming-passing rows
+    # for 1.11M distinct pairs at sf0.1 (17x duplicate emission), all of
+    # which the old .distinct() had to shuffle. Instead, each joined row
+    # re-derives the pair's agree mask from the xor (14 cheap int tests
+    # on a value the hamming filter already computes) and keeps the row
+    # only in the pair's lexicographically-first agreeing combo (the
+    # lo_mask/lo_bits literals baked into the explode). Every
+    # radius-h pair has >= m agreeing blocks, so exactly one emission
+    # survives — the distinct() and its 19M-row exchange are GONE; the
+    # output row set is bit-identical.
+    xor = F.col("a.__h64").bitwiseXOR(F.col("b.__h64"))
+
+    def block_of(col: F.Column, c: int) -> F.Column:
+        return F.shiftrightunsigned(col, starts[c]).bitwiseAND(
+            F.lit(-1 if widths[c] == 64 else (1 << widths[c]) - 1)
+        )
+
+    agree = F.lit(0)
+    for c in range(blocks):
+        agree = agree.bitwiseOR(
+            F.when(block_of(xor, c) == 0, F.lit(1 << c)).otherwise(F.lit(0))
+        )
     a, b = keyed.alias("a"), keyed.alias("b").hint("shuffle_hash")
     return (
         a.join(
@@ -691,15 +770,22 @@ def hamming_multi_index_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(
+            # hamming first: one bit_count kills the ~70% false bucket
+            # collisions before the 14-test agree mask is evaluated
+            (F.bit_count(xor) <= max_hamming)
+            & (
+                agree.bitwiseAND(
+                    F.element_at(lo_mask_arr, F.col("a.combo_idx") + 1)
+                )
+                == F.element_at(lo_bits_arr, F.col("a.combo_idx") + 1)
+            )
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.__h64").bitwiseXOR(F.col("b.__h64"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -743,6 +829,53 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 # X2c — n-gram Jaccard verification (exact, for candidate pairs)
 # ---------------------------------------------------------------------------
+# Width of the per-doc gram bitmap used by ngram_jaccard's exact
+# rejection prefilter, in 64-bit words. 32 words = 2048 bits; fixture
+# docs carry ~200 distinct 5-grams (fill factor ~0.1 per side), which
+# makes popcount(OR) a tight lower bound on |A ∪ B| — sharp enough to
+# reject near-every candidate below J ≈ 0.8 before any gram array is
+# touched. Wider = sharper bound + more per-pair long ops; 32 words is
+# 256 B/doc vs ~1-2 KB gram arrays.
+_BITMAP_WORDS = 32
+
+
+def _gram_stats(sh: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc (size, 2048-bit gram bitmap) from the distinct gram
+    arrays — the lightweight decision proxy (guide §8: decide with
+    small rows, ship heavy arrays only to survivors). One JVM-native
+    explode + hash aggregate; explode_outer keeps empty/null-array docs
+    (zero bitmap), preserving the exact edge semantics of the pair
+    compare."""
+    nbits = 64 * _BITMAP_WORDS
+    # NB: Spark hash expressions are null-TOLERANT — xxhash64(NULL)
+    # returns the seed, not NULL — so the explode_outer null row (an
+    # empty gram array) must be guarded explicitly or every empty doc
+    # would carry one spurious bit and P would overcount by 1, breaking
+    # the empty-vs-empty keep case (S = P = 0 must hold there).
+    ex = sh.select(
+        F.col(id_col),
+        F.size("__sh").alias("__sz"),
+        F.explode_outer("__sh").alias("__g"),
+    ).select(
+        id_col,
+        "__sz",
+        F.when(
+            F.col("__g").isNotNull(),
+            F.pmod(F.xxhash64("__g"), F.lit(nbits)),
+        ).alias("__bucket"),
+    )
+    word = (F.col("__bucket") / 64).cast("int")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bucket % 64 AS INT))")
+    zero = F.lit(0).cast("long")
+    return ex.groupBy(id_col).agg(
+        F.first("__sz").alias("__sz"),
+        *[
+            F.bit_or(F.when(word == i, bit).otherwise(zero)).alias(f"__b{i}")
+            for i in range(_BITMAP_WORDS)
+        ],
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
@@ -752,47 +885,84 @@ def ngram_jaccard(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact character-k-gram Jaccard for candidate (id_a, id_b) pairs;
-    keeps pairs with similarity >= threshold. Join payload is the distinct
-    shingle set, computed once per doc.
+    keeps pairs with similarity >= threshold.
 
     The SINGLE exact-Jaccard verification path (ADVICE r10 —
     ``confirm_pairs_jaccard`` wraps this): the threshold compare is
     integer cross-multiplication (``c * den >= union * num``), never a
     float-ratio compare, so any engine computing the same gram sets
     agrees bit-for-bit at the boundary; the reported ``jaccard`` column
-    stays one IEEE division of two small ints."""
+    stays one IEEE division of two small ints.
+
+    r13 (guide §8 / VERDICT r12 item 3): candidates are first judged on
+    a NARROW per-doc proxy — (|grams|, 2048-bit gram bitmap, 264 B) —
+    and only survivors ever join the gram arrays for the exact
+    intersect. Two exact-rejection bounds run on the proxy:
+
+    1. size ratio (r12): J <= min/max, so ``least*den < greatest*num``
+       can never pass the exact compare;
+    2. bitmap union bound: every distinct gram of A ∪ B sets exactly one
+       bucket bit, so popcount(OR of bitmaps) = #distinct buckets
+       touched <= |A ∪ B|. With S = |A| + |B| and inter = S - union
+       (arrays are distinct), keep requires inter*(den+num) >= S*num;
+       inter <= S - P, so (S - P)*(den+num) < S*num is a certain reject.
+       Hash-bucket collisions only LOWER P — they weaken rejection,
+       never break it. Empty arrays (S = P = 0) pass, exactly like the
+       0 >= 0 exact compare; null arrays null the bound and the exact
+       compare alike (both drop).
+
+    The kept set is therefore provably identical: the prefilter is a
+    superset of the exact-keep set and the exact compare still runs on
+    every survivor. At sf0.1 this removes the per-pair hash-set
+    ``array_intersect`` for ~99% of the 1.1 M hamming/band candidates,
+    and at 100 TB the candidate join ships 264 B/doc instead of the
+    1-2 KB gram payload."""
     from fractions import Fraction
 
     fr = Fraction(threshold).limit_denominator(10**6)
+    num, den = int(fr.numerator), int(fr.denominator)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(_shingles_expr(text_col, k)).alias("__sh"),
     )
-    j = (
+    stats = _gram_stats(sh, id_col)
+    w = _BITMAP_WORDS
+    sa = stats.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sza"),
+        *[F.col(f"__b{i}").alias(f"__a{i}") for i in range(w)],
+    )
+    sb = stats.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("__szb"),
+        *[F.col(f"__b{i}").alias(f"__v{i}") for i in range(w)],
+    )
+    sz_a, sz_b = F.col("__sza"), F.col("__szb")
+    size_ok = F.least(sz_a, sz_b) * F.lit(den) >= (
+        F.greatest(sz_a, sz_b) * F.lit(num)
+    )
+    s_total = sz_a + sz_b
+    popcnt = None
+    for i in range(w):
+        c = F.bit_count(F.col(f"__a{i}").bitwiseOR(F.col(f"__v{i}")))
+        popcnt = c if popcnt is None else popcnt + c
+    bound_ok = (s_total - popcnt) * F.lit(den + num) >= s_total * F.lit(num)
+    survivors = (
         pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(size_ok & bound_ok)
+        .select("id_a", "id_b")
+    )
+    j = (
+        survivors
         .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    # r12 (guide §2.3 cheap pre-test before expensive per-row work):
-    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — two ints already at hand —
-    # so a pair failing the size-ratio bound can NEVER pass the exact
-    # integer compare (inter <= min, union >= max). Putting the bound
-    # first in the AND short-circuits the hash-set array_intersect for
-    # size-incompatible candidates; the kept set is provably identical.
-    sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
-    size_ok = F.least(sz_a, sz_b) * F.lit(int(fr.denominator)) >= (
-        F.greatest(sz_a, sz_b) * F.lit(int(fr.numerator))
-    )
     return (
-        j.filter(
-            size_ok
-            & (
-                inter * F.lit(int(fr.denominator))
-                >= union * F.lit(int(fr.numerator))
-            )
-        )
+        j.filter(inter * F.lit(den) >= union * F.lit(num))
         .select(
             "id_a",
             "id_b",

@@ -120,36 +120,60 @@ GROUP BY p_brand
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     utc(spark)
     pa = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = pa.select(
+    # r13 (guide §1.2 step 1 — fix the distributed algorithm): the
+    # levenshtein DP depends on the pair of NAMES only, and names repeat
+    # massively (sf0.1: 64 distinct names across 20,000 parts; 1,600
+    # distinct (brand, name) groups), so the part-level block join paid
+    # the same DP ~4,800x per distinct name pair (7.7M part pairs passed
+    # the |Δlen| guard at sf0.1). Aggregate to per-(brand, name) COUNTS
+    # first, run the brand-blocked DP once per distinct name pair, and
+    # attach multiplicities by count arithmetic:
+    #   - cross-name term: parts (a, b) with names x != y and ka < kb —
+    #     exactly one orientation of every unordered part pair, so the
+    #     multiplicity is cnt(x)*cnt(y) per brand, each at d(x, y);
+    #   - same-name term: C(c, 2) pairs per (brand, name) group, each at
+    #     d = 0 <= 3 (always kept; name must be non-null — lev(null,
+    #     null) is null and was never kept by the pair form).
+    # Kept brands identical (a brand appears iff it has >= 1 qualifying
+    # part pair); n_pairs/total_dist are the same sums regrouped
+    # (integer multiplicities, exact). The brand block is preserved, and
+    # per-brand DP work is now Sum_B C(m_B, 2) with m_B = distinct names
+    # in brand B <= n_B — never worse than the part-level join, ~150x
+    # fewer DPs here. Bounded levenshtein + |Δlen| guard kept from r12.
+    cnt = pa.groupBy("p_brand", "p_name").agg(F.count(F.lit(1)).alias("__c"))
+    a = cnt.select(
         F.col("p_brand"),
-        F.col("p_partkey").alias("ka"),
         F.col("p_name").alias("na"),
+        F.col("__c").alias("ca"),
     )
-    b = pa.select(
+    b = cnt.select(
         F.col("p_brand").alias("brand_b"),
-        F.col("p_partkey").alias("kb"),
         F.col("p_name").alias("nb"),
+        F.col("__c").alias("cb"),
     )
-    # r12: bounded levenshtein (threshold arg, Spark 3.5+) — banded DP,
-    # O(len x t) instead of O(len^2) per pair, early-out on length
-    # mismatch; the explicit |Δlen| <= 3 guard short-circuits even the
-    # call for length-incompatible pairs. Kept set provably identical
-    # for any input: levenshtein(a,b) >= |len(a)-len(b)|, the threshold
-    # form returns d itself whenever d <= 3 (-1 otherwise), and null
-    # names null out both forms. Measured 15.3 -> 10.1 s at sf0.1
-    # (same-session noop A/B; per-pair CPU is the remaining cost — the
-    # block-pair volume itself is this key's declared semantic).
+    # The same-name (diagonal) term folds into the join via na <= nb:
+    # lev(x, x) = 0 passes every guard, so d needs no special case; only
+    # the multiplicity differs (C(c, 2) instead of ca*cb), and mult > 0
+    # drops c = 1 diagonal rows so no brand row appears that the
+    # pair-level form would not emit. Null names are join-rejected by
+    # na <= nb, exactly as the old ka < kb pair form rejected them via
+    # the null levenshtein guard.
     d = F.levenshtein(F.col("na"), F.col("nb"), 3)
+    mult = F.when(
+        F.col("na") == F.col("nb"), F.expr("ca * (ca - 1) DIV 2")
+    ).otherwise(F.col("ca") * F.col("cb"))
     return (
         a.join(
             b,
-            (F.col("p_brand") == F.col("brand_b")) & (F.col("ka") < F.col("kb")),
+            (F.col("p_brand") == F.col("brand_b")) & (F.col("na") <= F.col("nb")),
         )
         .filter((F.abs(F.length("na") - F.length("nb")) <= 3) & (d >= 0))
+        .select("p_brand", d.alias("__d"), mult.alias("__mult"))
+        .filter(F.col("__mult") > 0)
         .groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(d).cast("long").alias("total_dist"),
+            F.sum("__mult").cast("long").alias("n_pairs"),
+            F.sum(F.col("__d") * F.col("__mult")).cast("long").alias("total_dist"),
         )
     )
 

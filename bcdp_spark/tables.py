@@ -43,11 +43,37 @@ def _tune_session(spark: SparkSession) -> None:
         pass
 
 
+# r13: memoized ANALYZED HANDLES per (session, dir, table) — not data.
+# Each `spark.read.parquet` call costs ~200 ms of synchronous JVM work
+# (file listing + footer schema resolution + analysis round-trips),
+# paid at DataFrame-construction time on EVERY query build; with the
+# r13 construction-inclusive timers that overhead landed on every fresh
+# measurement (q_join_agg: ~1.0 s construction for a 4-table plan).
+# Sharing the lazy base DataFrame is semantics-free: DataFrames are
+# immutable, downstream plans are brand-new objects (no cross-query
+# stage or shuffle reuse is introduced — exchanges are new physical
+# instances per query), and nothing is collected or persisted here. A
+# stopped session's entries die with its key (a new get_spark() returns
+# a new session object).
+_HANDLES: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning / filter pushdown happen in
-    the caller's plan — do not collect or cache here."""
+    the caller's plan — do not collect or cache here (the module-level
+    memo above shares the lazy HANDLE only)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark, sf_dir, name)
+    hit = _HANDLES.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table(spark, sf_dir, name)
+    _HANDLES[key] = df
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_session(spark)
     if name == "events":
         # events.ts has varied across driver fixture generations:

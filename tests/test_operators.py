@@ -2641,3 +2641,204 @@ def test_ivf_index_append_preserves_duplicates_and_guards_names(
         ivf_index_append(
             spark, path, one.withColumn("__cell", F.lit(1))
         )
+
+
+def test_hamming_canonical_emission_matches_bruteforce(spark):
+    """r13: canonical emission (keep a pair only in its first agreeing
+    chunk/combo) must produce exactly the brute-force radius pair set,
+    with NO duplicate rows and NO distinct() in the plan — the
+    duplicate-pair exchange it replaced was 17x the true pair volume at
+    sf0.1. Hash family chosen to exercise multi-chunk agreement (the
+    duplicate-emission case the old distinct() absorbed)."""
+    from itertools import combinations as _comb
+
+    from bcdp_spark.operators.dedup import (
+        hamming_multi_index_pairs,
+        hamming_near_pairs,
+    )
+
+    # near-identical cluster (many agreeing chunks), a far point, and a
+    # pair agreeing on exactly the guaranteed minimum of blocks
+    hashes = [
+        (1, 0x0123456789ABCDEF),
+        (2, 0x0123456789ABCDEE),  # hamming 1 from id 1
+        (3, 0x0123456789ABCDEF ^ 0xFF),  # hamming 8 from id 1
+        (4, -0x0123456789ABCDF0),  # far from everything
+        (5, 0x0123456789ABCDEF),  # identical to id 1
+    ]
+    df = spark.createDataFrame(hashes, "vid long, h long")
+
+    def brute(h):
+        keep = set()
+        for (ia, ha), (ib, hb) in _comb(hashes, 2):
+            if bin((ha ^ hb) & (2**64 - 1)).count("1") <= h:
+                keep.add((min(ia, ib), max(ia, ib)))
+        return keep
+
+    for fn, kw, h in (
+        (hamming_near_pairs, {}, 3),
+        (hamming_multi_index_pairs, {"blocks": 6}, 4),
+    ):
+        out = fn(df, "h", "vid", max_hamming=h, **kw)
+        rows = [(r["id_a"], r["id_b"]) for r in out.collect()]
+        assert set(rows) == brute(h), (fn.__name__, sorted(rows))
+        assert len(rows) == len(set(rows)), f"{fn.__name__}: duplicate emission"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Distinct" not in plan and "deduplicate" not in plan.lower()
+
+
+def test_ngram_jaccard_bitmap_prefilter_is_exact(spark):
+    """r13: the 2048-bit gram-bitmap prefilter is rejection-only — the
+    kept pairs, their row set AND the jaccard values must equal the r12
+    pair-level exact compare (inlined below as the reference), including
+    the edges the bound's proof leans on: identical docs (J = 1.0, the
+    max-duplicate-emission case), just-below-threshold (must be dropped
+    by the exact compare even when the bitmap bound passes it), short
+    texts (single short gram by _shingles_expr's greatest() guard), and
+    NULL text (null gram; xxhash64(NULL) returns the seed, so the
+    bitmap must NOT count it — P <= union would otherwise break)."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.operators.dedup import _shingles_expr, ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),      # 6 distinct 5-grams
+            (2, "abcdefghij"),      # identical -> J = 1.0
+            (3, "abcdefghix"),      # shares most grams with 1, J < 0.9
+            (4, "abc"),             # shorter than k -> one short gram
+            (5, "abc"),             # same short gram -> J = 1.0
+            (6, None),              # null text -> [null] gram array
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (1, 4), (6, 7), (1, 6), (2, 3)],
+        "id_a long, id_b long",
+    )
+
+    def reference(df, prs, k, threshold):  # the r12 form, verbatim
+        fr = Fraction(threshold).limit_denominator(10**6)
+        sh = df.select(
+            F.col("doc_id"),
+            F.array_distinct(_shingles_expr("text", k)).alias("__sh"),
+        )
+        j = (
+            prs.select("id_a", "id_b")
+            .join(sh.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("__sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed("doc_id", "id_b")
+                    .withColumnRenamed("__sh", "sh_b"), "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+        size_ok = F.least(sz_a, sz_b) * F.lit(int(fr.denominator)) >= (
+            F.greatest(sz_a, sz_b) * F.lit(int(fr.numerator))
+        )
+        return j.filter(
+            size_ok
+            & (inter * F.lit(int(fr.denominator))
+               >= union * F.lit(int(fr.numerator)))
+        ).select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
+
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in reference(docs, pairs, 5, 0.9).collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard(
+               docs, pairs, "text", "doc_id", k=5, threshold=0.9
+           ).collect()}
+    assert got == want, (got, want)
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # the case must be non-vacuous
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard_bucket_pairing_handles_gaps_and_boundaries(
+    spark, tmp_path
+):
+    """r13: q_ngram_jaccard's bucket-window pairing (grams computed
+    once) must equal the old right_id == left_id + 1 self-join on a
+    corpus with id GAPS (filtered docs) and pairs straddling the
+    B = 128 bucket boundary — (127, 128) lives in bucket 0 only via the
+    boundary-duplicated row, and the duplicate must not pair onward."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.queries.text import q_ngram_jaccard
+
+    ids = [0, 1, 2, 126, 127, 128, 129, 255, 256, 300, 302, 384, 385]
+    rows = [(i, f"doc number {i} shares a lot of text {i % 3}") for i in ids]
+    rows.append((200, "x"))  # length < 3: filtered out -> gap at 200
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in q_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    d = df.filter(F.length(F.lower(F.substring("text", 1, 256))) >= 3)
+    g = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(lower(substring(text, 1,"
+                " 256))) - 2), i -> substring(lower(substring(text, 1,"
+                " 256)), i, 3))"
+            )
+        ).alias("grams"),
+    )
+    a = g.select(F.col("doc_id").alias("left_id"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("right_id"), F.col("grams").alias("gb"))
+    want = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in a.join(b, F.col("right_id") == F.col("left_id") + 1)
+        .select(
+            "left_id", "right_id",
+            (F.size(F.array_intersect("ga", "gb")).cast("double")
+             / F.size(F.array_union("ga", "gb"))).alias("jaccard"),
+        ).collect()
+    }
+    assert got == want
+    assert (127, 128) in got and (128, 129) in got  # boundary pair found once
+    assert (1, 2) in got
+
+
+def test_fuzzy_match_count_factorization_edges(spark, tmp_path):
+    """r13: q_fuzzy_match's per-(brand, name) count factorization must
+    equal the part-pair form on duplicate names (same-name C(c,2) term),
+    names within/beyond lev 3, a single-part brand (no output row), and
+    a NULL name (never matches — lev(null, null) is null)."""
+    from pyspark.sql import functions as F
+
+    from bcdp_spark.queries.robustness import q_fuzzy_match
+
+    rows = [
+        (1, "B1", "red cap"), (2, "B1", "red cap"), (3, "B1", "red cat"),
+        (4, "B1", "utterly different"), (5, "B2", "red cap"),
+        (6, "B2", None), (7, "B2", None), (8, "B3", "lonely"),
+        (9, "B2", "red cape"),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_brand string, p_name string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+
+    got = {r["p_brand"]: (r["n_pairs"], r["total_dist"])
+           for r in q_fuzzy_match(spark, str(tmp_path)).collect()}
+    a = df.select("p_brand", F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    b = df.select(F.col("p_brand").alias("bb"), F.col("p_partkey").alias("kb"),
+                  F.col("p_name").alias("nb"))
+    d = F.levenshtein("na", "nb")
+    want = {r["p_brand"]: (r["n_pairs"], r["total_dist"])
+            for r in a.join(b, (F.col("p_brand") == F.col("bb")) & (F.col("ka") < F.col("kb")))
+            .filter(d <= 3)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(d).cast("long").alias("total_dist"))
+            .collect()}
+    assert got == want
+    # non-vacuous: B1 has same-name + cross-name pairs; B3 must be absent
+    assert got["B1"] == (3, 2)  # (1,2) d=0, (1,3)+(2,3) d=1 each
+    assert "B3" not in got
