@@ -106,7 +106,12 @@ def _fresh_entries(payload: dict, exec_twin: bool = False) -> dict[str, float]:
     return out
 
 
-_ID_NOISE = re.compile(r"#\d+|plan_id=\d+|cv_\w+|subquery#\d+")
+_ID_NOISE = re.compile(
+    # expression IDs, plan ids, codegen variable names, subquery ids,
+    # and RDD ids (MapPartitionsRDD[446] — a session-global counter
+    # that renumbers on every dump, exactly like expression IDs)
+    r"#\d+|plan_id=\d+|cv_\w+|subquery#\d+|RDD\[\d+\]"
+)
 
 
 def _normalize_plan(text: str) -> str:
